@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver-generated parquet fixtures (FIXTURES.md).
+  *
+  * All tables are plain parquet scans except `events`, whose `ts` column is
+  * parquet TIMESTAMP(NANOS): stock Spark 4.1.2 rejects it with
+  * PARQUET_TYPE_ILLEGAL, so we read ns-as-long and rebuild the timestamp at
+  * microsecond precision (SURVEY.md §7.5 H1). Integer division is mandatory —
+  * float division of ~1.7e18 ns loses microsecond precision.
+  *
+  * Date-ish columns (`o_orderdate`, `l_shipdate`, rebuilt `ts`) are kept
+  * TimestampNTZ end-to-end so parquet output carries naive-timestamp
+  * semantics, matching what DuckDB produces for the oracle (SURVEY.md §7.5 H2).
+  */
+object Fixtures {
+  val tpchTables: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+  val allTables: Seq[String] =
+    tpchTables ++ Seq("events", "documents", "embeddings")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    name match {
+      case "events" => events(spark, sfDir)
+      case other    => spark.read.parquet(s"$sfDir/$other.parquet")
+    }
+
+  /** events with `ts` rebuilt as TimestampNTZ at µs precision (ns truncated,
+    * same truncation DuckDB applies when casting TIMESTAMP_NS → TIMESTAMP). */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read
+      .parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+  }
+
+  /** Register every fixture as a temp view so the spark.sql entry point (E2)
+    * works alongside the DataFrame DSL. */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    allTables.foreach(t => table(spark, sfDir, t).createOrReplaceTempView(t))
+}
