@@ -18,12 +18,18 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Sources.queries ++
       ops.Relational.queries ++
-      ops.Aggregates.queries
+      ops.Aggregates.queries ++
+      ops.Joins.queries ++
+      ops.SortSetOps.queries ++
+      ops.Windows.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Sources.oracle ++
       ops.Relational.oracle ++
-      ops.Aggregates.oracle
+      ops.Aggregates.oracle ++
+      ops.Joins.oracle ++
+      ops.SortSetOps.oracle ++
+      ops.Windows.oracle
 }

@@ -1,0 +1,183 @@
+package graft.ops
+
+import graft.Fixtures
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.C — join operators.
+  *
+  * Strategy notes for 100-TB shape: dimension joins broadcast explicitly
+  * (`broadcast()`), the large fact-fact join pins SHUFFLE_MERGE so the plan
+  * stays a SortMergeJoin at any scale factor (at sf0.01 the 10 MB
+  * auto-broadcast threshold would otherwise hide the shuffle path), and the
+  * as-of/theta joins bucket by the equi key (user_id) so the range predicate
+  * only runs within equi-matched groups.
+  *
+  * Oracle SQL referencing events always casts ts to µs TIMESTAMP first: the
+  * driver's DuckDB reads the raw parquet column as TIMESTAMP_NS while the
+  * Spark side truncates ns→µs on read (Fixtures.events).
+  */
+object Joins {
+  /** CTE prefix giving DuckDB the same µs-truncated events the engine sees. */
+  private val evCte =
+    "WITH e AS (SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Small-dimension equi join → BroadcastHashJoin.
+    "q_join_broadcast" -> { (s, dir) =>
+      val n = Fixtures.table(s, dir, "nation")
+      val r = Fixtures.table(s, dir, "region")
+      n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name", "r_name")
+        .orderBy("n_nationkey")
+    },
+    // Fact-fact equi join, pinned to SortMergeJoin (the at-scale plan).
+    "q_join_shuffle" -> { (s, dir) =>
+      val o = Fixtures.table(s, dir, "orders")
+      val l = Fixtures.table(s, dir, "lineitem")
+      l.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .select("o_orderkey", "l_linenumber", "o_orderstatus", "l_quantity")
+        .orderBy("o_orderkey", "l_linenumber")
+    },
+    // 3-way star join + agg (TPC-H Q3 shape), revenue per qualifying order.
+    "q_join_multiway" -> { (s, dir) =>
+      val c = Fixtures.table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = Fixtures
+        .table(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      val l = Fixtures
+        .table(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1996-06-30").cast("timestamp_ntz"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .orderBy("l_orderkey")
+    },
+    // Left outer + null-side handling: order stats per customer incl. zeroes.
+    "q_join_left" -> { (s, dir) =>
+      val c = Fixtures.table(s, dir, "customer")
+      val o = Fixtures.table(s, dir, "orders")
+      c.join(o, col("o_custkey") === col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum("o_totalprice"), lit(0.0)), 4).as("total_spend"))
+        .orderBy("c_custkey")
+    },
+    // Right outer: reference counts per part, keeping unreferenced parts.
+    "q_join_right" -> { (s, dir) =>
+      val l = Fixtures.table(s, dir, "lineitem")
+      val p = Fixtures.table(s, dir, "part")
+      l.join(p, col("l_partkey") === col("p_partkey"), "right")
+        .groupBy("p_partkey")
+        .agg(count(col("l_orderkey")).as("n_refs"))
+        .orderBy("p_partkey")
+    },
+    // Full outer: customers active in 1995 vs 1996, either side may miss.
+    "q_join_full" -> { (s, dir) =>
+      val o = Fixtures.table(s, dir, "orders")
+      def slice(y: Int, out: String) =
+        o.filter(year(col("o_orderdate")) === y)
+          .groupBy(col("o_custkey").as(s"ck_$out"))
+          .agg(count(lit(1)).as(s"n_$out"))
+      val a = slice(1995, "a")
+      val b = slice(1996, "b")
+      a.join(b, col("ck_a") === col("ck_b"), "full")
+        .select(
+          coalesce(col("ck_a"), col("ck_b")).as("custkey"),
+          coalesce(col("n_a"), lit(0L)).as("n_1995"),
+          coalesce(col("n_b"), lit(0L)).as("n_1996"))
+        .orderBy("custkey")
+    },
+    // Semi join: customers having at least one order (EXISTS).
+    "q_join_semi" -> { (s, dir) =>
+      val c = Fixtures.table(s, dir, "customer")
+      val o = Fixtures.table(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+    // Anti join: customers with no 1995 orders (NOT EXISTS) — the "new
+    // records" detection that pairs with q_etl_incremental. Scoped to one
+    // year so the result is non-empty at every scale factor.
+    "q_join_anti" -> { (s, dir) =>
+      val c = Fixtures.table(s, dir, "customer")
+      val o = Fixtures.table(s, dir, "orders").filter(year(col("o_orderdate")) === 1995)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+    // Cross join of the two smallest dims (BroadcastNestedLoopJoin).
+    "q_join_cross" -> { (s, dir) =>
+      val r = Fixtures.table(s, dir, "region")
+      val n = Fixtures.table(s, dir, "nation")
+      r.crossJoin(n).select("r_name", "n_name").orderBy("r_name", "n_name")
+    },
+    // Equi+band (theta) join: pairs of same-user events ≤5 minutes apart.
+    // The equi key keeps the range predicate inside hash buckets — the shape
+    // that scales (pure theta would be a cross join).
+    "q_join_theta" -> { (s, dir) =>
+      val ev = Fixtures.events(s, dir)
+      val e1 = ev.select(col("user_id"), col("ts").as("ts1"))
+      val e2 = ev.select(col("user_id").as("user_id2"), col("ts").as("ts2"))
+      e1.join(
+          e2,
+          col("user_id") === col("user_id2") &&
+            col("ts2") > col("ts1") &&
+            col("ts2") <= col("ts1") + expr("INTERVAL 5 MINUTES"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    },
+    // As-of join: latest prior 'view' for each 'purchase' by the same user.
+    // Spark has no batch as-of join — canonical theta join + row_number()=1,
+    // keeping unmatched purchases via left join (null view columns).
+    "q_join_asof" -> { (s, dir) =>
+      val ev = Fixtures.events(s, dir)
+      val p = ev
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"), col("user_id"), col("ts").as("p_ts"))
+      val v = ev
+        .filter(col("event_type") === "view")
+        .select(
+          col("event_id").as("v_event_id"),
+          col("user_id").as("v_user_id"),
+          col("ts").as("v_ts"))
+      val w = Window
+        .partitionBy("p_event_id")
+        .orderBy(col("v_ts").desc_nulls_last, col("v_event_id").desc_nulls_last)
+      p.join(v, col("user_id") === col("v_user_id") && col("v_ts") <= col("p_ts"), "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("p_event_id", "user_id", "p_ts", "v_event_id", "v_ts")
+        .orderBy("p_event_id")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_join_broadcast" ->
+      "SELECT n_nationkey, n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey",
+    "q_join_shuffle" ->
+      "SELECT o_orderkey, l_linenumber, o_orderstatus, l_quantity FROM lineitem JOIN orders ON l_orderkey = o_orderkey ORDER BY o_orderkey, l_linenumber",
+    "q_join_multiway" ->
+      "SELECT l_orderkey, o_orderdate, o_orderpriority, round(sum(l_extendedprice*(1-l_discount)),4) AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1996-06-30' GROUP BY l_orderkey, o_orderdate, o_orderpriority ORDER BY l_orderkey",
+    "q_join_left" ->
+      "SELECT c_custkey, count(o_orderkey) AS n_orders, round(coalesce(sum(o_totalprice),0),4) AS total_spend FROM customer LEFT JOIN orders ON o_custkey = c_custkey GROUP BY c_custkey ORDER BY c_custkey",
+    "q_join_right" ->
+      "SELECT p_partkey, count(l_orderkey) AS n_refs FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey GROUP BY p_partkey ORDER BY p_partkey",
+    "q_join_full" ->
+      "WITH a AS (SELECT o_custkey AS ck_a, count(*) AS n_a FROM orders WHERE year(o_orderdate)=1995 GROUP BY 1), b AS (SELECT o_custkey AS ck_b, count(*) AS n_b FROM orders WHERE year(o_orderdate)=1996 GROUP BY 1) SELECT coalesce(ck_a, ck_b) AS custkey, coalesce(n_a, 0) AS n_1995, coalesce(n_b, 0) AS n_1996 FROM a FULL JOIN b ON ck_a = ck_b ORDER BY custkey",
+    "q_join_semi" ->
+      "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
+    "q_join_anti" ->
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995) ORDER BY c_custkey",
+    "q_join_cross" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
+    "q_join_theta" ->
+      (evCte + " SELECT e1.user_id, count(*) AS n_pairs FROM e e1 JOIN e e2 ON e1.user_id = e2.user_id AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE GROUP BY e1.user_id ORDER BY e1.user_id"),
+    "q_join_asof" ->
+      (evCte + ", p AS (SELECT event_id AS p_event_id, user_id, ts AS p_ts FROM e WHERE event_type = 'purchase'), v AS (SELECT event_id AS v_event_id, user_id AS v_user_id, ts AS v_ts FROM e WHERE event_type = 'view'), j AS (SELECT p.p_event_id, p.user_id, p.p_ts, v.v_event_id, v.v_ts, row_number() OVER (PARTITION BY p.p_event_id ORDER BY v.v_ts DESC NULLS LAST, v.v_event_id DESC NULLS LAST) AS rn FROM p LEFT JOIN v ON p.user_id = v.v_user_id AND v.v_ts <= p.p_ts) SELECT p_event_id, user_id, p_ts, v_event_id, v_ts FROM j WHERE rn = 1 ORDER BY p_event_id")
+  )
+}
