@@ -21,7 +21,10 @@ object SparkEntry {
       ops.Aggregates.queries ++
       ops.Joins.queries ++
       ops.SortSetOps.queries ++
-      ops.Windows.queries
+      ops.Windows.queries ++
+      ops.Scalars.queries ++
+      ops.LlmOps.queries ++
+      ops.StreamingBatch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +34,8 @@ object SparkEntry {
       ops.Aggregates.oracle ++
       ops.Joins.oracle ++
       ops.SortSetOps.oracle ++
-      ops.Windows.oracle
+      ops.Windows.oracle ++
+      ops.Scalars.oracle ++
+      ops.LlmOps.oracle ++
+      ops.StreamingBatch.oracle
 }

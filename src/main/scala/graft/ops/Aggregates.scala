@@ -1,60 +1,65 @@
 package graft.ops
 
 import graft.Fixtures
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Custom typed UDAF (SURVEY.md §2.D q_agg_udaf): discount-weighted average
-  * of extended price. Buffer is (Σ w·x, Σ w) — associative and commutative,
-  * so partial aggregation (map-side combine) applies and the merge tree is
-  * shuffle-shape-independent up to fp rounding (output rounded at boundary).
+  * of extended price. The buffer holds exact integer sums (Σ price_c·disc_c,
+  * Σ disc_c in cents) so the merge tree is associative AND exact — the result
+  * is bit-identical under any partitioning, unlike a double accumulator.
   */
-object WeightedAvg extends Aggregator[(Double, Double), (Double, Double), Double] {
-  def zero: (Double, Double) = (0.0, 0.0)
-  def reduce(b: (Double, Double), in: (Double, Double)): (Double, Double) =
-    (b._1 + in._1 * in._2, b._2 + in._2)
-  def merge(a: (Double, Double), b: (Double, Double)): (Double, Double) =
-    (a._1 + b._1, a._2 + b._2)
-  def finish(b: (Double, Double)): Double = if (b._2 == 0.0) 0.0 else b._1 / b._2
-  def bufferEncoder: Encoder[(Double, Double)] =
-    Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+object WeightedAvg extends Aggregator[(Double, Double), (Long, Long), Double] {
+  private def c(x: Double): Long = math.floor(x * 100 + 0.5).toLong
+  def zero: (Long, Long) = (0L, 0L)
+  def reduce(b: (Long, Long), in: (Double, Double)): (Long, Long) =
+    (b._1 + c(in._1) * c(in._2), b._2 + c(in._2))
+  def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) = (a._1 + b._1, a._2 + b._2)
+  def finish(b: (Long, Long)): Double = if (b._2 == 0L) 0.0 else b._1.toDouble / b._2 / 100.0
+  def bufferEncoder: Encoder[(Long, Long)] =
+    Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
   def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
 
 /** SURVEY.md §2.D — aggregation operators.
   *
-  * Re-expresses the reference's load-summary/reporting counts as Catalyst
-  * partial+final HashAggregate plans; rollup/cube/grouping-sets and the
-  * typed UDAF extend the surface per the north-star mandate.
-  *
-  * Determinism: every double that crossed an aggregate is round(_,4); output
-  * is totally ordered; grouping flags are cast to int on both engines
-  * (Spark emits tinyint, DuckDB bigint).
+  * Determinism strategy: every money column in the fixtures is an exact
+  * 2-decimal double (verified), so sums go through integer cents
+  * (floor(x*100+0.5), IEEE-identical per row) — exact integer addition is
+  * order-free, which makes results stable across shuffle layouts / core
+  * counts, where double summation is not. Averages are exact-int-sum / count
+  * (a single correctly-rounded division → bit-identical across engines).
+  * The statistical aggregates (q_agg_stats) are the one intrinsically
+  * order-sensitive family; they round at 4dp over small group counts.
   */
 object Aggregates {
-  private implicit val inEnc: Encoder[(Double, Double)] =
-    Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+  private def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast("long")
   private val wavg = udaf(WeightedAvg)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Flagship: TPC-H Q1 pricing summary.
+    // Flagship: TPC-H Q1 pricing summary over exact cents.
     "q_agg_q1" -> { (s, dir) =>
       Fixtures
         .table(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+        .select(
+          col("l_returnflag"),
+          col("l_linestatus"),
+          cents(col("l_quantity")).as("qty_c"),
+          cents(col("l_extendedprice")).as("price_c"),
+          cents(col("l_discount")).as("disc_c"),
+          cents(col("l_tax")).as("tax_c"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round(sum("l_quantity"), 4).as("sum_qty"),
-          round(sum("l_extendedprice"), 4).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
-            .as("sum_disc_price"),
-          round(
-            sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))),
-            4).as("sum_charge"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
-          round(avg("l_extendedprice"), 4).as("avg_price"),
-          round(avg("l_discount"), 4).as("avg_disc"),
+          sum("qty_c").as("sum_qty_c"),
+          sum("price_c").as("sum_base_price_c"),
+          sum(col("price_c") * (lit(100) - col("disc_c"))).as("sum_disc_price_e4"),
+          sum(col("price_c") * (lit(100) - col("disc_c")) * (lit(100) + col("tax_c")))
+            .as("sum_charge_e6"),
+          (sum("qty_c") / count(lit(1)) / lit(100.0)).as("avg_qty"),
+          (sum("price_c") / count(lit(1)) / lit(100.0)).as("avg_price"),
+          (sum("disc_c") / count(lit(1)) / lit(100.0)).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
@@ -64,19 +69,20 @@ object Aggregates {
         .table(s, dir, "lineitem")
         .agg(
           count(lit(1)).as("n"),
-          round(sum("l_quantity"), 4).as("sum_qty"),
-          round(avg("l_extendedprice"), 4).as("avg_price"),
-          round(min("l_extendedprice"), 4).as("min_price"),
-          round(max("l_extendedprice"), 4).as("max_price"))
+          sum(cents(col("l_quantity"))).as("sum_qty_c"),
+          (sum(cents(col("l_extendedprice"))) / count(lit(1)) / lit(100.0)).as("avg_price"),
+          min("l_extendedprice").as("min_price"),
+          max("l_extendedprice").as("max_price"))
     },
     // DISTINCT aggregates (Expand + two-phase agg under the hood).
     "q_agg_distinct" -> { (s, dir) =>
       Fixtures
         .table(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_partkey"), cents(col("l_quantity")).as("qty_c"))
         .groupBy("l_returnflag")
         .agg(
           countDistinct(col("l_partkey")).as("n_parts"),
-          round(sum_distinct(col("l_quantity")), 4).as("sum_dq"))
+          sum_distinct(col("qty_c")).as("sum_dq_c"))
         .orderBy("l_returnflag")
     },
     // Rollup hierarchy region → nation with subtotal rows + grouping flags.
@@ -90,7 +96,8 @@ object Aggregates {
       s.sql(
         """SELECT r_name, n_name,
           |       CAST(grouping(r_name) AS INT) AS g_r, CAST(grouping(n_name) AS INT) AS g_n,
-          |       count(*) AS n_cust, round(sum(c_acctbal),4) AS sum_bal
+          |       count(*) AS n_cust,
+          |       CAST(sum(CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_bal_c
           |FROM customer JOIN nation ON c_nationkey = n_nationkey
           |              JOIN region ON n_regionkey = r_regionkey
           |GROUP BY ROLLUP(r_name, n_name)
@@ -100,12 +107,13 @@ object Aggregates {
     "q_agg_cube" -> { (s, dir) =>
       Fixtures
         .table(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderpriority"), cents(col("o_totalprice")).as("price_c"))
         .cube("o_orderstatus", "o_orderpriority")
         .agg(
           grouping(col("o_orderstatus")).cast("int").as("g_s"),
           grouping(col("o_orderpriority")).cast("int").as("g_p"),
           count(lit(1)).as("n_orders"),
-          round(sum("o_totalprice"), 4).as("sum_price"))
+          sum("price_c").as("sum_price_c"))
         .orderBy(
           col("g_s"),
           col("g_p"),
@@ -123,7 +131,7 @@ object Aggregates {
           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
           |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
     },
-    // Statistical aggregates.
+    // Statistical aggregates (order-sensitive internals; rounded, few rows).
     "q_agg_stats" -> { (s, dir) =>
       Fixtures
         .table(s, dir, "lineitem")
@@ -145,14 +153,15 @@ object Aggregates {
           array_sort(collect_set(col("c_mktsegment"))).as("segments"))
         .orderBy("c_nationkey")
     },
-    // Pivot event_type → one summed-value column per type. Explicit value
-    // list keeps the output schema static (no collect-distinct job).
+    // Pivot event_type → one summed-value column per type (exact cents).
+    // Explicit value list keeps the output schema static.
     "q_agg_pivot" -> { (s, dir) =>
       Fixtures
         .events(s, dir)
+        .select(col("user_id"), col("event_type"), cents(col("value")).as("value_c"))
         .groupBy("user_id")
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-        .agg(round(sum("value"), 4))
+        .agg(sum("value_c"))
         .orderBy("user_id")
     },
     // Custom typed UDAF: discount-weighted average price per return flag.
@@ -160,22 +169,24 @@ object Aggregates {
       Fixtures
         .table(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(round(wavg(col("l_extendedprice"), col("l_discount")), 4).as("wavg_price"))
+        .agg(wavg(col("l_extendedprice"), col("l_discount")).as("wavg_price"))
         .orderBy("l_returnflag")
     }
   )
 
+  private val centsSql = "CAST(floor(%s*100 + 0.5) AS BIGINT)"
+
   val oracle: Map[String, String] = Map(
     "q_agg_q1" ->
-      "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),4) AS sum_qty, round(sum(l_extendedprice),4) AS sum_base_price, round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price, round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),4) AS sum_charge, round(avg(l_quantity),4) AS avg_qty, round(avg(l_extendedprice),4) AS avg_price, round(avg(l_discount),4) AS avg_disc, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+      "WITH l AS (SELECT l_returnflag, l_linestatus, CAST(floor(l_quantity*100+0.5) AS BIGINT) AS qty_c, CAST(floor(l_extendedprice*100+0.5) AS BIGINT) AS price_c, CAST(floor(l_discount*100+0.5) AS BIGINT) AS disc_c, CAST(floor(l_tax*100+0.5) AS BIGINT) AS tax_c FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02') SELECT l_returnflag, l_linestatus, CAST(sum(qty_c) AS BIGINT) AS sum_qty_c, CAST(sum(price_c) AS BIGINT) AS sum_base_price_c, CAST(sum(price_c*(100-disc_c)) AS BIGINT) AS sum_disc_price_e4, CAST(sum(price_c*(100-disc_c)*(100+tax_c)) AS BIGINT) AS sum_charge_e6, sum(qty_c)/count(*)/100.0 AS avg_qty, sum(price_c)/count(*)/100.0 AS avg_price, sum(disc_c)/count(*)/100.0 AS avg_disc, count(*) AS count_order FROM l GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "q_agg_global" ->
-      "SELECT count(*) AS n, round(sum(l_quantity),4) AS sum_qty, round(avg(l_extendedprice),4) AS avg_price, round(min(l_extendedprice),4) AS min_price, round(max(l_extendedprice),4) AS max_price FROM lineitem",
+      "SELECT count(*) AS n, CAST(sum(CAST(floor(l_quantity*100+0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c, sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT))/count(*)/100.0 AS avg_price, min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price FROM lineitem",
     "q_agg_distinct" ->
-      "SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, round(sum(DISTINCT l_quantity),4) AS sum_dq FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+      "SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, CAST(sum(DISTINCT CAST(floor(l_quantity*100+0.5) AS BIGINT)) AS BIGINT) AS sum_dq_c FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "q_agg_rollup" ->
-      "SELECT r_name, n_name, CAST(grouping(r_name) AS INT) AS g_r, CAST(grouping(n_name) AS INT) AS g_n, count(*) AS n_cust, round(sum(c_acctbal),4) AS sum_bal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP(r_name, n_name) ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST",
+      "SELECT r_name, n_name, CAST(grouping(r_name) AS INT) AS g_r, CAST(grouping(n_name) AS INT) AS g_n, count(*) AS n_cust, CAST(sum(CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_bal_c FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP(r_name, n_name) ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST",
     "q_agg_cube" ->
-      "SELECT o_orderstatus, o_orderpriority, CAST(grouping(o_orderstatus) AS INT) AS g_s, CAST(grouping(o_orderpriority) AS INT) AS g_p, count(*) AS n_orders, round(sum(o_totalprice),4) AS sum_price FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY g_s, g_p, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST",
+      "SELECT o_orderstatus, o_orderpriority, CAST(grouping(o_orderstatus) AS INT) AS g_s, CAST(grouping(o_orderpriority) AS INT) AS g_p, count(*) AS n_orders, CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY g_s, g_p, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST",
     "q_agg_grouping_sets" ->
       "SELECT o_orderstatus, o_orderpriority, CAST(grouping(o_orderstatus) AS INT)*2 + CAST(grouping(o_orderpriority) AS INT) AS gid, count(*) AS n_orders FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST",
     "q_agg_stats" ->
@@ -183,8 +194,10 @@ object Aggregates {
     "q_agg_collect" ->
       "SELECT c_nationkey, list_sort(list(c_name)) AS names, list_sort(list(DISTINCT c_mktsegment)) AS segments FROM customer GROUP BY c_nationkey ORDER BY c_nationkey",
     "q_agg_pivot" ->
-      "SELECT user_id, round(sum(value) FILTER (WHERE event_type='click'),4) AS click, round(sum(value) FILTER (WHERE event_type='error'),4) AS error, round(sum(value) FILTER (WHERE event_type='purchase'),4) AS purchase, round(sum(value) FILTER (WHERE event_type='signup'),4) AS signup, round(sum(value) FILTER (WHERE event_type='view'),4) AS view FROM events GROUP BY user_id ORDER BY user_id",
+      ("SELECT user_id, " + Seq("click", "error", "purchase", "signup", "view")
+        .map(t => s"CAST(sum(${centsSql.format("value")}) FILTER (WHERE event_type='$t') AS BIGINT) AS $t")
+        .mkString(", ") + " FROM events GROUP BY user_id ORDER BY user_id"),
     "q_agg_udaf" ->
-      "SELECT l_returnflag, round(sum(l_extendedprice*l_discount)/sum(l_discount),4) AS wavg_price FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+      "SELECT l_returnflag, sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)*CAST(floor(l_discount*100+0.5) AS BIGINT))/sum(CAST(floor(l_discount*100+0.5) AS BIGINT))/100.0 AS wavg_price FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
   )
 }

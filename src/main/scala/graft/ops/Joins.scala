@@ -51,8 +51,14 @@ object Joins {
         .filter(col("l_shipdate") > lit("1996-06-30").cast("timestamp_ntz"))
       c.join(o, col("c_custkey") === col("o_custkey"))
         .join(l, col("o_orderkey") === col("l_orderkey"))
+        // revenue in exact e4 units: price_c * (100 - disc_c) is an integer,
+        // so the sum is order-free (stable across shuffle layouts).
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .agg(
+          sum(
+            floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long") *
+              (lit(100) - floor(col("l_discount") * 100 + lit(0.5)).cast("long")))
+            .as("revenue_e4"))
         .orderBy("l_orderkey")
     },
     // Left outer + null-side handling: order stats per customer incl. zeroes.
@@ -63,7 +69,8 @@ object Joins {
         .groupBy("c_custkey")
         .agg(
           count(col("o_orderkey")).as("n_orders"),
-          round(coalesce(sum("o_totalprice"), lit(0.0)), 4).as("total_spend"))
+          coalesce(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")), lit(0L))
+            .as("total_spend_c"))
         .orderBy("c_custkey")
     },
     // Right outer: reference counts per part, keeping unreferenced parts.
@@ -162,9 +169,9 @@ object Joins {
     "q_join_shuffle" ->
       "SELECT o_orderkey, l_linenumber, o_orderstatus, l_quantity FROM lineitem JOIN orders ON l_orderkey = o_orderkey ORDER BY o_orderkey, l_linenumber",
     "q_join_multiway" ->
-      "SELECT l_orderkey, o_orderdate, o_orderpriority, round(sum(l_extendedprice*(1-l_discount)),4) AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1996-06-30' GROUP BY l_orderkey, o_orderdate, o_orderpriority ORDER BY l_orderkey",
+      "SELECT l_orderkey, o_orderdate, o_orderpriority, CAST(sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100+0.5) AS BIGINT))) AS BIGINT) AS revenue_e4 FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1996-06-30' GROUP BY l_orderkey, o_orderdate, o_orderpriority ORDER BY l_orderkey",
     "q_join_left" ->
-      "SELECT c_custkey, count(o_orderkey) AS n_orders, round(coalesce(sum(o_totalprice),0),4) AS total_spend FROM customer LEFT JOIN orders ON o_custkey = c_custkey GROUP BY c_custkey ORDER BY c_custkey",
+      "SELECT c_custkey, count(o_orderkey) AS n_orders, CAST(coalesce(sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT)), 0) AS BIGINT) AS total_spend_c FROM customer LEFT JOIN orders ON o_custkey = c_custkey GROUP BY c_custkey ORDER BY c_custkey",
     "q_join_right" ->
       "SELECT p_partkey, count(l_orderkey) AS n_refs FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey GROUP BY p_partkey ORDER BY p_partkey",
     "q_join_full" ->

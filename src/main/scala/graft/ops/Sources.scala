@@ -22,7 +22,9 @@ object Sources {
         .groupBy("l_returnflag")
         .agg(
           count(lit(1)).as("n_rows"),
-          round(sum("l_extendedprice"), 4).as("sum_price"))
+          // Exact integer cents: double sums are summation-order-dependent
+          // (shuffle layout varies with core count), integer sums are not.
+          sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")).as("sum_price_c"))
         .orderBy("l_returnflag")
     },
     // Semi-structured payload parsing: events.props is a JSON string
@@ -51,7 +53,7 @@ object Sources {
 
   val oracle: Map[String, String] = Map(
     "q_scan_parquet" ->
-      "SELECT l_returnflag, count(*) AS n_rows, round(sum(l_extendedprice),4) AS sum_price FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+      "SELECT l_returnflag, count(*) AS n_rows, CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "q_scan_schema_json" ->
       "SELECT CAST(json_extract_string(props,'$.k') AS INT) AS k, count(*) AS n FROM events GROUP BY 1 ORDER BY k",
     "q_etl_incremental" ->

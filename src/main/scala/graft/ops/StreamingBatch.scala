@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.Fixtures
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.I — the oracle-checkable batch formulations of the streaming
+  * windows. The same logical plans run under Structured Streaming in
+  * graft.streaming (cap_stream_* rows, proven by MemoryStream equivalence
+  * tests) — batch/stream parity is Structured Streaming's core design point.
+  *
+  * Window alignment: Spark's window() origin is the epoch; DuckDB's
+  * time_bucket origin (2000-01-01) is a whole multiple of 15min/1h away, so
+  * bucket edges coincide. Session semantics: Spark merges while
+  * ts < last + gap, i.e. a gap of exactly 30:00 starts a NEW session — the
+  * gaps-and-islands oracle uses `>=` on the gap to match.
+  */
+object StreamingBatch {
+  private def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast("long")
+
+  private val evCte =
+    "WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, CAST(floor(value*100 + 0.5) AS BIGINT) AS value_c FROM events)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 1-hour event-time window per event_type.
+    "q_stream_tumbling" -> { (s, dir) =>
+      Fixtures
+        .events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+        .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value_c"))
+        .orderBy("w_start", "event_type")
+    },
+    // Sliding 1-hour window every 15 minutes (each event lands in 4 windows).
+    "q_stream_sliding" -> { (s, dir) =>
+      Fixtures
+        .events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+        .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value_c"))
+        .orderBy("w_start", "event_type")
+    },
+    // Session windows, 30-minute gap, per user.
+    "q_stream_session" -> { (s, dir) =>
+      Fixtures
+        .events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("w.start").as("s_start"), col("w.end").as("s_end"), col("n"))
+        .orderBy("user_id", "s_start")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      (evCte + " SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS w_start, event_type, count(*) AS n, CAST(sum(value_c) AS BIGINT) AS sum_value_c FROM e GROUP BY w_start, event_type ORDER BY w_start, event_type"),
+    "q_stream_sliding" ->
+      (evCte + " SELECT w_start, event_type, count(*) AS n, CAST(sum(value_c) AS BIGINT) AS sum_value_c FROM (SELECT CAST(time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE AS TIMESTAMP) AS w_start, event_type, value_c FROM e CROSS JOIN unnest([0,1,2,3]) AS t(k)) GROUP BY w_start, event_type ORDER BY w_start, event_type"),
+    "q_stream_session" ->
+      (evCte + ", g AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM e), i AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g) SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end, count(*) AS n FROM i GROUP BY user_id, sid ORDER BY user_id, s_start")
+  )
+}

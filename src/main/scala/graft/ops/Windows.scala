@@ -70,7 +70,10 @@ object Windows {
         .select(
           col("o_orderkey"),
           col("o_custkey"),
-          round(avg(col("cents")).over(w), 4).as("avg_7d_c"))
+          // Raw double: avg of exact ints is one correctly-rounded division —
+          // bit-identical across engines, no round() needed (or wanted:
+          // round() implementations differ at representation boundaries).
+          avg(col("cents")).over(w).as("avg_7d_c"))
         .orderBy("o_orderkey")
     },
     // Top-3 per group via rank filter — Catalyst's InferWindowGroupLimit
@@ -94,7 +97,7 @@ object Windows {
     "q_win_running" ->
       "WITH o AS (SELECT o_orderkey, o_custkey, o_orderdate, CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents FROM orders) SELECT o_orderkey, o_custkey, CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_spend_c FROM o ORDER BY o_orderkey",
     "q_win_range" ->
-      "WITH o AS (SELECT o_orderkey, o_custkey, epoch_us(o_orderdate)//1000000 AS epoch_s, CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents FROM orders) SELECT o_orderkey, o_custkey, round(avg(cents) OVER (PARTITION BY o_custkey ORDER BY epoch_s RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 4) AS avg_7d_c FROM o ORDER BY o_orderkey",
+      "WITH o AS (SELECT o_orderkey, o_custkey, epoch_us(o_orderdate)//1000000 AS epoch_s, CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents FROM orders) SELECT o_orderkey, o_custkey, avg(cents) OVER (PARTITION BY o_custkey ORDER BY epoch_s RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS avg_7d_c FROM o ORDER BY o_orderkey",
     "q_win_topk" ->
       "WITH r AS (SELECT c_nationkey, c_custkey, c_acctbal, row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn FROM customer) SELECT c_nationkey, CAST(rn AS INT) AS rn, c_custkey, c_acctbal FROM r WHERE rn <= 3 ORDER BY c_nationkey, rn"
   )
