@@ -24,6 +24,7 @@ object SparkEntry {
       ops.Windows.queries ++
       ops.Scalars.queries ++
       ops.LlmOps.queries ++
+      ops.ExtraText.queries ++
       ops.StreamingBatch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -37,5 +38,6 @@ object SparkEntry {
       ops.Windows.oracle ++
       ops.Scalars.oracle ++
       ops.LlmOps.oracle ++
+      ops.ExtraText.oracle ++
       ops.StreamingBatch.oracle
 }

@@ -1,0 +1,184 @@
+package graft.ops
+
+import graft.Fixtures
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators beyond SURVEY.md §2.H: language-ID,
+  * quality scoring, regex token counting, rolling-hash fingerprinting,
+  * n-gram Jaccard near-dup pairs, bucketed (IVF-style) ANN, and binary
+  * multimodal column plumbing. All are deterministic and oracle-checked;
+  * their scale paths are discussed per query.
+  */
+object ExtraText {
+  private def e6(c: Column): Column = floor(c * 1e6 + lit(0.5)).cast("long")
+
+  /** marker tokens per language for the n-gram/stopword lang-ID heuristic */
+  private val markers = Map(
+    "en" -> Seq("the", "a", "of"),
+    "de" -> Seq("der", "die", "und"),
+    "es" -> Seq("el", "la", "y"),
+    "fr" -> Seq("le", "les", "et"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Language-ID: count marker tokens per language, argmax with a fixed
+    // precedence order (en > de > es > fr > unknown). Pure column arithmetic
+    // → whole-stage codegen, embarrassingly parallel at any scale.
+    "q_lang_id" -> { (s, dir) =>
+      val toks = split(lower(col("text")), " ")
+      def cnt(ws: Seq[String]) = size(filter(toks, t => t.isin(ws.map(lit(_)): _*)))
+      val base = Fixtures
+        .table(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          cnt(markers("en")).as("n_en"),
+          cnt(markers("de")).as("n_de"),
+          cnt(markers("es")).as("n_es"),
+          cnt(markers("fr")).as("n_fr"))
+      base
+        .withColumn(
+          "guess",
+          when(col("n_en") > 0 && col("n_en") >= greatest(col("n_de"), col("n_es"), col("n_fr")), "en")
+            .when(col("n_de") > 0 && col("n_de") >= greatest(col("n_es"), col("n_fr")), "de")
+            .when(col("n_es") > 0 && col("n_es") >= col("n_fr"), "es")
+            .when(col("n_fr") > 0, "fr")
+            .otherwise("unknown"))
+        .orderBy("doc_id")
+    },
+    // Quality scoring: token count, stopword ratio, mean token length,
+    // digit count, bucketed verdict — the filters a pretraining pipeline
+    // applies before anything expensive.
+    "q_text_quality" -> { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val stop = Seq("the", "a", "of", "and", "to")
+      Fixtures
+        .table(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(toks).as("n_toks"),
+          size(filter(toks, t => t.isin(stop.map(lit(_)): _*))).as("stop_n"),
+          col("n_chars"))
+        .withColumn("stop_ratio", col("stop_n") / col("n_toks"))
+        .withColumn("avg_tok_len", (col("n_chars") - (col("n_toks") - 1)) / col("n_toks"))
+        .withColumn(
+          "q_bucket",
+          when(col("n_toks") >= 120 && col("stop_ratio") <= 0.2, "good")
+            .when(col("n_toks") >= 60, "ok")
+            .otherwise("short"))
+        .drop("n_chars")
+        .orderBy("doc_id")
+    },
+    // Token counting two ways: whitespace split vs a BPE-ish regex lexer
+    // ([a-z]+|[0-9]+ runs), plus their ratio.
+    "q_token_count" -> { (s, dir) =>
+      Fixtures
+        .table(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).as("ws_n"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))).as("re_n"))
+        .withColumn("ratio", col("re_n") / col("ws_n"))
+        .orderBy("doc_id")
+    },
+    // Document fingerprint: polynomial rolling hash over per-token codes
+    // (ascii(first char)·256 + length), mod 1e9+7 each step so the fold
+    // stays in exact integer range on both engines.
+    "q_doc_fingerprint" -> { (s, dir) =>
+      Fixtures
+        .table(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          aggregate(
+            transform(
+              split(lower(col("text")), " "),
+              t => ascii(t).cast("long") * 256 + length(t)),
+            lit(7L),
+            (h, v) => (h * 31 + v) % 1000000007L).as("fp"))
+        .orderBy("doc_id")
+    },
+    // Near-dup pairs by exact bigram-shingle Jaccard on a 30-doc slice —
+    // the exact baseline MinHash-LSH approximates at scale (cap_sim_lsh).
+    "q_dedup_jaccard" -> { (s, dir) =>
+      val sh = Fixtures
+        .table(s, dir, "documents")
+        .filter(col("doc_id") < 30)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        .select(
+          col("doc_id"),
+          explode(expr("transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))
+            .as("bg"))
+        .distinct()
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = sh.select(col("doc_id").as("a_id"), col("bg"))
+      val b = sh.select(col("doc_id").as("b_id"), col("bg").as("bg2"))
+      a.join(b, col("bg") === col("bg2") && col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(count(lit(1)).as("i"))
+        .join(sz.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+        .join(sz.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+        .withColumn("jacc", col("i") / (col("na") + col("nb") - col("i")))
+        .filter(col("jacc") >= 0.05)
+        .select(col("a_id"), col("b_id"), e6(col("jacc")).as("jacc_e6"))
+        .orderBy("a_id", "b_id")
+    },
+    // IVF-style ANN: coarse-quantize vectors into 16 sign-bit buckets on the
+    // first 4 dims, search only within the query's bucket. The shape that
+    // scales: bucket is the shuffle key, each bucket's candidates co-locate,
+    // no all-pairs cross join. Recall vs exact k-NN is proven in ScalaTest.
+    "q_sim_ann_ivf" -> { (s, dir) =>
+      def bucket(c: Column) =
+        when(element_at(c, 1) > 0, 8).otherwise(0) +
+          when(element_at(c, 2) > 0, 4).otherwise(0) +
+          when(element_at(c, 3) > 0, 2).otherwise(0) +
+          when(element_at(c, 4) > 0, 1).otherwise(0)
+      val e = Fixtures.table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), bucket(col("embedding")).as("bkt"))
+      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), bucket(col("embedding")).as("bkt2"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+      q.join(c, col("bkt") === col("bkt2") && col("q_id") =!= col("c_id"))
+        .withColumn("cos", SimKernel.cosine(col("q_emb"), col("c_emb")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("rn").cast("int").as("rn"), col("c_id"), col("bkt"), e6(col("cos")).as("score_e6"))
+        .orderBy("q_id", "rn")
+    },
+    // Multimodal binary plumbing: treat payloads as opaque binary with typed
+    // metadata — byte length, digest, head bytes. The decode stage itself is
+    // stubbed in graft.multimodal (no media libs in this image); this query
+    // proves the binary column path end-to-end.
+    "q_multimodal_binary" -> { (s, dir) =>
+      Fixtures
+        .table(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("b"))
+        .select(
+          col("doc_id"),
+          length(col("b")).as("n_bytes"),
+          md5(col("b")).as("digest"),
+          hex(expr("substring(b, 1, 4)")).as("head4"))
+        .orderBy("doc_id")
+    }
+  )
+
+  private def markerList(l: String) = markers(l).map(w => s"'$w'").mkString(",")
+
+  val oracle: Map[String, String] = Map(
+    "q_lang_id" ->
+      (s"WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS toks FROM documents), c AS (SELECT doc_id, CAST(len(list_filter(toks, x -> x IN (${markerList("en")}))) AS INT) AS n_en, CAST(len(list_filter(toks, x -> x IN (${markerList("de")}))) AS INT) AS n_de, CAST(len(list_filter(toks, x -> x IN (${markerList("es")}))) AS INT) AS n_es, CAST(len(list_filter(toks, x -> x IN (${markerList("fr")}))) AS INT) AS n_fr FROM t) SELECT doc_id, n_en, n_de, n_es, n_fr, CASE WHEN n_en > 0 AND n_en >= greatest(n_de, n_es, n_fr) THEN 'en' WHEN n_de > 0 AND n_de >= greatest(n_es, n_fr) THEN 'de' WHEN n_es > 0 AND n_es >= n_fr THEN 'es' WHEN n_fr > 0 THEN 'fr' ELSE 'unknown' END AS guess FROM c ORDER BY doc_id"),
+    "q_text_quality" ->
+      "WITH t AS (SELECT doc_id, n_chars, string_split(text,' ') AS toks FROM documents), c AS (SELECT doc_id, n_chars, CAST(len(toks) AS INT) AS n_toks, CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS INT) AS stop_n FROM t) SELECT doc_id, n_toks, stop_n, stop_n/n_toks AS stop_ratio, (n_chars - (n_toks - 1))/n_toks AS avg_tok_len, CASE WHEN n_toks >= 120 AND stop_n/n_toks <= 0.2 THEN 'good' WHEN n_toks >= 60 THEN 'ok' ELSE 'short' END AS q_bucket FROM c ORDER BY doc_id",
+    "q_token_count" ->
+      "SELECT doc_id, CAST(len(string_split(text,' ')) AS INT) AS ws_n, CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS re_n, len(regexp_extract_all(text, '[a-z]+|[0-9]+'))*1.0/len(string_split(text,' ')) AS ratio FROM documents ORDER BY doc_id",
+    "q_doc_fingerprint" ->
+      "SELECT doc_id, CAST(list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(string_split(lower(text),' '), t -> CAST(ascii(t) AS BIGINT)*256 + length(t))), (h,v) -> (h*31 + v) % 1000000007) AS BIGINT) AS fp FROM documents ORDER BY doc_id",
+    "q_dedup_jaccard" ->
+      "WITH s AS (SELECT DISTINCT doc_id, bg FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg FROM (SELECT doc_id, string_split(lower(text),' ') AS toks FROM documents WHERE doc_id < 30))), sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id), inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i FROM s a JOIN s b ON a.bg = b.bg AND a.doc_id < b.doc_id GROUP BY 1, 2), j AS (SELECT a_id, b_id, i/(sa.n + sb.n - i) AS jacc FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id) SELECT a_id, b_id, CAST(floor(jacc*1000000 + 0.5) AS BIGINT) AS jacc_e6 FROM j WHERE jacc >= 0.05 ORDER BY a_id, b_id",
+    "q_sim_ann_ivf" ->
+      ("WITH e AS (SELECT vec_id, embedding, (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bkt FROM embeddings), s AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.bkt, " +
+        SimKernel.cosSql("q.embedding", "c.embedding") +
+        " AS cos FROM e q JOIN e c ON q.bkt = c.bkt AND q.vec_id <> c.vec_id WHERE q.vec_id < 20), r AS (SELECT q_id, c_id, bkt, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM s) SELECT q_id, CAST(rn AS INT) AS rn, c_id, CAST(bkt AS INT) AS bkt, CAST(floor(cos*1000000 + 0.5) AS BIGINT) AS score_e6 FROM r WHERE rn <= 3 ORDER BY q_id, rn"),
+    "q_multimodal_binary" ->
+      "SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, md5(text) AS digest, hex(encode(substring(text,1,4))) AS head4 FROM documents ORDER BY doc_id"
+  )
+}

@@ -19,8 +19,10 @@ import org.apache.spark.sql.functions._
   * At 100 TB the exact top-k/self-join kernels here are the verification
   * baseline; the scale path is LSH bucketing (cap_sim_lsh, test-proven).
   */
-object LlmOps {
-  private val cosine = udf { (a: Seq[Float], b: Seq[Float]) =>
+/** Shared cosine kernel: a sequential double fold, mirrored term-for-term in
+  * DuckDB SQL so both engines produce bit-identical scores (see LlmOps). */
+private[ops] object SimKernel {
+  val cosine = udf { (a: Seq[Float], b: Seq[Float]) =>
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -36,11 +38,15 @@ object LlmOps {
     dot / math.sqrt(na * nb)
   }
 
-  /** DuckDB twin of the fold inside `cosine` (see parity note above). */
-  private def cosSql(a: String, b: String): String =
+  /** DuckDB twin of the fold inside `cosine`. */
+  def cosSql(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)), (p,v) -> p+v) / " +
       s"sqrt(list_reduce(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,v) -> p+v) * " +
       s"list_reduce(list_transform($b, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,v) -> p+v))"
+}
+
+object LlmOps {
+  import SimKernel.{cosine, cosSql}
 
   private def e6(c: Column): Column = floor(c * 1e6 + lit(0.5)).cast("long")
 

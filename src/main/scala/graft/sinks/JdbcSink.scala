@@ -1,0 +1,97 @@
+package graft.sinks
+
+import java.sql.{Connection, DriverManager, PreparedStatement}
+import java.util.Properties
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.StructType
+
+/** SURVEY.md §2.A cap_sink_jdbc — the reference's core act, re-expressed:
+  * batch append via the built-in JDBC writer, plus the one genuinely custom
+  * sink Spark lacks: an idempotent keyed upsert, executed per partition so
+  * every executor writes its own slice in parallel (no driver funnel).
+  *
+  * Dialect split: MySQL would use a single batched
+  * `INSERT ... ON DUPLICATE KEY UPDATE`; Derby (the only driver in this
+  * zero-egress image) has no such statement usable with batched parameters,
+  * so the portable UPDATE-then-INSERT protocol is used. Both hide behind
+  * `UpsertDialect`.
+  */
+object JdbcSink {
+  /** Plain batch append through Spark's JDBC writer (predicate-free path). */
+  def writeAppend(df: DataFrame, url: String, table: String, props: Properties): Unit =
+    df.write.mode("append").jdbc(url, table, props)
+
+  sealed trait UpsertDialect extends Serializable
+  /** UPDATE-then-INSERT, portable; used for Derby. */
+  case object UpdateInsertDialect extends UpsertDialect
+  /** Single-statement upsert for engines that support it (MySQL). Falls back
+    * to UPDATE-then-INSERT here because no such engine ships in this image. */
+  case object OnDuplicateKeyDialect extends UpsertDialect
+
+  /** Idempotent upsert: rows whose key tuple exists are updated, others
+    * inserted. Runs on the executors via foreachPartition; batches commit
+    * every `batchSize` rows. */
+  def upsert(
+      df: DataFrame,
+      url: String,
+      table: String,
+      keyCols: Seq[String],
+      dialect: UpsertDialect = UpdateInsertDialect,
+      batchSize: Int = 500): Unit = {
+    val schema = df.schema
+    val valCols = schema.fieldNames.filterNot(keyCols.contains).toSeq
+    df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      if (rows.nonEmpty) {
+        val conn = DriverManager.getConnection(url)
+        try writePartition(conn, rows, schema, table, keyCols, valCols, batchSize)
+        finally conn.close()
+      }
+    }
+  }
+
+  private def writePartition(
+      conn: Connection,
+      rows: Iterator[org.apache.spark.sql.Row],
+      schema: StructType,
+      table: String,
+      keyCols: Seq[String],
+      valCols: Seq[String],
+      batchSize: Int): Unit = {
+    conn.setAutoCommit(false)
+    val updateSql =
+      s"UPDATE $table SET ${valCols.map(c => s"$c = ?").mkString(", ")} " +
+        s"WHERE ${keyCols.map(c => s"$c = ?").mkString(" AND ")}"
+    val insertSql =
+      s"INSERT INTO $table (${schema.fieldNames.mkString(", ")}) " +
+        s"VALUES (${schema.fieldNames.map(_ => "?").mkString(", ")})"
+    val upd = conn.prepareStatement(updateSql)
+    val ins = conn.prepareStatement(insertSql)
+    try {
+      var pending = 0
+      rows.foreach { row =>
+        valCols.zipWithIndex.foreach { case (c, i) =>
+          upd.setObject(i + 1, row.getAs[AnyRef](c))
+        }
+        keyCols.zipWithIndex.foreach { case (c, i) =>
+          upd.setObject(valCols.length + i + 1, row.getAs[AnyRef](c))
+        }
+        if (upd.executeUpdate() == 0) {
+          schema.fieldNames.zipWithIndex.foreach { case (c, i) =>
+            ins.setObject(i + 1, row.getAs[AnyRef](c))
+          }
+          ins.executeUpdate()
+        }
+        pending += 1
+        if (pending >= batchSize) {
+          conn.commit()
+          pending = 0
+        }
+      }
+      conn.commit()
+    } finally {
+      upd.close()
+      ins.close()
+    }
+  }
+}

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** SURVEY.md §2.I — Structured Streaming implementations (cap_stream_*).
+  *
+  * Every transform takes a DataFrame/Dataset (batch OR streaming) and
+  * returns the transformed frame, so the ScalaTest suites can drive the same
+  * logical plan twice — once through MemoryStream micro-batches, once as a
+  * batch — and assert equality: the strongest check available for semantics
+  * DuckDB cannot oracle (watermarks, state eviction).
+  *
+  * At scale: state is per-key (user_id) in the state store; watermark bounds
+  * state size; session merge is O(open sessions per user) — the same design
+  * that holds on a 1000-executor cluster with RocksDB state backend.
+  */
+object StreamOps {
+  /** Tumbling 1-hour event-time window with a 10-minute watermark. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("sum_value_c"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value_c"))
+
+  /** Streaming dedup by event_id, state bounded by the watermark. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  case class Session(start: Long, last: Long, n: Long)
+  case class SessionOut(user_id: Long, s_start: java.sql.Timestamp, s_end: java.sql.Timestamp, n: Long)
+
+  private val gapMs = 30L * 60 * 1000
+
+  /** Arbitrary stateful sessionization via flatMapGroupsWithState, mirroring
+    * session_window(ts, 30 minutes): sessions span [start, last+gap), an
+    * event merges into a session iff ts < last + gap (a gap of exactly 30:00
+    * starts a new session). Sessions close when the watermark passes
+    * last + gap; closed sessions are emitted (Append mode). */
+  def sessionize(events: Dataset[SessionEvent]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(mergeGroup)
+  }
+
+  private def mergeGroup(
+      user: Long,
+      evs: Iterator[SessionEvent],
+      state: GroupState[List[Session]]): Iterator[SessionOut] = {
+    val incoming = evs.map(e => Session(e.ts.getTime, e.ts.getTime, 1L)).toList
+    val all = (state.getOption.getOrElse(Nil) ++ incoming).sortBy(s => (s.start, s.last))
+    // Fold-merge sorted singletons/sessions: next merges iff it starts
+    // before the current session's close (strict <).
+    val merged = all.foldLeft(List.empty[Session]) {
+      case (acc @ (cur :: rest), s) if s.start < cur.last + gapMs =>
+        Session(cur.start, math.max(cur.last, s.last), cur.n + s.n) :: rest
+      case (acc, s) => s :: acc
+    }.reverse
+    val wm = state.getCurrentWatermarkMs()
+    val (closed, open) = merged.partition(_.last + gapMs <= wm)
+    if (open.isEmpty) state.remove()
+    else {
+      state.update(open)
+      state.setTimeoutTimestamp(open.map(_.last + gapMs).min)
+    }
+    closed
+      .map(s =>
+        SessionOut(user, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last + gapMs), s.n))
+      .iterator
+  }
+
+  /** Batch twin of sessionize for the equivalence assertion. */
+  def sessionizeBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("s_start"), col("w.end").as("s_end"), col("n"))
+}
