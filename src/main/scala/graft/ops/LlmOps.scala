@@ -21,8 +21,8 @@ import org.apache.spark.sql.functions._
   */
 /** Shared cosine kernel: a sequential double fold, mirrored term-for-term in
   * DuckDB SQL so both engines produce bit-identical scores (see LlmOps). */
-private[ops] object SimKernel {
-  val cosine = udf { (a: Seq[Float], b: Seq[Float]) =>
+private[graft] object SimKernel {
+  def cos(a: Seq[Float], b: Seq[Float]): Double = {
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -37,6 +37,8 @@ private[ops] object SimKernel {
     }
     dot / math.sqrt(na * nb)
   }
+
+  val cosine = udf(cos _)
 
   /** DuckDB twin of the fold inside `cosine`. */
   def cosSql(a: String, b: String): String =

@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.DriverManager
+import java.util.Properties
+
+import graft.sinks.JdbcSink
+
+/** cap_sink_jdbc (SURVEY.md §2.A): Derby round-trip — append, idempotent
+  * keyed upsert, type fidelity. Derby is the only JDBC backend in this
+  * zero-egress image (SURVEY.md §7.5 H3); the MySQL dialect differs only in
+  * the upsert statement behind JdbcSink.UpsertDialect.
+  */
+class JdbcSinkSpec extends SparkSuite {
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+  private val table = "products"
+
+  private def withConn[A](f: java.sql.Connection => A): A = {
+    val c = DriverManager.getConnection(url)
+    try f(c)
+    finally c.close()
+  }
+
+  private def readBack() = {
+    val props = new Properties()
+    spark.read.jdbc(url, table, props)
+  }
+
+  test("cap_sink_jdbc: append, then idempotent upsert") {
+    import spark.implicits._
+    withConn { c =>
+      val st = c.createStatement()
+      try st.execute(s"DROP TABLE $table")
+      catch { case _: java.sql.SQLException => () }
+      st.execute(
+        s"CREATE TABLE $table (upc BIGINT PRIMARY KEY, name VARCHAR(64), price DOUBLE, loaded_at TIMESTAMP)")
+      st.close()
+    }
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val initial = Seq(
+      (1L, "widget", 9.99, t0),
+      (2L, "gadget", 19.99, t0),
+      (3L, "gizmo", 29.99, t0)
+    ).toDF("upc", "name", "price", "loaded_at")
+    JdbcSink.writeAppend(initial, url, table, new Properties())
+    assert(readBack().count() == 3)
+
+    // Upsert: key 2 changes price, key 4 is new.
+    val delta = Seq(
+      (2L, "gadget", 24.99, t0),
+      (4L, "doohickey", 5.0, t0)
+    ).toDF("upc", "name", "price", "loaded_at")
+    JdbcSink.upsert(delta, url, table, keyCols = Seq("upc"))
+    val afterFirst = readBack().collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(afterFirst.size == 4)
+    assert(afterFirst(2L) == 24.99)
+    assert(afterFirst(4L) == 5.0)
+
+    // Idempotence: re-running the same upsert changes nothing.
+    JdbcSink.upsert(delta, url, table, keyCols = Seq("upc"))
+    val afterSecond = readBack().collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(afterSecond == afterFirst)
+
+    // Type fidelity through the round trip.
+    val row = readBack().filter("upc = 1").head()
+    assert(row.getString(1) == "widget")
+    assert(row.getDouble(2) == 9.99)
+    assert(row.getTimestamp(3) == t0)
+  }
+}

@@ -1,0 +1,168 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.{SessionEvent, SessionOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** cap_stream_* (SURVEY.md §2.I): batch↔stream equivalence through
+  * MemoryStream — the strongest available check for watermark/state
+  * semantics DuckDB cannot oracle.
+  */
+class StreamingSpec extends SparkSuite {
+  import StreamingSpec._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** Fixture events as in-memory rows (sf0.001 = 1000 events). */
+  private lazy val fixtureEvents: Seq[Ev] = {
+    import spark.implicits._
+    Fixtures
+      .events(spark, sf001)
+      .select(
+        col("event_id"),
+        col("ts").cast("timestamp").as("ts"),
+        col("user_id"),
+        col("event_type"),
+        col("value"))
+      .as[Ev]
+      .collect()
+      .toSeq
+      .sortBy(_.ts.getTime)
+  }
+
+  /** far-future sentinel that pushes the watermark past all real events */
+  private val sentinel = Ev(-1L, Timestamp.valueOf("2030-01-01 00:00:00"), -1L, "zzz", 0.0)
+
+  test("cap_stream tumbling agg: stream output equals batch on ordered feed") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamOps
+      .tumblingCounts(ms.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("t_tumbling")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      fixtureEvents.grouped(400).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+      ms.addData(Seq(sentinel)) // advance watermark → flush all real windows
+      q.processAllAvailable()
+      val streamed = spark
+        .table("t_tumbling")
+        .filter(col("event_type") =!= "zzz")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val batch = StreamOps
+        .tumblingCounts(fixtureEvents.toDF())
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("cap_stream_watermark: events later than the watermark are dropped") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamOps
+      .tumblingCounts(ms.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("t_wm")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      // batch 1 establishes watermark = 03:00 - 10min = 02:50
+      ms.addData(Seq(
+        Ev(1, ts("2026-01-01 01:10:00"), 1, "click", 1.0),
+        Ev(2, ts("2026-01-01 03:00:00"), 1, "click", 1.0)))
+      q.processAllAvailable()
+      // batch 2: one event far below the watermark (01:00 window already
+      // finalized), one acceptable
+      ms.addData(Seq(
+        Ev(3, ts("2026-01-01 01:20:00"), 1, "click", 1.0), // late → dropped
+        Ev(4, ts("2026-01-01 03:05:00"), 1, "click", 1.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(sentinel))
+      q.processAllAvailable()
+      val rows = spark
+        .table("t_wm")
+        .filter(col("event_type") === "click")
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(2)))
+        .toMap
+      assert(rows("2026-01-01 01:00:00.0") == 1L, s"late event not dropped: $rows")
+      assert(rows("2026-01-01 03:00:00.0") == 2L, s"on-time event missing: $rows")
+    } finally q.stop()
+  }
+
+  test("cap_stream_dedup: duplicate event_ids within watermark collapse to one") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamOps
+      .dedupWithinWatermark(ms.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("t_dedup")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      ms.addData(Seq(
+        Ev(10, ts("2026-01-01 01:00:00"), 1, "view", 1.0),
+        Ev(10, ts("2026-01-01 01:00:30"), 1, "view", 1.0), // dup in same batch
+        Ev(11, ts("2026-01-01 01:01:00"), 1, "view", 1.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(
+        Ev(10, ts("2026-01-01 01:02:00"), 1, "view", 1.0), // dup across batches
+        Ev(12, ts("2026-01-01 01:03:00"), 1, "view", 1.0)))
+      q.processAllAvailable()
+      val ids = spark.table("t_dedup").select("event_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(10L, 11L, 12L), s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
+  test("cap_stream_stateful: flatMapGroupsWithState sessionization equals session_window batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val sessionEvents = fixtureEvents.map(e => SessionEvent(e.user_id, e.ts))
+    val ms = MemoryStream[SessionEvent]
+    val q = StreamOps
+      .sessionize(ms.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("t_sess")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      sessionEvents.grouped(300).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+      ms.addData(Seq(SessionEvent(-1L, sentinel.ts)))
+      q.processAllAvailable()
+      val streamed = spark
+        .table("t_sess")
+        .filter(col("user_id") =!= -1L)
+        .as[SessionOut]
+        .collect()
+        .map(s => (s.user_id, s.s_start.getTime, s.s_end.getTime, s.n))
+        .toSet
+      val batch = StreamOps
+        .sessionizeBatch(sessionEvents.toDF())
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime, r.getLong(3)))
+        .toSet
+      assert(streamed == batch,
+        s"stream≠batch: onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+}
+
+object StreamingSpec {
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+}
