@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit utility: prints the formatted physical plan of selected
+  * queries so pushdown / join strategy / top-k fusion can be inspected
+  * (`sbt "runMain graft.Explain [query ...]"`). Not part of the driver
+  * contract; used to verify the plans stay scale-shaped (SURVEY.md §4).
+  */
+object Explain {
+  private val defaultAudit = Seq(
+    "q_filter_pred",      // expect: PushedFilters + pruned ReadSchema
+    "q_agg_q1",           // expect: partial+final HashAggregate in one codegen span
+    "q_join_broadcast",   // expect: BroadcastHashJoin
+    "q_join_shuffle",     // expect: SortMergeJoin (pinned via hint)
+    "q_join_multiway",    // expect: broadcast for customer side at this SF
+    "q_limit_topk",       // expect: TakeOrderedAndProject, no global sort
+    "q_win_topk",         // expect: WindowGroupLimit pruning
+    "q_sim_cosine_topk"   // expect: BroadcastNestedLoopJoin (20-row side)
+  )
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession
+      .builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq else defaultAudit
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
