@@ -164,6 +164,24 @@ object Aggregates {
         .agg(sum("value_c"))
         .orderBy("user_id")
     },
+    // Two-phase salted aggregation: the skew pattern for hot keys at scale.
+    // Phase 1 pre-aggregates on (key, salt) — 16× more groups, so one hot
+    // key's rows spread over 16 reducers — phase 2 merges the partials.
+    // Exact integer sums make the result identical to the unsalted plan,
+    // which is exactly what the oracle runs.
+    "q_agg_salted" -> { (s, dir) =>
+      Fixtures
+        .table(s, dir, "orders")
+        .select(
+          col("o_orderpriority"),
+          pmod(col("o_orderkey"), lit(16)).as("salt"),
+          cents(col("o_totalprice")).as("price_c"))
+        .groupBy("o_orderpriority", "salt")
+        .agg(count(lit(1)).as("pn"), sum("price_c").as("psum"))
+        .groupBy("o_orderpriority")
+        .agg(sum("pn").as("n_orders"), sum("psum").as("sum_price_c"))
+        .orderBy("o_orderpriority")
+    },
     // Custom typed UDAF: discount-weighted average price per return flag.
     "q_agg_udaf" -> { (s, dir) =>
       Fixtures
@@ -197,6 +215,8 @@ object Aggregates {
       ("SELECT user_id, " + Seq("click", "error", "purchase", "signup", "view")
         .map(t => s"CAST(sum(${centsSql.format("value")}) FILTER (WHERE event_type='$t') AS BIGINT) AS $t")
         .mkString(", ") + " FROM events GROUP BY user_id ORDER BY user_id"),
+    "q_agg_salted" ->
+      "SELECT o_orderpriority, count(*) AS n_orders, CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
     "q_agg_udaf" ->
       "SELECT l_returnflag, sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)*CAST(floor(l_discount*100+0.5) AS BIGINT))/sum(CAST(floor(l_discount*100+0.5) AS BIGINT))/100.0 AS wavg_price FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
   )

@@ -38,7 +38,23 @@ private[graft] object SimKernel {
     dot / math.sqrt(na * nb)
   }
 
-  val cosine = udf(cos _)
+  /** UDF form (kept for comparison benchmarks and as the fallback path). */
+  val cosineUdf = udf(cos _)
+
+  /** Native codegen'd Catalyst expression form — the production kernel.
+    * Identical operation sequence to `cos`, so results are bit-identical. */
+  def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.CosineSimilarity(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b)))
+
+  /** Expose graft_cosine(a, b) on the spark.sql surface too. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(
+      spark,
+      "graft_cosine",
+      { args => graft.functions.CosineSimilarity(args(0), args(1)) })
 
   /** DuckDB twin of the fold inside `cosine`. */
   def cosSql(a: String, b: String): String =
