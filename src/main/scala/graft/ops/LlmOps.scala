@@ -150,9 +150,12 @@ object LlmOps {
       val wDoc = Window.partitionBy("doc_id")
       val wTok = Window.partitionBy("tok")
       val nDocs = docs.select(countDistinct("doc_id").as("nd"))
+      // df window FIRST (tok partitioning), then the doc-partitioned length
+      // window — the subsequent rank window shares the doc_id exchange, so
+      // the plan carries one shuffle per partitioning key, not three.
       val scored = tf
-        .withColumn("len", sum("n").over(wDoc))
         .withColumn("df", count(lit(1)).over(wTok))
+        .withColumn("len", sum("n").over(wDoc))
         .crossJoin(broadcast(nDocs))
         .withColumn("score", (col("n") / col("len")) * log(col("nd") / col("df")))
       val wRank = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
