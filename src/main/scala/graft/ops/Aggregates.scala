@@ -131,16 +131,36 @@ object Aggregates {
           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
           |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
     },
-    // Statistical aggregates (order-sensitive internals; rounded, few rows).
+    // Statistical aggregates in closed form over exact integer sums (units:
+    // cents): Spark's and DuckDB's builtin stddev/corr use order-sensitive
+    // streaming-moment updates that differ in ulps, so instead both engines
+    // compute n·Σx²−(Σx)² etc. from identical exact integers with the
+    // identical double operation sequence — bit-exact output, no rounding.
+    // (The builtin aggregates themselves are exercised in CapabilitiesSpec.)
     "q_agg_stats" -> { (s, dir) =>
+      def d(name: String) = col(name).cast("double")
       Fixtures
         .table(s, dir, "lineitem")
+        .select(
+          col("l_returnflag"),
+          cents(col("l_quantity")).as("x"),
+          cents(col("l_extendedprice")).as("y"))
         .groupBy("l_returnflag")
         .agg(
-          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
-          round(var_samp(col("l_quantity")), 4).as("var_qty"),
-          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
-          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qp"))
+          count(lit(1)).as("n"),
+          sum("x").as("sx"),
+          sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(
+          col("l_returnflag"),
+          sqrt((d("n") * d("sxx") - d("sx") * d("sx")) / (d("n") * (d("n") - 1))).as("sd_qty_c"),
+          ((d("n") * d("sxx") - d("sx") * d("sx")) / (d("n") * (d("n") - 1))).as("var_qty_c2"),
+          ((d("n") * d("sxy") - d("sx") * d("sy")) /
+            (sqrt(d("n") * d("sxx") - d("sx") * d("sx")) * sqrt(d("n") * d("syy") - d("sy") * d("sy"))))
+            .as("corr_qp"),
+          ((d("n") * d("sxy") - d("sx") * d("sy")) / (d("n") * (d("n") - 1))).as("cov_qp_c2"))
         .orderBy("l_returnflag")
     },
     // Per-group list/set assembly, sorted for hash stability.
@@ -208,7 +228,7 @@ object Aggregates {
     "q_agg_grouping_sets" ->
       "SELECT o_orderstatus, o_orderpriority, CAST(grouping(o_orderstatus) AS INT)*2 + CAST(grouping(o_orderpriority) AS INT) AS gid, count(*) AS n_orders FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST",
     "q_agg_stats" ->
-      "SELECT l_returnflag, round(stddev_samp(l_quantity),4) AS sd_qty, round(var_samp(l_quantity),4) AS var_qty, round(corr(l_quantity, l_extendedprice),4) AS corr_qp, round(covar_samp(l_quantity, l_extendedprice),4) AS cov_qp FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+      "WITH l AS (SELECT l_returnflag, CAST(floor(l_quantity*100+0.5) AS BIGINT) AS x, CAST(floor(l_extendedprice*100+0.5) AS BIGINT) AS y FROM lineitem), a AS (SELECT l_returnflag, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy, CAST(sum(x*y) AS BIGINT) AS sxy FROM l GROUP BY l_returnflag) SELECT l_returnflag, sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1))) AS sd_qty_c, (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1)) AS var_qty_c2, (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS corr_qp, (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1)) AS cov_qp_c2 FROM a ORDER BY l_returnflag",
     "q_agg_collect" ->
       "SELECT c_nationkey, list_sort(list(c_name)) AS names, list_sort(list(DISTINCT c_mktsegment)) AS segments FROM customer GROUP BY c_nationkey ORDER BY c_nationkey",
     "q_agg_pivot" ->

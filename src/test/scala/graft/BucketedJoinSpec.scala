@@ -13,6 +13,16 @@ class BucketedJoinSpec extends SparkSuite {
     val l = Fixtures.table(spark, sf001, "lineitem")
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    // the in-memory catalog of a fresh JVM doesn't know about tables left by
+    // a previous run, so DROP TABLE can't clean their directories — do it
+    // directly or saveAsTable fails with LOCATION_ALREADY_EXISTS
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      val dir = new java.io.File(s"/tmp/graft-warehouse/$t")
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete())
+        dir.delete()
+      }
+    }
     o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("orders_b")
     l.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable("lineitem_b")
 

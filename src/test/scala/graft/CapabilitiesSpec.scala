@@ -44,4 +44,34 @@ class CapabilitiesSpec extends SparkSuite {
     assert(math.abs(approxMedian - exactMedian) / exactMedian < 0.01,
       s"approx median off by >1%: exact=$exactMedian approx=$approxMedian")
   }
+
+  test("builtin statistical aggregates agree with the closed-form oracle query") {
+    // q_agg_stats computes stats from exact integer sums; the builtin
+    // streaming-moment aggregates must agree to high relative precision.
+    val li = Fixtures.table(spark, sf001, "lineitem")
+    val builtin = li
+      .agg(
+        stddev_samp(col("l_quantity")),
+        var_samp(col("l_quantity")),
+        corr(col("l_quantity"), col("l_extendedprice")))
+      .head()
+    val n = li.count().toDouble
+    val (sx, sxx, sy, sxy) = {
+      val r = li
+        .agg(
+          sum(col("l_quantity")),
+          sum(col("l_quantity") * col("l_quantity")),
+          sum(col("l_extendedprice")),
+          sum(col("l_quantity") * col("l_extendedprice")))
+        .head()
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    }
+    val varClosed = (n * sxx - sx * sx) / (n * (n - 1))
+    assert(math.abs(builtin.getDouble(1) - varClosed) / varClosed < 1e-9)
+    assert(math.abs(builtin.getDouble(0) - math.sqrt(varClosed)) / math.sqrt(varClosed) < 1e-9)
+    val syy = li.agg(sum(col("l_extendedprice") * col("l_extendedprice"))).head().getDouble(0)
+    val corrClosed =
+      (n * sxy - sx * sy) / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert(math.abs(builtin.getDouble(2) - corrClosed) < 1e-6)
+  }
 }
