@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.DriverManager
+
+import graft.pipeline.UpcSkuLoad
+import org.apache.spark.sql.functions._
+
+/** The reference's behavior end-to-end: extract → validate → dedup →
+  * idempotent JDBC load, run twice (no-op) and with changed input (in-place
+  * update). This is the "could a user of the reference switch to this
+  * library" test at the pipeline level.
+  */
+class EtlPipelineSpec extends SparkSuite {
+  private val url = "jdbc:derby:memory:etldb;create=true"
+  private val table = "products_pipeline"
+
+  test("reference-shaped ETL: validated load, idempotent re-run, in-place update") {
+    val c = DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      try st.execute(s"DROP TABLE $table")
+      catch { case _: java.sql.SQLException => () }
+      st.execute(
+        s"CREATE TABLE $table (upc CHAR(12) PRIMARY KEY, name VARCHAR(128), brand VARCHAR(32), price DOUBLE, loaded_at TIMESTAMP)")
+      st.close()
+    } finally c.close()
+
+    val n = UpcSkuLoad.run(spark, sf001, url, table)
+    def loaded() = spark.read.jdbc(url, table, new java.util.Properties())
+    assert(n == 200, s"expected all 200 sf0.001 parts to validate, got $n") // every synthesized UPC is valid
+    assert(loaded().count() == n)
+
+    // idempotence: a second full run changes nothing but the load timestamp
+    UpcSkuLoad.run(spark, sf001, url, table)
+    assert(loaded().count() == n)
+
+    // in-place update: bump one part's price upstream, re-load, only that
+    // row's price changes
+    val before = loaded().select("upc", "price").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val changed = UpcSkuLoad
+      .dedup(UpcSkuLoad.validate(UpcSkuLoad.extract(spark, sf001)))
+      .withColumn("price", when(col("upc").startsWith("00000000001"), col("price") + 1.0).otherwise(col("price")))
+    UpcSkuLoad.load(changed, url, table)
+    val after = loaded().select("upc", "price").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(after.size == before.size)
+    val diffs = after.filter { case (k, v) => before(k) != v }
+    assert(diffs.nonEmpty && diffs.keys.forall(_.startsWith("00000000001")),
+      s"unexpected diff set: ${diffs.take(5)}")
+
+    // validation actually rejects: corrupt check digits are filtered out
+    val corrupted = UpcSkuLoad
+      .extract(spark, sf001)
+      .withColumn(
+        "upc",
+        concat(
+          substring(col("upc"), 1, 11),
+          ((substring(col("upc"), 12, 1).cast("int") + 1) % 10).cast("string")))
+    assert(UpcSkuLoad.validate(corrupted).count() == 0)
+  }
+}
