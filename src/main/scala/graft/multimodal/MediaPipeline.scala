@@ -60,6 +60,24 @@ object MediaPipeline {
     }
   }
 
+  /** Resize stub: deterministically resample the payload to `w*h` bytes
+    * (a real pipeline swaps in codec scaling; the per-partition typed
+    * Dataset→Dataset contract is the tested part). */
+  def resize(ds: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    val target = w * h
+    ds.mapPartitions(_.map { r =>
+      val out = new Array[Byte](target)
+      val n = math.max(r.payload.length, 1)
+      var i = 0
+      while (i < target) {
+        out(i) = r.payload((i.toLong * n / target).toInt % n)
+        i += 1
+      }
+      r.copy(kind = s"${r.kind}:${w}x$h", payload = out)
+    })
+  }
+
   /** Frame-sampling stub: every `everyN`-th 256-byte block is one "frame". */
   def sampleFrames(ds: Dataset[MediaRecord], everyN: Int): Dataset[MediaFrame] = {
     import ds.sparkSession.implicits._

@@ -36,6 +36,16 @@ class MultimodalSpec extends SparkSuite {
     assert(again == first)
   }
 
+  test("resize: payload resampled to exact target size, deterministic") {
+    val resized = MediaPipeline.resize(records, 32, 32).cache()
+    assert(resized.count() == 500)
+    val bad = resized.filter(r => r.payload.length != 32 * 32 || !r.kind.endsWith(":32x32"))
+    assert(bad.count() == 0)
+    val a = resized.collect().map(r => r.id -> r.payload.toSeq).toMap
+    val b = MediaPipeline.resize(records, 32, 32).collect().map(r => r.id -> r.payload.toSeq).toMap
+    assert(a == b)
+  }
+
   test("sampleFrames: every Nth 256-byte block, stable count") {
     val frames = MediaPipeline.sampleFrames(records, everyN = 2).cache()
     val perDoc = frames.groupByKey(_.id).count().collect().toMap
