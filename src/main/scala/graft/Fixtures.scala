@@ -28,9 +28,14 @@ object Fixtures {
     }
 
   /** events with `ts` rebuilt as TimestampNTZ at µs precision (ns truncated,
-    * same truncation DuckDB applies when casting TIMESTAMP_NS → TIMESTAMP). */
+    * same truncation DuckDB applies when casting TIMESTAMP_NS → TIMESTAMP).
+    *
+    * `nanosAsLong` is session config, set once at session build by
+    * Verify/Bench/SparkSuite; the guarded set below is only a fallback for
+    * ad-hoc sessions that skipped it. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read
       .parquet(s"$sfDir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))

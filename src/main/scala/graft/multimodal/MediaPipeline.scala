@@ -1,5 +1,10 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.Dataset
 
 case class MediaRecord(id: Long, kind: String, payload: Array[Byte])
@@ -16,12 +21,14 @@ case class MediaFrame(id: Long, frame_idx: Int, frame_checksum: Long)
 /** Multimodal column plumbing: image/audio/video payloads as opaque binary
   * columns with typed metadata, processed per partition.
   *
-  * STUB NOTICE: this container ships no media codecs, so `decode` derives
-  * features deterministically from the raw bytes (rolling checksum, fake
-  * dimensions, byte histogram). A real deployment swaps only the body of
-  * `decode` for a codec call — the Spark-side contract (typed Dataset in,
-  * typed Dataset out, mapPartitions batching so codec init happens once per
-  * partition, not per row) is the real, tested part.
+  * `image` payloads are decoded for real via the JDK's `javax.imageio`
+  * (PNG/JPEG/GIF/BMP ship with Java 17 — no external codec): true
+  * width/height and an 8-bin luminance histogram. Kinds the JDK cannot
+  * decode (audio, video) fall back to deterministic checksum-derived
+  * features — that fallback is the remaining STUB; a real deployment swaps
+  * it for a codec call. The Spark-side contract (typed Dataset in, typed
+  * Dataset out, mapPartitions batching so codec init happens once per
+  * partition, not per row) is real either way.
   */
 object MediaPipeline {
   private def checksum(bytes: Array[Byte]): Long = {
@@ -34,20 +41,48 @@ object MediaPipeline {
     h
   }
 
-  /** Stubbed decode: deterministic features from bytes (see STUB NOTICE). */
+  private def readImage(r: MediaRecord): Option[BufferedImage] =
+    if (r.kind.startsWith("image"))
+      try Option(ImageIO.read(new ByteArrayInputStream(r.payload)))
+      catch { case _: java.io.IOException => None }
+    else None
+
+  /** Real decode for images; checksum-derived fallback (STUB) otherwise. */
   private def decode(r: MediaRecord): MediaFeatures = {
     val cs = checksum(r.payload)
-    val hist = new Array[Double](8)
-    r.payload.foreach(b => hist((b & 0xff) / 32) += 1.0)
-    val n = math.max(r.payload.length, 1)
-    MediaFeatures(
-      id = r.id,
-      kind = r.kind,
-      n_bytes = r.payload.length,
-      checksum = cs,
-      width = 16 + (cs % 64).toInt,
-      height = 16 + ((cs / 64) % 64).toInt,
-      histogram = hist.map(_ / n))
+    readImage(r) match {
+      case Some(img) =>
+        val w = img.getWidth
+        val h = img.getHeight
+        val hist = new Array[Double](8)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            // integer Rec.601 luma — deterministic, no float rounding
+            val lum =
+              (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            hist(lum / 32) += 1.0
+            x += 1
+          }
+          y += 1
+        }
+        val n = math.max(w * h, 1)
+        MediaFeatures(r.id, r.kind, r.payload.length, cs, w, h, hist.map(_ / n))
+      case None =>
+        val hist = new Array[Double](8)
+        r.payload.foreach(b => hist((b & 0xff) / 32) += 1.0)
+        val n = math.max(r.payload.length, 1)
+        MediaFeatures(
+          id = r.id,
+          kind = r.kind,
+          n_bytes = r.payload.length,
+          checksum = cs,
+          width = 16 + (cs % 64).toInt,
+          height = 16 + ((cs / 64) % 64).toInt,
+          histogram = hist.map(_ / n))
+    }
   }
 
   /** Decode/feature-extract: one codec context per partition (the expensive
@@ -60,21 +95,40 @@ object MediaPipeline {
     }
   }
 
-  /** Resize stub: deterministically resample the payload to `w*h` bytes
-    * (a real pipeline swaps in codec scaling; the per-partition typed
-    * Dataset→Dataset contract is the tested part). */
+  /** Resize. Images: real nearest-neighbour resample via decode → setRGB →
+    * PNG re-encode (deterministic — fixed sampling grid, JDK PNG writer).
+    * Non-image payloads: deterministic byte resampling to `w*h` bytes (the
+    * STUB path for codec-less kinds). */
   def resize(ds: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
     import ds.sparkSession.implicits._
     val target = w * h
     ds.mapPartitions(_.map { r =>
-      val out = new Array[Byte](target)
-      val n = math.max(r.payload.length, 1)
-      var i = 0
-      while (i < target) {
-        out(i) = r.payload((i.toLong * n / target).toInt % n)
-        i += 1
+      val payload = readImage(r) match {
+        case Some(img) =>
+          val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              out.setRGB(x, y, img.getRGB(x * img.getWidth / w, y * img.getHeight / h))
+              x += 1
+            }
+            y += 1
+          }
+          val buf = new ByteArrayOutputStream()
+          ImageIO.write(out, "png", buf)
+          buf.toByteArray
+        case None =>
+          val out = new Array[Byte](target)
+          val n = math.max(r.payload.length, 1)
+          var i = 0
+          while (i < target) {
+            out(i) = r.payload((i.toLong * n / target).toInt % n)
+            i += 1
+          }
+          out
       }
-      r.copy(kind = s"${r.kind}:${w}x$h", payload = out)
+      r.copy(kind = s"${r.kind}:${w}x$h", payload = payload)
     })
   }
 

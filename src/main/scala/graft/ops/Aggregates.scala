@@ -163,14 +163,17 @@ object Aggregates {
           ((d("n") * d("sxy") - d("sx") * d("sy")) / (d("n") * (d("n") - 1))).as("cov_qp_c2"))
         .orderBy("l_returnflag")
     },
-    // Per-group list/set assembly, sorted for hash stability.
+    // Per-group list/set assembly, sorted for hash stability. The arrays are
+    // serialized '|'-joined at the output boundary: the driver's comparator
+    // sorts pandas columns and dies on raw array cells (unhashable ndarray),
+    // so collection results must leave as scalars.
     "q_agg_collect" -> { (s, dir) =>
       Fixtures
         .table(s, dir, "customer")
         .groupBy("c_nationkey")
         .agg(
-          sort_array(collect_list(col("c_name"))).as("names"),
-          array_sort(collect_set(col("c_mktsegment"))).as("segments"))
+          concat_ws("|", sort_array(collect_list(col("c_name")))).as("names"),
+          concat_ws("|", array_sort(collect_set(col("c_mktsegment")))).as("segments"))
         .orderBy("c_nationkey")
     },
     // Pivot event_type → one summed-value column per type (exact cents).
@@ -230,7 +233,7 @@ object Aggregates {
     "q_agg_stats" ->
       "WITH l AS (SELECT l_returnflag, CAST(floor(l_quantity*100+0.5) AS BIGINT) AS x, CAST(floor(l_extendedprice*100+0.5) AS BIGINT) AS y FROM lineitem), a AS (SELECT l_returnflag, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy, CAST(sum(x*y) AS BIGINT) AS sxy FROM l GROUP BY l_returnflag) SELECT l_returnflag, sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1))) AS sd_qty_c, (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1)) AS var_qty_c2, (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS corr_qp, (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1)) AS cov_qp_c2 FROM a ORDER BY l_returnflag",
     "q_agg_collect" ->
-      "SELECT c_nationkey, list_sort(list(c_name)) AS names, list_sort(list(DISTINCT c_mktsegment)) AS segments FROM customer GROUP BY c_nationkey ORDER BY c_nationkey",
+      "SELECT c_nationkey, list_aggr(list_sort(list(c_name)), 'string_agg', '|') AS names, list_aggr(list_sort(list(DISTINCT c_mktsegment)), 'string_agg', '|') AS segments FROM customer GROUP BY c_nationkey ORDER BY c_nationkey",
     "q_agg_pivot" ->
       ("SELECT user_id, " + Seq("click", "error", "purchase", "signup", "view")
         .map(t => s"CAST(sum(${centsSql.format("value")}) FILTER (WHERE event_type='$t') AS BIGINT) AS $t")

@@ -144,6 +144,24 @@ object ExtraText {
         .select(col("q_id"), col("rn").cast("int").as("rn"), col("c_id"), col("bkt"), e6(col("cos")).as("score_e6"))
         .orderBy("q_id", "rn")
     },
+    // SimHash banded near-dup pairs, declared (oracle-less — the 64-bit
+    // token-hash loop has no DuckDB twin) so the bench tracks the banded
+    // candidate join's cost every round; recall/completeness is proven by
+    // SimHashSpec. Planted variants (each doc minus its last two tokens,
+    // id+10000) give the join real near-dups to find: a 2-token edit moves
+    // few of the 64 majority bits, so planted pairs sit at Hamming <= 3
+    // where the 4x16-bit banding is complete by pigeonhole.
+    "q_simhash_pairs" -> { (s, dir) =>
+      val toks = split(lower(col("text")), " ")
+      val docs = Fixtures.table(s, dir, "documents")
+      val orig = docs.select(col("doc_id"), toks.as("toks"))
+      val variant = docs.select(
+        (col("doc_id") + 10000).as("doc_id"),
+        slice(toks, lit(1), greatest(size(toks) - 2, lit(1))).as("toks"))
+      graft.functions.SimHash
+        .nearDuplicatePairs(orig.unionByName(variant), "doc_id", "toks", maxHamming = 3)
+        .orderBy("a_id", "b_id")
+    },
     // Multimodal binary plumbing: treat payloads as opaque binary with typed
     // metadata — byte length, digest, head bytes. The decode stage itself is
     // stubbed in graft.multimodal (no media libs in this image); this query

@@ -148,14 +148,17 @@ object LlmOps {
         .filter(col("tok") =!= "")
       val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
       val wDoc = Window.partitionBy("doc_id")
-      val wTok = Window.partitionBy("tok")
       val nDocs = docs.select(countDistinct("doc_id").as("nd"))
-      // df window FIRST (tok partitioning), then the doc-partitioned length
-      // window — the subsequent rank window shares the doc_id exchange, so
-      // the plan carries one shuffle per partitioning key, not three.
+      // df via groupBy + join-back, NOT a tok-partitioned window: the window
+      // form ships every (doc,tok) row of a hot token ("the") to one reducer
+      // — a skewed-key full shuffle at scale — while groupBy collapses hot
+      // tokens map-side before shuffling vocabulary-sized partials. The len
+      // window runs first so the final rank window reuses its doc_id
+      // exchange; AQE turns the df join into a broadcast when vocab is small.
+      val dfCounts = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val scored = tf
-        .withColumn("df", count(lit(1)).over(wTok))
         .withColumn("len", sum("n").over(wDoc))
+        .join(dfCounts, "tok")
         .crossJoin(broadcast(nDocs))
         .withColumn("score", (col("n") / col("len")) * log(col("nd") / col("df")))
       val wRank = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Fixtures
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -126,15 +126,25 @@ object Scalars {
     // Array surface over the 64-d embeddings: size/element_at/slice plus the
     // higher-order transform/filter/aggregate trio. The fold accumulates
     // double(x) sequentially — mirrored exactly by the DuckDB list_reduce.
+    // Array-valued results leave the query serialized (e6-int CSV): the
+    // driver's comparator cannot sort raw array cells (unhashable ndarray),
+    // so every collection column is flattened to a scalar at the boundary.
     "q_array_funcs" -> { (s, dir) =>
+      val e6f = (c: Column) => floor(c.cast("double") * 1e6 + lit(0.5)).cast("long")
       Fixtures
         .table(s, dir, "embeddings")
         .select(
           col("vec_id"),
           size(col("embedding")).as("n_dims"),
-          element_at(col("embedding"), 1).as("first_val"),
-          slice(col("embedding"), 1, 3).as("head3"),
-          transform(col("embedding"), x => (x.cast("double") * 2).cast("float")).as("doubled"),
+          e6f(element_at(col("embedding"), 1)).as("first_e6"),
+          concat_ws(",", transform(slice(col("embedding"), 1, 3), x => e6f(x).cast("string")))
+            .as("head3"),
+          concat_ws(
+            ",",
+            transform(
+              col("embedding"),
+              x => floor(x.cast("double") * 2e6 + lit(0.5)).cast("long").cast("string")))
+            .as("doubled_e6"),
           size(filter(col("embedding"), x => x > 0)).as("n_pos"),
           floor(
             aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x.cast("double")) * 1e6 +
@@ -164,16 +174,18 @@ object Scalars {
         .drop("c0")
         .orderBy("event_id")
     },
-    // Map surface: JSON → MapType, keys/values/element_at. Oracle projects
-    // to key/value arrays (DuckDB MAP construction differs too much).
+    // Map surface: JSON → MapType, keys/values/element_at. Key/value arrays
+    // leave as ','-joined strings (driver comparator can't sort array cells);
+    // props is always a single-key {"k": int} object, so the oracle twin is
+    // scalar json extraction.
     "q_map_funcs" -> { (s, dir) =>
       Fixtures
         .events(s, dir)
         .withColumn("m", from_json(col("props"), MapType(StringType, IntegerType)))
         .select(
           col("event_id"),
-          map_keys(col("m")).as("ks"),
-          map_values(col("m")).as("vs"),
+          concat_ws(",", map_keys(col("m"))).as("ks"),
+          concat_ws(",", transform(map_values(col("m")), v => v.cast("string"))).as("vs"),
           element_at(col("m"), "k").as("kval"))
         .orderBy("event_id")
     }
@@ -191,12 +203,12 @@ object Scalars {
     "q_upc_checkdigit" ->
       "WITH u AS (SELECT p_partkey, lpad(CAST(p_partkey AS VARCHAR), 11, '0') AS s FROM part), d AS (SELECT p_partkey, s, 3*CAST(substring(s,1,1) AS INT) + CAST(substring(s,2,1) AS INT) + 3*CAST(substring(s,3,1) AS INT) + CAST(substring(s,4,1) AS INT) + 3*CAST(substring(s,5,1) AS INT) + CAST(substring(s,6,1) AS INT) + 3*CAST(substring(s,7,1) AS INT) + CAST(substring(s,8,1) AS INT) + 3*CAST(substring(s,9,1) AS INT) + CAST(substring(s,10,1) AS INT) + 3*CAST(substring(s,11,1) AS INT) AS w FROM u) SELECT p_partkey, s || CAST((10 - w % 10) % 10 AS VARCHAR) AS upc12, CAST((10 - w % 10) % 10 AS INT) AS cd, (w + (10 - w % 10) % 10) % 10 = 0 AS valid_ok, (w + ((10 - w % 10) % 10 + 1) % 10) % 10 = 0 AS valid_bad FROM d ORDER BY p_partkey",
     "q_array_funcs" ->
-      "SELECT vec_id, CAST(len(embedding) AS INT) AS n_dims, embedding[1] AS first_val, embedding[1:3] AS head3, list_transform(embedding, x -> CAST(CAST(x AS DOUBLE)*2 AS FLOAT)) AS doubled, CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos, CAST(floor(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)), (p,q) -> p+q)*1000000 + 0.5) AS BIGINT) AS sum_e6 FROM embeddings ORDER BY vec_id",
+      "SELECT vec_id, CAST(len(embedding) AS INT) AS n_dims, CAST(floor(CAST(embedding[1] AS DOUBLE)*1000000 + 0.5) AS BIGINT) AS first_e6, list_aggr(list_transform(embedding[1:3], x -> CAST(CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) AS VARCHAR)), 'string_agg', ',') AS head3, list_aggr(list_transform(embedding, x -> CAST(CAST(floor(CAST(x AS DOUBLE)*2000000 + 0.5) AS BIGINT) AS VARCHAR)), 'string_agg', ',') AS doubled_e6, CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos, CAST(floor(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)), (p,q) -> p+q)*1000000 + 0.5) AS BIGINT) AS sum_e6 FROM embeddings ORDER BY vec_id",
     "q_explode_tokens" ->
       "SELECT doc_id, tok, count(*) AS n FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents) WHERE tok <> '' GROUP BY doc_id, tok ORDER BY doc_id, tok",
     "q_json_funcs" ->
       "SELECT event_id, CAST(json_extract_string(props,'$.k') AS INT) AS k_path, CAST(json_extract_string(props,'$.k') AS INT) AS k_struct, CAST(json_extract_string(props,'$.k') AS INT) AS k_tuple FROM events ORDER BY event_id",
     "q_map_funcs" ->
-      "SELECT event_id, json_keys(props) AS ks, [CAST(json_extract_string(props,'$.k') AS INT)] AS vs, CAST(json_extract_string(props,'$.k') AS INT) AS kval FROM events ORDER BY event_id"
+      "SELECT event_id, list_aggr(json_keys(props), 'string_agg', ',') AS ks, CAST(CAST(json_extract_string(props,'$.k') AS INT) AS VARCHAR) AS vs, CAST(json_extract_string(props,'$.k') AS INT) AS kval FROM events ORDER BY event_id"
   )
 }

@@ -26,8 +26,18 @@ object JdbcSink {
   /** UPDATE-then-INSERT, portable; used for Derby. */
   case object UpdateInsertDialect extends UpsertDialect
   /** Single-statement upsert for engines that support it (MySQL). Falls back
-    * to UPDATE-then-INSERT here because no such engine ships in this image. */
+    * to UPDATE-then-INSERT here because no such engine ships in this image;
+    * the statement it would execute is `onDuplicateKeySql` (string-tested). */
   case object OnDuplicateKeyDialect extends UpsertDialect
+
+  /** The single batched statement OnDuplicateKeyDialect executes on engines
+    * that support it — emitted for inspection and testing. */
+  def onDuplicateKeySql(table: String, allCols: Seq[String], keyCols: Seq[String]): String = {
+    val valCols = allCols.filterNot(keyCols.contains)
+    s"INSERT INTO $table (${allCols.mkString(", ")}) " +
+      s"VALUES (${allCols.map(_ => "?").mkString(", ")}) " +
+      s"ON DUPLICATE KEY UPDATE ${valCols.map(c => s"$c = VALUES($c)").mkString(", ")}"
+  }
 
   /** Idempotent upsert: rows whose key tuple exists are updated, others
     * inserted. Runs on the executors via foreachPartition; batches commit
@@ -67,28 +77,36 @@ object JdbcSink {
         s"VALUES (${schema.fieldNames.map(_ => "?").mkString(", ")})"
     val upd = conn.prepareStatement(updateSql)
     val ins = conn.prepareStatement(insertSql)
+    // Batched two-wave protocol: one executeBatch() of UPDATEs per chunk,
+    // then one executeBatch() of INSERTs for the keys the update wave
+    // missed (update count 0). Statement round-trips per partition are
+    // O(rows/batchSize), not O(rows) — the difference between embedded
+    // Derby (where per-row was tolerable) and a networked RDBMS.
     try {
-      var pending = 0
-      rows.foreach { row =>
-        valCols.zipWithIndex.foreach { case (c, i) =>
-          upd.setObject(i + 1, row.getAs[AnyRef](c))
-        }
-        keyCols.zipWithIndex.foreach { case (c, i) =>
-          upd.setObject(valCols.length + i + 1, row.getAs[AnyRef](c))
-        }
-        if (upd.executeUpdate() == 0) {
-          schema.fieldNames.zipWithIndex.foreach { case (c, i) =>
-            ins.setObject(i + 1, row.getAs[AnyRef](c))
+      rows.grouped(batchSize).foreach { chunk =>
+        chunk.foreach { row =>
+          valCols.zipWithIndex.foreach { case (c, i) =>
+            upd.setObject(i + 1, row.getAs[AnyRef](c))
           }
-          ins.executeUpdate()
+          keyCols.zipWithIndex.foreach { case (c, i) =>
+            upd.setObject(valCols.length + i + 1, row.getAs[AnyRef](c))
+          }
+          upd.addBatch()
         }
-        pending += 1
-        if (pending >= batchSize) {
-          conn.commit()
-          pending = 0
+        val updated = upd.executeBatch()
+        var nIns = 0
+        chunk.iterator.zip(updated.iterator).foreach { case (row, n) =>
+          if (n == 0) {
+            schema.fieldNames.zipWithIndex.foreach { case (c, i) =>
+              ins.setObject(i + 1, row.getAs[AnyRef](c))
+            }
+            ins.addBatch()
+            nIns += 1
+          }
         }
+        if (nIns > 0) ins.executeBatch()
+        conn.commit()
       }
-      conn.commit()
     } finally {
       upd.close()
       ins.close()

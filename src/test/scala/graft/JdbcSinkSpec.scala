@@ -66,4 +66,16 @@ class JdbcSinkSpec extends SparkSuite {
     assert(row.getDouble(2) == 9.99)
     assert(row.getTimestamp(3) == t0)
   }
+
+  test("OnDuplicateKeyDialect emits the single-statement MySQL upsert") {
+    val sql = JdbcSink.onDuplicateKeySql(
+      "products",
+      allCols = Seq("upc", "name", "price", "loaded_at"),
+      keyCols = Seq("upc"))
+    assert(
+      sql == "INSERT INTO products (upc, name, price, loaded_at) " +
+        "VALUES (?, ?, ?, ?) " +
+        "ON DUPLICATE KEY UPDATE name = VALUES(name), price = VALUES(price), " +
+        "loaded_at = VALUES(loaded_at)")
+  }
 }

@@ -3,11 +3,23 @@ package graft
 import graft.multimodal.{MediaPipeline, MediaRecord}
 import org.apache.spark.sql.functions._
 
-/** Multimodal binary plumbing (stubbed decode — no codecs in this image;
-  * the Spark-side schema/partitioning/batching contract is the real part).
+/** Multimodal binary plumbing. Image payloads decode for real via the JDK's
+  * javax.imageio; codec-less kinds (the text-as-bytes records here) exercise
+  * the deterministic fallback path and the Spark-side
+  * schema/partitioning/batching contract.
   */
 class MultimodalSpec extends SparkSuite {
   import spark.implicits._
+
+  /** Deterministic in-memory PNG: a w×h gradient. */
+  private def pngBytes(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 7 + seed) % 256 << 16) | ((y * 11) % 256 << 8) | ((x + y) % 256))
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
 
   private lazy val records = Fixtures
     .table(spark, sf001, "documents")
@@ -34,6 +46,31 @@ class MultimodalSpec extends SparkSuite {
     val again = MediaPipeline.decodeFeatures(records).collect().map(f => f.id -> f.checksum).toMap
     val first = feats.collect().map(f => f.id -> f.checksum).toMap
     assert(again == first)
+  }
+
+  test("decodeFeatures: real PNG decode reports true dimensions + luma histogram") {
+    val imgs = spark.createDataset(
+      (0L until 20L).map(i => MediaRecord(i, "image", pngBytes(40 + i.toInt, 25, i.toInt))))
+    val feats = MediaPipeline.decodeFeatures(imgs).collect().map(f => f.id -> f).toMap
+    assert(feats.size == 20)
+    (0L until 20L).foreach { i =>
+      val f = feats(i)
+      assert(f.width == 40 + i.toInt, s"true decoded width for $i")
+      assert(f.height == 25, s"true decoded height for $i")
+      assert(math.abs(f.histogram.sum - 1.0) < 1e-9 && f.histogram.forall(_ >= 0))
+    }
+  }
+
+  test("resize: real image resample re-encodes to the target dimensions") {
+    val imgs = spark.createDataset(Seq(MediaRecord(1L, "image", pngBytes(64, 48, 3))))
+    val out = MediaPipeline.resize(imgs, 32, 32).collect().head
+    assert(out.kind == "image:32x32")
+    val decoded =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out.payload))
+    assert(decoded.getWidth == 32 && decoded.getHeight == 32)
+    // nearest-neighbour: corner pixel survives the resample exactly
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(pngBytes(64, 48, 3)))
+    assert((decoded.getRGB(0, 0) & 0xffffff) == (src.getRGB(0, 0) & 0xffffff))
   }
 
   test("resize: payload resampled to exact target size, deterministic") {
