@@ -14,6 +14,43 @@ import org.apache.spark.sql.functions._
 object ExtraText {
   private def e6(c: Column): Column = floor(c * 1e6 + lit(0.5)).cast("long")
 
+  /** Shared input for the near-dup benchmark queries: every document plus a
+    * planted variant (last two tokens dropped, doc_id+10000), both reduced to
+    * bigram shingles. Shingles, not unigrams: this corpus shares one
+    * vocabulary, so unigram fingerprints collapse toward the corpus mean and
+    * every LSH bucket goes quadratic (the same hazard function words pose on
+    * natural text). A 2-token edit changes only ~2 shingles, so planted pairs
+    * stay trivially near while unrelated docs spread across bucket space.
+    */
+  /** Compiled bigram shingler. Deliberately a UDF, not the equivalent
+    * filter(transform(sequence(...))) chain: higher-order functions are
+    * CodegenFallback in Spark — evaluated via the interpreted expression
+    * tree at ~1 ms/doc on 200-token docs (measured: the shingle stage alone
+    * was 9 s at sf0.1, and predicate pushdown re-evaluates it inside the
+    * pushed filter too). Compiled sliding(2) is ~500× faster, which here
+    * outweighs the usual functions-over-UDFs rule. */
+  private val shingleUdf = udf { ts: Seq[String] =>
+    if (ts == null) Seq.empty[String]
+    else ts.iterator.sliding(2).withPartial(false).map(_.mkString(" ")).toSeq
+  }
+
+  private def plantedShingledCorpus(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    val docs = Fixtures.table(s, dir, "documents")
+    val orig = docs.select(col("doc_id"), shingleUdf(toks).as("toks"))
+    val variant = docs
+      .select((col("doc_id") + 10000).as("doc_id"), shingleUdf(slice(toks, lit(1), greatest(size(toks) - 2, lit(1)))).as("toks"))
+    // Hash-repartition AFTER shingling: (1) the one small parquet file gives
+    // a single input partition, so without an exchange every downstream pass
+    // runs on one core; (2) within one action, ReuseExchange shares this
+    // shuffle across the near-dup queries' multiple self-join branches, so
+    // the shingling runs once. Hash (not round-robin) partitioning on
+    // purpose: round-robin repartition local-sorts rows by ALL columns for
+    // retry determinism, and sorting by a 200-element string-array column
+    // is a hidden multi-second cost.
+    orig.unionByName(variant).repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+  }
+
   /** marker tokens per language for the n-gram/stopword lang-ID heuristic */
   private val markers = Map(
     "en" -> Seq("the", "a", "of"),
@@ -148,18 +185,30 @@ object ExtraText {
     // token-hash loop has no DuckDB twin) so the bench tracks the banded
     // candidate join's cost every round; recall/completeness is proven by
     // SimHashSpec. Planted variants (each doc minus its last two tokens,
-    // id+10000) give the join real near-dups to find: a 2-token edit moves
-    // few of the 64 majority bits, so planted pairs sit at Hamming <= 3
-    // where the 4x16-bit banding is complete by pigeonhole.
+    // id+10000) give the join real near-dups to find. Features are bigram
+    // shingles, not unigrams: this corpus shares one vocabulary, so unigram
+    // simhashes collapse toward the corpus-mean signature and every band
+    // bucket goes quadratic (a real hazard on any natural corpus — function
+    // words dominate). Shingles are doc-specific, a 2-token edit changes
+    // only ~2 of them, so planted pairs stay at Hamming <= 3 while unrelated
+    // docs spread across the 16-bit bucket space. maxBucket=64 is the
+    // production hot-bucket guard on top.
     "q_simhash_pairs" -> { (s, dir) =>
-      val toks = split(lower(col("text")), " ")
-      val docs = Fixtures.table(s, dir, "documents")
-      val orig = docs.select(col("doc_id"), toks.as("toks"))
-      val variant = docs.select(
-        (col("doc_id") + 10000).as("doc_id"),
-        slice(toks, lit(1), greatest(size(toks) - 2, lit(1))).as("toks"))
       graft.functions.SimHash
-        .nearDuplicatePairs(orig.unionByName(variant), "doc_id", "toks", maxHamming = 3)
+        .nearDuplicatePairs(plantedShingledCorpus(s, dir), "doc_id", "toks", maxHamming = 3, maxBucket = 64)
+        .orderBy("a_id", "b_id")
+    },
+    // Banded MinHash near-dup pairs over the same planted corpus — the
+    // shingle→minhash→band→bucket-join dedup family, declared so the bench
+    // tracks its cost each round. Oracle-less (the xxhash64 minhash has no
+    // DuckDB twin; candidates are approximate) — recall vs the exact Jaccard
+    // join is proven in MinHashSpec; the driver records a rows>0 check.
+    // Candidates are verified with the exact Jaccard, so output pairs are
+    // never false positives. See graft.functions.MinHash for the scale story
+    // (and why Spark ML's OR-only MinHashLSH goes quadratic here).
+    "q_minhash_pairs" -> { (s, dir) =>
+      graft.functions.MinHash
+        .nearDuplicatePairs(plantedShingledCorpus(s, dir), "doc_id", "toks", minJaccard = 0.8)
         .orderBy("a_id", "b_id")
     },
     // Multimodal binary plumbing: treat payloads as opaque binary with typed
