@@ -211,6 +211,24 @@ object ExtraText {
         .nearDuplicatePairs(plantedShingledCorpus(s, dir), "doc_id", "toks", minJaccard = 0.8)
         .orderBy("a_id", "b_id")
     },
+    // Random-hyperplane (SRP) LSH cosine near-dup pairs over all embeddings
+    // plus planted variants (last two dims negated, vec_id+100000 → exact
+    // cosine ≈ 1 - 2·(mass of last 2 dims) ≈ 0.94), declared so the bench
+    // tracks the third dedup family's banded join. Oracle-less (candidates
+    // are approximate; recall vs the exact all-pairs join is proven in
+    // CosineLshSpec); every output pair is verified with the exact cosine.
+    "q_cosine_lsh_pairs" -> { (s, dir) =>
+      val e = Fixtures.table(s, dir, "embeddings")
+      val cut = size(col("embedding")) - 2
+      val variantVec = concat(
+        slice(col("embedding"), lit(1), cut),
+        transform(slice(col("embedding"), cut + 1, lit(2)), x => negate(x)))
+      val orig = e.select(col("vec_id"), col("embedding"))
+      val variant = e.select((col("vec_id") + 100000).as("vec_id"), variantVec.as("embedding"))
+      graft.functions.CosineLsh
+        .nearDuplicatePairs(orig.unionByName(variant), "vec_id", "embedding", minCosine = 0.9)
+        .orderBy("a_id", "b_id")
+    },
     // Multimodal binary plumbing: treat payloads as opaque binary with typed
     // metadata — byte length, digest, head bytes. The decode stage itself is
     // stubbed in graft.multimodal (no media libs in this image); this query

@@ -84,4 +84,25 @@ object StreamOps {
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n"))
       .select(col("user_id"), col("w.start").as("s_start"), col("w.end").as("s_end"), col("n"))
+
+  /** Stream-stream interval join: each purchase matched to same-user views
+    * in the preceding 30 minutes. Both sides carry watermarks and the join
+    * condition bounds event-time distance, so state on each side is evicted
+    * once the other side's watermark passes — the canonical bounded-state
+    * stream-stream join. Works identically on batch frames for the
+    * equivalence test. */
+  def viewsBeforePurchase(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+    val p = purchases
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+    p.join(
+      v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("v_ts") <= col("p_ts"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"), col("p_ts"), col("v_ts"))
+  }
 }

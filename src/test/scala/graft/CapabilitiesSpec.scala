@@ -24,6 +24,24 @@ class CapabilitiesSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("cap_scan_orc: ORC round-trip preserves rows, types, and predicate pushdown") {
+    val src = Fixtures
+      .table(spark, sf001, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      .limit(300)
+    val dir = Files.createTempDirectory("graft-orc").toString + "/ord"
+    src.write.orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == src.schema)
+    val a = src.orderBy("o_orderkey").collect().toSeq
+    val b = back.orderBy("o_orderkey").collect().toSeq
+    assert(a == b)
+    // predicate reaches the ORC scan (pushed filters visible in the plan)
+    val plan = back.filter(col("o_totalprice") > 1000.0).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice"),
+      s"no pushed filter in ORC scan plan:\n$plan")
+  }
+
   test("cap_agg_approx: HLL++ distinct and approx percentile within bounds") {
     val li = Fixtures.table(spark, sf001, "lineitem")
     val exactDistinct =

@@ -129,6 +129,46 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("cap_stream_join: stream-stream interval join equals batch join") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = StreamOps
+      .viewsBeforePurchase(views.toDF(), purchases.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("t_ssjoin")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      val vEvents = fixtureEvents.filter(_.event_type == "view")
+      val pEvents = fixtureEvents.filter(_.event_type == "purchase")
+      // Feed in two uneven chunks to exercise cross-batch matching.
+      views.addData(vEvents.take(vEvents.size / 2)); purchases.addData(pEvents.take(5))
+      q.processAllAvailable()
+      views.addData(vEvents.drop(vEvents.size / 2)); purchases.addData(pEvents.drop(5))
+      q.processAllAvailable()
+      views.addData(Seq(sentinel)); purchases.addData(Seq(sentinel.copy(event_id = -2)))
+      q.processAllAvailable()
+      val streamed = spark
+        .table("t_ssjoin")
+        .filter(col("user_id") >= 0)
+        .select("purchase_id", "view_id")
+        .as[(Long, Long)]
+        .collect()
+        .toSet
+      val batch = StreamOps
+        .viewsBeforePurchase(vEvents.toDF(), pEvents.toDF())
+        .select("purchase_id", "view_id")
+        .as[(Long, Long)]
+        .collect()
+        .toSet
+      assert(batch.nonEmpty, "batch join empty — fixture has no view→purchase pairs in 30min")
+      assert(streamed == batch, s"stream≠batch: missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("cap_stream_stateful: flatMapGroupsWithState sessionization equals session_window batch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
