@@ -160,6 +160,27 @@ object Joins {
         .filter(col("rn") === 1)
         .select("p_event_id", "user_id", "p_ts", "v_event_id", "v_ts")
         .orderBy("p_event_id")
+    },
+    // Same as-of semantics through the custom Catalyst operator
+    // (graft.plans.AsOfJoin: logical node + strategy + merge-join exec)
+    // instead of theta-join + window — one forward pass, no candidate-pair
+    // blowup. Shares q_join_asof's oracle SQL: the DuckDB hash-match is the
+    // correctness proof for the custom operator.
+    "q_join_asof_native" -> { (s, dir) =>
+      val ev = Fixtures.events(s, dir)
+      val p = ev
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"), col("user_id"), col("ts").as("p_ts"))
+      val v = ev
+        .filter(col("event_type") === "view")
+        .select(
+          col("event_id").as("v_event_id"),
+          col("user_id").as("v_user_id"),
+          col("ts").as("v_ts"))
+      graft.plans.AsOfJoinOps
+        .latestPrior(p, v, "user_id", "v_user_id", "p_ts", "v_ts", "v_event_id")
+        .select("p_event_id", "user_id", "p_ts", "v_event_id", "v_ts")
+        .orderBy("p_event_id")
     }
   )
 
@@ -185,6 +206,8 @@ object Joins {
     "q_join_theta" ->
       (evCte + " SELECT e1.user_id, count(*) AS n_pairs FROM e e1 JOIN e e2 ON e1.user_id = e2.user_id AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE GROUP BY e1.user_id ORDER BY e1.user_id"),
     "q_join_asof" ->
+      (evCte + ", p AS (SELECT event_id AS p_event_id, user_id, ts AS p_ts FROM e WHERE event_type = 'purchase'), v AS (SELECT event_id AS v_event_id, user_id AS v_user_id, ts AS v_ts FROM e WHERE event_type = 'view'), j AS (SELECT p.p_event_id, p.user_id, p.p_ts, v.v_event_id, v.v_ts, row_number() OVER (PARTITION BY p.p_event_id ORDER BY v.v_ts DESC NULLS LAST, v.v_event_id DESC NULLS LAST) AS rn FROM p LEFT JOIN v ON p.user_id = v.v_user_id AND v.v_ts <= p.p_ts) SELECT p_event_id, user_id, p_ts, v_event_id, v_ts FROM j WHERE rn = 1 ORDER BY p_event_id"),
+    "q_join_asof_native" ->
       (evCte + ", p AS (SELECT event_id AS p_event_id, user_id, ts AS p_ts FROM e WHERE event_type = 'purchase'), v AS (SELECT event_id AS v_event_id, user_id AS v_user_id, ts AS v_ts FROM e WHERE event_type = 'view'), j AS (SELECT p.p_event_id, p.user_id, p.p_ts, v.v_event_id, v.v_ts, row_number() OVER (PARTITION BY p.p_event_id ORDER BY v.v_ts DESC NULLS LAST, v.v_event_id DESC NULLS LAST) AS rn FROM p LEFT JOIN v ON p.user_id = v.v_user_id AND v.v_ts <= p.p_ts) SELECT p_event_id, user_id, p_ts, v_event_id, v_ts FROM j WHERE rn = 1 ORDER BY p_event_id")
   )
 }

@@ -21,4 +21,18 @@ object GraftSqlBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Wrap a custom LogicalPlan as a DataFrame (runs the full analyzer). */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Idempotently register a planner strategy on a live session — the
+    * runtime-injection twin of SparkSessionExtensions.injectPlannerStrategy
+    * (which can only run at session construction). */
+  def addStrategy(spark: SparkSession, s: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraStrategies.exists(_ eq s)) exp.extraStrategies = exp.extraStrategies :+ s
+  }
 }

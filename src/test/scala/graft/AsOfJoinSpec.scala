@@ -1,0 +1,84 @@
+package graft
+
+import graft.plans.AsOfJoinOps
+import org.apache.spark.sql.functions._
+
+/** Custom as-of join operator (graft.plans.AsOfJoin): result equivalence
+  * with the composed theta-join + window formulation, plan-shape assertions
+  * (the custom exec is actually planned; no Window/expanded pair join), and
+  * null/edge semantics.
+  */
+class AsOfJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def purchases() = Fixtures
+    .events(spark, sf001)
+    .filter(col("event_type") === "purchase")
+    .select(col("event_id").as("p_event_id"), col("user_id"), col("ts").as("p_ts"))
+
+  private def views() = Fixtures
+    .events(spark, sf001)
+    .filter(col("event_type") === "view")
+    .select(col("event_id").as("v_event_id"), col("user_id").as("v_user_id"), col("ts").as("v_ts"))
+
+  test("native as-of join equals the composed window formulation on sf0.001") {
+    val p = purchases()
+    val v = views()
+    val native = AsOfJoinOps
+      .latestPrior(p, v, "user_id", "v_user_id", "p_ts", "v_ts", "v_event_id")
+      .select("p_event_id", "v_event_id")
+      .as[(Long, Option[Long])]
+      .collect()
+      .toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_event_id")
+      .orderBy(col("v_ts").desc_nulls_last, col("v_event_id").desc_nulls_last)
+    val composed = p
+      .join(v, col("user_id") === col("v_user_id") && col("v_ts") <= col("p_ts"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("p_event_id", "v_event_id")
+      .as[(Long, Option[Long])]
+      .collect()
+      .toMap
+    assert(native.size == composed.size)
+    val diff = composed.collect { case (k, m) if native.get(k) != Some(m) => (k, m, native.get(k)) }
+    assert(diff.isEmpty, s"first mismatches: ${diff.take(5)}")
+    // left-outer: purchases with no prior view survive with a null match
+    assert(native.values.exists(_.isEmpty) == composed.values.exists(_.isEmpty))
+  }
+
+  test("plan uses AsOfJoinExec: no window exchange, no candidate-pair join") {
+    val df = AsOfJoinOps.latestPrior(purchases(), views(), "user_id", "v_user_id", "p_ts", "v_ts", "v_event_id")
+    df.count() // force planning through AQE
+    val plan = df.queryExecution.executedPlan
+    val s = plan.toString
+    assert(s.contains("AsOfJoin"), s"custom exec missing from plan:\n$s")
+    assert(!s.contains("Window"), s"window leaked into native plan:\n$s")
+    // EnsureRequirements inserted the SMJ-style shape: hash exchange on the
+    // key plus per-side sort (the custom exec is inside the AQE wrapper, so
+    // assert on the plan string).
+    assert(s.contains("Exchange hashpartitioning(user_id"), s"no key exchange:\n$s")
+    assert(s.contains("Sort [user_id"), s"no key/time sort:\n$s")
+  }
+
+  test("as-of semantics: boundary tie (v_ts == p_ts) matches; later views don't") {
+    val p = Seq((1L, 10L, 100L), (2L, 10L, 50L)).toDF("p_event_id", "user_id", "p_ts")
+      .select(col("p_event_id"), col("user_id"), timestamp_micros(col("p_ts")).as("p_ts"))
+    val v = Seq(
+      (11L, 10L, 100L), // ties p1 exactly → matches p1
+      (12L, 10L, 100L), // same ts, larger id → wins the tie
+      (13L, 10L, 60L),  // after p2 → no match for p2
+      (14L, 10L, 40L)   // before p2 → p2's match
+    ).toDF("v_event_id", "v_user_id", "v_ts")
+      .select(col("v_event_id"), col("v_user_id"), timestamp_micros(col("v_ts")).as("v_ts"))
+    val out = AsOfJoinOps
+      .latestPrior(p, v, "user_id", "v_user_id", "p_ts", "v_ts", "v_event_id")
+      .select("p_event_id", "v_event_id")
+      .as[(Long, Option[Long])]
+      .collect()
+      .toMap
+    assert(out(1L).contains(12L), s"tie-break wrong: $out")
+    assert(out(2L).contains(14L), s"as-of wrong: $out")
+  }
+}
