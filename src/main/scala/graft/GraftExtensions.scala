@@ -1,0 +1,28 @@
+package graft
+
+import graft.functions.CosineSimilarity
+import graft.plans.AsOfJoinStrategy
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Canonical SparkSessionExtensions entry point for the library — the
+  * registration path a deployment uses via
+  * `spark.sql.extensions=graft.GraftExtensions` (or `.withExtensions`):
+  * every session built from that config gets the native cosine expression
+  * in its function registry and the as-of join strategy in its planner,
+  * with no per-query registration calls. The runtime-injection twins
+  * (GraftSqlBridge.registerFunction / addStrategy) exist for already-built
+  * sessions; both paths install the same objects.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("graft_cosine"),
+        new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          CosineSimilarity(children(0), children(1))))
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
+}

@@ -212,6 +212,19 @@ object Aggregates {
         .groupBy("l_returnflag")
         .agg(wavg(col("l_extendedprice"), col("l_discount")).as("wavg_price"))
         .orderBy("l_returnflag")
+    },
+    // Exact interpolated percentiles over integer cents: both engines use
+    // the same lo + frac·(hi−lo) continuous-quantile definition, and integer
+    // inputs make the single interpolation step bit-identical.
+    "q_agg_percentile" -> { (s, dir) =>
+      Fixtures
+        .table(s, dir, "lineitem")
+        .select(col("l_returnflag"), cents(col("l_extendedprice")).as("price_c"))
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(price_c, 0.5)"), 4).as("p50_c"),
+          round(expr("percentile(price_c, 0.9)"), 4).as("p90_c"))
+        .orderBy("l_returnflag")
     }
   )
 
@@ -241,6 +254,8 @@ object Aggregates {
     "q_agg_salted" ->
       "SELECT o_orderpriority, count(*) AS n_orders, CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
     "q_agg_udaf" ->
-      "SELECT l_returnflag, sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)*CAST(floor(l_discount*100+0.5) AS BIGINT))/sum(CAST(floor(l_discount*100+0.5) AS BIGINT))/100.0 AS wavg_price FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+      "SELECT l_returnflag, sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)*CAST(floor(l_discount*100+0.5) AS BIGINT))/sum(CAST(floor(l_discount*100+0.5) AS BIGINT))/100.0 AS wavg_price FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "q_agg_percentile" ->
+      "WITH l AS (SELECT l_returnflag, CAST(floor(l_extendedprice*100+0.5) AS BIGINT) AS price_c FROM lineitem) SELECT l_returnflag, round(quantile_cont(price_c, 0.5), 4) AS p50_c, round(quantile_cont(price_c, 0.9), 4) AS p90_c FROM l GROUP BY l_returnflag ORDER BY l_returnflag"
   )
 }

@@ -60,6 +60,26 @@ object SortSetOps {
       val a = o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
       val b = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
       a.except(b).orderBy("o_custkey")
+    },
+    // Unpivot/melt: wide numeric columns → long (metric, value) rows — the
+    // inverse of q_agg_pivot. Values scaled to e4 ints so the hash-compare
+    // is exact. Map-only Expand at scale: no shuffle.
+    "q_unpivot" -> { (s, dir) =>
+      Fixtures
+        .table(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          floor(col("l_quantity") * 1e4 + lit(0.5)).cast("long").as("l_quantity"),
+          floor(col("l_extendedprice") * 1e4 + lit(0.5)).cast("long").as("l_extendedprice"),
+          floor(col("l_discount") * 1e4 + lit(0.5)).cast("long").as("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric",
+          "value_e4")
+        .orderBy("l_orderkey", "l_linenumber", "metric")
     }
   )
 
@@ -75,6 +95,11 @@ object SortSetOps {
     "q_intersect" ->
       "SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995 INTERSECT SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996 ORDER BY o_custkey",
     "q_except" ->
-      "SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995 EXCEPT SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996 ORDER BY o_custkey"
+      "SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995 EXCEPT SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996 ORDER BY o_custkey",
+    // UNION ALL formulation rather than DuckDB's UNPIVOT syntax: identical
+    // semantics, no dialect risk on metric-name ordering.
+    "q_unpivot" ->
+      ("WITH t AS (SELECT l_orderkey, l_linenumber, CAST(floor(l_quantity*10000+0.5) AS BIGINT) AS q, CAST(floor(l_extendedprice*10000+0.5) AS BIGINT) AS ep, CAST(floor(l_discount*10000+0.5) AS BIGINT) AS d FROM lineitem WHERE l_orderkey < 100) " +
+        "SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, q AS value_e4 FROM t UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', ep FROM t UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', d FROM t ORDER BY l_orderkey, l_linenumber, metric")
   )
 }

@@ -63,6 +63,73 @@ class CapabilitiesSpec extends SparkSuite {
       s"approx median off by >1%: exact=$exactMedian approx=$approxMedian")
   }
 
+  test("cap_agg_sketch: mergeable HLL sketches — union of per-slice sketches estimates the global distinct") {
+    // The 100-TB pattern: build sketches per partition/day, store them, merge
+    // on demand — never re-scan. Datasketches HLL is built into Spark 4.
+    val li = Fixtures.table(spark, sf001, "lineitem")
+    val exact = li.select(countDistinct("l_partkey")).head().getLong(0).toDouble
+    val halves = li.withColumn("half", pmod(col("l_orderkey"), lit(2)))
+    val perSlice = halves.groupBy("half").agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+    val merged = perSlice
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .head()
+      .getLong(0)
+      .toDouble
+    assert(math.abs(merged - exact) / exact < 0.05, s"merged HLL off by >5%: exact=$exact est=$merged")
+  }
+
+  test("cap_sink_compact: range-clustered compaction yields N files with disjoint key ranges") {
+    val src = Fixtures
+      .table(spark, sf001, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .repartition(37) // simulate the many-small-files state
+    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    graft.sinks.ParquetLayout.compactRangeClustered(src, "o_orderkey", 4, dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 4, s"expected 4 files, got ${files.length}")
+    // data intact
+    val back = spark.read.parquet(dir)
+    assert(back.count() == src.count())
+    assert(back.agg(sum("o_orderkey")).head().getLong(0) == src.agg(sum("o_orderkey")).head().getLong(0))
+    // disjoint per-file key ranges → footer min/max can skip files
+    val ranges = files.toSeq.map { f =>
+      val r = spark.read.parquet(f.getPath).agg(min("o_orderkey"), max("o_orderkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi < lo, s"overlapping file ranges: $ranges")
+      case _                     =>
+    }
+  }
+
+  test("cap_extensions: a session built with GraftExtensions has the function and strategy installed") {
+    val s2 = org.apache.spark.sql.GraftSqlBridge.newSessionWithExtensions(spark, new GraftExtensions()(_))
+    // function registry: graft_cosine resolves in spark.sql
+    val cos = s2
+      .sql("SELECT graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c")
+      .head()
+      .getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+    // planner: the as-of strategy plans AsOfJoin nodes without runtime injection
+    import s2.implicits._
+    val p = Seq((1L, 10L, 100L)).toDF("p_id", "user_id", "p_ts")
+      .select(col("p_id"), col("user_id"), timestamp_micros(col("p_ts")).as("p_ts"))
+    val v = Seq((21L, 10L, 90L)).toDF("v_id", "v_user_id", "v_ts")
+      .select(col("v_id"), col("v_user_id"), timestamp_micros(col("v_ts")).as("v_ts"))
+    val joined = org.apache.spark.sql.GraftSqlBridge.ofRows(
+      s2,
+      graft.plans.AsOfJoin(
+        p.queryExecution.analyzed,
+        v.queryExecution.analyzed,
+        p.queryExecution.analyzed.output(1),
+        v.queryExecution.analyzed.output(1),
+        p.queryExecution.analyzed.output(2),
+        v.queryExecution.analyzed.output(2),
+        v.queryExecution.analyzed.output(0)))
+    val row = joined.select("p_id", "v_id").head()
+    assert(row.getLong(0) == 1L && row.getLong(1) == 21L)
+  }
+
   test("builtin statistical aggregates agree with the closed-form oracle query") {
     // q_agg_stats computes stats from exact integer sums; the builtin
     // streaming-moment aggregates must agree to high relative precision.
