@@ -132,16 +132,51 @@ object MediaPipeline {
     })
   }
 
-  /** Frame-sampling stub: every `everyN`-th 256-byte block is one "frame". */
+  /** Pixel checksum of a decoded frame — deterministic across JVMs. */
+  private def frameChecksum(img: BufferedImage): Long = {
+    var h = 7L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        h = (h * 131 + (img.getRGB(x, y) & 0xffffff)) % 1000000007L
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Frame sampling. Multi-frame payloads the JDK can decode (animated GIF —
+    * the zero-dependency stand-in for a video container) are sampled for
+    * real: every `everyN`-th decoded frame, checksummed over pixels. Other
+    * kinds fall back to the 256-byte-block STUB. One reader per payload,
+    * inside mapPartitions/flatMap, mirroring per-partition codec init. */
   def sampleFrames(ds: Dataset[MediaRecord], everyN: Int): Dataset[MediaFrame] = {
     import ds.sparkSession.implicits._
     ds.flatMap { r =>
-      r.payload
-        .grouped(256)
-        .zipWithIndex
-        .collect { case (block, idx) if idx % everyN == 0 =>
-          MediaFrame(r.id, idx, checksum(block))
-        }
+      val real: Option[Seq[MediaFrame]] =
+        if (r.kind.contains("gif") || r.kind.startsWith("video"))
+          try {
+            val reader = ImageIO.getImageReadersBySuffix("gif").next()
+            val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(r.payload))
+            try {
+              reader.setInput(iis)
+              val n = reader.getNumImages(true)
+              if (n <= 0) None
+              else Some((0 until n by everyN).map(i => MediaFrame(r.id, i, frameChecksum(reader.read(i)))))
+            } finally { reader.dispose(); iis.close() }
+          } catch { case _: Exception => None }
+        else None
+      real.getOrElse {
+        r.payload
+          .grouped(256)
+          .zipWithIndex
+          .collect { case (block, idx) if idx % everyN == 0 =>
+            MediaFrame(r.id, idx, checksum(block))
+          }
+          .toSeq
+      }
     }
   }
 }

@@ -72,6 +72,21 @@ object Scalars {
           col("p_type").rlike("COPPER$").as("is_copper"))
         .orderBy("p_partkey")
     },
+    // Fuzzy matching: edit-distance self-join over the 25 distinct p_type
+    // strings — the dedup primitive for near-identical catalog values
+    // (typo'd brands, OCR'd labels). Exact all-pairs is fine on a distinct
+    // value domain (the usual case: dedupe the dimension, not the fact
+    // table); at 100 TB over raw strings the blocking/banding patterns of
+    // the near-dup family (q_minhash_pairs et al.) bound the candidates.
+    "q_fuzzy_match" -> { (s, dir) =>
+      val t = Fixtures.table(s, dir, "part").select(col("p_type")).distinct()
+      val a = t.select(col("p_type").as("a_type"))
+      val b = t.select(col("p_type").as("b_type"))
+      a.join(b, col("a_type") < col("b_type"))
+        .withColumn("dist", levenshtein(col("a_type"), col("b_type")))
+        .filter(col("dist") <= 10)
+        .orderBy("a_type", "b_type")
+    },
     // Datetime surface over the NTZ order dates.
     "q_date_funcs" -> { (s, dir) =>
       Fixtures
@@ -196,6 +211,8 @@ object Scalars {
       "SELECT p_partkey, upper(p_name) AS u_name, lower(p_brand) AS l_brand, trim(p_type) AS t_type, substring(p_name,1,5) AS name5, concat_ws('-', p_brand, p_type) AS brand_type, lpad(CAST(p_partkey AS VARCHAR),8,'0') AS key8, CAST(length(p_name) AS INT) AS name_len, replace(p_name,' ','_') AS repl, string_split(p_name,' ')[1] AS tok0 FROM part ORDER BY p_partkey",
     "q_regex" ->
       "SELECT p_partkey, regexp_extract(p_type, '^(\\w+)', 1) AS first_word, regexp_replace(p_name, '[aeiou]', '*', 'g') AS novowels, regexp_matches(p_type, 'COPPER$') AS is_copper FROM part ORDER BY p_partkey",
+    "q_fuzzy_match" ->
+      "WITH t AS (SELECT DISTINCT p_type FROM part) SELECT a.p_type AS a_type, b.p_type AS b_type, CAST(levenshtein(a.p_type, b.p_type) AS INT) AS dist FROM t a JOIN t b ON a.p_type < b.p_type WHERE levenshtein(a.p_type, b.p_type) <= 10 ORDER BY a_type, b_type",
     "q_date_funcs" ->
       "SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS yr, CAST(quarter(o_orderdate) AS INT) AS qtr, CAST(month(o_orderdate) AS INT) AS mo, CAST(day(o_orderdate) AS INT) AS dom, date_trunc('month', o_orderdate) AS mstart, CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT) AS days_to_2000, CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m, last_day(CAST(o_orderdate AS DATE)) AS mend FROM orders ORDER BY o_orderkey",
     "q_math_funcs" ->

@@ -67,6 +67,41 @@ class JdbcSinkSpec extends SparkSuite {
     assert(row.getTimestamp(3) == t0)
   }
 
+  test("cap_stream_sink_jdbc: foreachBatch streaming upsert converges under replayed keys") {
+    import spark.implicits._
+    val streamTable = "stream_products"
+    withConn { c =>
+      val st = c.createStatement()
+      try st.execute(s"DROP TABLE $streamTable")
+      catch { case _: java.sql.SQLException => () }
+      st.execute(s"CREATE TABLE $streamTable (upc BIGINT PRIMARY KEY, name VARCHAR(64), price DOUBLE)")
+      st.close()
+    }
+    implicit val sq = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val q = JdbcSink.streamUpsert(
+      ms.toDF().toDF("upc", "name", "price"),
+      url,
+      streamTable,
+      keyCols = Seq("upc"),
+      checkpointDir = ckpt)
+    try {
+      ms.addData((1L, "widget", 9.99), (2L, "gadget", 19.99))
+      q.processAllAvailable()
+      // second micro-batch re-delivers key 1 (price change) + a new key —
+      // the at-least-once replay shape
+      ms.addData((1L, "widget", 11.49), (3L, "gizmo", 29.99))
+      q.processAllAvailable()
+      val rows = spark.read
+        .jdbc(url, streamTable, new Properties())
+        .collect()
+        .map(r => r.getLong(0) -> r.getDouble(2))
+        .toMap
+      assert(rows == Map(1L -> 11.49, 2L -> 19.99, 3L -> 29.99), s"got $rows")
+    } finally q.stop()
+  }
+
   test("OnDuplicateKeyDialect emits the single-statement MySQL upsert") {
     val sql = JdbcSink.onDuplicateKeySql(
       "products",

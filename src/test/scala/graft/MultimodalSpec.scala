@@ -92,4 +92,39 @@ class MultimodalSpec extends SparkSuite {
       .toMap
     assert(perDoc.view.mapValues(_.toInt).toMap == expected.view.mapValues(_.toInt).toMap)
   }
+
+  /** Deterministic animated GIF: `n` solid-color 16×16 frames. */
+  private def animatedGif(n: Int): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until n).foreach { i =>
+      val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color((i * 40) % 256, (i * 80) % 256, (i * 120) % 256))
+      g.fillRect(0, 0, 16, 16)
+      g.dispose()
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    buf.toByteArray
+  }
+
+  test("sampleFrames: real multi-frame GIF decode — every Nth decoded frame, distinct pixel checksums") {
+    val vids = spark.createDataset(Seq(
+      MediaRecord(1L, "video/gif", animatedGif(6)),
+      MediaRecord(2L, "video/gif", animatedGif(3))))
+    val frames = MediaPipeline.sampleFrames(vids, everyN = 2).collect()
+    val byId = frames.groupBy(_.id)
+    assert(byId(1L).map(_.frame_idx).sorted.toSeq == Seq(0, 2, 4), s"got ${byId(1L).toSeq}")
+    assert(byId(2L).map(_.frame_idx).sorted.toSeq == Seq(0, 2), s"got ${byId(2L).toSeq}")
+    // distinct solid colors → distinct pixel checksums; re-run is identical
+    assert(byId(1L).map(_.frame_checksum).distinct.length == 3)
+    val again = MediaPipeline.sampleFrames(vids, everyN = 2).collect().sortBy(f => (f.id, f.frame_idx))
+    assert(again.toSeq == frames.sortBy(f => (f.id, f.frame_idx)).toSeq)
+  }
 }
