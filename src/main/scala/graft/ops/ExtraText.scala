@@ -137,14 +137,14 @@ object ExtraText {
     // Near-dup pairs by exact bigram-shingle Jaccard on a 30-doc slice —
     // the exact baseline MinHash-LSH approximates at scale (cap_sim_lsh).
     "q_dedup_jaccard" -> { (s, dir) =>
+      // shingleUdf, not the transform(sequence(...)) chain: higher-order
+      // functions are CodegenFallback AND explode over a computed array
+      // re-evaluates it per element — measured 2.2 s vs ~0.4 s here.
       val sh = Fixtures
         .table(s, dir, "documents")
         .filter(col("doc_id") < 30)
-        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
-        .select(
-          col("doc_id"),
-          explode(expr("transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))
-            .as("bg"))
+        .select(col("doc_id"), shingleUdf(split(lower(col("text")), " ")).as("toks"))
+        .select(col("doc_id"), explode(col("toks")).as("bg"))
         .distinct()
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val a = sh.select(col("doc_id").as("a_id"), col("bg"))

@@ -1,8 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{
+  ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode,
+  TimerValues, TTLConfig, ValueState
+}
 
 /** SURVEY.md §2.I — Structured Streaming implementations (cap_stream_*).
   *
@@ -84,6 +87,71 @@ object StreamOps {
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n"))
       .select(col("user_id"), col("w.start").as("s_start"), col("w.end").as("s_end"), col("n"))
+
+  /** Spark 4 `transformWithState` twin of `sessionize` — the successor API
+    * to flatMapGroupsWithState: explicit named state (`ValueState`) plus
+    * event-time timers instead of a single timeout slot. Requires the
+    * RocksDB state store provider. Semantics are identical to
+    * `sessionize`/`session_window`: sessions span [start, last+gap), close
+    * once the watermark passes last+gap (closed sessions emitted on input
+    * OR on timer expiry, so a key with no further input still flushes). */
+  def sessionizeTws(events: Dataset[SessionEvent]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor, TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  private class SessionProcessor extends StatefulProcessor[Long, SessionEvent, SessionOut] {
+    @transient private var state: ValueState[List[Session]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[List[Session]]("sessions", Encoders.kryo[List[Session]], TTLConfig.NONE)
+
+    private def mergeAll(existing: List[Session], incoming: List[Session]): List[Session] = {
+      val all = (existing ++ incoming).sortBy(s => (s.start, s.last))
+      all.foldLeft(List.empty[Session]) {
+        case (cur :: rest, s) if s.start < cur.last + gapMs =>
+          Session(cur.start, math.max(cur.last, s.last), cur.n + s.n) :: rest
+        case (acc, s) => s :: acc
+      }.reverse
+    }
+
+    private def flush(user: Long, wm: Long, expiring: Long = Long.MinValue): Iterator[SessionOut] = {
+      val merged = if (state.exists()) state.get() else Nil
+      val (closed, open) = merged.partition(_.last + gapMs <= wm)
+      if (open.isEmpty) state.clear()
+      else {
+        state.update(open)
+        // one live timer per key: replace whatever is registered with the
+        // earliest open-session close time (the currently-expiring timer is
+        // removed by the framework — don't delete it again)
+        val want = open.map(_.last + gapMs).min
+        val existing = getHandle.listTimers().toSet - expiring
+        existing.filterNot(_ == want).foreach(getHandle.deleteTimer)
+        if (!existing.contains(want) && want != expiring) getHandle.registerTimer(want)
+      }
+      closed
+        .map(s => SessionOut(user, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last + gapMs), s.n))
+        .iterator
+    }
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[SessionEvent],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      val incoming = rows.map(e => Session(e.ts.getTime, e.ts.getTime, 1L)).toList
+      state.update(mergeAll(if (state.exists()) state.get() else Nil, incoming))
+      flush(user, timerValues.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(
+        user: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] =
+      flush(user, timerValues.getCurrentWatermarkInMs(), expiredTimerInfo.getExpiryTimeInMs())
+  }
 
   /** Stream-stream interval join: each purchase matched to same-user views
     * in the preceding 30 minutes. Both sides carry watermarks and the join

@@ -1,0 +1,35 @@
+package graft
+
+/** Plan-shape regression guards for the scale-critical queries: the banded
+  * near-dup joins must never plan as cartesian products or nested-loop
+  * joins, and the broadcast/pushdown shapes the Scaladoc promises must
+  * actually appear. Catching a plan regression here is much cheaper than
+  * noticing a bench blow-up a round later.
+  */
+class PlanShapeSpec extends SparkSuite {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf001)
+    df.count() // settle AQE so the executed plan is the real one
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("banded near-dup joins: no cartesian/nested-loop stage anywhere") {
+    for (q <- Seq("q_simhash_pairs", "q_minhash_pairs", "q_cosine_lsh_pairs", "q_dedup_jaccard")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join:\n$p")
+    }
+  }
+
+  test("q_join_broadcast actually broadcasts; q_join_shuffle stays sort-merge") {
+    assert(planOf("q_join_broadcast").contains("BroadcastHashJoin"))
+    assert(planOf("q_join_shuffle").contains("SortMergeJoin"))
+  }
+
+  test("scan pushdown: q_filter_pred pushes predicates into the parquet scan") {
+    val p = planOf("q_filter_pred")
+    assert(p.contains("PushedFilters: ["), s"no pushed filters:\n$p")
+    assert(p.contains("IsNotNull"), s"expected pushed IsNotNull:\n$p")
+  }
+}

@@ -129,6 +129,53 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("cap_stream_tws: transformWithState sessionization equals session_window batch (RocksDB state)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val sessionEvents = fixtureEvents.map(e => SessionEvent(e.user_id, e.ts))
+    val ms = MemoryStream[SessionEvent]
+    val q = StreamOps
+      .sessionizeTws(ms.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("t_tws")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      sessionEvents.grouped(300).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+      ms.addData(Seq(SessionEvent(-1L, sentinel.ts)))
+      q.processAllAvailable()
+      // compare at ms granularity: Session state carries epoch millis (same
+      // convention as the fMGWS test); session_window batch keeps micros
+      val streamed = spark
+        .table("t_tws")
+        .filter(col("user_id") >= 0)
+        .as[SessionOut]
+        .collect()
+        .map(s => (s.user_id, s.s_start.getTime, s.s_end.getTime, s.n))
+        .toSet
+      val batch = StreamOps
+        .sessionizeBatch(sessionEvents.toDF())
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime, r.getLong(3)))
+        .toSet
+      assert(batch.nonEmpty)
+      if (streamed != batch)
+        fail(s"tws-vs-batch sizes ${streamed.size}/${batch.size}; " +
+          s"missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
+    } finally {
+      q.stop()
+      prior match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("cap_stream_join: stream-stream interval join equals batch join") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
