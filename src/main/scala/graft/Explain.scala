@@ -16,7 +16,10 @@ object Explain {
     "q_join_multiway",    // expect: broadcast for customer side at this SF
     "q_limit_topk",       // expect: TakeOrderedAndProject, no global sort
     "q_win_topk",         // expect: WindowGroupLimit pruning
-    "q_sim_cosine_topk"   // expect: BroadcastNestedLoopJoin (20-row side)
+    "q_sim_cosine_topk",  // expect: BroadcastNestedLoopJoin (20-row side)
+    "q_join_asof_native", // expect: AsOfJoin over key exchange + (key,time) sorts
+    "q_minhash_pairs",    // expect: band-keyed SMJ/SHJ, no cartesian stage
+    "q_cosine_lsh_pairs"  // expect: band-keyed join + exact-cosine verify
   )
 
   def main(args: Array[String]): Unit = {

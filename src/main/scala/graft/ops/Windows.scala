@@ -86,6 +86,20 @@ object Windows {
         .filter(col("rn") <= 3)
         .select("c_nationkey", "rn", "c_custkey", "c_acctbal")
         .orderBy("c_nationkey", "rn")
+    },
+    // Distribution functions: percent_rank = (rank-1)/(n-1) and cume_dist =
+    // rank_with_ties/n are exact rationals of integers, so one double
+    // division is bit-identical across engines; e6-scaled for the hash.
+    "q_win_dist" -> { (s, dir) =>
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+      Fixtures
+        .table(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          col("c_mktsegment"),
+          floor(percent_rank().over(w) * 1e6 + lit(0.5)).cast("long").as("pr_e6"),
+          floor(cume_dist().over(w) * 1e6 + lit(0.5)).cast("long").as("cd_e6"))
+        .orderBy("c_custkey")
     }
   )
 
@@ -99,6 +113,8 @@ object Windows {
     "q_win_range" ->
       "WITH o AS (SELECT o_orderkey, o_custkey, epoch_us(o_orderdate)//1000000 AS epoch_s, CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents FROM orders) SELECT o_orderkey, o_custkey, avg(cents) OVER (PARTITION BY o_custkey ORDER BY epoch_s RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS avg_7d_c FROM o ORDER BY o_orderkey",
     "q_win_topk" ->
-      "WITH r AS (SELECT c_nationkey, c_custkey, c_acctbal, row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn FROM customer) SELECT c_nationkey, CAST(rn AS INT) AS rn, c_custkey, c_acctbal FROM r WHERE rn <= 3 ORDER BY c_nationkey, rn"
+      "WITH r AS (SELECT c_nationkey, c_custkey, c_acctbal, row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn FROM customer) SELECT c_nationkey, CAST(rn AS INT) AS rn, c_custkey, c_acctbal FROM r WHERE rn <= 3 ORDER BY c_nationkey, rn",
+    "q_win_dist" ->
+      "SELECT c_custkey, c_mktsegment, CAST(floor(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT) AS pr_e6, CAST(floor(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT) AS cd_e6 FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) ORDER BY c_custkey"
   )
 }
