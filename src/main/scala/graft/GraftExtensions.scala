@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, SimHashExpr}
 import graft.plans.AsOfJoinStrategy
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -23,6 +23,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
         (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           CosineSimilarity(children(0), children(1))))
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("graft_simhash"),
+        new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          SimHashExpr(children.head)))
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

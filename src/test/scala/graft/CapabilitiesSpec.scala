@@ -63,6 +63,49 @@ class CapabilitiesSpec extends SparkSuite {
       s"approx median off by >1%: exact=$exactMedian approx=$approxMedian")
   }
 
+  test("cap_scan_jsonl: JSON-lines read with declared schema round-trips rows and types") {
+    val src = Fixtures
+      .table(spark, sf001, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .limit(150)
+    val dir = Files.createTempDirectory("graft-jsonl").toString + "/o"
+    src.write.json(dir)
+    val back = spark.read.schema(src.schema).json(dir)
+    assert(back.schema == src.schema)
+    assert(back.orderBy("o_orderkey").collect().toSeq == src.orderBy("o_orderkey").collect().toSeq)
+  }
+
+  test("cap_scan_badrecords: PERMISSIVE captures corrupt rows, FAILFAST rejects the file") {
+    // The reference's ingestion reality: malformed records in the feed. A
+    // loader must quarantine them (PERMISSIVE + _corrupt_record), and a
+    // strict validation pass must fail loudly (FAILFAST).
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-bad").toString
+    val f = new java.io.PrintWriter(s"$dir/feed.json")
+    f.println("""{"upc": 1, "price": 9.99}""")
+    f.println("""{"upc": "not-a-number", "price": }""") // malformed JSON
+    f.println("""{"upc": 3, "price": 29.99}""")
+    f.close()
+    val schema = StructType(Seq(
+      StructField("upc", LongType),
+      StructField("price", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    val permissive = spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(s"$dir/feed.json")
+      .cache()
+    assert(permissive.count() == 3)
+    assert(permissive.filter(col("_corrupt_record").isNotNull).count() == 1)
+    assert(permissive.filter(col("upc").isNotNull).count() == 2)
+    val strict = spark.read
+      .schema(StructType(schema.dropRight(1)))
+      .option("mode", "FAILFAST")
+      .json(s"$dir/feed.json")
+    intercept[org.apache.spark.SparkException](strict.collect())
+  }
+
   test("cap_agg_sketch: mergeable HLL sketches — union of per-slice sketches estimates the global distinct") {
     // The 100-TB pattern: build sketches per partition/day, store them, merge
     // on demand — never re-scan. Datasketches HLL is built into Spark 4.

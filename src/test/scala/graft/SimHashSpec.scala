@@ -49,4 +49,30 @@ class SimHashSpec extends SparkSuite {
       s"banded join missed planted pairs: ${(expected -- got).take(5)}")
     assert(pairs.forall(p => SimHash.hamming(sigs(p._1), sigs(p._2)) <= 3))
   }
+
+  test("native SimHashExpr is bit-identical to the UDF and the local kernel") {
+    val docs = Fixtures
+      .table(spark, sf001, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+    val both = docs
+      .select(
+        col("doc_id"),
+        SimHash.simhashCol(col("toks")).as("expr_sig"),
+        SimHash.simhashUdf(col("toks")).as("udf_sig"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"expr/udf mismatch for doc ${r.getLong(0)}")
+    }
+    // local kernel parity on one row
+    val one = docs.limit(1).collect().head
+    val toks = one.getSeq[String](1)
+    val local = SimHash.simhash64(toks)
+    val viaExpr = docs
+      .filter(col("doc_id") === one.getLong(0))
+      .select(SimHash.simhashCol(col("toks")))
+      .head()
+      .getLong(0)
+    assert(local == viaExpr)
+  }
 }
