@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{CosineSimilarity, SimHashExpr}
-import graft.plans.AsOfJoinStrategy
+import graft.plans.{AsOfJoinStrategy, LevenshteinPruneRule}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -30,5 +30,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           SimHashExpr(children.head)))
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => LevenshteinPruneRule)
   }
 }
