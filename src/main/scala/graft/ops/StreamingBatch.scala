@@ -48,6 +48,18 @@ object StreamingBatch {
         .agg(count(lit(1)).as("n"))
         .select(col("user_id"), col("w.start").as("s_start"), col("w.end").as("s_end"), col("n"))
         .orderBy("user_id", "s_start")
+    },
+    // Batch form of the stream-stream interval join (cap_stream_join proves
+    // the MemoryStream run emits the identical set) — purchases matched to
+    // same-user views in the trailing 30 minutes.
+    "q_stream_join" -> { (s, dir) =>
+      val ev = Fixtures.events(s, dir)
+      graft.streaming.StreamOps
+        .viewsBeforePurchase(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "purchase"))
+        .select(col("user_id"), col("purchase_id"), col("view_id"))
+        .orderBy("purchase_id", "view_id")
     }
   )
 
@@ -57,6 +69,8 @@ object StreamingBatch {
     "q_stream_sliding" ->
       (evCte + " SELECT w_start, event_type, count(*) AS n, CAST(sum(value_c) AS BIGINT) AS sum_value_c FROM (SELECT CAST(time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE AS TIMESTAMP) AS w_start, event_type, value_c FROM e CROSS JOIN unnest([0,1,2,3]) AS t(k)) GROUP BY w_start, event_type ORDER BY w_start, event_type"),
     "q_stream_session" ->
-      (evCte + ", g AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM e), i AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g) SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end, count(*) AS n FROM i GROUP BY user_id, sid ORDER BY user_id, s_start")
+      (evCte + ", g AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM e), i AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g) SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end, count(*) AS n FROM i GROUP BY user_id, sid ORDER BY user_id, s_start"),
+    "q_stream_join" ->
+      "WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events), v AS (SELECT event_id AS view_id, user_id, ts FROM e WHERE event_type = 'view'), p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM e WHERE event_type = 'purchase') SELECT p.user_id, p.purchase_id, v.view_id FROM p JOIN v ON p.user_id = v.user_id AND v.ts >= p.p_ts - INTERVAL 30 MINUTE AND v.ts <= p.p_ts ORDER BY purchase_id, view_id"
   )
 }
