@@ -138,6 +138,23 @@ object Joins {
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("user_id")
     },
+    // Salted skew join: 90% of lineitem rows mapped to one hot part key,
+    // joined to part through SkewJoin.saltedEquiJoin (8 salts). The oracle
+    // is the PLAIN join SQL — salting must be output-invisible, so the
+    // DuckDB hash-match proves both correctness and salt-neutrality.
+    "q_join_salted" -> { (s, dir) =>
+      val left = Fixtures
+        .table(s, dir, "lineitem")
+        .select(
+          when(pmod(col("l_orderkey"), lit(10)) < 9, 1L).otherwise(col("l_partkey")).as("k"),
+          col("l_orderkey"),
+          col("l_linenumber"))
+      val right = Fixtures.table(s, dir, "part").select(col("p_partkey").as("rk"), col("p_brand"))
+      SkewJoin
+        .saltedEquiJoin(left, right, "k", "rk", leftTieBreak = "l_orderkey", nSalts = 8)
+        .select("l_orderkey", "l_linenumber", "rk", "p_brand")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
     // As-of join: latest prior 'view' for each 'purchase' by the same user.
     // Spark has no batch as-of join — canonical theta join + row_number()=1,
     // keeping unmatched purchases via left join (null view columns).
@@ -205,6 +222,8 @@ object Joins {
       "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
     "q_join_theta" ->
       (evCte + " SELECT e1.user_id, count(*) AS n_pairs FROM e e1 JOIN e e2 ON e1.user_id = e2.user_id AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE GROUP BY e1.user_id ORDER BY e1.user_id"),
+    "q_join_salted" ->
+      "WITH l AS (SELECT CASE WHEN l_orderkey % 10 < 9 THEN 1 ELSE l_partkey END AS k, l_orderkey, l_linenumber FROM lineitem) SELECT l_orderkey, l_linenumber, p_partkey AS rk, p_brand FROM l JOIN part ON k = p_partkey ORDER BY l_orderkey, l_linenumber",
     "q_join_asof" ->
       (evCte + ", p AS (SELECT event_id AS p_event_id, user_id, ts AS p_ts FROM e WHERE event_type = 'purchase'), v AS (SELECT event_id AS v_event_id, user_id AS v_user_id, ts AS v_ts FROM e WHERE event_type = 'view'), j AS (SELECT p.p_event_id, p.user_id, p.p_ts, v.v_event_id, v.v_ts, row_number() OVER (PARTITION BY p.p_event_id ORDER BY v.v_ts DESC NULLS LAST, v.v_event_id DESC NULLS LAST) AS rn FROM p LEFT JOIN v ON p.user_id = v.v_user_id AND v.v_ts <= p.p_ts) SELECT p_event_id, user_id, p_ts, v_event_id, v_ts FROM j WHERE rn = 1 ORDER BY p_event_id"),
     "q_join_asof_native" ->
