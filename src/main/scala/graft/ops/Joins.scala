@@ -138,6 +138,27 @@ object Joins {
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("user_id")
     },
+    // Keyless range join: lineitem prices matched to part price bands
+    // (retail ± 50.00) — no equi key exists, so the naive plan is a
+    // nested-loop cross join; RangeJoin buckets the price domain and turns
+    // it into a hash join. Oracle is the plain BETWEEN join SQL.
+    "q_join_range" -> { (s, dir) =>
+      val cents = (c: org.apache.spark.sql.Column) => floor(c * 100 + lit(0.5)).cast("long")
+      val p = Fixtures
+        .table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), cents(col("l_extendedprice")).as("price_c"))
+      val bands = Fixtures
+        .table(s, dir, "part")
+        .filter(col("p_partkey") <= 100)
+        .select(
+          col("p_partkey"),
+          (cents(col("p_retailprice")) - 5000).as("lo"),
+          (cents(col("p_retailprice")) + 5000).as("hi"))
+      RangeJoin
+        .pointInInterval(p, bands, "price_c", "lo", "hi", bucketWidth = 10000L)
+        .select("p_partkey", "l_orderkey", "l_linenumber", "price_c")
+        .orderBy("p_partkey", "l_orderkey", "l_linenumber")
+    },
     // Salted skew join: 90% of lineitem rows mapped to one hot part key,
     // joined to part through SkewJoin.saltedEquiJoin (8 salts). The oracle
     // is the PLAIN join SQL — salting must be output-invisible, so the
@@ -224,6 +245,8 @@ object Joins {
       (evCte + " SELECT e1.user_id, count(*) AS n_pairs FROM e e1 JOIN e e2 ON e1.user_id = e2.user_id AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE GROUP BY e1.user_id ORDER BY e1.user_id"),
     "q_join_salted" ->
       "WITH l AS (SELECT CASE WHEN l_orderkey % 10 < 9 THEN 1 ELSE l_partkey END AS k, l_orderkey, l_linenumber FROM lineitem) SELECT l_orderkey, l_linenumber, p_partkey AS rk, p_brand FROM l JOIN part ON k = p_partkey ORDER BY l_orderkey, l_linenumber",
+    "q_join_range" ->
+      "WITH p AS (SELECT l_orderkey, l_linenumber, CAST(floor(l_extendedprice*100+0.5) AS BIGINT) AS price_c FROM lineitem), i AS (SELECT p_partkey, CAST(floor(p_retailprice*100+0.5) AS BIGINT) - 5000 AS lo, CAST(floor(p_retailprice*100+0.5) AS BIGINT) + 5000 AS hi FROM part WHERE p_partkey <= 100) SELECT i.p_partkey, p.l_orderkey, p.l_linenumber, p.price_c FROM p JOIN i ON p.price_c BETWEEN i.lo AND i.hi ORDER BY p_partkey, l_orderkey, l_linenumber",
     "q_join_asof" ->
       (evCte + ", p AS (SELECT event_id AS p_event_id, user_id, ts AS p_ts FROM e WHERE event_type = 'purchase'), v AS (SELECT event_id AS v_event_id, user_id AS v_user_id, ts AS v_ts FROM e WHERE event_type = 'view'), j AS (SELECT p.p_event_id, p.user_id, p.p_ts, v.v_event_id, v.v_ts, row_number() OVER (PARTITION BY p.p_event_id ORDER BY v.v_ts DESC NULLS LAST, v.v_event_id DESC NULLS LAST) AS rn FROM p LEFT JOIN v ON p.user_id = v.v_user_id AND v.v_ts <= p.p_ts) SELECT p_event_id, user_id, p_ts, v_event_id, v_ts FROM j WHERE rn = 1 ORDER BY p_event_id"),
     "q_join_asof_native" ->

@@ -15,7 +15,7 @@ class PlanShapeSpec extends SparkSuite {
   }
 
   test("banded near-dup joins: no cartesian/nested-loop stage anywhere") {
-    for (q <- Seq("q_simhash_pairs", "q_minhash_pairs", "q_cosine_lsh_pairs", "q_dedup_jaccard")) {
+    for (q <- Seq("q_simhash_pairs", "q_minhash_pairs", "q_cosine_lsh_pairs", "q_dedup_jaccard", "q_join_range")) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join:\n$p")
