@@ -19,7 +19,9 @@ object Explain {
     "q_sim_cosine_topk",  // expect: BroadcastNestedLoopJoin (20-row side)
     "q_join_asof_native", // expect: AsOfJoin over key exchange + (key,time) sorts
     "q_minhash_pairs",    // expect: band-keyed SMJ/SHJ, no cartesian stage
-    "q_cosine_lsh_pairs"  // expect: band-keyed join + exact-cosine verify
+    "q_cosine_lsh_pairs", // expect: band-keyed join + exact-cosine verify
+    "q_join_range",       // expect: hash join on _bkt, no nested loop
+    "q_join_salted"       // expect: equi-join on (key, salt), Expand on right
   )
 
   def main(args: Array[String]): Unit = {

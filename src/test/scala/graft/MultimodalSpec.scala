@@ -114,6 +114,30 @@ class MultimodalSpec extends SparkSuite {
     buf.toByteArray
   }
 
+  test("cap_scan_binary: binaryFile source ingests real image files into the decode pipeline") {
+    // The ingestion path a real multimodal corpus uses: a directory of
+    // media files → (path, content) rows → MediaPipeline decode.
+    val dir = java.nio.file.Files.createTempDirectory("graft-imgs").toString
+    (0 until 5).foreach { i =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/img_$i.png"),
+        pngBytes(30 + i, 20, i))
+    }
+    val files = spark.read.format("binaryFile").load(dir)
+    assert(files.count() == 5)
+    val records = files
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (path, bytes) =>
+        MediaRecord("img_(\\d+)".r.findFirstMatchIn(path).get.group(1).toLong, "image", bytes)
+      }
+    val feats = MediaPipeline.decodeFeatures(records).collect().map(f => f.id -> f).toMap
+    assert(feats.size == 5)
+    (0L until 5L).foreach { i =>
+      assert(feats(i).width == 30 + i.toInt && feats(i).height == 20, s"decode wrong for $i: ${feats(i)}")
+    }
+  }
+
   test("sampleFrames: real multi-frame GIF decode — every Nth decoded frame, distinct pixel checksums") {
     val vids = spark.createDataset(Seq(
       MediaRecord(1L, "video/gif", animatedGif(6)),
