@@ -51,6 +51,30 @@ object ExtraText {
     orig.unionByName(variant).repartition(s.sparkContext.defaultParallelism, col("doc_id"))
   }
 
+  /** Exact bigram-Jaccard near-dup pairs on the 30-doc slice (the exact
+    * baseline the LSH families approximate). shingleUdf, not the
+    * transform(sequence(...)) chain: higher-order functions are
+    * CodegenFallback AND explode over a computed array re-evaluates it per
+    * element — measured 2.2 s vs ~0.4 s here. */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = Fixtures
+      .table(s, dir, "documents")
+      .filter(col("doc_id") < 30)
+      .select(col("doc_id"), shingleUdf(split(lower(col("text")), " ")).as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("bg"))
+      .distinct()
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("a_id"), col("bg"))
+    val b = sh.select(col("doc_id").as("b_id"), col("bg").as("bg2"))
+    a.join(b, col("bg") === col("bg2") && col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("i"))
+      .join(sz.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+      .join(sz.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+      .withColumn("jacc", col("i") / (col("na") + col("nb") - col("i")))
+      .filter(col("jacc") >= 0.05)
+  }
+
   /** marker tokens per language for the n-gram/stopword lang-ID heuristic */
   private val markers = Map(
     "en" -> Seq("the", "a", "of"),
@@ -137,27 +161,24 @@ object ExtraText {
     // Near-dup pairs by exact bigram-shingle Jaccard on a 30-doc slice —
     // the exact baseline MinHash-LSH approximates at scale (cap_sim_lsh).
     "q_dedup_jaccard" -> { (s, dir) =>
-      // shingleUdf, not the transform(sequence(...)) chain: higher-order
-      // functions are CodegenFallback AND explode over a computed array
-      // re-evaluates it per element — measured 2.2 s vs ~0.4 s here.
-      val sh = Fixtures
-        .table(s, dir, "documents")
-        .filter(col("doc_id") < 30)
-        .select(col("doc_id"), shingleUdf(split(lower(col("text")), " ")).as("toks"))
-        .select(col("doc_id"), explode(col("toks")).as("bg"))
-        .distinct()
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = sh.select(col("doc_id").as("a_id"), col("bg"))
-      val b = sh.select(col("doc_id").as("b_id"), col("bg").as("bg2"))
-      a.join(b, col("bg") === col("bg2") && col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(count(lit(1)).as("i"))
-        .join(sz.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
-        .join(sz.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
-        .withColumn("jacc", col("i") / (col("na") + col("nb") - col("i")))
-        .filter(col("jacc") >= 0.05)
+      jaccardPairs(s, dir)
         .select(col("a_id"), col("b_id"), e6(col("jacc")).as("jacc_e6"))
         .orderBy("a_id", "b_id")
+    },
+    // Near-dup pairs → dedup DECISION: connected components over the exact
+    // Jaccard pair graph, each cluster's min doc_id is the canonical copy
+    // and the rest are the delete set. Oracle: DuckDB recursive CTE
+    // computing min-reachable-id per node — the hash-match proves the
+    // label-propagation loop converges to true components.
+    "q_dedup_clusters" -> { (s, dir) =>
+      val verts = Fixtures.table(s, dir, "documents").filter(col("doc_id") < 30).select("doc_id")
+      Components
+        .connectedComponents(jaccardPairs(s, dir).select("a_id", "b_id"), verts, "doc_id")
+        .select(
+          col("id").as("doc_id"),
+          col("comp"),
+          (col("id") === col("comp")).cast("int").as("is_canonical"))
+        .orderBy("doc_id")
     },
     // IVF-style ANN: coarse-quantize vectors into 16 sign-bit buckets on the
     // first 4 dims, search only within the query's bucket. The shape that
@@ -259,6 +280,8 @@ object ExtraText {
       "SELECT doc_id, CAST(list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(string_split(lower(text),' '), t -> CAST(ascii(t) AS BIGINT)*256 + length(t))), (h,v) -> (h*31 + v) % 1000000007) AS BIGINT) AS fp FROM documents ORDER BY doc_id",
     "q_dedup_jaccard" ->
       "WITH s AS (SELECT DISTINCT doc_id, bg FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg FROM (SELECT doc_id, string_split(lower(text),' ') AS toks FROM documents WHERE doc_id < 30))), sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id), inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i FROM s a JOIN s b ON a.bg = b.bg AND a.doc_id < b.doc_id GROUP BY 1, 2), j AS (SELECT a_id, b_id, i/(sa.n + sb.n - i) AS jacc FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id) SELECT a_id, b_id, CAST(floor(jacc*1000000 + 0.5) AS BIGINT) AS jacc_e6 FROM j WHERE jacc >= 0.05 ORDER BY a_id, b_id",
+    "q_dedup_clusters" ->
+      "WITH RECURSIVE s AS (SELECT DISTINCT doc_id, bg FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg FROM (SELECT doc_id, string_split(lower(text),' ') AS toks FROM documents WHERE doc_id < 30))), sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id), inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i FROM s a JOIN s b ON a.bg = b.bg AND a.doc_id < b.doc_id GROUP BY 1, 2), pr AS (SELECT a_id, b_id FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id WHERE i/(sa.n + sb.n - i) >= 0.05), verts AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 30), e AS (SELECT a_id AS s2, b_id AS d FROM pr UNION ALL SELECT b_id, a_id FROM pr), reach(node, m) AS (SELECT doc_id, doc_id FROM verts UNION SELECT e.s2, r.m FROM e JOIN reach r ON e.d = r.node) SELECT node AS doc_id, CAST(min(m) AS BIGINT) AS comp, CAST(node = min(m) AS INT) AS is_canonical FROM reach GROUP BY node ORDER BY doc_id",
     "q_sim_ann_ivf" ->
       ("WITH e AS (SELECT vec_id, embedding, (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bkt FROM embeddings), s AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.bkt, " +
         SimKernel.cosSql("q.embedding", "c.embedding") +
