@@ -25,16 +25,20 @@ object Components {
     val sym = edges
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
-    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("comp")).localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
-      val next = sym
+    def propagate(labels: DataFrame): DataFrame =
+      sym
         .join(labels, sym("dst") === labels("id"))
         .select(col("src").as("id"), col("comp"))
         .unionByName(labels)
         .groupBy("id")
         .agg(min("comp").as("comp"))
-        .localCheckpoint()
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("comp")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      // Two propagation hops per convergence check: labels only decrease, so
+      // a two-step fixpoint is a one-step fixpoint, and the per-round fixed
+      // cost (checkpoint + count job) is paid half as often.
+      val next = propagate(propagate(labels)).localCheckpoint()
       changed = next
         .join(labels.withColumnRenamed("comp", "prev"), "id")
         .filter(col("comp") =!= col("prev"))
