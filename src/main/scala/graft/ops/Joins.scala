@@ -61,6 +61,36 @@ object Joins {
             .as("revenue_e4"))
         .orderBy("l_orderkey")
     },
+    // TPC-H Q5 shape: 6-table join with the non-star condition
+    // s_nationkey = c_nationkey (supplier and customer constrained to the
+    // same nation) — the classic plan where join ORDER matters: dims
+    // broadcast, facts meet on their keys, and the extra equi condition
+    // rides along on the supplier join instead of forcing a cross check.
+    "q_join_tpch_q5" -> { (s, dir) =>
+      val r = Fixtures.table(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = Fixtures.table(s, dir, "nation")
+      val c = Fixtures.table(s, dir, "customer")
+      val o = Fixtures
+        .table(s, dir, "orders")
+        .filter(
+          col("o_orderdate") >= lit("1995-01-01").cast("timestamp_ntz") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+      val l = Fixtures.table(s, dir, "lineitem")
+      val sup = Fixtures.table(s, dir, "supplier")
+      r.join(n, col("n_regionkey") === col("r_regionkey"))
+        .join(c, col("c_nationkey") === col("n_nationkey"))
+        .join(o, col("o_custkey") === col("c_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          sum(
+            floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long") *
+              (lit(100) - floor(col("l_discount") * 100 + lit(0.5)).cast("long")))
+            .as("revenue_e4"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue_e4").desc, col("n_name"))
+    },
     // Left outer + null-side handling: order stats per customer incl. zeroes.
     "q_join_left" -> { (s, dir) =>
       val c = Fixtures.table(s, dir, "customer")
@@ -245,6 +275,8 @@ object Joins {
       (evCte + " SELECT e1.user_id, count(*) AS n_pairs FROM e e1 JOIN e e2 ON e1.user_id = e2.user_id AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE GROUP BY e1.user_id ORDER BY e1.user_id"),
     "q_join_salted" ->
       "WITH l AS (SELECT CASE WHEN l_orderkey % 10 < 9 THEN 1 ELSE l_partkey END AS k, l_orderkey, l_linenumber FROM lineitem) SELECT l_orderkey, l_linenumber, p_partkey AS rk, p_brand FROM l JOIN part ON k = p_partkey ORDER BY l_orderkey, l_linenumber",
+    "q_join_tpch_q5" ->
+      "SELECT n_name, CAST(sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100+0.5) AS BIGINT))) AS BIGINT) AS revenue_e4, count(*) AS n_items FROM region JOIN nation ON n_regionkey = r_regionkey JOIN customer ON c_nationkey = n_nationkey JOIN orders ON o_custkey = c_custkey JOIN lineitem ON l_orderkey = o_orderkey JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY n_name ORDER BY revenue_e4 DESC, n_name",
     "q_join_range" ->
       "WITH p AS (SELECT l_orderkey, l_linenumber, CAST(floor(l_extendedprice*100+0.5) AS BIGINT) AS price_c FROM lineitem), i AS (SELECT p_partkey, CAST(floor(p_retailprice*100+0.5) AS BIGINT) - 5000 AS lo, CAST(floor(p_retailprice*100+0.5) AS BIGINT) + 5000 AS hi FROM part WHERE p_partkey <= 100) SELECT i.p_partkey, p.l_orderkey, p.l_linenumber, p.price_c FROM p JOIN i ON p.price_c BETWEEN i.lo AND i.hi ORDER BY p_partkey, l_orderkey, l_linenumber",
     "q_join_asof" ->
