@@ -91,6 +91,24 @@ object Joins {
           count(lit(1)).as("n_items"))
         .orderBy(col("revenue_e4").desc, col("n_name"))
     },
+    // Correlated subquery surface: a scalar subquery and a correlated
+    // EXISTS, decorrelated by Catalyst into aggregate + semi joins — the
+    // analyzer feature a SQL user hits first. Routed through spark.sql
+    // (subqueries are SQL-surface constructs); cents scaling keeps the
+    // scalar subquery's sum exact.
+    "q_subquery_corr" -> { (s, dir) =>
+      Fixtures.table(s, dir, "customer").createOrReplaceTempView("customer")
+      Fixtures.table(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c_custkey,
+          |       (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+          |       (SELECT CAST(coalesce(sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT)), 0) AS BIGINT)
+          |          FROM orders o WHERE o.o_custkey = c.c_custkey) AS spend_c
+          |FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o2
+          |              WHERE o2.o_custkey = c.c_custkey AND o2.o_totalprice > 100000)
+          |ORDER BY c_custkey""".stripMargin)
+    },
     // Left outer + null-side handling: order stats per customer incl. zeroes.
     "q_join_left" -> { (s, dir) =>
       val c = Fixtures.table(s, dir, "customer")
@@ -275,6 +293,8 @@ object Joins {
       (evCte + " SELECT e1.user_id, count(*) AS n_pairs FROM e e1 JOIN e e2 ON e1.user_id = e2.user_id AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE GROUP BY e1.user_id ORDER BY e1.user_id"),
     "q_join_salted" ->
       "WITH l AS (SELECT CASE WHEN l_orderkey % 10 < 9 THEN 1 ELSE l_partkey END AS k, l_orderkey, l_linenumber FROM lineitem) SELECT l_orderkey, l_linenumber, p_partkey AS rk, p_brand FROM l JOIN part ON k = p_partkey ORDER BY l_orderkey, l_linenumber",
+    "q_subquery_corr" ->
+      "SELECT c_custkey, (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders, (SELECT CAST(coalesce(sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT)), 0) AS BIGINT) FROM orders o WHERE o.o_custkey = c.c_custkey) AS spend_c FROM customer c WHERE EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_custkey = c.c_custkey AND o2.o_totalprice > 100000) ORDER BY c_custkey",
     "q_join_tpch_q5" ->
       "SELECT n_name, CAST(sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100+0.5) AS BIGINT))) AS BIGINT) AS revenue_e4, count(*) AS n_items FROM region JOIN nation ON n_regionkey = r_regionkey JOIN customer ON c_nationkey = n_nationkey JOIN orders ON o_custkey = c_custkey JOIN lineitem ON l_orderkey = o_orderkey JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY n_name ORDER BY revenue_e4 DESC, n_name",
     "q_join_range" ->
