@@ -27,15 +27,25 @@ object Bench {
     val selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
       else args.toSeq.map(n => n -> SparkEntry.queries(n))
-    val results = selected.map { case (name, fn) =>
+    val results: Seq[(String, Double)] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    }
+    // Millisecond precision keeps the JSON line short enough for the driver's
+    // stdout tail buffer (r2's full-precision line was truncated → unparsed),
+    // and sub-ms digits are pure noise at this workload anyway. Repeated
+    // query-name args (profiling runs) get indexed keys instead of being
+    // collapsed by a Map, so the reported total matches the runs executed.
+    def fmt(v: Double): String = "%.3f".format(v)
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val qs = results.map { case (k, v) =>
+      val n = seen.getOrElse(k, 0); seen(k) = n + 1
+      val key = if (n == 0) k else s"$k#${n + 1}"
+      "\"" + key + "\":" + fmt(v)
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

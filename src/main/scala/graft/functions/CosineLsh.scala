@@ -46,6 +46,13 @@ object CosineLsh {
       bands: Int = 8,
       rowsPerBand: Int = 8,
       seed: Long = 42L): DataFrame = {
+    // The band packing below puts the band index in the high 32 bits and the
+    // packed sign bits in the low 32; rowsPerBand > 32 would overflow into
+    // the index bits and make distinct bands collide.
+    require(rowsPerBand >= 1 && rowsPerBand <= 32,
+      s"rowsPerBand must be in [1, 32], got $rowsPerBand")
+    require(bands >= 1 && bands.toLong * rowsPerBand <= Int.MaxValue,
+      s"bands must be >= 1, got $bands")
     val b = bands
     val r = rowsPerBand
     val s = seed

@@ -167,6 +167,16 @@ object AsOfJoinOps {
       rightTieBreak: String): DataFrame = {
     val spark = left.sparkSession
     GraftSqlBridge.addStrategy(spark, AsOfJoinStrategy)
+    // A self-join (or two frames derived from one source) carries the same
+    // ExprIds on both sides; duplicate ids in the node's output misresolve.
+    // Re-projecting the right side through fresh Aliases mints new ExprIds,
+    // so the natural self-join use just works.
+    val leftIds = left.queryExecution.analyzed.outputSet
+    val rightSafe =
+      if (right.queryExecution.analyzed.output.exists(leftIds.contains))
+        right.select(right.columns.map(c =>
+          org.apache.spark.sql.functions.col(c).as(c)): _*)
+      else right
     def attr(df: DataFrame, n: String): Attribute =
       df.queryExecution.analyzed.output
         .find(_.name == n)
@@ -175,11 +185,11 @@ object AsOfJoinOps {
       spark,
       AsOfJoin(
         left.queryExecution.analyzed,
-        right.queryExecution.analyzed,
+        rightSafe.queryExecution.analyzed,
         attr(left, leftKey),
-        attr(right, rightKey),
+        attr(rightSafe, rightKey),
         attr(left, leftTime),
-        attr(right, rightTime),
-        attr(right, rightTieBreak)))
+        attr(rightSafe, rightTime),
+        attr(rightSafe, rightTieBreak)))
   }
 }

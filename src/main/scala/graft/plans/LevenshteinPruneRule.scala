@@ -34,10 +34,14 @@ object LevenshteinPruneRule extends Rule[LogicalPlan] {
     case other => Length(other)
   }
 
+  // Only the 2-arg form: levenshtein(a, b, t) returns -1 when the distance
+  // exceeds t, so -1 <= k would pass the original predicate for arbitrarily
+  // different strings while the length guard filters them — the rewrite
+  // would change results.
   private def guardFor(cmp: Expression): Option[Expression] = cmp match {
-    case LessThanOrEqual(l: Levenshtein, k @ Literal(_, _)) =>
+    case LessThanOrEqual(l: Levenshtein, k @ Literal(_, _)) if l.threshold.isEmpty =>
       Some(LessThanOrEqual(Abs(Subtract(lengthOf(l.left), lengthOf(l.right))), k))
-    case LessThan(l: Levenshtein, k @ Literal(_, _)) =>
+    case LessThan(l: Levenshtein, k @ Literal(_, _)) if l.threshold.isEmpty =>
       Some(LessThan(Abs(Subtract(lengthOf(l.left), lengthOf(l.right))), k))
     case _ => None
   }

@@ -100,8 +100,21 @@ object JdbcSink {
     // missed (update count 0). Statement round-trips per partition are
     // O(rows/batchSize), not O(rows) — the difference between embedded
     // Derby (where per-row was tolerable) and a networked RDBMS.
+    //
+    // Two hazards the naive two-wave misses:
+    //  - Repeated keys WITHIN a chunk (normal in streamUpsert micro-batches):
+    //    all UPDATEs run before any INSERT, so two new rows with one key both
+    //    see count 0 and both INSERT → PK violation. Dedupe the chunk by key,
+    //    last occurrence wins — same final state the per-row interleave gave.
+    //  - Drivers may return Statement.SUCCESS_NO_INFO (-2) from executeBatch
+    //    (MySQL with rewriteBatchedStatements): the count is unknown, so fall
+    //    back to a per-row executeUpdate for that row to learn it.
     try {
-      rows.grouped(batchSize).foreach { chunk =>
+      rows.grouped(batchSize).foreach { rawChunk =>
+        val lastByKey = scala.collection.mutable.LinkedHashMap
+          .empty[Seq[Any], org.apache.spark.sql.Row]
+        rawChunk.foreach(r => lastByKey(keyCols.map(r.getAs[Any])) = r)
+        val chunk = lastByKey.values.toSeq
         chunk.foreach { row =>
           valCols.zipWithIndex.foreach { case (c, i) =>
             upd.setObject(i + 1, row.getAs[AnyRef](c))
@@ -113,7 +126,18 @@ object JdbcSink {
         }
         val updated = upd.executeBatch()
         var nIns = 0
-        chunk.iterator.zip(updated.iterator).foreach { case (row, n) =>
+        chunk.iterator.zip(updated.iterator).foreach { case (row, batchCount) =>
+          val n =
+            if (batchCount != java.sql.Statement.SUCCESS_NO_INFO) batchCount
+            else { // unknown count: re-run this one row alone for a real count
+              valCols.zipWithIndex.foreach { case (c, i) =>
+                upd.setObject(i + 1, row.getAs[AnyRef](c))
+              }
+              keyCols.zipWithIndex.foreach { case (c, i) =>
+                upd.setObject(valCols.length + i + 1, row.getAs[AnyRef](c))
+              }
+              upd.executeUpdate()
+            }
           if (n == 0) {
             schema.fieldNames.zipWithIndex.foreach { case (c, i) =>
               ins.setObject(i + 1, row.getAs[AnyRef](c))

@@ -62,6 +62,22 @@ class AsOfJoinSpec extends SparkSuite {
     assert(s.contains("Sort [user_id"), s"no key/time sort:\n$s")
   }
 
+  test("self-join (shared ExprIds on both sides) resolves via fresh right aliases") {
+    // Both sides derive from the same analyzed plan — without re-aliasing,
+    // duplicate ExprIds in the node output misresolve. Latest prior event of
+    // the same user at or before each event = itself (ties broken by the
+    // largest event_id, and event_id is unique per ts sample here).
+    val e = Fixtures
+      .events(spark, sf001)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .limit(200)
+    val out = AsOfJoinOps
+      .latestPrior(e, e, "user_id", "user_id", "ts", "ts", "event_id")
+      .count()
+    assert(out == 200, s"self as-of join returned $out rows, expected 200")
+  }
+
   test("as-of semantics: boundary tie (v_ts == p_ts) matches; later views don't") {
     val p = Seq((1L, 10L, 100L), (2L, 10L, 50L)).toDF("p_event_id", "user_id", "p_ts")
       .select(col("p_event_id"), col("user_id"), timestamp_micros(col("p_ts")).as("p_ts"))

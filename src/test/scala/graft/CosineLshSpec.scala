@@ -47,6 +47,16 @@ class CosineLshSpec extends SparkSuite {
     assert(approx.subsetOf(exact), s"unsound pairs: ${approx.diff(exact).take(3)}")
   }
 
+  test("rowsPerBand outside [1, 32] is rejected (band packing would overflow)") {
+    val c = corpus()
+    intercept[IllegalArgumentException] {
+      CosineLsh.nearDuplicatePairs(c, "vec_id", "embedding", minCosine = 0.9, rowsPerBand = 33)
+    }
+    intercept[IllegalArgumentException] {
+      CosineLsh.nearDuplicatePairs(c, "vec_id", "embedding", minCosine = 0.9, rowsPerBand = 0)
+    }
+  }
+
   test("banding prunes: candidate pairs well below all-pairs") {
     val c = corpus()
     val n = c.count()

@@ -102,6 +102,33 @@ class JdbcSinkSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("upsert tolerates repeated keys within one micro-batch chunk (last wins)") {
+    import spark.implicits._
+    val dupTable = "dup_products"
+    withConn { c =>
+      val st = c.createStatement()
+      try st.execute(s"DROP TABLE $dupTable")
+      catch { case _: java.sql.SQLException => () }
+      st.execute(s"CREATE TABLE $dupTable (upc BIGINT PRIMARY KEY, name VARCHAR(64), price DOUBLE)")
+      st.close()
+    }
+    // Two NEW rows with the same key in one partition: the naive two-wave
+    // batch protocol double-inserts (PK violation). coalesce(1) pins both
+    // rows into one chunk so in-chunk order is the Seq order → last wins.
+    val batch = Seq(
+      (7L, "first", 1.0),
+      (7L, "second", 2.0),
+      (8L, "other", 3.0)
+    ).toDF("upc", "name", "price").coalesce(1)
+    JdbcSink.upsert(batch, url, dupTable, keyCols = Seq("upc"))
+    val rows = spark.read
+      .jdbc(url, dupTable, new Properties())
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    assert(rows == Set((7L, "second", 2.0), (8L, "other", 3.0)), s"got $rows")
+  }
+
   test("OnDuplicateKeyDialect emits the single-statement MySQL upsert") {
     val sql = JdbcSink.onDuplicateKeySql(
       "products",

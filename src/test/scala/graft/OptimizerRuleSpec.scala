@@ -40,4 +40,21 @@ class OptimizerRuleSpec extends SparkSuite {
     val optimized = fuzzy(spark).queryExecution.optimizedPlan.toString
     assert(!optimized.contains("abs("), s"guard leaked into un-extended session:\n$optimized")
   }
+
+  test("3-arg thresholded levenshtein is NOT rewritten (returns -1 past threshold)") {
+    // levenshtein(a, b, 1) yields -1 for very different strings, so -1 <= 3
+    // passes the original predicate; a length guard would wrongly drop those
+    // rows. The rule must leave the thresholded form alone.
+    def thresholded(s: org.apache.spark.sql.SparkSession) =
+      Fixtures
+        .table(s, sf001, "part")
+        .filter(levenshtein(col("p_type"), lit("STANDARD"), 1) <= 3)
+        .select("p_partkey")
+    val df = thresholded(extSession)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("abs("), s"guard wrongly injected on 3-arg form:\n$optimized")
+    val withRule = df.collect().map(_.getLong(0)).sorted.toSeq
+    val without = thresholded(spark).collect().map(_.getLong(0)).sorted.toSeq
+    assert(withRule == without, s"results changed: ${withRule.size} vs ${without.size}")
+  }
 }
