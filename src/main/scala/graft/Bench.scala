@@ -37,7 +37,9 @@ object Bench {
     // and sub-ms digits are pure noise at this workload anyway. Repeated
     // query-name args (profiling runs) get indexed keys instead of being
     // collapsed by a Map, so the reported total matches the runs executed.
-    def fmt(v: Double): String = "%.3f".format(v)
+    // Locale.ROOT: a comma-decimal default locale (de_DE) would emit "1,234"
+    // and corrupt the JSON line the driver parses.
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val seen = scala.collection.mutable.Map.empty[String, Int]
     val qs = results.map { case (k, v) =>
       val n = seen.getOrElse(k, 0); seen(k) = n + 1

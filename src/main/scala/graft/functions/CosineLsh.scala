@@ -51,8 +51,9 @@ object CosineLsh {
     // the index bits and make distinct bands collide.
     require(rowsPerBand >= 1 && rowsPerBand <= 32,
       s"rowsPerBand must be in [1, 32], got $rowsPerBand")
-    require(bands >= 1 && bands.toLong * rowsPerBand <= Int.MaxValue,
-      s"bands must be >= 1, got $bands")
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    require(bands.toLong * rowsPerBand <= Int.MaxValue,
+      s"bands * rowsPerBand must be <= Int.MaxValue, got $bands * $rowsPerBand")
     val b = bands
     val r = rowsPerBand
     val s = seed

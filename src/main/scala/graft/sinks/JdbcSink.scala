@@ -113,7 +113,16 @@ object JdbcSink {
       rows.grouped(batchSize).foreach { rawChunk =>
         val lastByKey = scala.collection.mutable.LinkedHashMap
           .empty[Seq[Any], org.apache.spark.sql.Row]
-        rawChunk.foreach(r => lastByKey(keyCols.map(r.getAs[Any])) = r)
+        // Normalize Array[Byte] key values (BINARY columns) to ArraySeq so
+        // the Seq[Any] dedup key compares by content, not array reference —
+        // otherwise duplicate binary keys slip past dedup and double-INSERT.
+        def keyOf(r: org.apache.spark.sql.Row): Seq[Any] = keyCols.map { c =>
+          r.getAs[Any](c) match {
+            case b: Array[Byte] => scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+            case other          => other
+          }
+        }
+        rawChunk.foreach(r => lastByKey(keyOf(r)) = r)
         val chunk = lastByKey.values.toSeq
         chunk.foreach { row =>
           valCols.zipWithIndex.foreach { case (c, i) =>

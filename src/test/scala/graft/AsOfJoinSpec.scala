@@ -74,8 +74,16 @@ class AsOfJoinSpec extends SparkSuite {
       .limit(200)
     val out = AsOfJoinOps
       .latestPrior(e, e, "user_id", "user_id", "ts", "ts", "event_id")
+      .toDF("l_event_id", "l_user_id", "l_ts", "r_event_id", "r_user_id", "r_ts")
+    assert(out.count() == 200, "self as-of join must emit one row per left row")
+    // Value binding, not just cardinality: each event's latest prior at its
+    // own ts is itself (ts unique per user in this sample), so a misbound
+    // right side (e.g. stripped aliases) would fail the equality below even
+    // though the left-outer row count stays 200.
+    val misbound = out
+      .filter(col("r_event_id").isNull || col("r_event_id") =!= col("l_event_id"))
       .count()
-    assert(out == 200, s"self as-of join returned $out rows, expected 200")
+    assert(misbound == 0, s"$misbound rows bound a right side other than themselves")
   }
 
   test("as-of semantics: boundary tie (v_ts == p_ts) matches; later views don't") {
