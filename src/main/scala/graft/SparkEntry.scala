@@ -25,6 +25,7 @@ object SparkEntry {
       ops.Scalars.queries ++
       ops.LlmOps.queries ++
       ops.ExtraText.queries ++
+      ops.PipelineOps.queries ++
       ops.StreamingBatch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -39,5 +40,6 @@ object SparkEntry {
       ops.Scalars.oracle ++
       ops.LlmOps.oracle ++
       ops.ExtraText.oracle ++
+      ops.PipelineOps.oracle ++
       ops.StreamingBatch.oracle
 }

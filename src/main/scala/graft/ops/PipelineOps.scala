@@ -1,0 +1,247 @@
+package graft.ops
+
+import graft.Fixtures
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators a 100-TB pretraining pipeline runs after
+  * dedup and before tokenization: document chunking, sequence packing,
+  * deterministic stratified sampling, eval-set decontamination, PII
+  * redaction, and embedding normalization/quantization. All oracle-checked.
+  *
+  * Determinism engineering (SURVEY.md §2.0): no rand()/sample() anywhere —
+  * sampling uses a multiplicative hash of the key, packing is a
+  * per-group sequential fold over a sorted list, and every float fold
+  * mirrors DuckDB's list_reduce operation order term-for-term so doubles
+  * are bit-identical (same trick as SimKernel).
+  */
+object PipelineOps {
+  private def e6(c: Column): Column = floor(c * 1e6 + lit(0.5)).cast("long")
+
+  /** Compiled n-gram shingler (UDF on purpose: higher-order-function chains
+    * are CodegenFallback and explode-of-computed-array re-evaluates per
+    * element — see ExtraText.shingleUdf for the measurements). */
+  private def ngramUdf(n: Int) = udf { ts: Seq[String] =>
+    if (ts == null) Seq.empty[String]
+    else ts.iterator.sliding(n).withPartial(false).map(_.mkString(" ")).toSeq
+  }
+
+  /** Greedy first-fit packing of (doc_id, n_toks) items — already sorted by
+    * doc_id — into bins of `budget` tokens: a doc opens a new bin iff it
+    * does not fit. Sequential by construction (bin state carries across
+    * items), so it runs per-group: parallel ACROSS groups, sequential
+    * WITHIN a group — exactly how production packers shard (one group per
+    * worker). An over-budget doc occupies a bin alone. */
+  private val packBudget = 256
+  private val packUdf = udf { items: Seq[org.apache.spark.sql.Row] =>
+    var bin = 0
+    var fill = 0
+    var first = true
+    items.map { r =>
+      val id = r.getLong(0)
+      val n = r.getInt(1)
+      if (first) { first = false; fill = n }
+      else if (fill + n > packBudget) { bin += 1; fill = n }
+      else fill += n
+      (id, bin, n)
+    }
+  }
+
+  // PII patterns: identical RE2-compatible source on both engines. The
+  // fixture text is synthetic, so each doc gets a deterministic planted
+  // email + phone appended; redaction must find exactly those.
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phoneRe = "555-[0-9]{4}"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Chunking: fixed 32-token windows at stride 24 (8-token overlap), the
+    // step that turns documents into model-context-sized pieces. Map-only —
+    // explode is over the cheap int sequence of starts, never over a
+    // computed token array (which re-evaluates per element).
+    "q_chunk_docs" -> { (s, dir) =>
+      Fixtures
+        .table(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(
+          col("doc_id"),
+          col("toks"),
+          explode(sequence(lit(1), greatest(size(col("toks")), lit(1)), lit(24))).as("start"))
+        .select(
+          col("doc_id"),
+          ((col("start") - 1) / 24).cast("int").as("chunk_id"),
+          array_join(slice(col("toks"), col("start"), lit(32)), " ").as("chunk_text"),
+          size(slice(col("toks"), col("start"), lit(32))).as("chunk_toks"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    // Sequence packing: greedy first-fit of whole docs into 256-token bins,
+    // docs sharded into 32 groups (doc_id % 32) packed independently. The
+    // at-scale shape: the expensive part (per-item fold) is sequential only
+    // within a group sized to one worker; groups scale out freely.
+    "q_pack_sequences" -> { (s, dir) =>
+      Fixtures
+        .table(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          (col("doc_id") % 32).cast("int").as("pgrp"),
+          size(split(col("text"), " ")).as("n"))
+        .groupBy("pgrp")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("items"))
+        .select(col("pgrp"), explode(packUdf(col("items"))).as("it"))
+        .select(
+          col("it._1").as("doc_id"),
+          col("pgrp"),
+          col("it._2").as("bin"),
+          col("it._3").as("n_toks"))
+        .orderBy("doc_id")
+    },
+    // Deterministic stratified sampling: keep-decision is a pure function of
+    // the key (Knuth multiplicative hash mod 1000 vs a per-language rate) —
+    // reproducible across runs, partitionings, and engines, unlike
+    // rand()/sampleBy. en 50%, de 25%, rest 10%.
+    "q_sample_strat" -> { (s, dir) =>
+      val h = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+      val rate = when(col("lang") === "en", 500).when(col("lang") === "de", 250).otherwise(100)
+      Fixtures
+        .table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), (h % 1000).as("bucket"))
+        .filter(col("bucket") < rate)
+        .orderBy("doc_id")
+    },
+    // Eval-set decontamination: a training doc (doc_id >= 20) is contaminated
+    // if it shares any 4-gram with the eval slice (doc_id < 20); output is
+    // the contaminated ids with their distinct-shared-4-gram count. Shape at
+    // 100 TB: inverted-index equi-join on the shingle (no all-pairs), eval
+    // side is small by definition → broadcast.
+    "q_decontaminate" -> { (s, dir) =>
+      val sh = Fixtures
+        .table(s, dir, "documents")
+        .select(col("doc_id"), explode(ngramUdf(4)(split(lower(col("text")), " "))).as("g"))
+        .distinct()
+      val evalSet = sh.filter(col("doc_id") < 20).select("g").distinct()
+      sh.filter(col("doc_id") >= 20)
+        .join(broadcast(evalSet), Seq("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id")
+    },
+    // PII redaction: plant a deterministic email + phone per doc, then strip
+    // both with regexp_replace and count what was found. Map-only scan.
+    "q_pii_redact" -> { (s, dir) =>
+      Fixtures
+        .table(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          concat(
+            col("text"),
+            lit(" contact user"),
+            col("doc_id").cast("string"),
+            lit("@example.com or 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("aug"))
+        .select(
+          col("doc_id"),
+          col("aug"),
+          regexp_replace(regexp_replace(col("aug"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>").as("red"))
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("aug"), lit(emailRe), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("aug"), lit(phoneRe), lit(0))).as("n_phones"),
+          length(col("red")).as("red_len"),
+          expr("right(red, 40)").as("tail40"))
+        .orderBy("doc_id")
+    },
+    // ANN with a k-means coarse quantizer (IVF proper): fit 8 centroids with
+    // 3 deterministic Lloyd iterations, bucket candidates by nearest
+    // centroid, probe the 2 nearest buckets per query. Oracle-less (the
+    // iterative fit has no reasonable DuckDB twin; the driver records a
+    // rows-only check) — recall vs exact brute force is proven in
+    // KMeansIvfSpec, and this entry keeps the fit+search cost on the bench.
+    "q_sim_ann_kmeans" -> { (s, dir) =>
+      val e = Fixtures.table(s, dir, "embeddings")
+      val cents = graft.functions.KMeansIvf.fit(e, "vec_id", "embedding", k = 8, iters = 3)
+      graft.functions.KMeansIvf
+        .annTopK(e.filter(col("vec_id") < 20), e, cents, "vec_id", "embedding", topK = 3, nprobe = 2)
+        .orderBy("q_id", "rn")
+    },
+    // L2 normalization: norm is the same sequential double fold DuckDB's
+    // list_reduce performs (bit-identical, see SimKernel), outputs are
+    // e6-scaled scalars (never raw arrays — the driver comparator can't
+    // sort collection columns).
+    "q_emb_normalize" -> { (s, dir) =>
+      val nrm = sqrt(aggregate(
+        col("embedding"),
+        lit(0.0),
+        (a, x) => a + x.cast("double") * x.cast("double")))
+      def d(i: Int) = e6(element_at(col("embedding"), i).cast("double") / col("nrm")).as(s"d${i}_e6")
+      Fixtures
+        .table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), nrm.as("nrm"))
+        .select(col("vec_id"), e6(col("nrm")).as("norm_e6"), d(1), d(2), d(3), d(4))
+        .orderBy("vec_id")
+    },
+    // Int8 max-abs quantization: scale = 127/max|x|, q = floor(x*scale+0.5)
+    // (half-up in double math — identical on both engines, unlike round()),
+    // plus the total dequantization error as a sequential double fold.
+    "q_emb_quantize" -> { (s, dir) =>
+      val mx = array_max(transform(col("embedding"), x => abs(x))).cast("double")
+      def q(i: Int) =
+        floor(element_at(col("embedding"), i).cast("double") * col("scale") + 0.5)
+          .cast("long")
+          .as(s"q$i")
+      val err = aggregate(
+        col("embedding"),
+        lit(0.0),
+        (a, x) =>
+          a + abs(x.cast("double") - floor(x.cast("double") * col("scale") + 0.5) / col("scale")))
+      Fixtures
+        .table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), (lit(127.0) / mx).as("scale"))
+        .select(col("vec_id"), e6(col("scale")).as("scale_e6"), q(1), q(2), q(3), q(4), e6(err).as("err_e6"))
+        .orderBy("vec_id")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_chunk_docs" ->
+      ("WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents), " +
+        "u AS (SELECT doc_id, toks, unnest(range(1, greatest(len(toks),1)+1, 24)) AS start FROM t) " +
+        "SELECT doc_id, CAST((start-1)/24 AS INT) AS chunk_id, " +
+        "array_to_string(toks[start:least(start+31, len(toks))], ' ') AS chunk_text, " +
+        "CAST(len(toks[start:least(start+31, len(toks))]) AS INT) AS chunk_toks " +
+        "FROM u ORDER BY doc_id, chunk_id"),
+    "q_pack_sequences" ->
+      ("WITH RECURSIVE d AS (SELECT doc_id, CAST(doc_id % 32 AS INT) AS pgrp, CAST(len(string_split(text,' ')) AS INT) AS n FROM documents), " +
+        "o AS (SELECT doc_id, pgrp, n, CAST(row_number() OVER (PARTITION BY pgrp ORDER BY doc_id) AS INT) AS rn FROM d), " +
+        "p AS (SELECT pgrp, rn, doc_id, n, 0 AS bin, n AS fill FROM o WHERE rn = 1 " +
+        "UNION ALL SELECT o.pgrp, o.rn, o.doc_id, o.n, " +
+        "CASE WHEN p.fill + o.n > 256 THEN p.bin + 1 ELSE p.bin END, " +
+        "CASE WHEN p.fill + o.n > 256 THEN o.n ELSE p.fill + o.n END " +
+        "FROM p JOIN o ON o.pgrp = p.pgrp AND o.rn = p.rn + 1) " +
+        "SELECT doc_id, pgrp, CAST(bin AS INT) AS bin, n AS n_toks FROM p ORDER BY doc_id"),
+    "q_sample_strat" ->
+      ("SELECT doc_id, lang, (doc_id * 2654435761) % 4294967296 % 1000 AS bucket FROM documents " +
+        "WHERE (doc_id * 2654435761) % 4294967296 % 1000 < (CASE WHEN lang = 'en' THEN 500 WHEN lang = 'de' THEN 250 ELSE 100 END) " +
+        "ORDER BY doc_id"),
+    "q_decontaminate" ->
+      ("WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS toks FROM documents), " +
+        "s AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)-2), i -> array_to_string(toks[i:i+3], ' '))) AS g FROM t)), " +
+        "ev AS (SELECT DISTINCT g FROM s WHERE doc_id < 20) " +
+        "SELECT doc_id, count(*) AS n_shared FROM s JOIN ev USING (g) WHERE doc_id >= 20 GROUP BY doc_id ORDER BY doc_id"),
+    "q_pii_redact" ->
+      ("WITH a AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug FROM documents), " +
+        "r AS (SELECT doc_id, aug, regexp_replace(regexp_replace(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'), '555-[0-9]{4}', '<PHONE>', 'g') AS red FROM a) " +
+        "SELECT doc_id, CAST(len(regexp_extract_all(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS INT) AS n_emails, " +
+        "CAST(len(regexp_extract_all(aug, '555-[0-9]{4}')) AS INT) AS n_phones, " +
+        "CAST(length(red) AS INT) AS red_len, right(red, 40) AS tail40 FROM r ORDER BY doc_id"),
+    "q_emb_normalize" ->
+      ("WITH n AS (SELECT vec_id, embedding, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,v) -> p+v)) AS nrm FROM embeddings) " +
+        "SELECT vec_id, CAST(floor(nrm*1000000 + 0.5) AS BIGINT) AS norm_e6, " +
+        (1 to 4).map(i => s"CAST(floor(CAST(embedding[$i] AS DOUBLE)/nrm*1000000 + 0.5) AS BIGINT) AS d${i}_e6").mkString(", ") +
+        " FROM n ORDER BY vec_id"),
+    "q_emb_quantize" ->
+      ("WITH m AS (SELECT vec_id, embedding, CAST(127 AS DOUBLE) / CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS scale FROM embeddings) " +
+        "SELECT vec_id, CAST(floor(scale*1000000 + 0.5) AS BIGINT) AS scale_e6, " +
+        (1 to 4).map(i => s"CAST(floor(CAST(embedding[$i] AS DOUBLE)*scale + 0.5) AS BIGINT) AS q$i").mkString(", ") +
+        ", CAST(floor(list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE)*scale + 0.5)/scale)), (p,v) -> p+v)*1000000 + 0.5) AS BIGINT) AS err_e6 " +
+        "FROM m ORDER BY vec_id")
+  )
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.functions.KMeansIvf
+import graft.ops.SimKernel
+import org.apache.spark.sql.functions._
+
+class KMeansIvfSpec extends SparkSuite {
+  private lazy val embs = Fixtures.table(spark, sf001, "embeddings")
+
+  test("fit is deterministic: two fits on different partitionings are identical") {
+    val a = KMeansIvf.fit(embs, "vec_id", "embedding", k = 8, iters = 3)
+    val b = KMeansIvf.fit(embs.repartition(7, col("vec_id")), "vec_id", "embedding", k = 8, iters = 3)
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (ca, cb) => assert(ca.sameElements(cb)) }
+  }
+
+  test("buckets are used and roughly balanced (no single-bucket collapse)") {
+    val cents = KMeansIvf.fit(embs, "vec_id", "embedding", k = 8, iters = 3)
+    val sizes = embs
+      .select(KMeansIvf.assign(cents, col("embedding")).as("c"))
+      .groupBy("c").count().collect().map(_.getLong(1))
+    assert(sizes.length >= 4, s"only ${sizes.length} of 8 buckets populated")
+    assert(sizes.max < embs.count(), "all vectors collapsed into one bucket")
+  }
+
+  test("ANN recall vs exact brute-force top-3 is >= 0.6 at nprobe=2") {
+    val cents = KMeansIvf.fit(embs, "vec_id", "embedding", k = 8, iters = 3)
+    val queries = embs.filter(col("vec_id") < 20)
+    val approx = KMeansIvf
+      .annTopK(queries, embs, cents, "vec_id", "embedding", topK = 3, nprobe = 2)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    val exact = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(embs.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", SimKernel.cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.6, f"k-means IVF recall $recall%.2f below 0.6")
+  }
+}
