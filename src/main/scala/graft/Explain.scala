@@ -21,7 +21,10 @@ object Explain {
     "q_minhash_pairs",    // expect: band-keyed SMJ/SHJ, no cartesian stage
     "q_cosine_lsh_pairs", // expect: band-keyed join + exact-cosine verify
     "q_join_range",       // expect: hash join on _bkt, no nested loop
-    "q_join_salted"       // expect: equi-join on (key, salt), Expand on right
+    "q_join_salted",      // expect: equi-join on (key, salt), Expand on right
+    "q_decontaminate",    // expect: BroadcastHashJoin on the shingle (eval side small)
+    "q_chunk_docs",       // expect: map-only Generate over the int start sequence
+    "q_sim_ann_kmeans"    // expect: bucket equi-join, WindowGroupLimit top-k
   )
 
   def main(args: Array[String]): Unit = {
