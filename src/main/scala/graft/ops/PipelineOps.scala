@@ -197,6 +197,49 @@ object PipelineOps {
         .select(col("vec_id"), col("embedding"), (lit(127.0) / mx).as("scale"))
         .select(col("vec_id"), e6(col("scale")).as("scale_e6"), q(1), q(2), q(3), q(4), e6(err).as("err_e6"))
         .orderBy("vec_id")
+    },
+    // Incremental content-hash dedup — the LLM-pipeline version of the
+    // reference's "load only records not already loaded": an incoming batch
+    // is admitted only if its content digest is absent from the already-
+    // loaded store. Left-anti join on md5(text); at 100 TB the store side is
+    // a digest-only column (16 bytes/row), and the join shuffles on the
+    // digest — uniformly distributed by construction.
+    "q_dedup_incremental" -> { (s, dir) =>
+      val docs = Fixtures.table(s, dir, "documents")
+      val loaded = docs.filter(col("doc_id") < 250).select(md5(col("text").cast("binary")).as("digest"))
+      docs
+        .select(col("doc_id"), col("lang"), md5(col("text").cast("binary")).as("digest"))
+        .join(loaded, Seq("digest"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("digest"))
+        .orderBy("doc_id")
+    },
+    // End-to-end curation pipeline — the flagship composition: planted
+    // duplicates (doc_id+10000, same text) → exact content dedup (keep the
+    // min doc_id, which must eliminate every planted copy) → quality gate
+    // (token-count band) → deterministic 80% hash sample → per-language
+    // corpus stats. Every stage is an operator proven above; the hash-match
+    // proves the COMPOSITION (dedup-before-sample ordering, gate placement).
+    "q_curation_pipeline" -> { (s, dir) =>
+      val docs = Fixtures.table(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      val corpus = docs.unionByName(
+        docs.select((col("doc_id") + 10000).as("doc_id"), col("lang"), col("text")))
+      val deduped = corpus
+        .withColumn("digest", md5(col("text").cast("binary")))
+        .groupBy("digest")
+        .agg(min("doc_id").as("doc_id"), min("lang").as("lang"), min("text").as("text"))
+      val gated = deduped
+        .withColumn("n_toks", size(split(col("text"), " ")))
+        .filter(col("n_toks").between(40, 300))
+      val sampled = gated
+        .filter((col("doc_id") * lit(2654435761L)) % 4294967296L % 1000 < 800)
+      sampled
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_toks").as("total_toks"),
+          min("doc_id").as("min_id"),
+          max("doc_id").as("max_id"))
+        .orderBy("lang")
     }
   )
 
@@ -221,6 +264,17 @@ object PipelineOps {
       ("SELECT doc_id, lang, (doc_id * 2654435761) % 4294967296 % 1000 AS bucket FROM documents " +
         "WHERE (doc_id * 2654435761) % 4294967296 % 1000 < (CASE WHEN lang = 'en' THEN 500 WHEN lang = 'de' THEN 250 ELSE 100 END) " +
         "ORDER BY doc_id"),
+    "q_dedup_incremental" ->
+      ("WITH loaded AS (SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id < 250) " +
+        "SELECT doc_id, lang, md5(text) AS digest FROM documents " +
+        "WHERE md5(text) NOT IN (SELECT digest FROM loaded) ORDER BY doc_id"),
+    "q_curation_pipeline" ->
+      ("WITH corpus AS (SELECT doc_id, lang, text FROM documents UNION ALL SELECT doc_id + 10000, lang, text FROM documents), " +
+        "dedup AS (SELECT md5(text) AS digest, min(doc_id) AS doc_id, min(lang) AS lang, min(text) AS text FROM corpus GROUP BY 1), " +
+        "gated AS (SELECT doc_id, lang, CAST(len(string_split(text,' ')) AS INT) AS n_toks FROM dedup WHERE len(string_split(text,' ')) BETWEEN 40 AND 300), " +
+        "sampled AS (SELECT * FROM gated WHERE (doc_id * 2654435761) % 4294967296 % 1000 < 800) " +
+        "SELECT lang, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS total_toks, min(doc_id) AS min_id, max(doc_id) AS max_id " +
+        "FROM sampled GROUP BY lang ORDER BY lang"),
     "q_decontaminate" ->
       ("WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS toks FROM documents), " +
         "s AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)-2), i -> array_to_string(toks[i:i+3], ' '))) AS g FROM t)), " +

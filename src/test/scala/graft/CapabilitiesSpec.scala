@@ -42,6 +42,26 @@ class CapabilitiesSpec extends SparkSuite {
       s"no pushed filter in ORC scan plan:\n$plan")
   }
 
+  test("cap_scan_mergeschema: parquet schema evolution — widened batch merges with the old layout") {
+    // An ingestion directory accumulates batches whose schema grows over
+    // time; mergeSchema reads them as one table with nulls where the old
+    // batches lack the new column. The shape a long-lived 100-TB ingest
+    // path must support without rewriting history.
+    val dir = Files.createTempDirectory("graft-evolve").toString + "/docs"
+    val v1 = Fixtures.table(spark, sf001, "documents")
+      .select(col("doc_id"), col("lang")).filter(col("doc_id") < 100)
+    val v2 = Fixtures.table(spark, sf001, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars")).filter(col("doc_id") >= 100 && col("doc_id") < 200)
+    v1.write.parquet(dir + "/batch=1")
+    v2.write.parquet(dir + "/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("doc_id", "lang", "n_chars", "batch"))
+    assert(merged.count() == 200)
+    // old rows surface the new column as null; new rows carry real values
+    assert(merged.filter(col("batch") === 1 && col("n_chars").isNotNull).count() == 0)
+    assert(merged.filter(col("batch") === 2 && col("n_chars").isNull).count() == 0)
+  }
+
   test("cap_agg_approx: HLL++ distinct and approx percentile within bounds") {
     val li = Fixtures.table(spark, sf001, "lineitem")
     val exactDistinct =
