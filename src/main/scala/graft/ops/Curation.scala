@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reusable training-data curation API over arbitrary DataFrames — the
+  * library surface behind the `q_chunk_docs` / `q_pack_sequences` /
+  * `q_sample_strat` / `q_decontaminate` / `q_pii_redact` /
+  * `q_dedup_incremental` family (each query in PipelineOps is a thin
+  * fixture binding of one of these).
+  *
+  * Every operator is deterministic under any partitioning: sampling and
+  * dedup key off pure functions of row values, packing folds a sorted
+  * per-group list, and no rand()/monotonically_increasing_id appears
+  * anywhere. Scale notes per method.
+  */
+object Curation {
+  /** Fixed-size token-window chunking with overlap: window `window` tokens,
+    * stride `stride` (< window ⇒ gapless coverage). Map-only — the explode
+    * runs over the cheap int start sequence, never over a computed token
+    * array (which would re-evaluate per element). Output: (idCol, chunk_id,
+    * chunk_text, chunk_toks). */
+  def chunk(docs: DataFrame, idCol: String, textCol: String, window: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && window >= stride, s"need 1 <= stride <= window, got $window/$stride")
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("toks"))
+      .select(
+        col(idCol),
+        col("toks"),
+        explode(sequence(lit(1), greatest(size(col("toks")), lit(1)), lit(stride))).as("start"))
+      .select(
+        col(idCol),
+        ((col("start") - 1) / stride).cast("int").as("chunk_id"),
+        array_join(slice(col("toks"), col("start"), lit(window)), " ").as("chunk_text"),
+        size(slice(col("toks"), col("start"), lit(window))).as("chunk_toks"))
+  }
+
+  /** Greedy first-fit packing of whole docs into `budget`-token bins,
+    * sharded into `groups` independent groups by `idCol % groups` — packing
+    * is sequential WITHIN a group (bin state carries across items) and
+    * parallel ACROSS groups, exactly how production packers shard: one
+    * group per worker, group count scales with the cluster. A doc opens a
+    * new bin iff it does not fit; an over-budget doc sits in a bin alone.
+    * Output: (idCol, pgrp, bin, n_toks), items packed in ascending id. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String, groups: Int, budget: Int): DataFrame = {
+    val fold = udf { items: Seq[org.apache.spark.sql.Row] =>
+      var bin = 0
+      var fill = 0
+      var first = true
+      items.map { r =>
+        val id = r.getLong(0)
+        val n = r.getInt(1)
+        if (first) { first = false; fill = n }
+        else if (fill + n > budget) { bin += 1; fill = n }
+        else fill += n
+        (id, bin, n)
+      }
+    }
+    docs
+      .select(
+        col(idCol),
+        (col(idCol) % groups).cast("int").as("pgrp"),
+        size(split(col(textCol), " ")).as("n"))
+      .groupBy("pgrp")
+      .agg(sort_array(collect_list(struct(col(idCol), col("n")))).as("items"))
+      .select(col("pgrp"), explode(fold(col("items"))).as("it"))
+      .select(
+        col("it._1").as(idCol),
+        col("pgrp"),
+        col("it._2").as("bin"),
+        col("it._3").as("n_toks"))
+  }
+
+  /** Deterministic hash sampling: keeps a row iff its Knuth-multiplicative
+    * hash bucket (0..999) is below `permilRate` — a plain Column, so
+    * per-stratum rates are a `when` chain over any column. Reproducible
+    * across runs, partitionings, and engines (pure integer arithmetic),
+    * unlike rand()-based sample()/sampleBy(). Adds a `bucket` column. */
+  def sampleByHash(df: DataFrame, keyCol: String, permilRate: Column): DataFrame =
+    df.withColumn("bucket", (col(keyCol) * lit(2654435761L)) % lit(4294967296L) % 1000)
+      .filter(col("bucket") < permilRate)
+
+  /** Eval-set decontamination: training rows (NOT isEval) that share at
+    * least one `n`-gram with the eval slice (isEval), with the count of
+    * distinct shared n-grams. Inverted-index equi-join on the shingle —
+    * never all-pairs — and the eval side is broadcast (small by
+    * definition). Output: (idCol, n_shared). */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String, isEval: Column, n: Int): DataFrame = {
+    val ngrams = udf { ts: Seq[String] =>
+      if (ts == null) Seq.empty[String]
+      else ts.iterator.sliding(n).withPartial(false).map(_.mkString(" ")).toSeq
+    }
+    val sh = docs
+      .select(col(idCol), isEval.as("is_eval"), explode(ngrams(split(lower(col(textCol)), " "))).as("g"))
+      .distinct()
+    val evalSet = sh.filter(col("is_eval")).select("g").distinct()
+    sh.filter(!col("is_eval"))
+      .join(broadcast(evalSet), Seq("g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Content-hash dedup: one row per distinct content, the minimum id as
+    * the canonical representative; `carryCols` survive via min (all rows in
+    * a digest group share the same content, so any order-free pick is the
+    * value — min keeps both engines and all partitionings agreeing).
+    * Map-side partial agg on the digest — uniform shuffle key by
+    * construction, no skew trap. */
+  def dedupByContent(df: DataFrame, idCol: String, contentCol: String, carryCols: String*): DataFrame = {
+    val aggs = Seq(min(col(idCol)).as(idCol), min(col(contentCol)).as(contentCol)) ++
+      carryCols.map(c => min(col(c)).as(c))
+    df.withColumn("digest", md5(col(contentCol).cast("binary")))
+      .groupBy("digest")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Incremental admission: rows of `incoming` whose content digest is not
+    * present in `loaded` — the content-addressed form of "load only records
+    * not already loaded". Left-anti join on the 16-byte digest. */
+  def newContentOnly(incoming: DataFrame, loaded: DataFrame, contentCol: String): DataFrame =
+    incoming
+      .withColumn("digest", md5(col(contentCol).cast("binary")))
+      .join(
+        loaded.select(md5(col(contentCol).cast("binary")).as("digest")),
+        Seq("digest"),
+        "left_anti")
+}

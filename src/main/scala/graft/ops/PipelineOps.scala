@@ -4,10 +4,14 @@ import graft.Fixtures
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Training-data curation operators a 100-TB pretraining pipeline runs after
-  * dedup and before tokenization: document chunking, sequence packing,
-  * deterministic stratified sampling, eval-set decontamination, PII
-  * redaction, and embedding normalization/quantization. All oracle-checked.
+/** Oracle-checked query bindings for the training-data curation surface a
+  * 100-TB pretraining pipeline runs after dedup and before tokenization:
+  * document chunking, sequence packing, deterministic stratified sampling,
+  * eval-set decontamination, PII redaction, incremental content dedup, the
+  * end-to-end pipeline composition, and embedding normalization /
+  * quantization / k-means ANN. The reusable operators live in
+  * [[graft.ops.Curation]] (arbitrary DataFrames); each query here binds one
+  * to the fixture tables.
   *
   * Determinism engineering (SURVEY.md §2.0): no rand()/sample() anywhere —
   * sampling uses a multiplicative hash of the key, packing is a
@@ -17,35 +21,6 @@ import org.apache.spark.sql.functions._
   */
 object PipelineOps {
   private def e6(c: Column): Column = floor(c * 1e6 + lit(0.5)).cast("long")
-
-  /** Compiled n-gram shingler (UDF on purpose: higher-order-function chains
-    * are CodegenFallback and explode-of-computed-array re-evaluates per
-    * element — see ExtraText.shingleUdf for the measurements). */
-  private def ngramUdf(n: Int) = udf { ts: Seq[String] =>
-    if (ts == null) Seq.empty[String]
-    else ts.iterator.sliding(n).withPartial(false).map(_.mkString(" ")).toSeq
-  }
-
-  /** Greedy first-fit packing of (doc_id, n_toks) items — already sorted by
-    * doc_id — into bins of `budget` tokens: a doc opens a new bin iff it
-    * does not fit. Sequential by construction (bin state carries across
-    * items), so it runs per-group: parallel ACROSS groups, sequential
-    * WITHIN a group — exactly how production packers shard (one group per
-    * worker). An over-budget doc occupies a bin alone. */
-  private val packBudget = 256
-  private val packUdf = udf { items: Seq[org.apache.spark.sql.Row] =>
-    var bin = 0
-    var fill = 0
-    var first = true
-    items.map { r =>
-      val id = r.getLong(0)
-      val n = r.getInt(1)
-      if (first) { first = false; fill = n }
-      else if (fill + n > packBudget) { bin += 1; fill = n }
-      else fill += n
-      (id, bin, n)
-    }
-  }
 
   // PII patterns: identical RE2-compatible source on both engines. The
   // fixture text is synthetic, so each doc gets a deterministic planted
@@ -59,18 +34,8 @@ object PipelineOps {
     // explode is over the cheap int sequence of starts, never over a
     // computed token array (which re-evaluates per element).
     "q_chunk_docs" -> { (s, dir) =>
-      Fixtures
-        .table(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(
-          col("doc_id"),
-          col("toks"),
-          explode(sequence(lit(1), greatest(size(col("toks")), lit(1)), lit(24))).as("start"))
-        .select(
-          col("doc_id"),
-          ((col("start") - 1) / 24).cast("int").as("chunk_id"),
-          array_join(slice(col("toks"), col("start"), lit(32)), " ").as("chunk_text"),
-          size(slice(col("toks"), col("start"), lit(32))).as("chunk_toks"))
+      Curation
+        .chunk(Fixtures.table(s, dir, "documents"), "doc_id", "text", window = 32, stride = 24)
         .orderBy("doc_id", "chunk_id")
     },
     // Sequence packing: greedy first-fit of whole docs into 256-token bins,
@@ -78,20 +43,8 @@ object PipelineOps {
     // at-scale shape: the expensive part (per-item fold) is sequential only
     // within a group sized to one worker; groups scale out freely.
     "q_pack_sequences" -> { (s, dir) =>
-      Fixtures
-        .table(s, dir, "documents")
-        .select(
-          col("doc_id"),
-          (col("doc_id") % 32).cast("int").as("pgrp"),
-          size(split(col("text"), " ")).as("n"))
-        .groupBy("pgrp")
-        .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("items"))
-        .select(col("pgrp"), explode(packUdf(col("items"))).as("it"))
-        .select(
-          col("it._1").as("doc_id"),
-          col("pgrp"),
-          col("it._2").as("bin"),
-          col("it._3").as("n_toks"))
+      Curation
+        .packSequences(Fixtures.table(s, dir, "documents"), "doc_id", "text", groups = 32, budget = 256)
         .orderBy("doc_id")
     },
     // Deterministic stratified sampling: keep-decision is a pure function of
@@ -99,12 +52,9 @@ object PipelineOps {
     // reproducible across runs, partitionings, and engines, unlike
     // rand()/sampleBy. en 50%, de 25%, rest 10%.
     "q_sample_strat" -> { (s, dir) =>
-      val h = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
       val rate = when(col("lang") === "en", 500).when(col("lang") === "de", 250).otherwise(100)
-      Fixtures
-        .table(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), (h % 1000).as("bucket"))
-        .filter(col("bucket") < rate)
+      Curation
+        .sampleByHash(Fixtures.table(s, dir, "documents").select("doc_id", "lang"), "doc_id", rate)
         .orderBy("doc_id")
     },
     // Eval-set decontamination: a training doc (doc_id >= 20) is contaminated
@@ -113,15 +63,8 @@ object PipelineOps {
     // 100 TB: inverted-index equi-join on the shingle (no all-pairs), eval
     // side is small by definition → broadcast.
     "q_decontaminate" -> { (s, dir) =>
-      val sh = Fixtures
-        .table(s, dir, "documents")
-        .select(col("doc_id"), explode(ngramUdf(4)(split(lower(col("text")), " "))).as("g"))
-        .distinct()
-      val evalSet = sh.filter(col("doc_id") < 20).select("g").distinct()
-      sh.filter(col("doc_id") >= 20)
-        .join(broadcast(evalSet), Seq("g"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_shared"))
+      Curation
+        .decontaminate(Fixtures.table(s, dir, "documents"), "doc_id", "text", col("doc_id") < 20, n = 4)
         .orderBy("doc_id")
     },
     // PII redaction: plant a deterministic email + phone per doc, then strip
@@ -206,10 +149,8 @@ object PipelineOps {
     // digest — uniformly distributed by construction.
     "q_dedup_incremental" -> { (s, dir) =>
       val docs = Fixtures.table(s, dir, "documents")
-      val loaded = docs.filter(col("doc_id") < 250).select(md5(col("text").cast("binary")).as("digest"))
-      docs
-        .select(col("doc_id"), col("lang"), md5(col("text").cast("binary")).as("digest"))
-        .join(loaded, Seq("digest"), "left_anti")
+      Curation
+        .newContentOnly(docs.select("doc_id", "lang", "text"), docs.filter(col("doc_id") < 250), "text")
         .select(col("doc_id"), col("lang"), col("digest"))
         .orderBy("doc_id")
     },
@@ -223,16 +164,12 @@ object PipelineOps {
       val docs = Fixtures.table(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
       val corpus = docs.unionByName(
         docs.select((col("doc_id") + 10000).as("doc_id"), col("lang"), col("text")))
-      val deduped = corpus
-        .withColumn("digest", md5(col("text").cast("binary")))
-        .groupBy("digest")
-        .agg(min("doc_id").as("doc_id"), min("lang").as("lang"), min("text").as("text"))
+      val deduped = Curation.dedupByContent(corpus, "doc_id", "text", "lang")
       val gated = deduped
         .withColumn("n_toks", size(split(col("text"), " ")))
         .filter(col("n_toks").between(40, 300))
-      val sampled = gated
-        .filter((col("doc_id") * lit(2654435761L)) % 4294967296L % 1000 < 800)
-      sampled
+      Curation
+        .sampleByHash(gated, "doc_id", lit(800))
         .groupBy("lang")
         .agg(
           count(lit(1)).as("n_docs"),

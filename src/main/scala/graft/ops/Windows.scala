@@ -87,6 +87,26 @@ object Windows {
         .select("c_nationkey", "rn", "c_custkey", "c_acctbal")
         .orderBy("c_nationkey", "rn")
     },
+    // Value functions: first/last/nth over an explicit full-partition frame
+    // (last_value under the default frame is the CURRENT row — the classic
+    // trap; the unbounded frame makes it the true partition max), plus lead.
+    "q_win_value" -> { (s, dir) =>
+      val full = Window
+        .partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val fwd = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+      Fixtures
+        .table(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          col("c_mktsegment"),
+          first(col("c_custkey")).over(full).as("poorest_id"),
+          last(col("c_custkey")).over(full).as("richest_id"),
+          nth_value(col("c_custkey"), 2).over(full).as("second_id"),
+          lead(col("c_custkey"), 1).over(fwd).as("next_id"))
+        .orderBy("c_custkey")
+    },
     // Distribution functions: percent_rank = (rank-1)/(n-1) and cume_dist =
     // rank_with_ties/n are exact rationals of integers, so one double
     // division is bit-identical across engines; e6-scaled for the hash.
@@ -115,6 +135,11 @@ object Windows {
     "q_win_topk" ->
       "WITH r AS (SELECT c_nationkey, c_custkey, c_acctbal, row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn FROM customer) SELECT c_nationkey, CAST(rn AS INT) AS rn, c_custkey, c_acctbal FROM r WHERE rn <= 3 ORDER BY c_nationkey, rn",
     "q_win_dist" ->
-      "SELECT c_custkey, c_mktsegment, CAST(floor(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT) AS pr_e6, CAST(floor(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT) AS cd_e6 FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) ORDER BY c_custkey"
+      "SELECT c_custkey, c_mktsegment, CAST(floor(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT) AS pr_e6, CAST(floor(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT) AS cd_e6 FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) ORDER BY c_custkey",
+    "q_win_value" ->
+      ("SELECT c_custkey, c_mktsegment, first_value(c_custkey) OVER wfull AS poorest_id, last_value(c_custkey) OVER wfull AS richest_id, " +
+        "nth_value(c_custkey, 2) OVER wfull AS second_id, lead(c_custkey, 1) OVER fwd AS next_id FROM customer " +
+        "WINDOW wfull AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), " +
+        "fwd AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) ORDER BY c_custkey")
   )
 }
