@@ -267,6 +267,27 @@ object Joins {
         .latestPrior(p, v, "user_id", "v_user_id", "p_ts", "v_ts", "v_event_id")
         .select("p_event_id", "user_id", "p_ts", "v_event_id", "v_ts")
         .orderBy("p_event_id")
+    },
+    // Native as-of join with a 30-minute tolerance (pandas merge_asof
+    // semantics): a prior view older than the bound yields the null row.
+    // Same single-merge-pass operator — the bound is one comparison at
+    // emit, no extra shuffle or candidate blowup.
+    "q_join_asof_tol" -> { (s, dir) =>
+      val ev = Fixtures.events(s, dir)
+      val p = ev
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"), col("user_id"), col("ts").as("p_ts"))
+      val v = ev
+        .filter(col("event_type") === "view")
+        .select(
+          col("event_id").as("v_event_id"),
+          col("user_id").as("v_user_id"),
+          col("ts").as("v_ts"))
+      graft.plans.AsOfJoinOps
+        .latestPrior(p, v, "user_id", "v_user_id", "p_ts", "v_ts", "v_event_id",
+          toleranceMicros = 30L * 60 * 1000000)
+        .select("p_event_id", "user_id", "p_ts", "v_event_id", "v_ts")
+        .orderBy("p_event_id")
     }
   )
 
@@ -302,6 +323,8 @@ object Joins {
     "q_join_asof" ->
       (evCte + ", p AS (SELECT event_id AS p_event_id, user_id, ts AS p_ts FROM e WHERE event_type = 'purchase'), v AS (SELECT event_id AS v_event_id, user_id AS v_user_id, ts AS v_ts FROM e WHERE event_type = 'view'), j AS (SELECT p.p_event_id, p.user_id, p.p_ts, v.v_event_id, v.v_ts, row_number() OVER (PARTITION BY p.p_event_id ORDER BY v.v_ts DESC NULLS LAST, v.v_event_id DESC NULLS LAST) AS rn FROM p LEFT JOIN v ON p.user_id = v.v_user_id AND v.v_ts <= p.p_ts) SELECT p_event_id, user_id, p_ts, v_event_id, v_ts FROM j WHERE rn = 1 ORDER BY p_event_id"),
     "q_join_asof_native" ->
-      (evCte + ", p AS (SELECT event_id AS p_event_id, user_id, ts AS p_ts FROM e WHERE event_type = 'purchase'), v AS (SELECT event_id AS v_event_id, user_id AS v_user_id, ts AS v_ts FROM e WHERE event_type = 'view'), j AS (SELECT p.p_event_id, p.user_id, p.p_ts, v.v_event_id, v.v_ts, row_number() OVER (PARTITION BY p.p_event_id ORDER BY v.v_ts DESC NULLS LAST, v.v_event_id DESC NULLS LAST) AS rn FROM p LEFT JOIN v ON p.user_id = v.v_user_id AND v.v_ts <= p.p_ts) SELECT p_event_id, user_id, p_ts, v_event_id, v_ts FROM j WHERE rn = 1 ORDER BY p_event_id")
+      (evCte + ", p AS (SELECT event_id AS p_event_id, user_id, ts AS p_ts FROM e WHERE event_type = 'purchase'), v AS (SELECT event_id AS v_event_id, user_id AS v_user_id, ts AS v_ts FROM e WHERE event_type = 'view'), j AS (SELECT p.p_event_id, p.user_id, p.p_ts, v.v_event_id, v.v_ts, row_number() OVER (PARTITION BY p.p_event_id ORDER BY v.v_ts DESC NULLS LAST, v.v_event_id DESC NULLS LAST) AS rn FROM p LEFT JOIN v ON p.user_id = v.v_user_id AND v.v_ts <= p.p_ts) SELECT p_event_id, user_id, p_ts, v_event_id, v_ts FROM j WHERE rn = 1 ORDER BY p_event_id"),
+    "q_join_asof_tol" ->
+      (evCte + ", p AS (SELECT event_id AS p_event_id, user_id, ts AS p_ts FROM e WHERE event_type = 'purchase'), v AS (SELECT event_id AS v_event_id, user_id AS v_user_id, ts AS v_ts FROM e WHERE event_type = 'view'), j AS (SELECT p.p_event_id, p.user_id, p.p_ts, v.v_event_id, v.v_ts, row_number() OVER (PARTITION BY p.p_event_id ORDER BY v.v_ts DESC NULLS LAST, v.v_event_id DESC NULLS LAST) AS rn FROM p LEFT JOIN v ON p.user_id = v.v_user_id AND v.v_ts <= p.p_ts AND v.v_ts >= p.p_ts - INTERVAL 30 MINUTE) SELECT p_event_id, user_id, p_ts, v_event_id, v_ts FROM j WHERE rn = 1 ORDER BY p_event_id")
   )
 }

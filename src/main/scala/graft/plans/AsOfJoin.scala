@@ -37,7 +37,8 @@ case class AsOfJoin(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    rightTieBreak: Expression)
+    rightTieBreak: Expression,
+    tolerance: Long = -1L)
     extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
@@ -47,8 +48,8 @@ case class AsOfJoin(
 /** Planner rule: AsOfJoin logical node → AsOfJoinExec physical node. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tb) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tb, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, tol) :: Nil
     case _ => Nil
   }
 }
@@ -60,7 +61,8 @@ case class AsOfJoinExec(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    rightTieBreak: Expression)
+    rightTieBreak: Expression,
+    tolerance: Long = -1L)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output.map(_.withNullability(true))
@@ -96,10 +98,16 @@ case class AsOfJoinExec(
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lProj = UnsafeProjection.create(Seq(lk, lt), leftOut)
       val rProj = UnsafeProjection.create(Seq(rk, rt), rightOut)
-      val outProj = UnsafeProjection.create(outAttrs, leftOut ++ rightOut)
+      // Bind the output projection against a NULLABLE right-side schema:
+      // binding against the child's original (non-null) attributes makes
+      // codegen skip the isNullAt check, so the no-match nullRight row would
+      // project as zeros instead of NULLs.
+      val outProj =
+        UnsafeProjection.create(outAttrs, leftOut ++ rightOut.map(_.withNullability(true)))
       val nullRight = new GenericInternalRow(rightOut.size)
       val joined = new JoinedRow
 
+      val tol = tolerance
       new Iterator[InternalRow] {
         private var rHead: InternalRow = _
         private var rHeadKey = 0L
@@ -107,6 +115,7 @@ case class AsOfJoinExec(
         private var rHeadValid = false
         private var best: InternalRow = _
         private var bestKey = 0L
+        private var bestTime = 0L
         advanceRight()
 
         private def advanceRight(): Unit = {
@@ -141,10 +150,16 @@ case class AsOfJoinExec(
               if (rHeadKey == k) {
                 best = rHead.copy() // rIter reuses its row buffer
                 bestKey = k
+                bestTime = rHeadTime
               }
               advanceRight()
             }
-            outProj(joined(l, if (best != null) best else nullRight))
+            // tolerance (< 0 = unbounded): a prior row older than t - tol is
+            // stale for THIS left row but stays buffered — left times ascend
+            // within the key, yet a later left row can never un-stale it, so
+            // staleness only needs re-checking, never re-scanning.
+            val matched = best != null && (tol < 0L || t - bestTime <= tol)
+            outProj(joined(l, if (matched) best else nullRight))
           }
         }
       }
@@ -156,7 +171,12 @@ case class AsOfJoinExec(
 object AsOfJoinOps {
   /** Left-outer as-of join by column names: for each `left` row, the latest
     * `right` row with equal key and rightTime <= leftTime, ties broken by
-    * the largest tie-break value; right columns null when no prior row. */
+    * the largest tie-break value; right columns null when no prior row.
+    * `toleranceMicros` >= 0 additionally requires
+    * leftTime - rightTime <= tolerance (pandas merge_asof semantics) —
+    * priors older than the bound emit the null row. Unit is whatever the
+    * raw 8-byte time encoding uses (µs for timestamps, the value itself
+    * for longs). */
   def latestPrior(
       left: DataFrame,
       right: DataFrame,
@@ -164,7 +184,8 @@ object AsOfJoinOps {
       rightKey: String,
       leftTime: String,
       rightTime: String,
-      rightTieBreak: String): DataFrame = {
+      rightTieBreak: String,
+      toleranceMicros: Long = -1L): DataFrame = {
     val spark = left.sparkSession
     GraftSqlBridge.addStrategy(spark, AsOfJoinStrategy)
     // A self-join (or two frames derived from one source) carries the same
@@ -174,7 +195,7 @@ object AsOfJoinOps {
     val leftIds = left.queryExecution.analyzed.outputSet
     val rightSafe =
       if (right.queryExecution.analyzed.output.exists(leftIds.contains))
-        right.select(right.columns.map(c =>
+        right.select(right.columns.toIndexedSeq.map(c =>
           org.apache.spark.sql.functions.col(c).as(c)): _*)
       else right
     def attr(df: DataFrame, n: String): Attribute =
@@ -190,6 +211,7 @@ object AsOfJoinOps {
         attr(rightSafe, rightKey),
         attr(left, leftTime),
         attr(rightSafe, rightTime),
-        attr(rightSafe, rightTieBreak)))
+        attr(rightSafe, rightTieBreak),
+        toleranceMicros))
   }
 }

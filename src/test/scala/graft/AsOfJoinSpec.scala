@@ -105,4 +105,31 @@ class AsOfJoinSpec extends SparkSuite {
     assert(out(1L).contains(12L), s"tie-break wrong: $out")
     assert(out(2L).contains(14L), s"as-of wrong: $out")
   }
+
+  test("tolerance: a prior older than the bound yields the null row, fresher matches survive") {
+    val p = Seq((1L, 10L, 1000L), (2L, 10L, 5000L)).toDF("p_event_id", "user_id", "p_ts")
+      .select(col("p_event_id"), col("user_id"), timestamp_micros(col("p_ts")).as("p_ts"))
+    val v = Seq(
+      (11L, 10L, 900L), // 100 µs before p1 → inside tol=200 → matches p1
+      (12L, 10L, 1500L) // 3500 µs before p2 → outside tol=200 → p2 unmatched
+    ).toDF("v_event_id", "v_user_id", "v_ts")
+      .select(col("v_event_id"), col("v_user_id"), timestamp_micros(col("v_ts")).as("v_ts"))
+    val out = AsOfJoinOps
+      .latestPrior(p, v, "user_id", "v_user_id", "p_ts", "v_ts", "v_event_id", toleranceMicros = 200L)
+      .select("p_event_id", "v_event_id")
+      .as[(Long, Option[Long])]
+      .collect()
+      .toMap
+    assert(out(1L).contains(11L), s"in-tolerance match lost: $out")
+    assert(out(2L).isEmpty, s"stale prior leaked past the tolerance: $out")
+    // Unbounded (default) still matches the stale prior — the bound is the
+    // only semantic difference.
+    val unbounded = AsOfJoinOps
+      .latestPrior(p, v, "user_id", "v_user_id", "p_ts", "v_ts", "v_event_id")
+      .select("p_event_id", "v_event_id")
+      .as[(Long, Option[Long])]
+      .collect()
+      .toMap
+    assert(unbounded(2L).contains(12L))
+  }
 }
