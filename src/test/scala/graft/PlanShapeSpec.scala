@@ -32,4 +32,14 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("PushedFilters: ["), s"no pushed filters:\n$p")
     assert(p.contains("IsNotNull"), s"expected pushed IsNotNull:\n$p")
   }
+
+  test("curation shapes: decontaminate broadcasts the eval side; ANN search is never all-pairs") {
+    val dec = planOf("q_decontaminate")
+    assert(dec.contains("BroadcastHashJoin"), s"eval-side broadcast missing:\n$dec")
+    for (q <- Seq("q_sim_ann_kmeans", "q_gap_fill")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join:\n$p")
+    }
+  }
 }
