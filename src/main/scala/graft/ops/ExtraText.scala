@@ -142,6 +142,31 @@ object ExtraText {
         .withColumn("ratio", col("re_n") / col("ws_n"))
         .orderBy("doc_id")
     },
+    // Shannon entropy of each doc's token distribution (nats) + distinct
+    // token count — the repetition/diversity signal quality filters use.
+    // Determinism: the Σ (c/n)·ln(n/c) fold runs over token counts sorted
+    // by token, so both engines perform the identical IEEE addition
+    // sequence (double sums don't commute); e6-scaled for the hash.
+    "q_text_entropy" -> { (s, dir) =>
+      val tc = Fixtures
+        .table(s, dir, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("c"))
+      tc.groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("tok"), col("c")))).as("tcs"), sum("c").as("n"))
+        .select(
+          col("doc_id"),
+          col("n").as("n_toks"),
+          size(col("tcs")).as("n_unique"),
+          e6(aggregate(
+            col("tcs"),
+            lit(0.0),
+            (acc, x) =>
+              acc + (x.getField("c").cast("double") / col("n")) *
+                log(col("n").cast("double") / x.getField("c")))).as("ent_e6"))
+        .orderBy("doc_id")
+    },
     // Document fingerprint: polynomial rolling hash over per-token codes
     // (ascii(first char)·256 + length), mod 1e9+7 each step so the fold
     // stays in exact integer range on both engines.
@@ -174,6 +199,21 @@ object ExtraText {
       val verts = Fixtures.table(s, dir, "documents").filter(col("doc_id") < 30).select("doc_id")
       Components
         .connectedComponents(jaccardPairs(s, dir).select("a_id", "b_id"), verts, "doc_id")
+        .select(
+          col("id").as("doc_id"),
+          col("comp"),
+          (col("id") === col("comp")).cast("int").as("is_canonical"))
+        .orderBy("doc_id")
+    },
+    // Same dedup decision through the alternating large-star/small-star
+    // contraction (Components.connectedComponentsStar, O(log n) rounds on
+    // any graph shape) — same recursive-CTE oracle as q_dedup_clusters, so
+    // the hash-match proves the star algorithm end-to-end, not just the
+    // ComponentsSpec equivalence.
+    "q_dedup_clusters_star" -> { (s, dir) =>
+      val verts = Fixtures.table(s, dir, "documents").filter(col("doc_id") < 30).select("doc_id")
+      Components
+        .connectedComponentsStar(jaccardPairs(s, dir).select("a_id", "b_id"), verts, "doc_id")
         .select(
           col("id").as("doc_id"),
           col("comp"),
@@ -278,9 +318,18 @@ object ExtraText {
       "SELECT doc_id, CAST(len(string_split(text,' ')) AS INT) AS ws_n, CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS re_n, len(regexp_extract_all(text, '[a-z]+|[0-9]+'))*1.0/len(string_split(text,' ')) AS ratio FROM documents ORDER BY doc_id",
     "q_doc_fingerprint" ->
       "SELECT doc_id, CAST(list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(string_split(lower(text),' '), t -> CAST(ascii(t) AS BIGINT)*256 + length(t))), (h,v) -> (h*31 + v) % 1000000007) AS BIGINT) AS fp FROM documents ORDER BY doc_id",
+    "q_text_entropy" ->
+      ("WITH t AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS tok FROM documents), " +
+        "c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2), " +
+        "g AS (SELECT doc_id, list(c ORDER BY tok) AS cs, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY doc_id) " +
+        "SELECT doc_id, n AS n_toks, CAST(len(cs) AS INT) AS n_unique, " +
+        "CAST(floor(list_reduce(list_transform(cs, x -> (CAST(x AS DOUBLE)/n) * ln(CAST(n AS DOUBLE)/x)), (p,v) -> p+v)*1000000 + 0.5) AS BIGINT) AS ent_e6 " +
+        "FROM g ORDER BY doc_id"),
     "q_dedup_jaccard" ->
       "WITH s AS (SELECT DISTINCT doc_id, bg FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg FROM (SELECT doc_id, string_split(lower(text),' ') AS toks FROM documents WHERE doc_id < 30))), sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id), inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i FROM s a JOIN s b ON a.bg = b.bg AND a.doc_id < b.doc_id GROUP BY 1, 2), j AS (SELECT a_id, b_id, i/(sa.n + sb.n - i) AS jacc FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id) SELECT a_id, b_id, CAST(floor(jacc*1000000 + 0.5) AS BIGINT) AS jacc_e6 FROM j WHERE jacc >= 0.05 ORDER BY a_id, b_id",
     "q_dedup_clusters" ->
+      "WITH RECURSIVE s AS (SELECT DISTINCT doc_id, bg FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg FROM (SELECT doc_id, string_split(lower(text),' ') AS toks FROM documents WHERE doc_id < 30))), sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id), inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i FROM s a JOIN s b ON a.bg = b.bg AND a.doc_id < b.doc_id GROUP BY 1, 2), pr AS (SELECT a_id, b_id FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id WHERE i/(sa.n + sb.n - i) >= 0.05), verts AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 30), e AS (SELECT a_id AS s2, b_id AS d FROM pr UNION ALL SELECT b_id, a_id FROM pr), reach(node, m) AS (SELECT doc_id, doc_id FROM verts UNION SELECT e.s2, r.m FROM e JOIN reach r ON e.d = r.node) SELECT node AS doc_id, CAST(min(m) AS BIGINT) AS comp, CAST(node = min(m) AS INT) AS is_canonical FROM reach GROUP BY node ORDER BY doc_id",
+    "q_dedup_clusters_star" ->
       "WITH RECURSIVE s AS (SELECT DISTINCT doc_id, bg FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg FROM (SELECT doc_id, string_split(lower(text),' ') AS toks FROM documents WHERE doc_id < 30))), sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id), inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i FROM s a JOIN s b ON a.bg = b.bg AND a.doc_id < b.doc_id GROUP BY 1, 2), pr AS (SELECT a_id, b_id FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id WHERE i/(sa.n + sb.n - i) >= 0.05), verts AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 30), e AS (SELECT a_id AS s2, b_id AS d FROM pr UNION ALL SELECT b_id, a_id FROM pr), reach(node, m) AS (SELECT doc_id, doc_id FROM verts UNION SELECT e.s2, r.m FROM e JOIN reach r ON e.d = r.node) SELECT node AS doc_id, CAST(min(m) AS BIGINT) AS comp, CAST(node = min(m) AS INT) AS is_canonical FROM reach GROUP BY node ORDER BY doc_id",
     "q_sim_ann_ivf" ->
       ("WITH e AS (SELECT vec_id, embedding, (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bkt FROM embeddings), s AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.bkt, " +
