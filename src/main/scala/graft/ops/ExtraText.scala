@@ -167,6 +167,27 @@ object ExtraText {
                 log(col("n").cast("double") / x.getField("c")))).as("ent_e6"))
         .orderBy("doc_id")
     },
+    // Corpus-level term document-frequency — the stopword/boilerplate
+    // discovery pass a cleaning pipeline runs before filtering: for every
+    // token, how many docs contain it and whether it crosses the "common"
+    // threshold (60% of the corpus). The corpus size joins in as a
+    // broadcast 1-row aggregate — never a driver-side collect.
+    "q_term_docfreq" -> { (s, dir) =>
+      val docs = Fixtures.table(s, dir, "documents")
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      docs
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+        .distinct()
+        .groupBy("tok")
+        .agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(total))
+        .select(
+          col("tok"),
+          col("df"),
+          e6(col("df").cast("double") / col("n_docs")).as("share_e6"),
+          (col("df").cast("double") / col("n_docs") >= 0.6).cast("int").as("is_common"))
+        .orderBy("tok")
+    },
     // Document fingerprint: polynomial rolling hash over per-token codes
     // (ascii(first char)·256 + length), mod 1e9+7 each step so the fold
     // stays in exact integer range on both engines.
@@ -318,6 +339,11 @@ object ExtraText {
       "SELECT doc_id, CAST(len(string_split(text,' ')) AS INT) AS ws_n, CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS re_n, len(regexp_extract_all(text, '[a-z]+|[0-9]+'))*1.0/len(string_split(text,' ')) AS ratio FROM documents ORDER BY doc_id",
     "q_doc_fingerprint" ->
       "SELECT doc_id, CAST(list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(string_split(lower(text),' '), t -> CAST(ascii(t) AS BIGINT)*256 + length(t))), (h,v) -> (h*31 + v) % 1000000007) AS BIGINT) AS fp FROM documents ORDER BY doc_id",
+    "q_term_docfreq" ->
+      ("WITH s AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, unnest(string_split(lower(text),' ')) AS tok FROM documents)), " +
+        "f AS (SELECT tok, count(*) AS df FROM s GROUP BY tok), n AS (SELECT count(*) AS n_docs FROM documents) " +
+        "SELECT tok, df, CAST(floor(CAST(df AS DOUBLE)/n_docs*1000000 + 0.5) AS BIGINT) AS share_e6, " +
+        "CAST(CAST(df AS DOUBLE)/n_docs >= 0.6 AS INT) AS is_common FROM f CROSS JOIN n ORDER BY tok"),
     "q_text_entropy" ->
       ("WITH t AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS tok FROM documents), " +
         "c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2), " +
