@@ -102,22 +102,26 @@ object Components {
       val base = if (large) emitted else emitted.unionByName(mins.select(col("u").as("src"), col("m").as("dst")))
       base.filter(col("src") =!= col("dst")).distinct()
     }
-    // Convergence: stop when the edge SET repeats. Symmetric-difference
-    // count is exact at any scale; the paper's potential function is the
-    // cheaper production check, but exactness matters more here (the spec
-    // asserts equality with label propagation).
-    def diff(a: DataFrame, b: DataFrame): Long =
-      a.exceptAll(b).count() + b.exceptAll(a).count()
+    // Convergence: stop when the edge SET repeats. Both rounds' outputs are
+    // distinct(), so set equality ⇔ equal cardinality AND empty one-way
+    // difference — one exceptAll shuffle per round instead of two, and the
+    // cardinality carries over from the previous round's check for free.
+    // (The paper's potential function is the cheaper production check;
+    // exactness matters more here — the spec asserts equality with label
+    // propagation.)
     var cur = edges
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
+    var curCount = cur.count()
     var changed = true
     while (changed) {
       val next = star(star(cur, large = true), large = false).localCheckpoint()
-      changed = diff(next, cur) > 0
+      val nextCount = next.count()
+      changed = nextCount != curCount || next.exceptAll(cur).count() > 0
       cur = next
+      curCount = nextCount
     }
     // Fixpoint edges are (member → component-min); vertices in no edge are
     // their own component.
