@@ -17,6 +17,14 @@ case class MediaFeatures(
     height: Int,
     histogram: Array[Double])
 case class MediaFrame(id: Long, frame_idx: Int, frame_checksum: Long)
+case class AudioFeatures(
+    id: Long,
+    kind: String,
+    n_bytes: Int,
+    sample_rate: Int,
+    channels: Int,
+    n_frames: Long,
+    amp_hist: Array[Double])
 
 /** Multimodal column plumbing: image/audio/video payloads as opaque binary
   * columns with typed metadata, processed per partition.
@@ -93,6 +101,61 @@ object MediaPipeline {
       // real pipeline: val codec = Codec.open() here, closed at exhaustion
       it.map(decode)
     }
+  }
+
+  /** Real audio decode for WAV/AU/AIFF payloads via the JDK's
+    * `javax.sound.sampled` (no external codec): true sample rate, channel
+    * count, frame length, and an 8-bin |amplitude| histogram over 16-bit
+    * PCM samples. Audio kinds the JDK cannot parse (mp3/ogg/…) fall back
+    * to deterministic checksum-derived features — that fallback is the
+    * remaining audio STUB; raw-video decode stays stubbed in sampleFrames
+    * (no container codec ships with the JDK). */
+  def decodeAudio(ds: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      val cs = checksum(r.payload)
+      val real: Option[AudioFeatures] =
+        if (!r.kind.startsWith("audio")) None
+        else
+          try {
+            val ais = javax.sound.sampled.AudioSystem
+              .getAudioInputStream(new ByteArrayInputStream(r.payload))
+            try {
+              val fmt = ais.getFormat
+              if (fmt.getSampleSizeInBits != 16) None
+              else {
+                val bytes = ais.readAllBytes()
+                val hist = new Array[Double](8)
+                var i = 0
+                while (i + 1 < bytes.length) {
+                  val s =
+                    if (fmt.isBigEndian) ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort
+                    else ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
+                  hist(math.min(math.abs(s.toInt) / 4096, 7)) += 1.0
+                  i += 2
+                }
+                val n = math.max(bytes.length / 2, 1)
+                Some(AudioFeatures(
+                  r.id, r.kind, r.payload.length,
+                  fmt.getSampleRate.toInt, fmt.getChannels, ais.getFrameLength,
+                  hist.map(_ / n)))
+              }
+            } finally ais.close()
+          } catch { case _: Exception => None }
+      real.getOrElse {
+        val hist = new Array[Double](8)
+        r.payload.foreach(b => hist((b & 0xff) / 32) += 1.0)
+        val n = math.max(r.payload.length, 1)
+        AudioFeatures(
+          id = r.id,
+          kind = r.kind,
+          n_bytes = r.payload.length,
+          sample_rate = 8000 + (cs % 40000).toInt,
+          channels = 1 + (cs % 2).toInt,
+          n_frames = r.payload.length.toLong / 2,
+          amp_hist = hist.map(_ / n))
+      }
+    })
   }
 
   /** Resize. Images: real nearest-neighbour resample via decode → setRGB →

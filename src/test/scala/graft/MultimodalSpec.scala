@@ -151,4 +151,39 @@ class MultimodalSpec extends SparkSuite {
     val again = MediaPipeline.sampleFrames(vids, everyN = 2).collect().sortBy(f => (f.id, f.frame_idx))
     assert(again.toSeq == frames.sortBy(f => (f.id, f.frame_idx)).toSeq)
   }
+
+  /** Deterministic in-memory WAV: `n` frames of a 16-bit mono square-ish
+    * wave at the given rate, written by the JDK's own WAVE encoder. */
+  private def wavBytes(rate: Float, n: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s: Short = if ((i / 50) % 2 == 0) 12000 else -12000
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    buf.toByteArray
+  }
+
+  test("decodeAudio: real WAV decode — exact rate/channels/frames, amplitude histogram") {
+    val ds = Seq(
+      MediaRecord(1L, "audio/wav", wavBytes(16000f, 800)),
+      MediaRecord(2L, "audio/wav", wavBytes(8000f, 400)),
+      MediaRecord(3L, "audio/mp3", Array.tabulate(256)(_.toByte)) // undecodable → fallback
+    ).toDS()
+    val out = MediaPipeline.decodeAudio(ds).collect().sortBy(_.id)
+    assert(out(0).sample_rate == 16000 && out(0).channels == 1 && out(0).n_frames == 800L)
+    assert(out(1).sample_rate == 8000 && out(1).n_frames == 400L)
+    // all samples have |amp| 12000 → exactly one occupied histogram bin
+    assert(out(0).amp_hist.count(_ > 0) == 1 && math.abs(out(0).amp_hist.sum - 1.0) < 1e-9)
+    // decode is deterministic across runs
+    val again = MediaPipeline.decodeAudio(ds).collect().sortBy(_.id)
+    assert(again.map(_.amp_hist.toSeq).toSeq == out.map(_.amp_hist.toSeq).toSeq)
+  }
 }
