@@ -90,9 +90,15 @@ object Curation {
       if (ts == null) Seq.empty[String]
       else ts.iterator.sliding(n).withPartial(false).map(_.mkString(" ")).toSeq
     }
+    // Materialize the (id, is_eval, n-gram) set ONCE: without the
+    // checkpoint, predicate pushdown sinks the is_eval filters below the
+    // distinct and the whole shingle-explode-distinct pipeline runs twice
+    // (once per branch) — measured ~2× the cost at sf0.1, and at scale the
+    // explode+distinct dominates the recomputation either way.
     val sh = docs
       .select(col(idCol), isEval.as("is_eval"), explode(ngrams(split(lower(col(textCol)), " "))).as("g"))
       .distinct()
+      .localCheckpoint()
     val evalSet = sh.filter(col("is_eval")).select("g").distinct()
     sh.filter(!col("is_eval"))
       .join(broadcast(evalSet), Seq("g"))
