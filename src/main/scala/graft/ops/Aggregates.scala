@@ -85,6 +85,24 @@ object Aggregates {
           sum_distinct(col("qty_c")).as("sum_dq_c"))
         .orderBy("l_returnflag")
     },
+    // Per-group mode with a deterministic tie-break: built-in mode() leaves
+    // tie order unspecified on BOTH engines, so the modal value is computed
+    // as argmax over (count, value) — count desc, value asc — via one
+    // aggregation and a WindowGroupLimit-prunable rank filter. The portable
+    // way to get a mode that hash-matches anywhere.
+    "q_agg_mode" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_nationkey")
+        .orderBy(col("cnt").desc, col("c_mktsegment"))
+      Fixtures
+        .table(s, dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("c_nationkey"), col("c_mktsegment").as("modal_segment"), col("cnt").as("n"))
+        .orderBy("c_nationkey")
+    },
     // Rollup hierarchy region → nation with subtotal rows + grouping flags.
     // Expressed via the SQL entry point: rollup over a join result trips the
     // DataFrame API's ambiguous-self-join detector (the Expand node clones
@@ -237,6 +255,10 @@ object Aggregates {
       "SELECT count(*) AS n, CAST(sum(CAST(floor(l_quantity*100+0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c, sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT))/count(*)/100.0 AS avg_price, min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price FROM lineitem",
     "q_agg_distinct" ->
       "SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, CAST(sum(DISTINCT CAST(floor(l_quantity*100+0.5) AS BIGINT)) AS BIGINT) AS sum_dq_c FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "q_agg_mode" ->
+      ("WITH c AS (SELECT c_nationkey, c_mktsegment, count(*) AS cnt FROM customer GROUP BY 1, 2), " +
+        "r AS (SELECT c_nationkey, c_mktsegment, cnt, row_number() OVER (PARTITION BY c_nationkey ORDER BY cnt DESC, c_mktsegment) AS rn FROM c) " +
+        "SELECT c_nationkey, c_mktsegment AS modal_segment, CAST(cnt AS BIGINT) AS n FROM r WHERE rn = 1 ORDER BY c_nationkey"),
     "q_agg_rollup" ->
       "SELECT r_name, n_name, CAST(grouping(r_name) AS INT) AS g_r, CAST(grouping(n_name) AS INT) AS g_n, count(*) AS n_cust, CAST(sum(CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_bal_c FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP(r_name, n_name) ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST",
     "q_agg_cube" ->

@@ -248,6 +248,35 @@ class StreamingSpec extends SparkSuite {
         s"stream≠batch: onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
     } finally q.stop()
   }
+
+  test("cap_stream_available_now: file-source stream drains existing data and stops, equals batch") {
+    import spark.implicits._
+    // The batch-incremental pattern: a periodic job starts the stream with
+    // Trigger.AvailableNow, processes everything present (checkpointed, so
+    // a rerun resumes where it left off), and terminates on its own.
+    val dir = java.nio.file.Files.createTempDirectory("graft-avnow").toString
+    val src = Fixtures
+      .events(spark, sf001)
+      .select("event_id", "user_id", "event_type")
+      .limit(2000)
+    src.write.parquet(dir + "/in")
+    val stream = spark.readStream
+      .schema(src.schema)
+      .parquet(dir + "/in")
+      .groupBy("event_type")
+      .count()
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("avnow_out")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", dir + "/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(60000), "AvailableNow stream did not self-terminate")
+    val streamed = spark.table("avnow_out").as[(String, Long)].collect().toMap
+    val batch = src.groupBy("event_type").count().as[(String, Long)].collect().toMap
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+  }
 }
 
 object StreamingSpec {
