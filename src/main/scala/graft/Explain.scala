@@ -24,7 +24,9 @@ object Explain {
     "q_join_salted",      // expect: equi-join on (key, salt), Expand on right
     "q_decontaminate",    // expect: BroadcastHashJoin on the shingle (eval side small)
     "q_chunk_docs",       // expect: map-only Generate over the int start sequence
-    "q_sim_ann_kmeans"    // expect: bucket equi-join, WindowGroupLimit top-k
+    "q_sim_ann_kmeans",   // expect: bucket equi-join, WindowGroupLimit top-k
+    "q_agg_mode",         // expect: partial+final HashAggregate, WindowGroupLimit rank=1
+    "q_curation_pipeline" // expect: digest agg -> filter -> hash-sample -> final agg, one job
   )
 
   def main(args: Array[String]): Unit = {
