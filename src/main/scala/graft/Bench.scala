@@ -32,22 +32,42 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // Millisecond precision keeps the JSON line short enough for the driver's
-    // stdout tail buffer (r2's full-precision line was truncated → unparsed),
-    // and sub-ms digits are pure noise at this workload anyway. Repeated
-    // query-name args (profiling runs) get indexed keys instead of being
-    // collapsed by a Map, so the reported total matches the runs executed.
+    // Output protocol (round 5): the driver captures only a TAIL of stdout,
+    // and r4's single ~3 KB 99-query JSON line outgrew it — the buffer
+    // boundary fell mid-line, front-truncating the line and leaving the
+    // driver's parse null. Since the truncation point is a byte offset we
+    // can't control, every line we emit must be independently parseable and
+    // short (≤ ~2 KB), and the grand total must appear at BOTH ends of the
+    // output: whichever end of the buffer survives, a parseable
+    // {"metric":"total",...} line is in it. Per-query timings go in
+    // "queries"-metric chunk lines between the two total lines.
+    // Millisecond precision (sub-ms is noise here) keeps lines short.
     // Locale.ROOT: a comma-decimal default locale (de_DE) would emit "1,234"
-    // and corrupt the JSON line the driver parses.
+    // and corrupt the JSON. Repeated query-name args (profiling runs) get
+    // indexed keys instead of being collapsed by a Map, so the reported
+    // total matches the runs executed.
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val seen = scala.collection.mutable.Map.empty[String, Int]
-    val qs = results.map { case (k, v) =>
+    val entries: Seq[String] = results.map { case (k, v) =>
       val n = seen.getOrElse(k, 0); seen(k) = n + 1
       val key = if (n == 0) k else s"$k#${n + 1}"
       "\"" + key + "\":" + fmt(v)
-    }.mkString("{", ",", "}")
+    }
+    // Greedy ≤2000-byte packing of per-query entries into chunk lines.
+    val chunks = scala.collection.mutable.ArrayBuffer(scala.collection.mutable.ArrayBuffer.empty[String])
+    entries.foreach { e =>
+      if (chunks.last.nonEmpty && chunks.last.map(_.length + 1).sum + e.length > 2000)
+        chunks += scala.collection.mutable.ArrayBuffer.empty[String]
+      chunks.last += e
+    }
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"nqueries":${results.size},"parts":${chunks.size},"sf":"$sfDir"}"""
+    println(totalLine)
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"""{"metric":"queries","part":${i + 1},"of":${chunks.size},"queries":${c.mkString("{", ",", "}")},"sf":"$sfDir"}""")
+    }
+    println(totalLine)
     spark.stop()
   }
 }

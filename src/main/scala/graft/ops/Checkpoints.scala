@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage truncation with a deployment switch.
+  *
+  * Iterative operators (connected components, Lloyd's iterations) and
+  * multi-action plans (decontaminate) must cut lineage each round or the
+  * plan re-executes its whole upstream per action. Two ways to cut it:
+  *
+  *   - `localCheckpoint()` — executor-memory resident. Fastest, and the
+  *     right default in `local[*]` where "executor loss" cannot happen. NOT
+  *     fault-tolerant on a real cluster: lose an executor and the cached
+  *     blocks (and, because lineage was truncated, any way to recompute
+  *     them) are gone.
+  *   - `checkpoint()` — written to the reliable checkpoint directory
+  *     (HDFS/object store on a cluster). Survives executor loss; costs a
+  *     write+read round trip per truncation.
+  *
+  * Set `spark.graft.checkpoint.reliable=true` (plus
+  * `sparkContext.setCheckpointDir(...)`) to switch every Graft iterative
+  * operator to reliable checkpoints — the production setting for long
+  * 100-TB jobs where retrying the whole job costs more than the checkpoint
+  * writes. The default (unset/false) keeps localCheckpoint.
+  */
+object Checkpoints {
+  val ReliableKey = "spark.graft.checkpoint.reliable"
+
+  /** Truncate `df`'s lineage eagerly, honoring [[ReliableKey]]. */
+  def truncate(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val reliable = spark.conf.getOption(ReliableKey).exists(_.trim.equalsIgnoreCase("true"))
+    if (reliable) {
+      require(
+        spark.sparkContext.getCheckpointDir.isDefined,
+        s"$ReliableKey=true requires sparkContext.setCheckpointDir(...)")
+      df.checkpoint()
+    } else df.localCheckpoint()
+  }
+}

@@ -102,26 +102,41 @@ object Components {
       val base = if (large) emitted else emitted.unionByName(mins.select(col("u").as("src"), col("m").as("dst")))
       base.filter(col("src") =!= col("dst")).distinct()
     }
-    // Convergence: stop when the edge SET repeats. Both rounds' outputs are
-    // distinct(), so set equality ⇔ equal cardinality AND empty one-way
-    // difference — one exceptAll shuffle per round instead of two, and the
-    // cardinality carries over from the previous round's check for free.
-    // (The paper's potential function is the cheaper production check;
-    // exactness matters more here — the spec asserts equality with label
-    // propagation.)
+    // Convergence: stop when the edge SET repeats. The production per-round
+    // check is a single map-side-combinable aggregation — (count, sum(src),
+    // sum(dst)) with decimal(38,0) exact sums — because dst values only ever
+    // move toward component minima, so the signature is stationary only at
+    // (or vanishingly near) the fixpoint. A naive set-equality detector
+    // costs a full exceptAll shuffle join PER ROUND; the signature costs one
+    // tiny all-to-one agg. Soundness is kept absolute by running exceptAll
+    // exactly ONCE, when the signature first stabilizes: if (never observed)
+    // the sets still differ, the loop continues. So the expensive check is
+    // paid once per run, not once per round; ComponentsSpec additionally
+    // asserts full equality with the label-propagation twin.
+    def signature(df: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
+      val r = df.agg(
+        count(lit(1)),
+        sum(col("src").cast("decimal(38,0)")),
+        sum(col("dst").cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1), r.getDecimal(2))
+    }
+    def sigEq(a: (Long, java.math.BigDecimal, java.math.BigDecimal),
+              b: (Long, java.math.BigDecimal, java.math.BigDecimal)): Boolean =
+      a._1 == b._1 &&
+        (a._1 == 0 || (a._2.compareTo(b._2) == 0 && a._3.compareTo(b._3) == 0))
     var cur = edges
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
-    var curCount = cur.count()
+    var curSig = signature(cur)
     var changed = true
     while (changed) {
       val next = star(star(cur, large = true), large = false).localCheckpoint()
-      val nextCount = next.count()
-      changed = nextCount != curCount || next.exceptAll(cur).count() > 0
+      val nextSig = signature(next)
+      changed = !sigEq(nextSig, curSig) || next.exceptAll(cur).count() > 0
       cur = next
-      curCount = nextCount
+      curSig = nextSig
     }
     // Fixpoint edges are (member → component-min); vertices in no edge are
     // their own component.
