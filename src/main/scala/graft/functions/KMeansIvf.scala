@@ -3,6 +3,8 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.ops.Checkpoints
+
 /** IVF-style approximate nearest-neighbor search with a k-means coarse
   * quantizer — the upgrade path from the fixed sign-bit bucketing of
   * q_sim_ann_ivf: centroids adapt to the data distribution, so buckets are
@@ -75,7 +77,7 @@ object KMeansIvf {
       // (cluster, vector) pair so the argmin runs exactly once per vector.
       val assigned = vecs
         .select(assignUdf(col(vecCol)).as("c"), col(vecCol).as("v"))
-        .localCheckpoint()
+        .transform(Checkpoints.truncate)
       // (cluster, dim) partial sums as e6 longs: order-independent, exact.
       val stats = assigned
         .select(col("c"), posexplode(col("v")).as(Seq("p", "x")))

@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   * unions of small cliques-ish clusters, so diameter is tiny. Each round is
   * one shuffle join + one map-side-combinable min aggregation; the driver
   * only ever sees a change COUNT (no data collect). Lineage is truncated
-  * with localCheckpoint per round so plans don't grow unboundedly. At
+  * per round (Checkpoints.truncate — localCheckpoint by default, reliable
+  * checkpoint under spark.graft.checkpoint.reliable) so plans don't grow
+  * unboundedly. At
   * extreme scale the same loop is upgraded to the alternating
   * large-star/small-star formulation (Kiveris et al.), which bounds rounds
   * by O(log n) on adversarial graph shapes; the API is unchanged.
@@ -31,7 +33,7 @@ object Components {
     val sym = edges
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint()
+      .transform(Checkpoints.truncate)
     def propagate(labels: DataFrame): DataFrame =
       sym
         .join(labels, sym("dst") === labels("id"))
@@ -47,14 +49,14 @@ object Components {
     // decimal(38,0) so the sum is exact at any vertex-count × id magnitude.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
-    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("comp")).localCheckpoint()
+    var labels = Checkpoints.truncate(vertices.select(col(idCol).as("id"), col(idCol).as("comp")))
     var prevSum = labelSum(labels)
     var changed = true
     while (changed) {
       // Two propagation hops per convergence check: labels only decrease, so
       // a two-step fixpoint is a one-step fixpoint, and the per-round fixed
       // cost (checkpoint + sum job) is paid half as often.
-      val next = propagate(propagate(labels)).localCheckpoint()
+      val next = Checkpoints.truncate(propagate(propagate(labels)))
       val nextSum = labelSum(next)
       changed = nextSum.compareTo(prevSum) != 0
       prevSum = nextSum
@@ -128,11 +130,11 @@ object Components {
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint()
+      .transform(Checkpoints.truncate)
     var curSig = signature(cur)
     var changed = true
     while (changed) {
-      val next = star(star(cur, large = true), large = false).localCheckpoint()
+      val next = Checkpoints.truncate(star(star(cur, large = true), large = false))
       val nextSig = signature(next)
       changed = !sigEq(nextSig, curSig) || next.exceptAll(cur).count() > 0
       cur = next

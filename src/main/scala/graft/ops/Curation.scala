@@ -98,7 +98,7 @@ object Curation {
     val sh = docs
       .select(col(idCol), isEval.as("is_eval"), explode(ngrams(split(lower(col(textCol)), " "))).as("g"))
       .distinct()
-      .localCheckpoint()
+      .transform(Checkpoints.truncate)
     val evalSet = sh.filter(col("is_eval")).select("g").distinct()
     sh.filter(!col("is_eval"))
       .join(broadcast(evalSet), Seq("g"))
