@@ -1,0 +1,155 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HammingPairs
+
+case class ImageHashes(id: Long, dhash: Long, phash: Long)
+
+/** Perceptual image fingerprints — the image twin of SimHash text dedup:
+  * one 64-bit signature per image, near-duplicates = small Hamming
+  * distance, pairs found by the shared banded [[HammingPairs]] join.
+  * Closes the multimodal near-dup gap using only the JDK's `javax.imageio`
+  * decode (PNG/JPEG/GIF/BMP — no external codec).
+  *
+  * Two classic hashes, both over integer Rec.601 luma:
+  *
+  *   - dHash (difference hash): sample a 9×8 luma grid, emit one bit per
+  *     horizontally adjacent comparison (left < right). Robust to uniform
+  *     brightness/contrast shifts (monotone luma maps preserve inequalities)
+  *     and to resampling; cheap.
+  *   - pHash (DCT hash): sample a 32×32 luma grid, 2-D DCT-II, keep the
+  *     8×8 lowest-frequency block, emit one bit per coefficient vs the mean
+  *     of the 63 AC coefficients. Robust to high-frequency noise (blur,
+  *     compression artifacts) that dHash's local differences pick up.
+  *
+  * Determinism: nearest-neighbour integer grid sampling, integer luma, and
+  * a fixed-order double DCT — identical bits on every JVM/partitioning.
+  *
+  * At 100 TB: hashing is a map-only `mapPartitions` scan (decode cost, one
+  * codec init per partition); the pair join is the banded HammingPairs
+  * kernel — 4 rows/image explosion, shuffle on 16-bit band keys, no
+  * all-pairs stage. Undecodable payloads are dropped from the hash relation
+  * (callers wanting them use an anti-join on id).
+  */
+object PerceptualHash {
+  /** Integer Rec.601 luma of a pixel, 0..255. */
+  @inline private def luma(rgb: Int): Int =
+    (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+
+  /** Nearest-neighbour luma grid sample: gw×gh ints from anywhere in the
+    * image — the same fixed sampling grid as MediaPipeline.resize. */
+  private def lumaGrid(img: BufferedImage, gw: Int, gh: Int): Array[Int] = {
+    val out = new Array[Int](gw * gh)
+    var y = 0
+    while (y < gh) {
+      var x = 0
+      while (x < gw) {
+        out(y * gw + x) = luma(img.getRGB(x * img.getWidth / gw, y * img.getHeight / gh))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** 64-bit difference hash: bit (y*8+x) set iff grid(x+1,y) > grid(x,y)
+    * on a 9×8 luma grid. */
+  def dhash64(img: BufferedImage): Long = {
+    val g = lumaGrid(img, 9, 8)
+    var out = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y * 9 + x + 1) > g(y * 9 + x)) out |= (1L << (y * 8 + x))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** 64-bit DCT hash: 32×32 luma grid → 2-D DCT-II → 8×8 low-frequency
+    * block; bit i set iff coefficient i exceeds the mean of the 63 AC
+    * coefficients (the DC bit is constant-by-construction, as in every
+    * standard pHash — 63 effective bits). */
+  def phash64(img: BufferedImage): Long = {
+    val n = 32
+    val g = lumaGrid(img, n, n)
+    // Separable DCT-II: rows then columns, fixed iteration order.
+    val rows = Array.ofDim[Double](n, n)
+    var u = 0
+    while (u < n) {
+      var y = 0
+      while (y < n) {
+        var s = 0.0
+        var x = 0
+        while (x < n) {
+          s += g(y * n + x) * math.cos((2 * x + 1) * u * math.Pi / (2 * n))
+          x += 1
+        }
+        rows(y)(u) = s
+        y += 1
+      }
+      u += 1
+    }
+    val coef = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var u2 = 0
+      while (u2 < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < n) {
+          s += rows(y)(u2) * math.cos((2 * y + 1) * v * math.Pi / (2 * n))
+          y += 1
+        }
+        coef(v * 8 + u2) = s
+        u2 += 1
+      }
+      v += 1
+    }
+    var acSum = 0.0
+    var i = 1
+    while (i < 64) { acSum += coef(i); i += 1 }
+    val mean = acSum / 63.0
+    var out = 0L
+    i = 0
+    while (i < 64) {
+      if (coef(i) > mean) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+
+  /** (id, dhash, phash) for every decodable image payload; undecodable
+    * records are dropped. One decode per record, per-partition batching. */
+  def hashes(ds: Dataset[MediaRecord]): Dataset[ImageHashes] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap { r =>
+      val img =
+        try Option(ImageIO.read(new ByteArrayInputStream(r.payload)))
+        catch { case _: java.io.IOException => None }
+      img.map(i => ImageHashes(r.id, dhash64(i), phash64(i)))
+    })
+  }
+
+  /** Near-duplicate image pairs (a_id, b_id, dist) by the chosen hash
+    * ("dhash" | "phash") within `maxHamming`, via the banded
+    * [[HammingPairs]] join (complete for maxHamming <= 3). */
+  def nearDuplicateImages(
+      ds: Dataset[MediaRecord],
+      hash: String,
+      maxHamming: Int,
+      maxBucket: Int = 0): DataFrame = {
+    require(hash == "dhash" || hash == "phash", s"unknown hash '$hash'")
+    HammingPairs.pairs(hashes(ds).toDF(), "id", hash, maxHamming, maxBucket)
+  }
+}

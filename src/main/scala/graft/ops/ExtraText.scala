@@ -325,8 +325,61 @@ object ExtraText {
           md5(col("b")).as("digest"),
           hex(expr("substring(b, 1, 4)")).as("head4"))
         .orderBy("doc_id")
+    },
+    // Perceptual image near-dup pairs (dHash + banded Hamming join): every
+    // document id gets a deterministic synthetic PNG — hash-mixed pixels
+    // seeded by the motif doc_id % 40, plus a per-doc UNIFORM brightness
+    // shift. A uniform shift is a monotone luma map, so same-motif images
+    // have IDENTICAL dhash (every pairwise comparison preserved) while
+    // cross-motif hashes are effectively random 64-bit values (expected
+    // Hamming ~32) — the pair list is exactly the same-motif cliques. The
+    // full pipeline runs end-to-end: render → PNG encode → binary column →
+    // imageio decode → dhash/phash (map-only mapPartitions) → HammingPairs
+    // banded join. Oracle-less by design (DCT/decode has no DuckDB twin);
+    // recall and soundness against planted variants are proven in
+    // PerceptualHashSpec.
+    "q_img_phash" -> { (s, dir) =>
+      import s.implicits._
+      val recs = Fixtures
+        .table(s, dir, "documents")
+        .select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          graft.multimodal.MediaRecord(id, "image", ExtraText.motifPng(id % 40, (id % 11).toInt))
+        }
+      graft.multimodal.PerceptualHash
+        .nearDuplicateImages(recs, "dhash", maxHamming = 3)
+        .orderBy("a_id", "b_id")
     }
   )
+
+  /** Deterministic 36×24 PNG for q_img_phash: per-pixel luma from a
+    * splitmix-mixed hash of (motif, x, y), quantized to multiples of 25 in
+    * 0..200, plus a uniform per-doc `shift` (0..10) — monotone, so dHash is
+    * exactly shift-invariant and 200+10 never clamps. */
+  def motifPng(motif: Long, shift: Int): Array[Byte] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val (w, h) = (36, 24)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = math.floorMod(mix(motif * 1000003L + y * 101L + x), 9L).toInt * 25 + shift
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
 
   private def markerList(l: String) = markers(l).map(w => s"'$w'").mkString(",")
 
