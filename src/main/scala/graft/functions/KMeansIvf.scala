@@ -103,6 +103,11 @@ object KMeansIvf {
   def assign(cents: Array[Array[Double]], vec: Column): Column =
     udf(nearest(cents) _).apply(vec)
 
+  /** Column of the `nprobe` nearest centroid indices, nearest first —
+    * the query-side bucket fan-out shared with IVF-PQ search. */
+  def probe(cents: Array[Array[Double]], nprobe: Int, vec: Column): Column =
+    udf(nearestN(cents, nprobe) _).apply(vec)
+
   /** Approximate top-k cosine neighbors: candidates live in their nearest
     * centroid's bucket; each query probes its `nprobe` nearest buckets. */
   def annTopK(

@@ -105,6 +105,22 @@ object PipelineOps {
         .annTopK(e.filter(col("vec_id") < 20), e, cents, "vec_id", "embedding", topK = 3, nprobe = 2)
         .orderBy("q_id", "rn")
     },
+    // IVF-PQ with asymmetric distance + exact re-rank (IVFADC-R): same
+    // coarse quantizer and probing as q_sim_ann_kmeans, but the bucket join
+    // carries only m=16 small codes per candidate (the memory-realistic
+    // index layout — no raw vectors cross the bucket shuffle); ADC keeps a
+    // 48-deep shortlist per query and only those rows fetch raw vectors for
+    // the exact cosine re-rank. Oracle-less like the other iterative-fit
+    // kernels; recall >= the plain-IVF row and partitioning determinism are
+    // proven in ProductQuantizerSpec.
+    "q_sim_ann_pq" -> { (s, dir) =>
+      val e = Fixtures.table(s, dir, "embeddings")
+      val cents = graft.functions.KMeansIvf.fit(e, "vec_id", "embedding", k = 8, iters = 3)
+      val model = graft.functions.ProductQuantizer.fit(e, "vec_id", "embedding", m = 16, ksub = 64, iters = 3)
+      graft.functions.ProductQuantizer
+        .annTopK(e.filter(col("vec_id") < 20), e, cents, model, "vec_id", "embedding", topK = 3, nprobe = 2, rerank = 48)
+        .orderBy("q_id", "rn")
+    },
     // L2 normalization: norm is the same sequential double fold DuckDB's
     // list_reduce performs (bit-identical, see SimKernel), outputs are
     // e6-scaled scalars (never raw arrays — the driver comparator can't
