@@ -43,13 +43,15 @@ object Curation {
     * new bin iff it does not fit; an over-budget doc sits in a bin alone.
     * Output: (idCol, pgrp, bin, n_toks), items packed in ascending id. */
   def packSequences(docs: DataFrame, idCol: String, textCol: String, groups: Int, budget: Int): DataFrame = {
+    // getAs[Number]: the id column may be any integral type (int ids are
+    // common); output ids normalize to long.
     val fold = udf { items: Seq[org.apache.spark.sql.Row] =>
       var bin = 0
       var fill = 0
       var first = true
       items.map { r =>
-        val id = r.getLong(0)
-        val n = r.getInt(1)
+        val id = r.getAs[Number](0).longValue()
+        val n = r.getAs[Number](1).intValue()
         if (first) { first = false; fill = n }
         else if (fill + n > budget) { bin += 1; fill = n }
         else fill += n
@@ -59,7 +61,7 @@ object Curation {
     docs
       .select(
         col(idCol),
-        (col(idCol) % groups).cast("int").as("pgrp"),
+        pmod(col(idCol), lit(groups)).cast("int").as("pgrp"), // sign-safe for negative ids
         size(split(col(textCol), " ")).as("n"))
       .groupBy("pgrp")
       .agg(sort_array(collect_list(struct(col(idCol), col("n")))).as("items"))
@@ -75,9 +77,15 @@ object Curation {
     * hash bucket (0..999) is below `permilRate` — a plain Column, so
     * per-stratum rates are a `when` chain over any column. Reproducible
     * across runs, partitionings, and engines (pure integer arithmetic),
-    * unlike rand()-based sample()/sampleBy(). Adds a `bucket` column. */
+    * unlike rand()-based sample()/sampleBy(). Adds a `bucket` column.
+    * `pmod` keeps the bucket in [0,1000) for NEGATIVE keys too (`%` is
+    * sign-preserving in both Spark and DuckDB, which would otherwise keep
+    * every negative-key row at any rate). Engine parity note: the multiply
+    * wraps silently past 2^63 in the JVM while DuckDB errors, so the oracle
+    * twin is only asserted over fixture-range ids; the Spark-side bucket is
+    * well-defined for the full long range. */
   def sampleByHash(df: DataFrame, keyCol: String, permilRate: Column): DataFrame =
-    df.withColumn("bucket", (col(keyCol) * lit(2654435761L)) % lit(4294967296L) % 1000)
+    df.withColumn("bucket", pmod(col(keyCol) * lit(2654435761L), lit(4294967296L)) % 1000)
       .filter(col("bucket") < permilRate)
 
   /** Eval-set decontamination: training rows (NOT isEval) that share at

@@ -213,9 +213,11 @@ object PipelineOps {
         "CASE WHEN p.fill + o.n > 256 THEN o.n ELSE p.fill + o.n END " +
         "FROM p JOIN o ON o.pgrp = p.pgrp AND o.rn = p.rn + 1) " +
         "SELECT doc_id, pgrp, CAST(bin AS INT) AS bin, n AS n_toks FROM p ORDER BY doc_id"),
+    // ((x % m) + m) % m is DuckDB's spelling of Spark's pmod — identical for
+    // the non-negative fixture ids, sign-safe for the library in general.
     "q_sample_strat" ->
-      ("SELECT doc_id, lang, (doc_id * 2654435761) % 4294967296 % 1000 AS bucket FROM documents " +
-        "WHERE (doc_id * 2654435761) % 4294967296 % 1000 < (CASE WHEN lang = 'en' THEN 500 WHEN lang = 'de' THEN 250 ELSE 100 END) " +
+      ("SELECT doc_id, lang, ((doc_id * 2654435761) % 4294967296 + 4294967296) % 4294967296 % 1000 AS bucket FROM documents " +
+        "WHERE ((doc_id * 2654435761) % 4294967296 + 4294967296) % 4294967296 % 1000 < (CASE WHEN lang = 'en' THEN 500 WHEN lang = 'de' THEN 250 ELSE 100 END) " +
         "ORDER BY doc_id"),
     "q_dedup_incremental" ->
       ("WITH loaded AS (SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id < 250) " +
@@ -225,7 +227,7 @@ object PipelineOps {
       ("WITH corpus AS (SELECT doc_id, lang, text FROM documents UNION ALL SELECT doc_id + 10000, lang, text FROM documents), " +
         "dedup AS (SELECT md5(text) AS digest, min(doc_id) AS doc_id, min(lang) AS lang, min(text) AS text FROM corpus GROUP BY 1), " +
         "gated AS (SELECT doc_id, lang, CAST(len(string_split(text,' ')) AS INT) AS n_toks FROM dedup WHERE len(string_split(text,' ')) BETWEEN 40 AND 300), " +
-        "sampled AS (SELECT * FROM gated WHERE (doc_id * 2654435761) % 4294967296 % 1000 < 800) " +
+        "sampled AS (SELECT * FROM gated WHERE ((doc_id * 2654435761) % 4294967296 + 4294967296) % 4294967296 % 1000 < 800) " +
         "SELECT lang, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS total_toks, min(doc_id) AS min_id, max(doc_id) AS max_id " +
         "FROM sampled GROUP BY lang ORDER BY lang"),
     "q_decontaminate" ->

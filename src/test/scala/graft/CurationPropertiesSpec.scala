@@ -48,6 +48,30 @@ class CurationPropertiesSpec extends SparkSuite {
     }
   }
 
+  test("sampleByHash: negative keys get buckets in [0,1000) and sane rates") {
+    val df = (-500L until 500L).toDF("id")
+    val out = Curation.sampleByHash(df, "id", lit(300)).select("id", "bucket").as[(Long, Long)].collect()
+    assert(out.forall { case (_, b) => b >= 0 && b < 1000 }, "bucket escaped [0,1000)")
+    // a hash this coarse must keep roughly rate/1000 of BOTH sign ranges
+    val negKept = out.count(_._1 < 0)
+    val posKept = out.count(_._1 >= 0)
+    assert(negKept > 50 && negKept < 450, s"negative-key kept-count $negKept implausible for 30%")
+    assert(posKept > 50 && posKept < 450, s"positive-key kept-count $posKept implausible for 30%")
+    // pure function of the key: same rows on a different partitioning
+    val again = Curation.sampleByHash(df.repartition(7), "id", lit(300))
+      .select("id", "bucket").as[(Long, Long)].collect()
+    assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
+
+  test("packSequences: int-typed and negative ids pack without casts or group loss") {
+    val docs = Seq.tabulate(20)(i => (i - 10, randDoc())).toDF("id", "text") // int ids, some negative
+    val packed = Curation.packSequences(docs, "id", "text", groups = 4, budget = 64)
+    assert(packed.count() == 20L)
+    val grps = packed.select("pgrp").distinct().as[Int].collect()
+    assert(grps.forall(g => g >= 0 && g < 4), s"pgrp out of range: ${grps.toSeq}")
+    assert(packed.select("id").as[Long].collect().sorted.toSeq == (-10L until 10L).toSeq)
+  }
+
   test("dedupByContent: idempotent, one row per distinct content, min id canonical") {
     (1 to 4).foreach { _ =>
       // small vocab + short docs → genuine duplicate texts occur
