@@ -222,4 +222,59 @@ class CapabilitiesSpec extends SparkSuite {
       (n * sxy - sx * sy) / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
     assert(math.abs(builtin.getDouble(2) - corrClosed) < 1e-6)
   }
+
+  test("cap_decimal_money: DecimalType(12,2) money arithmetic is exact and survives a JDBC round-trip") {
+    // SURVEY §1.2: the fixtures use doubles to match the oracle, but the
+    // at-scale money column is DecimalType(12,2) — exact decimal arithmetic
+    // (no binary-double drift) and a faithful DECIMAL round-trip through a
+    // real JDBC database (Derby).
+    val li = Fixtures
+      .table(spark, sf001, "lineitem")
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_extendedprice").cast("decimal(12,2)").as("price"),
+        col("l_discount").cast("decimal(12,2)").as("disc"))
+      .limit(400)
+    // 0.1 + 0.2 class check: summing cent-precision decimals is exact.
+    // Spark widens sum(decimal(12,2)) to decimal(22,2); the scale stays 2.
+    val total = li.agg(sum(col("price")).as("t")).head().getDecimal(0)
+    assert(total.scale == 2, s"sum scale drifted to ${total.scale}")
+    // the decimal sum in cents equals the exact integer cent sum
+    val exactCents = li
+      .agg(sum((col("price") * 100).cast("long")).as("c"))
+      .head()
+      .getLong(0)
+    assert(total.movePointRight(2).longValueExact() == exactCents, "decimal sum is not exact in cents")
+    // discounted = price * (1 - disc): decimal multiply, rescaled to (12,2)
+    val priced = li.withColumn(
+      "discounted",
+      (col("price") * (lit(java.math.BigDecimal.ONE).cast("decimal(12,2)") - col("disc")))
+        .cast("decimal(12,2)"))
+    val url = "jdbc:derby:memory:graftdecimal;create=true"
+    val table = "money_rt"
+    priced
+      .select("l_orderkey", "l_linenumber", "price", "disc", "discounted")
+      .write
+      .mode("overwrite")
+      .jdbc(url, table, new java.util.Properties())
+    val back = spark.read.jdbc(url, table, new java.util.Properties())
+    // Derby stores DECIMAL(12,2) natively; values and scales must match 1:1
+    val a = priced
+      .select(col("l_orderkey"), col("l_linenumber"), col("price"), col("discounted"))
+      .orderBy("l_orderkey", "l_linenumber")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDecimal(2), r.getDecimal(3)))
+    val b = back
+      .select(col("L_ORDERKEY"), col("L_LINENUMBER"), col("PRICE"), col("DISCOUNTED"))
+      .orderBy("L_ORDERKEY", "L_LINENUMBER")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDecimal(2), r.getDecimal(3)))
+    assert(a.length == b.length && a.length == 400)
+    a.zip(b).foreach { case ((ka, la, pa, da), (kb, lb, pb, db)) =>
+      assert(ka == kb && la == lb)
+      assert(pa.compareTo(pb) == 0 && pa.scale == 2 && pb.scale == 2, s"price drifted: $pa vs $pb")
+      assert(da.compareTo(db) == 0, s"discounted drifted: $da vs $db")
+    }
+  }
 }
