@@ -16,23 +16,34 @@ import org.apache.spark.sql.functions._
   * re-running is a no-op, changed rows update in place.
   */
 object UpcSkuLoad {
-  /** Extract: parts → UPC product records. Check digit via pure column
-    * arithmetic (codegen-friendly; the UDF variant lives in ops.Scalars). */
-  def extract(spark: SparkSession, sfDir: String): DataFrame = {
-    val body = lpad(col("p_partkey").cast("string"), 11, "0")
+  /** Raw (partkey, name, brand, price) rows → UPC product records. Check
+    * digit via pure column arithmetic (codegen-friendly; the UDF variant
+    * lives in ops.Scalars). Shared by the batch extract and the paginated
+    * path, so both synthesize identity identically. */
+  def toProducts(raw: DataFrame): DataFrame = {
+    val body = lpad(col("partkey").cast("string"), 11, "0")
     val weighted = (1 to 11)
       .map(i => substring(body, i, 1).cast("int") * lit(if (i % 2 == 1) 3 else 1))
       .reduce(_ + _)
     val cd = (lit(10) - weighted % 10) % 10
-    Fixtures
-      .table(spark, sfDir, "part")
-      .select(
-        concat(body, cd.cast("string")).as("upc"),
-        col("p_name").as("name"),
-        col("p_brand").as("brand"),
-        col("p_retailprice").as("price"),
-        current_timestamp().as("loaded_at"))
+    raw.select(
+      concat(body, cd.cast("string")).as("upc"),
+      col("name"),
+      col("brand"),
+      col("price"),
+      current_timestamp().as("loaded_at"))
   }
+
+  /** Extract: parts → UPC product records. */
+  def extract(spark: SparkSession, sfDir: String): DataFrame =
+    toProducts(
+      Fixtures
+        .table(spark, sfDir, "part")
+        .select(
+          col("p_partkey").as("partkey"),
+          col("p_name").as("name"),
+          col("p_brand").as("brand"),
+          col("p_retailprice").as("price")))
 
   /** Validate: full-12-digit check-digit test + basic record hygiene. */
   def validate(records: DataFrame): DataFrame = {
@@ -65,5 +76,26 @@ object UpcSkuLoad {
     val ready = dedup(validate(extract(spark, sfDir)))
     load(ready, url, table)
     ready.count()
+  }
+
+  /** The reference's incremental consumption loop: walk a [[PagedSource]]
+    * page by page, running the SAME validate→dedup→upsert per page. The
+    * driver only advances the cursor; each page's work is distributed, and
+    * the keyed upsert makes page replay (crash recovery, overlapping
+    * fetches) idempotent — EtlPipelineSpec proves page-wise consumption
+    * lands the exact table the batch run does. Returns rows loaded. */
+  def runPaged(spark: SparkSession, source: PagedSource, url: String, table: String): Long = {
+    import spark.implicits._
+    var page = 0
+    var total = 0L
+    var batch = source.fetchPage(page)
+    while (batch.isDefined) {
+      val ready = dedup(validate(toProducts(spark.createDataset(batch.get).toDF())))
+      load(ready, url, table)
+      total += ready.count()
+      page += 1
+      batch = source.fetchPage(page)
+    }
+    total
   }
 }

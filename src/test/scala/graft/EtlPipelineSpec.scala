@@ -57,4 +57,44 @@ class EtlPipelineSpec extends SparkSuite {
           ((substring(col("upc"), 12, 1).cast("int") + 1) % 10).cast("string")))
     assert(UpcSkuLoad.validate(corrupted).count() == 0)
   }
+
+  test("paginated consumption lands the exact table the batch run does; page replay is a no-op") {
+    val pagedTable = "products_paged"
+    val c = DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      try st.execute(s"DROP TABLE $pagedTable")
+      catch { case _: java.sql.SQLException => () }
+      st.execute(
+        s"CREATE TABLE $pagedTable (upc CHAR(12) PRIMARY KEY, name VARCHAR(128), brand VARCHAR(32), price DOUBLE, loaded_at TIMESTAMP)")
+      st.close()
+    } finally c.close()
+
+    // 37 never divides 200: the protocol must survive a partial last page
+    val source = new graft.pipeline.FixturePagedSource(spark, sf001, pageSize = 37)
+    assert(source.fetchPage(5).get.size == 15, "partial final page expected")
+    assert(source.fetchPage(6).isEmpty && source.fetchPage(-1).isEmpty)
+
+    // the batch test above left bumped prices behind; re-run the batch load
+    // so the comparison target is the clean pipeline output
+    UpcSkuLoad.run(spark, sf001, url, table)
+
+    val n = UpcSkuLoad.runPaged(spark, source, url, pagedTable)
+    assert(n == 200, s"expected all 200 parts across pages, got $n")
+    def snapshot(t: String) = spark.read.jdbc(url, t, new java.util.Properties())
+      .select("upc", "name", "brand", "price")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    // batch table was loaded by the test above (same suite, same Derby db)
+    assert(snapshot(pagedTable) == snapshot(table), "paged result differs from batch result")
+
+    // crash-recovery contract: replaying an already-consumed page converges
+    val replay = UpcSkuLoad.dedup(UpcSkuLoad.validate(UpcSkuLoad.toProducts {
+      import spark.implicits._
+      spark.createDataset(source.fetchPage(2).get).toDF()
+    }))
+    UpcSkuLoad.load(replay, url, pagedTable)
+    assert(snapshot(pagedTable) == snapshot(table), "page replay changed the table")
+  }
 }
