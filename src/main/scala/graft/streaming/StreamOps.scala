@@ -173,4 +173,29 @@ object StreamOps {
         col("v_ts") <= col("p_ts"))
       .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"), col("p_ts"), col("v_ts"))
   }
+
+  /** LEFT OUTER stream-stream interval join — the watermark-driven
+    * null-emission mode: every purchase emits, and a purchase with NO
+    * same-user view in its preceding 30 minutes emits exactly once with a
+    * null view_id — but only after BOTH watermarks pass the end of its
+    * match interval, because until then a matching view could still
+    * arrive. That deferred null is the semantic difference from a batch
+    * left join (where absence is known immediately); on the same closed
+    * input the results are equal, which is what StreamingSpec asserts.
+    * State stays bounded exactly as in the inner variant. */
+  def viewsBeforePurchaseLeft(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+    val p = purchases
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+    p.join(
+      v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("v_ts") <= col("p_ts"),
+      "leftOuter")
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"), col("p_ts"), col("v_ts"))
+  }
 }

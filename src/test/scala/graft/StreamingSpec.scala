@@ -216,6 +216,53 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("cap_stream_join_outer: LEFT outer interval join emits watermark-driven null rows, equals batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = StreamOps
+      .viewsBeforePurchaseLeft(views.toDF(), purchases.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("t_ssjoin_left")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      val vEvents = fixtureEvents.filter(_.event_type == "view")
+      val pEvents = fixtureEvents.filter(_.event_type == "purchase")
+      views.addData(vEvents.take(vEvents.size / 2)); purchases.addData(pEvents.take(5))
+      q.processAllAvailable()
+      views.addData(vEvents.drop(vEvents.size / 2)); purchases.addData(pEvents.drop(5))
+      q.processAllAvailable()
+      // the sentinel pushes BOTH watermarks far past every match interval,
+      // forcing the deferred null rows for unmatched purchases to flush
+      views.addData(Seq(sentinel)); purchases.addData(Seq(sentinel.copy(event_id = -2)))
+      q.processAllAvailable()
+      val streamed = spark
+        .table("t_ssjoin_left")
+        .filter(col("user_id") >= 0)
+        .select(col("purchase_id"), col("view_id"))
+        .as[(Long, Option[Long])]
+        .collect()
+        .toSet
+      val batch = StreamOps
+        .viewsBeforePurchaseLeft(vEvents.toDF(), pEvents.toDF())
+        .select(col("purchase_id"), col("view_id"))
+        .as[(Long, Option[Long])]
+        .collect()
+        .toSet
+      val nullRows = batch.filter(_._2.isEmpty)
+      assert(nullRows.nonEmpty, "fixture has no unmatched purchases — null-emission path untested")
+      assert(streamed == batch,
+        s"stream≠batch: missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+      // every purchase appears exactly once as null OR >=1 times matched, never both
+      val nullIds = streamed.filter(_._2.isEmpty).map(_._1)
+      val matchedIds = streamed.filter(_._2.nonEmpty).map(_._1)
+      assert((nullIds & matchedIds).isEmpty, "a purchase emitted both null and matched rows")
+    } finally q.stop()
+  }
+
   test("cap_stream_stateful: flatMapGroupsWithState sessionization equals session_window batch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
