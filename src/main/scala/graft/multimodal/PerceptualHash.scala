@@ -76,6 +76,11 @@ object PerceptualHash {
     out
   }
 
+  /** cos((2x+1)·u·π/64) for the 32-point DCT-II, precomputed once per JVM —
+    * the naive form calls math.cos ~65k times per image. */
+  private lazy val cosTable: Array[Array[Double]] =
+    Array.tabulate(32, 32)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 64))
+
   /** 64-bit DCT hash: 32×32 luma grid → 2-D DCT-II → 8×8 low-frequency
     * block; bit i set iff coefficient i exceeds the mean of the 63 AC
     * coefficients (the DC bit is constant-by-construction, as in every
@@ -92,7 +97,7 @@ object PerceptualHash {
         var s = 0.0
         var x = 0
         while (x < n) {
-          s += g(y * n + x) * math.cos((2 * x + 1) * u * math.Pi / (2 * n))
+          s += g(y * n + x) * cosTable(x)(u)
           x += 1
         }
         rows(y)(u) = s
@@ -108,7 +113,7 @@ object PerceptualHash {
         var s = 0.0
         var y = 0
         while (y < n) {
-          s += rows(y)(u2) * math.cos((2 * y + 1) * v * math.Pi / (2 * n))
+          s += rows(y)(u2) * cosTable(y)(v)
           y += 1
         }
         coef(v * 8 + u2) = s
@@ -150,6 +155,12 @@ object PerceptualHash {
       maxHamming: Int,
       maxBucket: Int = 0): DataFrame = {
     require(hash == "dhash" || hash == "phash", s"unknown hash '$hash'")
-    HammingPairs.pairs(hashes(ds).toDF(), "id", hash, maxHamming, maxBucket)
+    // Truncate lineage before the banded SELF-join: both join sides would
+    // otherwise re-execute the whole upstream (decode + both hashes — for
+    // a synthetic corpus, the render/encode too) — measured ~2× on
+    // q_img_phash at sf0.1. After truncation the join reads 3 longs/row.
+    HammingPairs.pairs(
+      graft.ops.Checkpoints.truncate(hashes(ds).toDF()),
+      "id", hash, maxHamming, maxBucket)
   }
 }
