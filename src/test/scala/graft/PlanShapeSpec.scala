@@ -42,4 +42,12 @@ class PlanShapeSpec extends SparkSuite {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join:\n$p")
     }
   }
+
+  test("round-5 shapes: image-pair banded join and IVF-PQ search are never all-pairs") {
+    for (q <- Seq("q_img_phash", "q_sim_ann_pq")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join:\n$p")
+    }
+  }
 }
