@@ -53,10 +53,13 @@ object Bench {
       val key = if (n == 0) k else s"$k#${n + 1}"
       "\"" + key + "\":" + fmt(v)
     }
-    // Greedy ≤2000-byte packing of per-query entries into chunk lines.
+    // Greedy packing of per-query entries into chunk lines: the budget
+    // covers entries only, so reserve headroom for the line wrapper AND the
+    // embedded sfDir path to keep the FULL line ≤ ~2 KB.
+    val entryBudget = 2000 - 120 - sfDir.length
     val chunks = scala.collection.mutable.ArrayBuffer(scala.collection.mutable.ArrayBuffer.empty[String])
     entries.foreach { e =>
-      if (chunks.last.nonEmpty && chunks.last.map(_.length + 1).sum + e.length > 2000)
+      if (chunks.last.nonEmpty && chunks.last.map(_.length + 1).sum + e.length > entryBudget)
         chunks += scala.collection.mutable.ArrayBuffer.empty[String]
       chunks.last += e
     }

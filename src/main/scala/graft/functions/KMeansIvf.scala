@@ -118,11 +118,10 @@ object KMeansIvf {
       vecCol: String,
       topK: Int,
       nprobe: Int): DataFrame = {
-    val probeUdf = udf(nearestN(cents, nprobe) _)
     val q = queries.select(
       col(idCol).as("q_id"),
       col(vecCol).as("q_emb"),
-      explode(probeUdf(col(vecCol))).as("bkt"))
+      explode(probe(cents, nprobe, col(vecCol))).as("bkt"))
     val c = candidates.select(
       col(idCol).as("c_id"),
       col(vecCol).as("c_emb"),

@@ -160,6 +160,8 @@ object ProductQuantizer {
       topK: Int,
       nprobe: Int,
       rerank: Int = 0): DataFrame = {
+    require(rerank == 0 || rerank >= topK,
+      s"rerank=$rerank would silently cap output below topK=$topK; use rerank >= topK (or 0 for ADC-only)")
     val m = model.m
     val ksub = model.ksub
     val dsub = model.dsub

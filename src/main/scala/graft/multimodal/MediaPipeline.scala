@@ -49,10 +49,15 @@ object MediaPipeline {
     h
   }
 
-  private def readImage(r: MediaRecord): Option[BufferedImage] =
+  /** Kind-gated JDK image decode, shared with PerceptualHash. NonFatal, not
+    * just IOException: imageio readers throw RuntimeExceptions
+    * (ArrayIndexOutOfBounds, NegativeArraySize, IllegalArgument) on
+    * malformed-but-recognized payloads, and one corrupt record must drop,
+    * not kill the job. */
+  private[multimodal] def readImage(r: MediaRecord): Option[BufferedImage] =
     if (r.kind.startsWith("image"))
       try Option(ImageIO.read(new ByteArrayInputStream(r.payload)))
-      catch { case _: java.io.IOException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
     else None
 
   /** Real decode for images; checksum-derived fallback (STUB) otherwise. */

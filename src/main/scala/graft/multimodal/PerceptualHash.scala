@@ -1,9 +1,6 @@
 package graft.multimodal
 
 import java.awt.image.BufferedImage
-import java.io.ByteArrayInputStream
-
-import javax.imageio.ImageIO
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -134,15 +131,14 @@ object PerceptualHash {
     out
   }
 
-  /** (id, dhash, phash) for every decodable image payload; undecodable
-    * records are dropped. One decode per record, per-partition batching. */
+  /** (id, dhash, phash) for every decodable image payload; non-image kinds
+    * and undecodable/corrupt payloads are dropped (MediaPipeline.readImage
+    * gates on kind and swallows NonFatal decoder errors). One decode per
+    * record, per-partition batching. */
   def hashes(ds: Dataset[MediaRecord]): Dataset[ImageHashes] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.flatMap { r =>
-      val img =
-        try Option(ImageIO.read(new ByteArrayInputStream(r.payload)))
-        catch { case _: java.io.IOException => None }
-      img.map(i => ImageHashes(r.id, dhash64(i), phash64(i)))
+      MediaPipeline.readImage(r).map(i => ImageHashes(r.id, dhash64(i), phash64(i)))
     })
   }
 

@@ -22,6 +22,12 @@ import org.apache.spark.sql.DataFrame
   * operator to reliable checkpoints — the production setting for long
   * 100-TB jobs where retrying the whole job costs more than the checkpoint
   * writes. The default (unset/false) keeps localCheckpoint.
+  *
+  * Storage note: Spark deletes out-of-scope reliable checkpoint files only
+  * when `spark.cleaner.referenceTracking.cleanCheckpoints=true` (a STATIC
+  * conf — set it at context start). Without it an iterative loop leaks one
+  * dataset copy per truncation into the checkpoint dir; with it, each
+  * round's checkpoint is GC'd once the next round's replaces it.
   */
 object Checkpoints {
   val ReliableKey = "spark.graft.checkpoint.reliable"

@@ -83,16 +83,30 @@ object UpcSkuLoad {
     * driver only advances the cursor; each page's work is distributed, and
     * the keyed upsert makes page replay (crash recovery, overlapping
     * fetches) idempotent — EtlPipelineSpec proves page-wise consumption
-    * lands the exact table the batch run does. Returns rows loaded. */
+    * lands the exact table the batch run does.
+    *
+    * Dedup is PER PAGE: a consistent keyset-paginated snapshot yields each
+    * key on exactly one page, so paged ≡ batch. If the upstream snapshot
+    * drifts mid-walk and the SAME key arrives on two pages with DIFFERENT
+    * payloads, the upsert resolves last-write-wins (standard incremental-
+    * load semantics — the later fetch is the fresher record), whereas a
+    * batch over the drifted union would pick the lowest-name
+    * representative. Returns rows UPSERTED (a drifted key counts once per
+    * page it appeared on), not distinct keys. */
   def runPaged(spark: SparkSession, source: PagedSource, url: String, table: String): Long = {
     import spark.implicits._
     var page = 0
     var total = 0L
     var batch = source.fetchPage(page)
     while (batch.isDefined) {
-      val ready = dedup(validate(toProducts(spark.createDataset(batch.get).toDF())))
-      load(ready, url, table)
-      total += ready.count()
+      // cache: both the upsert and the count action consume `ready`; a
+      // page is small by construction, and without the cache the
+      // validate/dedup window shuffle runs twice per page
+      val ready = dedup(validate(toProducts(spark.createDataset(batch.get).toDF()))).cache()
+      try {
+        load(ready, url, table)
+        total += ready.count()
+      } finally ready.unpersist()
       page += 1
       batch = source.fetchPage(page)
     }

@@ -228,6 +228,9 @@ class CapabilitiesSpec extends SparkSuite {
     // at-scale money column is DecimalType(12,2) — exact decimal arithmetic
     // (no binary-double drift) and a faithful DECIMAL round-trip through a
     // real JDBC database (Derby).
+    // orderBy before limit: a bare limit(400) may pick different rows per
+    // JOB (map-task arrival order), and this frame feeds four separate jobs
+    // whose results are compared against each other.
     val li = Fixtures
       .table(spark, sf001, "lineitem")
       .select(
@@ -235,6 +238,7 @@ class CapabilitiesSpec extends SparkSuite {
         col("l_linenumber"),
         col("l_extendedprice").cast("decimal(12,2)").as("price"),
         col("l_discount").cast("decimal(12,2)").as("disc"))
+      .orderBy("l_orderkey", "l_linenumber")
       .limit(400)
     // 0.1 + 0.2 class check: summing cent-precision decimals is exact.
     // Spark widens sum(decimal(12,2)) to decimal(22,2); the scale stays 2.
