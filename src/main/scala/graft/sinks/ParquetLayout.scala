@@ -1,7 +1,7 @@
 package graft.sinks
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Data-layout maintenance for parquet at scale: compact a many-small-files
   * table into `nFiles` range-clustered files.
@@ -21,4 +21,62 @@ object ParquetLayout {
       .write
       .mode("overwrite")
       .parquet(outDir)
+
+  private val ZBits = 6 // 64 quantile buckets per column
+
+  /** Z-order (Morton) clustering over MULTIPLE key columns — the real
+    * Z-order the single-key comment above alludes to. Range clustering on
+    * one key leaves every OTHER predicate column spanning its full range in
+    * every file (no skipping); interleaving the bits of rank-normalized
+    * keys gives every clustered column locality in every file, so footer
+    * min/max skipping works for predicates on ANY of them.
+    *
+    * Rank normalization uses sample-based `approxQuantile` boundaries (one
+    * cheap pass per column, same machinery as Spark's RangePartitioner) —
+    * data-adaptive, so skewed or arbitrary-ranged values still spread over
+    * all 2^[[ZBits]] buckets. The z-value is ONE compiled UDF call per row
+    * (binary search per column over the broadcast boundary arrays + bit
+    * interleave) — an expression-tree spelling would re-evaluate the bucket
+    * fold per interleaved bit outside codegen (HOFs are CodegenFallback,
+    * no common-subexpression elimination there). Everything else is one
+    * range shuffle on the z-value, exactly like the single-key path: no
+    * driver-side data movement at any scale.
+    */
+  def compactZOrdered(df: DataFrame, keyCols: Seq[String], nFiles: Int, outDir: String): Unit = {
+    require(keyCols.nonEmpty && keyCols.size <= 4, "z-order supports 1..4 key columns")
+    val nb = (1 << ZBits) - 1 // boundaries per column
+    val probs = (1 to nb).map(_.toDouble / (nb + 1)).toArray
+    val bounds: Array[Array[Double]] =
+      keyCols.map(k => df.stat.approxQuantile(k, probs, 0.001)).toArray
+    val ncols = keyCols.size
+    // bit i of column j lands at position i*ncols + j — higher bits of
+    // every column dominate equally, the Morton curve property
+    val zUdf = udf { vals: Seq[Double] =>
+      var z = 0L
+      var j = 0
+      while (j < vals.length) {
+        val b = bounds(j)
+        var lo = 0
+        var hi = b.length // bucket = #boundaries < value
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (b(mid) < vals(j)) lo = mid + 1 else hi = mid
+        }
+        var i = 0
+        while (i < ZBits) {
+          z |= ((lo >> i) & 1L) << (i * ncols + j)
+          i += 1
+        }
+        j += 1
+      }
+      z
+    }
+    df.withColumn("__z", zUdf(array(keyCols.map(k => col(k).cast("double")): _*)))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write
+      .mode("overwrite")
+      .parquet(outDir)
+  }
 }

@@ -165,6 +165,40 @@ class CapabilitiesSpec extends SparkSuite {
     }
   }
 
+  test("cap_sink_zorder: multi-column z-order gives every clustered column per-file locality") {
+    import spark.implicits._
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    // two INDEPENDENT uniform keys — the case single-key clustering can't serve
+    val src = (0L until 20000L)
+      .map(i => (i, math.floorMod(mix(i), 1024L), math.floorMod(mix(i * 7 + 3), 1024L)))
+      .toDF("id", "x", "y")
+    def perFileSpan(dir: String, c: String): Seq[Double] =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).toSeq.map { f =>
+        val r = spark.read.parquet(f.getPath).agg(min(col(c)), max(col(c))).head()
+        (r.getLong(1) - r.getLong(0)).toDouble / 1023.0
+      }
+    val zdir = Files.createTempDirectory("graft-zorder").toString + "/t"
+    graft.sinks.ParquetLayout.compactZOrdered(src, Seq("x", "y"), 16, zdir)
+    assert(spark.read.parquet(zdir).count() == 20000L)
+    val zx = perFileSpan(zdir, "x")
+    val zy = perFileSpan(zdir, "y")
+    // 16 z-range files over a 64×64 Morton grid ≈ quadrant cells: BOTH
+    // columns span ~1/4 of their range per file → min/max skipping works
+    // for predicates on either column
+    assert(zx.sum / zx.size <= 0.5, s"x spans per file: $zx")
+    assert(zy.sum / zy.size <= 0.5, s"y spans per file: $zy")
+    // contrast: single-key range clustering on x leaves y unclustered
+    val rdir = Files.createTempDirectory("graft-zorder-r").toString + "/t"
+    graft.sinks.ParquetLayout.compactRangeClustered(src, "x", 16, rdir)
+    val ry = perFileSpan(rdir, "y")
+    assert(ry.sum / ry.size >= 0.8, s"unexpected y locality under x-only clustering: $ry")
+  }
+
   test("cap_extensions: a session built with GraftExtensions has the function and strategy installed") {
     val s2 = org.apache.spark.sql.GraftSqlBridge.newSessionWithExtensions(spark, new GraftExtensions()(_))
     // function registry: graft_cosine resolves in spark.sql

@@ -68,6 +68,31 @@ class PerceptualHashSpec extends SparkSuite {
     assert(pairs == planted, s"missing=${planted -- pairs} extra=${pairs -- planted}")
   }
 
+  test("phash shrugs off high-frequency checkerboard noise (its edge over dhash)") {
+    // +12-luma checkerboard = energy at the highest spatial frequency; the
+    // 8×8 low-frequency DCT block pHash thresholds barely moves, while
+    // local-difference hashes have no such frequency separation.
+    def noisy(seed: Long): Array[Byte] = {
+      val base = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png(seed, 0)))
+      for (y <- 0 until base.getHeight; x <- 0 until base.getWidth) {
+        val v = math.min((base.getRGB(x, y) & 0xff) + 12 * ((x + y) % 2), 255)
+        base.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(base, "png", buf)
+      buf.toByteArray
+    }
+    val both = spark.createDataset(
+      (0 until nBase).flatMap { i =>
+        Seq(MediaRecord(i.toLong, "image", png(i, 0)), MediaRecord(100L + i, "image", noisy(i)))
+      })
+    val hs = PerceptualHash.hashes(both).collect().map(h => h.id -> h).toMap
+    (0 until nBase).foreach { i =>
+      val d = java.lang.Long.bitCount(hs(i.toLong).phash ^ hs(100L + i).phash)
+      assert(d <= 3, s"phash distance $d under high-frequency noise for base $i")
+    }
+  }
+
   test("dhash is exactly invariant to the monotone brightness shift") {
     val hs = PerceptualHash.hashes(corpus).collect().map(h => h.id -> h).toMap
     (0 until nBase).foreach { i =>
