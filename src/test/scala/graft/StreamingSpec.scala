@@ -324,6 +324,52 @@ class StreamingSpec extends SparkSuite {
     val batch = src.groupBy("event_type").count().as[(String, Long)].collect().toMap
     assert(streamed == batch, s"stream $streamed != batch $batch")
   }
+
+  test("cap_stream_sink_files: checkpointed file-to-file incremental runs are exactly-once across restarts") {
+    import spark.implicits._
+    // The lakehouse micro-batch pattern: each periodic run drains NEW input
+    // files into a parquet sink; the checkpoint (source offsets + sink
+    // commit log) makes a rerun pick up exactly where the last stopped —
+    // no reprocessing, no duplicates, even though both runs share a sink
+    // directory.
+    val dir = java.nio.file.Files.createTempDirectory("graft-filesink").toString
+    val all = Fixtures
+      .events(spark, sf001)
+      .select("event_id", "user_id", "event_type")
+      .limit(3000)
+      .cache()
+    val firstHalf = all.filter(col("event_id") % 2 === 0)
+    val secondHalf = all.filter(col("event_id") % 2 =!= 0)
+    firstHalf.write.parquet(dir + "/in/batch1")
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema(all.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(dir + "/in/*")
+        .withColumn("etype_key", upper(col("event_type")))
+        .writeStream
+        .format("parquet")
+        .option("path", dir + "/out")
+        .option("checkpointLocation", dir + "/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(60000), "file-sink stream did not self-terminate")
+    }
+    runOnce()
+    val afterFirst = spark.read.parquet(dir + "/out").count()
+    assert(afterFirst == firstHalf.count(), s"first run wrote $afterFirst")
+    // new input arrives between runs; the rerun must process ONLY it
+    secondHalf.write.parquet(dir + "/in/batch2")
+    runOnce()
+    val out = spark.read.parquet(dir + "/out")
+    assert(out.count() == all.count(), s"expected ${all.count()} rows, got ${out.count()}")
+    // exactly-once: no event id appears twice, and the transform applied
+    assert(out.select("event_id").distinct().count() == all.count())
+    assert(out.filter(col("etype_key") =!= upper(col("event_type"))).count() == 0)
+    // a third run with NO new input is a no-op
+    runOnce()
+    assert(spark.read.parquet(dir + "/out").count() == all.count(), "no-op rerun duplicated rows")
+  }
 }
 
 object StreamingSpec {
