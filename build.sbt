@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run`/`runMain` output normally round-trips through sbt's logger,
+// which prefixes every line with "[info] " — that prefix breaks any
+// line-oriented JSON consumer of `graft.Bench` stdout (a bare
+// `json.loads(line)` fails on "[info] {...}"). StdoutOutput inherits the
+// parent process stdout instead, so Bench's JSON lines arrive verbatim.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -32,15 +32,23 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // Output protocol (round 5): the driver captures only a TAIL of stdout,
-    // and r4's single ~3 KB 99-query JSON line outgrew it — the buffer
-    // boundary fell mid-line, front-truncating the line and leaving the
-    // driver's parse null. Since the truncation point is a byte offset we
-    // can't control, every line we emit must be independently parseable and
-    // short (≤ ~2 KB), and the grand total must appear at BOTH ends of the
-    // output: whichever end of the buffer survives, a parseable
-    // {"metric":"total",...} line is in it. Per-query timings go in
-    // "queries"-metric chunk lines between the two total lines.
+    // Output protocol (round 6). Constraints learned from rounds 1-5:
+    //   * The driver keeps only a 2000-byte TAIL of stdout (measured: every
+    //     BENCH_r*.json "tail" is exactly 2000 bytes), so anything that must
+    //     survive has to sit inside the LAST ~1.9 KB, after sbt's trailing
+    //     "[success] Total time: ..." line (~70 B) is accounted for.
+    //   * Rounds 1-5 all ended "parsed": null even when a complete short
+    //     total line sat inside the tail — the remaining difference was
+    //     sbt's "[info] " logger prefix on every forked-run stdout line,
+    //     which breaks a bare per-line json.loads. Fixed in build.sbt via
+    //     outputStrategy := StdoutOutput (lines now start with '{').
+    // So: emit (1) the full spec line {"metric","value","unit","queries",
+    // "sf"} with ALL per-query timings FIRST — parseable by any full-stdout
+    // consumer, harmless if the tail clips it; (2) short chunk lines, each
+    // independently parseable, so at least the alphabetical tail of the
+    // per-query map survives in the tail buffer; (3) a compact total line
+    // LAST, small enough that it + the final chunk + sbt's epilogue all fit
+    // in 2000 bytes.
     // Millisecond precision (sub-ms is noise here) keeps lines short.
     // Locale.ROOT: a comma-decimal default locale (de_DE) would emit "1,234"
     // and corrupt the JSON. Repeated query-name args (profiling runs) get
@@ -53,24 +61,24 @@ object Bench {
       val key = if (n == 0) k else s"$k#${n + 1}"
       "\"" + key + "\":" + fmt(v)
     }
-    // Greedy packing of per-query entries into chunk lines: the budget
-    // covers entries only, so reserve headroom for the line wrapper AND the
-    // embedded sfDir path to keep the FULL line ≤ ~2 KB.
-    val entryBudget = 2000 - 120 - sfDir.length
+    val total = results.map(_._2).sum
+    val allQueries = entries.mkString("{", ",", "}")
+    println(s"""{"metric":"bench_total_sec","value":${fmt(total)},"unit":"sec","queries":$allQueries,"sf":"$sfDir"}""")
+    // Greedy packing of per-query entries into ≤ ~900-byte chunk lines
+    // (budget counts the joining comma too), sized so the final chunk plus
+    // the total line plus sbt's epilogue always fit inside the 2000-byte
+    // tail window.
+    val entryBudget = 900 - 120 - sfDir.length
     val chunks = scala.collection.mutable.ArrayBuffer(scala.collection.mutable.ArrayBuffer.empty[String])
     entries.foreach { e =>
-      if (chunks.last.nonEmpty && chunks.last.map(_.length + 1).sum + e.length > entryBudget)
+      if (chunks.last.nonEmpty && chunks.last.map(_.length + 1).sum + 1 + e.length > entryBudget)
         chunks += scala.collection.mutable.ArrayBuffer.empty[String]
       chunks.last += e
     }
-    val total = results.map(_._2).sum
-    val totalLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"nqueries":${results.size},"parts":${chunks.size},"sf":"$sfDir"}"""
-    println(totalLine)
     chunks.zipWithIndex.foreach { case (c, i) =>
       println(s"""{"metric":"queries","part":${i + 1},"of":${chunks.size},"queries":${c.mkString("{", ",", "}")},"sf":"$sfDir"}""")
     }
-    println(totalLine)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"nqueries":${results.size},"parts":${chunks.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

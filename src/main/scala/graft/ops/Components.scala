@@ -111,10 +111,12 @@ object Components {
     // (or vanishingly near) the fixpoint. A naive set-equality detector
     // costs a full exceptAll shuffle join PER ROUND; the signature costs one
     // tiny all-to-one agg. Soundness is kept absolute by running exceptAll
-    // exactly ONCE, when the signature first stabilizes: if (never observed)
-    // the sets still differ, the loop continues. So the expensive check is
-    // paid once per run, not once per round; ComponentsSpec additionally
-    // asserts full equality with the label-propagation twin.
+    // only when the signature matches the previous round's — typically once,
+    // at the true fixpoint; a pre-fixpoint signature collision (never
+    // observed, but not impossible) would re-trigger it and the loop
+    // continues. So the expensive check is paid ~once per run, not once per
+    // round; ComponentsSpec additionally asserts full equality with the
+    // label-propagation twin.
     def signature(df: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
       val r = df.agg(
         count(lit(1)),

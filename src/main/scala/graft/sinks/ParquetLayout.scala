@@ -51,13 +51,17 @@ object ParquetLayout {
     val ncols = keyCols.size
     // bit i of column j lands at position i*ncols + j — higher bits of
     // every column dominate equally, the Morton curve property
-    val zUdf = udf { vals: Seq[Double] =>
+    // java.lang.Double (not Double) so a null key survives the array: a
+    // Seq[Double] parameter makes Spark null-check each element and fail at
+    // runtime on the first null key value. Nulls sort to bucket 0, matching
+    // repartitionByRange's nulls-first ordering in the single-key path.
+    val zUdf = udf { vals: Seq[java.lang.Double] =>
       var z = 0L
       var j = 0
       while (j < vals.length) {
         val b = bounds(j)
         var lo = 0
-        var hi = b.length // bucket = #boundaries < value
+        var hi = if (vals(j) == null) 0 else b.length // bucket = #boundaries < value
         while (lo < hi) {
           val mid = (lo + hi) >>> 1
           if (b(mid) < vals(j)) lo = mid + 1 else hi = mid

@@ -197,6 +197,12 @@ class CapabilitiesSpec extends SparkSuite {
     graft.sinks.ParquetLayout.compactRangeClustered(src, "x", 16, rdir)
     val ry = perFileSpan(rdir, "y")
     assert(ry.sum / ry.size >= 0.8, s"unexpected y locality under x-only clustering: $ry")
+    // null keys must not crash the z-value UDF (they sort to bucket 0,
+    // matching repartitionByRange's nulls-first single-key behavior)
+    val withNulls = src.withColumn("x", when(col("id") % 100 === 0, lit(null)).otherwise(col("x")))
+    val ndir = Files.createTempDirectory("graft-zorder-n").toString + "/t"
+    graft.sinks.ParquetLayout.compactZOrdered(withNulls, Seq("x", "y"), 4, ndir)
+    assert(spark.read.parquet(ndir).count() == 20000L)
   }
 
   test("cap_extensions: a session built with GraftExtensions has the function and strategy installed") {

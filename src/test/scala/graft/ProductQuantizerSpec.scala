@@ -63,7 +63,7 @@ class ProductQuantizerSpec extends SparkSuite {
     val ivfRecall = (ivf & exactSet).size.toDouble / exactSet.size
     val adcRecall = (adcOnly & exactSet).size.toDouble / exactSet.size
     // Same coarse buckets + same probing → identical candidate sets; with a
-    // 24-deep ADC shortlist re-ranked by exact cosine, PQ must not lose
+    // 48-deep ADC shortlist re-ranked by exact cosine, PQ must not lose
     // ground to the plain-IVF exact ranking. Pure ADC ranking is noisier
     // than this corpus's tiny neighbor gaps (that is WHY production PQ
     // re-ranks) but must stay informative.
