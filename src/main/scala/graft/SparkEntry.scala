@@ -26,7 +26,8 @@ object SparkEntry {
       ops.LlmOps.queries ++
       ops.ExtraText.queries ++
       ops.PipelineOps.queries ++
-      ops.StreamingBatch.queries
+      ops.StreamingBatch.queries ++
+      ops.Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +42,6 @@ object SparkEntry {
       ops.LlmOps.oracle ++
       ops.ExtraText.oracle ++
       ops.PipelineOps.oracle ++
-      ops.StreamingBatch.oracle
+      ops.StreamingBatch.oracle ++
+      ops.Analytics.oracle
 }

@@ -1,0 +1,246 @@
+package graft.ops
+
+import graft.Fixtures
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.J — warehouse-maintenance and product-analytics operators:
+  * SCD type-2 dimension build, changeset MERGE, funnel conversion, cohort
+  * retention, equi-width histogram, per-group z-score anomaly flagging, and
+  * a bloom-prefiltered join. These are the batch shapes a data-loader-style
+  * pipeline (the reference's domain) grows into once history tracking and
+  * analytics land on the warehouse it feeds.
+  *
+  * Determinism contract (README): money/value columns go through exact
+  * integer cents; float statistics (mean/stddev) are derived from exact
+  * integer sums with the SAME arithmetic expression shape on both engines,
+  * so each row's z-score is bit-identical; window orderings always carry a
+  * unique tiebreaker column.
+  */
+object Analytics {
+  private def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SCD type-2 dimension build from a changelog: collapse consecutive
+    // duplicate states per user, then derive [valid_from, valid_to) validity
+    // intervals via lead(); the open interval is the current row. Two
+    // narrow window passes over the same (user, ts, event_id) sort — one
+    // shuffle, reused by both windows (same partitioning + ordering). At
+    // 100 TB the changelog is hash-partitioned by user_id and each user's
+    // history sorts locally; no skew risk beyond a single entity's history.
+    "q_scd2" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Fixtures
+        .events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("valid_to", lead("ts", 1).over(w))
+        .select(
+          col("user_id"),
+          col("event_type").as("state"),
+          col("ts").as("valid_from"),
+          col("valid_to"),
+          col("valid_to").isNull.cast("int").as("is_current"))
+        .orderBy("user_id", "valid_from")
+    },
+    // Batch MERGE: apply a changeset (update / delete / insert ops) to a
+    // snapshot, producing the next snapshot — the core upsert-maintenance
+    // op of any incremental loader, spelled as one left join on the key
+    // plus a union of the inserts. The changeset here is derived
+    // deterministically from the snapshot itself (key mod 10) so the oracle
+    // can rebuild it. Scale shape: equi-join on the snapshot key (broadcast
+    // when the changeset is small, shuffle otherwise); never a driver loop.
+    "q_merge_upsert" -> { (s, dir) =>
+      val cust = Fixtures.table(s, dir, "customer")
+      val base = cust.select(
+        col("c_custkey"),
+        col("c_name"),
+        col("c_nationkey"),
+        cents(col("c_acctbal")).as("bal_c"),
+        col("c_mktsegment"))
+      val upd = base
+        .filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey").as("key"), lit("U").as("op"), (col("bal_c") + 10000L).as("new_bal_c"))
+      val del = base
+        .filter(col("c_custkey") % 10 === 1)
+        .select(col("c_custkey").as("key"), lit("D").as("op"), lit(null).cast("long").as("new_bal_c"))
+      val ins = base
+        .filter(col("c_custkey") % 10 === 2)
+        .select(
+          (col("c_custkey") + 1000000L).as("c_custkey"),
+          concat(lit("Customer#new-"), col("c_custkey").cast("string")).as("c_name"),
+          col("c_nationkey"),
+          lit(0L).as("bal_c"),
+          col("c_mktsegment"))
+      val merged = base
+        .join(upd.unionByName(del), base("c_custkey") === col("key"), "left")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(
+          col("c_custkey"),
+          col("c_name"),
+          col("c_nationkey"),
+          when(col("op") === "U", col("new_bal_c")).otherwise(col("bal_c")).as("bal_c"),
+          col("c_mktsegment"))
+      merged.unionByName(ins).orderBy("c_custkey")
+    },
+    // Funnel conversion: of all users, how many ever viewed, and how many
+    // purchased within one hour of their FIRST view. Three one-row
+    // aggregates cross-joined (each a broadcast of a single row) — the
+    // per-user firstView aggregate is the only real shuffle; the purchase
+    // probe joins on user_id and the time predicate filters inline.
+    "q_funnel" -> { (s, dir) =>
+      val ev = Fixtures.events(s, dir)
+      val firstView = ev
+        .filter(col("event_type") === "view")
+        .groupBy("user_id")
+        .agg(min(col("ts")).as("t_view"))
+      val converted = ev
+        .filter(col("event_type") === "purchase")
+        .join(firstView, "user_id")
+        .filter(col("ts") >= col("t_view") && col("ts") <= col("t_view") + expr("INTERVAL 1 HOUR"))
+        .select("user_id")
+        .distinct()
+      ev.agg(countDistinct(col("user_id")).as("n_users"))
+        .crossJoin(firstView.agg(count(lit(1)).as("n_viewed")))
+        .crossJoin(converted.agg(count(lit(1)).as("n_converted")))
+    },
+    // Cohort retention: users grouped by first-active day; for day offsets
+    // 0..7, how many of each cohort were active again. distinct (user, day)
+    // first — it collapses the event volume BEFORE the self-join, the move
+    // that keeps this linear at 100 TB (events >> users × days).
+    "q_retention_cohort" -> { (s, dir) =>
+      val act = Fixtures
+        .events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+        .distinct()
+      val first = act.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      act
+        .join(first, "user_id")
+        .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
+        .filter(col("day_offset").between(0, 7))
+        .groupBy("cohort_day", "day_offset")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    },
+    // Equi-width histogram (20 bins) over a measure: bounds come from a
+    // one-row global agg broadcast back over the scan (no driver collect),
+    // binning is pure BIGINT arithmetic — (x-min)*20 integer-div span —
+    // so bin edges are engine-exact. Two passes over the column, both
+    // column-pruned scans; the groupBy key space is 20 values.
+    "q_histogram" -> { (s, dir) =>
+      val x = Fixtures
+        .table(s, dir, "lineitem")
+        .select(cents(col("l_extendedprice")).as("x_c"))
+      val mm = x.agg(min(col("x_c")).as("mn"), max(col("x_c")).as("mx"))
+      x.crossJoin(broadcast(mm))
+        .select(expr("(x_c - mn) * 20 div (mx - mn + 1)").as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bin")
+    },
+    // Per-group z-score anomaly flags. Mean and stddev are computed from
+    // EXACT integer-cents sums (sum, sum-of-squares — both fit long
+    // comfortably at these magnitudes) and only then combined in one fixed
+    // double expression, so m/sd/z are bit-identical across engines and
+    // partitionings — the shuffle-order float-sum hazard never arises.
+    // z is reported as floor(z*1e4+0.5) (README integer-scaling rule).
+    "q_anomaly_zscore" -> { (s, dir) =>
+      val ev = Fixtures
+        .events(s, dir)
+        .select(col("event_id"), col("event_type"), cents(col("value")).as("value_c"))
+      val stats = ev
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value_c")).as("s1"),
+          sum(col("value_c") * col("value_c")).as("s2"))
+        .select(
+          col("event_type"),
+          (col("s1").cast("double") / col("n") / 100.0).as("m"),
+          (sqrt(
+            (col("s2").cast("double") - col("s1").cast("double") * col("s1").cast("double") / col("n"))
+              / (col("n") - 1)) / 100.0).as("sd"))
+      ev.join(broadcast(stats), "event_type")
+        .withColumn(
+          "z4",
+          floor((col("value_c").cast("double") / 100.0 - col("m")) / col("sd") * 10000 + 0.5).cast("long"))
+        .filter(abs(col("z4")) > 15000)
+        .select(col("event_type"), col("event_id"), col("value_c"), col("z4"))
+        .orderBy("event_type", "event_id")
+    },
+    // Bloom-prefiltered dimension join: build a bloom filter over the
+    // (filtered) dimension keys — a model-sized driver sketch, like
+    // Spark's own runtime row-level filtering — broadcast it, and drop
+    // non-matching fact rows BEFORE the join shuffle. False positives are
+    // harmless: the exact equi-join re-verifies every survivor, so the
+    // result equals the plain join (that is the oracle). At 100 TB this is
+    // the difference between shuffling the whole fact table and shuffling
+    // the ~10% that can match.
+    "q_join_bloom" -> { (s, dir) =>
+      val dim = Fixtures.table(s, dir, "part").filter(col("p_type") === "ECONOMY")
+      val bf = dim.stat.bloomFilter("p_partkey", 100000L, 0.01)
+      val bfB = s.sparkContext.broadcast(bf)
+      val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
+      Fixtures
+        .table(s, dir, "lineitem")
+        .filter(mightContain(col("l_partkey")))
+        .join(dim, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), sum(cents(col("l_extendedprice"))).as("rev_c"))
+        .orderBy("p_brand")
+    }
+  )
+
+  private val evCte =
+    "WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, CAST(floor(value*100 + 0.5) AS BIGINT) AS value_c FROM events)"
+
+  val oracle: Map[String, String] = Map(
+    "q_scd2" ->
+      (evCte +
+        ", c AS (SELECT user_id, event_id, event_type, ts, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e)" +
+        ", f AS (SELECT user_id, event_id, event_type, ts FROM c WHERE prev IS NULL OR prev <> event_type)" +
+        ", v AS (SELECT user_id, event_type AS state, ts AS valid_from, lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to FROM f) " +
+        "SELECT user_id, state, valid_from, valid_to, CAST(valid_to IS NULL AS INTEGER) AS is_current FROM v ORDER BY user_id, valid_from"),
+    "q_merge_upsert" ->
+      ("WITH base AS (SELECT c_custkey, c_name, c_nationkey, CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal_c, c_mktsegment FROM customer), " +
+        "upd AS (SELECT c_custkey AS key, 'U' AS op, bal_c + 10000 AS new_bal_c FROM base WHERE c_custkey % 10 = 0), " +
+        "del AS (SELECT c_custkey AS key, 'D' AS op, CAST(NULL AS BIGINT) AS new_bal_c FROM base WHERE c_custkey % 10 = 1), " +
+        "ch AS (SELECT * FROM upd UNION ALL SELECT * FROM del), " +
+        "ins AS (SELECT c_custkey + 1000000 AS c_custkey, 'Customer#new-' || CAST(c_custkey AS VARCHAR) AS c_name, c_nationkey, CAST(0 AS BIGINT) AS bal_c, c_mktsegment FROM base WHERE c_custkey % 10 = 2), " +
+        "merged AS (SELECT b.c_custkey, b.c_name, b.c_nationkey, CASE WHEN ch.op = 'U' THEN ch.new_bal_c ELSE b.bal_c END AS bal_c, b.c_mktsegment " +
+        "FROM base b LEFT JOIN ch ON b.c_custkey = ch.key WHERE ch.op IS NULL OR ch.op <> 'D') " +
+        "SELECT * FROM merged UNION ALL SELECT * FROM ins ORDER BY c_custkey"),
+    "q_funnel" ->
+      (evCte +
+        ", fv AS (SELECT user_id, min(ts) AS t_view FROM e WHERE event_type = 'view' GROUP BY user_id)" +
+        ", conv AS (SELECT DISTINCT p.user_id FROM e p JOIN fv ON p.user_id = fv.user_id " +
+        "WHERE p.event_type = 'purchase' AND p.ts >= fv.t_view AND p.ts <= fv.t_view + INTERVAL 1 HOUR) " +
+        "SELECT CAST((SELECT count(DISTINCT user_id) FROM e) AS BIGINT) AS n_users, " +
+        "CAST((SELECT count(*) FROM fv) AS BIGINT) AS n_viewed, " +
+        "CAST((SELECT count(*) FROM conv) AS BIGINT) AS n_converted"),
+    "q_retention_cohort" ->
+      (evCte +
+        ", act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM e)" +
+        ", f AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id) " +
+        "SELECT f.cohort_day, CAST(act.day - f.cohort_day AS BIGINT) AS day_offset, CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_users " +
+        "FROM act JOIN f ON act.user_id = f.user_id WHERE act.day - f.cohort_day BETWEEN 0 AND 7 " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_histogram" ->
+      ("WITH x AS (SELECT CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS x_c FROM lineitem), " +
+        "mm AS (SELECT min(x_c) AS mn, max(x_c) AS mx FROM x) " +
+        "SELECT (x_c - mn) * 20 // (mx - mn + 1) AS bin, CAST(count(*) AS BIGINT) AS n " +
+        "FROM x CROSS JOIN mm GROUP BY bin ORDER BY bin"),
+    "q_anomaly_zscore" ->
+      (evCte +
+        ", st AS (SELECT event_type, count(*) AS n, sum(value_c) AS s1, sum(value_c*value_c) AS s2 FROM e GROUP BY event_type)" +
+        ", sd AS (SELECT event_type, CAST(s1 AS DOUBLE)/n/100.0 AS m, sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/n)/(n-1))/100.0 AS sd FROM st)" +
+        ", z AS (SELECT e.event_type, e.event_id, e.value_c, CAST(floor((CAST(e.value_c AS DOUBLE)/100.0 - sd.m)/sd.sd*10000 + 0.5) AS BIGINT) AS z4 FROM e JOIN sd ON e.event_type = sd.event_type) " +
+        "SELECT event_type, event_id, value_c, z4 FROM z WHERE abs(z4) > 15000 ORDER BY event_type, event_id"),
+    "q_join_bloom" ->
+      ("SELECT p_brand, CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_type = 'ECONOMY' " +
+        "GROUP BY p_brand ORDER BY p_brand")
+  )
+}
