@@ -170,6 +170,31 @@ object Analytics {
         .select(col("event_type"), col("event_id"), col("value_c"), col("z4"))
         .orderBy("event_type", "event_id")
     },
+    // Data-quality profile: per-column row/null/distinct counts — the QA
+    // report a loader emits after every batch. ONE pass: a single agg row
+    // of count + per-column count/countDistinct (Catalyst plans the
+    // multi-distinct via Expand — rows × #columns, one shuffle), then a
+    // stack() unpivot to one row per column. Exact distincts are the
+    // costly-but-demanded shape here; the approximate twin is
+    // approx_count_distinct (cap_agg_approx).
+    "q_profile" -> { (s, dir) =>
+      val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      val aggs = count(lit(1)).as("n_rows") +:
+        cols.flatMap(c =>
+          Seq(count(col(c)).as(s"cnt_$c"), countDistinct(col(c)).as(s"dst_$c")))
+      val one = Fixtures.table(s, dir, "customer").agg(aggs.head, aggs.tail: _*)
+      val stackExpr = cols
+        .map(c => s"'$c', cnt_$c, dst_$c")
+        .mkString(s"stack(${cols.size}, ", ", ", ") as (col_name, n_present, n_distinct)")
+      one
+        .select(col("n_rows"), expr(stackExpr))
+        .select(
+          col("col_name"),
+          col("n_rows"),
+          (col("n_rows") - col("n_present")).as("n_null"),
+          col("n_distinct"))
+        .orderBy("col_name")
+    },
     // Bloom-prefiltered dimension join: build a bloom filter over the
     // (filtered) dimension keys — a model-sized driver sketch, like
     // Spark's own runtime row-level filtering — broadcast it, and drop
@@ -241,6 +266,13 @@ object Analytics {
     "q_join_bloom" ->
       ("SELECT p_brand, CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_type = 'ECONOMY' " +
-        "GROUP BY p_brand ORDER BY p_brand")
+        "GROUP BY p_brand ORDER BY p_brand"),
+    "q_profile" ->
+      Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .map(c =>
+          s"SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, " +
+            s"CAST(count(*) - count($c) AS BIGINT) AS n_null, " +
+            s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM customer")
+        .mkString("", " UNION ALL ", " ORDER BY col_name")
   )
 }

@@ -50,4 +50,20 @@ class PlanShapeSpec extends SparkSuite {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join:\n$p")
     }
   }
+
+  test("round-6 shapes: merge/SCD2/retention stay equi-join + single-sort shapes") {
+    // the SCD2 windows must share ONE shuffle: same partitioning + ordering
+    // for both lag and lead passes
+    val scd2 = planOf("q_scd2")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(scd2).size
+    assert(exchanges == 1, s"q_scd2 should shuffle once for both windows, saw $exchanges:\n$scd2")
+    for (q <- Seq("q_merge_upsert", "q_retention_cohort", "q_funnel", "q_join_bloom")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product:\n$p")
+    }
+    // the bloom prefilter must land BEFORE the join: a Filter with the UDF
+    // sits on the fact scan side, and the dim side broadcasts
+    val bloom = planOf("q_join_bloom")
+    assert(bloom.contains("BroadcastHashJoin"), s"q_join_bloom dim not broadcast:\n$bloom")
+  }
 }
