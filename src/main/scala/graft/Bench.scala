@@ -63,7 +63,13 @@ object Bench {
     }
     val total = results.map(_._2).sum
     val allQueries = entries.mkString("{", ",", "}")
-    println(s"""{"metric":"bench_total_sec","value":${fmt(total)},"unit":"sec","queries":$allQueries,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"bench_total_sec","value":${fmt(total)},"unit":"sec","queries":$allQueries,"sf":"$sfDir"}"""
+    println(fullLine)
+    // Belt-and-braces: stdout capture windows have bitten every round, so
+    // the complete JSON also lands in a file any reader can open.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST_RUN.json"), fullLine + "\n")
+    catch { case _: Throwable => () }
     // Greedy packing of per-query entries into ≤ ~900-byte chunk lines
     // (budget counts the joining comma too), sized so the final chunk plus
     // the total line plus sbt's epilogue always fit inside the 2000-byte

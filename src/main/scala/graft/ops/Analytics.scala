@@ -170,6 +170,53 @@ object Analytics {
         .select(col("event_type"), col("event_id"), col("value_c"), col("z4"))
         .orderBy("event_type", "event_id")
     },
+    // Incremental aggregate maintenance: merge yesterday's persisted agg
+    // state with today's delta partial agg instead of recomputing history —
+    // THE pattern that turns an O(history) daily batch into O(delta).
+    // Correctness hinges on the merge being the aggregate's monoid combine
+    // (count/sum add pointwise); the oracle recomputes from scratch, so the
+    // hash-match proves state+delta ≡ full recompute. Both partials are
+    // map-side-combinable groupBys; the merge is a full outer equi-join on
+    // the group key (a group may exist in only one side).
+    "q_agg_incremental" -> { (s, dir) =>
+      val cutoff = lit("1997-01-01").cast("timestamp_ntz")
+      val orders = Fixtures.table(s, dir, "orders")
+      def part(df: DataFrame, n: String, sc: String) =
+        df.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as(n), sum(cents(col("o_totalprice"))).as(sc))
+      val state = part(orders.filter(col("o_orderdate") < cutoff), "n_old", "spend_old")
+      val delta = part(orders.filter(col("o_orderdate") >= cutoff), "n_new", "spend_new")
+      state
+        .join(delta, Seq("o_orderstatus"), "full_outer")
+        .select(
+          col("o_orderstatus"),
+          (coalesce(col("n_old"), lit(0L)) + coalesce(col("n_new"), lit(0L))).as("n"),
+          (coalesce(col("spend_old"), lit(0L)) + coalesce(col("spend_new"), lit(0L))).as("spend_c"))
+        .orderBy("o_orderstatus")
+    },
+    // TPC-H Q18 shape (large-volume customers): a HAVING-filtered aggregate
+    // over the biggest fact table feeding a semi join back onto itself plus
+    // two dimension joins. The having-agg is the only big shuffle; the
+    // qualifying key set is tiny and broadcasts into the semi join.
+    "q_join_tpch_q18" -> { (s, dir) =>
+      val li = Fixtures.table(s, dir, "lineitem")
+      val big = li
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      Fixtures
+        .table(s, dir, "orders")
+        .join(broadcast(big), col("o_orderkey") === big("l_orderkey"))
+        .join(Fixtures.table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(
+          col("c_name"),
+          col("c_custkey"),
+          col("o_orderkey"),
+          col("o_orderdate"),
+          cents(col("o_totalprice")).as("price_c"),
+          col("sum_qty"))
+        .orderBy(col("price_c").desc, col("o_orderkey"))
+    },
     // Data-quality profile: per-column row/null/distinct counts — the QA
     // report a loader emits after every batch. ONE pass: a single agg row
     // of count + per-column count/countDistinct (Catalyst plans the
@@ -267,6 +314,17 @@ object Analytics {
       ("SELECT p_brand, CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_type = 'ECONOMY' " +
         "GROUP BY p_brand ORDER BY p_brand"),
+    "q_agg_incremental" ->
+      ("SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS spend_c " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q_join_tpch_q18" ->
+      ("WITH big AS (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty " +
+        "FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS BIGINT)) > 250) " +
+        "SELECT c_name, c_custkey, o_orderkey, o_orderdate, " +
+        "CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_c, sum_qty " +
+        "FROM orders JOIN big ON o_orderkey = big.l_orderkey JOIN customer ON o_custkey = c_custkey " +
+        "ORDER BY price_c DESC, o_orderkey"),
     "q_profile" ->
       Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
         .map(c =>
