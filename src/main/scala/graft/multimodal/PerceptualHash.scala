@@ -1,6 +1,9 @@
 package graft.multimodal
 
 import java.awt.image.BufferedImage
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -8,6 +11,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.HammingPairs
 
 case class ImageHashes(id: Long, dhash: Long, phash: Long)
+case class FrameHash(id: Long, frame_idx: Int, phash: Long)
 
 /** Perceptual image fingerprints — the image twin of SimHash text dedup:
   * one 64-bit signature per image, near-duplicates = small Hamming
@@ -158,5 +162,61 @@ object PerceptualHash {
     HammingPairs.pairs(
       graft.ops.Checkpoints.truncate(hashes(ds).toDF()),
       "id", hash, maxHamming, maxBucket)
+  }
+
+  /** Per-sampled-frame pHash for multi-frame payloads (animated GIF — the
+    * zero-dependency video stand-in, same reader loop as
+    * MediaPipeline.sampleFrames): every `everyN`-th decoded frame hashed.
+    * Single-frame kinds and undecodable payloads yield no rows. */
+  def frameHashes(ds: Dataset[MediaRecord], everyN: Int): Dataset[FrameHash] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      if (!(r.kind.contains("gif") || r.kind.startsWith("video"))) Seq.empty[FrameHash]
+      else
+        try {
+          val reader = ImageIO.getImageReadersBySuffix("gif").next()
+          val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(r.payload))
+          try {
+            reader.setInput(iis)
+            (0 until reader.getNumImages(true) by everyN)
+              .map(i => FrameHash(r.id, i, phash64(reader.read(i))))
+          } finally { reader.dispose(); iis.close() }
+        } catch { case scala.util.control.NonFatal(_) => Seq.empty[FrameHash] }
+    }
+  }
+
+  /** Video near-duplicate pairs (a_vid, b_vid, n_matched): two payloads are
+    * near-dups when at least `minMatches` of the lower-id video's sampled
+    * frames have a pHash within `maxHamming` of SOME frame of the other —
+    * the frame-signature-overlap decision real video dedup pipelines make,
+    * built entirely from the image kernel: frames flow through the SAME
+    * banded [[HammingPairs]] join as stills (frame key = id·2^16+idx, so
+    * sampled frame indices must stay under 65536), then frame pairs roll up
+    * to video pairs with one countDistinct agg. No all-pairs stage at any
+    * level: candidate generation stays banded per frame, and the rollup key
+    * is the video pair. */
+  def nearDuplicateVideos(
+      ds: Dataset[MediaRecord],
+      everyN: Int,
+      maxHamming: Int,
+      minMatches: Long): DataFrame = {
+    val fh = graft.ops.Checkpoints.truncate(
+      frameHashes(ds, everyN)
+        .select(expr("id * 65536 + frame_idx").as("fid"), col("phash")))
+    HammingPairs
+      .pairs(fh, "fid", "phash", maxHamming)
+      .select(
+        expr("a_id div 65536").as("va"),
+        pmod(col("a_id"), lit(65536L)).as("fa"),
+        expr("b_id div 65536").as("vb"),
+        pmod(col("b_id"), lit(65536L)).as("fb"))
+      .filter(col("va") =!= col("vb"))
+      .select(
+        least(col("va"), col("vb")).as("a_vid"),
+        greatest(col("va"), col("vb")).as("b_vid"),
+        when(col("va") < col("vb"), col("fa")).otherwise(col("fb")).as("f_lo"))
+      .groupBy("a_vid", "b_vid")
+      .agg(countDistinct(col("f_lo")).as("n_matched"))
+      .filter(col("n_matched") >= minMatches)
   }
 }
