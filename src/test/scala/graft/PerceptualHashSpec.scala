@@ -123,4 +123,52 @@ class PerceptualHashSpec extends SparkSuite {
     } yield (a, b)).toSet
     assert(r1 == expected, s"missing=${(expected -- r1).take(5)} extra=${(r1 -- expected).take(5)}")
   }
+
+  /** Animated GIF of textured frames: frame i draws pattern(seed·31+i)
+    * shifted by `shift` luma — per-frame variants of the still-image
+    * corpus, quantized to the web-safe-ish palette GIF encoding keeps. */
+  private def texturedGif(seed: Long, nFrames: Int, shift: Int): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until nFrames).foreach { i =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png(seed * 31 + i, shift)))
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    buf.toByteArray
+  }
+
+  test("cap_video_neardup: frame-hash overlap finds the shifted variant videos, nothing else") {
+    // 6 base videos of 5 textured frames; each gets a +10-brightness
+    // variant (every frame shifted — the whole video is a near-dup) at
+    // id+100. Distinct bases share no frames → no cross pairs.
+    val vids = spark.createDataset(
+      (0 until 6).flatMap { v =>
+        Seq(
+          graft.multimodal.MediaRecord(v.toLong, "video/gif", texturedGif(v, 5, 0)),
+          graft.multimodal.MediaRecord(100L + v, "video/gif", texturedGif(v, 5, 10)))
+      })
+    val pairs = PerceptualHash
+      .nearDuplicateVideos(vids, everyN = 1, maxHamming = 3, minMatches = 3)
+      .select("a_vid", "b_vid")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val planted = (0 until 6).map(v => (v.toLong, 100L + v)).toSet
+    assert(pairs == planted, s"missing=${planted -- pairs} extra=${pairs -- planted}")
+    // determinism + frame accounting: the matched-frame count for a planted
+    // pair can never exceed the sampled frame count
+    val n = PerceptualHash
+      .nearDuplicateVideos(vids, everyN = 1, maxHamming = 3, minMatches = 3)
+      .select("n_matched")
+      .as[Long]
+      .collect()
+    assert(n.forall(x => x >= 3 && x <= 5), s"bad match counts: ${n.toSeq}")
+  }
 }
