@@ -170,6 +170,25 @@ object Analytics {
         .select(col("event_type"), col("event_id"), col("value_c"), col("z4"))
         .orderBy("event_type", "event_id")
     },
+    // Deterministic fixed-size per-group sample ("reservoir" semantics,
+    // reproducibly): rank rows inside each group by the md5 of their key
+    // (a uniform pseudo-random order BOTH engines compute identically —
+    // lowercase hex, same byte order) and keep the first k. Unlike the
+    // rate-based q_sample_strat this guarantees EXACTLY min(k, |group|)
+    // rows per group. One window over the group partitioning; the
+    // WindowGroupLimit rewrite prunes each partition to k before the sort
+    // completes.
+    "q_sample_reservoir" -> { (s, dir) =>
+      val w = Window
+        .partitionBy("c_mktsegment")
+        .orderBy(md5(col("c_custkey").cast("string")), col("c_custkey"))
+      Fixtures
+        .table(s, dir, "customer")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select(col("c_mktsegment"), col("c_custkey"))
+        .orderBy("c_mktsegment", "c_custkey")
+    },
     // Incremental aggregate maintenance: merge yesterday's persisted agg
     // state with today's delta partial agg instead of recomputing history —
     // THE pattern that turns an O(history) daily batch into O(delta).
@@ -314,6 +333,11 @@ object Analytics {
       ("SELECT p_brand, CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_type = 'ECONOMY' " +
         "GROUP BY p_brand ORDER BY p_brand"),
+    "q_sample_reservoir" ->
+      ("WITH r AS (SELECT c_mktsegment, c_custkey, " +
+        "row_number() OVER (PARTITION BY c_mktsegment ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rn " +
+        "FROM customer) " +
+        "SELECT c_mktsegment, c_custkey FROM r WHERE rn <= 20 ORDER BY c_mktsegment, c_custkey"),
     "q_agg_incremental" ->
       ("SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, " +
         "CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS spend_c " +

@@ -45,16 +45,35 @@ object UpcSkuLoad {
           col("p_brand").as("brand"),
           col("p_retailprice").as("price")))
 
-  /** Validate: full-12-digit check-digit test + basic record hygiene. */
-  def validate(records: DataFrame): DataFrame = {
+  /** Validate: full-12-digit check-digit test + basic record hygiene.
+    * Invalid rows are silently dropped; loaders that must account for every
+    * input row use [[validateWithQuarantine]]. */
+  def validate(records: DataFrame): DataFrame =
+    validateWithQuarantine(records)._1
+
+  /** Split records into (valid, quarantined): every rejected row lands in
+    * the second frame carrying its FIRST failing check as `reject_reason`
+    * (fixed evaluation order, so reasons are deterministic). The null
+    * traps matter: a non-digit character makes the weighted sum NULL and a
+    * bare `sum % 10 =!= 0` predicate would be NULL too — neither valid nor
+    * flagged — so every reason clause is written null-catching. Single
+    * pass, pure column expressions; the split is two filters over the same
+    * tagged plan (Spark shares the scan). */
+  def validateWithQuarantine(records: DataFrame): (DataFrame, DataFrame) = {
+    // try_cast, not cast: under ANSI mode (Spark 4 default) a non-digit
+    // character would THROW out of the whole job — the quarantine path
+    // exists precisely to absorb malformed input as data, not exceptions
     val weighted = (1 to 12)
-      .map(i => substring(col("upc"), i, 1).cast("int") * lit(if (i % 2 == 1) 3 else 1))
+      .map(i => expr(s"try_cast(substring(upc, $i, 1) AS int)") * lit(if (i % 2 == 1) 3 else 1))
       .reduce(_ + _)
-    records.filter(
-      weighted % 10 === 0 &&
-        length(col("upc")) === 12 &&
-        col("price") > 0 &&
-        length(trim(col("name"))) > 0)
+    val reason = when(col("upc").isNull || length(col("upc")) =!= 12, "bad_length")
+      .when(weighted.isNull || weighted % 10 =!= 0, "bad_check_digit")
+      .when(col("price").isNull || col("price") <= 0, "bad_price")
+      .when(length(trim(coalesce(col("name"), lit("")))) === 0, "empty_name")
+    val tagged = records.withColumn("reject_reason", reason)
+    (
+      tagged.filter(col("reject_reason").isNull).drop("reject_reason"),
+      tagged.filter(col("reject_reason").isNotNull))
   }
 
   /** One representative per UPC (deterministic: lowest name sorts first). */

@@ -97,4 +97,45 @@ class EtlPipelineSpec extends SparkSuite {
     UpcSkuLoad.load(replay, url, pagedTable)
     assert(snapshot(pagedTable) == snapshot(table), "page replay changed the table")
   }
+
+  test("cap_etl_quarantine: every input row is either loaded or quarantined with its first failing reason") {
+    import spark.implicits._
+    val good = UpcSkuLoad.extract(spark, sf001)
+    // plant one row per failure class on top of the clean extract
+    val bad = Seq(
+      ("12345", "short upc", "B", 1.0),               // bad_length
+      ("123456789013", "wrong digit", "B", 1.0),      // bad_check_digit (true cd is 1 → 12 digits, cd+2)
+      ("03600029145X", "non-digit", "B", 1.0),        // bad_check_digit via NULL weighted sum
+      ("036000291452", "free stuff", "B", 0.0),       // bad_price (valid UPC, price 0)
+      ("036000291452", "   ", "B", 9.99)              // empty_name (blank after trim)
+    ).toDF("upc", "name", "brand", "price").withColumn("loaded_at", current_timestamp())
+    val (valid, quarantined) = UpcSkuLoad.validateWithQuarantine(good.unionByName(bad))
+    // accounting: nothing vanishes
+    assert(valid.count() + quarantined.count() == good.count() + 5)
+    assert(valid.count() == good.count(), "a planted bad row leaked into the valid set")
+    val reasons = quarantined
+      .select("name", "reject_reason")
+      .collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .toMap
+    assert(reasons == Map(
+      "short upc" -> "bad_length",
+      "wrong digit" -> "bad_check_digit",
+      "non-digit" -> "bad_check_digit",
+      "free stuff" -> "bad_price",
+      "   " -> "empty_name"), s"got $reasons")
+    // the quarantine frame is loadable like any other (side-table pattern)
+    val qTable = "products_quarantine"
+    val c = DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      try st.execute(s"DROP TABLE $qTable")
+      catch { case _: java.sql.SQLException => () }
+      st.execute(
+        s"CREATE TABLE $qTable (upc VARCHAR(32), name VARCHAR(128), brand VARCHAR(32), price DOUBLE, loaded_at TIMESTAMP, reject_reason VARCHAR(32))")
+      st.close()
+    } finally c.close()
+    quarantined.write.mode("append").jdbc(url, qTable, new java.util.Properties())
+    assert(spark.read.jdbc(url, qTable, new java.util.Properties()).count() == 5)
+  }
 }
