@@ -170,6 +170,31 @@ object Analytics {
         .select(col("event_type"), col("event_id"), col("value_c"), col("z4"))
         .orderBy("event_type", "event_id")
     },
+    // Semantic (embedding-space) dedup DECISION, end-to-end: exact-cosine
+    // near-dup pairs over a bounded verification slice → connected
+    // components → canonical = min vec_id per cluster. The hash-match vs a
+    // recursive-CTE oracle proves pair generation (bit-matched cosine
+    // expression), the CC loop, AND the canonical selection together. At
+    // 100 TB the pair stage swaps to the banded cosine-LSH kernel
+    // (q_cosine_lsh_pairs) feeding the SAME Components + selection — only
+    // the candidate generator changes; the crossJoin here exists because
+    // exactness is what makes the oracle possible.
+    "q_dedup_semantic" -> { (s, dir) =>
+      val e = Fixtures.table(s, dir, "embeddings").filter(col("vec_id") < 100)
+      val pairs = e
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+        .crossJoin(e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")))
+        .filter(col("a_id") < col("b_id"))
+        .filter(SimKernel.cosine(col("a_emb"), col("b_emb")) >= 0.3)
+        .select("a_id", "b_id")
+      Components
+        .connectedComponents(pairs, e.select("vec_id"), "vec_id")
+        .select(
+          col("id").as("vec_id"),
+          col("comp"),
+          (col("id") === col("comp")).cast("int").as("is_canonical"))
+        .orderBy("vec_id")
+    },
     // Deterministic fixed-size per-group sample ("reservoir" semantics,
     // reproducibly): rank rows inside each group by the md5 of their key
     // (a uniform pseudo-random order BOTH engines compute identically —
@@ -333,6 +358,14 @@ object Analytics {
       ("SELECT p_brand, CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_type = 'ECONOMY' " +
         "GROUP BY p_brand ORDER BY p_brand"),
+    "q_dedup_semantic" ->
+      ("WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100), " +
+        "pr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM e a, e b WHERE a.vec_id < b.vec_id AND " +
+        SimKernel.cosSql("a.embedding", "b.embedding") + " >= 0.3), " +
+        "ed AS (SELECT a_id AS s2, b_id AS d FROM pr UNION ALL SELECT b_id, a_id FROM pr), " +
+        "reach(node, m) AS (SELECT vec_id, vec_id FROM e UNION SELECT ed.s2, r.m FROM ed JOIN reach r ON ed.d = r.node) " +
+        "SELECT node AS vec_id, CAST(min(m) AS BIGINT) AS comp, CAST(node = min(m) AS INT) AS is_canonical " +
+        "FROM reach GROUP BY node ORDER BY vec_id"),
     "q_sample_reservoir" ->
       ("WITH r AS (SELECT c_mktsegment, c_custkey, " +
         "row_number() OVER (PARTITION BY c_mktsegment ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rn " +
