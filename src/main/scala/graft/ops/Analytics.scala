@@ -170,6 +170,29 @@ object Analytics {
         .select(col("event_type"), col("event_id"), col("value_c"), col("z4"))
         .orderBy("event_type", "event_id")
     },
+    // Trailing-TIME-window aggregates (the rolling-1h metric shape):
+    // RANGE frame over integer epoch seconds — Spark's rangeBetween needs a
+    // numeric ordering key, and flooring to whole seconds on BOTH engines
+    // makes same-second events exact frame peers, so the aggregates are
+    // order-independent. One window = one shuffle on the partition key.
+    "q_win_time_range" -> { (s, dir) =>
+      // NTZ has no direct long cast; NTZ→TIMESTAMP is exact under the UTC
+      // session, and TIMESTAMP→long truncates to whole epoch seconds —
+      // the same floor(epoch(ts)) the oracle orders by
+      val w = Window
+        .partitionBy("user_id")
+        .orderBy(col("ts").cast("timestamp").cast("long"))
+        .rangeBetween(-3600, 0)
+      Fixtures
+        .events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), cents(col("value")).as("v_c"))
+        .select(
+          col("user_id"),
+          col("event_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("v_c")).over(w).as("sum_1h_c"))
+        .orderBy("user_id", "event_id")
+    },
     // Semantic (embedding-space) dedup DECISION, end-to-end: exact-cosine
     // near-dup pairs over a bounded verification slice → connected
     // components → canonical = min vec_id per cluster. The hash-match vs a
@@ -358,6 +381,11 @@ object Analytics {
       ("SELECT p_brand, CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_type = 'ECONOMY' " +
         "GROUP BY p_brand ORDER BY p_brand"),
+    "q_win_time_range" ->
+      (evCte +
+        " SELECT user_id, event_id, CAST(count(*) OVER w AS BIGINT) AS n_1h, CAST(sum(value_c) OVER w AS BIGINT) AS sum_1h_c " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY user_id, event_id"),
     "q_dedup_semantic" ->
       ("WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100), " +
         "pr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM e a, e b WHERE a.vec_id < b.vec_id AND " +
