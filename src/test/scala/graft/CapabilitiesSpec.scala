@@ -141,6 +141,23 @@ class CapabilitiesSpec extends SparkSuite {
     assert(math.abs(merged - exact) / exact < 0.05, s"merged HLL off by >5%: exact=$exact est=$merged")
   }
 
+  test("cap_agg_freqitems: Misra-Gries heavy hitters surface a planted hot key, few false negatives by design") {
+    import spark.implicits._
+    // 60% of rows share key 7; the rest spread over 1000 keys (each ≪ the
+    // 10% support threshold). freqItems is the single-pass mergeable
+    // summary for "what dominates this column" — the cheap precursor to
+    // the exact skew handling in q_agg_salted/q_join_salted.
+    val df = (0 until 20000)
+      .map(i => if (i % 5 < 3) 7L else (i % 1000) + 100L)
+      .toDF("k")
+    val freq = df.stat.freqItems(Seq("k"), 0.1).head().getSeq[Long](0)
+    assert(freq.contains(7L), s"hot key missing from $freq")
+    // soundness within the sketch's contract: nothing below support/2 that
+    // isn't explainable as a Misra-Gries false positive survivor — the
+    // result set stays small (≤ 1/support = 10 entries)
+    assert(freq.size <= 10, s"freqItems returned ${freq.size} entries: $freq")
+  }
+
   test("cap_sink_compact: range-clustered compaction yields N files with disjoint key ranges") {
     val src = Fixtures
       .table(spark, sf001, "orders")

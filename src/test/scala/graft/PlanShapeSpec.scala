@@ -51,6 +51,26 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("hot scalar paths run inside whole-stage codegen") {
+    // the brief's codegen contract: projection/filter/agg pipelines must
+    // show WholeStageCodegen spans, and the custom cosine Expression must
+    // not break the span it sits in (it implements doGenCode).
+    // collect() the dataframe ITSELF (not count()) — codegen wrappers only
+    // appear in the FINAL adaptive plan, which materializes on execution
+    for (q <- Seq("q_project_arith", "q_filter_pred", "q_agg_q1", "q_sim_threshold")) {
+      val df = SparkEntry.queries(q)(spark, sf001)
+      df.collect()
+      // codegen markers by explain flavor in 4.1.2: formatted AQE output
+      // annotates member nodes with "[codegen id : N]"; non-AQE formatted
+      // uses a "WholeStageCodegen (N)" header — accept either
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(
+        p.contains("[codegen id :") || p.contains("WholeStageCodegen"),
+        s"$q fell out of whole-stage codegen:\n$p")
+    }
+  }
+
   test("round-6 shapes: merge/SCD2/retention stay equi-join + single-sort shapes") {
     // the SCD2 windows must share ONE shuffle: same partitioning + ordering
     // for both lag and lead passes
