@@ -21,6 +21,24 @@ import org.apache.spark.sql.functions._
 object Analytics {
   private def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast("long")
 
+  /** SCD2 core shared by the full build and the incremental rebuild:
+    * collapse consecutive duplicate states per user, derive
+    * [valid_from, valid_to) via lead(). Expects (user_id, event_id,
+    * event_type, ts) rows. */
+  private def scd2(changelog: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changelog
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("valid_to", lead("ts", 1).over(w))
+      .select(
+        col("user_id"),
+        col("event_type").as("state"),
+        col("ts").as("valid_from"),
+        col("valid_to"),
+        col("valid_to").isNull.cast("int").as("is_current"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // SCD type-2 dimension build from a changelog: collapse consecutive
     // duplicate states per user, then derive [valid_from, valid_to) validity
@@ -30,20 +48,29 @@ object Analytics {
     // 100 TB the changelog is hash-partitioned by user_id and each user's
     // history sorts locally; no skew risk beyond a single entity's history.
     "q_scd2" -> { (s, dir) =>
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      Fixtures
+      scd2(
+        Fixtures
+          .events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"), col("ts")))
+        .orderBy("user_id", "valid_from")
+    },
+    // Incremental SCD2 maintenance: when a delta batch arrives, ONLY the
+    // keys it touches are rebuilt (their full per-key history re-derives —
+    // per-key history is small; it's the key COUNT that is 100-TB-scale);
+    // every untouched key's history rows pass through by anti-join,
+    // unrecomputed. The oracle is the FULL rebuild, so the hash-match
+    // proves incremental ≡ scratch — the q_agg_incremental argument applied
+    // to versioned dimensions.
+    "q_scd2_incremental" -> { (s, dir) =>
+      val cutoff = lit("2024-01-30").cast("timestamp_ntz")
+      val ev = Fixtures
         .events(s, dir)
         .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
-        .withColumn("prev", lag("event_type", 1).over(w))
-        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
-        .withColumn("valid_to", lead("ts", 1).over(w))
-        .select(
-          col("user_id"),
-          col("event_type").as("state"),
-          col("ts").as("valid_from"),
-          col("valid_to"),
-          col("valid_to").isNull.cast("int").as("is_current"))
-        .orderBy("user_id", "valid_from")
+      val state = scd2(ev.filter(col("ts") < cutoff)) // "persisted" dim
+      val touched = ev.filter(col("ts") >= cutoff).select("user_id").distinct()
+      val untouched = state.join(touched, Seq("user_id"), "left_anti")
+      val rebuilt = scd2(ev.join(touched, Seq("user_id"), "left_semi"))
+      untouched.unionByName(rebuilt).orderBy("user_id", "valid_from")
     },
     // Batch MERGE: apply a changeset (update / delete / insert ops) to a
     // snapshot, producing the next snapshot — the core upsert-maintenance
@@ -335,13 +362,18 @@ object Analytics {
   private val evCte =
     "WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, CAST(floor(value*100 + 0.5) AS BIGINT) AS value_c FROM events)"
 
+  private val scd2Sql: String =
+    evCte +
+      ", c AS (SELECT user_id, event_id, event_type, ts, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e)" +
+      ", f AS (SELECT user_id, event_id, event_type, ts FROM c WHERE prev IS NULL OR prev <> event_type)" +
+      ", v AS (SELECT user_id, event_type AS state, ts AS valid_from, lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to FROM f) " +
+      "SELECT user_id, state, valid_from, valid_to, CAST(valid_to IS NULL AS INTEGER) AS is_current FROM v ORDER BY user_id, valid_from"
+
   val oracle: Map[String, String] = Map(
-    "q_scd2" ->
-      (evCte +
-        ", c AS (SELECT user_id, event_id, event_type, ts, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e)" +
-        ", f AS (SELECT user_id, event_id, event_type, ts FROM c WHERE prev IS NULL OR prev <> event_type)" +
-        ", v AS (SELECT user_id, event_type AS state, ts AS valid_from, lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to FROM f) " +
-        "SELECT user_id, state, valid_from, valid_to, CAST(valid_to IS NULL AS INTEGER) AS is_current FROM v ORDER BY user_id, valid_from"),
+    "q_scd2" -> scd2Sql,
+    // incremental maintenance must land EXACTLY the full rebuild — the
+    // same oracle SQL is the whole point of the check
+    "q_scd2_incremental" -> scd2Sql,
     "q_merge_upsert" ->
       ("WITH base AS (SELECT c_custkey, c_name, c_nationkey, CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal_c, c_mktsegment FROM customer), " +
         "upd AS (SELECT c_custkey AS key, 'U' AS op, bal_c + 10000 AS new_bal_c FROM base WHERE c_custkey % 10 = 0), " +
