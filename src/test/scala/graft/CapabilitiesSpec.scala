@@ -141,6 +141,30 @@ class CapabilitiesSpec extends SparkSuite {
     assert(math.abs(merged - exact) / exact < 0.05, s"merged HLL off by >5%: exact=$exact est=$merged")
   }
 
+  test("cap_cache_reuse: a cached intermediate serves downstream queries from memory, same answers") {
+    // the interactive-analytics pattern: one expensive intermediate, many
+    // downstream aggregations. After .cache(), every consumer must read
+    // InMemoryTableScan (no parquet re-scan) and answers must not change.
+    val base = Fixtures
+      .table(spark, sf001, "lineitem")
+      .filter(col("l_quantity") > 10)
+      .select("l_orderkey", "l_returnflag", "l_quantity")
+    val uncached = (
+      base.groupBy("l_returnflag").agg(count(lit(1))).collect().toSeq,
+      base.agg(sum(col("l_quantity").cast("long"))).head().getLong(0))
+    base.cache()
+    try {
+      base.count() // materialize
+      val agg1 = base.groupBy("l_returnflag").agg(count(lit(1)))
+      val agg2 = base.agg(sum(col("l_quantity").cast("long")))
+      assert(agg1.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+        "downstream agg not served from cache")
+      assert(agg2.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+      assert(agg1.collect().toSeq == uncached._1 && agg2.head().getLong(0) == uncached._2,
+        "cached answers diverge")
+    } finally base.unpersist()
+  }
+
   test("cap_agg_freqitems: Misra-Gries heavy hitters surface a planted hot key, few false negatives by design") {
     import spark.implicits._
     // 60% of rows share key 7; the rest spread over 1000 keys (each ≪ the
