@@ -6,11 +6,14 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.J — warehouse-maintenance and product-analytics operators:
-  * SCD type-2 dimension build, changeset MERGE, funnel conversion, cohort
-  * retention, equi-width histogram, per-group z-score anomaly flagging, and
-  * a bloom-prefiltered join. These are the batch shapes a data-loader-style
-  * pipeline (the reference's domain) grows into once history tracking and
-  * analytics land on the warehouse it feeds.
+  * SCD type-2 dimension build (full + incremental), changeset MERGE, funnel
+  * conversion, cohort retention, equi-width histogram, per-group z-score
+  * anomaly flagging, trailing-time-window rolling aggregates, a
+  * bloom-prefiltered join, a one-pass data-quality profile, incremental
+  * aggregate maintenance, TPC-H Q18, deterministic per-group reservoir
+  * sampling, and the end-to-end semantic dedup decision. These are the
+  * batch shapes a data-loader-style pipeline (the reference's domain) grows
+  * into once history tracking and analytics land on the warehouse it feeds.
   *
   * Determinism contract (README): money/value columns go through exact
   * integer cents; float statistics (mean/stddev) are derived from exact
