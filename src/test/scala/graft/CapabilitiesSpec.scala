@@ -141,6 +141,35 @@ class CapabilitiesSpec extends SparkSuite {
     assert(math.abs(merged - exact) / exact < 0.05, s"merged HLL off by >5%: exact=$exact est=$merged")
   }
 
+  test("cap_partition_overwrite_dynamic: overwrite replaces ONLY the partitions present in the batch") {
+    // the incremental backfill pattern: re-land one day/year without
+    // touching the rest of the table. STATIC overwrite (the default) would
+    // wipe every partition; dynamic mode scopes the overwrite to the
+    // partitions the incoming frame actually contains.
+    val dir = Files.createTempDirectory("graft-dynpart").toString + "/t"
+    val orders = Fixtures
+      .table(spark, sf001, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), year(col("o_orderdate")).as("yr"))
+    orders.write.partitionBy("yr").mode("overwrite").parquet(dir)
+    val total = spark.read.parquet(dir).count()
+    val years = spark.read.parquet(dir).select("yr").distinct().count()
+    assert(years > 2, s"fixture spans only $years years — test needs several partitions")
+    // re-land ONE year with doubled prices under dynamic overwrite
+    val oneYear = orders.filter(col("yr") === 1995).withColumn("o_totalprice", col("o_totalprice") * 2)
+    oneYear.write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("yr")
+      .mode("overwrite")
+      .parquet(dir)
+    val after = spark.read.parquet(dir)
+    assert(after.count() == total, "dynamic overwrite changed row counts outside the landed partition")
+    // the landed partition carries the new payload, others are untouched
+    val sumOld = orders.filter(col("yr") =!= 1995).agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)))).head().getLong(0)
+    val sumNew1995 = oneYear.agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)))).head().getLong(0)
+    assert(after.filter(col("yr") =!= 1995).agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)))).head().getLong(0) == sumOld)
+    assert(after.filter(col("yr") === 1995).agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)))).head().getLong(0) == sumNew1995)
+  }
+
   test("cap_cache_reuse: a cached intermediate serves downstream queries from memory, same answers") {
     // the interactive-analytics pattern: one expensive intermediate, many
     // downstream aggregations. After .cache(), every consumer must read
