@@ -30,6 +30,15 @@ object StreamOps {
         sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("sum_value_c"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value_c"))
 
+  /** Stream-static enrichment: each micro-batch inner-joins the static
+    * dimension — stateless (no watermark needed; only the stream side
+    * grows), and the broadcast makes every micro-batch a map-side lookup,
+    * the shape a 1000-executor enrichment wants. The static side is read
+    * fresh per micro-batch planner cycle, so slowly-refreshed dimension
+    * files pick up automatically with file-based sources. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key))
+
   /** Streaming dedup by event_id, state bounded by the watermark. */
   def dedupWithinWatermark(events: DataFrame): DataFrame =
     events

@@ -67,6 +67,37 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("cap_stream_static_join: micro-batches enrich against a static dimension, equals batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // static user→tier dimension (derived deterministically so batch can rebuild)
+    val dim = spark.range(0, 200).select(col("id").as("user_id"), concat(lit("tier-"), pmod(col("id"), lit(3))).as("tier"))
+    val ms = MemoryStream[Ev]
+    val q = StreamOps
+      .enrichWithDim(ms.toDF(), dim, "user_id")
+      .select("event_id", "user_id", "tier")
+      .writeStream
+      .format("memory")
+      .queryName("t_static_join")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      fixtureEvents.grouped(300).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+      val streamed = spark
+        .table("t_static_join")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSet
+      val batch = StreamOps
+        .enrichWithDim(fixtureEvents.toDF(), dim, "user_id")
+        .select("event_id", "user_id", "tier")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("cap_stream_watermark: events later than the watermark are dropped") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
