@@ -314,6 +314,26 @@ object Analytics {
           col("sum_qty"))
         .orderBy(col("price_c").desc, col("o_orderkey"))
     },
+    // TPC-H Q3 shape (shipping priority): two selective date filters, a
+    // three-table join chain, revenue agg, global top-10. Revenue is the
+    // per-row double product scaled to e4 integers BEFORE summing (exact,
+    // order-free); the limit rides on TakeOrderedAndProject, so only 10
+    // rows per partition survive the final exchange.
+    "q_join_tpch_q3" -> { (s, dir) =>
+      val cut = lit("1995-03-15").cast("timestamp_ntz")
+      val cust = Fixtures.table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = Fixtures.table(s, dir, "orders").filter(col("o_orderdate") < cut)
+      val li = Fixtures.table(s, dir, "lineitem").filter(col("l_shipdate") > cut)
+      ord
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+          sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + lit(0.5)).cast("long"))
+            .as("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("l_orderkey"))
+        .limit(10)
+    },
     // Data-quality profile: per-column row/null/distinct counts — the QA
     // report a loader emits after every batch. ONE pass: a single agg row
     // of count + per-column count/countDistinct (Catalyst plans the
@@ -445,6 +465,13 @@ object Analytics {
         "CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_c, sum_qty " +
         "FROM orders JOIN big ON o_orderkey = big.l_orderkey JOIN customer ON o_custkey = c_custkey " +
         "ORDER BY price_c DESC, o_orderkey"),
+    "q_join_tpch_q3" ->
+      ("SELECT l_orderkey, o_orderdate, o_orderpriority, " +
+        "CAST(sum(CAST(floor(l_extendedprice*(1.0 - l_discount)*10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4 " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15' AND l_shipdate > TIMESTAMP '1995-03-15' " +
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
+        "ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10"),
     "q_profile" ->
       Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
         .map(c =>
