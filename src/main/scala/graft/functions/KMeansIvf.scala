@@ -3,8 +3,6 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.ops.Checkpoints
-
 /** IVF-style approximate nearest-neighbor search with a k-means coarse
   * quantizer — the upgrade path from the fixed sign-bit bucketing of
   * q_sim_ann_ivf: centroids adapt to the data distribution, so buckets are
@@ -67,36 +65,48 @@ object KMeansIvf {
       .collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(cents.length == k, s"need at least $k vectors to seed $k centroids")
-    var it = 0
-    while (it < iters) {
-      val assignUdf = udf(nearest(cents) _)
-      // Materialize the assignment BEFORE the explode: a UDF column projected
-      // alongside a generator is re-evaluated once per GENERATED row (64× per
-      // vector here) — measured 3.4 s vs 0.3 s per iteration at sf0.1. Same
-      // hazard class as explode-over-computed-array; the checkpoint pins the
-      // (cluster, vector) pair so the argmin runs exactly once per vector.
-      val assigned = vecs
-        .select(assignUdf(col(vecCol)).as("c"), col(vecCol).as("v"))
-        .transform(Checkpoints.truncate)
-      // (cluster, dim) partial sums as e6 longs: order-independent, exact.
-      val stats = assigned
-        .select(col("c"), posexplode(col("v")).as(Seq("p", "x")))
-        .groupBy("c", "p")
-        .agg(
-          sum(floor(col("x").cast("double") * 1e6 + 0.5).cast("long")).as("s"),
-          count(lit(1)).as("n"))
-        .collect()
-      val next = cents.map(_.clone())
-      stats.foreach { r =>
-        val c = r.getInt(0)
-        val p = r.getInt(1)
-        val n = r.getLong(3)
-        next(c)(p) = r.getLong(2).toDouble / 1e6 / n
-      } // clusters with no assigned vectors keep their previous centroid
-      cents = next
-      it += 1
-    }
-    cents
+    // Materialize the vector column ONCE before the loop. Without this every
+    // Lloyd iteration re-plans from the source relation — at 100 TB that is
+    // `iters` full corpus scans for a model-sized result. The persisted frame
+    // is the narrowest projection the loop needs (just the vectors), lives in
+    // executor memory (spilling to disk if it must), and is released before
+    // returning; each iteration then scans cache, not parquet.
+    val base = vecs.select(col(vecCol).as("v")).persist()
+    try {
+      var it = 0
+      while (it < iters) {
+        // A UDF column projected alongside a generator is re-evaluated once
+        // per GENERATED row (64× per vector here) — measured 3.4 s vs 0.3 s
+        // per iteration at sf0.1 — because CollapseProject folds the argmin
+        // into the post-explode projection. asNondeterministic is a pure
+        // optimizer barrier against exactly that fold (the argmin itself is
+        // deterministic): CollapseProject refuses nondeterministic
+        // expressions, so the assignment is computed exactly once per vector
+        // with NO per-iteration materialization (this used to be a
+        // localCheckpoint copying the whole (cluster, vector) frame).
+        val assignUdf = udf(nearest(cents) _).asNondeterministic()
+        val assigned = base
+          .select(assignUdf(col("v")).as("c"), col("v"))
+        // (cluster, dim) partial sums as e6 longs: order-independent, exact.
+        val stats = assigned
+          .select(col("c"), posexplode(col("v")).as(Seq("p", "x")))
+          .groupBy("c", "p")
+          .agg(
+            sum(floor(col("x").cast("double") * 1e6 + 0.5).cast("long")).as("s"),
+            count(lit(1)).as("n"))
+          .collect()
+        val next = cents.map(_.clone())
+        stats.foreach { r =>
+          val c = r.getInt(0)
+          val p = r.getInt(1)
+          val n = r.getLong(3)
+          next(c)(p) = r.getLong(2).toDouble / 1e6 / n
+        } // clusters with no assigned vectors keep their previous centroid
+        cents = next
+        it += 1
+      }
+      cents
+    } finally base.unpersist(blocking = false)
   }
 
   /** Cluster assignment column for a fitted model. */

@@ -3,8 +3,6 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.ops.Checkpoints
-
 /** Product quantization (Jégou et al., "Product Quantization for Nearest
   * Neighbor Search") — the third ANN tier beside sign-bit IVF and k-means
   * IVF, and the one with the realistic 100-TB MEMORY shape: each candidate
@@ -61,9 +59,10 @@ object ProductQuantizer {
     d
   }
 
-  /** Per-subspace nearest sub-centroid codes (ties → lowest index). */
-  private def encodeVec(cbs: Array[Array[Array[Double]]])(v: Seq[Float]): Seq[Int] = {
-    val nv = normalize(v)
+  /** Per-subspace nearest sub-centroid codes over an ALREADY-normalized
+    * vector (ties → lowest index). */
+  private def encodeNorm(cbs: Array[Array[Array[Double]]])(nvs: Seq[Double]): Seq[Int] = {
+    val nv = nvs.toArray
     val dsub = cbs(0)(0).length
     cbs.indices.map { mi =>
       val off = mi * dsub
@@ -78,6 +77,10 @@ object ProductQuantizer {
       best
     }
   }
+
+  /** Per-subspace nearest sub-centroid codes (ties → lowest index). */
+  private def encodeVec(cbs: Array[Array[Array[Double]]])(v: Seq[Float]): Seq[Int] =
+    encodeNorm(cbs)(normalize(v).toSeq)
 
   /** Deterministic per-subspace Lloyd's fit — ONE distributed aggregation
     * per iteration covers all m subspaces: each vector is encoded once
@@ -98,35 +101,46 @@ object ProductQuantizer {
     require(seed.length == ksub, s"need at least $ksub vectors to seed $ksub sub-centroids")
     var cbs: Array[Array[Array[Double]]] =
       Array.tabulate(m, ksub)((mi, j) => seed(j).slice(mi * dsub, (mi + 1) * dsub))
-    var it = 0
-    while (it < iters) {
-      val enc = udf(encodeVec(cbs) _)
-      val nrm = udf((v: Seq[Float]) => normalize(v))
-      // Materialize codes BEFORE the posexplode: a UDF projected alongside a
-      // generator re-evaluates per generated row (dim× here) — the same
-      // hazard KMeansIvf.fit documents.
-      val assigned = vecs
-        .select(enc(col(vecCol)).as("codes"), nrm(col(vecCol)).as("v"))
-        .transform(Checkpoints.truncate)
-      val stats = assigned
-        .select(col("codes"), posexplode(col("v")).as(Seq("p", "x")))
-        .select(col("p"), element_at(col("codes"), (col("p") / dsub).cast("int") + 1).as("c"), col("x"))
-        .groupBy("p", "c")
-        .agg(
-          sum(floor(col("x") * 1e6 + 0.5).cast("long")).as("s"),
-          count(lit(1)).as("n"))
-        .collect()
-      val next = cbs.map(_.map(_.clone()))
-      stats.foreach { r =>
-        val p = r.getInt(0)
-        val c = r.getInt(1)
-        val n = r.getLong(3)
-        next(p / dsub)(c)(p % dsub) = r.getLong(2).toDouble / 1e6 / n
-      } // empty sub-clusters keep their previous sub-centroid
-      cbs = next
-      it += 1
-    }
-    Model(cbs)
+    // Normalize and materialize ONCE before the loop: re-planning from the
+    // source would re-scan the corpus AND re-run the normalize UDF every
+    // Lloyd iteration (at 100 TB: `iters` full reads for a model-sized
+    // result). Iterations scan this cached frame; only the encode UDF —
+    // whose closure captures the evolving codebooks — changes per round.
+    val nrm = udf((v: Seq[Float]) => normalize(v))
+    val base = vecs.select(nrm(col(vecCol)).as("v")).persist()
+    try {
+      var it = 0
+      while (it < iters) {
+        // asNondeterministic is a pure OPTIMIZER BARRIER here (the encoder is
+        // deterministic): CollapseProject only merges deterministic
+        // expressions, so the codes projection cannot be folded into the
+        // post-posexplode select — which would re-evaluate the m-argmin
+        // encode once per GENERATED row (dim× per vector; the hazard
+        // KMeansIvf.fit documents). The barrier replaces a per-iteration
+        // localCheckpoint that used to copy the whole (codes, v) frame.
+        val enc = udf(encodeNorm(cbs) _).asNondeterministic()
+        val assigned = base
+          .select(enc(col("v")).as("codes"), col("v"))
+        val stats = assigned
+          .select(col("codes"), posexplode(col("v")).as(Seq("p", "x")))
+          .select(col("p"), element_at(col("codes"), (col("p") / dsub).cast("int") + 1).as("c"), col("x"))
+          .groupBy("p", "c")
+          .agg(
+            sum(floor(col("x") * 1e6 + 0.5).cast("long")).as("s"),
+            count(lit(1)).as("n"))
+          .collect()
+        val next = cbs.map(_.map(_.clone()))
+        stats.foreach { r =>
+          val p = r.getInt(0)
+          val c = r.getInt(1)
+          val n = r.getLong(3)
+          next(p / dsub)(c)(p % dsub) = r.getLong(2).toDouble / 1e6 / n
+        } // empty sub-clusters keep their previous sub-centroid
+        cbs = next
+        it += 1
+      }
+      Model(cbs)
+    } finally base.unpersist(blocking = false)
   }
 
   /** PQ code column (array<int>, m entries) for a fitted model. */

@@ -169,6 +169,10 @@ object PerceptualHash {
     * MediaPipeline.sampleFrames): every `everyN`-th decoded frame hashed.
     * Single-frame kinds and undecodable payloads yield no rows. */
   def frameHashes(ds: Dataset[MediaRecord], everyN: Int): Dataset[FrameHash] = {
+    // Validate OUTSIDE the per-record try: `by 0` throws from Range, and the
+    // decode catch-all would silently swallow it as "undecodable payload"
+    // (zero frames for every record) instead of failing the bad argument.
+    require(everyN > 0, s"everyN must be positive, got $everyN")
     import ds.sparkSession.implicits._
     ds.flatMap { r =>
       if (!(r.kind.contains("gif") || r.kind.startsWith("video"))) Seq.empty[FrameHash]
@@ -200,8 +204,14 @@ object PerceptualHash {
       everyN: Int,
       maxHamming: Int,
       minMatches: Long): DataFrame = {
+    // The composite key packs frame_idx into 16 bits; an index >= 65536
+    // would alias into the NEXT video's key space and silently corrupt
+    // pairs, so reject such frames mechanically rather than by comment.
+    // (A 65k-sampled-frame payload is ~36 min of 30fps video sampled every
+    // frame — raise everyN long before widening the key.)
     val fh = graft.ops.Checkpoints.truncate(
       frameHashes(ds, everyN)
+        .filter(col("frame_idx") < 65536)
         .select(expr("id * 65536 + frame_idx").as("fid"), col("phash")))
     HammingPairs
       .pairs(fh, "fid", "phash", maxHamming)

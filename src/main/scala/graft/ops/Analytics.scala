@@ -51,11 +51,16 @@ object Analytics {
     // 100 TB the changelog is hash-partitioned by user_id and each user's
     // history sorts locally; no skew risk beyond a single entity's history.
     "q_scd2" -> { (s, dir) =>
+      // Ordering carries (state, valid_to) past the (user_id, valid_from)
+      // prefix: two state changes CAN share a timestamp (events tie on ts),
+      // so the prefix alone is not unique and the ordered hash would depend
+      // on each engine's tie order. valid_to needs an explicit NULLS FIRST —
+      // Spark's ASC default — because DuckDB defaults to NULLS LAST.
       scd2(
         Fixtures
           .events(s, dir)
           .select(col("user_id"), col("event_id"), col("event_type"), col("ts")))
-        .orderBy("user_id", "valid_from")
+        .orderBy(col("user_id"), col("valid_from"), col("state"), col("valid_to").asc_nulls_first)
     },
     // Incremental SCD2 maintenance: when a delta batch arrives, ONLY the
     // keys it touches are rebuilt (their full per-key history re-derives —
@@ -73,7 +78,9 @@ object Analytics {
       val touched = ev.filter(col("ts") >= cutoff).select("user_id").distinct()
       val untouched = state.join(touched, Seq("user_id"), "left_anti")
       val rebuilt = scd2(ev.join(touched, Seq("user_id"), "left_semi"))
-      untouched.unionByName(rebuilt).orderBy("user_id", "valid_from")
+      untouched
+        .unionByName(rebuilt)
+        .orderBy(col("user_id"), col("valid_from"), col("state"), col("valid_to").asc_nulls_first)
     },
     // Batch MERGE: apply a changeset (update / delete / insert ops) to a
     // snapshot, producing the next snapshot — the core upsert-maintenance
@@ -98,6 +105,11 @@ object Analytics {
         .select(col("c_custkey").as("key"), lit("D").as("op"), lit(null).cast("long").as("new_bal_c"))
       val ins = base
         .filter(col("c_custkey") % 10 === 2)
+        // Synthetic insert keys live at +1_000_000 — disjoint from real
+        // customer keys only while max(c_custkey) < 1M, i.e. SF < ~7 (TPC-H
+        // customer = 150k rows/SF). The fixtures top out at sf0.1 so the
+        // constant is safe here; a production changeset carries its own keys
+        // and never synthesizes them, so the bound is a fixture artifact.
         .select(
           (col("c_custkey") + 1000000L).as("c_custkey"),
           concat(lit("Customer#new-"), col("c_custkey").cast("string")).as("c_name"),
@@ -176,6 +188,11 @@ object Analytics {
     // double expression, so m/sd/z are bit-identical across engines and
     // partitionings — the shuffle-order float-sum hazard never arises.
     // z is reported as floor(z*1e4+0.5) (README integer-scaling rule).
+    // Degenerate groups (n == 1 → sd is NULL/NaN; zero variance → sd = 0)
+    // are excluded BEFORE the z division, with the identical n > 1 AND
+    // sd > 0 predicate in the oracle SQL: without the guard Spark would
+    // floor a NaN/Infinity z to 0L while DuckDB errors on the cast — the
+    // engines must agree on which groups are scoreable, not just on scores.
     "q_anomaly_zscore" -> { (s, dir) =>
       val ev = Fixtures
         .events(s, dir)
@@ -186,12 +203,14 @@ object Analytics {
           count(lit(1)).as("n"),
           sum(col("value_c")).as("s1"),
           sum(col("value_c") * col("value_c")).as("s2"))
+        .filter(col("n") > 1)
         .select(
           col("event_type"),
           (col("s1").cast("double") / col("n") / 100.0).as("m"),
           (sqrt(
             (col("s2").cast("double") - col("s1").cast("double") * col("s1").cast("double") / col("n"))
               / (col("n") - 1)) / 100.0).as("sd"))
+        .filter(col("sd") > 0)
       ev.join(broadcast(stats), "event_type")
         .withColumn(
           "z4",
@@ -293,8 +312,12 @@ object Analytics {
     },
     // TPC-H Q18 shape (large-volume customers): a HAVING-filtered aggregate
     // over the biggest fact table feeding a semi join back onto itself plus
-    // two dimension joins. The having-agg is the only big shuffle; the
-    // qualifying key set is tiny and broadcasts into the semi join.
+    // two dimension joins. The having-agg is the only big shuffle. The
+    // qualifying key set is deliberately NOT broadcast-hinted: its
+    // cardinality scales with the fact table (a forced broadcast is an OOM
+    // at 100×); AQE sees the post-HAVING size at runtime and picks a
+    // broadcast join itself whenever the set is actually small — at this SF
+    // the executed plan still shows BroadcastHashJoin (PlanShapeSpec).
     "q_join_tpch_q18" -> { (s, dir) =>
       val li = Fixtures.table(s, dir, "lineitem")
       val big = li
@@ -303,7 +326,7 @@ object Analytics {
         .filter(col("sum_qty") > 250)
       Fixtures
         .table(s, dir, "orders")
-        .join(broadcast(big), col("o_orderkey") === big("l_orderkey"))
+        .join(big, col("o_orderkey") === big("l_orderkey"))
         .join(Fixtures.table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .select(
           col("c_name"),
@@ -371,6 +394,12 @@ object Analytics {
       val dim = Fixtures.table(s, dir, "part").filter(col("p_type") === "ECONOMY")
       val bf = dim.stat.bloomFilter("p_partkey", 100000L, 0.01)
       val bfB = s.sparkContext.broadcast(bf)
+      // The probe must be a UDF: Spark's BloomFilterMightContain expression
+      // is internal-only (no public Column/SQL surface binds a pre-built
+      // sketch to it), so `bf.mightContainLong` via udf() is the ONLY
+      // user-level probe. The broadcast keeps it one sketch per executor,
+      // and the config-level twin (cap_runtime_filter) proves the built-in
+      // codegen'd path where the optimizer injects the filter itself.
       val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
       Fixtures
         .table(s, dir, "lineitem")
@@ -390,7 +419,7 @@ object Analytics {
       ", c AS (SELECT user_id, event_id, event_type, ts, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e)" +
       ", f AS (SELECT user_id, event_id, event_type, ts FROM c WHERE prev IS NULL OR prev <> event_type)" +
       ", v AS (SELECT user_id, event_type AS state, ts AS valid_from, lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to FROM f) " +
-      "SELECT user_id, state, valid_from, valid_to, CAST(valid_to IS NULL AS INTEGER) AS is_current FROM v ORDER BY user_id, valid_from"
+      "SELECT user_id, state, valid_from, valid_to, CAST(valid_to IS NULL AS INTEGER) AS is_current FROM v ORDER BY user_id, valid_from, state, valid_to NULLS FIRST"
 
   val oracle: Map[String, String] = Map(
     "q_scd2" -> scd2Sql,
@@ -429,8 +458,8 @@ object Analytics {
     "q_anomaly_zscore" ->
       (evCte +
         ", st AS (SELECT event_type, count(*) AS n, sum(value_c) AS s1, sum(value_c*value_c) AS s2 FROM e GROUP BY event_type)" +
-        ", sd AS (SELECT event_type, CAST(s1 AS DOUBLE)/n/100.0 AS m, sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/n)/(n-1))/100.0 AS sd FROM st)" +
-        ", z AS (SELECT e.event_type, e.event_id, e.value_c, CAST(floor((CAST(e.value_c AS DOUBLE)/100.0 - sd.m)/sd.sd*10000 + 0.5) AS BIGINT) AS z4 FROM e JOIN sd ON e.event_type = sd.event_type) " +
+        ", sd AS (SELECT event_type, CAST(s1 AS DOUBLE)/n/100.0 AS m, sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/n)/(n-1))/100.0 AS sd FROM st WHERE n > 1)" +
+        ", z AS (SELECT e.event_type, e.event_id, e.value_c, CAST(floor((CAST(e.value_c AS DOUBLE)/100.0 - sd.m)/sd.sd*10000 + 0.5) AS BIGINT) AS z4 FROM e JOIN sd ON e.event_type = sd.event_type WHERE sd.sd > 0) " +
         "SELECT event_type, event_id, value_c, z4 FROM z WHERE abs(z4) > 15000 ORDER BY event_type, event_id"),
     "q_join_bloom" ->
       ("SELECT p_brand, CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c " +
