@@ -26,7 +26,12 @@ object Explain {
     "q_chunk_docs",       // expect: map-only Generate over the int start sequence
     "q_sim_ann_kmeans",   // expect: bucket equi-join, WindowGroupLimit top-k
     "q_agg_mode",         // expect: partial+final HashAggregate, WindowGroupLimit rank=1
-    "q_curation_pipeline" // expect: digest agg -> filter -> hash-sample -> final agg, one job
+    "q_curation_pipeline", // expect: digest agg -> filter -> hash-sample -> final agg, one job
+    "q_sim_ann_pq",       // expect: bucket equi-join carrying codes only, ADC + re-rank joins by id
+    "q_scd2_incremental", // expect: semi/anti split, ONE window shuffle per scd2 kernel
+    "q_join_tpch_q18",    // expect: AQE broadcast of the post-HAVING key set (no hint in source)
+    "q_join_tpch_q10",    // expect: filters under the fact-fact join, nation broadcast, TakeOrdered
+    "q_join_tpch_q7"      // expect: pre-filtered nation aliases broadcast into supplier/customer
   )
 
   def main(args: Array[String]): Unit = {

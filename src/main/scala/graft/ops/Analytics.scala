@@ -357,6 +357,86 @@ object Analytics {
         .orderBy(col("revenue_e4").desc, col("l_orderkey"))
         .limit(10)
     },
+    // TPC-H Q10 shape (returned-items report): customers who returned the
+    // most revenue in one quarter. Order of operations is the scale story:
+    // both fact-side filters (quarter on orders, returnflag on lineitem) cut
+    // BEFORE any join, the orders↔lineitem join is the only fact-fact
+    // shuffle, customer arrives pre-projected (4 columns), and nation is an
+    // explicit broadcast (25 rows at any SF). Top-20 rides
+    // TakeOrderedAndProject with the unique c_custkey tiebreaker.
+    "q_join_tpch_q10" -> { (s, dir) =>
+      val lo = lit("1996-10-01").cast("timestamp_ntz")
+      val hi = lit("1997-01-01").cast("timestamp_ntz")
+      val ord = Fixtures
+        .table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select("o_orderkey", "o_custkey")
+      val li = Fixtures
+        .table(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(
+          col("l_orderkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + lit(0.5))
+            .cast("long")
+            .as("rev_e4"))
+      val cust = Fixtures
+        .table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), cents(col("c_acctbal")).as("bal_c"), col("c_nationkey"))
+      val nat = Fixtures.table(s, dir, "nation").select("n_nationkey", "n_name")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "bal_c", "n_name")
+        .agg(sum(col("rev_e4")).as("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("c_custkey"))
+        .limit(20)
+    },
+    // TPC-H Q7 shape (volume shipping between two nations): the classic
+    // double-dimension-alias join — nation joined TWICE under different
+    // roles (supplier side / customer side) with a symmetric pair predicate.
+    // Each nation alias is pre-filtered to the two qualifying nations BEFORE
+    // joining, so supplier and customer shrink ~2/25 before they ever touch
+    // the fact table; the pair filter afterwards only removes same-nation
+    // combos. Ship-year comes from the fact row (cast to BIGINT on both
+    // engines — Spark's year() is INT, DuckDB's is BIGINT).
+    "q_join_tpch_q7" -> { (s, dir) =>
+      val lo = lit("1996-01-01").cast("timestamp_ntz")
+      val hi = lit("1998-01-01").cast("timestamp_ntz")
+      val nat = Fixtures
+        .table(s, dir, "nation")
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      val sup = Fixtures
+        .table(s, dir, "supplier")
+        .join(
+          broadcast(nat.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("s_nk"))
+        .select("s_suppkey", "supp_nation")
+      val cus = Fixtures
+        .table(s, dir, "customer")
+        .join(
+          broadcast(nat.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("c_nk"))
+        .select("c_custkey", "cust_nation")
+      val li = Fixtures
+        .table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .select(
+          col("l_orderkey"),
+          col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + lit(0.5))
+            .cast("long")
+            .as("rev_e4"))
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(Fixtures.table(s, dir, "orders").select("o_orderkey", "o_custkey"), col("l_orderkey") === col("o_orderkey"))
+        .join(cus, col("o_custkey") === col("c_custkey"))
+        .filter(
+          (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(sum(col("rev_e4")).as("revenue_e4"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
     // Data-quality profile: per-column row/null/distinct counts — the QA
     // report a loader emits after every batch. ONE pass: a single agg row
     // of count + per-column count/countDistinct (Catalyst plans the
@@ -501,6 +581,25 @@ object Analytics {
         "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15' AND l_shipdate > TIMESTAMP '1995-03-15' " +
         "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
         "ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10"),
+    "q_join_tpch_q10" ->
+      ("SELECT c_custkey, c_name, CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal_c, n_name, " +
+        "CAST(sum(CAST(floor(l_extendedprice*(1.0 - l_discount)*10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4 " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01' " +
+        "GROUP BY c_custkey, c_name, c_acctbal, n_name " +
+        "ORDER BY revenue_e4 DESC, c_custkey LIMIT 20"),
+    "q_join_tpch_q7" ->
+      ("SELECT supp_nation, cust_nation, l_year, CAST(sum(rev_e4) AS BIGINT) AS revenue_e4 FROM (" +
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+        "CAST(year(l_shipdate) AS BIGINT) AS l_year, " +
+        "CAST(floor(l_extendedprice*(1.0 - l_discount)*10000 + 0.5) AS BIGINT) AS rev_e4 " +
+        "FROM supplier JOIN lineitem ON s_suppkey = l_suppkey " +
+        "JOIN orders ON o_orderkey = l_orderkey JOIN customer ON c_custkey = o_custkey " +
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+        "WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) " +
+        "AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01') " +
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
     "q_profile" ->
       Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
         .map(c =>

@@ -43,6 +43,67 @@ class PartitionPruningSpec extends SparkSuite {
       s"pruned scan read ${scan.get.metrics("numFiles").value} files, expected 1")
   }
 
+  test("cap_dpp: a filtered dim join dynamically prunes fact partitions at runtime") {
+    // Dynamic partition pruning: the year predicate reaches the fact scan
+    // only THROUGH the join (the filter is on a dim attribute, not on the
+    // partition column), so static pruning cannot fire; the optimizer must
+    // inject a dynamicpruningexpression that reuses the dim broadcast to
+    // prune partitions at runtime — the plan shape that makes dim-filtered
+    // fact queries read 1/N of a 100-TB date-partitioned table.
+    val dir = "/tmp/graft-warehouse/orders_dpp"
+    val d = new java.io.File(dir)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    if (d.exists()) rm(d)
+
+    val o = Fixtures
+      .table(spark, sf001, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+    o.write.partitionBy("o_year").parquet(dir)
+
+    // The dim must be a REAL source (parquet), not a local Seq: Catalyst
+    // folds a Filter over a LocalRelation into the relation itself, and with
+    // the Filter node gone the pruning rule sees no selective predicate on
+    // the dim side and never injects the DPP subquery.
+    val dimDir = "/tmp/graft-warehouse/years_dim"
+    val dd = new java.io.File(dimDir)
+    if (dd.exists()) rm(dd)
+    import spark.implicits._
+    (1995 to 2001)
+      .map(y => (y, if (y == 1997) "pick" else "skip"))
+      .toDF("d_year", "d_label")
+      .write.parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val fact = spark.read.parquet(dir)
+    val joined = fact.join(dim.filter(col("d_label") === "pick"), col("o_year") === col("d_year"))
+
+    val expected = o.filter(col("o_year") === 1997).count()
+    assert(joined.collect().length == expected)
+
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"no dynamic pruning subquery in the fact scan:\n$plan")
+
+    // the runtime metric seals it: only the 1997 partition directory's file
+    // was read (the layout writes one file per partition at this volume).
+    // AQE wraps the executed plan in leaf QueryStageExec nodes whose inner
+    // plan a plain collectFirst never reaches — unwrap them recursively.
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p match {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+        case other => other.children.flatMap(scans)
+      }
+    val scan = scans(joined.queryExecution.executedPlan)
+      .find(_.metadata.get("Location").exists(_.contains("orders_dpp")))
+    assert(scan.isDefined, s"no fact FileSourceScanExec in final plan:\n${joined.queryExecution.executedPlan}")
+    assert(scan.get.metrics("numFiles").value == 1,
+      s"DPP scan read ${scan.get.metrics("numFiles").value} files, expected 1")
+  }
+
   test("t1 smoke: SparkEntry.entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

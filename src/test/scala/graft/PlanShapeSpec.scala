@@ -86,4 +86,20 @@ class PlanShapeSpec extends SparkSuite {
     val bloom = planOf("q_join_bloom")
     assert(bloom.contains("BroadcastHashJoin"), s"q_join_bloom dim not broadcast:\n$bloom")
   }
+
+  test("round-7 shapes: Q18 broadcasts via AQE without a hint; Q10/Q7 stay equi-join") {
+    // q_join_tpch_q18 dropped its forced broadcast(big) hint (the qualifying
+    // key set scales with the fact table — an OOM at 100×); this pins that
+    // AQE still CHOOSES a broadcast at this SF from the post-HAVING runtime
+    // size, so removing the hint cost nothing locally and saved the cluster.
+    val q18 = planOf("q_join_tpch_q18")
+    assert(q18.contains("BroadcastHashJoin"),
+      s"q_join_tpch_q18: AQE did not pick a broadcast for the qualified key set:\n$q18")
+    for (q <- Seq("q_join_tpch_q10", "q_join_tpch_q7")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$q should broadcast its dims:\n$p")
+    }
+  }
 }
