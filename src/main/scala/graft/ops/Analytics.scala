@@ -437,6 +437,37 @@ object Analytics {
         .agg(sum(col("rev_e4")).as("revenue_e4"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     },
+    // TPC-H Q14 shape (promotion effect): share of one month's revenue
+    // coming from promo parts — the conditional-aggregate-ratio report.
+    // The month filter lands on the fact scan, part joins pre-projected to
+    // two columns as an explicit broadcast (a genuine bounded dim), and
+    // both sums come out of ONE aggregate over the joined rows (sum +
+    // conditional sum share the pass). The ratio divides two exact e4
+    // longs in a single double expression — bit-identical on both engines.
+    "q_join_tpch_q14" -> { (s, dir) =>
+      val lo = lit("1996-09-01").cast("timestamp_ntz")
+      val hi = lit("1996-10-01").cast("timestamp_ntz")
+      val li = Fixtures
+        .table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .select(
+          col("l_partkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + lit(0.5))
+            .cast("long")
+            .as("rev_e4"))
+      li.join(
+          broadcast(Fixtures.table(s, dir, "part").select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("rev_e4")).otherwise(0L)).as("promo_e4"),
+          sum(col("rev_e4")).as("total_e4"))
+        .select(
+          col("promo_e4"),
+          col("total_e4"),
+          floor(col("promo_e4").cast("double") / col("total_e4") * 1000000 + lit(0.5))
+            .cast("long")
+            .as("promo_share_e6"))
+    },
     // Data-quality profile: per-column row/null/distinct counts — the QA
     // report a loader emits after every batch. ONE pass: a single agg row
     // of count + per-column count/countDistinct (Catalyst plans the
@@ -600,6 +631,14 @@ object Analytics {
         "WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) " +
         "AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01') " +
         "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+    "q_join_tpch_q14" ->
+      ("WITH j AS (SELECT CAST(floor(l_extendedprice*(1.0 - l_discount)*10000 + 0.5) AS BIGINT) AS rev_e4, p_type " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'), " +
+        "m AS (SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END) AS BIGINT) AS promo_e4, " +
+        "CAST(sum(rev_e4) AS BIGINT) AS total_e4 FROM j) " +
+        "SELECT promo_e4, total_e4, " +
+        "CAST(floor(CAST(promo_e4 AS DOUBLE)/total_e4*1000000 + 0.5) AS BIGINT) AS promo_share_e6 FROM m"),
     "q_profile" ->
       Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
         .map(c =>

@@ -167,6 +167,34 @@ object ExtraText {
                 log(col("n").cast("double") / x.getField("c")))).as("ent_e6"))
         .orderBy("doc_id")
     },
+    // Gopher-style repetition signals: within-doc duplicate-word and
+    // duplicate-bigram fractions — the strongest cheap predictor of
+    // low-quality/templated text (Rae et al. 2021 §A1.1 uses exactly these
+    // duplicate-n-gram fractions as pretraining filters). MAP-ONLY: both
+    // fractions come from per-row array ops (size vs array_distinct size),
+    // so a 100-TB corpus scores in one scan with zero shuffles; the
+    // fraction arithmetic divides exact ints in one double expression,
+    // identical on both engines. Docs under 2 words have no bigrams (the
+    // divisor would be 0) and are excluded by the same predicate in the
+    // oracle.
+    "q_text_repetition" -> { (s, dir) =>
+      val w = split(lower(col("text")), " ")
+      Fixtures
+        .table(s, dir, "documents")
+        .select(col("doc_id"), w.as("w"))
+        .filter(size(col("w")) >= 2)
+        .withColumn(
+          "bg",
+          expr("transform(sequence(1, size(w)-1), i -> concat(element_at(w,i), ' ', element_at(w,i+1)))"))
+        .select(
+          col("doc_id"),
+          size(col("w")).cast("long").as("n_words"),
+          e6(lit(1.0) - size(array_distinct(col("w"))).cast("double") / size(col("w")))
+            .as("dup_word_e6"),
+          e6(lit(1.0) - size(array_distinct(col("bg"))).cast("double") / size(col("bg")))
+            .as("dup_bigram_e6"))
+        .orderBy("doc_id")
+    },
     // Corpus-level term document-frequency — the stopword/boilerplate
     // discovery pass a cleaning pipeline runs before filtering: for every
     // token, how many docs contain it and whether it crosses the "common"
@@ -422,6 +450,13 @@ object ExtraText {
         "SELECT doc_id, n AS n_toks, CAST(len(cs) AS INT) AS n_unique, " +
         "CAST(floor(list_reduce(list_transform(cs, x -> (CAST(x AS DOUBLE)/n) * ln(CAST(n AS DOUBLE)/x)), (p,v) -> p+v)*1000000 + 0.5) AS BIGINT) AS ent_e6 " +
         "FROM g ORDER BY doc_id"),
+    "q_text_repetition" ->
+      ("WITH d AS (SELECT doc_id, string_split(lower(text),' ') AS w FROM documents), " +
+        "b AS (SELECT doc_id, w, list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bg FROM d WHERE len(w) >= 2) " +
+        "SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, " +
+        "CAST(floor((1.0 - CAST(len(list_distinct(w)) AS DOUBLE)/len(w))*1000000 + 0.5) AS BIGINT) AS dup_word_e6, " +
+        "CAST(floor((1.0 - CAST(len(list_distinct(bg)) AS DOUBLE)/len(bg))*1000000 + 0.5) AS BIGINT) AS dup_bigram_e6 " +
+        "FROM b ORDER BY doc_id"),
     "q_dedup_jaccard" ->
       "WITH s AS (SELECT DISTINCT doc_id, bg FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg FROM (SELECT doc_id, string_split(lower(text),' ') AS toks FROM documents WHERE doc_id < 30))), sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id), inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i FROM s a JOIN s b ON a.bg = b.bg AND a.doc_id < b.doc_id GROUP BY 1, 2), j AS (SELECT a_id, b_id, i/(sa.n + sb.n - i) AS jacc FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id) SELECT a_id, b_id, CAST(floor(jacc*1000000 + 0.5) AS BIGINT) AS jacc_e6 FROM j WHERE jacc >= 0.05 ORDER BY a_id, b_id",
     "q_dedup_clusters" ->
