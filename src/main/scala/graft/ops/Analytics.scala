@@ -468,6 +468,30 @@ object Analytics {
             .cast("long")
             .as("promo_share_e6"))
     },
+    // TPC-H Q19 shape (discounted revenue, disjunctive predicates): an
+    // OR-of-ANDs predicate spanning BOTH join sides — the optimizer must
+    // factor the disjunction into single-side conjuncts (CNF extraction)
+    // so each scan still gets a pushed filter (p_type IN (...) on part,
+    // quantity bounds on lineitem) instead of evaluating the whole OR
+    // post-join on the full cartesian of survivors. One aggregate row out.
+    "q_join_tpch_q19" -> { (s, dir) =>
+      val li = Fixtures
+        .table(s, dir, "lineitem")
+        .select(
+          col("l_partkey"),
+          col("l_quantity"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + lit(0.5))
+            .cast("long")
+            .as("rev_e4"))
+      li.join(
+          broadcast(Fixtures.table(s, dir, "part").select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_type") === "PROMO" && col("l_quantity").between(1, 15)) ||
+            (col("p_type") === "ECONOMY" && col("l_quantity").between(20, 35)) ||
+            (col("p_type") === "STANDARD" && col("l_quantity").between(40, 50)))
+        .agg(count(lit(1)).as("n"), sum(col("rev_e4")).as("revenue_e4"))
+    },
     // Data-quality profile: per-column row/null/distinct counts — the QA
     // report a loader emits after every batch. ONE pass: a single agg row
     // of count + per-column count/countDistinct (Catalyst plans the
@@ -639,6 +663,13 @@ object Analytics {
         "CAST(sum(rev_e4) AS BIGINT) AS total_e4 FROM j) " +
         "SELECT promo_e4, total_e4, " +
         "CAST(floor(CAST(promo_e4 AS DOUBLE)/total_e4*1000000 + 0.5) AS BIGINT) AS promo_share_e6 FROM m"),
+    "q_join_tpch_q19" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(floor(l_extendedprice*(1.0 - l_discount)*10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4 " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE (p_type = 'PROMO' AND l_quantity BETWEEN 1 AND 15) " +
+        "OR (p_type = 'ECONOMY' AND l_quantity BETWEEN 20 AND 35) " +
+        "OR (p_type = 'STANDARD' AND l_quantity BETWEEN 40 AND 50)"),
     "q_profile" ->
       Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
         .map(c =>

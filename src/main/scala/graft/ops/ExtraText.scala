@@ -195,6 +195,32 @@ object ExtraText {
             .as("dup_bigram_e6"))
         .orderBy("doc_id")
     },
+    // Winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD 2003 —
+    // the MOSS local document fingerprinting algorithm): hash every
+    // 3-token shingle, slide a window of 4 hashes, keep each window's
+    // MINIMUM — guarantees any shared run of >= w+k-1 tokens between two
+    // docs shares at least one fingerprint (the property ad-hoc "every
+    // Nth shingle" sampling lacks). Fingerprints are md5 hex strings:
+    // both engines emit identical lowercase hex, and lexicographic min
+    // is a shared total order, so no engine-specific numeric hashing is
+    // needed. MAP-ONLY per doc (array ops), then one explode — at 100 TB
+    // the (fp -> doc) inverted index this feeds is exactly the join key
+    // space of the q_decontaminate / q_dedup_jaccard candidate stages.
+    "q_fingerprint_winnow" -> { (s, dir) =>
+      val w = 4
+      Fixtures
+        .table(s, dir, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+        .filter(size(col("t")) >= lit(w + 2)) // need >= w windows of 3-grams
+        .withColumn(
+          "hs",
+          expr("transform(sequence(1, size(t)-2), i -> md5(concat(element_at(t,i), ' ', element_at(t,i+1), ' ', element_at(t,i+2))))"))
+        .withColumn(
+          "fps",
+          array_distinct(expr(s"transform(sequence(1, size(hs)-${w - 1}), j -> array_min(slice(hs, j, $w)))")))
+        .select(col("doc_id"), explode(col("fps")).as("fp"))
+        .orderBy("doc_id", "fp")
+    },
     // Corpus-level term document-frequency — the stopword/boilerplate
     // discovery pass a cleaning pipeline runs before filtering: for every
     // token, how many docs contain it and whether it crosses the "common"
@@ -457,6 +483,11 @@ object ExtraText {
         "CAST(floor((1.0 - CAST(len(list_distinct(w)) AS DOUBLE)/len(w))*1000000 + 0.5) AS BIGINT) AS dup_word_e6, " +
         "CAST(floor((1.0 - CAST(len(list_distinct(bg)) AS DOUBLE)/len(bg))*1000000 + 0.5) AS BIGINT) AS dup_bigram_e6 " +
         "FROM b ORDER BY doc_id"),
+    "q_fingerprint_winnow" ->
+      ("WITH d AS (SELECT doc_id, string_split(lower(text),' ') AS t FROM documents), " +
+        "g AS (SELECT doc_id, list_transform(range(1, len(t)-1), i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS hs FROM d WHERE len(t) >= 6), " +
+        "f AS (SELECT doc_id, list_distinct(list_transform(range(1, len(hs)-2), j -> list_min(hs[j:j+3]))) AS fps FROM g) " +
+        "SELECT doc_id, unnest(fps) AS fp FROM f ORDER BY doc_id, fp"),
     "q_dedup_jaccard" ->
       "WITH s AS (SELECT DISTINCT doc_id, bg FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg FROM (SELECT doc_id, string_split(lower(text),' ') AS toks FROM documents WHERE doc_id < 30))), sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id), inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i FROM s a JOIN s b ON a.bg = b.bg AND a.doc_id < b.doc_id GROUP BY 1, 2), j AS (SELECT a_id, b_id, i/(sa.n + sb.n - i) AS jacc FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id) SELECT a_id, b_id, CAST(floor(jacc*1000000 + 0.5) AS BIGINT) AS jacc_e6 FROM j WHERE jacc >= 0.05 ORDER BY a_id, b_id",
     "q_dedup_clusters" ->

@@ -101,5 +101,14 @@ class PlanShapeSpec extends SparkSuite {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join:\n$p")
       assert(p.contains("BroadcastHashJoin"), s"$q should broadcast its dims:\n$p")
     }
+    // q_join_tpch_q19's OR-of-ANDs spans both join sides; the optimizer must
+    // factor it into per-side conjuncts that reach BOTH parquet scans as
+    // pushed filters (quantity bounds on lineitem, type equalities on part) —
+    // without CNF extraction the whole disjunction evaluates post-join.
+    val q19 = planOf("q_join_tpch_q19")
+    assert(q19.contains("GreaterThanOrEqual(l_quantity,1.0)"),
+      s"q19 quantity disjunction not pushed to the lineitem scan:\n$q19")
+    assert(q19.contains("EqualTo(p_type,PROMO)"),
+      s"q19 type disjunction not pushed to the part scan:\n$q19")
   }
 }
