@@ -57,6 +57,31 @@ object PipelineOps {
         .sampleByHash(Fixtures.table(s, dir, "documents").select("doc_id", "lang"), "doc_id", rate)
         .orderBy("doc_id")
     },
+    // Dataset mixing to declared target proportions — the data-mixing step
+    // a pretraining pipeline runs after curation: every source is
+    // downsampled toward its target share with the SAME deterministic
+    // Knuth-hash gate as q_sample_strat, but here the per-source rate is
+    // DERIVED (declared target_n over the MEASURED per-source count)
+    // instead of being a per-row constant. The spec frame is one row per
+    // source — model-sized at any corpus scale — broadcast back over the
+    // scan, so the whole mix is one count aggregate plus a map-side gate;
+    // no second shuffle. The weight rule (source-id mod 4, spanning rates
+    // 200-800 permille) stands in for the mixture config table a real run
+    // would read.
+    "q_sample_mixture" -> { (s, dir) =>
+      val docs = Fixtures.table(s, dir, "documents").select("doc_id", "source")
+      val spec = docs
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_src"))
+        .withColumn("target_n", (substring(col("source"), 4, 10).cast("long") % 4 + 1) * 5)
+        .withColumn("rate", least(lit(1000L), expr("target_n * 1000 div n_src")))
+      docs
+        .join(broadcast(spec), "source")
+        .withColumn("bucket", pmod(col("doc_id") * 2654435761L, lit(4294967296L)) % 1000)
+        .filter(col("bucket") < col("rate"))
+        .select("source", "doc_id", "n_src", "target_n")
+        .orderBy("source", "doc_id")
+    },
     // Eval-set decontamination: a training doc (doc_id >= 20) is contaminated
     // if it shares any 4-gram with the eval slice (doc_id < 20); output is
     // the contaminated ids with their distinct-shared-4-gram count. Shape at
@@ -219,6 +244,12 @@ object PipelineOps {
       ("SELECT doc_id, lang, ((doc_id * 2654435761) % 4294967296 + 4294967296) % 4294967296 % 1000 AS bucket FROM documents " +
         "WHERE ((doc_id * 2654435761) % 4294967296 + 4294967296) % 4294967296 % 1000 < (CASE WHEN lang = 'en' THEN 500 WHEN lang = 'de' THEN 250 ELSE 100 END) " +
         "ORDER BY doc_id"),
+    "q_sample_mixture" ->
+      ("WITH c AS (SELECT source, count(*) AS n_src, (CAST(substr(source,4) AS BIGINT) % 4 + 1) * 5 AS target_n FROM documents GROUP BY source), " +
+        "r AS (SELECT source, n_src, target_n, least(1000, target_n * 1000 // n_src) AS rate FROM c) " +
+        "SELECT d.source, d.doc_id, r.n_src, r.target_n FROM documents d JOIN r USING (source) " +
+        "WHERE ((d.doc_id * 2654435761) % 4294967296 + 4294967296) % 4294967296 % 1000 < r.rate " +
+        "ORDER BY source, doc_id"),
     "q_dedup_incremental" ->
       ("WITH loaded AS (SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id < 250) " +
         "SELECT doc_id, lang, md5(text) AS digest FROM documents " +
