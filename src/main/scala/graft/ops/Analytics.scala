@@ -492,6 +492,69 @@ object Analytics {
             (col("p_type") === "STANDARD" && col("l_quantity").between(40, 50)))
         .agg(count(lit(1)).as("n"), sum(col("rev_e4")).as("revenue_e4"))
     },
+    // Per-key exponential smoothing (EWMA, alpha = 0.3) — the classic
+    // time-series baseline metric. The recursion e_i = a*v_i + (1-a)*e_(i-1)
+    // cannot be a window aggregate (multiplicative carry), so each key's
+    // history folds over a (ts, event_id)-sorted list — the q_text_entropy
+    // determinism pattern: a FIXED fold order makes the IEEE double
+    // sequence identical on both engines (DuckDB's list_reduce seeds with
+    // the first element; the Spark fold seeds aggregate() with element 1
+    // and folds the rest — the same recurrence). Per-key history is the
+    // only state; the shuffle is one map-side-combinable collect per key.
+    "q_ts_ewma" -> { (s, dir) =>
+      Fixtures
+        .events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), cents(col("value")).as("v_c"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("v_c")))).as("xs"))
+        .select(
+          col("user_id"),
+          size(col("xs")).cast("long").as("n_events"),
+          floor(
+            aggregate(
+              expr("slice(xs, 2, size(xs) - 1)"),
+              expr("CAST(element_at(xs, 1).v_c AS DOUBLE)"),
+              (acc, x) => lit(0.3) * x.getField("v_c").cast("double") + lit(0.7) * acc)
+              * 10000 + lit(0.5)).cast("long").as("ewma_e6"))
+        .orderBy("user_id")
+    },
+    // Replica reconciliation by bucket digest — how a loader verifies a
+    // 100-TB copy without moving the data: each side aggregates a content
+    // digest (sum of 48-bit md5-prefix row hashes — order-independent by
+    // integer addition) per key bucket, then ONLY the 64-row digest frames
+    // cross the network and join. A mismatched bucket pinpoints where to
+    // re-sync; matched buckets prove equality with overwhelming
+    // probability. The "target" here is a deterministic perturbation of
+    // the source (drift on keys %97, loss on keys %101) so the oracle can
+    // rebuild both sides.
+    "q_table_diff" -> { (s, dir) =>
+      val base = Fixtures
+        .table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), cents(col("c_acctbal")).as("bal_c"))
+      val target = base
+        .filter(col("c_custkey") % 101 =!= 0)
+        .withColumn(
+          "bal_c",
+          when(col("c_custkey") % 97 === 0, col("bal_c") + 5000L).otherwise(col("bal_c")))
+      def digest(df: DataFrame, nCol: String, dCol: String): DataFrame = df
+        .withColumn("bucket", pmod(col("c_custkey"), lit(64L)))
+        .withColumn(
+          "h",
+          conv(substring(md5(concat_ws("|", col("c_custkey"), col("c_name"), col("bal_c"))), 1, 12), 16, 10)
+            .cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as(nCol), sum(col("h")).as(dCol))
+      digest(base, "src_n", "src_digest")
+        .join(digest(target, "tgt_n", "tgt_digest"), Seq("bucket"), "full_outer")
+        .select(
+          col("bucket"),
+          coalesce(col("src_n"), lit(0L)).as("src_n"),
+          coalesce(col("tgt_n"), lit(0L)).as("tgt_n"),
+          col("src_digest"),
+          col("tgt_digest"),
+          (col("src_digest") <=> col("tgt_digest")).cast("int").as("is_match"))
+        .orderBy("bucket")
+    },
     // Data-quality profile: per-column row/null/distinct counts — the QA
     // report a loader emits after every batch. ONE pass: a single agg row
     // of count + per-column count/countDistinct (Catalyst plans the
@@ -670,6 +733,20 @@ object Analytics {
         "WHERE (p_type = 'PROMO' AND l_quantity BETWEEN 1 AND 15) " +
         "OR (p_type = 'ECONOMY' AND l_quantity BETWEEN 20 AND 35) " +
         "OR (p_type = 'STANDARD' AND l_quantity BETWEEN 40 AND 50)"),
+    "q_ts_ewma" ->
+      (evCte +
+        ", g AS (SELECT user_id, list(value_c ORDER BY ts, event_id) AS vs FROM e GROUP BY user_id) " +
+        "SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events, " +
+        "CAST(floor(list_reduce(CAST(vs AS DOUBLE[]), (a, b) -> 0.3*b + 0.7*a)*10000 + 0.5) AS BIGINT) AS ewma_e6 " +
+        "FROM g ORDER BY user_id"),
+    "q_table_diff" ->
+      ("WITH base AS (SELECT c_custkey, c_name, CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal_c FROM customer), " +
+        "tgt AS (SELECT c_custkey, c_name, CASE WHEN c_custkey % 97 = 0 THEN bal_c + 5000 ELSE bal_c END AS bal_c FROM base WHERE c_custkey % 101 <> 0), " +
+        "sd AS (SELECT c_custkey % 64 AS bucket, CAST(count(*) AS BIGINT) AS src_n, CAST(sum(CAST('0x' || substr(md5(c_custkey || '|' || c_name || '|' || bal_c), 1, 12) AS BIGINT)) AS BIGINT) AS src_digest FROM base GROUP BY 1), " +
+        "td AS (SELECT c_custkey % 64 AS bucket, CAST(count(*) AS BIGINT) AS tgt_n, CAST(sum(CAST('0x' || substr(md5(c_custkey || '|' || c_name || '|' || bal_c), 1, 12) AS BIGINT)) AS BIGINT) AS tgt_digest FROM tgt GROUP BY 1) " +
+        "SELECT bucket, coalesce(src_n, 0) AS src_n, coalesce(tgt_n, 0) AS tgt_n, src_digest, tgt_digest, " +
+        "CAST(src_digest IS NOT DISTINCT FROM tgt_digest AS INT) AS is_match " +
+        "FROM sd FULL OUTER JOIN td USING (bucket) ORDER BY bucket"),
     "q_profile" ->
       Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
         .map(c =>
