@@ -492,6 +492,30 @@ object Analytics {
             (col("p_type") === "STANDARD" && col("l_quantity").between(40, 50)))
         .agg(count(lit(1)).as("n"), sum(col("rev_e4")).as("revenue_e4"))
     },
+    // Gap-rule sessionization with EXPLICIT session ids — the cumulative-sum
+    // idiom: flag rows whose gap from the previous event exceeds 30 min,
+    // then a running sum of flags numbers the sessions. Unlike the
+    // session_window aggregate rows (q_stream_session), the assigned
+    // (user_id, sess_seq) key is JOINABLE — downstream attribution can
+    // reference the session. Both windows share one (user_id) shuffle and
+    // one (ts, event_id) sort; gaps compare whole epoch seconds so
+    // same-second events are engine-exact frame peers.
+    "q_sessionize" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Fixtures
+        .events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn(
+          "new_sess",
+          (col("prev_ts").isNull ||
+            col("ts").cast("timestamp").cast("long") - col("prev_ts").cast("timestamp").cast("long") > 1800)
+            .cast("int"))
+        .withColumn("sess_seq", sum("new_sess").over(w))
+        .groupBy("user_id", "sess_seq")
+        .agg(count(lit(1)).as("n_events"), min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"))
+        .orderBy("user_id", "sess_seq")
+    },
     // Per-key exponential smoothing (EWMA, alpha = 0.3) — the classic
     // time-series baseline metric. The recursion e_i = a*v_i + (1-a)*e_(i-1)
     // cannot be a window aggregate (multiplicative carry), so each key's
@@ -733,6 +757,13 @@ object Analytics {
         "WHERE (p_type = 'PROMO' AND l_quantity BETWEEN 1 AND 15) " +
         "OR (p_type = 'ECONOMY' AND l_quantity BETWEEN 20 AND 35) " +
         "OR (p_type = 'STANDARD' AND l_quantity BETWEEN 40 AND 50)"),
+    "q_sessionize" ->
+      (evCte +
+        ", l AS (SELECT user_id, event_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM e)" +
+        ", f AS (SELECT user_id, event_id, ts, CAST(prev_ts IS NULL OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800 AS INT) AS new_sess FROM l)" +
+        ", g AS (SELECT user_id, ts, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_seq FROM f) " +
+        "SELECT user_id, CAST(sess_seq AS BIGINT) AS sess_seq, CAST(count(*) AS BIGINT) AS n_events, " +
+        "min(ts) AS sess_start, max(ts) AS sess_end FROM g GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_ts_ewma" ->
       (evCte +
         ", g AS (SELECT user_id, list(value_c ORDER BY ts, event_id) AS vs FROM e GROUP BY user_id) " +

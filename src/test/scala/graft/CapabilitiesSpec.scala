@@ -391,4 +391,29 @@ class CapabilitiesSpec extends SparkSuite {
       assert(da.compareTo(db) == 0, s"discounted drifted: $da vs $db")
     }
   }
+
+  test("cap_observe: Observation metrics ride the action — no second pass over the data") {
+    // The pipeline-counter pattern: a loader wants row counts / sums for its
+    // run report WITHOUT re-scanning the input. observe() attaches named
+    // aggregates to the plan; they accumulate DURING the action (here: a
+    // count of a filtered subset) and are read afterwards from the driver.
+    // The metrics cover the FULL observed frame even though the action only
+    // consumed the filtered rows — proving they rode the same scan.
+    val obs = org.apache.spark.sql.Observation("load_stats")
+    val orders = Fixtures.table(spark, sf001, "orders")
+    val observed = orders.observe(
+      obs,
+      count(lit(1)).as("n_rows"),
+      sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")).as("spend_c"))
+    val nFinal = observed.filter(col("o_orderstatus") === "F").count()
+    val m = obs.get
+    val expectedN = orders.count()
+    val expectedSpend = orders
+      .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")))
+      .head()
+      .getLong(0)
+    assert(nFinal > 0 && nFinal < expectedN, "filter should consume a strict subset")
+    assert(m("n_rows") == expectedN, s"observed ${m("n_rows")} rows, expected $expectedN")
+    assert(m("spend_c") == expectedSpend, s"observed spend ${m("spend_c")}, expected $expectedSpend")
+  }
 }
