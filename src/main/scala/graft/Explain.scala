@@ -32,6 +32,7 @@ object Explain {
     "q_join_tpch_q18",    // expect: AQE broadcast of the post-HAVING key set (no hint in source)
     "q_join_tpch_q10",    // expect: filters under the fact-fact join, nation broadcast, TakeOrdered
     "q_join_tpch_q7",     // expect: pre-filtered nation aliases broadcast into supplier/customer
+    "q_join_tpch_q14",    // expect: month filter on the fact scan, ONE conditional+total agg pass
     "q_join_tpch_q19"     // expect: OR-of-ANDs factored into PushedFilters on BOTH scans
   )
 

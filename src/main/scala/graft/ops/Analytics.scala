@@ -24,6 +24,13 @@ import org.apache.spark.sql.functions._
 object Analytics {
   private def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast("long")
 
+  /** Per-row discounted revenue as exact e4 integers (the README
+    * integer-scaling rule) — the one rounding expression every TPC-H-shaped
+    * revenue aggregate in this file must share, so a change to the rule
+    * cannot silently diverge between queries. */
+  private def revE4: Column =
+    floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + lit(0.5)).cast("long")
+
   /** SCD2 core shared by the full build and the incremental rebuild:
     * collapse consecutive duplicate states per user, derive
     * [valid_from, valid_to) via lead(). Expects (user_id, event_id,
@@ -188,11 +195,15 @@ object Analytics {
     // double expression, so m/sd/z are bit-identical across engines and
     // partitionings — the shuffle-order float-sum hazard never arises.
     // z is reported as floor(z*1e4+0.5) (README integer-scaling rule).
-    // Degenerate groups (n == 1 → sd is NULL/NaN; zero variance → sd = 0)
-    // are excluded BEFORE the z division, with the identical n > 1 AND
-    // sd > 0 predicate in the oracle SQL: without the guard Spark would
-    // floor a NaN/Infinity z to 0L while DuckDB errors on the cast — the
-    // engines must agree on which groups are scoreable, not just on scores.
+    // Degenerate groups are excluded BEFORE the z division, and the guard
+    // sits on the double RADICAND, not on sd after the sqrt: both engines
+    // evaluate the identical IEEE expression for the radicand, so `rad > 0`
+    // filters the same groups on both — n == 1 (no variance defined), zero
+    // variance (rad = 0), AND the cancellation edge where huge same-valued
+    // sums round the exact-integer variance to a tiny NEGATIVE double
+    // (Spark's sqrt would yield NaN — which passes a `sd > 0` filter, NaN
+    // sorts above all doubles — while DuckDB ERRORS on sqrt of a negative
+    // before any later filter could apply).
     "q_anomaly_zscore" -> { (s, dir) =>
       val ev = Fixtures
         .events(s, dir)
@@ -204,13 +215,15 @@ object Analytics {
           sum(col("value_c")).as("s1"),
           sum(col("value_c") * col("value_c")).as("s2"))
         .filter(col("n") > 1)
+        .withColumn(
+          "rad",
+          (col("s2").cast("double") - col("s1").cast("double") * col("s1").cast("double") / col("n"))
+            / (col("n") - 1))
+        .filter(col("rad") > 0)
         .select(
           col("event_type"),
           (col("s1").cast("double") / col("n") / 100.0).as("m"),
-          (sqrt(
-            (col("s2").cast("double") - col("s1").cast("double") * col("s1").cast("double") / col("n"))
-              / (col("n") - 1)) / 100.0).as("sd"))
-        .filter(col("sd") > 0)
+          (sqrt(col("rad")) / 100.0).as("sd"))
       ev.join(broadcast(stats), "event_type")
         .withColumn(
           "z4",
@@ -352,8 +365,7 @@ object Analytics {
         .join(li, col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-          sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + lit(0.5)).cast("long"))
-            .as("revenue_e4"))
+          sum(revE4).as("revenue_e4"))
         .orderBy(col("revenue_e4").desc, col("l_orderkey"))
         .limit(10)
     },
@@ -376,9 +388,7 @@ object Analytics {
         .filter(col("l_returnflag") === "R")
         .select(
           col("l_orderkey"),
-          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + lit(0.5))
-            .cast("long")
-            .as("rev_e4"))
+          revE4.as("rev_e4"))
       val cust = Fixtures
         .table(s, dir, "customer")
         .select(col("c_custkey"), col("c_name"), cents(col("c_acctbal")).as("bal_c"), col("c_nationkey"))
@@ -424,9 +434,7 @@ object Analytics {
           col("l_orderkey"),
           col("l_suppkey"),
           year(col("l_shipdate")).cast("long").as("l_year"),
-          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + lit(0.5))
-            .cast("long")
-            .as("rev_e4"))
+          revE4.as("rev_e4"))
       li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
         .join(Fixtures.table(s, dir, "orders").select("o_orderkey", "o_custkey"), col("l_orderkey") === col("o_orderkey"))
         .join(cus, col("o_custkey") === col("c_custkey"))
@@ -452,9 +460,7 @@ object Analytics {
         .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
         .select(
           col("l_partkey"),
-          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + lit(0.5))
-            .cast("long")
-            .as("rev_e4"))
+          revE4.as("rev_e4"))
       li.join(
           broadcast(Fixtures.table(s, dir, "part").select("p_partkey", "p_type")),
           col("l_partkey") === col("p_partkey"))
@@ -480,9 +486,7 @@ object Analytics {
         .select(
           col("l_partkey"),
           col("l_quantity"),
-          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + lit(0.5))
-            .cast("long")
-            .as("rev_e4"))
+          revE4.as("rev_e4"))
       li.join(
           broadcast(Fixtures.table(s, dir, "part").select("p_partkey", "p_type")),
           col("l_partkey") === col("p_partkey"))
@@ -680,8 +684,9 @@ object Analytics {
     "q_anomaly_zscore" ->
       (evCte +
         ", st AS (SELECT event_type, count(*) AS n, sum(value_c) AS s1, sum(value_c*value_c) AS s2 FROM e GROUP BY event_type)" +
-        ", sd AS (SELECT event_type, CAST(s1 AS DOUBLE)/n/100.0 AS m, sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/n)/(n-1))/100.0 AS sd FROM st WHERE n > 1)" +
-        ", z AS (SELECT e.event_type, e.event_id, e.value_c, CAST(floor((CAST(e.value_c AS DOUBLE)/100.0 - sd.m)/sd.sd*10000 + 0.5) AS BIGINT) AS z4 FROM e JOIN sd ON e.event_type = sd.event_type WHERE sd.sd > 0) " +
+        ", rd AS (SELECT event_type, n, s1, (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/n)/(n-1) AS rad FROM st WHERE n > 1)" +
+        ", sd AS (SELECT event_type, CAST(s1 AS DOUBLE)/n/100.0 AS m, sqrt(rad)/100.0 AS sd FROM rd WHERE rad > 0)" +
+        ", z AS (SELECT e.event_type, e.event_id, e.value_c, CAST(floor((CAST(e.value_c AS DOUBLE)/100.0 - sd.m)/sd.sd*10000 + 0.5) AS BIGINT) AS z4 FROM e JOIN sd ON e.event_type = sd.event_type) " +
         "SELECT event_type, event_id, value_c, z4 FROM z WHERE abs(z4) > 15000 ORDER BY event_type, event_id"),
     "q_join_bloom" ->
       ("SELECT p_brand, CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c " +

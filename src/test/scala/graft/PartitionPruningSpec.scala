@@ -1,27 +1,37 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Partition pruning — the fixture files are single parquet files, so
   * SURVEY.md §4 documents pruning without exercising it; this suite writes a
   * year-partitioned copy of orders (the layout the engine's tables would use
-  * at 100 TB) and proves a year filter scans only the matching partition.
+  * at 100 TB) and proves static pruning (direct partition-column filter) and
+  * dynamic pruning (the filter arrives through a join) each scan only the
+  * matching partition.
   */
 class PartitionPruningSpec extends SparkSuite {
 
-  test("year-partitioned layout prunes non-matching partitions at scan time") {
-    val dir = "/tmp/graft-warehouse/orders_by_year"
-    val d = new java.io.File(dir)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    if (d.exists()) rm(d)
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rm)
+    f.delete()
+  }
 
+  /** Fresh o_year-partitioned copy of sf0.001 orders at `dir`; returns the
+    * source frame (with o_year) for expected-count checks. */
+  private def writeYearPartitionedOrders(dir: String): DataFrame = {
+    val d = new java.io.File(dir)
+    if (d.exists()) rm(d)
     val o = Fixtures
       .table(spark, sf001, "orders")
       .withColumn("o_year", year(col("o_orderdate")))
     o.write.partitionBy("o_year").parquet(dir)
+    o
+  }
+
+  test("year-partitioned layout prunes non-matching partitions at scan time") {
+    val dir = "/tmp/graft-warehouse/orders_by_year"
+    val o = writeYearPartitionedOrders(dir)
 
     val filtered = spark.read.parquet(dir).filter(col("o_year") === 1995)
     val plan = filtered.queryExecution.executedPlan.toString
@@ -51,17 +61,7 @@ class PartitionPruningSpec extends SparkSuite {
     // prune partitions at runtime — the plan shape that makes dim-filtered
     // fact queries read 1/N of a 100-TB date-partitioned table.
     val dir = "/tmp/graft-warehouse/orders_dpp"
-    val d = new java.io.File(dir)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    if (d.exists()) rm(d)
-
-    val o = Fixtures
-      .table(spark, sf001, "orders")
-      .withColumn("o_year", year(col("o_orderdate")))
-    o.write.partitionBy("o_year").parquet(dir)
+    val o = writeYearPartitionedOrders(dir)
 
     // The dim must be a REAL source (parquet), not a local Seq: Catalyst
     // folds a Filter over a LocalRelation into the relation itself, and with
