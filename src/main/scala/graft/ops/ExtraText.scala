@@ -14,6 +14,22 @@ import org.apache.spark.sql.functions._
 object ExtraText {
   private def e6(c: Column): Column = floor(c * 1e6 + lit(0.5)).cast("long")
 
+  /** One linear pass of the winnowing algorithm (k = 3-token shingles,
+    * window w = 4): md5 each shingle once, take each window's minimum hex
+    * string, distinct. Matches the DuckDB oracle byte-for-byte (md5 of
+    * UTF-8 bytes, lowercase hex, lexicographic min). */
+  private val winnowUdf = udf { (toks: Seq[String]) =>
+    val w = 4
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hs = Array.tabulate(toks.length - 2) { i =>
+      md.reset()
+      md.digest((toks(i) + " " + toks(i + 1) + " " + toks(i + 2)).getBytes("UTF-8"))
+        .map("%02x".format(_))
+        .mkString
+    }
+    (0 to hs.length - w).map(j => hs.slice(j, j + w).min).distinct
+  }
+
   /** Shared input for the near-dup benchmark queries: every document plus a
     * planted variant (last two tokens dropped, doc_id+10000), both reduced to
     * bigram shingles. Shingles, not unigrams: this corpus shares one
@@ -203,22 +219,22 @@ object ExtraText {
     // Nth shingle" sampling lacks). Fingerprints are md5 hex strings:
     // both engines emit identical lowercase hex, and lexicographic min
     // is a shared total order, so no engine-specific numeric hashing is
-    // needed. MAP-ONLY per doc (array ops), then one explode — at 100 TB
-    // the (fp -> doc) inverted index this feeds is exactly the join key
+    // needed. MAP-ONLY per doc, then one explode — at 100 TB the
+    // (fp -> doc) inverted index this feeds is exactly the join key
     // space of the q_decontaminate / q_dedup_jaccard candidate stages.
+    //
+    // Implemented as ONE scalar UDF rather than nested array transforms:
+    // a higher-order `transform` whose lambda references a prior projected
+    // array column gets that column's whole expression substituted in by
+    // CollapseProject, re-hashing the entire shingle array once per window
+    // position — O(n^2) md5 calls per document, measured 275 s for the
+    // sf0.1 corpus vs sub-second for this linear-pass UDF.
     "q_fingerprint_winnow" -> { (s, dir) =>
-      val w = 4
       Fixtures
         .table(s, dir, "documents")
         .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
-        .filter(size(col("t")) >= lit(w + 2)) // need >= w windows of 3-grams
-        .withColumn(
-          "hs",
-          expr("transform(sequence(1, size(t)-2), i -> md5(concat(element_at(t,i), ' ', element_at(t,i+1), ' ', element_at(t,i+2))))"))
-        .withColumn(
-          "fps",
-          array_distinct(expr(s"transform(sequence(1, size(hs)-${w - 1}), j -> array_min(slice(hs, j, $w)))")))
-        .select(col("doc_id"), explode(col("fps")).as("fp"))
+        .filter(size(col("t")) >= lit(6)) // need >= w windows of 3-grams
+        .select(col("doc_id"), explode(winnowUdf(col("t"))).as("fp"))
         .orderBy("doc_id", "fp")
     },
     // Corpus-level term document-frequency — the stopword/boilerplate
