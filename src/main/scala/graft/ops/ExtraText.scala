@@ -237,6 +237,32 @@ object ExtraText {
         .select(col("doc_id"), explode(winnowUdf(col("t"))).as("fp"))
         .orderBy("doc_id", "fp")
     },
+    // Winnow-based near-dup CANDIDATE PAIRS — the consumer that makes the
+    // fingerprints an index: docs sharing >= 2 winnow fingerprints, via the
+    // inverted (fp -> doc) equi-join. The scale shape is the same as
+    // q_dedup_jaccard's shingle index, but winnowing has already THINNED
+    // the postings ~w× (only window minima survive) with the guaranteed-
+    // overlap property intact, so the join input shrinks before any
+    // shuffle. Fingerprint keys are md5 hex — uniform, no hot buckets
+    // (max document-frequency 7 on this corpus). The fingerprint frame is
+    // checkpointed so the self-join's two sides read it instead of
+    // re-running the winnow UDF over the corpus twice.
+    "q_dedup_winnow" -> { (s, dir) =>
+      val fps = Checkpoints.truncate(
+        Fixtures
+          .table(s, dir, "documents")
+          .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+          .filter(size(col("t")) >= lit(6))
+          .select(col("doc_id"), explode(winnowUdf(col("t"))).as("fp")))
+      val a = fps.select(col("fp"), col("doc_id").as("a_id"))
+      val b = fps.select(col("fp"), col("doc_id").as("b_id"))
+      a.join(b, "fp")
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy("a_id", "b_id")
+    },
     // Corpus-level term document-frequency — the stopword/boilerplate
     // discovery pass a cleaning pipeline runs before filtering: for every
     // token, how many docs contain it and whether it crosses the "common"
@@ -504,6 +530,13 @@ object ExtraText {
         "g AS (SELECT doc_id, list_transform(range(1, len(t)-1), i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS hs FROM d WHERE len(t) >= 6), " +
         "f AS (SELECT doc_id, list_distinct(list_transform(range(1, len(hs)-2), j -> list_min(hs[j:j+3]))) AS fps FROM g) " +
         "SELECT doc_id, unnest(fps) AS fp FROM f ORDER BY doc_id, fp"),
+    "q_dedup_winnow" ->
+      ("WITH d AS (SELECT doc_id, string_split(lower(text),' ') AS t FROM documents), " +
+        "g AS (SELECT doc_id, list_transform(range(1, len(t)-1), i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS hs FROM d WHERE len(t) >= 6), " +
+        "f AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(hs)-2), j -> list_min(hs[j:j+3])))) AS fp FROM g), " +
+        "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS n_shared " +
+        "FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT a_id, b_id, n_shared FROM p WHERE n_shared >= 2 ORDER BY a_id, b_id"),
     "q_dedup_jaccard" ->
       "WITH s AS (SELECT DISTINCT doc_id, bg FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg FROM (SELECT doc_id, string_split(lower(text),' ') AS toks FROM documents WHERE doc_id < 30))), sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id), inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i FROM s a JOIN s b ON a.bg = b.bg AND a.doc_id < b.doc_id GROUP BY 1, 2), j AS (SELECT a_id, b_id, i/(sa.n + sb.n - i) AS jacc FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id) SELECT a_id, b_id, CAST(floor(jacc*1000000 + 0.5) AS BIGINT) AS jacc_e6 FROM j WHERE jacc >= 0.05 ORDER BY a_id, b_id",
     "q_dedup_clusters" ->
