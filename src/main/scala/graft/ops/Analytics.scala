@@ -583,6 +583,66 @@ object Analytics {
           (col("src_digest") <=> col("tgt_digest")).cast("int").as("is_match"))
         .orderBy("bucket")
     },
+    // Referential-integrity audit — the post-batch FK check a loader runs
+    // before publishing: per relation, how many child rows reference a
+    // missing parent. Each relation is ONE anti-join (broadcast when the
+    // parent is a dim, shuffle for fact→fact) collapsing to a single
+    // count; the five one-row frames union driver-free. Anti-join
+    // semantics (a NULL fk counts as an orphan) are mirrored in the oracle
+    // with NOT EXISTS — NOT IN would silently drop NULL-keyed rows.
+    "q_fk_orphans" -> { (s, dir) =>
+      def audit(rel: String, child: DataFrame, fk: String, parent: DataFrame, pk: String): DataFrame =
+        child
+          .join(parent, child(fk) === parent(pk), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+          .select(lit(rel).as("relation"), col("n_orphans"))
+      val li = Fixtures.table(s, dir, "lineitem")
+      val ord = Fixtures.table(s, dir, "orders")
+      val cust = Fixtures.table(s, dir, "customer")
+      val nat = Fixtures.table(s, dir, "nation")
+      Seq(
+        audit("customer->nation", cust, "c_nationkey", nat, "n_nationkey"),
+        audit("lineitem->orders", li, "l_orderkey", ord, "o_orderkey"),
+        audit("lineitem->part", li, "l_partkey", Fixtures.table(s, dir, "part"), "p_partkey"),
+        audit("orders->customer", ord, "o_custkey", cust, "c_custkey"),
+        audit("supplier->nation", Fixtures.table(s, dir, "supplier"), "s_nationkey", nat, "n_nationkey"))
+        .reduce(_ unionByName _)
+        .orderBy("relation")
+    },
+    // Distribution-drift report (Population Stability Index) between two
+    // time periods — the shift detector an ML data pipeline runs before
+    // trusting a new batch. Bins are the q_histogram pure-BIGINT equi-width
+    // rule (engine-exact edges from a broadcast 1-row min/max agg); each
+    // bin's PSI contribution (pA-pB)·ln(pA/pB) is computed in ONE fixed
+    // double expression from exact integer counts and e9-scaled to an
+    // integer PER BIN, so no cross-bin float summation order exists at
+    // all — the report IS the per-bin table. Bins empty on either side are
+    // excluded by the identical predicate on both engines (ln would be
+    // ±inf).
+    "q_drift_psi" -> { (s, dir) =>
+      val cut = lit("1998-01-01").cast("timestamp_ntz")
+      val o = Fixtures
+        .table(s, dir, "orders")
+        .select((col("o_orderdate") < cut).cast("int").as("is_a"), cents(col("o_totalprice")).as("p_c"))
+      val mm = o.agg(min(col("p_c")).as("mn"), max(col("p_c")).as("mx"))
+      val g = o
+        .crossJoin(broadcast(mm))
+        .select(col("is_a"), expr("(p_c - mn) * 10 div (mx - mn + 1)").as("bin"))
+        .groupBy("bin")
+        .agg(sum(col("is_a")).as("n_a"), sum(lit(1) - col("is_a")).as("n_b"))
+      val tot = g.agg(sum(col("n_a")).as("na_tot"), sum(col("n_b")).as("nb_tot"))
+      g.crossJoin(broadcast(tot))
+        .filter(col("n_a") > 0 && col("n_b") > 0)
+        .select(
+          col("bin"),
+          col("n_a"),
+          col("n_b"),
+          floor(
+            (col("n_a").cast("double") / col("na_tot") - col("n_b").cast("double") / col("nb_tot")) *
+              log((col("n_a").cast("double") / col("na_tot")) / (col("n_b").cast("double") / col("nb_tot"))) *
+              1e9 + lit(0.5)).cast("long").as("psi_e9"))
+        .orderBy("bin")
+    },
     // Data-quality profile: per-column row/null/distinct counts — the QA
     // report a loader emits after every batch. ONE pass: a single agg row
     // of count + per-column count/countDistinct (Catalyst plans the
@@ -762,6 +822,26 @@ object Analytics {
         "WHERE (p_type = 'PROMO' AND l_quantity BETWEEN 1 AND 15) " +
         "OR (p_type = 'ECONOMY' AND l_quantity BETWEEN 20 AND 35) " +
         "OR (p_type = 'STANDARD' AND l_quantity BETWEEN 40 AND 50)"),
+    "q_fk_orphans" ->
+      (Seq(
+        ("customer->nation", "customer c", "NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)"),
+        ("lineitem->orders", "lineitem l", "NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)"),
+        ("lineitem->part", "lineitem l", "NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)"),
+        ("orders->customer", "orders o", "NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)"),
+        ("supplier->nation", "supplier s", "NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)"))
+        .map { case (rel, from, cond) =>
+          s"SELECT '$rel' AS relation, CAST(count(*) AS BIGINT) AS n_orphans FROM $from WHERE $cond"
+        }
+        .mkString("", " UNION ALL ", " ORDER BY relation")),
+    "q_drift_psi" ->
+      ("WITH o AS (SELECT CAST(o_orderdate < TIMESTAMP '1998-01-01' AS INT) AS is_a, CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS p_c FROM orders), " +
+        "mm AS (SELECT min(p_c) AS mn, max(p_c) AS mx FROM o), " +
+        "b AS (SELECT is_a, (p_c - mn) * 10 // (mx - mn + 1) AS bin FROM o CROSS JOIN mm), " +
+        "g AS (SELECT bin, CAST(sum(is_a) AS BIGINT) AS n_a, CAST(sum(1 - is_a) AS BIGINT) AS n_b FROM b GROUP BY bin), " +
+        "t AS (SELECT sum(n_a) AS na_tot, sum(n_b) AS nb_tot FROM g) " +
+        "SELECT bin, n_a, n_b, " +
+        "CAST(floor((CAST(n_a AS DOUBLE)/na_tot - CAST(n_b AS DOUBLE)/nb_tot) * ln((CAST(n_a AS DOUBLE)/na_tot)/(CAST(n_b AS DOUBLE)/nb_tot)) * 1000000000 + 0.5) AS BIGINT) AS psi_e9 " +
+        "FROM g CROSS JOIN t WHERE n_a > 0 AND n_b > 0 ORDER BY bin"),
     "q_sessionize" ->
       (evCte +
         ", l AS (SELECT user_id, event_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM e)" +
