@@ -14,21 +14,55 @@ import org.apache.spark.sql.functions._
 object ExtraText {
   private def e6(c: Column): Column = floor(c * 1e6 + lit(0.5)).cast("long")
 
-  /** One linear pass of the winnowing algorithm (k = 3-token shingles,
-    * window w = 4): md5 each shingle once, take each window's minimum hex
+  /** Winnowing window size; a shingle is [[WinnowK]] tokens. Every derived
+    * constant (the min-token filter, the oracle's window arithmetic) is
+    * written in terms of these two so the algorithm can only be retuned in
+    * one place per engine. */
+  private val WinnowW = 4
+  private val WinnowK = 3
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** One linear pass of the winnowing algorithm (k-token shingles, window
+    * of w hashes): md5 each shingle once, take each window's minimum hex
     * string, distinct. Matches the DuckDB oracle byte-for-byte (md5 of
-    * UTF-8 bytes, lowercase hex, lexicographic min). */
+    * UTF-8 bytes, lowercase hex, lexicographic min). Hex via a nibble
+    * table — a per-byte format() would allocate a Formatter per nibble on
+    * this per-shingle hot path. */
   private val winnowUdf = udf { (toks: Seq[String]) =>
-    val w = 4
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hs = Array.tabulate(toks.length - 2) { i =>
-      md.reset()
-      md.digest((toks(i) + " " + toks(i + 1) + " " + toks(i + 2)).getBytes("UTF-8"))
-        .map("%02x".format(_))
-        .mkString
+    if (toks == null) Seq.empty[String]
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hs = Array.tabulate(math.max(toks.length - (WinnowK - 1), 0)) { i =>
+        md.reset()
+        val d = md.digest((toks(i) + " " + toks(i + 1) + " " + toks(i + 2)).getBytes("UTF-8"))
+        val sb = new java.lang.StringBuilder(32)
+        var b = 0
+        while (b < d.length) {
+          sb.append(hexDigits((d(b) >> 4) & 0xf)).append(hexDigits(d(b) & 0xf))
+          b += 1
+        }
+        sb.toString
+      }
+      (0 to hs.length - WinnowW).map(j => hs.slice(j, j + WinnowW).min).distinct
     }
-    (0 to hs.length - w).map(j => hs.slice(j, j + w).min).distinct
   }
+
+  /** The (doc_id, fp) winnow-fingerprint frame both winnow queries share —
+    * min doc length w+k-1 tokens (below that no window exists). */
+  private def winnowFps(s: SparkSession, dir: String): DataFrame =
+    Fixtures
+      .table(s, dir, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= lit(WinnowW + WinnowK - 1))
+      .select(col("doc_id"), explode(winnowUdf(col("t"))).as("fp"))
+
+  /** DuckDB twin of [[winnowFps]]: CTE `f` = (doc_id, fp). The window
+    * arithmetic is derived from the same w/k constants. */
+  private val winnowFpsSql: String =
+    "WITH d AS (SELECT doc_id, string_split(lower(text),' ') AS t FROM documents), " +
+      s"g AS (SELECT doc_id, list_transform(range(1, len(t)-${WinnowK - 2}), i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS hs FROM d WHERE len(t) >= ${WinnowW + WinnowK - 1}), " +
+      s"f AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(hs)-${WinnowW - 2}), j -> list_min(hs[j:j+${WinnowW - 1}])))) AS fp FROM g)"
 
   /** Shared input for the near-dup benchmark queries: every document plus a
     * planted variant (last two tokens dropped, doc_id+10000), both reduced to
@@ -228,14 +262,9 @@ object ExtraText {
     // array column gets that column's whole expression substituted in by
     // CollapseProject, re-hashing the entire shingle array once per window
     // position — O(n^2) md5 calls per document, measured 275 s for the
-    // sf0.1 corpus vs sub-second for this linear-pass UDF.
+    // sf0.1 corpus vs ~2 s for this linear-pass UDF.
     "q_fingerprint_winnow" -> { (s, dir) =>
-      Fixtures
-        .table(s, dir, "documents")
-        .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
-        .filter(size(col("t")) >= lit(6)) // need >= w windows of 3-grams
-        .select(col("doc_id"), explode(winnowUdf(col("t"))).as("fp"))
-        .orderBy("doc_id", "fp")
+      winnowFps(s, dir).orderBy("doc_id", "fp")
     },
     // Winnow-based near-dup CANDIDATE PAIRS — the consumer that makes the
     // fingerprints an index: docs sharing >= 2 winnow fingerprints, via the
@@ -248,12 +277,7 @@ object ExtraText {
     // checkpointed so the self-join's two sides read it instead of
     // re-running the winnow UDF over the corpus twice.
     "q_dedup_winnow" -> { (s, dir) =>
-      val fps = Checkpoints.truncate(
-        Fixtures
-          .table(s, dir, "documents")
-          .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
-          .filter(size(col("t")) >= lit(6))
-          .select(col("doc_id"), explode(winnowUdf(col("t"))).as("fp")))
+      val fps = Checkpoints.truncate(winnowFps(s, dir))
       val a = fps.select(col("fp"), col("doc_id").as("a_id"))
       val b = fps.select(col("fp"), col("doc_id").as("b_id"))
       a.join(b, "fp")
@@ -526,15 +550,10 @@ object ExtraText {
         "CAST(floor((1.0 - CAST(len(list_distinct(bg)) AS DOUBLE)/len(bg))*1000000 + 0.5) AS BIGINT) AS dup_bigram_e6 " +
         "FROM b ORDER BY doc_id"),
     "q_fingerprint_winnow" ->
-      ("WITH d AS (SELECT doc_id, string_split(lower(text),' ') AS t FROM documents), " +
-        "g AS (SELECT doc_id, list_transform(range(1, len(t)-1), i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS hs FROM d WHERE len(t) >= 6), " +
-        "f AS (SELECT doc_id, list_distinct(list_transform(range(1, len(hs)-2), j -> list_min(hs[j:j+3]))) AS fps FROM g) " +
-        "SELECT doc_id, unnest(fps) AS fp FROM f ORDER BY doc_id, fp"),
+      (winnowFpsSql + " SELECT doc_id, fp FROM f ORDER BY doc_id, fp"),
     "q_dedup_winnow" ->
-      ("WITH d AS (SELECT doc_id, string_split(lower(text),' ') AS t FROM documents), " +
-        "g AS (SELECT doc_id, list_transform(range(1, len(t)-1), i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS hs FROM d WHERE len(t) >= 6), " +
-        "f AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(hs)-2), j -> list_min(hs[j:j+3])))) AS fp FROM g), " +
-        "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS n_shared " +
+      (winnowFpsSql +
+        ", p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS n_shared " +
         "FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
         "SELECT a_id, b_id, n_shared FROM p WHERE n_shared >= 2 ORDER BY a_id, b_id"),
     "q_dedup_jaccard" ->
