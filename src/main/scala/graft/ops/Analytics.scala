@@ -583,6 +583,25 @@ object Analytics {
           (col("src_digest") <=> col("tgt_digest")).cast("int").as("is_match"))
         .orderBy("bucket")
     },
+    // TPC-H Q13 shape (customer order-count distribution): LEFT join so
+    // zero-order customers keep their bucket, then aggregate-of-an-
+    // aggregate — group customers by their order count, then count
+    // customers per bucket. Two shuffles by construction (per-customer,
+    // then per-count); the second input is already one row per customer,
+    // so the re-shuffle is the small side. count(o_orderkey) (not
+    // count(*)) makes the no-order customer count 0, not 1 — the classic
+    // outer-join-count trap, identical in the oracle.
+    "q_join_tpch_q13" -> { (s, dir) =>
+      val cust = Fixtures.table(s, dir, "customer").select("c_custkey")
+      val ord = Fixtures.table(s, dir, "orders").select("o_custkey", "o_orderkey")
+      cust
+        .join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
     // Referential-integrity audit — the post-batch FK check a loader runs
     // before publishing: per relation, how many child rows reference a
     // missing parent. Each relation is ONE anti-join (broadcast when the
@@ -796,6 +815,11 @@ object Analytics {
         "WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01' " +
         "GROUP BY c_custkey, c_name, c_acctbal, n_name " +
         "ORDER BY revenue_e4 DESC, c_custkey LIMIT 20"),
+    "q_join_tpch_q13" ->
+      ("SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM " +
+        "(SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count " +
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey) " +
+        "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"),
     "q_join_tpch_q7" ->
       ("SELECT supp_nation, cust_nation, l_year, CAST(sum(rev_e4) AS BIGINT) AS revenue_e4 FROM (" +
         "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
