@@ -49,6 +49,65 @@ object Analytics {
         col("valid_to").isNull.cast("int").as("is_current"))
   }
 
+  /** Bounded-state per-key EWMA (alpha = 0.3) over (user_id, ts, event_id,
+    * v_c) rows → (user_id, n_events, ewma_e6).
+    *
+    * The recursion e_i = 0.3·v_i + 0.7·e_(i-1) looks inherently sequential,
+    * but each step is an AFFINE map e ↦ s·e + o, and affine maps compose
+    * associatively: (s_f, o_f) ∘ (s_g, o_g) = (s_f·s_g, s_f·o_g + o_f). So
+    * the fold distributes as a two-level reduction: (1) chunk each key's
+    * sorted history into `chunkSize`-row segments (row_number — streamed by
+    * the window sort, O(1) state) and fold every segment to ONE (s, o)
+    * pair; (2) compose the model-sized pair list in segment order. Per-task
+    * state is now bounded by `chunkSize` regardless of key skew — an
+    * adversarial key with 10^8 events costs 10^8/chunkSize tiny pairs, not
+    * one task's heap. Both groupBys reuse the window's hash(user_id)
+    * partitioning (user_id ⊆ the grouping keys), so the whole thing is
+    * still ONE shuffle.
+    *
+    * Determinism: segment 0 seeds with its first element (the map (0, v_1),
+    * constant in e), so its local fold replays the oracle's seeded
+    * list_reduce op-for-op; for keys within one chunk the result is
+    * bit-identical to the sequential fold, and across chunks the only
+    * reassociation is the final pair composition (~1e-15 relative, proven
+    * hash-stable on the fixtures and tolerance-bounded in EwmaSpec). */
+  private[graft] def ewmaAffine(events: DataFrame, chunkSize: Int): DataFrame = {
+    require(chunkSize >= 2, s"chunkSize must be >= 2, got $chunkSize")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    def fld(c: Column, f: String) = c.getField(f)
+    events
+      .withColumn("seg", ((row_number().over(w) - lit(1)) / lit(chunkSize)).cast("int"))
+      .groupBy("user_id", "seg")
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("v_c")))).as("xs"))
+      .select(
+        col("user_id"),
+        col("seg"),
+        size(col("xs")).cast("long").as("cnt"),
+        aggregate(
+          when(col("seg") === 0, expr("slice(xs, 2, size(xs) - 1)")).otherwise(col("xs")),
+          when(col("seg") === 0, struct(lit(0.0).as("s"), expr("CAST(element_at(xs, 1).v_c AS DOUBLE)").as("o")))
+            .otherwise(struct(lit(1.0).as("s"), lit(0.0).as("o"))),
+          (acc, x) =>
+            struct(
+              (lit(0.7) * fld(acc, "s")).as("s"),
+              (lit(0.3) * x.getField("v_c").cast("double") + lit(0.7) * fld(acc, "o")).as("o"))).as("f"))
+      .groupBy("user_id")
+      .agg(sum("cnt").as("n_events"), sort_array(collect_list(struct(col("seg"), col("f")))).as("ps"))
+      .select(
+        col("user_id"),
+        col("n_events"),
+        floor(
+          fld(
+            aggregate(
+              col("ps"),
+              struct(lit(1.0).as("s"), lit(0.0).as("o")),
+              (acc, x) =>
+                struct(
+                  (fld(fld(x, "f"), "s") * fld(acc, "s")).as("s"),
+                  (fld(fld(x, "f"), "s") * fld(acc, "o") + fld(fld(x, "f"), "o")).as("o"))),
+            "o") * 10000 + lit(0.5)).cast("long").as("ewma_e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // SCD type-2 dimension build from a changelog: collapse consecutive
     // duplicate states per user, then derive [valid_from, valid_to) validity
@@ -521,29 +580,18 @@ object Analytics {
         .orderBy("user_id", "sess_seq")
     },
     // Per-key exponential smoothing (EWMA, alpha = 0.3) — the classic
-    // time-series baseline metric. The recursion e_i = a*v_i + (1-a)*e_(i-1)
-    // cannot be a window aggregate (multiplicative carry), so each key's
-    // history folds over a (ts, event_id)-sorted list — the q_text_entropy
-    // determinism pattern: a FIXED fold order makes the IEEE double
-    // sequence identical on both engines (DuckDB's list_reduce seeds with
-    // the first element; the Spark fold seeds aggregate() with element 1
-    // and folds the rest — the same recurrence). Per-key history is the
-    // only state; the shuffle is one map-side-combinable collect per key.
+    // time-series baseline metric, via the bounded-state two-level affine
+    // fold in [[ewmaAffine]]: no task ever holds a full key history, only
+    // fixed-size chunks plus one model-sized (scale, offset) pair per
+    // chunk. Chunk size 32 deliberately puts the FIXTURE keys (max 86
+    // events) on the multi-chunk path, so the oracle hash-match exercises
+    // the composition, not just the single-chunk fast path.
     "q_ts_ewma" -> { (s, dir) =>
-      Fixtures
-        .events(s, dir)
-        .select(col("user_id"), col("ts"), col("event_id"), cents(col("value")).as("v_c"))
-        .groupBy("user_id")
-        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("v_c")))).as("xs"))
-        .select(
-          col("user_id"),
-          size(col("xs")).cast("long").as("n_events"),
-          floor(
-            aggregate(
-              expr("slice(xs, 2, size(xs) - 1)"),
-              expr("CAST(element_at(xs, 1).v_c AS DOUBLE)"),
-              (acc, x) => lit(0.3) * x.getField("v_c").cast("double") + lit(0.7) * acc)
-              * 10000 + lit(0.5)).cast("long").as("ewma_e6"))
+      ewmaAffine(
+        Fixtures
+          .events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), cents(col("value")).as("v_c")),
+        chunkSize = 32)
         .orderBy("user_id")
     },
     // Replica reconciliation by bucket digest — how a loader verifies a
@@ -602,6 +650,76 @@ object Analytics {
         .agg(count(lit(1)).as("custdist"))
         .orderBy(col("custdist").desc, col("c_count").desc)
     },
+    // TPC-H Q21 shape (suppliers who kept orders waiting) — the hardest
+    // classic correlated shape: a double-correlated self-join on the fact
+    // table. l1 = this supplier's problem lines ("late" here is
+    // l_returnflag = 'R'; the fixture has no receipt/commit dates) on
+    // finalized orders; EXISTS another supplier on the same order
+    // (left-semi); NOT EXISTS another supplier ALSO late on it (left-anti)
+    // — i.e. this supplier is the sole cause. Spark-first: semi/anti joins
+    // ARE Catalyst's decorrelation of EXISTS/NOT EXISTS, and all three
+    // lineitem branches shuffle on the same l_orderkey key, so they
+    // co-partition (no cartesian anywhere — PlanShapeSpec asserts it). The
+    // nation→supplier side collapses to a broadcast before touching the
+    // fact table, so the fact rows are filtered map-side first.
+    "q_join_tpch_q21" -> { (s, dir) =>
+      val li = Fixtures.table(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+      val late = li.filter(col("l_returnflag") === "R").select("l_orderkey", "l_suppkey")
+      val fOrd = Fixtures.table(s, dir, "orders").filter(col("o_orderstatus") === "F").select("o_orderkey")
+      val supp = Fixtures
+        .table(s, dir, "supplier")
+        .join(
+          broadcast(Fixtures.table(s, dir, "nation").filter(col("n_name") === "NATION_1")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+      late
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(fOrd, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(
+          li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2")),
+          col("l_orderkey") === col("k2") && col("s2") =!= col("l_suppkey"),
+          "left_semi")
+        .join(
+          late.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3")),
+          col("l_orderkey") === col("k3") && col("s3") =!= col("l_suppkey"),
+          "left_anti")
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    },
+    // TPC-H Q22 shape (global-market opportunity): customers from a country
+    // subset with above-average positive balances and no RECENT order —
+    // every fixture customer has ordered at some point, so the classic
+    // "never ordered" predicate is adapted to "dormant since 2000-07-01"
+    // (same anti-join decorrelation, non-empty result). The scalar-avg
+    // subquery is a 1-row broadcast (exact integer cents sum ÷ count,
+    // double division spelled identically in the oracle), the dormancy
+    // predicate is a left-anti join on o_custkey — NOT EXISTS, not NOT IN,
+    // so a NULL custkey could never vacuum the result. The country code is
+    // c_nationkey (the fixture has no c_phone). The date filter lands
+    // BEFORE the anti-join shuffle (pushed to the orders scan).
+    "q_join_tpch_q22" -> { (s, dir) =>
+      val cust = Fixtures
+        .table(s, dir, "customer")
+        .filter(col("c_nationkey").isin(1, 2, 3, 4, 5, 6, 7))
+        .select(col("c_custkey"), col("c_nationkey"), cents(col("c_acctbal")).as("bal_c"))
+      val avgBal = cust
+        .filter(col("bal_c") > 0)
+        .agg((sum("bal_c").cast("double") / count(lit(1))).as("avg_bal"))
+      cust
+        .crossJoin(broadcast(avgBal))
+        .filter(col("bal_c").cast("double") > col("avg_bal"))
+        .join(
+          Fixtures
+            .table(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("2000-07-01").cast("timestamp_ntz"))
+            .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"), sum("bal_c").as("totacctbal_c"))
+        .orderBy("c_nationkey")
+    },
     // Referential-integrity audit — the post-batch FK check a loader runs
     // before publishing: per relation, how many child rows reference a
     // missing parent. Each relation is ONE anti-join (broadcast when the
@@ -609,13 +727,16 @@ object Analytics {
     // count; the five one-row frames union driver-free. Anti-join
     // semantics (a NULL fk counts as an orphan) are mirrored in the oracle
     // with NOT EXISTS — NOT IN would silently drop NULL-keyed rows.
+    // lineitem feeds TWO audits (orders + part), so its two FK columns are
+    // projected once and checkpointed — ONE pass over the 100-TB fact
+    // table instead of two, and the checkpointed frame is 2 longs/row.
     "q_fk_orphans" -> { (s, dir) =>
       def audit(rel: String, child: DataFrame, fk: String, parent: DataFrame, pk: String): DataFrame =
         child
           .join(parent, child(fk) === parent(pk), "left_anti")
           .agg(count(lit(1)).as("n_orphans"))
           .select(lit(rel).as("relation"), col("n_orphans"))
-      val li = Fixtures.table(s, dir, "lineitem")
+      val li = Checkpoints.truncate(Fixtures.table(s, dir, "lineitem").select("l_orderkey", "l_partkey"))
       val ord = Fixtures.table(s, dir, "orders")
       val cust = Fixtures.table(s, dir, "customer")
       val nat = Fixtures.table(s, dir, "nation")
@@ -820,6 +941,23 @@ object Analytics {
         "(SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count " +
         "FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey) " +
         "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"),
+    "q_join_tpch_q21" ->
+      ("SELECT s_name, CAST(count(*) AS BIGINT) AS numwait " +
+        "FROM supplier, lineitem l1, orders, nation " +
+        "WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey " +
+        "AND o_orderstatus = 'F' AND l1.l_returnflag = 'R' " +
+        "AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) " +
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') " +
+        "AND s_nationkey = n_nationkey AND n_name = 'NATION_1' " +
+        "GROUP BY s_name ORDER BY numwait DESC, s_name"),
+    "q_join_tpch_q22" ->
+      ("WITH c AS (SELECT c_custkey, c_nationkey, CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal_c " +
+        "FROM customer WHERE c_nationkey IN (1, 2, 3, 4, 5, 6, 7)), " +
+        "a AS (SELECT CAST(sum(bal_c) AS DOUBLE)/count(*) AS avg_bal FROM c WHERE bal_c > 0) " +
+        "SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust, CAST(sum(bal_c) AS BIGINT) AS totacctbal_c " +
+        "FROM c CROSS JOIN a WHERE CAST(bal_c AS DOUBLE) > avg_bal " +
+        "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '2000-07-01') " +
+        "GROUP BY c_nationkey ORDER BY c_nationkey"),
     "q_join_tpch_q7" ->
       ("SELECT supp_nation, cust_nation, l_year, CAST(sum(rev_e4) AS BIGINT) AS revenue_e4 FROM (" +
         "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
