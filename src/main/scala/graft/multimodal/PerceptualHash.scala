@@ -206,13 +206,19 @@ object PerceptualHash {
       minMatches: Long): DataFrame = {
     // The composite key packs frame_idx into 16 bits; an index >= 65536
     // would alias into the NEXT video's key space and silently corrupt
-    // pairs, so reject such frames mechanically rather than by comment.
-    // (A 65k-sampled-frame payload is ~36 min of 30fps video sampled every
-    // frame — raise everyN long before widening the key.)
+    // pairs. FAIL LOUDLY on overflow instead of dropping the frame — a
+    // silently thinned frame set would just lose pairs with no signal,
+    // while the error tells the caller the remedy (raise everyN: a
+    // 65k-sampled-frame payload is ~36 min of 30fps video sampled every
+    // frame — raise the stride long before widening the key).
     val fh = graft.ops.Checkpoints.truncate(
       frameHashes(ds, everyN)
-        .filter(col("frame_idx") < 65536)
-        .select(expr("id * 65536 + frame_idx").as("fid"), col("phash")))
+        .select(
+          expr(
+            "CASE WHEN frame_idx < 65536 THEN id * 65536 + frame_idx " +
+              "ELSE CAST(raise_error(concat('sampled frame_idx ', frame_idx, " +
+              "' overflows the 16-bit frame key; raise everyN')) AS BIGINT) END").as("fid"),
+          col("phash")))
     HammingPairs
       .pairs(fh, "fid", "phash", maxHamming)
       .select(

@@ -73,6 +73,21 @@ object Curation {
         col("it._3").as("n_toks"))
   }
 
+  /** [[packSequences]] with the shard count DERIVED from the corpus size:
+    * groups = ceil(n / targetPerGroup), so parallelism scales with the data
+    * instead of capping at a constant — a fixed shard count means each
+    * shard's sorted item list grows linearly with the corpus (1/32 of
+    * 100 TB in one task's collect_list is an OOM); a fixed per-shard
+    * TARGET keeps every shard's state constant-sized at any scale. The
+    * count is one metadata-cheap action producing a model-sized scalar;
+    * the derived group count lands in the plan as the pmod literal. */
+  def packSequencesAuto(docs: DataFrame, idCol: String, textCol: String, targetPerGroup: Int, budget: Int): DataFrame = {
+    require(targetPerGroup >= 1, s"targetPerGroup must be >= 1, got $targetPerGroup")
+    val n = docs.count()
+    val groups = math.max(1L, (n + targetPerGroup - 1) / targetPerGroup)
+    packSequences(docs, idCol, textCol, groups.toInt, budget)
+  }
+
   /** Deterministic hash sampling: keeps a row iff its Knuth-multiplicative
     * hash bucket (0..999) is below `permilRate` — a plain Column, so
     * per-stratum rates are a `when` chain over any column. Reproducible

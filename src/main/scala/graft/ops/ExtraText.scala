@@ -23,28 +23,53 @@ object ExtraText {
 
   private val hexDigits = "0123456789abcdef".toCharArray
 
+  /** The k-token-shingle md5 hash sequence a winnow pass selects from —
+    * shingle text derived from [[WinnowK]] (a slice + mkString, never a
+    * hardcoded 3-term concat, so retuning WinnowK retunes the hashing
+    * too). Hex via a nibble table — a per-byte format() would allocate a
+    * Formatter per nibble on this per-shingle hot path. */
+  private def shingleHashes(toks: Seq[String]): Array[String] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(math.max(toks.length - (WinnowK - 1), 0)) { i =>
+      md.reset()
+      val d = md.digest(toks.slice(i, i + WinnowK).mkString(" ").getBytes("UTF-8"))
+      val sb = new java.lang.StringBuilder(32)
+      var b = 0
+      while (b < d.length) {
+        sb.append(hexDigits((d(b) >> 4) & 0xf)).append(hexDigits(d(b) & 0xf))
+        b += 1
+      }
+      sb.toString
+    }
+  }
+
   /** One linear pass of the winnowing algorithm (k-token shingles, window
     * of w hashes): md5 each shingle once, take each window's minimum hex
     * string, distinct. Matches the DuckDB oracle byte-for-byte (md5 of
-    * UTF-8 bytes, lowercase hex, lexicographic min). Hex via a nibble
-    * table — a per-byte format() would allocate a Formatter per nibble on
-    * this per-shingle hot path. */
+    * UTF-8 bytes, lowercase hex, lexicographic min). */
   private val winnowUdf = udf { (toks: Seq[String]) =>
     if (toks == null) Seq.empty[String]
     else {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hs = Array.tabulate(math.max(toks.length - (WinnowK - 1), 0)) { i =>
-        md.reset()
-        val d = md.digest((toks(i) + " " + toks(i + 1) + " " + toks(i + 2)).getBytes("UTF-8"))
-        val sb = new java.lang.StringBuilder(32)
-        var b = 0
-        while (b < d.length) {
-          sb.append(hexDigits((d(b) >> 4) & 0xf)).append(hexDigits(d(b) & 0xf))
-          b += 1
-        }
-        sb.toString
-      }
+      val hs = shingleHashes(toks)
       (0 to hs.length - WinnowW).map(j => hs.slice(j, j + WinnowW).min).distinct
+    }
+  }
+
+  /** Position-carrying winnow pass: each selected fingerprint with the
+    * 1-based index of its shingle (leftmost minimum per window — the same
+    * tie-break DuckDB's list_position applies), distinct (fp, pos) pairs.
+    * Positions are what turn the fingerprint index into a RUN detector:
+    * matched fingerprints on one (train, eval) alignment diagonal chain
+    * into contiguous shared regions (Schleimer et al., SIGMOD 2003 §4). */
+  private val winnowPosUdf = udf { (toks: Seq[String]) =>
+    if (toks == null) Seq.empty[(String, Int)]
+    else {
+      val hs = shingleHashes(toks)
+      (0 to hs.length - WinnowW).map { j =>
+        val win = hs.slice(j, j + WinnowW)
+        val m = win.min
+        (m, j + win.indexOf(m) + 1)
+      }.distinct
     }
   }
 
@@ -57,12 +82,38 @@ object ExtraText {
       .filter(size(col("t")) >= lit(WinnowW + WinnowK - 1))
       .select(col("doc_id"), explode(winnowUdf(col("t"))).as("fp"))
 
+  /** The (doc_id, fp, pos) frame behind the run-length decontamination
+    * query — [[winnowFps]] plus the shingle position of each selected
+    * fingerprint. */
+  private def winnowFpsPos(s: SparkSession, dir: String): DataFrame =
+    Fixtures
+      .table(s, dir, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= lit(WinnowW + WinnowK - 1))
+      .select(col("doc_id"), explode(winnowPosUdf(col("t"))).as("s"))
+      .select(col("doc_id"), col("s._1").as("fp"), col("s._2").as("pos"))
+
+  /** DuckDB shingle-concat expression derived from [[WinnowK]] (t[i] || ' '
+    * || t[i+1] || …) — generated, not hardcoded, so the oracle retunes with
+    * the constant exactly like the Scala side. */
+  private val shingleConcatSql: String =
+    (0 until WinnowK).map(j => if (j == 0) "t[i]" else s"t[i+$j]").mkString(" || ' ' || ")
+
   /** DuckDB twin of [[winnowFps]]: CTE `f` = (doc_id, fp). The window
     * arithmetic is derived from the same w/k constants. */
   private val winnowFpsSql: String =
     "WITH d AS (SELECT doc_id, string_split(lower(text),' ') AS t FROM documents), " +
-      s"g AS (SELECT doc_id, list_transform(range(1, len(t)-${WinnowK - 2}), i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS hs FROM d WHERE len(t) >= ${WinnowW + WinnowK - 1}), " +
+      s"g AS (SELECT doc_id, list_transform(range(1, len(t)-${WinnowK - 2}), i -> md5($shingleConcatSql)) AS hs FROM d WHERE len(t) >= ${WinnowW + WinnowK - 1}), " +
       s"f AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(hs)-${WinnowW - 2}), j -> list_min(hs[j:j+${WinnowW - 1}])))) AS fp FROM g)"
+
+  /** DuckDB twin of [[winnowFpsPos]]: CTE `fp_pos` = (doc_id, fp, pos),
+    * 1-based positions, leftmost-min tie-break via list_position. */
+  private val winnowFpsPosSql: String =
+    "WITH d AS (SELECT doc_id, string_split(lower(text),' ') AS t FROM documents), " +
+      s"g AS (SELECT doc_id, list_transform(range(1, len(t)-${WinnowK - 2}), i -> md5($shingleConcatSql)) AS hs FROM d WHERE len(t) >= ${WinnowW + WinnowK - 1}), " +
+      s"w AS (SELECT doc_id, unnest(list_transform(range(1, len(hs)-${WinnowW - 2}), " +
+      s"j -> {'fp': list_min(hs[j:j+${WinnowW - 1}]), 'pos': j - 1 + list_position(hs[j:j+${WinnowW - 1}], list_min(hs[j:j+${WinnowW - 1}]))})) AS s FROM g), " +
+      "fp_pos AS (SELECT DISTINCT doc_id, s['fp'] AS fp, CAST(s['pos'] AS INT) AS pos FROM w)"
 
   /** Shared input for the near-dup benchmark queries: every document plus a
     * planted variant (last two tokens dropped, doc_id+10000), both reduced to
@@ -106,10 +157,10 @@ object ExtraText {
     * transform(sequence(...)) chain: higher-order functions are
     * CodegenFallback AND explode over a computed array re-evaluates it per
     * element — measured 2.2 s vs ~0.4 s here. */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  private def jaccardPairs(s: SparkSession, dir: String, limit: Int = 30): DataFrame = {
     val sh = Fixtures
       .table(s, dir, "documents")
-      .filter(col("doc_id") < 30)
+      .filter(col("doc_id") < limit)
       .select(col("doc_id"), shingleUdf(split(lower(col("text")), " ")).as("toks"))
       .select(col("doc_id"), explode(col("toks")).as("bg"))
       .distinct()
@@ -287,6 +338,50 @@ object ExtraText {
         .filter(col("n_shared") >= 2)
         .orderBy("a_id", "b_id")
     },
+    // Run-length decontamination — what eval-contamination policies
+    // actually threshold on: not "shares N fingerprints" but "shares a
+    // token run of length >= L". The position-carrying winnow index makes
+    // run length computable WITHOUT re-touching the text: matched
+    // fingerprints of a genuinely shared region line up on one alignment
+    // DIAGONAL (eval_pos - train_pos constant), and winnowing guarantees a
+    // selected fingerprint at least every w positions inside the region —
+    // so islands of diagonal matches with gaps <= w reconstruct the run,
+    // and (max_pos - min_pos) + k lower-bounds its token length. All
+    // per-diagonal work is window functions over the matched pairs (tiny —
+    // candidates only); the corpus-sized stages are the same map-only
+    // winnow pass + one fp equi-join as q_dedup_winnow.
+    "q_decontam_runs" -> { (s, dir) =>
+      val fps = Checkpoints.truncate(winnowFpsPos(s, dir))
+      val train = fps
+        .filter(col("doc_id") >= 20)
+        .select(col("doc_id").as("train_id"), col("fp"), col("pos").as("pa"))
+      val ev = fps
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id").as("eval_id"), col("fp").as("fp2"), col("pos").as("pb"))
+      // matched feeds BOTH aggregates (run islands + shared-fp counts):
+      // checkpoint so the fp join runs once.
+      val m = Checkpoints.truncate(
+        train
+          .join(ev, col("fp") === col("fp2"))
+          .select(col("train_id"), col("eval_id"), col("fp"), col("pa"), (col("pb") - col("pa")).as("diag")))
+      val wOrd = Window.partitionBy("train_id", "eval_id", "diag").orderBy("pa")
+      val runs = m
+        .select("train_id", "eval_id", "diag", "pa")
+        .distinct()
+        .withColumn("prev", lag("pa", 1).over(wOrd))
+        .withColumn("brk", (col("prev").isNull || col("pa") - col("prev") > WinnowW).cast("int"))
+        .withColumn("island", sum("brk").over(wOrd))
+        .groupBy("train_id", "eval_id", "diag", "island")
+        .agg((max("pa") - min("pa") + lit(WinnowK)).as("run_toks"))
+        .groupBy("train_id", "eval_id")
+        .agg(max("run_toks").as("max_run_toks"))
+      m.select("train_id", "eval_id", "fp")
+        .distinct()
+        .groupBy("train_id", "eval_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .join(runs, Seq("train_id", "eval_id"))
+        .orderBy("train_id", "eval_id")
+    },
     // Corpus-level term document-frequency — the stopword/boilerplate
     // discovery pass a cleaning pipeline runs before filtering: for every
     // token, how many docs contain it and whether it crosses the "common"
@@ -379,6 +474,35 @@ object ExtraText {
           (col("id") === col("comp")).cast("int").as("is_canonical"))
         .orderBy("doc_id")
     },
+    // INCREMENTAL dedup decision — the daily-batch form of the cluster
+    // queries above: docs < 30 are "yesterday" (labels already computed
+    // and persisted), docs 30..39 are today's batch. The delta pair list
+    // is every near-dup pair touching a new doc (a_id < b_id, so b_id >=
+    // 30 ⟺ at least one new endpoint); Components.incrementalComponents
+    // merges it into the stored labels by solving CC on the delta-sized
+    // comp-level graph only — the base edge list is never rebuilt and the
+    // base label table is only probed (delta join) + remapped (broadcast).
+    // Oracle: the FULL recompute over docs < 40 (recursive CTE), so the
+    // hash-match proves merge ≡ recompute.
+    "q_dedup_cc_incremental" -> { (s, dir) =>
+      val docs = Fixtures.table(s, dir, "documents")
+      val all40 = Checkpoints.truncate(jaccardPairs(s, dir, limit = 40).select("a_id", "b_id"))
+      val baseLabels = Components.connectedComponents(
+        all40.filter(col("b_id") < 30),
+        docs.filter(col("doc_id") < 30).select("doc_id"),
+        "doc_id")
+      Components
+        .incrementalComponents(
+          baseLabels,
+          all40.filter(col("b_id") >= 30),
+          docs.filter(col("doc_id") >= 30 && col("doc_id") < 40).select("doc_id"),
+          "doc_id")
+        .select(
+          col("id").as("doc_id"),
+          col("comp"),
+          (col("id") === col("comp")).cast("int").as("is_canonical"))
+        .orderBy("doc_id")
+    },
     // IVF-style ANN: coarse-quantize vectors into 16 sign-bit buckets on the
     // first 4 dims, search only within the query's bucket. The shape that
     // scales: bucket is the shuffle key, each bucket's candidates co-locate,
@@ -393,6 +517,35 @@ object ExtraText {
       val q = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), bucket(col("embedding")).as("bkt"))
       val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), bucket(col("embedding")).as("bkt2"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+      q.join(c, col("bkt") === col("bkt2") && col("q_id") =!= col("c_id"))
+        .withColumn("cos", SimKernel.cosine(col("q_emb"), col("c_emb")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("rn").cast("int").as("rn"), col("c_id"), col("bkt"), e6(col("cos")).as("score_e6"))
+        .orderBy("q_id", "rn")
+    },
+    // FILTERED ANN — production vector search is predicate + ANN ("nearest
+    // among label-class-even"), and WHERE the filter lands decides recall:
+    // filtering the candidate side BEFORE the bucket join returns the true
+    // top-k of the filtered corpus, while filtering a post-ranked top-k
+    // throws away rank slots on non-matching candidates and can return
+    // FEWER than k (or worse) — the classic post-filter recall trap,
+    // quantified in KMeansIvfSpec. Pre-filtering is also the scale move:
+    // the predicate prunes candidates before they're shuffled on the
+    // bucket key. Oracle: exact same semantics on the filtered slice.
+    "q_sim_ann_filtered" -> { (s, dir) =>
+      def bucket(c: Column) =
+        when(element_at(c, 1) > 0, 8).otherwise(0) +
+          when(element_at(c, 2) > 0, 4).otherwise(0) +
+          when(element_at(c, 3) > 0, 2).otherwise(0) +
+          when(element_at(c, 4) > 0, 1).otherwise(0)
+      val e = Fixtures.table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), bucket(col("embedding")).as("bkt"))
+      val c = e
+        .filter(col("label") % 2 === 0) // metadata predicate BEFORE the bucket join
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), bucket(col("embedding")).as("bkt2"))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
       q.join(c, col("bkt") === col("bkt2") && col("q_id") =!= col("c_id"))
         .withColumn("cos", SimKernel.cosine(col("q_emb"), col("c_emb")))
@@ -556,6 +709,19 @@ object ExtraText {
         ", p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS n_shared " +
         "FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
         "SELECT a_id, b_id, n_shared FROM p WHERE n_shared >= 2 ORDER BY a_id, b_id"),
+    "q_decontam_runs" ->
+      (winnowFpsPosSql +
+        ", j AS (SELECT a.doc_id AS train_id, b.doc_id AS eval_id, a.fp AS fp, a.pos AS pa, b.pos - a.pos AS diag " +
+        "FROM fp_pos a JOIN fp_pos b ON a.fp = b.fp AND a.doc_id >= 20 AND b.doc_id < 20), " +
+        "dd AS (SELECT DISTINCT train_id, eval_id, diag, pa FROM j), " +
+        "l AS (SELECT train_id, eval_id, diag, pa, lag(pa) OVER (PARTITION BY train_id, eval_id, diag ORDER BY pa) AS prev FROM dd), " +
+        s"f2 AS (SELECT train_id, eval_id, diag, pa, CASE WHEN prev IS NULL OR pa - prev > $WinnowW THEN 1 ELSE 0 END AS brk FROM l), " +
+        "g2 AS (SELECT train_id, eval_id, diag, pa, sum(brk) OVER (PARTITION BY train_id, eval_id, diag ORDER BY pa) AS island FROM f2), " +
+        s"r AS (SELECT train_id, eval_id, diag, island, max(pa) - min(pa) + $WinnowK AS run_toks FROM g2 GROUP BY 1, 2, 3, 4), " +
+        "mx AS (SELECT train_id, eval_id, CAST(max(run_toks) AS INT) AS max_run_toks FROM r GROUP BY 1, 2), " +
+        "ns AS (SELECT train_id, eval_id, CAST(count(DISTINCT fp) AS BIGINT) AS n_shared FROM j GROUP BY 1, 2) " +
+        "SELECT train_id, eval_id, n_shared, max_run_toks FROM ns JOIN mx USING (train_id, eval_id) " +
+        "ORDER BY train_id, eval_id"),
     "q_dedup_jaccard" ->
       "WITH s AS (SELECT DISTINCT doc_id, bg FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg FROM (SELECT doc_id, string_split(lower(text),' ') AS toks FROM documents WHERE doc_id < 30))), sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id), inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i FROM s a JOIN s b ON a.bg = b.bg AND a.doc_id < b.doc_id GROUP BY 1, 2), j AS (SELECT a_id, b_id, i/(sa.n + sb.n - i) AS jacc FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id) SELECT a_id, b_id, CAST(floor(jacc*1000000 + 0.5) AS BIGINT) AS jacc_e6 FROM j WHERE jacc >= 0.05 ORDER BY a_id, b_id",
     "q_dedup_clusters" ->
@@ -564,10 +730,17 @@ object ExtraText {
       "WITH RECURSIVE s AS (SELECT DISTINCT doc_id, bg FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg FROM (SELECT doc_id, string_split(lower(text),' ') AS toks FROM documents WHERE doc_id < 30))), sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id), inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i FROM s a JOIN s b ON a.bg = b.bg AND a.doc_id < b.doc_id GROUP BY 1, 2), pr AS (SELECT a_id, b_id FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id WHERE i/(sa.n + sb.n - i) >= 0.05), verts AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 30), e AS (SELECT a_id AS s2, b_id AS d FROM pr UNION ALL SELECT b_id, a_id FROM pr), reach(node, m) AS (SELECT doc_id, doc_id FROM verts UNION SELECT e.s2, r.m FROM e JOIN reach r ON e.d = r.node), lbl AS (SELECT node, min(m) AS comp FROM reach GROUP BY node), cl AS (SELECT comp, CAST(count(*) AS BIGINT) AS cl_size FROM lbl GROUP BY comp) SELECT cl_size, count(*) AS n_clusters, CAST(sum(cl_size - 1) AS BIGINT) AS n_dups FROM cl GROUP BY cl_size ORDER BY cl_size",
     "q_dedup_clusters_star" ->
       "WITH RECURSIVE s AS (SELECT DISTINCT doc_id, bg FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg FROM (SELECT doc_id, string_split(lower(text),' ') AS toks FROM documents WHERE doc_id < 30))), sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id), inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i FROM s a JOIN s b ON a.bg = b.bg AND a.doc_id < b.doc_id GROUP BY 1, 2), pr AS (SELECT a_id, b_id FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id WHERE i/(sa.n + sb.n - i) >= 0.05), verts AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 30), e AS (SELECT a_id AS s2, b_id AS d FROM pr UNION ALL SELECT b_id, a_id FROM pr), reach(node, m) AS (SELECT doc_id, doc_id FROM verts UNION SELECT e.s2, r.m FROM e JOIN reach r ON e.d = r.node) SELECT node AS doc_id, CAST(min(m) AS BIGINT) AS comp, CAST(node = min(m) AS INT) AS is_canonical FROM reach GROUP BY node ORDER BY doc_id",
+    // full recompute over docs < 40 — merge ≡ recompute is the check
+    "q_dedup_cc_incremental" ->
+      "WITH RECURSIVE s AS (SELECT DISTINCT doc_id, bg FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg FROM (SELECT doc_id, string_split(lower(text),' ') AS toks FROM documents WHERE doc_id < 40))), sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id), inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i FROM s a JOIN s b ON a.bg = b.bg AND a.doc_id < b.doc_id GROUP BY 1, 2), pr AS (SELECT a_id, b_id FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id WHERE i/(sa.n + sb.n - i) >= 0.05), verts AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 40), e AS (SELECT a_id AS s2, b_id AS d FROM pr UNION ALL SELECT b_id, a_id FROM pr), reach(node, m) AS (SELECT doc_id, doc_id FROM verts UNION SELECT e.s2, r.m FROM e JOIN reach r ON e.d = r.node) SELECT node AS doc_id, CAST(min(m) AS BIGINT) AS comp, CAST(node = min(m) AS INT) AS is_canonical FROM reach GROUP BY node ORDER BY doc_id",
     "q_sim_ann_ivf" ->
       ("WITH e AS (SELECT vec_id, embedding, (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bkt FROM embeddings), s AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.bkt, " +
         SimKernel.cosSql("q.embedding", "c.embedding") +
         " AS cos FROM e q JOIN e c ON q.bkt = c.bkt AND q.vec_id <> c.vec_id WHERE q.vec_id < 20), r AS (SELECT q_id, c_id, bkt, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM s) SELECT q_id, CAST(rn AS INT) AS rn, c_id, CAST(bkt AS INT) AS bkt, CAST(floor(cos*1000000 + 0.5) AS BIGINT) AS score_e6 FROM r WHERE rn <= 3 ORDER BY q_id, rn"),
+    "q_sim_ann_filtered" ->
+      ("WITH e AS (SELECT vec_id, embedding, label, (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bkt FROM embeddings), s AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.bkt, " +
+        SimKernel.cosSql("q.embedding", "c.embedding") +
+        " AS cos FROM e q JOIN e c ON q.bkt = c.bkt AND q.vec_id <> c.vec_id AND c.label % 2 = 0 WHERE q.vec_id < 20), r AS (SELECT q_id, c_id, bkt, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM s) SELECT q_id, CAST(rn AS INT) AS rn, c_id, CAST(bkt AS INT) AS bkt, CAST(floor(cos*1000000 + 0.5) AS BIGINT) AS score_e6 FROM r WHERE rn <= 3 ORDER BY q_id, rn"),
     "q_multimodal_binary" ->
       "SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, md5(text) AS digest, hex(encode(substring(text,1,4))) AS head4 FROM documents ORDER BY doc_id"
   )

@@ -39,12 +39,16 @@ object PipelineOps {
         .orderBy("doc_id", "chunk_id")
     },
     // Sequence packing: greedy first-fit of whole docs into 256-token bins,
-    // docs sharded into 32 groups (doc_id % 32) packed independently. The
-    // at-scale shape: the expensive part (per-item fold) is sequential only
-    // within a group sized to one worker; groups scale out freely.
+    // docs sharded into ceil(n/16) groups (doc_id % groups) packed
+    // independently — the shard count is DERIVED from the corpus count
+    // (16 docs per shard → 32 shards on this 500-doc fixture), so the
+    // at-scale shape holds at any size: the expensive per-item fold is
+    // sequential only within a constant-sized group, and group count (=
+    // parallelism) grows with the data. The oracle derives the same count
+    // from its own count(*), so the hash-match covers the derivation.
     "q_pack_sequences" -> { (s, dir) =>
       Curation
-        .packSequences(Fixtures.table(s, dir, "documents"), "doc_id", "text", groups = 32, budget = 256)
+        .packSequencesAuto(Fixtures.table(s, dir, "documents"), "doc_id", "text", targetPerGroup = 16, budget = 256)
         .orderBy("doc_id")
     },
     // Deterministic stratified sampling: keep-decision is a pure function of
@@ -73,7 +77,11 @@ object PipelineOps {
       val spec = docs
         .groupBy("source")
         .agg(count(lit(1)).as("n_src"))
-        .withColumn("target_n", (substring(col("source"), 4, 10).cast("long") % 4 + 1) * 5)
+        // substring(source, 4) with no length bound — the oracle's
+        // substr(source, 4) is unbounded too, so both engines parse the
+        // IDENTICAL text (a bounded length here would silently diverge on
+        // a >10-digit source id).
+        .withColumn("target_n", (expr("substring(source, 4)").cast("long") % 4 + 1) * 5)
         .withColumn("rate", least(lit(1000L), expr("target_n * 1000 div n_src")))
       docs
         .join(broadcast(spec), "source")
@@ -230,7 +238,8 @@ object PipelineOps {
         "CAST(len(toks[start:least(start+31, len(toks))]) AS INT) AS chunk_toks " +
         "FROM u ORDER BY doc_id, chunk_id"),
     "q_pack_sequences" ->
-      ("WITH RECURSIVE d AS (SELECT doc_id, CAST(doc_id % 32 AS INT) AS pgrp, CAST(len(string_split(text,' ')) AS INT) AS n FROM documents), " +
+      ("WITH RECURSIVE ng AS (SELECT CAST(greatest(1, ceil(count(*)/16.0)) AS INT) AS g FROM documents), " +
+        "d AS (SELECT doc_id, CAST(doc_id % (SELECT g FROM ng) AS INT) AS pgrp, CAST(len(string_split(text,' ')) AS INT) AS n FROM documents), " +
         "o AS (SELECT doc_id, pgrp, n, CAST(row_number() OVER (PARTITION BY pgrp ORDER BY doc_id) AS INT) AS rn FROM d), " +
         "p AS (SELECT pgrp, rn, doc_id, n, 0 AS bin, n AS fill FROM o WHERE rn = 1 " +
         "UNION ALL SELECT o.pgrp, o.rn, o.doc_id, o.n, " +

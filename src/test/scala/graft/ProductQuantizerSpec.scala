@@ -8,6 +8,34 @@ class ProductQuantizerSpec extends SparkSuite {
   private lazy val embs = Fixtures.table(spark, sf001, "embeddings")
   private lazy val coarse = KMeansIvf.fit(embs, "vec_id", "embedding", k = 8, iters = 3)
 
+  test("asNondeterministic barrier: encode-shaped UDF evaluates once per vector, not per generated row") {
+    // Pins the optimizer behavior the PQ/KMeansIvf fit loops rest on
+    // (ProductQuantizer.scala fit: encode → posexplode → element_at):
+    // CollapseProject must NOT fold a non-deterministic projection into
+    // the post-Generate select, or the encoder re-runs dim× per vector.
+    // An accumulator inside the UDF counts actual evaluations — if a
+    // Spark upgrade weakens the barrier, this count jumps from nVec to
+    // nVec×dim and the assert fails loudly.
+    val nVec = 100L
+    val dim = 8
+    val calls = spark.sparkContext.longAccumulator("encodeCalls")
+    val enc = udf { (v: Seq[Double]) =>
+      calls.add(1)
+      v.indices.map(_ / 2)
+    }.asNondeterministic()
+    val vecs = spark
+      .range(nVec)
+      .select(array((0 until dim).map(i => (col("id") + i).cast("double")): _*).as("v"))
+    vecs
+      .select(enc(col("v")).as("codes"), col("v"))
+      .select(col("codes"), posexplode(col("v")).as(Seq("p", "x")))
+      .select(col("p"), element_at(col("codes"), (col("p") / 2).cast("int") + 1).as("c"), col("x"))
+      .groupBy("p", "c")
+      .agg(count(lit(1)))
+      .collect()
+    assert(calls.value == nVec, s"encode UDF ran ${calls.value} times for $nVec vectors — barrier collapsed")
+  }
+
   test("codebook fit is deterministic across partitionings") {
     val a = ProductQuantizer.fit(embs, "vec_id", "embedding", m = 16, ksub = 64, iters = 3)
     val b = ProductQuantizer.fit(embs.repartition(7, col("vec_id")), "vec_id", "embedding", m = 16, ksub = 64, iters = 3)
