@@ -47,8 +47,13 @@ object Components {
     // join+filter+count a naive change detector needs — at scale that is one
     // tiny all-to-one agg vs a full shuffle join of two label sets.
     // decimal(38,0) so the sum is exact at any vertex-count × id magnitude.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+    // An EMPTY label set sums to NULL → normalize to 0 so the loop sees a
+    // stationary signature and exits after one round (hit by incremental
+    // merges whose delta touches no component at all).
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val d = df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
     var labels = Checkpoints.truncate(vertices.select(col(idCol).as("id"), col(idCol).as("comp")))
     var prevSum = labelSum(labels)
     var changed = true

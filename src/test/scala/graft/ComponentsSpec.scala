@@ -42,4 +42,57 @@ class ComponentsSpec extends SparkSuite {
     val edges = Seq.fill(50)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)).filter(p => p._1 != p._2)
     check(edges, verts)
   }
+
+  /** incrementalComponents(base + delta) must equal a full recompute on
+    * the union — for every structural case a daily batch hits. */
+  private def checkIncremental(
+      baseEdges: Seq[(Long, Long)],
+      baseVerts: Seq[Long],
+      deltaEdges: Seq[(Long, Long)],
+      newVerts: Seq[Long]): Unit = {
+    val base = Components.connectedComponents(baseEdges.toDF("a_id", "b_id"), baseVerts.toDF("vid"), "vid")
+    val merged = labelsOf(
+      Components.incrementalComponents(base, deltaEdges.toDF("a_id", "b_id"), newVerts.toDF("vid"), "vid"))
+    val full = labelsOf(
+      Components.connectedComponents(
+        (baseEdges ++ deltaEdges).toDF("a_id", "b_id"),
+        (baseVerts ++ newVerts).toDF("vid"),
+        "vid"))
+    assert(merged == full, s"incremental merge vs full recompute disagree:\n  inc:  $merged\n  full: $full")
+  }
+
+  test("incremental CC: delta bridges two OLD components (relabel cascades through comp graph)") {
+    checkIncremental(
+      baseEdges = Seq((0L, 1L), (1L, 2L), (10L, 11L)),
+      baseVerts = Seq(0L, 1L, 2L, 10L, 11L, 20L),
+      deltaEdges = Seq((2L, 10L)), // merges comp 0 and comp 10 with no new vertex at all
+      newVerts = Seq.empty)
+  }
+
+  test("incremental CC: new vertices attach to old components, chain through each other, and stay isolated") {
+    checkIncremental(
+      baseEdges = Seq((0L, 1L), (5L, 6L)),
+      baseVerts = Seq(0L, 1L, 5L, 6L, 7L),
+      // 30 joins comp 0; 31-32 form a new chain that ALSO bridges comps 0
+      // and 5 (new-vertex path merging two old components); 33 isolated.
+      deltaEdges = Seq((1L, 30L), (0L, 31L), (31L, 32L), (32L, 5L)),
+      newVerts = Seq(30L, 31L, 32L, 33L))
+  }
+
+  test("incremental CC: random base/delta split equals full recompute") {
+    val rnd = new scala.util.Random(13)
+    val baseVerts = 0L until 40L
+    val newVerts = 40L until 55L
+    val baseEdges = Seq.fill(30)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)).filter(p => p._1 != p._2)
+    val deltaEdges = Seq
+      .fill(20)((rnd.nextInt(55).toLong, (40 + rnd.nextInt(15)).toLong))
+      .filter(p => p._1 != p._2)
+    checkIncremental(baseEdges, baseVerts, deltaEdges, newVerts)
+  }
+
+  test("incremental CC: empty delta is a no-op on the labels") {
+    val baseEdges = Seq((0L, 1L), (2L, 3L))
+    val baseVerts = Seq(0L, 1L, 2L, 3L, 4L)
+    checkIncremental(baseEdges, baseVerts, Seq.empty, Seq(9L))
+  }
 }

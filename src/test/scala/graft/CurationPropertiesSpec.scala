@@ -48,6 +48,22 @@ class CurationPropertiesSpec extends SparkSuite {
     }
   }
 
+  test("packSequencesAuto: shard count is derived from the corpus and grows with it") {
+    val small = randCorpus(40)
+    val big = small.unionByName(randCorpus(80).select(col("id") + 1000, col("text")).toDF("id", "text"))
+    def nGroups(df: org.apache.spark.sql.DataFrame) =
+      Curation
+        .packSequencesAuto(df, "id", "text", targetPerGroup = 10, budget = 64)
+        .select(countDistinct("pgrp"))
+        .head()
+        .getLong(0)
+    val gSmall = nGroups(small)
+    val gBig = nGroups(big)
+    assert(gSmall == 4L, s"40 docs / target 10 should shard 4 ways, got $gSmall")
+    assert(gBig == 12L, s"120 docs / target 10 should shard 12 ways, got $gBig")
+    assert(gBig > gSmall, "shard count failed to grow with a larger corpus")
+  }
+
   test("sampleByHash: negative keys get buckets in [0,1000) and sane rates") {
     val df = (-500L until 500L).toDF("id")
     val out = Curation.sampleByHash(df, "id", lit(300)).select("id", "bucket").as[(Long, Long)].collect()

@@ -41,4 +41,38 @@ class KMeansIvfSpec extends SparkSuite {
     val recall = (approx & exact).size.toDouble / exact.size
     assert(recall >= 0.6, f"k-means IVF recall $recall%.2f below 0.6")
   }
+
+  test("filtered ANN: pre-filtering candidates >= recall of post-filtering the ranked list, same probes") {
+    // Predicate + ANN done right: restrict the CANDIDATE side before the
+    // bucket join (pre) vs rank unfiltered then drop non-matching results
+    // (post — the recall trap: filtered-out neighbors consume top-k slots,
+    // so matching neighbors ranked just below k are lost for good). Ground
+    // truth is the exact filtered top-3; both approximations use the SAME
+    // centroids and nprobe, so any recall gap is purely filter placement.
+    val cents = KMeansIvf.fit(embs, "vec_id", "embedding", k = 8, iters = 3)
+    val queries = embs.filter(col("vec_id") < 20)
+    val evenCands = embs.filter(col("label") % 2 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pre = pairs(KMeansIvf.annTopK(queries, evenCands, cents, "vec_id", "embedding", topK = 3, nprobe = 2))
+    val post = pairs(
+      KMeansIvf
+        .annTopK(queries, embs, cents, "vec_id", "embedding", topK = 3, nprobe = 2)
+        .join(embs.select(col("vec_id").as("c_id"), col("label")), "c_id")
+        .filter(col("label") % 2 === 0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    val exact = pairs(
+      queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .crossJoin(evenCands.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("cos", SimKernel.cosine(col("q_emb"), col("c_emb")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("q_id", "c_id"))
+    val recallPre = (pre & exact).size.toDouble / exact.size
+    val recallPost = (post & exact).size.toDouble / exact.size
+    assert(recallPre >= recallPost, f"pre-filter recall $recallPre%.2f < post-filter $recallPost%.2f")
+    assert(recallPre >= 0.5, f"pre-filter recall $recallPre%.2f unreasonably low")
+  }
 }
