@@ -33,7 +33,11 @@ object Explain {
     "q_join_tpch_q10",    // expect: filters under the fact-fact join, nation broadcast, TakeOrdered
     "q_join_tpch_q7",     // expect: pre-filtered nation aliases broadcast into supplier/customer
     "q_join_tpch_q14",    // expect: month filter on the fact scan, ONE conditional+total agg pass
-    "q_join_tpch_q19"     // expect: OR-of-ANDs factored into PushedFilters on BOTH scans
+    "q_join_tpch_q19",    // expect: OR-of-ANDs factored into PushedFilters on BOTH scans
+    "q_join_tpch_q21",    // expect: semi/anti on l_orderkey, broadcast supplier dim, no cartesian
+    "q_join_tpch_q22",    // expect: broadcast 1-row scalar avg, anti-join on date-pruned orders
+    "q_sim_ann_filtered", // expect: label filter UNDER the bucket equi-join (candidate side)
+    "q_ts_ewma"           // expect: ONE shuffle reused by window + both groupBys
   )
 
   def main(args: Array[String]): Unit = {

@@ -87,6 +87,30 @@ class PlanShapeSpec extends SparkSuite {
     assert(bloom.contains("BroadcastHashJoin"), s"q_join_bloom dim not broadcast:\n$bloom")
   }
 
+  test("round-8 shapes: Q21 semi/anti stay equi-join, Q22 broadcasts its scalar, filtered ANN is bucketed") {
+    // Q21's EXISTS/NOT-EXISTS decorrelates to left-semi/left-anti joins
+    // that must all key on l_orderkey (never a cartesian/nested loop), and
+    // the nation-filtered supplier side must broadcast before the fact.
+    val q21 = planOf("q_join_tpch_q21")
+    assert(!q21.contains("CartesianProduct"), s"q_join_tpch_q21 plans a cartesian product:\n$q21")
+    assert(!q21.contains("BroadcastNestedLoopJoin"), s"q_join_tpch_q21 plans a nested-loop join:\n$q21")
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"),
+      s"q_join_tpch_q21 lost its semi/anti decorrelation:\n$q21")
+    assert(q21.contains("BroadcastHashJoin"), s"q_join_tpch_q21 should broadcast the supplier dim:\n$q21")
+    // Q22: 1-row scalar avg arrives via broadcast, dormancy via anti-join;
+    // the BroadcastNestedLoopJoin is EXPECTED here (cross join with one
+    // row) — what must not appear is a cartesian over two real relations.
+    val q22 = planOf("q_join_tpch_q22")
+    assert(!q22.contains("CartesianProduct"), s"q_join_tpch_q22 plans a cartesian product:\n$q22")
+    assert(q22.contains("LeftAnti"), s"q_join_tpch_q22 lost its anti-join:\n$q22")
+    // Filtered ANN: the label predicate must sit UNDER the bucket join
+    // (candidate side pre-filtered), and the join stays a bucket equi-join.
+    for (q <- Seq("q_sim_ann_filtered", "q_dedup_cc_incremental", "q_decontam_runs")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product:\n$p")
+    }
+  }
+
   test("round-7 shapes: Q18 broadcasts via AQE without a hint; Q10/Q7 stay equi-join") {
     // q_join_tpch_q18 dropped its forced broadcast(big) hint (the qualifying
     // key set scales with the fact table — an OOM at 100×); this pins that
