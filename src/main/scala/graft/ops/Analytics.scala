@@ -720,6 +720,127 @@ object Analytics {
         .agg(count(lit(1)).as("numcust"), sum("bal_c").as("totacctbal_c"))
         .orderBy("c_nationkey")
     },
+    // TPC-H Q4 shape (order priority checking): orders in one quarter with
+    // at least one problem line ("late" = l_returnflag='R'; no
+    // commit/receipt dates in the fixture), counted by priority. EXISTS ≡
+    // left-semi join on l_orderkey; the date filter prunes the orders scan
+    // BEFORE the semi-join shuffle, and the lineitem side carries only the
+    // key column after its own pushed filter.
+    "q_join_tpch_q4" -> { (s, dir) =>
+      Fixtures
+        .table(s, dir, "orders")
+        .filter(
+          col("o_orderdate") >= lit("1996-07-01").cast("timestamp_ntz") &&
+            col("o_orderdate") < lit("1996-10-01").cast("timestamp_ntz"))
+        .join(
+          Fixtures.table(s, dir, "lineitem").filter(col("l_returnflag") === "R").select("l_orderkey"),
+          col("o_orderkey") === col("l_orderkey"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+    // TPC-H Q6 shape (forecasting revenue change): pure scan-side
+    // predicates + one global sum — the canonical pushdown/codegen
+    // microbenchmark. Every predicate reaches the parquet scan; revenue is
+    // the exact e4 integer rule shared with the other revenue aggregates.
+    "q_join_tpch_q6" -> { (s, dir) =>
+      Fixtures
+        .table(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
+            col("l_discount").between(0.04, 0.06) && col("l_quantity") < 24)
+        .agg(
+          sum(floor(col("l_extendedprice") * col("l_discount") * 10000 + lit(0.5)).cast("long"))
+            .as("revenue_e4"),
+          count(lit(1)).as("n_rows"))
+    },
+    // TPC-H Q8 shape (national market share): the widest classic join tree
+    // expressible on this schema — fact × part × supplier × orders ×
+    // customer × nation×2 × region, then share-of-total per year. All
+    // dims broadcast (each is model-sized next to lineitem); the two
+    // nation roles use separate aliases. The share divides two exact e4
+    // sums from ONE aggregate pass (conditional + total), like Q14.
+    "q_join_tpch_q8" -> { (s, dir) =>
+      val li = Fixtures.table(s, dir, "lineitem")
+      val part = Fixtures.table(s, dir, "part").filter(col("p_type") === "PROMO").select("p_partkey")
+      val supp = Fixtures.table(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val ord = Fixtures
+        .table(s, dir, "orders")
+        .filter(
+          col("o_orderdate") >= lit("1995-01-01").cast("timestamp_ntz") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val cust = Fixtures.table(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val n1 = Fixtures.table(s, dir, "nation").select(col("n_nationkey").as("c_nkey"), col("n_regionkey"))
+      val n2 = Fixtures
+        .table(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val reg = Fixtures.table(s, dir, "region").filter(col("r_name") === "ASIA").select("r_regionkey")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("c_nkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("s_nkey"))
+        .select(year(col("o_orderdate")).cast("long").as("o_year"), revE4.as("vol_e4"), col("supp_nation"))
+        .groupBy("o_year")
+        .agg(
+          sum(when(col("supp_nation") === "NATION_2", col("vol_e4")).otherwise(0L)).as("nation_e4"),
+          sum(col("vol_e4")).as("total_e4"))
+        .select(
+          col("o_year"),
+          col("nation_e4"),
+          col("total_e4"),
+          floor(col("nation_e4").cast("double") / col("total_e4") * 1e6 + lit(0.5))
+            .cast("long")
+            .as("mkt_share_e6"))
+        .orderBy("o_year")
+    },
+    // TPC-H Q15 shape (top supplier): quarterly revenue per supplier, keep
+    // the max — the scalar-max-over-derived-view pattern. The revenue view
+    // is checkpointed: both its consumers (the 1-row max and the equality
+    // filter) read the materialization instead of re-scanning lineitem,
+    // and the max arrives as a broadcast 1-row frame.
+    "q_join_tpch_q15" -> { (s, dir) =>
+      val rev = Checkpoints.truncate(
+        Fixtures
+          .table(s, dir, "lineitem")
+          .filter(
+            col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+              col("l_shipdate") < lit("1996-04-01").cast("timestamp_ntz"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(revE4).as("total_rev_e4")))
+      val mx = rev.agg(max("total_rev_e4").as("max_rev_e4"))
+      rev
+        .crossJoin(broadcast(mx))
+        .filter(col("total_rev_e4") === col("max_rev_e4"))
+        .join(broadcast(Fixtures.table(s, dir, "supplier").select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev_e4"))
+        .orderBy("s_suppkey")
+    },
+    // TPC-H Q17 shape (small-quantity-order revenue): lines of one brand
+    // below 20% of their part's average quantity — the per-group-average
+    // correlated subquery, decorrelated into a per-part aggregate joined
+    // back to the fact. The avg join is keyed on l_partkey (uniform); the
+    // threshold compares via one double expression spelled identically in
+    // the oracle (exact integer sum / count).
+    "q_join_tpch_q17" -> { (s, dir) =>
+      val li = Fixtures.table(s, dir, "lineitem")
+      val pq = li
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("l_quantity").cast("long")).as("qsum"), count(lit(1)).as("qn"))
+      li.join(broadcast(Fixtures.table(s, dir, "part").filter(col("p_brand") === "Brand#1").select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .join(pq, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < lit(0.2) * (col("qsum").cast("double") / col("qn")))
+        .agg(
+          sum(cents(col("l_extendedprice"))).as("price_c_sum"),
+          count(lit(1)).as("n_rows"))
+    },
     // Referential-integrity audit — the post-batch FK check a loader runs
     // before publishing: per relation, how many child rows reference a
     // missing parent. Each relation is ONE anti-join (broadcast when the
@@ -950,6 +1071,39 @@ object Analytics {
         "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') " +
         "AND s_nationkey = n_nationkey AND n_name = 'NATION_1' " +
         "GROUP BY s_name ORDER BY numwait DESC, s_name"),
+    "q_join_tpch_q4" ->
+      ("SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01' " +
+        "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_join_tpch_q6" ->
+      ("SELECT CAST(sum(CAST(floor(l_extendedprice*l_discount*10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4, " +
+        "CAST(count(*) AS BIGINT) AS n_rows FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
+        "AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24"),
+    "q_join_tpch_q8" ->
+      ("WITH v AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
+        "CAST(floor(l_extendedprice*(1.0 - l_discount)*10000 + 0.5) AS BIGINT) AS vol_e4, n2.n_name AS supp_nation " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation n1 ON c_nationkey = n1.n_nationkey JOIN region ON n1.n_regionkey = r_regionkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey JOIN nation n2 ON s_nationkey = n2.n_nationkey " +
+        "WHERE p_type = 'PROMO' AND r_name = 'ASIA' " +
+        "AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01') " +
+        "SELECT o_year, CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN vol_e4 ELSE 0 END) AS BIGINT) AS nation_e4, " +
+        "CAST(sum(vol_e4) AS BIGINT) AS total_e4, " +
+        "CAST(floor(CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN vol_e4 ELSE 0 END) AS DOUBLE)/sum(vol_e4)*1000000 + 0.5) AS BIGINT) AS mkt_share_e6 " +
+        "FROM v GROUP BY o_year ORDER BY o_year"),
+    "q_join_tpch_q15" ->
+      ("WITH rev AS (SELECT l_suppkey, CAST(sum(CAST(floor(l_extendedprice*(1.0 - l_discount)*10000 + 0.5) AS BIGINT)) AS BIGINT) AS total_rev_e4 " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) " +
+        "SELECT s_suppkey, s_name, total_rev_e4 FROM supplier JOIN rev ON s_suppkey = l_suppkey " +
+        "WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM rev) ORDER BY s_suppkey"),
+    "q_join_tpch_q17" ->
+      ("WITH pq AS (SELECT l_partkey AS pk, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qsum, CAST(count(*) AS BIGINT) AS qn FROM lineitem GROUP BY 1) " +
+        "SELECT CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS price_c_sum, CAST(count(*) AS BIGINT) AS n_rows " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey JOIN pq ON l_partkey = pk " +
+        "WHERE p_brand = 'Brand#1' AND l_quantity < 0.2 * (CAST(qsum AS DOUBLE)/qn)"),
     "q_join_tpch_q22" ->
       ("WITH c AS (SELECT c_custkey, c_nationkey, CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal_c " +
         "FROM customer WHERE c_nationkey IN (1, 2, 3, 4, 5, 6, 7)), " +

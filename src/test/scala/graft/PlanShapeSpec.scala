@@ -103,6 +103,14 @@ class PlanShapeSpec extends SparkSuite {
     val q22 = planOf("q_join_tpch_q22")
     assert(!q22.contains("CartesianProduct"), s"q_join_tpch_q22 plans a cartesian product:\n$q22")
     assert(q22.contains("LeftAnti"), s"q_join_tpch_q22 lost its anti-join:\n$q22")
+    // Q4's EXISTS decorrelates to a semi-join; Q8's seven-relation tree
+    // must broadcast every dim (the fact table is the only big side).
+    val q4 = planOf("q_join_tpch_q4")
+    assert(q4.contains("LeftSemi") && !q4.contains("CartesianProduct"),
+      s"q_join_tpch_q4 lost its semi-join decorrelation:\n$q4")
+    val q8 = planOf("q_join_tpch_q8")
+    assert(q8.contains("BroadcastHashJoin") && !q8.contains("CartesianProduct"),
+      s"q_join_tpch_q8 should broadcast its dims:\n$q8")
     // Filtered ANN: the label predicate must sit UNDER the bucket join
     // (candidate side pre-filtered), and the join stays a bucket equi-join.
     for (q <- Seq("q_sim_ann_filtered", "q_dedup_cc_incremental", "q_decontam_runs")) {
