@@ -27,7 +27,9 @@ object SparkEntry {
       ops.ExtraText.queries ++
       ops.PipelineOps.queries ++
       ops.StreamingBatch.queries ++
-      ops.Analytics.queries
+      ops.Analytics.queries ++
+      ops.Behavior.queries ++
+      ops.Reports.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +45,7 @@ object SparkEntry {
       ops.ExtraText.oracle ++
       ops.PipelineOps.oracle ++
       ops.StreamingBatch.oracle ++
-      ops.Analytics.oracle
+      ops.Analytics.oracle ++
+      ops.Behavior.oracle ++
+      ops.Reports.oracle
 }

@@ -426,6 +426,52 @@ object ExtraText {
         .select(col("a_id"), col("b_id"), e6(col("jacc")).as("jacc_e6"))
         .orderBy("a_id", "b_id")
     },
+    // Prefix-filtered exact similarity join (AllPairs / PPJoin family,
+    // Bayardo et al. WWW 2007) over the FULL corpus — the scalable exact
+    // counterpart to the 30-doc q_dedup_jaccard slice. Each doc's bigram
+    // set is sorted by ascending global document frequency (rarest first;
+    // ties by token text — any consistent TOTAL order works) and only its
+    // first n - ceil(t*n) + 1 tokens are indexed: two sets with Jaccard
+    // >= t MUST share a prefix token under a common total order, so the
+    // candidate join touches rare tokens almost exclusively and the
+    // frequent-token posting lists that blow up a naive shingle index never
+    // form pairs. A length filter (min >= t*max) prunes before the distinct
+    // and exact verification keeps only true pairs — same results as
+    // all-pairs Jaccard, provably, at a fraction of the candidates. The
+    // per-doc frame (sorted features + prefix) is checkpointed once and
+    // feeds the index build AND both verify sides.
+    "q_simjoin_prefix" -> { (s, dir) =>
+      val t = 0.6
+      val feats = Fixtures
+        .table(s, dir, "documents")
+        .select(col("doc_id"), explode(shingleUdf(split(lower(col("text")), " "))).as("bg"))
+        .distinct()
+      val dfreq = feats.groupBy("bg").agg(count(lit(1)).as("df"))
+      val docFeats = Checkpoints.truncate(
+        feats
+          .join(dfreq, Seq("bg"))
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(struct(col("df"), col("bg")))).as("fs"))
+          .select(col("doc_id"), expr("transform(fs, f -> f.bg)").as("toks"), size(col("fs")).as("n"))
+          .withColumn("pfx", expr(s"slice(toks, 1, n - CAST(ceil($t * n) AS INT) + 1)")))
+      val a = docFeats.select(col("doc_id").as("a_id"), explode(col("pfx")).as("bg"), col("n").as("na"))
+      val b = docFeats.select(col("doc_id").as("b_id"), explode(col("pfx")).as("bg"), col("n").as("nb"))
+      val cands = a
+        .join(b, Seq("bg"))
+        .filter(
+          col("a_id") < col("b_id") &&
+            least(col("na"), col("nb")) >= lit(t) * greatest(col("na"), col("nb")))
+        .select("a_id", "b_id")
+        .distinct()
+      cands
+        .join(docFeats.select(col("doc_id").as("a_id"), col("toks").as("ta"), col("n").as("na")), Seq("a_id"))
+        .join(docFeats.select(col("doc_id").as("b_id"), col("toks").as("tb"), col("n").as("nb")), Seq("b_id"))
+        .withColumn("i", size(array_intersect(col("ta"), col("tb"))))
+        .withColumn("jacc", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+        .filter(col("jacc") >= t)
+        .select(col("a_id"), col("b_id"), e6(col("jacc")).as("jacc_e6"))
+        .orderBy("a_id", "b_id")
+    },
     // Near-dup pairs → dedup DECISION: connected components over the exact
     // Jaccard pair graph, each cluster's min doc_id is the canonical copy
     // and the rest are the delete set. Oracle: DuckDB recursive CTE
@@ -724,6 +770,15 @@ object ExtraText {
         "ORDER BY train_id, eval_id"),
     "q_dedup_jaccard" ->
       "WITH s AS (SELECT DISTINCT doc_id, bg FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg FROM (SELECT doc_id, string_split(lower(text),' ') AS toks FROM documents WHERE doc_id < 30))), sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id), inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i FROM s a JOIN s b ON a.bg = b.bg AND a.doc_id < b.doc_id GROUP BY 1, 2), j AS (SELECT a_id, b_id, i/(sa.n + sb.n - i) AS jacc FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id) SELECT a_id, b_id, CAST(floor(jacc*1000000 + 0.5) AS BIGINT) AS jacc_e6 FROM j WHERE jacc >= 0.05 ORDER BY a_id, b_id",
+    // brute-force all-pairs over every doc pair sharing >= 1 bigram —
+    // complete for any t > 0, so the hash-match proves the prefix filter
+    // loses nothing on this corpus
+    "q_simjoin_prefix" ->
+      ("WITH s AS (SELECT DISTINCT doc_id, bg FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg FROM (SELECT doc_id, string_split(lower(text),' ') AS toks FROM documents))), " +
+        "sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i FROM s a JOIN s b ON a.bg = b.bg AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "j AS (SELECT a_id, b_id, i*1.0/(sa.n + sb.n - i) AS jacc FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id) " +
+        "SELECT a_id, b_id, CAST(floor(jacc*1000000 + 0.5) AS BIGINT) AS jacc_e6 FROM j WHERE jacc >= 0.6 ORDER BY a_id, b_id"),
     "q_dedup_clusters" ->
       "WITH RECURSIVE s AS (SELECT DISTINCT doc_id, bg FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg FROM (SELECT doc_id, string_split(lower(text),' ') AS toks FROM documents WHERE doc_id < 30))), sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id), inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i FROM s a JOIN s b ON a.bg = b.bg AND a.doc_id < b.doc_id GROUP BY 1, 2), pr AS (SELECT a_id, b_id FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id WHERE i/(sa.n + sb.n - i) >= 0.05), verts AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 30), e AS (SELECT a_id AS s2, b_id AS d FROM pr UNION ALL SELECT b_id, a_id FROM pr), reach(node, m) AS (SELECT doc_id, doc_id FROM verts UNION SELECT e.s2, r.m FROM e JOIN reach r ON e.d = r.node) SELECT node AS doc_id, CAST(min(m) AS BIGINT) AS comp, CAST(node = min(m) AS INT) AS is_canonical FROM reach GROUP BY node ORDER BY doc_id",
     "q_dedup_stats" ->

@@ -1,0 +1,249 @@
+package graft.ops
+
+import graft.Fixtures
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse reporting and audit operators: period-over-period growth,
+  * ratio-to-parent rollups, Pareto (skyline) frontiers, Benford first-digit
+  * audits, UPC-E normalization, and co-occurrence graph triangle counting.
+  *
+  * The common scale discipline: every fact-sized frame is touched once and
+  * aggregated down to a model-sized frame BEFORE any window/self-join runs —
+  * the windows here iterate over dozens-to-thousands of aggregate rows, never
+  * the 100-TB fact. The one genuinely super-linear operator (triangles) uses
+  * the degree-ordered orientation that bounds wedge generation, the standard
+  * trick that makes distributed triangle counting feasible (cf. Suri &
+  * Vassilvitskii, WWW 2011).
+  */
+object Reports {
+  private def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast("long")
+
+  /** UPC-E body: 6 deterministic digits derived from the part key. The SAME
+    * SQL text runs on Spark (via expr) and DuckDB (via the oracle CTE) —
+    * textual identity is the cross-engine equality proof, exactly the
+    * SimKernel.cosSql pattern. */
+  private val upcBodySql =
+    "lpad(CAST((p_partkey * 37 + 11) % 1000000 AS STRING), 6, '0')"
+
+  /** UPC-E -> UPC-A body expansion (number system 0). Standard GS1 rule
+    * keyed on the last body digit: 0-2 embed it as the 3rd manufacturer
+    * digit, 3/4 split manufacturer/product at 3/4 digits, 5-9 append as the
+    * product digit. Input column `b` (6 digits), output 11 digits (leading
+    * number system 0, no check digit yet). */
+  private val upcExpandSql =
+    "CASE WHEN substring(b, 6, 1) IN ('0','1','2') THEN '0' || substring(b,1,2) || substring(b,6,1) || '0000' || substring(b,3,3) " +
+      "WHEN substring(b, 6, 1) = '3' THEN '0' || substring(b,1,3) || '00000' || substring(b,4,2) " +
+      "WHEN substring(b, 6, 1) = '4' THEN '0' || substring(b,1,4) || '00000' || substring(b,5,1) " +
+      "ELSE '0' || substring(b,1,5) || '0000' || substring(b,6,1) END"
+
+  /** Mod-10 check digit over the 11-digit column `a11`: 3x odd positions +
+    * even positions (UPC-A weighting). Generated from the position lists so
+    * the weighting exists in exactly one place. */
+  private val upcCheckSql = {
+    val odd = (1 to 11 by 2).map(i => s"CAST(substring(a11,$i,1) AS INT)").mkString(" + ")
+    val even = (2 to 10 by 2).map(i => s"CAST(substring(a11,$i,1) AS INT)").mkString(" + ")
+    s"(10 - (3*($odd) + ($even)) % 10) % 10"
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Month-over-month revenue growth: the fact is aggregated to ~80 month
+    // rows FIRST; the unpartitioned lag window then runs on that model-sized
+    // frame (a global window over a pre-aggregated frame is fine — over the
+    // raw fact it would be the classic single-task trap). Growth is an e6
+    // ratio of exact cent longs.
+    "q_mom_growth" -> { (s, dir) =>
+      val monthly = Fixtures
+        .table(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
+      val w = Window.orderBy("month")
+      monthly
+        .withColumn("prev_c", lag("rev_c", 1).over(w))
+        .select(
+          col("month"),
+          col("rev_c"),
+          col("prev_c"),
+          when(
+            col("prev_c").isNotNull,
+            floor((col("rev_c") - col("prev_c")).cast("double") / col("prev_c") * 1e6 + lit(0.5))
+              .cast("long")).as("growth_e6"))
+        .orderBy("month")
+    },
+    // Ratio-to-parent rollup: each nation's share of its region's revenue.
+    // Dims chain off the fact via broadcast (all three are bounded
+    // dimensions); the share window partitions the 25-row aggregate by
+    // region, never the fact. Share is e6 over exact cent longs.
+    "q_ratio_to_parent" -> { (s, dir) =>
+      Fixtures
+        .table(s, dir, "orders")
+        .select(col("o_custkey"), cents(col("o_totalprice")).as("t_c"))
+        .join(
+          broadcast(Fixtures.table(s, dir, "customer").select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(
+          broadcast(Fixtures.table(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(
+          broadcast(Fixtures.table(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum("t_c").as("rev_c"))
+        .withColumn(
+          "share_e6",
+          floor(col("rev_c").cast("double") / sum("rev_c").over(Window.partitionBy("r_name")) * 1e6 + lit(0.5))
+            .cast("long"))
+        .orderBy("r_name", "n_name")
+    },
+    // Pareto frontier (skyline): parts not dominated on (price low, size
+    // high). The oracle's NOT EXISTS is O(n^2); this plan is O(n log n) via
+    // two windows after ONE range-partitioned sort on price: a row is
+    // dominated iff the max size over STRICTLY cheaper rows reaches its size
+    // (range frame to -1 excludes price ties) or a same-price row strictly
+    // exceeds it. No self-join anywhere — the 100-TB skyline stays a sort.
+    "q_pareto_front" -> { (s, dir) =>
+      val wLt = Window.orderBy("price_c").rangeBetween(Window.unboundedPreceding, -1)
+      val wEq = Window.partitionBy("price_c")
+      Fixtures
+        .table(s, dir, "part")
+        .select(col("p_partkey"), cents(col("p_retailprice")).as("price_c"), col("p_size"))
+        .withColumn("max_lt", max("p_size").over(wLt))
+        .withColumn("max_eq", max("p_size").over(wEq))
+        .filter(!(coalesce(col("max_lt") >= col("p_size"), lit(false)) || col("max_eq") > col("p_size")))
+        .select("p_partkey", "price_c", "p_size")
+        .orderBy("p_partkey")
+    },
+    // Benford first-digit audit over order totals: observed counts vs the
+    // log10(1 + 1/d) expectation, with per-digit chi-square contributions —
+    // the classic synthetic-data / fraud tell. One aggregation pass to 9
+    // rows; the expectation math runs per digit row. The chi2 expression is
+    // written ONCE and shared verbatim with the oracle so both engines run
+    // the identical IEEE expression tree.
+    "q_benford" -> { (s, dir) =>
+      val chi2Sql =
+        "CAST(floor((n_obs - tot * ln(1.0 + 1.0/digit)/ln(10.0)) * (n_obs - tot * ln(1.0 + 1.0/digit)/ln(10.0)) / (tot * ln(1.0 + 1.0/digit)/ln(10.0)) * 1000000 + 0.5) AS BIGINT)"
+      Fixtures
+        .table(s, dir, "orders")
+        .select(substring(cents(col("o_totalprice")).cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy("digit")
+        .agg(count(lit(1)).as("n_obs"))
+        .withColumn("tot", sum("n_obs").over(Window.partitionBy()))
+        .select(
+          col("digit"),
+          col("n_obs"),
+          expr("CAST(floor(tot * ln(1.0 + 1.0/digit)/ln(10.0) + 0.5) AS BIGINT)").as("n_exp"),
+          expr(chi2Sql).as("chi2_e6"))
+        .orderBy("digit")
+    },
+    // Thematic: UPC-E (zero-suppressed 8-digit) synthesis and normalization
+    // to full UPC-A — what a UPC/SKU loader does to reconcile retail feeds
+    // that mix compressed and full codes. Pure string/arithmetic SQL shared
+    // verbatim with the oracle; map-only, whole-stage codegen, zero shuffle
+    // at any scale.
+    "q_upc_normalize" -> { (s, dir) =>
+      Fixtures
+        .table(s, dir, "part")
+        .select(col("p_partkey"))
+        .withColumn("b", expr(upcBodySql))
+        .withColumn("a11", expr(upcExpandSql))
+        .withColumn("cd", expr(upcCheckSql))
+        .select(
+          col("p_partkey"),
+          concat(lit("0"), col("b"), col("cd").cast("string")).as("upc_e"),
+          concat(col("a11"), col("cd").cast("string")).as("upc_a"))
+        .orderBy("p_partkey")
+    },
+    // Triangle count on the co-purchase graph (parts sharing an order).
+    // Edge build: lineitem self-joins on the order key (hash-partitioned on
+    // l_orderkey — per-order line counts are bounded by the schema, so the
+    // pair explosion is linear in orders) then distinct. Counting uses the
+    // DEGREE-ORDERED ORIENTATION: every edge points from its lower-(degree,
+    // id) endpoint to the higher, so wedges are enumerated only at their
+    // lowest-degree vertex — sum over v of C(outdeg(v), 2) with outdeg
+    // bounded by O(sqrt(m)) — instead of C(deg, 2) at hub vertices, which is
+    // what makes the count feasible when a hot part appears in 10^7 orders.
+    // The closing-edge check is an equi-join against the oriented edge list
+    // (orientation keys agree, so a closing edge can only appear as
+    // (d1, d2)). The edge list is checkpointed once and reused by all four
+    // consumers (degree calc, orientation, wedge join, closing join).
+    "q_graph_triangles" -> { (s, dir) =>
+      val li = Fixtures
+        .table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e = Checkpoints.truncate(
+        li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+          .filter(col("pk") < col("pk2"))
+          .select(col("pk").as("a"), col("pk2").as("b"))
+          .distinct())
+      val deg = e
+        .select(col("a").as("v"))
+        .union(e.select(col("b").as("v")))
+        .groupBy("v")
+        .agg(count(lit(1)).as("deg"))
+      // orientation key: (deg, id) packed into one long — distinct per
+      // vertex, monotone in the (deg, id) lexicographic order
+      val ka = deg.select(col("v").as("a"), (col("deg") * lit(1L << 32) + col("a")).as("k_a"))
+      val kb = deg.select(col("v").as("b"), (col("deg") * lit(1L << 32) + col("b")).as("k_b"))
+      val o = Checkpoints.truncate(
+        e.join(ka, Seq("a"))
+          .join(kb, Seq("b"))
+          .select(
+            when(col("k_a") < col("k_b"), col("a")).otherwise(col("b")).as("src"),
+            when(col("k_a") < col("k_b"), col("b")).otherwise(col("a")).as("dst"),
+            greatest(col("k_a"), col("k_b")).as("k_dst")))
+      val w1 = o.select(col("src"), col("dst").as("d1"), col("k_dst").as("k1"))
+      val w2 = o.select(col("src"), col("dst").as("d2"), col("k_dst").as("k2"))
+      val wedges = w1
+        .join(w2, Seq("src"))
+        .filter(col("k1") < col("k2"))
+        .select(col("d1"), col("d2"))
+      val closed = wedges.join(
+        o.select(col("src").as("d1"), col("dst").as("d2")),
+        Seq("d1", "d2"),
+        "left_semi")
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_mom_growth" ->
+      ("WITH m AS (SELECT date_trunc('month', o_orderdate) AS month, CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c FROM orders GROUP BY 1), " +
+        "l AS (SELECT month, rev_c, lag(rev_c) OVER (ORDER BY month) AS prev_c FROM m) " +
+        "SELECT month, rev_c, prev_c, CASE WHEN prev_c IS NOT NULL THEN " +
+        "CAST(floor(CAST(rev_c - prev_c AS DOUBLE) / prev_c * 1000000 + 0.5) AS BIGINT) END AS growth_e6 " +
+        "FROM l ORDER BY month"),
+    "q_ratio_to_parent" ->
+      ("WITH g AS (SELECT r_name, n_name, CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2) " +
+        "SELECT r_name, n_name, rev_c, " +
+        "CAST(floor(CAST(rev_c AS DOUBLE) / sum(rev_c) OVER (PARTITION BY r_name) * 1000000 + 0.5) AS BIGINT) AS share_e6 " +
+        "FROM g ORDER BY 1, 2"),
+    "q_pareto_front" ->
+      ("WITH p AS (SELECT p_partkey, CAST(floor(p_retailprice*100 + 0.5) AS BIGINT) AS price_c, p_size FROM part) " +
+        "SELECT p_partkey, price_c, p_size FROM p a WHERE NOT EXISTS (" +
+        "SELECT 1 FROM p b WHERE (b.price_c < a.price_c AND b.p_size >= a.p_size) " +
+        "OR (b.price_c = a.price_c AND b.p_size > a.p_size)) ORDER BY p_partkey"),
+    "q_benford" ->
+      ("WITH o AS (SELECT CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS c FROM orders), " +
+        "g AS (SELECT CAST(substring(CAST(c AS STRING), 1, 1) AS INT) AS digit, CAST(count(*) AS BIGINT) AS n_obs FROM o GROUP BY 1), " +
+        "t AS (SELECT digit, n_obs, sum(n_obs) OVER () AS tot FROM g) " +
+        "SELECT digit, n_obs, CAST(floor(tot * ln(1.0 + 1.0/digit)/ln(10.0) + 0.5) AS BIGINT) AS n_exp, " +
+        "CAST(floor((n_obs - tot * ln(1.0 + 1.0/digit)/ln(10.0)) * (n_obs - tot * ln(1.0 + 1.0/digit)/ln(10.0)) / (tot * ln(1.0 + 1.0/digit)/ln(10.0)) * 1000000 + 0.5) AS BIGINT) AS chi2_e6 " +
+        "FROM t ORDER BY digit"),
+    "q_upc_normalize" ->
+      (s"WITH p AS (SELECT p_partkey, $upcBodySql AS b FROM part), " +
+        s"a AS (SELECT p_partkey, b, $upcExpandSql AS a11 FROM p), " +
+        s"c AS (SELECT p_partkey, b, a11, $upcCheckSql AS cd FROM a) " +
+        "SELECT p_partkey, '0' || b || CAST(cd AS STRING) AS upc_e, a11 || CAST(cd AS STRING) AS upc_a " +
+        "FROM c ORDER BY p_partkey"),
+    "q_graph_triangles" ->
+      ("WITH e AS (SELECT DISTINCT least(l1.l_partkey, l2.l_partkey) AS a, greatest(l1.l_partkey, l2.l_partkey) AS b " +
+        "FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey <> l2.l_partkey) " +
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b " +
+        "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles")
+  )
+}
