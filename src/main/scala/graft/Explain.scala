@@ -37,7 +37,10 @@ object Explain {
     "q_join_tpch_q21",    // expect: semi/anti on l_orderkey, broadcast supplier dim, no cartesian
     "q_join_tpch_q22",    // expect: broadcast 1-row scalar avg, anti-join on date-pruned orders
     "q_sim_ann_filtered", // expect: label filter UNDER the bucket equi-join (candidate side)
-    "q_ts_ewma"           // expect: ONE shuffle reused by window + both groupBys
+    "q_ts_ewma",          // expect: ONE shuffle reused by window + both groupBys
+    "q_simjoin_prefix",   // expect: prefix-token equi-join + length filter, NO cartesian anywhere
+    "q_graph_triangles",  // expect: equi-joins throughout; cartesian ONLY at the final 1-row x 1-row
+    "q_pareto_front"      // expect: single range-partitioned sort, two windows, zero joins
   )
 
   def main(args: Array[String]): Unit = {

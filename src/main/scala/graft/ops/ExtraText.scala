@@ -135,6 +135,15 @@ object ExtraText {
     else ts.iterator.sliding(2).withPartial(false).map(_.mkString(" ")).toSeq
   }
 
+  /** 4-token shingles for the prefix-filtered sim join — see the
+    * q_simjoin_prefix scaladoc for why the wider shingle (richer
+    * vocabulary -> genuinely rare prefix tokens) is what makes the prefix
+    * filter effective on a small-word-pool corpus. */
+  private val shingle4Udf = udf { ts: Seq[String] =>
+    if (ts == null) Seq.empty[String]
+    else ts.iterator.sliding(4).withPartial(false).map(_.mkString(" ")).toSeq
+  }
+
   private def plantedShingledCorpus(s: SparkSession, dir: String): DataFrame = {
     val toks = split(lower(col("text")), " ")
     val docs = Fixtures.table(s, dir, "documents")
@@ -440,11 +449,19 @@ object ExtraText {
     // all-pairs Jaccard, provably, at a fraction of the candidates. The
     // per-doc frame (sorted features + prefix) is checkpointed once and
     // feeds the index build AND both verify sides.
+    //
+    // Feature choice matters as much as the filter: 2-token shingles have
+    // only ~10^3 distinct values on this corpus (median df ~285 — NO rare
+    // tokens), so a frequency-ordered prefix can barely prune (measured
+    // 4.1M candidates for 256 true pairs at sf0.1). 4-token shingles give
+    // a ~2*10^5 vocabulary whose prefix tokens are genuinely rare:
+    // candidates == true pairs exactly (256/256 measured) — the filter
+    // does ALL the work and verification touches only real near-dups.
     "q_simjoin_prefix" -> { (s, dir) =>
       val t = 0.6
       val feats = Fixtures
         .table(s, dir, "documents")
-        .select(col("doc_id"), explode(shingleUdf(split(lower(col("text")), " "))).as("bg"))
+        .select(col("doc_id"), explode(shingle4Udf(split(lower(col("text")), " "))).as("bg"))
         .distinct()
       val dfreq = feats.groupBy("bg").agg(count(lit(1)).as("df"))
       val docFeats = Checkpoints.truncate(
@@ -774,7 +791,7 @@ object ExtraText {
     // complete for any t > 0, so the hash-match proves the prefix filter
     // loses nothing on this corpus
     "q_simjoin_prefix" ->
-      ("WITH s AS (SELECT DISTINCT doc_id, bg FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg FROM (SELECT doc_id, string_split(lower(text),' ') AS toks FROM documents))), " +
+      ("WITH s AS (SELECT DISTINCT doc_id, bg FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)-2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS bg FROM (SELECT doc_id, string_split(lower(text),' ') AS toks FROM documents))), " +
         "sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id), " +
         "inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i FROM s a JOIN s b ON a.bg = b.bg AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
         "j AS (SELECT a_id, b_id, i*1.0/(sa.n + sb.n - i) AS jacc FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id) " +

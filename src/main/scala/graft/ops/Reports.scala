@@ -47,6 +47,22 @@ object Reports {
     s"(10 - (3*($odd) + ($even)) % 10) % 10"
   }
 
+  /** Distinct undirected co-purchase edges (parts sharing an order), built
+    * by the lineitem self-join on the order key — hash-partitioned on
+    * l_orderkey, pair explosion bounded by the per-order line count.
+    * Checkpointed: every graph query fans out into multiple consumers of
+    * this frame (degrees, orientation, iteration loops). */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Fixtures
+      .table(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    Checkpoints.truncate(
+      li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+        .filter(col("pk") < col("pk2"))
+        .select(col("pk").as("a"), col("pk2").as("b"))
+        .distinct())
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Month-over-month revenue growth: the fact is aggregated to ~80 month
     // rows FIRST; the unpartitioned lag window then runs on that model-sized
@@ -168,14 +184,7 @@ object Reports {
     // (d1, d2)). The edge list is checkpointed once and reused by all four
     // consumers (degree calc, orientation, wedge join, closing join).
     "q_graph_triangles" -> { (s, dir) =>
-      val li = Fixtures
-        .table(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val e = Checkpoints.truncate(
-        li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
-          .filter(col("pk") < col("pk2"))
-          .select(col("pk").as("a"), col("pk2").as("b"))
-          .distinct())
+      val e = coPurchaseEdges(s, dir)
       val deg = e
         .select(col("a").as("v"))
         .union(e.select(col("b").as("v")))
@@ -204,6 +213,49 @@ object Reports {
         "left_semi")
       e.agg(count(lit(1)).as("n_edges"))
         .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+    },
+    // PageRank over the co-purchase graph, 5 synchronous iterations at
+    // damping 0.85 — in PURE INTEGER e12 fixed-point arithmetic: every
+    // contribution is rank_e12 div deg (integer division) and every update
+    // is integer-scaled, so the per-vertex sums are order-independent
+    // longs and the result is bit-identical across partitionings, engines,
+    // and cluster sizes — the float-summation-order hazard that normally
+    // makes iterative rank scores hash-unmatchable simply doesn't exist.
+    // The degree is pre-joined onto the edge list ONCE outside the loop
+    // (it never changes), so each iteration is exactly one equi-join of
+    // edges with the current rank frame plus one groupBy(dst) — the
+    // textbook pregel superstep; the rank frame is lineage-truncated per
+    // iteration so iteration k+1's plan starts from k's materialized
+    // result, not the whole history. Undirected edges mean deg >= 1 for
+    // every vertex (no dangling-mass term), but the left join + coalesce
+    // keeps zero-inflow vertices exact anyway.
+    "q_graph_pagerank" -> { (s, dir) =>
+      val e = coPurchaseEdges(s, dir)
+      val ed = e
+        .select(col("a").as("src"), col("b").as("dst"))
+        .union(e.select(col("b").as("src"), col("a").as("dst")))
+      val dg = ed.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+      val edc = Checkpoints.truncate(
+        ed.join(dg.select(col("v").as("src"), col("deg")), Seq("src")))
+      val verts = Checkpoints.truncate(dg.select("v"))
+      val n = verts.count()
+      val init = 1000000000000L / n
+      val base = (15L * init) / 100L
+      var pr = verts.select(col("v"), lit(init).as("r"))
+      for (_ <- 1 to 5) {
+        val contrib = edc
+          .join(pr.select(col("v").as("src"), col("r")), Seq("src"))
+          .select(col("dst").as("v"), expr("r div deg").as("c"))
+          .groupBy("v")
+          .agg(sum("c").as("sc"))
+        pr = Checkpoints.truncate(
+          verts
+            .join(contrib, Seq("v"), "left")
+            .select(
+              col("v"),
+              (lit(base) + expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100")).as("r")))
+      }
+      pr.select(col("v"), col("r").as("rank_e12")).orderBy("v")
     }
   )
 
@@ -244,6 +296,24 @@ object Reports {
         "FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey <> l2.l_partkey) " +
         "SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges, " +
         "(SELECT CAST(count(*) AS BIGINT) FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b " +
-        "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles")
+        "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles"),
+    // 5 unrolled supersteps of the SAME integer e12 arithmetic (// is
+    // DuckDB integer division, div on the Spark side) — no recursive CTE
+    // so each step's aggregation is unrestricted
+    "q_graph_pagerank" -> {
+      val step = (k: Int, j: Int) =>
+        s", pr$k AS (SELECT dg.v, (15 * (1000000000000 // (SELECT c FROM n))) // 100 " +
+          "+ (85 * COALESCE(s.sc, 0)) // 100 AS r FROM dg LEFT JOIN (" +
+          s"SELECT ed.dst AS v, sum(p.r // dgs.deg) AS sc FROM ed JOIN pr$j p ON ed.src = p.v " +
+          "JOIN dg dgs ON dgs.v = ed.src GROUP BY ed.dst) s ON s.v = dg.v)"
+      "WITH e AS (SELECT DISTINCT least(l1.l_partkey, l2.l_partkey) AS a, greatest(l1.l_partkey, l2.l_partkey) AS b " +
+        "FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey <> l2.l_partkey), " +
+        "ed AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e), " +
+        "dg AS (SELECT src AS v, count(*) AS deg FROM ed GROUP BY 1), " +
+        "n AS (SELECT count(*) AS c FROM dg), " +
+        "pr0 AS (SELECT v, 1000000000000 // (SELECT c FROM n) AS r FROM dg)" +
+        (1 to 5).map(k => step(k, k - 1)).mkString +
+        " SELECT v, r AS rank_e12 FROM pr5 ORDER BY v"
+    }
   )
 }

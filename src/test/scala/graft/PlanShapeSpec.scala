@@ -51,6 +51,18 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("round-8b shapes: prefix sim-join never all-pairs; behavior ops are join-free windows") {
+    val p = planOf("q_simjoin_prefix")
+    assert(!p.contains("CartesianProduct"), s"q_simjoin_prefix plans a cartesian product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"q_simjoin_prefix plans a nested-loop join:\n$p")
+    // the window-based event ops and the skyline must not smuggle in a
+    // self-join — their whole scale story is "one shuffle, zero joins"
+    for (q <- Seq("q_interval_merge", "q_attribution", "q_markov_transitions", "q_path_3grams", "q_pareto_front")) {
+      val plan = planOf(q)
+      assert(!plan.contains("Join"), s"$q plans a join where a window suffices:\n$plan")
+    }
+  }
+
   test("hot scalar paths run inside whole-stage codegen") {
     // the brief's codegen contract: projection/filter/agg pipelines must
     // show WholeStageCodegen spans, and the custom cosine Expression must
