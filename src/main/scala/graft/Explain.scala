@@ -40,7 +40,8 @@ object Explain {
     "q_ts_ewma",          // expect: ONE shuffle reused by window + both groupBys
     "q_simjoin_prefix",   // expect: prefix-token equi-join + length filter, NO cartesian anywhere
     "q_graph_triangles",  // expect: equi-joins throughout; cartesian ONLY at the final 1-row x 1-row
-    "q_pareto_front"      // expect: single range-partitioned sort, two windows, zero joins
+    "q_pareto_front",     // expect: single range-partitioned sort, two windows, zero joins
+    "q_histogram_equidepth" // expect: ONE coarse-bucket shuffle, parallel rank window, broadcast cum join
   )
 
   def main(args: Array[String]): Unit = {

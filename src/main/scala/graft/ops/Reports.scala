@@ -256,6 +256,104 @@ object Reports {
               (lit(base) + expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100")).as("r")))
       }
       pr.select(col("v"), col("r").as("rank_e12")).orderBy("v")
+    },
+    // RFM segmentation: per-customer Recency/Frequency/Monetary quintiles,
+    // rolled up to segment counts — the classic CRM cut. The quintile
+    // windows run on the AGGREGATED one-row-per-customer frame with full
+    // (metric, custkey) tiebreaks so ntile is deterministic on both
+    // engines. The unpartitioned ntile is fine on a per-customer frame at
+    // this schema's scale; if the entity dimension itself outgrows a task,
+    // swap in the two-level rank decomposition q_histogram_equidepth
+    // demonstrates (coarse-bucket cumulative counts + intra-bucket ranks).
+    "q_rfm_segmentation" -> { (s, dir) =>
+      val orders = Fixtures.table(s, dir, "orders")
+      val mx = orders.agg(max("o_orderdate").as("mxd"))
+      val c = orders
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(
+          max("o_orderdate").as("last_d"),
+          count(lit(1)).as("freq"),
+          sum(cents(col("o_totalprice"))).as("mon_c"))
+        .crossJoin(broadcast(mx))
+        .select(
+          col("ck"),
+          datediff(col("mxd"), col("last_d")).cast("long").as("rec_days"),
+          col("freq"),
+          col("mon_c"))
+      c.withColumn("r_q", ntile(5).over(Window.orderBy("rec_days", "ck")))
+        .withColumn("f_q", ntile(5).over(Window.orderBy(desc("freq"), asc("ck"))))
+        .withColumn("m_q", ntile(5).over(Window.orderBy(desc("mon_c"), asc("ck"))))
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(count(lit(1)).as("n_customers"), sum("mon_c").as("seg_mon_c"))
+        .orderBy("r_q", "f_q", "m_q")
+    },
+    // Seasonal index: month-of-year average revenue relative to the overall
+    // monthly average — the deseasonalization factor demand planning uses.
+    // Fact aggregates to ~80 month rows, then to 12 month-of-year rows;
+    // every window runs on the 12-row frame. The index expression text is
+    // shared verbatim with the oracle (identical IEEE tree).
+    "q_seasonal_index" -> { (s, dir) =>
+      val idxSql =
+        "CAST(floor((CAST(tot_c AS DOUBLE)/n_months) / (CAST(all_c AS DOUBLE)/all_n) * 1000000 + 0.5) AS BIGINT)"
+      Fixtures
+        .table(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("mo"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
+        .groupBy(month(col("mo")).as("moy"))
+        .agg(count(lit(1)).as("n_months"), sum("rev_c").as("tot_c"))
+        .withColumn("all_c", sum("tot_c").over(Window.partitionBy()))
+        .withColumn("all_n", sum("n_months").over(Window.partitionBy()))
+        .select(col("moy"), col("n_months"), col("tot_c"), expr(idxSql).as("idx_e6"))
+        .orderBy("moy")
+    },
+    // Equi-depth histogram (exact ntile semantics) WITHOUT a single-task
+    // global sort — the two-level rank decomposition: rows shuffle ONCE on
+    // a coarse value bucket (c div 100000 — value-derived, so no
+    // partitioner nondeterminism; ~100 buckets at ANY scale because the
+    // price domain is fixed), intra-bucket ranks come from a parallel
+    // partitioned window, and only the ~100-row bucket-count frame takes
+    // an unpartitioned running sum. global_rank = bucket's cumulative
+    // count + intra rank reproduces ntile's (c, orderkey, linenumber)
+    // total order exactly; the closed-form ntile bucket formula (first
+    // n mod k buckets get one extra row) is applied per row. Complements
+    // the equi-width q_histogram.
+    "q_histogram_equidepth" -> { (s, dir) =>
+      val k = 8
+      val v = Fixtures
+        .table(s, dir, "lineitem")
+        .select(
+          cents(col("l_extendedprice")).as("c"),
+          col("l_orderkey"),
+          col("l_linenumber"))
+      val vc = v.withColumn("coarse", expr("c div 100000"))
+      val intra = vc
+        .withColumn(
+          "ir",
+          row_number().over(
+            Window.partitionBy("coarse").orderBy("c", "l_orderkey", "l_linenumber")))
+      // counts come straight off the scan (map-side combinable), NOT off the
+      // windowed frame — the rank window is computed exactly once
+      val cum = vc
+        .groupBy("coarse")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn(
+          "cum_before",
+          coalesce(
+            sum("cnt").over(Window.orderBy("coarse").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .withColumn("n", sum("cnt").over(Window.partitionBy()))
+      intra
+        .join(broadcast(cum.select("coarse", "cum_before", "n")), Seq("coarse"))
+        .withColumn("rank", col("cum_before") + col("ir"))
+        .withColumn(
+          "bkt",
+          expr(
+            s"CAST(CASE WHEN rank <= (n div $k + 1) * (n % $k) " +
+              s"THEN (rank - 1) div (n div $k + 1) + 1 " +
+              s"ELSE n % $k + (rank - (n div $k + 1) * (n % $k) - 1) div (n div $k) + 1 END AS INT)"))
+        .groupBy("bkt")
+        .agg(count(lit(1)).as("n_rows"), min("c").as("lo_c"), max("c").as("hi_c"))
+        .orderBy("bkt")
     }
   )
 
@@ -314,6 +412,28 @@ object Reports {
         "pr0 AS (SELECT v, 1000000000000 // (SELECT c FROM n) AS r FROM dg)" +
         (1 to 5).map(k => step(k, k - 1)).mkString +
         " SELECT v, r AS rank_e12 FROM pr5 ORDER BY v"
-    }
+    },
+    "q_rfm_segmentation" ->
+      ("WITH mx AS (SELECT max(o_orderdate) AS d FROM orders), " +
+        "c AS (SELECT o_custkey AS ck, CAST(date_diff('day', max(o_orderdate), (SELECT d FROM mx)) AS BIGINT) AS rec_days, " +
+        "CAST(count(*) AS BIGINT) AS freq, CAST(sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) AS BIGINT) AS mon_c FROM orders GROUP BY 1), " +
+        "q AS (SELECT ck, mon_c, CAST(ntile(5) OVER (ORDER BY rec_days, ck) AS INT) AS r_q, " +
+        "CAST(ntile(5) OVER (ORDER BY freq DESC, ck) AS INT) AS f_q, " +
+        "CAST(ntile(5) OVER (ORDER BY mon_c DESC, ck) AS INT) AS m_q FROM c) " +
+        "SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_customers, CAST(sum(mon_c) AS BIGINT) AS seg_mon_c " +
+        "FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+    "q_seasonal_index" ->
+      ("WITH m AS (SELECT date_trunc('month', o_orderdate) AS mo, CAST(sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) AS BIGINT) AS rev_c FROM orders GROUP BY 1), " +
+        "a AS (SELECT CAST(month(mo) AS INT) AS moy, CAST(count(*) AS BIGINT) AS n_months, CAST(sum(rev_c) AS BIGINT) AS tot_c FROM m GROUP BY 1), " +
+        "g AS (SELECT moy, n_months, tot_c, sum(tot_c) OVER () AS all_c, sum(n_months) OVER () AS all_n FROM a) " +
+        "SELECT moy, n_months, tot_c, " +
+        "CAST(floor((CAST(tot_c AS DOUBLE)/n_months) / (CAST(all_c AS DOUBLE)/all_n) * 1000000 + 0.5) AS BIGINT) AS idx_e6 " +
+        "FROM g ORDER BY moy"),
+    // plain single-window ntile — the decomposition must reproduce it bit
+    // for bit
+    "q_histogram_equidepth" ->
+      ("WITH v AS (SELECT CAST(floor(l_extendedprice*100+0.5) AS BIGINT) AS c, l_orderkey, l_linenumber FROM lineitem), " +
+        "b AS (SELECT c, CAST(ntile(8) OVER (ORDER BY c, l_orderkey, l_linenumber) AS INT) AS bkt FROM v) " +
+        "SELECT bkt, CAST(count(*) AS BIGINT) AS n_rows, min(c) AS lo_c, max(c) AS hi_c FROM b GROUP BY 1 ORDER BY 1")
   )
 }

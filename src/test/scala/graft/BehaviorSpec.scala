@@ -145,6 +145,29 @@ class BehaviorSpec extends SparkSuite {
       r2.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("q_histogram_equidepth: two-level rank decomposition equals the single-window ntile") {
+    val fast = SparkEntry
+      .queries("q_histogram_equidepth")(spark, sf001)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val w = org.apache.spark.sql.expressions.Window.orderBy("c", "l_orderkey", "l_linenumber")
+    val slow = Fixtures
+      .table(spark, sf001, "lineitem")
+      .select(
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("c"),
+        col("l_orderkey"),
+        col("l_linenumber"))
+      .withColumn("bkt", ntile(8).over(w))
+      .groupBy("bkt")
+      .agg(count(lit(1)).as("n_rows"), min("c").as("lo_c"), max("c").as("hi_c"))
+      .orderBy("bkt")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(fast == slow)
+  }
+
   test("q_upc_normalize: every emitted code carries a valid mod-10 check digit") {
     val rows = SparkEntry.queries("q_upc_normalize")(spark, sf001).collect()
     assert(rows.nonEmpty)
