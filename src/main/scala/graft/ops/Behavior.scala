@@ -110,6 +110,66 @@ object Behavior {
             .cast("long"))
         .orderBy("prev_type", "next_type")
     },
+    // CUSUM changepoint scores: the textbook recursion s_i = max(0,
+    // s_{i-1} + d_i) looks inherently sequential, but it equals
+    // P_i - min_{j<=i} P_j over the deviation prefix sums — so it becomes
+    // TWO ordered window functions over one shuffle, parallel at any
+    // scale. Deviations are kept integral by scaling by the key's count
+    // (d' = n*x - sum, all longs), so prefix sums are order-exact; the
+    // per-user peak row (largest upward drift and when it happened) comes
+    // from a rank over the same partitioning. Four window specs, ONE
+    // hash(user_id) exchange.
+    "q_ts_cusum" -> { (s, dir) =>
+      val wAll = Window.partitionBy("user_id")
+      val wOrd = Window
+        .partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Fixtures
+        .events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), cents(col("value")).as("value_c"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("tot", sum("value_c").over(wAll))
+        .withColumn("pp", sum(col("n") * col("value_c") - col("tot")).over(wOrd))
+        // the prefix-min must include the EMPTY prefix (P_0 = 0) — the
+        // recursion starts at s_0 = 0, so an all-positive early run drifts
+        // from zero, not from its own first prefix sum
+        .withColumn("cusum", col("pp") - least(min("pp").over(wOrd), lit(0L)))
+        .withColumn(
+          "rn",
+          row_number().over(
+            Window.partitionBy("user_id").orderBy(desc("cusum"), asc("ts"), asc("event_id"))))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("peak_event_id"), col("cusum").as("max_cusum_xn_c"))
+        .orderBy("user_id")
+    },
+    // Robust per-key outlier counts via MAD (median absolute deviation) —
+    // the robust-statistics alternative to q_anomaly_zscore: medians are
+    // insensitive to the very outliers being counted. Exact interpolated
+    // percentile on integer cents matches DuckDB's median bit-for-bit;
+    // two grouped aggregations + joins all share the user_id hash
+    // partitioning.
+    "q_anomaly_mad" -> { (s, dir) =>
+      val ev = Fixtures
+        .events(s, dir)
+        .select(col("user_id"), cents(col("value")).as("value_c"))
+      val med = ev.groupBy("user_id").agg(expr("percentile(value_c, 0.5)").as("med"))
+      val dev = ev
+        .join(med, Seq("user_id"))
+        .withColumn("dev", abs(col("value_c") - col("med")))
+      val mad = dev
+        .groupBy("user_id")
+        .agg(first("med").as("med"), expr("percentile(dev, 0.5)").as("mad"))
+      dev
+        .drop("med")
+        .join(mad, Seq("user_id"))
+        .groupBy("user_id")
+        .agg(
+          floor(first("med") * 10 + lit(0.5)).cast("long").as("med_d1"),
+          floor(first("mad") * 10 + lit(0.5)).cast("long").as("mad_d1"),
+          sum(when(col("dev") > lit(3) * lit(1.4826) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy("user_id")
+    },
     // Top 3-event paths: the two leads materialize each sliding triple
     // without a self-join (an event log self-joined twice on user_id would
     // shuffle the fact three times; the window form shuffles it once).
@@ -161,6 +221,26 @@ object Behavior {
         "SELECT prev_type, next_type, n, " +
         "CAST(floor(n * 1.0 / sum(n) OVER (PARTITION BY prev_type) * 1000000 + 0.5) AS BIGINT) AS p_e6 " +
         "FROM c ORDER BY 1, 2"),
+    "q_ts_cusum" ->
+      (evCte +
+        ", s AS (SELECT user_id, event_id, ts, value_c, " +
+        "CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n, " +
+        "CAST(sum(value_c) OVER (PARTITION BY user_id) AS BIGINT) AS tot FROM e)" +
+        ", p AS (SELECT user_id, event_id, ts, " +
+        "sum(n*value_c - tot) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp FROM s)" +
+        ", c AS (SELECT user_id, event_id, ts, pp - least(min(pp) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS cusum FROM p)" +
+        ", r AS (SELECT user_id, event_id, cusum, row_number() OVER (PARTITION BY user_id ORDER BY cusum DESC, ts, event_id) AS rn FROM c) " +
+        "SELECT user_id, event_id AS peak_event_id, CAST(cusum AS BIGINT) AS max_cusum_xn_c " +
+        "FROM r WHERE rn = 1 ORDER BY user_id"),
+    "q_anomaly_mad" ->
+      (evCte +
+        ", m AS (SELECT user_id, median(value_c) AS med FROM e GROUP BY 1)" +
+        ", d AS (SELECT e.user_id, value_c, med, abs(value_c - med) AS dev FROM e JOIN m USING (user_id))" +
+        ", m2 AS (SELECT user_id, any_value(med) AS med, median(dev) AS mad FROM d GROUP BY 1) " +
+        "SELECT d.user_id, CAST(floor(m2.med*10 + 0.5) AS BIGINT) AS med_d1, " +
+        "CAST(floor(m2.mad*10 + 0.5) AS BIGINT) AS mad_d1, " +
+        "CAST(count(*) FILTER (WHERE d.dev > 3 * 1.4826 * m2.mad) AS BIGINT) AS n_outliers " +
+        "FROM d JOIN m2 ON d.user_id = m2.user_id GROUP BY 1, 2, 3 ORDER BY 1"),
     "q_path_3grams" ->
       (evCte +
         ", l AS (SELECT event_type AS t0, lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1, " +

@@ -145,6 +145,40 @@ class BehaviorSpec extends SparkSuite {
       r2.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("q_ts_cusum: window formulation equals the sequential max(0, s+d) recursion") {
+    val fast = SparkEntry
+      .queries("q_ts_cusum")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .toMap
+    val rows = Fixtures
+      .events(spark, sf001)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("ts"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.get(2).toString, r.getLong(3)))
+    val slow = rows
+      .groupBy(_._1)
+      .map { case (uid, es) =>
+        val ordered = es.sortBy(e => (e._3, e._2)).map(_._4)
+        val n = ordered.length.toLong
+        val tot = ordered.sum
+        var s = 0L
+        var mx = 0L
+        ordered.foreach { x =>
+          s = math.max(0L, s + (n * x - tot))
+          mx = math.max(mx, s)
+        }
+        uid -> mx
+      }
+    slow.foreach { case (uid, mx) =>
+      assert(fast(uid) == mx, s"user $uid: window ${fast(uid)} != sequential $mx")
+    }
+  }
+
   test("q_histogram_equidepth: two-level rank decomposition equals the single-window ntile") {
     val fast = SparkEntry
       .queries("q_histogram_equidepth")(spark, sf001)
