@@ -113,20 +113,38 @@ object Reports {
         .orderBy("r_name", "n_name")
     },
     // Pareto frontier (skyline): parts not dominated on (price low, size
-    // high). The oracle's NOT EXISTS is O(n^2); this plan is O(n log n) via
-    // two windows after ONE range-partitioned sort on price: a row is
-    // dominated iff the max size over STRICTLY cheaper rows reaches its size
-    // (range frame to -1 excludes price ties) or a same-price row strictly
-    // exceeds it. No self-join anywhere — the 100-TB skyline stays a sort.
+    // high) — a row is dominated iff the max size over STRICTLY cheaper
+    // rows reaches its size, or a same-price row strictly exceeds it. The
+    // oracle's NOT EXISTS is O(n^2); this plan is O(n log n) with NO
+    // single-task stage via the same two-level decomposition as
+    // q_histogram_equidepth: "max size over strictly cheaper" splits into
+    // (a) the running max over strictly-LOWER coarse price buckets — an
+    // unpartitioned window over the ~100-row bucket-max frame only — and
+    // (b) the intra-bucket strictly-cheaper max from a PARALLEL
+    // bucket-partitioned range window. greatest(a, b) reassembles the
+    // global prefix max; the price-tie max is a parallel window too. No
+    // self-join, no global sort task, at any scale.
     "q_pareto_front" -> { (s, dir) =>
-      val wLt = Window.orderBy("price_c").rangeBetween(Window.unboundedPreceding, -1)
-      val wEq = Window.partitionBy("price_c")
-      Fixtures
+      val p = Fixtures
         .table(s, dir, "part")
         .select(col("p_partkey"), cents(col("p_retailprice")).as("price_c"), col("p_size"))
-        .withColumn("max_lt", max("p_size").over(wLt))
+        .withColumn("coarse", expr("price_c div 10000"))
+      val bucketMax = p
+        .groupBy("coarse")
+        .agg(max("p_size").as("bmax"))
+        .withColumn(
+          "below_max",
+          max("bmax").over(Window.orderBy("coarse").rowsBetween(Window.unboundedPreceding, -1)))
+      val wLt = Window
+        .partitionBy("coarse")
+        .orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wEq = Window.partitionBy("price_c")
+      p.join(broadcast(bucketMax.select("coarse", "below_max")), Seq("coarse"))
+        .withColumn("intra_lt", max("p_size").over(wLt))
+        .withColumn("max_lt", greatest(coalesce(col("intra_lt"), lit(Int.MinValue)), coalesce(col("below_max"), lit(Int.MinValue))))
         .withColumn("max_eq", max("p_size").over(wEq))
-        .filter(!(coalesce(col("max_lt") >= col("p_size"), lit(false)) || col("max_eq") > col("p_size")))
+        .filter(!(col("max_lt") >= col("p_size") || col("max_eq") > col("p_size")))
         .select("p_partkey", "price_c", "p_size")
         .orderBy("p_partkey")
     },

@@ -55,12 +55,18 @@ class PlanShapeSpec extends SparkSuite {
     val p = planOf("q_simjoin_prefix")
     assert(!p.contains("CartesianProduct"), s"q_simjoin_prefix plans a cartesian product:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"q_simjoin_prefix plans a nested-loop join:\n$p")
-    // the window-based event ops and the skyline must not smuggle in a
-    // self-join — their whole scale story is "one shuffle, zero joins"
-    for (q <- Seq("q_interval_merge", "q_attribution", "q_markov_transitions", "q_path_3grams", "q_pareto_front")) {
+    // the window-based event ops must not smuggle in a self-join — their
+    // whole scale story is "one shuffle, zero joins"
+    for (q <- Seq("q_interval_merge", "q_attribution", "q_markov_transitions", "q_path_3grams")) {
       val plan = planOf(q)
       assert(!plan.contains("Join"), s"$q plans a join where a window suffices:\n$plan")
     }
+    // the skyline's only join is the broadcast of the ~100-row bucket-max
+    // frame (the two-level decomposition); never a shuffle or cartesian
+    val sky = planOf("q_pareto_front")
+    assert(sky.contains("BroadcastHashJoin"), s"bucket-max broadcast missing:\n$sky")
+    assert(!sky.contains("SortMergeJoin") && !sky.contains("CartesianProduct"),
+      s"skyline shuffles a join it should broadcast:\n$sky")
   }
 
   test("hot scalar paths run inside whole-stage codegen") {
