@@ -61,6 +61,32 @@ object PipelineOps {
         .sampleByHash(Fixtures.table(s, dir, "documents").select("doc_id", "lang"), "doc_id", rate)
         .orderBy("doc_id")
     },
+    // Weighted sampling WITHOUT replacement (A-ES, Efraimidis & Spirakis
+    // 2006): each row draws key = -ln(u)/w and the k smallest keys are the
+    // sample — provably equivalent to sequential weighted draws, but fully
+    // parallel and deterministic here because u comes from a 48-bit md5
+    // prefix of the row key, not a RNG. The top-k lands on
+    // TakeOrderedAndProject (per-partition heaps + driver merge of k
+    // rows), so no global sort materializes at any scale. Both engines
+    // share the identical float expression; (h+0.5)/2^48 keeps u in (0,1)
+    // so ln never sees 0.
+    "q_sample_weighted" -> { (s, dir) =>
+      Fixtures
+        .table(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("wt"))
+        .withColumn(
+          "h48",
+          expr("CAST(conv(substring(md5(concat('ws|', CAST(o_orderkey AS STRING))), 1, 12), 16, 10) AS BIGINT)"))
+        .withColumn("key", expr("-ln((h48 + 0.5) / 281474976710656.0) / wt"))
+        .select(
+          col("o_orderkey"),
+          col("wt"),
+          floor(col("key") * expr("1e15") + lit(0.5)).cast("long").as("key_e15"))
+        .orderBy("key_e15", "o_orderkey")
+        .limit(20)
+    },
     // Dataset mixing to declared target proportions — the data-mixing step
     // a pretraining pipeline runs after curation: every source is
     // downsampled toward its target share with the SAME deterministic
@@ -253,6 +279,13 @@ object PipelineOps {
       ("SELECT doc_id, lang, ((doc_id * 2654435761) % 4294967296 + 4294967296) % 4294967296 % 1000 AS bucket FROM documents " +
         "WHERE ((doc_id * 2654435761) % 4294967296 + 4294967296) % 4294967296 % 1000 < (CASE WHEN lang = 'en' THEN 500 WHEN lang = 'de' THEN 250 ELSE 100 END) " +
         "ORDER BY doc_id"),
+    // both engines select and order by the ROUNDED e15 key so a sub-ulp
+    // ln() difference can never flip the cut line
+    "q_sample_weighted" ->
+      ("WITH w AS (SELECT o_orderkey, CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS wt, " +
+        "CAST('0x' || substr(md5('ws|' || CAST(o_orderkey AS STRING)), 1, 12) AS BIGINT) AS h48 FROM orders), " +
+        "k AS (SELECT o_orderkey, wt, CAST(floor(-ln((h48 + 0.5) / 281474976710656.0) / wt * 1e15 + 0.5) AS BIGINT) AS key_e15 FROM w) " +
+        "SELECT o_orderkey, wt, key_e15 FROM k ORDER BY key_e15, o_orderkey LIMIT 20"),
     "q_sample_mixture" ->
       ("WITH c AS (SELECT source, count(*) AS n_src, (CAST(substr(source,4) AS BIGINT) % 4 + 1) * 5 AS target_n FROM documents GROUP BY source), " +
         "r AS (SELECT source, n_src, target_n, least(1000, target_n * 1000 // n_src) AS rate FROM c) " +

@@ -100,4 +100,24 @@ class PipelineOpsSpec extends SparkSuite {
       "vec_id").filter(col("err_e6") < 0).count()
     assert(badErr == 0)
   }
+
+  test("q_sample_weighted: TakeOrdered top-k equals a full replay of the A-ES key formula") {
+    val fast = q("q_sample_weighted")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .toSeq
+    val all = Fixtures
+      .table(spark, sf001, "orders")
+      .selectExpr(
+        "o_orderkey",
+        "CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS wt",
+        "CAST(conv(substring(md5(concat('ws|', CAST(o_orderkey AS STRING))), 1, 12), 16, 10) AS BIGINT) AS h48")
+      .collect()
+      .map { r =>
+        val key = -math.log((r.getLong(2) + 0.5) / 281474976710656.0) / r.getLong(1)
+        (r.getLong(0), math.floor(key * 1e15 + 0.5).toLong)
+      }
+    val slow = all.sortBy(x => (x._2, x._1)).take(20).toSeq
+    assert(fast == slow, s"top-20 mismatch:\n$fast\nvs\n$slow")
+  }
 }
