@@ -336,6 +336,67 @@ object Reports {
         .select(col("moy"), col("n_months"), col("tot_c"), expr(idxSql).as("idx_e6"))
         .orderBy("moy")
     },
+    // Basket-affinity association rules (market-basket lift) — THE retail
+    // SKU analysis: for co-purchased part pairs, lift = P(ab)/(P(a)P(b))
+    // from exact distinct-order counts. The pair frame is the same
+    // order-key self-join as the co-purchase graph (bounded per-order
+    // explosion); supports join back via the item-count frame; a minimum
+    // pair support prunes the long tail BEFORE the support joins; the
+    // top-20 lands on TakeOrderedAndProject. Lift is one double expression
+    // over exact longs.
+    "q_basket_lift" -> { (s, dir) =>
+      val li = Fixtures
+        .table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val n = li.select(countDistinct("ok").as("n_orders"))
+      val it = li.groupBy("pk").agg(count(lit(1)).as("n_i"))
+      li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+        .filter(col("pk") < col("pk2"))
+        .groupBy(col("pk").as("pa"), col("pk2").as("pb"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 3)
+        .join(it.select(col("pk").as("pa"), col("n_i").as("n_a")), Seq("pa"))
+        .join(it.select(col("pk").as("pb"), col("n_i").as("n_b")), Seq("pb"))
+        .crossJoin(broadcast(n))
+        .select(
+          col("pa"),
+          col("pb"),
+          col("n_ab"),
+          col("n_a"),
+          col("n_b"),
+          floor(col("n_ab").cast("double") * col("n_orders") / (col("n_a") * col("n_b")) * 1e6 + lit(0.5))
+            .cast("long")
+            .as("lift_e6"))
+        .orderBy(desc("lift_e6"), asc("pa"), asc("pb"))
+        .limit(20)
+    },
+    // Top revenue movers: per-part year-over-year revenue delta in ONE
+    // conditional-aggregate pass over the fact (no self-join of two period
+    // scans), exact e4 ints, top-20 gainers on TakeOrderedAndProject.
+    "q_top_movers" -> { (s, dir) =>
+      val rev = floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000 + lit(0.5))
+        .cast("long")
+      val y97lo = lit("1997-01-01").cast("timestamp_ntz")
+      val y97hi = lit("1998-01-01").cast("timestamp_ntz")
+      val y96lo = lit("1996-01-01").cast("timestamp_ntz")
+      Fixtures
+        .table(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(
+          sum(when(col("l_shipdate") >= y97lo && col("l_shipdate") < y97hi, rev).otherwise(0L))
+            .as("cur_e4"),
+          sum(when(col("l_shipdate") >= y96lo && col("l_shipdate") < y97lo, rev).otherwise(0L))
+            .as("prev_e4"))
+        .filter(col("cur_e4") > 0 || col("prev_e4") > 0)
+        .select(
+          col("pk"),
+          col("cur_e4"),
+          col("prev_e4"),
+          (col("cur_e4") - col("prev_e4")).as("delta_e4"))
+        .orderBy(desc("delta_e4"), asc("pk"))
+        .limit(20)
+    },
     // Equi-depth histogram (exact ntile semantics) WITHOUT a single-task
     // global sort — the two-level rank decomposition: rows shuffle ONCE on
     // a coarse value bucket (c div 100000 — value-derived, so no
@@ -459,6 +520,23 @@ object Reports {
         "SELECT moy, n_months, tot_c, " +
         "CAST(floor((CAST(tot_c AS DOUBLE)/n_months) / (CAST(all_c AS DOUBLE)/all_n) * 1000000 + 0.5) AS BIGINT) AS idx_e6 " +
         "FROM g ORDER BY moy"),
+    "q_basket_lift" ->
+      ("WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+        "n AS (SELECT count(DISTINCT ok) AS n_orders FROM li), " +
+        "it AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_i FROM li GROUP BY 1), " +
+        "pr AS (SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS n_ab " +
+        "FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2), " +
+        "j AS (SELECT pa, pb, n_ab, ia.n_i AS n_a, ib.n_i AS n_b, " +
+        "CAST(floor(CAST(n_ab AS DOUBLE) * (SELECT n_orders FROM n) / (ia.n_i * ib.n_i) * 1000000 + 0.5) AS BIGINT) AS lift_e6 " +
+        "FROM pr JOIN it ia ON ia.pk = pa JOIN it ib ON ib.pk = pb WHERE n_ab >= 3) " +
+        "SELECT pa, pb, n_ab, n_a, n_b, lift_e6 FROM j ORDER BY lift_e6 DESC, pa, pb LIMIT 20"),
+    "q_top_movers" ->
+      ("WITH p AS (SELECT l_partkey AS pk, " +
+        "CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' THEN CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS cur_e4, " +
+        "CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' THEN CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS prev_e4 " +
+        "FROM lineitem GROUP BY 1) " +
+        "SELECT pk, cur_e4, prev_e4, cur_e4 - prev_e4 AS delta_e4 FROM p " +
+        "WHERE cur_e4 > 0 OR prev_e4 > 0 ORDER BY delta_e4 DESC, pk LIMIT 20"),
     // plain single-window ntile — the decomposition must reproduce it bit
     // for bit
     "q_histogram_equidepth" ->
