@@ -47,6 +47,50 @@ object Reports {
     s"(10 - (3*($odd) + ($even)) % 10) % 10"
   }
 
+  /** Exact ntile(k) over (value, tiebreaks) WITHOUT a single-task global
+    * sort — the two-level rank decomposition shared by
+    * q_histogram_equidepth and all three q_rfm_segmentation quintiles:
+    * rows shuffle ONCE on a value-derived coarse bucket (monotone in the
+    * sort order, so bucket-local ranks + bucket cumulative counts
+    * reassemble the global rank), intra-bucket ranks come from a PARALLEL
+    * partitioned window, and only the model-sized bucket-count frame takes
+    * an unpartitioned running sum. The closed-form ntile formula (first
+    * n mod k buckets get one extra row) maps ranks to buckets per row.
+    * For descending metrics pass the negated column (truncating `div`
+    * stays monotone over negatives, which is all bucketing needs). */
+  private def ntileTwoLevel(
+      df: DataFrame,
+      k: Int,
+      value: Column,
+      coarse: Column,
+      tiebreaks: Seq[Column],
+      out: String): DataFrame = {
+    val tmp = df.withColumn("__v", value).withColumn("__coarse", coarse)
+    val intra = tmp.withColumn(
+      "__ir",
+      row_number().over(
+        Window.partitionBy("__coarse").orderBy(col("__v") +: tiebreaks: _*)))
+    val cum = tmp
+      .groupBy("__coarse")
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn(
+        "__cum_before",
+        coalesce(
+          sum("__cnt").over(Window.orderBy("__coarse").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("__n", sum("__cnt").over(Window.partitionBy()))
+    intra
+      .join(broadcast(cum.select("__coarse", "__cum_before", "__n")), Seq("__coarse"))
+      .withColumn("__rank", col("__cum_before") + col("__ir"))
+      .withColumn(
+        out,
+        expr(
+          s"CAST(CASE WHEN __rank <= (__n div $k + 1) * (__n % $k) " +
+            s"THEN (__rank - 1) div (__n div $k + 1) + 1 " +
+            s"ELSE __n % $k + (__rank - (__n div $k + 1) * (__n % $k) - 1) div (__n div $k) + 1 END AS INT)"))
+      .drop("__v", "__coarse", "__ir", "__cum_before", "__n", "__rank")
+  }
+
   /** Distinct undirected co-purchase edges (parts sharing an order), built
     * by the lineitem self-join on the order key — hash-partitioned on
     * l_orderkey, pair explosion bounded by the per-order line count.
@@ -288,13 +332,12 @@ object Reports {
       pr.select(col("v"), col("r").as("rank_e12")).orderBy("v")
     },
     // RFM segmentation: per-customer Recency/Frequency/Monetary quintiles,
-    // rolled up to segment counts — the classic CRM cut. The quintile
-    // windows run on the AGGREGATED one-row-per-customer frame with full
-    // (metric, custkey) tiebreaks so ntile is deterministic on both
-    // engines. The unpartitioned ntile is fine on a per-customer frame at
-    // this schema's scale; if the entity dimension itself outgrows a task,
-    // swap in the two-level rank decomposition q_histogram_equidepth
-    // demonstrates (coarse-bucket cumulative counts + intra-bucket ranks).
+    // rolled up to segment counts — the classic CRM cut. Each quintile is
+    // an EXACT ntile(5) with full (metric, custkey) tiebreaks, computed by
+    // the two-level [[ntileTwoLevel]] decomposition so even a 10^9-row
+    // entity dimension never funnels through one task (the oracle's plain
+    // unpartitioned ntile is the semantics being reproduced). Descending
+    // metrics pass negated.
     "q_rfm_segmentation" -> { (s, dir) =>
       val orders = Fixtures.table(s, dir, "orders")
       val mx = orders.agg(max("o_orderdate").as("mxd"))
@@ -310,10 +353,11 @@ object Reports {
           datediff(col("mxd"), col("last_d")).cast("long").as("rec_days"),
           col("freq"),
           col("mon_c"))
-      c.withColumn("r_q", ntile(5).over(Window.orderBy("rec_days", "ck")))
-        .withColumn("f_q", ntile(5).over(Window.orderBy(desc("freq"), asc("ck"))))
-        .withColumn("m_q", ntile(5).over(Window.orderBy(desc("mon_c"), asc("ck"))))
-        .groupBy("r_q", "f_q", "m_q")
+      val q1 = ntileTwoLevel(c, 5, col("rec_days"), expr("rec_days div 100"), Seq(col("ck")), "r_q")
+      val q2 = ntileTwoLevel(q1, 5, -col("freq"), -col("freq"), Seq(col("ck")), "f_q")
+      val q3 =
+        ntileTwoLevel(q2, 5, -col("mon_c"), expr("(-mon_c) div 10000000"), Seq(col("ck")), "m_q")
+      q3.groupBy("r_q", "f_q", "m_q")
         .agg(count(lit(1)).as("n_customers"), sum("mon_c").as("seg_mon_c"))
         .orderBy("r_q", "f_q", "m_q")
     },
@@ -409,39 +453,19 @@ object Reports {
     // n mod k buckets get one extra row) is applied per row. Complements
     // the equi-width q_histogram.
     "q_histogram_equidepth" -> { (s, dir) =>
-      val k = 8
       val v = Fixtures
         .table(s, dir, "lineitem")
         .select(
           cents(col("l_extendedprice")).as("c"),
           col("l_orderkey"),
           col("l_linenumber"))
-      val vc = v.withColumn("coarse", expr("c div 100000"))
-      val intra = vc
-        .withColumn(
-          "ir",
-          row_number().over(
-            Window.partitionBy("coarse").orderBy("c", "l_orderkey", "l_linenumber")))
-      // counts come straight off the scan (map-side combinable), NOT off the
-      // windowed frame — the rank window is computed exactly once
-      val cum = vc
-        .groupBy("coarse")
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn(
-          "cum_before",
-          coalesce(
-            sum("cnt").over(Window.orderBy("coarse").rowsBetween(Window.unboundedPreceding, -1)),
-            lit(0L)))
-        .withColumn("n", sum("cnt").over(Window.partitionBy()))
-      intra
-        .join(broadcast(cum.select("coarse", "cum_before", "n")), Seq("coarse"))
-        .withColumn("rank", col("cum_before") + col("ir"))
-        .withColumn(
-          "bkt",
-          expr(
-            s"CAST(CASE WHEN rank <= (n div $k + 1) * (n % $k) " +
-              s"THEN (rank - 1) div (n div $k + 1) + 1 " +
-              s"ELSE n % $k + (rank - (n div $k + 1) * (n % $k) - 1) div (n div $k) + 1 END AS INT)"))
+      ntileTwoLevel(
+        v,
+        8,
+        col("c"),
+        expr("c div 100000"),
+        Seq(col("l_orderkey"), col("l_linenumber")),
+        "bkt")
         .groupBy("bkt")
         .agg(count(lit(1)).as("n_rows"), min("c").as("lo_c"), max("c").as("hi_c"))
         .orderBy("bkt")
