@@ -110,6 +110,34 @@ object Behavior {
             .cast("long"))
         .orderBy("prev_type", "next_type")
     },
+    // Jensen-Shannon divergence between the event-type distributions of
+    // the two halves of the time range — the bounded, symmetric companion
+    // to q_drift_psi's PSI (JS never blows up on a vanishing bin because
+    // the reference is the mixture M = (P+Q)/2). The split point is pure
+    // integer epoch arithmetic, both periods aggregate in ONE conditional
+    // pass, and each category's JS term is a single fixed double
+    // expression over exact long counts, e9-scaled per row — no cross-row
+    // float summation order exists. Expression text shared verbatim with
+    // the oracle.
+    "q_drift_js" -> { (s, dir) =>
+      val jsSql =
+        "CAST(floor((0.5 * (CAST(n_a AS DOUBLE)/ta) * ln((CAST(n_a AS DOUBLE)/ta) / (0.5*(CAST(n_a AS DOUBLE)/ta) + 0.5*(CAST(n_b AS DOUBLE)/tb))) " +
+          "+ 0.5 * (CAST(n_b AS DOUBLE)/tb) * ln((CAST(n_b AS DOUBLE)/tb) / (0.5*(CAST(n_a AS DOUBLE)/ta) + 0.5*(CAST(n_b AS DOUBLE)/tb)))) * 1000000000 + 0.5) AS BIGINT)"
+      val ev = Fixtures
+        .events(s, dir)
+        .select(col("event_type"), epochS(col("ts")).as("es"))
+      val mid = ev.agg(expr("(min(es) + max(es)) div 2").as("m"))
+      ev.crossJoin(broadcast(mid))
+        .groupBy("event_type")
+        .agg(
+          sum(when(col("es") < col("m"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("es") >= col("m"), 1L).otherwise(0L)).as("n_b"))
+        .withColumn("ta", sum("n_a").over(Window.partitionBy()))
+        .withColumn("tb", sum("n_b").over(Window.partitionBy()))
+        .filter(col("n_a") > 0 && col("n_b") > 0)
+        .select(col("event_type"), col("n_a"), col("n_b"), expr(jsSql).as("js_e9"))
+        .orderBy("event_type")
+    },
     // CUSUM changepoint scores: the textbook recursion s_i = max(0,
     // s_{i-1} + d_i) looks inherently sequential, but it equals
     // P_i - min_{j<=i} P_j over the deviation prefix sums — so it becomes
@@ -221,6 +249,16 @@ object Behavior {
         "SELECT prev_type, next_type, n, " +
         "CAST(floor(n * 1.0 / sum(n) OVER (PARTITION BY prev_type) * 1000000 + 0.5) AS BIGINT) AS p_e6 " +
         "FROM c ORDER BY 1, 2"),
+    "q_drift_js" ->
+      ("WITH e AS (SELECT event_type, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es FROM events), " +
+        "mid AS (SELECT (min(es) + max(es)) // 2 AS m FROM e), " +
+        "g AS (SELECT event_type, CAST(sum(CASE WHEN es < (SELECT m FROM mid) THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(sum(CASE WHEN es >= (SELECT m FROM mid) THEN 1 ELSE 0 END) AS BIGINT) AS n_b FROM e GROUP BY 1), " +
+        "t AS (SELECT event_type, n_a, n_b, sum(n_a) OVER () AS ta, sum(n_b) OVER () AS tb FROM g) " +
+        "SELECT event_type, n_a, n_b, " +
+        "CAST(floor((0.5 * (CAST(n_a AS DOUBLE)/ta) * ln((CAST(n_a AS DOUBLE)/ta) / (0.5*(CAST(n_a AS DOUBLE)/ta) + 0.5*(CAST(n_b AS DOUBLE)/tb))) " +
+        "+ 0.5 * (CAST(n_b AS DOUBLE)/tb) * ln((CAST(n_b AS DOUBLE)/tb) / (0.5*(CAST(n_a AS DOUBLE)/ta) + 0.5*(CAST(n_b AS DOUBLE)/tb)))) * 1000000000 + 0.5) AS BIGINT) AS js_e9 " +
+        "FROM t WHERE n_a > 0 AND n_b > 0 ORDER BY event_type"),
     "q_ts_cusum" ->
       (evCte +
         ", s AS (SELECT user_id, event_id, ts, value_c, " +
