@@ -45,6 +45,77 @@ object StreamOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  case class AttrEvent(
+      user_id: Long,
+      event_id: Long,
+      ts: java.sql.Timestamp,
+      event_type: String,
+      value_c: Long)
+  case class AttrOut(user_id: Long, event_id: Long, touch_type: String, value_c: Long)
+  case class Touch(tsMs: Long, typ: String) // public: the state Encoder's codegen must reach the ctor
+
+  private val attrWindowMs = 7L * 24 * 3600 * 1000
+
+  /** Streaming last-touch attribution — the q_attribution window op as
+    * arbitrary keyed state: the carried state per user is ONE (ts, type)
+    * pair (the latest click/view), purchases emit immediately with the
+    * credit, and the state expires via an event-time timer once the
+    * 7-day lookback has passed with no fresher touch — so state size is
+    * exactly one record per RECENTLY-ACTIVE user, watermark-bounded, the
+    * shape a 1000-executor RocksDB state store wants. Within a
+    * micro-batch, events replay in (ts, event_id) order, reproducing the
+    * batch window's STRICTLY-preceding frame semantics (a same-timestamp
+    * touch with a lower event_id counts; a later one doesn't). */
+  def attribute(events: Dataset[AttrEvent]): Dataset[AttrOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(attributeGroup)
+  }
+
+  private def attributeGroup(
+      user: Long,
+      evs: Iterator[AttrEvent],
+      state: GroupState[Touch]): Iterator[AttrOut] = {
+    if (state.hasTimedOut) { // lookback expired with no fresher touch
+      state.remove()
+      return Iterator.empty
+    }
+    var last = state.getOption.orNull
+    val out = List.newBuilder[AttrOut]
+    evs.toList.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      if (e.event_type == "purchase") {
+        if (last != null && e.ts.getTime - last.tsMs <= attrWindowMs)
+          out += AttrOut(user, e.event_id, last.typ, e.value_c)
+      } else if (e.event_type == "click" || e.event_type == "view")
+        last = Touch(e.ts.getTime, e.event_type)
+    }
+    if (last == null) state.remove()
+    else {
+      state.update(last)
+      state.setTimeoutTimestamp(last.tsMs + attrWindowMs)
+    }
+    out.result().iterator
+  }
+
+  /** Batch twin of [[attribute]] (same ms arithmetic) for the equivalence
+    * assertion. */
+  def attributeBatch(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy("ts", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val touch = col("event_type").isin("click", "view")
+    events
+      .withColumn("touch_type", last(when(touch, col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("touch_ms", last(when(touch, unix_millis(col("ts"))), ignoreNulls = true).over(w))
+      .filter(
+        col("event_type") === "purchase" && col("touch_type").isNotNull &&
+          unix_millis(col("ts")) - col("touch_ms") <= attrWindowMs)
+      .select(col("user_id"), col("event_id"), col("touch_type"), col("value_c"))
+  }
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   case class Session(start: Long, last: Long, n: Long)
   case class SessionOut(user_id: Long, s_start: java.sql.Timestamp, s_end: java.sql.Timestamp, n: Long)

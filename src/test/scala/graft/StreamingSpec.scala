@@ -401,7 +401,42 @@ class StreamingSpec extends SparkSuite {
     runOnce()
     assert(spark.read.parquet(dir + "/out").count() == all.count(), "no-op rerun duplicated rows")
   }
+
+  test("cap_stream_attribution: flatMapGroupsWithState last-touch credit equals the batch window") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val attrEvents = fixtureEvents.map(e =>
+      StreamOps.AttrEvent(e.user_id, e.event_id, e.ts, e.event_type, math.floor(e.value * 100 + 0.5).toLong))
+    val ms = MemoryStream[StreamOps.AttrEvent]
+    val q = StreamOps
+      .attribute(ms.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("t_attr")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      attrEvents.grouped(300).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+      ms.addData(Seq(StreamOps.AttrEvent(-1L, -1L, sentinel.ts, "zzz", 0L)))
+      q.processAllAvailable()
+      val streamed = spark
+        .table("t_attr")
+        .filter(col("user_id") =!= -1L)
+        .as[StreamOps.AttrOut]
+        .collect()
+        .map(a => (a.user_id, a.event_id, a.touch_type, a.value_c))
+        .toSet
+      val batch = StreamOps
+        .attributeBatch(attrEvents.toDF())
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .toSet
+      assert(streamed == batch,
+        s"stream!=batch: onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
 }
+
 
 object StreamingSpec {
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
