@@ -176,7 +176,11 @@ object Behavior {
     // insensitive to the very outliers being counted. Exact interpolated
     // percentile on integer cents matches DuckDB's median bit-for-bit;
     // two grouped aggregations + joins all share the user_id hash
-    // partitioning.
+    // partitioning. State note: exact percentile's per-key buffer grows
+    // with the number of DISTINCT values — bounded here by the cents
+    // domain of a bounded price, not the row count; for an unbounded
+    // value domain swap in approx_percentile (fixed sketch state) and
+    // lose the oracle hash-match, keeping a tolerance spec instead.
     "q_anomaly_mad" -> { (s, dir) =>
       val ev = Fixtures
         .events(s, dir)
