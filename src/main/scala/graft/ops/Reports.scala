@@ -58,7 +58,7 @@ object Reports {
     * n mod k buckets get one extra row) maps ranks to buckets per row.
     * For descending metrics pass the negated column (truncating `div`
     * stays monotone over negatives, which is all bucketing needs). */
-  private def ntileTwoLevel(
+  private[graft] def ntileTwoLevel(
       df: DataFrame,
       k: Int,
       value: Column,

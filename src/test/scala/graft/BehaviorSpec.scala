@@ -202,6 +202,29 @@ class BehaviorSpec extends SparkSuite {
     assert(fast == slow)
   }
 
+  test("ntileTwoLevel: adversarial ties and skew reproduce plain ntile for several k") {
+    import spark.implicits._
+    // heavy ties (7 distinct values over 1000 rows), skewed coarse buckets
+    // (value 0 holds half the rows), deterministic tiebreak id
+    val df = (0 until 1000)
+      .map(i => (if (i % 2 == 0) 0L else (i % 7).toLong, i.toLong))
+      .toDF("v", "id")
+    for (k <- Seq(2, 5, 8, 13)) {
+      val fast = graft.ops.Reports
+        .ntileTwoLevel(df, k, col("v"), col("v"), Seq(col("id")), "bkt")
+        .select("v", "id", "bkt")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      val slow = df
+        .withColumn("bkt", ntile(k).over(org.apache.spark.sql.expressions.Window.orderBy("v", "id")))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      assert(fast == slow, s"k=$k mismatch")
+    }
+  }
+
   test("q_upc_normalize: every emitted code carries a valid mod-10 check digit") {
     val rows = SparkEntry.queries("q_upc_normalize")(spark, sf001).collect()
     assert(rows.nonEmpty)
