@@ -110,6 +110,26 @@ object Behavior {
             .cast("long"))
         .orderBy("prev_type", "next_type")
     },
+    // Pipeline freshness/health report: per event source, total volume,
+    // staleness behind the globally freshest event, and trailing 24h/7d
+    // volumes — the dashboard a loader's on-call reads first. "now" is the
+    // global max event time (deterministic, oracle-checkable — a wall
+    // clock would not be), broadcast as one row; everything else is ONE
+    // conditional aggregation pass in integer epoch seconds.
+    "q_freshness" -> { (s, dir) =>
+      val ev = Fixtures
+        .events(s, dir)
+        .select(col("event_type"), epochS(col("ts")).as("es"))
+      val now = ev.agg(max("es").as("now_es"))
+      ev.crossJoin(broadcast(now))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          (max("now_es") - max("es")).as("lag_s"),
+          sum(when(col("es") >= col("now_es") - 86400L, 1L).otherwise(0L)).as("n_24h"),
+          sum(when(col("es") >= col("now_es") - 604800L, 1L).otherwise(0L)).as("n_7d"))
+        .orderBy("event_type")
+    },
     // Jensen-Shannon divergence between the event-type distributions of
     // the two halves of the time range — the bounded, symmetric companion
     // to q_drift_psi's PSI (JS never blows up on a vanishing bin because
@@ -253,6 +273,14 @@ object Behavior {
         "SELECT prev_type, next_type, n, " +
         "CAST(floor(n * 1.0 / sum(n) OVER (PARTITION BY prev_type) * 1000000 + 0.5) AS BIGINT) AS p_e6 " +
         "FROM c ORDER BY 1, 2"),
+    "q_freshness" ->
+      ("WITH e AS (SELECT event_type, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es FROM events), " +
+        "m AS (SELECT max(es) AS now_es FROM e) " +
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, " +
+        "(SELECT now_es FROM m) - max(es) AS lag_s, " +
+        "CAST(sum(CASE WHEN es >= (SELECT now_es FROM m) - 86400 THEN 1 ELSE 0 END) AS BIGINT) AS n_24h, " +
+        "CAST(sum(CASE WHEN es >= (SELECT now_es FROM m) - 604800 THEN 1 ELSE 0 END) AS BIGINT) AS n_7d " +
+        "FROM e GROUP BY 1 ORDER BY 1"),
     "q_drift_js" ->
       ("WITH e AS (SELECT event_type, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es FROM events), " +
         "mid AS (SELECT (min(es) + max(es)) // 2 AS m FROM e), " +

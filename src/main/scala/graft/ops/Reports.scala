@@ -380,6 +380,59 @@ object Reports {
         .select(col("moy"), col("n_months"), col("tot_c"), expr(idxSql).as("idx_e6"))
         .orderBy("moy")
     },
+    // ABC inventory classification (cumulative Pareto classes): parts
+    // sorted by revenue desc, class A = the head covering 70% of
+    // cumulative revenue, B to 90%, C the tail — the classic stock-policy
+    // cut. The global cumulative sum uses the SAME two-level
+    // decomposition as ntileTwoLevel, but for SUMS: intra-bucket running
+    // revenue from a PARALLEL coarse-bucket window plus the running total
+    // of strictly-prior buckets from the ~bucket-count frame — no
+    // single-task cumsum over the part dimension. Class thresholds
+    // compare cum*100 <= k*total in exact longs (headroom note: at
+    // 100-TB revenue magnitudes drop the e4 scale to e2 so 100x total
+    // stays inside a long). Ties (equal revenue) break by part key and
+    // land in the same coarse bucket by construction.
+    "q_sku_abc" -> { (s, dir) =>
+      val rev = floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000 + lit(0.5))
+        .cast("long")
+      val p = Fixtures
+        .table(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(sum(rev).as("rev"))
+        .withColumn("coarse", expr("(-rev) div 100000000"))
+      val intra = p.withColumn(
+        "ic",
+        sum("rev").over(
+          Window
+            .partitionBy("coarse")
+            .orderBy(desc("rev"), asc("pk"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val bkt = p
+        .groupBy("coarse")
+        .agg(sum("rev").as("brev"))
+        .withColumn(
+          "before",
+          coalesce(
+            sum("brev").over(Window.orderBy("coarse").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .withColumn("tot", sum("brev").over(Window.partitionBy()))
+      intra
+        .join(broadcast(bkt.select("coarse", "before", "tot")), Seq("coarse"))
+        .withColumn("cum", col("before") + col("ic"))
+        .withColumn(
+          "cls",
+          when(col("cum") * 100 <= lit(70) * col("tot"), "A")
+            .when(col("cum") * 100 <= lit(90) * col("tot"), "B")
+            .otherwise("C"))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_parts"), sum("rev").as("rev_e4"), first("tot").as("tot"))
+        .select(
+          col("cls"),
+          col("n_parts"),
+          col("rev_e4"),
+          floor(col("rev_e4").cast("double") / col("tot") * 1e6 + lit(0.5)).cast("long").as("share_e6"))
+        .orderBy("cls")
+    },
     // Basket-affinity association rules (market-basket lift) — THE retail
     // SKU analysis: for co-purchased part pairs, lift = P(ab)/(P(a)P(b))
     // from exact distinct-order counts. The pair frame is the same
@@ -544,6 +597,16 @@ object Reports {
         "SELECT moy, n_months, tot_c, " +
         "CAST(floor((CAST(tot_c AS DOUBLE)/n_months) / (CAST(all_c AS DOUBLE)/all_n) * 1000000 + 0.5) AS BIGINT) AS idx_e6 " +
         "FROM g ORDER BY moy"),
+    // plain single-window cumulative sum — the decomposition must
+    // reproduce it exactly
+    "q_sku_abc" ->
+      ("WITH p AS (SELECT l_partkey AS pk, CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT)) AS BIGINT) AS rev FROM lineitem GROUP BY 1), " +
+        "t AS (SELECT sum(rev) AS tot FROM p), " +
+        "c AS (SELECT pk, rev, sum(rev) OVER (ORDER BY rev DESC, pk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM p), " +
+        "k AS (SELECT pk, rev, CASE WHEN cum * 100 <= 70 * (SELECT tot FROM t) THEN 'A' WHEN cum * 100 <= 90 * (SELECT tot FROM t) THEN 'B' ELSE 'C' END AS cls FROM c) " +
+        "SELECT cls, CAST(count(*) AS BIGINT) AS n_parts, CAST(sum(rev) AS BIGINT) AS rev_e4, " +
+        "CAST(floor(CAST(sum(rev) AS DOUBLE) / (SELECT tot FROM t) * 1000000 + 0.5) AS BIGINT) AS share_e6 " +
+        "FROM k GROUP BY 1 ORDER BY 1"),
     "q_basket_lift" ->
       ("WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
         "n AS (SELECT count(DISTINCT ok) AS n_orders FROM li), " +
