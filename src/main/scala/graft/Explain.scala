@@ -41,7 +41,9 @@ object Explain {
     "q_simjoin_prefix",   // expect: prefix-token equi-join + length filter, NO cartesian anywhere
     "q_graph_triangles",  // expect: equi-joins throughout; cartesian ONLY at the final 1-row x 1-row
     "q_pareto_front",     // expect: single range-partitioned sort, two windows, zero joins
-    "q_histogram_equidepth" // expect: ONE coarse-bucket shuffle, parallel rank window, broadcast cum join
+    "q_histogram_equidepth", // expect: ONE coarse-bucket shuffle, parallel rank window, broadcast cum join
+    "q_graph_pagerank",   // expect: lazy 5-superstep DAG, AQE-broadcast rank joins, one groupBy per step
+    "q_sku_abc"           // expect: two-level cumulative decomposition, broadcast bucket frame
   )
 
   def main(args: Array[String]): Unit = {

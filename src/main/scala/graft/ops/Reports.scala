@@ -433,6 +433,33 @@ object Reports {
           floor(col("rev_e4").cast("double") / col("tot") * 1e6 + lit(0.5)).cast("long").as("share_e6"))
         .orderBy("cls")
     },
+    // Revenue decile (Lorenz) report: customers in revenue-desc deciles
+    // with per-decile and cumulative revenue shares — the concentration
+    // curve behind "top 10% of customers drive X%". Deciles come from the
+    // shared [[ntileTwoLevel]] decomposition (no single-task sort over the
+    // customer dimension); the cumulative share window runs on the 10-row
+    // decile frame only.
+    "q_revenue_deciles" -> { (s, dir) =>
+      val c = Fixtures
+        .table(s, dir, "orders")
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev"))
+      ntileTwoLevel(c, 10, -col("rev"), expr("(-rev) div 10000000"), Seq(col("ck")), "dec")
+        .groupBy("dec")
+        .agg(count(lit(1)).as("n_customers"), sum("rev").as("rev_c"))
+        .withColumn("tot", sum("rev_c").over(Window.partitionBy()))
+        .withColumn(
+          "cum",
+          sum("rev_c").over(
+            Window.orderBy("dec").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(
+          col("dec"),
+          col("n_customers"),
+          col("rev_c"),
+          floor(col("rev_c").cast("double") / col("tot") * 1e6 + lit(0.5)).cast("long").as("share_e6"),
+          floor(col("cum").cast("double") / col("tot") * 1e6 + lit(0.5)).cast("long").as("cum_share_e6"))
+        .orderBy("dec")
+    },
     // Basket-affinity association rules (market-basket lift) — THE retail
     // SKU analysis: for co-purchased part pairs, lift = P(ab)/(P(a)P(b))
     // from exact distinct-order counts. The pair frame is the same
@@ -607,6 +634,15 @@ object Reports {
         "SELECT cls, CAST(count(*) AS BIGINT) AS n_parts, CAST(sum(rev) AS BIGINT) AS rev_e4, " +
         "CAST(floor(CAST(sum(rev) AS DOUBLE) / (SELECT tot FROM t) * 1000000 + 0.5) AS BIGINT) AS share_e6 " +
         "FROM k GROUP BY 1 ORDER BY 1"),
+    "q_revenue_deciles" ->
+      ("WITH c AS (SELECT o_custkey AS ck, CAST(sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) AS BIGINT) AS rev FROM orders GROUP BY 1), " +
+        "t AS (SELECT sum(rev) AS tot FROM c), " +
+        "d AS (SELECT ck, rev, CAST(ntile(10) OVER (ORDER BY rev DESC, ck) AS INT) AS dec FROM c), " +
+        "g AS (SELECT dec, CAST(count(*) AS BIGINT) AS n_customers, CAST(sum(rev) AS BIGINT) AS rev_c FROM d GROUP BY 1) " +
+        "SELECT dec, n_customers, rev_c, " +
+        "CAST(floor(CAST(rev_c AS DOUBLE) / (SELECT tot FROM t) * 1000000 + 0.5) AS BIGINT) AS share_e6, " +
+        "CAST(floor(CAST(sum(rev_c) OVER (ORDER BY dec ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / (SELECT tot FROM t) * 1000000 + 0.5) AS BIGINT) AS cum_share_e6 " +
+        "FROM g ORDER BY dec"),
     "q_basket_lift" ->
       ("WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
         "n AS (SELECT count(DISTINCT ok) AS n_orders FROM li), " +
