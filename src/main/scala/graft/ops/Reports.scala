@@ -253,9 +253,21 @@ object Reports {
         .groupBy("v")
         .agg(count(lit(1)).as("deg"))
       // orientation key: (deg, id) packed into one long — distinct per
-      // vertex, monotone in the (deg, id) lexicographic order
-      val ka = deg.select(col("v").as("a"), (col("deg") * lit(1L << 32) + col("a")).as("k_a"))
-      val kb = deg.select(col("v").as("b"), (col("deg") * lit(1L << 32) + col("b")).as("k_b"))
+      // vertex, monotone in the (deg, id) lexicographic order. The packing
+      // is only injective while BOTH fields fit in 32 bits; a vertex id or
+      // degree at 2^32 would alias into a neighbor's key space and corrupt
+      // the orientation (hence the count) SILENTLY — so FAIL LOUDLY at the
+      // 32-bit boundary instead (same policy as the pHash frame key). At
+      // 100 TB a degree >= 2^32 means one part co-purchased with 4 billion
+      // others — the remedy is hub removal, not a wider key.
+      val kd = deg.select(
+        col("v"),
+        expr(
+          "CASE WHEN v >= 0 AND v < 4294967296 AND deg < 4294967296 THEN deg * 4294967296 + v " +
+            "ELSE CAST(raise_error(concat('triangle orientation key overflow: (deg=', deg, " +
+            "', v=', v, ') exceeds 32 bits')) AS BIGINT) END").as("k"))
+      val ka = kd.select(col("v").as("a"), col("k").as("k_a"))
+      val kb = kd.select(col("v").as("b"), col("k").as("k_b"))
       val o = Checkpoints.truncate(
         e.join(ka, Seq("a"))
           .join(kb, Seq("b"))
@@ -304,10 +316,16 @@ object Reports {
       val dg = ed.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
       val edc = Checkpoints.truncate(
         ed.join(dg.select(col("v").as("src"), col("deg")), Seq("src")))
-      val verts = Checkpoints.truncate(dg.select("v"))
-      val n = verts.count()
-      val init = 1000000000000L / n
-      val base = (15L * init) / 100L
+      // vertex count arrives as a broadcast 1-row aggregate crossJoined
+      // onto the vertex frame (the q_freshness/q_histogram pattern), so
+      // init/base are COLUMN expressions and plan construction runs zero
+      // Spark jobs — no eager extra pass over the edge list at scale.
+      val nRow = dg.agg(count(lit(1)).as("n_v"))
+      val verts = Checkpoints.truncate(
+        dg.select("v")
+          .crossJoin(broadcast(nRow))
+          .withColumn("init", expr("CAST(1000000000000 AS BIGINT) div n_v"))
+          .select(col("v"), col("init"), expr("(15 * init) div 100").as("base")))
       // NOTE on lineage: the two REUSED frames (edc, verts) are truncated
       // above; the rank chain itself stays LAZY across the fixed 5
       // supersteps — one optimized DAG, one job, AQE broadcasting the
@@ -316,7 +334,7 @@ object Reports {
       // materialization per superstep and is only worth it when the
       // iteration count is unbounded; dropping it measured 6.9 s -> 2.9 s
       // warm at sf0.1.
-      var pr = verts.select(col("v"), lit(init).as("r"))
+      var pr = verts.select(col("v"), col("init").as("r"))
       for (_ <- 1 to 5) {
         val contrib = edc
           .join(pr.select(col("v").as("src"), col("r")), Seq("src"))
@@ -327,7 +345,7 @@ object Reports {
           .join(contrib, Seq("v"), "left")
           .select(
             col("v"),
-            (lit(base) + expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100")).as("r"))
+            (col("base") + expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100")).as("r"))
       }
       pr.select(col("v"), col("r").as("rank_e12")).orderBy("v")
     },
@@ -594,17 +612,21 @@ object Reports {
     // DuckDB integer division, div on the Spark side) — no recursive CTE
     // so each step's aggregation is unrestricted
     "q_graph_pagerank" -> {
+      // CAST back to BIGINT every superstep: DuckDB's sum() over BIGINT
+      // yields HUGEINT, and without the cast the final rank column arrives
+      // as a non-BIGINT dtype and fails the driver's dtype-sensitive hash
+      // even though the values are identical.
       val step = (k: Int, j: Int) =>
-        s", pr$k AS (SELECT dg.v, (15 * (1000000000000 // (SELECT c FROM n))) // 100 " +
-          "+ (85 * COALESCE(s.sc, 0)) // 100 AS r FROM dg LEFT JOIN (" +
-          s"SELECT ed.dst AS v, sum(p.r // dgs.deg) AS sc FROM ed JOIN pr$j p ON ed.src = p.v " +
+        s", pr$k AS (SELECT dg.v, CAST((15 * (1000000000000 // (SELECT c FROM n))) // 100 " +
+          "+ (85 * COALESCE(s.sc, 0)) // 100 AS BIGINT) AS r FROM dg LEFT JOIN (" +
+          s"SELECT ed.dst AS v, CAST(sum(p.r // dgs.deg) AS BIGINT) AS sc FROM ed JOIN pr$j p ON ed.src = p.v " +
           "JOIN dg dgs ON dgs.v = ed.src GROUP BY ed.dst) s ON s.v = dg.v)"
       "WITH e AS (SELECT DISTINCT least(l1.l_partkey, l2.l_partkey) AS a, greatest(l1.l_partkey, l2.l_partkey) AS b " +
         "FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey <> l2.l_partkey), " +
         "ed AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e), " +
         "dg AS (SELECT src AS v, count(*) AS deg FROM ed GROUP BY 1), " +
         "n AS (SELECT count(*) AS c FROM dg), " +
-        "pr0 AS (SELECT v, 1000000000000 // (SELECT c FROM n) AS r FROM dg)" +
+        "pr0 AS (SELECT v, CAST(1000000000000 // (SELECT c FROM n) AS BIGINT) AS r FROM dg)" +
         (1 to 5).map(k => step(k, k - 1)).mkString +
         " SELECT v, r AS rank_e12 FROM pr5 ORDER BY v"
     },

@@ -52,7 +52,10 @@ object StreamOps {
       event_type: String,
       value_c: Long)
   case class AttrOut(user_id: Long, event_id: Long, touch_type: String, value_c: Long)
-  case class Touch(tsMs: Long, typ: String) // public: the state Encoder's codegen must reach the ctor
+  // public: the state Encoder's codegen must reach the ctor. eventId rides
+  // along so cross-batch ordering compares the full (tsMs, eventId) pair —
+  // the same total order the batch window sorts by.
+  case class Touch(tsMs: Long, eventId: Long, typ: String)
 
   private val attrWindowMs = 7L * 24 * 3600 * 1000
 
@@ -65,7 +68,15 @@ object StreamOps {
     * shape a 1000-executor RocksDB state store wants. Within a
     * micro-batch, events replay in (ts, event_id) order, reproducing the
     * batch window's STRICTLY-preceding frame semantics (a same-timestamp
-    * touch with a lower event_id counts; a later one doesn't). */
+    * touch with a lower event_id counts; a later one doesn't). Across
+    * micro-batches the single-touch state keeps only the MAX-(ts,
+    * event_id) touch, so when the source disorders a user's events within
+    * the watermark the op stays CONSERVATIVE: an older touch never
+    * overwrites a newer one, and a purchase whose stored touch has a
+    * later (ts, event_id) gets NO credit rather than a negative-lag
+    * credit — it equals the batch window exactly whenever each purchase
+    * arrives no earlier (in micro-batch order) than every touch that
+    * precedes it in event time. */
   def attribute(events: Dataset[AttrEvent]): Dataset[AttrOut] = {
     import events.sparkSession.implicits._
     events
@@ -86,15 +97,32 @@ object StreamOps {
     val out = List.newBuilder[AttrOut]
     evs.toList.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
       if (e.event_type == "purchase") {
-        if (last != null && e.ts.getTime - last.tsMs <= attrWindowMs)
+        // credit only a touch that STRICTLY PRECEDES the purchase in the
+        // batch window's (ts, event_id) total order — a stored touch with
+        // a LATER event time (possible when micro-batches disorder a
+        // user's events within the watermark) must not produce a
+        // negative-lag credit
+        if (last != null && e.ts.getTime - last.tsMs <= attrWindowMs &&
+            (last.tsMs < e.ts.getTime || (last.tsMs == e.ts.getTime && last.eventId < e.event_id)))
           out += AttrOut(user, e.event_id, last.typ, e.value_c)
-      } else if (e.event_type == "click" || e.event_type == "view")
-        last = Touch(e.ts.getTime, e.event_type)
+      } else if (e.event_type == "click" || e.event_type == "view") {
+        // never regress state: a touch arriving in a later micro-batch
+        // with an OLDER (ts, event_id) is already superseded
+        if (last == null || last.tsMs < e.ts.getTime ||
+            (last.tsMs == e.ts.getTime && last.eventId < e.event_id))
+          last = Touch(e.ts.getTime, e.event_id, e.event_type)
+      }
     }
     if (last == null) state.remove()
     else {
       state.update(last)
-      state.setTimeoutTimestamp(last.tsMs + attrWindowMs)
+      // clamp above the current watermark: a pathological touch already
+      // older than watermark - lookback would otherwise make
+      // setTimeoutTimestamp throw (timeout must exceed the watermark) and
+      // fail the whole query on one late record. getCurrentWatermarkMs is
+      // 0 in batch/test execution, where the clamp is a no-op.
+      val wm = state.getCurrentWatermarkMs()
+      state.setTimeoutTimestamp(math.max(wm + 1, last.tsMs + attrWindowMs))
     }
     out.result().iterator
   }

@@ -416,7 +416,12 @@ class StreamingSpec extends SparkSuite {
       .outputMode(OutputMode.Append)
       .start()
     try {
-      attrEvents.grouped(300).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+      // deterministic intra-chunk shuffle: the handler must re-sort each
+      // micro-batch by (ts, event_id) itself, so feeding each chunk
+      // disordered is semantics-preserving and exercises that path
+      attrEvents.grouped(300).foreach { chunk =>
+        ms.addData(chunk.sortBy(e => e.event_id % 7)); q.processAllAvailable()
+      }
       ms.addData(Seq(StreamOps.AttrEvent(-1L, -1L, sentinel.ts, "zzz", 0L)))
       q.processAllAvailable()
       val streamed = spark
@@ -433,6 +438,82 @@ class StreamingSpec extends SparkSuite {
         .toSet
       assert(streamed == batch,
         s"stream!=batch: onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
+  test("cap_stream_attribution: cross-batch disorder — no state regression, no negative-lag credit") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def ev(id: Long, t: String, typ: String, v: Long = 100L) =
+      StreamOps.AttrEvent(7L, id, ts(t), typ, v)
+    val ms = MemoryStream[StreamOps.AttrEvent]
+    val q = StreamOps
+      .attribute(ms.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("t_attr_ooo")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      // batch 1: the NEWEST touch arrives first
+      ms.addData(Seq(ev(1, "1996-01-01 10:00:00", "click")))
+      q.processAllAvailable()
+      // batch 2 (all within the 10-min watermark of batch 1):
+      //  - view@09:55 is OLDER than the stored click@10:00 → must NOT
+      //    regress state
+      //  - purchase@09:58 precedes the stored click in event time → NO
+      //    credit (conservative), and crucially not a negative-lag credit
+      ms.addData(Seq(
+        ev(2, "1996-01-01 09:55:00", "view"),
+        ev(3, "1996-01-01 09:58:00", "purchase", 500L)))
+      q.processAllAvailable()
+      // batch 3: a purchase after the stored touch credits the CLICK (the
+      // newest touch), not the view that arrived last
+      ms.addData(Seq(ev(4, "1996-01-01 10:05:00", "purchase", 900L)))
+      q.processAllAvailable()
+      val out = spark
+        .table("t_attr_ooo")
+        .as[StreamOps.AttrOut]
+        .collect()
+        .map(a => (a.event_id, a.touch_type, a.value_c))
+        .toSet
+      assert(out == Set((4L, "click", 900L)),
+        s"expected only the click-credited purchase 4, got $out")
+    } finally q.stop()
+  }
+
+  test("cap_stream_attribution: touch older than watermark-lookback does not kill the query") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def ev(u: Long, id: Long, t: String, typ: String) =
+      StreamOps.AttrEvent(u, id, ts(t), typ, 100L)
+    val ms = MemoryStream[StreamOps.AttrEvent]
+    val q = StreamOps
+      .attribute(ms.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("t_attr_late")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      // advance the watermark far ahead on one user...
+      ms.addData(Seq(ev(1L, 1, "1996-03-01 00:00:00", "click")))
+      q.processAllAvailable()
+      // ...then deliver another user's touch >7 days older than the
+      // watermark: the raw timeout ts (touch + 7d) would be BELOW the
+      // watermark — without the clamp setTimeoutTimestamp throws and the
+      // whole query dies on this one record
+      ms.addData(Seq(ev(2L, 2, "1996-01-01 00:00:00", "click")))
+      q.processAllAvailable()
+      ms.addData(Seq(ev(1L, 3, "1996-03-01 00:30:00", "purchase")))
+      q.processAllAvailable()
+      val out = spark
+        .table("t_attr_late")
+        .as[StreamOps.AttrOut]
+        .collect()
+        .map(a => (a.user_id, a.event_id, a.touch_type))
+        .toSet
+      assert(out == Set((1L, 3L, "click")), s"got $out")
     } finally q.stop()
   }
 }
