@@ -168,6 +168,41 @@ object LlmOps {
         .select(col("doc_id"), col("tok"), e6(col("score")).as("score_e6"))
         .orderBy("doc_id")
     },
+    // Okapi BM25 relevance of every document against a fixed query term
+    // set — the retrieval scorer a training-data curation pipeline uses to
+    // mine topical subsets. Same distribution discipline as TF-IDF: tf via
+    // groupBy (hot tokens collapse map-side), df via groupBy + join-back
+    // (never a tok-partitioned window), the corpus-level (N, avgdl) pair as
+    // ONE broadcast 1-row aggregate. The BM25 expression (k1=1.2, b=0.75,
+    // the Robertson-Sparck-Jones +1 idf) is a single fixed double tree
+    // spelled identically in the oracle; per-doc term scores sum exactly
+    // because each is e6-floored BEFORE the sum.
+    "q_text_bm25" -> { (s, dir) =>
+      val qterms = Seq("data", "table", "join")
+      val docs = Fixtures.table(s, dir, "documents")
+      val toks = docs
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val corpus = dl.agg(count(lit(1)).as("nd"), sum("dl").as("toktot"))
+      val tf = toks
+        .filter(col("tok").isin(qterms: _*))
+        .groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val scoreSql =
+        "CAST(floor(ln(1.0 + (nd - df + 0.5)/(df + 0.5)) * " +
+          "(tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(toktot AS DOUBLE)/nd))) " +
+          "* 1000000 + 0.5) AS BIGINT)"
+      tf.join(broadcast(dfc), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(corpus))
+        .select(col("doc_id"), expr(scoreSql).as("s_e6"))
+        .groupBy("doc_id")
+        .agg(sum("s_e6").as("bm25_e6"), count(lit(1)).as("n_terms"))
+        .orderBy(col("bm25_e6").desc, col("doc_id"))
+        .limit(20)
+    },
     // Bigram counts via the window-lead formulation over token positions.
     "q_text_ngram" -> { (s, dir) =>
       val w = Window.partitionBy("doc_id").orderBy("pos")
@@ -231,6 +266,19 @@ object LlmOps {
         ") GROUP BY tok ORDER BY n DESC, tok LIMIT 20"),
     "q_text_tfidf" ->
       "WITH t AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS tok FROM documents), tf AS (SELECT doc_id, tok, count(*) AS n FROM t WHERE tok <> '' GROUP BY doc_id, tok), x AS (SELECT doc_id, tok, n, sum(n) OVER (PARTITION BY doc_id) AS len, count(*) OVER (PARTITION BY tok) AS df FROM tf), nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents), s AS (SELECT doc_id, tok, (n/len)*ln(nd/df) AS score FROM x, nd), r AS (SELECT doc_id, tok, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rn FROM s) SELECT doc_id, tok, CAST(floor(score*1000000 + 0.5) AS BIGINT) AS score_e6 FROM r WHERE rn = 1 ORDER BY doc_id",
+    "q_text_bm25" ->
+      ("WITH t AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS tok FROM documents), " +
+        "tk AS (SELECT doc_id, tok FROM t WHERE tok <> ''), " +
+        "dlen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tk GROUP BY 1), " +
+        "corpus AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(dl) AS BIGINT) AS toktot FROM dlen), " +
+        "tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk WHERE tok IN ('data', 'table', 'join') GROUP BY 1, 2), " +
+        "dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1), " +
+        "sc AS (SELECT tf.doc_id, CAST(floor(ln(1.0 + (nd - df + 0.5)/(df + 0.5)) * " +
+        "(tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(toktot AS DOUBLE)/nd))) " +
+        "* 1000000 + 0.5) AS BIGINT) AS s_e6 " +
+        "FROM tf JOIN dfc ON tf.tok = dfc.tok JOIN dlen ON tf.doc_id = dlen.doc_id CROSS JOIN corpus) " +
+        "SELECT doc_id, CAST(sum(s_e6) AS BIGINT) AS bm25_e6, CAST(count(*) AS BIGINT) AS n_terms " +
+        "FROM sc GROUP BY 1 ORDER BY bm25_e6 DESC, doc_id LIMIT 20"),
     "q_text_ngram" ->
       "SELECT bg, count(*) AS n FROM (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg FROM (SELECT string_split(lower(text),' ') AS toks FROM documents)) GROUP BY bg HAVING count(*) >= 5 ORDER BY bg",
     "q_text_stats" ->

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Fixtures
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Oracle-checked query bindings for the training-data curation surface a
@@ -252,6 +253,29 @@ object PipelineOps {
           min("doc_id").as("min_id"),
           max("doc_id").as("max_id"))
         .orderBy("lang")
+    },
+    // Deterministic train/val/test split — the assignment every training
+    // pipeline must make REPRODUCIBLY across reruns, engines, and cluster
+    // sizes: bucket = (doc_id · 2654435761) mod 2^32 mod 10 (Knuth
+    // multiplicative hash — exact long arithmetic, no engine hash
+    // function), buckets 0-7 train / 8 val / 9 test. Map-only per row
+    // then one 3-group aggregate; the split column is a pure expression so
+    // at 100 TB the assignment costs zero shuffles and any executor can
+    // recompute membership without a lookup table.
+    "q_split_train" -> { (s, dir) =>
+      val bucket = expr("((doc_id * 2654435761) % 4294967296) % 10")
+      Fixtures
+        .table(s, dir, "documents")
+        .select(
+          when(bucket <= 7, "train").when(bucket === 8, "val").otherwise("test").as("split"),
+          col("n_chars"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars_tot"))
+        .withColumn(
+          "share_e6",
+          floor(col("n_docs").cast("double") / sum("n_docs").over(Window.partitionBy()) * 1e6 + lit(0.5))
+            .cast("long"))
+        .orderBy("split")
     }
   )
 
@@ -324,6 +348,13 @@ object PipelineOps {
         "SELECT vec_id, CAST(floor(scale*1000000 + 0.5) AS BIGINT) AS scale_e6, " +
         (1 to 4).map(i => s"CAST(floor(CAST(embedding[$i] AS DOUBLE)*scale + 0.5) AS BIGINT) AS q$i").mkString(", ") +
         ", CAST(floor(list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE)*scale + 0.5)/scale)), (p,v) -> p+v)*1000000 + 0.5) AS BIGINT) AS err_e6 " +
-        "FROM m ORDER BY vec_id")
+        "FROM m ORDER BY vec_id"),
+    "q_split_train" ->
+      ("WITH b AS (SELECT CASE WHEN ((doc_id * 2654435761) % 4294967296) % 10 <= 7 THEN 'train' " +
+        "WHEN ((doc_id * 2654435761) % 4294967296) % 10 = 8 THEN 'val' ELSE 'test' END AS split, n_chars FROM documents), " +
+        "g AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_tot FROM b GROUP BY 1) " +
+        "SELECT split, n_docs, n_chars_tot, " +
+        "CAST(floor(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER () * 1000000 + 0.5) AS BIGINT) AS share_e6 " +
+        "FROM g ORDER BY split")
   )
 }

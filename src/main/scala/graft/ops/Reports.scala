@@ -567,6 +567,41 @@ object Reports {
         .groupBy("bkt")
         .agg(count(lit(1)).as("n_rows"), min("c").as("lo_c"), max("c").as("hi_c"))
         .orderBy("bkt")
+    },
+    // Per-nation Gini coefficient of customer revenue — the inequality
+    // summary next to q_revenue_deciles' Lorenz table, via the closed
+    // form G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ) over ascending
+    // (rev, custkey) ranks. The rank window partitions by NATION, so the
+    // sort parallelizes across the 25 nation partitions (the one-nation
+    // row_number can fall back to the ntileTwoLevel decomposition if a
+    // single nation's customer count ever outgrows one task). Everything
+    // up to the final ratio is exact longs; headroom: i·xᵢ at 10^9
+    // customers × 10^7 cents brushes the long limit — at that scale drop
+    // revenue to whole currency units first. The ratio expression is one
+    // fixed double tree shared verbatim with the oracle.
+    "q_gini_nation" -> { (s, dir) =>
+      val giniSql =
+        "CAST(floor((2.0 * iwx - (n_customers + 1.0) * tot_c) / (CAST(n_customers AS DOUBLE) * tot_c) * 1000000 + 0.5) AS BIGINT)"
+      val rev = Fixtures
+        .table(s, dir, "orders")
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
+      val w = Window.partitionBy("n_name").orderBy("rev_c", "ck")
+      rev
+        .join(
+          Fixtures.table(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("ck") === col("c_custkey"))
+        .join(
+          broadcast(Fixtures.table(s, dir, "nation").select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .groupBy("n_name")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum("rev_c").as("tot_c"),
+          sum(col("i") * col("rev_c")).as("iwx"))
+        .select(col("n_name"), col("n_customers"), col("tot_c"), expr(giniSql).as("gini_e6"))
+        .orderBy("n_name")
     }
   )
 
@@ -687,6 +722,14 @@ object Reports {
     "q_histogram_equidepth" ->
       ("WITH v AS (SELECT CAST(floor(l_extendedprice*100+0.5) AS BIGINT) AS c, l_orderkey, l_linenumber FROM lineitem), " +
         "b AS (SELECT c, CAST(ntile(8) OVER (ORDER BY c, l_orderkey, l_linenumber) AS INT) AS bkt FROM v) " +
-        "SELECT bkt, CAST(count(*) AS BIGINT) AS n_rows, min(c) AS lo_c, max(c) AS hi_c FROM b GROUP BY 1 ORDER BY 1")
+        "SELECT bkt, CAST(count(*) AS BIGINT) AS n_rows, min(c) AS lo_c, max(c) AS hi_c FROM b GROUP BY 1 ORDER BY 1"),
+    "q_gini_nation" ->
+      ("WITH r AS (SELECT o_custkey AS ck, CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c FROM orders GROUP BY 1), " +
+        "j AS (SELECT n_name, ck, rev_c, CAST(row_number() OVER (PARTITION BY n_name ORDER BY rev_c, ck) AS BIGINT) AS i " +
+        "FROM r JOIN customer ON ck = c_custkey JOIN nation ON c_nationkey = n_nationkey), " +
+        "g AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers, CAST(sum(rev_c) AS BIGINT) AS tot_c, CAST(sum(i * rev_c) AS BIGINT) AS iwx FROM j GROUP BY 1) " +
+        "SELECT n_name, n_customers, tot_c, " +
+        "CAST(floor((2.0 * iwx - (n_customers + 1.0) * tot_c) / (CAST(n_customers AS DOUBLE) * tot_c) * 1000000 + 0.5) AS BIGINT) AS gini_e6 " +
+        "FROM g ORDER BY n_name")
   )
 }
