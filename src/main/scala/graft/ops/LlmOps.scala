@@ -203,6 +203,34 @@ object LlmOps {
         .orderBy(col("bm25_e6").desc, col("doc_id"))
         .limit(20)
     },
+    // Unigram cross-entropy per document — the perplexity-proxy quality
+    // score a curation pipeline uses to rank fluency without a model:
+    // H(doc) = Σ_t tf·(−ln p_corpus(t)) / dl. Corpus term probabilities
+    // come from ONE groupBy (hot terms collapse map-side); each term's
+    // contribution is e6-floored BEFORE the per-doc sum (exact long
+    // addition, no float order), then normalized by doc length in one
+    // final double step shared verbatim with the oracle. Documents with
+    // high H use rare vocabulary; low H is repetitive boilerplate.
+    "q_text_perplexity" -> { (s, dir) =>
+      val toks = Fixtures
+        .table(s, dir, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val corpusTf = tf.groupBy("tok").agg(sum("tf").as("nt"))
+      val tot = corpusTf.agg(sum("nt").as("toktot"))
+      val termSql = "CAST(floor(tf * (-ln(CAST(nt AS DOUBLE) / toktot)) * 1000000 + 0.5) AS BIGINT)"
+      tf.join(broadcast(corpusTf), "tok")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("tf"), expr(termSql).as("h_e6"))
+        .groupBy("doc_id")
+        .agg(sum("h_e6").as("hsum_e6"), sum("tf").as("dl"))
+        .select(
+          col("doc_id"),
+          col("dl"),
+          expr("CAST(floor(CAST(hsum_e6 AS DOUBLE) / dl + 0.5) AS BIGINT)").as("xent_e6"))
+        .orderBy("doc_id")
+    },
     // Bigram counts via the window-lead formulation over token positions.
     "q_text_ngram" -> { (s, dir) =>
       val w = Window.partitionBy("doc_id").orderBy("pos")
@@ -279,6 +307,16 @@ object LlmOps {
         "FROM tf JOIN dfc ON tf.tok = dfc.tok JOIN dlen ON tf.doc_id = dlen.doc_id CROSS JOIN corpus) " +
         "SELECT doc_id, CAST(sum(s_e6) AS BIGINT) AS bm25_e6, CAST(count(*) AS BIGINT) AS n_terms " +
         "FROM sc GROUP BY 1 ORDER BY bm25_e6 DESC, doc_id LIMIT 20"),
+    "q_text_perplexity" ->
+      ("WITH t AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS tok FROM documents), " +
+        "tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM t WHERE tok <> '' GROUP BY 1, 2), " +
+        "ct AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS nt FROM tf GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(nt) AS BIGINT) AS toktot FROM ct), " +
+        "h AS (SELECT doc_id, tf, CAST(floor(tf * (-ln(CAST(nt AS DOUBLE) / toktot)) * 1000000 + 0.5) AS BIGINT) AS h_e6 " +
+        "FROM tf JOIN ct ON tf.tok = ct.tok CROSS JOIN tot), " +
+        "g AS (SELECT doc_id, CAST(sum(h_e6) AS BIGINT) AS hsum_e6, CAST(sum(tf) AS BIGINT) AS dl FROM h GROUP BY 1) " +
+        "SELECT doc_id, dl, CAST(floor(CAST(hsum_e6 AS DOUBLE) / dl + 0.5) AS BIGINT) AS xent_e6 " +
+        "FROM g ORDER BY doc_id"),
     "q_text_ngram" ->
       "SELECT bg, count(*) AS n FROM (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg FROM (SELECT string_split(lower(text),' ') AS toks FROM documents)) GROUP BY bg HAVING count(*) >= 5 ORDER BY bg",
     "q_text_stats" ->

@@ -161,4 +161,33 @@ class PlanShapeSpec extends SparkSuite {
     assert(q19.contains("EqualTo(p_type,PROMO)"),
       s"q19 type disjunction not pushed to the part scan:\n$q19")
   }
+
+  test("round-9 shapes: derived-partsupp TPC-H and new ops stay broadcast/equi-join") {
+    // Q2/Q11/Q16/Q20/Q9: every dimension arrives broadcast, the derived
+    // catalog joins stay equi-joins — no cartesian or real nested loop
+    // anywhere (Q2/Q11's 1-row scalar cross joins are the allowed
+    // BroadcastNestedLoopJoin-with-one-row shape, so only CartesianProduct
+    // is banned there).
+    for (q <- Seq("q_join_tpch_q2", "q_join_tpch_q9", "q_join_tpch_q11",
+        "q_join_tpch_q12", "q_join_tpch_q16", "q_join_tpch_q20")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$q should broadcast its dims:\n$p")
+    }
+    for (q <- Seq("q_join_tpch_q9", "q_join_tpch_q12", "q_join_tpch_q16", "q_join_tpch_q20")) {
+      val p = planOf(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join:\n$p")
+    }
+    // Q12's date window must prune the lineitem scan (pushed filter), and
+    // the lateness predicate (both sides) must NOT block the equi-join.
+    val q12 = planOf("q_join_tpch_q12")
+    assert(q12.contains("l_shipdate"), s"q12 lost its date pushdown:\n$q12")
+    // BM25: tf/df run as aggregates, never a token-partitioned window; the
+    // corpus stats arrive as a 1-row broadcast.
+    val bm25 = planOf("q_text_bm25")
+    assert(!bm25.contains("CartesianProduct"), s"bm25 plans a cartesian:\n$bm25")
+    // split: map-only expression + one aggregate — no join at all.
+    val split = planOf("q_split_train")
+    assert(!split.contains("Join"), s"q_split_train should be join-free:\n$split")
+  }
 }
