@@ -32,8 +32,15 @@ import org.apache.spark.sql.DataFrame
 object Checkpoints {
   val ReliableKey = "spark.graft.checkpoint.reliable"
 
-  /** Truncate `df`'s lineage eagerly, honoring [[ReliableKey]]. */
+  /** Truncate `df`'s lineage eagerly, honoring [[ReliableKey]].
+    * IDEMPOTENT: a frame that is already a bare truncation product (its
+    * analyzed plan is the LogicalRDD a checkpoint leaves behind) passes
+    * through untouched, so a memoized pre-truncated frame (Graph
+    * .coPurchaseEdges) fed to a kernel that defensively truncates its
+    * input doesn't get materialized a second time. */
   def truncate(df: DataFrame): DataFrame = {
+    if (df.queryExecution.analyzed.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+      return df
     val spark = df.sparkSession
     val reliable = spark.conf.getOption(ReliableKey).exists(_.trim.equalsIgnoreCase("true"))
     if (reliable) {

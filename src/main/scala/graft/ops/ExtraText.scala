@@ -665,6 +665,42 @@ object ExtraText {
         .nearDuplicatePairs(orig.unionByName(variant), "vec_id", "embedding", minCosine = 0.9)
         .orderBy("a_id", "b_id")
     },
+    // The AT-SCALE semantic-dedup DECISION end-to-end — the banded
+    // cosine-LSH candidate generator feeding the SAME Components CC +
+    // canonical selection as the exact q_dedup_semantic (which is bounded
+    // to a verification slice precisely because its pair stage is a
+    // crossJoin). This row is the 100-TB path as a first-class tested
+    // query over the FULL embeddings table plus the planted near-dup
+    // variants (the q_cosine_lsh_pairs corpus, true cos ≈ 0.94): SRP
+    // signatures map-only, the self-join shuffles on band values,
+    // candidates exact-cosine-verified, CC O(diameter) rounds, canonical
+    // = min vec_id. τ = 0.9 — the regime sign-random-projection LSH is
+    // built for (at q_dedup_semantic's exploratory τ=0.3 an LSH would
+    // need so many bands it degenerates toward all-pairs; low-τ
+    // clustering is the exact row's job on a bounded slice). Oracle-less
+    // (LSH recall < 1 by construction); CosineLshSpec proves ≥ 0.8 of
+    // planted duplicate pairs land in one cluster with their canonical
+    // chosen, and pair soundness is structural (exact-cosine recheck).
+    "q_dedup_semantic_lsh" -> { (s, dir) =>
+      val e = Fixtures.table(s, dir, "embeddings")
+      val cut = size(col("embedding")) - 2
+      val variantVec = concat(
+        slice(col("embedding"), lit(1), cut),
+        transform(slice(col("embedding"), cut + 1, lit(2)), x => negate(x)))
+      val corpus = e
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(e.select((col("vec_id") + 100000).as("vec_id"), variantVec.as("embedding")))
+      val pairs = graft.functions.CosineLsh
+        .nearDuplicatePairs(corpus, "vec_id", "embedding", minCosine = 0.9)
+        .select("a_id", "b_id")
+      Components
+        .connectedComponents(pairs, corpus.select("vec_id"), "vec_id")
+        .select(
+          col("id").as("vec_id"),
+          col("comp"),
+          (col("id") === col("comp")).cast("int").as("is_canonical"))
+        .orderBy("vec_id")
+    },
     // Multimodal binary plumbing: treat payloads as opaque binary with typed
     // metadata — byte length, digest, head bytes. The decode stage itself is
     // stubbed in graft.multimodal (no media libs in this image); this query

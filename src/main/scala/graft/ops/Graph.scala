@@ -1,0 +1,141 @@
+package graft.ops
+
+import scala.collection.concurrent.TrieMap
+
+import graft.Fixtures
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reusable graph kernels over arbitrary edge frames — the library form of
+  * the `q_graph_*` rows (which now bind these to the co-purchase fixture),
+  * mirroring how Components exposes connected components and Curation the
+  * dedup pipeline. Input contract for both kernels: a DataFrame with long
+  * columns (a, b), one row per DISTINCT UNDIRECTED edge, a < b, no
+  * self-loops.
+  *
+  * Scale story (unchanged from the query forms): triangle counting uses the
+  * degree-ordered orientation so wedge enumeration is bounded by
+  * sum C(outdeg, 2) with outdeg = O(sqrt(m)) even at hub vertices;
+  * pagerank runs a fixed number of pregel supersteps in pure integer e12
+  * fixed-point so results are bit-identical across partitionings, engines,
+  * and cluster sizes.
+  */
+object Graph {
+
+  /** Triangle + edge count via the degree-ordered orientation
+    * (Suri & Vassilvitskii): every edge points from its lower-(deg, id)
+    * endpoint to the higher, wedges enumerate only at their lowest-degree
+    * vertex, and the closing-edge check is a left-semi equi-join against
+    * the oriented list. Returns one row (n_edges, n_triangles). The edge
+    * frame is lineage-truncated once and shared by all four consumers. */
+  def triangles(edges: DataFrame): DataFrame = {
+    val e = Checkpoints.truncate(edges)
+    val deg = e
+      .select(col("a").as("v"))
+      .union(e.select(col("b").as("v")))
+      .groupBy("v")
+      .agg(count(lit(1)).as("deg"))
+    // orientation key: (deg, id) packed into one long — distinct per
+    // vertex, monotone in the (deg, id) lexicographic order. Injective
+    // only while both fields fit in 32 bits — FAIL LOUDLY at the boundary
+    // (a silent alias would corrupt the count); at 100 TB a degree >= 2^32
+    // means one item co-occurs with 4 billion others and the remedy is hub
+    // removal, not a wider key.
+    val kd = deg.select(
+      col("v"),
+      expr(
+        "CASE WHEN v >= 0 AND v < 4294967296 AND deg < 4294967296 THEN deg * 4294967296 + v " +
+          "ELSE CAST(raise_error(concat('triangle orientation key overflow: (deg=', deg, " +
+          "', v=', v, ') exceeds 32 bits')) AS BIGINT) END").as("k"))
+    val ka = kd.select(col("v").as("a"), col("k").as("k_a"))
+    val kb = kd.select(col("v").as("b"), col("k").as("k_b"))
+    val o = Checkpoints.truncate(
+      e.join(ka, Seq("a"))
+        .join(kb, Seq("b"))
+        .select(
+          when(col("k_a") < col("k_b"), col("a")).otherwise(col("b")).as("src"),
+          when(col("k_a") < col("k_b"), col("b")).otherwise(col("a")).as("dst"),
+          greatest(col("k_a"), col("k_b")).as("k_dst")))
+    val w1 = o.select(col("src"), col("dst").as("d1"), col("k_dst").as("k1"))
+    val w2 = o.select(col("src"), col("dst").as("d2"), col("k_dst").as("k2"))
+    val wedges = w1
+      .join(w2.hint("shuffle_hash"), Seq("src"))
+      .filter(col("k1") < col("k2"))
+      .select(col("d1"), col("d2"))
+    // shuffle-HASH, not sort-merge: the wedge probe stream is ~35x the
+    // edge list; SMJ would sort it, hashing the edge side skips the sort.
+    val closed = wedges.join(
+      o.select(col("src").as("d1"), col("dst").as("d2")).hint("shuffle_hash"),
+      Seq("d1", "d2"),
+      "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+  }
+
+  /** PageRank over an undirected edge frame, `iters` synchronous
+    * supersteps at damping 0.85, in pure integer e12 fixed-point: every
+    * contribution is rank div deg and every update integer-scaled, so
+    * per-vertex sums are order-independent longs. The vertex count rides a
+    * broadcast 1-row aggregate (init/base are column expressions — no
+    * separate eager count() pass; the only jobs at construction are the
+    * two lineage truncations every iterative kernel needs anyway); the
+    * degree-annotated edge list
+    * and vertex frame are truncated once outside the loop, the rank chain
+    * stays lazy across the fixed supersteps (one optimized DAG, AQE
+    * broadcasting the rank frame into each superstep join). Returns
+    * (v, rank_e12). */
+  def pagerank(edges: DataFrame, iters: Int = 5): DataFrame = {
+    val e = edges
+    val ed = e
+      .select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+    val dg = ed.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+    val edc = Checkpoints.truncate(
+      ed.join(dg.select(col("v").as("src"), col("deg")), Seq("src")))
+    val nRow = dg.agg(count(lit(1)).as("n_v"))
+    val verts = Checkpoints.truncate(
+      dg.select("v")
+        .crossJoin(broadcast(nRow))
+        .withColumn("init", expr("CAST(1000000000000 AS BIGINT) div n_v"))
+        .select(col("v"), col("init"), expr("(15 * init) div 100").as("base")))
+    var pr = verts.select(col("v"), col("init").as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edc
+        .join(pr.select(col("v").as("src"), col("r")), Seq("src"))
+        .select(col("dst").as("v"), expr("r div deg").as("c"))
+        .groupBy("v")
+        .agg(sum("c").as("sc"))
+      pr = verts
+        .join(contrib, Seq("v"), "left")
+        .select(
+          col("v"),
+          (col("base") + expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100")).as("r"))
+    }
+    pr.select(col("v"), col("r").as("rank_e12"))
+  }
+
+  // ---- fixture binding ----
+
+  private val edgeMemo = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Distinct undirected co-purchase edges (parts sharing an order), built
+    * by the lineitem self-join on the order key — hash-partitioned on
+    * l_orderkey, pair explosion bounded by the per-order line count.
+    * MEMOIZED per (session, sfDir): q_graph_triangles and q_graph_pagerank
+    * consume the same frame, and without the memo each rebuilt + truncated
+    * it separately (~2 s each at sf0.1 in the bench). The memoized frame
+    * is already lineage-truncated, so reuse is a cached-block read, and
+    * per-query semantics are unchanged (the frame is deterministic). */
+  def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    edgeMemo.getOrElseUpdate(
+      (s, dir), {
+        val li = Fixtures
+          .table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        Checkpoints.truncate(
+          li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+            .filter(col("pk") < col("pk2"))
+            .select(col("pk").as("a"), col("pk2").as("b"))
+            .distinct())
+      })
+}

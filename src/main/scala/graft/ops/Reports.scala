@@ -91,22 +91,6 @@ object Reports {
       .drop("__v", "__coarse", "__ir", "__cum_before", "__n", "__rank")
   }
 
-  /** Distinct undirected co-purchase edges (parts sharing an order), built
-    * by the lineitem self-join on the order key — hash-partitioned on
-    * l_orderkey, pair explosion bounded by the per-order line count.
-    * Checkpointed: every graph query fans out into multiple consumers of
-    * this frame (degrees, orientation, iteration loops). */
-  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
-    val li = Fixtures
-      .table(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    Checkpoints.truncate(
-      li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
-        .filter(col("pk") < col("pk2"))
-        .select(col("pk").as("a"), col("pk2").as("b"))
-        .distinct())
-  }
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Month-over-month revenue growth: the fact is aggregated to ~80 month
     // rows FIRST; the unpartitioned lag window then runs on that model-sized
@@ -232,122 +216,20 @@ object Reports {
           concat(col("a11"), col("cd").cast("string")).as("upc_a"))
         .orderBy("p_partkey")
     },
-    // Triangle count on the co-purchase graph (parts sharing an order).
-    // Edge build: lineitem self-joins on the order key (hash-partitioned on
-    // l_orderkey — per-order line counts are bounded by the schema, so the
-    // pair explosion is linear in orders) then distinct. Counting uses the
-    // DEGREE-ORDERED ORIENTATION: every edge points from its lower-(degree,
-    // id) endpoint to the higher, so wedges are enumerated only at their
-    // lowest-degree vertex — sum over v of C(outdeg(v), 2) with outdeg
-    // bounded by O(sqrt(m)) — instead of C(deg, 2) at hub vertices, which is
-    // what makes the count feasible when a hot part appears in 10^7 orders.
-    // The closing-edge check is an equi-join against the oriented edge list
-    // (orientation keys agree, so a closing edge can only appear as
-    // (d1, d2)). The edge list is checkpointed once and reused by all four
-    // consumers (degree calc, orientation, wedge join, closing join).
+    // Triangle count on the co-purchase graph — the [[Graph.triangles]]
+    // degree-ordered-orientation kernel bound to the MEMOIZED co-purchase
+    // edge frame (Graph.coPurchaseEdges: one build + truncation shared
+    // with q_graph_pagerank per session/SF). Kernel + scale story live in
+    // ops/Graph.scala.
     "q_graph_triangles" -> { (s, dir) =>
-      val e = coPurchaseEdges(s, dir)
-      val deg = e
-        .select(col("a").as("v"))
-        .union(e.select(col("b").as("v")))
-        .groupBy("v")
-        .agg(count(lit(1)).as("deg"))
-      // orientation key: (deg, id) packed into one long — distinct per
-      // vertex, monotone in the (deg, id) lexicographic order. The packing
-      // is only injective while BOTH fields fit in 32 bits; a vertex id or
-      // degree at 2^32 would alias into a neighbor's key space and corrupt
-      // the orientation (hence the count) SILENTLY — so FAIL LOUDLY at the
-      // 32-bit boundary instead (same policy as the pHash frame key). At
-      // 100 TB a degree >= 2^32 means one part co-purchased with 4 billion
-      // others — the remedy is hub removal, not a wider key.
-      val kd = deg.select(
-        col("v"),
-        expr(
-          "CASE WHEN v >= 0 AND v < 4294967296 AND deg < 4294967296 THEN deg * 4294967296 + v " +
-            "ELSE CAST(raise_error(concat('triangle orientation key overflow: (deg=', deg, " +
-            "', v=', v, ') exceeds 32 bits')) AS BIGINT) END").as("k"))
-      val ka = kd.select(col("v").as("a"), col("k").as("k_a"))
-      val kb = kd.select(col("v").as("b"), col("k").as("k_b"))
-      val o = Checkpoints.truncate(
-        e.join(ka, Seq("a"))
-          .join(kb, Seq("b"))
-          .select(
-            when(col("k_a") < col("k_b"), col("a")).otherwise(col("b")).as("src"),
-            when(col("k_a") < col("k_b"), col("b")).otherwise(col("a")).as("dst"),
-            greatest(col("k_a"), col("k_b")).as("k_dst")))
-      val w1 = o.select(col("src"), col("dst").as("d1"), col("k_dst").as("k1"))
-      val w2 = o.select(col("src"), col("dst").as("d2"), col("k_dst").as("k2"))
-      val wedges = w1
-        .join(w2.hint("shuffle_hash"), Seq("src"))
-        .filter(col("k1") < col("k2"))
-        .select(col("d1"), col("d2"))
-      // shuffle-HASH, not sort-merge: the probe stream is ~35x the edge
-      // list (sum C(outdeg,2) wedges vs m edges — 41M vs 1.2M at sf0.1),
-      // and SMJ would SORT that stream; hashing the edge side instead
-      // skips the big sort entirely. Same partitioning story at any
-      // scale — the build side is 1/35th of the probe per partition.
-      val closed = wedges.join(
-        o.select(col("src").as("d1"), col("dst").as("d2")).hint("shuffle_hash"),
-        Seq("d1", "d2"),
-        "left_semi")
-      e.agg(count(lit(1)).as("n_edges"))
-        .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+      Graph.triangles(Graph.coPurchaseEdges(s, dir))
     },
-    // PageRank over the co-purchase graph, 5 synchronous iterations at
-    // damping 0.85 — in PURE INTEGER e12 fixed-point arithmetic: every
-    // contribution is rank_e12 div deg (integer division) and every update
-    // is integer-scaled, so the per-vertex sums are order-independent
-    // longs and the result is bit-identical across partitionings, engines,
-    // and cluster sizes — the float-summation-order hazard that normally
-    // makes iterative rank scores hash-unmatchable simply doesn't exist.
-    // The degree is pre-joined onto the edge list ONCE outside the loop
-    // (it never changes), so each iteration is exactly one equi-join of
-    // edges with the current rank frame plus one groupBy(dst) — the
-    // textbook pregel superstep; the rank frame is lineage-truncated per
-    // iteration so iteration k+1's plan starts from k's materialized
-    // result, not the whole history. Undirected edges mean deg >= 1 for
-    // every vertex (no dangling-mass term), but the left join + coalesce
-    // keeps zero-inflow vertices exact anyway.
+    // PageRank (5 supersteps, damping 0.85) in pure integer e12
+    // fixed-point — the [[Graph.pagerank]] kernel on the same memoized
+    // edge frame; bit-identical across partitionings so the oracle can
+    // hash-match an iterative score.
     "q_graph_pagerank" -> { (s, dir) =>
-      val e = coPurchaseEdges(s, dir)
-      val ed = e
-        .select(col("a").as("src"), col("b").as("dst"))
-        .union(e.select(col("b").as("src"), col("a").as("dst")))
-      val dg = ed.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
-      val edc = Checkpoints.truncate(
-        ed.join(dg.select(col("v").as("src"), col("deg")), Seq("src")))
-      // vertex count arrives as a broadcast 1-row aggregate crossJoined
-      // onto the vertex frame (the q_freshness/q_histogram pattern), so
-      // init/base are COLUMN expressions and plan construction runs zero
-      // Spark jobs — no eager extra pass over the edge list at scale.
-      val nRow = dg.agg(count(lit(1)).as("n_v"))
-      val verts = Checkpoints.truncate(
-        dg.select("v")
-          .crossJoin(broadcast(nRow))
-          .withColumn("init", expr("CAST(1000000000000 AS BIGINT) div n_v"))
-          .select(col("v"), col("init"), expr("(15 * init) div 100").as("base")))
-      // NOTE on lineage: the two REUSED frames (edc, verts) are truncated
-      // above; the rank chain itself stays LAZY across the fixed 5
-      // supersteps — one optimized DAG, one job, AQE broadcasting the
-      // model-sized rank frame into each superstep's join. Per-iteration
-      // truncation (the pattern the open-ended CC loop needs) costs a
-      // materialization per superstep and is only worth it when the
-      // iteration count is unbounded; dropping it measured 6.9 s -> 2.9 s
-      // warm at sf0.1.
-      var pr = verts.select(col("v"), col("init").as("r"))
-      for (_ <- 1 to 5) {
-        val contrib = edc
-          .join(pr.select(col("v").as("src"), col("r")), Seq("src"))
-          .select(col("dst").as("v"), expr("r div deg").as("c"))
-          .groupBy("v")
-          .agg(sum("c").as("sc"))
-        pr = verts
-          .join(contrib, Seq("v"), "left")
-          .select(
-            col("v"),
-            (col("base") + expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100")).as("r"))
-      }
-      pr.select(col("v"), col("r").as("rank_e12")).orderBy("v")
+      Graph.pagerank(Graph.coPurchaseEdges(s, dir), 5).orderBy("v")
     },
     // RFM segmentation: per-customer Recency/Frequency/Monetary quintiles,
     // rolled up to segment counts — the classic CRM cut. Each quintile is

@@ -47,6 +47,45 @@ class CosineLshSpec extends SparkSuite {
     assert(approx.subsetOf(exact), s"unsound pairs: ${approx.diff(exact).take(3)}")
   }
 
+  test("q_dedup_semantic_lsh: >= 0.8 of planted dup pairs share a cluster; canonicals unique per cluster") {
+    val out = SparkEntry
+      .queries("q_dedup_semantic_lsh")(spark, sf001)
+      .select(col("vec_id"), col("comp"), col("is_canonical"))
+      .as[(Long, Long, Int)]
+      .collect()
+    val comp = out.map(r => r._1 -> r._2).toMap
+    // ground truth: planted variants whose EXACT cosine to their original
+    // clears the τ=0.9 gate (tail-mass varies per vector, so a tail of the
+    // planted pairs lands below τ — those are excluded by the exact
+    // verification by DESIGN, not LSH misses, and don't count against
+    // recall). Each qualifying pair should share a component.
+    val c = corpus()
+    val truePairs = c
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+      .filter(col("b_id") >= 100000L)
+      .join(
+        c.select((col("vec_id") + 100000L).as("b_id"), col("embedding").as("a_vec")),
+        "b_id")
+      .withColumn("cos", SimKernel.cosine(col("a_vec"), col("b_vec")))
+      .filter(col("cos") >= 0.9)
+      .select(col("b_id"))
+      .as[Long]
+      .collect()
+      .map(b => (b - 100000L, b))
+      .toSeq
+    assert(truePairs.size >= 300, s"planted construction broken: only ${truePairs.size} true pairs")
+    val recovered = truePairs.count { case (a, b) => comp(a) == comp(b) }
+    val recall = recovered.toDouble / truePairs.size
+    assert(recall >= 0.8, s"cluster recall $recall < 0.8 (${recovered}/${truePairs.size})")
+    // exactly one canonical per cluster, and it is the min id
+    val byComp = out.groupBy(_._2)
+    byComp.foreach { case (c, rows) =>
+      val canon = rows.filter(_._3 == 1).map(_._1)
+      assert(canon.length == 1, s"cluster $c has ${canon.length} canonicals")
+      assert(canon.head == rows.map(_._1).min, s"cluster $c canonical ${canon.head} != min id")
+    }
+  }
+
   test("rowsPerBand outside [1, 32] is rejected (band packing would overflow)") {
     val c = corpus()
     intercept[IllegalArgumentException] {
