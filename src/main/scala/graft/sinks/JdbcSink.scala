@@ -78,6 +78,104 @@ object JdbcSink {
       }
       .start()
 
+  /** EXACTLY-ONCE streaming append — the stage-then-publish foreachBatch
+    * recipe for sinks whose rows have NO natural key (where the idempotent
+    * upsert can't dedup a replayed micro-batch):
+    *
+    *   1. if `epochTable` already records (table, batchId) → the epoch
+    *      committed before a restart; skip entirely.
+    *   2. clear any staging rows for this batchId (a previous attempt may
+    *      have crashed mid-stage), then append the batch to `stagingTable`
+    *      tagged with `graft_batch_id` — per-partition parallel writes, no
+    *      driver funnel, no cross-connection transaction needed because
+    *      staging is invisible to readers.
+    *   3. ONE driver-side transaction publishes: INSERT INTO target
+    *      SELECT … FROM staging WHERE graft_batch_id = ?, record the epoch in
+    *      `epochTable`, delete the staged rows, commit.
+    *
+    * Every crash window replays safely: before the publish transaction the
+    * epoch is unrecorded so the retry re-stages from scratch (step 2 wipes
+    * partial stages); after it, step 1 skips. The publish INSERT-SELECT
+    * runs inside the database, so the target never sees a partial batch.
+    * At scale the executor-parallel staging carries the data volume; the
+    * publish transaction moves rows engine-side (no second network hop).
+    *
+    * Expected DDL: `stagingTable` = target columns + `graft_batch_id BIGINT`;
+    * `epochTable(sink_table VARCHAR(128), batch_id BIGINT, PRIMARY
+    * KEY (sink_table, batch_id))`. */
+  def appendEpochExactlyOnce(
+      batch: DataFrame,
+      batchId: Long,
+      url: String,
+      table: String,
+      stagingTable: String,
+      epochTable: String): Unit = {
+    val cols = batch.schema.fieldNames.toSeq
+    val conn0 = DriverManager.getConnection(url)
+    val committed =
+      try {
+        val st = conn0.prepareStatement(
+          s"SELECT 1 FROM $epochTable WHERE sink_table = ? AND batch_id = ?")
+        try {
+          st.setString(1, table); st.setLong(2, batchId)
+          val rs = st.executeQuery()
+          try rs.next()
+          finally rs.close()
+        } finally st.close()
+      } finally conn0.close()
+    if (committed) return
+
+    locally { // step 2a: wipe a possible partial stage from a crashed attempt
+      val conn = DriverManager.getConnection(url)
+      try {
+        val del = conn.prepareStatement(s"DELETE FROM $stagingTable WHERE graft_batch_id = ?")
+        try { del.setLong(1, batchId); del.executeUpdate() }
+        finally del.close()
+      } finally conn.close()
+    }
+    // step 2b: parallel executor append into staging
+    writeAppend(
+      batch.withColumn("graft_batch_id", org.apache.spark.sql.functions.lit(batchId)),
+      url,
+      stagingTable,
+      new Properties())
+    // step 3: atomic publish
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.setAutoCommit(false)
+      val pub = conn.prepareStatement(
+        s"INSERT INTO $table (${cols.mkString(", ")}) " +
+          s"SELECT ${cols.mkString(", ")} FROM $stagingTable WHERE graft_batch_id = ?")
+      val rec = conn.prepareStatement(
+        s"INSERT INTO $epochTable (sink_table, batch_id) VALUES (?, ?)")
+      val del = conn.prepareStatement(s"DELETE FROM $stagingTable WHERE graft_batch_id = ?")
+      try {
+        pub.setLong(1, batchId); pub.executeUpdate()
+        rec.setString(1, table); rec.setLong(2, batchId); rec.executeUpdate()
+        del.setLong(1, batchId); del.executeUpdate()
+        conn.commit()
+      } catch {
+        case t: Throwable => conn.rollback(); throw t
+      } finally { pub.close(); rec.close(); del.close() }
+    } finally conn.close()
+  }
+
+  /** Streaming form of [[appendEpochExactlyOnce]]: at-least-once micro-batch
+    * replay + epoch-transactional publish = exactly-once appends. */
+  def streamAppendExactlyOnce(
+      stream: DataFrame,
+      url: String,
+      table: String,
+      stagingTable: String,
+      epochTable: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        appendEpochExactlyOnce(batch.toDF(), id, url, table, stagingTable, epochTable)
+      }
+      .start()
+
   private def writePartition(
       conn: Connection,
       rows: Iterator[org.apache.spark.sql.Row],
