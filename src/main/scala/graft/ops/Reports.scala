@@ -461,6 +461,121 @@ object Reports {
     // customers × 10^7 cents brushes the long limit — at that scale drop
     // revenue to whole currency units first. The ratio expression is one
     // fixed double tree shared verbatim with the oracle.
+    // Inventory aging / slow movers: per part, days since its LAST
+    // shipment (against the corpus max date — a broadcast 1-row aggregate,
+    // the q_freshness pattern), bucketed into the 0-90/91-180/181-365/365+
+    // aging classes a stock controller reviews. ONE aggregation pass over
+    // the fact to part grain, then map-only bucketing — no window, no
+    // second fact scan, linear at any scale.
+    "q_slow_movers" -> { (s, dir) =>
+      val mx = Fixtures.table(s, dir, "lineitem").agg(max("l_shipdate").as("mxd"))
+      Fixtures
+        .table(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(max("l_shipdate").as("last_ship"), sum(col("l_quantity").cast("long")).as("qty"))
+        .crossJoin(broadcast(mx))
+        .select(
+          col("pk"),
+          datediff(col("mxd"), col("last_ship")).cast("long").as("age_days"),
+          col("qty"))
+        .select(
+          when(col("age_days") <= 90, "A_0_90")
+            .when(col("age_days") <= 180, "B_91_180")
+            .when(col("age_days") <= 365, "C_181_365")
+            .otherwise("D_365_plus")
+            .as("age_bucket"),
+          col("qty"))
+        .groupBy("age_bucket")
+        .agg(count(lit(1)).as("n_parts"), sum("qty").as("qty_sum"))
+        .orderBy("age_bucket")
+    },
+    // Price elasticity proxy: per-part OLS slope of quantity on unit price
+    // over its order lines, slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) — the
+    // classic closed form computed from FOUR exact long sums in one
+    // aggregation pass (x = unit cents via the engine-shared double
+    // division, y = quantity; headroom: Σx² at 1e5-cent prices and 10^6
+    // lines/part is ~1e16 — inside long; at bigger per-part line counts
+    // drop x to whole currency units). Parts with a degenerate variance
+    // (single price point) are excluded exactly (den = 0). The final
+    // slope is ONE double expression shared verbatim with the oracle.
+    "q_price_elasticity" -> { (s, dir) =>
+      val slopeSql =
+        "CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) * 1000000 + 0.5) AS BIGINT)"
+      Fixtures
+        .table(s, dir, "lineitem")
+        .select(
+          col("l_partkey").as("pk"),
+          floor(col("l_extendedprice") / col("l_quantity") * 100 + lit(0.5)).cast("long").as("x"),
+          col("l_quantity").cast("long").as("y"))
+        .groupBy("pk")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("x").as("sx"),
+          sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .filter(col("n") >= 20 && (col("n") * col("sxx") - col("sx") * col("sx")) =!= 0)
+        .select(col("pk"), col("n"), expr(slopeSql).as("slope_e6"))
+        .orderBy("pk")
+    },
+    // XYZ demand-variability classes (the companion cut to q_sku_abc's
+    // ABC): per part, the coefficient of variation of MONTHLY demand,
+    // classed X (CV ≤ 0.5, steady), Y (CV ≤ 1), Z (erratic). The entire
+    // comparison happens in integers: CV² = (n·Σq² − (Σq)²)/(Σq)², so
+    // X ⇔ 4·num ≤ den and Y ⇔ num ≤ den — no float CV ever exists, no
+    // rounding boundary to disagree on. Two-level aggregation (fact →
+    // part-month → part), both keyed on the part, then a 3-row rollup.
+    "q_sku_xyz" -> { (s, dir) =>
+      val monthly = Fixtures
+        .table(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("pk"), date_trunc("month", col("l_shipdate")).as("mo"))
+        .agg(sum(col("l_quantity").cast("long")).as("q"))
+      monthly
+        .groupBy("pk")
+        .agg(count(lit(1)).as("n"), sum("q").as("sq"), sum(col("q") * col("q")).as("sqq"))
+        .select(
+          col("pk"),
+          (col("n") * col("sqq") - col("sq") * col("sq")).as("num"),
+          (col("sq") * col("sq")).as("den"))
+        .select(
+          when(col("num") * 4 <= col("den"), "X")
+            .when(col("num") <= col("den"), "Y")
+            .otherwise("Z")
+            .as("xyz"))
+        .groupBy("xyz")
+        .agg(count(lit(1)).as("n_parts"))
+        .orderBy("xyz")
+    },
+    // Weighted median unit price per brand (weight = shipped quantity):
+    // the smallest price whose cumulative weight reaches half the total —
+    // exact integer semantics end to end (2·cumw ≥ totw compares longs).
+    // The cumulative window partitions by BRAND, so the sort parallelizes
+    // across brands; the per-brand total rides the same partitioning as a
+    // window aggregate (one shuffle total). min() over the qualifying
+    // rows collapses to the answer without a second sort.
+    "q_weighted_median" -> { (s, dir) =>
+      val priced = Fixtures
+        .table(s, dir, "lineitem")
+        .join(
+          broadcast(Fixtures.table(s, dir, "part").select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(
+          col("p_brand"),
+          floor(col("l_extendedprice") / col("l_quantity") * 100 + lit(0.5)).cast("long").as("price_c"),
+          col("l_quantity").cast("long").as("w"))
+      val wCum = Window
+        .partitionBy("p_brand")
+        .orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, 0)
+      val wTot = Window.partitionBy("p_brand")
+      priced
+        .withColumn("cumw", sum("w").over(wCum))
+        .withColumn("totw", sum("w").over(wTot))
+        .filter(col("cumw") * 2 >= col("totw"))
+        .groupBy("p_brand")
+        .agg(min("price_c").as("wmedian_c"), max("totw").as("tot_qty"))
+        .orderBy("p_brand")
+    },
     "q_gini_nation" -> { (s, dir) =>
       val giniSql =
         "CAST(floor((2.0 * iwx - (n_customers + 1.0) * tot_c) / (CAST(n_customers AS DOUBLE) * tot_c) * 1000000 + 0.5) AS BIGINT)"
@@ -605,6 +720,34 @@ object Reports {
       ("WITH v AS (SELECT CAST(floor(l_extendedprice*100+0.5) AS BIGINT) AS c, l_orderkey, l_linenumber FROM lineitem), " +
         "b AS (SELECT c, CAST(ntile(8) OVER (ORDER BY c, l_orderkey, l_linenumber) AS INT) AS bkt FROM v) " +
         "SELECT bkt, CAST(count(*) AS BIGINT) AS n_rows, min(c) AS lo_c, max(c) AS hi_c FROM b GROUP BY 1 ORDER BY 1"),
+    "q_slow_movers" ->
+      ("WITH mx AS (SELECT max(l_shipdate) AS mxd FROM lineitem), " +
+        "p AS (SELECT l_partkey AS pk, max(l_shipdate) AS last_ship, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty FROM lineitem GROUP BY 1), " +
+        "a AS (SELECT pk, CAST(date_diff('day', last_ship, (SELECT mxd FROM mx)) AS BIGINT) AS age_days, qty FROM p), " +
+        "b AS (SELECT CASE WHEN age_days <= 90 THEN 'A_0_90' WHEN age_days <= 180 THEN 'B_91_180' " +
+        "WHEN age_days <= 365 THEN 'C_181_365' ELSE 'D_365_plus' END AS age_bucket, qty FROM a) " +
+        "SELECT age_bucket, CAST(count(*) AS BIGINT) AS n_parts, CAST(sum(qty) AS BIGINT) AS qty_sum " +
+        "FROM b GROUP BY 1 ORDER BY 1"),
+    "q_price_elasticity" ->
+      ("WITH v AS (SELECT l_partkey AS pk, CAST(floor(l_extendedprice / l_quantity * 100 + 0.5) AS BIGINT) AS x, CAST(l_quantity AS BIGINT) AS y FROM lineitem), " +
+        "g AS (SELECT pk, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
+        "CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx FROM v GROUP BY 1) " +
+        "SELECT pk, n, CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) * 1000000 + 0.5) AS BIGINT) AS slope_e6 " +
+        "FROM g WHERE n >= 20 AND n * sxx - sx * sx <> 0 ORDER BY pk"),
+    "q_sku_xyz" ->
+      ("WITH m AS (SELECT l_partkey AS pk, date_trunc('month', l_shipdate) AS mo, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q FROM lineitem GROUP BY 1, 2), " +
+        "g AS (SELECT pk, CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS sq, CAST(sum(q*q) AS BIGINT) AS sqq FROM m GROUP BY 1), " +
+        "c AS (SELECT pk, n * sqq - sq * sq AS num, sq * sq AS den FROM g), " +
+        "k AS (SELECT CASE WHEN num * 4 <= den THEN 'X' WHEN num <= den THEN 'Y' ELSE 'Z' END AS xyz FROM c) " +
+        "SELECT xyz, CAST(count(*) AS BIGINT) AS n_parts FROM k GROUP BY 1 ORDER BY 1"),
+    "q_weighted_median" ->
+      ("WITH v AS (SELECT p_brand, CAST(floor(l_extendedprice / l_quantity * 100 + 0.5) AS BIGINT) AS price_c, CAST(l_quantity AS BIGINT) AS w " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey), " +
+        "c AS (SELECT p_brand, price_c, " +
+        "sum(w) OVER (PARTITION BY p_brand ORDER BY price_c RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw, " +
+        "sum(w) OVER (PARTITION BY p_brand) AS totw FROM v) " +
+        "SELECT p_brand, CAST(min(price_c) AS BIGINT) AS wmedian_c, CAST(max(totw) AS BIGINT) AS tot_qty " +
+        "FROM c WHERE cumw * 2 >= totw GROUP BY 1 ORDER BY 1"),
     "q_gini_nation" ->
       ("WITH r AS (SELECT o_custkey AS ck, CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c FROM orders GROUP BY 1), " +
         "j AS (SELECT n_name, ck, rev_c, CAST(row_number() OVER (PARTITION BY n_name ORDER BY rev_c, ck) AS BIGINT) AS i " +
