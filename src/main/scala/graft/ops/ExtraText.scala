@@ -701,6 +701,45 @@ object ExtraText {
           (col("id") === col("comp")).cast("int").as("is_canonical"))
         .orderBy("vec_id")
     },
+    // Entity resolution end-to-end — the master-data operation a UPC/SKU
+    // loader performs when retailer feeds spell the same product
+    // differently: BLOCK (equi-join key = brand + last name token, so
+    // candidate pairs exist only within a block — never all-pairs),
+    // MATCH (levenshtein ≤ 2 on the name — the verify step), CLUSTER
+    // (Components CC over match pairs), SURVIVE (golden record = the
+    // min-id member's name). Planted variants (rec_id + 100000, first
+    // character of the name replaced) must resolve to their original;
+    // organic near-names inside a block (e.g. 'old gear' vs 'hot gear',
+    // distance 2) legitimately merge too — the recursive-CTE oracle
+    // reproduces the full transitive closure, so the hash-match proves
+    // blocking + matching + clustering + survivorship TOGETHER. At scale
+    // the block key is the shuffle key and block sizes are bounded by
+    // brand×token cardinality; skewed blocks would salt like any hot key.
+    "q_entity_resolution" -> { (s, dir) =>
+      val p = Fixtures.table(s, dir, "part")
+      val recs = p
+        .select(col("p_partkey").as("rec_id"), col("p_name").as("name"), col("p_brand"))
+        .unionByName(p.select(
+          (col("p_partkey") + 100000).as("rec_id"),
+          concat(lit("z"), expr("substring(p_name, 2)")).as("name"),
+          col("p_brand")))
+      val blocked = recs.withColumn("blk", concat_ws("|", col("p_brand"), expr("split_part(name, ' ', 2)")))
+      val pairs = blocked
+        .select(col("blk"), col("rec_id").as("a_id"), col("name").as("a_name"))
+        .join(
+          blocked.select(col("blk"), col("rec_id").as("b_id"), col("name").as("b_name")),
+          Seq("blk"))
+        .filter(col("a_id") < col("b_id") && levenshtein(col("a_name"), col("b_name")) <= 2)
+        .select("a_id", "b_id")
+      val lbl = Components.connectedComponents(pairs, recs.select("rec_id"), "rec_id")
+      lbl
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_records"))
+        .filter(col("n_records") >= 2)
+        .join(recs.select(col("rec_id"), col("name").as("golden_name")), col("comp") === col("rec_id"))
+        .select(col("comp").as("canonical_id"), col("n_records"), col("golden_name"))
+        .orderBy("canonical_id")
+    },
     // Multimodal binary plumbing: treat payloads as opaque binary with typed
     // metadata — byte length, digest, head bytes. The decode stage itself is
     // stubbed in graft.multimodal (no media libs in this image); this query
@@ -850,6 +889,18 @@ object ExtraText {
         SimKernel.cosSql("q.embedding", "c.embedding") +
         " AS cos FROM e q JOIN e c ON q.bkt = c.bkt AND q.vec_id <> c.vec_id AND c.label % 2 = 0 WHERE q.vec_id < 20), r AS (SELECT q_id, c_id, bkt, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM s) SELECT q_id, CAST(rn AS INT) AS rn, c_id, CAST(bkt AS INT) AS bkt, CAST(floor(cos*1000000 + 0.5) AS BIGINT) AS score_e6 FROM r WHERE rn <= 3 ORDER BY q_id, rn"),
     "q_multimodal_binary" ->
-      "SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, md5(text) AS digest, hex(encode(substring(text,1,4))) AS head4 FROM documents ORDER BY doc_id"
+      "SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, md5(text) AS digest, hex(encode(substring(text,1,4))) AS head4 FROM documents ORDER BY doc_id",
+    "q_entity_resolution" ->
+      ("WITH RECURSIVE recs AS (SELECT p_partkey AS rec_id, p_name AS name, p_brand FROM part " +
+        "UNION ALL SELECT p_partkey + 100000, 'z' || substring(p_name, 2), p_brand FROM part), " +
+        "blk AS (SELECT rec_id, name, p_brand || '|' || split_part(name, ' ', 2) AS blk FROM recs), " +
+        "pr AS (SELECT a.rec_id AS a_id, b.rec_id AS b_id FROM blk a JOIN blk b ON a.blk = b.blk " +
+        "AND a.rec_id < b.rec_id AND levenshtein(a.name, b.name) <= 2), " +
+        "e AS (SELECT a_id AS s2, d FROM (SELECT a_id, b_id AS d FROM pr) UNION ALL SELECT b_id, a_id FROM pr), " +
+        "reach(node, m) AS (SELECT rec_id, rec_id FROM recs UNION SELECT e.s2, r.m FROM e JOIN reach r ON e.d = r.node), " +
+        "lbl AS (SELECT node, min(m) AS comp FROM reach GROUP BY node), " +
+        "cl AS (SELECT comp, CAST(count(*) AS BIGINT) AS n_records FROM lbl GROUP BY comp) " +
+        "SELECT CAST(comp AS BIGINT) AS canonical_id, n_records, recs.name AS golden_name " +
+        "FROM cl JOIN recs ON recs.rec_id = cl.comp WHERE n_records >= 2 ORDER BY canonical_id")
   )
 }
