@@ -43,7 +43,13 @@ object Explain {
     "q_pareto_front",     // expect: single range-partitioned sort, two windows, zero joins
     "q_histogram_equidepth", // expect: ONE coarse-bucket shuffle, parallel rank window, broadcast cum join
     "q_graph_pagerank",   // expect: lazy 5-superstep DAG, AQE-broadcast rank joins, one groupBy per step
-    "q_sku_abc"           // expect: two-level cumulative decomposition, broadcast bucket frame
+    "q_sku_abc",          // expect: two-level cumulative decomposition, broadcast bucket frame
+    "q_join_tpch_q2",     // expect: derived-catalog agg once, broadcast dims, decorrelated min join
+    "q_join_tpch_q12",    // expect: date filter pushed to lineitem scan, lateness as join residual
+    "q_text_bm25",        // expect: tf/df as aggregates (no tok window), broadcast corpus stats
+    "q_weighted_median",  // expect: ONE brand shuffle shared by both windows
+    "q_entity_resolution", // expect: block-key equi-join, levenshtein as residual, no cartesian
+    "q_dedup_semantic_lsh" // expect: band equi-join + exact verify + CC, no all-pairs stage
   )
 
   def main(args: Array[String]): Unit = {

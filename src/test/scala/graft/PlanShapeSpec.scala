@@ -190,4 +190,22 @@ class PlanShapeSpec extends SparkSuite {
     val split = planOf("q_split_train")
     assert(!split.contains("Join"), s"q_split_train should be join-free:\n$split")
   }
+
+  test("round-9b shapes: entity resolution is blocked, weighted median shares one shuffle") {
+    // entity resolution: candidates come from the BLOCK-key equi-join —
+    // a cartesian over the record corpus would be the all-pairs failure
+    val er = planOf("q_entity_resolution")
+    assert(!er.contains("CartesianProduct"), s"q_entity_resolution plans a cartesian:\n$er")
+    // weighted median: both windows (cumulative + total) must ride ONE
+    // brand exchange — a second hash exchange on p_brand would mean the
+    // window partitioning failed to reuse the shuffle
+    val wm = planOf("q_weighted_median")
+    val brandExchanges = "hashpartitioning\\(p_brand".r.findAllIn(wm).length
+    assert(brandExchanges <= 1, s"q_weighted_median re-shuffles on brand ($brandExchanges):\n$wm")
+    for (q <- Seq("q_slow_movers", "q_price_elasticity", "q_sku_xyz")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"$q should be pure aggregation (+broadcast):\n$p")
+    }
+  }
 }
