@@ -114,6 +114,48 @@ object Graph {
     pr.select(col("v"), col("r").as("rank_e12"))
   }
 
+  /** Degree distribution: (deg, n_vertices) over the undirected edge
+    * frame — two linear passes, the shape of the graph in a model-sized
+    * result at any scale. */
+  def degreeDistribution(edges: DataFrame): DataFrame =
+    edges
+      .select(col("a").as("v"))
+      .union(edges.select(col("b").as("v")))
+      .groupBy("v")
+      .agg(count(lit(1)).as("deg"))
+      .groupBy("deg")
+      .agg(count(lit(1)).as("n_vertices"))
+
+  /** Common-neighbor link prediction: for vertex pairs NOT already joined
+    * by an edge, the number of shared neighbors — the classic
+    * missing-link score. Wedges enumerate from the symmetric adjacency
+    * (both endpoints of every wedge, unlike the triangle kernel's
+    * min-key-only orientation, because every pair needs its FULL
+    * common-neighbor count), so the wedge volume is sum C(deg, 2):
+    * `maxDegree` caps hub vertices the same way the audio/LSH kernels
+    * cap hot postings — a 10^7-degree hub contributes C(10^7, 2) wedges
+    * and zero ranking signal. Candidates anti-join the edge list; both
+    * joins key on vertex ids. */
+  def commonNeighbors(edges: DataFrame, maxDegree: Option[Long] = None): DataFrame = {
+    val e = Checkpoints.truncate(edges)
+    val ed = e
+      .select(col("a").as("s"), col("b").as("d"))
+      .union(e.select(col("b").as("s"), col("a").as("d")))
+    val adj = maxDegree match {
+      case Some(cap) =>
+        val deg = ed.groupBy(col("s").as("v")).agg(count(lit(1)).as("deg"))
+        ed.join(broadcast(deg.filter(col("deg") > cap).select(col("v").as("s"))), Seq("s"), "left_anti")
+      case None => ed
+    }
+    val w1 = adj.select(col("s"), col("d").as("x"))
+    val w2 = adj.select(col("s"), col("d").as("y"))
+    w1.join(w2, Seq("s"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x").as("a"), col("y").as("b"))
+      .agg(count(lit(1)).as("cn"))
+      .join(e, Seq("a", "b"), "left_anti")
+  }
+
   // ---- fixture binding ----
 
   private val edgeMemo = TrieMap.empty[(SparkSession, String), DataFrame]

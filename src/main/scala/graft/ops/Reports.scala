@@ -231,6 +231,62 @@ object Reports {
     "q_graph_pagerank" -> { (s, dir) =>
       Graph.pagerank(Graph.coPurchaseEdges(s, dir), 5).orderBy("v")
     },
+    // Degree distribution of the co-purchase graph — [[Graph.degreeDistribution]]
+    // on the memoized edge frame; the graph's shape in a model-sized table.
+    "q_graph_degree_dist" -> { (s, dir) =>
+      Graph.degreeDistribution(Graph.coPurchaseEdges(s, dir)).orderBy("deg")
+    },
+    // Common-neighbor link prediction — "bought together with both of
+    // these, never together with each other" — on the SIGNAL co-purchase
+    // graph: edges kept only when the pair co-occurred in ≥ 2 orders.
+    // The threshold is the scale design, not a convenience: single
+    // co-occurrence edges grow linearly with the fact table (pure noise —
+    // 1.2M at sf0.1) while ≥2 edges stay near-constant (~3.9k, the real
+    // affinities), and link prediction's wedge volume is Σ C(deg, 2) of
+    // whatever graph it runs on. [[Graph.commonNeighbors]] then
+    // enumerates full wedges + anti-joins existing edges; global top 20
+    // with (cn desc, a, b) tiebreaks rides TakeOrderedAndProject.
+    "q_graph_linkpred" -> { (s, dir) =>
+      val li = Fixtures
+        .table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val weighted = li
+        .join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+        .filter(col("pk") < col("pk2"))
+        .groupBy(col("pk").as("a"), col("pk2").as("b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select("a", "b")
+      Graph
+        .commonNeighbors(weighted)
+        .orderBy(col("cn").desc, col("a"), col("b"))
+        .limit(20)
+    },
+    // Cohort lifetime value: customers grouped by FIRST-order month, each
+    // cohort's revenue accumulated over its age in months — the LTV curve
+    // next to q_retention_cohort's retention table. Month arithmetic uses
+    // the integer index y*12+m (no months_between float semantics to
+    // disagree on); the fact aggregates to (cohort, age) grain BEFORE the
+    // cumulative window, which then runs on the model-sized cohort×age
+    // frame partitioned by cohort.
+    "q_cohort_ltv" -> { (s, dir) =>
+      val o = Fixtures
+        .table(s, dir, "orders")
+        .select(
+          col("o_custkey").as("ck"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long").as("midx"),
+          cents(col("o_totalprice")).as("rev_c"))
+      val first = o.groupBy("ck").agg(min("midx").as("cohort_idx"))
+      val w = Window
+        .partitionBy("cohort_idx")
+        .orderBy("age_m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      o.join(first, Seq("ck"))
+        .groupBy(col("cohort_idx"), (col("midx") - col("cohort_idx")).as("age_m"))
+        .agg(sum("rev_c").as("rev_c"), countDistinct("ck").as("n_active"))
+        .withColumn("cum_rev_c", sum("rev_c").over(w))
+        .orderBy("cohort_idx", "age_m")
+    },
     // RFM segmentation: per-customer Recency/Frequency/Monetary quintiles,
     // rolled up to segment counts — the classic CRM cut. Each quintile is
     // an EXACT ntile(5) with full (metric, custkey) tiebreaks, computed by
@@ -720,6 +776,29 @@ object Reports {
       ("WITH v AS (SELECT CAST(floor(l_extendedprice*100+0.5) AS BIGINT) AS c, l_orderkey, l_linenumber FROM lineitem), " +
         "b AS (SELECT c, CAST(ntile(8) OVER (ORDER BY c, l_orderkey, l_linenumber) AS INT) AS bkt FROM v) " +
         "SELECT bkt, CAST(count(*) AS BIGINT) AS n_rows, min(c) AS lo_c, max(c) AS hi_c FROM b GROUP BY 1 ORDER BY 1"),
+    "q_graph_degree_dist" ->
+      ("WITH e AS (SELECT DISTINCT least(l1.l_partkey, l2.l_partkey) AS a, greatest(l1.l_partkey, l2.l_partkey) AS b " +
+        "FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey <> l2.l_partkey), " +
+        "d AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1) " +
+        "SELECT deg, CAST(count(*) AS BIGINT) AS n_vertices FROM d GROUP BY 1 ORDER BY 1"),
+    "q_graph_linkpred" ->
+      ("WITH e AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b " +
+        "FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "ed AS (SELECT a AS s, b AS d FROM e UNION ALL SELECT b, a FROM e), " +
+        "cn AS (SELECT w1.d AS a, w2.d AS b, CAST(count(*) AS BIGINT) AS cn " +
+        "FROM ed w1 JOIN ed w2 ON w1.s = w2.s AND w1.d < w2.d GROUP BY 1, 2) " +
+        "SELECT a, b, cn FROM cn WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = cn.a AND e.b = cn.b) " +
+        "ORDER BY cn DESC, a, b LIMIT 20"),
+    "q_cohort_ltv" ->
+      ("WITH o AS (SELECT o_custkey AS ck, CAST(year(o_orderdate)*12 + month(o_orderdate) AS BIGINT) AS midx, " +
+        "CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS rev_c FROM orders), " +
+        "f AS (SELECT ck, min(midx) AS cohort_idx FROM o GROUP BY 1), " +
+        "g AS (SELECT cohort_idx, midx - cohort_idx AS age_m, CAST(sum(rev_c) AS BIGINT) AS rev_c, " +
+        "CAST(count(DISTINCT o.ck) AS BIGINT) AS n_active FROM o JOIN f ON o.ck = f.ck GROUP BY 1, 2) " +
+        "SELECT cohort_idx, age_m, rev_c, n_active, " +
+        "CAST(sum(rev_c) OVER (PARTITION BY cohort_idx ORDER BY age_m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev_c " +
+        "FROM g ORDER BY cohort_idx, age_m"),
     "q_slow_movers" ->
       ("WITH mx AS (SELECT max(l_shipdate) AS mxd FROM lineitem), " +
         "p AS (SELECT l_partkey AS pk, max(l_shipdate) AS last_ship, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty FROM lineitem GROUP BY 1), " +
