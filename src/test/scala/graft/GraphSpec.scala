@@ -45,6 +45,33 @@ class GraphSpec extends SparkSuite {
       s"rank mass off: $total")
   }
 
+  test("degreeDistribution and commonNeighbors on hand-checkable graphs") {
+    // path 1-2-3-4: two endpoints of degree 1, two middles of degree 2
+    val path = edges((1L, 2L), (2L, 3L), (3L, 4L))
+    val dist = Graph
+      .degreeDistribution(path)
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(dist == Map(1L -> 2L, 2L -> 2L), s"path degree dist wrong: $dist")
+    // common neighbors on the path: (1,3) share 2, (2,4) share 3; (1,4)
+    // share nothing; existing edges are excluded
+    val cn = Graph
+      .commonNeighbors(path)
+      .select("a", "b", "cn")
+      .as[(Long, Long, Long)]
+      .collect()
+      .map(r => (r._1, r._2) -> r._3)
+      .toMap
+    assert(cn == Map((1L, 3L) -> 1L, (2L, 4L) -> 1L), s"path common neighbors wrong: $cn")
+    // hub cap: a star's center exceeds the cap, so no wedges survive
+    val star = edges((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+    assert(Graph.commonNeighbors(star, maxDegree = Some(3L)).count() == 0L,
+      "capped hub still produced wedges")
+    val uncapped = Graph.commonNeighbors(star).count()
+    assert(uncapped == 6L, s"star should yield C(4,2)=6 leaf pairs, got $uncapped")
+  }
+
   test("coPurchaseEdges memoizes per (session, sfDir); truncate is idempotent") {
     val e1 = Graph.coPurchaseEdges(spark, sf001)
     val e2 = Graph.coPurchaseEdges(spark, sf001)
