@@ -287,6 +287,68 @@ object Reports {
         .withColumn("cum_rev_c", sum("rev_c").over(w))
         .orderBy("cohort_idx", "age_m")
     },
+    // Hierarchy (category-tree) revenue rollup: parts live in a synthetic
+    // decimal tree (parent = node div 10, ~5 levels at 20k parts), and
+    // every part's revenue rolls up to ALL its ancestors. The closure is
+    // computed ARITHMETICALLY — ancestor at level k is pk div 10^k, a
+    // pure map-side expression exploded per level — instead of the
+    // iterated self-join a general parent-pointer table would need: when
+    // the hierarchy encoding admits it, the O(depth) explode + ONE
+    // groupBy replaces O(depth) joins, the difference between one
+    // shuffle and five at 100 TB. Levels 1-3 reported (level-0 leaves
+    // are q_sku_abc's grain).
+    "q_hierarchy_rollup" -> { (s, dir) =>
+      val rev = Fixtures
+        .table(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(sum(
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + lit(0.5))
+            .cast("long")).as("rev_e4"))
+      rev
+        .select(
+          col("pk"),
+          col("rev_e4"),
+          posexplode(array(
+            expr("pk div 10"),
+            expr("pk div 100"),
+            expr("pk div 1000"))))
+        .toDF("pk", "rev_e4", "lvl0", "node")
+        .select((col("lvl0") + 1).as("level"), col("node"), col("rev_e4"))
+        .groupBy("level", "node")
+        .agg(count(lit(1)).as("n_parts"), sum("rev_e4").as("rev_e4"))
+        .orderBy("level", "node")
+    },
+    // Exact discount proration by LARGEST REMAINDER: a 10% order-level
+    // discount pool (in cents) allocated to the order's lines
+    // proportionally to line revenue, with the rounding remainder
+    // distributed to the largest fractional parts — so per-order
+    // allocations sum to the pool EXACTLY, the invariant finance data
+    // requires and naive floor/round proration silently breaks. All
+    // integer: base = pool·w div W, fractional part compared as
+    // pool·w mod W (longs), remainder ranks break ties by line number.
+    // One order-partitioned shuffle carries the window trio.
+    "q_proration" -> { (s, dir) =>
+      // line grain first: the fixture repeats (orderkey, linenumber), and
+      // both the remainder rank and the output sort need a UNIQUE key
+      val li = Fixtures
+        .table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+        .agg(sum(cents(col("l_extendedprice"))).as("w"))
+      val wOrd = Window.partitionBy("ok")
+      val wRank = Window.partitionBy("ok").orderBy(col("frac").desc, col("ln"))
+      li.withColumn("bigw", sum("w").over(wOrd))
+        .withColumn("pool", expr("(bigw div 10)"))
+        .withColumn("base", expr("(pool * w) div bigw"))
+        .withColumn("frac", expr("(pool * w) % bigw"))
+        .withColumn("rem", col("pool") - sum("base").over(wOrd))
+        .withColumn("rk", row_number().over(wRank))
+        .select(
+          col("ok"),
+          col("ln"),
+          col("w"),
+          (col("base") + when(col("rk") <= col("rem"), 1L).otherwise(0L)).as("alloc_c"))
+        .orderBy("ok", "ln")
+    },
     // RFM segmentation: per-customer Recency/Frequency/Monetary quintiles,
     // rolled up to segment counts — the classic CRM cut. Each quintile is
     // an EXACT ntile(5) with full (metric, custkey) tiebreaks, computed by
@@ -776,6 +838,21 @@ object Reports {
       ("WITH v AS (SELECT CAST(floor(l_extendedprice*100+0.5) AS BIGINT) AS c, l_orderkey, l_linenumber FROM lineitem), " +
         "b AS (SELECT c, CAST(ntile(8) OVER (ORDER BY c, l_orderkey, l_linenumber) AS INT) AS bkt FROM v) " +
         "SELECT bkt, CAST(count(*) AS BIGINT) AS n_rows, min(c) AS lo_c, max(c) AS hi_c FROM b GROUP BY 1 ORDER BY 1"),
+    "q_hierarchy_rollup" ->
+      ("WITH r AS (SELECT l_partkey AS pk, CAST(sum(CAST(floor(l_extendedprice*(1.0 - l_discount)*10000 + 0.5) AS BIGINT)) AS BIGINT) AS rev_e4 FROM lineitem GROUP BY 1), " +
+        "x AS (SELECT pk, rev_e4, 1 AS level, pk // 10 AS node FROM r " +
+        "UNION ALL SELECT pk, rev_e4, 2, pk // 100 FROM r " +
+        "UNION ALL SELECT pk, rev_e4, 3, pk // 1000 FROM r) " +
+        "SELECT CAST(level AS INT) AS level, node, CAST(count(*) AS BIGINT) AS n_parts, CAST(sum(rev_e4) AS BIGINT) AS rev_e4 " +
+        "FROM x GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_proration" ->
+      ("WITH li AS (SELECT l_orderkey AS ok, l_linenumber AS ln, CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS w FROM lineitem GROUP BY 1, 2), " +
+        "t AS (SELECT ok, ln, w, sum(w) OVER (PARTITION BY ok) AS bigw FROM li), " +
+        "b AS (SELECT ok, ln, w, bigw, bigw // 10 AS pool, (bigw // 10 * w) // bigw AS base, (bigw // 10 * w) % bigw AS frac FROM t), " +
+        "c AS (SELECT ok, ln, w, pool, base, frac, pool - sum(base) OVER (PARTITION BY ok) AS rem, " +
+        "row_number() OVER (PARTITION BY ok ORDER BY frac DESC, ln) AS rk FROM b) " +
+        "SELECT ok, ln, w, CAST(base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS BIGINT) AS alloc_c " +
+        "FROM c ORDER BY ok, ln"),
     "q_graph_degree_dist" ->
       ("WITH e AS (SELECT DISTINCT least(l1.l_partkey, l2.l_partkey) AS a, greatest(l1.l_partkey, l2.l_partkey) AS b " +
         "FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey <> l2.l_partkey), " +

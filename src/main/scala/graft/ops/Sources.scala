@@ -12,6 +12,9 @@ import org.apache.spark.sql.functions._
   * over the events.props payload column, and a left-anti incremental join.
   */
 object Sources {
+  private def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * 100 + lit(0.5)).cast("long")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Columnar scan + projection + summary. Projection list is 2 columns so
     // the vectorized parquet reader prunes the other 9 (check ReadSchema).
@@ -48,6 +51,39 @@ object Sources {
         .join(loaded, Seq("upc"), "left_anti")
         .select("upc", "p_name")
         .orderBy("upc")
+    },
+    // CDC snapshot diff — the change-data-capture a loader derives when
+    // the source system only offers full extracts: FULL OUTER join of two
+    // snapshots on the business key → I (new only) / D (old only) / U
+    // (both, payload differs); unchanged rows drop out before the
+    // summary. Snapshots are deterministic slices of orders (different
+    // modulus filters simulate inserts/deletes, a +100-cent bump on
+    // %13 keys simulates updates). One co-partitioned outer join at any
+    // scale; the per-op key-sum makes the summary hash-sensitive to
+    // WHICH rows changed, not just how many.
+    "q_cdc_snapshot_diff" -> { (s, dir) =>
+      val o = Fixtures
+        .table(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), cents(col("o_totalprice")).as("price_c"))
+      val old = o.filter(col("k") % 97 =!= 0).select(col("k"), col("price_c").as("old_c"))
+      val neu = o
+        .filter(col("k") % 89 =!= 0)
+        .select(
+          col("k"),
+          (col("price_c") + when(col("k") % 13 === 0, 100L).otherwise(0L)).as("new_c"))
+      old
+        .join(neu, Seq("k"), "full_outer")
+        .select(
+          col("k"),
+          when(col("old_c").isNull, "I")
+            .when(col("new_c").isNull, "D")
+            .when(col("old_c") =!= col("new_c"), "U")
+            .otherwise("N")
+            .as("op"))
+        .filter(col("op") =!= "N")
+        .groupBy("op")
+        .agg(count(lit(1)).as("n"), sum("k").as("key_sum"))
+        .orderBy("op")
     }
   )
 
@@ -57,6 +93,14 @@ object Sources {
     "q_scan_schema_json" ->
       "SELECT CAST(json_extract_string(props,'$.k') AS INT) AS k, count(*) AS n FROM events GROUP BY 1 ORDER BY k",
     "q_etl_incremental" ->
-      "SELECT lpad(CAST(p_partkey AS VARCHAR),12,'0') AS upc, p_name FROM part WHERE (p_partkey % 3) <> 0 ORDER BY upc"
+      "SELECT lpad(CAST(p_partkey AS VARCHAR),12,'0') AS upc, p_name FROM part WHERE (p_partkey % 3) <> 0 ORDER BY upc",
+    "q_cdc_snapshot_diff" ->
+      ("WITH o AS (SELECT o_orderkey AS k, CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_c FROM orders), " +
+        "old AS (SELECT k, price_c AS old_c FROM o WHERE k % 97 <> 0), " +
+        "neu AS (SELECT k, price_c + CASE WHEN k % 13 = 0 THEN 100 ELSE 0 END AS new_c FROM o WHERE k % 89 <> 0), " +
+        "d AS (SELECT coalesce(old.k, neu.k) AS k, CASE WHEN old_c IS NULL THEN 'I' WHEN new_c IS NULL THEN 'D' " +
+        "WHEN old_c <> new_c THEN 'U' ELSE 'N' END AS op FROM old FULL OUTER JOIN neu ON old.k = neu.k) " +
+        "SELECT op, CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS key_sum " +
+        "FROM d WHERE op <> 'N' GROUP BY 1 ORDER BY 1")
   )
 }
