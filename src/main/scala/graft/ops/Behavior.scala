@@ -222,6 +222,29 @@ object Behavior {
           sum(when(col("dev") > lit(3) * lit(1.4826) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
         .orderBy("user_id")
     },
+    // Rapid-fire duplicate detection: events of the same (user, type)
+    // arriving within 5 seconds of their predecessor — the double-click /
+    // retry artifact an event pipeline quarantines before metrics. The
+    // lag-diff window replaces the self-join a naive "events within Δt of
+    // another event" formulation would shuffle twice; millisecond
+    // arithmetic on unix_millis longs, one (user, type) shuffle, rolled
+    // up to a per-type summary.
+    "q_event_dupes" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+      Fixtures
+        .events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
+        .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+        .select(
+          col("event_type"),
+          when(col("prev_ms").isNotNull && col("ms") - col("prev_ms") <= 5000, 1L)
+            .otherwise(0L)
+            .as("is_dup"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum("is_dup").as("n_dups"))
+        .orderBy("event_type")
+    },
     // Top 3-event paths: the two leads materialize each sliding triple
     // without a self-join (an event log self-joined twice on user_id would
     // shuffle the fact three times; the window form shuffles it once).
@@ -311,6 +334,13 @@ object Behavior {
         "CAST(floor(m2.mad*10 + 0.5) AS BIGINT) AS mad_d1, " +
         "CAST(count(*) FILTER (WHERE d.dev > 3 * 1.4826 * m2.mad) AS BIGINT) AS n_outliers " +
         "FROM d JOIN m2 ON d.user_id = m2.user_id GROUP BY 1, 2, 3 ORDER BY 1"),
+    "q_event_dupes" ->
+      (evCte +
+        ", l AS (SELECT event_type, CAST(floor(epoch_ms(ts)) AS BIGINT) AS ms, " +
+        "lag(CAST(floor(epoch_ms(ts)) AS BIGINT)) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_ms FROM e) " +
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, " +
+        "CAST(sum(CASE WHEN prev_ms IS NOT NULL AND ms - prev_ms <= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups " +
+        "FROM l GROUP BY 1 ORDER BY 1"),
     "q_path_3grams" ->
       (evCte +
         ", l AS (SELECT event_type AS t0, lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1, " +

@@ -287,6 +287,40 @@ object Reports {
         .withColumn("cum_rev_c", sum("rev_c").over(w))
         .orderBy("cohort_idx", "age_m")
     },
+    // IQR (Tukey-fence) outlier audit per brand: unit prices outside
+    // [q1 − 1.5·IQR, q3 + 1.5·IQR] — the robust sibling of
+    // q_anomaly_zscore/q_anomaly_mad that completes the outlier-family
+    // trio. Spark's interpolated percentile() is bit-identical to
+    // DuckDB's quantile_cont on integer-cent inputs (the q_anomaly_mad
+    // precedent); the fences compare in doubles derived from those two
+    // exact values, one expression shared between engines. Two grouped
+    // passes + a broadcast join — the 25-row quantile frame never
+    // shuffles the fact a second time.
+    "q_outlier_iqr" -> { (s, dir) =>
+      val v = Fixtures
+        .table(s, dir, "lineitem")
+        .join(
+          broadcast(Fixtures.table(s, dir, "part").select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(
+          col("p_brand"),
+          floor(col("l_extendedprice") / col("l_quantity") * 100 + lit(0.5)).cast("long").as("u"))
+      val q = v
+        .groupBy("p_brand")
+        .agg(expr("percentile(u, 0.25)").as("q1"), expr("percentile(u, 0.75)").as("q3"))
+      v.join(broadcast(q), Seq("p_brand"))
+        .groupBy("p_brand")
+        .agg(
+          floor(first("q1") * 10 + lit(0.5)).cast("long").as("q1_d1"),
+          floor(first("q3") * 10 + lit(0.5)).cast("long").as("q3_d1"),
+          count(lit(1)).as("n"),
+          sum(
+            when(
+              col("u") < col("q1") - lit(1.5) * (col("q3") - col("q1")) ||
+                col("u") > col("q3") + lit(1.5) * (col("q3") - col("q1")),
+              1L).otherwise(0L)).as("n_outliers"))
+        .orderBy("p_brand")
+    },
     // Hierarchy (category-tree) revenue rollup: parts live in a synthetic
     // decimal tree (parent = node div 10, ~5 levels at 20k parts), and
     // every part's revenue rolls up to ALL its ancestors. The closure is
@@ -838,6 +872,14 @@ object Reports {
       ("WITH v AS (SELECT CAST(floor(l_extendedprice*100+0.5) AS BIGINT) AS c, l_orderkey, l_linenumber FROM lineitem), " +
         "b AS (SELECT c, CAST(ntile(8) OVER (ORDER BY c, l_orderkey, l_linenumber) AS INT) AS bkt FROM v) " +
         "SELECT bkt, CAST(count(*) AS BIGINT) AS n_rows, min(c) AS lo_c, max(c) AS hi_c FROM b GROUP BY 1 ORDER BY 1"),
+    "q_outlier_iqr" ->
+      ("WITH v AS (SELECT p_brand, CAST(floor(l_extendedprice / l_quantity * 100 + 0.5) AS BIGINT) AS u " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey), " +
+        "q AS (SELECT p_brand, quantile_cont(u, 0.25) AS q1, quantile_cont(u, 0.75) AS q3 FROM v GROUP BY 1) " +
+        "SELECT v.p_brand, CAST(floor(any_value(q1)*10 + 0.5) AS BIGINT) AS q1_d1, " +
+        "CAST(floor(any_value(q3)*10 + 0.5) AS BIGINT) AS q3_d1, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN u < q1 - 1.5*(q3 - q1) OR u > q3 + 1.5*(q3 - q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers " +
+        "FROM v JOIN q ON v.p_brand = q.p_brand GROUP BY 1 ORDER BY 1"),
     "q_hierarchy_rollup" ->
       ("WITH r AS (SELECT l_partkey AS pk, CAST(sum(CAST(floor(l_extendedprice*(1.0 - l_discount)*10000 + 0.5) AS BIGINT)) AS BIGINT) AS rev_e4 FROM lineitem GROUP BY 1), " +
         "x AS (SELECT pk, rev_e4, 1 AS level, pk // 10 AS node FROM r " +
