@@ -33,13 +33,22 @@ object Checkpoints {
   val ReliableKey = "spark.graft.checkpoint.reliable"
 
   /** Truncate `df`'s lineage eagerly, honoring [[ReliableKey]].
-    * IDEMPOTENT: a frame that is already a bare truncation product (its
-    * analyzed plan is the LogicalRDD a checkpoint leaves behind) passes
-    * through untouched, so a memoized pre-truncated frame (Graph
-    * .coPurchaseEdges) fed to a kernel that defensively truncates its
-    * input doesn't get materialized a second time. */
+    * IDEMPOTENT: a frame that is already a bare truncation product — its
+    * analyzed plan is the LogicalRDD a checkpoint leaves behind, or a
+    * pure column-projection over one (the memoized weighted edge frame's
+    * `.select("a", "b")` view) — passes through untouched, so a memoized
+    * pre-truncated frame (Graph.coPurchaseEdges*) fed to a kernel that
+    * defensively truncates its input doesn't get materialized again. */
   def truncate(df: DataFrame): DataFrame = {
-    if (df.queryExecution.analyzed.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+    def truncated(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p match {
+        case _: org.apache.spark.sql.execution.LogicalRDD => true
+        case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          pr.projectList.forall(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Attribute]) &&
+            pr.child.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+        case _ => false
+      }
+    if (truncated(df.queryExecution.analyzed))
       return df
     val spark = df.sparkSession
     val reliable = spark.conf.getOption(ReliableKey).exists(_.trim.equalsIgnoreCase("true"))

@@ -160,15 +160,17 @@ object Graph {
 
   private val edgeMemo = TrieMap.empty[(SparkSession, String), DataFrame]
 
-  /** Distinct undirected co-purchase edges (parts sharing an order), built
-    * by the lineitem self-join on the order key — hash-partitioned on
-    * l_orderkey, pair explosion bounded by the per-order line count.
-    * MEMOIZED per (session, sfDir): q_graph_triangles and q_graph_pagerank
-    * consume the same frame, and without the memo each rebuilt + truncated
-    * it separately (~2 s each at sf0.1 in the bench). The memoized frame
-    * is already lineage-truncated, so reuse is a cached-block read, and
-    * per-query semantics are unchanged (the frame is deterministic). */
-  def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+  /** WEIGHTED undirected co-purchase edges (a, b, w = number of orders the
+    * pair shares), built by the lineitem self-join on the order key —
+    * hash-partitioned on l_orderkey, pair explosion bounded by the
+    * per-order line count. MEMOIZED per (session, sfDir): the distinct
+    * view ([[coPurchaseEdges]] — triangles, pagerank, degree dist) and the
+    * signal view (w ≥ threshold — link prediction) are both projections
+    * of this one frame, so the fact-table self-join runs ONCE per
+    * session/SF however many graph queries execute. Already
+    * lineage-truncated; reuse is a cached-block read and each query's
+    * semantics are unchanged (the frame is deterministic). */
+  def coPurchaseEdgesWeighted(s: SparkSession, dir: String): DataFrame =
     edgeMemo.getOrElseUpdate(
       (s, dir), {
         val li = Fixtures
@@ -177,7 +179,12 @@ object Graph {
         Checkpoints.truncate(
           li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
             .filter(col("pk") < col("pk2"))
-            .select(col("pk").as("a"), col("pk2").as("b"))
-            .distinct())
+            .groupBy(col("pk").as("a"), col("pk2").as("b"))
+            .agg(count(lit(1)).as("w")))
       })
+
+  /** Distinct undirected co-purchase edges — the unweighted projection of
+    * [[coPurchaseEdgesWeighted]] (same memoized build). */
+  def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    coPurchaseEdgesWeighted(s, dir).select("a", "b")
 }

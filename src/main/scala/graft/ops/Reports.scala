@@ -247,18 +247,9 @@ object Reports {
     // enumerates full wedges + anti-joins existing edges; global top 20
     // with (cn desc, a, b) tiebreaks rides TakeOrderedAndProject.
     "q_graph_linkpred" -> { (s, dir) =>
-      val li = Fixtures
-        .table(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val weighted = li
-        .join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
-        .filter(col("pk") < col("pk2"))
-        .groupBy(col("pk").as("a"), col("pk2").as("b"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
-        .select("a", "b")
       Graph
-        .commonNeighbors(weighted)
+        .commonNeighbors(
+          Graph.coPurchaseEdgesWeighted(s, dir).filter(col("w") >= 2).select("a", "b"))
         .orderBy(col("cn").desc, col("a"), col("b"))
         .limit(20)
     },

@@ -73,11 +73,15 @@ class GraphSpec extends SparkSuite {
   }
 
   test("coPurchaseEdges memoizes per (session, sfDir); truncate is idempotent") {
-    val e1 = Graph.coPurchaseEdges(spark, sf001)
-    val e2 = Graph.coPurchaseEdges(spark, sf001)
-    assert(e1 eq e2, "memo returned a rebuilt frame for the same (session, dir)")
-    // an already-truncated frame passes through truncate untouched, so the
-    // kernels' defensive truncation cannot re-materialize the memo
-    assert(Checkpoints.truncate(e1) eq e1, "truncate re-materialized a truncated frame")
+    val w1 = Graph.coPurchaseEdgesWeighted(spark, sf001)
+    val w2 = Graph.coPurchaseEdgesWeighted(spark, sf001)
+    assert(w1 eq w2, "memo returned a rebuilt weighted frame for the same (session, dir)")
+    // the truncated memo AND its bare column-projection view both pass
+    // through truncate untouched, so the kernels' defensive truncation
+    // cannot re-materialize the memo
+    assert(Checkpoints.truncate(w1) eq w1, "truncate re-materialized the truncated memo")
+    val view = Graph.coPurchaseEdges(spark, sf001)
+    assert(Checkpoints.truncate(view) eq view,
+      "truncate re-materialized a projection of the truncated memo")
   }
 }
