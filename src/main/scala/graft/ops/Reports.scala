@@ -278,6 +278,32 @@ object Reports {
         .withColumn("cum_rev_c", sum("rev_c").over(w))
         .orderBy("cohort_idx", "age_m")
     },
+    // Running order backlog: how many orders are OPEN (placed, not yet
+    // fully shipped) in each month — the fulfillment series an operations
+    // dashboard tracks. Per order: placed month and last-ship month as
+    // integer indexes (y·12+m), then each order explodes into one row per
+    // open month via sequence() — interval-to-months explosion, the same
+    // move as q_hierarchy_rollup's arithmetic closure: a generator plus
+    // ONE groupBy instead of a months-dimension range join. Backlog size
+    // stays bounded because the explode factor is the order's open
+    // duration, not the table size.
+    "q_running_backlog" -> { (s, dir) =>
+      val spans = Fixtures
+        .table(s, dir, "lineitem")
+        .join(
+          Fixtures.table(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(
+          min((year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long")).as("m0"),
+          max((year(col("l_shipdate")) * 12 + month(col("l_shipdate"))).cast("long")).as("m1"))
+      spans
+        .filter(col("m1") >= col("m0"))
+        .select(explode(sequence(col("m0"), col("m1"))).as("midx"))
+        .groupBy("midx")
+        .agg(count(lit(1)).as("n_open"))
+        .orderBy("midx")
+    },
     // IQR (Tukey-fence) outlier audit per brand: unit prices outside
     // [q1 − 1.5·IQR, q3 + 1.5·IQR] — the robust sibling of
     // q_anomaly_zscore/q_anomaly_mad that completes the outlier-family
@@ -863,6 +889,12 @@ object Reports {
       ("WITH v AS (SELECT CAST(floor(l_extendedprice*100+0.5) AS BIGINT) AS c, l_orderkey, l_linenumber FROM lineitem), " +
         "b AS (SELECT c, CAST(ntile(8) OVER (ORDER BY c, l_orderkey, l_linenumber) AS INT) AS bkt FROM v) " +
         "SELECT bkt, CAST(count(*) AS BIGINT) AS n_rows, min(c) AS lo_c, max(c) AS hi_c FROM b GROUP BY 1 ORDER BY 1"),
+    "q_running_backlog" ->
+      ("WITH s AS (SELECT o_orderkey, CAST(min(year(o_orderdate)*12 + month(o_orderdate)) AS BIGINT) AS m0, " +
+        "CAST(max(year(l_shipdate)*12 + month(l_shipdate)) AS BIGINT) AS m1 " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1), " +
+        "x AS (SELECT unnest(range(m0, m1 + 1)) AS midx FROM s WHERE m1 >= m0) " +
+        "SELECT midx, CAST(count(*) AS BIGINT) AS n_open FROM x GROUP BY 1 ORDER BY 1"),
     "q_outlier_iqr" ->
       ("WITH v AS (SELECT p_brand, CAST(floor(l_extendedprice / l_quantity * 100 + 0.5) AS BIGINT) AS u " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey), " +
