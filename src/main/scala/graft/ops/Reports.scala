@@ -278,6 +278,31 @@ object Reports {
         .withColumn("cum_rev_c", sum("rev_c").over(w))
         .orderBy("cohort_idx", "age_m")
     },
+    // Order cycle time by priority: days from order placement to FIRST
+    // shipment, summarized per priority class — the fulfillment SLA cut.
+    // One fact aggregation to order grain (min shipdate), one broadcast-
+    // joined date diff, one grouped summary; the median uses the same
+    // interpolated-percentile bit-parity as q_anomaly_mad/q_outlier_iqr.
+    "q_order_cycle_time" -> { (s, dir) =>
+      val firstShip = Fixtures
+        .table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(min("l_shipdate").as("first_ship"))
+      Fixtures
+        .table(s, dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+        .select(
+          col("o_orderpriority"),
+          datediff(col("first_ship"), col("o_orderdate")).cast("long").as("days"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum("days").as("days_sum"),
+          floor(expr("percentile(days, 0.5)") * 10 + lit(0.5)).cast("long").as("p50_d1"),
+          max("days").as("max_days"))
+        .orderBy("o_orderpriority")
+    },
     // Running order backlog: how many orders are OPEN (placed, not yet
     // fully shipped) in each month — the fulfillment series an operations
     // dashboard tracks. Per order: placed month and last-ship month as
@@ -889,6 +914,13 @@ object Reports {
       ("WITH v AS (SELECT CAST(floor(l_extendedprice*100+0.5) AS BIGINT) AS c, l_orderkey, l_linenumber FROM lineitem), " +
         "b AS (SELECT c, CAST(ntile(8) OVER (ORDER BY c, l_orderkey, l_linenumber) AS INT) AS bkt FROM v) " +
         "SELECT bkt, CAST(count(*) AS BIGINT) AS n_rows, min(c) AS lo_c, max(c) AS hi_c FROM b GROUP BY 1 ORDER BY 1"),
+    "q_order_cycle_time" ->
+      ("WITH f AS (SELECT l_orderkey, min(l_shipdate) AS first_ship FROM lineitem GROUP BY 1), " +
+        "d AS (SELECT o_orderpriority, CAST(date_diff('day', o_orderdate, first_ship) AS BIGINT) AS days " +
+        "FROM orders JOIN f ON o_orderkey = l_orderkey) " +
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders, CAST(sum(days) AS BIGINT) AS days_sum, " +
+        "CAST(floor(quantile_cont(days, 0.5)*10 + 0.5) AS BIGINT) AS p50_d1, CAST(max(days) AS BIGINT) AS max_days " +
+        "FROM d GROUP BY 1 ORDER BY 1"),
     "q_running_backlog" ->
       ("WITH s AS (SELECT o_orderkey, CAST(min(year(o_orderdate)*12 + month(o_orderdate)) AS BIGINT) AS m0, " +
         "CAST(max(year(l_shipdate)*12 + month(l_shipdate)) AS BIGINT) AS m1 " +
