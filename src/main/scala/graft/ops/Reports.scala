@@ -278,6 +278,62 @@ object Reports {
         .withColumn("cum_rev_c", sum("rev_c").over(w))
         .orderBy("cohort_idx", "age_m")
     },
+    // Supplier scorecard: the per-vendor KPI row a sourcing review reads —
+    // revenue, order/part breadth, and return rate (e6 fraction of lines
+    // returned, from exact long counts in one fixed double expression
+    // shared with the oracle). ONE pass over the fact table; the supplier
+    // dimension broadcasts; two distinct-counts ride the same grouping.
+    "q_vendor_scorecard" -> { (s, dir) =>
+      val rateSql = "CAST(floor(CAST(n_returned AS DOUBLE) / n_lines * 1000000 + 0.5) AS BIGINT)"
+      Fixtures
+        .table(s, dir, "lineitem")
+        .join(
+          broadcast(Fixtures.table(s, dir, "supplier").select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+          sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + lit(0.5))
+            .cast("long")).as("rev_e4"),
+          countDistinct("l_orderkey").as("n_orders"),
+          countDistinct("l_partkey").as("n_parts"),
+          count(lit(1)).as("n_lines"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"))
+        .select(
+          col("s_suppkey"),
+          col("s_name"),
+          col("rev_e4"),
+          col("n_orders"),
+          col("n_parts"),
+          col("n_lines"),
+          expr(rateSql).as("return_rate_e6"))
+        .orderBy("s_suppkey")
+    },
+    // Pricing waterfall per order year: gross list revenue → discount
+    // given → net → tax collected, each an exact e4 integer sum from ONE
+    // conditional-free aggregation pass over the fact — the revenue-bridge
+    // decomposition finance reconciles against the ledger. Every component
+    // is floored per row before summing, so the bridge's arithmetic
+    // (gross − disc = net) holds in the rounded domain both engines share.
+    "q_discount_waterfall" -> { (s, dir) =>
+      Fixtures
+        .table(s, dir, "lineitem")
+        .join(
+          Fixtures.table(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(
+          year(col("o_orderdate")).cast("long").as("o_year"),
+          floor(col("l_extendedprice") * 10000 + lit(0.5)).cast("long").as("gross_e4"),
+          floor(col("l_extendedprice") * col("l_discount") * 10000 + lit(0.5)).cast("long").as("disc_e4"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * col("l_tax") * 10000 + lit(0.5))
+            .cast("long").as("tax_e4"))
+        .groupBy("o_year")
+        .agg(
+          sum("gross_e4").as("gross_e4"),
+          sum("disc_e4").as("disc_e4"),
+          (sum("gross_e4") - sum("disc_e4")).as("net_e4"),
+          sum("tax_e4").as("tax_e4"))
+        .orderBy("o_year")
+    },
     // Order cycle time by priority: days from order placement to FIRST
     // shipment, summarized per priority class — the fulfillment SLA cut.
     // One fact aggregation to order grain (min shipdate), one broadcast-
@@ -914,6 +970,23 @@ object Reports {
       ("WITH v AS (SELECT CAST(floor(l_extendedprice*100+0.5) AS BIGINT) AS c, l_orderkey, l_linenumber FROM lineitem), " +
         "b AS (SELECT c, CAST(ntile(8) OVER (ORDER BY c, l_orderkey, l_linenumber) AS INT) AS bkt FROM v) " +
         "SELECT bkt, CAST(count(*) AS BIGINT) AS n_rows, min(c) AS lo_c, max(c) AS hi_c FROM b GROUP BY 1 ORDER BY 1"),
+    "q_vendor_scorecard" ->
+      ("SELECT s_suppkey, s_name, " +
+        "CAST(sum(CAST(floor(l_extendedprice*(1.0 - l_discount)*10000 + 0.5) AS BIGINT)) AS BIGINT) AS rev_e4, " +
+        "CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts, " +
+        "CAST(count(*) AS BIGINT) AS n_lines, " +
+        "CAST(floor(CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 1000000 + 0.5) AS BIGINT) AS return_rate_e6 " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "GROUP BY 1, 2 ORDER BY 1"),
+    "q_discount_waterfall" ->
+      ("WITH v AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
+        "CAST(floor(l_extendedprice*10000 + 0.5) AS BIGINT) AS gross_e4, " +
+        "CAST(floor(l_extendedprice*l_discount*10000 + 0.5) AS BIGINT) AS disc_e4, " +
+        "CAST(floor(l_extendedprice*(1.0 - l_discount)*l_tax*10000 + 0.5) AS BIGINT) AS tax_e4 " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey) " +
+        "SELECT o_year, CAST(sum(gross_e4) AS BIGINT) AS gross_e4, CAST(sum(disc_e4) AS BIGINT) AS disc_e4, " +
+        "CAST(sum(gross_e4) - sum(disc_e4) AS BIGINT) AS net_e4, CAST(sum(tax_e4) AS BIGINT) AS tax_e4 " +
+        "FROM v GROUP BY 1 ORDER BY 1"),
     "q_order_cycle_time" ->
       ("WITH f AS (SELECT l_orderkey, min(l_shipdate) AS first_ship FROM lineitem GROUP BY 1), " +
         "d AS (SELECT o_orderpriority, CAST(date_diff('day', o_orderdate, first_ship) AS BIGINT) AS days " +
