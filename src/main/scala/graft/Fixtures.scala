@@ -16,6 +16,15 @@ import org.apache.spark.sql.functions._
   * semantics, matching what DuckDB produces for the oracle (SURVEY.md §7.5 H2).
   */
 object Fixtures {
+  /** Shift added to fixture ids wherever a query PLANTS synthetic variant
+    * rows (near-dup corpora, entity-resolution variants). A high fixed bit,
+    * far above any fixture key at any SF, so planted ids can NEVER collide
+    * with real ids — a +100k-style shift silently merges planted rows with
+    * real ones once a table passes 100k keys, and an oracle applying the
+    * same shift hides the breakage. Mirrored as the literal 1099511627776
+    * in oracle SQL. */
+  val PlantShift: Long = 1L << 40
+
   val tpchTables: Seq[String] =
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
   val allTables: Seq[String] =

@@ -38,6 +38,10 @@ object AudioFingerprint {
   private val Hop = 256
   // log-spaced peak bands over the 256 positive-frequency bins
   private val Bands: Array[(Int, Int)] = Array((1, 8), (8, 32), (32, 96), (96, 256))
+  // absolute in-band-energy floor below which a frame counts as silent
+  // (normalized samples are in [-1, 1]; real signal energy over 255 bins
+  // sits many orders of magnitude above this)
+  private val SilenceEps = 1e-9
 
   /** In-place iterative radix-2 FFT (re, im of length 512). */
   private def fft(re: Array[Double], im: Array[Double]): Unit = {
@@ -123,7 +127,7 @@ object AudioFingerprint {
     val hann = Array.tabulate(FrameSize)(i =>
       0.5 * (1.0 - math.cos(2.0 * math.Pi * i / (FrameSize - 1))))
     val nFrames = math.max((samples.length - FrameSize) / Hop + 1, 0)
-    (0 until nFrames).iterator.map { t =>
+    (0 until nFrames).iterator.flatMap { t =>
       val re = new Array[Double](FrameSize)
       val im = new Array[Double](FrameSize)
       var i = 0
@@ -133,24 +137,33 @@ object AudioFingerprint {
       // "peak" is just quantization noise (< -30 dB of the frame) hashes
       // as 0 — otherwise re-quantization at a different volume flips the
       // argmax of a signal-free band and breaks the whole hash. Relative,
-      // not absolute, so the floor is invariant to amplitude scaling.
+      // not absolute, so the floor is invariant to amplitude scaling —
+      // EXCEPT for all-silent frames, which an all-relative rule would
+      // let through (0 >= 0·total): every silent intro/outro would then
+      // share one constant landmark at consecutive offsets and
+      // accumulate false offset-aligned matches between unrelated
+      // tracks. Silent frames (total below an absolute epsilon) emit NO
+      // landmark at all, and the per-band floor is strict.
       var total = 0.0
       var bb = Bands.head._1
       while (bb < Bands.last._2) { total += re(bb) * re(bb) + im(bb) * im(bb); bb += 1 }
-      var hash = 0
-      Bands.foreach { case (lo, hi) =>
-        var best = lo
-        var bestMag = -1.0
-        var b = lo
-        while (b < hi) {
-          val m = re(b) * re(b) + im(b) * im(b)
-          if (m > bestMag) { bestMag = m; best = b }
-          b += 1
+      if (total <= SilenceEps) None
+      else {
+        var hash = 0
+        Bands.foreach { case (lo, hi) =>
+          var best = lo
+          var bestMag = -1.0
+          var b = lo
+          while (b < hi) {
+            val m = re(b) * re(b) + im(b) * im(b)
+            if (m > bestMag) { bestMag = m; best = b }
+            b += 1
+          }
+          val bin = if (bestMag > 0.001 * total) best else 0
+          hash = (hash << 8) | (bin & 0xff)
         }
-        val bin = if (bestMag >= 0.001 * total) best else 0
-        hash = (hash << 8) | (bin & 0xff)
+        Some((t, hash))
       }
-      (t, hash)
     }
   }
 

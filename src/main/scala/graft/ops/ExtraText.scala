@@ -149,7 +149,7 @@ object ExtraText {
     val docs = Fixtures.table(s, dir, "documents")
     val orig = docs.select(col("doc_id"), shingleUdf(toks).as("toks"))
     val variant = docs
-      .select((col("doc_id") + 10000).as("doc_id"), shingleUdf(slice(toks, lit(1), greatest(size(toks) - 2, lit(1)))).as("toks"))
+      .select((col("doc_id") + Fixtures.PlantShift).as("doc_id"), shingleUdf(slice(toks, lit(1), greatest(size(toks) - 2, lit(1)))).as("toks"))
     // Hash-repartition AFTER shingling: (1) the one small parquet file gives
     // a single input partition, so without an exchange every downstream pass
     // runs on one core; (2) within one action, ReuseExchange shares this
@@ -648,7 +648,7 @@ object ExtraText {
         .orderBy("a_id", "b_id")
     },
     // Random-hyperplane (SRP) LSH cosine near-dup pairs over all embeddings
-    // plus planted variants (last two dims negated, vec_id+100000 → exact
+    // plus planted variants (last two dims negated, vec_id+2^40 → exact
     // cosine ≈ 1 - 2·(mass of last 2 dims) ≈ 0.94), declared so the bench
     // tracks the third dedup family's banded join. Oracle-less (candidates
     // are approximate; recall vs the exact all-pairs join is proven in
@@ -660,7 +660,7 @@ object ExtraText {
         slice(col("embedding"), lit(1), cut),
         transform(slice(col("embedding"), cut + 1, lit(2)), x => negate(x)))
       val orig = e.select(col("vec_id"), col("embedding"))
-      val variant = e.select((col("vec_id") + 100000).as("vec_id"), variantVec.as("embedding"))
+      val variant = e.select((col("vec_id") + Fixtures.PlantShift).as("vec_id"), variantVec.as("embedding"))
       graft.functions.CosineLsh
         .nearDuplicatePairs(orig.unionByName(variant), "vec_id", "embedding", minCosine = 0.9)
         .orderBy("a_id", "b_id")
@@ -689,7 +689,7 @@ object ExtraText {
         transform(slice(col("embedding"), cut + 1, lit(2)), x => negate(x)))
       val corpus = e
         .select(col("vec_id"), col("embedding"))
-        .unionByName(e.select((col("vec_id") + 100000).as("vec_id"), variantVec.as("embedding")))
+        .unionByName(e.select((col("vec_id") + Fixtures.PlantShift).as("vec_id"), variantVec.as("embedding")))
       val pairs = graft.functions.CosineLsh
         .nearDuplicatePairs(corpus, "vec_id", "embedding", minCosine = 0.9)
         .select("a_id", "b_id")
@@ -707,7 +707,7 @@ object ExtraText {
     // candidate pairs exist only within a block — never all-pairs),
     // MATCH (levenshtein ≤ 2 on the name — the verify step), CLUSTER
     // (Components CC over match pairs), SURVIVE (golden record = the
-    // min-id member's name). Planted variants (rec_id + 100000, first
+    // min-id member's name). Planted variants (rec_id + 2^40, first
     // character of the name replaced) must resolve to their original;
     // organic near-names inside a block (e.g. 'old gear' vs 'hot gear',
     // distance 2) legitimately merge too — the recursive-CTE oracle
@@ -720,7 +720,7 @@ object ExtraText {
       val recs = p
         .select(col("p_partkey").as("rec_id"), col("p_name").as("name"), col("p_brand"))
         .unionByName(p.select(
-          (col("p_partkey") + 100000).as("rec_id"),
+          (col("p_partkey") + Fixtures.PlantShift).as("rec_id"),
           concat(lit("z"), expr("substring(p_name, 2)")).as("name"),
           col("p_brand")))
       val blocked = recs.withColumn("blk", concat_ws("|", col("p_brand"), expr("split_part(name, ' ', 2)")))
@@ -909,7 +909,7 @@ object ExtraText {
       "SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, md5(text) AS digest, hex(encode(substring(text,1,4))) AS head4 FROM documents ORDER BY doc_id",
     "q_entity_resolution" ->
       ("WITH RECURSIVE recs AS (SELECT p_partkey AS rec_id, p_name AS name, p_brand FROM part " +
-        "UNION ALL SELECT p_partkey + 100000, 'z' || substring(p_name, 2), p_brand FROM part), " +
+        "UNION ALL SELECT p_partkey + 1099511627776, 'z' || substring(p_name, 2), p_brand FROM part), " +
         "blk AS (SELECT rec_id, name, p_brand || '|' || split_part(name, ' ', 2) AS blk FROM recs), " +
         "pr AS (SELECT a.rec_id AS a_id, b.rec_id AS b_id FROM blk a JOIN blk b ON a.blk = b.blk " +
         "AND a.rec_id < b.rec_id AND levenshtein(a.name, b.name) <= 2), " +

@@ -37,14 +37,15 @@ object Graph {
       .agg(count(lit(1)).as("deg"))
     // orientation key: (deg, id) packed into one long — distinct per
     // vertex, monotone in the (deg, id) lexicographic order. Injective
-    // only while both fields fit in 32 bits — FAIL LOUDLY at the boundary
-    // (a silent alias would corrupt the count); at 100 TB a degree >= 2^32
-    // means one item co-occurs with 4 billion others and the remedy is hub
-    // removal, not a wider key.
+    // only while v fits in 32 bits AND deg in 31 (deg * 2^32 must stay
+    // below 2^63 — deg >= 2^31 would wrap the signed long and silently
+    // corrupt the orientation order) — FAIL LOUDLY at the boundary; at
+    // 100 TB a degree >= 2^31 means one item co-occurs with 2 billion
+    // others and the remedy is hub removal, not a wider key.
     val kd = deg.select(
       col("v"),
       expr(
-        "CASE WHEN v >= 0 AND v < 4294967296 AND deg < 4294967296 THEN deg * 4294967296 + v " +
+        "CASE WHEN v >= 0 AND v < 4294967296 AND deg < 2147483648 THEN deg * 4294967296 + v " +
           "ELSE CAST(raise_error(concat('triangle orientation key overflow: (deg=', deg, " +
           "', v=', v, ') exceeds 32 bits')) AS BIGINT) END").as("k"))
     val ka = kd.select(col("v").as("a"), col("k").as("k_a"))
@@ -160,6 +161,33 @@ object Graph {
 
   private val edgeMemo = TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** True when the memoized frame is still servable. A reliable-checkpoint
+    * frame (StorageLevel.NONE — data lives in the checkpoint dir) always
+    * is; a localCheckpoint frame is only servable while ALL its cached
+    * partitions survive, because truncation removed any way to recompute
+    * dropped blocks. On block loss we rebuild instead of failing every
+    * later graph query unrecoverably. */
+  private def blocksHealthy(s: SparkSession, df: DataFrame): Boolean = {
+    val rdds = df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    rdds.forall { rdd =>
+      rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE || {
+        val info = s.sparkContext.getRDDStorageInfo.find(_.id == rdd.id)
+        info.exists(_.numCachedPartitions >= rdd.getNumPartitions)
+      }
+    }
+  }
+
+  /** Drop memo entries owned by stopped sessions — their checkpoint-backed
+    * frames are unusable and would otherwise be pinned for the process
+    * lifetime (sessions hold their SparkContext; the map held the
+    * sessions). Called on every memo access. */
+  private def purgeStopped(): Unit =
+    edgeMemo.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) edgeMemo.remove(k)
+    }
+
   /** WEIGHTED undirected co-purchase edges (a, b, w = number of orders the
     * pair shares), built by the lineitem self-join on the order key —
     * hash-partitioned on l_orderkey, pair explosion bounded by the
@@ -170,18 +198,26 @@ object Graph {
     * session/SF however many graph queries execute. Already
     * lineage-truncated; reuse is a cached-block read and each query's
     * semantics are unchanged (the frame is deterministic). */
-  def coPurchaseEdgesWeighted(s: SparkSession, dir: String): DataFrame =
-    edgeMemo.getOrElseUpdate(
-      (s, dir), {
-        val li = Fixtures
-          .table(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        Checkpoints.truncate(
-          li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
-            .filter(col("pk") < col("pk2"))
-            .groupBy(col("pk").as("a"), col("pk2").as("b"))
-            .agg(count(lit(1)).as("w")))
-      })
+  def coPurchaseEdgesWeighted(s: SparkSession, dir: String): DataFrame = {
+    purgeStopped()
+    def build(): DataFrame = {
+      val li = Fixtures
+        .table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      Checkpoints.truncate(
+        li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+          .filter(col("pk") < col("pk2"))
+          .groupBy(col("pk").as("a"), col("pk2").as("b"))
+          .agg(count(lit(1)).as("w")))
+    }
+    edgeMemo.get((s, dir)) match {
+      case Some(df) if blocksHealthy(s, df) => df
+      case _ =>
+        val df = build()
+        edgeMemo.put((s, dir), df)
+        df
+    }
+  }
 
   /** Distinct undirected co-purchase edges — the unweighted projection of
     * [[coPurchaseEdgesWeighted]] (same memoized build). */

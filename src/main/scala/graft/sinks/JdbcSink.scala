@@ -84,11 +84,18 @@ object JdbcSink {
     *
     *   1. if `epochTable` already records (table, batchId) → the epoch
     *      committed before a restart; skip entirely.
-    *   2. clear any staging rows for this batchId (a previous attempt may
-    *      have crashed mid-stage), then append the batch to `stagingTable`
-    *      tagged with `graft_batch_id` — per-partition parallel writes, no
-    *      driver funnel, no cross-connection transaction needed because
-    *      staging is invisible to readers.
+    *   2. clear any staging rows for this batchId (a previous foreachBatch
+    *      attempt may have crashed mid-stage, possibly with a DIFFERENT
+    *      partitioning), then stage the batch — per-partition parallel
+    *      writes, no driver funnel, no cross-connection transaction needed
+    *      because staging is invisible to readers. Each partition's write
+    *      is ATTEMPT-ATOMIC and keyed by (graft_batch_id, graft_part_id):
+    *      one transaction that first deletes its own (batchId, partitionId)
+    *      slice, then inserts its rows, then commits. A task RETRY or
+    *      SPECULATIVE duplicate attempt therefore wipes whatever a previous
+    *      attempt of the same partition committed before re-inserting — the
+    *      per-partition-commit hazard of Spark's stock JDBC append (retry
+    *      after a committed partition ⇒ doubled rows) cannot occur.
     *   3. ONE driver-side transaction publishes: INSERT INTO target
     *      SELECT … FROM staging WHERE graft_batch_id = ?, record the epoch in
     *      `epochTable`, delete the staged rows, commit.
@@ -100,7 +107,8 @@ object JdbcSink {
     * At scale the executor-parallel staging carries the data volume; the
     * publish transaction moves rows engine-side (no second network hop).
     *
-    * Expected DDL: `stagingTable` = target columns + `graft_batch_id BIGINT`;
+    * Expected DDL: `stagingTable` = target columns + `graft_batch_id BIGINT`
+    * + `graft_part_id BIGINT`;
     * `epochTable(sink_table VARCHAR(128), batch_id BIGINT, PRIMARY
     * KEY (sink_table, batch_id))`. */
   def appendEpochExactlyOnce(
@@ -133,12 +141,8 @@ object JdbcSink {
         finally del.close()
       } finally conn.close()
     }
-    // step 2b: parallel executor append into staging
-    writeAppend(
-      batch.withColumn("graft_batch_id", org.apache.spark.sql.functions.lit(batchId)),
-      url,
-      stagingTable,
-      new Properties())
+    // step 2b: parallel executor staging, attempt-atomic per partition
+    stageBatchIdempotent(batch, batchId, url, stagingTable)
     // step 3: atomic publish
     val conn = DriverManager.getConnection(url)
     try {
@@ -157,6 +161,77 @@ object JdbcSink {
       } catch {
         case t: Throwable => conn.rollback(); throw t
       } finally { pub.close(); rec.close(); del.close() }
+    } finally conn.close()
+  }
+
+  /** Stage `batch` into `stagingTable` tagged (graft_batch_id,
+    * graft_part_id), each partition via [[stagePartition]] — retry- and
+    * speculation-idempotent (see [[appendEpochExactlyOnce]] step 2). */
+  private[graft] def stageBatchIdempotent(
+      batch: DataFrame,
+      batchId: Long,
+      url: String,
+      stagingTable: String,
+      batchSize: Int = 500): Unit = {
+    val cols = batch.schema.fieldNames.toSeq
+    batch.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      stagePartition(
+        url,
+        rows,
+        cols,
+        stagingTable,
+        batchId,
+        org.apache.spark.TaskContext.getPartitionId().toLong,
+        batchSize)
+    }
+  }
+
+  /** One partition's staging write as a single DELETE-own-slice + INSERT-all
+    * transaction. The single commit at the end is the idempotence unit: an
+    * attempt that dies mid-insert rolls back (nothing visible); an attempt
+    * that died AFTER commit but before task-success ack is wiped by the
+    * retry's leading DELETE. Exposed package-private so the spec can drive
+    * the crash-mid-insert and retry-after-commit windows directly (local
+    * mode never retries tasks — spark.task.maxFailures=1). */
+  private[graft] def stagePartition(
+      url: String,
+      rows: Iterator[org.apache.spark.sql.Row],
+      cols: Seq[String],
+      stagingTable: String,
+      batchId: Long,
+      partId: Long,
+      batchSize: Int): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.setAutoCommit(false)
+      try {
+        val del = conn.prepareStatement(
+          s"DELETE FROM $stagingTable WHERE graft_batch_id = ? AND graft_part_id = ?")
+        try { del.setLong(1, batchId); del.setLong(2, partId); del.executeUpdate() }
+        finally del.close()
+        val ins = conn.prepareStatement(
+          s"INSERT INTO $stagingTable (${cols.mkString(", ")}, graft_batch_id, graft_part_id) " +
+            s"VALUES (${cols.map(_ => "?").mkString(", ")}, ?, ?)")
+        try {
+          var n = 0
+          rows.foreach { row =>
+            // positional: `cols` IS the row's field order (schema.fieldNames)
+            cols.indices.foreach(i => ins.setObject(i + 1, row.get(i).asInstanceOf[AnyRef]))
+            ins.setLong(cols.length + 1, batchId)
+            ins.setLong(cols.length + 2, partId)
+            ins.addBatch()
+            n += 1
+            if (n % batchSize == 0) ins.executeBatch()
+          }
+          if (n % batchSize != 0) ins.executeBatch()
+        } finally ins.close()
+        conn.commit()
+      } catch {
+        case t: Throwable =>
+          try conn.rollback()
+          catch { case _: java.sql.SQLException => () }
+          throw t
+      }
     } finally conn.close()
   }
 

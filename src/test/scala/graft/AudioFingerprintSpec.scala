@@ -80,6 +80,29 @@ class AudioFingerprintSpec extends SparkSuite {
     assert(f1.nonEmpty && f1.forall(_.id == 1L), "ogg payload should yield zero hashes")
   }
 
+  test("silent frames emit no landmarks: shared silent intros cannot fake a duplicate") {
+    // Two DIFFERENT songs, each with a long all-silent intro. Only two
+    // tracks carry the silence, so the hot-hash guard (cap 1000) never
+    // fires — if silent frames hashed to a constant landmark, the intros
+    // would accumulate a consistent-offset run past minMatches and the
+    // pair would be a false duplicate. Silence must instead produce zero
+    // landmarks.
+    val songA = Seq(440.0, 659.0, 880.0, 1175.0, 523.0, 988.0, 784.0, 1319.0)
+    val songB = Seq(610.0, 737.0, 1030.0, 1480.0, 566.0, 1245.0, 905.0, 679.0)
+    val ds = Seq(
+      MediaRecord(1L, "audio/wav", toneWav(songA, n = 4096, leadSilence = 8192)),
+      MediaRecord(2L, "audio/wav", toneWav(songB, n = 4096, leadSilence = 8192))
+    ).toDS()
+    val silentTrack = Seq(MediaRecord(9L, "audio/wav", toneWav(Seq(1.0), amp = 0.0))).toDS()
+    assert(
+      AudioFingerprint.fingerprints(silentTrack).count() == 0L,
+      "all-silent track produced landmarks")
+    val pairs = AudioFingerprint
+      .nearDuplicatePairs(ds, minMatches = 10L, maxTracksPerHash = 1000L)
+      .count()
+    assert(pairs == 0L, s"silent intros manufactured $pairs false duplicate pair(s)")
+  }
+
   test("hot-hash guard drops degenerate hashes instead of exploding the join") {
     // 30 copies of pure silence share every hash; with the cap at 5 the
     // posting join must drop them all and return no pairs

@@ -19,7 +19,7 @@ class CosineLshSpec extends SparkSuite {
       slice(col("embedding"), lit(1), cut),
       transform(slice(col("embedding"), cut + 1, lit(2)), x => negate(x)))
     e.select(col("vec_id"), col("embedding"))
-      .unionByName(e.select((col("vec_id") + 100000).as("vec_id"), variantVec.as("embedding")))
+      .unionByName(e.select((col("vec_id") + Fixtures.PlantShift).as("vec_id"), variantVec.as("embedding")))
   }
 
   test("SRP-LSH recall >= 0.8 vs exact cosine pairs at tau = 0.9; output is sound") {
@@ -62,16 +62,16 @@ class CosineLshSpec extends SparkSuite {
     val c = corpus()
     val truePairs = c
       .select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
-      .filter(col("b_id") >= 100000L)
+      .filter(col("b_id") >= Fixtures.PlantShift)
       .join(
-        c.select((col("vec_id") + 100000L).as("b_id"), col("embedding").as("a_vec")),
+        c.select((col("vec_id") + Fixtures.PlantShift).as("b_id"), col("embedding").as("a_vec")),
         "b_id")
       .withColumn("cos", SimKernel.cosine(col("a_vec"), col("b_vec")))
       .filter(col("cos") >= 0.9)
       .select(col("b_id"))
       .as[Long]
       .collect()
-      .map(b => (b - 100000L, b))
+      .map(b => (b - Fixtures.PlantShift, b))
       .toSeq
     assert(truePairs.size >= 300, s"planted construction broken: only ${truePairs.size} true pairs")
     val recovered = truePairs.count { case (a, b) => comp(a) == comp(b) }

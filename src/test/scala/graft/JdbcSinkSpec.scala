@@ -114,7 +114,8 @@ class JdbcSinkSpec extends SparkSuite {
         catch { case _: java.sql.SQLException => () }
       // no primary key on the target — a replayed append would duplicate
       st.execute(s"CREATE TABLE $target (ev VARCHAR(64), amount DOUBLE)")
-      st.execute(s"CREATE TABLE $staging (ev VARCHAR(64), amount DOUBLE, graft_batch_id BIGINT)")
+      st.execute(
+        s"CREATE TABLE $staging (ev VARCHAR(64), amount DOUBLE, graft_batch_id BIGINT, graft_part_id BIGINT)")
       st.execute(
         s"CREATE TABLE $epochs (sink_table VARCHAR(128), batch_id BIGINT, " +
           s"PRIMARY KEY (sink_table, batch_id))")
@@ -134,8 +135,8 @@ class JdbcSinkSpec extends SparkSuite {
     // with a partial stage of epoch 1, then running the epoch normally —
     // step 2's wipe must discard the partial rows, not double them
     withConn { c =>
-      val st = c.prepareStatement(s"INSERT INTO $staging VALUES (?, ?, ?)")
-      st.setString(1, "stale"); st.setDouble(2, 9.9); st.setLong(3, 1L)
+      val st = c.prepareStatement(s"INSERT INTO $staging VALUES (?, ?, ?, ?)")
+      st.setString(1, "stale"); st.setDouble(2, 9.9); st.setLong(3, 1L); st.setLong(4, 0L)
       st.executeUpdate(); st.close()
     }
     val b1 = Seq(("buy", 5.0)).toDF("ev", "amount")
@@ -169,6 +170,75 @@ class JdbcSinkSpec extends SparkSuite {
         .map(r => (r.getString(0), r.getDouble(1))).toSeq
       assert(got == Seq(("stream", 7.0)), s"streaming epoch append missing: $got")
     } finally q.stop()
+  }
+
+  test("staging is idempotent across task retry, speculation, and crash-mid-insert windows") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    val target = "xo_retry_target"
+    val staging = "xo_retry_stage"
+    val epochs = "xo_retry_epochs"
+    withConn { c =>
+      val st = c.createStatement()
+      for (t <- Seq(target, staging, epochs))
+        try st.execute(s"DROP TABLE $t")
+        catch { case _: java.sql.SQLException => () }
+      st.execute(s"CREATE TABLE $target (ev VARCHAR(64), amount DOUBLE)")
+      st.execute(
+        s"CREATE TABLE $staging (ev VARCHAR(64), amount DOUBLE, graft_batch_id BIGINT, graft_part_id BIGINT)")
+      st.execute(
+        s"CREATE TABLE $epochs (sink_table VARCHAR(128), batch_id BIGINT, " +
+          s"PRIMARY KEY (sink_table, batch_id))")
+      st.close()
+    }
+    def stagedRows() =
+      spark.read.jdbc(url, staging, new Properties()).collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+    val cols = Seq("ev", "amount")
+    def partRows() = Seq(Row("a", 1.0), Row("a", 1.0), Row("b", 2.0))
+
+    // WINDOW 1 — retry AFTER a committed attempt (task succeeded in the DB
+    // but the ack was lost; Spark reruns the task): the second attempt must
+    // wipe the first attempt's slice, not double it. Duplicate ROWS inside
+    // the partition are legitimate data and must survive.
+    JdbcSink.stagePartition(url, partRows().iterator, cols, staging, 7L, 0L, batchSize = 2)
+    JdbcSink.stagePartition(url, partRows().iterator, cols, staging, 7L, 0L, batchSize = 2)
+    assert(
+      stagedRows() == Seq(("a", 1.0, 7L, 0L), ("a", 1.0, 7L, 0L), ("b", 2.0, 7L, 0L)),
+      s"retry-after-commit duplicated the slice: ${stagedRows()}")
+
+    // WINDOW 2 — crash MID-INSERT (iterator throws between batch flushes):
+    // the attempt must roll back, leaving the prior attempt's committed
+    // slice intact, and a clean retry must converge to exactly one copy.
+    val bomb: Iterator[Row] = partRows().iterator.map { r =>
+      if (r.getString(0) == "b") throw new RuntimeException("mid-insert crash") else r
+    }
+    intercept[RuntimeException] {
+      JdbcSink.stagePartition(url, bomb, cols, staging, 7L, 0L, batchSize = 1)
+    }
+    assert(
+      stagedRows() == Seq(("a", 1.0, 7L, 0L), ("a", 1.0, 7L, 0L), ("b", 2.0, 7L, 0L)),
+      s"crashed attempt leaked uncommitted rows: ${stagedRows()}")
+    JdbcSink.stagePartition(url, partRows().iterator, cols, staging, 7L, 0L, batchSize = 2)
+    assert(stagedRows().size == 3, s"retry after crash diverged: ${stagedRows()}")
+
+    // a second PARTITION of the same batch lands beside it, untouched by
+    // partition 0's retries
+    JdbcSink.stagePartition(url, Iterator(Row("c", 3.0)), cols, staging, 7L, 1L, batchSize = 2)
+    assert(stagedRows().size == 4)
+
+    // WINDOW 3 — whole-stage speculation at the DataFrame level, then the
+    // full epoch protocol: publish must see exactly one copy of the batch.
+    withConn { c =>
+      val st = c.createStatement(); st.execute(s"DELETE FROM $staging"); st.close()
+    }
+    val batch = Seq(("click", 1.0), ("click", 1.0), ("view", 2.0)).toDF("ev", "amount")
+    JdbcSink.stageBatchIdempotent(batch, 0L, url, staging) // doomed attempt that staged fully
+    JdbcSink.appendEpochExactlyOnce(batch, 0L, url, target, staging, epochs)
+    val got = spark.read.jdbc(url, target, new Properties()).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq.sorted
+    assert(got == Seq(("click", 1.0), ("click", 1.0), ("view", 2.0)), s"published duplicates: $got")
+    assert(stagedRows().isEmpty, "staging not drained after publish")
   }
 
   test("upsert tolerates repeated keys within one micro-batch chunk (last wins)") {

@@ -26,7 +26,7 @@ class MinHashSpec extends SparkSuite {
   test("banded minhash finds every planted near-dup pair (recall = 1.0 at J >= 0.9)") {
     // Plant: each doc minus its last two tokens → J typically >= 0.95.
     val orig = shingled()
-    val variant = orig.select((col("doc_id") + 10000).as("doc_id"), expr("slice(toks, 1, greatest(size(toks) - 2, 1))").as("toks"))
+    val variant = orig.select((col("doc_id") + Fixtures.PlantShift).as("doc_id"), expr("slice(toks, 1, greatest(size(toks) - 2, 1))").as("toks"))
     val corpus = orig.unionByName(variant)
 
     val exact = corpus
