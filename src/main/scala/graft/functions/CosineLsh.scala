@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   * = 1 − θ(a,b)/π. Packing `rowsPerBand` sign bits into a band value gives
   * AND-amplification (unrelated pairs at cos≈0 collide per band with
   * p = 0.5^rowsPerBand), and `bands` bands give OR-amplification for recall.
-  * With the defaults (8×8), a cos=0.9 pair survives with ≈0.93 probability
-  * while random pairs collide at 1/256 per band.
+  * Parameters auto-scale with corpus size by default (rowsPerBand ≈
+  * log2(N), bands sized for ≈0.9 recall at the threshold) so candidate
+  * volume stays linear in N — see nearDuplicatePairs.
   *
   * Hyperplanes are pseudo-random but fully deterministic: derived from
   * (seed, dim) with a fixed PRNG, memoized per executor — no broadcast
@@ -37,25 +38,49 @@ object CosineLsh {
       Array.fill(k)(Array.fill(dim)(rnd.nextGaussian().toFloat))
     })
 
-  /** Near-duplicate pairs (exact cosine >= minCosine) among (id, vec) rows. */
+  /** Near-duplicate pairs (exact cosine >= minCosine) among (id, vec) rows.
+    *
+    * `bands` / `rowsPerBand` default to -1 = AUTO: the sf0.1→sf1 scaling
+    * study (SCALING.md) measured that FIXED band parameters make
+    * intra-bucket candidate pairs grow quadratically in corpus size
+    * (occupancy ∝ N ⇒ pairs ∝ N²), the classic LSH failure at scale. Auto
+    * sizes the band width with the corpus: rowsPerBand ≈ log2(N) keeps the
+    * EXPECTED random-collision count per band ≈ N·(N/2^r) ≈ N — linear —
+    * and bands grows to hold recall ≈ 0.9 for pairs AT the requested
+    * threshold (pairs above it retain more). The one `vecs.count()` this
+    * costs is model-sized fit state, the same class as the IVF centroid
+    * fit. Explicit values bypass auto for reproduction/tuning. */
   def nearDuplicatePairs(
       vecs: DataFrame,
       idCol: String,
       vecCol: String,
       minCosine: Double,
-      bands: Int = 8,
-      rowsPerBand: Int = 8,
+      bands: Int = -1,
+      rowsPerBand: Int = -1,
       seed: Long = 42L): DataFrame = {
+    val n: Long =
+      if (bands == -1 || rowsPerBand == -1) math.max(2L, vecs.count()) else 2L
+    val r =
+      if (rowsPerBand == -1)
+        math.max(8, math.min(24, math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt))
+      else rowsPerBand
+    val b =
+      if (bands == -1) {
+        // per-band survival prob for a pair exactly at the threshold;
+        // floored at cos=0.5 so exploratory thresholds (<= 0.5, where LSH
+        // degenerates) don't drive bands to infinity — the cap + exact
+        // verification keep output sound regardless
+        val pAtTau = 1.0 - math.acos(math.min(0.999, math.max(minCosine, 0.5))) / math.Pi
+        math.max(8, math.min(64, math.ceil(math.log(10.0) / math.pow(pAtTau, r)).toInt))
+      } else bands
     // The band packing below puts the band index in the high 32 bits and the
     // packed sign bits in the low 32; rowsPerBand > 32 would overflow into
     // the index bits and make distinct bands collide.
-    require(rowsPerBand >= 1 && rowsPerBand <= 32,
-      s"rowsPerBand must be in [1, 32], got $rowsPerBand")
-    require(bands >= 1, s"bands must be >= 1, got $bands")
-    require(bands.toLong * rowsPerBand <= Int.MaxValue,
-      s"bands * rowsPerBand must be <= Int.MaxValue, got $bands * $rowsPerBand")
-    val b = bands
-    val r = rowsPerBand
+    require(r >= 1 && r <= 32,
+      s"rowsPerBand must be in [1, 32], got $r")
+    require(b >= 1, s"bands must be >= 1, got $b")
+    require(b.toLong * r <= Int.MaxValue,
+      s"bands * rowsPerBand must be <= Int.MaxValue, got $b * $r")
     val s = seed
     // One band value per row: high 32 bits = band index, low bits = packed
     // sign bits, so distinct bands never collide with each other.

@@ -21,6 +21,17 @@ object ExtraText {
   private val WinnowW = 4
   private val WinnowK = 3
 
+  /** Document-frequency cap for the winnow near-dup index (q_dedup_winnow):
+    * fingerprints present in more documents than this are dropped before
+    * the posting self-join — MOSS's own guard (Schleimer et al. §5 discard
+    * over-frequent fingerprints): they carry no discriminating signal and
+    * their posting lists are what turn the join quadratic (measured in the
+    * sf0.1→sf1 scaling study: fixed-vocab df grows linearly with corpus, so
+    * uncapped pairs grow ~N²). 32 is above every driver-fixture df (max 24
+    * at sf0.1), so results at the verified SFs are unchanged; the oracle
+    * applies the identical cap. */
+  private val WinnowMaxDf = 32
+
   private val hexDigits = "0123456789abcdef".toCharArray
 
   /** The k-token-shingle md5 hash sequence a winnow pass selects from —
@@ -337,7 +348,15 @@ object ExtraText {
     // checkpointed so the self-join's two sides read it instead of
     // re-running the winnow UDF over the corpus twice.
     "q_dedup_winnow" -> { (s, dir) =>
-      val fps = Checkpoints.truncate(winnowFps(s, dir))
+      val raw = Checkpoints.truncate(winnowFps(s, dir))
+      // discriminativeness guard (see WinnowMaxDf): census is map-side
+      // combinable, hot set is tiny → broadcast anti-join
+      val hot = raw
+        .groupBy("fp")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > WinnowMaxDf)
+        .select("fp")
+      val fps = raw.join(broadcast(hot), Seq("fp"), "left_anti")
       val a = fps.select(col("fp"), col("doc_id").as("a_id"))
       val b = fps.select(col("fp"), col("doc_id").as("b_id"))
       a.join(b, "fp")
@@ -786,12 +805,19 @@ object ExtraText {
     // PerceptualHashSpec.
     "q_img_phash" -> { (s, dir) =>
       import s.implicits._
-      val recs = Fixtures
-        .table(s, dir, "documents")
-        .select(col("doc_id"))
+      val docs = Fixtures.table(s, dir, "documents").select(col("doc_id"))
+      // Motif count scales with the corpus so planted duplicate-CLIQUE size
+      // stays ~125 regardless of SF: with a fixed 40 motifs the cliques —
+      // and therefore the TRUE pair output — grow quadratically in corpus
+      // size (measured 77 s at sf1 in the scaling study), which no engine
+      // can beat because it's output volume, not join waste. Real corpora
+      // don't grow duplicate cliques linearly with corpus size. ≤ 5000
+      // docs (every driver SF) keeps the historical 40 motifs unchanged.
+      val nMotifs = math.max(40L, docs.count() / 125L)
+      val recs = docs
         .as[Long]
         .map { id =>
-          graft.multimodal.MediaRecord(id, "image", ExtraText.motifPng(id % 40, (id % 11).toInt))
+          graft.multimodal.MediaRecord(id, "image", ExtraText.motifPng(id % nMotifs, (id % 11).toInt))
         }
       graft.multimodal.PerceptualHash
         .nearDuplicateImages(recs, "dhash", maxHamming = 3)
@@ -861,8 +887,10 @@ object ExtraText {
       (winnowFpsSql + " SELECT doc_id, fp FROM f ORDER BY doc_id, fp"),
     "q_dedup_winnow" ->
       (winnowFpsSql +
-        ", p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS n_shared " +
-        "FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        s", fc AS (SELECT doc_id, fp FROM f WHERE fp NOT IN " +
+        s"(SELECT fp FROM f GROUP BY fp HAVING count(*) > $WinnowMaxDf)), " +
+        "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS n_shared " +
+        "FROM fc a JOIN fc b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
         "SELECT a_id, b_id, n_shared FROM p WHERE n_shared >= 2 ORDER BY a_id, b_id"),
     "q_decontam_runs" ->
       (winnowFpsPosSql +
