@@ -30,26 +30,66 @@ trait PagedSource {
 }
 
 /** Deterministic paging over the `part` fixture, ordered by partkey —
-  * simulates a keyset-paginated API snapshot. The one-time collect is the
-  * "server's" dataset, not a Spark anti-pattern: a real implementation
-  * holds no data at all, just an HTTP cursor. */
+  * simulates a keyset-paginated API snapshot. Each fetch is a pushed-down
+  * partkey-range scan collecting ONE page (bounded by pageSize — the size
+  * of a real HTTP response body); the only whole-dataset state on the
+  * driver is the row count, i.e. cursor metadata. Partkeys are dense
+  * 0..n-1 in every fixture, so key ranges ARE page boundaries — exactly
+  * keyset pagination. */
 class FixturePagedSource(spark: SparkSession, sfDir: String, pageSize: Int) extends PagedSource {
   require(pageSize > 0, "pageSize must be positive")
 
-  private lazy val all: Array[RawProduct] = Fixtures
-    .table(spark, sfDir, "part")
-    .orderBy("p_partkey")
-    .select(
-      col("p_partkey").cast("long"),
-      col("p_name").cast("string"),
-      col("p_brand").cast("string"),
-      col("p_retailprice").cast("double"))
-    .collect()
-    .map(r => RawProduct(r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3)))
+  private lazy val nRows: Long = Fixtures.table(spark, sfDir, "part").count()
 
   override def fetchPage(page: Int): Option[Seq[RawProduct]] = {
     val from = page.toLong * pageSize
-    if (page < 0 || from >= all.length) None
-    else Some(all.slice(from.toInt, math.min(from.toInt + pageSize, all.length)).toSeq)
+    if (page < 0 || from >= nRows) None
+    else
+      Some(
+        Fixtures
+          .table(spark, sfDir, "part")
+          .filter(col("p_partkey") >= from && col("p_partkey") < from + pageSize)
+          .orderBy("p_partkey")
+          .select(
+            col("p_partkey").cast("long"),
+            col("p_name").cast("string"),
+            col("p_brand").cast("string"),
+            col("p_retailprice").cast("double"))
+          .collect()
+          .map(r => RawProduct(r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3)))
+          .toSeq)
+  }
+}
+
+/** Bounded retry with exponential backoff around a flaky [[PagedSource]] —
+  * the failure-mode surface real API loaders actually debug. A transient
+  * fetch error (network drop, 5xx, rate-limit) is retried up to
+  * `maxRetries` times with backoff doubling from `backoffMs`; a fetch that
+  * keeps failing propagates, leaving the walk resumable (pages already
+  * loaded are safe to replay — the keyed upsert downstream is idempotent,
+  * which is what makes at-least-once fetching correct end-to-end).
+  * `sleep` is injectable so specs drive the schedule without wall-clock
+  * waits and can assert the exact backoff sequence. */
+class RetryingPagedSource(
+    inner: PagedSource,
+    maxRetries: Int = 3,
+    backoffMs: Long = 100L,
+    sleep: Long => Unit = Thread.sleep) extends PagedSource {
+  require(maxRetries >= 0, "maxRetries must be >= 0")
+
+  override def fetchPage(page: Int): Option[Seq[RawProduct]] = attempt(page, 0)
+
+  @annotation.tailrec
+  private def attempt(page: Int, tried: Int): Option[Seq[RawProduct]] = {
+    val r =
+      try Right(inner.fetchPage(page))
+      catch { case e: Exception => Left(e) }
+    r match {
+      case Right(v) => v
+      case Left(e) =>
+        if (tried >= maxRetries) throw e
+        sleep(backoffMs << tried)
+        attempt(page, tried + 1)
+    }
   }
 }

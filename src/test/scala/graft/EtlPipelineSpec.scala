@@ -98,6 +98,115 @@ class EtlPipelineSpec extends SparkSuite {
     assert(snapshot(pagedTable) == snapshot(table), "page replay changed the table")
   }
 
+  test("adversarial paging: transient failures, permanent abort + resume, duplicate/stale/shrunken pages all converge") {
+    import graft.pipeline.{PagedSource, RawProduct, RetryingPagedSource}
+    val healthy = new graft.pipeline.FixturePagedSource(spark, sf001, pageSize = 37)
+    def freshTable(t: String): Unit = {
+      val c = DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        try st.execute(s"DROP TABLE $t")
+        catch { case _: java.sql.SQLException => () }
+        st.execute(
+          s"CREATE TABLE $t (upc CHAR(12) PRIMARY KEY, name VARCHAR(128), brand VARCHAR(32), price DOUBLE, loaded_at TIMESTAMP)")
+        st.close()
+      } finally c.close()
+    }
+    def snapshot(t: String) = spark.read.jdbc(url, t, new java.util.Properties())
+      .select("upc", "name", "brand", "price")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    freshTable("adv_batch")
+    UpcSkuLoad.run(spark, sf001, url, "adv_batch")
+    val want = snapshot("adv_batch")
+
+    // FAILURE 1 — transient fetch errors mid-walk: page 3 fails twice then
+    // succeeds. Bounded retry absorbs it; backoff doubles deterministically.
+    locally {
+      var failsLeft = 2
+      val flaky = new PagedSource {
+        def fetchPage(p: Int): Option[Seq[RawProduct]] =
+          if (p == 3 && failsLeft > 0) { failsLeft -= 1; throw new RuntimeException("503") }
+          else healthy.fetchPage(p)
+      }
+      val slept = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val src = new RetryingPagedSource(flaky, maxRetries = 3, backoffMs = 100L, sleep = slept += _)
+      freshTable("adv_t1")
+      UpcSkuLoad.runPaged(spark, src, url, "adv_t1")
+      assert(slept.toSeq == Seq(100L, 200L), s"backoff schedule: $slept")
+      assert(snapshot("adv_t1") == want, "transient-failure walk diverged")
+    }
+
+    // FAILURE 2 — permanent failure aborts the walk after retries are
+    // exhausted; a full re-walk (the crash-recovery resume) converges with
+    // zero duplicates because every page replay is an idempotent upsert.
+    locally {
+      var broken = true
+      val dying = new PagedSource {
+        def fetchPage(p: Int): Option[Seq[RawProduct]] =
+          if (p == 3 && broken) throw new RuntimeException("connection reset")
+          else healthy.fetchPage(p)
+      }
+      val slept = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val src = new RetryingPagedSource(dying, maxRetries = 2, backoffMs = 50L, sleep = slept += _)
+      freshTable("adv_t2")
+      intercept[RuntimeException] { UpcSkuLoad.runPaged(spark, src, url, "adv_t2") }
+      assert(slept.toSeq == Seq(50L, 100L), s"backoff schedule before giving up: $slept")
+      assert(snapshot("adv_t2").nonEmpty && snapshot("adv_t2") != want, "prefix load expected")
+      broken = false // upstream recovers; resume = replay the walk
+      UpcSkuLoad.runPaged(spark, src, url, "adv_t2")
+      assert(snapshot("adv_t2") == want, "resume after mid-walk abort diverged")
+    }
+
+    // FAILURE 3 — duplicate page delivery (page 2 arrives again as index 3,
+    // real stream continues shifted): at-least-once delivery converges.
+    locally {
+      val dup = new PagedSource {
+        def fetchPage(p: Int): Option[Seq[RawProduct]] =
+          if (p == 3) healthy.fetchPage(2)
+          else if (p > 3) healthy.fetchPage(p - 1)
+          else healthy.fetchPage(p)
+      }
+      freshTable("adv_t3")
+      UpcSkuLoad.runPaged(spark, dup, url, "adv_t3")
+      assert(snapshot("adv_t3") == want, "duplicate page delivery diverged")
+    }
+
+    // FAILURE 4 — out-of-order delivery (pages 2 and 3 swapped by a stale
+    // retry): keyed upserts are order-insensitive across disjoint pages.
+    locally {
+      val swapped = new PagedSource {
+        def fetchPage(p: Int): Option[Seq[RawProduct]] =
+          if (p == 2) healthy.fetchPage(3)
+          else if (p == 3) healthy.fetchPage(2)
+          else healthy.fetchPage(p)
+      }
+      freshTable("adv_t4")
+      UpcSkuLoad.runPaged(spark, swapped, url, "adv_t4")
+      assert(snapshot("adv_t4") == want, "out-of-order delivery diverged")
+    }
+
+    // FAILURE 5 — shrunken page (truncated response body mid-stream): the
+    // walk must NOT treat a short page as end-of-stream; the lost remainder
+    // lands on the next incremental re-sync, which converges.
+    locally {
+      var truncate = true
+      val shrink = new PagedSource {
+        def fetchPage(p: Int): Option[Seq[RawProduct]] =
+          if (p == 2 && truncate) healthy.fetchPage(2).map(_.take(10))
+          else healthy.fetchPage(p)
+      }
+      freshTable("adv_t5")
+      val n1 = UpcSkuLoad.runPaged(spark, shrink, url, "adv_t5")
+      assert(n1 == 200 - 27, s"shrunken page should cost exactly its truncated rows, got $n1")
+      assert(snapshot("adv_t5") != want, "truncation cannot be invisible in one walk")
+      truncate = false
+      UpcSkuLoad.runPaged(spark, shrink, url, "adv_t5")
+      assert(snapshot("adv_t5") == want, "re-sync after shrunken page diverged")
+    }
+  }
+
   test("cap_etl_quarantine: every input row is either loaded or quarantined with its first failing reason") {
     import spark.implicits._
     val good = UpcSkuLoad.extract(spark, sf001)
