@@ -9,6 +9,9 @@ package graft
 class PlanShapeSpec extends SparkSuite {
 
   private def planOf(name: String): String = {
+    // default 100-char metadata truncation clips long PushedFilters lists
+    // mid-token, which would make the pushdown assertions below flaky
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
     val df = SparkEntry.queries(name)(spark, sf001)
     df.count() // settle AQE so the executed plan is the real one
     df.queryExecution.executedPlan.toString
@@ -189,6 +192,58 @@ class PlanShapeSpec extends SparkSuite {
     // split: map-only expression + one aggregate — no join at all.
     val split = planOf("q_split_train")
     assert(!split.contains("Join"), s"q_split_train should be join-free:\n$split")
+  }
+
+  test("round-10 shapes: remaining TPC-H (Q1/Q3/Q5/Q6/Q13/Q14/Q15/Q17) — all 22 now guarded") {
+    // Q1: pure scan→agg, no join anywhere
+    val q1 = planOf("q_agg_q1")
+    assert(!q1.contains("Join"), s"q_agg_q1 should be join-free:\n$q1")
+    // Q3: segment-filtered customer broadcasts; all three selective
+    // predicates reach their parquet scans
+    val q3 = planOf("q_join_tpch_q3")
+    assert(!q3.contains("CartesianProduct"), s"q3 plans a cartesian:\n$q3")
+    assert(q3.contains("BroadcastHashJoin"), s"q3 customer dim not broadcast:\n$q3")
+    assert(q3.contains("EqualTo(c_mktsegment,BUILDING)"), s"q3 segment filter not pushed:\n$q3")
+    assert(q3.contains("LessThan(o_orderdate") && q3.contains("GreaterThan(l_shipdate"),
+      s"q3 date filters not pushed to both fact scans:\n$q3")
+    // Q5: six-relation tree — dims broadcast, date window pushed to orders
+    val q5 = planOf("q_join_tpch_q5")
+    assert(!q5.contains("CartesianProduct") && !q5.contains("BroadcastNestedLoopJoin"),
+      s"q5 plans a cartesian/nested-loop:\n$q5")
+    assert(q5.contains("BroadcastHashJoin"), s"q5 should broadcast its dims:\n$q5")
+    assert(q5.contains("GreaterThanOrEqual(o_orderdate"), s"q5 date window not pushed:\n$q5")
+    // Q6: the pushdown showcase — join-free, every predicate at the scan
+    val q6 = planOf("q_join_tpch_q6")
+    assert(!q6.contains("Join"), s"q_join_tpch_q6 should be join-free:\n$q6")
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate", "GreaterThanOrEqual(l_discount,0.04)",
+        "LessThanOrEqual(l_discount,0.06)", "LessThan(l_quantity,24.0)"))
+      assert(q6.contains(f), s"q6 filter $f not pushed:\n$q6")
+    // Q13: customers-with-zero-orders needs an OUTER equi-join — never a
+    // cartesian, never a nested loop
+    val q13 = planOf("q_join_tpch_q13")
+    assert(q13.contains("LeftOuter"), s"q13 lost its outer join:\n$q13")
+    assert(!q13.contains("CartesianProduct") && !q13.contains("BroadcastNestedLoopJoin"),
+      s"q13 plans a cartesian/nested-loop:\n$q13")
+    // Q14: month-filtered fact joins a broadcast part projection
+    val q14 = planOf("q_join_tpch_q14")
+    assert(q14.contains("BroadcastHashJoin"), s"q14 part dim not broadcast:\n$q14")
+    assert(q14.contains("GreaterThanOrEqual(l_shipdate"), s"q14 month window not pushed:\n$q14")
+    assert(!q14.contains("CartesianProduct"), s"q14 plans a cartesian:\n$q14")
+    // Q15: the max arrives as a 1-row broadcast (the allowed BNLJ-with-one-
+    // row shape); supplier names broadcast. The quarter-window pushdown on
+    // lineitem happens inside the checkpointed revenue materialization, so
+    // it is invisible in the final plan and asserted implicitly by the
+    // scan shape of the truncated frame.
+    val q15 = planOf("q_join_tpch_q15")
+    assert(!q15.contains("CartesianProduct"), s"q15 plans a cartesian:\n$q15")
+    assert(q15.contains("BroadcastHashJoin"), s"q15 supplier dim not broadcast:\n$q15")
+    // Q17: brand filter pushed AND broadcast; the decorrelated per-part avg
+    // joins the fact on the uniform part key (equi-join only)
+    val q17 = planOf("q_join_tpch_q17")
+    assert(q17.contains("BroadcastHashJoin"), s"q17 brand-filtered part not broadcast:\n$q17")
+    assert(q17.contains("EqualTo(p_brand,Brand#1)"), s"q17 brand filter not pushed:\n$q17")
+    assert(!q17.contains("CartesianProduct") && !q17.contains("BroadcastNestedLoopJoin"),
+      s"q17 plans a cartesian/nested-loop:\n$q17")
   }
 
   test("round-9b shapes: entity resolution is blocked, weighted median shares one shuffle") {
