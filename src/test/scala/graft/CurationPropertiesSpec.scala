@@ -48,6 +48,47 @@ class CurationPropertiesSpec extends SparkSuite {
     }
   }
 
+  test("packSequences: one adversarial 1e5-doc shard completes with invariants intact") {
+    // The per-group fold holds one shard's sorted (id, n) structs in task
+    // memory. packSequencesAuto keeps shards constant-sized, but id SKEW
+    // can still concentrate a corpus slice into one residue class — this
+    // plants exactly that: 100k docs whose ids are ALL ≡ 0 (mod 4), so one
+    // group carries the entire corpus while three sit empty. The fold must
+    // complete (state is (id, n) pairs — ~3 MB, not the documents) and
+    // every packing invariant must survive the degenerate shard.
+    val n = 100000
+    val docs = spark
+      .range(n)
+      .select(
+        (col("id") * 4).as("id"), // every id ≡ 0 (mod 4)
+        // deterministic token count 1..40 without touching real text width:
+        // n tokens of "w " — the fold only sees size(split(text))
+        expr("array_join(array_repeat('w', CAST(pmod(id, 40) AS INT) + 1), ' ')").as("text"))
+    val budget = 256
+    val packed = Curation.packSequences(docs, "id", "text", groups = 4, budget = budget)
+    // completion + exactly-once packing
+    assert(packed.count() == n.toLong, "adversarial shard lost or duplicated docs")
+    assert(packed.select(countDistinct("id")).head().getLong(0) == n.toLong)
+    // the skew landed where designed: a single populated group
+    assert(packed.select(countDistinct("pgrp")).head().getLong(0) == 1L)
+    // no multi-doc bin exceeds the budget
+    val over = packed
+      .groupBy("pgrp", "bin")
+      .agg(sum("n_toks").as("fill"), count(lit(1)).as("k"))
+      .filter(col("fill") > budget && col("k") > 1)
+      .count()
+    assert(over == 0, "multi-doc bin over budget on the adversarial shard")
+    // bins are dense and non-decreasing in id order (the greedy first-fit
+    // order invariant): max bin + 1 == distinct bins, and no id maps to a
+    // smaller bin than any earlier id
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("pgrp").orderBy("id")
+    val regress = packed
+      .withColumn("prev_bin", lag("bin", 1).over(w))
+      .filter(col("prev_bin") > col("bin"))
+      .count()
+    assert(regress == 0, "bin ids regress within the shard")
+  }
+
   test("packSequencesAuto: shard count is derived from the corpus and grows with it") {
     val small = randCorpus(40)
     val big = small.unionByName(randCorpus(80).select(col("id") + 1000, col("text")).toDF("id", "text"))
