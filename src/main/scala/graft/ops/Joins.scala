@@ -38,7 +38,8 @@ object Joins {
       val l = Fixtures.table(s, dir, "lineitem")
       l.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
         .select("o_orderkey", "l_linenumber", "o_orderstatus", "l_quantity")
-        .orderBy("o_orderkey", "l_linenumber")
+        // full-row order: (o_orderkey, l_linenumber) repeats (SURVEY §5.4.7)
+        .orderBy("o_orderkey", "l_linenumber", "o_orderstatus", "l_quantity")
     },
     // 3-way star join + agg (TPC-H Q3 shape), revenue per qualifying order.
     "q_join_multiway" -> { (s, dir) =>
@@ -222,7 +223,8 @@ object Joins {
       SkewJoin
         .saltedEquiJoin(left, right, "k", "rk", leftTieBreak = "l_orderkey", nSalts = 8)
         .select("l_orderkey", "l_linenumber", "rk", "p_brand")
-        .orderBy("l_orderkey", "l_linenumber")
+        // full-row order: (l_orderkey, l_linenumber) repeats (SURVEY §5.4.7)
+        .orderBy("l_orderkey", "l_linenumber", "rk", "p_brand")
     },
     // As-of join: latest prior 'view' for each 'purchase' by the same user.
     // Spark has no batch as-of join — canonical theta join + row_number()=1,
@@ -295,7 +297,7 @@ object Joins {
     "q_join_broadcast" ->
       "SELECT n_nationkey, n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey",
     "q_join_shuffle" ->
-      "SELECT o_orderkey, l_linenumber, o_orderstatus, l_quantity FROM lineitem JOIN orders ON l_orderkey = o_orderkey ORDER BY o_orderkey, l_linenumber",
+      "SELECT o_orderkey, l_linenumber, o_orderstatus, l_quantity FROM lineitem JOIN orders ON l_orderkey = o_orderkey ORDER BY o_orderkey, l_linenumber, o_orderstatus, l_quantity",
     "q_join_multiway" ->
       "SELECT l_orderkey, o_orderdate, o_orderpriority, CAST(sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100+0.5) AS BIGINT))) AS BIGINT) AS revenue_e4 FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1996-06-30' GROUP BY l_orderkey, o_orderdate, o_orderpriority ORDER BY l_orderkey",
     "q_join_left" ->
@@ -313,7 +315,7 @@ object Joins {
     "q_join_theta" ->
       (evCte + " SELECT e1.user_id, count(*) AS n_pairs FROM e e1 JOIN e e2 ON e1.user_id = e2.user_id AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE GROUP BY e1.user_id ORDER BY e1.user_id"),
     "q_join_salted" ->
-      "WITH l AS (SELECT CASE WHEN l_orderkey % 10 < 9 THEN 1 ELSE l_partkey END AS k, l_orderkey, l_linenumber FROM lineitem) SELECT l_orderkey, l_linenumber, p_partkey AS rk, p_brand FROM l JOIN part ON k = p_partkey ORDER BY l_orderkey, l_linenumber",
+      "WITH l AS (SELECT CASE WHEN l_orderkey % 10 < 9 THEN 1 ELSE l_partkey END AS k, l_orderkey, l_linenumber FROM lineitem) SELECT l_orderkey, l_linenumber, p_partkey AS rk, p_brand FROM l JOIN part ON k = p_partkey ORDER BY l_orderkey, l_linenumber, rk, p_brand",
     "q_subquery_corr" ->
       "SELECT c_custkey, (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders, (SELECT CAST(coalesce(sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT)), 0) AS BIGINT) FROM orders o WHERE o.o_custkey = c.c_custkey) AS spend_c FROM customer c WHERE EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_custkey = c.c_custkey AND o2.o_totalprice > 100000) ORDER BY c_custkey",
     "q_join_tpch_q5" ->

@@ -29,7 +29,10 @@ object Relational {
           floor(
             col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")) *
               lit(10000) + lit(0.5)).cast("long").as("net_price_e4"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // (l_orderkey, l_linenumber) repeats in the fixture — the third key
+        // makes the order a total one (SURVEY §5.4 rule 7; exposed by the
+        // generated-data oracle sweep, where file order differs per engine)
+        .orderBy("l_orderkey", "l_linenumber", "net_price_e4")
     },
     // Compound predicate: BETWEEN on NTZ dates, IN list, NOT, LIKE, null check.
     "q_filter_pred" -> { (s, dir) =>
@@ -74,7 +77,7 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "q_project_arith" ->
-      "SELECT l_orderkey, l_linenumber, CAST(floor(l_extendedprice*(1-l_discount)*(1+l_tax)*10000 + 0.5) AS BIGINT) AS net_price_e4 FROM lineitem ORDER BY l_orderkey, l_linenumber",
+      "SELECT l_orderkey, l_linenumber, CAST(floor(l_extendedprice*(1-l_discount)*(1+l_tax)*10000 + 0.5) AS BIGINT) AS net_price_e4 FROM lineitem ORDER BY l_orderkey, l_linenumber, net_price_e4",
     "q_filter_pred" ->
       "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31 23:59:59' AND l_returnflag IN ('A','R') AND NOT (l_discount < 0.02) AND l_extendedprice IS NOT NULL AND l_linestatus LIKE 'F%' ORDER BY l_orderkey, l_linenumber",
     "q_case_when" ->

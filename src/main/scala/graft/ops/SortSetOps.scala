@@ -79,7 +79,9 @@ object SortSetOps {
           Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
           "metric",
           "value_e4")
-        .orderBy("l_orderkey", "l_linenumber", "metric")
+        // (l_orderkey, l_linenumber) repeats, so two lines emit the same
+        // metric names — value_e4 completes the total order (SURVEY §5.4.7)
+        .orderBy("l_orderkey", "l_linenumber", "metric", "value_e4")
     }
   )
 
@@ -100,6 +102,6 @@ object SortSetOps {
     // semantics, no dialect risk on metric-name ordering.
     "q_unpivot" ->
       ("WITH t AS (SELECT l_orderkey, l_linenumber, CAST(floor(l_quantity*10000+0.5) AS BIGINT) AS q, CAST(floor(l_extendedprice*10000+0.5) AS BIGINT) AS ep, CAST(floor(l_discount*10000+0.5) AS BIGINT) AS d FROM lineitem WHERE l_orderkey < 100) " +
-        "SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, q AS value_e4 FROM t UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', ep FROM t UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', d FROM t ORDER BY l_orderkey, l_linenumber, metric")
+        "SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, q AS value_e4 FROM t UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', ep FROM t UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', d FROM t ORDER BY l_orderkey, l_linenumber, metric, value_e4")
   )
 }

@@ -8,7 +8,7 @@ fixture parquet files as DuckDB views under bare table names, runs each oracle
 SQL, and compares cell-by-cell against the Spark-written parquet in
 <verify_outdir>/<query>/. NOT part of the shipped library — dev tooling only.
 """
-import sys, json, math, glob
+import sys, json, math, glob, os
 
 import duckdb
 import numpy as np
@@ -36,8 +36,23 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
+        # driver fixtures are single files; graft.GenData output is a Spark
+        # directory of part files — glob the latter
+        path = f"{sfdir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        if t == "events":
+            # driver parquet carries TIMESTAMP_NS ts; generated parquet
+            # carries BIGINT ns. Normalize both to the same µs timestamp the
+            # Spark side produces (timestamp_micros(ts div 1000)).
+            typ = con.execute(
+                f"SELECT typeof(ts) FROM read_parquet('{src}') LIMIT 1").fetchone()[0]
+            if typ == "BIGINT":
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
+                    f"FROM read_parquet('{src}')")
+                continue
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     with open(f"{outdir}/oracle_sql.json") as f:
         oracle = json.load(f)
     n_pass, fails = 0, []
