@@ -11,6 +11,14 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Production shuffle sizing: start shuffles WIDE and let AQE coalesce
+      // back to core-count parallelism when the data is small
+      // (parallelismFirst=true is the default). A flat width equal to the
+      // core count gives 100M-row aggregations ~3M-entry hash maps per
+      // task — measured AGGREGATE_OUT_OF_MEMORY at 100× the bench SF —
+      // while the wide initial width costs nothing at small SF because the
+      // coalescer collapses it.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
