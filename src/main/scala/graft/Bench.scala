@@ -11,9 +11,19 @@ object Bench {
       // OOM on 100M-row shuffles at large SF, free at small SF
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // static conf; no-op unless reliable checkpointing is enabled below
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CKPT_DIR=<dir> switches every iterative operator to
+    // reliable (disk) checkpoints — the at-scale mode Checkpoints.scala
+    // documents: memory-resident localCheckpoint frames are the binding
+    // constraint for the graph family at ≥100× the bench SF in one JVM.
+    sys.env.get("SPARK_GRAFT_CKPT_DIR").foreach { dir =>
+      spark.conf.set(graft.ops.Checkpoints.ReliableKey, "true")
+      spark.sparkContext.setCheckpointDir(dir)
+    }
     // Untimed warmup: the first job in a cold JVM pays 3-5 s of classloading
     // and codegen that would otherwise land on an arbitrary query and poison
     // cross-round per-query comparison. One small scan+agg+join absorbs it.

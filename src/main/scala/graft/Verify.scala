@@ -21,9 +21,15 @@ object Verify {
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // see Bench.scala: reliable-checkpoint switch for large-SF runs
+    sys.env.get("SPARK_GRAFT_CKPT_DIR").foreach { dir =>
+      spark.conf.set(graft.ops.Checkpoints.ReliableKey, "true")
+      spark.sparkContext.setCheckpointDir(dir)
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => only.isEmpty || only(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
