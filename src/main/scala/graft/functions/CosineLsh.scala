@@ -38,6 +38,27 @@ object CosineLsh {
       Array.fill(k)(Array.fill(dim)(rnd.nextGaussian().toFloat))
     })
 
+  /** AUTO band parameters (bands, rowsPerBand) for corpus size `n` at
+    * threshold `minCosine`: rowsPerBand ≈ log2(n) holds expected random
+    * bucket occupancy constant (random pairs collide per band at
+    * ~0.5^r = 1/n, so candidates stay linear in n); bands then grows to
+    * hold ≈0.9 recall for pairs exactly AT the threshold (ln 10 / p^r
+    * bands gives 1-(1-p^r)^b ≥ 1-e^-ln10 = 0.9 before the cap). The
+    * survival probability is floored at cos = 0.5 so exploratory
+    * thresholds (where SRP-LSH degenerates) don't drive bands to
+    * infinity — the cap + exact verification keep output sound
+    * regardless. Design envelope: the linear-candidate bound holds up to
+    * n ≈ 2^25 (~33M vectors), where rowsPerBand hits its recall-
+    * protecting cap of 24; beyond that, shard the corpus (the IVF/PQ ANN
+    * family) instead of widening bands. Package-visible for the
+    * parameter-derivation spec. */
+  private[graft] def autoParams(n: Long, minCosine: Double): (Int, Int) = {
+    val r = math.max(8, math.min(24, math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt))
+    val pAtTau = 1.0 - math.acos(math.min(0.999, math.max(minCosine, 0.5))) / math.Pi
+    val b = math.max(8, math.min(64, math.ceil(math.log(10.0) / math.pow(pAtTau, r)).toInt))
+    (b, r)
+  }
+
   /** Near-duplicate pairs (exact cosine >= minCosine) among (id, vec) rows.
     *
     * `bands` / `rowsPerBand` default to -1 = AUTO: the sf0.1→sf1 scaling
@@ -60,19 +81,9 @@ object CosineLsh {
       seed: Long = 42L): DataFrame = {
     val n: Long =
       if (bands == -1 || rowsPerBand == -1) math.max(2L, vecs.count()) else 2L
-    val r =
-      if (rowsPerBand == -1)
-        math.max(8, math.min(24, math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt))
-      else rowsPerBand
-    val b =
-      if (bands == -1) {
-        // per-band survival prob for a pair exactly at the threshold;
-        // floored at cos=0.5 so exploratory thresholds (<= 0.5, where LSH
-        // degenerates) don't drive bands to infinity — the cap + exact
-        // verification keep output sound regardless
-        val pAtTau = 1.0 - math.acos(math.min(0.999, math.max(minCosine, 0.5))) / math.Pi
-        math.max(8, math.min(64, math.ceil(math.log(10.0) / math.pow(pAtTau, r)).toInt))
-      } else bands
+    val (autoB, autoR) = autoParams(n, minCosine)
+    val r = if (rowsPerBand == -1) autoR else rowsPerBand
+    val b = if (bands == -1) autoB else bands
     // The band packing below puts the band index in the high 32 bits and the
     // packed sign bits in the low 32; rowsPerBand > 32 would overflow into
     // the index bits and make distinct bands collide.

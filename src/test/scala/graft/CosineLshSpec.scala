@@ -86,6 +86,34 @@ class CosineLshSpec extends SparkSuite {
     }
   }
 
+  test("auto band parameters: linear candidate bound and recall floor across the design envelope") {
+    // envelope: up to n ≈ 2^25 one SRP table holds the linear bound; past
+    // it rowsPerBand is capped at 24 to protect recall, so occupancy grows
+    // again — the at-scale answer there is sharding (the IVF/PQ family),
+    // not wider bands. Asserted explicitly below the loop.
+    for (n <- Seq(1000L, 10000L, 100000L, 1000000L, 10000000L, 30000000L)) {
+      val (b, r) = CosineLsh.autoParams(n, minCosine = 0.9)
+      // bucket-occupancy invariant: expected random collisions per band
+      // ≈ n²/2^(r+1) must stay O(n) — this is the anti-quadratic contract
+      val expectedCollisions = n.toDouble * n / math.pow(2.0, r + 1)
+      assert(expectedCollisions <= 2.0 * n,
+        s"n=$n r=$r: ${expectedCollisions.toLong} expected collisions per band breaks the linear bound")
+      // recall floor: a pair exactly at τ=0.9 must survive ≥ 0.75 overall
+      val p = 1.0 - math.acos(0.9) / math.Pi
+      val recall = 1.0 - math.pow(1.0 - math.pow(p, r), b)
+      assert(recall >= 0.75, s"n=$n (b=$b, r=$r): recall at threshold $recall < 0.75")
+      // monotone: more data never means a NARROWER band
+      val (_, rPrev) = CosineLsh.autoParams(n / 10, minCosine = 0.9)
+      assert(r >= rPrev, s"rowsPerBand shrank with corpus growth: n=$n r=$r vs ${rPrev}")
+    }
+    // packing constraint holds at the caps
+    val (bMax, rMax) = CosineLsh.autoParams(Long.MaxValue, minCosine = 0.9)
+    assert(rMax <= 32 && bMax.toLong * rMax <= Int.MaxValue)
+    // past the envelope the width stops growing (recall protection) —
+    // document the ceiling rather than silently promise linearity forever
+    assert(rMax == 24, s"r cap moved ($rMax) — revisit the envelope assertion and scaladoc")
+  }
+
   test("rowsPerBand outside [1, 32] is rejected (band packing would overflow)") {
     val c = corpus()
     intercept[IllegalArgumentException] {
