@@ -25,6 +25,7 @@ object SparkEntry {
       ops.Scalars.queries ++
       ops.LlmOps.queries ++
       ops.ExtraText.queries ++
+      ops.BpeTokenizer.queries ++
       ops.PipelineOps.queries ++
       ops.StreamingBatch.queries ++
       ops.Analytics.queries ++
@@ -43,6 +44,7 @@ object SparkEntry {
       ops.Scalars.oracle ++
       ops.LlmOps.oracle ++
       ops.ExtraText.oracle ++
+      ops.BpeTokenizer.oracle ++
       ops.PipelineOps.oracle ++
       ops.StreamingBatch.oracle ++
       ops.Analytics.oracle ++

@@ -1,0 +1,179 @@
+package graft.ops
+
+import scala.collection.concurrent.TrieMap
+
+import graft.Fixtures
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING as a distributed operator — the
+  * missing piece between the corpus-statistics queries (token counts,
+  * entropy, TF-IDF) and an actual LLM data pipeline, which must LEARN its
+  * tokenizer from the corpus before it can tokenize it (Sennrich, Haddow &
+  * Birch, ACL 2016: "Neural Machine Translation of Rare Words with Subword
+  * Units").
+  *
+  * Scale design — the classic BPE trick makes this vocab-bound, not
+  * corpus-bound: merges depend only on the WORD-FREQUENCY table (each word
+  * type weighted by its corpus count), so the 100-TB corpus is touched by
+  * exactly ONE map+shuffle pass (explode words → count). Every learning
+  * iteration then runs on the Zipf-small word-type frame: one map (adjacent
+  * symbol-pair extraction), one vocab-sized shuffle (pair counts), and a
+  * 1-ROW argmax collect to the driver — the same driver-loop shape as
+  * Lloyd's iterations in [[graft.functions.KMeansIvf]]. The word-type frame
+  * is lineage-truncated once ([[Checkpoints.truncate]], honoring the
+  * reliable-checkpoint switch) and each merge is applied lazily as a
+  * chained `replace`, so K merges cost K vocab-sized jobs after the single
+  * corpus pass.
+  *
+  * Determinism (oracle hash-match engineering, SURVEY.md §2.0): pair counts
+  * are exact longs; the per-iteration argmax tie-breaks `(count DESC, pair
+  * ASC)` in both engines; merge application is plain non-overlapping
+  * left-to-right `replace`, which both Spark and DuckDB implement
+  * identically — and which IS greedy BPE application given the wrapped
+  * symbol encoding below.
+  *
+  * Symbol encoding: a word's symbol sequence is stored with every symbol
+  * individually wrapped in `|` (safe: fixture text is strictly
+  * `[a-z ]`) — "ab" → "|a||b|". The pair (x, y) is then the literal
+  * substring "|x||y|" and merging rewrites it to "|xy|". Because each
+  * symbol keeps its own delimiters, a replace can never match across a
+  * symbol boundary (no suffix/prefix aliasing), and consecutive
+  * occurrences merge greedily left-to-right exactly like the reference
+  * algorithm: "|a||a||a|" under merge (a,a) → "|aa||a|".
+  */
+object BpeTokenizer {
+
+  /** Number of merge rounds the q_bpe_* rows learn. Mirrored in the
+    * generated oracle SQL (the CTE chain has one block per round). */
+  val Merges = 6
+
+  /** One learned merge: (left symbol, right symbol, weighted pair count). */
+  final case class Merge(left: String, right: String, freq: Long)
+
+  /** Merges are deterministic functions of the fixture dir, so they are
+    * memoized as PLAIN DATA keyed by dir — no session resources pinned
+    * (the lesson of the Graph.edgeMemo advisory): a second query (or a
+    * second session) reuses the learned merges without re-running the
+    * driver loop. */
+  private val mergeMemo = TrieMap.empty[String, Vector[Merge]]
+
+  /** Word-type frequency table: ONE corpus pass — the only corpus-sized
+    * job in the whole trainer. */
+  private def wordFreqs(s: SparkSession, dir: String): DataFrame =
+    Fixtures
+      .table(s, dir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word")
+      .agg(count(lit(1)).as("f"))
+
+  /** Initial symbol sequence: every character individually wrapped —
+    * regexp_replace("(.)" → "|$1|"). */
+  private def seq0(word: Column): Column =
+    regexp_replace(word, "(.)", "|$1|")
+
+  /** Adjacent-pair frame of a (seq, f) frame: one row per occurrence of a
+    * symbol pair in a word type, weighted by f. Words with a single symbol
+    * contribute nothing (guarded — `sequence(1, 0)` would count DOWN). */
+  private def pairCounts(seqs: DataFrame): DataFrame =
+    seqs
+      .select(split(trim(col("seq"), "|"), "\\|\\|").as("t"), col("f"))
+      .select(
+        explode(
+          when(
+            size(col("t")) >= 2,
+            expr("transform(sequence(1, size(t)-1), j -> concat(element_at(t,j), ' ', element_at(t,j+1)))"))
+            .otherwise(array().cast("array<string>"))).as("pr"),
+        col("f"))
+      .groupBy("pr")
+      .agg(sum("f").as("cnt"))
+
+  /** The driver loop, library form: learn `k` merges from an arbitrary
+    * word-frequency frame with columns (word STRING, f LONG). Each
+    * iteration collects exactly ONE row (the argmax pair) — the same
+    * bounded driver traffic as any iterative-refinement kernel. Words must
+    * not contain ' ' or '|' (the pair-key and symbol delimiters). */
+  def train(words: DataFrame, k: Int): Vector[Merge] = {
+    var cur = Checkpoints.truncate(words.select(seq0(col("word")).as("seq"), col("f")))
+    val out = Vector.newBuilder[Merge]
+    var i = 0
+    while (i < k) {
+      val top = pairCounts(cur).orderBy(desc("cnt"), asc("pr")).limit(1).collect()
+      if (top.isEmpty) return out.result() // corpus exhausted: every word is one symbol
+      val Array(l, r) = top(0).getAs[String]("pr").split(" ", 2)
+      out += Merge(l, r, top(0).getAs[Long]("cnt"))
+      cur = cur.withColumn("seq", expr(s"replace(seq, '|$l||$r|', '|$l$r|')"))
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Fixture-bound training, memoized per dir (see [[mergeMemo]]). */
+  def learnMerges(s: SparkSession, dir: String): Vector[Merge] =
+    mergeMemo.getOrElseUpdate(dir, train(wordFreqs(s, dir), Merges))
+
+  /** Symbol sequences of a (word, f) frame after applying a merge list —
+    * lazy chained replaces, no extra action. Column out: (seq, f). */
+  def applyMerges(words: DataFrame, merges: Seq[Merge]): DataFrame =
+    merges.foldLeft(words.select(seq0(col("word")).as("seq"), col("f"))) { (df, m) =>
+      df.withColumn("seq", expr(s"replace(seq, '|${m.left}||${m.right}|', '|${m.left}${m.right}|')"))
+    }
+
+  /** Tokenize under a learned merge list: (word, f) → (tok, cnt) subword
+    * frequencies — what the trained tokenizer emits over the corpus. */
+  def vocab(words: DataFrame, merges: Seq[Merge]): DataFrame =
+    applyMerges(words, merges)
+      .select(explode(split(trim(col("seq"), "|"), "\\|\\|")).as("tok"), col("f"))
+      .groupBy("tok")
+      .agg(sum("f").as("cnt"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The learned merge table itself: (rank, pair, merged, freq) for the
+    // first `Merges` rounds — the artifact a tokenizer trainer persists.
+    "q_bpe_train" -> { (s, dir) =>
+      import s.implicits._
+      learnMerges(s, dir).zipWithIndex
+        .map { case (m, i) => (i + 1, s"${m.left} ${m.right}", m.left + m.right, m.freq) }
+        .toDF("rank", "pair", "merged", "freq")
+        .orderBy("rank")
+    },
+    // The corpus re-tokenized under the learned merges: the subword vocab
+    // with corpus frequencies — what the trained tokenizer actually emits.
+    // Same single-corpus-pass + vocab-sized-jobs shape as training.
+    "q_bpe_vocab" -> { (s, dir) =>
+      vocab(wordFreqs(s, dir), learnMerges(s, dir)).orderBy("tok")
+    }
+  )
+
+  /** The oracle replays the identical algorithm as a CTE chain — one
+    * (pair-count, argmax, replace) block per merge round, generated by the
+    * same loop bound so [[Merges]] can only be retuned in one place. */
+  private def oracleChain: String = {
+    val sb = new StringBuilder
+    sb ++= "WITH w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS f FROM "
+    sb ++= "(SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) "
+    sb ++= "WHERE word <> '' GROUP BY word), "
+    sb ++= "s0 AS (SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS seq, f FROM w0)"
+    for (i <- 1 to Merges) {
+      val prev = s"s${i - 1}"
+      sb ++= s", p$i AS (SELECT pr, CAST(sum(f) AS BIGINT) AS cnt FROM "
+      sb ++= s"(SELECT unnest(list_transform(range(1, len(t)), j -> t[j] || ' ' || t[j+1])) AS pr, f FROM "
+      sb ++= s"(SELECT string_split(trim(seq, '|'), '||') AS t, f FROM $prev)) GROUP BY pr)"
+      sb ++= s", b$i AS (SELECT pr, cnt FROM p$i ORDER BY cnt DESC, pr LIMIT 1)"
+      sb ++= s", s$i AS (SELECT replace(seq, '|' || split_part(pr, ' ', 1) || '||' || split_part(pr, ' ', 2) || '|', "
+      sb ++= s"'|' || replace(pr, ' ', '') || '|') AS seq, f FROM $prev CROSS JOIN b$i)"
+    }
+    sb.toString
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_bpe_train" -> (oracleChain + " " +
+      (1 to Merges)
+        .map(i =>
+          s"SELECT CAST($i AS INT) AS rank, pr AS pair, replace(pr, ' ', '') AS merged, cnt AS freq FROM b$i")
+        .mkString("SELECT rank, pair, merged, freq FROM (", " UNION ALL ", ") ORDER BY rank")),
+    "q_bpe_vocab" -> (oracleChain +
+      s" SELECT tok, CAST(sum(f) AS BIGINT) AS cnt FROM (SELECT unnest(string_split(trim(seq, '|'), '||')) AS tok, f FROM s$Merges) GROUP BY tok ORDER BY tok")
+  )
+}
