@@ -84,6 +84,35 @@ object Sources {
         .groupBy("op")
         .agg(count(lit(1)).as("n"), sum("k").as("key_sum"))
         .orderBy("op")
+    },
+    // Snapshot-table time travel, oracle-checked end-to-end: the query IS
+    // a full commit cycle — create (keys %10=0), append (%10=1), append
+    // (%10=2), compact — against graft.sinks.SnapshotTable, then each
+    // committed version is read back and aggregated. The oracle recomputes
+    // every version's expected contents directly from the orders fixture,
+    // so the hash-match proves atomic-visibility arithmetic (each version
+    // sees exactly its committed slices), time travel across commits, and
+    // that compaction is data-identical (v4 ≡ v3). Deterministic: exact
+    // integer cents, fixed modulus slices; the /tmp working table is
+    // rebuilt idempotently per (fixture dir) on every run.
+    "q_snapshot_timetravel" -> { (s, dir) =>
+      import graft.sinks.SnapshotTable
+      val root = "/tmp/graft-snaptt/" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val o = Fixtures
+        .table(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), cents(col("o_totalprice")).as("price_c"))
+      SnapshotTable.create(s, root, o.filter(col("k") % 10 === 0))
+      SnapshotTable.append(s, root, o.filter(col("k") % 10 === 1))
+      SnapshotTable.append(s, root, o.filter(col("k") % 10 === 2))
+      SnapshotTable.compact(s, root, "k", nFiles = 2)
+      def snap(v: Int) =
+        SnapshotTable
+          .readVersion(s, root, v)
+          .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_price_c"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_price_c"))
+      snap(1).union(snap(2)).union(snap(3)).union(snap(4)).orderBy("version")
     }
   )
 
@@ -101,6 +130,11 @@ object Sources {
         "d AS (SELECT coalesce(old.k, neu.k) AS k, CASE WHEN old_c IS NULL THEN 'I' WHEN new_c IS NULL THEN 'D' " +
         "WHEN old_c <> new_c THEN 'U' ELSE 'N' END AS op FROM old FULL OUTER JOIN neu ON old.k = neu.k) " +
         "SELECT op, CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS key_sum " +
-        "FROM d WHERE op <> 'N' GROUP BY 1 ORDER BY 1")
+        "FROM d WHERE op <> 'N' GROUP BY 1 ORDER BY 1"),
+    "q_snapshot_timetravel" ->
+      ("WITH o AS (SELECT o_orderkey AS k, CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_c FROM orders), " +
+        "v AS (SELECT CAST(1 AS INT) AS version, 0 AS hi UNION ALL SELECT 2, 1 UNION ALL SELECT 3, 2 UNION ALL SELECT 4, 2) " +
+        "SELECT version, CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(price_c) AS BIGINT) AS sum_price_c " +
+        "FROM v JOIN o ON (o.k % 10) <= v.hi GROUP BY version ORDER BY version")
   )
 }

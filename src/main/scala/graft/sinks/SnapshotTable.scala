@@ -45,8 +45,15 @@ object SnapshotTable {
 
   final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
-  /** One commit's metadata. `dirs` are root-relative live data dirs. */
-  final case class Commit(version: Int, action: String, dirs: Seq[String], addedRows: Long)
+  /** One commit's metadata. `dirs` are root-relative live data dirs;
+    * `batchId` tags commits made by [[appendBatchExactlyOnce]] so replayed
+    * streaming epochs are recognized. */
+  final case class Commit(
+      version: Int,
+      action: String,
+      dirs: Seq[String],
+      addedRows: Long,
+      batchId: Option[Long] = None)
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
@@ -84,7 +91,8 @@ object SnapshotTable {
       (j \ "version").extract[Int],
       (j \ "action").extract[String],
       (j \ "dirs").extract[Seq[String]],
-      (j \ "addedRows").extract[Long])
+      (j \ "addedRows").extract[Long],
+      (j \ "batchId").extractOpt[Long])
   }
 
   /** The commit log, ascending by version. */
@@ -104,13 +112,13 @@ object SnapshotTable {
     val f = fs(spark, root)
     f.mkdirs(manifestDir(root))
     val p = manifestPath(root, c.version)
-    val json = JsonMethods.compact(
-      JsonMethods.render(
-        JObject(
-          "version" -> JInt(c.version),
-          "action" -> JString(c.action),
-          "dirs" -> JArray(c.dirs.map(JString(_)).toList),
-          "addedRows" -> JLong(c.addedRows))))
+    val fields = List(
+      "version" -> JInt(c.version),
+      "action" -> JString(c.action),
+      "dirs" -> JArray(c.dirs.map(JString(_)).toList),
+      "addedRows" -> JLong(c.addedRows)) ++
+      c.batchId.map(b => "batchId" -> (JLong(b): JValue)).toList
+    val json = JsonMethods.compact(JsonMethods.render(JObject(fields: _*)))
     val out =
       try f.create(p, false)
       catch {
@@ -144,6 +152,46 @@ object SnapshotTable {
   /** Append a batch: new version = previous live dirs + the new one. */
   def append(spark: SparkSession, root: String, df: DataFrame): Int =
     commit(spark, root, df, "append", carryForward = true)
+
+  /** EXACTLY-ONCE streaming append — the `foreachBatch` sink contract.
+    * The micro-batch id is recorded in the manifest, and the manifest
+    * publish IS the transaction: a replayed epoch (restart, retry) finds
+    * its batchId already committed and becomes a no-op, so the table holds
+    * each epoch's rows exactly once however many times the batch reruns.
+    * A publish race (e.g. two speculative drivers of the SAME epoch) makes
+    * the loser re-check the log: if the winner committed our batchId we
+    * are done; otherwise (a genuine interleaved writer) we retry at the
+    * next version. The orphaned data dir of a lost race is reclaimed by
+    * [[vacuum]] — rows only exist for readers once a manifest references
+    * them, so duplicates are impossible by construction, not by cleanup. */
+  def appendBatchExactlyOnce(spark: SparkSession, root: String, df: DataFrame, batchId: Long): Int = {
+    def committed(): Option[Int] =
+      history(spark, root).find(_.batchId.contains(batchId)).map(_.version)
+    committed().getOrElse {
+      val (rel, n) = writeData(spark, root, df)
+      var result = -1
+      while (result < 0) {
+        val base = latestVersion(spark, root).getOrElse(0)
+        val prior =
+          if (base == 0) Nil else readManifest(spark, root, base).dirs
+        try result = publish(
+          spark,
+          root,
+          Commit(base + 1, "append", prior :+ rel, n, Some(batchId)))
+        catch {
+          case _: ConcurrentCommitException =>
+            committed().foreach(v => return v) // replayed epoch lost the race: done
+          // else: interleaved OTHER writer took the slot; loop re-reads latest
+        }
+      }
+      result
+    }
+  }
+
+  /** `foreachBatch` adapter: `stream.writeStream.foreachBatch(SnapshotTable
+    * .streamAppend(root)).start()`. */
+  def streamAppend(root: String): (DataFrame, Long) => Unit =
+    (batch, id) => { appendBatchExactlyOnce(batch.sparkSession, root, batch, id); () }
 
   /** Replace the table contents atomically. */
   def overwrite(spark: SparkSession, root: String, df: DataFrame): Int =

@@ -77,6 +77,20 @@ class SnapshotTableSpec extends SparkSuite {
     assert(SnapshotTable.versions(spark, root) == Seq(3))
   }
 
+  test("exactly-once streaming append: replayed epochs are no-ops") {
+    val root = freshRoot()
+    val sink = SnapshotTable.streamAppend(root)
+    sink(batch(1L -> "a"), 0L)
+    sink(batch(2L -> "b"), 1L)
+    sink(batch(1L -> "a"), 0L) // restart replays epoch 0
+    sink(batch(2L -> "b"), 1L) // and epoch 1
+    assert(rows(SnapshotTable.read(spark, root)) == Set(1L -> "a", 2L -> "b"))
+    assert(SnapshotTable.history(spark, root).map(c => (c.version, c.batchId)) ==
+      Seq((1, Some(0L)), (2, Some(1L))), "each epoch committed exactly once")
+    // a lost publish race on an already-committed epoch is also a no-op
+    assert(SnapshotTable.appendBatchExactlyOnce(spark, root, batch(1L -> "a"), 0L) == 1)
+  }
+
   test("vacuum retains every dir a kept version references") {
     val root = freshRoot()
     SnapshotTable.create(spark, root, batch(1L -> "a"))
