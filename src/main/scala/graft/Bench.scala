@@ -136,9 +136,13 @@ object Bench {
       s"""{"metric":"bench_total_sec","value":${fmt(total)},"unit":"sec",$loadJson,"queries":$allQueries,"sf":"$sfDir"}"""
     println(fullLine)
     // Belt-and-braces: stdout capture windows have bitten every round, so
-    // the complete JSON also lands in a file any reader can open.
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST_RUN.json"), fullLine + "\n")
-    catch { case _: Throwable => () }
+    // the complete JSON also lands in a file any reader can open. FULL-SUITE
+    // runs only: a targeted profiling run would otherwise overwrite the
+    // record with a handful of queries and silently disarm the outlier
+    // adjudication of the next full run (no priors -> no reruns).
+    if (args.isEmpty)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST_RUN.json"), fullLine + "\n")
+      catch { case _: Throwable => () }
     // Greedy packing of per-query entries into ≤ ~900-byte chunk lines
     // (budget counts the joining comma too), sized so the final chunk plus
     // the total line plus sbt's epilogue always fit inside the 2000-byte
