@@ -45,6 +45,18 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
+    // MEMO-HONEST reruns (round 12, verdict finding #1): two operators
+    // memoize expensive sub-builds process-wide (BPE learned merges, the
+    // checkpointed co-purchase edge frame). A rerun that hits a memo
+    // measures a lookup, not the query, so the outlier adjudication could
+    // hide a real regression in the memoized stage. Every RE-measurement
+    // below clears both memos first — rerun numbers are true warm
+    // recomputes (JIT/codegen warm, data structures cold).
+    def timeMemoHonest(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      graft.ops.BpeTokenizer.clearMemo()
+      graft.ops.Graph.clearMemo()
+      time(name, fn)
+    }
     // Host-contention telemetry (round 8): three rounds running, the
     // driver's capture has been load-inflated vs an idle re-run, costing a
     // re-measurement cycle each round. Two signals make contention
@@ -78,8 +90,30 @@ object Bench {
       } catch { case _: Throwable => Map.empty }
     val results: Seq[(String, Double)] = selected.map { case (name, fn) => name -> time(name, fn) }
     val loadEnd = osBean.getSystemLoadAverage
+    // The 67-query set of the v1 BASELINE.md record (2026-08-12). The
+    // perf gate is "common-set total within 2x of 37.27 s at sf0.1";
+    // emitting the subtotal directly makes the gate computable from this
+    // capture alone — no cross-file key intersection needed (round-12
+    // verdict item #1). Names, not count: later rounds only ADD queries,
+    // so the subset is stable.
+    val baseline67: Set[String] = Set(
+      "q_agg_global", "q_join_shuffle", "q_sort_multi", "q_scan_schema_json", "q_win_running",
+      "q_array_funcs", "q_str_funcs", "q_join_right", "q_lang_id", "q_join_theta",
+      "q_filter_pred", "q_text_stats", "q_sim_threshold", "q_agg_pivot", "q_stream_sliding",
+      "q_text_tfidf", "q_text_tokens", "q_except", "q_agg_grouping_sets", "q_upc_checkdigit",
+      "q_win_rank", "q_case_when", "q_union_distinct", "q_doc_fingerprint", "q_dedup_latest",
+      "q_join_asof", "q_agg_stats", "q_date_funcs", "q_math_funcs", "q_text_ngram",
+      "q_map_funcs", "q_regex", "q_win_range", "q_explode_tokens", "q_sim_cosine_topk",
+      "q_win_lag", "q_project_arith", "q_agg_cube", "q_intersect", "q_agg_collect",
+      "q_stream_session", "q_agg_rollup", "q_sim_ann_ivf", "q_agg_q1", "q_join_broadcast",
+      "q_token_count", "q_agg_udaf", "q_join_left", "q_multimodal_binary", "q_join_semi",
+      "q_scan_parquet", "q_dedup_exact", "q_stream_tumbling", "q_union_all", "q_join_full",
+      "q_dedup_jaccard", "q_join_anti", "q_agg_distinct", "q_etl_incremental", "q_json_funcs",
+      "q_join_multiway", "q_join_cross", "q_cast_types", "q_limit_topk", "q_multimodal",
+      "q_win_topk", "q_text_quality")
+    val common67 = results.filter(r => baseline67.contains(r._1)).map(_._2).sum
     val rerun: Seq[(String, Double)] =
-      results.sortBy(-_._2).take(3).map { case (name, _) => name -> time(name, SparkEntry.queries(name)) }
+      results.sortBy(-_._2).take(3).map { case (name, _) => name -> timeMemoHonest(name, SparkEntry.queries(name)) }
     // SELF-ADJUDICATION (round 10): captures on a contended host have cost a
     // manual warm re-measurement cycle every round. Any query whose first-run
     // time exceeds 1.6x its prior record (and by more than 0.2 s — tiny
@@ -97,7 +131,7 @@ object Bench {
           .filter { case (n, t) => prior.get(n).exists(p => t > 1.6 * p && t - p > 0.2) }
           .sortBy { case (n, t) => -(t / prior(n)) }
           .take(12)
-          .map { case (n, _) => n -> time(n, SparkEntry.queries(n)) }
+          .map { case (n, _) => n -> timeMemoHonest(n, SparkEntry.queries(n)) }
     // Output protocol (round 6). Constraints learned from rounds 1-5:
     //   * The driver keeps only a 2000-byte TAIL of stdout (measured: every
     //     BENCH_r*.json "tail" is exactly 2000 bytes), so anything that must
@@ -131,7 +165,7 @@ object Bench {
     val allQueries = entries.mkString("{", ",", "}")
     val rerunJson = rerun.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val outliersJson = rerunOutliers.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val loadJson = s""""load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"rerun_slowest":$rerunJson,"rerun_outliers":$outliersJson"""
+    val loadJson = s""""load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"common67_sec":${fmt(common67)},"memo_honest_reruns":true,"rerun_slowest":$rerunJson,"rerun_outliers":$outliersJson"""
     val fullLine =
       s"""{"metric":"bench_total_sec","value":${fmt(total)},"unit":"sec",$loadJson,"queries":$allQueries,"sf":"$sfDir"}"""
     println(fullLine)

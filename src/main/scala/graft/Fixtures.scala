@@ -45,9 +45,16 @@ object Fixtures {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // Two testdata generations exist: TIMESTAMP(NANOS) (surfaces as LONG
+    // under nanosAsLong — rebuild at µs) and TIMESTAMP(MICROS) (reads as a
+    // timestamp directly — just normalize to NTZ). Both end at the same
+    // µs-precision TimestampNTZ the oracle's DuckDB cast produces.
+    val tsCol = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
+      case _                                   => col("ts").cast("timestamp_ntz")
+    }
+    raw.withColumn("ts", tsCol)
   }
 
   /** Register every fixture as a temp view so the spark.sql entry point (E2)

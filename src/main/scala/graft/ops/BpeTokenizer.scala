@@ -58,6 +58,13 @@ object BpeTokenizer {
     * driver loop. */
   private val mergeMemo = TrieMap.empty[String, Vector[Merge]]
 
+  /** Forget memoized merges so the next call retrains from the corpus.
+    * Bench calls this before every warm RE-RUN measurement: a rerun that
+    * hits the memo measures a map lookup, not the trainer, and the
+    * round-10 outlier-adjudication numbers were silently optimistic for
+    * this query (round-11 verdict finding #1). */
+  def clearMemo(): Unit = mergeMemo.clear()
+
   /** Word-type frequency table: ONE corpus pass — the only corpus-sized
     * job in the whole trainer. */
   private def wordFreqs(s: SparkSession, dir: String): DataFrame =
@@ -109,9 +116,147 @@ object BpeTokenizer {
     out.result()
   }
 
-  /** Fixture-bound training, memoized per dir (see [[mergeMemo]]). */
+  /** Default word-type cap for [[trainLocal]]: a model-sized table (1M
+    * types ≈ tens of MB of driver heap). Heaps' law puts even a web-scale
+    * corpus's type count at 10^6–10^8; the frequency-ranked tail beyond
+    * the cap is hapax-dominated and contributes negligibly to any pair
+    * count a real merge would select. Exact (cap inactive) whenever the
+    * corpus has ≤ maxTypes word types — true for every fixture SF. */
+  val DefaultMaxTypes: Int = 1 << 20
+
+  /** UTF-8 binary string comparison (= code-point order) — the order
+    * Spark's `asc` on a string column and DuckDB's ORDER BY both use.
+    * Java's String.compareTo differs for supplementary characters
+    * (UTF-16 code-unit order), so the argmax tie-break below would
+    * diverge from [[train]] on exotic input without this. */
+  private def cpCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** Driver-local merge loop over a capped word-type table (round 12).
+    *
+    * The distributed [[train]] loop runs one pair-count shuffle plus one
+    * 1-row collect PER MERGE — fine for the contract's K=6, but a real
+    * tokenizer's K≈32,000 merges would serialize ~32k Spark jobs: days of
+    * job-launch latency regardless of data size (round-11 verdict,
+    * perf_weak_count=1). Production trainers keep only ONE corpus-sized
+    * pass distributed (the word-type frequency count) and run the merge
+    * loop over the Zipf-bounded word-TYPE table in memory. This does
+    * exactly that:
+    *
+    *   1. one distributed job returns the `maxTypes` most frequent types
+    *      (f DESC, word ASC — deterministic under ties);
+    *   2. the merge loop runs driver-local with incrementally maintained
+    *      pair counts: a TreeSet argmax plus per-affected-word delta
+    *      updates (the huggingface/tokenizers trainer shape), so each
+    *      round costs O(symbols in words containing the merged pair) and
+    *      launches ZERO Spark jobs.
+    *
+    * Semantics are IDENTICAL to [[train]] whenever the cap is inactive:
+    * same per-code-point initial symbols, same weighted adjacent-pair
+    * counts, same (count DESC, pair-string ASC) tie-break (UTF-8 order
+    * via [[cpCompare]]), same greedy left-to-right merge application.
+    * Proved in the oracle gate — `q_bpe_train`'s DuckDB oracle still
+    * replays the DISTRIBUTED algorithm as a CTE chain and hash-matches —
+    * and in BpeTokenizerSpec's trainLocal==train equivalence cases. */
+  def trainLocal(words: DataFrame, k: Int, maxTypes: Int = DefaultMaxTypes): Vector[Merge] = {
+    // The one (and only) corpus-sized action: top-maxTypes word types.
+    val types: Array[(String, Long)] = words
+      .orderBy(desc("f"), asc("word"))
+      .limit(maxTypes)
+      .select("word", "f")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // Symbol sequences as code-point token arrays (mirrors seq0's '(.)').
+    val seqs: Array[Array[String]] = types.map { case (w, _) =>
+      val b = Array.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        b += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      b.result()
+    }
+    val freqs: Array[Long] = types.map(_._2)
+
+    // cnt: weighted adjacent-pair counts; occ: word indices containing the
+    // pair; order: argmax structure sorted (count DESC, pair ASC).
+    val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val occ = scala.collection.mutable.HashMap.empty[(String, String), scala.collection.mutable.Set[Int]]
+    implicit val ord: Ordering[(Long, String, String)] = new Ordering[(Long, String, String)] {
+      def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(y._1, x._1) // count DESC
+        if (c != 0) c
+        else {
+          val l = cpCompare(x._2 + " " + x._3, y._2 + " " + y._3) // pair ASC
+          if (l != 0) l else 0
+        }
+      }
+    }
+    val order = scala.collection.mutable.TreeSet.empty[(Long, String, String)]
+    def bump(p: (String, String), widx: Int, delta: Long): Unit = {
+      val old = cnt.getOrElse(p, 0L)
+      if (old != 0L) order.remove((old, p._1, p._2))
+      val nw = old + delta
+      if (nw == 0L) cnt.remove(p) else { cnt(p) = nw; order.add((nw, p._1, p._2)) }
+      if (delta > 0) occ.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += widx
+    }
+    var w = 0
+    while (w < seqs.length) {
+      val t = seqs(w); var j = 0
+      while (j < t.length - 1) { bump((t(j), t(j + 1)), w, freqs(w)); j += 1 }
+      w += 1
+    }
+
+    val out = Vector.newBuilder[Merge]
+    var round = 0
+    while (round < k && order.nonEmpty) {
+      val (c, l, r) = order.head
+      out += Merge(l, r, c)
+      val merged = l + r
+      val affected = occ.getOrElse((l, r), scala.collection.mutable.Set.empty).toArray
+      occ.remove((l, r))
+      affected.foreach { widx =>
+        val oldT = seqs(widx); val f = freqs(widx)
+        // retract every adjacent pair of the old sequence...
+        var j = 0
+        while (j < oldT.length - 1) {
+          val p = (oldT(j), oldT(j + 1))
+          bump(p, widx, -f)
+          occ.get(p).foreach { s => s -= widx; if (s.isEmpty) occ.remove(p) }
+          j += 1
+        }
+        // ...apply the merge greedily left-to-right (non-overlapping)...
+        val nb = Array.newBuilder[String]
+        j = 0
+        while (j < oldT.length) {
+          if (j < oldT.length - 1 && oldT(j) == l && oldT(j + 1) == r) { nb += merged; j += 2 }
+          else { nb += oldT(j); j += 1 }
+        }
+        val newT = nb.result()
+        seqs(widx) = newT
+        // ...and re-add the new sequence's pairs.
+        j = 0
+        while (j < newT.length - 1) { bump((newT(j), newT(j + 1)), widx, f); j += 1 }
+      }
+      round += 1
+    }
+    out.result()
+  }
+
+  /** Fixture-bound training, memoized per dir (see [[mergeMemo]]). Uses
+    * the driver-local trainer — one corpus pass, zero per-merge jobs; the
+    * q_bpe_train oracle (which replays the DISTRIBUTED algorithm in
+    * DuckDB) hash-matching against this is the equivalence proof. */
   def learnMerges(s: SparkSession, dir: String): Vector[Merge] =
-    mergeMemo.getOrElseUpdate(dir, train(wordFreqs(s, dir), Merges))
+    mergeMemo.getOrElseUpdate(dir, trainLocal(wordFreqs(s, dir), Merges))
 
   /** Symbol sequences of a (word, f) frame after applying a merge list —
     * lazy chained replaces, no extra action. Column out: (seq, f). */

@@ -170,6 +170,13 @@ object Graph {
 
   private val edgeMemo = TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Forget memoized edge frames so the next graph query rebuilds the
+    * checkpointed self-join. Bench calls this before every warm RE-RUN
+    * measurement so the rerun is a true recompute rather than a cached-
+    * block read (round-11 verdict finding #1). The forgotten frames'
+    * checkpoint data is reclaimed by the context cleaner. */
+  def clearMemo(): Unit = edgeMemo.clear()
+
   /** True when the memoized frame is still servable. A reliable-checkpoint
     * frame (StorageLevel.NONE — data lives in the checkpoint dir) always
     * is; a localCheckpoint frame is only servable while ALL its cached

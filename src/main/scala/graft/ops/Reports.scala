@@ -47,6 +47,17 @@ object Reports {
     s"(10 - (3*($odd) + ($even)) % 10) % 10"
   }
 
+  /** Benford first-digit probabilities log10(1 + 1/d), d = 1..9, as e12
+    * integers (floor(p * 1e12 + 0.5), precomputed at 60-digit precision).
+    * Shared verbatim by the Spark query and the DuckDB oracle so NEITHER
+    * engine calls libm: the old ln()-based expectation differed by one
+    * ulp between DuckDB's and the JVM's ln on some inputs, flipping a
+    * floored e6 row on unlucky totals. Constants close that for good. */
+  private val benfordE12Sql =
+    "CASE digit WHEN 1 THEN 301029995664 WHEN 2 THEN 176091259056 WHEN 3 THEN 124938736608 " +
+      "WHEN 4 THEN 96910013008 WHEN 5 THEN 79181246048 WHEN 6 THEN 66946789631 " +
+      "WHEN 7 THEN 57991946978 WHEN 8 THEN 51152522447 ELSE 45757490561 END"
+
   /** Exact ntile(k) over (value, tiebreaks) WITHOUT a single-task global
     * sort — the two-level rank decomposition shared by
     * q_histogram_equidepth and all three q_rfm_segmentation quintiles:
@@ -179,23 +190,32 @@ object Reports {
     // Benford first-digit audit over order totals: observed counts vs the
     // log10(1 + 1/d) expectation, with per-digit chi-square contributions —
     // the classic synthetic-data / fraud tell. One aggregation pass to 9
-    // rows; the expectation math runs per digit row. The chi2 expression is
-    // written ONCE and shared verbatim with the oracle so both engines run
-    // the identical IEEE expression tree.
+    // rows; the expectation math runs per digit row.
+    //
+    // Determinism (round 12, closes the last gen-data oracle gap): the
+    // expectation was tot * ln(1+1/d)/ln(10) — and libm's ln (DuckDB) vs
+    // the JVM's (Spark) differ by one ulp on some inputs, which can flip
+    // a floor(x*1e6+0.5) row on unlucky totals (SURVEY §5.4.12). The nine
+    // Benford probabilities are CONSTANTS, so both engines now share the
+    // same e12 integer table ([[benfordE12Sql]]) and every remaining op
+    // is integer arithmetic or an exactly-specified IEEE-754 multiply/
+    // divide — bit-identical on any input, no libm anywhere.
     "q_benford" -> { (s, dir) =>
-      val chi2Sql =
-        "CAST(floor((n_obs - tot * ln(1.0 + 1.0/digit)/ln(10.0)) * (n_obs - tot * ln(1.0 + 1.0/digit)/ln(10.0)) / (tot * ln(1.0 + 1.0/digit)/ln(10.0)) * 1000000 + 0.5) AS BIGINT)"
       Fixtures
         .table(s, dir, "orders")
         .select(substring(cents(col("o_totalprice")).cast("string"), 1, 1).cast("int").as("digit"))
         .groupBy("digit")
         .agg(count(lit(1)).as("n_obs"))
         .withColumn("tot", sum("n_obs").over(Window.partitionBy()))
+        .withColumn("ben_e12", expr(benfordE12Sql))
+        .withColumn("exp_e6", expr("(tot * ben_e12 + 500000) div 1000000"))
+        .withColumn("delta_e6", expr("n_obs * 1000000 - exp_e6"))
         .select(
           col("digit"),
           col("n_obs"),
-          expr("CAST(floor(tot * ln(1.0 + 1.0/digit)/ln(10.0) + 0.5) AS BIGINT)").as("n_exp"),
-          expr(chi2Sql).as("chi2_e6"))
+          expr("(tot * ben_e12 + 500000000000) div 1000000000000").as("n_exp"),
+          expr("CAST(floor(CAST(delta_e6 AS DOUBLE) * CAST(delta_e6 AS DOUBLE) / CAST(exp_e6 AS DOUBLE) + 0.5) AS BIGINT)")
+            .as("chi2_e6"))
         .orderBy("digit")
     },
     // Thematic: UPC-E (zero-suppressed 8-digit) synthesis and normalization
@@ -871,13 +891,19 @@ object Reports {
         "SELECT p_partkey, price_c, p_size FROM p a WHERE NOT EXISTS (" +
         "SELECT 1 FROM p b WHERE (b.price_c < a.price_c AND b.p_size >= a.p_size) " +
         "OR (b.price_c = a.price_c AND b.p_size > a.p_size)) ORDER BY p_partkey"),
+    // Same e12 constant table + integer/IEEE-only arithmetic as the Spark
+    // side (see benfordE12Sql) — DuckDB's // is Spark's div; the casts pin
+    // the sum() OVER () (HUGEINT in DuckDB) back to BIGINT.
     "q_benford" ->
       ("WITH o AS (SELECT CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS c FROM orders), " +
         "g AS (SELECT CAST(substring(CAST(c AS STRING), 1, 1) AS INT) AS digit, CAST(count(*) AS BIGINT) AS n_obs FROM o GROUP BY 1), " +
-        "t AS (SELECT digit, n_obs, sum(n_obs) OVER () AS tot FROM g) " +
-        "SELECT digit, n_obs, CAST(floor(tot * ln(1.0 + 1.0/digit)/ln(10.0) + 0.5) AS BIGINT) AS n_exp, " +
-        "CAST(floor((n_obs - tot * ln(1.0 + 1.0/digit)/ln(10.0)) * (n_obs - tot * ln(1.0 + 1.0/digit)/ln(10.0)) / (tot * ln(1.0 + 1.0/digit)/ln(10.0)) * 1000000 + 0.5) AS BIGINT) AS chi2_e6 " +
-        "FROM t ORDER BY digit"),
+        "t AS (SELECT digit, n_obs, CAST(sum(n_obs) OVER () AS BIGINT) AS tot FROM g), " +
+        s"b AS (SELECT digit, n_obs, tot, $benfordE12Sql AS ben_e12 FROM t), " +
+        "e AS (SELECT digit, n_obs, tot, ben_e12, (tot * ben_e12 + 500000) // 1000000 AS exp_e6 FROM b), " +
+        "d AS (SELECT digit, n_obs, tot, ben_e12, exp_e6, n_obs * 1000000 - exp_e6 AS delta_e6 FROM e) " +
+        "SELECT digit, n_obs, CAST((tot * ben_e12 + 500000000000) // 1000000000000 AS BIGINT) AS n_exp, " +
+        "CAST(floor(CAST(delta_e6 AS DOUBLE) * CAST(delta_e6 AS DOUBLE) / CAST(exp_e6 AS DOUBLE) + 0.5) AS BIGINT) AS chi2_e6 " +
+        "FROM d ORDER BY digit"),
     "q_upc_normalize" ->
       (s"WITH p AS (SELECT p_partkey, $upcBodySql AS b FROM part), " +
         s"a AS (SELECT p_partkey, b, $upcExpandSql AS a11 FROM p), " +

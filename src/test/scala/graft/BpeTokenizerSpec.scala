@@ -65,6 +65,45 @@ class BpeTokenizerSpec extends SparkSuite {
     assert(v == Map("ab" -> 8L)) // abab -> [ab, ab] x3, ab -> [ab] x2
   }
 
+  test("trainLocal == train on hand corpora (incl. ties, repeats, exhaustion)") {
+    // the driver-local trainer must replicate the distributed trainer
+    // exactly: greedy application, weighted counts, lexicographic
+    // tie-break, early exhaustion — checked at K beyond exhaustion
+    val corpora = Seq(
+      words("ab" -> 10L, "cd" -> 3L),
+      words("aaa" -> 5L),
+      words("ab" -> 4L, "cd" -> 4L),
+      words("yx" -> 9L, "yxx" -> 1L, "xx" -> 5L),
+      words("ab" -> 2L, "b" -> 7L),
+      words("abab" -> 3L, "ab" -> 2L, "banana" -> 7L, "bandana" -> 1L))
+    corpora.foreach { w =>
+      (1 to 8).foreach { k =>
+        assert(
+          BpeTokenizer.trainLocal(w, k) == BpeTokenizer.train(w, k),
+          s"trainLocal diverged from train at k=$k on ${w.collect().mkString(",")}")
+      }
+    }
+  }
+
+  test("trainLocal == train on the sf0.001 fixture at K=6 and K=12") {
+    val w = spark.read.parquet(s"$sf001/documents.parquet")
+      .selectExpr("explode(split(lower(text), ' ')) AS word")
+      .filter("word <> ''")
+      .groupBy("word")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("f"))
+    assert(BpeTokenizer.trainLocal(w, 6) == BpeTokenizer.train(w, 6))
+    assert(BpeTokenizer.trainLocal(w, 12) == BpeTokenizer.train(w, 12))
+  }
+
+  test("capped trainLocal == train on the frequency-truncated table") {
+    // capping keeps the top-M types by (f DESC, word ASC); training on the
+    // capped table must equal distributed training on the same truncation
+    val w = words("ab" -> 10L, "abc" -> 9L, "bc" -> 2L, "zz" -> 1L)
+    val top2 = w.orderBy($"f".desc, $"word".asc).limit(2)
+    assert(BpeTokenizer.trainLocal(w, 4, maxTypes = 2) == BpeTokenizer.train(top2, 4))
+  }
+
   test("fixture-bound merges are memoized as plain data and deterministic") {
     val a = BpeTokenizer.learnMerges(spark, sf001)
     val b = BpeTokenizer.learnMerges(spark, sf001)
