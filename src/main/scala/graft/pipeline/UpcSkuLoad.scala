@@ -66,11 +66,19 @@ object UpcSkuLoad {
     val weighted = (1 to 12)
       .map(i => expr(s"try_cast(substring(upc, $i, 1) AS int)") * lit(if (i % 2 == 1) 3 else 1))
       .reduce(_ + _)
+    // The 12-term sum is projected ONCE as a named column, not inlined into
+    // the `when` clauses: inlined twice it doubled the expression tree and
+    // pushed the downstream validate→dedup→agg stage past the JVM's 64 KB
+    // method limit, silently dropping the whole stage out of codegen
+    // (CollapseProject keeps this split — the alias is non-cheap and
+    // referenced twice, so Catalyst won't re-inline it).
+    val withW = records.withColumn("__cd_weighted", weighted)
+    val w = col("__cd_weighted")
     val reason = when(col("upc").isNull || length(col("upc")) =!= 12, "bad_length")
-      .when(weighted.isNull || weighted % 10 =!= 0, "bad_check_digit")
+      .when(w.isNull || w % 10 =!= 0, "bad_check_digit")
       .when(col("price").isNull || col("price") <= 0, "bad_price")
       .when(length(trim(coalesce(col("name"), lit("")))) === 0, "empty_name")
-    val tagged = records.withColumn("reject_reason", reason)
+    val tagged = withW.withColumn("reject_reason", reason).drop("__cd_weighted")
     (
       tagged.filter(col("reject_reason").isNull).drop("reject_reason"),
       tagged.filter(col("reject_reason").isNotNull))

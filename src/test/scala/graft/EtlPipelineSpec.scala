@@ -47,9 +47,15 @@ class EtlPipelineSpec extends SparkSuite {
     assert(diffs.nonEmpty && diffs.keys.forall(_.startsWith("00000000001")),
       s"unexpected diff set: ${diffs.take(5)}")
 
-    // validation actually rejects: corrupt check digits are filtered out
+    // validation actually rejects: corrupt check digits are filtered out.
+    // The corrupt frame is MATERIALIZED (localCheckpoint) before validate:
+    // in production corrupt input arrives from storage as plain columns, not
+    // as a third expression layer composed over extract's check-digit
+    // arithmetic — unmaterialized, predicate pushdown would inline the full
+    // 3-layer tower into one Filter and blow the 64 KB codegen method limit.
     val corrupted = UpcSkuLoad
       .extract(spark, sf001)
+      .localCheckpoint(true)
       .withColumn(
         "upc",
         concat(
@@ -246,5 +252,19 @@ class EtlPipelineSpec extends SparkSuite {
     } finally c.close()
     quarantined.write.mode("append").jdbc(url, qTable, new java.util.Properties())
     assert(spark.read.jdbc(url, qTable, new java.util.Properties()).count() == 5)
+  }
+
+  test("validate→dedup→count stays inside whole-stage codegen (no 64KB interpreter fallback)") {
+    // With fallback disabled a codegen compile failure (the historical mode:
+    // the twice-inlined 12-term check-digit sum pushed hashAgg past the JVM
+    // 64 KB method limit) THROWS instead of silently running interpreted —
+    // so a green pass here proves the hot path actually compiles.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val (valid, quarantined) = UpcSkuLoad.validateWithQuarantine(UpcSkuLoad.extract(spark, sf001))
+      assert(valid.count() == 200 && quarantined.count() == 0)
+      // the exact downstream shape that used to blow up: validate→dedup→agg
+      assert(UpcSkuLoad.dedup(UpcSkuLoad.validate(UpcSkuLoad.extract(spark, sf001))).count() == 200)
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 }
