@@ -24,10 +24,19 @@ object Graph {
 
   /** Triangle + edge count via the degree-ordered orientation
     * (Suri & Vassilvitskii): every edge points from its lower-(deg, id)
-    * endpoint to the higher, wedges enumerate only at their lowest-degree
-    * vertex, and the closing-edge check is a left-semi equi-join against
-    * the oriented list. Returns one row (n_edges, n_triangles). The edge
-    * frame is lineage-truncated once and shared by all four consumers. */
+    * endpoint to the higher, so out-degree is O(sqrt m) even at hubs, and
+    * a triangle {x<y<z} (in orientation order) is found exactly once — at
+    * edge (x,y), as z ∈ N+(x) ∩ N+(y). The closing check is per-edge
+    * adjacency-ARRAY intersection, not a wedge join: the wedge-enumeration
+    * formulation materializes and shuffles sum C(outdeg, 2) rows (41M at
+    * sf0.1 — measured at 2-2.5 s of closing-join shuffle on top of 0.6 s
+    * of enumeration), while the intersection does the same arithmetic
+    * in-row and only shuffles each src's neighbor array once per out-edge
+    * (~half the bytes, no 41M-row join machinery; measured 1.3-2.5 s vs
+    * 2.6-3.1 s for the whole closing stage, round-13 attribution in
+    * SCALING.md). Array length is bounded by the orientation's O(sqrt m)
+    * out-degree, so per-row memory stays bounded at any scale. Returns one
+    * row (n_edges, n_triangles). */
   def triangles(edges: DataFrame): DataFrame = {
     val e = Checkpoints.truncate(edges)
     val deg = e
@@ -55,22 +64,19 @@ object Graph {
         .join(kb, Seq("b"))
         .select(
           when(col("k_a") < col("k_b"), col("a")).otherwise(col("b")).as("src"),
-          when(col("k_a") < col("k_b"), col("b")).otherwise(col("a")).as("dst"),
-          greatest(col("k_a"), col("k_b")).as("k_dst")))
-    val w1 = o.select(col("src"), col("dst").as("d1"), col("k_dst").as("k1"))
-    val w2 = o.select(col("src"), col("dst").as("d2"), col("k_dst").as("k2"))
-    val wedges = w1
-      .join(w2.hint("shuffle_hash"), Seq("src"))
-      .filter(col("k1") < col("k2"))
-      .select(col("d1"), col("d2"))
-    // shuffle-HASH, not sort-merge: the wedge probe stream is ~35x the
-    // edge list; SMJ would sort it, hashing the edge side skips the sort.
-    val closed = wedges.join(
-      o.select(col("src").as("d1"), col("dst").as("d2")).hint("shuffle_hash"),
-      Seq("d1", "d2"),
-      "left_semi")
-    e.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+          when(col("k_a") < col("k_b"), col("b")).otherwise(col("a")).as("dst")))
+    // shuffle-HASH hints: the edge frame is the probe stream on both joins;
+    // SMJ would sort it, hashing the (vertex-sized) adjacency side doesn't.
+    val adj = o.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
+    val tri = o
+      .join(adj.hint("shuffle_hash"), Seq("src"))
+      .select(col("dst"), col("nbrs").as("nu"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")).hint("shuffle_hash"), Seq("dst"))
+      .select(size(array_intersect(col("nu"), col("nv"))).as("t"))
+      .agg(coalesce(sum("t"), lit(0L)).as("n_triangles"))
+    // n_edges counts o, not e: same cardinality (orientation is per-edge),
+    // one fewer consumer of the un-oriented frame.
+    o.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
   }
 
   /** PageRank over an undirected edge frame, `iters` synchronous
