@@ -47,13 +47,41 @@ object SnapshotTable {
 
   /** One commit's metadata. `dirs` are root-relative live data dirs;
     * `batchId` tags commits made by [[appendBatchExactlyOnce]] so replayed
-    * streaming epochs are recognized. */
+    * streaming epochs are recognized; `schemaJson` is the TABLE schema as
+    * of this version (Spark StructType JSON) — the manifest, not the
+    * parquet footers, is the source of truth, so an old version reads with
+    * exactly the schema it committed and a widened table reads old files
+    * with the new columns null. Absent only in pre-schema manifests
+    * (read-compat: those fall back to footer mergeSchema). */
   final case class Commit(
       version: Int,
       action: String,
       dirs: Seq[String],
       addedRows: Long,
-      batchId: Option[Long] = None)
+      batchId: Option[Long] = None,
+      schemaJson: Option[String] = None)
+
+  /** Table schema of `next` committed over `prior`: same-named columns
+    * must keep their type (loud failure beats silent corruption — parquet
+    * would happily coexist an int and a string column of the same name
+    * until a reader dies much later); columns new in `next` append; columns
+    * absent from `next` persist (an append needn't carry every column).
+    * Everything nullable: any column can be missing from some files. */
+  private[graft] def mergeSchemas(
+      prior: org.apache.spark.sql.types.StructType,
+      next: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    val byName = next.fields.map(f => f.name -> f).toMap
+    prior.fields.foreach { pf =>
+      byName.get(pf.name).foreach { nf =>
+        require(
+          nf.dataType == pf.dataType,
+          s"schema evolution cannot change column '${pf.name}' from ${pf.dataType.sql} to ${nf.dataType.sql}")
+      }
+    }
+    val priorNames = prior.fieldNames.toSet
+    org.apache.spark.sql.types.StructType(
+      (prior.fields ++ next.fields.filterNot(f => priorNames(f.name))).map(_.copy(nullable = true)))
+  }
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
@@ -92,7 +120,8 @@ object SnapshotTable {
       (j \ "action").extract[String],
       (j \ "dirs").extract[Seq[String]],
       (j \ "addedRows").extract[Long],
-      (j \ "batchId").extractOpt[Long])
+      (j \ "batchId").extractOpt[Long],
+      (j \ "schema").extractOpt[String])
   }
 
   /** The commit log, ascending by version. */
@@ -117,7 +146,8 @@ object SnapshotTable {
       "action" -> JString(c.action),
       "dirs" -> JArray(c.dirs.map(JString(_)).toList),
       "addedRows" -> JLong(c.addedRows)) ++
-      c.batchId.map(b => "batchId" -> (JLong(b): JValue)).toList
+      c.batchId.map(b => "batchId" -> (JLong(b): JValue)).toList ++
+      c.schemaJson.map(s => "schema" -> (JString(s): JValue)).toList
     val json = JsonMethods.compact(JsonMethods.render(JObject(fields: _*)))
     val out =
       try f.create(p, false)
@@ -131,6 +161,29 @@ object SnapshotTable {
     c.version
   }
 
+  /** Table schema for a commit of `df` on top of version `base`: carried
+    * commits (append) evolve the prior recorded schema via [[mergeSchemas]];
+    * replacing commits (create/overwrite/compact) take `df`'s schema. A
+    * prior manifest without a recorded schema contributes nothing (the
+    * pre-schema files still read via the mergeSchema fallback). */
+  private def evolvedSchema(
+      spark: SparkSession,
+      root: String,
+      base: Option[Int],
+      df: DataFrame,
+      carryForward: Boolean): String = {
+    val next = df.schema
+    val prior =
+      if (carryForward)
+        base.flatMap(readManifest(spark, root, _).schemaJson).map(schemaFromJson)
+      else None
+    prior.fold(org.apache.spark.sql.types.StructType(next.map(_.copy(nullable = true))))(
+      mergeSchemas(_, next)).json
+  }
+
+  private def schemaFromJson(s: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(s).asInstanceOf[org.apache.spark.sql.types.StructType]
+
   private def commit(
       spark: SparkSession,
       root: String,
@@ -139,8 +192,9 @@ object SnapshotTable {
       carryForward: Boolean): Int = {
     val base = latestVersion(spark, root)
     val prior = if (carryForward) base.map(readManifest(spark, root, _).dirs).getOrElse(Nil) else Nil
+    val schema = evolvedSchema(spark, root, base, df, carryForward)
     val (rel, n) = writeData(spark, root, df)
-    publish(spark, root, Commit(base.getOrElse(0) + 1, action, prior :+ rel, n))
+    publish(spark, root, Commit(base.getOrElse(0) + 1, action, prior :+ rel, n, None, Some(schema)))
   }
 
   /** Create the table with an initial snapshot (version 1). */
@@ -171,13 +225,14 @@ object SnapshotTable {
       val (rel, n) = writeData(spark, root, df)
       var result = -1
       while (result < 0) {
-        val base = latestVersion(spark, root).getOrElse(0)
+        val base = latestVersion(spark, root)
         val prior =
-          if (base == 0) Nil else readManifest(spark, root, base).dirs
+          base.map(readManifest(spark, root, _).dirs).getOrElse(Nil)
+        val schema = evolvedSchema(spark, root, base, df, carryForward = true)
         try result = publish(
           spark,
           root,
-          Commit(base + 1, "append", prior :+ rel, n, Some(batchId)))
+          Commit(base.getOrElse(0) + 1, "append", prior :+ rel, n, Some(batchId), Some(schema)))
         catch {
           case _: ConcurrentCommitException =>
             committed().foreach(v => return v) // replayed epoch lost the race: done
@@ -197,10 +252,17 @@ object SnapshotTable {
   def overwrite(spark: SparkSession, root: String, df: DataFrame): Int =
     commit(spark, root, df, "overwrite", carryForward = false)
 
-  /** Read a specific committed snapshot (time travel). */
+  /** Read a specific committed snapshot (time travel) with exactly the
+    * schema recorded at that version: columns a later commit added do not
+    * exist here, columns some older files lack read as null. Pre-schema
+    * manifests (no recorded schema) fall back to footer mergeSchema. */
   def readVersion(spark: SparkSession, root: String, v: Int): DataFrame = {
     val m = readManifest(spark, root, v)
-    spark.read.parquet(m.dirs.map(d => new Path(root, d).toString): _*)
+    val paths = m.dirs.map(d => new Path(root, d).toString)
+    m.schemaJson match {
+      case Some(s) => spark.read.schema(schemaFromJson(s)).parquet(paths: _*)
+      case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
   }
 
   /** Read the latest snapshot. */
@@ -225,12 +287,28 @@ object SnapshotTable {
       spark,
       root,
       cur.repartitionByRange(nFiles, col(keyCol)).sortWithinPartitions(keyCol))
-    publish(spark, root, Commit(base + 1, "compact", Seq(rel), n))
+    // a compact is data-identical, so it CARRIES the current schema rather
+    // than re-deriving it from the rewritten files
+    val schema = readManifest(spark, root, base).schemaJson
+      .getOrElse(org.apache.spark.sql.types.StructType(cur.schema.map(_.copy(nullable = true))).json)
+    publish(spark, root, Commit(base + 1, "compact", Seq(rel), n, None, Some(schema)))
   }
 
   /** Drop history: delete manifests older than the `keepLast` most recent,
     * then delete every data dir no RETAINED manifest references — reclaims
     * overwritten/compacted-away files and orphans from failed commits.
+    *
+    * READER CONTRACT (spec-proven): a reader pinned at version V is safe
+    * against any vacuum that retains V — retained manifests' dirs are by
+    * construction never in the delete set, so the pinned scan can never
+    * lose a file mid-read. A vacuum that DROPS V breaks that reader
+    * LOUDLY: its manifest is gone (readVersion throws) and its
+    * no-longer-referenced dirs are deleted, so an already-constructed scan
+    * fails on the missing files (Spark's default
+    * `spark.sql.files.ignoreMissingFiles=false`) rather than silently
+    * returning a partial table. Choose `keepLast` ≥ the oldest version any
+    * live reader may hold.
+    *
     * Production note: an in-flight commit's data dir is unreferenced until
     * its publish; run vacuum with an age threshold (or quiesced writers) on
     * a live table. Returns the deleted root-relative paths. */

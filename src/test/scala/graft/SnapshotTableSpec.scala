@@ -91,6 +91,69 @@ class SnapshotTableSpec extends SparkSuite {
     assert(SnapshotTable.appendBatchExactlyOnce(spark, root, batch(1L -> "a"), 0L) == 1)
   }
 
+  test("pinned reader vs vacuum: retained version survives, dropped version fails loudly") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, batch(1L -> "a"))          // v1: dir A
+    SnapshotTable.append(spark, root, batch(2L -> "b"))          // v2: dirs A,B
+    SnapshotTable.overwrite(spark, root, batch(3L -> "c"))       // v3: dir C (A,B unreferenced by later versions)
+    SnapshotTable.append(spark, root, batch(4L -> "d"))          // v4: dirs C,D
+    // a reader pins v2 BEFORE any vacuum — plan constructed, not yet fully consumed
+    val pinned = SnapshotTable.readVersion(spark, root, 2)
+    assert(rows(pinned) == Set(1L -> "a", 2L -> "b"))
+    // vacuum retaining v2 (keepLast=3 keeps v2,v3,v4): the pinned reader's
+    // dirs are in a retained manifest, so they are NEVER in the delete set —
+    // the scan cannot lose a file mid-read
+    val d1 = SnapshotTable.vacuum(spark, root, keepLast = 3)
+    assert(d1 == Seq("_manifests/v00000001.json"), s"only v1's manifest deletable (its dir is shared with v2): $d1")
+    assert(rows(pinned) == Set(1L -> "a", 2L -> "b"), "pinned reader unaffected by a vacuum that retains its version")
+    // vacuum dropping v2 (keepLast=1): its dirs ARE reclaimed, and the
+    // pinned reader fails LOUDLY (missing files), never silently partially
+    val d2 = SnapshotTable.vacuum(spark, root, keepLast = 1)
+    assert(d2.count(_.startsWith("data/")) == 2, s"v1/v2's two dirs reclaimed: $d2")
+    val ex = intercept[Exception] { rows(pinned) }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(
+      causes(ex).exists(c =>
+        c.isInstanceOf[java.io.FileNotFoundException] ||
+          String.valueOf(c.getMessage).toLowerCase.contains("does not exist") ||
+          String.valueOf(c.getMessage).toLowerCase.contains("file not found")),
+      s"expected a missing-file failure, got: $ex")
+    // and re-pinning the dropped version fails at the manifest, not mid-scan
+    intercept[Exception] { SnapshotTable.readVersion(spark, root, 2) }
+    // the retained latest is intact throughout
+    assert(rows(SnapshotTable.read(spark, root)) == Set(3L -> "c", 4L -> "d"))
+  }
+
+  test("schema evolution: new columns null in old rows, old versions keep their exact schema") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, batch(1L -> "a"))
+    // widen: v2 adds a `score` column
+    SnapshotTable.append(spark, root, Seq((2L, "b", 0.5)).toDF("id", "v", "score"))
+    val latest = SnapshotTable.read(spark, root)
+    assert(latest.columns.toSeq == Seq("id", "v", "score"), "table schema is the recorded union")
+    val byId = latest.collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(byId == Map(1L -> None, 2L -> Some(0.5)), "pre-widening rows read the new column as null")
+    // time travel: v1 reads with exactly its committed schema — no `score`
+    assert(SnapshotTable.readVersion(spark, root, 1).columns.toSeq == Seq("id", "v"))
+    // narrow append: a batch missing `v` persists the table schema; its rows read v=null
+    SnapshotTable.append(spark, root, Seq((3L, 0.9)).toDF("id", "score"))
+    val v3 = SnapshotTable.read(spark, root)
+    assert(v3.columns.toSeq == Seq("id", "v", "score"))
+    assert(v3.collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap ==
+      Map(1L -> Some("a"), 2L -> Some("b"), 3L -> None))
+    // compaction carries the evolved schema across the rewrite
+    SnapshotTable.compact(spark, root, "id", nFiles = 1)
+    assert(SnapshotTable.read(spark, root).columns.toSeq == Seq("id", "v", "score"))
+    assert(rows(SnapshotTable.read(spark, root).select("id", "v").where("v is not null")) ==
+      Set(1L -> "a", 2L -> "b"))
+    // type change is refused loudly, not silently coexisted in the files
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotTable.append(spark, root, Seq(("4", "d")).toDF("id", "v"))
+    }
+    assert(ex.getMessage.contains("cannot change column 'id'"), ex.getMessage)
+  }
+
   test("vacuum retains every dir a kept version references") {
     val root = freshRoot()
     SnapshotTable.create(spark, root, batch(1L -> "a"))
