@@ -306,4 +306,62 @@ object StreamOps {
       "leftOuter")
       .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"), col("p_ts"), col("v_ts"))
   }
+
+  /** RIGHT OUTER stream-stream interval join — the deferred-absence rule
+    * applied to the VIEW side: every view emits, and a view followed by NO
+    * same-user purchase within 30 minutes emits exactly once with null
+    * purchase columns, only after both watermarks pass the end of its
+    * match interval `[v_ts, v_ts + 30min]` (until then a matching
+    * purchase could still arrive, so absence is not yet knowable). The
+    * user_id is coalesced from whichever side is present so the output
+    * schema is total. On the same closed input this equals the batch
+    * right join — StreamingSpec asserts it. */
+  def viewsBeforePurchaseRight(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+    val p = purchases
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+    p.join(
+      v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("v_ts") <= col("p_ts"),
+      "rightOuter")
+      .select(
+        coalesce(col("p_user"), col("v_user")).as("user_id"),
+        col("purchase_id"),
+        col("view_id"),
+        col("p_ts"),
+        col("v_ts"))
+  }
+
+  /** FULL OUTER stream-stream interval join: matched pairs emit on match;
+    * an unmatched PURCHASE emits once with null view columns and an
+    * unmatched VIEW once with null purchase columns — each deferred until
+    * the watermarks prove no partner can still arrive (the left and right
+    * deferred-absence rules simultaneously). State is bounded exactly as
+    * in the inner variant: each side's rows are evicted once the other
+    * side's watermark passes their match interval. */
+  def viewsBeforePurchaseFull(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+    val p = purchases
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+    p.join(
+      v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("v_ts") <= col("p_ts"),
+      "fullOuter")
+      .select(
+        coalesce(col("p_user"), col("v_user")).as("user_id"),
+        col("purchase_id"),
+        col("view_id"),
+        col("p_ts"),
+        col("v_ts"))
+  }
 }

@@ -294,6 +294,101 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("cap_stream_join_outer: RIGHT outer interval join null-emits unmatched views, equals batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = StreamOps
+      .viewsBeforePurchaseRight(views.toDF(), purchases.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("t_ssjoin_right")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      val vEvents = fixtureEvents.filter(_.event_type == "view")
+      val pEvents = fixtureEvents.filter(_.event_type == "purchase")
+      views.addData(vEvents.take(vEvents.size / 2)); purchases.addData(pEvents.take(5))
+      q.processAllAvailable()
+      views.addData(vEvents.drop(vEvents.size / 2)); purchases.addData(pEvents.drop(5))
+      q.processAllAvailable()
+      views.addData(Seq(sentinel)); purchases.addData(Seq(sentinel.copy(event_id = -2)))
+      q.processAllAvailable()
+      val streamed = spark
+        .table("t_ssjoin_right")
+        .filter(col("user_id") >= 0)
+        .select(col("view_id"), col("purchase_id"))
+        .as[(Long, Option[Long])]
+        .collect()
+        .toSet
+      val batch = StreamOps
+        .viewsBeforePurchaseRight(vEvents.toDF(), pEvents.toDF())
+        .select(col("view_id"), col("purchase_id"))
+        .as[(Long, Option[Long])]
+        .collect()
+        .toSet
+      assert(batch.exists(_._2.isEmpty), "fixture has no unmatched views — null-emission path untested")
+      assert(batch.exists(_._2.nonEmpty), "fixture has no matched views")
+      assert(streamed == batch,
+        s"stream≠batch: missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+      // a view emits null XOR matched rows, never both (no double emission)
+      val nullIds = streamed.filter(_._2.isEmpty).map(_._1)
+      val matchedIds = streamed.filter(_._2.nonEmpty).map(_._1)
+      assert((nullIds & matchedIds).isEmpty, "a view emitted both null and matched rows")
+    } finally q.stop()
+  }
+
+  test("cap_stream_join_outer: FULL outer interval join null-emits both sides exactly once, equals batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = StreamOps
+      .viewsBeforePurchaseFull(views.toDF(), purchases.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("t_ssjoin_full")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      val vEvents = fixtureEvents.filter(_.event_type == "view")
+      val pEvents = fixtureEvents.filter(_.event_type == "purchase")
+      views.addData(vEvents.take(vEvents.size / 2)); purchases.addData(pEvents.take(5))
+      q.processAllAvailable()
+      views.addData(vEvents.drop(vEvents.size / 2)); purchases.addData(pEvents.drop(5))
+      q.processAllAvailable()
+      views.addData(Seq(sentinel)); purchases.addData(Seq(sentinel.copy(event_id = -2)))
+      q.processAllAvailable()
+      val streamed = spark
+        .table("t_ssjoin_full")
+        .filter(col("user_id") >= 0)
+        .select(col("purchase_id"), col("view_id"))
+        .as[(Option[Long], Option[Long])]
+        .collect()
+        .toSet
+      val batch = StreamOps
+        .viewsBeforePurchaseFull(vEvents.toDF(), pEvents.toDF())
+        .select(col("purchase_id"), col("view_id"))
+        .as[(Option[Long], Option[Long])]
+        .collect()
+        .toSet
+      assert(batch.exists(r => r._1.isEmpty && r._2.nonEmpty), "no view-only null rows in fixture")
+      assert(batch.exists(r => r._1.nonEmpty && r._2.isEmpty), "no purchase-only null rows in fixture")
+      assert(batch.exists(r => r._1.nonEmpty && r._2.nonEmpty), "no matched rows in fixture")
+      assert(!streamed.contains((None, None)), "a row with both sides null is impossible")
+      assert(streamed == batch,
+        s"stream≠batch: missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+      // no double emission on either side
+      val nullViewIds = streamed.collect { case (Some(p), None) => p }
+      val matchedPIds = streamed.collect { case (Some(p), Some(_)) => p }
+      assert((nullViewIds & matchedPIds).isEmpty, "a purchase emitted both null and matched rows")
+      val nullPIds = streamed.collect { case (None, Some(v)) => v }
+      val matchedVIds = streamed.collect { case (Some(_), Some(v)) => v }
+      assert((nullPIds & matchedVIds).isEmpty, "a view emitted both null and matched rows")
+    } finally q.stop()
+  }
+
   test("cap_stream_stateful: flatMapGroupsWithState sessionization equals session_window batch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
