@@ -39,6 +39,48 @@ object JdbcSink {
       s"ON DUPLICATE KEY UPDATE ${valCols.map(c => s"$c = VALUES($c)").mkString(", ")}"
   }
 
+  /** The portable two-wave statements [[UpdateInsertDialect]] executes —
+    * pure text, golden-tested (no MySQL server ships in this zero-egress
+    * image, so the dialect contract is pinned at the string level). */
+  private[graft] def updateSql(table: String, keyCols: Seq[String], valCols: Seq[String]): String =
+    s"UPDATE $table SET ${valCols.map(c => s"$c = ?").mkString(", ")} " +
+      s"WHERE ${keyCols.map(c => s"$c = ?").mkString(" AND ")}"
+
+  private[graft] def insertSql(table: String, cols: Seq[String]): String =
+    s"INSERT INTO $table (${cols.mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+
+  /** MySQL `CREATE TABLE` DDL for a Spark schema — the text a provisioning
+    * step would run before [[upsert]] with [[OnDuplicateKeyDialect]].
+    * Type mapping notes: DATETIME(6), not TIMESTAMP — MySQL TIMESTAMP
+    * stops at 2038 and is session-timezone-shifted, both wrong for a data
+    * sink; string keys get a bounded VARCHAR (InnoDB needs a bounded key
+    * prefix), non-key strings get TEXT. */
+  def mysqlCreateTableDdl(table: String, schema: StructType, keyCols: Seq[String]): String = {
+    import org.apache.spark.sql.types._
+    def sqlType(f: StructField): String = f.dataType match {
+      case LongType => "BIGINT"
+      case IntegerType => "INT"
+      case ShortType => "SMALLINT"
+      case ByteType => "TINYINT"
+      case DoubleType => "DOUBLE"
+      case FloatType => "FLOAT"
+      case BooleanType => "BOOLEAN"
+      case d: DecimalType => s"DECIMAL(${d.precision}, ${d.scale})"
+      case StringType => if (keyCols.contains(f.name)) "VARCHAR(255)" else "TEXT"
+      case BinaryType => if (keyCols.contains(f.name)) "VARBINARY(255)" else "BLOB"
+      case DateType => "DATE"
+      case TimestampType | TimestampNTZType => "DATETIME(6)"
+      case other => sys.error(s"no MySQL mapping for column ${f.name}: ${other.sql}")
+    }
+    val colDefs = schema.fields.map { f =>
+      val nullability = if (keyCols.contains(f.name) || !f.nullable) " NOT NULL" else ""
+      s"${f.name} ${sqlType(f)}$nullability"
+    }
+    val pk = if (keyCols.isEmpty) Nil else Seq(s"PRIMARY KEY (${keyCols.mkString(", ")})")
+    (colDefs ++ pk).mkString(s"CREATE TABLE $table (", ", ", ")")
+  }
+
   /** Idempotent upsert: rows whose key tuple exists are updated, others
     * inserted. Runs on the executors via foreachPartition; batches commit
     * every `batchSize` rows. */
@@ -260,14 +302,8 @@ object JdbcSink {
       valCols: Seq[String],
       batchSize: Int): Unit = {
     conn.setAutoCommit(false)
-    val updateSql =
-      s"UPDATE $table SET ${valCols.map(c => s"$c = ?").mkString(", ")} " +
-        s"WHERE ${keyCols.map(c => s"$c = ?").mkString(" AND ")}"
-    val insertSql =
-      s"INSERT INTO $table (${schema.fieldNames.mkString(", ")}) " +
-        s"VALUES (${schema.fieldNames.map(_ => "?").mkString(", ")})"
-    val upd = conn.prepareStatement(updateSql)
-    val ins = conn.prepareStatement(insertSql)
+    val upd = conn.prepareStatement(updateSql(table, keyCols, valCols))
+    val ins = conn.prepareStatement(insertSql(table, schema.fieldNames.toSeq))
     // Batched two-wave protocol: one executeBatch() of UPDATEs per chunk,
     // then one executeBatch() of INSERTs for the keys the update wave
     // missed (update count 0). Statement round-trips per partition are

@@ -279,4 +279,51 @@ class JdbcSinkSpec extends SparkSuite {
         "ON DUPLICATE KEY UPDATE name = VALUES(name), price = VALUES(price), " +
         "loaded_at = VALUES(loaded_at)")
   }
+
+  test("golden: portable two-wave dialect text (what every Derby spec actually executes)") {
+    assert(
+      JdbcSink.updateSql("products", keyCols = Seq("upc"), valCols = Seq("name", "price")) ==
+        "UPDATE products SET name = ?, price = ? WHERE upc = ?")
+    // composite keys AND-chain in declared order
+    assert(
+      JdbcSink.updateSql("t", keyCols = Seq("a", "b"), valCols = Seq("v")) ==
+        "UPDATE t SET v = ? WHERE a = ? AND b = ?")
+    assert(
+      JdbcSink.insertSql("products", Seq("upc", "name", "price")) ==
+        "INSERT INTO products (upc, name, price) VALUES (?, ?, ?)")
+  }
+
+  test("golden: MySQL CREATE TABLE DDL from a Spark schema") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("upc", StringType, nullable = true),
+      StructField("name", StringType, nullable = true),
+      StructField("brand", StringType, nullable = false),
+      StructField("price", DoubleType, nullable = true),
+      StructField("qty", LongType, nullable = true),
+      StructField("pct", DecimalType(10, 4), nullable = true),
+      StructField("active", BooleanType, nullable = true),
+      StructField("img", BinaryType, nullable = true),
+      StructField("loaded_at", TimestampType, nullable = true)))
+    assert(
+      JdbcSink.mysqlCreateTableDdl("products", schema, keyCols = Seq("upc")) ==
+        "CREATE TABLE products (" +
+        "upc VARCHAR(255) NOT NULL, " +       // key string: bounded (InnoDB key prefix), implicitly NOT NULL
+        "name TEXT, " +                       // non-key string: unbounded
+        "brand TEXT NOT NULL, " +             // nullable=false survives the mapping
+        "price DOUBLE, " +
+        "qty BIGINT, " +
+        "pct DECIMAL(10, 4), " +
+        "active BOOLEAN, " +
+        "img BLOB, " +
+        "loaded_at DATETIME(6), " +           // NOT TIMESTAMP: 2038 + session-tz hazards
+        "PRIMARY KEY (upc))")
+    // keyless table: no PRIMARY KEY clause
+    val bare = StructType(Seq(StructField("n", IntegerType, nullable = true)))
+    assert(JdbcSink.mysqlCreateTableDdl("t", bare, Nil) == "CREATE TABLE t (n INT)")
+    // unmappable type fails loudly at DDL time, not at first insert
+    val arr = StructType(Seq(StructField("xs", ArrayType(LongType), nullable = true)))
+    val ex = intercept[RuntimeException] { JdbcSink.mysqlCreateTableDdl("t", arr, Nil) }
+    assert(ex.getMessage.contains("no MySQL mapping"), ex.getMessage)
+  }
 }
