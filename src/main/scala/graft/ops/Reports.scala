@@ -208,12 +208,18 @@ object Reports {
         .agg(count(lit(1)).as("n_obs"))
         .withColumn("tot", sum("n_obs").over(Window.partitionBy()))
         .withColumn("ben_e12", expr(benfordE12Sql))
-        .withColumn("exp_e6", expr("(tot * ben_e12 + 500000) div 1000000"))
+        // DECIMAL(38,0) product (HUGEINT in the oracle): a plain BIGINT
+        // tot * ben_e12 wraps once tot exceeds ~3.06e7 rows (~sf20) and
+        // ANSI mode turns that into a hard failure. The decimal widening
+        // is exact for any conceivable tot; the remaining domain bound is
+        // n_obs * 1e6 in delta_e6 (exact to n_obs ≤ 9.2e12 — four orders
+        // past a 100-TB orders table).
+        .withColumn("exp_e6", expr("(CAST(tot AS DECIMAL(38,0)) * ben_e12 + 500000) div 1000000"))
         .withColumn("delta_e6", expr("n_obs * 1000000 - exp_e6"))
         .select(
           col("digit"),
           col("n_obs"),
-          expr("(tot * ben_e12 + 500000000000) div 1000000000000").as("n_exp"),
+          expr("(CAST(tot AS DECIMAL(38,0)) * ben_e12 + 500000000000) div 1000000000000").as("n_exp"),
           expr("CAST(floor(CAST(delta_e6 AS DOUBLE) * CAST(delta_e6 AS DOUBLE) / CAST(exp_e6 AS DOUBLE) + 0.5) AS BIGINT)")
             .as("chi2_e6"))
         .orderBy("digit")
@@ -899,9 +905,9 @@ object Reports {
         "g AS (SELECT CAST(substring(CAST(c AS STRING), 1, 1) AS INT) AS digit, CAST(count(*) AS BIGINT) AS n_obs FROM o GROUP BY 1), " +
         "t AS (SELECT digit, n_obs, CAST(sum(n_obs) OVER () AS BIGINT) AS tot FROM g), " +
         s"b AS (SELECT digit, n_obs, tot, $benfordE12Sql AS ben_e12 FROM t), " +
-        "e AS (SELECT digit, n_obs, tot, ben_e12, (tot * ben_e12 + 500000) // 1000000 AS exp_e6 FROM b), " +
+        "e AS (SELECT digit, n_obs, tot, ben_e12, CAST((CAST(tot AS HUGEINT) * ben_e12 + 500000) // 1000000 AS BIGINT) AS exp_e6 FROM b), " +
         "d AS (SELECT digit, n_obs, tot, ben_e12, exp_e6, n_obs * 1000000 - exp_e6 AS delta_e6 FROM e) " +
-        "SELECT digit, n_obs, CAST((tot * ben_e12 + 500000000000) // 1000000000000 AS BIGINT) AS n_exp, " +
+        "SELECT digit, n_obs, CAST((CAST(tot AS HUGEINT) * ben_e12 + 500000000000) // 1000000000000 AS BIGINT) AS n_exp, " +
         "CAST(floor(CAST(delta_e6 AS DOUBLE) * CAST(delta_e6 AS DOUBLE) / CAST(exp_e6 AS DOUBLE) + 0.5) AS BIGINT) AS chi2_e6 " +
         "FROM d ORDER BY digit"),
     "q_upc_normalize" ->
