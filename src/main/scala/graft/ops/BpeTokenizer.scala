@@ -65,6 +65,9 @@ object BpeTokenizer {
     * this query (round-11 verdict finding #1). */
   def clearMemo(): Unit = mergeMemo.clear()
 
+  /** True when learned merges are memoized — Bench's `memo_hit` label. */
+  def memoNonEmpty: Boolean = mergeMemo.nonEmpty
+
   /** Word-type frequency table: ONE corpus pass — the only corpus-sized
     * job in the whole trainer. */
   private def wordFreqs(s: SparkSession, dir: String): DataFrame =

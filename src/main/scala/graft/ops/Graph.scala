@@ -191,6 +191,11 @@ object Graph {
     * checkpoint FILES still wait for the context cleaner
     * (`spark.cleaner.referenceTracking.cleanCheckpoints=true`): eager
     * file deletion could race a scan that is still reading them. */
+  /** True when a memoized edge frame exists — Bench records queries that
+    * start with a warm memo (`memo_hit`) so capture readers can tell a
+    * shared-build marginal cost from a standalone one. */
+  def memoNonEmpty: Boolean = edgeMemo.nonEmpty
+
   def clearMemo(): Unit = {
     edgeMemo.values.foreach { df =>
       df.queryExecution.analyzed
