@@ -476,24 +476,44 @@ object ExtraText {
     // a ~2*10^5 vocabulary whose prefix tokens are genuinely rare:
     // candidates == true pairs exactly (256/256 measured) — the filter
     // does ALL the work and verification touches only real near-dups.
+    //
+    // DICTIONARY ENCODING (round 13): each shingle string (~35 bytes) is
+    // replaced by a unique LONG id whose numeric order IS the (df, bg)
+    // frequency order — range-partition + sort the vocab by (df, bg), then
+    // monotonically_increasing_id() (partition ordinal << 33 | row ordinal,
+    // ascending range partitions ⇒ globally order-preserving, no driver
+    // pass, EXACT — no hash-collision caveat). The strings then never
+    // leave the vocab frame: the per-doc groupBy, the array sort, the
+    // candidate join key, and the verification array_intersect all move
+    // 8-byte longs, ~4× fewer shuffle bytes on every corpus-sized stage.
+    // The id assignment rides the df join the plan already required.
     "q_simjoin_prefix" -> { (s, dir) =>
       val t = 0.6
       val feats = Fixtures
         .table(s, dir, "documents")
         .select(col("doc_id"), explode(shingle4Udf(split(lower(col("text")), " "))).as("bg"))
         .distinct()
-      val dfreq = feats.groupBy("bg").agg(count(lit(1)).as("df"))
+      // dfreq is truncated BEFORE the range partitioning: repartitionByRange
+      // bounds its ranges with a SAMPLING job over its child, which would
+      // otherwise re-execute the corpus-sized explode→distinct→groupBy a
+      // third time (measured ~3× the whole query's prior cost); sampling a
+      // vocab-sized checkpoint is noise.
+      val dfreq = Checkpoints.truncate(feats.groupBy("bg").agg(count(lit(1)).as("df")))
+      val ids = dfreq
+        .repartitionByRange(col("df"), col("bg"))
+        .sortWithinPartitions("df", "bg")
+        .select(col("bg"), monotonically_increasing_id().as("tid"))
       val docFeats = Checkpoints.truncate(
         feats
-          .join(dfreq, Seq("bg"))
+          .join(ids, Seq("bg"))
           .groupBy("doc_id")
-          .agg(sort_array(collect_list(struct(col("df"), col("bg")))).as("fs"))
-          .select(col("doc_id"), expr("transform(fs, f -> f.bg)").as("toks"), size(col("fs")).as("n"))
+          .agg(sort_array(collect_list(col("tid"))).as("toks"))
+          .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
           .withColumn("pfx", expr(s"slice(toks, 1, n - CAST(ceil($t * n) AS INT) + 1)")))
-      val a = docFeats.select(col("doc_id").as("a_id"), explode(col("pfx")).as("bg"), col("n").as("na"))
-      val b = docFeats.select(col("doc_id").as("b_id"), explode(col("pfx")).as("bg"), col("n").as("nb"))
+      val a = docFeats.select(col("doc_id").as("a_id"), explode(col("pfx")).as("tid"), col("n").as("na"))
+      val b = docFeats.select(col("doc_id").as("b_id"), explode(col("pfx")).as("tid"), col("n").as("nb"))
       val cands = a
-        .join(b, Seq("bg"))
+        .join(b, Seq("tid"))
         .filter(
           col("a_id") < col("b_id") &&
             least(col("na"), col("nb")) >= lit(t) * greatest(col("na"), col("nb")))
