@@ -113,6 +113,34 @@ object Sources {
           .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_price_c"))
           .select(lit(v).as("version"), col("n_rows"), col("sum_price_c"))
       snap(1).union(snap(2)).union(snap(3)).union(snap(4)).orderBy("version")
+    },
+    // Manifest-level DATA SKIPPING on the snapshot table: per-file min/max
+    // stats ride every commit (collected in the post-write validation scan
+    // the protocol already pays), compact() range-clusters on the predicate
+    // column, and readWhere() plans the scan over only the files whose
+    // recorded range can match — at 100 TB the driver never lists or
+    // footer-probes dead files. The result is EXACTLY read-then-filter
+    // (hash-checked here against the DuckDB oracle); that skipping actually
+    // engages is asserted in SnapshotTableSpec's prunePlan cases.
+    "q_snapshot_pruned" -> { (s, dir) =>
+      import graft.sinks.SnapshotTable
+      val root = "/tmp/graft-snapdp/" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val o = Fixtures
+        .table(s, dir, "orders")
+        .select(
+          col("o_orderkey").as("k"),
+          to_date(col("o_orderdate")).as("d"),
+          cents(col("o_totalprice")).as("price_c"))
+      SnapshotTable.create(s, root, o.filter(col("k") % 2 === 0))
+      SnapshotTable.append(s, root, o.filter(col("k") % 2 === 1))
+      SnapshotTable.compact(s, root, "d", nFiles = 8)
+      SnapshotTable
+        .readWhere(s, root, Seq(SnapshotTable.Bound("d", Some("1996-01-01"), Some("1996-12-31"))))
+        .groupBy((year(col("d")) * 100 + month(col("d"))).cast("int").as("ym"))
+        .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_price_c"))
+        .orderBy("ym")
     }
   )
 
@@ -135,6 +163,12 @@ object Sources {
       ("WITH o AS (SELECT o_orderkey AS k, CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_c FROM orders), " +
         "v AS (SELECT CAST(1 AS INT) AS version, 0 AS hi UNION ALL SELECT 2, 1 UNION ALL SELECT 3, 2 UNION ALL SELECT 4, 2) " +
         "SELECT version, CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(price_c) AS BIGINT) AS sum_price_c " +
-        "FROM v JOIN o ON (o.k % 10) <= v.hi GROUP BY version ORDER BY version")
+        "FROM v JOIN o ON (o.k % 10) <= v.hi GROUP BY version ORDER BY version"),
+    "q_snapshot_pruned" ->
+      ("SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS INT) AS ym, " +
+        "CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c " +
+        "FROM orders WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31' " +
+        "GROUP BY 1 ORDER BY ym")
   )
 }

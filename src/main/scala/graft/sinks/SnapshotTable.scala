@@ -45,6 +45,23 @@ object SnapshotTable {
 
   final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
+  /** Per-file statistics recorded in the manifest at write time: row count
+    * plus min/max per orderable top-level column (numeric, string, date,
+    * timestamp, boolean). This is the planning-time data-skipping index the
+    * table formats carry: at 100 TB a range predicate should decide from
+    * the MANIFEST which of millions of files can possibly match, instead of
+    * listing and footer-probing every one — parquet row-group stats only
+    * help after the file is already opened. Values are stored as JSON
+    * (numbers/strings; timestamps as epoch micros) and compared through the
+    * manifest-recorded table schema. A column with no entry (all-null file,
+    * unsupported type, 64-char-plus strings, non-finite doubles) is simply
+    * unprunable for that file — absence is always safe. */
+  final case class FileStat(
+      path: String,
+      rows: Long,
+      min: Map[String, JValue],
+      max: Map[String, JValue])
+
   /** One commit's metadata. `dirs` are root-relative live data dirs;
     * `batchId` tags commits made by [[appendBatchExactlyOnce]] so replayed
     * streaming epochs are recognized; `schemaJson` is the TABLE schema as
@@ -52,14 +69,20 @@ object SnapshotTable {
     * parquet footers, is the source of truth, so an old version reads with
     * exactly the schema it committed and a widened table reads old files
     * with the new columns null. Absent only in pre-schema manifests
-    * (read-compat: those fall back to footer mergeSchema). */
+    * (read-compat: those fall back to footer mergeSchema). `files` carries
+    * [[FileStat]] rows for every live file the manifest's writer could
+    * attribute stats to — like `dirs` it is a SELF-CONTAINED snapshot
+    * (carried forward across appends), so data skipping needs exactly one
+    * manifest read. Dirs not covered by `files` (pre-stats commits) are
+    * read in full. */
   final case class Commit(
       version: Int,
       action: String,
       dirs: Seq[String],
       addedRows: Long,
       batchId: Option[Long] = None,
-      schemaJson: Option[String] = None)
+      schemaJson: Option[String] = None,
+      files: Seq[FileStat] = Seq.empty)
 
   /** Table schema of `next` committed over `prior`: same-named columns
     * must keep their type (loud failure beats silent corruption — parquet
@@ -113,26 +136,119 @@ object SnapshotTable {
     val txt =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    val j = JsonMethods.parse(txt)
+    // useBigDecimalForDouble: decimal stats must round-trip EXACTLY — a
+    // double-rounded max that lands below the true max could wrongly skip a
+    // file whose edge row matches the predicate
+    val j = JsonMethods.parse(txt, useBigDecimalForDouble = true)
     implicit val fmts: Formats = DefaultFormats
+    val files = (j \ "files") match {
+      case JArray(fs) =>
+        fs.map { f =>
+          def statMap(field: String): Map[String, JValue] = (f \ field) match {
+            case JObject(kvs) => kvs.toMap
+            case _ => Map.empty
+          }
+          FileStat(
+            (f \ "path").extract[String],
+            (f \ "rows").extract[Long],
+            statMap("min"),
+            statMap("max"))
+        }
+      case _ => Seq.empty
+    }
     Commit(
       (j \ "version").extract[Int],
       (j \ "action").extract[String],
       (j \ "dirs").extract[Seq[String]],
       (j \ "addedRows").extract[Long],
       (j \ "batchId").extractOpt[Long],
-      (j \ "schema").extractOpt[String])
+      (j \ "schema").extractOpt[String],
+      files)
   }
 
   /** The commit log, ascending by version. */
   def history(spark: SparkSession, root: String): Seq[Commit] =
     versions(spark, root).map(readManifest(spark, root, _))
 
-  private def writeData(spark: SparkSession, root: String, df: DataFrame): (String, Long) = {
+  /** Orderable atomic types we record min/max for. */
+  private def statable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+          StringType | DateType | TimestampType | TimestampNTZType | BooleanType =>
+        true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
+
+  /** Encode one collected min/max cell as manifest JSON. None = no stat
+    * (null, non-finite double, overlong string) — always safe to omit. */
+  private def statJson(dt: org.apache.spark.sql.types.DataType, v: Any): Option[JValue] = {
+    import org.apache.spark.sql.types._
+    if (v == null) None
+    else
+      dt match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          Some(JLong(v.asInstanceOf[Number].longValue()))
+        case FloatType | DoubleType =>
+          val d = v.asInstanceOf[Number].doubleValue()
+          if (java.lang.Double.isFinite(d)) Some(JDouble(d)) else None
+        case _: DecimalType => Some(JDecimal(BigDecimal(v.asInstanceOf[java.math.BigDecimal])))
+        case StringType =>
+          val s = v.asInstanceOf[String]
+          if (s.length <= 64) Some(JString(s)) else None
+        case DateType => Some(JString(v.toString)) // ISO yyyy-MM-dd: lexicographic = chronological
+        case TimestampType =>
+          val t = v.asInstanceOf[java.sql.Timestamp]
+          Some(JLong(t.getTime / 1000 * 1000000L + t.getNanos / 1000)) // exact epoch micros
+        case TimestampNTZType =>
+          val t = v.asInstanceOf[java.time.LocalDateTime]
+          Some(JLong(t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000))
+        case BooleanType => Some(JLong(if (v.asInstanceOf[Boolean]) 1L else 0L))
+        case _ => None
+      }
+  }
+
+  /** Write `df` to a fresh data dir and return (relative dir, row count,
+    * per-file stats). The post-write validation scan the commit protocol
+    * already paid for the row count now ALSO yields the skipping index:
+    * one `groupBy(input_file_name())` agg computes count + min/max of every
+    * orderable column per file — zero extra passes, and the collected rows
+    * are file-count-sized (manifest metadata, same order as `dirs`). */
+  private def writeData(spark: SparkSession, root: String, df: DataFrame): (String, Long, Seq[FileStat]) = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     val rel = "data/" + java.util.UUID.randomUUID().toString
-    df.write.parquet(new Path(root, rel).toString)
-    val n = spark.read.parquet(new Path(root, rel).toString).count()
-    (rel, n)
+    val abs = new Path(root, rel).toString
+    df.write.parquet(abs)
+    val written = spark.read.parquet(abs)
+    val statFields = written.schema.fields.filter(f => statable(f.dataType)).toSeq
+    def q(n: String) = col("`" + n + "`")
+    val aggs = count(lit(1)).as("__rows") +:
+      statFields.flatMap(f => Seq(min(q(f.name)).as("__min_" + f.name), max(q(f.name)).as("__max_" + f.name)))
+    val perFile = written
+      .groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .toSeq
+    val stats = perFile.map { r =>
+      val uri = r.getAs[String]("__file")
+      val idx = uri.indexOf(rel)
+      val path = if (idx >= 0) uri.substring(idx) else rel + "/" + uri.substring(uri.lastIndexOf('/') + 1)
+      val mins = statFields.flatMap { f =>
+        val mi = statJson(f.dataType, r.getAs[Any]("__min_" + f.name))
+        val ma = statJson(f.dataType, r.getAs[Any]("__max_" + f.name))
+        // record only complete [min,max] pairs — a one-sided bound can't prune safely here
+        if (mi.isDefined && ma.isDefined) Some(f.name -> mi.get) else None
+      }.toMap
+      val maxs = statFields.flatMap { f =>
+        val mi = statJson(f.dataType, r.getAs[Any]("__min_" + f.name))
+        val ma = statJson(f.dataType, r.getAs[Any]("__max_" + f.name))
+        if (mi.isDefined && ma.isDefined) Some(f.name -> ma.get) else None
+      }.toMap
+      FileStat(path, r.getAs[Long]("__rows"), mins, maxs)
+    }
+    (rel, stats.map(_.rows).sum, stats)
   }
 
   /** Atomic publish: create-if-absent the next manifest. Package-private so
@@ -141,13 +257,21 @@ object SnapshotTable {
     val f = fs(spark, root)
     f.mkdirs(manifestDir(root))
     val p = manifestPath(root, c.version)
+    val fileArr = JArray(c.files.map { fst =>
+      JObject(
+        "path" -> JString(fst.path),
+        "rows" -> JLong(fst.rows),
+        "min" -> JObject(fst.min.toList.sortBy(_._1)),
+        "max" -> JObject(fst.max.toList.sortBy(_._1)))
+    }.toList)
     val fields = List(
       "version" -> JInt(c.version),
       "action" -> JString(c.action),
       "dirs" -> JArray(c.dirs.map(JString(_)).toList),
       "addedRows" -> JLong(c.addedRows)) ++
       c.batchId.map(b => "batchId" -> (JLong(b): JValue)).toList ++
-      c.schemaJson.map(s => "schema" -> (JString(s): JValue)).toList
+      c.schemaJson.map(s => "schema" -> (JString(s): JValue)).toList ++
+      (if (c.files.nonEmpty) List("files" -> (fileArr: JValue)) else Nil)
     val json = JsonMethods.compact(JsonMethods.render(JObject(fields: _*)))
     val out =
       try f.create(p, false)
@@ -191,10 +315,15 @@ object SnapshotTable {
       action: String,
       carryForward: Boolean): Int = {
     val base = latestVersion(spark, root)
-    val prior = if (carryForward) base.map(readManifest(spark, root, _).dirs).getOrElse(Nil) else Nil
+    val priorManifest = if (carryForward) base.map(readManifest(spark, root, _)) else None
+    val prior = priorManifest.map(_.dirs).getOrElse(Nil)
+    val priorFiles = priorManifest.map(_.files).getOrElse(Nil)
     val schema = evolvedSchema(spark, root, base, df, carryForward)
-    val (rel, n) = writeData(spark, root, df)
-    publish(spark, root, Commit(base.getOrElse(0) + 1, action, prior :+ rel, n, None, Some(schema)))
+    val (rel, n, stats) = writeData(spark, root, df)
+    publish(
+      spark,
+      root,
+      Commit(base.getOrElse(0) + 1, action, prior :+ rel, n, None, Some(schema), priorFiles ++ stats))
   }
 
   /** Create the table with an initial snapshot (version 1). */
@@ -222,17 +351,25 @@ object SnapshotTable {
     def committed(): Option[Int] =
       history(spark, root).find(_.batchId.contains(batchId)).map(_.version)
     committed().getOrElse {
-      val (rel, n) = writeData(spark, root, df)
+      val (rel, n, stats) = writeData(spark, root, df)
       var result = -1
       while (result < 0) {
         val base = latestVersion(spark, root)
-        val prior =
-          base.map(readManifest(spark, root, _).dirs).getOrElse(Nil)
+        val priorManifest = base.map(readManifest(spark, root, _))
+        val prior = priorManifest.map(_.dirs).getOrElse(Nil)
+        val priorFiles = priorManifest.map(_.files).getOrElse(Nil)
         val schema = evolvedSchema(spark, root, base, df, carryForward = true)
         try result = publish(
           spark,
           root,
-          Commit(base.getOrElse(0) + 1, "append", prior :+ rel, n, Some(batchId), Some(schema)))
+          Commit(
+            base.getOrElse(0) + 1,
+            "append",
+            prior :+ rel,
+            n,
+            Some(batchId),
+            Some(schema),
+            priorFiles ++ stats))
         catch {
           case _: ConcurrentCommitException =>
             committed().foreach(v => return v) // replayed epoch lost the race: done
@@ -272,6 +409,122 @@ object SnapshotTable {
       root,
       latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root")))
 
+  /** An inclusive range predicate on one column for manifest-level data
+    * skipping: `lower <= col <= upper`, either side open. Values: numbers
+    * for numeric columns, String/java.sql.Date for dates, String for
+    * strings, java.sql.Timestamp for timestamps, Boolean for booleans. */
+  final case class Bound(column: String, lower: Option[Any] = None, upper: Option[Any] = None)
+
+  /** Normalize a stat JValue or user bound to one comparable axis per
+    * column type: BigDecimal for numerics/timestamps/bools, String for
+    * strings/dates (ISO dates compare lexicographically). None = not
+    * comparable → never prune. */
+  private def normJ(dt: org.apache.spark.sql.types.DataType, j: JValue): Option[Either[BigDecimal, String]] = {
+    import org.apache.spark.sql.types._
+    (dt, j) match {
+      case (StringType | DateType, JString(s)) => Some(Right(s))
+      case (_, JInt(v)) => Some(Left(BigDecimal(v)))
+      case (_, JLong(v)) => Some(Left(BigDecimal(v)))
+      case (_, JDouble(v)) => Some(Left(BigDecimal(v)))
+      case (_, JDecimal(v)) => Some(Left(v))
+      case _ => None
+    }
+  }
+
+  private def normBound(dt: org.apache.spark.sql.types.DataType, v: Any): Option[Either[BigDecimal, String]] = {
+    import org.apache.spark.sql.types._
+    (dt, v) match {
+      case (StringType | DateType, s: String) => Some(Right(s))
+      case (DateType, d: java.sql.Date) => Some(Right(d.toString))
+      case (TimestampType | TimestampNTZType, t: java.sql.Timestamp) =>
+        Some(Left(BigDecimal(t.getTime / 1000 * 1000000L + t.getNanos / 1000)))
+      case (BooleanType, b: Boolean) => Some(Left(BigDecimal(if (b) 1 else 0)))
+      case (_, n: Number) => Some(Left(BigDecimal(n.toString)))
+      case _ => None
+    }
+  }
+
+  private def lt(a: Either[BigDecimal, String], b: Either[BigDecimal, String]): Boolean =
+    (a, b) match {
+      case (Left(x), Left(y)) => x < y
+      case (Right(x), Right(y)) => x < y
+      case _ => false // mixed axes: never claim an ordering → never prune
+    }
+
+  /** The skipping decision for one version: which stat-covered files can
+    * possibly match `bounds`, which are proven dead, and which live dirs
+    * have no stats and must be read in full. Package-private so the spec
+    * can assert skipping actually engages. */
+  private[graft] final case class PrunePlan(keep: Seq[String], skipped: Seq[String], uncoveredDirs: Seq[String])
+
+  private[graft] def prunePlan(spark: SparkSession, root: String, v: Int, bounds: Seq[Bound]): PrunePlan = {
+    val m = readManifest(spark, root, v)
+    val schema = m.schemaJson.map(schemaFromJson)
+    val typed = bounds.flatMap { b =>
+      schema.flatMap(_.fields.find(_.name == b.column)).map(f => (b, f.dataType))
+    }
+    val coveredDirs = m.files.map(f => f.path.take(f.path.lastIndexOf('/'))).toSet
+    val uncovered = m.dirs.filterNot(coveredDirs.contains)
+    // a file is provably dead iff SOME bound excludes its whole [min,max]
+    def dead(fst: FileStat): Boolean =
+      typed.exists { case (b, dt) =>
+        val mi = fst.min.get(b.column).flatMap(normJ(dt, _))
+        val ma = fst.max.get(b.column).flatMap(normJ(dt, _))
+        val belowLower = (b.lower.flatMap(normBound(dt, _)), ma) match {
+          case (Some(lo), Some(mx)) => lt(mx, lo)
+          case _ => false
+        }
+        val aboveUpper = (b.upper.flatMap(normBound(dt, _)), mi) match {
+          case (Some(hi), Some(mn)) => lt(hi, mn)
+          case _ => false
+        }
+        belowLower || aboveUpper
+      }
+    val (skipped, keep) = m.files.partition(dead)
+    PrunePlan(keep.map(_.path), skipped.map(_.path), uncovered)
+  }
+
+  /** Time-travel read with manifest-level data skipping: plans the scan
+    * over only the files whose recorded [min,max] can intersect `bounds`
+    * (plus any pre-stats dirs, read in full), then applies the bounds as a
+    * residual row filter — so the result is EXACTLY
+    * `readVersion(...).filter(bounds)`, just over fewer files. Skipping is
+    * planning-time: at 100 TB the driver decides from one manifest read
+    * which files exist for the scan at all — no listing, no footer probes,
+    * no tasks for dead files. After [[compact]] range-clusters on the
+    * predicate column, a narrow range touches ~1/nFiles of the data. */
+  def readVersionWhere(spark: SparkSession, root: String, v: Int, bounds: Seq[Bound]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val m = readManifest(spark, root, v)
+    val plan = prunePlan(spark, root, v, bounds)
+    val paths = plan.keep.map(p => new Path(root, p).toString) ++
+      plan.uncoveredDirs.map(d => new Path(root, d).toString)
+    val schema = m.schemaJson.map(schemaFromJson)
+    val base =
+      if (paths.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          schema.getOrElse(sys.error("empty prune result on a pre-schema manifest")))
+      else
+        schema match {
+          case Some(s) => spark.read.schema(s).parquet(paths: _*)
+          case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+        }
+    bounds.foldLeft(base) { (df, b) =>
+      val c = col("`" + b.column + "`")
+      val withLo = b.lower.fold(df)(lo => df.filter(c >= lit(lo)))
+      b.upper.fold(withLo)(hi => withLo.filter(c <= lit(hi)))
+    }
+  }
+
+  /** Latest-snapshot read with data skipping — see [[readVersionWhere]]. */
+  def readWhere(spark: SparkSession, root: String, bounds: Seq[Bound]): DataFrame =
+    readVersionWhere(
+      spark,
+      root,
+      latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root")),
+      bounds)
+
   /** Rewrite the live snapshot into `nFiles` range-clustered files on
     * `keyCol` (the [[ParquetLayout]] small-files cure, made SAFE under
     * concurrent readers: the rewrite lands in a fresh data dir and becomes
@@ -283,15 +536,17 @@ object SnapshotTable {
     import org.apache.spark.sql.functions.col
     val base = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
     val cur = readVersion(spark, root, base)
-    val (rel, n) = writeData(
+    val (rel, n, stats) = writeData(
       spark,
       root,
       cur.repartitionByRange(nFiles, col(keyCol)).sortWithinPartitions(keyCol))
     // a compact is data-identical, so it CARRIES the current schema rather
-    // than re-deriving it from the rewritten files
+    // than re-deriving it from the rewritten files. Range-clustering on
+    // keyCol is also what makes the per-file stats SELECTIVE: disjoint key
+    // ranges per file turn a key predicate into near-perfect file skipping.
     val schema = readManifest(spark, root, base).schemaJson
       .getOrElse(org.apache.spark.sql.types.StructType(cur.schema.map(_.copy(nullable = true))).json)
-    publish(spark, root, Commit(base + 1, "compact", Seq(rel), n, None, Some(schema)))
+    publish(spark, root, Commit(base + 1, "compact", Seq(rel), n, None, Some(schema), stats))
   }
 
   /** Drop history: delete manifests older than the `keepLast` most recent,

@@ -165,4 +165,82 @@ class SnapshotTableSpec extends SparkSuite {
     assert(rows(SnapshotTable.readVersion(spark, root, 2)) == Set(1L -> "a", 2L -> "b"))
     assert(rows(SnapshotTable.readVersion(spark, root, 3)) == Set(3L -> "c"))
   }
+
+  // ---- manifest-level file statistics + data skipping ----
+
+  private def wide(n: Int): DataFrame =
+    spark.range(n.toLong).selectExpr("id AS k", "CAST(id % 7 AS DOUBLE) AS x", "concat('s', lpad(CAST(id AS STRING), 4, '0')) AS s")
+
+  test("per-file stats ride every commit, carry across appends, and cover all live dirs") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, wide(100))
+    SnapshotTable.append(spark, root, wide(50))
+    val m = SnapshotTable.history(spark, root).last
+    assert(m.files.nonEmpty, "append manifest lost the carried file stats")
+    assert(m.files.map(_.rows).sum == 150, s"stat rows don't add up: ${m.files}")
+    val coveredDirs = m.files.map(f => f.path.take(f.path.lastIndexOf('/'))).toSet
+    assert(m.dirs.toSet == coveredDirs, s"dirs ${m.dirs} vs stat-covered $coveredDirs")
+    // every stat-bearing file has consistent min <= max on the long column
+    assert(m.files.forall(f => f.min.contains("k") && f.max.contains("k")))
+  }
+
+  test("data skipping: pruned read == filtered full read, and compaction makes ranges selective") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, wide(1000))
+    SnapshotTable.compact(spark, root, "k", nFiles = 8)
+    val v = SnapshotTable.latestVersion(spark, root).get
+    val bounds = Seq(SnapshotTable.Bound("k", Some(100L), Some(220L)))
+    val plan = SnapshotTable.prunePlan(spark, root, v, bounds)
+    assert(plan.uncoveredDirs.isEmpty, s"stats should cover the compacted dir: $plan")
+    assert(
+      plan.skipped.size >= (plan.skipped.size + plan.keep.size) / 2,
+      s"range-clustered narrow range should skip most files: keep=${plan.keep.size} skipped=${plan.skipped.size}")
+    val pruned = SnapshotTable.readWhere(spark, root, bounds)
+    val full = SnapshotTable.read(spark, root).filter("k >= 100 AND k <= 220")
+    assert(pruned.count() == 121)
+    assert(
+      pruned.orderBy("k").collect().toSeq == full.orderBy("k").collect().toSeq,
+      "pruned read diverges from full filtered read")
+  }
+
+  test("data skipping on string and double columns stays exact") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, wide(500))
+    SnapshotTable.compact(spark, root, "s", nFiles = 4)
+    val sPruned = SnapshotTable.readWhere(
+      spark, root, Seq(SnapshotTable.Bound("s", Some("s0100"), Some("s0150"))))
+    assert(sPruned.count() == 51)
+    // doubles: x cycles 0..6, present in every file -> no file skippable, still correct
+    val v = SnapshotTable.latestVersion(spark, root).get
+    val xBounds = Seq(SnapshotTable.Bound("x", Some(2.0), Some(3.0)))
+    val xPlan = SnapshotTable.prunePlan(spark, root, v, xBounds)
+    assert(xPlan.skipped.isEmpty, s"x spans every file; nothing is provably dead: $xPlan")
+    assert(SnapshotTable.readWhere(spark, root, xBounds).count() ==
+      SnapshotTable.read(spark, root).filter("x >= 2.0 AND x <= 3.0").count())
+  }
+
+  test("bounds on stat-less or unknown columns never prune; pre-stats manifests read in full") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, wide(100))
+    // schema evolution: the new column has stats only in the new dir; old
+    // files are unprunable on it but read correctly (nulls fail the bound)
+    SnapshotTable.append(
+      spark, root, spark.range(100, 120).selectExpr("id AS k", "CAST(1.5 AS DOUBLE) AS x", "'t' AS s", "id * 10 AS extra"))
+    val got = SnapshotTable.readWhere(spark, root, Seq(SnapshotTable.Bound("extra", Some(1000L), None)))
+    assert(got.count() == 20, "rows with null extra must not survive the bound")
+    // unknown column: prunePlan keeps everything (bound ignored for pruning)
+    val v = SnapshotTable.latestVersion(spark, root).get
+    val plan = SnapshotTable.prunePlan(spark, root, v, Seq(SnapshotTable.Bound("nope", Some(1L), None)))
+    assert(plan.skipped.isEmpty)
+    // pre-stats manifest (legacy): hand-publish a manifest with no files
+    // entry over the same dirs -> readVersionWhere must fall back to a full
+    // read of the uncovered dirs and still be exact
+    val cur = SnapshotTable.history(spark, root).last
+    SnapshotTable.publish(
+      spark, root,
+      SnapshotTable.Commit(cur.version + 1, "append", cur.dirs, 0, None, cur.schemaJson, Seq.empty))
+    val legacy = SnapshotTable.readVersionWhere(
+      spark, root, cur.version + 1, Seq(SnapshotTable.Bound("k", Some(50L), Some(59L))))
+    assert(legacy.count() == 10, "pre-stats manifest must read uncovered dirs in full")
+  }
 }
