@@ -549,6 +549,90 @@ object SnapshotTable {
     publish(spark, root, Commit(base + 1, "compact", Seq(rel), n, None, Some(schema), stats))
   }
 
+  /** Multi-column clustering compaction — the OPTIMIZE ZORDER core. A
+    * single-key [[compact]] makes per-file ranges tight on ONE column;
+    * predicates on any other column touch every file. Z-ordering interleaves
+    * the bits of each column's QUANTILE-bucket rank into one clustering key,
+    * so every clustered column's values vary only locally along the curve
+    * and per-file [min,max] stay narrow on ALL of them — a range predicate
+    * on any one clustered column then skips most files via the manifest
+    * stats [[readWhere]] already consumes.
+    *
+    * Quantile bucketing (not value scaling) is what makes this skew-proof:
+    * each column's axis is its RANK, so a heavy-hitter value occupies many
+    * buckets' worth of rows but the curve still splits the other columns
+    * within it. Cuts come from one `approxQuantile` pass (driver holds
+    * 2^bits-1 doubles per column — model-sized). The per-row z-value is a
+    * compiled binary search + bit interleave over the broadcast cuts; a UDF
+    * is the right tool here (a 255-branch `when` chain per column would
+    * blow codegen), and it runs once per row on the WRITE path only.
+    *
+    * Supported clustering columns: numeric, date, timestamp (monotone cast
+    * to a double axis). Strings are refused loudly — hashing one would
+    * destroy the range locality z-ordering exists to create. Nulls cluster
+    * at bucket 0 (stats omit them anyway; see [[FileStat]]). */
+  def compactZOrder(spark: SparkSession, root: String, cols: Seq[String], nFiles: Int): Int = {
+    import org.apache.spark.sql.functions.{col, datediff, lit, to_date, udf, unix_micros}
+    import org.apache.spark.sql.types._
+    require(cols.nonEmpty && cols.size <= 8, s"z-order over 1..8 columns, got ${cols.size}")
+    val base = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
+    val cur = readVersion(spark, root, base)
+    val bits = math.min(8, 63 / cols.size)
+    val nCuts = (1 << bits) - 1
+    def axis(name: String): org.apache.spark.sql.Column = {
+      val dt = cur.schema.fields
+        .find(_.name == name)
+        .getOrElse(sys.error(s"no column '$name' in table schema"))
+        .dataType
+      dt match {
+        case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+            _: DecimalType =>
+          col("`" + name + "`").cast("double")
+        case DateType => datediff(col("`" + name + "`"), to_date(lit("1970-01-01"))).cast("double")
+        case TimestampType => unix_micros(col("`" + name + "`")).cast("double")
+        case other => sys.error(s"z-order needs a rangeable column; '$name' is ${other.sql}")
+      }
+    }
+    val axisNames = cols.indices.map(i => s"__zx$i")
+    val proj = cols.zip(axisNames).foldLeft(cur) { case (df, (c, a)) => df.withColumn(a, axis(c)) }
+    val probs = (1 to nCuts).map(_.toDouble / (nCuts + 1)).toArray
+    val cuts: Array[Array[Double]] =
+      proj.stat.approxQuantile(axisNames.toArray, probs, 0.001)
+    val zUdf = udf { (xs: Seq[java.lang.Double]) =>
+      var z = 0L
+      var c = 0
+      while (c < xs.length) {
+        val x = xs(c)
+        val bucket =
+          if (x == null) 0
+          else {
+            // first cut strictly greater than x = the bucket index
+            val cc = cuts(c)
+            var lo = 0; var hi = cc.length
+            while (lo < hi) { val mid = (lo + hi) >>> 1; if (cc(mid) <= x) lo = mid + 1 else hi = mid }
+            lo
+          }
+        var b = 0
+        while (b < bits) { // MSB-first interleave: column c contributes bit (bits-1-b)
+          if ((bucket & (1 << (bits - 1 - b))) != 0)
+            z |= 1L << ((bits - 1 - b).toLong * xs.length + (xs.length - 1 - c))
+          b += 1
+        }
+        c += 1
+      }
+      z
+    }
+    val clustered = proj
+      .withColumn("__z", zUdf(org.apache.spark.sql.functions.array(axisNames.map(col): _*)))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop(axisNames :+ "__z": _*)
+    val (rel, n, stats) = writeData(spark, root, clustered)
+    val schema = readManifest(spark, root, base).schemaJson
+      .getOrElse(org.apache.spark.sql.types.StructType(cur.schema.map(_.copy(nullable = true))).json)
+    publish(spark, root, Commit(base + 1, "compact", Seq(rel), n, None, Some(schema), stats))
+  }
+
   /** Drop history: delete manifests older than the `keepLast` most recent,
     * then delete every data dir no RETAINED manifest references — reclaims
     * overwritten/compacted-away files and orphans from failed commits.

@@ -243,4 +243,43 @@ class SnapshotTableSpec extends SparkSuite {
       spark, root, cur.version + 1, Seq(SnapshotTable.Bound("k", Some(50L), Some(59L))))
     assert(legacy.count() == 10, "pre-stats manifest must read uncovered dirs in full")
   }
+
+  test("z-order compaction: skipping engages on BOTH clustered columns; single-key does not") {
+    // 64x64 grid: a and b independent, 4096 rows
+    val grid = spark.range(4096).selectExpr("id", "CAST(id / 64 AS BIGINT) AS a", "id % 64 AS b")
+    def skippedFrac(root: String, bound: SnapshotTable.Bound): Double = {
+      val v = SnapshotTable.latestVersion(spark, root).get
+      val plan = SnapshotTable.prunePlan(spark, root, v, Seq(bound))
+      plan.skipped.size.toDouble / (plan.skipped.size + plan.keep.size)
+    }
+    val aLow = SnapshotTable.Bound("a", Some(0L), Some(7L)) // 1/8 of a's range
+    val bLow = SnapshotTable.Bound("b", Some(0L), Some(7L)) // 1/8 of b's range
+
+    val zRoot = freshRoot()
+    SnapshotTable.create(spark, zRoot, grid)
+    SnapshotTable.compactZOrder(spark, zRoot, Seq("a", "b"), nFiles = 16)
+    assert(skippedFrac(zRoot, aLow) >= 0.5, s"z-order should skip most files on a: ${skippedFrac(zRoot, aLow)}")
+    assert(skippedFrac(zRoot, bLow) >= 0.5, s"z-order should skip most files on b: ${skippedFrac(zRoot, bLow)}")
+    // exactness on both axes
+    assert(SnapshotTable.readWhere(spark, zRoot, Seq(aLow)).count() == 512)
+    assert(SnapshotTable.readWhere(spark, zRoot, Seq(bLow)).count() == 512)
+    assert(SnapshotTable.readWhere(spark, zRoot, Seq(aLow, bLow)).count() == 64)
+    // same rows as before the rewrite
+    assert(SnapshotTable.read(spark, zRoot).count() == 4096)
+
+    // baseline: single-key clustering on a leaves b predicates unprunable
+    val aRoot = freshRoot()
+    SnapshotTable.create(spark, aRoot, grid)
+    SnapshotTable.compact(spark, aRoot, "a", nFiles = 16)
+    assert(skippedFrac(aRoot, bLow) == 0.0, "every a-clustered file spans b's whole range")
+  }
+
+  test("z-order refuses string clustering columns loudly") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, wide(50))
+    val ex = intercept[RuntimeException] {
+      SnapshotTable.compactZOrder(spark, root, Seq("k", "s"), nFiles = 4)
+    }
+    assert(ex.getMessage.contains("rangeable"), ex.getMessage)
+  }
 }
