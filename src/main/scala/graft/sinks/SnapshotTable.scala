@@ -60,7 +60,8 @@ object SnapshotTable {
       path: String,
       rows: Long,
       min: Map[String, JValue],
-      max: Map[String, JValue])
+      max: Map[String, JValue],
+      nonNull: Map[String, Long] = Map.empty)
 
   /** One commit's metadata. `dirs` are root-relative live data dirs;
     * `batchId` tags commits made by [[appendBatchExactlyOnce]] so replayed
@@ -148,11 +149,20 @@ object SnapshotTable {
             case JObject(kvs) => kvs.toMap
             case _ => Map.empty
           }
+          val nn = (f \ "nn") match {
+            case JObject(kvs) =>
+              kvs.collect {
+                case (k, JInt(v)) => k -> v.toLong
+                case (k, JLong(v)) => k -> v
+              }.toMap
+            case _ => Map.empty[String, Long]
+          }
           FileStat(
             (f \ "path").extract[String],
             (f \ "rows").extract[Long],
             statMap("min"),
-            statMap("max"))
+            statMap("max"),
+            nn)
         }
       case _ => Seq.empty
     }
@@ -225,7 +235,11 @@ object SnapshotTable {
     val statFields = written.schema.fields.filter(f => statable(f.dataType)).toSeq
     def q(n: String) = col("`" + n + "`")
     val aggs = count(lit(1)).as("__rows") +:
-      statFields.flatMap(f => Seq(min(q(f.name)).as("__min_" + f.name), max(q(f.name)).as("__max_" + f.name)))
+      statFields.flatMap(f =>
+        Seq(
+          min(q(f.name)).as("__min_" + f.name),
+          max(q(f.name)).as("__max_" + f.name),
+          count(q(f.name)).as("__nn_" + f.name))) // non-null count: min/max ignore nulls, so containment proofs need it
     val perFile = written
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -246,7 +260,8 @@ object SnapshotTable {
         val ma = statJson(f.dataType, r.getAs[Any]("__max_" + f.name))
         if (mi.isDefined && ma.isDefined) Some(f.name -> ma.get) else None
       }.toMap
-      FileStat(path, r.getAs[Long]("__rows"), mins, maxs)
+      val nns = statFields.map(f => f.name -> r.getAs[Long]("__nn_" + f.name)).toMap
+      FileStat(path, r.getAs[Long]("__rows"), mins, maxs, nns)
     }
     (rel, stats.map(_.rows).sum, stats)
   }
@@ -262,7 +277,8 @@ object SnapshotTable {
         "path" -> JString(fst.path),
         "rows" -> JLong(fst.rows),
         "min" -> JObject(fst.min.toList.sortBy(_._1)),
-        "max" -> JObject(fst.max.toList.sortBy(_._1)))
+        "max" -> JObject(fst.max.toList.sortBy(_._1)),
+        "nn" -> JObject(fst.nonNull.toList.sortBy(_._1).map { case (k, v) => k -> (JLong(v): JValue) }))
     }.toList)
     val fields = List(
       "version" -> JInt(c.version),
@@ -524,6 +540,78 @@ object SnapshotTable {
       root,
       latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root")),
       bounds)
+
+  /** The metadata/scan split behind [[countWhere]]: rows answerable from
+    * manifest stats alone vs paths that still need a physical scan.
+    * Package-private so the spec can assert the scan set is empty/small. */
+  private[graft] final case class CountPlan(metaRows: Long, scanPaths: Seq[String])
+
+  private[graft] def countPlan(spark: SparkSession, root: String, v: Int, bounds: Seq[Bound]): CountPlan = {
+    val m = readManifest(spark, root, v)
+    val schema = m.schemaJson.map(schemaFromJson)
+    val typed = bounds.map { b =>
+      b -> schema.flatMap(_.fields.find(_.name == b.column)).map(_.dataType)
+    }
+    val plan = prunePlan(spark, root, v, bounds)
+    val keep = m.files.filter(f => plan.keep.contains(f.path))
+    // a file counts WHOLLY iff every bound provably matches ALL its rows:
+    // the bound column has no nulls in the file (min/max ignore nulls) and
+    // the file's [min,max] sits inside [lower,upper]
+    def whollyMatches(fst: FileStat): Boolean =
+      typed.forall {
+        case (b, Some(dt)) =>
+          val mi = fst.min.get(b.column).flatMap(normJ(dt, _))
+          val ma = fst.max.get(b.column).flatMap(normJ(dt, _))
+          val noNulls = fst.nonNull.get(b.column).contains(fst.rows)
+          val loOk = b.lower.fold(true)(lo =>
+            (normBound(dt, lo), mi) match {
+              case (Some(l), Some(mn)) => !lt(mn, l)
+              case _ => false
+            })
+          val hiOk = b.upper.fold(true)(hi =>
+            (normBound(dt, hi), ma) match {
+              case (Some(h), Some(mx)) => !lt(h, mx)
+              case _ => false
+            })
+          noNulls && loOk && hiOk
+        case (_, None) => false // bound on a column the schema can't type: must scan
+      }
+    val (whole, boundary) = keep.partition(whollyMatches)
+    CountPlan(whole.map(_.rows).sum, boundary.map(_.path) ++ plan.uncoveredDirs)
+  }
+
+  /** Count rows matching `bounds` with the manifest as the first-class
+    * index: files whose stats PROVE every row matches (range contained,
+    * no nulls in the bound columns) contribute their recorded row count
+    * with no I/O at all; only boundary files — and pre-stats dirs — are
+    * scanned, with the bounds as a residual filter. With no bounds over a
+    * fully stats-covered table this is a pure metadata query: count(*) at
+    * 100 TB from one manifest read, zero tasks. Exactness is structural:
+    * every file lands in exactly one of {skipped: proven 0 matches,
+    * whole: proven all-match, scan: counted physically}. */
+  def countWhere(spark: SparkSession, root: String, bounds: Seq[Bound]): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
+    val m = readManifest(spark, root, v)
+    val plan = countPlan(spark, root, v, bounds)
+    val scanned =
+      if (plan.scanPaths.isEmpty) 0L
+      else {
+        val paths = plan.scanPaths.map(p => new Path(root, p).toString)
+        val base = m.schemaJson match {
+          case Some(s) => spark.read.schema(schemaFromJson(s)).parquet(paths: _*)
+          case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+        }
+        bounds
+          .foldLeft(base) { (df, b) =>
+            val c = col("`" + b.column + "`")
+            val withLo = b.lower.fold(df)(lo => df.filter(c >= lit(lo)))
+            b.upper.fold(withLo)(hi => withLo.filter(c <= lit(hi)))
+          }
+          .count()
+      }
+    plan.metaRows + scanned
+  }
 
   /** Rewrite the live snapshot into `nFiles` range-clustered files on
     * `keyCol` (the [[ParquetLayout]] small-files cure, made SAFE under

@@ -274,6 +274,35 @@ class SnapshotTableSpec extends SparkSuite {
     assert(skippedFrac(aRoot, bLow) == 0.0, "every a-clustered file spans b's whole range")
   }
 
+  test("countWhere answers from manifest stats, scanning only boundary files") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, wide(1000))
+    SnapshotTable.compact(spark, root, "k", nFiles = 8)
+    val v = SnapshotTable.latestVersion(spark, root).get
+    // no bounds: pure metadata count, zero scan
+    val all = SnapshotTable.countPlan(spark, root, v, Seq.empty)
+    assert(all.metaRows == 1000 && all.scanPaths.isEmpty, s"count(*) should be metadata-only: $all")
+    assert(SnapshotTable.countWhere(spark, root, Seq.empty) == 1000)
+    // a range: interior files count from stats, at most the two boundary
+    // files (plus range-partitioner slop) are scanned
+    val bounds = Seq(SnapshotTable.Bound("k", Some(100L), Some(899L)))
+    val plan = SnapshotTable.countPlan(spark, root, v, bounds)
+    assert(plan.metaRows > 0, s"interior files should be provably whole: $plan")
+    assert(plan.scanPaths.size <= 3, s"only boundary files should need scanning: $plan")
+    assert(SnapshotTable.countWhere(spark, root, bounds) == 800)
+  }
+
+  test("countWhere never counts null rows via containment proofs") {
+    val root = freshRoot()
+    val withNulls = spark.range(100).selectExpr(
+      "CASE WHEN id % 10 = 0 THEN NULL ELSE id END AS k", "CAST(id AS DOUBLE) AS x", "'c' AS s")
+    SnapshotTable.create(spark, root, withNulls)
+    // bound spans every non-null k, but files holding nulls must be scanned,
+    // not counted whole — nulls fail the bound
+    val n = SnapshotTable.countWhere(spark, root, Seq(SnapshotTable.Bound("k", Some(0L), Some(99L))))
+    assert(n == 90, s"null k rows must not be counted: $n")
+  }
+
   test("z-order refuses string clustering columns loudly") {
     val root = freshRoot()
     SnapshotTable.create(spark, root, wide(50))
