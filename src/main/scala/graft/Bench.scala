@@ -55,6 +55,7 @@ object Bench {
     def timeMemoHonest(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       graft.ops.BpeTokenizer.clearMemo()
       graft.ops.Graph.clearMemo()
+      graft.ops.SnapshotCycle.clearMemo()
       time(name, fn)
     }
     // Host-contention telemetry (round 8): three rounds running, the
@@ -100,13 +101,16 @@ object Bench {
     val memoUsers: Map[String, () => Boolean] = {
       val graphWarm = () => graft.ops.Graph.memoNonEmpty
       val bpeWarm = () => graft.ops.BpeTokenizer.memoNonEmpty
+      val cycleWarm = () => graft.ops.SnapshotCycle.memoNonEmpty
       Map(
         "q_graph_triangles" -> graphWarm,
         "q_graph_pagerank" -> graphWarm,
         "q_graph_degree_dist" -> graphWarm,
         "q_graph_linkpred" -> graphWarm,
         "q_bpe_train" -> bpeWarm,
-        "q_bpe_vocab" -> bpeWarm)
+        "q_bpe_vocab" -> bpeWarm,
+        "q_snapshot_dml" -> cycleWarm,
+        "q_snapshot_cdc" -> cycleWarm)
     }
     val results: Seq[(String, Double)] = selected.map { case (name, fn) =>
       if (memoUsers.get(name).exists(_())) memoHits += name

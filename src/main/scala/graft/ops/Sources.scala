@@ -3,6 +3,7 @@ package graft.ops
 import graft.Fixtures
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.collection.concurrent.TrieMap
 
 /** SURVEY.md §2.A — source-side operators.
   *
@@ -141,6 +142,66 @@ object Sources {
         .groupBy((year(col("d")) * 100 + month(col("d"))).cast("int").as("ym"))
         .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_price_c"))
         .orderBy("ym")
+    },
+    // Row-level DML on the snapshot table — the Delta MERGE/DELETE/UPDATE
+    // core, copy-on-write with the manifest stats as the WRITE-side index
+    // (provably-unmatched files carry by path with zero I/O; see
+    // SnapshotDmlSpec for the economics assertions). The 4-commit cycle is
+    // built by [[SnapshotCycle]] (shared with q_snapshot_cdc): create all
+    // orders → DELETE the 1995 range → UPDATE 1997 prices (+500c) → MERGE
+    // an upsert batch (k%7=0 rows at doubled price — reinserting even
+    // deleted 1995 keys). The oracle replays the same algebra directly on
+    // the fixture, so the hash-match proves delete/update/merge semantics
+    // end-to-end including the null-safe range match and key replacement.
+    "q_snapshot_dml" -> { (s, dir) =>
+      import graft.sinks.SnapshotTable
+      val root = SnapshotCycle.root(s, dir)
+      SnapshotTable
+        .read(s, root)
+        .groupBy(year(col("d")).cast("int").as("y"))
+        .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_price_c"))
+        .orderBy("y")
+    },
+    // Row-level CHANGE-DATA-CAPTURE over the same DML cycle:
+    // changesBetween diffs each commit's touched files via EXCEPT ALL
+    // (carried files never read, unchanged rows in rewritten files cancel),
+    // so the emitted stream is exactly the rows each commit inserted or
+    // deleted. The oracle derives every commit's row-level delta from the
+    // fixture independently — the hash-match proves the file-diff CDC
+    // reconstructs the true change stream.
+    "q_snapshot_cdc" -> { (s, dir) =>
+      import graft.sinks.SnapshotTable
+      val root = SnapshotCycle.root(s, dir)
+      SnapshotTable
+        .changesBetween(s, root, 1, 4)
+        .groupBy(col("_commit_version").as("v"), col("_change_type").as("op"))
+        .agg(count(lit(1)).as("n"), sum("k").as("key_sum"), sum("price_c").as("price_sum"))
+        .orderBy("v", "op")
+    },
+    // EQUALITY point lookup through the manifest Bloom index: the probe
+    // column is a 71-char string — past the 64-char min/max stat cap, so
+    // range stats are blind to it and only the per-file bloom (m=4096,
+    // k=4, murmur3+xxhash64 double hashing, built inside the post-write
+    // stats scan) can prune. readWhere with lower==upper consults it; the
+    // result is EXACTLY read-then-filter (hash-checked here), and that the
+    // bloom actually skips files — including on unclustered long keys
+    // where [min,max] spans every file — is SnapshotTableSpec's job.
+    "q_snapshot_eq" -> { (s, dir) =>
+      import graft.sinks.SnapshotTable
+      import graft.sinks.SnapshotTable.Bound
+      val root = "/tmp/graft-snapeq/" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val o = Fixtures
+        .table(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), cents(col("o_totalprice")).as("price_c"))
+        .withColumn("tag", concat(lit("x" * 70), expr("CAST(k div 1000 AS STRING)")))
+      SnapshotTable.create(s, root, o)
+      SnapshotTable.compact(s, root, "k", nFiles = 8)
+      val probe = "x" * 70 + "2"
+      SnapshotTable
+        .readWhere(s, root, Seq(Bound("tag", Some(probe), Some(probe))))
+        .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_price_c"), sum("k").as("key_sum"))
     }
   )
 
@@ -169,6 +230,86 @@ object Sources {
         "CAST(count(*) AS BIGINT) AS n_rows, " +
         "CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c " +
         "FROM orders WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31' " +
-        "GROUP BY 1 ORDER BY ym")
+        "GROUP BY 1 ORDER BY ym"),
+    "q_snapshot_dml" ->
+      ("WITH o AS (SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d, " +
+        "CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_c FROM orders), " +
+        // delete 1995 (merge later reinserts k%7=0 keys), update 1997 +500c,
+        // merge replaces every k%7=0 row with the doubled-price source row
+        "fin AS (SELECT k, d, CASE WHEN k % 7 = 0 THEN price_c * 2 " +
+        "WHEN year(d) = 1997 THEN price_c + 500 ELSE price_c END AS price_c " +
+        "FROM o WHERE k % 7 = 0 OR year(d) <> 1995) " +
+        "SELECT CAST(year(d) AS INT) AS y, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(price_c) AS BIGINT) AS sum_price_c FROM fin GROUP BY 1 ORDER BY y"),
+    "q_snapshot_cdc" ->
+      ("WITH o AS (SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d, " +
+        "CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_c FROM orders), " +
+        "ch AS (" +
+        // v2 delete: every 1995 row leaves at its original price
+        "SELECT 2 AS v, 'delete' AS op, k, price_c FROM o WHERE year(d) = 1995 " +
+        // v3 update: each 1997 row = delete(old) + insert(old+500)
+        "UNION ALL SELECT 3, 'delete', k, price_c FROM o WHERE year(d) = 1997 " +
+        "UNION ALL SELECT 3, 'insert', k, price_c + 500 FROM o WHERE year(d) = 1997 " +
+        // v4 merge: k%7=0 rows present at v3 (year<>1995, 1997 already
+        // updated) leave; ALL k%7=0 source rows land at doubled price
+        "UNION ALL SELECT 4, 'delete', k, CASE WHEN year(d) = 1997 THEN price_c + 500 ELSE price_c END " +
+        "FROM o WHERE k % 7 = 0 AND year(d) <> 1995 " +
+        "UNION ALL SELECT 4, 'insert', k, price_c * 2 FROM o WHERE k % 7 = 0) " +
+        "SELECT CAST(v AS INT) AS v, op, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(k) AS BIGINT) AS key_sum, CAST(sum(price_c) AS BIGINT) AS price_sum " +
+        "FROM ch GROUP BY 1, 2 ORDER BY v, op"),
+    "q_snapshot_eq" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c, " +
+        "CAST(sum(o_orderkey) AS BIGINT) AS key_sum " +
+        "FROM orders WHERE o_orderkey // 1000 = 2")
   )
+}
+
+/** The 4-commit DML cycle shared by `q_snapshot_dml` and `q_snapshot_cdc`
+  * (create all orders → DELETE the 1995 range → UPDATE 1997 prices +500c →
+  * MERGE k%7=0 rows at doubled price), built ONCE per (session, fixture
+  * dir): the cycle is the shared input both queries consume — exactly the
+  * production shape where one table serves many readers — so the second
+  * query pays only its own read, not a rebuild. Bench labels the sharing
+  * (`memo_hit`) and clears this memo before every memo-honest re-measure
+  * so rerun numbers are true end-to-end rebuilds. */
+object SnapshotCycle {
+  import graft.sinks.SnapshotTable
+  import graft.sinks.SnapshotTable.Bound
+
+  private val memo = TrieMap.empty[(SparkSession, String), String]
+
+  def memoNonEmpty: Boolean = memo.nonEmpty
+
+  /** Forget built cycles: the next query rebuilds from the fixture (the
+    * on-disk root is deleted and recreated by the build). */
+  def clearMemo(): Unit = memo.clear()
+
+  def root(s: SparkSession, dir: String): String =
+    memo.getOrElseUpdate(
+      (s, dir), {
+        val root = "/tmp/graft-snapcycle/" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        val o = Fixtures
+          .table(s, dir, "orders")
+          .select(
+            col("o_orderkey").as("k"),
+            to_date(col("o_orderdate")).as("d"),
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("price_c"))
+        SnapshotTable.create(s, root, o) // v1
+        SnapshotTable.deleteWhere(s, root, Seq(Bound("d", Some("1995-01-01"), Some("1995-12-31")))) // v2
+        SnapshotTable.updateWhere(
+          s,
+          root,
+          Seq(Bound("d", Some("1997-01-01"), Some("1997-12-31"))),
+          Map("price_c" -> (col("price_c") + lit(500L)))) // v3
+        SnapshotTable.mergeUpsert(
+          s,
+          root,
+          o.filter(col("k") % 7 === 0).withColumn("price_c", col("price_c") * 2),
+          Seq("k")) // v4
+        root
+      })
 }

@@ -61,9 +61,14 @@ object SnapshotTable {
       rows: Long,
       min: Map[String, JValue],
       max: Map[String, JValue],
-      nonNull: Map[String, Long] = Map.empty)
+      nonNull: Map[String, Long] = Map.empty,
+      bloom: Map[String, String] = Map.empty)
 
-  /** One commit's metadata. `dirs` are root-relative live data dirs;
+  /** One commit's metadata. `dirs` are root-relative live data ENTRIES —
+    * usually whole data dirs, but row-level DML commits ([[deleteWhere]],
+    * [[updateWhere]], [[mergeUpsert]]) carry the untouched files of a
+    * partially-rewritten dir as individual file paths (parquet reads accept
+    * both; [[vacuum]] maps every entry back to its containing dir);
     * `batchId` tags commits made by [[appendBatchExactlyOnce]] so replayed
     * streaming epochs are recognized; `schemaJson` is the TABLE schema as
     * of this version (Spark StructType JSON) — the manifest, not the
@@ -109,6 +114,13 @@ object SnapshotTable {
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Containing data dir of a live entry — identity for dir entries,
+    * parent for the file-path entries DML commits write. */
+  private def dataDirOf(rel: String): String = {
+    val parts = rel.split('/')
+    if (parts.length <= 2) rel else parts.take(2).mkString("/")
+  }
 
   private def manifestDir(root: String) = new Path(root, "_manifests")
   private def manifestPath(root: String, v: Int) =
@@ -157,12 +169,17 @@ object SnapshotTable {
               }.toMap
             case _ => Map.empty[String, Long]
           }
+          val bl = (f \ "bloom") match {
+            case JObject(kvs) => kvs.collect { case (k, JString(v)) => k -> v }.toMap
+            case _ => Map.empty[String, String]
+          }
           FileStat(
             (f \ "path").extract[String],
             (f \ "rows").extract[Long],
             statMap("min"),
             statMap("max"),
-            nn)
+            nn,
+            bl)
         }
       case _ => Seq.empty
     }
@@ -179,6 +196,83 @@ object SnapshotTable {
   /** The commit log, ascending by version. */
   def history(spark: SparkSession, root: String): Seq[Commit] =
     versions(spark, root).map(readManifest(spark, root, _))
+
+  // ── per-file Bloom filters: the EQUALITY-skipping index min/max can't be ──
+  // Range stats prune ranges; they are blind to point lookups on scattered
+  // or unclustered values, on strings past the 64-char stat cap, and on any
+  // column the clustering key doesn't order. Each file therefore also
+  // carries a small per-column Bloom filter (m=4096 bits, k=4 via double
+  // hashing murmur3+xxhash64), built inside the SAME post-write stats
+  // aggregation (4 `collect_set(pmod(...))` expressions per column — each
+  // set is ≤4096 small ints, manifest-metadata-sized) and consulted by
+  // [[prunePlan]] whenever a [[Bound]] is an EQUALITY (lower == upper): a
+  // probe position with an unset bit proves the value absent from the file.
+  // False positives only cost a read; false negatives are impossible, so
+  // skipping stays exact. ~2k distinct values per file per column before
+  // saturation (fpp ≈ (1-e^{-kn/m})^k); a saturated bloom prunes nothing
+  // and is merely dead weight — the production note for 128MB files is a
+  // larger m in a sidecar, the JSON manifest keeps the index self-contained
+  // here.
+  private val BloomBits = 4096
+  private val BloomK = 4
+
+  /** Column types we bloom: equality-meaningful, hash-stable. */
+  private def bloomable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType | ByteType | ShortType | IntegerType | LongType | DateType => true
+      case _ => false
+    }
+  }
+
+  /** The k probe positions of one value, write side (Column) — MUST stay
+    * arithmetic-identical to [[probePositions]]. h2 is forced odd so the
+    * double-hash stride never collapses; all operands stay small, ANSI-safe. */
+  private def bloomPosCols(c: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{hash, lit, pmod, when, xxhash64}
+    val h1 = pmod(hash(c).cast("long"), lit(BloomBits.toLong))
+    val h2 = pmod(xxhash64(c), lit(BloomBits.toLong)) * 2 + 1
+    (0 until BloomK).map(i => when(c.isNotNull, pmod(h1 + lit(i.toLong) * h2, lit(BloomBits.toLong)).cast("int")))
+  }
+
+  /** The k probe positions of one literal, read side — evaluates the same
+    * murmur3(seed 42) / xxhash64(seed 42) Spark uses for `hash()` on the
+    * column-typed value. None when the value can't be represented in the
+    * column's type (never prune). */
+  private def probePositions(dt: org.apache.spark.sql.types.DataType, v: Any): Option[Seq[Int]] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash, XxHash64}
+    import org.apache.spark.sql.types._
+    val typedOpt: Option[Any] = (dt, v) match {
+      case (StringType, s: String) => Some(s)
+      case (ByteType, n: Number) => Some(n.byteValue())
+      case (ShortType, n: Number) => Some(n.shortValue())
+      case (IntegerType, n: Number) => Some(n.intValue())
+      case (LongType, n: Number) => Some(n.longValue())
+      case (DateType, d: java.sql.Date) => Some(d)
+      case (DateType, s: String) =>
+        scala.util.Try(java.sql.Date.valueOf(s)).toOption
+      case _ => None
+    }
+    typedOpt.map { typed =>
+      val lit = Literal.create(typed, dt)
+      val h1raw = new Murmur3Hash(Seq(lit)).eval(null).asInstanceOf[Int].toLong
+      val h2raw = new XxHash64(Seq(lit)).eval(null).asInstanceOf[Long]
+      val h1 = java.lang.Math.floorMod(h1raw, BloomBits.toLong)
+      val h2 = java.lang.Math.floorMod(h2raw, BloomBits.toLong) * 2 + 1
+      (0 until BloomK).map(i => java.lang.Math.floorMod(h1 + i.toLong * h2, BloomBits.toLong).toInt)
+    }
+  }
+
+  private def bloomEncode(bits: scala.collection.BitSet): String = {
+    val bytes = new Array[Byte](BloomBits / 8)
+    bits.foreach(b => bytes(b >> 3) = (bytes(b >> 3) | (1 << (b & 7))).toByte)
+    java.util.Base64.getEncoder.encodeToString(bytes)
+  }
+
+  private def bloomHas(b64: String, pos: Int): Boolean = {
+    val bytes = java.util.Base64.getDecoder.decode(b64)
+    (bytes(pos >> 3) & (1 << (pos & 7))) != 0
+  }
 
   /** Orderable atomic types we record min/max for. */
   private def statable(dt: org.apache.spark.sql.types.DataType): Boolean = {
@@ -232,14 +326,20 @@ object SnapshotTable {
     val abs = new Path(root, rel).toString
     df.write.parquet(abs)
     val written = spark.read.parquet(abs)
+    import org.apache.spark.sql.functions.collect_set
     val statFields = written.schema.fields.filter(f => statable(f.dataType)).toSeq
+    val bloomFields = written.schema.fields.filter(f => bloomable(f.dataType)).toSeq
     def q(n: String) = col("`" + n + "`")
     val aggs = count(lit(1)).as("__rows") +:
-      statFields.flatMap(f =>
+      (statFields.flatMap(f =>
         Seq(
           min(q(f.name)).as("__min_" + f.name),
           max(q(f.name)).as("__max_" + f.name),
-          count(q(f.name)).as("__nn_" + f.name))) // non-null count: min/max ignore nulls, so containment proofs need it
+          count(q(f.name)).as("__nn_" + f.name))) ++ // non-null count: min/max ignore nulls, so containment proofs need it
+        bloomFields.flatMap(f =>
+          bloomPosCols(q(f.name)).zipWithIndex.map { case (pc, i) =>
+            collect_set(pc).as(s"__bl${i}_" + f.name)
+          }))
     val perFile = written
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -261,7 +361,12 @@ object SnapshotTable {
         if (mi.isDefined && ma.isDefined) Some(f.name -> ma.get) else None
       }.toMap
       val nns = statFields.map(f => f.name -> r.getAs[Long]("__nn_" + f.name)).toMap
-      FileStat(path, r.getAs[Long]("__rows"), mins, maxs, nns)
+      val blooms = bloomFields.map { f =>
+        val positions = (0 until BloomK).flatMap(i =>
+          r.getAs[scala.collection.Seq[Int]](s"__bl${i}_" + f.name))
+        f.name -> bloomEncode(scala.collection.immutable.BitSet(positions: _*))
+      }.toMap
+      FileStat(path, r.getAs[Long]("__rows"), mins, maxs, nns, blooms)
     }
     (rel, stats.map(_.rows).sum, stats)
   }
@@ -278,7 +383,8 @@ object SnapshotTable {
         "rows" -> JLong(fst.rows),
         "min" -> JObject(fst.min.toList.sortBy(_._1)),
         "max" -> JObject(fst.max.toList.sortBy(_._1)),
-        "nn" -> JObject(fst.nonNull.toList.sortBy(_._1).map { case (k, v) => k -> (JLong(v): JValue) }))
+        "nn" -> JObject(fst.nonNull.toList.sortBy(_._1).map { case (k, v) => k -> (JLong(v): JValue) }),
+        "bloom" -> JObject(fst.bloom.toList.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) }))
     }.toList)
     val fields = List(
       "version" -> JInt(c.version),
@@ -467,6 +573,36 @@ object SnapshotTable {
       case _ => false // mixed axes: never claim an ordering → never prune
     }
 
+  /** `bounds` as a residual row filter (conjunction of the range checks). */
+  private def applyBounds(df: DataFrame, bounds: Seq[Bound]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    bounds.foldLeft(df) { (d, b) =>
+      val c = col("`" + b.column + "`")
+      val withLo = b.lower.fold(d)(lo => d.filter(c >= lit(lo)))
+      b.upper.fold(withLo)(hi => withLo.filter(c <= lit(hi)))
+    }
+  }
+
+  /** `bounds` as a single three-valued-logic-safe MATCH column: true iff
+    * every range check holds, FALSE (not null) when a bound column is null —
+    * so `!matchCol` KEEPS null rows, which a range predicate never matches.
+    * This is the row-level mirror of the manifest stats (min/max ignore
+    * nulls), keeping [[deleteWhere]]/[[updateWhere]] consistent with
+    * [[countWhere]]/[[readWhere]]. */
+  private def matchCol(bounds: Seq[Bound]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    bounds
+      .map { b =>
+        val c = col("`" + b.column + "`")
+        val e = (b.lower.map(lo => c >= lit(lo)) ++ b.upper.map(hi => c <= lit(hi)))
+          .reduceOption(_ && _)
+          .getOrElse(lit(true))
+        coalesce(e, lit(false))
+      }
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
+  }
+
   /** The skipping decision for one version: which stat-covered files can
     * possibly match `bounds`, which are proven dead, and which live dirs
     * have no stats and must be read in full. Package-private so the spec
@@ -479,22 +615,36 @@ object SnapshotTable {
     val typed = bounds.flatMap { b =>
       schema.flatMap(_.fields.find(_.name == b.column)).map(f => (b, f.dataType))
     }
+    // a dirs entry is covered if it is a stat-bearing file itself (DML
+    // commits list untouched files individually) or a dir whose files all
+    // carry stats
+    val coveredFiles = m.files.map(_.path).toSet
     val coveredDirs = m.files.map(f => f.path.take(f.path.lastIndexOf('/'))).toSet
-    val uncovered = m.dirs.filterNot(coveredDirs.contains)
-    // a file is provably dead iff SOME bound excludes its whole [min,max]
+    val uncovered = m.dirs.filterNot(e => coveredDirs.contains(e) || coveredFiles.contains(e))
+    // a file is provably dead iff SOME bound excludes its whole [min,max] —
+    // or, for an EQUALITY bound (lower == upper), its Bloom filter proves
+    // the value absent (an unset probe bit; false negatives are impossible)
     def dead(fst: FileStat): Boolean =
       typed.exists { case (b, dt) =>
         val mi = fst.min.get(b.column).flatMap(normJ(dt, _))
         val ma = fst.max.get(b.column).flatMap(normJ(dt, _))
-        val belowLower = (b.lower.flatMap(normBound(dt, _)), ma) match {
-          case (Some(lo), Some(mx)) => lt(mx, lo)
+        val lo = b.lower.flatMap(normBound(dt, _))
+        val hi = b.upper.flatMap(normBound(dt, _))
+        val belowLower = (lo, ma) match {
+          case (Some(l), Some(mx)) => lt(mx, l)
           case _ => false
         }
-        val aboveUpper = (b.upper.flatMap(normBound(dt, _)), mi) match {
-          case (Some(hi), Some(mn)) => lt(hi, mn)
+        val aboveUpper = (hi, mi) match {
+          case (Some(h), Some(mnv)) => lt(h, mnv)
           case _ => false
         }
-        belowLower || aboveUpper
+        val isEquality = lo.isDefined && lo == hi
+        val bloomDead = isEquality && (fst.bloom.get(b.column) match {
+          case Some(b64) =>
+            probePositions(dt, b.lower.get).exists(_.exists(p => !bloomHas(b64, p)))
+          case None => false
+        })
+        belowLower || aboveUpper || bloomDead
       }
     val (skipped, keep) = m.files.partition(dead)
     PrunePlan(keep.map(_.path), skipped.map(_.path), uncovered)
@@ -510,7 +660,6 @@ object SnapshotTable {
     * no tasks for dead files. After [[compact]] range-clusters on the
     * predicate column, a narrow range touches ~1/nFiles of the data. */
   def readVersionWhere(spark: SparkSession, root: String, v: Int, bounds: Seq[Bound]): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
     val m = readManifest(spark, root, v)
     val plan = prunePlan(spark, root, v, bounds)
     val paths = plan.keep.map(p => new Path(root, p).toString) ++
@@ -526,11 +675,7 @@ object SnapshotTable {
           case Some(s) => spark.read.schema(s).parquet(paths: _*)
           case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
         }
-    bounds.foldLeft(base) { (df, b) =>
-      val c = col("`" + b.column + "`")
-      val withLo = b.lower.fold(df)(lo => df.filter(c >= lit(lo)))
-      b.upper.fold(withLo)(hi => withLo.filter(c <= lit(hi)))
-    }
+    applyBounds(base, bounds)
   }
 
   /** Latest-snapshot read with data skipping — see [[readVersionWhere]]. */
@@ -546,37 +691,41 @@ object SnapshotTable {
     * Package-private so the spec can assert the scan set is empty/small. */
   private[graft] final case class CountPlan(metaRows: Long, scanPaths: Seq[String])
 
-  private[graft] def countPlan(spark: SparkSession, root: String, v: Int, bounds: Seq[Bound]): CountPlan = {
-    val m = readManifest(spark, root, v)
-    val schema = m.schemaJson.map(schemaFromJson)
+  /** A file WHOLLY matches iff every bound provably matches ALL its rows:
+    * the bound column has no nulls in the file (min/max ignore nulls) and
+    * the file's [min,max] sits inside [lower,upper]. */
+  private def whollyMatches(
+      schema: Option[org.apache.spark.sql.types.StructType],
+      bounds: Seq[Bound])(fst: FileStat): Boolean = {
     val typed = bounds.map { b =>
       b -> schema.flatMap(_.fields.find(_.name == b.column)).map(_.dataType)
     }
+    typed.forall {
+      case (b, Some(dt)) =>
+        val mi = fst.min.get(b.column).flatMap(normJ(dt, _))
+        val ma = fst.max.get(b.column).flatMap(normJ(dt, _))
+        val noNulls = fst.nonNull.get(b.column).contains(fst.rows)
+        val loOk = b.lower.fold(true)(lo =>
+          (normBound(dt, lo), mi) match {
+            case (Some(l), Some(mn)) => !lt(mn, l)
+            case _ => false
+          })
+        val hiOk = b.upper.fold(true)(hi =>
+          (normBound(dt, hi), ma) match {
+            case (Some(h), Some(mx)) => !lt(h, mx)
+            case _ => false
+          })
+        noNulls && loOk && hiOk
+      case (_, None) => false // bound on a column the schema can't type: must scan
+    }
+  }
+
+  private[graft] def countPlan(spark: SparkSession, root: String, v: Int, bounds: Seq[Bound]): CountPlan = {
+    val m = readManifest(spark, root, v)
+    val schema = m.schemaJson.map(schemaFromJson)
     val plan = prunePlan(spark, root, v, bounds)
     val keep = m.files.filter(f => plan.keep.contains(f.path))
-    // a file counts WHOLLY iff every bound provably matches ALL its rows:
-    // the bound column has no nulls in the file (min/max ignore nulls) and
-    // the file's [min,max] sits inside [lower,upper]
-    def whollyMatches(fst: FileStat): Boolean =
-      typed.forall {
-        case (b, Some(dt)) =>
-          val mi = fst.min.get(b.column).flatMap(normJ(dt, _))
-          val ma = fst.max.get(b.column).flatMap(normJ(dt, _))
-          val noNulls = fst.nonNull.get(b.column).contains(fst.rows)
-          val loOk = b.lower.fold(true)(lo =>
-            (normBound(dt, lo), mi) match {
-              case (Some(l), Some(mn)) => !lt(mn, l)
-              case _ => false
-            })
-          val hiOk = b.upper.fold(true)(hi =>
-            (normBound(dt, hi), ma) match {
-              case (Some(h), Some(mx)) => !lt(h, mx)
-              case _ => false
-            })
-          noNulls && loOk && hiOk
-        case (_, None) => false // bound on a column the schema can't type: must scan
-      }
-    val (whole, boundary) = keep.partition(whollyMatches)
+    val (whole, boundary) = keep.partition(whollyMatches(schema, bounds))
     CountPlan(whole.map(_.rows).sum, boundary.map(_.path) ++ plan.uncoveredDirs)
   }
 
@@ -590,7 +739,6 @@ object SnapshotTable {
     * every file lands in exactly one of {skipped: proven 0 matches,
     * whole: proven all-match, scan: counted physically}. */
   def countWhere(spark: SparkSession, root: String, bounds: Seq[Bound]): Long = {
-    import org.apache.spark.sql.functions.{col, lit}
     val v = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
     val m = readManifest(spark, root, v)
     val plan = countPlan(spark, root, v, bounds)
@@ -602,13 +750,7 @@ object SnapshotTable {
           case Some(s) => spark.read.schema(schemaFromJson(s)).parquet(paths: _*)
           case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
         }
-        bounds
-          .foldLeft(base) { (df, b) =>
-            val c = col("`" + b.column + "`")
-            val withLo = b.lower.fold(df)(lo => df.filter(c >= lit(lo)))
-            b.upper.fold(withLo)(hi => withLo.filter(c <= lit(hi)))
-          }
-          .count()
+        applyBounds(base, bounds).count()
       }
     plan.metaRows + scanned
   }
@@ -721,6 +863,267 @@ object SnapshotTable {
     publish(spark, root, Commit(base + 1, "compact", Seq(rel), n, None, Some(schema), stats))
   }
 
+  // ──────────────────── row-level DML (copy-on-write) ────────────────────
+
+  /** Shared copy-on-write rewrite behind [[deleteWhere]]/[[updateWhere]]:
+    * classify the live files against `bounds` via the manifest stats, carry
+    * the provably-unmatched files forward as individual entries (zero I/O),
+    * optionally DROP the provably-all-matching files with zero I/O
+    * (`dropWholly`, the delete fast path), and rewrite only the rest
+    * through `transform`. Publishes one atomic commit whose `addedRows` is
+    * the commit's NET row delta (negative for deletes). */
+  private def dmlRewrite(
+      spark: SparkSession,
+      root: String,
+      bounds: Seq[Bound],
+      action: String,
+      dropWholly: Boolean)(transform: DataFrame => DataFrame): Int = {
+    val base = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
+    val m = readManifest(spark, root, base)
+    val schema = m.schemaJson.map(schemaFromJson)
+    val plan = prunePlan(spark, root, base, bounds)
+    val skippedSet = plan.skipped.toSet
+    val keepSet = plan.keep.toSet
+    val untouched = m.files.filter(f => skippedSet.contains(f.path))
+    val candidates = m.files.filter(f => keepSet.contains(f.path))
+    val (dropped, rewrite) =
+      if (dropWholly) candidates.partition(whollyMatches(schema, bounds))
+      else (Seq.empty[FileStat], candidates)
+    val scanPaths = rewrite.map(_.path) ++ plan.uncoveredDirs
+    val (newDirs, newStats, delta) =
+      if (scanPaths.isEmpty) (Seq.empty[String], Seq.empty[FileStat], 0L)
+      else {
+        val paths = scanPaths.map(p => new Path(root, p).toString)
+        val src = schema match {
+          case Some(s) => spark.read.schema(s).parquet(paths: _*)
+          case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+        }
+        val before =
+          if (plan.uncoveredDirs.isEmpty) rewrite.map(_.rows).sum else src.count()
+        val (rel, n, stats) = writeData(spark, root, transform(src))
+        // an all-rows-deleted rewrite leaves no dir (the empty orphan vacuums away)
+        if (n == 0) (Seq.empty[String], Seq.empty[FileStat], -before)
+        else (Seq(rel), stats, n - before)
+      }
+    val schemaJson = m.schemaJson.getOrElse(
+      org.apache.spark.sql.types
+        .StructType(readVersion(spark, root, base).schema.map(_.copy(nullable = true)))
+        .json)
+    publish(
+      spark,
+      root,
+      Commit(
+        base + 1,
+        action,
+        untouched.map(_.path) ++ newDirs,
+        delta - dropped.map(_.rows).sum,
+        None,
+        Some(schemaJson),
+        untouched ++ newStats))
+  }
+
+  /** Delete the rows matching `bounds` — Delta-style copy-on-write DML with
+    * the manifest stats as the WRITE-side index: files whose [min,max]
+    * provably exclude the predicate carry forward untouched (listed as
+    * individual file entries — zero read, zero write); files whose stats
+    * prove EVERY row matches (range contained, no nulls in the bound
+    * columns) are dropped with no I/O at all; only boundary files are read
+    * and rewritten without the matching rows. A date-range purge on a
+    * range-clustered 100-TB table therefore rewrites ~one file per cluster
+    * edge, not the table. Rows with null in a bound column never match a
+    * range predicate and are always kept (see [[matchCol]] — consistent
+    * with [[countWhere]]). Atomic: publishes via the same create-if-absent
+    * manifest protocol; readers pinned at older versions keep the old
+    * files until [[vacuum]]. Returns the new version. */
+  def deleteWhere(spark: SparkSession, root: String, bounds: Seq[Bound]): Int = {
+    require(bounds.nonEmpty, "deleteWhere with no bounds would drop the whole table; use overwrite")
+    dmlRewrite(spark, root, bounds, "delete", dropWholly = true)(df => df.filter(!matchCol(bounds)))
+  }
+
+  /** Update rows matching `bounds`: each column in `set` becomes its new
+    * expression on matching rows (cast back to the column's table type, so
+    * an update can never silently change the schema) and stays itself
+    * elsewhere. Same copy-on-write economics as [[deleteWhere]], except
+    * wholly-matching files are rewritten too (every row changes). */
+  def updateWhere(
+      spark: SparkSession,
+      root: String,
+      bounds: Seq[Bound],
+      set: Map[String, org.apache.spark.sql.Column]): Int = {
+    import org.apache.spark.sql.functions.{col, when}
+    require(bounds.nonEmpty, "updateWhere needs a predicate; for all rows use overwrite")
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    dmlRewrite(spark, root, bounds, "update", dropWholly = false) { df =>
+      set.foreach { case (name, _) =>
+        require(df.columns.contains(name), s"updateWhere SET column '$name' is not in the table schema")
+      }
+      val m = matchCol(bounds)
+      set.foldLeft(df) { case (d, (name, expr)) =>
+        val dt = d.schema(name).dataType
+        d.withColumn(name, when(m, expr.cast(dt)).otherwise(col("`" + name + "`")))
+      }
+    }
+  }
+
+  /** Upsert `source` by `keyCols` — the MERGE core (whenMatched update-all,
+    * whenNotMatched insert-all): target rows whose key appears in `source`
+    * are replaced wholesale by the source row; all other source rows
+    * insert. The rewrite set is found in two stages, both bounded:
+    * (1) envelope prune — one model-sized aggregate computes source's
+    * per-key-column [min,max] and the manifest stats rule out every file
+    * whose key range can't intersect it, with zero I/O; (2) exact
+    * touched-file discovery — a key-column-ONLY scan of the surviving
+    * candidates semi-joined against the source keys names the files that
+    * actually CONTAIN a matched key (the Delta MERGE find-touched-files
+    * join), so a source whose new keys widen the envelope (the typical
+    * "new ids above the current max" batch) still rewrites only the files
+    * with real matches. Only those files pay the full-width anti-join
+    * rewrite; an incremental upsert against a key-clustered 100-TB table
+    * touches the few files its matched keys live in, and AQE broadcasts a
+    * small source. `source` should be key-unique (duplicate-key source
+    * rows all land, the caveat Delta raises as an error); null-keyed
+    * source rows never match (equi-join semantics) and simply insert;
+    * columns `source` omits read as null on replaced rows; new source
+    * columns evolve the schema like append ([[mergeSchemas]]). Returns the
+    * new version (or the current one for an empty source — a no-op). */
+  def mergeUpsert(spark: SparkSession, root: String, source: DataFrame, keyCols: Seq[String]): Int = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    require(keyCols.nonEmpty, "mergeUpsert needs at least one key column")
+    val base = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
+    val m = readManifest(spark, root, base)
+    val priorSchema = m.schemaJson.map(schemaFromJson)
+    val evolved = evolvedSchema(spark, root, Some(base), source, carryForward = true)
+    val (srcRel, nSrc, srcStats) = writeData(spark, root, source)
+    if (nSrc == 0) return base // empty upsert: no-op; the orphan dir vacuums away
+    val srcDf = spark.read.parquet(new Path(root, srcRel).toString)
+    val srcKeys = srcDf.select(keyCols.map(k => col("`" + k + "`")): _*)
+    def readAs(paths: Seq[String]): DataFrame = {
+      val abs = paths.map(p => new Path(root, p).toString)
+      priorSchema match {
+        case Some(s) => spark.read.schema(s).parquet(abs: _*)
+        case None => spark.read.option("mergeSchema", "true").parquet(abs: _*)
+      }
+    }
+    // stage 1: envelope prune (zero I/O; min/max ignore null keys)
+    val aggs = keyCols.flatMap(k =>
+      Seq(min(col("`" + k + "`")).as("__lo_" + k), max(col("`" + k + "`")).as("__hi_" + k)))
+    val kb = srcDf.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val bounds = keyCols.map(k =>
+      Bound(k, Option(kb.getAs[Any]("__lo_" + k)), Option(kb.getAs[Any]("__hi_" + k))))
+    val allKeysNull = bounds.forall(b => b.lower.isEmpty && b.upper.isEmpty)
+    val plan =
+      if (allKeysNull) PrunePlan(Seq.empty, m.files.map(_.path), Seq.empty) // nothing can match
+      else prunePlan(spark, root, base, bounds)
+    // stage 2: exact touched-file discovery over the candidates, reading
+    // only the key columns (columnar scan) + the file name
+    val touched: Set[String] =
+      if (plan.keep.isEmpty) Set.empty
+      else {
+        val probe = readAs(plan.keep)
+          .select(keyCols.map(k => col("`" + k + "`")) :+ input_file_name().as("__file"): _*)
+        val uris = probe
+          .join(srcKeys, keyCols, "left_semi")
+          .select("__file")
+          .distinct()
+          .collect()
+          .map(_.getString(0))
+        uris.flatMap(uri => plan.keep.find(rel => uri.endsWith(rel))).toSet
+      }
+    val untouched = m.files.filterNot(f => touched.contains(f.path))
+    val rewritePaths = touched.toSeq.sorted ++ plan.uncoveredDirs
+    val (survDirs, survStats, replaced) =
+      if (rewritePaths.isEmpty) (Seq.empty[String], Seq.empty[FileStat], 0L)
+      else {
+        val tgt = readAs(rewritePaths)
+        val before =
+          if (plan.uncoveredDirs.isEmpty)
+            m.files.filter(f => touched.contains(f.path)).map(_.rows).sum
+          else tgt.count()
+        val survivors = tgt.join(srcKeys, keyCols, "left_anti")
+        val (rel, n, stats) = writeData(spark, root, survivors)
+        if (n == 0) (Seq.empty[String], Seq.empty[FileStat], before)
+        else (Seq(rel), stats, before - n)
+      }
+    publish(
+      spark,
+      root,
+      Commit(
+        base + 1,
+        "merge",
+        (untouched.map(_.path) ++ survDirs) :+ srcRel,
+        nSrc - replaced,
+        None,
+        Some(evolved),
+        untouched ++ survStats ++ srcStats))
+  }
+
+  // ─────────────────── change-data-capture between versions ───────────────────
+
+  /** Live file-level entries of a manifest: stat-covered files
+    * individually, stat-less entries (pre-stats dirs) as-is. */
+  private def fileEntries(m: Commit): Seq[String] = {
+    val coveredFiles = m.files.map(_.path).toSet
+    val coveredDirs = m.files.map(f => f.path.take(f.path.lastIndexOf('/'))).toSet
+    val uncovered = m.dirs.filterNot(e => coveredDirs.contains(e) || coveredFiles.contains(e))
+    m.files.map(_.path) ++ uncovered
+  }
+
+  /** Row-level change-data-capture between two committed versions, with the
+    * manifest as the changelog: for each commit in `(fromV, toV]` the
+    * FILE-set diff bounds the work — an append's added dir IS its inserts
+    * (no comparison at all); a DML commit's rewritten files are diffed
+    * row-level via EXCEPT ALL (removed files minus added = deleted rows,
+    * added minus removed = inserted rows; rows a rewrite carried unchanged
+    * cancel, and untouched files carried as identical entries never even
+    * read). CDC cost therefore scales with the data each commit actually
+    * TOUCHED, never the table — the Delta CDF economics without change
+    * files. Compaction commits are data-identical by construction and
+    * contribute nothing. An update surfaces as its delete+insert pair.
+    * Emits the table columns as of `toV`'s schema plus `_change_type`
+    * ('insert'|'delete') and `_commit_version`. Requires the old files to
+    * still exist: run with [[vacuum]] retention covering `fromV`. */
+  def changesBetween(spark: SparkSession, root: String, fromV: Int, toV: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromV <= toV, s"changesBetween needs fromV <= toV, got $fromV > $toV")
+    val schema = readManifest(spark, root, toV).schemaJson.map(schemaFromJson)
+    def readPaths(paths: Seq[String]): Option[DataFrame] =
+      if (paths.isEmpty) None
+      else {
+        val abs = paths.map(p => new Path(root, p).toString)
+        Some(schema match {
+          case Some(s) => spark.read.schema(s).parquet(abs: _*)
+          case None => spark.read.option("mergeSchema", "true").parquet(abs: _*)
+        })
+      }
+    def tag(df: DataFrame, tpe: String, v: Int): DataFrame =
+      df.withColumn("_change_type", lit(tpe)).withColumn("_commit_version", lit(v))
+    val steps = ((fromV + 1) to toV).flatMap { v =>
+      val cur = readManifest(spark, root, v)
+      if (cur.action == "compact") Seq.empty[DataFrame]
+      else {
+        val prevEntries = fileEntries(readManifest(spark, root, v - 1))
+        val curEntries = fileEntries(cur)
+        val added = readPaths(curEntries.filterNot(prevEntries.toSet))
+        val removed = readPaths(prevEntries.filterNot(curEntries.toSet))
+        (added, removed) match {
+          case (Some(a), None) => Seq(tag(a, "insert", v))
+          case (None, Some(r)) => Seq(tag(r, "delete", v))
+          case (Some(a), Some(r)) =>
+            Seq(tag(a.exceptAll(r), "insert", v), tag(r.exceptAll(a), "delete", v))
+          case (None, None) => Seq.empty[DataFrame]
+        }
+      }
+    }
+    steps.reduceOption(_ unionByName _).getOrElse {
+      val s = schema.getOrElse(sys.error("changesBetween over pre-schema manifests needs at least one changed file"))
+      val tagged = org.apache.spark.sql.types.StructType(
+        s.fields :+
+          org.apache.spark.sql.types.StructField("_change_type", org.apache.spark.sql.types.StringType) :+
+          org.apache.spark.sql.types.StructField("_commit_version", org.apache.spark.sql.types.IntegerType))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tagged)
+    }
+  }
+
   /** Drop history: delete manifests older than the `keepLast` most recent,
     * then delete every data dir no RETAINED manifest references — reclaims
     * overwritten/compacted-away files and orphans from failed commits.
@@ -744,7 +1147,11 @@ object SnapshotTable {
     val f = fs(spark, root)
     val vs = versions(spark, root)
     val (drop, keep) = vs.splitAt(math.max(vs.size - keepLast, 0))
-    val live = keep.flatMap(readManifest(spark, root, _).dirs).toSet
+    // DML commits reference individual FILES of a partially-rewritten dir;
+    // liveness is tracked at dir granularity, so one referenced file keeps
+    // its whole dir (conservative — superseded siblings go when a later
+    // compact/overwrite drops the dir entirely)
+    val live = keep.flatMap(readManifest(spark, root, _).dirs).map(dataDirOf).toSet
     val deletedManifests = drop.map { v =>
       f.delete(manifestPath(root, v), false); f"_manifests/v$v%08d.json"
     }

@@ -1,0 +1,204 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sinks.SnapshotTable
+import graft.sinks.SnapshotTable.Bound
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit}
+
+/** Row-level DML on the snapshot table (copy-on-write DELETE / UPDATE /
+  * MERGE) and row-level CDC between versions. Beyond result correctness,
+  * these cases assert the copy-on-write ECONOMICS — that the manifest
+  * stats actually bound the rewrite set: provably-unmatched files carry
+  * forward as the same physical files, provably-all-matching files drop
+  * with zero I/O, and only boundary files rewrite. */
+class SnapshotDmlSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft-dml").toString
+
+  /** 0..999 on k, range-clustered into 8 files of exactly 125 rows. */
+  private def clustered(root: String): Unit = {
+    SnapshotTable.create(
+      spark,
+      root,
+      spark.range(1000).selectExpr("id AS k", "CAST(id % 7 AS DOUBLE) AS x", "concat('s', id) AS s"))
+    SnapshotTable.compact(spark, root, "k", nFiles = 8)
+  }
+
+  private def ks(df: DataFrame): Set[Long] = df.select("k").as[Long].collect().toSet
+
+  test("deleteWhere: wholly-covered file drops with zero I/O, everything else carries as-is") {
+    val root = freshRoot()
+    clustered(root)
+    val before = SnapshotTable.history(spark, root).last
+    assert(before.files.size == 8)
+    val fileRanges = before.files.map(f => f.path -> (f.min("k"), f.max("k"))).toMap
+    // delete exactly one file's [min,max] — stats prove every row of that
+    // file matches and no other file can match
+    val victim = before.files.minBy(_.path)
+    val lo = victim.min("k").values.asInstanceOf[Number].longValue()
+    val hi = victim.max("k").values.asInstanceOf[Number].longValue()
+    val v = SnapshotTable.deleteWhere(spark, root, Seq(Bound("k", Some(lo), Some(hi))))
+    val after = SnapshotTable.history(spark, root).last
+    assert(after.version == v && after.action == "delete")
+    // no rewrite happened: the new manifest references exactly the 7
+    // surviving ORIGINAL files, by path
+    assert(after.dirs.toSet == (before.files.map(_.path).toSet - victim.path),
+      s"expected the 7 untouched files carried by path: ${after.dirs}")
+    assert(after.files.map(_.path).toSet == after.dirs.toSet)
+    assert(after.files.forall(f => fileRanges.contains(f.path)), "carried stats must be the originals")
+    assert(after.addedRows == -(victim.rows), s"net delta should be -${victim.rows}: ${after.addedRows}")
+    assert(SnapshotTable.read(spark, root).count() == 1000 - victim.rows)
+    assert(!ks(SnapshotTable.read(spark, root)).exists(k => k >= lo && k <= hi))
+    // time travel: the pre-delete version is still complete
+    assert(SnapshotTable.readVersion(spark, root, v - 1).count() == 1000)
+  }
+
+  test("deleteWhere: boundary files rewrite, interior files drop, outside files carry") {
+    val root = freshRoot()
+    clustered(root)
+    val before = SnapshotTable.history(spark, root).last
+    // [100, 899]: file [0,124] and [875,999] are boundary (partial match),
+    // the six interior files are wholly covered, none is fully outside
+    SnapshotTable.deleteWhere(spark, root, Seq(Bound("k", Some(100L), Some(899L))))
+    val after = SnapshotTable.history(spark, root).last
+    assert(ks(SnapshotTable.read(spark, root)) == ((0L to 99L) ++ (900L to 999L)).toSet)
+    val carried = after.dirs.toSet intersect before.files.map(_.path).toSet
+    assert(carried.isEmpty, "every file intersected the range; none should carry verbatim")
+    assert(after.dirs.size == 1, s"one rewritten dir expected: ${after.dirs}")
+    assert(after.addedRows == -800)
+    // countWhere still consistent on the post-delete table
+    assert(SnapshotTable.countWhere(spark, root, Seq(Bound("k", Some(0L), Some(999L)))) == 200)
+  }
+
+  test("deleteWhere keeps null rows: a range predicate never matches null") {
+    val root = freshRoot()
+    SnapshotTable.create(
+      spark,
+      root,
+      spark.range(100).selectExpr("CASE WHEN id % 10 = 0 THEN NULL ELSE id END AS k", "concat('s', id) AS s"))
+    SnapshotTable.deleteWhere(spark, root, Seq(Bound("k", Some(0L), Some(999L))))
+    val left = SnapshotTable.read(spark, root)
+    assert(left.count() == 10, "exactly the 10 null-k rows survive")
+    assert(left.filter(col("k").isNotNull).count() == 0)
+  }
+
+  test("updateWhere: matching rows change, others (and carried files) don't; type is preserved") {
+    val root = freshRoot()
+    clustered(root)
+    val before = SnapshotTable.history(spark, root).last
+    // bump x on k in [0, 124] — exactly one clustered file; the rest must carry by path
+    SnapshotTable.updateWhere(
+      spark,
+      root,
+      Seq(Bound("k", Some(0L), Some(124L))),
+      Map("x" -> (col("x") + lit(100)), "s" -> lit("upd")))
+    val after = SnapshotTable.history(spark, root).last
+    assert(after.action == "update" && after.addedRows == 0)
+    val carried = after.dirs.toSet intersect before.files.map(_.path).toSet
+    assert(carried.size == 7, s"7 provably-unmatched files must carry by path: ${after.dirs}")
+    val cur = SnapshotTable.read(spark, root)
+    assert(cur.count() == 1000)
+    assert(cur.filter("k <= 124 AND x >= 100 AND s = 'upd'").count() == 125)
+    assert(cur.filter("k > 124 AND (x >= 100 OR s = 'upd')").count() == 0)
+    // the updated column kept its DOUBLE type (int literal was cast back)
+    assert(cur.schema("x").dataType == org.apache.spark.sql.types.DoubleType)
+    // unknown SET column is refused loudly
+    val ex = intercept[Exception] {
+      SnapshotTable.updateWhere(spark, root, Seq(Bound("k", Some(0L), Some(1L))), Map("nope" -> lit(1)))
+    }
+    assert(ex.getMessage.contains("nope"), ex.getMessage)
+  }
+
+  test("mergeUpsert: replaces matched keys, inserts the rest, rewrites only key-range files") {
+    val root = freshRoot()
+    clustered(root)
+    val before = SnapshotTable.history(spark, root).last
+    // source keys 120..130 (straddles the [0,124]/[125,249] file boundary)
+    // plus brand-new keys 2000..2004 — the new keys widen the [min,max]
+    // envelope over EVERY file, so only the exact touched-file discovery
+    // (semi-join probe) keeps the other six files out of the rewrite
+    val source = spark
+      .range(120, 131)
+      .selectExpr("id AS k", "CAST(-1.0 AS DOUBLE) AS x", "'merged' AS s")
+      .union(spark.range(2000, 2005).selectExpr("id AS k", "CAST(-2.0 AS DOUBLE) AS x", "'new' AS s"))
+    SnapshotTable.mergeUpsert(spark, root, source, Seq("k"))
+    val after = SnapshotTable.history(spark, root).last
+    assert(after.action == "merge")
+    val carried = after.dirs.toSet intersect before.files.map(_.path).toSet
+    assert(carried.size == 6, s"six files contain no matched key and must carry by path: ${after.dirs}")
+    val cur = SnapshotTable.read(spark, root)
+    assert(cur.count() == 1005)
+    assert(cur.filter("s = 'merged'").count() == 11)
+    assert(cur.filter("s = 'new'").count() == 5)
+    assert(ks(cur.filter("x = -1.0")) == (120L to 130L).toSet)
+    assert(cur.filter("k = 121 AND s <> 'merged'").count() == 0, "matched rows replaced, not duplicated")
+    assert(after.addedRows == 5, s"net delta = 5 inserts: ${after.addedRows}")
+    // empty source is a no-op (no new version)
+    val vNow = SnapshotTable.latestVersion(spark, root).get
+    assert(SnapshotTable.mergeUpsert(spark, root, source.limit(0), Seq("k")) == vNow)
+    assert(SnapshotTable.latestVersion(spark, root).get == vNow)
+  }
+
+  test("mergeUpsert: null-keyed source rows insert; schema evolves like append") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    val source = Seq(
+      (Some(2L), "b2", 0.5),
+      (Option.empty[Long], "nullkey", 0.7)).toDF("k", "s", "score")
+    SnapshotTable.mergeUpsert(spark, root, source, Seq("k"))
+    val cur = SnapshotTable.read(spark, root)
+    assert(cur.columns.toSeq == Seq("k", "s", "score"), "new source column widened the table")
+    val byS = cur.collect().map(r => r.getString(1) -> Option(r.get(2))).toMap
+    assert(byS == Map("a" -> None, "b2" -> Some(0.5), "nullkey" -> Some(0.7)))
+    assert(cur.filter("s = 'b'").count() == 0, "matched key replaced")
+    assert(cur.count() == 3)
+  }
+
+  test("changesBetween: appends are pure inserts, DML diffs row-level, compaction contributes nothing") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")) // v1
+    SnapshotTable.append(spark, root, Seq((4L, "d")).toDF("k", "s")) // v2
+    SnapshotTable.compact(spark, root, "k", nFiles = 1) // v3: data-identical
+    SnapshotTable.deleteWhere(spark, root, Seq(Bound("k", Some(2L), Some(2L)))) // v4
+    SnapshotTable.updateWhere(spark, root, Seq(Bound("k", Some(3L), Some(3L))), Map("s" -> lit("C"))) // v5
+    SnapshotTable.mergeUpsert(spark, root, Seq((4L, "D"), (5L, "e")).toDF("k", "s"), Seq("k")) // v6
+    val ch = SnapshotTable
+      .changesBetween(spark, root, 1, 6)
+      .select("k", "s", "_change_type", "_commit_version")
+      .as[(Long, String, String, Int)]
+      .collect()
+      .toSet
+    assert(ch == Set(
+      (4L, "d", "insert", 2),
+      // v3 compact: nothing
+      (2L, "b", "delete", 4),
+      (3L, "c", "delete", 5), (3L, "C", "insert", 5),
+      (4L, "d", "delete", 6), (4L, "D", "insert", 6), (5L, "e", "insert", 6)
+    ), s"unexpected change set: $ch")
+    // a sub-range works too
+    assert(SnapshotTable.changesBetween(spark, root, 4, 5).count() == 2)
+    // empty range: schema-correct empty frame
+    val empty = SnapshotTable.changesBetween(spark, root, 6, 6)
+    assert(empty.count() == 0 && empty.columns.contains("_change_type"))
+  }
+
+  test("vacuum after DML keeps partially-referenced dirs; a later compact releases them") {
+    val root = freshRoot()
+    clustered(root)
+    SnapshotTable.deleteWhere(spark, root, Seq(Bound("k", Some(100L), Some(220L)))) // partial rewrite of 2 files
+    // keepLast=1: only the delete version retained — but its untouched
+    // files live inside the ORIGINAL compacted dir, which must survive
+    val d1 = SnapshotTable.vacuum(spark, root, keepLast = 1)
+    assert(SnapshotTable.read(spark, root).count() == 1000 - 121)
+    assert(d1.count(_.startsWith("data/")) == 1, s"only the pre-compact create dir reclaimable: $d1")
+    // compacting rewrites everything into one fresh dir; now the old dirs go
+    SnapshotTable.compact(spark, root, "k", nFiles = 2)
+    val d2 = SnapshotTable.vacuum(spark, root, keepLast = 1)
+    assert(d2.count(_.startsWith("data/")) == 2, s"old clustered dir + delete-rewrite dir reclaimed: $d2")
+    assert(SnapshotTable.read(spark, root).count() == 1000 - 121)
+  }
+}

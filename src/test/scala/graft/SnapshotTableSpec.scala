@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import graft.sinks.SnapshotTable
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** The transactional-table contract: atomic visibility, time travel,
   * optimistic concurrency, safe compaction, vacuum reclamation. */
@@ -301,6 +302,68 @@ class SnapshotTableSpec extends SparkSuite {
     // not counted whole — nulls fail the bound
     val n = SnapshotTable.countWhere(spark, root, Seq(SnapshotTable.Bound("k", Some(0L), Some(99L))))
     assert(n == 90, s"null k rows must not be counted: $n")
+  }
+
+  test("bloom equality skipping engages where min/max can't (long strings, unclustered keys)") {
+    val root = freshRoot()
+    // tag: 71+ chars -> past the 64-char min/max stat cap, so ONLY the
+    // bloom can prune it; aligned with k so clustering localizes values
+    SnapshotTable.create(
+      spark,
+      root,
+      spark.range(1000).selectExpr("id AS k", "concat(repeat('x', 70), CAST(id DIV 125 AS STRING)) AS tag"))
+    SnapshotTable.compact(spark, root, "k", nFiles = 8)
+    val v = SnapshotTable.latestVersion(spark, root).get
+    val m = SnapshotTable.history(spark, root).last
+    assert(m.files.forall(f => !f.min.contains("tag")), "71-char strings must have no min/max stat")
+    assert(m.files.forall(_.bloom.contains("tag")), "every file should carry a tag bloom")
+    val probe = "x" * 70 + "3"
+    val eq = Seq(SnapshotTable.Bound("tag", Some(probe), Some(probe)))
+    val plan = SnapshotTable.prunePlan(spark, root, v, eq)
+    assert(plan.skipped.size >= 6, s"bloom should prune most files: $plan")
+    assert(SnapshotTable.readWhere(spark, root, eq).count() == 125)
+    // absent value: everything pruned, zero-scan count
+    val none = "x" * 70 + "nope"
+    val noneEq = Seq(SnapshotTable.Bound("tag", Some(none), Some(none)))
+    assert(SnapshotTable.prunePlan(spark, root, v, noneEq).keep.isEmpty, "absent value should prune all files")
+    assert(SnapshotTable.countWhere(spark, root, noneEq) == 0)
+    assert(SnapshotTable.readWhere(spark, root, noneEq).count() == 0)
+    // a RANGE bound on the same column must not consult the bloom
+    val range = Seq(SnapshotTable.Bound("tag", Some(probe), Some(probe + "z")))
+    assert(SnapshotTable.prunePlan(spark, root, v, range).skipped.isEmpty)
+
+    // unclustered LONG point lookup: hash-scattered keys make every file's
+    // [min,max] span the whole domain — the bloom still prunes
+    val root2 = freshRoot()
+    SnapshotTable.create(
+      spark,
+      root2,
+      spark.range(1000).selectExpr("id AS k").repartition(8, col("k") * 2654435761L))
+    val v2 = SnapshotTable.latestVersion(spark, root2).get
+    val eqK = Seq(SnapshotTable.Bound("k", Some(42L), Some(42L)))
+    val planK = SnapshotTable.prunePlan(spark, root2, v2, eqK)
+    assert(planK.keep.size <= 2, s"point lookup should reach ~1 file via bloom: $planK")
+    assert(SnapshotTable.readWhere(spark, root2, eqK).count() == 1)
+  }
+
+  test("bloom skipping stays exact with nulls and across DML-carried stats") {
+    val root = freshRoot()
+    SnapshotTable.create(
+      spark,
+      root,
+      spark.range(200).selectExpr(
+        "id AS k",
+        "CASE WHEN id < 100 THEN concat(repeat('y', 70), CAST(id DIV 50 AS STRING)) ELSE NULL END AS tag"))
+    // nulls never match equality; all-null regions prune away entirely
+    val probe = "y" * 70 + "1"
+    val eq = Seq(SnapshotTable.Bound("tag", Some(probe), Some(probe)))
+    assert(SnapshotTable.readWhere(spark, root, eq).count() == 50)
+    // blooms survive a DML rewrite: delete some k-range, then probe again —
+    // carried files keep their original blooms, the rewritten file gets a new one
+    SnapshotTable.deleteWhere(spark, root, Seq(SnapshotTable.Bound("k", Some(0L), Some(49L))))
+    assert(SnapshotTable.readWhere(spark, root, eq).count() == 50)
+    val m = SnapshotTable.history(spark, root).last
+    assert(m.files.forall(_.bloom.contains("tag")), "blooms must ride DML commits")
   }
 
   test("z-order refuses string clustering columns loudly") {
