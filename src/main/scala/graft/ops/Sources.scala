@@ -178,6 +178,24 @@ object Sources {
         .agg(count(lit(1)).as("n"), sum("k").as("key_sum"), sum("price_c").as("price_sum"))
         .orderBy("v", "op")
     },
+    // The snapshot table as a CATALYST-INTEGRATED relation: plain SQL over
+    // a registered view of SnapshotTable.relation — the pushed-down date
+    // predicate reaches SnapshotFileIndex.listFiles during physical
+    // planning and prunes files through the manifest stats, with no
+    // readWhere call anywhere (SnapshotCatalystSpec proves numFiles
+    // actually drops; this gate proves exactness over the DML-carried
+    // manifest: the view serves the post-delete/update/merge table, so the
+    // oracle replays the full DML algebra plus the date slice).
+    "q_snapshot_sql" -> { (s, dir) =>
+      import graft.sinks.SnapshotTable
+      val root = SnapshotCycle.root(s, dir)
+      SnapshotTable.relation(s, root).createOrReplaceTempView("snapshot_orders")
+      s.sql(
+        "SELECT CAST(year(d) AS INT) AS y, CAST(month(d) AS INT) AS m, " +
+          "count(*) AS n_rows, sum(price_c) AS sum_price_c " +
+          "FROM snapshot_orders WHERE d BETWEEN DATE'1996-01-01' AND DATE'1996-12-31' " +
+          "GROUP BY 1, 2 ORDER BY y, m")
+    },
     // EQUALITY point lookup through the manifest Bloom index: the probe
     // column is a 71-char string — past the 64-char min/max stat cap, so
     // range stats are blind to it and only the per-file bloom (m=4096,
@@ -258,6 +276,16 @@ object Sources {
         "SELECT CAST(v AS INT) AS v, op, CAST(count(*) AS BIGINT) AS n, " +
         "CAST(sum(k) AS BIGINT) AS key_sum, CAST(sum(price_c) AS BIGINT) AS price_sum " +
         "FROM ch GROUP BY 1, 2 ORDER BY v, op"),
+    "q_snapshot_sql" ->
+      ("WITH o AS (SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d, " +
+        "CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_c FROM orders), " +
+        "fin AS (SELECT k, d, CASE WHEN k % 7 = 0 THEN price_c * 2 " +
+        "WHEN year(d) = 1997 THEN price_c + 500 ELSE price_c END AS price_c " +
+        "FROM o WHERE k % 7 = 0 OR year(d) <> 1995) " +
+        "SELECT CAST(year(d) AS INT) AS y, CAST(month(d) AS INT) AS m, " +
+        "CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(price_c) AS BIGINT) AS sum_price_c " +
+        "FROM fin WHERE d BETWEEN DATE '1996-01-01' AND DATE '1996-12-31' " +
+        "GROUP BY 1, 2 ORDER BY y, m"),
     "q_snapshot_eq" ->
       ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
         "CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c, " +

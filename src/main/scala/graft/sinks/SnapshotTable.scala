@@ -62,7 +62,8 @@ object SnapshotTable {
       min: Map[String, JValue],
       max: Map[String, JValue],
       nonNull: Map[String, Long] = Map.empty,
-      bloom: Map[String, String] = Map.empty)
+      bloom: Map[String, String] = Map.empty,
+      bytes: Long = -1L) // -1 = unrecorded (pre-bytes manifest); stat on demand
 
   /** One commit's metadata. `dirs` are root-relative live data ENTRIES —
     * usually whole data dirs, but row-level DML commits ([[deleteWhere]],
@@ -88,7 +89,8 @@ object SnapshotTable {
       addedRows: Long,
       batchId: Option[Long] = None,
       schemaJson: Option[String] = None,
-      files: Seq[FileStat] = Seq.empty)
+      files: Seq[FileStat] = Seq.empty,
+      ts: Long = 0L) // wall-clock publish time (epoch ms); 0 in pre-ts manifests
 
   /** Table schema of `next` committed over `prior`: same-named columns
     * must keep their type (loud failure beats silent corruption — parquet
@@ -179,7 +181,8 @@ object SnapshotTable {
             statMap("min"),
             statMap("max"),
             nn,
-            bl)
+            bl,
+            (f \ "bytes").extractOpt[Long].getOrElse(-1L))
         }
       case _ => Seq.empty
     }
@@ -190,7 +193,8 @@ object SnapshotTable {
       (j \ "addedRows").extract[Long],
       (j \ "batchId").extractOpt[Long],
       (j \ "schema").extractOpt[String],
-      files)
+      files,
+      (j \ "ts").extractOpt[Long].getOrElse(0L))
   }
 
   /** The commit log, ascending by version. */
@@ -368,7 +372,15 @@ object SnapshotTable {
       }.toMap
       FileStat(path, r.getAs[Long]("__rows"), mins, maxs, nns, blooms)
     }
-    (rel, stats.map(_.rows).sum, stats)
+    // one local listing records byte sizes: the Catalyst read path
+    // ([[SnapshotFileIndex]]) builds plan-time FileStatus rows from the
+    // manifest alone — no per-file namenode probes at 100-TB file counts
+    val sizes = fs(spark, root)
+      .listStatus(new Path(abs))
+      .map(s => rel + "/" + s.getPath.getName -> s.getLen)
+      .toMap
+    val sized = stats.map(st => st.copy(bytes = sizes.getOrElse(st.path, -1L)))
+    (rel, sized.map(_.rows).sum, sized)
   }
 
   /** Atomic publish: create-if-absent the next manifest. Package-private so
@@ -384,13 +396,19 @@ object SnapshotTable {
         "min" -> JObject(fst.min.toList.sortBy(_._1)),
         "max" -> JObject(fst.max.toList.sortBy(_._1)),
         "nn" -> JObject(fst.nonNull.toList.sortBy(_._1).map { case (k, v) => k -> (JLong(v): JValue) }),
-        "bloom" -> JObject(fst.bloom.toList.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) }))
+        "bloom" -> JObject(fst.bloom.toList.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) }),
+        "bytes" -> JLong(fst.bytes))
     }.toList)
     val fields = List(
       "version" -> JInt(c.version),
       "action" -> JString(c.action),
       "dirs" -> JArray(c.dirs.map(JString(_)).toList),
-      "addedRows" -> JLong(c.addedRows)) ++
+      "addedRows" -> JLong(c.addedRows),
+      // publish wall-clock: AS OF timestamp resolution ([[versionAsOf]]).
+      // Recorded at publish so it is monotone with version order on one
+      // writer host; cross-host skew only shifts which version a wall
+      // timestamp resolves to, never correctness of the read itself.
+      "ts" -> JLong(if (c.ts > 0) c.ts else System.currentTimeMillis())) ++
       c.batchId.map(b => "batchId" -> (JLong(b): JValue)).toList ++
       c.schemaJson.map(s => "schema" -> (JString(s): JValue)).toList ++
       (if (c.files.nonEmpty) List("files" -> (fileArr: JValue)) else Nil)
@@ -523,6 +541,22 @@ object SnapshotTable {
       case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
     }
   }
+
+  /** The version visible at wall-clock `tsMillis` — the latest commit
+    * published at or before it (Delta's `timestampAsOf`). Resolution uses
+    * the publish timestamps the manifests record; a timestamp before the
+    * first commit fails loudly rather than guessing. */
+  def versionAsOf(spark: SparkSession, root: String, tsMillis: Long): Int =
+    history(spark, root)
+      .filter(c => c.ts > 0 && c.ts <= tsMillis)
+      .map(_.version)
+      .maxOption
+      .getOrElse(
+        sys.error(s"no commit at or before $tsMillis (pre-ts manifests are unresolvable by time)"))
+
+  /** Time-travel read by wall-clock timestamp — see [[versionAsOf]]. */
+  def readAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame =
+    readVersion(spark, root, versionAsOf(spark, root, tsMillis))
 
   /** Read the latest snapshot. */
   def read(spark: SparkSession, root: String): DataFrame =
@@ -677,6 +711,46 @@ object SnapshotTable {
         }
     applyBounds(base, bounds)
   }
+
+  // accessors for [[SnapshotFileIndex]] (same package-private surface the
+  // specs use)
+  private[graft] def normJValue(
+      dt: org.apache.spark.sql.types.DataType,
+      j: JValue): Option[Either[BigDecimal, String]] = normJ(dt, j)
+  private[graft] def probeBloom(
+      dt: org.apache.spark.sql.types.DataType,
+      v: Any): Option[Seq[Int]] = probePositions(dt, v)
+  private[graft] def bloomBit(b64: String, pos: Int): Boolean = bloomHas(b64, pos)
+
+  /** The snapshot table as a CATALYST-INTEGRATED relation: a
+    * `HadoopFsRelation` whose [[SnapshotFileIndex]] is the manifest, so
+    * the pushed-down filters of ANY query over the returned frame —
+    * `.filter`, a SQL view, a join predicate — skip files through the
+    * manifest stats and Blooms at planning time, with no dedicated
+    * `readWhere` call. `readVersion` semantics otherwise: the recorded
+    * schema of version `v`, evolved columns null in old files. */
+  def relationVersion(spark: SparkSession, root: String, v: Int): DataFrame = {
+    val m = readManifest(spark, root, v)
+    val schema = m.schemaJson
+      .map(schemaFromJson)
+      .getOrElse(readVersion(spark, root, v).schema) // pre-schema: footer merge
+    val idx = new SnapshotFileIndex(spark, root, m, schema)
+    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      idx,
+      new org.apache.spark.sql.types.StructType(),
+      schema,
+      None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+      Map.empty)(spark)
+    spark.baseRelationToDataFrame(rel)
+  }
+
+  /** Latest-version Catalyst-integrated relation — see [[relationVersion]]. */
+  def relation(spark: SparkSession, root: String): DataFrame =
+    relationVersion(
+      spark,
+      root,
+      latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root")))
 
   /** Latest-snapshot read with data skipping — see [[readVersionWhere]]. */
   def readWhere(spark: SparkSession, root: String, bounds: Seq[Bound]): DataFrame =
@@ -986,7 +1060,12 @@ object SnapshotTable {
     * columns `source` omits read as null on replaced rows; new source
     * columns evolve the schema like append ([[mergeSchemas]]). Returns the
     * new version (or the current one for an empty source — a no-op). */
-  def mergeUpsert(spark: SparkSession, root: String, source: DataFrame, keyCols: Seq[String]): Int = {
+  def mergeUpsert(
+      spark: SparkSession,
+      root: String,
+      source: DataFrame,
+      keyCols: Seq[String],
+      batchId: Option[Long] = None): Int = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     require(keyCols.nonEmpty, "mergeUpsert needs at least one key column")
     val base = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
@@ -1052,10 +1131,47 @@ object SnapshotTable {
         "merge",
         (untouched.map(_.path) ++ survDirs) :+ srcRel,
         nSrc - replaced,
-        None,
+        batchId,
         Some(evolved),
         untouched ++ survStats ++ srcStats))
   }
+
+  /** EXACTLY-ONCE streaming UPSERT — the `foreachBatch` CDC-apply
+    * contract, [[appendBatchExactlyOnce]]'s MERGE sibling: the micro-batch
+    * id rides the merge commit's manifest, so a replayed epoch (restart,
+    * retry, speculative driver) finds its batchId already committed and
+    * becomes a no-op — each epoch's upsert applies exactly once however
+    * many times the batch reruns. A lost publish race re-checks the log
+    * (our own commit won ⇒ done) and otherwise RERUNS the whole merge
+    * against the new latest version — the rewrite set must be re-derived,
+    * a stale one could resurrect rows a concurrent commit replaced.
+    * Orphaned dirs of lost attempts are reclaimed by [[vacuum]]. */
+  def upsertBatchExactlyOnce(
+      spark: SparkSession,
+      root: String,
+      source: DataFrame,
+      keyCols: Seq[String],
+      batchId: Long): Int = {
+    def committed(): Option[Int] =
+      history(spark, root).find(_.batchId.contains(batchId)).map(_.version)
+    committed().getOrElse {
+      var result = -1
+      while (result < 0) {
+        try result = mergeUpsert(spark, root, source, keyCols, Some(batchId))
+        catch {
+          case _: ConcurrentCommitException =>
+            committed().foreach(v => return v) // replayed epoch lost to itself: done
+          // else: an interleaved other writer took the slot; re-derive and retry
+        }
+      }
+      result
+    }
+  }
+
+  /** `foreachBatch` adapter for streaming upsert: `stream.writeStream
+    * .foreachBatch(SnapshotTable.streamUpsert(root, keys)).start()`. */
+  def streamUpsert(root: String, keyCols: Seq[String]): (DataFrame, Long) => Unit =
+    (batch, id) => { upsertBatchExactlyOnce(batch.sparkSession, root, batch, keyCols, id); () }
 
   // ─────────────────── change-data-capture between versions ───────────────────
 

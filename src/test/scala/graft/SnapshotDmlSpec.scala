@@ -186,6 +186,40 @@ class SnapshotDmlSpec extends SparkSuite {
     assert(empty.count() == 0 && empty.columns.contains("_change_type"))
   }
 
+  test("upsertBatchExactlyOnce: replayed epochs are no-ops; each epoch's merge applies once") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    val sink = SnapshotTable.streamUpsert(root, Seq("k"))
+    sink(Seq((2L, "b2"), (3L, "c")).toDF("k", "s"), 0L)
+    sink(Seq((3L, "c2")).toDF("k", "s"), 1L)
+    sink(Seq((2L, "b2"), (3L, "c")).toDF("k", "s"), 0L) // restart replays epoch 0
+    sink(Seq((3L, "c2")).toDF("k", "s"), 1L) // and epoch 1
+    val state = SnapshotTable.read(spark, root).as[(Long, String)].collect().toMap
+    assert(state == Map(1L -> "a", 2L -> "b2", 3L -> "c2"),
+      s"replays must not re-apply or resurrect: $state")
+    assert(SnapshotTable.history(spark, root).flatMap(_.batchId) == Seq(0L, 1L),
+      "each epoch committed exactly once")
+    // an already-committed epoch returns its original version, no new commit
+    val vNow = SnapshotTable.latestVersion(spark, root).get
+    assert(SnapshotTable.upsertBatchExactlyOnce(spark, root, Seq((9L, "x")).toDF("k", "s"), Seq("k"), 0L) == 2)
+    assert(SnapshotTable.latestVersion(spark, root).get == vNow)
+  }
+
+  test("versionAsOf / readAsOf resolve by publish timestamp") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, Seq((1L, "a")).toDF("k", "s"))
+    val t1 = SnapshotTable.history(spark, root).last.ts
+    assert(t1 > 0, "publish must record a timestamp")
+    Thread.sleep(5)
+    SnapshotTable.append(spark, root, Seq((2L, "b")).toDF("k", "s"))
+    val t2 = SnapshotTable.history(spark, root).last.ts
+    assert(t2 > t1)
+    assert(SnapshotTable.versionAsOf(spark, root, t1) == 1)
+    assert(SnapshotTable.readAsOf(spark, root, t1).count() == 1)
+    assert(SnapshotTable.versionAsOf(spark, root, System.currentTimeMillis() + 1000) == 2)
+    intercept[RuntimeException] { SnapshotTable.versionAsOf(spark, root, t1 - 1) }
+  }
+
   test("vacuum after DML keeps partially-referenced dirs; a later compact releases them") {
     val root = freshRoot()
     clustered(root)
