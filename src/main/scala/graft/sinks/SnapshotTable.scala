@@ -145,7 +145,7 @@ object SnapshotTable {
   def latestVersion(spark: SparkSession, root: String): Option[Int] =
     versions(spark, root).lastOption
 
-  private def readManifest(spark: SparkSession, root: String, v: Int): Commit = {
+  private[graft] def readManifest(spark: SparkSession, root: String, v: Int): Commit = {
     val f = fs(spark, root)
     val in = f.open(manifestPath(root, v))
     val txt =
@@ -445,7 +445,7 @@ object SnapshotTable {
       mergeSchemas(_, next)).json
   }
 
-  private def schemaFromJson(s: String): org.apache.spark.sql.types.StructType =
+  private[graft] def schemaFromJson(s: String): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.DataType.fromJson(s).asInstanceOf[org.apache.spark.sql.types.StructType]
 
   private def commit(
@@ -1177,7 +1177,7 @@ object SnapshotTable {
 
   /** Live file-level entries of a manifest: stat-covered files
     * individually, stat-less entries (pre-stats dirs) as-is. */
-  private def fileEntries(m: Commit): Seq[String] = {
+  private[graft] def fileEntries(m: Commit): Seq[String] = {
     val coveredFiles = m.files.map(_.path).toSet
     val coveredDirs = m.files.map(f => f.path.take(f.path.lastIndexOf('/'))).toSet
     val uncovered = m.dirs.filterNot(e => coveredDirs.contains(e) || coveredFiles.contains(e))
