@@ -1258,7 +1258,7 @@ object SnapshotTable {
     * Production note: an in-flight commit's data dir is unreferenced until
     * its publish; run vacuum with an age threshold (or quiesced writers) on
     * a live table. Returns the deleted root-relative paths. */
-  def vacuum(spark: SparkSession, root: String, keepLast: Int): Seq[String] = {
+  def vacuum(spark: SparkSession, root: String, keepLast: Int, minAgeMs: Long = 0L): Seq[String] = {
     require(keepLast >= 1, "must retain at least the latest version")
     val f = fs(spark, root)
     val vs = versions(spark, root)
@@ -1272,13 +1272,50 @@ object SnapshotTable {
       f.delete(manifestPath(root, v), false); f"_manifests/v$v%08d.json"
     }
     val dataDir = new Path(root, "data")
+    // minAgeMs is the in-flight-commit guard the protocol note calls for
+    // on a LIVE table: a writer's data dir is unreferenced until its
+    // publish, so an age threshold longer than any commit's write phase
+    // makes vacuum safe to run beside writers — young unreferenced dirs
+    // are presumed in-flight and skipped until a later vacuum.
+    val cutoff = System.currentTimeMillis() - minAgeMs
     val deletedData =
       if (!f.exists(dataDir)) Seq.empty[String]
       else
-        f.listStatus(dataDir).toSeq.map(s => "data/" + s.getPath.getName).filterNot(live).map {
-          rel =>
+        f.listStatus(dataDir)
+          .toSeq
+          .filter(s => minAgeMs <= 0L || s.getModificationTime <= cutoff)
+          .map(s => "data/" + s.getPath.getName)
+          .filterNot(live)
+          .map { rel =>
             f.delete(new Path(root, rel), true); rel
-        }
+          }
     deletedManifests ++ deletedData
+  }
+
+  /** The commit log as a model-sized DataFrame — the DESCRIBE HISTORY
+    * surface: one row per version with action, publish time, net row
+    * delta, file/byte footprint, and the streaming epoch id if any. */
+  def historyDf(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    history(spark, root)
+      .map(c =>
+        (
+          c.version,
+          c.action,
+          if (c.ts > 0) Some(new java.sql.Timestamp(c.ts)) else None,
+          c.addedRows,
+          c.files.size,
+          c.files.map(_.rows).sum,
+          c.files.map(f => math.max(f.bytes, 0L)).sum,
+          c.batchId))
+      .toDF(
+        "version",
+        "action",
+        "committed_at",
+        "row_delta",
+        "num_files",
+        "total_rows",
+        "total_bytes",
+        "batch_id")
   }
 }

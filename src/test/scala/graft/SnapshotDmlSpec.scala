@@ -220,6 +220,32 @@ class SnapshotDmlSpec extends SparkSuite {
     intercept[RuntimeException] { SnapshotTable.versionAsOf(spark, root, t1 - 1) }
   }
 
+  test("vacuum minAgeMs: young unreferenced dirs are presumed in-flight and kept") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, Seq((1L, "a")).toDF("k", "s"))
+    // a writer mid-commit: data written, manifest not yet published
+    Seq((99L, "inflight")).toDF("k", "s").write.parquet(s"$root/data/in-flight")
+    val kept = SnapshotTable.vacuum(spark, root, keepLast = 1, minAgeMs = 3600 * 1000L)
+    assert(!kept.exists(_.contains("in-flight")), s"young dir must survive an aged vacuum: $kept")
+    assert(SnapshotTable.read(spark, root).count() == 1)
+    val reclaimed = SnapshotTable.vacuum(spark, root, keepLast = 1)
+    assert(reclaimed.contains("data/in-flight"), s"ageless vacuum reclaims it: $reclaimed")
+  }
+
+  test("historyDf: the commit log as a DataFrame") {
+    val root = freshRoot()
+    clustered(root)
+    SnapshotTable.deleteWhere(spark, root, Seq(Bound("k", Some(0L), Some(124L))))
+    val h = SnapshotTable.historyDf(spark, root)
+    assert(h.columns.toSeq == Seq(
+      "version", "action", "committed_at", "row_delta", "num_files", "total_rows", "total_bytes", "batch_id"))
+    val rows = h.orderBy("version").collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("create", "compact", "delete"))
+    assert(rows.forall(r => !r.isNullAt(2)), "publish timestamps recorded")
+    assert(rows.last.getLong(5) == 875, s"total_rows after delete: ${rows.last}")
+    assert(rows.last.getLong(6) > 0, "byte footprint recorded")
+  }
+
   test("vacuum after DML keeps partially-referenced dirs; a later compact releases them") {
     val root = freshRoot()
     clustered(root)
