@@ -90,7 +90,8 @@ object SnapshotTable {
       batchId: Option[Long] = None,
       schemaJson: Option[String] = None,
       files: Seq[FileStat] = Seq.empty,
-      ts: Long = 0L) // wall-clock publish time (epoch ms); 0 in pre-ts manifests
+      ts: Long = 0L, // wall-clock publish time (epoch ms); 0 in pre-ts manifests
+      constraints: Map[String, String] = Map.empty) // name -> CHECK sql, carried like schema
 
   /** Table schema of `next` committed over `prior`: same-named columns
     * must keep their type (loud failure beats silent corruption — parquet
@@ -194,7 +195,11 @@ object SnapshotTable {
       (j \ "batchId").extractOpt[Long],
       (j \ "schema").extractOpt[String],
       files,
-      (j \ "ts").extractOpt[Long].getOrElse(0L))
+      (j \ "ts").extractOpt[Long].getOrElse(0L),
+      (j \ "constraints") match {
+        case JObject(kvs) => kvs.collect { case (k, JString(v)) => k -> v }.toMap
+        case _ => Map.empty[String, String]
+      })
   }
 
   /** The commit log, ascending by version. */
@@ -324,7 +329,23 @@ object SnapshotTable {
     * one `groupBy(input_file_name())` agg computes count + min/max of every
     * orderable column per file — zero extra passes, and the collected rows
     * are file-count-sized (manifest metadata, same order as `dirs`). */
-  private def writeData(spark: SparkSession, root: String, df: DataFrame): (String, Long, Seq[FileStat]) = {
+  final class ConstraintViolationException(val name: String, val violations: Long)
+      extends RuntimeException(
+        s"CHECK constraint '$name' violated by $violations row(s); nothing was committed")
+
+  /** Enforcement rides the SAME post-write validation aggregation as the
+    * stats: each CHECK contributes one conditional count per file — zero
+    * extra passes. A violation aborts BEFORE publish (the orphaned dir is
+    * reclaimed by [[vacuum]]), so constraint failures can never tear the
+    * table: rows either all satisfy every CHECK or none land. Null CHECK
+    * results count as violations (a CHECK must prove itself), matching
+    * the SQL-standard `CHECK` on an unknown being Delta's strict reading
+    * for data-quality gates. */
+  private def writeData(
+      spark: SparkSession,
+      root: String,
+      df: DataFrame,
+      constraints: Map[String, String] = Map.empty): (String, Long, Seq[FileStat]) = {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     val rel = "data/" + java.util.UUID.randomUUID().toString
     val abs = new Path(root, rel).toString
@@ -343,12 +364,23 @@ object SnapshotTable {
         bloomFields.flatMap(f =>
           bloomPosCols(q(f.name)).zipWithIndex.map { case (pc, i) =>
             collect_set(pc).as(s"__bl${i}_" + f.name)
-          }))
+          }) ++
+        constraints.toSeq.sortBy(_._1).zipWithIndex.map { case ((_, check), i) =>
+          import org.apache.spark.sql.functions.{coalesce, expr, sum, when}
+          sum(when(!coalesce(expr(check), lit(false)), 1L).otherwise(0L)).as(s"__ck$i")
+        })
     val perFile = written
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .toSeq
+    constraints.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((name, _), i) =>
+      val bad = perFile.map(_.getAs[Long](s"__ck$i")).sum
+      if (bad > 0) {
+        fs(spark, root).delete(new Path(abs), true) // abort pre-publish: no orphan lingers
+        throw new ConstraintViolationException(name, bad)
+      }
+    }
     val stats = perFile.map { r =>
       val uri = r.getAs[String]("__file")
       val idx = uri.indexOf(rel)
@@ -409,6 +441,11 @@ object SnapshotTable {
       // writer host; cross-host skew only shifts which version a wall
       // timestamp resolves to, never correctness of the read itself.
       "ts" -> JLong(if (c.ts > 0) c.ts else System.currentTimeMillis())) ++
+      (if (c.constraints.nonEmpty)
+         List("constraints" -> (JObject(c.constraints.toList.sortBy(_._1).map { case (k, v) =>
+           k -> (JString(v): JValue)
+         }): JValue))
+       else Nil) ++
       c.batchId.map(b => "batchId" -> (JLong(b): JValue)).toList ++
       c.schemaJson.map(s => "schema" -> (JString(s): JValue)).toList ++
       (if (c.files.nonEmpty) List("files" -> (fileArr: JValue)) else Nil)
@@ -458,12 +495,23 @@ object SnapshotTable {
     val priorManifest = if (carryForward) base.map(readManifest(spark, root, _)) else None
     val prior = priorManifest.map(_.dirs).getOrElse(Nil)
     val priorFiles = priorManifest.map(_.files).getOrElse(Nil)
+    // constraints are TABLE properties: they survive even replacing
+    // commits (overwrite/compact), unlike the carried dirs/files
+    val checks = base.map(readManifest(spark, root, _).constraints).getOrElse(Map.empty)
     val schema = evolvedSchema(spark, root, base, df, carryForward)
-    val (rel, n, stats) = writeData(spark, root, df)
+    val (rel, n, stats) = writeData(spark, root, df, checks)
     publish(
       spark,
       root,
-      Commit(base.getOrElse(0) + 1, action, prior :+ rel, n, None, Some(schema), priorFiles ++ stats))
+      Commit(
+        base.getOrElse(0) + 1,
+        action,
+        prior :+ rel,
+        n,
+        None,
+        Some(schema),
+        priorFiles ++ stats,
+        constraints = checks))
   }
 
   /** Create the table with an initial snapshot (version 1). */
@@ -491,7 +539,10 @@ object SnapshotTable {
     def committed(): Option[Int] =
       history(spark, root).find(_.batchId.contains(batchId)).map(_.version)
     committed().getOrElse {
-      val (rel, n, stats) = writeData(spark, root, df)
+      val checks0 = latestVersion(spark, root)
+        .map(readManifest(spark, root, _).constraints)
+        .getOrElse(Map.empty)
+      val (rel, n, stats) = writeData(spark, root, df, checks0)
       var result = -1
       while (result < 0) {
         val base = latestVersion(spark, root)
@@ -509,7 +560,8 @@ object SnapshotTable {
             n,
             Some(batchId),
             Some(schema),
-            priorFiles ++ stats))
+            priorFiles ++ stats,
+            constraints = priorManifest.map(_.constraints).getOrElse(checks0)))
         catch {
           case _: ConcurrentCommitException =>
             committed().foreach(v => return v) // replayed epoch lost the race: done
@@ -850,7 +902,8 @@ object SnapshotTable {
     // ranges per file turn a key predicate into near-perfect file skipping.
     val schema = readManifest(spark, root, base).schemaJson
       .getOrElse(org.apache.spark.sql.types.StructType(cur.schema.map(_.copy(nullable = true))).json)
-    publish(spark, root, Commit(base + 1, "compact", Seq(rel), n, None, Some(schema), stats))
+    publish(spark, root, Commit(base + 1, "compact", Seq(rel), n, None, Some(schema), stats,
+      constraints = readManifest(spark, root, base).constraints))
   }
 
   /** Multi-column clustering compaction — the OPTIMIZE ZORDER core. A
@@ -934,7 +987,8 @@ object SnapshotTable {
     val (rel, n, stats) = writeData(spark, root, clustered)
     val schema = readManifest(spark, root, base).schemaJson
       .getOrElse(org.apache.spark.sql.types.StructType(cur.schema.map(_.copy(nullable = true))).json)
-    publish(spark, root, Commit(base + 1, "compact", Seq(rel), n, None, Some(schema), stats))
+    publish(spark, root, Commit(base + 1, "compact", Seq(rel), n, None, Some(schema), stats,
+      constraints = readManifest(spark, root, base).constraints))
   }
 
   // ──────────────────── row-level DML (copy-on-write) ────────────────────
@@ -974,7 +1028,7 @@ object SnapshotTable {
         }
         val before =
           if (plan.uncoveredDirs.isEmpty) rewrite.map(_.rows).sum else src.count()
-        val (rel, n, stats) = writeData(spark, root, transform(src))
+        val (rel, n, stats) = writeData(spark, root, transform(src), m.constraints)
         // an all-rows-deleted rewrite leaves no dir (the empty orphan vacuums away)
         if (n == 0) (Seq.empty[String], Seq.empty[FileStat], -before)
         else (Seq(rel), stats, n - before)
@@ -993,7 +1047,8 @@ object SnapshotTable {
         delta - dropped.map(_.rows).sum,
         None,
         Some(schemaJson),
-        untouched ++ newStats))
+        untouched ++ newStats,
+        constraints = m.constraints))
   }
 
   /** Delete the rows matching `bounds` — Delta-style copy-on-write DML with
@@ -1072,7 +1127,7 @@ object SnapshotTable {
     val m = readManifest(spark, root, base)
     val priorSchema = m.schemaJson.map(schemaFromJson)
     val evolved = evolvedSchema(spark, root, Some(base), source, carryForward = true)
-    val (srcRel, nSrc, srcStats) = writeData(spark, root, source)
+    val (srcRel, nSrc, srcStats) = writeData(spark, root, source, m.constraints)
     if (nSrc == 0) return base // empty upsert: no-op; the orphan dir vacuums away
     val srcDf = spark.read.parquet(new Path(root, srcRel).toString)
     val srcKeys = srcDf.select(keyCols.map(k => col("`" + k + "`")): _*)
@@ -1133,7 +1188,8 @@ object SnapshotTable {
         nSrc - replaced,
         batchId,
         Some(evolved),
-        untouched ++ survStats ++ srcStats))
+        untouched ++ survStats ++ srcStats,
+        constraints = m.constraints))
   }
 
   /** EXACTLY-ONCE streaming UPSERT — the `foreachBatch` CDC-apply
@@ -1290,6 +1346,51 @@ object SnapshotTable {
             f.delete(new Path(root, rel), true); rel
           }
     deletedManifests ++ deletedData
+  }
+
+  /** Add a CHECK constraint (SQL boolean expression over the table's
+    * columns, e.g. `"price_c >= 0"`, `"k IS NOT NULL"`). EXISTING rows are
+    * validated first — one scan, constraint-add is refused if any row
+    * violates (the Delta ALTER TABLE ADD CONSTRAINT contract) — then every
+    * future data-adding commit (create/append/overwrite, exactly-once
+    * epochs, UPDATE rewrites, MERGE sources) enforces it inside the
+    * post-write stats aggregation at zero extra passes; violations abort
+    * pre-publish, so a bad batch can never tear the table. Constraints are
+    * table properties: they survive overwrite and compaction. */
+  def addCheck(spark: SparkSession, root: String, name: String, checkSql: String): Int = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    val base = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
+    val m = readManifest(spark, root, base)
+    require(!m.constraints.contains(name), s"constraint '$name' already exists")
+    val bad = readVersion(spark, root, base).filter(!coalesce(expr(checkSql), lit(false))).count()
+    if (bad > 0) throw new ConstraintViolationException(name, bad)
+    publish(
+      spark,
+      root,
+      m.copy(
+        version = base + 1,
+        action = "constraint",
+        addedRows = 0L,
+        batchId = None,
+        ts = 0L,
+        constraints = m.constraints + (name -> checkSql)))
+  }
+
+  /** Drop a CHECK constraint by name. */
+  def dropCheck(spark: SparkSession, root: String, name: String): Int = {
+    val base = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
+    val m = readManifest(spark, root, base)
+    require(m.constraints.contains(name), s"no constraint '$name' on this table")
+    publish(
+      spark,
+      root,
+      m.copy(
+        version = base + 1,
+        action = "constraint",
+        addedRows = 0L,
+        batchId = None,
+        ts = 0L,
+        constraints = m.constraints - name))
   }
 
   /** The commit log as a model-sized DataFrame — the DESCRIBE HISTORY

@@ -220,6 +220,49 @@ class SnapshotDmlSpec extends SparkSuite {
     intercept[RuntimeException] { SnapshotTable.versionAsOf(spark, root, t1 - 1) }
   }
 
+  test("CHECK constraints: write-time enforcement, history validation, survival across rewrites") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    SnapshotTable.addCheck(spark, root, "pos", "k > 0")
+    // a constraint the existing data violates is refused outright
+    intercept[SnapshotTable.ConstraintViolationException] {
+      SnapshotTable.addCheck(spark, root, "small", "k < 2")
+    }
+    // valid batch lands; violating batch aborts pre-publish, table untouched
+    SnapshotTable.append(spark, root, Seq((3L, "c")).toDF("k", "s"))
+    val vBefore = SnapshotTable.latestVersion(spark, root).get
+    intercept[SnapshotTable.ConstraintViolationException] {
+      SnapshotTable.append(spark, root, Seq((-1L, "bad")).toDF("k", "s"))
+    }
+    assert(SnapshotTable.latestVersion(spark, root).get == vBefore, "failed append must not commit")
+    assert(SnapshotTable.read(spark, root).count() == 3)
+    // a NULL check result is a violation (the row can't prove itself)
+    intercept[SnapshotTable.ConstraintViolationException] {
+      SnapshotTable.append(spark, root, Seq((Option.empty[Long], "n")).toDF("k", "s"))
+    }
+    // UPDATE that would break the check aborts, nothing published
+    intercept[SnapshotTable.ConstraintViolationException] {
+      SnapshotTable.updateWhere(
+        spark, root, Seq(Bound("k", Some(3L), Some(3L))), Map("k" -> lit(-5L)))
+    }
+    assert(SnapshotTable.read(spark, root).filter("k < 0").count() == 0)
+    // constraints are table properties: they survive overwrite AND compaction
+    SnapshotTable.overwrite(spark, root, Seq((5L, "e")).toDF("k", "s"))
+    SnapshotTable.compact(spark, root, "k", nFiles = 1)
+    assert(SnapshotTable.history(spark, root).last.constraints.keySet == Set("pos"))
+    intercept[SnapshotTable.ConstraintViolationException] {
+      SnapshotTable.append(spark, root, Seq((-2L, "bad")).toDF("k", "s"))
+    }
+    // merge sources are gated too
+    intercept[SnapshotTable.ConstraintViolationException] {
+      SnapshotTable.mergeUpsert(spark, root, Seq((-3L, "bad")).toDF("k", "s"), Seq("k"))
+    }
+    // dropped: the same batch lands
+    SnapshotTable.dropCheck(spark, root, "pos")
+    SnapshotTable.append(spark, root, Seq((-1L, "ok now")).toDF("k", "s"))
+    assert(SnapshotTable.read(spark, root).count() == 2)
+  }
+
   test("vacuum minAgeMs: young unreferenced dirs are presumed in-flight and kept") {
     val root = freshRoot()
     SnapshotTable.create(spark, root, Seq((1L, "a")).toDF("k", "s"))
