@@ -28,12 +28,15 @@ import org.json4s.jackson.JsonMethods
   *   1. read the current latest version V (one directory listing),
   *   2. write the new data files under `data/<fresh-uuid>/` — invisible to
   *      every reader, because readers only follow manifests,
-  *   3. publish by creating `_manifests/v{V+1}.json` with
-  *      `FileSystem.create(path, overwrite = false)` — atomic
-  *      create-if-absent on HDFS-semantics filesystems, so of two racing
+  *   3. publish `_manifests/v{V+1}.json` atomically: on HDFS via
+  *      `FileSystem.create(path, overwrite = false)` (a namenode
+  *      transaction), on LOCAL filesystems via write-temp + atomic
+  *      hard-link — Hadoop's local create-if-absent is exists-check-then-
+  *      create and loses a real race (see [[publish]]). Of two racing
   *      committers exactly one wins; the loser gets
   *      [[ConcurrentCommitException]] and retries from step 1 (its orphaned
-  *      data dir is reclaimed by [[vacuum]]). On S3-style stores without
+  *      data dir is reclaimed by [[vacuum]]; plain [[append]] retries
+  *      automatically, since appends commute). On S3-style stores without
   *      atomic create, point `_manifests` at an HDFS/consistent volume or
   *      front it with a lock service — the data dirs can stay on S3.
   *
@@ -146,7 +149,28 @@ object SnapshotTable {
   def latestVersion(spark: SparkSession, root: String): Option[Int] =
     versions(spark, root).lastOption
 
+  /** A manifest becomes VISIBLE at its atomic create but its bytes land a
+    * moment later — a reader racing the winner of a publish can open an
+    * empty or truncated file. That is an IN-FLIGHT commit, not corruption:
+    * retry briefly (the winner's write+close is milliseconds away) before
+    * concluding the manifest is genuinely unreadable. Observed for real:
+    * the concurrent-append stress spec hit the empty-read without this. */
   private[graft] def readManifest(spark: SparkSession, root: String, v: Int): Commit = {
+    var attempt = 0
+    while (true) {
+      try return readManifestOnce(spark, root, v)
+      catch {
+        case e: Exception if !e.isInstanceOf[java.io.FileNotFoundException] =>
+          attempt += 1
+          if (attempt >= 100)
+            sys.error(s"manifest v$v unreadable after ${attempt} attempts (torn publish or corruption): $e")
+          Thread.sleep(10)
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def readManifestOnce(spark: SparkSession, root: String, v: Int): Commit = {
     val f = fs(spark, root)
     val in = f.open(manifestPath(root, v))
     val txt =
@@ -450,15 +474,40 @@ object SnapshotTable {
       c.schemaJson.map(s => "schema" -> (JString(s): JValue)).toList ++
       (if (c.files.nonEmpty) List("files" -> (fileArr: JValue)) else Nil)
     val json = JsonMethods.compact(JsonMethods.render(JObject(fields: _*)))
-    val out =
-      try f.create(p, false)
-      catch {
-        case e: java.io.IOException =>
-          throw new ConcurrentCommitException(
-            s"version ${c.version} was committed concurrently (${e.getMessage}); retry from latest")
-      }
-    try out.write(json.getBytes("UTF-8"))
-    finally out.close()
+    val bytes = json.getBytes("UTF-8")
+    // Atomicity is SCHEME-DEPENDENT and this is load-bearing: HDFS
+    // create(overwrite=false) is a namenode transaction — truly atomic —
+    // but Hadoop's LOCAL filesystem implements it as exists-check THEN
+    // create, so two racing writers can BOTH pass the check and one
+    // manifest silently overwrites the other (observed for real: the
+    // concurrent-append stress spec produced two committers returning the
+    // same version). On local filesystems we therefore publish by writing
+    // a temp file and HARD-LINKING it into place — link(2) is atomic,
+    // fails if the target exists, and makes the COMPLETE manifest visible
+    // in one step (no torn reads either). HDFS keeps create-if-absent
+    // plus the reader-side torn-read retry in [[readManifest]].
+    f match {
+      case _: org.apache.hadoop.fs.LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        val target = java.nio.file.Paths.get(p.toUri.getPath)
+        val tmp = target.resolveSibling(".tmp-" + java.util.UUID.randomUUID())
+        java.nio.file.Files.write(tmp, bytes)
+        try java.nio.file.Files.createLink(target, tmp)
+        catch {
+          case e: java.nio.file.FileAlreadyExistsException =>
+            throw new ConcurrentCommitException(
+              s"version ${c.version} was committed concurrently (${e.getMessage}); retry from latest")
+        } finally java.nio.file.Files.deleteIfExists(tmp)
+      case _ =>
+        val out =
+          try f.create(p, false)
+          catch {
+            case e: java.io.IOException =>
+              throw new ConcurrentCommitException(
+                s"version ${c.version} was committed concurrently (${e.getMessage}); retry from latest")
+          }
+        try out.write(bytes)
+        finally out.close()
+    }
     c.version
   }
 
@@ -521,8 +570,63 @@ object SnapshotTable {
   }
 
   /** Append a batch: new version = previous live dirs + the new one. */
-  def append(spark: SparkSession, root: String, df: DataFrame): Int =
-    commit(spark, root, df, "append", carryForward = true)
+  /** Append a batch. Appends COMMUTE, so a lost publish race retries
+    * automatically against the new latest version (Delta's conflict rule:
+    * append-vs-append is never a real conflict) — the data dir is written
+    * once, only the manifest attempt repeats. If a racing commit changed
+    * the constraint set, the already-written dir is re-validated against
+    * the new checks before the retry publishes (enforcement can never be
+    * skipped by racing it). Replacing/rewriting actions
+    * (overwrite/compact/DML/merge) deliberately do NOT blind-retry: their
+    * output was derived from the base version they read, so a retry could
+    * silently drop a concurrent writer's rows — they surface
+    * [[ConcurrentCommitException]] for the caller to re-derive. */
+  def append(spark: SparkSession, root: String, df: DataFrame): Int = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    var written: Option[(String, Long, Seq[FileStat])] = None
+    var enforced: Map[String, String] = Map.empty
+    var attempts = 0
+    while (true) {
+      val base = latestVersion(spark, root)
+      val priorManifest = base.map(readManifest(spark, root, _))
+      val checks = priorManifest.map(_.constraints).getOrElse(Map.empty)
+      if (written.isEmpty) {
+        written = Some(writeData(spark, root, df, checks))
+        enforced = checks
+      } else if (checks != enforced) {
+        // a racing commit changed the constraint set: re-validate the dir
+        val dir = spark.read.parquet(new Path(root, written.get._1).toString)
+        (checks -- enforced.keySet).foreach { case (name, check) =>
+          val bad = dir.filter(!coalesce(expr(check), lit(false))).count()
+          if (bad > 0) throw new ConstraintViolationException(name, bad)
+        }
+        enforced = checks
+      }
+      val (rel, n, stats) = written.get
+      val prior = priorManifest.map(_.dirs).getOrElse(Nil)
+      val priorFiles = priorManifest.map(_.files).getOrElse(Nil)
+      val schema = evolvedSchema(spark, root, base, df, carryForward = true)
+      try
+        return publish(
+          spark,
+          root,
+          Commit(
+            base.getOrElse(0) + 1,
+            "append",
+            prior :+ rel,
+            n,
+            None,
+            Some(schema),
+            priorFiles ++ stats,
+            constraints = checks))
+      catch {
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts >= 50) throw e // livelock guard; the dir vacuums away
+      }
+    }
+    -1 // unreachable
+  }
 
   /** EXACTLY-ONCE streaming append — the `foreachBatch` sink contract.
     * The micro-batch id is recorded in the manifest, and the manifest
@@ -1327,6 +1431,14 @@ object SnapshotTable {
     val deletedManifests = drop.map { v =>
       f.delete(manifestPath(root, v), false); f"_manifests/v$v%08d.json"
     }
+    // stray publish temps (crash between temp write and link) — age-gated
+    // like data dirs so an in-flight publish is never swept
+    if (f.exists(manifestDir(root)))
+      f.listStatus(manifestDir(root))
+        .filter(s =>
+          s.getPath.getName.startsWith(".tmp-") &&
+            (minAgeMs <= 0L || s.getModificationTime <= System.currentTimeMillis() - minAgeMs))
+        .foreach(s => f.delete(s.getPath, false))
     val dataDir = new Path(root, "data")
     // minAgeMs is the in-flight-commit guard the protocol note calls for
     // on a LIVE table: a writer's data dir is unreferenced until its

@@ -220,6 +220,25 @@ class SnapshotDmlSpec extends SparkSuite {
     intercept[RuntimeException] { SnapshotTable.versionAsOf(spark, root, t1 - 1) }
   }
 
+  test("concurrent appends: racing writers all land via automatic retry, no rows lost") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, Seq((0L, "base")).toDF("k", "s"))
+    // appends commute: every racing writer must land (losers retry against
+    // the new latest), and no committed rows may be lost or duplicated
+    val writers = (1 to 6).map(i =>
+      Future(SnapshotTable.append(spark, root, Seq((i.toLong, s"w$i")).toDF("k", "s"))))
+    val versions = Await.result(Future.sequence(writers), 180.seconds)
+    assert(versions.toSet.size == 6, s"every writer needs its own version: $versions")
+    assert(SnapshotTable.latestVersion(spark, root).get == 7)
+    val ks = SnapshotTable.read(spark, root).select("k").as[Long].collect().sorted.toSeq
+    assert(ks == (0L to 6L), s"all rows exactly once: $ks")
+    // a DML/compact publish race, by contrast, surfaces loudly — never a blind retry
+    assert(SnapshotTable.history(spark, root).forall(c => c.action == "create" || c.action == "append"))
+  }
+
   test("CHECK constraints: write-time enforcement, history validation, survival across rewrites") {
     val root = freshRoot()
     SnapshotTable.create(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
