@@ -107,7 +107,10 @@ object Sources {
       SnapshotTable.create(s, root, o.filter(col("k") % 10 === 0))
       SnapshotTable.append(s, root, o.filter(col("k") % 10 === 1))
       SnapshotTable.append(s, root, o.filter(col("k") % 10 === 2))
-      SnapshotTable.compact(s, root, "k", nFiles = 2)
+      // fan-in scales with the session (fixed tiny counts collapse write
+      // parallelism at large SF: 15M rows into 2 files measured 21 s at
+      // generated sf10); the oracle is file-count-independent
+      SnapshotTable.compact(s, root, "k", nFiles = s.sparkContext.defaultParallelism)
       def snap(v: Int) =
         SnapshotTable
           .readVersion(s, root, v)
@@ -136,7 +139,7 @@ object Sources {
           cents(col("o_totalprice")).as("price_c"))
       SnapshotTable.create(s, root, o.filter(col("k") % 2 === 0))
       SnapshotTable.append(s, root, o.filter(col("k") % 2 === 1))
-      SnapshotTable.compact(s, root, "d", nFiles = 8)
+      SnapshotTable.compact(s, root, "d", nFiles = s.sparkContext.defaultParallelism)
       SnapshotTable
         .readWhere(s, root, Seq(SnapshotTable.Bound("d", Some("1996-01-01"), Some("1996-12-31"))))
         .groupBy((year(col("d")) * 100 + month(col("d"))).cast("int").as("ym"))
@@ -215,7 +218,7 @@ object Sources {
         .select(col("o_orderkey").as("k"), cents(col("o_totalprice")).as("price_c"))
         .withColumn("tag", concat(lit("x" * 70), expr("CAST(k div 1000 AS STRING)")))
       SnapshotTable.create(s, root, o)
-      SnapshotTable.compact(s, root, "k", nFiles = 8)
+      SnapshotTable.compact(s, root, "k", nFiles = s.sparkContext.defaultParallelism)
       val probe = "x" * 70 + "2"
       SnapshotTable
         .readWhere(s, root, Seq(Bound("tag", Some(probe), Some(probe))))
