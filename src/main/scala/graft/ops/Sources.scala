@@ -329,7 +329,17 @@ object SnapshotCycle {
             col("o_orderkey").as("k"),
             to_date(col("o_orderdate")).as("d"),
             floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("price_c"))
-        SnapshotTable.create(s, root, o) // v1
+        // date-clustered create (no extra commit, same versions/rows): the
+        // DML predicates are date ranges, so the delete drops interior
+        // files with zero I/O and the update rewrites only 1997's files —
+        // the cycle exercises the copy-on-write economics instead of the
+        // unclustered full-rewrite worst case (which SCALING.md measures
+        // separately)
+        val par = s.sparkContext.defaultParallelism
+        SnapshotTable.create(
+          s,
+          root,
+          o.repartitionByRange(par, col("d")).sortWithinPartitions("d")) // v1
         SnapshotTable.deleteWhere(s, root, Seq(Bound("d", Some("1995-01-01"), Some("1995-12-31")))) // v2
         SnapshotTable.updateWhere(
           s,
