@@ -83,6 +83,35 @@ class SnapshotSourceSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("batch frames plan through the manifest FileIndex: filters prune files inside a micro-batch") {
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThan, Literal}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val root = freshRoot()
+    SnapshotTable.create(
+      spark,
+      root,
+      spark.range(1000).selectExpr("id AS k", "concat('v', id) AS s"))
+    SnapshotTable.compact(spark, root, "k", nFiles = 8)
+    // the DataFrame a micro-batch executes is getBatch's: its relation
+    // must be a HadoopFsRelation over OUR FileIndex, and the pushed
+    // filters FileSourceStrategy hands that index at planning time must
+    // prune — driven directly here because an isStreaming frame can't run
+    // as a standalone batch query
+    val src = new graft.sinks.SnapshotSource(spark, root, None)
+    val batch = src.getBatch(None, org.apache.spark.sql.execution.streaming.runtime.LongOffset(2L))
+    val lr = batch.queryExecution.logical
+      .collectFirst { case l: LogicalRelation => l }
+      .getOrElse(fail("getBatch frame is not a LogicalRelation"))
+    assert(lr.isStreaming, "micro-batch frames must be streaming-tagged")
+    val rel = lr.relation.asInstanceOf[HadoopFsRelation]
+    assert(rel.location.isInstanceOf[graft.sinks.SnapshotFileIndex])
+    val k = lr.output.find(_.name == "k").get
+    val pruned = rel.location.listFiles(Nil, Seq(GreaterThan(k, Literal(874L))))
+    assert(pruned.map(_.files.size).sum == 1, s"k > 874 lives in exactly one clustered file: $pruned")
+    val full = rel.location.listFiles(Nil, Nil)
+    assert(full.map(_.files.size).sum == 8)
+  }
+
   test("startVersion option skips history; DML commits re-emit only rewritten files' rows") {
     val root = freshRoot()
     SnapshotTable.create(spark, root, batch((1L to 8L).map(i => i -> s"v$i"): _*).repartition(4)) // v1, 4 files
