@@ -78,15 +78,24 @@ final class SnapshotSource(spark: SparkSession, root: String, startVersion: Opti
     val synthetic = endManifest.copy(
       dirs = entries,
       files = endManifest.files.filter(f => entrySet.contains(f.path)))
-    val idx = new SnapshotFileIndex(spark, root, synthetic, schema)
+    // scan PHYSICAL columns, surface logical (renamed tables; see
+    // SnapshotTable's column mapping) — the stream's output schema stays
+    // the logical one the source declared
+    val phys = SnapshotTable.physicalSchemaOf(schema)
+    val idx = new SnapshotFileIndex(spark, root, synthetic, phys)
     val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       idx,
       new StructType(),
-      schema,
+      phys,
       None,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
       Map.empty)(spark)
-    org.apache.spark.sql.GraftSqlBridge.ofRows(spark, LogicalRelation(rel, isStreaming = true))
+    val base =
+      org.apache.spark.sql.GraftSqlBridge.ofRows(spark, LogicalRelation(rel, isStreaming = true))
+    if (phys.fieldNames.sameElements(schema.fieldNames)) base
+    else
+      base.select(schema.fields.map(f =>
+        org.apache.spark.sql.functions.col("`" + SnapshotTable.physName(f) + "`").as(f.name)).toSeq: _*)
   }
 
   override def commit(end: V1Offset): Unit = ()

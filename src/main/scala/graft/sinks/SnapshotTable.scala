@@ -114,12 +114,68 @@ object SnapshotTable {
       }
     }
     val priorNames = prior.fieldNames.toSet
-    org.apache.spark.sql.types.StructType(
+    val merged = org.apache.spark.sql.types.StructType(
       (prior.fields ++ next.fields.filterNot(f => priorNames(f.name))).map(_.copy(nullable = true)))
+    // renamed columns freeze their physical parquet name; a NEW logical
+    // column may not collide with any frozen physical name (two logical
+    // columns would read the same bytes)
+    val phys = merged.fields.map(physName)
+    require(
+      phys.distinct.length == phys.length,
+      s"physical column collision after evolution: ${phys.diff(phys.distinct).mkString(", ")} " +
+        "(a new column matches a renamed column's frozen physical name)")
+    merged
   }
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  // ───────── logical→physical column mapping (metadata-only renames) ─────────
+  // A renamed column keeps its PHYSICAL parquet name forever (recorded in
+  // the field's metadata); only the manifest schema's logical name changes.
+  // Default physical == logical, so unmapped tables take every fast path
+  // unchanged. Writers rename logical→physical before the parquet write,
+  // so ALL files of a table always share physical names; readers read the
+  // physical schema and project back to logical. Stats, blooms, and
+  // bounds are keyed by PHYSICAL name internally.
+
+  private val PhysKey = "graft.physical"
+
+  private[graft] def physName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey) else f.name
+
+  private[graft] def physicalSchemaOf(
+      s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    toPhysical(s)
+
+  private def toPhysical(
+      s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(s.fields.map(f => f.copy(name = physName(f))))
+
+  private def hasMapping(s: org.apache.spark.sql.types.StructType): Boolean =
+    s.fields.exists(f => physName(f) != f.name)
+
+  /** logical → physical for the names that differ. */
+  private def mappingOf(s: org.apache.spark.sql.types.StructType): Map[String, String] =
+    s.fields.collect { case f if physName(f) != f.name => f.name -> physName(f) }.toMap
+
+  /** Read `paths` under the table schema: parquet columns are PHYSICAL
+    * names, the returned frame is LOGICAL. The single read path every
+    * consumer (readVersion/Where, DML, CDC, streaming batches) goes
+    * through. */
+  private def readTablePaths(
+      spark: SparkSession,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      paths: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    schema match {
+      case Some(s) =>
+        val base = spark.read.schema(toPhysical(s)).parquet(paths: _*)
+        if (!hasMapping(s)) base
+        else base.select(s.fields.map(f => col("`" + physName(f) + "`").as(f.name)).toSeq: _*)
+      case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
+  }
 
   /** Containing data dir of a live entry — identity for dir entries,
     * parent for the file-path entries DML commits write. */
@@ -369,16 +425,30 @@ object SnapshotTable {
       spark: SparkSession,
       root: String,
       df: DataFrame,
-      constraints: Map[String, String] = Map.empty): (String, Long, Seq[FileStat]) = {
+      constraints: Map[String, String] = Map.empty,
+      physicalOf: Map[String, String] = Map.empty): (String, Long, Seq[FileStat]) = {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     val rel = "data/" + java.util.UUID.randomUUID().toString
     val abs = new Path(root, rel).toString
-    df.write.parquet(abs)
+    // constraints are authored in LOGICAL names: enforce before the
+    // physical rename; renamed columns then write under their immutable
+    // physical parquet names so every file of the table stays uniform
+    val physDf = physicalOf.foldLeft(df) { case (d, (logical, physical)) =>
+      if (d.columns.contains(logical)) d.withColumnRenamed(logical, physical) else d
+    }
+    physDf.write.parquet(abs)
     val written = spark.read.parquet(abs)
     import org.apache.spark.sql.functions.collect_set
     val statFields = written.schema.fields.filter(f => statable(f.dataType)).toSeq
     val bloomFields = written.schema.fields.filter(f => bloomable(f.dataType)).toSeq
     def q(n: String) = col("`" + n + "`")
+    // CHECK constraints are authored in LOGICAL names; the written frame
+    // carries physical ones. Alias the logical names alongside so the
+    // stats (physical) and the constraint sums (logical) run in the SAME
+    // single aggregation pass.
+    val aggInput = physicalOf.foldLeft(written) { case (d, (logical, physical)) =>
+      if (d.columns.contains(physical)) d.withColumn(logical, q(physical)) else d
+    }
     val aggs = count(lit(1)).as("__rows") +:
       (statFields.flatMap(f =>
         Seq(
@@ -393,7 +463,7 @@ object SnapshotTable {
           import org.apache.spark.sql.functions.{coalesce, expr, sum, when}
           sum(when(!coalesce(expr(check), lit(false)), 1L).otherwise(0L)).as(s"__ck$i")
         })
-    val perFile = written
+    val perFile = aggInput
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -548,7 +618,8 @@ object SnapshotTable {
     // commits (overwrite/compact), unlike the carried dirs/files
     val checks = base.map(readManifest(spark, root, _).constraints).getOrElse(Map.empty)
     val schema = evolvedSchema(spark, root, base, df, carryForward)
-    val (rel, n, stats) = writeData(spark, root, df, checks)
+    val (rel, n, stats) =
+      writeData(spark, root, df, checks, mappingOf(schemaFromJson(schema)))
     publish(
       spark,
       root,
@@ -590,8 +661,12 @@ object SnapshotTable {
       val base = latestVersion(spark, root)
       val priorManifest = base.map(readManifest(spark, root, _))
       val checks = priorManifest.map(_.constraints).getOrElse(Map.empty)
+      // evolve FIRST: the merge guards (type changes, physical-name
+      // collisions) must fire before any bytes are written
+      val schemaEarly = evolvedSchema(spark, root, base, df, carryForward = true)
       if (written.isEmpty) {
-        written = Some(writeData(spark, root, df, checks))
+        written = Some(
+          writeData(spark, root, df, checks, mappingOf(schemaFromJson(schemaEarly))))
         enforced = checks
       } else if (checks != enforced) {
         // a racing commit changed the constraint set: re-validate the dir
@@ -605,7 +680,7 @@ object SnapshotTable {
       val (rel, n, stats) = written.get
       val prior = priorManifest.map(_.dirs).getOrElse(Nil)
       val priorFiles = priorManifest.map(_.files).getOrElse(Nil)
-      val schema = evolvedSchema(spark, root, base, df, carryForward = true)
+      val schema = schemaEarly
       try
         return publish(
           spark,
@@ -643,10 +718,13 @@ object SnapshotTable {
     def committed(): Option[Int] =
       history(spark, root).find(_.batchId.contains(batchId)).map(_.version)
     committed().getOrElse {
-      val checks0 = latestVersion(spark, root)
-        .map(readManifest(spark, root, _).constraints)
+      val latest0 = latestVersion(spark, root)
+      val checks0 = latest0.map(readManifest(spark, root, _).constraints).getOrElse(Map.empty)
+      val mapping0 = latest0
+        .flatMap(readManifest(spark, root, _).schemaJson)
+        .map(j => mappingOf(schemaFromJson(j)))
         .getOrElse(Map.empty)
-      val (rel, n, stats) = writeData(spark, root, df, checks0)
+      val (rel, n, stats) = writeData(spark, root, df, checks0, mapping0)
       var result = -1
       while (result < 0) {
         val base = latestVersion(spark, root)
@@ -692,10 +770,7 @@ object SnapshotTable {
   def readVersion(spark: SparkSession, root: String, v: Int): DataFrame = {
     val m = readManifest(spark, root, v)
     val paths = m.dirs.map(d => new Path(root, d).toString)
-    m.schemaJson match {
-      case Some(s) => spark.read.schema(schemaFromJson(s)).parquet(paths: _*)
-      case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
-    }
+    readTablePaths(spark, m.schemaJson.map(schemaFromJson), paths)
   }
 
   /** The version visible at wall-clock `tsMillis` — the latest commit
@@ -802,8 +877,10 @@ object SnapshotTable {
   private[graft] def prunePlan(spark: SparkSession, root: String, v: Int, bounds: Seq[Bound]): PrunePlan = {
     val m = readManifest(spark, root, v)
     val schema = m.schemaJson.map(schemaFromJson)
+    // stats/blooms are keyed by the PHYSICAL column name; bounds arrive in
+    // logical names
     val typed = bounds.flatMap { b =>
-      schema.flatMap(_.fields.find(_.name == b.column)).map(f => (b, f.dataType))
+      schema.flatMap(_.fields.find(_.name == b.column)).map(f => (b, f.dataType, physName(f)))
     }
     // a dirs entry is covered if it is a stat-bearing file itself (DML
     // commits list untouched files individually) or a dir whose files all
@@ -815,9 +892,9 @@ object SnapshotTable {
     // or, for an EQUALITY bound (lower == upper), its Bloom filter proves
     // the value absent (an unset probe bit; false negatives are impossible)
     def dead(fst: FileStat): Boolean =
-      typed.exists { case (b, dt) =>
-        val mi = fst.min.get(b.column).flatMap(normJ(dt, _))
-        val ma = fst.max.get(b.column).flatMap(normJ(dt, _))
+      typed.exists { case (b, dt, key) =>
+        val mi = fst.min.get(key).flatMap(normJ(dt, _))
+        val ma = fst.max.get(key).flatMap(normJ(dt, _))
         val lo = b.lower.flatMap(normBound(dt, _))
         val hi = b.upper.flatMap(normBound(dt, _))
         val belowLower = (lo, ma) match {
@@ -829,7 +906,7 @@ object SnapshotTable {
           case _ => false
         }
         val isEquality = lo.isDefined && lo == hi
-        val bloomDead = isEquality && (fst.bloom.get(b.column) match {
+        val bloomDead = isEquality && (fst.bloom.get(key) match {
           case Some(b64) =>
             probePositions(dt, b.lower.get).exists(_.exists(p => !bloomHas(b64, p)))
           case None => false
@@ -860,11 +937,7 @@ object SnapshotTable {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           schema.getOrElse(sys.error("empty prune result on a pre-schema manifest")))
-      else
-        schema match {
-          case Some(s) => spark.read.schema(s).parquet(paths: _*)
-          case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
-        }
+      else readTablePaths(spark, schema, paths)
     applyBounds(base, bounds)
   }
 
@@ -886,19 +959,27 @@ object SnapshotTable {
     * `readWhere` call. `readVersion` semantics otherwise: the recorded
     * schema of version `v`, evolved columns null in old files. */
   def relationVersion(spark: SparkSession, root: String, v: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val m = readManifest(spark, root, v)
     val schema = m.schemaJson
       .map(schemaFromJson)
       .getOrElse(readVersion(spark, root, v).schema) // pre-schema: footer merge
-    val idx = new SnapshotFileIndex(spark, root, m, schema)
+    // the relation scans PHYSICAL columns (what the files and the manifest
+    // stats actually carry); renamed columns surface through the logical
+    // projection, and pushed filters rewrite through the aliases back to
+    // physical attributes before they reach the FileIndex
+    val phys = toPhysical(schema)
+    val idx = new SnapshotFileIndex(spark, root, m, phys)
     val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       idx,
       new org.apache.spark.sql.types.StructType(),
-      schema,
+      phys,
       None,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
       Map.empty)(spark)
-    spark.baseRelationToDataFrame(rel)
+    val base = spark.baseRelationToDataFrame(rel)
+    if (!hasMapping(schema)) base
+    else base.select(schema.fields.map(f => col("`" + physName(f) + "`").as(f.name)).toSeq: _*)
   }
 
   /** Latest-version Catalyst-integrated relation — see [[relationVersion]]. */
@@ -928,13 +1009,13 @@ object SnapshotTable {
       schema: Option[org.apache.spark.sql.types.StructType],
       bounds: Seq[Bound])(fst: FileStat): Boolean = {
     val typed = bounds.map { b =>
-      b -> schema.flatMap(_.fields.find(_.name == b.column)).map(_.dataType)
+      b -> schema.flatMap(_.fields.find(_.name == b.column)).map(f => (f.dataType, physName(f)))
     }
     typed.forall {
-      case (b, Some(dt)) =>
-        val mi = fst.min.get(b.column).flatMap(normJ(dt, _))
-        val ma = fst.max.get(b.column).flatMap(normJ(dt, _))
-        val noNulls = fst.nonNull.get(b.column).contains(fst.rows)
+      case (b, Some((dt, key))) =>
+        val mi = fst.min.get(key).flatMap(normJ(dt, _))
+        val ma = fst.max.get(key).flatMap(normJ(dt, _))
+        val noNulls = fst.nonNull.get(key).contains(fst.rows)
         val loOk = b.lower.fold(true)(lo =>
           (normBound(dt, lo), mi) match {
             case (Some(l), Some(mn)) => !lt(mn, l)
@@ -976,11 +1057,7 @@ object SnapshotTable {
       if (plan.scanPaths.isEmpty) 0L
       else {
         val paths = plan.scanPaths.map(p => new Path(root, p).toString)
-        val base = m.schemaJson match {
-          case Some(s) => spark.read.schema(schemaFromJson(s)).parquet(paths: _*)
-          case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
-        }
-        applyBounds(base, bounds).count()
+        applyBounds(readTablePaths(spark, m.schemaJson.map(schemaFromJson), paths), bounds).count()
       }
     plan.metaRows + scanned
   }
@@ -996,10 +1073,14 @@ object SnapshotTable {
     import org.apache.spark.sql.functions.col
     val base = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
     val cur = readVersion(spark, root, base)
+    val carriedMapping = readManifest(spark, root, base).schemaJson
+      .map(j => mappingOf(schemaFromJson(j)))
+      .getOrElse(Map.empty)
     val (rel, n, stats) = writeData(
       spark,
       root,
-      cur.repartitionByRange(nFiles, col(keyCol)).sortWithinPartitions(keyCol))
+      cur.repartitionByRange(nFiles, col(keyCol)).sortWithinPartitions(keyCol),
+      physicalOf = carriedMapping)
     // a compact is data-identical, so it CARRIES the current schema rather
     // than re-deriving it from the rewritten files. Range-clustering on
     // keyCol is also what makes the per-file stats SELECTIVE: disjoint key
@@ -1088,7 +1169,10 @@ object SnapshotTable {
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop(axisNames :+ "__z": _*)
-    val (rel, n, stats) = writeData(spark, root, clustered)
+    val zMapping = readManifest(spark, root, base).schemaJson
+      .map(j => mappingOf(schemaFromJson(j)))
+      .getOrElse(Map.empty)
+    val (rel, n, stats) = writeData(spark, root, clustered, physicalOf = zMapping)
     val schema = readManifest(spark, root, base).schemaJson
       .getOrElse(org.apache.spark.sql.types.StructType(cur.schema.map(_.copy(nullable = true))).json)
     publish(spark, root, Commit(base + 1, "compact", Seq(rel), n, None, Some(schema), stats,
@@ -1126,13 +1210,11 @@ object SnapshotTable {
       if (scanPaths.isEmpty) (Seq.empty[String], Seq.empty[FileStat], 0L)
       else {
         val paths = scanPaths.map(p => new Path(root, p).toString)
-        val src = schema match {
-          case Some(s) => spark.read.schema(s).parquet(paths: _*)
-          case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
-        }
+        val src = readTablePaths(spark, schema, paths)
         val before =
           if (plan.uncoveredDirs.isEmpty) rewrite.map(_.rows).sum else src.count()
-        val (rel, n, stats) = writeData(spark, root, transform(src), m.constraints)
+        val (rel, n, stats) = writeData(
+          spark, root, transform(src), m.constraints, schema.map(mappingOf).getOrElse(Map.empty))
         // an all-rows-deleted rewrite leaves no dir (the empty orphan vacuums away)
         if (n == 0) (Seq.empty[String], Seq.empty[FileStat], -before)
         else (Seq(rel), stats, n - before)
@@ -1231,17 +1313,17 @@ object SnapshotTable {
     val m = readManifest(spark, root, base)
     val priorSchema = m.schemaJson.map(schemaFromJson)
     val evolved = evolvedSchema(spark, root, Some(base), source, carryForward = true)
-    val (srcRel, nSrc, srcStats) = writeData(spark, root, source, m.constraints)
+    val evolvedMapping = mappingOf(schemaFromJson(evolved))
+    val (srcRel, nSrc, srcStats) = writeData(spark, root, source, m.constraints, evolvedMapping)
     if (nSrc == 0) return base // empty upsert: no-op; the orphan dir vacuums away
-    val srcDf = spark.read.parquet(new Path(root, srcRel).toString)
+    // read the written source back in LOGICAL names (the dir carries only
+    // the source's own columns; restrict the projection to those)
+    val srcSchema = org.apache.spark.sql.types.StructType(
+      schemaFromJson(evolved).fields.filter(f => source.columns.contains(f.name)))
+    val srcDf = readTablePaths(spark, Some(srcSchema), Seq(new Path(root, srcRel).toString))
     val srcKeys = srcDf.select(keyCols.map(k => col("`" + k + "`")): _*)
-    def readAs(paths: Seq[String]): DataFrame = {
-      val abs = paths.map(p => new Path(root, p).toString)
-      priorSchema match {
-        case Some(s) => spark.read.schema(s).parquet(abs: _*)
-        case None => spark.read.option("mergeSchema", "true").parquet(abs: _*)
-      }
-    }
+    def readAs(paths: Seq[String]): DataFrame =
+      readTablePaths(spark, priorSchema, paths.map(p => new Path(root, p).toString))
     // stage 1: envelope prune (zero I/O; min/max ignore null keys)
     val aggs = keyCols.flatMap(k =>
       Seq(min(col("`" + k + "`")).as("__lo_" + k), max(col("`" + k + "`")).as("__hi_" + k)))
@@ -1278,7 +1360,7 @@ object SnapshotTable {
             m.files.filter(f => touched.contains(f.path)).map(_.rows).sum
           else tgt.count()
         val survivors = tgt.join(srcKeys, keyCols, "left_anti")
-        val (rel, n, stats) = writeData(spark, root, survivors)
+        val (rel, n, stats) = writeData(spark, root, survivors, m.constraints, evolvedMapping)
         if (n == 0) (Seq.empty[String], Seq.empty[FileStat], before)
         else (Seq(rel), stats, before - n)
       }
@@ -1364,13 +1446,7 @@ object SnapshotTable {
     val schema = readManifest(spark, root, toV).schemaJson.map(schemaFromJson)
     def readPaths(paths: Seq[String]): Option[DataFrame] =
       if (paths.isEmpty) None
-      else {
-        val abs = paths.map(p => new Path(root, p).toString)
-        Some(schema match {
-          case Some(s) => spark.read.schema(s).parquet(abs: _*)
-          case None => spark.read.option("mergeSchema", "true").parquet(abs: _*)
-        })
-      }
+      else Some(readTablePaths(spark, schema, paths.map(p => new Path(root, p).toString)))
     def tag(df: DataFrame, tpe: String, v: Int): DataFrame =
       df.withColumn("_change_type", lit(tpe)).withColumn("_commit_version", lit(v))
     val steps = ((fromV + 1) to toV).flatMap { v =>
@@ -1458,6 +1534,88 @@ object SnapshotTable {
             f.delete(new Path(root, rel), true); rel
           }
     deletedManifests ++ deletedData
+  }
+
+  /** METADATA-ONLY column rename — no data rewrite, at any file count:
+    * the field keeps its immutable PHYSICAL parquet name (recorded in the
+    * field metadata the schema JSON round-trips) and only the manifest's
+    * LOGICAL name changes. Readers scan physical and project to logical;
+    * writers map logical back to physical, so files written before and
+    * after the rename stay uniform; stats/blooms/bounds key by physical
+    * internally and every read/DML/Catalyst/streaming surface keeps
+    * working under the new name. Time travel shows each version under the
+    * name IT recorded. Constraints referencing the old name are refused
+    * (re-add them under the new name). */
+  def renameColumn(spark: SparkSession, root: String, oldName: String, newName: String): Int = {
+    val base = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
+    val m = readManifest(spark, root, base)
+    val schema = m.schemaJson
+      .map(schemaFromJson)
+      .getOrElse(sys.error("renameColumn needs a schema-recording manifest"))
+    require(schema.fieldNames.contains(oldName), s"no column '$oldName' in table schema")
+    require(!schema.fieldNames.contains(newName), s"column '$newName' already exists")
+    m.constraints.foreach { case (cname, sql) =>
+      require(
+        !sql.matches(s".*\\b${java.util.regex.Pattern.quote(oldName)}\\b.*"),
+        s"constraint '$cname' references column '$oldName'; drop it first and re-add under the new name")
+    }
+    val renamed = org.apache.spark.sql.types.StructType(schema.fields.map { f =>
+      if (f.name != oldName) f
+      else
+        f.copy(
+          name = newName,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(PhysKey, physName(f)) // freeze the physical name
+            .build())
+    })
+    publish(
+      spark,
+      root,
+      m.copy(
+        version = base + 1,
+        action = "schema",
+        addedRows = 0L,
+        batchId = None,
+        ts = 0L,
+        schemaJson = Some(renamed.json)))
+  }
+
+  /** METADATA-ONLY column drop — no data rewrite: the new manifest's
+    * recorded schema simply omits the column, and since reads project
+    * through the manifest schema (not the parquet footers), every file's
+    * bytes for the dropped column become invisible immediately, at every
+    * file count, for zero I/O. Time travel is unaffected: older versions
+    * still read the column (their manifests still record it). Re-adding a
+    * same-named column later requires the same type (the files still
+    * carry the old bytes, which then REAPPEAR under the revived column —
+    * documented Delta-without-column-mapping semantics). Constraints
+    * referencing the column must be dropped first (loud check). */
+  def dropColumn(spark: SparkSession, root: String, name: String): Int = {
+    val base = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
+    val m = readManifest(spark, root, base)
+    val schema = m.schemaJson
+      .map(schemaFromJson)
+      .getOrElse(sys.error("dropColumn needs a schema-recording manifest"))
+    require(schema.fieldNames.contains(name), s"no column '$name' in table schema")
+    require(schema.fields.length > 1, "cannot drop the last column")
+    m.constraints.foreach { case (cname, sql) =>
+      require(
+        !sql.matches(s".*\\b${java.util.regex.Pattern.quote(name)}\\b.*"),
+        s"constraint '$cname' references column '$name'; drop the constraint first")
+    }
+    val narrowed =
+      org.apache.spark.sql.types.StructType(schema.fields.filterNot(_.name == name))
+    publish(
+      spark,
+      root,
+      m.copy(
+        version = base + 1,
+        action = "schema",
+        addedRows = 0L,
+        batchId = None,
+        ts = 0L,
+        schemaJson = Some(narrowed.json)))
   }
 
   /** Add a CHECK constraint (SQL boolean expression over the table's

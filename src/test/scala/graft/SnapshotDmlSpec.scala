@@ -220,6 +220,78 @@ class SnapshotDmlSpec extends SparkSuite {
     intercept[RuntimeException] { SnapshotTable.versionAsOf(spark, root, t1 - 1) }
   }
 
+  test("renameColumn is metadata-only: reads, pruning, DML, appends, time travel under the new name") {
+    val root = freshRoot()
+    clustered(root) // (k, x, s) in 8 k-clustered files
+    val dirsBefore = SnapshotTable.history(spark, root).last.dirs.toSet
+    SnapshotTable.renameColumn(spark, root, "s", "label")
+    // no data was written
+    val m = SnapshotTable.history(spark, root).last
+    assert(m.action == "schema" && m.dirs.toSet == dirsBefore, "rename must not touch data")
+    val cur = SnapshotTable.read(spark, root)
+    assert(cur.columns.toSeq == Seq("k", "x", "label"))
+    assert(cur.filter("label = 's42'").count() == 1, "old values visible under the new name")
+    // bounds in the NEW logical name hit the physically-keyed stats
+    val eq = Seq(Bound("label", Some("s42"), Some("s42")))
+    assert(SnapshotTable.readWhere(spark, root, eq).count() == 1)
+    assert(SnapshotTable.countWhere(spark, root, eq) == 1)
+    // DML through the renamed bound column
+    SnapshotTable.deleteWhere(spark, root, Seq(Bound("k", Some(0L), Some(124L))))
+    assert(SnapshotTable.read(spark, root).count() == 875)
+    // appends write the LOGICAL name; the file lands under the PHYSICAL one
+    SnapshotTable.append(
+      spark,
+      root,
+      spark.range(2000, 2005).selectExpr("id AS k", "CAST(0.0 AS DOUBLE) AS x", "'fresh' AS label"))
+    assert(SnapshotTable.read(spark, root).filter("label = 'fresh'").count() == 5)
+    val newDir = SnapshotTable.history(spark, root).last.dirs
+      .filterNot(SnapshotTable.history(spark, root).init.last.dirs.toSet)
+    val rawCols = spark.read.parquet(newDir.map(d => s"$root/$d"): _*).columns.toSeq
+    assert(rawCols.contains("s") && !rawCols.contains("label"),
+      s"new files must carry the frozen physical name: $rawCols")
+    // Catalyst relation + SQL under the new name, with pruning
+    SnapshotTable.relation(spark, root).createOrReplaceTempView("renamed_snap")
+    assert(spark.sql("SELECT count(*) AS n FROM renamed_snap WHERE label = 'fresh'").collect()(0).getLong(0) == 5)
+    assert(spark.sql("SELECT count(*) AS n FROM renamed_snap WHERE k >= 900").collect()(0).getLong(0) == 105)
+    // time travel: version 2 (pre-rename) still shows 's'
+    assert(SnapshotTable.readVersion(spark, root, 2).columns.contains("s"))
+    // re-adding a column named like the frozen physical name is refused
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotTable.append(
+        spark,
+        root,
+        spark.range(1).selectExpr("id AS k", "CAST(0.0 AS DOUBLE) AS x", "'a' AS label", "'boom' AS s"))
+    }
+    assert(ex.getMessage.contains("collision"), ex.getMessage)
+  }
+
+  test("dropColumn is metadata-only: bytes invisible immediately, old versions unaffected") {
+    val root = freshRoot()
+    clustered(root)
+    val dirsBefore = SnapshotTable.history(spark, root).last.dirs.toSet
+    SnapshotTable.dropColumn(spark, root, "x")
+    val m = SnapshotTable.history(spark, root).last
+    assert(m.action == "schema" && m.dirs.toSet == dirsBefore, "drop must not rewrite data")
+    assert(SnapshotTable.read(spark, root).columns.toSeq == Seq("k", "s"))
+    // appends without the dropped column; reads stay consistent
+    SnapshotTable.append(spark, root, spark.range(5000, 5002).selectExpr("id AS k", "'n' AS s"))
+    assert(SnapshotTable.read(spark, root).count() == 1002)
+    // old version still carries the column
+    assert(SnapshotTable.readVersion(spark, root, 2).columns.contains("x"))
+    // a same-type revival reads the OLD bytes back (documented semantics)
+    SnapshotTable.append(
+      spark,
+      root,
+      spark.range(1).selectExpr("id + 9000 AS k", "'r' AS s", "CAST(1.5 AS DOUBLE) AS x"))
+    val revived = SnapshotTable.read(spark, root)
+    assert(revived.columns.contains("x"))
+    assert(revived.filter("k = 42 AND x IS NOT NULL").count() == 1, "old bytes reappear under the revived column")
+    // a constraint referencing the column blocks the drop
+    SnapshotTable.addCheck(spark, root, "xnn", "x IS NOT NULL OR k >= 0")
+    val ex = intercept[IllegalArgumentException] { SnapshotTable.dropColumn(spark, root, "x") }
+    assert(ex.getMessage.contains("constraint"), ex.getMessage)
+  }
+
   test("concurrent appends: racing writers all land via automatic retry, no rows lost") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
