@@ -199,6 +199,44 @@ object Sources {
           "FROM snapshot_orders WHERE d BETWEEN DATE'1996-01-01' AND DATE'1996-12-31' " +
           "GROUP BY 1, 2 ORDER BY y, m")
     },
+    // Metadata-only schema DDL in the ORACLE GATE: build a table, RENAME
+    // the price column (zero rewrite — the physical parquet name freezes
+    // in the field metadata), DELETE through a bound on the RENAMED
+    // column, append new rows under the new name (they land under the
+    // frozen physical name), DROP a column, and aggregate the result
+    // under the final schema. The oracle replays the same algebra on the
+    // fixture — the hash-match proves the logical/physical mapping is
+    // invisible to every result a user sees.
+    "q_snapshot_ddl" -> { (s, dir) =>
+      import graft.sinks.SnapshotTable
+      import graft.sinks.SnapshotTable.Bound
+      val root = "/tmp/graft-snapddl/" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val o = Fixtures
+        .table(s, dir, "orders")
+        .select(
+          col("o_orderkey").as("k"),
+          to_date(col("o_orderdate")).as("d"),
+          cents(col("o_totalprice")).as("price_c"))
+      SnapshotTable.create(s, root, o)
+      SnapshotTable.renameColumn(s, root, "price_c", "amount_c")
+      // delete through a bound on the RENAMED column: all amounts >= $200k
+      SnapshotTable.deleteWhere(s, root, Seq(Bound("amount_c", Some(20000000L), None)))
+      // append under the new name: every k%1000==0 key returns at amount 1
+      SnapshotTable.append(
+        s,
+        root,
+        o.filter(col("k") % 1000 === 0)
+          .select(col("k") + 10000000L as "k", col("d"), lit(1L).as("amount_c")))
+      SnapshotTable.dropColumn(s, root, "d")
+      SnapshotTable
+        .read(s, root)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum("amount_c").as("sum_amount_c"),
+          sum(col("k") % 1000000L).as("key_sum"))
+    },
     // EQUALITY point lookup through the manifest Bloom index: the probe
     // column is a 71-char string — past the 64-char min/max stat cap, so
     // range stats are blind to it and only the per-file bloom (m=4096,
@@ -289,6 +327,13 @@ object Sources {
         "CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(price_c) AS BIGINT) AS sum_price_c " +
         "FROM fin WHERE d BETWEEN DATE '1996-01-01' AND DATE '1996-12-31' " +
         "GROUP BY 1, 2 ORDER BY y, m"),
+    "q_snapshot_ddl" ->
+      ("WITH o AS (SELECT o_orderkey AS k, CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS amount_c FROM orders), " +
+        "kept AS (SELECT k, amount_c FROM o WHERE amount_c < 20000000), " +
+        "added AS (SELECT k + 10000000 AS k, CAST(1 AS BIGINT) AS amount_c FROM o WHERE k % 1000 = 0), " +
+        "fin AS (SELECT * FROM kept UNION ALL SELECT * FROM added) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(amount_c) AS BIGINT) AS sum_amount_c, " +
+        "CAST(sum(k % 1000000) AS BIGINT) AS key_sum FROM fin"),
     "q_snapshot_eq" ->
       ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
         "CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c, " +
