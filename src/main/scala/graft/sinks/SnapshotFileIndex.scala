@@ -90,7 +90,12 @@ private[graft] final class SnapshotFileIndex(
     case (BooleanType, b: java.lang.Boolean) => Some(scala.Left(BigDecimal(if (b) 1 else 0)))
     case (_: DecimalType, dec: org.apache.spark.sql.types.Decimal) =>
       Some(scala.Left(dec.toBigDecimal))
-    case (ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType, n: Number) =>
+    case (FloatType | DoubleType, n: Number) =>
+      // NaN/Infinity comparison literals must keep the file, not crash
+      // planning (BigDecimal can't represent them)
+      val d = n.doubleValue()
+      if (java.lang.Double.isFinite(d)) Some(scala.Left(BigDecimal(n.toString))) else None
+    case (ByteType | ShortType | IntegerType | LongType, n: Number) =>
       Some(scala.Left(BigDecimal(n.toString)))
     case _ => None
   }

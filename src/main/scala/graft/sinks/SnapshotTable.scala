@@ -124,6 +124,16 @@ object SnapshotTable {
       phys.distinct.length == phys.length,
       s"physical column collision after evolution: ${phys.diff(phys.distinct).mkString(", ")} " +
         "(a new column matches a renamed column's frozen physical name)")
+    // and no LOGICAL name may equal a DIFFERENT field's physical name —
+    // the write-side logical->physical rename would otherwise corrupt the
+    // frame (swap-chains are refused loudly rather than silently mangled)
+    merged.fields.foreach { f =>
+      val clash = merged.fields.exists(o => (o ne f) && physName(o) == f.name)
+      require(
+        !clash,
+        s"column '${f.name}' collides with another column's frozen physical name; " +
+          "rename it away first")
+    }
     merged
   }
 
@@ -670,9 +680,15 @@ object SnapshotTable {
         enforced = checks
       } else if (checks != enforced) {
         // a racing commit changed the constraint set: re-validate the dir
+        // against every check not already enforced AS THE SAME (name, sql)
+        // PAIR — a same-named constraint with new text must re-prove too
         val dir = spark.read.parquet(new Path(root, written.get._1).toString)
-        (checks -- enforced.keySet).foreach { case (name, check) =>
-          val bad = dir.filter(!coalesce(expr(check), lit(false))).count()
+        val logicalDir = mappingOf(schemaFromJson(schemaEarly)).foldLeft(dir) {
+          case (d, (logical, physical)) =>
+            if (d.columns.contains(physical)) d.withColumn(logical, d("`" + physical + "`")) else d
+        }
+        (checks.toSet -- enforced.toSet).foreach { case (name, check) =>
+          val bad = logicalDir.filter(!coalesce(expr(check), lit(false))).count()
           if (bad > 0) throw new ConstraintViolationException(name, bad)
         }
         enforced = checks
@@ -726,12 +742,29 @@ object SnapshotTable {
         .getOrElse(Map.empty)
       val (rel, n, stats) = writeData(spark, root, df, checks0, mapping0)
       var result = -1
+      var enforced = checks0
       while (result < 0) {
         val base = latestVersion(spark, root)
         val priorManifest = base.map(readManifest(spark, root, _))
         val prior = priorManifest.map(_.dirs).getOrElse(Nil)
         val priorFiles = priorManifest.map(_.files).getOrElse(Nil)
         val schema = evolvedSchema(spark, root, base, df, carryForward = true)
+        val checksNow = priorManifest.map(_.constraints).getOrElse(checks0)
+        if (checksNow != enforced) {
+          // a constraint raced in since the dir was validated: re-prove the
+          // already-written data before claiming the new constraint set
+          import org.apache.spark.sql.functions.{coalesce, expr, lit}
+          val dir = spark.read.parquet(new Path(root, rel).toString)
+          val logicalDir = mappingOf(schemaFromJson(schema)).foldLeft(dir) {
+            case (d, (logical, physical)) =>
+              if (d.columns.contains(physical)) d.withColumn(logical, d("`" + physical + "`")) else d
+          }
+          (checksNow.toSet -- enforced.toSet).foreach { case (name, check) =>
+            val bad = logicalDir.filter(!coalesce(expr(check), lit(false))).count()
+            if (bad > 0) throw new ConstraintViolationException(name, bad)
+          }
+          enforced = checksNow
+        }
         try result = publish(
           spark,
           root,
@@ -743,7 +776,7 @@ object SnapshotTable {
             Some(batchId),
             Some(schema),
             priorFiles ++ stats,
-            constraints = priorManifest.map(_.constraints).getOrElse(checks0)))
+            constraints = checksNow))
         catch {
           case _: ConcurrentCommitException =>
             committed().foreach(v => return v) // replayed epoch lost the race: done
@@ -1073,9 +1106,9 @@ object SnapshotTable {
     import org.apache.spark.sql.functions.col
     val base = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
     val cur = readVersion(spark, root, base)
-    val carriedMapping = readManifest(spark, root, base).schemaJson
-      .map(j => mappingOf(schemaFromJson(j)))
-      .getOrElse(Map.empty)
+    val baseManifest = readManifest(spark, root, base)
+    val carriedMapping =
+      baseManifest.schemaJson.map(j => mappingOf(schemaFromJson(j))).getOrElse(Map.empty)
     val (rel, n, stats) = writeData(
       spark,
       root,
@@ -1085,10 +1118,10 @@ object SnapshotTable {
     // than re-deriving it from the rewritten files. Range-clustering on
     // keyCol is also what makes the per-file stats SELECTIVE: disjoint key
     // ranges per file turn a key predicate into near-perfect file skipping.
-    val schema = readManifest(spark, root, base).schemaJson
+    val schema = baseManifest.schemaJson
       .getOrElse(org.apache.spark.sql.types.StructType(cur.schema.map(_.copy(nullable = true))).json)
     publish(spark, root, Commit(base + 1, "compact", Seq(rel), n, None, Some(schema), stats,
-      constraints = readManifest(spark, root, base).constraints))
+      constraints = baseManifest.constraints))
   }
 
   /** Multi-column clustering compaction — the OPTIMIZE ZORDER core. A
@@ -1169,14 +1202,13 @@ object SnapshotTable {
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop(axisNames :+ "__z": _*)
-    val zMapping = readManifest(spark, root, base).schemaJson
-      .map(j => mappingOf(schemaFromJson(j)))
-      .getOrElse(Map.empty)
+    val zManifest = readManifest(spark, root, base)
+    val zMapping = zManifest.schemaJson.map(j => mappingOf(schemaFromJson(j))).getOrElse(Map.empty)
     val (rel, n, stats) = writeData(spark, root, clustered, physicalOf = zMapping)
-    val schema = readManifest(spark, root, base).schemaJson
+    val schema = zManifest.schemaJson
       .getOrElse(org.apache.spark.sql.types.StructType(cur.schema.map(_.copy(nullable = true))).json)
     publish(spark, root, Commit(base + 1, "compact", Seq(rel), n, None, Some(schema), stats,
-      constraints = readManifest(spark, root, base).constraints))
+      constraints = zManifest.constraints))
   }
 
   // ──────────────────── row-level DML (copy-on-write) ────────────────────
@@ -1273,10 +1305,16 @@ object SnapshotTable {
         require(df.columns.contains(name), s"updateWhere SET column '$name' is not in the table schema")
       }
       val m = matchCol(bounds)
-      set.foldLeft(df) { case (d, (name, expr)) =>
-        val dt = d.schema(name).dataType
-        d.withColumn(name, when(m, expr.cast(dt)).otherwise(col("`" + name + "`")))
-      }
+      // ONE projection: every SET expression evaluates against the OLD
+      // row (SQL UPDATE semantics) — sequential withColumn would feed
+      // later SETs already-updated values, making a column swap silently
+      // wrong and the outcome Map-iteration-order-dependent
+      df.select(df.schema.fields.map { f =>
+        set.get(f.name) match {
+          case Some(expr) => when(m, expr.cast(f.dataType)).otherwise(col("`" + f.name + "`")).as(f.name)
+          case None => col("`" + f.name + "`")
+        }
+      }.toSeq: _*)
     }
   }
 
@@ -1331,9 +1369,12 @@ object SnapshotTable {
     val bounds = keyCols.map(k =>
       Bound(k, Option(kb.getAs[Any]("__lo_" + k)), Option(kb.getAs[Any]("__hi_" + k))))
     val allKeysNull = bounds.forall(b => b.lower.isEmpty && b.upper.isEmpty)
-    val plan =
-      if (allKeysNull) PrunePlan(Seq.empty, m.files.map(_.path), Seq.empty) // nothing can match
-      else prunePlan(spark, root, base, bounds)
+    // all-null source keys match nothing, but pre-stats dirs must still be
+    // CARRIED (an invented empty uncovered set would silently drop them
+    // from the manifest): run the real prune with no bounds — the
+    // touched-file discovery then finds zero matches and only stat-less
+    // dirs pay an identity rewrite
+    val plan = prunePlan(spark, root, base, if (allKeysNull) Seq.empty else bounds)
     // stage 2: exact touched-file discovery over the candidates, reading
     // only the key columns (columnar scan) + the file name
     val touched: Set[String] =
@@ -1398,12 +1439,17 @@ object SnapshotTable {
       history(spark, root).find(_.batchId.contains(batchId)).map(_.version)
     committed().getOrElse {
       var result = -1
+      var attempts = 0
       while (result < 0) {
         try result = mergeUpsert(spark, root, source, keyCols, Some(batchId))
         catch {
-          case _: ConcurrentCommitException =>
+          case e: ConcurrentCommitException =>
             committed().foreach(v => return v) // replayed epoch lost to itself: done
-          // else: an interleaved other writer took the slot; re-derive and retry
+            // else: an interleaved other writer took the slot; re-derive and
+            // retry (each attempt re-runs the merge, so cap the spin — the
+            // orphaned dirs of lost attempts vacuum away)
+            attempts += 1
+            if (attempts >= 20) throw e
         }
       }
       result
@@ -1554,9 +1600,12 @@ object SnapshotTable {
       .getOrElse(sys.error("renameColumn needs a schema-recording manifest"))
     require(schema.fieldNames.contains(oldName), s"no column '$oldName' in table schema")
     require(!schema.fieldNames.contains(newName), s"column '$newName' already exists")
+    require(
+      !schema.fields.exists(f => f.name != oldName && physName(f) == newName),
+      s"'$newName' is another column's frozen physical name; swap-chains are not supported")
     m.constraints.foreach { case (cname, sql) =>
       require(
-        !sql.matches(s".*\\b${java.util.regex.Pattern.quote(oldName)}\\b.*"),
+        !sql.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(oldName)}\\b.*"),
         s"constraint '$cname' references column '$oldName'; drop it first and re-add under the new name")
     }
     val renamed = org.apache.spark.sql.types.StructType(schema.fields.map { f =>
@@ -1601,7 +1650,7 @@ object SnapshotTable {
     require(schema.fields.length > 1, "cannot drop the last column")
     m.constraints.foreach { case (cname, sql) =>
       require(
-        !sql.matches(s".*\\b${java.util.regex.Pattern.quote(name)}\\b.*"),
+        !sql.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(name)}\\b.*"),
         s"constraint '$cname' references column '$name'; drop the constraint first")
     }
     val narrowed =

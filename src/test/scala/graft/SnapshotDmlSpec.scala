@@ -220,6 +220,30 @@ class SnapshotDmlSpec extends SparkSuite {
     intercept[RuntimeException] { SnapshotTable.versionAsOf(spark, root, t1 - 1) }
   }
 
+  test("updateWhere SET expressions all see the OLD row: a column swap swaps") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, Seq((1L, 10L, 20L), (2L, 30L, 40L)).toDF("k", "a", "b"))
+    SnapshotTable.updateWhere(
+      spark, root, Seq(Bound("k", Some(1L), Some(1L))),
+      Map("a" -> col("b"), "b" -> col("a")))
+    val rows = SnapshotTable.read(spark, root).as[(Long, Long, Long)].collect().toSet
+    assert(rows == Set((1L, 20L, 10L), (2L, 30L, 40L)), s"swap must not see updated values: $rows")
+  }
+
+  test("rename swap-chains are refused; non-finite filter literals never crash the relation") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, Seq((1L, 1.5)).toDF("a", "x"))
+    SnapshotTable.renameColumn(spark, root, "a", "tmp") // tmp freezes physical 'a'
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotTable.renameColumn(spark, root, "x", "a") // 'a' is tmp's frozen physical name
+    }
+    assert(ex.getMessage.contains("physical"), ex.getMessage)
+    // NaN/Infinity comparison literals: conservative keep, no plan-time crash
+    val df = SnapshotTable.relation(spark, root)
+    assert(df.filter(col("x") < lit(Double.PositiveInfinity)).count() == 1)
+    assert(df.filter(col("x") === lit(Double.NaN)).count() == 0)
+  }
+
   test("renameColumn is metadata-only: reads, pruning, DML, appends, time travel under the new name") {
     val root = freshRoot()
     clustered(root) // (k, x, s) in 8 k-clustered files
