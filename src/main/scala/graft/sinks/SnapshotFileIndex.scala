@@ -49,8 +49,12 @@ private[graft] final class SnapshotFileIndex(
   override def refresh(): Unit = ()
 
   override def sizeInBytes: Long = {
-    val known = m.files.map(f => math.max(f.bytes, 0L)).sum
-    if (known > 0) known else Long.MaxValue // unknown: never fake a broadcastable size
+    // ANY unsized live entry (bytes = -1 pre-bytes manifest, or a stat-less
+    // dir) makes the total unknown: summing only the known files would
+    // under-report and could auto-broadcast a huge table. Never fake a
+    // broadcastable size.
+    if (uncoveredEntries.nonEmpty || m.files.exists(_.bytes < 0) || m.files.isEmpty) Long.MaxValue
+    else m.files.map(_.bytes).sum
   }
 
   override def inputFiles: Array[String] =

@@ -94,7 +94,12 @@ object SnapshotTable {
       schemaJson: Option[String] = None,
       files: Seq[FileStat] = Seq.empty,
       ts: Long = 0L, // wall-clock publish time (epoch ms); 0 in pre-ts manifests
-      constraints: Map[String, String] = Map.empty) // name -> CHECK sql, carried like schema
+      constraints: Map[String, String] = Map.empty, // name -> CHECK sql, carried like schema
+      // physical-name -> type JSON of columns dropped while live files
+      // still carry their bytes: enforces the revival contract (re-adding
+      // the name requires the same type). Cleared by full rewrites
+      // (overwrite/compact) — no live file holds the bytes anymore.
+      dropped: Map[String, String] = Map.empty)
 
   /** Table schema of `next` committed over `prior`: same-named columns
     * must keep their type (loud failure beats silent corruption — parquet
@@ -289,6 +294,10 @@ object SnapshotTable {
       (j \ "constraints") match {
         case JObject(kvs) => kvs.collect { case (k, JString(v)) => k -> v }.toMap
         case _ => Map.empty[String, String]
+      },
+      (j \ "dropped") match {
+        case JObject(kvs) => kvs.collect { case (k, JString(v)) => k -> v }.toMap
+        case _ => Map.empty[String, String]
       })
   }
 
@@ -404,7 +413,11 @@ object SnapshotTable {
         case DateType => Some(JString(v.toString)) // ISO yyyy-MM-dd: lexicographic = chronological
         case TimestampType =>
           val t = v.asInstanceOf[java.sql.Timestamp]
-          Some(JLong(t.getTime / 1000 * 1000000L + t.getNanos / 1000)) // exact epoch micros
+          // floorDiv, not truncating /: getTime rounds toward zero, but
+          // getNanos is always in [0,1e9) — for pre-1970 timestamps the
+          // truncating form maps -0.5s to +500000µs and the manifest
+          // min/max stops being monotone, so pruning could skip live rows
+          Some(JLong(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000)) // exact epoch micros
         case TimestampNTZType =>
           val t = v.asInstanceOf[java.time.LocalDateTime]
           Some(JLong(t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000))
@@ -550,6 +563,11 @@ object SnapshotTable {
            k -> (JString(v): JValue)
          }): JValue))
        else Nil) ++
+      (if (c.dropped.nonEmpty)
+         List("dropped" -> (JObject(c.dropped.toList.sortBy(_._1).map { case (k, v) =>
+           k -> (JString(v): JValue)
+         }): JValue))
+       else Nil) ++
       c.batchId.map(b => "batchId" -> (JLong(b): JValue)).toList ++
       c.schemaJson.map(s => "schema" -> (JString(s): JValue)).toList ++
       (if (c.files.nonEmpty) List("files" -> (fileArr: JValue)) else Nil)
@@ -578,10 +596,26 @@ object SnapshotTable {
               s"version ${c.version} was committed concurrently (${e.getMessage}); retry from latest")
         } finally java.nio.file.Files.deleteIfExists(tmp)
       case _ =>
+        // Only the EXISTS failure of create-if-absent means "lost the race":
+        // HDFS surfaces it as FileAlreadyExistsException (sometimes wrapped
+        // in a RemoteException, incl. AlreadyBeingCreatedException for an
+        // in-flight winner). Any other IOException is a REAL I/O failure
+        // (permissions, quota, network) and must propagate — translating it
+        // would spin the append retry loop 50 times against a broken volume
+        // and surface a misleading "committed concurrently" error.
+        def isExistsRace(e: java.io.IOException): Boolean = e match {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
+          case re: org.apache.hadoop.ipc.RemoteException =>
+            val cn = re.getClassName
+            cn == classOf[org.apache.hadoop.fs.FileAlreadyExistsException].getName ||
+            cn == "org.apache.hadoop.hdfs.protocol.AlreadyBeingCreatedException" ||
+            cn == "java.io.FileAlreadyExistsException"
+          case _ => e.getClass.getSimpleName.contains("FileAlreadyExists")
+        }
         val out =
           try f.create(p, false)
           catch {
-            case e: java.io.IOException =>
+            case e: java.io.IOException if isExistsRace(e) =>
               throw new ConcurrentCommitException(
                 s"version ${c.version} was committed concurrently (${e.getMessage}); retry from latest")
           }
@@ -614,6 +648,30 @@ object SnapshotTable {
   private[graft] def schemaFromJson(s: String): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.DataType.fromJson(s).asInstanceOf[org.apache.spark.sql.types.StructType]
 
+  /** Enforce the dropped-column REVIVAL contract at commit time: a column
+    * whose physical name matches one recorded in `dropped` is re-adding a
+    * name whose bytes live files still carry — allowed only at the SAME
+    * type (the old bytes then reappear under the revived column, the
+    * documented semantics), refused loudly otherwise (parquet would
+    * coexist both types under one physical name until a reader dies with
+    * a confusing conversion error much later). Returns the still-dropped
+    * set — a same-type revival un-drops. */
+  private def reviveDropped(
+      dropped: Map[String, String],
+      merged: org.apache.spark.sql.types.StructType): Map[String, String] = {
+    merged.fields.foreach { f =>
+      dropped.get(physName(f)).foreach { tj =>
+        val prior = org.apache.spark.sql.types.DataType.fromJson(tj)
+        require(
+          f.dataType == prior,
+          s"column '${f.name}' revives dropped physical column '${physName(f)}' as " +
+            s"${f.dataType.sql}, but live files still carry ${prior.sql} bytes under that " +
+            "name; revive with the original type or compact first")
+      }
+    }
+    dropped -- merged.fields.map(physName)
+  }
+
   private def commit(
       spark: SparkSession,
       root: String,
@@ -628,6 +686,12 @@ object SnapshotTable {
     // commits (overwrite/compact), unlike the carried dirs/files
     val checks = base.map(readManifest(spark, root, _).constraints).getOrElse(Map.empty)
     val schema = evolvedSchema(spark, root, base, df, carryForward)
+    // replacing commits rewrite every live file: dropped-column bytes are
+    // gone, the revival ledger resets; carried commits check + carry it
+    val dropped =
+      if (carryForward)
+        reviveDropped(priorManifest.map(_.dropped).getOrElse(Map.empty), schemaFromJson(schema))
+      else Map.empty[String, String]
     val (rel, n, stats) =
       writeData(spark, root, df, checks, mappingOf(schemaFromJson(schema)))
     publish(
@@ -641,7 +705,8 @@ object SnapshotTable {
         None,
         Some(schema),
         priorFiles ++ stats,
-        constraints = checks))
+        constraints = checks,
+        dropped = dropped))
   }
 
   /** Create the table with an initial snapshot (version 1). */
@@ -697,6 +762,8 @@ object SnapshotTable {
       val prior = priorManifest.map(_.dirs).getOrElse(Nil)
       val priorFiles = priorManifest.map(_.files).getOrElse(Nil)
       val schema = schemaEarly
+      val dropped =
+        reviveDropped(priorManifest.map(_.dropped).getOrElse(Map.empty), schemaFromJson(schema))
       try
         return publish(
           spark,
@@ -709,7 +776,8 @@ object SnapshotTable {
             None,
             Some(schema),
             priorFiles ++ stats,
-            constraints = checks))
+            constraints = checks,
+            dropped = dropped))
       catch {
         case e: ConcurrentCommitException =>
           attempts += 1
@@ -743,6 +811,7 @@ object SnapshotTable {
       val (rel, n, stats) = writeData(spark, root, df, checks0, mapping0)
       var result = -1
       var enforced = checks0
+      var attempts = 0
       while (result < 0) {
         val base = latestVersion(spark, root)
         val priorManifest = base.map(readManifest(spark, root, _))
@@ -776,11 +845,18 @@ object SnapshotTable {
             Some(batchId),
             Some(schema),
             priorFiles ++ stats,
-            constraints = checksNow))
+            constraints = checksNow,
+            dropped = reviveDropped(
+              priorManifest.map(_.dropped).getOrElse(Map.empty),
+              schemaFromJson(schema))))
         catch {
-          case _: ConcurrentCommitException =>
+          case e: ConcurrentCommitException =>
             committed().foreach(v => return v) // replayed epoch lost the race: done
-          // else: interleaved OTHER writer took the slot; loop re-reads latest
+            // else: interleaved OTHER writer took the slot; loop re-reads
+            // latest — with the same livelock cap as plain append (the data
+            // dir of an abandoned attempt vacuums away)
+            attempts += 1
+            if (attempts >= 50) throw e
         }
       }
       result
@@ -857,7 +933,7 @@ object SnapshotTable {
       case (StringType | DateType, s: String) => Some(Right(s))
       case (DateType, d: java.sql.Date) => Some(Right(d.toString))
       case (TimestampType | TimestampNTZType, t: java.sql.Timestamp) =>
-        Some(Left(BigDecimal(t.getTime / 1000 * 1000000L + t.getNanos / 1000)))
+        Some(Left(BigDecimal(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000)))
       case (BooleanType, b: Boolean) => Some(Left(BigDecimal(if (b) 1 else 0)))
       case (_, n: Number) => Some(Left(BigDecimal(n.toString)))
       case _ => None
@@ -1266,7 +1342,8 @@ object SnapshotTable {
         None,
         Some(schemaJson),
         untouched ++ newStats,
-        constraints = m.constraints))
+        constraints = m.constraints,
+        dropped = m.dropped)) // untouched files still carry dropped-column bytes
   }
 
   /** Delete the rows matching `bounds` — Delta-style copy-on-write DML with
@@ -1416,7 +1493,8 @@ object SnapshotTable {
         batchId,
         Some(evolved),
         untouched ++ survStats ++ srcStats,
-        constraints = m.constraints))
+        constraints = m.constraints,
+        dropped = reviveDropped(m.dropped, schemaFromJson(evolved))))
   }
 
   /** EXACTLY-ONCE streaming UPSERT — the `foreachBatch` CDC-apply
@@ -1636,10 +1714,15 @@ object SnapshotTable {
     * bytes for the dropped column become invisible immediately, at every
     * file count, for zero I/O. Time travel is unaffected: older versions
     * still read the column (their manifests still record it). Re-adding a
-    * same-named column later requires the same type (the files still
-    * carry the old bytes, which then REAPPEAR under the revived column —
-    * documented Delta-without-column-mapping semantics). Constraints
-    * referencing the column must be dropped first (loud check). */
+    * same-named column later requires the same type — ENFORCED: the drop
+    * records (physical name, type) in the manifest's `dropped` ledger and
+    * every evolving commit refuses a different-typed revival
+    * ([[reviveDropped]]); a same-type revival un-drops and the old bytes
+    * REAPPEAR under the revived column — documented
+    * Delta-without-column-mapping semantics. The ledger clears at full
+    * rewrites (overwrite/compact), when no live file carries the bytes
+    * anymore. Constraints referencing the column must be dropped first
+    * (loud check). */
   def dropColumn(spark: SparkSession, root: String, name: String): Int = {
     val base = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
     val m = readManifest(spark, root, base)
@@ -1653,6 +1736,7 @@ object SnapshotTable {
         !sql.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(name)}\\b.*"),
         s"constraint '$cname' references column '$name'; drop the constraint first")
     }
+    val field = schema.fields.find(_.name == name).get
     val narrowed =
       org.apache.spark.sql.types.StructType(schema.fields.filterNot(_.name == name))
     publish(
@@ -1664,7 +1748,8 @@ object SnapshotTable {
         addedRows = 0L,
         batchId = None,
         ts = 0L,
-        schemaJson = Some(narrowed.json)))
+        schemaJson = Some(narrowed.json),
+        dropped = m.dropped + (physName(field) -> field.dataType.json)))
   }
 
   /** Add a CHECK constraint (SQL boolean expression over the table's

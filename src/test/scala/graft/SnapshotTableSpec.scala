@@ -374,4 +374,67 @@ class SnapshotTableSpec extends SparkSuite {
     }
     assert(ex.getMessage.contains("rangeable"), ex.getMessage)
   }
+
+  test("pre-epoch timestamp stats stay monotone: pruning never skips matching rows") {
+    // java.sql.Timestamp holds nanos in [0,1e9): truncating division mapped
+    // -0.5s to +500000µs, making manifest min/max non-monotone for
+    // pre-1970 data — a bounded read could then skip a file containing
+    // matches. floorDiv semantics keep the micros axis ordered.
+    import org.apache.spark.sql.functions.{col => c, lit, to_timestamp}
+    val root = freshRoot()
+    val df = Seq(
+      ("a", java.sql.Timestamp.valueOf("1969-12-31 23:59:59.5")),
+      ("b", java.sql.Timestamp.valueOf("1969-12-31 23:59:58.0")),
+      ("c", java.sql.Timestamp.valueOf("1970-01-01 00:00:00.2")),
+      ("d", java.sql.Timestamp.valueOf("1971-06-01 12:00:00.0"))).toDF("k", "t")
+    SnapshotTable.create(spark, root, df.repartition(4, c("k"))) // scatter across files
+    val lo = java.sql.Timestamp.valueOf("1969-12-31 23:59:59.0")
+    val hi = java.sql.Timestamp.valueOf("1970-01-01 00:00:01.0")
+    val got = SnapshotTable
+      .readWhere(spark, root, Seq(SnapshotTable.Bound("t", Some(lo), Some(hi))))
+      .select("k").as[String].collect().toSet
+    assert(got == Set("a", "c"), s"pre-epoch rows must survive pruning: $got")
+    // count path agrees (metadata/scan split uses the same axis)
+    assert(SnapshotTable.countWhere(spark, root, Seq(SnapshotTable.Bound("t", Some(lo), Some(hi)))) == 2L)
+  }
+
+  test("dropped-column revival: same type revives the bytes, different type is refused") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, batch(1L -> "a", 2L -> "b"))
+    SnapshotTable.dropColumn(spark, root, "v")
+    assert(SnapshotTable.read(spark, root).columns.toSeq == Seq("id"))
+    // a different-typed revival is refused LOUDLY (live files still carry
+    // string bytes under physical name 'v')
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotTable.append(spark, root, Seq((3L, 33)).toDF("id", "v"))
+    }
+    assert(ex.getMessage.contains("revives"), ex.getMessage)
+    // same-typed revival un-drops: the old bytes reappear under the column
+    SnapshotTable.append(spark, root, Seq((3L, "c")).toDF("id", "v"))
+    assert(rows(SnapshotTable.read(spark, root)) == Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    // and after the revival the ledger is clear: evolution is unrestricted again
+    assert(SnapshotTable.history(spark, root).last.dropped.isEmpty)
+    // a full rewrite also clears the ledger: drop again, compact, then an
+    // int-typed 'v' is fine (no live file carries string bytes anymore)
+    SnapshotTable.dropColumn(spark, root, "v")
+    SnapshotTable.compact(spark, root, "id", nFiles = 1)
+    SnapshotTable.append(spark, root, Seq((4L, 44)).toDF("id", "v"))
+    assert(SnapshotTable.read(spark, root).schema("v").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+  }
+
+  test("sizeInBytes is unknown when ANY live file lacks recorded bytes") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, batch(1L -> "a"))
+    val m = SnapshotTable.history(spark, root).last
+    val schema = SnapshotTable.schemaFromJson(m.schemaJson.get)
+    val sized = new graft.sinks.SnapshotFileIndex(spark, root, m, schema)
+    assert(sized.sizeInBytes > 0 && sized.sizeInBytes < Long.MaxValue)
+    // one unsized file (bytes = -1, a pre-bytes manifest) → the total is
+    // UNKNOWN, not the partial sum: a partial sum could auto-broadcast a
+    // huge table
+    val mixed = m.copy(files = m.files.head.copy(bytes = -1L) +: m.files.tail)
+    val idx = new graft.sinks.SnapshotFileIndex(spark, root, mixed, schema)
+    assert(idx.sizeInBytes == Long.MaxValue)
+  }
 }
