@@ -1219,11 +1219,19 @@ object SnapshotTable {
     * blow codegen), and it runs once per row on the WRITE path only.
     *
     * Supported clustering columns: numeric, date, timestamp (monotone cast
-    * to a double axis). Strings are refused loudly — hashing one would
-    * destroy the range locality z-ordering exists to create. Nulls cluster
-    * at bucket 0 (stats omit them anyway; see [[FileStat]]). */
+    * to a double axis), and STRING via an order-preserving fixed-width
+    * prefix key: the first 6 UTF-8 bytes, zero-padded, read as a 48-bit
+    * big-endian unsigned integer (exact in a double; UTF-8 byte order IS
+    * code-point order, so the key is monotone in the string — hashing
+    * would destroy the range locality z-ordering exists to create).
+    * Strings sharing a ≥6-byte prefix tie on the axis and cluster
+    * together — quantile bucketing still splits the OTHER columns within
+    * the tie, and per-file [min,max] string stats stay narrow in prefix,
+    * which is exactly what range and LIKE-prefix predicates prune on.
+    * Nulls cluster at bucket 0 (stats omit them anyway; see
+    * [[FileStat]]). */
   def compactZOrder(spark: SparkSession, root: String, cols: Seq[String], nFiles: Int): Int = {
-    import org.apache.spark.sql.functions.{col, datediff, lit, to_date, udf, unix_micros}
+    import org.apache.spark.sql.functions.{col, conv, datediff, encode, hex, lit, rpad, substring, to_date, udf, unix_micros}
     import org.apache.spark.sql.types._
     require(cols.nonEmpty && cols.size <= 8, s"z-order over 1..8 columns, got ${cols.size}")
     val base = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
@@ -1241,6 +1249,12 @@ object SnapshotTable {
           col("`" + name + "`").cast("double")
         case DateType => datediff(col("`" + name + "`"), to_date(lit("1970-01-01"))).cast("double")
         case TimestampType => unix_micros(col("`" + name + "`")).cast("double")
+        case StringType =>
+          // first 6 UTF-8 bytes → zero-padded hex → 48-bit unsigned value:
+          // rpad of the HEX string with '0' is zero-BYTE padding, so short
+          // strings sort before their extensions ("a" < "aa" survives)
+          conv(rpad(hex(substring(encode(col("`" + name + "`"), "UTF-8"), 1, 6)), 12, "0"), 16, 10)
+            .cast("double")
         case other => sys.error(s"z-order needs a rangeable column; '$name' is ${other.sql}")
       }
     }

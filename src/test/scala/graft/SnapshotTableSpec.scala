@@ -366,13 +366,50 @@ class SnapshotTableSpec extends SparkSuite {
     assert(m.files.forall(_.bloom.contains("tag")), "blooms must ride DML commits")
   }
 
-  test("z-order refuses string clustering columns loudly") {
+  test("z-order over a string axis: order-preserving prefix keys bound BOTH axes' spans") {
+    // 64 distinct string prefixes x 64 numeric values, independent — the
+    // string axis is the first 6 UTF-8 bytes as a 48-bit integer (monotone
+    // in the string), so z-order clusters BOTH axes and per-file [min,max]
+    // stay narrow on each
+    val grid = spark
+      .range(4096)
+      .selectExpr("id", "concat('p', lpad(CAST(id DIV 64 AS STRING), 2, '0'), '-tail') AS s", "id % 64 AS b")
     val root = freshRoot()
-    SnapshotTable.create(spark, root, wide(50))
-    val ex = intercept[RuntimeException] {
-      SnapshotTable.compactZOrder(spark, root, Seq("k", "s"), nFiles = 4)
+    SnapshotTable.create(spark, root, grid)
+    SnapshotTable.compactZOrder(spark, root, Seq("s", "b"), nFiles = 16)
+    val v = SnapshotTable.latestVersion(spark, root).get
+    def skippedFrac(bound: SnapshotTable.Bound): Double = {
+      val plan = SnapshotTable.prunePlan(spark, root, v, Seq(bound))
+      plan.skipped.size.toDouble / (plan.skipped.size + plan.keep.size)
     }
-    assert(ex.getMessage.contains("rangeable"), ex.getMessage)
+    val sLow = SnapshotTable.Bound("s", Some("p00"), Some("p07~")) // 1/8 of the string range
+    val bLow = SnapshotTable.Bound("b", Some(0L), Some(7L)) // 1/8 of b's range
+    assert(skippedFrac(sLow) >= 0.5, s"string-axis range should skip most files: ${skippedFrac(sLow)}")
+    assert(skippedFrac(bLow) >= 0.5, s"numeric-axis range should skip most files: ${skippedFrac(bLow)}")
+    // exactness on both axes and conjunction
+    assert(SnapshotTable.readWhere(spark, root, Seq(sLow)).count() == 512)
+    assert(SnapshotTable.readWhere(spark, root, Seq(bLow)).count() == 512)
+    assert(SnapshotTable.readWhere(spark, root, Seq(sLow, bLow)).count() == 64)
+    // LIKE-prefix skipping engages through the Catalyst path on the
+    // clustered string column (StartsWith → deadPrefix over narrow stats)
+    val rel = SnapshotTable.relation(spark, root).filter("s LIKE 'p03%'")
+    assert(rel.count() == 64)
+    val scanned = rel.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.metrics("numFiles").value
+    }
+    assert(scanned.exists(_ <= 8), s"prefix predicate should scan a minority of the 16 files: $scanned")
+    // short strings sort before their extensions through the prefix key:
+    // a z-order over unpadded mixed-length strings stays order-exact
+    val mixRoot = freshRoot()
+    SnapshotTable.create(
+      spark, mixRoot,
+      spark.range(1000).selectExpr("id", "repeat(chr(97 + CAST(id % 26 AS INT)), 1 + CAST(id % 4 AS INT)) AS s"))
+    SnapshotTable.compactZOrder(spark, mixRoot, Seq("s", "id"), nFiles = 8)
+    val got = SnapshotTable
+      .readWhere(spark, mixRoot, Seq(SnapshotTable.Bound("s", Some("a"), Some("b"))))
+      .count()
+    val want = SnapshotTable.read(spark, mixRoot).filter("s >= 'a' AND s <= 'b'").count()
+    assert(got == want, s"mixed-length string z-order must stay exact: $got vs $want")
   }
 
   test("pre-epoch timestamp stats stay monotone: pruning never skips matching rows") {
