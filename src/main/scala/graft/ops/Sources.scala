@@ -165,6 +165,23 @@ object Sources {
         .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_price_c"))
         .orderBy("y")
     },
+    // The SAME DML algebra driven through SQL TEXT — DELETE FROM /
+    // UPDATE / MERGE INTO statements parsed by Spark's own parser and
+    // routed ([[SnapshotSql]]) onto the transactional operators: the
+    // oracle row is IDENTICAL to q_snapshot_dml's, so the hash-match
+    // proves statement-driven DML is indistinguishable from the
+    // programmatic API (range conditions ride the same manifest-stat
+    // pruning and whole-file drop fast paths; SnapshotSqlSpec asserts the
+    // commit logs match action-for-action).
+    "q_snapshot_dml_sql" -> { (s, dir) =>
+      import graft.sinks.SnapshotTable
+      val root = SnapshotCycle.sqlRoot(s, dir)
+      SnapshotTable
+        .read(s, root)
+        .groupBy(year(col("d")).cast("int").as("y"))
+        .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_price_c"))
+        .orderBy("y")
+    },
     // Row-level CHANGE-DATA-CAPTURE over the same DML cycle:
     // changesBetween diffs each commit's touched files via EXCEPT ALL
     // (carried files never read, unchanged rows in rewritten files cancel),
@@ -300,6 +317,16 @@ object Sources {
         "FROM o WHERE k % 7 = 0 OR year(d) <> 1995) " +
         "SELECT CAST(year(d) AS INT) AS y, CAST(count(*) AS BIGINT) AS n_rows, " +
         "CAST(sum(price_c) AS BIGINT) AS sum_price_c FROM fin GROUP BY 1 ORDER BY y"),
+    // deliberately the SAME oracle as q_snapshot_dml: the SQL-text route
+    // must land on an unchanged hash
+    "q_snapshot_dml_sql" ->
+      ("WITH o AS (SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d, " +
+        "CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_c FROM orders), " +
+        "fin AS (SELECT k, d, CASE WHEN k % 7 = 0 THEN price_c * 2 " +
+        "WHEN year(d) = 1997 THEN price_c + 500 ELSE price_c END AS price_c " +
+        "FROM o WHERE k % 7 = 0 OR year(d) <> 1995) " +
+        "SELECT CAST(year(d) AS INT) AS y, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(price_c) AS BIGINT) AS sum_price_c FROM fin GROUP BY 1 ORDER BY y"),
     "q_snapshot_cdc" ->
       ("WITH o AS (SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d, " +
         "CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_c FROM orders), " +
@@ -351,7 +378,7 @@ object Sources {
   * (`memo_hit`) and clears this memo before every memo-honest re-measure
   * so rerun numbers are true end-to-end rebuilds. */
 object SnapshotCycle {
-  import graft.sinks.SnapshotTable
+  import graft.sinks.{SnapshotSql, SnapshotTable}
   import graft.sinks.SnapshotTable.Bound
 
   private val memo = TrieMap.empty[(SparkSession, String), String]
@@ -362,29 +389,36 @@ object SnapshotCycle {
     * on-disk root is deleted and recreated by the build). */
   def clearMemo(): Unit = memo.clear()
 
+  private def ordersOf(s: SparkSession, dir: String): DataFrame =
+    Fixtures
+      .table(s, dir, "orders")
+      .select(
+        col("o_orderkey").as("k"),
+        to_date(col("o_orderdate")).as("d"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("price_c"))
+
+  // date-clustered create (no extra commit, same versions/rows): the
+  // DML predicates are date ranges, so the delete drops interior
+  // files with zero I/O and the update rewrites only 1997's files —
+  // the cycle exercises the copy-on-write economics instead of the
+  // unclustered full-rewrite worst case (which SCALING.md measures
+  // separately)
+  private def createClustered(s: SparkSession, root: String, o: DataFrame): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+    val par = s.sparkContext.defaultParallelism
+    SnapshotTable.create(
+      s,
+      root,
+      o.repartitionByRange(par, col("d")).sortWithinPartitions("d")) // v1
+  }
+
   def root(s: SparkSession, dir: String): String =
     memo.getOrElseUpdate(
       (s, dir), {
         val root = "/tmp/graft-snapcycle/" + dir.replaceAll("[^a-zA-Z0-9]", "_")
-        val p = new org.apache.hadoop.fs.Path(root)
-        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
-        val o = Fixtures
-          .table(s, dir, "orders")
-          .select(
-            col("o_orderkey").as("k"),
-            to_date(col("o_orderdate")).as("d"),
-            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("price_c"))
-        // date-clustered create (no extra commit, same versions/rows): the
-        // DML predicates are date ranges, so the delete drops interior
-        // files with zero I/O and the update rewrites only 1997's files —
-        // the cycle exercises the copy-on-write economics instead of the
-        // unclustered full-rewrite worst case (which SCALING.md measures
-        // separately)
-        val par = s.sparkContext.defaultParallelism
-        SnapshotTable.create(
-          s,
-          root,
-          o.repartitionByRange(par, col("d")).sortWithinPartitions("d")) // v1
+        val o = ordersOf(s, dir)
+        createClustered(s, root, o)
         SnapshotTable.deleteWhere(s, root, Seq(Bound("d", Some("1995-01-01"), Some("1995-12-31")))) // v2
         SnapshotTable.updateWhere(
           s,
@@ -396,6 +430,37 @@ object SnapshotCycle {
           root,
           o.filter(col("k") % 7 === 0).withColumn("price_c", col("price_c") * 2),
           Seq("k")) // v4
+        root
+      })
+
+  /** The SAME 4-commit algebra driven entirely through SQL TEXT (the
+    * [[SnapshotSql]] router): proves DELETE FROM / UPDATE / MERGE INTO
+    * statements are hash-identical to the programmatic API against the
+    * same oracle. Separate root + memo key — the SQL path must pay its
+    * own full cycle, not read the programmatic one's result. */
+  def sqlRoot(s: SparkSession, dir: String): String =
+    memo.getOrElseUpdate(
+      (s, dir + "#sql"), {
+        val root = "/tmp/graft-snapcyclesql/" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val o = ordersOf(s, dir)
+        createClustered(s, root, o)
+        val table = "snap_dml_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        SnapshotSql.register(s, table, root)
+        SnapshotSql.execute(
+          s,
+          s"DELETE FROM $table WHERE d BETWEEN DATE'1995-01-01' AND DATE'1995-12-31'") // v2
+        SnapshotSql.execute(
+          s,
+          s"UPDATE $table SET price_c = price_c + 500 " +
+            "WHERE d BETWEEN DATE'1997-01-01' AND DATE'1997-12-31'") // v3
+        val srcView = table + "_src"
+        o.filter(col("k") % 7 === 0)
+          .withColumn("price_c", col("price_c") * 2)
+          .createOrReplaceTempView(srcView)
+        SnapshotSql.execute(
+          s,
+          s"MERGE INTO $table AS t USING $srcView AS s ON t.k = s.k " +
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *") // v4
         root
       })
 }

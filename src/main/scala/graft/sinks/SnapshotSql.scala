@@ -1,0 +1,207 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import scala.collection.concurrent.TrieMap
+
+/** SQL-text DML for [[SnapshotTable]] — `DELETE FROM` / `UPDATE` /
+  * `MERGE INTO` statements routed onto the table's transactional
+  * copy-on-write operators, completing the SQL surface the Catalyst read
+  * integration ([[SnapshotFileIndex]]) already provides for queries.
+  *
+  * The router is deliberately thin: Spark's OWN parser
+  * (`sessionState.sqlParser.parsePlan`) produces the standard
+  * `DeleteFromTable`/`UpdateTable`/`MergeIntoTable` logical plans — the
+  * same trees a DataSource-v2 table would receive — and this object
+  * pattern-matches them onto [[SnapshotTable.deleteWhere]]/
+  * [[SnapshotTable.updateWhere]]/[[SnapshotTable.mergeUpsert]]. Every
+  * translation preserves semantics exactly:
+  *
+  *  - range/equality conjunctions (`BETWEEN`, `>=`, `<=`, `=`, `AND`)
+  *    become [[SnapshotTable.Bound]]s verbatim — the same manifest-stat
+  *    pruning and whole-file drop economics as the programmatic API;
+  *  - any OTHER condition still executes correctly through a generalized
+  *    rewrite: bounds derived from the condition's range skeleton (a
+  *    strict `>` widens to an inclusive prune bound — pruning may keep an
+  *    extra file, never drop a live one) prune the file set, the TRUE
+  *    predicate filters rows, and the whole-file fast-drop is disabled
+  *    (only the exact translation may prove "every row matches");
+  *  - `MERGE` supports the upsert canonical form (`WHEN MATCHED THEN
+  *    UPDATE SET *` + `WHEN NOT MATCHED THEN INSERT *`, ON a conjunction
+  *    of same-named key equalities); other merge shapes are refused
+  *    loudly rather than approximated.
+  *
+  * Targets must be [[register]]ed (name → table root): DML against
+  * anything else is refused — this router must never silently "delete"
+  * from a parquet path or a temp view it does not own. */
+object SnapshotSql {
+
+  private val registry = TrieMap.empty[(SparkSession, String), String]
+
+  /** Register `name` as the SQL-addressable identity of the snapshot
+    * table at `root` for this session. */
+  def register(spark: SparkSession, name: String, root: String): Unit =
+    registry.put((spark, name.toLowerCase(java.util.Locale.ROOT)), root)
+
+  def unregister(spark: SparkSession, name: String): Unit =
+    registry.remove((spark, name.toLowerCase(java.util.Locale.ROOT)))
+
+  private def rootOf(spark: SparkSession, nameParts: Seq[String]): String = {
+    val name = nameParts.last.toLowerCase(java.util.Locale.ROOT)
+    registry.getOrElse(
+      (spark, name),
+      sys.error(
+        s"'${nameParts.mkString(".")}' is not a registered snapshot table; " +
+          "SnapshotSql.register(spark, name, root) it first — DML on non-snapshot " +
+          "targets is refused, not approximated"))
+  }
+
+  private def tableParts(plan: LogicalPlan): Seq[String] = plan match {
+    case SubqueryAlias(_, child) => tableParts(child)
+    case r: UnresolvedRelation => r.multipartIdentifier
+    case other => sys.error(s"unsupported DML target shape: ${other.getClass.getSimpleName}")
+  }
+
+  /** The condition's exact-or-widened range skeleton: bounds usable for
+    * manifest pruning, plus whether they ARE the condition (no widening,
+    * no unreachable residue) — only then may the fast whole-file paths
+    * engage. */
+  private final case class Skeleton(bounds: Seq[SnapshotTable.Bound], exact: Boolean)
+
+  /** Internal literal → the external value [[SnapshotTable.Bound]] carries
+    * (what `normBound`/`lit` understand). None = untranslatable type. */
+  private def externalValue(l: Literal): Option[Any] = {
+    import org.apache.spark.sql.types._
+    (l.dataType, l.value) match {
+      case (_, null) => None // IS NULL handled elsewhere; a null range bound is meaningless
+      case (StringType, v) => Some(v.toString)
+      case (DateType, days: Integer) =>
+        Some(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.longValue())))
+      case (TimestampType | TimestampNTZType, micros: java.lang.Long) =>
+        val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+        ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+        Some(ts)
+      case (BooleanType, b: java.lang.Boolean) => Some(b.booleanValue())
+      case (_: DecimalType, d: org.apache.spark.sql.types.Decimal) => Some(d.toJavaBigDecimal)
+      case (ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType, n: Number) => Some(n)
+      case _ => None
+    }
+  }
+
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: UnresolvedAttribute => Some(a.nameParts.last)
+    case _ => None
+  }
+
+  private def skeleton(e: Expression): Skeleton = {
+    import SnapshotTable.Bound
+    def one(col: Option[String], l: Literal, mk: Any => Bound, exact: Boolean): Skeleton =
+      (col, externalValue(l)) match {
+        case (Some(c), Some(v)) => Skeleton(Seq(mk(v).copy(column = c)), exact)
+        case _ => Skeleton(Seq.empty, exact = false)
+      }
+    e match {
+      case And(l, r) =>
+        val (sl, sr) = (skeleton(l), skeleton(r))
+        Skeleton(sl.bounds ++ sr.bounds, sl.exact && sr.exact)
+      // BETWEEN survives parsing as 'between(input, lo, hi) (an
+      // UnresolvedFunction, resolved to the RuntimeReplaceable Between
+      // only during analysis): translate through its >= AND <= meaning
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.map(_.toLowerCase(java.util.Locale.ROOT)) == Seq("between") &&
+            f.arguments.size == 3 =>
+        skeleton(And(
+          GreaterThanOrEqual(f.arguments(0), f.arguments(1)),
+          LessThanOrEqual(f.arguments(0), f.arguments(2))))
+      case b: Between =>
+        skeleton(And(GreaterThanOrEqual(b.input, b.lower), LessThanOrEqual(b.input, b.upper)))
+      case GreaterThanOrEqual(a, l: Literal) => one(attrName(a), l, v => Bound("", lower = Some(v)), exact = true)
+      case LessThanOrEqual(a, l: Literal) => one(attrName(a), l, v => Bound("", upper = Some(v)), exact = true)
+      case EqualTo(a, l: Literal) if attrName(a).isDefined =>
+        one(attrName(a), l, v => Bound("", Some(v), Some(v)), exact = true)
+      case EqualTo(l: Literal, a) => one(attrName(a), l, v => Bound("", Some(v), Some(v)), exact = true)
+      // strict comparisons: WIDEN to the inclusive prune bound — safe for
+      // file pruning (superset), but not exact, so fast paths stay off
+      case GreaterThan(a, l: Literal) => one(attrName(a), l, v => Bound("", lower = Some(v)), exact = false)
+      case LessThan(a, l: Literal) => one(attrName(a), l, v => Bound("", upper = Some(v)), exact = false)
+      // mirrored literal-first forms
+      case GreaterThanOrEqual(l: Literal, a) => one(attrName(a), l, v => Bound("", upper = Some(v)), exact = true)
+      case LessThanOrEqual(l: Literal, a) => one(attrName(a), l, v => Bound("", lower = Some(v)), exact = true)
+      case GreaterThan(l: Literal, a) => one(attrName(a), l, v => Bound("", upper = Some(v)), exact = false)
+      case LessThan(l: Literal, a) => one(attrName(a), l, v => Bound("", lower = Some(v)), exact = false)
+      case _ => Skeleton(Seq.empty, exact = false) // unknown shape: no pruning, row filter decides
+    }
+  }
+
+  private def asColumn(e: Expression): Column = org.apache.spark.sql.GraftSqlBridge.column(e)
+
+  /** Execute one DML statement; returns the committed version. */
+  def execute(spark: SparkSession, sql: String): Int =
+    spark.sessionState.sqlParser.parsePlan(sql) match {
+
+      case d: DeleteFromTable =>
+        val root = rootOf(spark, tableParts(d.table))
+        val sk = skeleton(d.condition)
+        if (sk.exact && sk.bounds.nonEmpty) SnapshotTable.deleteWhere(spark, root, sk.bounds)
+        else SnapshotTable.deleteExpr(spark, root, asColumn(d.condition), sk.bounds)
+
+      case u: UpdateTable =>
+        val root = rootOf(spark, tableParts(u.table))
+        val set = u.assignments.map { a =>
+          val name = attrName(a.key).getOrElse(
+            sys.error(s"unsupported SET target: ${a.key.sql} (single-column targets only)"))
+          name -> asColumn(a.value)
+        }.toMap
+        val cond = u.condition.getOrElse(
+          sys.error("UPDATE without WHERE would rewrite the whole table; use overwrite"))
+        val sk = skeleton(cond)
+        if (sk.exact && sk.bounds.nonEmpty) SnapshotTable.updateWhere(spark, root, sk.bounds, set)
+        else SnapshotTable.updateExpr(spark, root, asColumn(cond), sk.bounds, set)
+
+      case m: MergeIntoTable =>
+        val root = rootOf(spark, tableParts(m.targetTable))
+        val okMatched = m.matchedActions match {
+          case Seq(UpdateStarAction(None)) => true
+          case _ => false
+        }
+        val okNotMatched = m.notMatchedActions match {
+          case Seq(InsertStarAction(None)) => true
+          case _ => false
+        }
+        require(
+          okMatched && okNotMatched && m.notMatchedBySourceActions.isEmpty,
+          "MERGE supports the upsert canonical form only: WHEN MATCHED THEN UPDATE SET * " +
+            "+ WHEN NOT MATCHED THEN INSERT * (no conditions, no BY SOURCE clauses); " +
+            "other shapes are refused rather than approximated")
+        // ON must be a conjunction of same-named key equalities (t.k = s.k)
+        def keysOf(e: Expression): Seq[String] = e match {
+          case And(l, r) => keysOf(l) ++ keysOf(r)
+          case EqualTo(a, b) =>
+            (attrName(a), attrName(b)) match {
+              case (Some(x), Some(y)) if x == y => Seq(x)
+              case got =>
+                sys.error(
+                  s"MERGE ON must equate same-named key columns (t.k = s.k); got $got in ${e.sql}")
+            }
+          case other => sys.error(s"MERGE ON must be a conjunction of key equalities; got ${other.sql}")
+        }
+        val keyCols = keysOf(m.mergeCondition)
+        val source: DataFrame = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, stripAlias(m.sourceTable))
+        SnapshotTable.mergeUpsert(spark, root, source, keyCols)
+
+      case other =>
+        sys.error(
+          s"not a DML statement (${other.getClass.getSimpleName}); " +
+            "reads go through spark.sql over SnapshotTable.relation views")
+    }
+
+  /** MERGE sources arrive as `SubqueryAlias(s, plan)`; the alias only
+    * exists for ON-clause qualification, which [[keysOf]] already
+    * consumed — analyze the inner plan. */
+  private def stripAlias(plan: LogicalPlan): LogicalPlan = plan match {
+    case SubqueryAlias(_, child) => child
+    case p => p
+  }
+}

@@ -1409,6 +1409,48 @@ object SnapshotTable {
     }
   }
 
+  /** Generalized DELETE behind the SQL router ([[SnapshotSql]]): `cond`
+    * is an ARBITRARY boolean condition; `pruneBounds` is its widened
+    * range skeleton, used ONLY to prune candidate files (widening keeps a
+    * superset of the matching files — safe) — the whole-file fast-drop
+    * stays off, because only an exact bound translation may prove "every
+    * row matches". Rows where `cond` is null never match (same
+    * three-valued-logic contract as [[matchCol]]). */
+  private[graft] def deleteExpr(
+      spark: SparkSession,
+      root: String,
+      cond: org.apache.spark.sql.Column,
+      pruneBounds: Seq[Bound]): Int = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    dmlRewrite(spark, root, pruneBounds, "delete", dropWholly = false)(df =>
+      df.filter(!coalesce(cond, lit(false))))
+  }
+
+  /** Generalized UPDATE twin of [[deleteExpr]] — arbitrary condition,
+    * widened-bounds pruning, single-projection SET evaluation against the
+    * OLD row (identical semantics to [[updateWhere]]). */
+  private[graft] def updateExpr(
+      spark: SparkSession,
+      root: String,
+      cond: org.apache.spark.sql.Column,
+      pruneBounds: Seq[Bound],
+      set: Map[String, org.apache.spark.sql.Column]): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(set.nonEmpty, "UPDATE needs at least one SET column")
+    dmlRewrite(spark, root, pruneBounds, "update", dropWholly = false) { df =>
+      set.foreach { case (name, _) =>
+        require(df.columns.contains(name), s"UPDATE SET column '$name' is not in the table schema")
+      }
+      val m = coalesce(cond, lit(false))
+      df.select(df.schema.fields.map { f =>
+        set.get(f.name) match {
+          case Some(e) => when(m, e.cast(f.dataType)).otherwise(col("`" + f.name + "`")).as(f.name)
+          case None => col("`" + f.name + "`")
+        }
+      }.toSeq: _*)
+    }
+  }
+
   /** Upsert `source` by `keyCols` — the MERGE core (whenMatched update-all,
     * whenNotMatched insert-all): target rows whose key appears in `source`
     * are replaced wholesale by the source row; all other source rows
