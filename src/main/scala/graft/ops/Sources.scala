@@ -165,6 +165,46 @@ object Sources {
         .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_price_c"))
         .orderBy("y")
     },
+    // MERGE-ON-READ DML in the ORACLE GATE — deletion masks, the mode
+    // whose write cost is O(change) never O(table): a SCATTERED-KEY
+    // upsert (k%7=0 spans every file of the d-clustered table — the
+    // copy-on-write worst case SCALING.md measured as a 32/32-file
+    // rewrite) lands as source dir + key-tombstone sidecar + manifest
+    // mask with ZERO target files read or rewritten; then a 1995 range
+    // delete commits METADATA-ONLY (interior files dropped via stats,
+    // boundary files predicate-masked). Reads apply the masks (filter /
+    // anti-join on only the masked files); the oracle replays the
+    // merge→delete algebra on the fixture, so the hash-match proves
+    // merge-on-read ≡ copy-on-write semantics end-to-end.
+    // SnapshotMorSpec pins the economics (zero rewrites, file counts),
+    // reconciliation, CDC mask-deltas, and vacuum sidecar liveness.
+    "q_snapshot_dv" -> { (s, dir) =>
+      import graft.sinks.SnapshotTable
+      import graft.sinks.SnapshotTable.Bound
+      val root = "/tmp/graft-snapdv/" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val o = Fixtures
+        .table(s, dir, "orders")
+        .select(
+          col("o_orderkey").as("k"),
+          to_date(col("o_orderdate")).as("d"),
+          cents(col("o_totalprice")).as("price_c"))
+      val par = s.sparkContext.defaultParallelism
+      SnapshotTable.create(
+        s, root, o.repartitionByRange(par, col("d")).sortWithinPartitions("d")) // v1
+      SnapshotTable.mergeUpsertMor(
+        s, root,
+        o.filter(col("k") % 7 === 0).withColumn("price_c", col("price_c") * 2),
+        Seq("k")) // v2: zero target rewrites
+      SnapshotTable.deleteWhereMor(
+        s, root, Seq(Bound("d", Some("1995-01-01"), Some("1995-12-31")))) // v3: metadata-only
+      SnapshotTable
+        .read(s, root)
+        .groupBy(year(col("d")).cast("int").as("y"))
+        .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_price_c"))
+        .orderBy("y")
+    },
     // The SAME DML algebra driven through SQL TEXT — DELETE FROM /
     // UPDATE / MERGE INTO statements parsed by Spark's own parser and
     // routed ([[SnapshotSql]]) onto the transactional operators: the
@@ -317,6 +357,15 @@ object Sources {
         "FROM o WHERE k % 7 = 0 OR year(d) <> 1995) " +
         "SELECT CAST(year(d) AS INT) AS y, CAST(count(*) AS BIGINT) AS n_rows, " +
         "CAST(sum(price_c) AS BIGINT) AS sum_price_c FROM fin GROUP BY 1 ORDER BY y"),
+    "q_snapshot_dv" ->
+      ("WITH o AS (SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d, " +
+        "CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_c FROM orders), " +
+        // v2 merge replaces every k%7=0 row with its doubled-price source
+        // row; v3 deletes ALL 1995 rows (including replaced ones)
+        "m AS (SELECT k, d, CASE WHEN k % 7 = 0 THEN price_c * 2 ELSE price_c END AS price_c FROM o) " +
+        "SELECT CAST(year(d) AS INT) AS y, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(price_c) AS BIGINT) AS sum_price_c FROM m WHERE year(d) <> 1995 " +
+        "GROUP BY 1 ORDER BY y"),
     // deliberately the SAME oracle as q_snapshot_dml: the SQL-text route
     // must land on an unchanged hash
     "q_snapshot_dml_sql" ->

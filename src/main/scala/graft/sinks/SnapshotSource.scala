@@ -75,9 +75,15 @@ final class SnapshotSource(spark: SparkSession, root: String, startVersion: Opti
     }
     val endManifest = SnapshotTable.readManifest(spark, root, endV)
     val entrySet = entries.toSet
+    // masks are deliberately NOT applied to streamed batches: the append
+    // stream emits each file's rows as of the commit that ADDED it, and a
+    // later merge-on-read mask never retracts already-emitted rows — the
+    // same contract as COW DML re-emission (ignoreChanges): the CDC
+    // reader (changesBetween / readChangeFeed) is the mutation-stream tool
     val synthetic = endManifest.copy(
       dirs = entries,
-      files = endManifest.files.filter(f => entrySet.contains(f.path)))
+      files = endManifest.files.filter(f => entrySet.contains(f.path)),
+      masks = Seq.empty)
     // scan PHYSICAL columns, surface logical (renamed tables; see
     // SnapshotTable's column mapping) — the stream's output schema stays
     // the logical one the source declared

@@ -99,7 +99,37 @@ object SnapshotTable {
       // still carry their bytes: enforces the revival contract (re-adding
       // the name requires the same type). Cleared by full rewrites
       // (overwrite/compact) — no live file holds the bytes anymore.
-      dropped: Map[String, String] = Map.empty)
+      dropped: Map[String, String] = Map.empty,
+      // merge-on-read deletion masks ([[deleteWhereMor]]/[[mergeUpsertMor]]):
+      // each hides SOME rows of the listed live entries at read time.
+      // Masks only ever shrink — a rewrite of a masked file satisfies and
+      // removes its entry; compaction/overwrite clear them all.
+      masks: Seq[Mask] = Seq.empty)
+
+  /** One merge-on-read deletion mask. `kind`:
+    *  - `"pred"` — rows of `entries` matching the recorded range predicate
+    *    (`predBounds`, the conjunction of [[Bound]]s serialized on the
+    *    same typed axes as the manifest stats; LOGICAL column names;
+    *    three-valued: a null bound column never matches, so its rows
+    *    survive — [[matchCol]] semantics exactly) are deleted; written by
+    *    [[deleteWhereMor]] with ZERO data I/O.
+    *  - `"keys"` — rows of `entries` whose `keyCols` tuple appears in the
+    *    key-tombstone sidecar parquet at `keyDir` (root-relative) are
+    *    deleted (read-time LEFT ANTI join; null keys never match);
+    *    written by [[mergeUpsertMor]] — the scattered-key merge that
+    *    copy-on-write would answer with a full rewrite.
+    * Economics: a mask is manifest metadata + (for keys) a source-sized
+    * sidecar — write cost is O(source), never O(table); reads pay a
+    * filter/anti-join on ONLY the masked entries; compaction reconciles
+    * (applies + clears) all masks. */
+  final case class MaskBound(column: String, lower: Option[JValue], upper: Option[JValue])
+
+  final case class Mask(
+      kind: String,
+      entries: Seq[String],
+      predBounds: Seq[MaskBound] = Seq.empty,
+      keyCols: Seq[String] = Seq.empty,
+      keyDir: Option[String] = None)
 
   /** Table schema of `next` committed over `prior`: same-named columns
     * must keep their type (loud failure beats silent corruption — parquet
@@ -298,6 +328,28 @@ object SnapshotTable {
       (j \ "dropped") match {
         case JObject(kvs) => kvs.collect { case (k, JString(v)) => k -> v }.toMap
         case _ => Map.empty[String, String]
+      },
+      (j \ "masks") match {
+        case JArray(ms) =>
+          ms.map { mj =>
+            val pbs = (mj \ "bounds") match {
+              case JArray(bs) =>
+                bs.map { bj =>
+                  MaskBound(
+                    (bj \ "c").extract[String],
+                    (bj \ "lo") match { case JNothing | JNull => None; case v => Some(v) },
+                    (bj \ "hi") match { case JNothing | JNull => None; case v => Some(v) })
+                }
+              case _ => Seq.empty
+            }
+            Mask(
+              (mj \ "kind").extract[String],
+              (mj \ "entries").extract[Seq[String]],
+              pbs,
+              (mj \ "keyCols").extractOpt[Seq[String]].getOrElse(Seq.empty),
+              (mj \ "keyDir").extractOpt[String])
+          }
+        case _ => Seq.empty
       })
   }
 
@@ -568,6 +620,26 @@ object SnapshotTable {
            k -> (JString(v): JValue)
          }): JValue))
        else Nil) ++
+      (if (c.masks.nonEmpty)
+         List("masks" -> (JArray(c.masks.map { mk =>
+           JObject(
+             List(
+               "kind" -> (JString(mk.kind): JValue),
+               "entries" -> (JArray(mk.entries.map(JString(_)).toList): JValue)) ++
+               (if (mk.predBounds.nonEmpty)
+                  List("bounds" -> (JArray(mk.predBounds.map { b =>
+                    JObject(
+                      List("c" -> (JString(b.column): JValue)) ++
+                        b.lower.map(v => "lo" -> v).toList ++
+                        b.upper.map(v => "hi" -> v).toList: _*)
+                  }.toList): JValue))
+                else Nil) ++
+               (if (mk.keyCols.nonEmpty)
+                  List("keyCols" -> (JArray(mk.keyCols.map(JString(_)).toList): JValue))
+                else Nil) ++
+               mk.keyDir.map(d => "keyDir" -> (JString(d): JValue)).toList: _*)
+         }.toList): JValue))
+       else Nil) ++
       c.batchId.map(b => "batchId" -> (JLong(b): JValue)).toList ++
       c.schemaJson.map(s => "schema" -> (JString(s): JValue)).toList ++
       (if (c.files.nonEmpty) List("files" -> (fileArr: JValue)) else Nil)
@@ -706,7 +778,8 @@ object SnapshotTable {
         Some(schema),
         priorFiles ++ stats,
         constraints = checks,
-        dropped = dropped))
+        dropped = dropped,
+        masks = priorManifest.map(_.masks).getOrElse(Seq.empty)))
   }
 
   /** Create the table with an initial snapshot (version 1). */
@@ -777,7 +850,8 @@ object SnapshotTable {
             Some(schema),
             priorFiles ++ stats,
             constraints = checks,
-            dropped = dropped))
+            dropped = dropped,
+            masks = priorManifest.map(_.masks).getOrElse(Seq.empty)))
       catch {
         case e: ConcurrentCommitException =>
           attempts += 1
@@ -848,7 +922,8 @@ object SnapshotTable {
             constraints = checksNow,
             dropped = reviveDropped(
               priorManifest.map(_.dropped).getOrElse(Map.empty),
-              schemaFromJson(schema))))
+              schemaFromJson(schema)),
+            masks = priorManifest.map(_.masks).getOrElse(Seq.empty)))
         catch {
           case e: ConcurrentCommitException =>
             committed().foreach(v => return v) // replayed epoch lost the race: done
@@ -878,8 +953,12 @@ object SnapshotTable {
     * manifests (no recorded schema) fall back to footer mergeSchema. */
   def readVersion(spark: SparkSession, root: String, v: Int): DataFrame = {
     val m = readManifest(spark, root, v)
-    val paths = m.dirs.map(d => new Path(root, d).toString)
-    readTablePaths(spark, m.schemaJson.map(schemaFromJson), paths)
+    if (m.masks.isEmpty) {
+      val paths = m.dirs.map(d => new Path(root, d).toString)
+      readTablePaths(spark, m.schemaJson.map(schemaFromJson), paths)
+    } else
+      // merge-on-read: apply the pending deletion masks at scan time
+      readEntriesMasked(spark, root, m, m.schemaJson.map(schemaFromJson), fileEntries(m))
   }
 
   /** The version visible at wall-clock `tsMillis` — the latest commit
@@ -977,6 +1056,125 @@ object SnapshotTable {
       .getOrElse(lit(true))
   }
 
+  // ───────── merge-on-read masks: typed bound serde + read kernel ─────────
+
+  private def jNum(j: JValue): Option[BigDecimal] = j match {
+    case JInt(v) => Some(BigDecimal(v))
+    case JLong(v) => Some(BigDecimal(v))
+    case JDouble(v) => Some(BigDecimal(v))
+    case JDecimal(v) => Some(v)
+    case _ => None
+  }
+
+  /** Serialize `bounds` for a mask on the SAME typed axes as the manifest
+    * stats (numbers/timestamps/bools → decimal; strings/dates → string).
+    * Loud on anything unencodable — a mask that silently dropped a bound
+    * would delete the wrong rows forever. */
+  private def encodeMaskBounds(
+      schema: org.apache.spark.sql.types.StructType,
+      bounds: Seq[Bound]): Seq[MaskBound] =
+    bounds.map { b =>
+      val dt = schema.fields
+        .find(_.name == b.column)
+        .map(_.dataType)
+        .getOrElse(sys.error(s"merge-on-read delete: no column '${b.column}' in table schema"))
+      def enc(v: Any): JValue = normBound(dt, v) match {
+        case Some(Left(bd)) => JDecimal(bd)
+        case Some(Right(s)) => JString(s)
+        case None => sys.error(s"merge-on-read delete: unencodable bound $v on '${b.column}' (${dt.sql})")
+      }
+      MaskBound(b.column, b.lower.map(enc), b.upper.map(enc))
+    }
+
+  /** Decode a recorded mask bound back to the external [[Bound]] the row
+    * filter ([[matchCol]]) understands, typed through the table schema. */
+  private def decodeMaskBounds(
+      schema: org.apache.spark.sql.types.StructType,
+      pbs: Seq[MaskBound]): Seq[Bound] = {
+    import org.apache.spark.sql.types._
+    pbs.map { mb =>
+      val dt = schema.fields
+        .find(_.name == mb.column)
+        .map(_.dataType)
+        .getOrElse(sys.error(s"mask references column '${mb.column}' missing from the schema"))
+      def dec(j: JValue): Any = (dt, j) match {
+        case (BooleanType, v) => jNum(v).exists(_ != 0)
+        case (TimestampType | TimestampNTZType, v) =>
+          val us = jNum(v).getOrElse(sys.error(s"bad timestamp mask bound: $v")).toLongExact
+          val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+          ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+          ts
+        case (_, JString(s)) => s
+        case (_, v) =>
+          jNum(v).map(_.bigDecimal).getOrElse(sys.error(s"bad mask bound on '${mb.column}': $v"))
+      }
+      Bound(mb.column, mb.lower.map(dec), mb.upper.map(dec))
+    }
+  }
+
+  /** Apply `masks` to `df` (full-logical-schema rows of masked entries).
+    * Masks only REMOVE rows, so application order is irrelevant. The keys
+    * anti-join's sidecar is source-sized — AQE broadcasts a small one. */
+  private def applyMasks(
+      spark: SparkSession,
+      root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      masks: Seq[Mask],
+      df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    masks.foldLeft(df) { (d, mk) =>
+      mk.kind match {
+        case "pred" => d.filter(!matchCol(decodeMaskBounds(schema, mk.predBounds)))
+        case "keys" =>
+          val keys = spark.read
+            .parquet(new Path(root, mk.keyDir.getOrElse(sys.error("keys mask without keyDir"))).toString)
+            .select(mk.keyCols.map(k => col("`" + k + "`")): _*)
+          d.join(keys, mk.keyCols, "left_anti")
+        case other => sys.error(s"unknown mask kind '$other'")
+      }
+    }
+  }
+
+  /** Read live `entries` of manifest `m` with every applicable mask
+    * applied — the merge-on-read read kernel. Entries group by their mask
+    * set: unmasked entries scan in ONE plan, each masked group pays
+    * exactly its own masks. `withFileName` adds a `__file` column captured
+    * AT THE SCAN (before any mask join) for callers needing file
+    * attribution (the merge probe). */
+  private[graft] def readEntriesMasked(
+      spark: SparkSession,
+      root: String,
+      m: Commit,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      entries: Seq[String],
+      withFileName: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.input_file_name
+    val s = schema.getOrElse(sys.error("merge-on-read tables always record a schema"))
+    if (entries.isEmpty) {
+      val base = org.apache.spark.sql.types.StructType(
+        if (withFileName) s.fields :+ org.apache.spark.sql.types.StructField("__file", org.apache.spark.sql.types.StringType)
+        else s.fields)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], base)
+    }
+    val maskIdx = m.masks.zipWithIndex
+    val groups = entries
+      .groupBy(e => maskIdx.collect { case (mk, i) if mk.entries.contains(e) => i })
+      .toSeq
+      .sortBy(_._1.mkString(",")) // deterministic union order
+    val parts = groups.map { case (idxs, es) =>
+      val base = readTablePaths(spark, Some(s), es.map(p => new Path(root, p).toString))
+      val withF = if (withFileName) base.withColumn("__file", input_file_name()) else base
+      applyMasks(spark, root, s, idxs.map(m.masks), withF)
+    }
+    parts.reduce(_ unionByName _)
+  }
+
+  /** The masked-entry set of a manifest (files whose physical rows are a
+    * SUPERSET of their live rows): stats stay valid for pruning — a
+    * provably-dead superset is dead — but row counts and whole-file
+    * containment proofs must not be trusted. */
+  private def maskedEntrySet(m: Commit): Set[String] = m.masks.flatMap(_.entries).toSet
+
   /** The skipping decision for one version: which stat-covered files can
     * possibly match `bounds`, which are proven dead, and which live dirs
     * have no stats and must be read in full. Package-private so the spec
@@ -1038,15 +1236,16 @@ object SnapshotTable {
   def readVersionWhere(spark: SparkSession, root: String, v: Int, bounds: Seq[Bound]): DataFrame = {
     val m = readManifest(spark, root, v)
     val plan = prunePlan(spark, root, v, bounds)
-    val paths = plan.keep.map(p => new Path(root, p).toString) ++
-      plan.uncoveredDirs.map(d => new Path(root, d).toString)
+    val keepEntries = plan.keep ++ plan.uncoveredDirs
     val schema = m.schemaJson.map(schemaFromJson)
     val base =
-      if (paths.isEmpty)
+      if (keepEntries.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           schema.getOrElse(sys.error("empty prune result on a pre-schema manifest")))
-      else readTablePaths(spark, schema, paths)
+      else if (m.masks.isEmpty)
+        readTablePaths(spark, schema, keepEntries.map(p => new Path(root, p).toString))
+      else readEntriesMasked(spark, root, m, schema, keepEntries)
     applyBounds(base, bounds)
   }
 
@@ -1073,6 +1272,32 @@ object SnapshotTable {
     val schema = m.schemaJson
       .map(schemaFromJson)
       .getOrElse(readVersion(spark, root, v).schema) // pre-schema: footer merge
+    if (m.masks.isEmpty) relationOfManifest(spark, root, m, schema)
+    else {
+      // merge-on-read: the UNMASKED majority still plans through the
+      // manifest FileIndex (full pushdown pruning); each masked entry
+      // reads through the mask kernel — Spark re-applies every filter
+      // row-level on that branch, so correctness is identical and only
+      // the masked minority loses plan-time skipping (until compaction
+      // reconciles)
+      val masked = maskedEntrySet(m)
+      val (mEntries, uEntries) = fileEntries(m).partition(masked)
+      val synth = m.copy(
+        dirs = uEntries,
+        files = m.files.filter(f => uEntries.contains(f.path)),
+        masks = Seq.empty)
+      val unmaskedRel = relationOfManifest(spark, root, synth, schema)
+      val maskedDf = readEntriesMasked(spark, root, m, Some(schema), mEntries)
+      unmaskedRel.unionByName(maskedDf)
+    }
+  }
+
+  private def relationOfManifest(
+      spark: SparkSession,
+      root: String,
+      m: Commit,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions.col
     // the relation scans PHYSICAL columns (what the files and the manifest
     // stats actually carry); renamed columns surface through the logical
     // projection, and pushed filters rewrite through the aliases back to
@@ -1145,7 +1370,11 @@ object SnapshotTable {
     val schema = m.schemaJson.map(schemaFromJson)
     val plan = prunePlan(spark, root, v, bounds)
     val keep = m.files.filter(f => plan.keep.contains(f.path))
-    val (whole, boundary) = keep.partition(whollyMatches(schema, bounds))
+    // a MASKED file's recorded row count exceeds its live rows: it can
+    // never contribute a metadata-only count — route it to the scan side
+    val masked = maskedEntrySet(m)
+    val (whole, boundary) =
+      keep.partition(f => !masked(f.path) && whollyMatches(schema, bounds)(f))
     CountPlan(whole.map(_.rows).sum, boundary.map(_.path) ++ plan.uncoveredDirs)
   }
 
@@ -1165,8 +1394,12 @@ object SnapshotTable {
     val scanned =
       if (plan.scanPaths.isEmpty) 0L
       else {
-        val paths = plan.scanPaths.map(p => new Path(root, p).toString)
-        applyBounds(readTablePaths(spark, m.schemaJson.map(schemaFromJson), paths), bounds).count()
+        val schema = m.schemaJson.map(schemaFromJson)
+        val df =
+          if (m.masks.isEmpty)
+            readTablePaths(spark, schema, plan.scanPaths.map(p => new Path(root, p).toString))
+          else readEntriesMasked(spark, root, m, schema, plan.scanPaths)
+        applyBounds(df, bounds).count()
       }
     plan.metaRows + scanned
   }
@@ -1324,17 +1557,28 @@ object SnapshotTable {
     val keepSet = plan.keep.toSet
     val untouched = m.files.filter(f => skippedSet.contains(f.path))
     val candidates = m.files.filter(f => keepSet.contains(f.path))
+    // a MASKED file may still be dropped wholly: its physical rows are a
+    // superset of its live rows, so "stats prove every physical row
+    // matches" proves every LIVE row matches too
     val (dropped, rewrite) =
       if (dropWholly) candidates.partition(whollyMatches(schema, bounds))
       else (Seq.empty[FileStat], candidates)
+    val masked = maskedEntrySet(m)
     val scanPaths = rewrite.map(_.path) ++ plan.uncoveredDirs
     val (newDirs, newStats, delta) =
       if (scanPaths.isEmpty) (Seq.empty[String], Seq.empty[FileStat], 0L)
       else {
-        val paths = scanPaths.map(p => new Path(root, p).toString)
-        val src = readTablePaths(spark, schema, paths)
+        // rewrites read THROUGH pending masks — a copy-on-write pass over
+        // a merge-on-read table must not resurrect masked rows (the
+        // rewritten files' masks are thereby satisfied and cleared below)
+        val src =
+          if (m.masks.isEmpty)
+            readTablePaths(spark, schema, scanPaths.map(p => new Path(root, p).toString))
+          else readEntriesMasked(spark, root, m, schema, scanPaths)
         val before =
-          if (plan.uncoveredDirs.isEmpty) rewrite.map(_.rows).sum else src.count()
+          if (plan.uncoveredDirs.isEmpty && !rewrite.exists(f => masked(f.path)))
+            rewrite.map(_.rows).sum
+          else src.count()
         val (rel, n, stats) = writeData(
           spark, root, transform(src), m.constraints, schema.map(mappingOf).getOrElse(Map.empty))
         // an all-rows-deleted rewrite leaves no dir (the empty orphan vacuums away)
@@ -1345,6 +1589,13 @@ object SnapshotTable {
       org.apache.spark.sql.types
         .StructType(readVersion(spark, root, base).schema.map(_.copy(nullable = true)))
         .json)
+    // masks survive only on the carried-forward files; rewritten/dropped
+    // entries leave their masks (satisfied), emptied masks disappear and
+    // their sidecars become vacuumable
+    val untouchedSet = untouched.map(_.path).toSet
+    val keptMasks = m.masks
+      .map(mk => mk.copy(entries = mk.entries.filter(untouchedSet)))
+      .filter(_.entries.nonEmpty)
     publish(
       spark,
       root,
@@ -1357,7 +1608,8 @@ object SnapshotTable {
         Some(schemaJson),
         untouched ++ newStats,
         constraints = m.constraints,
-        dropped = m.dropped)) // untouched files still carry dropped-column bytes
+        dropped = m.dropped, // untouched files still carry dropped-column bytes
+        masks = keptMasks))
   }
 
   /** Delete the rows matching `bounds` — Delta-style copy-on-write DML with
@@ -1509,12 +1761,18 @@ object SnapshotTable {
     // dirs pay an identity rewrite
     val plan = prunePlan(spark, root, base, if (allKeysNull) Seq.empty else bounds)
     // stage 2: exact touched-file discovery over the candidates, reading
-    // only the key columns (columnar scan) + the file name
+    // only the key columns (columnar scan) + the file name — THROUGH any
+    // pending merge-on-read masks (a masked-out row must not count as a
+    // match: its file may then carry forward and the masked row would
+    // survive, correctly, instead of being resurrected by a rewrite)
     val touched: Set[String] =
       if (plan.keep.isEmpty) Set.empty
       else {
-        val probe = readAs(plan.keep)
-          .select(keyCols.map(k => col("`" + k + "`")) :+ input_file_name().as("__file"): _*)
+        val probe =
+          (if (m.masks.isEmpty)
+             readAs(plan.keep).withColumn("__file", input_file_name())
+           else readEntriesMasked(spark, root, m, priorSchema, plan.keep, withFileName = true))
+            .select(keyCols.map(k => col("`" + k + "`")) :+ col("__file"): _*)
         val uris = probe
           .join(srcKeys, keyCols, "left_semi")
           .select("__file")
@@ -1523,14 +1781,17 @@ object SnapshotTable {
           .map(_.getString(0))
         uris.flatMap(uri => plan.keep.find(rel => uri.endsWith(rel))).toSet
       }
+    val masked = maskedEntrySet(m)
     val untouched = m.files.filterNot(f => touched.contains(f.path))
     val rewritePaths = touched.toSeq.sorted ++ plan.uncoveredDirs
     val (survDirs, survStats, replaced) =
       if (rewritePaths.isEmpty) (Seq.empty[String], Seq.empty[FileStat], 0L)
       else {
-        val tgt = readAs(rewritePaths)
+        val tgt =
+          if (m.masks.isEmpty) readAs(rewritePaths)
+          else readEntriesMasked(spark, root, m, priorSchema, rewritePaths)
         val before =
-          if (plan.uncoveredDirs.isEmpty)
+          if (plan.uncoveredDirs.isEmpty && !touched.exists(masked))
             m.files.filter(f => touched.contains(f.path)).map(_.rows).sum
           else tgt.count()
         val survivors = tgt.join(srcKeys, keyCols, "left_anti")
@@ -1538,6 +1799,11 @@ object SnapshotTable {
         if (n == 0) (Seq.empty[String], Seq.empty[FileStat], before)
         else (Seq(rel), stats, before - n)
       }
+    // masks carry on untouched files only; rewritten entries leave theirs
+    val untouchedSet = untouched.map(_.path).toSet
+    val keptMasks = m.masks
+      .map(mk => mk.copy(entries = mk.entries.filter(untouchedSet)))
+      .filter(_.entries.nonEmpty)
     publish(
       spark,
       root,
@@ -1550,7 +1816,8 @@ object SnapshotTable {
         Some(evolved),
         untouched ++ survStats ++ srcStats,
         constraints = m.constraints,
-        dropped = reviveDropped(m.dropped, schemaFromJson(evolved))))
+        dropped = reviveDropped(m.dropped, schemaFromJson(evolved)),
+        masks = keptMasks))
   }
 
   /** EXACTLY-ONCE streaming UPSERT — the `foreachBatch` CDC-apply
@@ -1595,6 +1862,132 @@ object SnapshotTable {
   def streamUpsert(root: String, keyCols: Seq[String]): (DataFrame, Long) => Unit =
     (batch, id) => { upsertBatchExactlyOnce(batch.sparkSession, root, batch, keyCols, id); () }
 
+  // ──────────────── merge-on-read DML (deletion masks) ────────────────
+
+  /** Merge-on-read DELETE — the scattered/DV economics copy-on-write
+    * can't offer: the commit is METADATA-ONLY (zero rows read, zero rows
+    * written, at any table size). Files whose stats prove every row
+    * matches are dropped outright (still zero I/O); files the predicate
+    * provably misses stay untouched and unmasked; only the boundary files
+    * gain a `pred` [[Mask]] — the recorded bounds applied as a read-time
+    * filter by every read surface (readVersion/Where, countWhere, DML
+    * rewrites, relation, CDC) until [[compact]] reconciles. Result
+    * algebra is IDENTICAL to [[deleteWhere]] (same [[matchCol]] null
+    * semantics); the trade is read amplification on the masked files
+    * instead of write amplification now. `addedRows` records only the
+    * whole-dropped files' physical rows (masked removals are unknown
+    * without a read — the point of the mode); countWhere stays exact
+    * because masked files never metadata-count. */
+  def deleteWhereMor(spark: SparkSession, root: String, bounds: Seq[Bound]): Int = {
+    require(bounds.nonEmpty, "deleteWhereMor with no bounds would drop the whole table; use overwrite")
+    val base = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
+    val m = readManifest(spark, root, base)
+    val schema = m.schemaJson
+      .map(schemaFromJson)
+      .getOrElse(sys.error("merge-on-read DML needs a schema-recording manifest"))
+    val encoded = encodeMaskBounds(schema, bounds) // loud BEFORE any state change
+    val plan = prunePlan(spark, root, base, bounds)
+    val keepSet = plan.keep.toSet
+    val candidates = m.files.filter(f => keepSet(f.path))
+    // physical all-match proves live all-match even on already-masked
+    // files (live rows ⊆ physical rows): still droppable with zero I/O
+    val (droppedWhole, toMask) = candidates.partition(whollyMatches(Some(schema), bounds))
+    val droppedSet = droppedWhole.map(_.path).toSet
+    val survivors = m.files.filterNot(f => droppedSet(f.path))
+    val maskEntries = toMask.map(_.path) ++ plan.uncoveredDirs
+    val keptMasks = m.masks
+      .map(mk => mk.copy(entries = mk.entries.filterNot(droppedSet)))
+      .filter(_.entries.nonEmpty)
+    val newMasks =
+      if (maskEntries.nonEmpty) keptMasks :+ Mask("pred", maskEntries, predBounds = encoded)
+      else keptMasks
+    publish(
+      spark,
+      root,
+      Commit(
+        base + 1,
+        "mor-delete",
+        survivors.map(_.path) ++ plan.uncoveredDirs,
+        -droppedWhole.map(_.rows).sum,
+        None,
+        m.schemaJson,
+        survivors,
+        constraints = m.constraints,
+        dropped = m.dropped,
+        masks = newMasks))
+  }
+
+  /** Merge-on-read MERGE — the SCATTERED-KEY upsert whose copy-on-write
+    * twin degenerates to a full table rewrite (SCALING.md's measured
+    * worst case: 32/32 files). Write cost is O(source), never O(table):
+    * the source lands as an ordinary data dir, its DISTINCT key tuples
+    * land as a key-tombstone sidecar, and every candidate file from the
+    * zero-I/O envelope prune gains a `keys` [[Mask]] — matched target
+    * rows are hidden by a read-time anti-join against the sidecar while
+    * the source rows serve as their replacements. NO target file is read
+    * or rewritten. Same user-visible semantics as [[mergeUpsert]]
+    * (update-all/insert-all, null-keyed source rows insert and match
+    * nothing, duplicate-key sources all land, schema evolution like
+    * append); reads pay the anti-join on masked files until [[compact]]
+    * reconciles. Returns the new version. */
+  def mergeUpsertMor(
+      spark: SparkSession,
+      root: String,
+      source: DataFrame,
+      keyCols: Seq[String],
+      batchId: Option[Long] = None): Int = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    require(keyCols.nonEmpty, "mergeUpsertMor needs at least one key column")
+    val base = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
+    val m = readManifest(spark, root, base)
+    require(m.schemaJson.isDefined, "merge-on-read DML needs a schema-recording manifest")
+    val evolved = evolvedSchema(spark, root, Some(base), source, carryForward = true)
+    val evolvedMapping = mappingOf(schemaFromJson(evolved))
+    val (srcRel, nSrc, srcStats) = writeData(spark, root, source, m.constraints, evolvedMapping)
+    if (nSrc == 0) return base // empty upsert: no-op; the orphan dir vacuums away
+    val srcSchema = org.apache.spark.sql.types.StructType(
+      schemaFromJson(evolved).fields.filter(f => source.columns.contains(f.name)))
+    val srcDf = readTablePaths(spark, Some(srcSchema), Seq(new Path(root, srcRel).toString))
+    // envelope prune: the only target-side work, and it is zero-I/O
+    val aggs = keyCols.flatMap(k =>
+      Seq(min(col("`" + k + "`")).as("__lo_" + k), max(col("`" + k + "`")).as("__hi_" + k)))
+    val kb = srcDf.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val bounds = keyCols.map(k =>
+      Bound(k, Option(kb.getAs[Any]("__lo_" + k)), Option(kb.getAs[Any]("__hi_" + k))))
+    val allKeysNull = bounds.forall(b => b.lower.isEmpty && b.upper.isEmpty)
+    val newMask: Seq[Mask] =
+      if (allKeysNull) Seq.empty // all-null keys match nothing: a pure insert
+      else {
+        // key-tombstone sidecar: DISTINCT complete key tuples, logical
+        // names (independent of the table's physical column mapping)
+        val keyRel = "data/" + java.util.UUID.randomUUID().toString
+        srcDf
+          .select(keyCols.map(k => col("`" + k + "`")): _*)
+          .na.drop("any")
+          .distinct()
+          .write
+          .parquet(new Path(root, keyRel).toString)
+        val plan = prunePlan(spark, root, base, bounds)
+        val maskEntries = plan.keep ++ plan.uncoveredDirs
+        if (maskEntries.isEmpty) Seq.empty
+        else Seq(Mask("keys", maskEntries, keyCols = keyCols, keyDir = Some(keyRel)))
+      }
+    publish(
+      spark,
+      root,
+      Commit(
+        base + 1,
+        "mor-merge",
+        m.dirs :+ srcRel,
+        nSrc,
+        batchId,
+        Some(evolved),
+        m.files ++ srcStats,
+        constraints = m.constraints,
+        dropped = reviveDropped(m.dropped, schemaFromJson(evolved)),
+        masks = m.masks ++ newMask))
+  }
+
   // ─────────────────── change-data-capture between versions ───────────────────
 
   /** Live file-level entries of a manifest: stat-covered files
@@ -1621,29 +2014,57 @@ object SnapshotTable {
     * ('insert'|'delete') and `_commit_version`. Requires the old files to
     * still exist: run with [[vacuum]] retention covering `fromV`. */
   def changesBetween(spark: SparkSession, root: String, fromV: Int, toV: Int): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{col, lit}
     require(fromV <= toV, s"changesBetween needs fromV <= toV, got $fromV > $toV")
     val schema = readManifest(spark, root, toV).schemaJson.map(schemaFromJson)
-    def readPaths(paths: Seq[String]): Option[DataFrame] =
+    // every file read applies ITS manifest's masks: removed files read as
+    // they stood at v-1 (prior masks applied — already-masked rows were
+    // deleted earlier, they must not re-delete), added files as they
+    // stand at v. The exceptAll algebra then stays exact over
+    // merge-on-read history.
+    def readPaths(mf: Commit, paths: Seq[String]): Option[DataFrame] =
       if (paths.isEmpty) None
-      else Some(readTablePaths(spark, schema, paths.map(p => new Path(root, p).toString)))
+      else if (mf.masks.isEmpty)
+        Some(readTablePaths(spark, schema, paths.map(p => new Path(root, p).toString)))
+      else Some(readEntriesMasked(spark, root, mf, schema, paths))
     def tag(df: DataFrame, tpe: String, v: Int): DataFrame =
       df.withColumn("_change_type", lit(tpe)).withColumn("_commit_version", lit(v))
     val steps = ((fromV + 1) to toV).flatMap { v =>
       val cur = readManifest(spark, root, v)
       if (cur.action == "compact") Seq.empty[DataFrame]
       else {
-        val prevEntries = fileEntries(readManifest(spark, root, v - 1))
+        val prevM = readManifest(spark, root, v - 1)
+        val prevEntries = fileEntries(prevM)
         val curEntries = fileEntries(cur)
-        val added = readPaths(curEntries.filterNot(prevEntries.toSet))
-        val removed = readPaths(prevEntries.filterNot(curEntries.toSet))
-        (added, removed) match {
+        val added = readPaths(cur, curEntries.filterNot(prevEntries.toSet))
+        val removed = readPaths(prevM, prevEntries.filterNot(curEntries.toSet))
+        val fileSteps = (added, removed) match {
           case (Some(a), None) => Seq(tag(a, "insert", v))
           case (None, Some(r)) => Seq(tag(r, "delete", v))
           case (Some(a), Some(r)) =>
             Seq(tag(a.exceptAll(r), "insert", v), tag(r.exceptAll(a), "delete", v))
           case (None, None) => Seq.empty[DataFrame]
         }
+        // a NEW mask this commit introduced (identity = everything but its
+        // entry list, which only shrinks later) deletes the rows it
+        // matches, as those entries stood at v-1 — cost ∝ masked files
+        def maskId(mk: Mask) = (mk.kind, mk.predBounds, mk.keyCols, mk.keyDir)
+        val prevIds = prevM.masks.map(maskId).toSet
+        val maskSteps = cur.masks.filterNot(mk => prevIds(maskId(mk))).map { mk =>
+          val s = schema.getOrElse(sys.error("merge-on-read CDC needs a recorded schema"))
+          val base = readEntriesMasked(spark, root, prevM, schema, mk.entries)
+          val matchedRows = mk.kind match {
+            case "pred" => base.filter(matchCol(decodeMaskBounds(s, mk.predBounds)))
+            case "keys" =>
+              val keys = spark.read
+                .parquet(new Path(root, mk.keyDir.getOrElse(sys.error("keys mask without keyDir"))).toString)
+                .select(mk.keyCols.map(k => col("`" + k + "`")): _*)
+              base.join(keys, mk.keyCols, "left_semi")
+            case other => sys.error(s"unknown mask kind '$other'")
+          }
+          tag(matchedRows, "delete", v)
+        }
+        fileSteps ++ maskSteps
       }
     }
     steps.reduceOption(_ unionByName _).getOrElse {
@@ -1683,7 +2104,13 @@ object SnapshotTable {
     // liveness is tracked at dir granularity, so one referenced file keeps
     // its whole dir (conservative — superseded siblings go when a later
     // compact/overwrite drops the dir entirely)
-    val live = keep.flatMap(readManifest(spark, root, _).dirs).map(dataDirOf).toSet
+    // key-tombstone sidecars of retained manifests' masks are live too —
+    // a mask without its sidecar would resurrect deleted rows
+    val live = keep
+      .map(readManifest(spark, root, _))
+      .flatMap(c => c.dirs ++ c.masks.flatMap(_.keyDir))
+      .map(dataDirOf)
+      .toSet
     val deletedManifests = drop.map { v =>
       f.delete(manifestPath(root, v), false); f"_manifests/v$v%08d.json"
     }
@@ -1734,6 +2161,9 @@ object SnapshotTable {
       .getOrElse(sys.error("renameColumn needs a schema-recording manifest"))
     require(schema.fieldNames.contains(oldName), s"no column '$oldName' in table schema")
     require(!schema.fieldNames.contains(newName), s"column '$newName' already exists")
+    require(
+      m.masks.isEmpty,
+      "pending merge-on-read masks reference logical column names; compact to reconcile them first")
     require(
       !schema.fields.exists(f => f.name != oldName && physName(f) == newName),
       s"'$newName' is another column's frozen physical name; swap-chains are not supported")
@@ -1787,6 +2217,9 @@ object SnapshotTable {
       .getOrElse(sys.error("dropColumn needs a schema-recording manifest"))
     require(schema.fieldNames.contains(name), s"no column '$name' in table schema")
     require(schema.fields.length > 1, "cannot drop the last column")
+    require(
+      m.masks.isEmpty,
+      "pending merge-on-read masks reference logical column names; compact to reconcile them first")
     m.constraints.foreach { case (cname, sql) =>
       require(
         !sql.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(name)}\\b.*"),
