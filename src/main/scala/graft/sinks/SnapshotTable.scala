@@ -1181,47 +1181,232 @@ object SnapshotTable {
     * can assert skipping actually engages. */
   private[graft] final case class PrunePlan(keep: Seq[String], skipped: Seq[String], uncoveredDirs: Seq[String])
 
-  private[graft] def prunePlan(spark: SparkSession, root: String, v: Int, bounds: Seq[Bound]): PrunePlan = {
-    val m = readManifest(spark, root, v)
+  /** One bound fully resolved against the schema for file-deadness
+    * checks: normalized comparison axes plus precomputed Bloom probe
+    * positions for equality bounds. Serializable, so the SAME deadness
+    * logic evaluates driver-side over a parsed manifest AND distributed
+    * over a parquet checkpoint frame ([[prunePlanCheckpointed]]). */
+  private[graft] final case class TypedBound(
+      key: String, // PHYSICAL column name (stats/blooms key)
+      lo: Option[Either[BigDecimal, String]],
+      hi: Option[Either[BigDecimal, String]],
+      probes: Option[Seq[Int]]) // equality bounds only
+      extends Serializable
+
+  private def typedBoundsOf(
+      schema: Option[org.apache.spark.sql.types.StructType],
+      bounds: Seq[Bound]): Seq[TypedBound] =
+    bounds.flatMap { b =>
+      schema.flatMap(_.fields.find(_.name == b.column)).map { f =>
+        val dt = f.dataType
+        val lo = b.lower.flatMap(normBound(dt, _))
+        val hi = b.upper.flatMap(normBound(dt, _))
+        val isEquality = lo.isDefined && lo == hi
+        TypedBound(
+          physName(f),
+          lo,
+          hi,
+          if (isEquality) b.lower.flatMap(probePositions(dt, _)) else None)
+      }
+    }
+
+  /** Stat JSON → comparison axis WITHOUT the schema: strings → the string
+    * axis, numbers → the decimal axis. Faithful to [[normJ]] because
+    * [[statJson]] writes strings only for string/date columns and numbers
+    * for everything else; a mismatched axis pair simply never orders
+    * (`lt` returns false) — exactly normJ's None behavior. */
+  private def jAxis(j: JValue): Option[Either[BigDecimal, String]] = j match {
+    case JString(s) => Some(Right(s))
+    case JInt(v) => Some(Left(BigDecimal(v)))
+    case JLong(v) => Some(Left(BigDecimal(v)))
+    case JDouble(v) => Some(Left(BigDecimal(v)))
+    case JDecimal(v) => Some(Left(v))
+    case _ => None
+  }
+
+  /** A file is provably dead iff SOME bound excludes its whole [min,max] —
+    * or, for an EQUALITY bound, its Bloom filter proves the value absent
+    * (an unset probe bit; false negatives are impossible). The single
+    * deadness kernel shared by the driver-side and checkpointed planners. */
+  private def deadFile(
+      typed: Seq[TypedBound],
+      min: Map[String, JValue],
+      max: Map[String, JValue],
+      bloom: Map[String, String]): Boolean =
+    typed.exists { tb =>
+      val mi = min.get(tb.key).flatMap(jAxis)
+      val ma = max.get(tb.key).flatMap(jAxis)
+      val belowLower = (tb.lo, ma) match {
+        case (Some(l), Some(mx)) => lt(mx, l)
+        case _ => false
+      }
+      val aboveUpper = (tb.hi, mi) match {
+        case (Some(h), Some(mnv)) => lt(h, mnv)
+        case _ => false
+      }
+      val bloomDead = tb.probes.exists(ps =>
+        bloom.get(tb.key).exists(b64 => ps.exists(p => !bloomHas(b64, p))))
+      belowLower || aboveUpper || bloomDead
+    }
+
+  private[graft] def prunePlan(spark: SparkSession, root: String, v: Int, bounds: Seq[Bound]): PrunePlan =
+    prunePlanOf(readManifest(spark, root, v), bounds)
+
+  private[graft] def prunePlanOf(m: Commit, bounds: Seq[Bound]): PrunePlan = {
     val schema = m.schemaJson.map(schemaFromJson)
     // stats/blooms are keyed by the PHYSICAL column name; bounds arrive in
     // logical names
-    val typed = bounds.flatMap { b =>
-      schema.flatMap(_.fields.find(_.name == b.column)).map(f => (b, f.dataType, physName(f)))
-    }
+    val typed = typedBoundsOf(schema, bounds)
     // a dirs entry is covered if it is a stat-bearing file itself (DML
     // commits list untouched files individually) or a dir whose files all
     // carry stats
     val coveredFiles = m.files.map(_.path).toSet
     val coveredDirs = m.files.map(f => f.path.take(f.path.lastIndexOf('/'))).toSet
     val uncovered = m.dirs.filterNot(e => coveredDirs.contains(e) || coveredFiles.contains(e))
-    // a file is provably dead iff SOME bound excludes its whole [min,max] —
-    // or, for an EQUALITY bound (lower == upper), its Bloom filter proves
-    // the value absent (an unset probe bit; false negatives are impossible)
-    def dead(fst: FileStat): Boolean =
-      typed.exists { case (b, dt, key) =>
-        val mi = fst.min.get(key).flatMap(normJ(dt, _))
-        val ma = fst.max.get(key).flatMap(normJ(dt, _))
-        val lo = b.lower.flatMap(normBound(dt, _))
-        val hi = b.upper.flatMap(normBound(dt, _))
-        val belowLower = (lo, ma) match {
-          case (Some(l), Some(mx)) => lt(mx, l)
-          case _ => false
-        }
-        val aboveUpper = (hi, mi) match {
-          case (Some(h), Some(mnv)) => lt(h, mnv)
-          case _ => false
-        }
-        val isEquality = lo.isDefined && lo == hi
-        val bloomDead = isEquality && (fst.bloom.get(key) match {
-          case Some(b64) =>
-            probePositions(dt, b.lower.get).exists(_.exists(p => !bloomHas(b64, p)))
-          case None => false
-        })
-        belowLower || aboveUpper || bloomDead
-      }
-    val (skipped, keep) = m.files.partition(dead)
+    val (skipped, keep) = m.files.partition(f => deadFile(typed, f.min, f.max, f.bloom))
     PrunePlan(keep.map(_.path), skipped.map(_.path), uncovered)
+  }
+
+  // ───────── parquet checkpoint manifests: the 10⁵–10⁶-file scale path ─────────
+  //
+  // The JSON manifest is ONE driver-parsed document — past ~10⁴ files its
+  // parse time and driver heap become the planning bound. A CHECKPOINT
+  // materializes a version's per-file statistics as parquet (one row per
+  // file), so planning becomes a DataFrame job: the deadness kernel
+  // ([[deadFile]] — bit-identical to the driver path) runs DISTRIBUTED
+  // over the checkpoint frame and the driver receives only the verdict
+  // lists. The JSON manifest stays the commit-protocol source of truth
+  // (atomic publish needs one document); [[readManifestLite]] opens it
+  // with a streaming parser that SKIPS the files array, so the
+  // checkpointed planner never materializes per-file stats driver-side.
+
+  private def ckptRel(v: Int) = f"_manifests/ckpt_v$v%08d"
+
+  /** Materialize version `v`'s file statistics as a parquet checkpoint —
+    * run by maintenance (e.g. every N commits, beside [[vacuum]]).
+    * Overwrite-idempotent; readers pick it up via [[latestCheckpoint]]. */
+  def checkpoint(spark: SparkSession, root: String): Int = {
+    val v = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
+    writeCheckpoint(spark, root, readManifest(spark, root, v))
+    v
+  }
+
+  private[graft] def writeCheckpoint(spark: SparkSession, root: String, m: Commit): String = {
+    import spark.implicits._
+    def mapJson(kv: Map[String, JValue]): String =
+      JsonMethods.compact(JsonMethods.render(JObject(kv.toList.sortBy(_._1))))
+    val rows = m.files.map(f =>
+      (
+        f.path,
+        f.rows,
+        f.bytes,
+        mapJson(f.min),
+        mapJson(f.max),
+        mapJson(f.nonNull.map { case (k, v) => k -> (JLong(v): JValue) }),
+        mapJson(f.bloom.map { case (k, v) => k -> (JString(v): JValue) })))
+    val rel = ckptRel(m.version)
+    rows
+      .toDF("path", "rows", "bytes", "min", "max", "nn", "bloom")
+      .repartition(math.max(1, rows.size / 65536))
+      .write
+      .mode("overwrite")
+      .parquet(new Path(root, rel).toString)
+    rel
+  }
+
+  /** Latest version with a materialized checkpoint, if any. */
+  def latestCheckpoint(spark: SparkSession, root: String): Option[Int] = {
+    val f = fs(spark, root)
+    val dir = manifestDir(root)
+    val re = """ckpt_v(\d{8})""".r
+    if (!f.exists(dir)) None
+    else
+      f.listStatus(dir)
+        .flatMap(s => re.findFirstMatchIn(s.getPath.getName).map(_.group(1).toInt))
+        .maxOption
+  }
+
+  /** The manifest WITHOUT its files array, via a streaming token copy that
+    * `skipChildren()`s over "files" — O(metadata) driver heap at any file
+    * count. Everything else (dirs, schema, constraints, masks, dropped)
+    * parses exactly as [[readManifest]] does. */
+  private[graft] def readManifestLite(spark: SparkSession, root: String, v: Int): Commit = {
+    val f = fs(spark, root)
+    val in = f.open(manifestPath(root, v))
+    val slim =
+      try {
+        val factory = new com.fasterxml.jackson.core.JsonFactory()
+        val parser = factory.createParser(in: java.io.InputStream)
+        val sw = new java.io.StringWriter()
+        val gen = factory.createGenerator(sw)
+        require(parser.nextToken() == com.fasterxml.jackson.core.JsonToken.START_OBJECT, "manifest must be a JSON object")
+        gen.writeStartObject()
+        while (parser.nextToken() != com.fasterxml.jackson.core.JsonToken.END_OBJECT) {
+          val name = parser.currentName()
+          parser.nextToken() // move onto the value
+          if (name == "files") parser.skipChildren()
+          else {
+            gen.writeFieldName(name)
+            gen.copyCurrentStructure(parser)
+          }
+        }
+        gen.writeEndObject()
+        gen.close()
+        sw.toString
+      } finally in.close()
+    val j = JsonMethods.parse(slim, useBigDecimalForDouble = true)
+    implicit val fmts: Formats = DefaultFormats
+    Commit(
+      (j \ "version").extract[Int],
+      (j \ "action").extract[String],
+      (j \ "dirs").extract[Seq[String]],
+      (j \ "addedRows").extract[Long],
+      (j \ "batchId").extractOpt[Long],
+      (j \ "schema").extractOpt[String],
+      Seq.empty,
+      (j \ "ts").extractOpt[Long].getOrElse(0L),
+      (j \ "constraints") match {
+        case JObject(kvs) => kvs.collect { case (k, JString(s)) => k -> s }.toMap
+        case _ => Map.empty[String, String]
+      })
+  }
+
+  /** [[prunePlan]] computed DISTRIBUTED from the parquet checkpoint of
+    * version `v`: the driver never parses per-file stats — the shared
+    * deadness kernel runs as a UDF over the checkpoint frame (typed
+    * bounds broadcast in its closure) and only the path verdicts return.
+    * Results are IDENTICAL to the JSON path by construction (same
+    * [[deadFile]], same serde). The dirs/schema metadata comes from
+    * [[readManifestLite]]. Requires a checkpoint at exactly `v`
+    * ([[checkpoint]] after committing, or plan at [[latestCheckpoint]]). */
+  private[graft] def prunePlanCheckpointed(
+      spark: SparkSession,
+      root: String,
+      v: Int,
+      bounds: Seq[Bound]): PrunePlan = {
+    import org.apache.spark.sql.functions.{col, udf}
+    val lite = readManifestLite(spark, root, v)
+    val schema = lite.schemaJson.map(schemaFromJson)
+    val typed = typedBoundsOf(schema, bounds)
+    val deadFn = udf { (minJ: String, maxJ: String, bloomJ: String) =>
+      def m(s: String): Map[String, JValue] =
+        JsonMethods.parse(s, useBigDecimalForDouble = true) match {
+          case JObject(kvs) => kvs.toMap
+          case _ => Map.empty[String, JValue]
+        }
+      val blooms = m(bloomJ).collect { case (k, JString(b)) => k -> b }
+      deadFile(typed, m(minJ), m(maxJ), blooms)
+    }
+    val verdicts = spark.read
+      .parquet(new Path(root, ckptRel(v)).toString)
+      .select(col("path"), deadFn(col("min"), col("max"), col("bloom")).as("dead"))
+      .collect()
+    val keep = verdicts.filter(!_.getBoolean(1)).map(_.getString(0)).toSeq
+    val skipped = verdicts.filter(_.getBoolean(1)).map(_.getString(0)).toSeq
+    val coveredFiles = (keep ++ skipped).toSet
+    val coveredDirs = coveredFiles.map(p => p.take(p.lastIndexOf('/')))
+    val uncovered = lite.dirs.filterNot(e => coveredDirs.contains(e) || coveredFiles.contains(e))
+    PrunePlan(keep, skipped, uncovered)
   }
 
   /** Time-travel read with manifest-level data skipping: plans the scan
@@ -1258,6 +1443,8 @@ object SnapshotTable {
       dt: org.apache.spark.sql.types.DataType,
       v: Any): Option[Seq[Int]] = probePositions(dt, v)
   private[graft] def bloomBit(b64: String, pos: Int): Boolean = bloomHas(b64, pos)
+  private[graft] def encodeBloom(positions: Seq[Int]): String =
+    bloomEncode(scala.collection.immutable.BitSet(positions: _*))
 
   /** The snapshot table as a CATALYST-INTEGRATED relation: a
     * `HadoopFsRelation` whose [[SnapshotFileIndex]] is the manifest, so

@@ -460,6 +460,72 @@ class SnapshotTableSpec extends SparkSuite {
       org.apache.spark.sql.types.IntegerType)
   }
 
+  test("checkpointed planning over 10^4 file entries is identical to the JSON path") {
+    import org.json4s.{JLong, JString, JValue}
+    val root = freshRoot()
+    // a real table fixes the schema (k LONG, x DOUBLE, s STRING); the
+    // synthetic manifest then scales its files list to 10,000 entries —
+    // planning never opens data files, so fake paths are fine
+    SnapshotTable.create(spark, root, wide(10))
+    val base = SnapshotTable.history(spark, root).last
+    val nFiles = 10000
+    val files = (0 until nFiles).map { i =>
+      val lo = i * 100L
+      val hi = lo + 99L
+      val bloomCols: Map[String, String] =
+        if (i % 3 == 0) {
+          // a bloom containing exactly value lo (typed LongType probe)
+          val pos = SnapshotTable
+            .probeBloom(org.apache.spark.sql.types.LongType, java.lang.Long.valueOf(lo))
+            .get
+          Map("k" -> SnapshotTable.encodeBloom(pos))
+        } else Map.empty
+      SnapshotTable.FileStat(
+        f"data/synth/f$i%05d.parquet",
+        100L,
+        Map[String, JValue]("k" -> JLong(lo), "s" -> JString(f"s$i%05d")),
+        Map[String, JValue]("k" -> JLong(hi), "s" -> JString(f"s$i%05d~")),
+        Map("k" -> 100L, "s" -> 100L),
+        bloomCols,
+        bytes = 12345L)
+    }
+    val synth = SnapshotTable.Commit(
+      base.version + 1, "append", files.map(_.path) :+ "data/legacy-dir", 0L,
+      None, base.schemaJson, files)
+    SnapshotTable.publish(spark, root, synth)
+    SnapshotTable.writeCheckpoint(spark, root, synth)
+    val probes = Seq(
+      Seq(SnapshotTable.Bound("k", Some(5000L), Some(20000L))), // range
+      Seq(SnapshotTable.Bound("k", Some(300L), Some(300L))), // equality: bloom-backed on i%3 files
+      Seq(SnapshotTable.Bound("k", Some(301L), Some(301L))), // equality NOT in the bloom
+      Seq(SnapshotTable.Bound("s", Some("s00100"), Some("s00200"))), // string axis
+      Seq(SnapshotTable.Bound("nope", Some(1L), None)), // unknown column: no pruning
+      Seq.empty[SnapshotTable.Bound]) // no bounds
+    probes.foreach { bounds =>
+      val json = SnapshotTable.prunePlanOf(synth, bounds)
+      val ckpt = SnapshotTable.prunePlanCheckpointed(spark, root, synth.version, bounds)
+      assert(ckpt.keep.sorted == json.keep.sorted, s"keep diverged for $bounds")
+      assert(ckpt.skipped.sorted == json.skipped.sorted, s"skipped diverged for $bounds")
+      assert(ckpt.uncoveredDirs == json.uncoveredDirs, s"uncovered diverged for $bounds")
+    }
+    // sanity: the probes actually exercise skipping (not vacuous equality)
+    val range = SnapshotTable.prunePlanCheckpointed(
+      spark, root, synth.version, Seq(SnapshotTable.Bound("k", Some(5000L), Some(20000L))))
+    assert(range.skipped.size > nFiles / 2, "range should skip most synthetic files")
+    // the bloom prunes BEYOND min/max: k=301 lands in file 3's [300,399]
+    // range, but its bloom holds only 300 → provably absent → zero keeps;
+    // k=300 keeps exactly that one file
+    val eqMiss = SnapshotTable.prunePlanCheckpointed(
+      spark, root, synth.version, Seq(SnapshotTable.Bound("k", Some(301L), Some(301L))))
+    assert(eqMiss.keep.isEmpty, s"bloom should prove 301 absent: ${eqMiss.keep}")
+    val eqHit = SnapshotTable.prunePlanCheckpointed(
+      spark, root, synth.version, Seq(SnapshotTable.Bound("k", Some(300L), Some(300L))))
+    assert(eqHit.keep == Seq("data/synth/f00003.parquet"), s"${eqHit.keep}")
+    // lite manifest reads the metadata without the files array
+    val lite = SnapshotTable.readManifestLite(spark, root, synth.version)
+    assert(lite.files.isEmpty && lite.dirs.size == nFiles + 1 && lite.schemaJson == base.schemaJson)
+  }
+
   test("sizeInBytes is unknown when ANY live file lacks recorded bytes") {
     val root = freshRoot()
     SnapshotTable.create(spark, root, batch(1L -> "a"))
