@@ -20,18 +20,40 @@ import org.apache.spark.sql.types.StructType
   * (data-identical commits are skipped, their file churn never re-emitted).
   * Row-level DML commits re-emit the rewritten files' surviving rows —
   * Delta's `ignoreChanges` contract, documented rather than silently
-  * wrong; downstream dedup or the CDC reader ([[SnapshotTable
-  * .changesBetween]]) are the precise tools for mutation streams.
+  * wrong; merge-on-read masks are likewise never applied to streamed
+  * batches (an emitted row is never retracted). Downstream dedup or the
+  * CDC reader ([[SnapshotTable.changesBetween]]) are the precise tools
+  * for mutation streams.
   *
-  * Scale shape: `getOffset` is one manifest listing; `getBatch` plans one
-  * parquet scan over only the added files (through [[SnapshotFileIndex]],
-  * so pushed-down filters of the streaming query prune within the batch
-  * too — stats and Blooms keep working under `readStream`). A reader
-  * behind by many versions pays one scan of the union of added files,
-  * never a log replay per row. Old files must still exist: retain vacuum
-  * history past the slowest reader, the same contract as time travel. */
-final class SnapshotSource(spark: SparkSession, root: String, startVersion: Option[Int])
+  * ADMISSION CONTROL (`maxFilesPerTrigger` / `maxBytesPerTrigger`): a
+  * 100-TB backfill must not arrive as one giant batch. With either option
+  * set, offsets become POSITIONS `{"v":version,"i":filesConsumed,"snap":…}`
+  * — the initial snapshot and each commit's added-file list split across
+  * micro-batches at file granularity, every batch capped at the
+  * configured budget (always ≥ 1 file, so progress is guaranteed; a file
+  * with unrecorded bytes conservatively exhausts the byte budget).
+  * Restart recovery is positional: a checkpointed mid-version offset
+  * resumes at the exact file index, and a LEGACY version-number offset
+  * (a checkpoint written before rate limiting) upgrades seamlessly —
+  * it reads as "version fully consumed". Exactly-once is unchanged:
+  * positions denote prefixes of deterministic per-version file lists
+  * over immutable files.
+  *
+  * Scale shape: `getOffset` is one manifest listing + lite manifest
+  * reads; `getBatch` plans one parquet scan over only the batch's files
+  * (through [[SnapshotFileIndex]], so pushed-down filters of the
+  * streaming query prune within the batch too). Old files must still
+  * exist: retain vacuum history past the slowest reader, the same
+  * contract as time travel. */
+final class SnapshotSource(
+    spark: SparkSession,
+    root: String,
+    startVersion: Option[Int],
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends Source {
+
+  private val rateLimited = maxFilesPerTrigger.isDefined || maxBytesPerTrigger.isDefined
 
   // the stream serves the schema recorded when it started; later evolved
   // files read by-name (missing columns null), like readVersion
@@ -46,34 +68,178 @@ final class SnapshotSource(spark: SparkSession, root: String, startVersion: Opti
       .getOrElse(SnapshotTable.readVersion(spark, root, v).schema)
   }
 
-  private def ver(o: V1Offset): Int = o match {
-    case LongOffset(l) => l.toInt
-    case SerializedOffset(json) => json.trim.toInt
-    case other => other.json().trim.toInt
+  // ───────────────────────── positions & lists ─────────────────────────
+
+  /** A stream position: `snap=true` while consuming the initial full
+    * snapshot's file list at version `v`; false while consuming version
+    * v's ADDED-file delta. `i` = files of that list already consumed. */
+  private case class Position(v: Int, i: Int, snap: Boolean) {
+    def json: String = s"""{"v":$v,"i":$i,"snap":$snap}"""
   }
 
-  override def getOffset: Option[V1Offset] =
-    SnapshotTable.latestVersion(spark, root).map(v => LongOffset(v.toLong))
+  private case class PositionOffset(p: Position) extends V1Offset {
+    override def json(): String = p.json
+  }
+
+  private def parsePosition(o: V1Offset): Position = {
+    val txt = o match {
+      case LongOffset(l) => l.toString
+      case SerializedOffset(json) => json.trim
+      case other => other.json().trim
+    }
+    if (txt.startsWith("{")) {
+      val j = org.json4s.jackson.JsonMethods.parse(txt)
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      Position(
+        (j \ "v").extract[Int],
+        (j \ "i").extract[Int],
+        (j \ "snap").extract[Boolean])
+    } else Position(txt.toInt, Int.MaxValue, snap = false) // legacy: version fully consumed
+  }
+
+  private def manifest(v: Int) = SnapshotTable.readManifest(spark, root, v)
+
+  /** Version v's ADDED entries in deterministic (manifest) order;
+    * compaction is data-identical and adds nothing. */
+  private def addedEntries(v: Int): Seq[String] = {
+    val cur = manifest(v)
+    if (cur.action == "compact") Seq.empty
+    else if (v <= 1) SnapshotTable.fileEntries(cur)
+    else {
+      val prev = SnapshotTable.fileEntries(manifest(v - 1)).toSet
+      SnapshotTable.fileEntries(cur).filterNot(prev)
+    }
+  }
+
+  private def listAt(p: Position): Seq[String] =
+    if (p.snap) SnapshotTable.fileEntries(manifest(p.v)) else addedEntries(p.v)
+
+  /** Per-entry byte cost for the byte budget: manifest-recorded sizes;
+    * an unsized entry (pre-bytes manifest, stat-less dir) conservatively
+    * exhausts the budget (it still ships — ≥1 entry per batch). */
+  private def bytesOf(m: SnapshotTable.Commit, entry: String): Long =
+    m.files.find(_.path == entry).map(f => if (f.bytes >= 0) f.bytes else Long.MaxValue)
+      .getOrElse(Long.MaxValue)
+
+  /** Walk from `from` toward `latest`, collecting entries within the
+    * file/byte budget. Returns (end position, entries in (from, end]).
+    * Never leaves a snapshot list mid-batch AND crosses into deltas (so a
+    * start=None batch is always reconstructible from its end position);
+    * always ships ≥ 1 entry when any is available. */
+  private def walk(from: Position, latest: Int): (Position, Seq[String]) = {
+    val budgetF = maxFilesPerTrigger.getOrElse(Int.MaxValue)
+    val budgetB = maxBytesPerTrigger.getOrElse(Long.MaxValue)
+    var p = normalize(from, latest)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var bytes = 0L
+    var exhausted = false
+    while (!exhausted && out.size < budgetF && bytes < budgetB && p.v <= latest) {
+      val list = listAt(p)
+      val m = manifest(p.v)
+      var i = p.i
+      while (i < list.size && out.size < budgetF && bytes < budgetB) {
+        out += list(i)
+        val b = bytesOf(m, list(i))
+        bytes = if (b == Long.MaxValue) Long.MaxValue else math.min(Long.MaxValue - 1, bytes + b)
+        i += 1
+      }
+      p = Position(p.v, i, p.snap)
+      if (i >= list.size) {
+        // list done: advance to the next version's delta — but never in
+        // the same batch as a snapshot prefix (reconstruction invariant)
+        if (p.snap && out.nonEmpty) exhausted = true
+        else if (p.v < latest) p = Position(p.v + 1, 0, snap = false)
+        else exhausted = true
+      } else exhausted = out.size >= budgetF || bytes >= budgetB
+    }
+    (p, out.toSeq)
+  }
+
+  /** Snap a position onto the next non-empty list start. */
+  private def normalize(p: Position, latest: Int): Position = {
+    var cur = p
+    while (cur.v < latest && cur.i >= listAt(cur).size) cur = Position(cur.v + 1, 0, snap = false)
+    cur
+  }
+
+  // last end position this source produced or committed — getOffset's
+  // walk origin. Recovered from getBatch/commit after a restart; until
+  // one of those runs, the first batch after restart is uncapped (legacy
+  // whole-version semantics), which only affects batch SIZING, never
+  // exactly-once.
+  @volatile private var pos: Option[Position] = None
+
+  override def getOffset: Option[V1Offset] = {
+    val latestOpt = SnapshotTable.latestVersion(spark, root)
+    if (latestOpt.isEmpty) return None
+    val latest = latestOpt.get
+    if (!rateLimited) latestOpt.map(v => LongOffset(v.toLong))
+    else {
+      val from = pos.getOrElse {
+        startVersion match {
+          case Some(sv) => Position(sv - 1, Int.MaxValue, snap = false)
+          case None => Position(latest, 0, snap = true) // begin the full snapshot
+        }
+      }
+      val (end, entries) = walk(from, latest)
+      if (entries.isEmpty) pos.map(p => PositionOffset(p)) // no new data
+      else Some(PositionOffset(end))
+    }
+  }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    val endV = ver(end)
-    val entries: Seq[String] = start.map(ver).orElse(startVersion.map(_ - 1)) match {
-      case None | Some(0) =>
-        // initial load: the full snapshot at endV
-        SnapshotTable.fileEntries(SnapshotTable.readManifest(spark, root, endV))
-      case Some(s) =>
-        // union of per-commit added files over (s, endV]; compaction is
-        // data-identical and contributes nothing
-        ((s + 1) to endV).flatMap { v =>
-          val cur = SnapshotTable.readManifest(spark, root, v)
-          if (cur.action == "compact") Seq.empty[String]
-          else {
-            val prev = SnapshotTable.fileEntries(SnapshotTable.readManifest(spark, root, v - 1)).toSet
-            SnapshotTable.fileEntries(cur).filterNot(prev)
+    val endPos = parsePosition(end)
+    val entries: Seq[String] =
+      if (!rateLimited && !end.json().trim.startsWith("{")) legacyEntries(start, endPos.v)
+      else {
+        val from = start.map(parsePosition).getOrElse {
+          startVersion match {
+            case Some(sv) => Position(sv - 1, Int.MaxValue, snap = false)
+            case None if endPos.snap =>
+              // initial batch: its end is inside the snapshot list of the
+              // base version (walk never crosses out of a non-empty
+              // snapshot in one batch)
+              Position(endPos.v, 0, snap = true)
+            case None =>
+              // empty-initial-snapshot corner or a legacy (pre-rate-limit)
+              // end offset: replay as per-commit deltas from the log start
+              Position(0, Int.MaxValue, snap = false)
           }
-        }.distinct
+        }
+        collectBetween(from, endPos)
+      }
+    pos = Some(endPos)
+    frameFor(entries, endPos.v)
+  }
+
+  /** Entries strictly after `from`, through `to` — the deterministic
+    * prefix difference of the walk's position space. */
+  private def collectBetween(from: Position, to: Position): Seq[String] = {
+    var p = normalize(from, to.v)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (p.v < to.v || (p.v == to.v && p.i < to.i)) {
+      val list = listAt(p)
+      val limit = if (p.v == to.v) math.min(to.i, list.size) else list.size
+      out ++= list.slice(p.i, limit)
+      p = Position(p.v, limit, p.snap)
+      if (p.i >= list.size && p.v < to.v) p = Position(p.v + 1, 0, snap = false)
+      else if (p.i >= limit && p.v == to.v) p = Position(p.v, to.i, p.snap) // done
     }
-    val endManifest = SnapshotTable.readManifest(spark, root, endV)
+    out.toSeq
+  }
+
+  /** Pre-rate-limit semantics: union of per-commit added files over
+    * (start, endV]; initial load = full snapshot at endV. */
+  private def legacyEntries(start: Option[V1Offset], endV: Int): Seq[String] =
+    start.map(o => parsePosition(o).v).orElse(startVersion.map(_ - 1)) match {
+      case None | Some(0) =>
+        SnapshotTable.fileEntries(manifest(endV))
+      case Some(s) =>
+        ((s + 1) to endV).flatMap(addedEntries).distinct
+    }
+
+  private def frameFor(entries: Seq[String], endV: Int): DataFrame = {
+    val endManifest = manifest(endV)
     val entrySet = entries.toSet
     // masks are deliberately NOT applied to streamed batches: the append
     // stream emits each file's rows as of the commit that ADDED it, and a
@@ -104,7 +270,9 @@ final class SnapshotSource(spark: SparkSession, root: String, startVersion: Opti
         org.apache.spark.sql.functions.col("`" + SnapshotTable.physName(f) + "`").as(f.name)).toSeq: _*)
   }
 
-  override def commit(end: V1Offset): Unit = ()
+  override def commit(end: V1Offset): Unit =
+    try pos = Some(parsePosition(end))
+    catch { case _: Exception => () }
 
   override def stop(): Unit = ()
 
@@ -112,8 +280,11 @@ final class SnapshotSource(spark: SparkSession, root: String, startVersion: Opti
 }
 
 /** `format("snapshot-table")` registration (META-INF service) — options:
-  * `path` (table root, required), `startVersion` (first version whose data
-  * the stream emits; default: full snapshot first). */
+  * `path` (table root, required), `startVersion` (first version whose
+  * data the stream emits; default: full snapshot first),
+  * `maxFilesPerTrigger` / `maxBytesPerTrigger` (admission control: split
+  * the backlog across micro-batches at file granularity; see
+  * [[SnapshotSource]]). */
 final class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "snapshot-table"
@@ -145,5 +316,10 @@ final class SnapshotSourceProvider extends StreamSourceProvider with DataSourceR
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): Source =
-    new SnapshotSource(ctx.sparkSession, root(parameters), parameters.get("startVersion").map(_.toInt))
+    new SnapshotSource(
+      ctx.sparkSession,
+      root(parameters),
+      parameters.get("startVersion").map(_.toInt),
+      parameters.get("maxFilesPerTrigger").map(_.toInt),
+      parameters.get("maxBytesPerTrigger").map(_.toLong))
 }

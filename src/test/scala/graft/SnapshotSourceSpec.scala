@@ -112,6 +112,113 @@ class SnapshotSourceSpec extends SparkSuite {
     assert(full.map(_.files.size).sum == 8)
   }
 
+  test("maxFilesPerTrigger: the backlog splits across micro-batches, same rows exactly once") {
+    val root = freshRoot()
+    // 8-file snapshot + two appends while the stream is down = a backlog
+    SnapshotTable.create(
+      spark, root, spark.range(80).selectExpr("id AS k", "concat('v', id) AS s").repartition(8))
+    SnapshotTable.append(spark, root, batch(100L -> "a", 101L -> "b"))
+    SnapshotTable.append(spark, root, batch(102L -> "c"))
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val total = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream
+      .format("snapshot-table")
+      .option("path", root)
+      .option("maxFilesPerTrigger", "2")
+      .load()
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.select("k").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
+        batchSizes.synchronized { batchSizes += rows.length.toLong; total ++= rows }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // every row exactly once across ALL batches
+      assert(total.sorted.toSeq == ((0L until 80L) ++ Seq(100L, 101L, 102L)).sorted)
+      // and the backlog really split: the 8-file snapshot alone needs ≥4
+      // two-file batches
+      val nonEmpty = batchSizes.filter(_ > 0)
+      assert(nonEmpty.size >= 5, s"expected ≥5 rate-limited batches, got sizes=$batchSizes")
+      // a live append keeps flowing under the cap
+      SnapshotTable.append(spark, root, batch(103L -> "d"))
+      q.processAllAvailable()
+      assert(total.sorted.toSeq == ((0L until 80L) ++ Seq(100L, 101L, 102L, 103L)).sorted)
+    } finally q.stop()
+  }
+
+  test("rate-limited checkpoint restart resumes mid-version at the file offset") {
+    val root = freshRoot()
+    val ckpt = Files.createTempDirectory("graft-ssrc-ckpt2").toString
+    val out = Files.createTempDirectory("graft-ssrc-out2").toString
+    SnapshotTable.create(
+      spark, root, spark.range(60).selectExpr("id AS k", "concat('v', id) AS s").repartition(6))
+    def start(stopAfterBatches: Option[Int]) = {
+      val q = spark.readStream
+        .format("snapshot-table")
+        .option("path", root)
+        .option("maxFilesPerTrigger", "1")
+        .load()
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      q
+    }
+    def landed(): Long =
+      scala.util.Try(spark.read.parquet(out).count()).getOrElse(0L)
+    // run only PART of the snapshot: stop after a few 1-file batches land
+    val q1 = start(Some(3))
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline && landed() < 20) Thread.sleep(100)
+      assert(landed() >= 20, "some batches must land before the stop")
+    } finally q1.stop()
+    val mid = landed()
+    assert(mid < 60 || mid == 60, s"mid=$mid") // usually mid-version; tolerate a fast machine
+    // restart: the stream resumes at the checkpointed (version, fileIndex)
+    // and the total lands exactly-once
+    val q2 = start(None)
+    try {
+      q2.processAllAvailable()
+      assert(
+        spark.read.parquet(out).select("k").as[Long].collect().sorted.toSeq ==
+          (0L until 60L).toSeq,
+        "restart must resume at the file offset: every row exactly once")
+    } finally q2.stop()
+  }
+
+  test("maxBytesPerTrigger caps batches by manifest-recorded size, always shipping >=1 file") {
+    val root = freshRoot()
+    SnapshotTable.create(
+      spark, root, spark.range(40).selectExpr("id AS k", "concat('v', id) AS s").repartition(4))
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream
+      .format("snapshot-table")
+      .option("path", root)
+      .option("maxBytesPerTrigger", "1") // smaller than any file: 1 file per batch
+      .load()
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        sizes.synchronized { sizes += df.count() }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(sizes.filter(_ > 0).size == 4, s"one file per batch under a tiny byte budget: $sizes")
+      assert(sizes.sum == 40)
+    } finally q.stop()
+  }
+
   test("startVersion option skips history; DML commits re-emit only rewritten files' rows") {
     val root = freshRoot()
     SnapshotTable.create(spark, root, batch((1L to 8L).map(i => i -> s"v$i"): _*).repartition(4)) // v1, 4 files
