@@ -50,14 +50,19 @@ final class SnapshotSource(
     root: String,
     startVersion: Option[Int],
     maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    cdc: Boolean = false)
     extends Source {
 
   private val rateLimited = maxFilesPerTrigger.isDefined || maxBytesPerTrigger.isDefined
+  require(
+    !(cdc && rateLimited),
+    "readChangeFeed batches are per-version (cost ∝ touched data); " +
+      "maxFilesPerTrigger/maxBytesPerTrigger apply to the append stream only")
 
   // the stream serves the schema recorded when it started; later evolved
   // files read by-name (missing columns null), like readVersion
-  override val schema: StructType = {
+  private val tableSchema: StructType = {
     val v = SnapshotTable
       .latestVersion(spark, root)
       .getOrElse(sys.error(s"no snapshot table at $root"))
@@ -67,6 +72,10 @@ final class SnapshotSource(
       .map(SnapshotTable.schemaFromJson)
       .getOrElse(SnapshotTable.readVersion(spark, root, v).schema)
   }
+
+  override val schema: StructType =
+    if (!cdc) tableSchema
+    else SnapshotSource.cdcSchema(tableSchema)
 
   // ───────────────────────── positions & lists ─────────────────────────
 
@@ -188,6 +197,7 @@ final class SnapshotSource(
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    if (cdc) return cdcBatch(start, end)
     val endPos = parsePosition(end)
     val entries: Seq[String] =
       if (!rateLimited && !end.json().trim.startsWith("{")) legacyEntries(start, endPos.v)
@@ -270,6 +280,56 @@ final class SnapshotSource(
         org.apache.spark.sql.functions.col("`" + SnapshotTable.physName(f) + "`").as(f.name)).toSeq: _*)
   }
 
+  // ───────────────────────── change-data feed ─────────────────────────
+
+  /** STREAMED CDC — `option("readChangeFeed","true")`: each micro-batch
+    * emits [[SnapshotTable.changesBetween]]'s row-level `_change_type` /
+    * `_commit_version` rows for the commit range `(start, end]` (the
+    * first batch starts at `startVersion-1`, default 0 = the creation as
+    * inserts — Delta CDF's startingVersion semantics). The change rows of
+    * a range are computed once and MATERIALIZED under
+    * `<root>/_cdc/r<from>_<to>/` — deterministic per range, so a replayed
+    * batch (restart) reuses the bytes instead of recomputing, and the
+    * streamed feed over closed input is EXACTLY the batch
+    * `changesBetween` result (spec-pinned). Cost per batch ∝ the data its
+    * commits touched, the changesBetween economics; vacuum reclaims
+    * feeds whose range fell out of retained history. */
+  private def cdcBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val endV = parsePosition(end).v
+    val fromV = start
+      .map(o => parsePosition(o).v)
+      .orElse(startVersion.map(_ - 1))
+      .getOrElse(0)
+    val rel = f"_cdc/r$fromV%08d_$endV%08d"
+    val dir = new org.apache.hadoop.fs.Path(root, rel)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val success = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    if (!fs.exists(success)) {
+      // recompute-or-first-time: write via a temp then rename would not be
+      // atomic for a DIRECTORY on object stores; the _SUCCESS marker is
+      // the visibility gate instead (Spark writes it last)
+      if (fs.exists(dir)) fs.delete(dir, true) // torn previous attempt
+      SnapshotTable
+        .changesBetween(spark, root, fromV, endV)
+        .write
+        .parquet(dir.toString)
+    }
+    val idx = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      Seq(dir),
+      Map.empty,
+      Some(schema))
+    val rel2 = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      idx,
+      new StructType(),
+      schema,
+      None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+      Map.empty)(spark)
+    pos = Some(Position(endV, Int.MaxValue, snap = false))
+    org.apache.spark.sql.GraftSqlBridge.ofRows(spark, LogicalRelation(rel2, isStreaming = true))
+  }
+
   override def commit(end: V1Offset): Unit =
     try pos = Some(parsePosition(end))
     catch { case _: Exception => () }
@@ -279,12 +339,22 @@ final class SnapshotSource(
   override def toString: String = s"SnapshotSource[$root]"
 }
 
+object SnapshotSource {
+  /** The change-feed schema: the table's columns plus the CDC tags. */
+  def cdcSchema(table: StructType): StructType =
+    StructType(
+      table.fields :+
+        org.apache.spark.sql.types.StructField("_change_type", org.apache.spark.sql.types.StringType) :+
+        org.apache.spark.sql.types.StructField("_commit_version", org.apache.spark.sql.types.IntegerType))
+}
+
 /** `format("snapshot-table")` registration (META-INF service) — options:
   * `path` (table root, required), `startVersion` (first version whose
   * data the stream emits; default: full snapshot first),
   * `maxFilesPerTrigger` / `maxBytesPerTrigger` (admission control: split
-  * the backlog across micro-batches at file granularity; see
-  * [[SnapshotSource]]). */
+  * the backlog across micro-batches at file granularity),
+  * `readChangeFeed` (stream row-level `_change_type` changes instead of
+  * appended rows; see [[SnapshotSource]]). */
 final class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "snapshot-table"
@@ -293,6 +363,9 @@ final class SnapshotSourceProvider extends StreamSourceProvider with DataSourceR
     parameters.getOrElse(
       "path",
       parameters.getOrElse("root", sys.error("snapshot-table source needs .option(\"path\", <table root>)")))
+
+  private def isCdc(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))
 
   override def sourceSchema(
       ctx: SQLContext,
@@ -307,7 +380,8 @@ final class SnapshotSourceProvider extends StreamSourceProvider with DataSourceR
       .schemaJson
       .map(SnapshotTable.schemaFromJson)
       .getOrElse(SnapshotTable.readVersion(spark, r, v).schema)
-    (shortName(), schema.getOrElse(s))
+    val out = if (isCdc(parameters)) SnapshotSource.cdcSchema(s) else s
+    (shortName(), schema.getOrElse(out))
   }
 
   override def createSource(
@@ -321,5 +395,6 @@ final class SnapshotSourceProvider extends StreamSourceProvider with DataSourceR
       root(parameters),
       parameters.get("startVersion").map(_.toInt),
       parameters.get("maxFilesPerTrigger").map(_.toInt),
-      parameters.get("maxBytesPerTrigger").map(_.toLong))
+      parameters.get("maxBytesPerTrigger").map(_.toLong),
+      isCdc(parameters))
 }

@@ -2203,6 +2203,7 @@ object SnapshotTable {
   def changesBetween(spark: SparkSession, root: String, fromV: Int, toV: Int): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     require(fromV <= toV, s"changesBetween needs fromV <= toV, got $fromV > $toV")
+    require(fromV >= 0, s"changesBetween fromV must be >= 0 (0 = include the creation as inserts)")
     val schema = readManifest(spark, root, toV).schemaJson.map(schemaFromJson)
     // every file read applies ITS manifest's masks: removed files read as
     // they stood at v-1 (prior masks applied — already-masked rows were
@@ -2220,7 +2221,11 @@ object SnapshotTable {
       val cur = readManifest(spark, root, v)
       if (cur.action == "compact") Seq.empty[DataFrame]
       else {
-        val prevM = readManifest(spark, root, v - 1)
+        // fromV = 0: version 1 diffs against the empty table — the
+        // creation surfaces as inserts (Delta CDF's startingVersion=0)
+        val prevM =
+          if (v == 1) Commit(0, "none", Seq.empty, 0L)
+          else readManifest(spark, root, v - 1)
         val prevEntries = fileEntries(prevM)
         val curEntries = fileEntries(cur)
         val added = readPaths(cur, curEntries.filterNot(prevEntries.toSet))
@@ -2309,6 +2314,24 @@ object SnapshotTable {
           s.getPath.getName.startsWith(".tmp-") &&
             (minAgeMs <= 0L || s.getModificationTime <= System.currentTimeMillis() - minAgeMs))
         .foreach(s => f.delete(s.getPath, false))
+    // materialized change-feed ranges ([[SnapshotSource]] readChangeFeed)
+    // are derived data: reclaim any whose END version fell out of retained
+    // history (no checkpointed stream can still replay that batch — its
+    // offsets reference dropped manifests), age-gated like data dirs
+    val cdcDir = new Path(root, "_cdc")
+    val cdcRe = """r(\d{8})_(\d{8})""".r
+    val minKept = keep.headOption.getOrElse(Int.MaxValue)
+    val deletedCdc =
+      if (!f.exists(cdcDir)) Seq.empty[String]
+      else
+        f.listStatus(cdcDir)
+          .toSeq
+          .filter(s => minAgeMs <= 0L || s.getModificationTime <= System.currentTimeMillis() - minAgeMs)
+          .filter(s =>
+            cdcRe.findFirstMatchIn(s.getPath.getName).exists(m => m.group(2).toInt < minKept))
+          .map { s =>
+            f.delete(s.getPath, true); "_cdc/" + s.getPath.getName
+          }
     val dataDir = new Path(root, "data")
     // minAgeMs is the in-flight-commit guard the protocol note calls for
     // on a LIVE table: a writer's data dir is unreferenced until its
@@ -2327,7 +2350,7 @@ object SnapshotTable {
           .map { rel =>
             f.delete(new Path(root, rel), true); rel
           }
-    deletedManifests ++ deletedData
+    deletedManifests ++ deletedCdc ++ deletedData
   }
 
   /** METADATA-ONLY column rename — no data rewrite, at any file count:

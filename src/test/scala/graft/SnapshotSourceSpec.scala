@@ -219,6 +219,58 @@ class SnapshotSourceSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("readChangeFeed: the streamed CDC feed over a DML cycle equals batch changesBetween") {
+    val root = freshRoot()
+    import org.apache.spark.sql.functions.col
+    val src = spark.range(300).selectExpr(
+      "id AS k",
+      "add_months(DATE'1995-01-15', CAST(id % 6 AS INT)) AS d",
+      "(id * 13) % 997 AS price_c")
+    SnapshotTable.create(
+      spark, root, src.repartitionByRange(4, col("d")).sortWithinPartitions("d")) // v1
+    SnapshotTable.append(spark, root, src.filter("k < 10").withColumn("k", col("k") + 1000)) // v2
+    SnapshotTable.deleteWhere(
+      spark, root, Seq(SnapshotTable.Bound("d", Some("1995-02-01"), Some("1995-03-31")))) // v3
+    SnapshotTable.updateWhere(
+      spark, root, Seq(SnapshotTable.Bound("k", Some(0L), Some(49L))),
+      Map("price_c" -> (col("price_c") + 5))) // v4
+    SnapshotTable.mergeUpsertMor(
+      spark, root, src.filter("k % 41 = 0").withColumn("price_c", col("price_c") * 2), Seq("k")) // v5 (merge-on-read)
+    val q = spark.readStream
+      .format("snapshot-table")
+      .option("path", root)
+      .option("readChangeFeed", "true")
+      .load()
+      .writeStream
+      .format("memory")
+      .queryName("cdc_feed")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      q.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("k", "d", "price_c", "_change_type", "_commit_version")
+          .collect().map(_.toString).sorted.toSeq
+      val streamed = canon(spark.table("cdc_feed"))
+      val batchCdc = canon(SnapshotTable.changesBetween(spark, root, 0, 5))
+      assert(streamed == batchCdc, s"stream(${streamed.size}) != batch(${batchCdc.size})")
+      assert(streamed.nonEmpty)
+      // creation surfaced as v1 inserts (startingVersion=0 semantics)
+      assert(spark.table("cdc_feed").filter("_commit_version = 1 AND _change_type = 'insert'").count() == 300)
+      // a LIVE commit keeps flowing through the feed
+      SnapshotTable.deleteWhereMor(
+        spark, root, Seq(SnapshotTable.Bound("k", Some(200L), Some(249L))))
+      q.processAllAvailable()
+      val after = canon(spark.table("cdc_feed"))
+      val batchAfter = canon(SnapshotTable.changesBetween(spark, root, 0, 6))
+      assert(after == batchAfter, "live mor-delete must stream its mask-delta deletes")
+    } finally q.stop()
+    // materialized feed ranges are reclaimed once their history ages out
+    val deleted = SnapshotTable.vacuum(spark, root, keepLast = 1)
+    assert(deleted.exists(_.startsWith("_cdc/")), s"stale _cdc ranges should vacuum: $deleted")
+  }
+
   test("startVersion option skips history; DML commits re-emit only rewritten files' rows") {
     val root = freshRoot()
     SnapshotTable.create(spark, root, batch((1L to 8L).map(i => i -> s"v$i"): _*).repartition(4)) // v1, 4 files
