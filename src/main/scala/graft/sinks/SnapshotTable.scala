@@ -2175,6 +2175,42 @@ object SnapshotTable {
         masks = m.masks ++ newMask))
   }
 
+  /** EXACTLY-ONCE streaming MERGE-ON-READ upsert — [[upsertBatchExactlyOnce]]'s
+    * O(change) sibling: the micro-batch id rides the mor-merge commit, so
+    * a replayed epoch is a no-op; a lost publish race re-checks the log
+    * (our commit won ⇒ done) and otherwise re-derives the mask's
+    * candidate set against the new latest version (stale candidates could
+    * let a concurrently-added file's matching rows survive unmasked).
+    * CDC-apply at 100 TB with per-epoch cost ∝ the epoch's source. */
+  def upsertBatchExactlyOnceMor(
+      spark: SparkSession,
+      root: String,
+      source: DataFrame,
+      keyCols: Seq[String],
+      batchId: Long): Int = {
+    def committed(): Option[Int] =
+      history(spark, root).find(_.batchId.contains(batchId)).map(_.version)
+    committed().getOrElse {
+      var result = -1
+      var attempts = 0
+      while (result < 0) {
+        try result = mergeUpsertMor(spark, root, source, keyCols, Some(batchId))
+        catch {
+          case e: ConcurrentCommitException =>
+            committed().foreach(v => return v) // replayed epoch lost to itself: done
+            attempts += 1
+            if (attempts >= 20) throw e
+        }
+      }
+      result
+    }
+  }
+
+  /** `foreachBatch` adapter for streaming merge-on-read upsert:
+    * `stream.writeStream.foreachBatch(SnapshotTable.streamUpsertMor(root, keys)).start()`. */
+  def streamUpsertMor(root: String, keyCols: Seq[String]): (DataFrame, Long) => Unit =
+    (batch, id) => { upsertBatchExactlyOnceMor(batch.sparkSession, root, batch, keyCols, id); () }
+
   // ─────────────────── change-data-capture between versions ───────────────────
 
   /** Live file-level entries of a manifest: stat-covered files

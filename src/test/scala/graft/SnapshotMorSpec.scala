@@ -225,6 +225,27 @@ class SnapshotMorSpec extends SparkSuite {
     assert(e2.getMessage.contains("merge-on-read"), e2.getMessage)
   }
 
+  test("exactly-once streaming MOR upsert: replayed epochs are no-ops, masks apply once") {
+    val root = freshRoot()
+    val src = fixture(200)
+    SnapshotTable.create(
+      spark, root, src.repartitionByRange(4, col("k")).sortWithinPartitions("k"))
+    val epoch = src.filter("k % 9 = 0").withColumn("price_c", col("price_c") + 77)
+    val v1 = SnapshotTable.upsertBatchExactlyOnceMor(spark, root, epoch, Seq("k"), batchId = 7L)
+    // a replayed epoch (same batchId) must be a NO-OP — same version, no
+    // second mask, no duplicate source rows
+    val v2 = SnapshotTable.upsertBatchExactlyOnceMor(spark, root, epoch, Seq("k"), batchId = 7L)
+    assert(v1 == v2)
+    assert(SnapshotTable.history(spark, root).size == 2)
+    val got = SnapshotTable.read(spark, root)
+    assert(got.count() == 200, "each key exactly once after the replay")
+    assert(got.filter("k % 9 = 0 AND price_c = (k * 13) % 997 + 77").count() == epoch.count())
+    // the next epoch applies once on top
+    SnapshotTable.upsertBatchExactlyOnceMor(
+      spark, root, epoch.withColumn("price_c", col("price_c") + 1), Seq("k"), batchId = 8L)
+    assert(SnapshotTable.read(spark, root).count() == 200)
+  }
+
   test("exact equality mor-delete via bloom-capable bounds; null bound columns survive") {
     val root = freshRoot()
     val withNulls = spark.range(100).selectExpr(
