@@ -225,6 +225,24 @@ class SnapshotMorSpec extends SparkSuite {
     assert(e2.getMessage.contains("merge-on-read"), e2.getMessage)
   }
 
+  test("keys-mask read plans a BROADCAST anti-join on the sidecar, never sort-merge") {
+    // the mask anti-join is the read amplification merge-on-read trades
+    // for its O(change) writes — at 100 TB a source-sized sidecar must
+    // broadcast, not shuffle the masked terabytes
+    val root = freshRoot()
+    val src = fixture()
+    SnapshotTable.create(
+      spark, root, src.repartitionByRange(4, col("k")).sortWithinPartitions("k"))
+    SnapshotTable.mergeUpsertMor(
+      spark, root, src.filter("k % 97 = 0").withColumn("price_c", col("price_c") + 1), Seq("k"))
+    val df = SnapshotTable.read(spark, root)
+    df.count() // settle AQE so the executed plan is the real one
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"mask anti-join must broadcast the sidecar:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"masked read must not shuffle the table:\n$p")
+  }
+
   test("exactly-once streaming MOR upsert: replayed epochs are no-ops, masks apply once") {
     val root = freshRoot()
     val src = fixture(200)
