@@ -38,17 +38,26 @@ import scala.collection.concurrent.TrieMap
   * from a parquet path or a temp view it does not own. */
 object SnapshotSql {
 
-  private val registry = TrieMap.empty[(SparkSession, String), String]
+  private final case class Registration(root: String, morWrites: Boolean)
+
+  private val registry = TrieMap.empty[(SparkSession, String), Registration]
 
   /** Register `name` as the SQL-addressable identity of the snapshot
-    * table at `root` for this session. */
-  def register(spark: SparkSession, name: String, root: String): Unit =
-    registry.put((spark, name.toLowerCase(java.util.Locale.ROOT)), root)
+    * table at `root` for this session. `morWrites = true` makes DML
+    * statements take the MERGE-ON-READ operators
+    * ([[SnapshotTable.deleteWhereMor]]/[[SnapshotTable.mergeUpsertMor]]) —
+    * the per-table write-mode property (Delta's
+    * `delta.enableDeletionVectors`): same results, O(change) writes,
+    * read-time masks until compaction reconciles. UPDATE has no
+    * merge-on-read form (an update is not a pure deletion) and stays
+    * copy-on-write in either mode. */
+  def register(spark: SparkSession, name: String, root: String, morWrites: Boolean = false): Unit =
+    registry.put((spark, name.toLowerCase(java.util.Locale.ROOT)), Registration(root, morWrites))
 
   def unregister(spark: SparkSession, name: String): Unit =
     registry.remove((spark, name.toLowerCase(java.util.Locale.ROOT)))
 
-  private def rootOf(spark: SparkSession, nameParts: Seq[String]): String = {
+  private def registrationOf(spark: SparkSession, nameParts: Seq[String]): Registration = {
     val name = nameParts.last.toLowerCase(java.util.Locale.ROOT)
     registry.getOrElse(
       (spark, name),
@@ -142,13 +151,19 @@ object SnapshotSql {
     spark.sessionState.sqlParser.parsePlan(sql) match {
 
       case d: DeleteFromTable =>
-        val root = rootOf(spark, tableParts(d.table))
+        val reg = registrationOf(spark, tableParts(d.table))
         val sk = skeleton(d.condition)
-        if (sk.exact && sk.bounds.nonEmpty) SnapshotTable.deleteWhere(spark, root, sk.bounds)
-        else SnapshotTable.deleteExpr(spark, root, asColumn(d.condition), sk.bounds)
+        if (reg.morWrites) {
+          // merge-on-read deletes are predicate masks: only the exact
+          // range translation can become one. Anything else falls back to
+          // copy-on-write — correct in both modes, loud in neither.
+          if (sk.exact && sk.bounds.nonEmpty) SnapshotTable.deleteWhereMor(spark, reg.root, sk.bounds)
+          else SnapshotTable.deleteExpr(spark, reg.root, asColumn(d.condition), sk.bounds)
+        } else if (sk.exact && sk.bounds.nonEmpty) SnapshotTable.deleteWhere(spark, reg.root, sk.bounds)
+        else SnapshotTable.deleteExpr(spark, reg.root, asColumn(d.condition), sk.bounds)
 
       case u: UpdateTable =>
-        val root = rootOf(spark, tableParts(u.table))
+        val root = registrationOf(spark, tableParts(u.table)).root
         val set = u.assignments.map { a =>
           val name = attrName(a.key).getOrElse(
             sys.error(s"unsupported SET target: ${a.key.sql} (single-column targets only)"))
@@ -161,7 +176,7 @@ object SnapshotSql {
         else SnapshotTable.updateExpr(spark, root, asColumn(cond), sk.bounds, set)
 
       case m: MergeIntoTable =>
-        val root = rootOf(spark, tableParts(m.targetTable))
+        val reg = registrationOf(spark, tableParts(m.targetTable))
         val okMatched = m.matchedActions match {
           case Seq(UpdateStarAction(None)) => true
           case _ => false
@@ -189,7 +204,8 @@ object SnapshotSql {
         }
         val keyCols = keysOf(m.mergeCondition)
         val source: DataFrame = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, stripAlias(m.sourceTable))
-        SnapshotTable.mergeUpsert(spark, root, source, keyCols)
+        if (reg.morWrites) SnapshotTable.mergeUpsertMor(spark, reg.root, source, keyCols)
+        else SnapshotTable.mergeUpsert(spark, reg.root, source, keyCols)
 
       case other =>
         sys.error(

@@ -92,6 +92,38 @@ class SnapshotSqlSpec extends SparkSuite {
     assert(carried.size >= 5, s"only boundary files should rewrite: carried=${carried.size} of 8")
   }
 
+  test("morWrites registration routes SQL DML onto merge-on-read with identical results") {
+    val morRoot = freshRoot()
+    val cowRoot = freshRoot()
+    val src = fixture(2000)
+    SnapshotTable.create(spark, morRoot,
+      src.repartitionByRange(8, org.apache.spark.sql.functions.col("k")).sortWithinPartitions("k"))
+    SnapshotTable.create(spark, cowRoot,
+      src.repartitionByRange(8, org.apache.spark.sql.functions.col("k")).sortWithinPartitions("k"))
+    SnapshotSql.register(spark, "snap_mor", morRoot, morWrites = true)
+    SnapshotSql.register(spark, "snap_cow2", cowRoot)
+    fixture(2000).filter("k % 97 = 0").selectExpr("k", "d", "price_c + 9 AS price_c")
+      .createOrReplaceTempView("mor_src")
+    val filesBefore = SnapshotTable.history(spark, morRoot).last.files.map(_.path).toSet
+    for (t <- Seq("snap_mor", "snap_cow2")) {
+      SnapshotSql.execute(spark,
+        s"MERGE INTO $t AS x USING mor_src AS s ON x.k = s.k " +
+          "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      SnapshotSql.execute(spark, s"DELETE FROM $t WHERE k BETWEEN 500 AND 700")
+    }
+    assert(sorted(SnapshotTable.read(spark, morRoot)) == sorted(SnapshotTable.read(spark, cowRoot)))
+    // the mor table's merge rewrote NOTHING and its commits are mor-typed
+    val h = SnapshotTable.history(spark, morRoot)
+    assert(h.map(_.action).takeRight(2) == Seq("mor-merge", "mor-delete"), h.map(_.action))
+    val afterMerge = h.find(_.action == "mor-merge").get
+    assert(filesBefore.subsetOf(afterMerge.files.map(_.path).toSet),
+      "morWrites MERGE must not rewrite target files")
+    // non-range delete on a morWrites table falls back to COW, still exact
+    SnapshotSql.execute(spark, "DELETE FROM snap_mor WHERE k % 10 = 1")
+    SnapshotSql.execute(spark, "DELETE FROM snap_cow2 WHERE k % 10 = 1")
+    assert(sorted(SnapshotTable.read(spark, morRoot)) == sorted(SnapshotTable.read(spark, cowRoot)))
+  }
+
   test("refusals: unregistered targets, non-DML text, unsupported merge shapes") {
     val root = freshRoot()
     SnapshotTable.create(spark, root, fixture(10))
