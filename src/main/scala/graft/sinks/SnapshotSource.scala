@@ -106,29 +106,45 @@ final class SnapshotSource(
     } else Position(txt.toInt, Int.MaxValue, snap = false) // legacy: version fully consumed
   }
 
-  private def manifest(v: Int) = SnapshotTable.readManifest(spark, root, v)
+  // manifests are immutable once published: cache them per source so a
+  // trigger's walk/getBatch pair parses each version's JSON once, not
+  // once per helper call (the per-trigger re-parse was measurable at the
+  // 10⁵-file manifests the checkpoint work targets)
+  private val manifestCache = scala.collection.concurrent.TrieMap.empty[Int, SnapshotTable.Commit]
+  private def manifest(v: Int): SnapshotTable.Commit =
+    manifestCache.getOrElseUpdate(v, SnapshotTable.readManifest(spark, root, v))
 
   /** Version v's ADDED entries in deterministic (manifest) order;
-    * compaction is data-identical and adds nothing. */
-  private def addedEntries(v: Int): Seq[String] = {
-    val cur = manifest(v)
-    if (cur.action == "compact") Seq.empty
-    else if (v <= 1) SnapshotTable.fileEntries(cur)
+    * compaction is data-identical and adds nothing; version 0 is the
+    * empty pre-create table (positions may legitimately sit there —
+    * `startVersion=1`, legacy-offset upgrades). */
+  private def addedEntries(v: Int): Seq[String] =
+    if (v <= 0) Seq.empty
     else {
-      val prev = SnapshotTable.fileEntries(manifest(v - 1)).toSet
-      SnapshotTable.fileEntries(cur).filterNot(prev)
+      val cur = manifest(v)
+      if (cur.action == "compact") Seq.empty
+      else if (v == 1) SnapshotTable.fileEntries(cur)
+      else {
+        val prev = SnapshotTable.fileEntries(manifest(v - 1)).toSet
+        SnapshotTable.fileEntries(cur).filterNot(prev)
+      }
     }
-  }
 
   private def listAt(p: Position): Seq[String] =
     if (p.snap) SnapshotTable.fileEntries(manifest(p.v)) else addedEntries(p.v)
 
-  /** Per-entry byte cost for the byte budget: manifest-recorded sizes;
-    * an unsized entry (pre-bytes manifest, stat-less dir) conservatively
-    * exhausts the budget (it still ships — ≥1 entry per batch). */
-  private def bytesOf(m: SnapshotTable.Commit, entry: String): Long =
-    m.files.find(_.path == entry).map(f => if (f.bytes >= 0) f.bytes else Long.MaxValue)
-      .getOrElse(Long.MaxValue)
+  /** Per-version entry → byte size (manifest-recorded), built once —
+    * bytesOf inside the walk must not be an O(files) scan per entry. An
+    * unsized entry (pre-bytes manifest, stat-less dir) maps to MaxValue:
+    * it conservatively exhausts the byte budget WHEN one is configured
+    * (it still ships — ≥ 1 entry per batch). */
+  private val bytesCache = scala.collection.concurrent.TrieMap.empty[Int, Map[String, Long]]
+  private def bytesOf(v: Int, entry: String): Long =
+    bytesCache
+      .getOrElseUpdate(
+        v,
+        manifest(v).files.map(f => f.path -> (if (f.bytes >= 0) f.bytes else Long.MaxValue)).toMap)
+      .getOrElse(entry, Long.MaxValue)
 
   /** Walk from `from` toward `latest`, collecting entries within the
     * file/byte budget. Returns (end position, entries in (from, end]).
@@ -138,18 +154,23 @@ final class SnapshotSource(
   private def walk(from: Position, latest: Int): (Position, Seq[String]) = {
     val budgetF = maxFilesPerTrigger.getOrElse(Int.MaxValue)
     val budgetB = maxBytesPerTrigger.getOrElse(Long.MaxValue)
+    // bytes only gate batches when a byte budget is CONFIGURED — with
+    // maxFilesPerTrigger alone, an unsized entry must not collapse the
+    // batch to one file
+    val trackBytes = maxBytesPerTrigger.isDefined
     var p = normalize(from, latest)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var bytes = 0L
     var exhausted = false
     while (!exhausted && out.size < budgetF && bytes < budgetB && p.v <= latest) {
       val list = listAt(p)
-      val m = manifest(p.v)
       var i = p.i
       while (i < list.size && out.size < budgetF && bytes < budgetB) {
         out += list(i)
-        val b = bytesOf(m, list(i))
-        bytes = if (b == Long.MaxValue) Long.MaxValue else math.min(Long.MaxValue - 1, bytes + b)
+        if (trackBytes) {
+          val b = bytesOf(p.v, list(i))
+          bytes = if (b == Long.MaxValue) Long.MaxValue else math.min(Long.MaxValue - 1, bytes + b)
+        }
         i += 1
       }
       p = Position(p.v, i, p.snap)
@@ -303,16 +324,23 @@ final class SnapshotSource(
     val rel = f"_cdc/r$fromV%08d_$endV%08d"
     val dir = new org.apache.hadoop.fs.Path(root, rel)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    val success = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
-    if (!fs.exists(success)) {
-      // recompute-or-first-time: write via a temp then rename would not be
-      // atomic for a DIRECTORY on object stores; the _SUCCESS marker is
-      // the visibility gate instead (Spark writes it last)
-      if (fs.exists(dir)) fs.delete(dir, true) // torn previous attempt
+    if (!fs.exists(dir)) {
+      // Two queries (same table, same startVersion, separate checkpoints)
+      // can materialize the same range concurrently: each writes a PRIVATE
+      // temp dir and the winner publishes it with one atomic directory
+      // RENAME onto the absent target — the shared path is never written
+      // in place, so a reader can only ever see a complete feed. The loser
+      // deletes its temp. (Object stores without atomic dir rename should
+      // point the table root at HDFS-like storage — the same caveat as the
+      // manifest publish protocol.)
+      val tmp = new org.apache.hadoop.fs.Path(
+        root,
+        s"_cdc/.tmp-${java.util.UUID.randomUUID()}")
       SnapshotTable
         .changesBetween(spark, root, fromV, endV)
         .write
-        .parquet(dir.toString)
+        .parquet(tmp.toString)
+      if (fs.exists(dir) || !fs.rename(tmp, dir)) fs.delete(tmp, true) // lost the race
     }
     val idx = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],

@@ -124,12 +124,18 @@ object SnapshotTable {
     * (applies + clears) all masks. */
   final case class MaskBound(column: String, lower: Option[JValue], upper: Option[JValue])
 
+  /** `id` is the mask's IDENTITY across manifests (a fresh UUID at
+    * creation, carried verbatim as entry lists shrink): CDC detects "new
+    * mask this commit" by id, so two merge-on-read deletes with the SAME
+    * bounds at different versions stay distinguishable — structural
+    * identity would silently swallow the second one's deletes. */
   final case class Mask(
       kind: String,
       entries: Seq[String],
       predBounds: Seq[MaskBound] = Seq.empty,
       keyCols: Seq[String] = Seq.empty,
-      keyDir: Option[String] = None)
+      keyDir: Option[String] = None,
+      id: String = java.util.UUID.randomUUID().toString)
 
   /** Table schema of `next` committed over `prior`: same-named columns
     * must keep their type (loud failure beats silent corruption — parquet
@@ -312,6 +318,16 @@ object SnapshotTable {
         }
       case _ => Seq.empty
     }
+    commitFromJson(j, files)
+  }
+
+  /** Everything of a manifest EXCEPT the files array — the single parser
+    * behind both [[readManifest]] and [[readManifestLite]], so the lite
+    * path can never silently drop a field (masks and the dropped-column
+    * ledger in particular: a lite read that lost them would resurrect
+    * deleted rows or skip the revival type check). */
+  private def commitFromJson(j: JValue, files: Seq[FileStat]): Commit = {
+    implicit val fmts: Formats = DefaultFormats
     Commit(
       (j \ "version").extract[Int],
       (j \ "action").extract[String],
@@ -347,7 +363,8 @@ object SnapshotTable {
               (mj \ "entries").extract[Seq[String]],
               pbs,
               (mj \ "keyCols").extractOpt[Seq[String]].getOrElse(Seq.empty),
-              (mj \ "keyDir").extractOpt[String])
+              (mj \ "keyDir").extractOpt[String],
+              (mj \ "id").extractOpt[String].getOrElse("")) // pre-id manifests: structural fallback
           }
         case _ => Seq.empty
       })
@@ -637,7 +654,8 @@ object SnapshotTable {
                (if (mk.keyCols.nonEmpty)
                   List("keyCols" -> (JArray(mk.keyCols.map(JString(_)).toList): JValue))
                 else Nil) ++
-               mk.keyDir.map(d => "keyDir" -> (JString(d): JValue)).toList: _*)
+               mk.keyDir.map(d => "keyDir" -> (JString(d): JValue)).toList ++
+               (if (mk.id.nonEmpty) List("id" -> (JString(mk.id): JValue)) else Nil): _*)
          }.toList): JValue))
        else Nil) ++
       c.batchId.map(b => "batchId" -> (JLong(b): JValue)).toList ++
@@ -1354,21 +1372,7 @@ object SnapshotTable {
         gen.close()
         sw.toString
       } finally in.close()
-    val j = JsonMethods.parse(slim, useBigDecimalForDouble = true)
-    implicit val fmts: Formats = DefaultFormats
-    Commit(
-      (j \ "version").extract[Int],
-      (j \ "action").extract[String],
-      (j \ "dirs").extract[Seq[String]],
-      (j \ "addedRows").extract[Long],
-      (j \ "batchId").extractOpt[Long],
-      (j \ "schema").extractOpt[String],
-      Seq.empty,
-      (j \ "ts").extractOpt[Long].getOrElse(0L),
-      (j \ "constraints") match {
-        case JObject(kvs) => kvs.collect { case (k, JString(s)) => k -> s }.toMap
-        case _ => Map.empty[String, String]
-      })
+    commitFromJson(JsonMethods.parse(slim, useBigDecimalForDouble = true), Seq.empty)
   }
 
   /** [[prunePlan]] computed DISTRIBUTED from the parquet checkpoint of
@@ -2273,10 +2277,13 @@ object SnapshotTable {
             Seq(tag(a.exceptAll(r), "insert", v), tag(r.exceptAll(a), "delete", v))
           case (None, None) => Seq.empty[DataFrame]
         }
-        // a NEW mask this commit introduced (identity = everything but its
-        // entry list, which only shrinks later) deletes the rows it
-        // matches, as those entries stood at v-1 — cost ∝ masked files
-        def maskId(mk: Mask) = (mk.kind, mk.predBounds, mk.keyCols, mk.keyDir)
+        // a NEW mask this commit introduced (identity = the creation UUID,
+        // which entry-list shrinking preserves — structural identity would
+        // swallow a later delete with identical bounds; pre-id manifests
+        // fall back to the structural tuple) deletes the rows it matches,
+        // as those entries stood at v-1 — cost ∝ masked files
+        def maskId(mk: Mask): Any =
+          if (mk.id.nonEmpty) mk.id else (mk.kind, mk.predBounds, mk.keyCols, mk.keyDir)
         val prevIds = prevM.masks.map(maskId).toSet
         val maskSteps = cur.masks.filterNot(mk => prevIds(maskId(mk))).map { mk =>
           val s = schema.getOrElse(sys.error("merge-on-read CDC needs a recorded schema"))
@@ -2364,7 +2371,8 @@ object SnapshotTable {
           .toSeq
           .filter(s => minAgeMs <= 0L || s.getModificationTime <= System.currentTimeMillis() - minAgeMs)
           .filter(s =>
-            cdcRe.findFirstMatchIn(s.getPath.getName).exists(m => m.group(2).toInt < minKept))
+            cdcRe.findFirstMatchIn(s.getPath.getName).exists(m => m.group(2).toInt < minKept) ||
+              s.getPath.getName.startsWith(".tmp-")) // a crashed writer's unpublished temp
           .map { s =>
             f.delete(s.getPath, true); "_cdc/" + s.getPath.getName
           }

@@ -197,6 +197,31 @@ class SnapshotMorSpec extends SparkSuite {
     assert(SnapshotTable.readVersion(spark, root, 3).count() == 1000 + net)
   }
 
+  test("CDC distinguishes two mor-deletes with IDENTICAL bounds (mask identity is the id)") {
+    val root = freshRoot()
+    val src = fixture(400)
+    SnapshotTable.create(
+      spark, root, src.repartitionByRange(4, col("d")).sortWithinPartitions("d")) // v1
+    val bounds = Seq(Bound("d", Some("1995-02-01"), Some("1995-03-31")))
+    SnapshotTable.deleteWhereMor(spark, root, bounds) // v2
+    // new rows land IN the same range, then the SAME-bounds delete repeats
+    SnapshotTable.append(
+      spark, root,
+      src.filter("d >= DATE'1995-02-01' AND d <= DATE'1995-03-31'")
+        .selectExpr("k + 10000 AS k", "d", "price_c")) // v3
+    SnapshotTable.deleteWhereMor(spark, root, bounds) // v4: identical predBounds to v2's mask
+    assert(SnapshotTable.read(spark, root)
+      .filter("d >= DATE'1995-02-01' AND d <= DATE'1995-03-31'").count() == 0)
+    val ch = SnapshotTable.changesBetween(spark, root, 1, 4)
+      .groupBy("_commit_version", "_change_type").count()
+      .as[(Int, String, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val inRange = src.filter("d >= DATE'1995-02-01' AND d <= DATE'1995-03-31'").count()
+    assert(ch((2, "delete")) == inRange, s"$ch")
+    assert(ch((3, "insert")) == inRange, s"$ch")
+    // v4's delete must NOT be swallowed by v2's structurally-identical mask
+    assert(ch.get((4, "delete")).contains(inRange), s"repeated same-bounds mor-delete lost in CDC: $ch")
+  }
+
   test("append carries masks; schema DDL refuses while masks pend; relation stays exact") {
     val root = freshRoot()
     val src = fixture()

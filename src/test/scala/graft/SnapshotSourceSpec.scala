@@ -194,6 +194,68 @@ class SnapshotSourceSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("rate limiting composes with startVersion=1 (position space includes version 0)") {
+    val root = freshRoot()
+    SnapshotTable.create(
+      spark, root, spark.range(30).selectExpr("id AS k", "concat('v', id) AS s").repartition(3))
+    SnapshotTable.append(spark, root, batch(100L -> "a"))
+    val total = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // startVersion=1 + rate limiting: the walk starts at Position(0, …) —
+    // must NOT try to read a version-0 manifest (regression)
+    val q = spark.readStream
+      .format("snapshot-table")
+      .option("path", root)
+      .option("startVersion", "1")
+      .option("maxFilesPerTrigger", "1")
+      .load()
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        total.synchronized { total ++= df.select("k").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect() }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(total.sorted.toSeq == ((0L until 30L) :+ 100L).sorted, s"got ${total.sorted}")
+    } finally q.stop()
+  }
+
+  test("maxFilesPerTrigger alone is not collapsed by unsized files (no byte budget configured)") {
+    val root = freshRoot()
+    SnapshotTable.create(
+      spark, root, spark.range(60).selectExpr("id AS k", "concat('v', id) AS s").repartition(6))
+    // simulate a pre-bytes manifest: republish the current state with all
+    // byte sizes unrecorded
+    val cur = SnapshotTable.history(spark, root).last
+    SnapshotTable.publish(
+      spark, root,
+      cur.copy(version = cur.version + 1, files = cur.files.map(_.copy(bytes = -1L)), ts = 0L))
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream
+      .format("snapshot-table")
+      .option("path", root)
+      .option("maxFilesPerTrigger", "3")
+      .load()
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        sizes.synchronized { sizes += df.count() }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(sizes.sum == 60)
+      // 6 files at 3 per trigger = exactly 2 non-empty batches, NOT 6
+      // one-file batches (the unsized-bytes saturation must only gate a
+      // CONFIGURED byte budget)
+      assert(sizes.count(_ > 0) == 2, s"two 3-file batches expected: $sizes")
+    } finally q.stop()
+  }
+
   test("maxBytesPerTrigger caps batches by manifest-recorded size, always shipping >=1 file") {
     val root = freshRoot()
     SnapshotTable.create(

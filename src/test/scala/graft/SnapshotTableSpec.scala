@@ -524,6 +524,17 @@ class SnapshotTableSpec extends SparkSuite {
     // lite manifest reads the metadata without the files array
     val lite = SnapshotTable.readManifestLite(spark, root, synth.version)
     assert(lite.files.isEmpty && lite.dirs.size == nFiles + 1 && lite.schemaJson == base.schemaJson)
+    // ...and parses through the SAME Commit parser as the full read: masks
+    // and the dropped-column ledger must survive a lite read (a lite read
+    // that lost masks would resurrect deleted rows)
+    val morRoot = freshRoot()
+    SnapshotTable.create(spark, morRoot, wide(100))
+    SnapshotTable.deleteWhereMor(
+      spark, morRoot, Seq(SnapshotTable.Bound("k", Some(10L), Some(20L))))
+    val vLatest = SnapshotTable.latestVersion(spark, morRoot).get
+    val full = SnapshotTable.readManifest(spark, morRoot, vLatest)
+    val liteM = SnapshotTable.readManifestLite(spark, morRoot, vLatest)
+    assert(liteM.masks == full.masks && liteM.dropped == full.dropped && liteM.constraints == full.constraints)
   }
 
   test("sizeInBytes is unknown when ANY live file lacks recorded bytes") {
