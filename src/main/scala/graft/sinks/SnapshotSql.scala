@@ -48,9 +48,10 @@ object SnapshotSql {
     * ([[SnapshotTable.deleteWhereMor]]/[[SnapshotTable.mergeUpsertMor]]) —
     * the per-table write-mode property (Delta's
     * `delta.enableDeletionVectors`): same results, O(change) writes,
-    * read-time masks until compaction reconciles. UPDATE has no
-    * merge-on-read form (an update is not a pure deletion) and stays
-    * copy-on-write in either mode. */
+    * read-time masks until compaction reconciles. DELETE/UPDATE take the
+    * merge-on-read route only for exactly-translatable range conditions
+    * (a mask IS a recorded range predicate); anything else falls back to
+    * copy-on-write — correct in both modes. */
   def register(spark: SparkSession, name: String, root: String, morWrites: Boolean = false): Unit =
     registry.put((spark, name.toLowerCase(java.util.Locale.ROOT)), Registration(root, morWrites))
 
@@ -163,7 +164,8 @@ object SnapshotSql {
         else SnapshotTable.deleteExpr(spark, reg.root, asColumn(d.condition), sk.bounds)
 
       case u: UpdateTable =>
-        val root = registrationOf(spark, tableParts(u.table)).root
+        val reg = registrationOf(spark, tableParts(u.table))
+        val root = reg.root
         val set = u.assignments.map { a =>
           val name = attrName(a.key).getOrElse(
             sys.error(s"unsupported SET target: ${a.key.sql} (single-column targets only)"))
@@ -172,7 +174,9 @@ object SnapshotSql {
         val cond = u.condition.getOrElse(
           sys.error("UPDATE without WHERE would rewrite the whole table; use overwrite"))
         val sk = skeleton(cond)
-        if (sk.exact && sk.bounds.nonEmpty) SnapshotTable.updateWhere(spark, root, sk.bounds, set)
+        if (reg.morWrites && sk.exact && sk.bounds.nonEmpty)
+          SnapshotTable.updateWhereMor(spark, root, sk.bounds, set)
+        else if (sk.exact && sk.bounds.nonEmpty) SnapshotTable.updateWhere(spark, root, sk.bounds, set)
         else SnapshotTable.updateExpr(spark, root, asColumn(cond), sk.bounds, set)
 
       case m: MergeIntoTable =>

@@ -2108,6 +2108,75 @@ object SnapshotTable {
         masks = newMasks))
   }
 
+  /** Merge-on-read UPDATE — write cost ∝ MATCHED rows, zero file
+    * rewrites: the matching rows are read once (mask-aware, stat-pruned —
+    * [[readVersionWhere]] economics), their updated forms land as ONE new
+    * data dir, and the original rows disappear behind a `pred` mask over
+    * the candidate files — all in one atomic commit. Files whose stats
+    * prove every row matches are dropped outright (their full contents
+    * were just re-written in updated form); provably-unmatched files stay
+    * untouched and unmasked. Same SET semantics as [[updateWhere]]
+    * (single projection against the OLD row, cast back to the table
+    * type, null bound columns never match). A narrow update on a 100-TB
+    * table therefore writes ~the updated rows, not the touched files. */
+  def updateWhereMor(
+      spark: SparkSession,
+      root: String,
+      bounds: Seq[Bound],
+      set: Map[String, org.apache.spark.sql.Column]): Int = {
+    import org.apache.spark.sql.functions.col
+    require(bounds.nonEmpty, "updateWhereMor needs a predicate; for all rows use overwrite")
+    require(set.nonEmpty, "updateWhereMor needs at least one SET column")
+    val base = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
+    val m = readManifest(spark, root, base)
+    val schema = m.schemaJson
+      .map(schemaFromJson)
+      .getOrElse(sys.error("merge-on-read DML needs a schema-recording manifest"))
+    val encoded = encodeMaskBounds(schema, bounds) // loud BEFORE any state change
+    set.keys.foreach { name =>
+      require(schema.fieldNames.contains(name), s"updateWhereMor SET column '$name' is not in the table schema")
+    }
+    // the matched rows, read through pruning and any pending masks
+    val matched = readVersionWhere(spark, root, base, bounds)
+    val updated = matched.select(schema.fields.map { f =>
+      set.get(f.name) match {
+        case Some(e) => e.cast(f.dataType).as(f.name)
+        case None => col("`" + f.name + "`")
+      }
+    }.toSeq: _*)
+    val (rel, n, stats) = writeData(spark, root, updated, m.constraints, mappingOf(schema))
+    if (n == 0) return base // nothing matched: no-op (the empty orphan dir vacuums away)
+    val plan = prunePlanOf(m, bounds)
+    val keepSet = plan.keep.toSet
+    val candidates = m.files.filter(f => keepSet(f.path))
+    val (droppedWhole, toMask) = candidates.partition(whollyMatches(Some(schema), bounds))
+    val droppedSet = droppedWhole.map(_.path).toSet
+    val survivors = m.files.filterNot(f => droppedSet(f.path))
+    val maskEntries = toMask.map(_.path) ++ plan.uncoveredDirs
+    val keptMasks = m.masks
+      .map(mk => mk.copy(entries = mk.entries.filterNot(droppedSet)))
+      .filter(_.entries.nonEmpty)
+    val newMasks =
+      if (maskEntries.nonEmpty) keptMasks :+ Mask("pred", maskEntries, predBounds = encoded)
+      else keptMasks
+    val dirs =
+      (survivors.map(_.path) ++ plan.uncoveredDirs) ++ (if (n > 0) Seq(rel) else Seq.empty)
+    publish(
+      spark,
+      root,
+      Commit(
+        base + 1,
+        "mor-update",
+        dirs,
+        0L, // an update is row-neutral
+        None,
+        m.schemaJson,
+        survivors ++ (if (n > 0) stats else Seq.empty),
+        constraints = m.constraints,
+        dropped = m.dropped,
+        masks = newMasks))
+  }
+
   /** Merge-on-read MERGE — the SCATTERED-KEY upsert whose copy-on-write
     * twin degenerates to a full table rewrite (SCALING.md's measured
     * worst case: 32/32 files). Write cost is O(source), never O(table):

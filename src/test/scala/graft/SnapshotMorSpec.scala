@@ -197,6 +197,44 @@ class SnapshotMorSpec extends SparkSuite {
     assert(SnapshotTable.readVersion(spark, root, 3).count() == 1000 + net)
   }
 
+  test("mor-update: only updated rows written, zero file rewrites, identical to COW update") {
+    val mor = freshRoot()
+    val cow = freshRoot()
+    val src = fixture()
+    def createD(root: String): Unit =
+      SnapshotTable.create(
+        spark, root, src.repartitionByRange(8, col("d")).sortWithinPartitions("d"))
+    createD(mor); createD(cow)
+    val bounds = Seq(Bound("d", Some("1995-03-01"), Some("1995-06-30")))
+    val set = Map("price_c" -> (col("price_c") + 1000000))
+    val filesBefore = SnapshotTable.history(spark, mor).last.files.map(_.path).toSet
+    SnapshotTable.updateWhereMor(spark, mor, bounds, set)
+    SnapshotTable.updateWhere(spark, cow, bounds, set)
+    assert(sortedRows(SnapshotTable.read(spark, mor)) == sortedRows(SnapshotTable.read(spark, cow)))
+    val m = SnapshotTable.history(spark, mor).last
+    assert(m.action == "mor-update")
+    // exactly one new dir (the updated rows); interior wholly-matching
+    // files dropped; boundary files masked, NOT rewritten
+    val newDirs = (m.files.map(_.path).toSet -- filesBefore).map(p => p.split('/').take(2).mkString("/"))
+    assert(newDirs.size == 1, s"one updated-rows dir expected: $newDirs")
+    assert(m.files.map(_.path).toSet.intersect(filesBefore).nonEmpty)
+    assert(m.masks.exists(_.kind == "pred"))
+    // the new dir holds ONLY the matched rows
+    val updatedRows = src.filter("d >= DATE'1995-03-01' AND d <= DATE'1995-06-30'").count()
+    val newRel = newDirs.head
+    assert(m.files.filter(_.path.startsWith(newRel)).map(_.rows).sum == updatedRows)
+    // CDC: the mor-update surfaces as its delete+insert pair
+    val ch = SnapshotTable.changesBetween(spark, mor, 1, 2)
+      .groupBy("_change_type").count().as[(String, Long)].collect().toMap
+    assert(ch("delete") == updatedRows && ch("insert") == updatedRows, s"$ch")
+    // a second update over an overlapping range composes through the mask
+    SnapshotTable.updateWhereMor(spark, mor, Seq(Bound("d", Some("1995-05-01"), Some("1995-08-31"))),
+      Map("price_c" -> (col("price_c") + 1)))
+    SnapshotTable.updateWhere(spark, cow, Seq(Bound("d", Some("1995-05-01"), Some("1995-08-31"))),
+      Map("price_c" -> (col("price_c") + 1)))
+    assert(sortedRows(SnapshotTable.read(spark, mor)) == sortedRows(SnapshotTable.read(spark, cow)))
+  }
+
   test("CDC distinguishes two mor-deletes with IDENTICAL bounds (mask identity is the id)") {
     val root = freshRoot()
     val src = fixture(400)
