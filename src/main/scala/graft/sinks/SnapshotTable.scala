@@ -1174,9 +1174,11 @@ object SnapshotTable {
         else s.fields)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], base)
     }
-    val maskIdx = m.masks.zipWithIndex
+    // per-mask entry SETS: membership per (entry, mask) — linear scans
+    // here would be O(entries² · masks) at 10⁵ masked files
+    val maskSets = m.masks.map(_.entries.toSet)
     val groups = entries
-      .groupBy(e => maskIdx.collect { case (mk, i) if mk.entries.contains(e) => i })
+      .groupBy(e => maskSets.zipWithIndex.collect { case (s, i) if s(e) => i })
       .toSeq
       .sortBy(_._1.mkString(",")) // deterministic union order
     val parts = groups.map { case (idxs, es) =>
