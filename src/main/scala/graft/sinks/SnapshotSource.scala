@@ -109,10 +109,20 @@ final class SnapshotSource(
   // manifests are immutable once published: cache them per source so a
   // trigger's walk/getBatch pair parses each version's JSON once, not
   // once per helper call (the per-trigger re-parse was measurable at the
-  // 10⁵-file manifests the checkpoint work targets)
+  // 10⁵-file manifests the checkpoint work targets). BOUNDED: a stream
+  // only ever looks at a sliding window of recent versions, but it runs
+  // for months — an unevicted cache of 10⁵-FileStat Commits would
+  // eventually OOM the driver. Oldest versions evict beyond the window.
+  private val CacheWindow = 8
   private val manifestCache = scala.collection.concurrent.TrieMap.empty[Int, SnapshotTable.Commit]
-  private def manifest(v: Int): SnapshotTable.Commit =
-    manifestCache.getOrElseUpdate(v, SnapshotTable.readManifest(spark, root, v))
+  private def manifest(v: Int): SnapshotTable.Commit = {
+    val c = manifestCache.getOrElseUpdate(v, SnapshotTable.readManifest(spark, root, v))
+    if (manifestCache.size > CacheWindow)
+      manifestCache.keys.toSeq.sorted.dropRight(CacheWindow).foreach { old =>
+        manifestCache.remove(old); bytesCache.remove(old)
+      }
+    c
+  }
 
   /** Version v's ADDED entries in deterministic (manifest) order;
     * compaction is data-identical and adds nothing; version 0 is the
@@ -137,8 +147,9 @@ final class SnapshotSource(
     * bytesOf inside the walk must not be an O(files) scan per entry. An
     * unsized entry (pre-bytes manifest, stat-less dir) maps to MaxValue:
     * it conservatively exhausts the byte budget WHEN one is configured
-    * (it still ships — ≥ 1 entry per batch). */
-  private val bytesCache = scala.collection.concurrent.TrieMap.empty[Int, Map[String, Long]]
+    * (it still ships — ≥ 1 entry per batch). Evicted alongside
+    * [[manifestCache]]. */
+  private lazy val bytesCache = scala.collection.concurrent.TrieMap.empty[Int, Map[String, Long]]
   private def bytesOf(v: Int, entry: String): Long =
     bytesCache
       .getOrElseUpdate(
@@ -324,6 +335,12 @@ final class SnapshotSource(
     val rel = f"_cdc/r$fromV%08d_$endV%08d"
     val dir = new org.apache.hadoop.fs.Path(root, rel)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val success = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    // a published dir always carries _SUCCESS (Spark writes it inside the
+    // temp before the atomic rename below); a dir WITHOUT it can only be
+    // a torn in-place write from a pre-rename-protocol run — rebuild it
+    // rather than serving a silently partial feed
+    if (fs.exists(dir) && !fs.exists(success)) fs.delete(dir, true)
     if (!fs.exists(dir)) {
       // Two queries (same table, same startVersion, separate checkpoints)
       // can materialize the same range concurrently: each writes a PRIVATE
@@ -341,6 +358,12 @@ final class SnapshotSource(
         .write
         .parquet(tmp.toString)
       if (fs.exists(dir) || !fs.rename(tmp, dir)) fs.delete(tmp, true) // lost the race
+      // Hadoop's rename onto a dir that MATERIALIZED between the exists
+      // check and the rename moves the temp INSIDE it (and returns true):
+      // results stay correct (dot-dirs are invisible to parquet) but the
+      // bytes would leak — sweep the nested temp if that interleaving hit
+      val nested = new org.apache.hadoop.fs.Path(dir, tmp.getName)
+      if (fs.exists(nested)) fs.delete(nested, true)
     }
     val idx = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],

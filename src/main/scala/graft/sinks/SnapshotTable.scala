@@ -1426,7 +1426,18 @@ object SnapshotTable {
     * predicate column, a narrow range touches ~1/nFiles of the data. */
   def readVersionWhere(spark: SparkSession, root: String, v: Int, bounds: Seq[Bound]): DataFrame = {
     val m = readManifest(spark, root, v)
-    val plan = prunePlan(spark, root, v, bounds)
+    readWhereOf(spark, root, m, prunePlanOf(m, bounds), bounds)
+  }
+
+  /** [[readVersionWhere]] over an ALREADY-PARSED manifest + plan — the
+    * internal form DML uses so one operation parses each (large) manifest
+    * exactly once. */
+  private def readWhereOf(
+      spark: SparkSession,
+      root: String,
+      m: Commit,
+      plan: PrunePlan,
+      bounds: Seq[Bound]): DataFrame = {
     val keepEntries = plan.keep ++ plan.uncoveredDirs
     val schema = m.schemaJson.map(schemaFromJson)
     val base =
@@ -2057,6 +2068,40 @@ object SnapshotTable {
 
   // ──────────────── merge-on-read DML (deletion masks) ────────────────
 
+  /** The shared pred-mask bookkeeping of [[deleteWhereMor]] and
+    * [[updateWhereMor]]: stats-proven all-match candidates DROP (their
+    * live rows are entirely removed/rewritten), boundary candidates and
+    * stat-less dirs gain the new pred mask, provably-unmatched files
+    * carry untouched, and existing masks shed their dropped entries. */
+  private final case class MorPlan(
+      droppedWhole: Seq[FileStat],
+      survivors: Seq[FileStat],
+      uncovered: Seq[String],
+      masks: Seq[Mask])
+
+  private def morMaskPlan(
+      m: Commit,
+      schema: org.apache.spark.sql.types.StructType,
+      bounds: Seq[Bound],
+      encoded: Seq[MaskBound],
+      plan: PrunePlan): MorPlan = {
+    val keepSet = plan.keep.toSet
+    val candidates = m.files.filter(f => keepSet(f.path))
+    // physical all-match proves live all-match even on already-masked
+    // files (live rows ⊆ physical rows): still droppable with zero I/O
+    val (droppedWhole, toMask) = candidates.partition(whollyMatches(Some(schema), bounds))
+    val droppedSet = droppedWhole.map(_.path).toSet
+    val survivors = m.files.filterNot(f => droppedSet(f.path))
+    val maskEntries = toMask.map(_.path) ++ plan.uncoveredDirs
+    val keptMasks = m.masks
+      .map(mk => mk.copy(entries = mk.entries.filterNot(droppedSet)))
+      .filter(_.entries.nonEmpty)
+    val newMasks =
+      if (maskEntries.nonEmpty) keptMasks :+ Mask("pred", maskEntries, predBounds = encoded)
+      else keptMasks
+    MorPlan(droppedWhole, survivors, plan.uncoveredDirs, newMasks)
+  }
+
   /** Merge-on-read DELETE — the scattered/DV economics copy-on-write
     * can't offer: the commit is METADATA-ONLY (zero rows read, zero rows
     * written, at any table size). Files whose stats prove every row
@@ -2079,35 +2124,21 @@ object SnapshotTable {
       .map(schemaFromJson)
       .getOrElse(sys.error("merge-on-read DML needs a schema-recording manifest"))
     val encoded = encodeMaskBounds(schema, bounds) // loud BEFORE any state change
-    val plan = prunePlan(spark, root, base, bounds)
-    val keepSet = plan.keep.toSet
-    val candidates = m.files.filter(f => keepSet(f.path))
-    // physical all-match proves live all-match even on already-masked
-    // files (live rows ⊆ physical rows): still droppable with zero I/O
-    val (droppedWhole, toMask) = candidates.partition(whollyMatches(Some(schema), bounds))
-    val droppedSet = droppedWhole.map(_.path).toSet
-    val survivors = m.files.filterNot(f => droppedSet(f.path))
-    val maskEntries = toMask.map(_.path) ++ plan.uncoveredDirs
-    val keptMasks = m.masks
-      .map(mk => mk.copy(entries = mk.entries.filterNot(droppedSet)))
-      .filter(_.entries.nonEmpty)
-    val newMasks =
-      if (maskEntries.nonEmpty) keptMasks :+ Mask("pred", maskEntries, predBounds = encoded)
-      else keptMasks
+    val mp = morMaskPlan(m, schema, bounds, encoded, prunePlanOf(m, bounds))
     publish(
       spark,
       root,
       Commit(
         base + 1,
         "mor-delete",
-        survivors.map(_.path) ++ plan.uncoveredDirs,
-        -droppedWhole.map(_.rows).sum,
+        mp.survivors.map(_.path) ++ mp.uncovered,
+        -mp.droppedWhole.map(_.rows).sum,
         None,
         m.schemaJson,
-        survivors,
+        mp.survivors,
         constraints = m.constraints,
         dropped = m.dropped,
-        masks = newMasks))
+        masks = mp.masks))
   }
 
   /** Merge-on-read UPDATE — write cost ∝ MATCHED rows, zero file
@@ -2138,8 +2169,10 @@ object SnapshotTable {
     set.keys.foreach { name =>
       require(schema.fieldNames.contains(name), s"updateWhereMor SET column '$name' is not in the table schema")
     }
+    // ONE manifest parse serves the read, the prune, and the mask plan
+    val plan = prunePlanOf(m, bounds)
     // the matched rows, read through pruning and any pending masks
-    val matched = readVersionWhere(spark, root, base, bounds)
+    val matched = readWhereOf(spark, root, m, plan, bounds)
     val updated = matched.select(schema.fields.map { f =>
       set.get(f.name) match {
         case Some(e) => e.cast(f.dataType).as(f.name)
@@ -2148,35 +2181,21 @@ object SnapshotTable {
     }.toSeq: _*)
     val (rel, n, stats) = writeData(spark, root, updated, m.constraints, mappingOf(schema))
     if (n == 0) return base // nothing matched: no-op (the empty orphan dir vacuums away)
-    val plan = prunePlanOf(m, bounds)
-    val keepSet = plan.keep.toSet
-    val candidates = m.files.filter(f => keepSet(f.path))
-    val (droppedWhole, toMask) = candidates.partition(whollyMatches(Some(schema), bounds))
-    val droppedSet = droppedWhole.map(_.path).toSet
-    val survivors = m.files.filterNot(f => droppedSet(f.path))
-    val maskEntries = toMask.map(_.path) ++ plan.uncoveredDirs
-    val keptMasks = m.masks
-      .map(mk => mk.copy(entries = mk.entries.filterNot(droppedSet)))
-      .filter(_.entries.nonEmpty)
-    val newMasks =
-      if (maskEntries.nonEmpty) keptMasks :+ Mask("pred", maskEntries, predBounds = encoded)
-      else keptMasks
-    val dirs =
-      (survivors.map(_.path) ++ plan.uncoveredDirs) ++ (if (n > 0) Seq(rel) else Seq.empty)
+    val mp = morMaskPlan(m, schema, bounds, encoded, plan)
     publish(
       spark,
       root,
       Commit(
         base + 1,
         "mor-update",
-        dirs,
+        (mp.survivors.map(_.path) ++ mp.uncovered) :+ rel,
         0L, // an update is row-neutral
         None,
         m.schemaJson,
-        survivors ++ (if (n > 0) stats else Seq.empty),
+        mp.survivors ++ stats,
         constraints = m.constraints,
         dropped = m.dropped,
-        masks = newMasks))
+        masks = mp.masks))
   }
 
   /** Merge-on-read MERGE — the SCATTERED-KEY upsert whose copy-on-write
@@ -2443,7 +2462,11 @@ object SnapshotTable {
           .filter(s => minAgeMs <= 0L || s.getModificationTime <= System.currentTimeMillis() - minAgeMs)
           .filter(s =>
             cdcRe.findFirstMatchIn(s.getPath.getName).exists(m => m.group(2).toInt < minKept) ||
-              s.getPath.getName.startsWith(".tmp-")) // a crashed writer's unpublished temp
+              // a crashed writer's unpublished temp — but ONLY under an
+              // age-gated run: a live CDC reader may be minutes into
+              // materializing its range, and an un-gated vacuum
+              // (minAgeMs=0) would delete the write out from under it
+              (s.getPath.getName.startsWith(".tmp-") && minAgeMs > 0L))
           .map { s =>
             f.delete(s.getPath, true); "_cdc/" + s.getPath.getName
           }
