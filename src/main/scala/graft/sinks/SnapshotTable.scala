@@ -1415,6 +1415,29 @@ object SnapshotTable {
     PrunePlan(keep, skipped, uncovered)
   }
 
+  /** [[readWhere]] planned THROUGH the parquet checkpoint — the read
+    * path for 10⁵–10⁶-file tables: deadness evaluates distributed over
+    * the checkpoint frame ([[prunePlanCheckpointed]]), the non-files
+    * metadata comes from the streaming lite reader, and the driver never
+    * parses per-file stats. Requires a checkpoint at the latest version
+    * and no pending merge-on-read masks (masks are carried in the lite
+    * manifest, but the mask KERNEL groups by per-file stat entries the
+    * lite read deliberately does not hold — reconcile via [[compact]]
+    * first, or read through the JSON path). Result ≡ [[readWhere]]. */
+  def readWhereCheckpointed(spark: SparkSession, root: String, bounds: Seq[Bound]): DataFrame = {
+    val v = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
+    require(
+      latestCheckpoint(spark, root).contains(v),
+      s"no checkpoint at version $v; run SnapshotTable.checkpoint(spark, root) after committing")
+    val lite = readManifestLite(spark, root, v)
+    require(
+      lite.masks.isEmpty,
+      "checkpointed reads require a mask-free table (compact to reconcile pending " +
+        "merge-on-read masks first, or use readWhere)")
+    val plan = prunePlanCheckpointed(spark, root, v, bounds)
+    readWhereOf(spark, root, lite, plan, bounds)
+  }
+
   /** Time-travel read with manifest-level data skipping: plans the scan
     * over only the files whose recorded [min,max] can intersect `bounds`
     * (plus any pre-stats dirs, read in full), then applies the bounds as a

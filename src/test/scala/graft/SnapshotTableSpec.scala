@@ -537,6 +537,31 @@ class SnapshotTableSpec extends SparkSuite {
     assert(liteM.masks == full.masks && liteM.dropped == full.dropped && liteM.constraints == full.constraints)
   }
 
+  test("readWhereCheckpointed: checkpoint-planned read equals the JSON-planned read") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, wide(1000))
+    SnapshotTable.compact(spark, root, "k", nFiles = 8)
+    // no checkpoint yet: loud refusal, not a silent fallback
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.readWhereCheckpointed(spark, root, Seq(SnapshotTable.Bound("k", Some(1L), None)))
+    }
+    assert(e.getMessage.contains("no checkpoint"), e.getMessage)
+    SnapshotTable.checkpoint(spark, root)
+    val bounds = Seq(SnapshotTable.Bound("k", Some(100L), Some(220L)))
+    val viaCkpt = SnapshotTable.readWhereCheckpointed(spark, root, bounds)
+    val viaJson = SnapshotTable.readWhere(spark, root, bounds)
+    assert(viaCkpt.orderBy("k").collect().toSeq == viaJson.orderBy("k").collect().toSeq)
+    assert(viaCkpt.count() == 121)
+    // pending masks refuse loudly (the kernel needs per-file stat entries
+    // the lite manifest does not hold)
+    SnapshotTable.deleteWhereMor(spark, root, Seq(SnapshotTable.Bound("k", Some(0L), Some(10L))))
+    SnapshotTable.checkpoint(spark, root)
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotTable.readWhereCheckpointed(spark, root, bounds)
+    }
+    assert(e2.getMessage.contains("mask"), e2.getMessage)
+  }
+
   test("sizeInBytes is unknown when ANY live file lacks recorded bytes") {
     val root = freshRoot()
     SnapshotTable.create(spark, root, batch(1L -> "a"))
