@@ -327,6 +327,54 @@ class SnapshotMorSpec extends SparkSuite {
     assert(SnapshotTable.read(spark, root).count() == 200)
   }
 
+  test("mor DML racing concurrent appends: lost publishes surface loudly, retries stay exact") {
+    val root = freshRoot()
+    val src = fixture()
+    SnapshotTable.create(
+      spark, root, src.repartitionByRange(4, col("k")).sortWithinPartitions("k"))
+    // 3 appenders (disjoint key ranges outside the delete bounds) race one
+    // merge-on-read deleter that retries on ConcurrentCommitException —
+    // the same re-derive contract as copy-on-write DML
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val appenders = (1 to 3).map { i =>
+      new Thread(() =>
+        try SnapshotTable.append(
+          spark, root,
+          src.filter(s"k < 50").selectExpr(s"k + ${10000 * i} AS k", "d", "price_c"))
+        catch { case t: Throwable => errors.add(t) })
+    }
+    val deleter = new Thread(() =>
+      try {
+        var done = false
+        var attempts = 0
+        while (!done && attempts < 20) {
+          try {
+            SnapshotTable.deleteWhereMor(spark, root, Seq(Bound("k", Some(100L), Some(199L))))
+            done = true
+          } catch {
+            case _: SnapshotTable.ConcurrentCommitException => attempts += 1 // re-derive from latest
+          }
+        }
+        if (!done) errors.add(new RuntimeException("mor-delete never won a publish"))
+      } catch { case t: Throwable => errors.add(t) })
+    (appenders :+ deleter).foreach(_.start())
+    (appenders :+ deleter).foreach(_.join(120000))
+    assert(errors.isEmpty, s"unexpected failures: ${errors.toArray.mkString(", ")}")
+    val got = SnapshotTable.read(spark, root)
+    // every appended row present exactly once; the deleted range gone;
+    // nothing else lost — whatever the interleaving
+    assert(got.count() == (1000 - 100) + 3 * 50, s"row accounting broke: ${got.count()}")
+    assert(got.filter("k >= 100 AND k <= 199").count() == 0)
+    assert(got.filter("k >= 10000").count() == 150)
+    val h = SnapshotTable.history(spark, root)
+    assert(h.count(_.action == "mor-delete") == 1, h.map(_.action))
+    assert(h.count(_.action == "append") == 3, h.map(_.action))
+    // surviving mask entries reference live files only
+    val m = h.last
+    val live = m.files.map(_.path).toSet ++ m.dirs
+    assert(m.masks.flatMap(_.entries).forall(live), "mask entries must reference live entries")
+  }
+
   test("exact equality mor-delete via bloom-capable bounds; null bound columns survive") {
     val root = freshRoot()
     val withNulls = spark.range(100).selectExpr(
