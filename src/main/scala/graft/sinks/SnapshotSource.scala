@@ -231,8 +231,15 @@ final class SnapshotSource(
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     if (cdc) return cdcBatch(start, end)
     val endPos = parsePosition(end)
+    // a LEGACY (pre-rate-limit) end offset — a plain version number from a
+    // checkpoint written before maxFilesPerTrigger was enabled — always
+    // replays with legacy semantics, EVEN under rate limiting: its batch 0
+    // was the full snapshot AT endV, not per-commit deltas from version 0.
+    // Reconstructing it as deltas would re-emit rows of since-removed
+    // files (duplicates) or fail on vacuumed files on tables with
+    // pre-stream overwrite/DML churn.
     val entries: Seq[String] =
-      if (!rateLimited && !end.json().trim.startsWith("{")) legacyEntries(start, endPos.v)
+      if (!end.json().trim.startsWith("{")) legacyEntries(start, endPos.v)
       else {
         val from = start.map(parsePosition).getOrElse {
           startVersion match {
@@ -243,8 +250,8 @@ final class SnapshotSource(
               // snapshot in one batch)
               Position(endPos.v, 0, snap = true)
             case None =>
-              // empty-initial-snapshot corner or a legacy (pre-rate-limit)
-              // end offset: replay as per-commit deltas from the log start
+              // empty-initial-snapshot corner: the walk started on an
+              // empty snapshot list and crossed into deltas
               Position(0, Int.MaxValue, snap = false)
           }
         }

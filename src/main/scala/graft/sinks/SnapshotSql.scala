@@ -40,7 +40,21 @@ object SnapshotSql {
 
   private final case class Registration(root: String, morWrites: Boolean)
 
-  private val registry = TrieMap.empty[(SparkSession, String), Registration]
+  // Registrations are scoped per session but must not RETAIN the session:
+  // a strongly-keyed global map would pin every SparkSession (and its
+  // whole state) for the life of a multi-session process. WeakHashMap
+  // keys by identity without retention — a closed/unreferenced session's
+  // entry (and its name→root map) becomes garbage-collectable. Values
+  // hold only strings, never the session, so they can't resurrect the key.
+  private val registry =
+    new java.util.WeakHashMap[SparkSession, TrieMap[String, Registration]]()
+
+  private def sessionMap(spark: SparkSession): TrieMap[String, Registration] =
+    registry.synchronized {
+      var m = registry.get(spark)
+      if (m == null) { m = TrieMap.empty[String, Registration]; registry.put(spark, m) }
+      m
+    }
 
   /** Register `name` as the SQL-addressable identity of the snapshot
     * table at `root` for this session. `morWrites = true` makes DML
@@ -53,15 +67,15 @@ object SnapshotSql {
     * (a mask IS a recorded range predicate); anything else falls back to
     * copy-on-write — correct in both modes. */
   def register(spark: SparkSession, name: String, root: String, morWrites: Boolean = false): Unit =
-    registry.put((spark, name.toLowerCase(java.util.Locale.ROOT)), Registration(root, morWrites))
+    sessionMap(spark).put(name.toLowerCase(java.util.Locale.ROOT), Registration(root, morWrites))
 
   def unregister(spark: SparkSession, name: String): Unit =
-    registry.remove((spark, name.toLowerCase(java.util.Locale.ROOT)))
+    sessionMap(spark).remove(name.toLowerCase(java.util.Locale.ROOT))
 
   private def registrationOf(spark: SparkSession, nameParts: Seq[String]): Registration = {
     val name = nameParts.last.toLowerCase(java.util.Locale.ROOT)
-    registry.getOrElse(
-      (spark, name),
+    sessionMap(spark).getOrElse(
+      name,
       sys.error(
         s"'${nameParts.mkString(".")}' is not a registered snapshot table; " +
           "SnapshotSql.register(spark, name, root) it first — DML on non-snapshot " +
@@ -181,19 +195,10 @@ object SnapshotSql {
 
       case m: MergeIntoTable =>
         val reg = registrationOf(spark, tableParts(m.targetTable))
-        val okMatched = m.matchedActions match {
-          case Seq(UpdateStarAction(None)) => true
-          case _ => false
-        }
-        val okNotMatched = m.notMatchedActions match {
-          case Seq(InsertStarAction(None)) => true
-          case _ => false
-        }
         require(
-          okMatched && okNotMatched && m.notMatchedBySourceActions.isEmpty,
-          "MERGE supports the upsert canonical form only: WHEN MATCHED THEN UPDATE SET * " +
-            "+ WHEN NOT MATCHED THEN INSERT * (no conditions, no BY SOURCE clauses); " +
-            "other shapes are refused rather than approximated")
+          m.notMatchedBySourceActions.isEmpty,
+          "MERGE ... WHEN NOT MATCHED BY SOURCE is not supported (its rewrite set is the " +
+            "whole table); refused rather than approximated")
         // ON must be a conjunction of same-named key equalities (t.k = s.k)
         def keysOf(e: Expression): Seq[String] = e match {
           case And(l, r) => keysOf(l) ++ keysOf(r)
@@ -208,8 +213,58 @@ object SnapshotSql {
         }
         val keyCols = keysOf(m.mergeCondition)
         val source: DataFrame = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, stripAlias(m.sourceTable))
-        if (reg.morWrites) SnapshotTable.mergeUpsertMor(spark, reg.root, source, keyCols)
-        else SnapshotTable.mergeUpsert(spark, reg.root, source, keyCols)
+        (m.matchedActions, m.notMatchedActions) match {
+          // canonical upsert: the dedicated fast paths (and the MOR O(change) write)
+          case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
+            if (reg.morWrites) SnapshotTable.mergeUpsertMor(spark, reg.root, source, keyCols)
+            else SnapshotTable.mergeUpsert(spark, reg.root, source, keyCols)
+          // unconditional matched-delete on a MOR table: a keys mask, zero data I/O
+          case (Seq(DeleteAction(None)), Seq()) if reg.morWrites =>
+            SnapshotTable.deleteMatchedMor(spark, reg.root, source, keyCols)
+          // everything else lowers onto the general executor: conditional
+          // clauses, matched DELETE, explicit SET/INSERT column lists,
+          // multiple first-match-wins matched clauses. Conditions and
+          // values travel as SQL text (the parsed expressions' .sql) and
+          // resolve against the statement's own aliases.
+          case (ma, na) =>
+            val matchedClauses: Seq[SnapshotTable.MergeClause] = ma.map {
+              case UpdateStarAction(c) => SnapshotTable.MatchedUpdate(c.map(_.sql), None)
+              case UpdateAction(c, _, true) => SnapshotTable.MatchedUpdate(c.map(_.sql), None)
+              case UpdateAction(c, assigns, false) =>
+                SnapshotTable.MatchedUpdate(
+                  c.map(_.sql),
+                  Some(assigns.map { a =>
+                    val name = attrName(a.key).getOrElse(
+                      sys.error(s"unsupported SET target: ${a.key.sql} (single-column targets only)"))
+                    name -> a.value.sql
+                  }.toMap))
+              case DeleteAction(c) => SnapshotTable.MatchedDelete(c.map(_.sql))
+              case other =>
+                sys.error(s"unsupported MERGE matched action: ${other.getClass.getSimpleName}")
+            }
+            val notMatchedClauses = na.map {
+              case InsertStarAction(c) => SnapshotTable.NotMatchedInsert(c.map(_.sql), None)
+              case InsertAction(c, assigns) =>
+                SnapshotTable.NotMatchedInsert(
+                  c.map(_.sql),
+                  Some(assigns.map { a =>
+                    val name = attrName(a.key).getOrElse(
+                      sys.error(s"unsupported INSERT target: ${a.key.sql} (single-column targets only)"))
+                    name -> a.value.sql
+                  }.toMap))
+              case other =>
+                sys.error(s"unsupported MERGE not-matched action: ${other.getClass.getSimpleName}")
+            }
+            SnapshotTable.mergeInto(
+              spark,
+              reg.root,
+              source,
+              keyCols,
+              matchedClauses,
+              notMatchedClauses,
+              targetAlias = aliasOf(m.targetTable),
+              sourceAlias = aliasOf(m.sourceTable))
+        }
 
       case other =>
         sys.error(
@@ -223,5 +278,14 @@ object SnapshotSql {
   private def stripAlias(plan: LogicalPlan): LogicalPlan = plan match {
     case SubqueryAlias(_, child) => child
     case p => p
+  }
+
+  /** The row alias a MERGE side's clause conditions qualify columns by:
+    * the statement's explicit alias if present, else the relation name's
+    * last part (how Spark itself resolves `tbl.col`). */
+  private def aliasOf(plan: LogicalPlan): String = plan match {
+    case SubqueryAlias(id, _) => id.name
+    case r: UnresolvedRelation => r.multipartIdentifier.last
+    case _ => "__src" // aliasless subquery source: columns resolve unqualified
   }
 }

@@ -663,56 +663,55 @@ object SnapshotTable {
       (if (c.files.nonEmpty) List("files" -> (fileArr: JValue)) else Nil)
     val json = JsonMethods.compact(JsonMethods.render(JObject(fields: _*)))
     val bytes = json.getBytes("UTF-8")
-    // Atomicity is SCHEME-DEPENDENT and this is load-bearing: HDFS
-    // create(overwrite=false) is a namenode transaction — truly atomic —
-    // but Hadoop's LOCAL filesystem implements it as exists-check THEN
-    // create, so two racing writers can BOTH pass the check and one
-    // manifest silently overwrites the other (observed for real: the
-    // concurrent-append stress spec produced two committers returning the
-    // same version). On local filesystems we therefore publish by writing
-    // a temp file and HARD-LINKING it into place — link(2) is atomic,
-    // fails if the target exists, and makes the COMPLETE manifest visible
-    // in one step (no torn reads either). HDFS keeps create-if-absent
-    // plus the reader-side torn-read retry in [[readManifest]].
-    f match {
-      case _: org.apache.hadoop.fs.LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>
-        val target = java.nio.file.Paths.get(p.toUri.getPath)
-        val tmp = target.resolveSibling(".tmp-" + java.util.UUID.randomUUID())
-        java.nio.file.Files.write(tmp, bytes)
-        try java.nio.file.Files.createLink(target, tmp)
-        catch {
-          case e: java.nio.file.FileAlreadyExistsException =>
-            throw new ConcurrentCommitException(
-              s"version ${c.version} was committed concurrently (${e.getMessage}); retry from latest")
-        } finally java.nio.file.Files.deleteIfExists(tmp)
-      case _ =>
-        // Only the EXISTS failure of create-if-absent means "lost the race":
-        // HDFS surfaces it as FileAlreadyExistsException (sometimes wrapped
-        // in a RemoteException, incl. AlreadyBeingCreatedException for an
-        // in-flight winner). Any other IOException is a REAL I/O failure
-        // (permissions, quota, network) and must propagate — translating it
-        // would spin the append retry loop 50 times against a broken volume
-        // and surface a misleading "committed concurrently" error.
-        def isExistsRace(e: java.io.IOException): Boolean = e match {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
-          case re: org.apache.hadoop.ipc.RemoteException =>
-            val cn = re.getClassName
-            cn == classOf[org.apache.hadoop.fs.FileAlreadyExistsException].getName ||
-            cn == "org.apache.hadoop.hdfs.protocol.AlreadyBeingCreatedException" ||
-            cn == "java.io.FileAlreadyExistsException"
-          case _ => e.getClass.getSimpleName.contains("FileAlreadyExists")
-        }
-        val out =
-          try f.create(p, false)
-          catch {
-            case e: java.io.IOException if isExistsRace(e) =>
-              throw new ConcurrentCommitException(
-                s"version ${c.version} was committed concurrently (${e.getMessage}); retry from latest")
-          }
-        try out.write(bytes)
-        finally out.close()
+    // Atomicity is SCHEME-DEPENDENT and this is load-bearing — the whole
+    // commit protocol reduces to one put-if-absent. The [[CommitStore]]
+    // seam dispatches it: [[HadoopCommitStore]] (default) uses HDFS's
+    // native create-if-absent or the local hard-link protocol; S3-class
+    // deployments (no atomic create at all) plug a store that supplies
+    // the mutual exclusion externally ([[SingleProcessCommitStore]] is
+    // the single-driver shape). Readers keep the torn-read retry in
+    // [[readManifest]] for stores that create-then-write.
+    try commitStoreRef.get().putIfAbsent(f, p, bytes)
+    catch {
+      case e: ConcurrentCommitException =>
+        throw new ConcurrentCommitException(
+          s"version ${c.version} was committed concurrently (${e.getMessage}); retry from latest")
     }
+    maybeAutoCheckpoint(spark, root, c)
     c.version
+  }
+
+  // the pluggable publish primitive — see [[CommitStore]]
+  private val commitStoreRef =
+    new java.util.concurrent.atomic.AtomicReference[CommitStore](HadoopCommitStore)
+
+  /** Install a [[CommitStore]] (e.g. an external-coordination store for
+    * object storage). Affects every table this JVM publishes to. */
+  def setCommitStore(store: CommitStore): Unit = commitStoreRef.set(store)
+
+  /** Restore the default [[HadoopCommitStore]]. */
+  def resetCommitStore(): Unit = commitStoreRef.set(HadoopCommitStore)
+
+  /** Automatic checkpoint maintenance — Delta writes one every 10 commits;
+    * without it a long-lived table silently stays on the O(files)
+    * driver-side JSON planning path forever. Every
+    * `spark.graft.checkpoint.interval`-th version (default 10) whose
+    * manifest carries at least `spark.graft.checkpoint.minFiles` file
+    * entries (default 100000 — the measured JSON-vs-checkpoint planning
+    * crossover is ~10⁵ files, SCALING.md; below it the distributed plan
+    * costs more than it saves) gets a parquet checkpoint as part of the
+    * commit, and [[readWhere]] auto-selects it. Failure is non-fatal by
+    * design: the manifest IS already published (the commit succeeded);
+    * a lost checkpoint write simply retries at the next interval. */
+  private val AutoCheckpointInterval = "spark.graft.checkpoint.interval"
+  private val AutoCheckpointMinFiles = "spark.graft.checkpoint.minFiles"
+
+  private def maybeAutoCheckpoint(spark: SparkSession, root: String, c: Commit): Unit = {
+    val interval = spark.conf.getOption(AutoCheckpointInterval).map(_.toInt).getOrElse(10)
+    val minFiles = spark.conf.getOption(AutoCheckpointMinFiles).map(_.toInt).getOrElse(100000)
+    if (interval > 0 && c.version % interval == 0 && c.files.size >= minFiles)
+      try writeCheckpoint(spark, root, c)
+      catch { case scala.util.control.NonFatal(_) => () } // next interval retries
   }
 
   /** Table schema for a commit of `df` on top of version `base`: carried
@@ -1325,23 +1324,47 @@ object SnapshotTable {
         mapJson(f.nonNull.map { case (k, v) => k -> (JLong(v): JValue) }),
         mapJson(f.bloom.map { case (k, v) => k -> (JString(v): JValue) })))
     val rel = ckptRel(m.version)
+    // Publish protocol (same as the _cdc feed): write a PRIVATE temp dir,
+    // then one atomic directory RENAME onto the absent target. The shared
+    // path is never written in place, so a reader racing a (re-)checkpoint
+    // of the same version can only ever list a COMPLETE file set — an
+    // in-place overwrite would let a concurrent prunePlanCheckpointed list
+    // a partial frame and silently drop live files from the scan. A lost
+    // race deletes its temp: checkpoint content is a pure function of the
+    // immutable manifest, so the winner's bytes are identical.
+    val f = fs(spark, root)
+    val target = new Path(root, rel)
+    val tmp = new Path(manifestDir(root), ".tmp-ckpt-" + java.util.UUID.randomUUID())
     rows
       .toDF("path", "rows", "bytes", "min", "max", "nn", "bloom")
       .repartition(math.max(1, rows.size / 65536))
       .write
-      .mode("overwrite")
-      .parquet(new Path(root, rel).toString)
+      .parquet(tmp.toString) // Spark lands _SUCCESS inside before we rename
+    // a pre-rename-protocol torn dir (no _SUCCESS) must not block the fresh
+    // publish: clear it first — readers already ignore it (see
+    // [[latestCheckpoint]]'s _SUCCESS gate)
+    if (f.exists(target) && !f.exists(new Path(target, "_SUCCESS"))) f.delete(target, true)
+    if (f.exists(target) || !f.rename(tmp, target)) f.delete(tmp, true) // lost the race
+    // rename onto a dir that materialized between check and rename nests
+    // the temp inside (and returns true) — sweep it (cdcBatch's caveat)
+    val nested = new Path(target, tmp.getName)
+    if (f.exists(nested)) f.delete(nested, true)
     rel
   }
 
-  /** Latest version with a materialized checkpoint, if any. */
+  /** Latest version with a COMPLETE materialized checkpoint (its parquet
+    * dir carries `_SUCCESS` — written inside the temp dir before the
+    * atomic rename publish, so presence proves the listing is whole;
+    * torn dirs from crashed writers are invisible here). */
   def latestCheckpoint(spark: SparkSession, root: String): Option[Int] = {
     val f = fs(spark, root)
     val dir = manifestDir(root)
-    val re = """ckpt_v(\d{8})""".r
+    val re = """ckpt_v(\d{8})$""".r
     if (!f.exists(dir)) None
     else
       f.listStatus(dir)
+        .filter(s => re.findFirstMatchIn(s.getPath.getName).isDefined &&
+          f.exists(new Path(s.getPath, "_SUCCESS")))
         .flatMap(s => re.findFirstMatchIn(s.getPath.getName).map(_.group(1).toInt))
         .maxOption
   }
@@ -1391,6 +1414,13 @@ object SnapshotTable {
       v: Int,
       bounds: Seq[Bound]): PrunePlan = {
     import org.apache.spark.sql.functions.{col, udf}
+    // completeness gate: only a _SUCCESS-bearing checkpoint (published via
+    // temp + atomic rename) may plan a scan — a torn dir would silently
+    // drop live files from keep/skipped while its parent still "covers"
+    // them, and the files would vanish from the result
+    require(
+      fs(spark, root).exists(new Path(new Path(root, ckptRel(v)), "_SUCCESS")),
+      s"checkpoint at version $v is incomplete (no _SUCCESS); re-run checkpoint()")
     val lite = readManifestLite(spark, root, v)
     val schema = lite.schemaJson.map(schemaFromJson)
     val typed = typedBoundsOf(schema, bounds)
@@ -1419,21 +1449,20 @@ object SnapshotTable {
     * path for 10⁵–10⁶-file tables: deadness evaluates distributed over
     * the checkpoint frame ([[prunePlanCheckpointed]]), the non-files
     * metadata comes from the streaming lite reader, and the driver never
-    * parses per-file stats. Requires a checkpoint at the latest version
-    * and no pending merge-on-read masks (masks are carried in the lite
-    * manifest, but the mask KERNEL groups by per-file stat entries the
-    * lite read deliberately does not hold — reconcile via [[compact]]
-    * first, or read through the JSON path). Result ≡ [[readWhere]]. */
+    * parses per-file stats. Requires a checkpoint at the latest version.
+    * Pending merge-on-read masks COMPOSE with checkpointed planning: the
+    * lite manifest carries the mask records (bounds, key sidecars, entry
+    * lists — O(masked files), not O(all files)), pruning applies to
+    * masked entries BEFORE mask application (sound: masks only remove
+    * rows, so a file dead under the stats is dead under any mask), and
+    * the mask kernel reads only the surviving masked entries. Result ≡
+    * [[readWhere]] on any table. */
   def readWhereCheckpointed(spark: SparkSession, root: String, bounds: Seq[Bound]): DataFrame = {
     val v = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
     require(
       latestCheckpoint(spark, root).contains(v),
       s"no checkpoint at version $v; run SnapshotTable.checkpoint(spark, root) after committing")
     val lite = readManifestLite(spark, root, v)
-    require(
-      lite.masks.isEmpty,
-      "checkpointed reads require a mask-free table (compact to reconcile pending " +
-        "merge-on-read masks first, or use readWhere)")
     val plan = prunePlanCheckpointed(spark, root, v, bounds)
     readWhereOf(spark, root, lite, plan, bounds)
   }
@@ -1501,21 +1530,37 @@ object SnapshotTable {
       .getOrElse(readVersion(spark, root, v).schema) // pre-schema: footer merge
     if (m.masks.isEmpty) relationOfManifest(spark, root, m, schema)
     else {
-      // merge-on-read: the UNMASKED majority still plans through the
-      // manifest FileIndex (full pushdown pruning); each masked entry
-      // reads through the mask kernel — Spark re-applies every filter
-      // row-level on that branch, so correctness is identical and only
-      // the masked minority loses plan-time skipping (until compaction
-      // reconciles)
+      // merge-on-read: EVERY branch plans through the manifest FileIndex.
+      // The unmasked majority gets full pushdown pruning as before; each
+      // masked entry GROUP (entries sharing a mask set) is itself a
+      // FileIndex-backed relation with its masks applied on top — query
+      // predicates push through the mask filter/anti-join into the scan,
+      // so a masked file a predicate provably annihilates is pruned at
+      // PLAN time too (sound: masks only remove rows — a file dead under
+      // the stats is dead under any mask). Spark still re-applies every
+      // filter row-level, so correctness never depends on the pruning.
       val masked = maskedEntrySet(m)
       val (mEntries, uEntries) = fileEntries(m).partition(masked)
+      val uSet = uEntries.toSet
       val synth = m.copy(
         dirs = uEntries,
-        files = m.files.filter(f => uEntries.contains(f.path)),
+        files = m.files.filter(f => uSet.contains(f.path)),
         masks = Seq.empty)
       val unmaskedRel = relationOfManifest(spark, root, synth, schema)
-      val maskedDf = readEntriesMasked(spark, root, m, Some(schema), mEntries)
-      unmaskedRel.unionByName(maskedDf)
+      val maskSets = m.masks.map(_.entries.toSet)
+      val groups = mEntries
+        .groupBy(e => maskSets.zipWithIndex.collect { case (s, i) if s(e) => i })
+        .toSeq
+        .sortBy(_._1.mkString(","))
+      val maskedRels = groups.map { case (idxs, es) =>
+        val esSet = es.toSet
+        val gSynth = m.copy(
+          dirs = es,
+          files = m.files.filter(f => esSet.contains(f.path)),
+          masks = Seq.empty)
+        applyMasks(spark, root, schema, idxs.map(m.masks), relationOfManifest(spark, root, gSynth, schema))
+      }
+      (unmaskedRel +: maskedRels).reduce(_ unionByName _)
     }
   }
 
@@ -1550,13 +1595,22 @@ object SnapshotTable {
       root,
       latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root")))
 
-  /** Latest-snapshot read with data skipping — see [[readVersionWhere]]. */
-  def readWhere(spark: SparkSession, root: String, bounds: Seq[Bound]): DataFrame =
-    readVersionWhere(
-      spark,
-      root,
-      latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root")),
-      bounds)
+  /** Latest-snapshot read with data skipping — see [[readVersionWhere]].
+    * When a COMPLETE checkpoint exists at exactly the latest version
+    * (auto-written every [[AutoCheckpointInterval]] commits past
+    * [[AutoCheckpointMinFiles]], or explicit [[checkpoint]]), planning
+    * auto-selects the DISTRIBUTED checkpointed path — a long-lived table
+    * never silently stays on the O(files) driver-side JSON parse. Result
+    * is identical by construction (same deadness kernel, same serde);
+    * disable with `spark.graft.checkpoint.autoRead=false`. */
+  def readWhere(spark: SparkSession, root: String, bounds: Seq[Bound]): DataFrame = {
+    val v = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
+    val autoRead =
+      spark.conf.getOption("spark.graft.checkpoint.autoRead").forall(_.toBoolean)
+    if (autoRead && latestCheckpoint(spark, root).contains(v))
+      readWhereCheckpointed(spark, root, bounds)
+    else readVersionWhere(spark, root, v, bounds)
+  }
 
   /** The metadata/scan split behind [[countWhere]]: rows answerable from
     * manifest stats alone vs paths that still need a physical scan.
@@ -1823,6 +1877,16 @@ object SnapshotTable {
     val keptMasks = m.masks
       .map(mk => mk.copy(entries = mk.entries.filter(untouchedSet)))
       .filter(_.entries.nonEmpty)
+    // net-delta accounting for wholly-dropped files: a CLEAN file's
+    // recorded rows are its live rows; a MASKED file's physical rows
+    // exceed its live rows, so blindly subtracting the recorded count
+    // would overstate removals in addedRows history. Count the masked
+    // drops' live rows mask-aware — cost ∝ those files, and this is the
+    // copy-on-write path, which already does I/O.
+    val (maskedDropped, cleanDropped) = dropped.partition(f => masked(f.path))
+    val maskedDroppedRows =
+      if (maskedDropped.isEmpty) 0L
+      else readEntriesMasked(spark, root, m, schema, maskedDropped.map(_.path)).count()
     publish(
       spark,
       root,
@@ -1830,7 +1894,7 @@ object SnapshotTable {
         base + 1,
         action,
         untouched.map(_.path) ++ newDirs,
-        delta - dropped.map(_.rows).sum,
+        delta - cleanDropped.map(_.rows).sum - maskedDroppedRows,
         None,
         Some(schemaJson),
         untouched ++ newStats,
@@ -2088,6 +2152,294 @@ object SnapshotTable {
     * .foreachBatch(SnapshotTable.streamUpsert(root, keys)).start()`. */
   def streamUpsert(root: String, keyCols: Seq[String]): (DataFrame, Long) => Unit =
     (batch, id) => { upsertBatchExactlyOnce(batch.sparkSession, root, batch, keyCols, id); () }
+
+  // ───────────── general MERGE (conditional / multi-action) ─────────────
+
+  /** One WHEN clause of [[mergeInto]]. Conditions and expression values
+    * are SQL TEXT over the two row aliases (target columns as
+    * `<targetAlias>.col`, source as `<sourceAlias>.col`) — the natural
+    * bridge from parsed MERGE statements, and unambiguous for
+    * programmatic callers. `set`/`values` = None is the star form. */
+  sealed trait MergeClause { def condition: Option[String] }
+
+  /** `WHEN MATCHED [AND condition] THEN UPDATE SET ...`. `set = None` is
+    * `SET *`: every column the SOURCE carries assigns from the source
+    * row; columns the source omits keep their target value (Delta's
+    * star-expansion — note [[mergeUpsert]]'s wholesale-replace form nulls
+    * them instead, its documented contract). */
+  final case class MatchedUpdate(condition: Option[String], set: Option[Map[String, String]])
+      extends MergeClause
+
+  /** `WHEN MATCHED [AND condition] THEN DELETE`. */
+  final case class MatchedDelete(condition: Option[String]) extends MergeClause
+
+  /** `WHEN NOT MATCHED [AND condition] THEN INSERT ...`. `values = None`
+    * is `INSERT *` (source columns by name; table columns the source
+    * omits insert null). Conditions may reference the source alias only —
+    * there is no target row to see. */
+  final case class NotMatchedInsert(condition: Option[String], values: Option[Map[String, String]])
+      extends MergeClause
+
+  /** General MERGE — the full Delta-shaped statement ([[mergeUpsert]] is
+    * the canonical-upsert fast path): matched target rows walk the
+    * `matched` clauses IN ORDER and the first clause whose condition
+    * holds applies (update or delete; none → the row carries unchanged);
+    * source rows matching NO target key walk `notMatched` the same way
+    * (none → the row does not land). `WHEN NOT MATCHED BY SOURCE` is not
+    * supported (its rewrite set is the whole table — refused loudly, not
+    * approximated).
+    *
+    * Economics are [[mergeUpsert]]'s: the zero-I/O envelope prune plus
+    * the key-only touched-file probe bound the rewrite to the files that
+    * actually CONTAIN a matched key, so a conditional merge against a
+    * key-clustered 100-TB table rewrites only those files; the
+    * not-matched anti-join reads key columns of the candidate files
+    * only. Clause conditions are evaluated ROW-LEVEL on the joined
+    * (target × source) pair — null conditions never apply a clause
+    * (SQL three-valued logic). `source` should be key-unique (a
+    * duplicate-key source multiplies its matched target row — the same
+    * caveat Delta raises as an error); null-keyed source rows match
+    * nothing. New source columns evolve the schema like append. Returns
+    * the new version (or the current one when nothing changed). */
+  def mergeInto(
+      spark: SparkSession,
+      root: String,
+      source: DataFrame,
+      keyCols: Seq[String],
+      matched: Seq[MergeClause],
+      notMatched: Seq[NotMatchedInsert],
+      targetAlias: String = "t",
+      sourceAlias: String = "s"): Int = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{coalesce, col, expr, input_file_name, lit, max, min, when}
+    require(keyCols.nonEmpty, "mergeInto needs at least one key column")
+    require(matched.nonEmpty || notMatched.nonEmpty, "mergeInto needs at least one WHEN clause")
+    matched.foreach {
+      case _: MatchedUpdate | _: MatchedDelete => ()
+      case other => sys.error(s"matched clauses must be MatchedUpdate or MatchedDelete, got $other")
+    }
+    val base = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
+    val m = readManifest(spark, root, base)
+    val priorSchema = m.schemaJson.map(schemaFromJson)
+    val evolved = evolvedSchema(spark, root, Some(base), source, carryForward = true)
+    val evolvedStruct = schemaFromJson(evolved)
+    val evolvedMapping = mappingOf(evolvedStruct)
+    keyCols.foreach(k =>
+      require(evolvedStruct.fieldNames.contains(k), s"no key column '$k' in the merged schema"))
+    matched.foreach {
+      case MatchedUpdate(_, Some(set)) =>
+        set.keys.foreach(k =>
+          require(evolvedStruct.fieldNames.contains(k), s"UPDATE SET column '$k' is not in the table schema"))
+      case _ => ()
+    }
+    notMatched.foreach {
+      case NotMatchedInsert(_, Some(vals)) =>
+        vals.keys.foreach(k =>
+          require(evolvedStruct.fieldNames.contains(k), s"INSERT column '$k' is not in the table schema"))
+      case _ => ()
+    }
+    def q(n: String) = col("`" + n + "`")
+    val srcColumns = source.columns.toSet
+    // source aligned to the evolved width (missing columns null) — the
+    // single source frame every stage (probe, join, insert) reuses
+    val srcNorm = source.select(evolvedStruct.fields.map { f =>
+      if (srcColumns(f.name)) q(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+    val srcKeys = srcNorm.select(keyCols.map(q): _*)
+    // stage 1: zero-I/O envelope prune on the source's key ranges
+    val aggs = keyCols.flatMap(k => Seq(min(q(k)).as("__lo_" + k), max(q(k)).as("__hi_" + k)))
+    val kb = srcNorm.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val bounds = keyCols.map(k =>
+      Bound(k, Option(kb.getAs[Any]("__lo_" + k)), Option(kb.getAs[Any]("__hi_" + k))))
+    val allKeysNull = bounds.forall(b => b.lower.isEmpty && b.upper.isEmpty)
+    val plan = prunePlan(spark, root, base, if (allKeysNull) Seq.empty else bounds)
+    val candidates = plan.keep ++ plan.uncoveredDirs
+    def readAs(paths: Seq[String]): DataFrame =
+      if (m.masks.isEmpty)
+        readTablePaths(spark, priorSchema, paths.map(p => new Path(root, p).toString))
+      else readEntriesMasked(spark, root, m, priorSchema, paths)
+    // stage 2: exact touched-file discovery (matched clauses only) — the
+    // key-only columnar probe of the candidates, mask-aware
+    val touched: Set[String] =
+      if (matched.isEmpty || plan.keep.isEmpty) Set.empty
+      else {
+        val probe =
+          (if (m.masks.isEmpty)
+             readTablePaths(spark, priorSchema, plan.keep.map(p => new Path(root, p).toString))
+               .withColumn("__file", input_file_name())
+           else readEntriesMasked(spark, root, m, priorSchema, plan.keep, withFileName = true))
+            .select(keyCols.map(q) :+ col("__file"): _*)
+        probe
+          .join(srcKeys, keyCols, "left_semi")
+          .select("__file")
+          .distinct()
+          .collect()
+          .map(_.getString(0))
+          .flatMap(uri => plan.keep.find(rel => uri.endsWith(rel)))
+          .toSet
+      }
+    val rewritePaths =
+      if (matched.isEmpty) Seq.empty[String] else touched.toSeq.sorted ++ plan.uncoveredDirs
+    // clause machinery: SQL-text conditions resolve against the aliased
+    // pair; a null condition never applies (three-valued logic)
+    def condOf(c: Option[String]): Column = coalesce(c.map(expr).getOrElse(lit(true)), lit(false))
+    def firstApplicable(conds: Seq[Option[String]], gate: Column): Seq[Column] = {
+      var earlier: Column = lit(false)
+      conds.map { c =>
+        val here = condOf(c)
+        val applies = gate && !earlier && here
+        earlier = earlier || here
+        applies
+      }
+    }
+    // pad a prior-schema frame to the evolved width
+    def padTo(df: DataFrame): DataFrame = df.select(evolvedStruct.fields.map { f =>
+      if (df.columns.contains(f.name)) q(f.name) else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+    val matchedTag = "__graft_matched"
+    val survivorsOpt: Option[DataFrame] =
+      if (rewritePaths.isEmpty) None
+      else {
+        val tAl = padTo(readAs(rewritePaths)).alias(targetAlias)
+        val sAl = srcNorm.withColumn(matchedTag, lit(true)).alias(sourceAlias)
+        val joinCond = keyCols
+          .map(k => col(s"$targetAlias.`$k`") === col(s"$sourceAlias.`$k`"))
+          .reduce(_ && _)
+        val joined = tAl.join(sAl, joinCond, "left_outer")
+        val isM = col(s"$sourceAlias.`$matchedTag`").isNotNull
+        val applied = firstApplicable(matched.map(_.condition), isM)
+        val deleted = matched
+          .zip(applied)
+          .collect { case (_: MatchedDelete, ap) => ap }
+          .reduceOption(_ || _)
+          .getOrElse(lit(false))
+        val outCols = evolvedStruct.fields.map { f =>
+          val tCol = col(s"$targetAlias.`${f.name}`")
+          val updates = matched.zip(applied).collect { case (u: MatchedUpdate, ap) =>
+            val v = u.set match {
+              case Some(setMap) =>
+                setMap.get(f.name).map(s => expr(s).cast(f.dataType)).getOrElse(tCol)
+              case None => // SET *: source columns assign, others keep
+                if (srcColumns(f.name)) col(s"$sourceAlias.`${f.name}`") else tCol
+            }
+            (ap, v)
+          }
+          updates.foldRight(tCol) { case ((ap, v), rest) => when(ap, v).otherwise(rest) }.as(f.name)
+        }
+        Some(joined.filter(!deleted).select(outCols.toSeq: _*))
+      }
+    val insertsOpt: Option[DataFrame] =
+      if (notMatched.isEmpty) None
+      else {
+        // a source row is matched iff its key appears in a candidate file
+        // (provably: the envelope prune only skips files whose key range
+        // can't intersect the source's) — key-only columnar anti-join
+        val tgtKeys =
+          if (candidates.isEmpty)
+            srcKeys.limit(0)
+          else
+            (if (m.masks.isEmpty)
+               readTablePaths(spark, priorSchema, candidates.map(p => new Path(root, p).toString))
+             else readEntriesMasked(spark, root, m, priorSchema, candidates))
+              .select(keyCols.map(q): _*)
+        val unmatched = srcNorm.alias(sourceAlias).join(tgtKeys, keyCols, "left_anti")
+        val applied = firstApplicable(notMatched.map(_.condition), lit(true))
+        val anyApplies = applied.reduce(_ || _)
+        val outCols = evolvedStruct.fields.map { f =>
+          val nullV = lit(null).cast(f.dataType)
+          val values = notMatched.zip(applied).map { case (ins, ap) =>
+            val v = ins.values match {
+              case Some(vm) => vm.get(f.name).map(s => expr(s).cast(f.dataType)).getOrElse(nullV)
+              case None => col(s"$sourceAlias.`${f.name}`") // INSERT *: srcNorm already padded
+            }
+            (ap, v)
+          }
+          values.foldRight(nullV: Column) { case ((ap, v), rest) => when(ap, v).otherwise(rest) }.as(f.name)
+        }
+        Some(unmatched.filter(anyApplies).select(outCols.toSeq: _*))
+      }
+    val pieces = survivorsOpt.toSeq ++ insertsOpt.toSeq
+    if (pieces.isEmpty) return base // no rewrite, no insert clause output: no-op
+    val outDf = pieces.reduce(_ unionByName _)
+    val masked = maskedEntrySet(m)
+    val before =
+      if (rewritePaths.isEmpty) 0L
+      else if (plan.uncoveredDirs.isEmpty && !touched.exists(masked))
+        m.files.filter(f => touched.contains(f.path)).map(_.rows).sum
+      else readAs(rewritePaths).count()
+    val (rel, n, stats) = writeData(spark, root, outDf, m.constraints, evolvedMapping)
+    if (rewritePaths.isEmpty && n == 0) return base // nothing matched a clause: no-op
+    val touchedSet = touched
+    val untouched =
+      if (rewritePaths.isEmpty) m.files else m.files.filterNot(f => touchedSet.contains(f.path))
+    val untouchedSet = untouched.map(_.path).toSet
+    val keptMasks = m.masks
+      .map(mk => mk.copy(entries = mk.entries.filter(untouchedSet)))
+      .filter(_.entries.nonEmpty)
+    val carriedUncovered = if (rewritePaths.isEmpty) plan.uncoveredDirs else Seq.empty
+    publish(
+      spark,
+      root,
+      Commit(
+        base + 1,
+        "merge",
+        (untouched.map(_.path) ++ carriedUncovered) ++ (if (n > 0) Seq(rel) else Nil),
+        n - before,
+        None,
+        Some(evolved),
+        untouched ++ stats,
+        constraints = m.constraints,
+        dropped = reviveDropped(m.dropped, evolvedStruct),
+        masks = keptMasks))
+  }
+
+  /** Merge-on-read MATCHED-DELETE — `WHEN MATCHED THEN DELETE` with zero
+    * data I/O at any table size: the source's DISTINCT complete key
+    * tuples land as a key-tombstone sidecar and every candidate file
+    * from the zero-I/O envelope prune gains a `keys` [[Mask]]; no source
+    * rows are added and no target file is read or rewritten. Same key
+    * semantics as [[mergeUpsertMor]] (null keys match nothing); reads
+    * pay the anti-join on masked files until [[compact]] reconciles.
+    * addedRows records 0 — masked removals are unknown without a read,
+    * the mode's documented accounting caveat. */
+  def deleteMatchedMor(spark: SparkSession, root: String, source: DataFrame, keyCols: Seq[String]): Int = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    require(keyCols.nonEmpty, "deleteMatchedMor needs at least one key column")
+    val base = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
+    val m = readManifest(spark, root, base)
+    val schema = m.schemaJson
+      .map(schemaFromJson)
+      .getOrElse(sys.error("merge-on-read DML needs a schema-recording manifest"))
+    keyCols.foreach(k =>
+      require(schema.fieldNames.contains(k), s"no key column '$k' in table schema"))
+    val srcKeys = source.select(keyCols.map(k => col("`" + k + "`")): _*).na.drop("any").distinct()
+    val aggs = keyCols.flatMap(k =>
+      Seq(min(col("`" + k + "`")).as("__lo_" + k), max(col("`" + k + "`")).as("__hi_" + k)))
+    val kb = srcKeys.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val bounds = keyCols.map(k =>
+      Bound(k, Option(kb.getAs[Any]("__lo_" + k)), Option(kb.getAs[Any]("__hi_" + k))))
+    if (bounds.forall(b => b.lower.isEmpty && b.upper.isEmpty)) return base // no usable keys
+    val plan = prunePlan(spark, root, base, bounds)
+    val maskEntries = plan.keep ++ plan.uncoveredDirs
+    if (maskEntries.isEmpty) return base // stats prove no file can hold a matched key
+    val keyRel = "data/" + java.util.UUID.randomUUID().toString
+    srcKeys.write.parquet(new Path(root, keyRel).toString)
+    publish(
+      spark,
+      root,
+      Commit(
+        base + 1,
+        "mor-delete",
+        m.dirs,
+        0L,
+        None,
+        m.schemaJson,
+        m.files,
+        constraints = m.constraints,
+        dropped = m.dropped,
+        masks = m.masks :+ Mask("keys", maskEntries, keyCols = keyCols, keyDir = Some(keyRel))))
+  }
 
   // ──────────────── merge-on-read DML (deletion masks) ────────────────
 
@@ -2462,14 +2814,33 @@ object SnapshotTable {
     val deletedManifests = drop.map { v =>
       f.delete(manifestPath(root, v), false); f"_manifests/v$v%08d.json"
     }
-    // stray publish temps (crash between temp write and link) — age-gated
-    // like data dirs so an in-flight publish is never swept
+    // stray publish temps (crash between temp write and link/rename) —
+    // age-gated like data dirs so an in-flight publish is never swept;
+    // recursive: checkpoint temps (.tmp-ckpt-*) are parquet DIRS
     if (f.exists(manifestDir(root)))
       f.listStatus(manifestDir(root))
         .filter(s =>
           s.getPath.getName.startsWith(".tmp-") &&
             (minAgeMs <= 0L || s.getModificationTime <= System.currentTimeMillis() - minAgeMs))
-        .foreach(s => f.delete(s.getPath, false))
+        .foreach(s => f.delete(s.getPath, true))
+    // parquet checkpoint dirs are DERIVED data (a pure function of their
+    // version's immutable manifest): reclaim any whose version fell out
+    // of retained history — no reader can plan through them (readWhere
+    // auto-select and readWhereCheckpointed pin the LATEST version) —
+    // age-gated like data dirs. Without this every checkpoint() run
+    // would leak a full per-file-stats copy forever.
+    val ckptRe = """ckpt_v(\d{8})$""".r
+    val minKeptV = keep.headOption.getOrElse(Int.MaxValue)
+    val deletedCkpt =
+      if (!f.exists(manifestDir(root))) Seq.empty[String]
+      else
+        f.listStatus(manifestDir(root))
+          .toSeq
+          .filter(s => minAgeMs <= 0L || s.getModificationTime <= System.currentTimeMillis() - minAgeMs)
+          .filter(s => ckptRe.findFirstMatchIn(s.getPath.getName).exists(_.group(1).toInt < minKeptV))
+          .map { s =>
+            f.delete(s.getPath, true); "_manifests/" + s.getPath.getName
+          }
     // materialized change-feed ranges ([[SnapshotSource]] readChangeFeed)
     // are derived data: reclaim any whose END version fell out of retained
     // history (no checkpointed stream can still replay that batch — its
@@ -2511,7 +2882,7 @@ object SnapshotTable {
           .map { rel =>
             f.delete(new Path(root, rel), true); rel
           }
-    deletedManifests ++ deletedCdc ++ deletedData
+    deletedManifests ++ deletedCkpt ++ deletedCdc ++ deletedData
   }
 
   /** METADATA-ONLY column rename — no data rewrite, at any file count:

@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.functions.{AnnIndex, KMeansIvf}
+import graft.sinks.SnapshotTable
+import org.apache.spark.sql.functions._
+
+/** cap_ann_persisted — the fit-once / search-many index contract: a
+  * search that loads the persisted model returns EXACTLY the in-memory
+  * IVF rows (same k/iters/nprobe/topK — both sides are deterministic by
+  * construction), survives a "restart" (nothing cached: model and
+  * buckets come off disk), and scans only the probed buckets' files
+  * (manifest-stat pruning over the bucket-clustered corpus table). */
+class AnnIndexSpec extends SparkSuite {
+  private lazy val embs = Fixtures.table(spark, sf001, "embeddings")
+
+  private def freshRoot(): String = Files.createTempDirectory("graft-annidx").toString
+
+  test("persisted search ≡ in-memory IVF search, model loaded from the index") {
+    val root = freshRoot()
+    AnnIndex.fit(spark, root, embs, "vec_id", "embedding", k = 8, iters = 3, nFiles = 8)
+    // "restart": every artifact below comes from the tables, not this JVM's fit
+    val queries = embs.filter(col("vec_id") < 20)
+    val persisted = AnnIndex
+      .search(spark, root, queries, "vec_id", "embedding", topK = 3, nprobe = 2)
+      .orderBy("q_id", "rn")
+      .collect()
+      .toSeq
+    val cents = KMeansIvf.fit(embs, "vec_id", "embedding", k = 8, iters = 3)
+    val inMemory = KMeansIvf
+      .annTopK(queries, embs, cents, "vec_id", "embedding", topK = 3, nprobe = 2)
+      .orderBy("q_id", "rn")
+      .collect()
+      .toSeq
+    assert(persisted == inMemory, s"persisted (${persisted.size}) diverged from in-memory (${inMemory.size})")
+    assert(persisted.nonEmpty)
+    // the loaded model IS the deterministic fit
+    val loaded = AnnIndex.loadModel(spark, root)
+    assert(loaded.length == cents.length)
+    loaded.zip(cents).foreach { case (a, b) => assert(a.sameElements(b)) }
+  }
+
+  test("search scans only probed buckets' files; refit overwrites atomically") {
+    val root = freshRoot()
+    AnnIndex.fit(spark, root, embs, "vec_id", "embedding", k = 8, iters = 3, nFiles = 8)
+    val corpusFiles = SnapshotTable.history(spark, root + "/corpus").last.files.size
+    // one query, nprobe=1 → at most a couple of bucket files may survive
+    // the plan-time bucket filter (bucket-clustered corpus, tight stats)
+    val oneQ = embs.filter(col("vec_id") === 0)
+    val df = AnnIndex.search(spark, root, oneQ, "vec_id", "embedding", topK = 3, nprobe = 1)
+    df.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(s.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => scans(r.child)
+      }.flatten
+    // the corpus scan is the one over files under <root>/corpus/data
+    val corpusScans = scans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.inputFiles.exists(_.contains("/corpus/")))
+    assert(corpusScans.nonEmpty, s"no corpus scan in:\n${df.queryExecution.executedPlan}")
+    val scanned = corpusScans.map(_.metrics("numFiles").value).sum
+    assert(
+      scanned < corpusFiles,
+      s"bucket pruning failed: scanned $scanned of $corpusFiles corpus files for 1 probe")
+    // refit: the index stays consistent and searches still match in-memory
+    AnnIndex.fit(spark, root, embs, "vec_id", "embedding", k = 4, iters = 2, nFiles = 4)
+    val cents4 = KMeansIvf.fit(embs, "vec_id", "embedding", k = 4, iters = 2)
+    val a = AnnIndex.search(spark, root, oneQ, "vec_id", "embedding", topK = 3, nprobe = 2)
+      .orderBy("q_id", "rn").collect().toSeq
+    val b = KMeansIvf.annTopK(oneQ, embs, cents4, "vec_id", "embedding", topK = 3, nprobe = 2)
+      .orderBy("q_id", "rn").collect().toSeq
+    assert(a == b)
+  }
+}

@@ -375,6 +375,76 @@ class SnapshotMorSpec extends SparkSuite {
     assert(m.masks.flatMap(_.entries).forall(live), "mask entries must reference live entries")
   }
 
+  test("masked files keep plan-time skipping through the Catalyst relation") {
+    val root = freshRoot()
+    SnapshotTable.create(
+      spark, root, fixture().repartitionByRange(8, col("k")).sortWithinPartitions("k"))
+    // k-clustered 8 files of 125 keys; 100..160 straddles files 0 and 1 →
+    // both gain a pred mask, nothing drops wholly
+    SnapshotTable.deleteWhereMor(spark, root, Seq(Bound("k", Some(100L), Some(160L))))
+    val m = SnapshotTable.history(spark, root).last
+    assert(m.masks.nonEmpty && m.masks.head.entries.size == 2, m.masks)
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      val scans =
+        plan.collect { case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan }
+          .flatMap(_.collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }) ++
+          plan.collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      assert(scans.nonEmpty, s"no FileSourceScanExec in:\n$plan")
+      scans.map(_.metrics("numFiles").value).sum
+    }
+    val df = SnapshotTable.relation(spark, root)
+    // narrow filter: [140,180] lives in masked file 1 only — the masked
+    // BRANCH must prune file 0 at plan time (masks only remove rows, so
+    // stats-dead stays dead) and the unmasked branch prunes files 2..7
+    val q = df.filter("k >= 140 AND k <= 180")
+    assert(scannedFiles(q) <= 2, "masked-file skipping gap: masked branch reads all masked files")
+    // result identity with the bounded read surface
+    assert(
+      q.orderBy("k").collect().toSeq ==
+        SnapshotTable
+          .readWhere(spark, root, Seq(Bound("k", Some(140L), Some(180L))))
+          .orderBy("k")
+          .collect()
+          .toSeq)
+    // a filter entirely OUTSIDE the masked files reads zero masked files
+    assert(scannedFiles(df.filter("k >= 500 AND k <= 560")) <= 1)
+  }
+
+  test("a fully-masked table (scattered-predicate mask) still prunes on the clustered key") {
+    val root = freshRoot()
+    SnapshotTable.create(
+      spark, root, fixture().repartitionByRange(8, col("k")).sortWithinPartitions("k"))
+    // price_c = (k*13) % 997 is scattered: EVERY k-clustered file is a
+    // boundary file for a price range → all 8 gain the pred mask, none
+    // drops — the worst case for the old all-masked-files-scan gap
+    SnapshotTable.deleteWhereMor(spark, root, Seq(Bound("price_c", Some(100L), Some(110L))))
+    val m = SnapshotTable.history(spark, root).last
+    assert(m.masks.head.entries.size == m.files.size, "scattered predicate must mask every file")
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      val scans =
+        plan.collect { case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan }
+          .flatMap(_.collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }) ++
+          plan.collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      scans.map(_.metrics("numFiles").value).sum
+    }
+    val df = SnapshotTable.relation(spark, root)
+    val q = df.filter("k >= 300 AND k <= 310")
+    assert(scannedFiles(q) <= 2, s"k-stats must prune the masked group: ${scannedFiles(q)} of 8")
+    assert(
+      q.orderBy("k").collect().toSeq ==
+        SnapshotTable
+          .readWhere(spark, root, Seq(Bound("k", Some(300L), Some(310L))))
+          .orderBy("k")
+          .collect()
+          .toSeq)
+    assert(q.count() == fixture().filter(
+      "k >= 300 AND k <= 310 AND NOT (price_c >= 100 AND price_c <= 110)").count())
+  }
+
   test("exact equality mor-delete via bloom-capable bounds; null bound columns survive") {
     val root = freshRoot()
     val withNulls = spark.range(100).selectExpr(

@@ -124,6 +124,72 @@ class SnapshotSqlSpec extends SparkSuite {
     assert(sorted(SnapshotTable.read(spark, morRoot)) == sorted(SnapshotTable.read(spark, cowRoot)))
   }
 
+  test("MERGE WHEN MATCHED THEN DELETE: COW rewrite and MOR keys-mask give identical results") {
+    val cowRoot = freshRoot()
+    val morRoot = freshRoot()
+    val src = fixture(2000)
+    for (r <- Seq(cowRoot, morRoot))
+      SnapshotTable.create(spark, r,
+        src.repartitionByRange(8, org.apache.spark.sql.functions.col("k")).sortWithinPartitions("k"))
+    SnapshotSql.register(spark, "mdel_cow", cowRoot)
+    SnapshotSql.register(spark, "mdel_mor", morRoot, morWrites = true)
+    // scattered keys: the COW twin must discover + rewrite only touched
+    // files; the MOR twin must rewrite NOTHING (a keys mask)
+    fixture(2000).filter("k % 131 = 0").createOrReplaceTempView("mdel_src")
+    val morFilesBefore = SnapshotTable.history(spark, morRoot).last.files.map(_.path).toSet
+    for (t <- Seq("mdel_cow", "mdel_mor"))
+      SnapshotSql.execute(spark,
+        s"MERGE INTO $t AS t USING mdel_src AS s ON t.k = s.k WHEN MATCHED THEN DELETE")
+    assert(sorted(SnapshotTable.read(spark, cowRoot)) == sorted(SnapshotTable.read(spark, morRoot)))
+    assert(SnapshotTable.read(spark, cowRoot).filter("k % 131 = 0").count() == 0)
+    assert(SnapshotTable.read(spark, cowRoot).count() == 2000 - src.filter("k % 131 = 0").count())
+    val morLast = SnapshotTable.history(spark, morRoot).last
+    assert(morLast.action == "mor-delete", morLast.action)
+    assert(morLast.files.map(_.path).toSet == morFilesBefore,
+      "MOR matched-delete must not touch any target file")
+    assert(morLast.masks.exists(_.kind == "keys"), "matched-delete lands as a keys mask")
+    // compaction reconciles the mask; results unchanged
+    SnapshotTable.compact(spark, morRoot, "k", nFiles = 4)
+    assert(sorted(SnapshotTable.read(spark, cowRoot)) == sorted(SnapshotTable.read(spark, morRoot)))
+    assert(SnapshotTable.history(spark, morRoot).last.masks.isEmpty)
+  }
+
+  test("conditional MERGE clauses: first-match-wins updates/deletes, conditional inserts, both-side refs") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, fixture(1000))
+    SnapshotSql.register(spark, "mcond", root)
+    // source: half the keys exist (0..499 via k%2=0 slice over 0..998),
+    // half are new (1000..1499); price doubles
+    spark.range(750).selectExpr(
+      "CASE WHEN id < 500 THEN id * 2 ELSE id + 500 END AS k", // 0,2,..,998 then 1000..1249
+      "DATE'2000-01-01' AS d",
+      "id AS price_c")
+      .createOrReplaceTempView("mcond_src")
+    SnapshotSql.execute(spark,
+      "MERGE INTO mcond AS t USING mcond_src AS s ON t.k = s.k " +
+        "WHEN MATCHED AND s.price_c > t.price_c THEN UPDATE SET price_c = s.price_c + t.price_c " +
+        "WHEN MATCHED AND t.k < 100 THEN DELETE " +
+        "WHEN NOT MATCHED AND s.k >= 1100 THEN INSERT (k, d, price_c) VALUES (s.k, s.d, -1)")
+    val got = SnapshotTable.read(spark, root)
+    // oracle computed independently over the same algebra
+    val target = fixture(1000).withColumnRenamed("price_c", "tp")
+    val source = spark.sql("SELECT k, d AS sd, price_c AS sp FROM mcond_src")
+    val joined = target.join(source, Seq("k"), "left_outer")
+    val matchedUpd = joined.filter("sp IS NOT NULL AND sp > tp").selectExpr("k", "d", "sp + tp AS price_c")
+    val matchedDel = joined.filter("sp IS NOT NULL AND NOT (sp > tp) AND k < 100")
+    val matchedKeep = joined.filter("sp IS NOT NULL AND NOT (sp > tp) AND NOT (k < 100)")
+      .selectExpr("k", "d", "tp AS price_c")
+    val unmatchedTgt = joined.filter("sp IS NULL").selectExpr("k", "d", "tp AS price_c")
+    val inserts = source.join(target, Seq("k"), "left_anti").filter("k >= 1100")
+      .selectExpr("k", "sd AS d", "CAST(-1 AS LONG) AS price_c")
+    val expect = matchedUpd.unionByName(matchedKeep).unionByName(unmatchedTgt).unionByName(inserts)
+    assert(sorted(got) == sorted(expect),
+      s"counts: got=${got.count()} expect=${expect.count()} del=${matchedDel.count()}")
+    // only files containing matched keys were rewritten (scale economics)
+    assert(got.filter("k >= 1000 AND k < 1100").count() == 0, "conditional insert filtered")
+    assert(got.filter("price_c = -1").count() == 150, "inserted 1100..1249")
+  }
+
   test("refusals: unregistered targets, non-DML text, unsupported merge shapes") {
     val root = freshRoot()
     SnapshotTable.create(spark, root, fixture(10))
@@ -140,9 +206,10 @@ class SnapshotSqlSpec extends SparkSuite {
     val e3 = intercept[IllegalArgumentException] {
       SnapshotSql.execute(spark,
         "MERGE INTO snap4 AS t USING msrc AS s ON t.k = s.k " +
-          "WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *")
+          "WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED BY SOURCE THEN DELETE")
     }
-    assert(e3.getMessage.contains("canonical form"), e3.getMessage)
+    assert(e3.getMessage.contains("BY SOURCE"), e3.getMessage)
     val e4 = intercept[RuntimeException] {
       SnapshotSql.execute(spark, "UPDATE snap4 SET price_c = 0")
     }

@@ -549,17 +549,83 @@ class SnapshotTableSpec extends SparkSuite {
     SnapshotTable.checkpoint(spark, root)
     val bounds = Seq(SnapshotTable.Bound("k", Some(100L), Some(220L)))
     val viaCkpt = SnapshotTable.readWhereCheckpointed(spark, root, bounds)
-    val viaJson = SnapshotTable.readWhere(spark, root, bounds)
+    val viaJson = SnapshotTable.readVersionWhere(
+      spark, root, SnapshotTable.latestVersion(spark, root).get, bounds)
     assert(viaCkpt.orderBy("k").collect().toSeq == viaJson.orderBy("k").collect().toSeq)
     assert(viaCkpt.count() == 121)
-    // pending masks refuse loudly (the kernel needs per-file stat entries
-    // the lite manifest does not hold)
-    SnapshotTable.deleteWhereMor(spark, root, Seq(SnapshotTable.Bound("k", Some(0L), Some(10L))))
+    // ...and readWhere AUTO-SELECTS the checkpointed plan when one is
+    // current (identical result, no explicit call)
+    assert(SnapshotTable.readWhere(spark, root, bounds).count() == 121)
+    // pending merge-on-read masks COMPOSE with checkpointed planning:
+    // the lite manifest carries the mask records, pruning runs before
+    // mask application, result ≡ the JSON-planned read
+    SnapshotTable.deleteWhereMor(spark, root, Seq(SnapshotTable.Bound("k", Some(0L), Some(150L))))
     SnapshotTable.checkpoint(spark, root)
-    val e2 = intercept[IllegalArgumentException] {
-      SnapshotTable.readWhereCheckpointed(spark, root, bounds)
+    val maskedCkpt = SnapshotTable.readWhereCheckpointed(spark, root, bounds)
+    val maskedJson = SnapshotTable.readVersionWhere(
+      spark, root, SnapshotTable.latestVersion(spark, root).get, bounds)
+    assert(maskedCkpt.orderBy("k").collect().toSeq == maskedJson.orderBy("k").collect().toSeq)
+    assert(maskedCkpt.count() == 70, "rows 151..220 survive the masked delete")
+  }
+
+  test("auto-checkpoint: every Nth commit past minFiles, plans select it with no explicit call") {
+    val root = freshRoot()
+    spark.conf.set("spark.graft.checkpoint.interval", "3")
+    spark.conf.set("spark.graft.checkpoint.minFiles", "1")
+    try {
+      SnapshotTable.create(spark, root, wide(300)) // v1
+      SnapshotTable.append(spark, root, wide(10)) // v2
+      assert(SnapshotTable.latestCheckpoint(spark, root).isEmpty, "below the interval: no checkpoint")
+      SnapshotTable.append(spark, root, wide(10)) // v3 → auto-checkpoint
+      assert(SnapshotTable.latestCheckpoint(spark, root).contains(3), "v3 auto-checkpoints")
+      // readWhere plans through it with no checkpoint() call, result-identical
+      val bounds = Seq(SnapshotTable.Bound("k", Some(5L), Some(8L)))
+      assert(
+        SnapshotTable.readWhere(spark, root, bounds).orderBy("k", "s").collect().toSeq ==
+          SnapshotTable.readVersionWhere(spark, root, 3, bounds).orderBy("k", "s").collect().toSeq)
+      // vacuum reclaims checkpoints whose version fell out of history
+      SnapshotTable.append(spark, root, wide(10)) // v4
+      SnapshotTable.append(spark, root, wide(10)) // v5
+      SnapshotTable.append(spark, root, wide(10)) // v6 → auto-checkpoint
+      assert(SnapshotTable.latestCheckpoint(spark, root).contains(6))
+      val deleted = SnapshotTable.vacuum(spark, root, keepLast = 2) // retains v5, v6
+      assert(deleted.contains("_manifests/ckpt_v00000003"), s"stale checkpoint reclaimed: $deleted")
+      assert(SnapshotTable.latestCheckpoint(spark, root).contains(6), "current checkpoint retained")
+      assert(SnapshotTable.readWhere(spark, root, bounds).count() ==
+        SnapshotTable.readVersionWhere(spark, root, 6, bounds).count())
+    } finally {
+      spark.conf.unset("spark.graft.checkpoint.interval")
+      spark.conf.unset("spark.graft.checkpoint.minFiles")
     }
-    assert(e2.getMessage.contains("mask"), e2.getMessage)
+  }
+
+  test("commit store seam: an external put-if-absent store preserves exactly-once on overwriting PUTs") {
+    val root = freshRoot()
+    try {
+      SnapshotTable.setCommitStore(new graft.sinks.SingleProcessCommitStore)
+      SnapshotTable.create(spark, root, batch(1L -> "a"))
+      SnapshotTable.append(spark, root, batch(2L -> "b"))
+      // a racing writer that read latest=1 and tries to claim version 2:
+      // the store's claim table refuses — even though its WRITE primitive
+      // (fs.create overwrite=true) would have silently clobbered the winner
+      val m = SnapshotTable.history(spark, root).head
+      val ex = intercept[SnapshotTable.ConcurrentCommitException] {
+        SnapshotTable.publish(spark, root, SnapshotTable.Commit(2, "append", m.dirs, 0L))
+      }
+      assert(ex.getMessage.contains("version 2"), ex.getMessage)
+      assert(rows(SnapshotTable.read(spark, root)) == Set(1L -> "a", 2L -> "b"))
+      // append's automatic retry still converges through the store
+      SnapshotTable.append(spark, root, batch(3L -> "c"))
+      assert(rows(SnapshotTable.read(spark, root)) == Set(1L -> "a", 2L -> "b", 3L -> "c"))
+      // a table committed BEFORE the store attached refuses rather than
+      // overwrites (the store never saw those claims)
+      val ex2 = intercept[SnapshotTable.ConcurrentCommitException] {
+        val last = SnapshotTable.history(spark, root).last
+        SnapshotTable.setCommitStore(new graft.sinks.SingleProcessCommitStore) // fresh claim table
+        SnapshotTable.publish(spark, root, last.copy(version = last.version)) // existing manifest
+      }
+      assert(ex2.getMessage.contains("concurrently"), ex2.getMessage)
+    } finally SnapshotTable.resetCommitStore()
   }
 
   test("sizeInBytes is unknown when ANY live file lacks recorded bytes") {
