@@ -339,39 +339,16 @@ final class SnapshotSource(
       .map(o => parsePosition(o).v)
       .orElse(startVersion.map(_ - 1))
       .getOrElse(0)
-    val rel = f"_cdc/r$fromV%08d_$endV%08d"
+    // Compute-or-reuse the range's materialized feed (the shared
+    // per-range CDC cache — [[SnapshotTable.materializeChanges]]): two
+    // queries (same table, same startVersion, separate checkpoints) can
+    // materialize the same range concurrently — each writes a private
+    // temp and the winner publishes via one atomic rename, so a reader
+    // only ever sees a complete feed. (Object stores without atomic dir
+    // rename should point the table root at HDFS-like storage — the same
+    // caveat as the manifest publish protocol.)
+    val rel = SnapshotTable.materializeChanges(spark, root, fromV, endV)
     val dir = new org.apache.hadoop.fs.Path(root, rel)
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    val success = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
-    // a published dir always carries _SUCCESS (Spark writes it inside the
-    // temp before the atomic rename below); a dir WITHOUT it can only be
-    // a torn in-place write from a pre-rename-protocol run — rebuild it
-    // rather than serving a silently partial feed
-    if (fs.exists(dir) && !fs.exists(success)) fs.delete(dir, true)
-    if (!fs.exists(dir)) {
-      // Two queries (same table, same startVersion, separate checkpoints)
-      // can materialize the same range concurrently: each writes a PRIVATE
-      // temp dir and the winner publishes it with one atomic directory
-      // RENAME onto the absent target — the shared path is never written
-      // in place, so a reader can only ever see a complete feed. The loser
-      // deletes its temp. (Object stores without atomic dir rename should
-      // point the table root at HDFS-like storage — the same caveat as the
-      // manifest publish protocol.)
-      val tmp = new org.apache.hadoop.fs.Path(
-        root,
-        s"_cdc/.tmp-${java.util.UUID.randomUUID()}")
-      SnapshotTable
-        .changesBetween(spark, root, fromV, endV)
-        .write
-        .parquet(tmp.toString)
-      if (fs.exists(dir) || !fs.rename(tmp, dir)) fs.delete(tmp, true) // lost the race
-      // Hadoop's rename onto a dir that MATERIALIZED between the exists
-      // check and the rename moves the temp INSIDE it (and returns true):
-      // results stay correct (dot-dirs are invisible to parquet) but the
-      // bytes would leak — sweep the nested temp if that interleaving hit
-      val nested = new org.apache.hadoop.fs.Path(dir, tmp.getName)
-      if (fs.exists(nested)) fs.delete(nested, true)
-    }
     val idx = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       Seq(dir),

@@ -184,6 +184,28 @@ class SnapshotDmlSpec extends SparkSuite {
     // empty range: schema-correct empty frame
     val empty = SnapshotTable.changesBetween(spark, root, 6, 6)
     assert(empty.count() == 0 && empty.columns.contains("_change_type"))
+    // the CACHED batch path: first call materializes <root>/_cdc/r..., a
+    // second call reuses the bytes (no recompute — same dir mtime), and
+    // both return exactly the uncached diff
+    val cached1 = SnapshotTable
+      .changesBetweenCached(spark, root, 1, 6)
+      .select("k", "s", "_change_type", "_commit_version")
+      .as[(Long, String, String, Int)]
+      .collect()
+      .toSet
+    assert(cached1 == ch, "cached CDC diverged from changesBetween")
+    val cdcDir = new java.io.File(root, f"_cdc/r${1}%08d_${6}%08d")
+    assert(cdcDir.isDirectory && new java.io.File(cdcDir, "_SUCCESS").exists)
+    val mtime = cdcDir.lastModified
+    val cached2 = SnapshotTable
+      .changesBetweenCached(spark, root, 1, 6)
+      .select("k", "s", "_change_type", "_commit_version")
+      .as[(Long, String, String, Int)]
+      .collect()
+      .toSet
+    assert(cached2 == ch && cdcDir.lastModified == mtime, "second call must reuse, not rebuild")
+    // empty cached range: schema-correct empty frame off an empty feed dir
+    assert(SnapshotTable.changesBetweenCached(spark, root, 6, 6).count() == 0)
   }
 
   test("upsertBatchExactlyOnce: replayed epochs are no-ops; each epoch's merge applies once") {
