@@ -238,6 +238,55 @@ object Sources {
         .agg(count(lit(1)).as("n"), sum("k").as("key_sum"), sum("price_c").as("price_sum"))
         .orderBy("v", "op")
     },
+    // GENERAL (conditional / multi-action) MERGE in the ORACLE GATE — the
+    // full Delta-shaped statement beyond the canonical upsert: matched
+    // rows walk first-match-wins WHEN clauses (a BOTH-SIDE condition
+    // gates the update, the unconditional DELETE catches the rest), and
+    // unmatched source rows insert only under their own condition with
+    // an explicit VALUES list. Routed through Spark's parser onto
+    // SnapshotTable.mergeInto, which keeps mergeUpsert's economics (the
+    // envelope prune + key-only touched-file probe bound the rewrite to
+    // files that actually contain a matched key). The oracle replays the
+    // clause algebra directly on the fixture — the hash-match proves the
+    // executor's first-match-wins/insert-condition semantics end-to-end.
+    "q_snapshot_merge_cond" -> { (s, dir) =>
+      import graft.sinks.{SnapshotSql, SnapshotTable}
+      val root = "/tmp/graft-snapmc/" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val o = Fixtures
+        .table(s, dir, "orders")
+        .select(
+          col("o_orderkey").as("k"),
+          to_date(col("o_orderdate")).as("d"),
+          cents(col("o_totalprice")).as("price_c"))
+      val par = s.sparkContext.defaultParallelism
+      SnapshotTable.create(
+        s, root, o.repartitionByRange(par, col("k")).sortWithinPartitions("k"))
+      val table = "snap_mc_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      SnapshotSql.register(s, table, root)
+      val srcView = table + "_src"
+      // matched half: every k%5=0 key at doubled price; unmatched half:
+      // k%15=0 keys shifted out of the key space (parity-preserving) at
+      // price 42 — exercising the insert condition
+      o.filter(col("k") % 5 === 0)
+        .withColumn("price_c", col("price_c") * 2)
+        .unionByName(
+          o.filter(col("k") % 15 === 0)
+            .select((col("k") + 100000000L).as("k"), col("d"), lit(42L).as("price_c")))
+        .createOrReplaceTempView(srcView)
+      SnapshotSql.execute(
+        s,
+        s"MERGE INTO $table AS t USING $srcView AS s ON t.k = s.k " +
+          "WHEN MATCHED AND s.price_c > t.price_c + 100000 THEN UPDATE SET price_c = s.price_c " +
+          "WHEN MATCHED THEN DELETE " +
+          "WHEN NOT MATCHED AND s.k % 2 = 0 THEN INSERT (k, d, price_c) VALUES (s.k, s.d, s.price_c)")
+      SnapshotTable
+        .read(s, root)
+        .groupBy(year(col("d")).cast("int").as("y"))
+        .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_price_c"))
+        .orderBy("y")
+    },
     // The snapshot table as a CATALYST-INTEGRATED relation: plain SQL over
     // a registered view of SnapshotTable.relation — the pushed-down date
     // predicate reaches SnapshotFileIndex.listFiles during physical
@@ -374,6 +423,18 @@ object Sources {
         "fin AS (SELECT k, d, CASE WHEN k % 7 = 0 THEN price_c * 2 " +
         "WHEN year(d) = 1997 THEN price_c + 500 ELSE price_c END AS price_c " +
         "FROM o WHERE k % 7 = 0 OR year(d) <> 1995) " +
+        "SELECT CAST(year(d) AS INT) AS y, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(price_c) AS BIGINT) AS sum_price_c FROM fin GROUP BY 1 ORDER BY y"),
+    "q_snapshot_merge_cond" ->
+      ("WITH o AS (SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d, " +
+        "CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_c FROM orders), " +
+        // matched (k%5=0): sp=2*tp, so "sp > tp+100000" ⟺ tp > 100000 →
+        // update to sp; the rest of the matched rows hit the DELETE clause.
+        // unmatched source (shifted k%15=0): inserts only when the shifted
+        // key is even ⟺ k is even ⟺ k%30=0, at price 42.
+        "fin AS (SELECT k, d, price_c FROM o WHERE k % 5 <> 0 " +
+        "UNION ALL SELECT k, d, price_c * 2 FROM o WHERE k % 5 = 0 AND price_c > 100000 " +
+        "UNION ALL SELECT k + 100000000, d, CAST(42 AS BIGINT) FROM o WHERE k % 30 = 0) " +
         "SELECT CAST(year(d) AS INT) AS y, CAST(count(*) AS BIGINT) AS n_rows, " +
         "CAST(sum(price_c) AS BIGINT) AS sum_price_c FROM fin GROUP BY 1 ORDER BY y"),
     "q_snapshot_cdc" ->
