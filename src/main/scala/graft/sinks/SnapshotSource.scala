@@ -2,9 +2,10 @@ package graft.sinks
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.datasources.LogicalRelation
-import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** The snapshot table as a STRUCTURED STREAMING SOURCE — the Delta
@@ -383,14 +384,51 @@ object SnapshotSource {
         org.apache.spark.sql.types.StructField("_commit_version", org.apache.spark.sql.types.IntegerType))
 }
 
+/** The snapshot table as a STRUCTURED STREAMING SINK —
+  * `stream.writeStream.format("snapshot-table").option("path", root)`:
+  * each micro-batch lands through the EXACTLY-ONCE epoch operators the
+  * `foreachBatch` adapters already expose (the batch id rides the
+  * manifest, so replayed epochs are no-ops however often they rerun).
+  * Plain streams append ([[SnapshotTable.appendBatchExactlyOnce]] —
+  * creates the table on the first epoch); with `.option("upsertKeys",
+  * "k1,k2")` every batch MERGEs by those keys instead
+  * ([[SnapshotTable.upsertBatchExactlyOnce]], the CDC-apply shape;
+  * `.option("morWrites","true")` takes the O(change) merge-on-read
+  * route). Complete mode is refused — a snapshot table's full-rewrite
+  * analogue is `overwrite`, not a streaming sink. */
+private final class SnapshotSink(
+    spark: SparkSession,
+    root: String,
+    upsertKeys: Option[Seq[String]],
+    mor: Boolean)
+    extends Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // V1 sink contract: the incoming frame is a streaming plan — lift its
+    // computed rows into a batch frame before handing it to batch writers
+    val df = org.apache.spark.sql.GraftSqlBridge
+      .internalDataFrame(spark, data.queryExecution.toRdd, data.schema)
+    upsertKeys match {
+      case None => SnapshotTable.appendBatchExactlyOnce(spark, root, df, batchId)
+      case Some(ks) if mor => SnapshotTable.upsertBatchExactlyOnceMor(spark, root, df, ks, batchId)
+      case Some(ks) => SnapshotTable.upsertBatchExactlyOnce(spark, root, df, ks, batchId)
+    }
+    ()
+  }
+  override def toString: String = s"SnapshotSink[$root]"
+}
+
 /** `format("snapshot-table")` registration (META-INF service) — options:
   * `path` (table root, required), `startVersion` (first version whose
   * data the stream emits; default: full snapshot first),
   * `maxFilesPerTrigger` / `maxBytesPerTrigger` (admission control: split
   * the backlog across micro-batches at file granularity),
   * `readChangeFeed` (stream row-level `_change_type` changes instead of
-  * appended rows; see [[SnapshotSource]]). */
-final class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegister {
+  * appended rows; see [[SnapshotSource]]); as a SINK, `upsertKeys` /
+  * `morWrites` (see [[SnapshotSink]]). */
+final class SnapshotSourceProvider
+    extends StreamSourceProvider
+    with StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "snapshot-table"
 
@@ -432,4 +470,26 @@ final class SnapshotSourceProvider extends StreamSourceProvider with DataSourceR
       parameters.get("maxFilesPerTrigger").map(_.toInt),
       parameters.get("maxBytesPerTrigger").map(_.toLong),
       isCdc(parameters))
+
+  override def createSink(
+      ctx: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(
+      partitionColumns.isEmpty,
+      "snapshot-table sink takes no partitionBy — cluster with compact()/compactZOrder()")
+    require(
+      outputMode != OutputMode.Complete(),
+      "snapshot-table sink supports Append/Update modes; Complete-mode rewrites go through overwrite()")
+    val keys = parameters
+      .get("upsertKeys")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+    new SnapshotSink(
+      ctx.sparkSession,
+      root(parameters),
+      keys,
+      parameters.get("morWrites").exists(_.equalsIgnoreCase("true")))
+  }
 }

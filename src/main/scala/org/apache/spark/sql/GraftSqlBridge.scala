@@ -28,6 +28,17 @@ object GraftSqlBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Rebind a streaming micro-batch plan's rows as an ordinary batch
+    * DataFrame — the V1 `Sink.addBatch` contract: the incoming frame is
+    * backed by an IncrementalExecution and must not be re-planned by
+    * batch actions; the standard move is to lift its already-computed
+    * InternalRow RDD into a fresh batch frame. */
+  def internalDataFrame(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
+
   /** Idempotently register a planner strategy on a live session — the
     * runtime-injection twin of SparkSessionExtensions.injectPlannerStrategy
     * (which can only run at session construction). */

@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.functions.{DedupIndex, MinHash}
+import graft.sinks.SnapshotTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** cap_dedup_index — the persisted incremental near-dup index: checking
+  * a batch against the index finds exactly the cross pairs the one-shot
+  * banded pass finds over the union (same bands, same verification),
+  * ingest gates new/dup_index/dup_batch deterministically and grows the
+  * index so a replayed batch is fully rejected, and the candidate probe
+  * BROADCASTS the batch side (the index is never shuffled). */
+class DedupIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshRoot(): String = Files.createTempDirectory("graft-dedupidx").toString
+
+  /** Deterministic token docs: id → 30 tokens "w<base+j>"; near-dups
+    * share the base with a 2-token perturbation (J = 28/32 ≈ 0.875). */
+  private def doc(id: Long, base: Long, perturb: Int = 0): (Long, Seq[String]) =
+    id -> ((0 until 30).map(j => s"w${base + j}") ++ (0 until perturb).map(j => s"p${id}_$j"))
+      .drop(perturb)
+
+  private def frame(docs: Seq[(Long, Seq[String])]): DataFrame =
+    docs.toDF("doc_id", "tokens")
+
+  test("checkBatch finds exactly the one-shot banded pass's cross pairs; probe broadcasts the batch") {
+    val root = freshRoot()
+    val corpus = frame((0L until 40L).map(i => doc(i, i * 1000)))
+    DedupIndex.build(spark, root, corpus, "doc_id", "tokens", bands = 6, rows = 3)
+    // batch: 5 near-dups of indexed docs (ids 100..104 ~ bases 0..4), 5 novel
+    val batch = frame(
+      (0 until 5).map(i => doc(100L + i, i * 1000L, perturb = 2)) ++
+        (0 until 5).map(i => doc(200L + i, 900000L + i * 1000L)))
+    val got = DedupIndex
+      .checkBatch(spark, root, batch, "doc_id", "tokens", minJaccard = 0.8)
+    val gotPairs = got.select("new_id", "dup_of").as[(Long, Long)].collect().toSet
+    // oracle: the one-shot pass over corpus ∪ batch, restricted to cross pairs
+    val union = corpus.unionByName(batch)
+    val oracle = MinHash
+      .nearDuplicatePairs(union, "doc_id", "tokens", 0.8, bands = 6, rows = 3)
+      .select("a_id", "b_id")
+      .as[(Long, Long)]
+      .collect()
+      .filter { case (a, b) => a < 100 ^ b < 100 } // cross pairs only
+      .map { case (a, b) => if (a >= 100) (a, b) else (b, a) }
+      .toSet
+    assert(gotPairs == oracle, s"got $gotPairs vs oracle $oracle")
+    assert(gotPairs.size == 5, "each perturbed doc matches its base")
+    // plan shape: the candidate join must broadcast the BATCH side — the
+    // index streams map-side, never shuffles
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast candidate probe in:\n$plan")
+  }
+
+  test("ingest gates new/dup_index/dup_batch, grows the index, and fully rejects a replay") {
+    val root = freshRoot()
+    DedupIndex.build(
+      spark, root, frame((0L until 20L).map(i => doc(i, i * 1000))), "doc_id", "tokens")
+    // batch: one index-dup (of base 3), one internal pair (301 ~ 302),
+    // two novel docs
+    val batch = frame(Seq(
+      doc(300L, 3000L, perturb = 2), // ~ indexed id 3
+      doc(301L, 500000L),
+      doc(302L, 500000L, perturb = 2), // ~ 301 within the batch
+      doc(400L, 700000L)))
+    val report = DedupIndex
+      .ingest(spark, root, batch, "doc_id", "tokens", minJaccard = 0.8)
+      .select("id", "status", "dup_of")
+      .as[(Long, String, Option[Long])]
+      .collect()
+      .toSet
+    assert(report == Set(
+      (300L, "dup_index", Some(3L)),
+      (301L, "new", None),
+      (302L, "dup_batch", Some(301L)),
+      (400L, "new", None)), s"unexpected report: $report")
+    // accepted docs are now indexed: tokens + postings both grew
+    assert(SnapshotTable.read(spark, root + "/tokens").count() == 22)
+    assert(SnapshotTable.read(spark, root + "/bands").filter("id IN (301, 400)").count() > 0)
+    // a replayed batch is fully rejected (301/400 now duplicate the index)
+    val replay = DedupIndex
+      .ingest(spark, root, batch, "doc_id", "tokens", minJaccard = 0.8)
+      .select("id", "status")
+      .as[(Long, String)]
+      .collect()
+      .toSet
+    assert(replay == Set(
+      (300L, "dup_index"), (301L, "dup_index"), (302L, "dup_index"), (400L, "dup_index")),
+      s"replay must reject everything: $replay")
+    assert(SnapshotTable.read(spark, root + "/tokens").count() == 22, "replay must not grow the index")
+    // rebuildBands is result-preserving maintenance
+    DedupIndex.rebuildBands(spark, root)
+    val after = DedupIndex
+      .checkBatch(spark, root, frame(Seq(doc(500L, 700000L, perturb = 2))), "doc_id", "tokens", 0.8)
+      .select("dup_of").as[Long].collect().toSet
+    assert(after == Set(400L), s"post-rebuild check must still match the ingested doc: $after")
+  }
+}

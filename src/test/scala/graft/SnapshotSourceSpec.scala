@@ -361,4 +361,63 @@ class SnapshotSourceSpec extends SparkSuite {
       assert(got.size < 8, s"only the rewritten file's survivors re-emit, got $got")
     } finally q.stop()
   }
+
+  test("SINK: writeStream.format(snapshot-table) appends exactly-once; upsertKeys merges per epoch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // plain append sink: creates the table on epoch 0, one commit per batch
+    val appendRoot = freshRoot() + "/t"
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("k", "s")
+      .writeStream
+      .format("snapshot-table")
+      .option("path", appendRoot)
+      .option("checkpointLocation", Files.createTempDirectory("graft-sink-ck").toString)
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      ms.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+      ms.addData((3L, "c")); q.processAllAvailable()
+      assert(
+        SnapshotTable.read(spark, appendRoot).orderBy("k").as[(Long, String)].collect().toSeq ==
+          Seq(1L -> "a", 2L -> "b", 3L -> "c"))
+      val h = SnapshotTable.history(spark, appendRoot)
+      assert(h.map(_.action).forall(_ == "append") && h.flatMap(_.batchId) == Seq(0L, 1L),
+        s"epoch ids must ride the manifests: ${h.map(c => (c.action, c.batchId))}")
+    } finally q.stop()
+    // upsert sink: each micro-batch MERGEs by key — last write per key wins
+    val upsertRoot = freshRoot() + "/u"
+    SnapshotTable.create(spark, upsertRoot, batch(1L -> "a", 2L -> "b"))
+    val ms2 = MemoryStream[(Long, String)]
+    val q2 = ms2.toDF().toDF("k", "s")
+      .writeStream
+      .format("snapshot-table")
+      .option("path", upsertRoot)
+      .option("upsertKeys", "k")
+      .option("checkpointLocation", Files.createTempDirectory("graft-sink-ck2").toString)
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      ms2.addData((2L, "b2"), (3L, "c")); q2.processAllAvailable()
+      ms2.addData((3L, "c2")); q2.processAllAvailable()
+      assert(
+        SnapshotTable.read(spark, upsertRoot).orderBy("k").as[(Long, String)].collect().toSeq ==
+          Seq(1L -> "a", 2L -> "b2", 3L -> "c2"))
+      assert(SnapshotTable.history(spark, upsertRoot).count(_.action == "merge") == 2)
+    } finally q2.stop()
+    // refusals: Complete mode and partitionBy
+    val e = intercept[Exception] {
+      MemoryStream[(Long, String)].toDF().toDF("k", "s")
+        .groupBy("k").count()
+        .writeStream
+        .format("snapshot-table")
+        .option("path", freshRoot() + "/x")
+        .option("checkpointLocation", Files.createTempDirectory("graft-sink-ck3").toString)
+        .outputMode("complete")
+        .start()
+    }
+    assert(e.getMessage.contains("Complete"), e.getMessage)
+  }
 }
