@@ -31,11 +31,13 @@ import org.apache.spark.sql.functions._
   * the in-memory [[KMeansIvf.annTopK]] rows for the same (k, iters,
   * nprobe, topK). The spec pins that equality.
   *
-  * Refresh: [[fit]] on an existing index overwrites both tables
-  * ATOMICALLY in the snapshot-table sense — a concurrent searcher reads
-  * either the old model+corpus or the new, never a torn mix of versions
-  * within one table; pin versions across the two reads for cross-table
-  * consistency if the index must be immutable during a search. */
+  * Refresh: [[fit]] on an existing index overwrites both tables, and the
+  * model row records the CORPUS SNAPSHOT VERSION its centroids coded —
+  * [[search]] reads that exact version (time travel as the cross-table
+  * consistency mechanism), so a search racing a refit sees either the
+  * old model with the old coding or the new with the new, never a torn
+  * pair whose bucket ids are meaningless. Keep vacuum retention on the
+  * corpus table ≥ the oldest model any searcher may still hold. */
 object AnnIndex {
 
   private def modelRoot(root: String) = root + "/model"
@@ -62,22 +64,33 @@ object AnnIndex {
       .select("id", "bkt", "emb")
       .repartitionByRange(nFiles, col("bkt"))
       .sortWithinPartitions("bkt")
-    val model = cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cid", "centroid")
-    def put(r: String, df: DataFrame): Unit =
+    def put(r: String, df: DataFrame): Int =
       if (SnapshotTable.latestVersion(spark, r).isEmpty) SnapshotTable.create(spark, r, df)
       else SnapshotTable.overwrite(spark, r, df)
-    put(corpusRoot(root), coded)
-    put(modelRoot(root), model) // model last: a reader seeing it sees a coded corpus too
+    // the model records WHICH corpus snapshot its centroids coded: a
+    // search then reads that exact corpus VERSION, so a concurrent refit
+    // can never pair old centroids with a re-coded corpus (bucket ids
+    // would be meaningless and results silently wrong, not merely stale).
+    // Old corpus versions stay readable until vacuum — time travel is the
+    // consistency mechanism.
+    val corpusV = put(corpusRoot(root), coded)
+    val model = cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq, corpusV) }
+      .toSeq
+      .toDF("cid", "centroid", "corpus_version")
+    put(modelRoot(root), model) // model last: a reader seeing it sees its coded corpus too
+    ()
   }
 
-  /** The fitted centroid matrix, loaded from the index (k rows — one
-    * model-sized collect, no refit). */
-  def loadModel(spark: SparkSession, root: String): Array[Array[Double]] =
-    SnapshotTable
+  /** The fitted centroid matrix + the corpus snapshot version it coded,
+    * loaded from the index (k rows — one model-sized collect, no refit). */
+  def loadModel(spark: SparkSession, root: String): (Array[Array[Double]], Int) = {
+    val rows = SnapshotTable
       .read(spark, modelRoot(root))
       .orderBy("cid")
       .collect()
-      .map(_.getSeq[Double](1).toArray)
+    (rows.map(_.getSeq[Double](1).toArray), rows.head.getAs[Int]("corpus_version"))
+  }
 
   /** Approximate top-k cosine neighbors of `queries` against the PERSISTED
     * corpus: the model loads from the index, each query probes its
@@ -94,7 +107,7 @@ object AnnIndex {
       vecCol: String,
       topK: Int,
       nprobe: Int): DataFrame = {
-    val cents = loadModel(spark, root)
+    val (cents, corpusV) = loadModel(spark, root)
     val q = queries.select(
       col(idCol).as("q_id"),
       col(vecCol).as("q_emb"),
@@ -102,7 +115,7 @@ object AnnIndex {
     // distinct probed buckets ≤ k: a model-sized driver list, never a scan
     val probed = q.select("bkt").distinct().collect().map(_.getInt(0)).sorted
     val cand = SnapshotTable
-      .relation(spark, corpusRoot(root))
+      .relationVersion(spark, corpusRoot(root), corpusV) // pinned to the model's coding
       .filter(col("bkt").isin(probed.map(b => b: Any): _*)) // plan-time file pruning
       .select(col("id").as("c_id"), col("emb").as("c_emb"), col("bkt"))
     val w = org.apache.spark.sql.expressions.Window

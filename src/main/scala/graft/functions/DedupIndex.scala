@@ -57,26 +57,12 @@ object DedupIndex {
     Params(r.getAs[Int]("bands"), r.getAs[Int]("rows"), r.getAs[Int]("max_bucket"))
   }
 
-  /** The banded signature rows of (id, toks) — the SAME one-pass
-    * explode/groupBy formulation (and the same values) as
-    * [[MinHash.nearDuplicatePairs]]. */
-  private def bandRows(docs: DataFrame, p: Params): DataFrame = {
-    val k = p.bands * p.rows
-    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"mh$i"))
-    docs
-      .select(col("id"), explode(col("toks")).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("h"))
-      .groupBy("id")
-      .agg(aggs.head, aggs.tail: _*)
-      .select(
-        col("id"),
-        explode(array((0 until p.bands).map { j =>
-          struct(
-            lit(j).as("b"),
-            xxhash64((0 until p.rows).map(r => col(s"mh${j * p.rows + r}")): _*).as("v"))
-        }: _*)).as("band"))
-      .select(col("id"), col("band.b").as("b"), col("band.v").as("v"))
-  }
+  /** The banded signature rows of (id, toks) — literally
+    * [[MinHash.bandedSignatureRows]], the single shared banding
+    * implementation, so the persisted postings and the one-shot pass can
+    * never silently diverge. */
+  private def bandRows(docs: DataFrame, p: Params): DataFrame =
+    MinHash.bandedSignatureRows(docs, p.bands, p.rows)
 
   /** Drop postings of overcrowded (b, v) buckets — census is a map-side
     * combinable groupBy, hot buckets are few, the guard broadcasts. */
@@ -189,8 +175,8 @@ object DedupIndex {
     val rejected = vsIndex.unionByName(vsBatch).localCheckpoint()
     val accepted = newToks.join(rejected.select("id"), Seq("id"), "left_anti").localCheckpoint()
     if (accepted.count() > 0) {
-      SnapshotTable.append(spark, root + "/tokens", accepted)
-      SnapshotTable.append(spark, root + "/bands", bandRows(accepted, p))
+      SnapshotTable.append(spark, tokensRoot(root), accepted)
+      SnapshotTable.append(spark, bandsRoot(root), bandRows(accepted, p))
     }
     accepted
       .select(col("id"), lit("new").as("status"), lit(null).cast("long").as("dup_of"))

@@ -267,13 +267,15 @@ object Sources {
       SnapshotSql.register(s, table, root)
       val srcView = table + "_src"
       // matched half: every k%5=0 key at doubled price; unmatched half:
-      // k%15=0 keys shifted out of the key space (parity-preserving) at
-      // price 42 — exercising the insert condition
+      // k%15=0 keys NEGATED out of the key space (o_orderkey is always
+      // positive at EVERY scale factor — an additive shift would collide
+      // with live keys at sf>=100; negation is parity-preserving, which
+      // the insert condition relies on) at price 42
       o.filter(col("k") % 5 === 0)
         .withColumn("price_c", col("price_c") * 2)
         .unionByName(
           o.filter(col("k") % 15 === 0)
-            .select((col("k") + 100000000L).as("k"), col("d"), lit(42L).as("price_c")))
+            .select((-col("k") - 1000L).as("k"), col("d"), lit(42L).as("price_c")))
         .createOrReplaceTempView(srcView)
       SnapshotSql.execute(
         s,
@@ -430,11 +432,12 @@ object Sources {
         "CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_c FROM orders), " +
         // matched (k%5=0): sp=2*tp, so "sp > tp+100000" ⟺ tp > 100000 →
         // update to sp; the rest of the matched rows hit the DELETE clause.
-        // unmatched source (shifted k%15=0): inserts only when the shifted
-        // key is even ⟺ k is even ⟺ k%30=0, at price 42.
+        // unmatched source (negated k%15=0, disjoint from the positive key
+        // space at any sf): inserts only when the negated key is even ⟺
+        // k is even ⟺ k%30=0, at price 42.
         "fin AS (SELECT k, d, price_c FROM o WHERE k % 5 <> 0 " +
         "UNION ALL SELECT k, d, price_c * 2 FROM o WHERE k % 5 = 0 AND price_c > 100000 " +
-        "UNION ALL SELECT k + 100000000, d, CAST(42 AS BIGINT) FROM o WHERE k % 30 = 0) " +
+        "UNION ALL SELECT -k - 1000, d, CAST(42 AS BIGINT) FROM o WHERE k % 30 = 0) " +
         "SELECT CAST(year(d) AS INT) AS y, CAST(count(*) AS BIGINT) AS n_rows, " +
         "CAST(sum(price_c) AS BIGINT) AS sum_price_c FROM fin GROUP BY 1 ORDER BY y"),
     "q_snapshot_cdc" ->

@@ -105,13 +105,25 @@ final class SingleProcessCommitStore extends CommitStore {
     if (!claimed.add(key))
       throw new SnapshotTable.ConcurrentCommitException(
         s"${path.getName} was committed concurrently (claimed in-process); retry from latest")
-    // a pre-existing file means the path was committed by an EARLIER
-    // process lifetime this store never saw: refuse, don't overwrite
-    if (fs.exists(path))
-      throw new SnapshotTable.ConcurrentCommitException(
-        s"${path.getName} already exists (committed before this store attached); retry from latest")
-    val out = fs.create(path, true) // object-store PUT: overwrites unconditionally
-    try out.write(bytes)
-    finally out.close()
+    // Any failure BELOW must release the claim: no manifest landed, so the
+    // version is still winnable — a kept claim would poison every retry of
+    // the same version into a misleading "committed concurrently" spin,
+    // exactly the broken-volume failure the CommitStore contract forbids.
+    try {
+      // a pre-existing file means the path was committed by an EARLIER
+      // process lifetime this store never saw: refuse, don't overwrite —
+      // and KEEP the claim (the path genuinely is taken)
+      if (fs.exists(path))
+        throw new SnapshotTable.ConcurrentCommitException(
+          s"${path.getName} already exists (committed before this store attached); retry from latest")
+      val out = fs.create(path, true) // object-store PUT: overwrites unconditionally
+      try out.write(bytes)
+      finally out.close()
+    } catch {
+      case e: SnapshotTable.ConcurrentCommitException => throw e // path taken: claim stands
+      case e: Throwable =>
+        claimed.remove(key)
+        throw e
+    }
   }
 }

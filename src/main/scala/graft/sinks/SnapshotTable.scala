@@ -706,13 +706,16 @@ object SnapshotTable {
   private val AutoCheckpointInterval = "spark.graft.checkpoint.interval"
   private val AutoCheckpointMinFiles = "spark.graft.checkpoint.minFiles"
 
-  private def maybeAutoCheckpoint(spark: SparkSession, root: String, c: Commit): Unit = {
-    val interval = spark.conf.getOption(AutoCheckpointInterval).map(_.toInt).getOrElse(10)
-    val minFiles = spark.conf.getOption(AutoCheckpointMinFiles).map(_.toInt).getOrElse(100000)
-    if (interval > 0 && c.version % interval == 0 && c.files.size >= minFiles)
-      try writeCheckpoint(spark, root, c)
-      catch { case scala.util.control.NonFatal(_) => () } // next interval retries
-  }
+  private def maybeAutoCheckpoint(spark: SparkSession, root: String, c: Commit): Unit =
+    // the WHOLE body is non-fatal — the manifest is already published, so
+    // even a malformed conf value (interval="10s") must not surface as a
+    // failed commit (a caller-level retry would then append twice)
+    try {
+      val interval = spark.conf.getOption(AutoCheckpointInterval).map(_.toInt).getOrElse(10)
+      val minFiles = spark.conf.getOption(AutoCheckpointMinFiles).map(_.toInt).getOrElse(100000)
+      if (interval > 0 && c.version % interval == 0 && c.files.size >= minFiles)
+        writeCheckpoint(spark, root, c)
+    } catch { case scala.util.control.NonFatal(_) => () } // next interval retries
 
   /** Table schema for a commit of `df` on top of version `base`: carried
     * commits (append) evolve the prior recorded schema via [[mergeSchemas]];
@@ -1462,6 +1465,18 @@ object SnapshotTable {
     require(
       latestCheckpoint(spark, root).contains(v),
       s"no checkpoint at version $v; run SnapshotTable.checkpoint(spark, root) after committing")
+    readWhereCheckpointedAt(spark, root, v, bounds)
+  }
+
+  /** The checkpointed read pinned at an ALREADY-RESOLVED version — the
+    * internal form [[readWhere]]'s auto-select uses so a commit racing
+    * the read can never invalidate the version/checkpoint pair it
+    * observed (resolving latest twice would). */
+  private def readWhereCheckpointedAt(
+      spark: SparkSession,
+      root: String,
+      v: Int,
+      bounds: Seq[Bound]): DataFrame = {
     val lite = readManifestLite(spark, root, v)
     val plan = prunePlanCheckpointed(spark, root, v, bounds)
     readWhereOf(spark, root, lite, plan, bounds)
@@ -1608,7 +1623,7 @@ object SnapshotTable {
     val autoRead =
       spark.conf.getOption("spark.graft.checkpoint.autoRead").forall(_.toBoolean)
     if (autoRead && latestCheckpoint(spark, root).contains(v))
-      readWhereCheckpointed(spark, root, bounds)
+      readWhereCheckpointedAt(spark, root, v, bounds)
     else readVersionWhere(spark, root, v, bounds)
   }
 
@@ -2240,9 +2255,25 @@ object SnapshotTable {
     }
     def q(n: String) = col("`" + n + "`")
     val srcColumns = source.columns.toSet
+    // materialize the source ONCE (mergeUpsert's move: a fresh data dir,
+    // never referenced by any manifest, reclaimed by vacuum): every stage
+    // below — envelope agg, touched-file probe, survivors join, insert
+    // anti-join, final write — re-evaluates its input frame, so an
+    // unmaterialized NON-DETERMINISTIC source (ORDER BY rand() LIMIT n, a
+    // subquery over a concurrently-changing table) could hand the
+    // envelope a different key set than the joins see: matched rows
+    // silently missed, unmatched duplicates inserted. Reading the written
+    // files back makes every stage see one immutable snapshot.
+    val (srcRel, nSrc, _) = writeData(spark, root, source, Map.empty, evolvedMapping)
+    if (nSrc == 0) return base // empty source matches and inserts nothing
+    val srcStored = readTablePaths(
+      spark,
+      Some(org.apache.spark.sql.types.StructType(
+        evolvedStruct.fields.filter(f => srcColumns(f.name)))),
+      Seq(new Path(root, srcRel).toString))
     // source aligned to the evolved width (missing columns null) — the
     // single source frame every stage (probe, join, insert) reuses
-    val srcNorm = source.select(evolvedStruct.fields.map { f =>
+    val srcNorm = srcStored.select(evolvedStruct.fields.map { f =>
       if (srcColumns(f.name)) q(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }.toSeq: _*)
@@ -2374,9 +2405,18 @@ object SnapshotTable {
     val untouched =
       if (rewritePaths.isEmpty) m.files else m.files.filterNot(f => touchedSet.contains(f.path))
     val untouchedSet = untouched.map(_.path).toSet
-    val keptMasks = m.masks
-      .map(mk => mk.copy(entries = mk.entries.filter(untouchedSet)))
-      .filter(_.entries.nonEmpty)
+    // no rewrite (insert-only merge): every mask carries VERBATIM —
+    // untouchedSet holds only stat-covered file paths, so filtering
+    // through it would silently drop mask entries that reference
+    // stat-less DIR entries and resurrect their deleted rows. With a
+    // rewrite, uncovered dirs are in the rewrite set, so dropping their
+    // (satisfied) mask entries is exactly right.
+    val keptMasks =
+      if (rewritePaths.isEmpty) m.masks
+      else
+        m.masks
+          .map(mk => mk.copy(entries = mk.entries.filter(untouchedSet)))
+          .filter(_.entries.nonEmpty)
     val carriedUncovered = if (rewritePaths.isEmpty) plan.uncoveredDirs else Seq.empty
     publish(
       spark,
@@ -2869,13 +2909,16 @@ object SnapshotTable {
       f.delete(manifestPath(root, v), false); f"_manifests/v$v%08d.json"
     }
     // stray publish temps (crash between temp write and link/rename) —
-    // age-gated like data dirs so an in-flight publish is never swept;
-    // recursive: checkpoint temps (.tmp-ckpt-*) are parquet DIRS
-    if (f.exists(manifestDir(root)))
+    // swept ONLY under an age-gated run (the same live-writer guard the
+    // _cdc temp sweep carries): an auto-checkpoint's multi-second
+    // .tmp-ckpt-* parquet write runs INSIDE every Nth commit, and an
+    // un-gated vacuum racing that committer would delete the temp
+    // mid-write; recursive, because checkpoint temps are dirs
+    if (f.exists(manifestDir(root)) && minAgeMs > 0L)
       f.listStatus(manifestDir(root))
         .filter(s =>
           s.getPath.getName.startsWith(".tmp-") &&
-            (minAgeMs <= 0L || s.getModificationTime <= System.currentTimeMillis() - minAgeMs))
+            s.getModificationTime <= System.currentTimeMillis() - minAgeMs)
         .foreach(s => f.delete(s.getPath, true))
     // parquet checkpoint dirs are DERIVED data (a pure function of their
     // version's immutable manifest): reclaim any whose version fell out
@@ -2901,7 +2944,7 @@ object SnapshotTable {
     // offsets reference dropped manifests), age-gated like data dirs
     val cdcDir = new Path(root, "_cdc")
     val cdcRe = """r(\d{8})_(\d{8})""".r
-    val minKept = keep.headOption.getOrElse(Int.MaxValue)
+    val minKept = minKeptV // the single oldest-retained-version cutoff
     val deletedCdc =
       if (!f.exists(cdcDir)) Seq.empty[String]
       else

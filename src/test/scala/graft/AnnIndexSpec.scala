@@ -35,10 +35,11 @@ class AnnIndexSpec extends SparkSuite {
       .toSeq
     assert(persisted == inMemory, s"persisted (${persisted.size}) diverged from in-memory (${inMemory.size})")
     assert(persisted.nonEmpty)
-    // the loaded model IS the deterministic fit
-    val loaded = AnnIndex.loadModel(spark, root)
+    // the loaded model IS the deterministic fit, pinned to its corpus version
+    val (loaded, corpusV) = AnnIndex.loadModel(spark, root)
     assert(loaded.length == cents.length)
     loaded.zip(cents).foreach { case (a, b) => assert(a.sameElements(b)) }
+    assert(corpusV == SnapshotTable.latestVersion(spark, root + "/corpus").get)
   }
 
   test("search scans only probed buckets' files; refit overwrites atomically") {

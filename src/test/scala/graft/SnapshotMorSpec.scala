@@ -445,6 +445,41 @@ class SnapshotMorSpec extends SparkSuite {
       "k >= 300 AND k <= 310 AND NOT (price_c >= 100 AND price_c <= 110)").count())
   }
 
+  test("insert-only mergeInto carries dir-entry masks verbatim (no resurrection)") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, fixture(200))
+    // graft a stat-less LEGACY dir (pre-stats manifests: dirs entry with
+    // no files coverage) holding rows 5000..5049
+    val legacy = spark.range(5000, 5050).selectExpr(
+      "id AS k", "DATE'1995-01-15' AS d", "id AS price_c")
+    legacy.write.parquet(root + "/data/legacy")
+    val m1 = SnapshotTable.history(spark, root).last
+    SnapshotTable.publish(spark, root, m1.copy(
+      version = m1.version + 1, action = "append", dirs = m1.dirs :+ "data/legacy",
+      addedRows = 50L, ts = 0L))
+    assert(SnapshotTable.read(spark, root).count() == 250)
+    // mor-delete a range living ONLY in the legacy dir: the mask's entry
+    // list includes the stat-less dir entry
+    SnapshotTable.deleteWhereMor(spark, root, Seq(Bound("k", Some(5000L), Some(5019L))))
+    val masked = SnapshotTable.history(spark, root).last
+    assert(masked.masks.exists(_.entries.contains("data/legacy")), masked.masks)
+    assert(SnapshotTable.read(spark, root).count() == 230)
+    // INSERT-ONLY merge (no matched clauses → no rewrite): the mask must
+    // carry VERBATIM — dropping the dir entry would resurrect the 20 rows
+    val src = spark.range(9000, 9010).selectExpr(
+      "id AS k", "DATE'2001-01-01' AS d", "CAST(0 AS LONG) AS price_c")
+    SnapshotTable.mergeInto(
+      spark, root, src, Seq("k"),
+      matched = Seq.empty,
+      notMatched = Seq(SnapshotTable.NotMatchedInsert(None, None)))
+    val after = SnapshotTable.history(spark, root).last
+    assert(after.masks.exists(_.entries.contains("data/legacy")),
+      s"insert-only merge dropped the dir-entry mask: ${after.masks}")
+    assert(SnapshotTable.read(spark, root).count() == 240, "230 visible + 10 inserts; masked rows stay dead")
+    assert(SnapshotTable.read(spark, root).filter("k >= 5000 AND k <= 5019").count() == 0,
+      "masked legacy rows must stay deleted after an insert-only merge")
+  }
+
   test("exact equality mor-delete via bloom-capable bounds; null bound columns survive") {
     val root = freshRoot()
     val withNulls = spark.range(100).selectExpr(

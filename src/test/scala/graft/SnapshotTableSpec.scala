@@ -625,6 +625,23 @@ class SnapshotTableSpec extends SparkSuite {
         SnapshotTable.publish(spark, root, last.copy(version = last.version)) // existing manifest
       }
       assert(ex2.getMessage.contains("concurrently"), ex2.getMessage)
+      // a REAL I/O failure after the claim must release it: the version is
+      // still winnable, so a retry must hit the same I/O error again — a
+      // kept claim would turn every retry into a misleading
+      // ConcurrentCommitException spin against a broken volume
+      val store = new graft.sinks.SingleProcessCommitStore
+      val blocker = new java.io.File(root, "blocker")
+      assert(blocker.createNewFile())
+      val badPath = new org.apache.hadoop.fs.Path(root + "/blocker/child.json") // parent is a FILE
+      val fs = badPath.getFileSystem(spark.sessionState.newHadoopConf())
+      def attempt(): Throwable = intercept[Throwable] {
+        store.putIfAbsent(fs, badPath, Array[Byte](1, 2, 3))
+      }
+      val first = attempt()
+      assert(!first.isInstanceOf[SnapshotTable.ConcurrentCommitException], first.toString)
+      val second = attempt()
+      assert(!second.isInstanceOf[SnapshotTable.ConcurrentCommitException],
+        s"claim not released after I/O failure: $second")
     } finally SnapshotTable.resetCommitStore()
   }
 
