@@ -1,7 +1,7 @@
 package graft.sinks
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation, UnresolvedTable}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
 import scala.collection.concurrent.TrieMap
@@ -85,6 +85,7 @@ object SnapshotSql {
   private def tableParts(plan: LogicalPlan): Seq[String] = plan match {
     case SubqueryAlias(_, child) => tableParts(child)
     case r: UnresolvedRelation => r.multipartIdentifier
+    case t: UnresolvedTable => t.multipartIdentifier // ALTER TABLE targets
     case other => sys.error(s"unsupported DML target shape: ${other.getClass.getSimpleName}")
   }
 
@@ -266,11 +267,95 @@ object SnapshotSql {
               sourceAlias = aliasOf(m.sourceTable))
         }
 
+      // ───────── schema / constraint DDL (metadata-only commits) ─────────
+
+      case r: RenameColumn =>
+        val reg = registrationOf(spark, tableParts(r.table))
+        SnapshotTable.renameColumn(spark, reg.root, singleField(r.column.name, "RENAME COLUMN"), r.newName)
+
+      case d: DropColumns =>
+        val reg = registrationOf(spark, tableParts(d.table))
+        val names = d.columnsToDrop.map(f => singleField(f.name, "DROP COLUMN"))
+        val schema = SnapshotTable.read(spark, reg.root).schema.fieldNames.toSet
+        val toDrop = if (d.ifExists) names.filter(schema) else names
+        require(toDrop.nonEmpty || d.ifExists, "DROP COLUMN: no columns to drop")
+        // each drop is its own metadata-only commit (multi-column drops are
+        // a version per column — same as issuing the statements separately)
+        toDrop.foldLeft(-1)((_, n) => SnapshotTable.dropColumn(spark, reg.root, n))
+
+      case a: AddCheckConstraint =>
+        // the parsed shape nests the target under Filter(NOT cond, relation);
+        // the CheckConstraint expression itself carries name + SQL text
+        val rel = a.child.collectFirst { case u: UnresolvedRelation => u }
+          .getOrElse(sys.error(s"unsupported ADD CONSTRAINT target shape: ${a.child.getClass.getSimpleName}"))
+        val reg = registrationOf(spark, rel.multipartIdentifier)
+        val cc = a.checkConstraint
+        SnapshotTable.addCheck(spark, reg.root, cc.name, cc.condition)
+
+      case d: DropConstraint =>
+        val reg = registrationOf(spark, tableParts(d.table))
+        if (d.ifExists &&
+          !SnapshotTable
+            .history(spark, reg.root)
+            .last
+            .constraints
+            .contains(d.name))
+          SnapshotTable.latestVersion(spark, reg.root).get // IF EXISTS no-op
+        else SnapshotTable.dropCheck(spark, reg.root, d.name)
+
       case other =>
         sys.error(
-          s"not a DML statement (${other.getClass.getSimpleName}); " +
-            "reads go through spark.sql over SnapshotTable.relation views")
+          s"not a DML/DDL statement (${other.getClass.getSimpleName}); " +
+            "reads go through SnapshotSql.query or spark.sql over SnapshotTable.relation views")
     }
+
+  private def singleField(parts: Seq[String], what: String): String = {
+    require(parts.length == 1, s"$what supports top-level columns only, got ${parts.mkString(".")}")
+    parts.head
+  }
+
+  /** SQL READS over registered snapshot tables — `SELECT`s whose FROM
+    * names a registered table resolve to the Catalyst-integrated relation
+    * (manifest-stat pushdown pruning, no temp view needed), including
+    * TIME TRAVEL: `... FROM snap VERSION AS OF 3` pins that committed
+    * snapshot and `... FROM snap TIMESTAMP AS OF '<ts>'` resolves the
+    * wall-clock timestamp through the manifests' publish times
+    * ([[SnapshotTable.versionAsOf]]). Unregistered names pass through to
+    * the ordinary analyzer (temp views, catalog tables) — this is a
+    * NAME-RESOLUTION layer, not a dialect. */
+  def query(spark: SparkSession, sql: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.TimestampType
+    def regOf(r: UnresolvedRelation): Option[Registration] =
+      sessionMap(spark).get(r.multipartIdentifier.last.toLowerCase(java.util.Locale.ROOT))
+    def aliased(name: String, df: DataFrame): LogicalPlan =
+      SubqueryAlias(name, df.queryExecution.logical)
+    val plan = spark.sessionState.sqlParser.parsePlan(sql)
+    val substituted = plan.transformDownWithSubqueries {
+      case tt: RelationTimeTravel =>
+        tt.relation match {
+          case r: UnresolvedRelation if regOf(r).isDefined =>
+            val reg = regOf(r).get
+            val v = tt.version
+              .map(_.toInt)
+              .getOrElse {
+                val e = tt.timestamp.getOrElse(sys.error("time travel needs VERSION or TIMESTAMP"))
+                val micros = Cast(e, TimestampType, Some(spark.sessionState.conf.sessionLocalTimeZone))
+                  .eval(null)
+                  .asInstanceOf[Long]
+                SnapshotTable.versionAsOf(spark, reg.root, Math.floorDiv(micros, 1000L))
+              }
+            aliased(
+              r.multipartIdentifier.last,
+              SnapshotTable.relationVersion(spark, reg.root, v))
+          case _ => tt
+        }
+      case r: UnresolvedRelation if regOf(r).isDefined =>
+        aliased(r.multipartIdentifier.last, SnapshotTable.relation(spark, regOf(r).get.root))
+    }
+    org.apache.spark.sql.GraftSqlBridge.ofRows(spark, substituted)
+  }
 
   /** MERGE sources arrive as `SubqueryAlias(s, plan)`; the alias only
     * exists for ON-clause qualification, which [[keysOf]] already

@@ -190,6 +190,43 @@ class SnapshotSqlSpec extends SparkSuite {
     assert(got.filter("price_c = -1").count() == 150, "inserted 1100..1249")
   }
 
+  test("ALTER TABLE DDL routes onto the metadata-only operators; SELECT time-travels via query()") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, fixture(100)) // v1
+    SnapshotSql.register(spark, "snap_ddl2", root)
+    // ADD CONSTRAINT validates history then enforces on future commits
+    SnapshotSql.execute(spark, "ALTER TABLE snap_ddl2 ADD CONSTRAINT price_pos CHECK (price_c >= 0)") // v2
+    assert(SnapshotTable.history(spark, root).last.constraints.contains("price_pos"))
+    intercept[SnapshotTable.ConstraintViolationException] {
+      SnapshotTable.append(spark, root,
+        spark.range(1).selectExpr("CAST(9999 AS LONG) AS k", "DATE'2000-01-01' AS d", "CAST(-5 AS LONG) AS price_c"))
+    }
+    // RENAME COLUMN is metadata-only; the table reads under the new name
+    SnapshotSql.execute(spark, "ALTER TABLE snap_ddl2 DROP CONSTRAINT price_pos") // v3
+    SnapshotSql.execute(spark, "ALTER TABLE snap_ddl2 RENAME COLUMN price_c TO amount_c") // v4
+    assert(SnapshotTable.read(spark, root).columns.toSeq == Seq("k", "d", "amount_c"))
+    // DROP COLUMN (+ IF EXISTS tolerance)
+    SnapshotSql.execute(spark, "ALTER TABLE snap_ddl2 DROP COLUMN IF EXISTS nope, d") // v5 (only d)
+    assert(SnapshotTable.read(spark, root).columns.toSeq == Seq("k", "amount_c"))
+    // time travel through query(): no temp view anywhere
+    assert(SnapshotSql.query(spark, "SELECT count(*) AS n FROM snap_ddl2").collect()(0).getLong(0) == 100)
+    val v1 = SnapshotSql.query(spark, "SELECT * FROM snap_ddl2 VERSION AS OF 1")
+    assert(v1.columns.toSeq == Seq("k", "d", "price_c"), "v1 reads its own recorded schema")
+    assert(v1.count() == 100)
+    // TIMESTAMP AS OF resolves through manifest publish times
+    val ts1 = SnapshotTable.history(spark, root).head.ts
+    val byTs = SnapshotSql.query(
+      spark,
+      s"SELECT count(*) AS n FROM snap_ddl2 TIMESTAMP AS OF '${new java.sql.Timestamp(ts1)}'")
+    assert(byTs.collect()(0).getLong(0) == 100)
+    // joins between a registered table and an ordinary view resolve together
+    fixture(10).selectExpr("k", "price_c AS p2").createOrReplaceTempView("sql_side")
+    val joined = SnapshotSql.query(
+      spark,
+      "SELECT count(*) AS n FROM snap_ddl2 t JOIN sql_side s ON t.k = s.k")
+    assert(joined.collect()(0).getLong(0) == 10)
+  }
+
   test("refusals: unregistered targets, non-DML text, unsupported merge shapes") {
     val root = freshRoot()
     SnapshotTable.create(spark, root, fixture(10))
@@ -201,7 +238,7 @@ class SnapshotSqlSpec extends SparkSuite {
     val e2 = intercept[RuntimeException] {
       SnapshotSql.execute(spark, "SELECT * FROM snap4")
     }
-    assert(e2.getMessage.contains("not a DML statement"), e2.getMessage)
+    assert(e2.getMessage.contains("not a DML/DDL statement"), e2.getMessage)
     fixture(5).createOrReplaceTempView("msrc")
     val e3 = intercept[IllegalArgumentException] {
       SnapshotSql.execute(spark,
