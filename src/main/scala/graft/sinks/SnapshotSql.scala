@@ -271,37 +271,58 @@ object SnapshotSql {
 
       case r: RenameColumn =>
         val reg = registrationOf(spark, tableParts(r.table))
-        SnapshotTable.renameColumn(spark, reg.root, singleField(r.column.name, "RENAME COLUMN"), r.newName)
+        SnapshotTable.renameColumn(
+          spark,
+          reg.root,
+          resolveColumn(spark, reg.root, singleField(r.column.name, "RENAME COLUMN"))
+            .getOrElse(singleField(r.column.name, "RENAME COLUMN")), // missing: renameColumn's own loud check
+          r.newName)
 
       case d: DropColumns =>
         val reg = registrationOf(spark, tableParts(d.table))
         val names = d.columnsToDrop.map(f => singleField(f.name, "DROP COLUMN"))
-        val schema = SnapshotTable.read(spark, reg.root).schema.fieldNames.toSet
-        val toDrop = if (d.ifExists) names.filter(schema) else names
-        require(toDrop.nonEmpty || d.ifExists, "DROP COLUMN: no columns to drop")
+        // resolve through the session's resolver (case-insensitive by
+        // default, matching spark.sql semantics) against the manifest's
+        // recorded schema — the same names dropColumn will validate
+        val resolved = names.map(n => n -> resolveColumn(spark, reg.root, n))
+        val toDrop =
+          if (d.ifExists) resolved.flatMap(_._2)
+          else
+            resolved.map { case (n, r) =>
+              r.getOrElse(sys.error(s"DROP COLUMN: no column '$n' in table schema"))
+            }
+        if (toDrop.isEmpty) SnapshotTable.latestVersion(spark, reg.root).get // IF EXISTS no-op
         // each drop is its own metadata-only commit (multi-column drops are
         // a version per column — same as issuing the statements separately)
-        toDrop.foldLeft(-1)((_, n) => SnapshotTable.dropColumn(spark, reg.root, n))
+        else toDrop.foldLeft(-1)((_, n) => SnapshotTable.dropColumn(spark, reg.root, n))
 
       case a: AddCheckConstraint =>
         // the parsed shape nests the target under Filter(NOT cond, relation);
-        // the CheckConstraint expression itself carries name + SQL text
+        // the CheckConstraint expression itself carries name + SQL text.
+        // The name must be USER-PROVIDED: on the unanalyzed tree the
+        // generated fallback would bake a null table name + random suffix
+        // into the manifest — unusable for a later DROP CONSTRAINT.
         val rel = a.child.collectFirst { case u: UnresolvedRelation => u }
           .getOrElse(sys.error(s"unsupported ADD CONSTRAINT target shape: ${a.child.getClass.getSimpleName}"))
         val reg = registrationOf(spark, rel.multipartIdentifier)
         val cc = a.checkConstraint
-        SnapshotTable.addCheck(spark, reg.root, cc.name, cc.condition)
+        require(
+          cc.userProvidedName != null,
+          "name the constraint: ALTER TABLE t ADD CONSTRAINT <name> CHECK (...)")
+        SnapshotTable.addCheck(spark, reg.root, cc.userProvidedName, cc.condition)
 
       case d: DropConstraint =>
         val reg = registrationOf(spark, tableParts(d.table))
-        if (d.ifExists &&
-          !SnapshotTable
-            .history(spark, reg.root)
-            .last
-            .constraints
-            .contains(d.name))
-          SnapshotTable.latestVersion(spark, reg.root).get // IF EXISTS no-op
-        else SnapshotTable.dropCheck(spark, reg.root, d.name)
+        val v = SnapshotTable
+          .latestVersion(spark, reg.root)
+          .getOrElse(sys.error(s"no snapshot table at ${reg.root}"))
+        val constraints = SnapshotTable.readManifest(spark, reg.root, v).constraints
+        val resolver = spark.sessionState.conf.resolver
+        constraints.keys.find(resolver(_, d.name)) match {
+          case Some(actual) => SnapshotTable.dropCheck(spark, reg.root, actual)
+          case None if d.ifExists => v // IF EXISTS no-op
+          case None => sys.error(s"no constraint '${d.name}' on this table")
+        }
 
       case other =>
         sys.error(
@@ -312,6 +333,23 @@ object SnapshotSql {
   private def singleField(parts: Seq[String], what: String): String = {
     require(parts.length == 1, s"$what supports top-level columns only, got ${parts.mkString(".")}")
     parts.head
+  }
+
+  /** Resolve `name` to the table's ACTUAL column name through the
+    * session's resolver (case-insensitive unless spark.sql.caseSensitive),
+    * against the manifest's recorded schema — no relation construction. */
+  private def resolveColumn(spark: SparkSession, root: String, name: String): Option[String] = {
+    val v = SnapshotTable
+      .latestVersion(spark, root)
+      .getOrElse(sys.error(s"no snapshot table at $root"))
+    val resolver = spark.sessionState.conf.resolver
+    SnapshotTable
+      .readManifest(spark, root, v)
+      .schemaJson
+      .map(SnapshotTable.schemaFromJson)
+      .getOrElse(sys.error("schema DDL needs a schema-recording manifest"))
+      .fieldNames
+      .find(resolver(_, name))
   }
 
   /** SQL READS over registered snapshot tables — `SELECT`s whose FROM
@@ -327,11 +365,29 @@ object SnapshotSql {
     import org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
     import org.apache.spark.sql.catalyst.expressions.Cast
     import org.apache.spark.sql.types.TimestampType
+    val plan = spark.sessionState.sqlParser.parsePlan(sql)
+    // Resolution precedence must MATCH spark.sql's, not invert it:
+    //  - only a bare SINGLE-PART name can mean a registered snapshot
+    //    table (a qualified db.t reference is a catalog table — silently
+    //    hijacking it on its last part would return wrong data);
+    //  - a name bound by a CTE in this statement, or by a temp view in
+    //    this session, wins over a same-named registration (exactly where
+    //    spark.sql would resolve it).
+    val cteNames: Set[String] = plan
+      .collectWithSubqueries { case w: UnresolvedWith => w.cteRelations.map(_._1) }
+      .flatten
+      .map(_.toLowerCase(java.util.Locale.ROOT))
+      .toSet
     def regOf(r: UnresolvedRelation): Option[Registration] =
-      sessionMap(spark).get(r.multipartIdentifier.last.toLowerCase(java.util.Locale.ROOT))
+      if (r.multipartIdentifier.length != 1) None
+      else {
+        val name = r.multipartIdentifier.head.toLowerCase(java.util.Locale.ROOT)
+        if (cteNames.contains(name)) None
+        else if (spark.sessionState.catalog.isTempView(r.multipartIdentifier)) None
+        else sessionMap(spark).get(name)
+      }
     def aliased(name: String, df: DataFrame): LogicalPlan =
       SubqueryAlias(name, df.queryExecution.logical)
-    val plan = spark.sessionState.sqlParser.parsePlan(sql)
     val substituted = plan.transformDownWithSubqueries {
       case tt: RelationTimeTravel =>
         tt.relation match {
@@ -341,10 +397,19 @@ object SnapshotSql {
               .map(_.toInt)
               .getOrElse {
                 val e = tt.timestamp.getOrElse(sys.error("time travel needs VERSION or TIMESTAMP"))
-                val micros = Cast(e, TimestampType, Some(spark.sessionState.conf.sessionLocalTimeZone))
-                  .eval(null)
-                  .asInstanceOf[Long]
-                SnapshotTable.versionAsOf(spark, reg.root, Math.floorDiv(micros, 1000L))
+                // literal timestamps only: the tree is unanalyzed, so a
+                // function expression (now() - INTERVAL ...) cannot be
+                // evaluated here — refuse loudly, never guess
+                val micros =
+                  try Cast(e, TimestampType, Some(spark.sessionState.conf.sessionLocalTimeZone))
+                    .eval(null)
+                  catch {
+                    case scala.util.control.NonFatal(_) =>
+                      sys.error(s"TIMESTAMP AS OF requires a literal timestamp, got: ${e.sql}")
+                  }
+                require(micros != null, s"invalid TIMESTAMP AS OF value: ${e.sql}")
+                SnapshotTable.versionAsOf(
+                  spark, reg.root, Math.floorDiv(micros.asInstanceOf[Long], 1000L))
               }
             aliased(
               r.multipartIdentifier.last,

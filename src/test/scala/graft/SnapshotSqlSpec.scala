@@ -227,6 +227,48 @@ class SnapshotSqlSpec extends SparkSuite {
     assert(joined.collect()(0).getLong(0) == 10)
   }
 
+  test("query()/DDL resolution precedence and refusal edges match spark.sql semantics") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, fixture(50))
+    SnapshotSql.register(spark, "snap_prec", root)
+    // a CTE binding the registered name WINS (spark.sql precedence, not inverted)
+    val cte = SnapshotSql.query(
+      spark, "WITH snap_prec AS (SELECT 1 AS one) SELECT count(*) AS n FROM snap_prec")
+    assert(cte.collect()(0).getLong(0) == 1, "CTE must shadow the registration")
+    // a temp view binding the registered name WINS
+    fixture(3).createOrReplaceTempView("snap_prec2")
+    SnapshotSql.register(spark, "snap_prec2", root)
+    assert(
+      SnapshotSql.query(spark, "SELECT count(*) AS n FROM snap_prec2").collect()(0).getLong(0) == 3,
+      "temp view must shadow the registration")
+    // a QUALIFIED name is never hijacked by a registration's last part
+    val e0 = intercept[Exception] {
+      SnapshotSql.query(spark, "SELECT * FROM no_such_db.snap_prec").collect()
+    }
+    assert(e0.getMessage.toLowerCase.contains("cannot be found") ||
+      e0.getMessage.toLowerCase.contains("table_or_view_not_found"), e0.getMessage)
+    // non-literal TIMESTAMP AS OF refused loudly, never guessed
+    val e1 = intercept[RuntimeException] {
+      SnapshotSql.query(spark, "SELECT * FROM snap_prec TIMESTAMP AS OF current_timestamp()")
+    }
+    assert(e1.getMessage.contains("literal timestamp"), e1.getMessage)
+    // unnamed ADD CHECK refused (a generated name would be un-droppable)
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotSql.execute(spark, "ALTER TABLE snap_prec ADD CHECK (price_c >= 0)")
+    }
+    assert(e2.getMessage.contains("name the constraint"), e2.getMessage)
+    // case-insensitive DDL resolution (spark.sql.caseSensitive=false default)
+    SnapshotSql.execute(spark, "ALTER TABLE snap_prec ADD CONSTRAINT cc1 CHECK (price_c >= 0)")
+    SnapshotSql.execute(spark, "ALTER TABLE snap_prec DROP CONSTRAINT CC1") // resolves to cc1
+    assert(SnapshotTable.history(spark, root).last.constraints.isEmpty)
+    val vNoop = SnapshotSql.execute(spark, "ALTER TABLE snap_prec DROP CONSTRAINT IF EXISTS nope")
+    assert(vNoop == SnapshotTable.latestVersion(spark, root).get, "IF EXISTS no-op returns the version")
+    SnapshotSql.execute(spark, "ALTER TABLE snap_prec DROP COLUMN PRICE_C") // resolves to price_c
+    assert(SnapshotTable.read(spark, root).columns.toSeq == Seq("k", "d"))
+    val vNoop2 = SnapshotSql.execute(spark, "ALTER TABLE snap_prec DROP COLUMN IF EXISTS gone")
+    assert(vNoop2 == SnapshotTable.latestVersion(spark, root).get)
+  }
+
   test("refusals: unregistered targets, non-DML text, unsupported merge shapes") {
     val root = freshRoot()
     SnapshotTable.create(spark, root, fixture(10))
