@@ -162,8 +162,44 @@ object SnapshotSql {
 
   private def asColumn(e: Expression): Column = org.apache.spark.sql.GraftSqlBridge.column(e)
 
-  /** Execute one DML statement; returns the committed version. */
-  def execute(spark: SparkSession, sql: String): Int =
+  // Maintenance statements Spark's parser has no grammar for — the same
+  // move Delta makes with its parser extension, kept to two rigid shapes
+  // so nothing is approximated. VACUUM retention is VERSION-based here
+  // (the table's contract); HOURS-based retention is refused loudly.
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+([\w.]+)\s+RETAIN\s+(\d+)\s+VERSIONS?\s*""".r
+  private val VacuumBadRe = """(?is)\s*VACUUM\s+.*""".r
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+([\w.]+)\s+ZORDER\s+BY\s*\(([^)]+)\)(?:\s+INTO\s+(\d+)\s+FILES)?\s*""".r
+  private val OptimizeBadRe = """(?is)\s*OPTIMIZE\s+.*""".r
+
+  /** Execute one DML / DDL / maintenance statement; returns the committed
+    * version (VACUUM returns the retained latest version). */
+  def execute(spark: SparkSession, sql: String): Int = sql match {
+    case VacuumRe(name, n) =>
+      val reg = registrationOf(spark, name.split('.').toSeq)
+      SnapshotTable.vacuum(spark, reg.root, keepLast = n.toInt)
+      SnapshotTable.latestVersion(spark, reg.root).get
+    case VacuumBadRe() =>
+      sys.error(
+        "VACUUM supports 'VACUUM <table> RETAIN <n> VERSIONS' only — retention on this " +
+          "table is version-based (see SnapshotTable.vacuum's reader contract); " +
+          "hour-based retention is refused, not approximated")
+    case OptimizeRe(name, cols, nFiles) =>
+      val reg = registrationOf(spark, name.split('.').toSeq)
+      SnapshotTable.compactZOrder(
+        spark,
+        reg.root,
+        cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+        Option(nFiles).map(_.toInt).getOrElse(spark.sparkContext.defaultParallelism))
+    case OptimizeBadRe() =>
+      sys.error(
+        "OPTIMIZE supports 'OPTIMIZE <table> ZORDER BY (cols...) [INTO <n> FILES]' only; " +
+          "single-column clustering is the one-column ZORDER form")
+    case _ => executeParsed(spark, sql)
+  }
+
+  private def executeParsed(spark: SparkSession, sql: String): Int =
     spark.sessionState.sqlParser.parsePlan(sql) match {
 
       case d: DeleteFromTable =>
@@ -213,7 +249,12 @@ object SnapshotSql {
           case other => sys.error(s"MERGE ON must be a conjunction of key equalities; got ${other.sql}")
         }
         val keyCols = keysOf(m.mergeCondition)
-        val source: DataFrame = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, stripAlias(m.sourceTable))
+        // the USING side resolves registered snapshot tables too (incl.
+        // time travel) — `MERGE INTO t USING other_snapshot ...` works
+        // without a temp view
+        val source: DataFrame = org.apache.spark.sql.GraftSqlBridge.ofRows(
+          spark,
+          substituteRegistered(spark, stripAlias(m.sourceTable)))
         (m.matchedActions, m.notMatchedActions) match {
           // canonical upsert: the dedicated fast paths (and the MOR O(change) write)
           case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
@@ -361,11 +402,19 @@ object SnapshotSql {
     * ([[SnapshotTable.versionAsOf]]). Unregistered names pass through to
     * the ordinary analyzer (temp views, catalog tables) — this is a
     * NAME-RESOLUTION layer, not a dialect. */
-  def query(spark: SparkSession, sql: String): DataFrame = {
-    import org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
+  def query(spark: SparkSession, sql: String): DataFrame =
+    org.apache.spark.sql.GraftSqlBridge.ofRows(
+      spark,
+      substituteRegistered(spark, spark.sessionState.sqlParser.parsePlan(sql)))
+
+  /** Registered-name substitution over an UNANALYZED plan — the shared
+    * resolution core of [[query]] and MERGE's USING side. */
+  private def substituteRegistered(
+      spark: SparkSession,
+      plan: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedTableValuedFunction}
     import org.apache.spark.sql.catalyst.expressions.Cast
     import org.apache.spark.sql.types.TimestampType
-    val plan = spark.sessionState.sqlParser.parsePlan(sql)
     // Resolution precedence must MATCH spark.sql's, not invert it:
     //  - only a bare SINGLE-PART name can mean a registered snapshot
     //    table (a qualified db.t reference is a catalog table — silently
@@ -418,8 +467,31 @@ object SnapshotSql {
         }
       case r: UnresolvedRelation if regOf(r).isDefined =>
         aliased(r.multipartIdentifier.last, SnapshotTable.relation(spark, regOf(r).get.root))
+      // the change-data-feed TVF (Delta's table_changes):
+      // SELECT ... FROM table_changes('snap', fromV, toV)
+      case tvf: UnresolvedTableValuedFunction
+          if tvf.name.map(_.toLowerCase(java.util.Locale.ROOT)) == Seq("table_changes") =>
+        tvf.functionArgs match {
+          case Seq(
+                org.apache.spark.sql.catalyst.expressions.Literal(n, org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.catalyst.expressions.Literal(f, _),
+                org.apache.spark.sql.catalyst.expressions.Literal(t, _)) =>
+            val reg = sessionMap(spark).getOrElse(
+              String.valueOf(n).toLowerCase(java.util.Locale.ROOT),
+              sys.error(s"table_changes: '$n' is not a registered snapshot table"))
+            aliased(
+              "table_changes",
+              SnapshotTable.changesBetween(
+                spark,
+                reg.root,
+                f.asInstanceOf[Number].intValue(),
+                t.asInstanceOf[Number].intValue()))
+          case other =>
+            sys.error("table_changes takes ('<registered table>', fromVersion, toVersion) literals, " +
+              s"got ${other.map(_.sql).mkString(", ")}")
+        }
     }
-    org.apache.spark.sql.GraftSqlBridge.ofRows(spark, substituted)
+    substituted
   }
 
   /** MERGE sources arrive as `SubqueryAlias(s, plan)`; the alias only

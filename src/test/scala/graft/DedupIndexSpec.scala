@@ -99,4 +99,29 @@ class DedupIndexSpec extends SparkSuite {
       .select("dup_of").as[Long].collect().toSet
     assert(after == Set(400L), s"post-rebuild check must still match the ingested doc: $after")
   }
+
+  test("streamIngest: a micro-batched stream gates through the index exactly like batch ingest") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = freshRoot()
+    DedupIndex.build(
+      spark, root, frame((0L until 10L).map(i => doc(i, i * 1000))), "doc_id", "tokens")
+    val ms = MemoryStream[(Long, Seq[String])]
+    val q = ms.toDF().toDF("doc_id", "tokens")
+      .writeStream
+      .foreachBatch(DedupIndex.streamIngest(root, "doc_id", "tokens", minJaccard = 0.8))
+      .option("checkpointLocation", Files.createTempDirectory("graft-didx-ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    try {
+      ms.addData(doc(600L, 5000L, perturb = 2), doc(601L, 800000L)) // dup of id 5, novel
+      q.processAllAvailable()
+      ms.addData(doc(602L, 800000L, perturb = 2)) // dup of 601 ACROSS epochs (via the index)
+      q.processAllAvailable()
+      val ids = graft.sinks.SnapshotTable
+        .read(spark, root + "/tokens").select("id").as[Long].collect().toSet
+      assert(ids == (0L until 10L).toSet + 601L,
+        s"only the novel doc lands; cross-epoch dup gated through the index: $ids")
+    } finally q.stop()
+  }
 }

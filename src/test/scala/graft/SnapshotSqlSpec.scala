@@ -269,6 +269,50 @@ class SnapshotSqlSpec extends SparkSuite {
     assert(vNoop2 == SnapshotTable.latestVersion(spark, root).get)
   }
 
+  test("maintenance SQL (VACUUM/OPTIMIZE), table_changes TVF, registered MERGE sources") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, fixture(1000)) // v1
+    SnapshotSql.register(spark, "snap_mx", root)
+    // OPTIMIZE = z-order compaction; INTO bounds the file count
+    val vOpt = SnapshotSql.execute(spark, "OPTIMIZE snap_mx ZORDER BY (k, price_c) INTO 4 FILES")
+    assert(SnapshotTable.history(spark, root).last.action == "compact")
+    assert(SnapshotTable.read(spark, root).inputFiles.length == 4)
+    assert(SnapshotTable.read(spark, root).count() == 1000, "OPTIMIZE is data-identical")
+    // VACUUM with version-based retention; hour-based refused loudly
+    SnapshotTable.append(spark, root, fixture(10)) // v3
+    SnapshotSql.execute(spark, "VACUUM snap_mx RETAIN 1 VERSIONS")
+    assert(SnapshotTable.versions(spark, root) == Seq(3))
+    val eH = intercept[RuntimeException] {
+      SnapshotSql.execute(spark, "VACUUM snap_mx RETAIN 7 HOURS")
+    }
+    assert(eH.getMessage.contains("version-based"), eH.getMessage)
+    val eO = intercept[RuntimeException] { SnapshotSql.execute(spark, "OPTIMIZE snap_mx") }
+    assert(eO.getMessage.contains("ZORDER"), eO.getMessage)
+    // table_changes TVF over a registered table
+    val tcRoot = freshRoot()
+    SnapshotTable.create(spark, tcRoot, fixture(100)) // v1
+    SnapshotTable.append(spark, tcRoot, fixture(7)) // v2
+    SnapshotSql.register(spark, "snap_tc", tcRoot)
+    val tc = SnapshotSql.query(
+      spark,
+      "SELECT _change_type AS op, count(*) AS n FROM table_changes('snap_tc', 1, 2) GROUP BY 1")
+    assert(tc.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("insert", 7L)))
+    // a registered snapshot table as the MERGE source — no temp view
+    val tgtRoot = freshRoot()
+    SnapshotTable.create(spark, tgtRoot, fixture(100))
+    SnapshotSql.register(spark, "snap_tgt", tgtRoot)
+    val srcRoot = freshRoot()
+    SnapshotTable.create(spark, srcRoot,
+      fixture(120).filter("k >= 90").selectExpr("k", "d", "price_c * 10 AS price_c"))
+    SnapshotSql.register(spark, "snap_src", srcRoot)
+    SnapshotSql.execute(spark,
+      "MERGE INTO snap_tgt AS t USING snap_src AS s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val got = SnapshotTable.read(spark, tgtRoot)
+    assert(got.count() == 120)
+    assert(got.filter("k >= 90 AND price_c % 10 != 0").count() == 0, "matched rows replaced from the snapshot source")
+  }
+
   test("refusals: unregistered targets, non-DML text, unsupported merge shapes") {
     val root = freshRoot()
     SnapshotTable.create(spark, root, fixture(10))
