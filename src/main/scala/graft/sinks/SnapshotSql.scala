@@ -165,38 +165,75 @@ object SnapshotSql {
   // Maintenance statements Spark's parser has no grammar for — the same
   // move Delta makes with its parser extension, kept to two rigid shapes
   // so nothing is approximated. VACUUM retention is VERSION-based here
-  // (the table's contract); HOURS-based retention is refused loudly.
+  // (the table's contract); HOURS-based RETENTION is refused loudly, but
+  // the live-writer age guard the programmatic API exposes (minAgeMs) IS
+  // expressible: `OLDER THAN <h> HOURS` gates deletion to artifacts at
+  // least that old — required discipline beside concurrent writers (an
+  // in-flight commit's data dir is unreferenced until publish).
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+([\w.]+)\s+RETAIN\s+(\d+)\s+VERSIONS?\s*""".r
+    """(?is)\s*VACUUM\s+`?([\w.]+)`?\s+RETAIN\s+(\d+)\s+VERSIONS?(?:\s+OLDER\s+THAN\s+(\d+)\s+HOURS?)?\s*""".r
   private val VacuumBadRe = """(?is)\s*VACUUM\s+.*""".r
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+([\w.]+)\s+ZORDER\s+BY\s*\(([^)]+)\)(?:\s+INTO\s+(\d+)\s+FILES)?\s*""".r
+    """(?is)\s*OPTIMIZE\s+`?([\w.]+)`?\s+ZORDER\s+BY\s*\(([^)]+)\)(?:\s+INTO\s+(\d+)\s+FILES)?\s*""".r
   private val OptimizeBadRe = """(?is)\s*OPTIMIZE\s+.*""".r
+
+  /** A maintenance statement's table name: registered SINGLE-PART names
+    * only — resolving a qualified db.t by its last segment could point a
+    * DESTRUCTIVE op (vacuum deletes history) at the wrong table, the
+    * exact hijack [[query]]'s precedence rules forbid for reads. */
+  private def maintenanceReg(spark: SparkSession, name: String): Registration = {
+    require(
+      !name.contains('.'),
+      s"'$name' is qualified — maintenance statements address registered snapshot tables " +
+        "by their bare single-part registration name only")
+    registrationOf(spark, Seq(name))
+  }
 
   /** Execute one DML / DDL / maintenance statement; returns the committed
     * version (VACUUM returns the retained latest version). */
-  def execute(spark: SparkSession, sql: String): Int = sql match {
-    case VacuumRe(name, n) =>
-      val reg = registrationOf(spark, name.split('.').toSeq)
-      SnapshotTable.vacuum(spark, reg.root, keepLast = n.toInt)
-      SnapshotTable.latestVersion(spark, reg.root).get
-    case VacuumBadRe() =>
-      sys.error(
-        "VACUUM supports 'VACUUM <table> RETAIN <n> VERSIONS' only — retention on this " +
-          "table is version-based (see SnapshotTable.vacuum's reader contract); " +
-          "hour-based retention is refused, not approximated")
-    case OptimizeRe(name, cols, nFiles) =>
-      val reg = registrationOf(spark, name.split('.').toSeq)
-      SnapshotTable.compactZOrder(
-        spark,
-        reg.root,
-        cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
-        Option(nFiles).map(_.toInt).getOrElse(spark.sparkContext.defaultParallelism))
-    case OptimizeBadRe() =>
-      sys.error(
-        "OPTIMIZE supports 'OPTIMIZE <table> ZORDER BY (cols...) [INTO <n> FILES]' only; " +
-          "single-column clustering is the one-column ZORDER form")
-    case _ => executeParsed(spark, sql)
+  def execute(spark: SparkSession, sql: String): Int = {
+    // the parser accepts trailing semicolons on every statement; the
+    // regex-routed maintenance shapes must too
+    val trimmed = sql.replaceAll("""[;\s]+$""", "")
+    trimmed match {
+      case VacuumRe(name, n, hours) =>
+        val reg = maintenanceReg(spark, name)
+        SnapshotTable.vacuum(
+          spark,
+          reg.root,
+          keepLast = n.toInt,
+          minAgeMs = Option(hours).map(_.toLong * 3600000L).getOrElse(0L))
+        SnapshotTable.latestVersion(spark, reg.root).get
+      case VacuumBadRe() =>
+        sys.error(
+          "VACUUM supports 'VACUUM <table> RETAIN <n> VERSIONS [OLDER THAN <h> HOURS]' only — " +
+            "RETENTION is version-based (see SnapshotTable.vacuum's reader contract; the OLDER " +
+            "THAN clause is the live-writer age guard, not a retention policy); other shapes " +
+            "are refused, not approximated")
+      case OptimizeRe(name, cols, nFiles) =>
+        val reg = maintenanceReg(spark, name)
+        // resolver-aware column names (OPTIMIZE snap ZORDER BY (K) under
+        // default case-insensitivity), like every other DDL path here
+        val zcols = cols.split(',').map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
+          .map(c => resolveColumn(spark, reg.root, c)
+            .getOrElse(sys.error(s"OPTIMIZE ZORDER: no column '$c' in table schema")))
+        // default file count targets ~128MB files from the manifest's
+        // recorded bytes (an OPTIMIZE that FRAGMENTS a small table into
+        // core-count shards would be the opposite of its name); INTO
+        // overrides explicitly
+        val n = Option(nFiles).map(_.toInt).getOrElse {
+          val v = SnapshotTable.latestVersion(spark, reg.root).getOrElse(
+            sys.error(s"no snapshot table at ${reg.root}"))
+          val bytes = SnapshotTable.readManifest(spark, reg.root, v).files.map(f => math.max(f.bytes, 0L)).sum
+          math.max(1, math.ceil(bytes / (128.0 * 1024 * 1024)).toInt)
+        }
+        SnapshotTable.compactZOrder(spark, reg.root, zcols, n)
+      case OptimizeBadRe() =>
+        sys.error(
+          "OPTIMIZE supports 'OPTIMIZE <table> ZORDER BY (cols...) [INTO <n> FILES]' only; " +
+            "single-column clustering is the one-column ZORDER form")
+      case _ => executeParsed(spark, sql)
+    }
   }
 
   private def executeParsed(spark: SparkSession, sql: String): Int =
@@ -471,11 +508,29 @@ object SnapshotSql {
       // SELECT ... FROM table_changes('snap', fromV, toV)
       case tvf: UnresolvedTableValuedFunction
           if tvf.name.map(_.toLowerCase(java.util.Locale.ROOT)) == Seq("table_changes") =>
+        // STRICT literal typing — a name that isn't a non-null string, or
+        // a version that isn't a non-null integral literal, is refused
+        // loudly (never cast, never truncated: '1.5' silently becoming
+        // version 1 would violate the refused-not-approximated contract)
+        def intLit(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, dt) if v != null =>
+            import org.apache.spark.sql.types._
+            dt match {
+              case ByteType | ShortType | IntegerType | LongType =>
+                val l = v.asInstanceOf[Number].longValue()
+                require(l >= 0 && l <= Int.MaxValue, s"table_changes: $what out of range: $l")
+                l.toInt
+              case other =>
+                sys.error(s"table_changes: $what must be an integer version literal, got ${e.sql} ($other)")
+            }
+          case other =>
+            sys.error(s"table_changes: $what must be an integer version literal, got ${other.sql}")
+        }
         tvf.functionArgs match {
           case Seq(
                 org.apache.spark.sql.catalyst.expressions.Literal(n, org.apache.spark.sql.types.StringType),
-                org.apache.spark.sql.catalyst.expressions.Literal(f, _),
-                org.apache.spark.sql.catalyst.expressions.Literal(t, _)) =>
+                f,
+                t) if n != null =>
             val reg = sessionMap(spark).getOrElse(
               String.valueOf(n).toLowerCase(java.util.Locale.ROOT),
               sys.error(s"table_changes: '$n' is not a registered snapshot table"))
@@ -484,8 +539,8 @@ object SnapshotSql {
               SnapshotTable.changesBetween(
                 spark,
                 reg.root,
-                f.asInstanceOf[Number].intValue(),
-                t.asInstanceOf[Number].intValue()))
+                intLit(f, "fromVersion"),
+                intLit(t, "toVersion")))
           case other =>
             sys.error("table_changes takes ('<registered table>', fromVersion, toVersion) literals, " +
               s"got ${other.map(_.sql).mkString(", ")}")

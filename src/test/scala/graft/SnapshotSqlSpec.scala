@@ -313,6 +313,41 @@ class SnapshotSqlSpec extends SparkSuite {
     assert(got.filter("k >= 90 AND price_c % 10 != 0").count() == 0, "matched rows replaced from the snapshot source")
   }
 
+  test("maintenance-statement edges: qualified-name refusal, age guard, sane defaults, strict TVF typing") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, fixture(500))
+    SnapshotSql.register(spark, "snap_me", root)
+    // a qualified name must never hijack a registration for a DESTRUCTIVE op
+    val eQ = intercept[IllegalArgumentException] {
+      SnapshotSql.execute(spark, "VACUUM warehouse.snap_me RETAIN 1 VERSIONS")
+    }
+    assert(eQ.getMessage.contains("qualified"), eQ.getMessage)
+    // trailing semicolons are accepted like every parser-routed statement;
+    // OPTIMIZE without INTO targets ~128MB files — a tiny table COMPACTS
+    // to one file, never fragments to core count
+    SnapshotSql.execute(spark, "OPTIMIZE snap_me ZORDER BY (K, price_c);") // case-insensitive cols
+    assert(SnapshotTable.read(spark, root).inputFiles.length == 1,
+      "default OPTIMIZE must compact a small table, not fragment it")
+    assert(SnapshotTable.read(spark, root).count() == 500)
+    // VACUUM ... OLDER THAN <h> HOURS is the live-writer age guard: a
+    // freshly-written unreferenced dir (an in-flight commit's shape)
+    // survives the gated run and goes on an un-gated one
+    fixture(5).write.parquet(root + "/data/in-flight")
+    SnapshotSql.execute(spark, "VACUUM snap_me RETAIN 1 VERSIONS OLDER THAN 1 HOURS;")
+    assert(new java.io.File(root + "/data/in-flight").isDirectory, "young orphan presumed in-flight")
+    SnapshotSql.execute(spark, "VACUUM snap_me RETAIN 1 VERSIONS")
+    assert(!new java.io.File(root + "/data/in-flight").exists, "un-gated vacuum reclaims the orphan")
+    // strict table_changes typing: string/fractional versions refused, not cast
+    val eS = intercept[RuntimeException] {
+      SnapshotSql.query(spark, "SELECT * FROM table_changes('snap_me', '1', 2)")
+    }
+    assert(eS.getMessage.contains("integer version literal"), eS.getMessage)
+    val eD = intercept[RuntimeException] {
+      SnapshotSql.query(spark, "SELECT * FROM table_changes('snap_me', 1.5, 2)")
+    }
+    assert(eD.getMessage.contains("integer version literal"), eD.getMessage)
+  }
+
   test("refusals: unregistered targets, non-DML text, unsupported merge shapes") {
     val root = freshRoot()
     SnapshotTable.create(spark, root, fixture(10))
