@@ -269,10 +269,6 @@ object SnapshotSql {
 
       case m: MergeIntoTable =>
         val reg = registrationOf(spark, tableParts(m.targetTable))
-        require(
-          m.notMatchedBySourceActions.isEmpty,
-          "MERGE ... WHEN NOT MATCHED BY SOURCE is not supported (its rewrite set is the " +
-            "whole table); refused rather than approximated")
         // ON must be a conjunction of same-named key equalities (t.k = s.k)
         def keysOf(e: Expression): Seq[String] = e match {
           case And(l, r) => keysOf(l) ++ keysOf(r)
@@ -292,20 +288,23 @@ object SnapshotSql {
         val source: DataFrame = org.apache.spark.sql.GraftSqlBridge.ofRows(
           spark,
           substituteRegistered(spark, stripAlias(m.sourceTable)))
-        (m.matchedActions, m.notMatchedActions) match {
+        (m.matchedActions, m.notMatchedActions, m.notMatchedBySourceActions) match {
           // canonical upsert: the dedicated fast paths (and the MOR O(change) write)
-          case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
+          case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)), Seq()) =>
             if (reg.morWrites) SnapshotTable.mergeUpsertMor(spark, reg.root, source, keyCols)
             else SnapshotTable.mergeUpsert(spark, reg.root, source, keyCols)
           // unconditional matched-delete on a MOR table: a keys mask, zero data I/O
-          case (Seq(DeleteAction(None)), Seq()) if reg.morWrites =>
+          case (Seq(DeleteAction(None)), Seq(), Seq()) if reg.morWrites =>
             SnapshotTable.deleteMatchedMor(spark, reg.root, source, keyCols)
           // everything else lowers onto the general executor: conditional
           // clauses, matched DELETE, explicit SET/INSERT column lists,
-          // multiple first-match-wins matched clauses. Conditions and
+          // multiple first-match-wins matched clauses, and WHEN NOT
+          // MATCHED BY SOURCE (whose rewrite set prunes through each
+          // clause condition's widened range skeleton — or honestly
+          // rewrites the table when no skeleton exists). Conditions and
           // values travel as SQL text (the parsed expressions' .sql) and
           // resolve against the statement's own aliases.
-          case (ma, na) =>
+          case (ma, na, nbs) =>
             val matchedClauses: Seq[SnapshotTable.MergeClause] = ma.map {
               case UpdateStarAction(c) => SnapshotTable.MatchedUpdate(c.map(_.sql), None)
               case UpdateAction(c, _, true) => SnapshotTable.MatchedUpdate(c.map(_.sql), None)
@@ -334,6 +333,28 @@ object SnapshotSql {
               case other =>
                 sys.error(s"unsupported MERGE not-matched action: ${other.getClass.getSimpleName}")
             }
+            val nbsClauses: Seq[SnapshotTable.MergeClause] = nbs.map {
+              case UpdateAction(c, assigns, false) =>
+                SnapshotTable.MatchedUpdate(
+                  c.map(_.sql),
+                  Some(assigns.map { a =>
+                    val name = attrName(a.key).getOrElse(
+                      sys.error(s"unsupported SET target: ${a.key.sql} (single-column targets only)"))
+                    name -> a.value.sql
+                  }.toMap))
+              case DeleteAction(c) => SnapshotTable.MatchedDelete(c.map(_.sql))
+              case other =>
+                sys.error(s"unsupported MERGE not-matched-by-source action: ${other.getClass.getSimpleName}")
+            }
+            // each BY SOURCE clause's widened range skeleton, for rewrite
+            // pruning only (widening keeps a superset of the files a
+            // condition can touch — always safe; an empty skeleton makes
+            // the executor fall back to the full-table rewrite)
+            val nbsBounds = nbs.map {
+              case UpdateAction(Some(c), _, _) => skeleton(c).bounds
+              case DeleteAction(Some(c)) => skeleton(c).bounds
+              case _ => Seq.empty[SnapshotTable.Bound]
+            }
             SnapshotTable.mergeInto(
               spark,
               reg.root,
@@ -342,7 +363,9 @@ object SnapshotSql {
               matchedClauses,
               notMatchedClauses,
               targetAlias = aliasOf(m.targetTable),
-              sourceAlias = aliasOf(m.sourceTable))
+              sourceAlias = aliasOf(m.sourceTable),
+              notMatchedBySource = nbsClauses,
+              nmbsPruneBounds = nbsBounds)
         }
 
       // ───────── schema / constraint DDL (metadata-only commits) ─────────

@@ -2200,22 +2200,33 @@ object SnapshotTable {
     * `matched` clauses IN ORDER and the first clause whose condition
     * holds applies (update or delete; none → the row carries unchanged);
     * source rows matching NO target key walk `notMatched` the same way
-    * (none → the row does not land). `WHEN NOT MATCHED BY SOURCE` is not
-    * supported (its rewrite set is the whole table — refused loudly, not
-    * approximated).
+    * (none → the row does not land); target rows matching NO source key
+    * walk `notMatchedBySource` (conditional UPDATE with an explicit SET
+    * list, or DELETE — conditions see the target row only; `SET *` is
+    * meaningless without a source row and refused).
     *
     * Economics are [[mergeUpsert]]'s: the zero-I/O envelope prune plus
     * the key-only touched-file probe bound the rewrite to the files that
     * actually CONTAIN a matched key, so a conditional merge against a
     * key-clustered 100-TB table rewrites only those files; the
     * not-matched anti-join reads key columns of the candidate files
-    * only. Clause conditions are evaluated ROW-LEVEL on the joined
-    * (target × source) pair — null conditions never apply a clause
+    * only. `notMatchedBySource` clauses are the expensive shape by
+    * NATURE (any file may hold unmatched rows): their rewrite set is
+    * every file that can possibly satisfy a clause condition —
+    * `nmbsPruneBounds` carries each clause's widened range skeleton for
+    * manifest-stat pruning (the SQL router derives it automatically), and
+    * with no prunable skeleton the WHOLE table rewrites, the same honest
+    * cost Delta pays. Clause conditions are evaluated ROW-LEVEL on the
+    * joined (target × source) pair — null conditions never apply a clause
     * (SQL three-valued logic). `source` should be key-unique (a
     * duplicate-key source multiplies its matched target row — the same
     * caveat Delta raises as an error); null-keyed source rows match
-    * nothing. New source columns evolve the schema like append. Returns
-    * the new version (or the current one when nothing changed). */
+    * nothing. New source columns evolve the schema like append. An EMPTY
+    * source no-ops unless `notMatchedBySource` is present (then every
+    * target row is by definition unmatched — `WHEN NOT MATCHED BY SOURCE
+    * THEN DELETE` against an empty source clears the table, the SQL
+    * semantics). Returns the new version (or the current one when
+    * nothing changed). */
   def mergeInto(
       spark: SparkSession,
       root: String,
@@ -2224,14 +2235,24 @@ object SnapshotTable {
       matched: Seq[MergeClause],
       notMatched: Seq[NotMatchedInsert],
       targetAlias: String = "t",
-      sourceAlias: String = "s"): Int = {
+      sourceAlias: String = "s",
+      notMatchedBySource: Seq[MergeClause] = Seq.empty,
+      nmbsPruneBounds: Seq[Seq[Bound]] = Seq.empty): Int = {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions.{coalesce, col, expr, input_file_name, lit, max, min, when}
     require(keyCols.nonEmpty, "mergeInto needs at least one key column")
-    require(matched.nonEmpty || notMatched.nonEmpty, "mergeInto needs at least one WHEN clause")
+    require(
+      matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
+      "mergeInto needs at least one WHEN clause")
     matched.foreach {
       case _: MatchedUpdate | _: MatchedDelete => ()
       case other => sys.error(s"matched clauses must be MatchedUpdate or MatchedDelete, got $other")
+    }
+    notMatchedBySource.foreach {
+      case MatchedUpdate(_, None) =>
+        sys.error("WHEN NOT MATCHED BY SOURCE THEN UPDATE needs an explicit SET list (there is no source row to expand SET * from)")
+      case _: MatchedUpdate | _: MatchedDelete => ()
+      case other => sys.error(s"not-matched-by-source clauses must be MatchedUpdate or MatchedDelete, got $other")
     }
     val base = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
     val m = readManifest(spark, root, base)
@@ -2241,7 +2262,7 @@ object SnapshotTable {
     val evolvedMapping = mappingOf(evolvedStruct)
     keyCols.foreach(k =>
       require(evolvedStruct.fieldNames.contains(k), s"no key column '$k' in the merged schema"))
-    matched.foreach {
+    (matched ++ notMatchedBySource).foreach {
       case MatchedUpdate(_, Some(set)) =>
         set.keys.foreach(k =>
           require(evolvedStruct.fieldNames.contains(k), s"UPDATE SET column '$k' is not in the table schema"))
@@ -2265,7 +2286,9 @@ object SnapshotTable {
     // silently missed, unmatched duplicates inserted. Reading the written
     // files back makes every stage see one immutable snapshot.
     val (srcRel, nSrc, _) = writeData(spark, root, source, Map.empty, evolvedMapping)
-    if (nSrc == 0) return base // empty source matches and inserts nothing
+    // an empty source matches and inserts nothing — but with BY SOURCE
+    // clauses every target row is unmatched, so the merge must still run
+    if (nSrc == 0 && notMatchedBySource.isEmpty) return base
     val srcStored = readTablePaths(
       spark,
       Some(org.apache.spark.sql.types.StructType(
@@ -2310,8 +2333,21 @@ object SnapshotTable {
           .flatMap(uri => plan.keep.find(rel => uri.endsWith(rel)))
           .toSet
       }
+    // BY SOURCE rewrite set: every file that can possibly hold a row
+    // satisfying some clause condition — pruned through each clause's
+    // widened range skeleton when one exists, the whole table otherwise
+    // (the clause's honest cost; unconditional delete-unmatched IS a
+    // full-table rewrite minus the provably-matched files, which stats
+    // cannot prove)
+    val nmbsFiles: Set[String] =
+      if (notMatchedBySource.isEmpty) Set.empty
+      else if (nmbsPruneBounds.size == notMatchedBySource.size && nmbsPruneBounds.forall(_.nonEmpty))
+        nmbsPruneBounds.flatMap(b => prunePlanOf(m, b).keep).toSet
+      else m.files.map(_.path).toSet
+    val rewriteSet = touched ++ nmbsFiles
     val rewritePaths =
-      if (matched.isEmpty) Seq.empty[String] else touched.toSeq.sorted ++ plan.uncoveredDirs
+      if (matched.isEmpty && notMatchedBySource.isEmpty) Seq.empty[String]
+      else rewriteSet.toSeq.sorted ++ plan.uncoveredDirs
     // clause machinery: SQL-text conditions resolve against the aliased
     // pair; a null condition never applies (three-valued logic)
     def condOf(c: Option[String]): Column = coalesce(c.map(expr).getOrElse(lit(true)), lit(false))
@@ -2340,22 +2376,26 @@ object SnapshotTable {
         val joined = tAl.join(sAl, joinCond, "left_outer")
         val isM = col(s"$sourceAlias.`$matchedTag`").isNotNull
         val applied = firstApplicable(matched.map(_.condition), isM)
-        val deleted = matched
-          .zip(applied)
+        // BY SOURCE clauses walk on the complementary gate — a row is in
+        // exactly one of the two clause groups, so the when-chains of
+        // both can share one projection
+        val appliedN = firstApplicable(notMatchedBySource.map(_.condition), !isM)
+        val deleted = (matched.zip(applied) ++ notMatchedBySource.zip(appliedN))
           .collect { case (_: MatchedDelete, ap) => ap }
           .reduceOption(_ || _)
           .getOrElse(lit(false))
         val outCols = evolvedStruct.fields.map { f =>
           val tCol = col(s"$targetAlias.`${f.name}`")
-          val updates = matched.zip(applied).collect { case (u: MatchedUpdate, ap) =>
-            val v = u.set match {
-              case Some(setMap) =>
-                setMap.get(f.name).map(s => expr(s).cast(f.dataType)).getOrElse(tCol)
-              case None => // SET *: source columns assign, others keep
-                if (srcColumns(f.name)) col(s"$sourceAlias.`${f.name}`") else tCol
+          val updates = (matched.zip(applied) ++ notMatchedBySource.zip(appliedN))
+            .collect { case (u: MatchedUpdate, ap) =>
+              val v = u.set match {
+                case Some(setMap) =>
+                  setMap.get(f.name).map(s => expr(s).cast(f.dataType)).getOrElse(tCol)
+                case None => // SET *: source columns assign, others keep
+                  if (srcColumns(f.name)) col(s"$sourceAlias.`${f.name}`") else tCol
+              }
+              (ap, v)
             }
-            (ap, v)
-          }
           updates.foldRight(tCol) { case ((ap, v), rest) => when(ap, v).otherwise(rest) }.as(f.name)
         }
         Some(joined.filter(!deleted).select(outCols.toSeq: _*))
@@ -2396,14 +2436,13 @@ object SnapshotTable {
     val masked = maskedEntrySet(m)
     val before =
       if (rewritePaths.isEmpty) 0L
-      else if (plan.uncoveredDirs.isEmpty && !touched.exists(masked))
-        m.files.filter(f => touched.contains(f.path)).map(_.rows).sum
+      else if (plan.uncoveredDirs.isEmpty && !rewriteSet.exists(masked))
+        m.files.filter(f => rewriteSet.contains(f.path)).map(_.rows).sum
       else readAs(rewritePaths).count()
     val (rel, n, stats) = writeData(spark, root, outDf, m.constraints, evolvedMapping)
     if (rewritePaths.isEmpty && n == 0) return base // nothing matched a clause: no-op
-    val touchedSet = touched
     val untouched =
-      if (rewritePaths.isEmpty) m.files else m.files.filterNot(f => touchedSet.contains(f.path))
+      if (rewritePaths.isEmpty) m.files else m.files.filterNot(f => rewriteSet.contains(f.path))
     val untouchedSet = untouched.map(_.path).toSet
     // no rewrite (insert-only merge): every mask carries VERBATIM —
     // untouchedSet holds only stat-covered file paths, so filtering

@@ -313,6 +313,46 @@ class SnapshotSqlSpec extends SparkSuite {
     assert(got.filter("k >= 90 AND price_c % 10 != 0").count() == 0, "matched rows replaced from the snapshot source")
   }
 
+  test("WHEN NOT MATCHED BY SOURCE: conditional clauses prune via skeletons, unconditional pays the table") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root,
+      fixture(2000).repartitionByRange(8, org.apache.spark.sql.functions.col("k")).sortWithinPartitions("k"))
+    SnapshotSql.register(spark, "snap_nbs", root)
+    fixture(100).selectExpr("k", "d", "CAST(7777 AS LONG) AS price_c").createOrReplaceTempView("nbs_src")
+    val before = SnapshotTable.history(spark, root).last.files.map(_.path).toSet
+    SnapshotSql.execute(spark,
+      "MERGE INTO snap_nbs AS t USING nbs_src AS s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET price_c = s.price_c " +
+        "WHEN NOT MATCHED BY SOURCE AND t.k >= 1900 THEN DELETE " +
+        "WHEN NOT MATCHED BY SOURCE AND t.k BETWEEN 1800 AND 1820 THEN UPDATE SET price_c = -1")
+    val got = SnapshotTable.read(spark, root)
+    assert(got.count() == 1900, "k 1900..1999 deleted")
+    assert(got.filter("k < 100 AND price_c != 7777").count() == 0, "matched rows updated")
+    assert(got.filter("k BETWEEN 1800 AND 1820").filter("price_c != -1").count() == 0)
+    assert(got.filter("price_c = -1").count() == 21)
+    assert(got.filter("k BETWEEN 1821 AND 1899").count() == 79, "no clause applies: rows keep")
+    // skeleton pruning: the matched keys live in file 0, both BY SOURCE
+    // conditions prune to the top file — the middle files carry untouched
+    val after = SnapshotTable.history(spark, root).last.files.map(_.path).toSet
+    assert(after.intersect(before).size >= 5,
+      s"BY SOURCE skeletons must prune the rewrite: carried ${after.intersect(before).size} of 8")
+    // unconditional delete-unmatched: only source keys survive (the
+    // honest full-table rewrite), incl. against an EMPTY source (clears)
+    val root2 = freshRoot()
+    SnapshotTable.create(spark, root2, fixture(500))
+    SnapshotSql.register(spark, "snap_nbs2", root2)
+    SnapshotSql.execute(spark,
+      "MERGE INTO snap_nbs2 AS t USING nbs_src AS s ON t.k = s.k " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    assert(SnapshotTable.read(spark, root2).count() == 100, "only matched keys survive")
+    fixture(0).createOrReplaceTempView("nbs_empty")
+    SnapshotSql.execute(spark,
+      "MERGE INTO snap_nbs2 AS t USING nbs_empty AS s ON t.k = s.k " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    assert(SnapshotTable.read(spark, root2).count() == 0,
+      "every row is unmatched by an empty source: the table clears")
+  }
+
   test("maintenance-statement edges: qualified-name refusal, age guard, sane defaults, strict TVF typing") {
     val root = freshRoot()
     SnapshotTable.create(spark, root, fixture(500))
@@ -361,13 +401,12 @@ class SnapshotSqlSpec extends SparkSuite {
     }
     assert(e2.getMessage.contains("not a DML/DDL statement"), e2.getMessage)
     fixture(5).createOrReplaceTempView("msrc")
-    val e3 = intercept[IllegalArgumentException] {
+    val e3 = intercept[RuntimeException] {
       SnapshotSql.execute(spark,
-        "MERGE INTO snap4 AS t USING msrc AS s ON t.k = s.k " +
-          "WHEN MATCHED THEN UPDATE SET * " +
-          "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+        "MERGE INTO snap4 AS t USING msrc AS s ON t.k > s.k " +
+          "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
     }
-    assert(e3.getMessage.contains("BY SOURCE"), e3.getMessage)
+    assert(e3.getMessage.contains("key equalities"), e3.getMessage)
     val e4 = intercept[RuntimeException] {
       SnapshotSql.execute(spark, "UPDATE snap4 SET price_c = 0")
     }
