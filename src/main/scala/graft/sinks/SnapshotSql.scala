@@ -82,6 +82,13 @@ object SnapshotSql {
           "targets is refused, not approximated"))
   }
 
+  private def setMapOf(assigns: Seq[Assignment], what: String): Map[String, String] =
+    assigns.map { a =>
+      val name = attrName(a.key).getOrElse(
+        sys.error(s"unsupported $what target: ${a.key.sql} (single-column targets only)"))
+      name -> a.value.sql
+    }.toMap
+
   private def tableParts(plan: LogicalPlan): Seq[String] = plan match {
     case SubqueryAlias(_, child) => tableParts(child)
     case r: UnresolvedRelation => r.multipartIdentifier
@@ -309,13 +316,7 @@ object SnapshotSql {
               case UpdateStarAction(c) => SnapshotTable.MatchedUpdate(c.map(_.sql), None)
               case UpdateAction(c, _, true) => SnapshotTable.MatchedUpdate(c.map(_.sql), None)
               case UpdateAction(c, assigns, false) =>
-                SnapshotTable.MatchedUpdate(
-                  c.map(_.sql),
-                  Some(assigns.map { a =>
-                    val name = attrName(a.key).getOrElse(
-                      sys.error(s"unsupported SET target: ${a.key.sql} (single-column targets only)"))
-                    name -> a.value.sql
-                  }.toMap))
+                SnapshotTable.MatchedUpdate(c.map(_.sql), Some(setMapOf(assigns, "SET")))
               case DeleteAction(c) => SnapshotTable.MatchedDelete(c.map(_.sql))
               case other =>
                 sys.error(s"unsupported MERGE matched action: ${other.getClass.getSimpleName}")
@@ -323,25 +324,13 @@ object SnapshotSql {
             val notMatchedClauses = na.map {
               case InsertStarAction(c) => SnapshotTable.NotMatchedInsert(c.map(_.sql), None)
               case InsertAction(c, assigns) =>
-                SnapshotTable.NotMatchedInsert(
-                  c.map(_.sql),
-                  Some(assigns.map { a =>
-                    val name = attrName(a.key).getOrElse(
-                      sys.error(s"unsupported INSERT target: ${a.key.sql} (single-column targets only)"))
-                    name -> a.value.sql
-                  }.toMap))
+                SnapshotTable.NotMatchedInsert(c.map(_.sql), Some(setMapOf(assigns, "INSERT")))
               case other =>
                 sys.error(s"unsupported MERGE not-matched action: ${other.getClass.getSimpleName}")
             }
             val nbsClauses: Seq[SnapshotTable.MergeClause] = nbs.map {
               case UpdateAction(c, assigns, false) =>
-                SnapshotTable.MatchedUpdate(
-                  c.map(_.sql),
-                  Some(assigns.map { a =>
-                    val name = attrName(a.key).getOrElse(
-                      sys.error(s"unsupported SET target: ${a.key.sql} (single-column targets only)"))
-                    name -> a.value.sql
-                  }.toMap))
+                SnapshotTable.MatchedUpdate(c.map(_.sql), Some(setMapOf(assigns, "SET")))
               case DeleteAction(c) => SnapshotTable.MatchedDelete(c.map(_.sql))
               case other =>
                 sys.error(s"unsupported MERGE not-matched-by-source action: ${other.getClass.getSimpleName}")

@@ -2254,6 +2254,28 @@ object SnapshotTable {
       case _: MatchedUpdate | _: MatchedDelete => ()
       case other => sys.error(s"not-matched-by-source clauses must be MatchedUpdate or MatchedDelete, got $other")
     }
+    // a BY SOURCE clause has NO source row: a condition or SET value
+    // referencing the source alias would evaluate against all-NULLs —
+    // the condition silently never applies, the SET writes NULL. Spark's
+    // own MERGE raises an analysis error here; refuse the same way
+    // (qualified references only — an unqualified name that happens to
+    // exist on both sides fails loudly at analysis anyway).
+    notMatchedBySource.foreach { cl =>
+      val texts = cl.condition.toSeq ++ (cl match {
+        case MatchedUpdate(_, Some(set)) => set.values.toSeq
+        case _ => Seq.empty
+      })
+      texts.foreach { txt =>
+        spark.sessionState.sqlParser.parseExpression(txt).foreach {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if a.nameParts.length > 1 && a.nameParts.head.equalsIgnoreCase(sourceAlias) =>
+            sys.error(
+              s"NOT MATCHED BY SOURCE clause references the source alias '$sourceAlias' " +
+                s"(${a.sql}) — there is no source row on these rows; reference target columns only")
+          case _ => ()
+        }
+      }
+    }
     val base = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
     val m = readManifest(spark, root, base)
     val priorSchema = m.schemaJson.map(schemaFromJson)
@@ -2316,7 +2338,7 @@ object SnapshotTable {
     // stage 2: exact touched-file discovery (matched clauses only) — the
     // key-only columnar probe of the candidates, mask-aware
     val touched: Set[String] =
-      if (matched.isEmpty || plan.keep.isEmpty) Set.empty
+      if (matched.isEmpty || plan.keep.isEmpty || nSrc == 0) Set.empty
       else {
         val probe =
           (if (m.masks.isEmpty)
@@ -2401,7 +2423,10 @@ object SnapshotTable {
         Some(joined.filter(!deleted).select(outCols.toSeq: _*))
       }
     val insertsOpt: Option[DataFrame] =
-      if (notMatched.isEmpty) None
+      // an empty source provably inserts nothing: skip the candidate
+      // key-column scan entirely (a recurring empty batch must not pay a
+      // full-table key scan per arrival)
+      if (notMatched.isEmpty || nSrc == 0) None
       else {
         // a source row is matched iff its key appears in a candidate file
         // (provably: the envelope prune only skips files whose key range

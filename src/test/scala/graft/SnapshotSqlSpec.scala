@@ -351,6 +351,15 @@ class SnapshotSqlSpec extends SparkSuite {
         "WHEN NOT MATCHED BY SOURCE THEN DELETE")
     assert(SnapshotTable.read(spark, root2).count() == 0,
       "every row is unmatched by an empty source: the table clears")
+    // a BY SOURCE clause referencing the SOURCE alias is refused loudly —
+    // it would silently evaluate against an all-NULL source row (the
+    // condition never applies, the SET writes NULL)
+    val eSrc = intercept[RuntimeException] {
+      SnapshotSql.execute(spark,
+        "MERGE INTO snap_nbs AS t USING nbs_src AS s ON t.k = s.k " +
+          "WHEN NOT MATCHED BY SOURCE AND s.k >= 1900 THEN DELETE")
+    }
+    assert(eSrc.getMessage.contains("source alias"), eSrc.getMessage)
   }
 
   test("maintenance-statement edges: qualified-name refusal, age guard, sane defaults, strict TVF typing") {
