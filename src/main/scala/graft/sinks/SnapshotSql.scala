@@ -368,6 +368,15 @@ object SnapshotSql {
             .getOrElse(singleField(r.column.name, "RENAME COLUMN")), // missing: renameColumn's own loud check
           r.newName)
 
+      case a: AddColumns =>
+        val reg = registrationOf(spark, tableParts(a.table))
+        a.columnsToAdd.foldLeft(-1) { (_, qc) =>
+          require(qc.path.isEmpty, s"ADD COLUMN supports top-level columns only, got ${qc.name.mkString(".")}")
+          require(qc.default.isEmpty, "ADD COLUMN ... DEFAULT is not supported (existing rows read the new column as null)")
+          require(qc.position.isEmpty, "ADD COLUMN position clauses (FIRST/AFTER) are not supported")
+          SnapshotTable.addColumn(spark, reg.root, qc.colName, qc.dataType)
+        }
+
       case d: DropColumns =>
         val reg = registrationOf(spark, tableParts(d.table))
         val names = d.columnsToDrop.map(f => singleField(f.name, "DROP COLUMN"))

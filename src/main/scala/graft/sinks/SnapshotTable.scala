@@ -3097,6 +3097,43 @@ object SnapshotTable {
         schemaJson = Some(renamed.json)))
   }
 
+  /** METADATA-ONLY column add — no data rewrite, at any file count: the
+    * new manifest's recorded schema simply gains the (nullable) column;
+    * every existing file lacks its bytes, so all current rows read it as
+    * null — exactly the append-evolution semantics, available without
+    * writing a row. The dropped-column REVIVAL contract is enforced like
+    * every evolving commit ([[reviveDropped]]): re-adding a dropped name
+    * requires its original type (the old bytes then reappear), and
+    * physical-name collisions with renamed columns are refused. */
+  def addColumn(
+      spark: SparkSession,
+      root: String,
+      name: String,
+      dataType: org.apache.spark.sql.types.DataType): Int = {
+    val base = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
+    val m = readManifest(spark, root, base)
+    val schema = m.schemaJson
+      .map(schemaFromJson)
+      .getOrElse(sys.error("addColumn needs a schema-recording manifest"))
+    require(!schema.fieldNames.contains(name), s"column '$name' already exists")
+    val merged = mergeSchemas(
+      schema,
+      org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField(name, dataType))))
+    val dropped = reviveDropped(m.dropped, merged)
+    publish(
+      spark,
+      root,
+      m.copy(
+        version = base + 1,
+        action = "schema",
+        addedRows = 0L,
+        batchId = None,
+        ts = 0L,
+        schemaJson = Some(merged.json),
+        dropped = dropped))
+  }
+
   /** METADATA-ONLY column drop — no data rewrite: the new manifest's
     * recorded schema simply omits the column, and since reads project
     * through the manifest schema (not the parquet footers), every file's

@@ -225,6 +225,18 @@ class SnapshotSqlSpec extends SparkSuite {
       spark,
       "SELECT count(*) AS n FROM snap_ddl2 t JOIN sql_side s ON t.k = s.k")
     assert(joined.collect()(0).getLong(0) == 10)
+    // ADD COLUMN is metadata-only: existing rows read it as null, an
+    // append can then fill it; re-adding a dropped name needs its type
+    SnapshotSql.execute(spark, "ALTER TABLE snap_ddl2 ADD COLUMN note STRING") // v6
+    assert(SnapshotTable.read(spark, root).columns.toSeq == Seq("k", "amount_c", "note"))
+    assert(SnapshotTable.read(spark, root).filter("note IS NULL").count() == 100)
+    SnapshotTable.append(spark, root,
+      spark.range(1).selectExpr("CAST(77777 AS LONG) AS k", "CAST(1 AS LONG) AS amount_c", "'x' AS note"))
+    assert(SnapshotTable.read(spark, root).filter("note = 'x'").count() == 1)
+    val eRev = intercept[IllegalArgumentException] {
+      SnapshotSql.execute(spark, "ALTER TABLE snap_ddl2 ADD COLUMN d INT") // d was DATE
+    }
+    assert(eRev.getMessage.contains("revive"), eRev.getMessage)
   }
 
   test("query()/DDL resolution precedence and refusal edges match spark.sql semantics") {
