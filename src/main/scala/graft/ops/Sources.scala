@@ -289,6 +289,45 @@ object Sources {
         .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_price_c"))
         .orderBy("y")
     },
+    // WHEN NOT MATCHED BY SOURCE in the ORACLE GATE — the clause over
+    // unmatched TARGET rows: a conditional matched DELETE prunes the
+    // priced-out keys the source names, and a BY SOURCE range-conditioned
+    // UPDATE zeroes 1995 prices on every row the source does NOT name —
+    // its rewrite set pruned through the condition's date-range skeleton
+    // (the d-clustered table carries non-1995 files untouched). The
+    // oracle replays the clause algebra; the hash-match proves the
+    // complementary-gate evaluation (matched vs by-source on one
+    // projection) end-to-end.
+    "q_snapshot_merge_nbs" -> { (s, dir) =>
+      import graft.sinks.{SnapshotSql, SnapshotTable}
+      val root = "/tmp/graft-snapnbs/" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val o = Fixtures
+        .table(s, dir, "orders")
+        .select(
+          col("o_orderkey").as("k"),
+          to_date(col("o_orderdate")).as("d"),
+          cents(col("o_totalprice")).as("price_c"))
+      val par = s.sparkContext.defaultParallelism
+      SnapshotTable.create(
+        s, root, o.repartitionByRange(par, col("d")).sortWithinPartitions("d"))
+      val table = "snap_nbs_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      SnapshotSql.register(s, table, root)
+      val srcView = table + "_src"
+      o.filter(col("k") % 3 === 0).createOrReplaceTempView(srcView)
+      SnapshotSql.execute(
+        s,
+        s"MERGE INTO $table AS t USING $srcView AS s ON t.k = s.k " +
+          "WHEN MATCHED AND t.price_c > 20000000 THEN DELETE " +
+          "WHEN NOT MATCHED BY SOURCE AND t.d BETWEEN DATE'1995-01-01' AND DATE'1995-12-31' " +
+          "THEN UPDATE SET price_c = 0")
+      SnapshotTable
+        .read(s, root)
+        .groupBy(year(col("d")).cast("int").as("y"))
+        .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_price_c"))
+        .orderBy("y")
+    },
     // The snapshot table as a CATALYST-INTEGRATED relation: plain SQL over
     // a registered view of SnapshotTable.relation — the pushed-down date
     // predicate reaches SnapshotFileIndex.listFiles during physical
@@ -425,6 +464,17 @@ object Sources {
         "fin AS (SELECT k, d, CASE WHEN k % 7 = 0 THEN price_c * 2 " +
         "WHEN year(d) = 1997 THEN price_c + 500 ELSE price_c END AS price_c " +
         "FROM o WHERE k % 7 = 0 OR year(d) <> 1995) " +
+        "SELECT CAST(year(d) AS INT) AS y, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(price_c) AS BIGINT) AS sum_price_c FROM fin GROUP BY 1 ORDER BY y"),
+    "q_snapshot_merge_nbs" ->
+      ("WITH o AS (SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d, " +
+        "CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_c FROM orders), " +
+        // matched (k%3=0): deleted iff price > 200000.00; else kept as-is
+        // (no further matched clause). Unmatched (k%3<>0): 1995 rows
+        // update to price 0, the rest keep.
+        "fin AS (SELECT k, d, price_c FROM o WHERE k % 3 = 0 AND price_c <= 20000000 " +
+        "UNION ALL SELECT k, d, CASE WHEN year(d) = 1995 THEN 0 ELSE price_c END " +
+        "FROM o WHERE k % 3 <> 0) " +
         "SELECT CAST(year(d) AS INT) AS y, CAST(count(*) AS BIGINT) AS n_rows, " +
         "CAST(sum(price_c) AS BIGINT) AS sum_price_c FROM fin GROUP BY 1 ORDER BY y"),
     "q_snapshot_merge_cond" ->
