@@ -445,6 +445,61 @@ class SnapshotMorSpec extends SparkSuite {
       "k >= 300 AND k <= 310 AND NOT (price_c >= 100 AND price_c <= 110)").count())
   }
 
+  test("mergeInto racing concurrent appends: lost publishes surface loudly, retries stay exact") {
+    val root = freshRoot()
+    SnapshotTable.create(
+      spark, root, fixture().repartitionByRange(4, col("k")).sortWithinPartitions("k"))
+    // 3 appenders (keys far outside every clause's reach) race one
+    // conditional merge that retries on ConcurrentCommitException by
+    // RE-DERIVING from latest — the same contract as COW DML: a stale
+    // rewrite set could drop a racing appender's rows, so mergeInto must
+    // surface the race, never blind-retry
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val appenders = (1 to 3).map { i =>
+      new Thread(() =>
+        try SnapshotTable.append(
+          spark, root,
+          fixture().filter("k < 50").selectExpr(s"k + ${100000 * i} AS k", "d", "price_c"))
+        catch { case t: Throwable => errors.add(t) })
+    }
+    val merger = new Thread(() =>
+      try {
+        var done = false
+        var attempts = 0
+        while (!done && attempts < 20) {
+          try {
+            SnapshotTable.mergeInto(
+              spark, root,
+              fixture().filter("k % 10 = 0").withColumn("price_c", org.apache.spark.sql.functions.lit(1L)),
+              Seq("k"),
+              matched = Seq(
+                SnapshotTable.MatchedUpdate(Some("t.k < 500"), Some(Map("price_c" -> "s.price_c"))),
+                SnapshotTable.MatchedDelete(None)),
+              notMatched = Seq.empty)
+            done = true
+          } catch {
+            case _: SnapshotTable.ConcurrentCommitException => attempts += 1 // re-derive from latest
+          }
+        }
+        if (!done) errors.add(new RuntimeException("mergeInto never won a publish"))
+      } catch { case t: Throwable => errors.add(t) })
+    (appenders :+ merger).foreach(_.start())
+    (appenders :+ merger).foreach(_.join(120000))
+    assert(errors.isEmpty, s"unexpected failures: ${errors.toArray.mkString(", ")}")
+    val got = SnapshotTable.read(spark, root)
+    // clause algebra: k%10=0 ∧ k<500 updated to 1; k%10=0 ∧ k>=500 deleted;
+    // every appended row (k >= 100000, none a multiple-of-10 source key —
+    // wait: shifted keys CAN be multiples of 10, but the SOURCE only has
+    // k%10=0 in 0..999, so appended keys never match) present exactly once
+    assert(got.filter("k < 1000 AND k % 10 = 0 AND k < 500 AND price_c != 1").count() == 0)
+    assert(got.filter("k < 1000 AND k % 10 = 0 AND k >= 500").count() == 0, "matched fallthrough deleted")
+    assert(got.filter("k >= 100000").count() == 3 * 50, "no appended row lost to the race")
+    assert(got.count() == (1000 - 50) + 150, s"row accounting broke: ${got.count()}")
+    val h = SnapshotTable.history(spark, root)
+    assert(h.count(_.action == "merge") == 1, h.map(_.action))
+    assert(h.count(_.action == "append") == 3, h.map(_.action))
+  }
+
   test("insert-only mergeInto carries dir-entry masks verbatim (no resurrection)") {
     val root = freshRoot()
     SnapshotTable.create(spark, root, fixture(200))
