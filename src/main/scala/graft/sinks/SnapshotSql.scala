@@ -370,10 +370,21 @@ object SnapshotSql {
 
       case a: AddColumns =>
         val reg = registrationOf(spark, tableParts(a.table))
-        a.columnsToAdd.foldLeft(-1) { (_, qc) =>
+        // validate EVERY column before the first commit — a failure on a
+        // later column must not leave earlier ones already applied
+        // (DropColumns resolves all names up-front for the same reason)
+        a.columnsToAdd.foreach { qc =>
           require(qc.path.isEmpty, s"ADD COLUMN supports top-level columns only, got ${qc.name.mkString(".")}")
           require(qc.default.isEmpty, "ADD COLUMN ... DEFAULT is not supported (existing rows read the new column as null)")
           require(qc.position.isEmpty, "ADD COLUMN position clauses (FIRST/AFTER) are not supported")
+          // existing rows necessarily read the new column as NULL, so a
+          // NOT NULL add on a non-empty table is a contradiction — refuse
+          // (Delta's rule); a silently-dropped constraint or comment would
+          // violate the refused-not-approximated contract
+          require(qc.nullable, s"ADD COLUMN ${qc.colName} NOT NULL is refused: existing rows read the new column as null")
+          require(qc.comment.isEmpty, "ADD COLUMN ... COMMENT is not supported (the manifest schema carries no comments)")
+        }
+        a.columnsToAdd.foldLeft(-1) { (_, qc) =>
           SnapshotTable.addColumn(spark, reg.root, qc.colName, qc.dataType)
         }
 

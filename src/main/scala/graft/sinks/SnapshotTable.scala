@@ -3115,7 +3115,14 @@ object SnapshotTable {
     val schema = m.schemaJson
       .map(schemaFromJson)
       .getOrElse(sys.error("addColumn needs a schema-recording manifest"))
-    require(!schema.fieldNames.contains(name), s"column '$name' already exists")
+    // resolver-aware duplicate check (case-insensitive under the default
+    // spark.sql.caseSensitive=false): a case-variant duplicate would make
+    // every later reference to either name AMBIGUOUS_REFERENCE — a
+    // permanently broken table
+    val resolver = spark.sessionState.conf.resolver
+    require(
+      !schema.fields.exists(f => resolver(f.name, name)),
+      s"column '$name' already exists")
     val merged = mergeSchemas(
       schema,
       org.apache.spark.sql.types.StructType(

@@ -488,9 +488,8 @@ class SnapshotMorSpec extends SparkSuite {
     assert(errors.isEmpty, s"unexpected failures: ${errors.toArray.mkString(", ")}")
     val got = SnapshotTable.read(spark, root)
     // clause algebra: k%10=0 ∧ k<500 updated to 1; k%10=0 ∧ k>=500 deleted;
-    // every appended row (k >= 100000, none a multiple-of-10 source key —
-    // wait: shifted keys CAN be multiples of 10, but the SOURCE only has
-    // k%10=0 in 0..999, so appended keys never match) present exactly once
+    // appended rows (k >= 100000) can never match — the source holds only
+    // keys k%10=0 within 0..999 — so each is present exactly once
     assert(got.filter("k < 1000 AND k % 10 = 0 AND k < 500 AND price_c != 1").count() == 0)
     assert(got.filter("k < 1000 AND k % 10 = 0 AND k >= 500").count() == 0, "matched fallthrough deleted")
     assert(got.filter("k >= 100000").count() == 3 * 50, "no appended row lost to the race")
