@@ -177,7 +177,11 @@ object ExtraText {
     * transform(sequence(...)) chain: higher-order functions are
     * CodegenFallback AND explode over a computed array re-evaluates it per
     * element — measured 2.2 s vs ~0.4 s here. */
-  private def jaccardPairs(s: SparkSession, dir: String, limit: Int = 30): DataFrame = {
+  /** Shared pair-overlap kernel of the exact similarity rows: distinct
+    * bigram shingles per doc (bounded `doc_id < limit` verification
+    * slice), inverted-index self-join on the shingle — never all-pairs —
+    * to (a_id, b_id, shared count, set sizes). */
+  private def pairOverlap(s: SparkSession, dir: String, limit: Int): DataFrame = {
     val sh = Fixtures
       .table(s, dir, "documents")
       .filter(col("doc_id") < limit)
@@ -192,9 +196,12 @@ object ExtraText {
       .agg(count(lit(1)).as("i"))
       .join(sz.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
       .join(sz.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+  }
+
+  private def jaccardPairs(s: SparkSession, dir: String, limit: Int = 30): DataFrame =
+    pairOverlap(s, dir, limit)
       .withColumn("jacc", col("i") / (col("na") + col("nb") - col("i")))
       .filter(col("jacc") >= 0.05)
-  }
 
   /** marker tokens per language for the n-gram/stopword lang-ID heuristic */
   private val markers = Map(
@@ -452,6 +459,27 @@ object ExtraText {
     "q_dedup_jaccard" -> { (s, dir) =>
       jaccardPairs(s, dir)
         .select(col("a_id"), col("b_id"), e6(col("jacc")).as("jacc_e6"))
+        .orderBy("a_id", "b_id")
+    },
+    // CONTAINMENT near-dup pairs (Broder's resemblance/containment split):
+    // cont = |A∩B| / min(|A|,|B|) — the doc-IN-doc signal symmetric
+    // Jaccard structurally misses (a short doc quoted verbatim inside a
+    // long one has tiny Jaccard but containment ≈ 1), which is exactly
+    // the quote/boilerplate duplication a pretraining dedup pass must
+    // catch. Same inverted-index kernel as q_dedup_jaccard (never
+    // all-pairs; the bounded slice is the exact-verification tier — at
+    // scale candidates come from the banded MinHash/winnow index and this
+    // formula is the verify step), emitting the contained side (smaller
+    // shingle set, ties → a_id) so downstream keeps the container doc.
+    "q_dedup_containment" -> { (s, dir) =>
+      pairOverlap(s, dir, limit = 60)
+        .withColumn("cont", col("i") / least(col("na"), col("nb")))
+        .filter(col("cont") >= 0.2)
+        .select(
+          col("a_id"),
+          col("b_id"),
+          e6(col("cont")).as("cont_e6"),
+          when(col("na") <= col("nb"), col("a_id")).otherwise(col("b_id")).as("contained_id"))
         .orderBy("a_id", "b_id")
     },
     // Prefix-filtered exact similarity join (AllPairs / PPJoin family,
@@ -927,6 +955,13 @@ object ExtraText {
         "ORDER BY train_id, eval_id"),
     "q_dedup_jaccard" ->
       "WITH s AS (SELECT DISTINCT doc_id, bg FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg FROM (SELECT doc_id, string_split(lower(text),' ') AS toks FROM documents WHERE doc_id < 30))), sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id), inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i FROM s a JOIN s b ON a.bg = b.bg AND a.doc_id < b.doc_id GROUP BY 1, 2), j AS (SELECT a_id, b_id, i/(sa.n + sb.n - i) AS jacc FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id) SELECT a_id, b_id, CAST(floor(jacc*1000000 + 0.5) AS BIGINT) AS jacc_e6 FROM j WHERE jacc >= 0.05 ORDER BY a_id, b_id",
+    "q_dedup_containment" ->
+      ("WITH s AS (SELECT DISTINCT doc_id, bg FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg FROM (SELECT doc_id, string_split(lower(text),' ') AS toks FROM documents WHERE doc_id < 60))), " +
+        "sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i FROM s a JOIN s b ON a.bg = b.bg AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "j AS (SELECT a_id, b_id, sa.n AS na, sb.n AS nb, i/least(sa.n, sb.n) AS cont FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id) " +
+        "SELECT a_id, b_id, CAST(floor(cont*1000000 + 0.5) AS BIGINT) AS cont_e6, CAST(CASE WHEN na <= nb THEN a_id ELSE b_id END AS BIGINT) AS contained_id " +
+        "FROM j WHERE cont >= 0.2 ORDER BY a_id, b_id"),
     // brute-force all-pairs over every doc pair sharing >= 1 bigram —
     // complete for any t > 0, so the hash-match proves the prefix filter
     // loses nothing on this corpus

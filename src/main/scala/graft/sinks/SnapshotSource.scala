@@ -1,10 +1,19 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{
+  BaseRelation,
+  CreatableRelationProvider,
+  DataSourceRegister,
+  Filter,
+  PrunedFilteredScan,
+  RelationProvider,
+  StreamSinkProvider,
+  StreamSourceProvider
+}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
@@ -424,13 +433,83 @@ private final class SnapshotSink(
   * the backlog across micro-batches at file granularity),
   * `readChangeFeed` (stream row-level `_change_type` changes instead of
   * appended rows; see [[SnapshotSource]]); as a SINK, `upsertKeys` /
-  * `morWrites` (see [[SnapshotSink]]). */
+  * `morWrites` (see [[SnapshotSink]]).
+  *
+  * BATCH surface (the same format string, Delta-style): `spark.read
+  * .format("snapshot-table").load(root)` resolves to the Catalyst-
+  * integrated relation ([[SnapshotTable.batchRelation]] — manifest
+  * min/max/bloom pruning at plan time), with time travel via
+  * `.option("versionAsOf", n)` or `.option("timestampAsOf", ts)` (ts:
+  * epoch millis digits or a `yyyy-MM-dd HH:mm:ss[.f]` literal, resolved
+  * through manifest publish times); `df.write.format("snapshot-table")
+  * .mode(...).save(root)` routes SaveModes onto the transactional
+  * operators — ErrorIfExists→create (refused if the table exists),
+  * Append→append, Overwrite→overwrite, Ignore→create-if-absent — so a
+  * format write is a real atomic commit, never a bare directory. */
 final class SnapshotSourceProvider
     extends StreamSourceProvider
     with StreamSinkProvider
+    with RelationProvider
+    with CreatableRelationProvider
     with DataSourceRegister {
 
   override def shortName(): String = "snapshot-table"
+
+  private def timeTravelVersion(
+      spark: SparkSession,
+      r: String,
+      parameters: Map[String, String]): Int = {
+    val latest = SnapshotTable
+      .latestVersion(spark, r)
+      .getOrElse(sys.error(s"no snapshot table at $r"))
+    (parameters.get("versionAsOf"), parameters.get("timestampAsOf")) match {
+      case (Some(_), Some(_)) =>
+        sys.error("specify at most one of versionAsOf / timestampAsOf")
+      case (Some(n), _) =>
+        val v = n.toInt
+        require(v >= 0 && v <= latest, s"versionAsOf $v out of range [0, $latest]")
+        v
+      case (_, Some(ts)) =>
+        val millis =
+          if (ts.nonEmpty && ts.forall(_.isDigit)) ts.toLong
+          else java.sql.Timestamp.valueOf(ts).getTime
+        SnapshotTable.versionAsOf(spark, r, millis)
+      case _ => latest
+    }
+  }
+
+  override def createRelation(ctx: SQLContext, parameters: Map[String, String]): BaseRelation = {
+    val spark = ctx.sparkSession
+    val r = root(parameters)
+    SnapshotTable.batchRelation(spark, r, timeTravelVersion(spark, r, parameters))
+  }
+
+  override def createRelation(
+      ctx: SQLContext,
+      mode: SaveMode,
+      parameters: Map[String, String],
+      data: DataFrame): BaseRelation = {
+    val spark = ctx.sparkSession
+    val r = root(parameters)
+    require(
+      !parameters.contains("versionAsOf") && !parameters.contains("timestampAsOf"),
+      "time travel options apply to reads only")
+    val exists = SnapshotTable.latestVersion(spark, r).isDefined
+    mode match {
+      case SaveMode.ErrorIfExists =>
+        if (exists) sys.error(s"snapshot table already exists at $r (SaveMode.ErrorIfExists)")
+        SnapshotTable.create(spark, r, data)
+      case SaveMode.Ignore =>
+        if (!exists) SnapshotTable.create(spark, r, data)
+      case SaveMode.Append =>
+        if (exists) SnapshotTable.append(spark, r, data)
+        else SnapshotTable.create(spark, r, data)
+      case SaveMode.Overwrite =>
+        if (exists) SnapshotTable.overwrite(spark, r, data)
+        else SnapshotTable.create(spark, r, data)
+    }
+    createRelation(ctx, parameters)
+  }
 
   private def root(parameters: Map[String, String]): String =
     parameters.getOrElse(
@@ -491,5 +570,80 @@ final class SnapshotSourceProvider
       root(parameters),
       keys,
       parameters.get("morWrites").exists(_.equalsIgnoreCase("true")))
+  }
+}
+
+/** Fallback V1 relation for snapshots the plain `HadoopFsRelation` can't
+  * express directly — pending merge-on-read masks (the scan is a UNION of
+  * mask groups) or renamed columns (a logical projection sits atop the
+  * physical scan). `PrunedFilteredScan` keeps the scale economics: Spark
+  * hands this relation the required columns and pushed filters, both are
+  * replayed onto [[SnapshotTable.relationVersion]]'s frame, and the mask
+  * groups' own FileIndexes prune against them at plan time underneath.
+  * Spark re-applies every filter row-level on top of a V1 scan (default
+  * `unhandledFilters`), so a declined translation costs I/O, never
+  * correctness. `needConversion = false`: the scan returns the inner
+  * plan's InternalRows directly (the standard V1 connector contract for
+  * relations computing through Catalyst). */
+final class SnapshotBatchRelation(
+    spark: SparkSession,
+    root: String,
+    v: Int,
+    override val schema: StructType)
+    extends BaseRelation
+    with PrunedFilteredScan {
+
+  override def sqlContext: SQLContext = spark.sqlContext
+
+  override def needConversion: Boolean = false
+
+  override def buildScan(
+      requiredColumns: Array[String],
+      filters: Array[Filter]): org.apache.spark.rdd.RDD[Row] = {
+    import org.apache.spark.sql.functions.col
+    val base = SnapshotTable.relationVersion(spark, root, v)
+    val filtered = filters
+      .flatMap(SnapshotBatchRelation.conjuncts)
+      .foldLeft(base)(_ filter _)
+    // empty requiredColumns = a count-style scan: project to zero columns
+    // (the frame still carries one InternalRow per surviving row)
+    val projected = filtered.select(requiredColumns.map(c => col("`" + c + "`")).toSeq: _*)
+    projected.queryExecution.toRdd.asInstanceOf[org.apache.spark.rdd.RDD[Row]]
+  }
+}
+
+object SnapshotBatchRelation {
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.{sources => s}
+
+  private def c(attr: String): Column = col("`" + attr + "`")
+
+  /** Split a pushed V1 filter into the Column conjuncts we can replay
+    * EXACTLY. `And` may translate partially (pruning by a subset of
+    * conjuncts is sound); `Or`/`Not` require exact children (a partial
+    * disjunct/negation would over-filter). Untranslatable shapes drop —
+    * Spark re-applies the full filter row-level above the scan. */
+  private[sinks] def conjuncts(f: s.Filter): Seq[Column] = f match {
+    case s.And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => exact(other).toSeq
+  }
+
+  private def exact(f: s.Filter): Option[Column] = f match {
+    case s.EqualTo(a, v) => Some(c(a) === lit(v))
+    case s.EqualNullSafe(a, v) => Some(c(a) <=> lit(v))
+    case s.GreaterThan(a, v) => Some(c(a) > lit(v))
+    case s.GreaterThanOrEqual(a, v) => Some(c(a) >= lit(v))
+    case s.LessThan(a, v) => Some(c(a) < lit(v))
+    case s.LessThanOrEqual(a, v) => Some(c(a) <= lit(v))
+    case s.In(a, vs) => Some(c(a).isInCollection(vs.toSeq.map(lit)))
+    case s.IsNull(a) => Some(c(a).isNull)
+    case s.IsNotNull(a) => Some(c(a).isNotNull)
+    case s.StringStartsWith(a, p) => Some(c(a).startsWith(p))
+    case s.StringEndsWith(a, p) => Some(c(a).endsWith(p))
+    case s.StringContains(a, p) => Some(c(a).contains(p))
+    case s.And(l, r) => for { lc <- exact(l); rc <- exact(r) } yield lc && rc
+    case s.Or(l, r) => for { lc <- exact(l); rc <- exact(r) } yield lc || rc
+    case s.Not(inner) => exact(inner).map(!_)
+    case _ => None
   }
 }

@@ -1579,28 +1579,60 @@ object SnapshotTable {
     }
   }
 
-  private def relationOfManifest(
+  /** The manifest as a `HadoopFsRelation` over [[SnapshotFileIndex]] —
+    * the Catalyst-pluggable scan every relation surface builds on. Scans
+    * PHYSICAL columns (what the files and the manifest stats actually
+    * carry); callers with column mapping project logical names on top. */
+  private def hadoopFsRelation(
       spark: SparkSession,
       root: String,
       m: Commit,
-      schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    // the relation scans PHYSICAL columns (what the files and the manifest
-    // stats actually carry); renamed columns surface through the logical
-    // projection, and pushed filters rewrite through the aliases back to
-    // physical attributes before they reach the FileIndex
-    val phys = toPhysical(schema)
+      phys: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
     val idx = new SnapshotFileIndex(spark, root, m, phys)
-    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+    org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       idx,
       new org.apache.spark.sql.types.StructType(),
       phys,
       None,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
       Map.empty)(spark)
-    val base = spark.baseRelationToDataFrame(rel)
+  }
+
+  private def relationOfManifest(
+      spark: SparkSession,
+      root: String,
+      m: Commit,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    // the relation scans PHYSICAL columns; renamed columns surface through
+    // the logical projection, and pushed filters rewrite through the
+    // aliases back to physical attributes before they reach the FileIndex
+    val base = spark.baseRelationToDataFrame(hadoopFsRelation(spark, root, m, toPhysical(schema)))
     if (!hasMapping(schema)) base
     else base.select(schema.fields.map(f => col("`" + physName(f) + "`").as(f.name)).toSeq: _*)
+  }
+
+  /** The snapshot as a V1 [[org.apache.spark.sql.sources.BaseRelation]] —
+    * what `spark.read.format("snapshot-table")` resolves to (the batch
+    * twin of the streaming source; see [[SnapshotSourceProvider]]). The
+    * common shape — no pending merge-on-read masks, no renamed columns —
+    * IS the manifest-backed `HadoopFsRelation`, so the reader gets the
+    * identical plan-time file pruning as [[relation]] (FileSourceStrategy
+    * hands pushed filters to [[SnapshotFileIndex]]). A masked or
+    * column-mapped snapshot falls back to [[SnapshotBatchRelation]],
+    * whose `PrunedFilteredScan` delegation re-enters [[relationVersion]]
+    * so pruning still engages per mask group underneath. */
+  private[sinks] def batchRelation(
+      spark: SparkSession,
+      root: String,
+      v: Int): org.apache.spark.sql.sources.BaseRelation = {
+    val m = readManifest(spark, root, v)
+    val schema = m.schemaJson
+      .map(schemaFromJson)
+      .getOrElse(readVersion(spark, root, v).schema)
+    if (m.masks.isEmpty && !hasMapping(schema)) hadoopFsRelation(spark, root, m, schema)
+    else new SnapshotBatchRelation(spark, root, v, schema)
   }
 
   /** Latest-version Catalyst-integrated relation — see [[relationVersion]]. */
