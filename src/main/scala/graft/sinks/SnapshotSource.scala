@@ -352,16 +352,15 @@ final class SnapshotSource(
     // Compute-or-reuse the range's materialized feed (the shared
     // per-range CDC cache — [[SnapshotTable.materializeChanges]]): two
     // queries (same table, same startVersion, separate checkpoints) can
-    // materialize the same range concurrently — each writes a private
-    // temp and the winner publishes via one atomic rename, so a reader
-    // only ever sees a complete feed. (Object stores without atomic dir
-    // rename should point the table root at HDFS-like storage — the same
-    // caveat as the manifest publish protocol.)
-    val rel = SnapshotTable.materializeChanges(spark, root, fromV, endV)
-    val dir = new org.apache.hadoop.fs.Path(root, rel)
+    // materialize the same range concurrently — publish is the
+    // object-store-safe per-file-move + `_SUCCESS`-manifest-last protocol,
+    // and this reader scans EXACTLY the files the complete publish named
+    // (a racer's orphan parts are invisible), so no atomic directory
+    // rename is assumed on the table root's store.
+    val files = SnapshotTable.materializedChangeFiles(spark, root, fromV, endV)
     val idx = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-      Seq(dir),
+      files,
       Map.empty,
       Some(schema))
     val rel2 = org.apache.spark.sql.execution.datasources.HadoopFsRelation(

@@ -1304,6 +1304,91 @@ object SnapshotTable {
 
   private def ckptRel(v: Int) = f"_manifests/ckpt_v$v%08d"
 
+  // ─── object-store-safe derived-dir publish (checkpoints, _cdc ranges) ───
+  // Derived parquet dirs (a checkpoint frame, a materialized CDC range) are
+  // pure functions of immutable manifests, but they are MULTI-FILE: making
+  // them visible atomically is the problem. The old protocol renamed a
+  // private temp dir onto the target — atomic on HDFS/POSIX, NOT on
+  // S3-class object stores (a dir "rename" there is a per-file copy in
+  // arbitrary order, so a marker file can become visible before the data
+  // files it vouches for). This protocol assumes only the one primitive
+  // every store has — single-OBJECT writes are all-or-nothing — and makes
+  // the marker SELF-VALIDATING instead of positional:
+  //   1. write the parquet to a private temp dir (single writer, unshared);
+  //   2. move each data file individually into the shared target (per-file
+  //      visibility is atomic; distinct writers' part names never collide —
+  //      Spark part files carry a per-job UUID);
+  //   3. write `_SUCCESS` LAST, containing the JSON list of exactly the
+  //      data files that form this publish.
+  // Readers consume EXACTLY the files named by `_SUCCESS` — never a dir
+  // listing — so a crashed writer's orphans are invisible, a racing
+  // re-publish of the same (deterministic) content is harmless whichever
+  // `_SUCCESS` lands last, and a named-but-missing file fails LOUDLY at
+  // scan instead of silently dropping rows. Orphans are reclaimed by the
+  // age-gated [[vacuum]] sweep. No directory-rename atomicity is assumed
+  // anywhere in the table anymore (the single-file manifest publish goes
+  // through [[CommitStore]]).
+
+  private def publishDerivedDir(f: FileSystem, tmp: Path, target: Path): Unit = {
+    val parts = f
+      .listStatus(tmp)
+      .map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+      .sortBy(_.getName)
+      .toSeq
+    f.mkdirs(target)
+    parts.foreach { p =>
+      val dst = new Path(target, p.getName)
+      require(f.rename(p, dst), s"failed to move ${p.getName} into ${target.getName}")
+    }
+    val manifest = JsonMethods.compact(
+      JsonMethods.render(JObject(List("files" -> JArray(parts.map(p => JString(p.getName)).toList)))))
+    // single-object PUT, written after every data file is in place: its
+    // visibility implies the listed set is complete (overwrite=true — a
+    // racing publisher's last marker wins with ITS complete set)
+    val out = f.create(new Path(target, "_SUCCESS"), true)
+    try out.write(manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    f.delete(tmp, true)
+  }
+
+  /** The file set a published derived dir consists of: None = no complete
+    * publish (`_SUCCESS` absent — a torn/in-flight dir, ignore it);
+    * Some(paths) = the exact files the last publish named. An EMPTY
+    * `_SUCCESS` is the legacy marker (Spark's own, from the
+    * dir-rename-era protocol, whose publish WAS all-or-nothing) — fall
+    * back to the dir listing, which is complete for those dirs. */
+  private def publishedFiles(f: FileSystem, dir: Path): Option[Seq[Path]] = {
+    val success = new Path(dir, "_SUCCESS")
+    if (!f.exists(success)) None
+    else {
+      val st = f.getFileStatus(success)
+      val listed =
+        if (st.getLen == 0) Nil
+        else {
+          val in = f.open(success)
+          val txt =
+            try {
+              val buf = new Array[Byte](st.getLen.toInt)
+              in.readFully(buf)
+              new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+            } finally in.close()
+          JsonMethods.parse(txt) \ "files" match {
+            case JArray(vs) => vs.collect { case JString(n) => n }
+            case _ => Nil
+          }
+        }
+      if (listed.nonEmpty) Some(listed.map(new Path(dir, _)))
+      else
+        Some(
+          f.listStatus(dir)
+            .map(_.getPath)
+            .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+            .sortBy(_.getName)
+            .toSeq)
+    }
+  }
+
   /** Materialize version `v`'s file statistics as a parquet checkpoint —
     * run by maintenance (e.g. every N commits, beside [[vacuum]]).
     * Overwrite-idempotent; readers pick it up via [[latestCheckpoint]]. */
@@ -1327,14 +1412,15 @@ object SnapshotTable {
         mapJson(f.nonNull.map { case (k, v) => k -> (JLong(v): JValue) }),
         mapJson(f.bloom.map { case (k, v) => k -> (JString(v): JValue) })))
     val rel = ckptRel(m.version)
-    // Publish protocol (same as the _cdc feed): write a PRIVATE temp dir,
-    // then one atomic directory RENAME onto the absent target. The shared
-    // path is never written in place, so a reader racing a (re-)checkpoint
-    // of the same version can only ever list a COMPLETE file set — an
-    // in-place overwrite would let a concurrent prunePlanCheckpointed list
-    // a partial frame and silently drop live files from the scan. A lost
-    // race deletes its temp: checkpoint content is a pure function of the
-    // immutable manifest, so the winner's bytes are identical.
+    // Publish protocol (same as the _cdc feed — see [[publishDerivedDir]]):
+    // write a PRIVATE temp dir, move the data files into the shared target
+    // individually, then write the self-validating `_SUCCESS` manifest
+    // LAST. Readers only ever consume the files a complete `_SUCCESS`
+    // names, so a racing (re-)checkpoint of the same version can never
+    // hand prunePlanCheckpointed a partial frame — and nothing assumes
+    // atomic directory rename (object-store-safe). Content is a pure
+    // function of the immutable manifest, so whichever racer's marker
+    // lands last names an identical frame.
     val f = fs(spark, root)
     val target = new Path(root, rel)
     val tmp = new Path(manifestDir(root), ".tmp-ckpt-" + java.util.UUID.randomUUID())
@@ -1342,23 +1428,15 @@ object SnapshotTable {
       .toDF("path", "rows", "bytes", "min", "max", "nn", "bloom")
       .repartition(math.max(1, rows.size / 65536))
       .write
-      .parquet(tmp.toString) // Spark lands _SUCCESS inside before we rename
-    // a pre-rename-protocol torn dir (no _SUCCESS) must not block the fresh
-    // publish: clear it first — readers already ignore it (see
-    // [[latestCheckpoint]]'s _SUCCESS gate)
-    if (f.exists(target) && !f.exists(new Path(target, "_SUCCESS"))) f.delete(target, true)
-    if (f.exists(target) || !f.rename(tmp, target)) f.delete(tmp, true) // lost the race
-    // rename onto a dir that materialized between check and rename nests
-    // the temp inside (and returns true) — sweep it (cdcBatch's caveat)
-    val nested = new Path(target, tmp.getName)
-    if (f.exists(nested)) f.delete(nested, true)
+      .parquet(tmp.toString)
+    publishDerivedDir(f, tmp, target)
     rel
   }
 
   /** Latest version with a COMPLETE materialized checkpoint (its parquet
-    * dir carries `_SUCCESS` — written inside the temp dir before the
-    * atomic rename publish, so presence proves the listing is whole;
-    * torn dirs from crashed writers are invisible here). */
+    * dir carries `_SUCCESS` — written LAST by [[publishDerivedDir]], so
+    * its presence proves every file it names landed; torn dirs from
+    * crashed writers are invisible here). */
   def latestCheckpoint(spark: SparkSession, root: String): Option[Int] = {
     val f = fs(spark, root)
     val dir = manifestDir(root)
@@ -1417,13 +1495,15 @@ object SnapshotTable {
       v: Int,
       bounds: Seq[Bound]): PrunePlan = {
     import org.apache.spark.sql.functions.{col, udf}
-    // completeness gate: only a _SUCCESS-bearing checkpoint (published via
-    // temp + atomic rename) may plan a scan — a torn dir would silently
-    // drop live files from keep/skipped while its parent still "covers"
-    // them, and the files would vanish from the result
-    require(
-      fs(spark, root).exists(new Path(new Path(root, ckptRel(v)), "_SUCCESS")),
-      s"checkpoint at version $v is incomplete (no _SUCCESS); re-run checkpoint()")
+    // completeness gate: only the files a complete publish NAMED may plan
+    // a scan — a torn dir would silently drop live files from keep/skipped
+    // while its parent still "covers" them, and the files would vanish
+    // from the result; reading the named set (never a dir listing) also
+    // makes a racing re-publish's orphan parts invisible, and a
+    // named-but-missing file fails loudly at scan
+    val ckptFiles = publishedFiles(fs(spark, root), new Path(root, ckptRel(v)))
+      .getOrElse(
+        sys.error(s"checkpoint at version $v is incomplete (no _SUCCESS); re-run checkpoint()"))
     val lite = readManifestLite(spark, root, v)
     val schema = lite.schemaJson.map(schemaFromJson)
     val typed = typedBoundsOf(schema, bounds)
@@ -1437,7 +1517,7 @@ object SnapshotTable {
       deadFile(typed, m(minJ), m(maxJ), blooms)
     }
     val verdicts = spark.read
-      .parquet(new Path(root, ckptRel(v)).toString)
+      .parquet(ckptFiles.map(_.toString): _*)
       .select(col("path"), deadFn(col("min"), col("max"), col("bloom")).as("dead"))
       .collect()
     val keep = verdicts.filter(!_.getBoolean(1)).map(_.getString(0)).toSeq
@@ -2920,27 +3000,39 @@ object SnapshotTable {
     * files), so a range diffed once never needs recomputing — a batch
     * consumer re-reading the same range (retries, multiple downstream
     * jobs, audit reruns) pays bytes, not the EXCEPT-ALL diff. Publish is
-    * atomic (private temp dir + rename onto the absent target; `_SUCCESS`
-    * gates completeness — a torn pre-protocol dir is rebuilt), concurrent
-    * materializers race safely (loser deletes its temp; content is
-    * identical), and [[vacuum]] reclaims ranges whose end version leaves
-    * retained history. Returns the root-relative dir. */
+    * object-store-safe ([[publishDerivedDir]]: per-file moves, then a
+    * self-validating `_SUCCESS` manifest written LAST — no directory
+    * rename assumed), concurrent materializers race safely (change rows
+    * of a committed range are deterministic, so whichever racer's marker
+    * lands last names an equivalent feed; the loser's parts are invisible
+    * orphans), and [[vacuum]] reclaims ranges whose end version leaves
+    * retained history plus any orphans. Returns the root-relative dir. */
   def materializeChanges(spark: SparkSession, root: String, fromV: Int, toV: Int): String = {
     val rel = f"_cdc/r$fromV%08d_$toV%08d"
     val dir = new Path(root, rel)
     val f = fs(spark, root)
-    val success = new Path(dir, "_SUCCESS")
-    if (f.exists(dir) && !f.exists(success)) f.delete(dir, true) // torn in-place write: rebuild
-    if (!f.exists(dir)) {
+    // a dir without _SUCCESS is a crashed/in-flight publish: DON'T delete
+    // it (a live writer may be mid-move) — publish alongside; its orphan
+    // parts stay invisible to the named-set readers
+    if (!f.exists(new Path(dir, "_SUCCESS"))) {
       val tmp = new Path(root, s"_cdc/.tmp-${java.util.UUID.randomUUID()}")
       changesBetween(spark, root, fromV, toV).write.parquet(tmp.toString)
-      if (f.exists(dir) || !f.rename(tmp, dir)) f.delete(tmp, true) // lost the race
-      // rename onto a dir that materialized between check and rename nests
-      // the temp inside (and returns true) — sweep it
-      val nested = new Path(dir, tmp.getName)
-      if (f.exists(nested)) f.delete(nested, true)
+      publishDerivedDir(f, tmp, dir)
     }
     rel
+  }
+
+  /** The exact parquet files the COMPLETE publish of range `(fromV, toV]`
+    * names — the only set CDC readers may consume (see
+    * [[publishDerivedDir]]). Empty when the range's diff had no rows. */
+  private[sinks] def materializedChangeFiles(
+      spark: SparkSession,
+      root: String,
+      fromV: Int,
+      toV: Int): Seq[Path] = {
+    val rel = materializeChanges(spark, root, fromV, toV)
+    publishedFiles(fs(spark, root), new Path(root, rel))
+      .getOrElse(sys.error(s"$rel published without _SUCCESS")) // unreachable post-publish
   }
 
   /** The change-feed schema of this table as of version `v`: its recorded
@@ -2963,8 +3055,10 @@ object SnapshotTable {
     * a cache hit parses no per-file stats and runs no diff. */
   def changesBetweenCached(spark: SparkSession, root: String, fromV: Int, toV: Int): DataFrame = {
     val schema = cdcSchemaAt(spark, root, toV)
-    val rel = materializeChanges(spark, root, fromV, toV)
-    spark.read.schema(schema).parquet(new Path(root, rel).toString)
+    val files = materializedChangeFiles(spark, root, fromV, toV)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files.map(_.toString): _*)
   }
 
   /** Drop history: delete manifests older than the `keepLast` most recent,
@@ -3057,6 +3151,46 @@ object SnapshotTable {
           .map { s =>
             f.delete(s.getPath, true); "_cdc/" + s.getPath.getName
           }
+    // orphan parts inside RETAINED published dirs — a crashed or
+    // lost-race publisher's files the `_SUCCESS` manifest doesn't name
+    // (see [[publishDerivedDir]]): invisible to every reader, reclaimed
+    // here. Age-gated only (a live publisher may be mid-move into the
+    // dir), and only dirs with a COMPLETE non-legacy publish sweep (an
+    // empty legacy marker means "the listing is the set" — nothing is an
+    // orphan there).
+    val deletedOrphans =
+      if (minAgeMs <= 0L) Seq.empty[String]
+      else {
+        val survivingDirs =
+          (if (f.exists(manifestDir(root)))
+             f.listStatus(manifestDir(root))
+               .map(_.getPath)
+               .filter(p => ckptRe.findFirstMatchIn(p.getName).isDefined)
+               .toSeq
+           else Seq.empty) ++
+            (if (f.exists(cdcDir))
+               f.listStatus(cdcDir)
+                 .map(_.getPath)
+                 .filter(p => cdcRe.findFirstMatchIn(p.getName).isDefined)
+                 .toSeq
+             else Seq.empty)
+        survivingDirs.flatMap { d =>
+          val success = new Path(d, "_SUCCESS")
+          if (!f.exists(success) || f.getFileStatus(success).getLen == 0) Seq.empty
+          else {
+            val named = publishedFiles(f, d).getOrElse(Seq.empty).map(_.getName).toSet
+            f.listStatus(d)
+              .toSeq
+              .filter(s =>
+                !s.getPath.getName.startsWith("_") && !named.contains(s.getPath.getName) &&
+                  s.getModificationTime <= System.currentTimeMillis() - minAgeMs)
+              .map { s =>
+                f.delete(s.getPath, false)
+                s"${d.getParent.getName}/${d.getName}/${s.getPath.getName}"
+              }
+          }
+        }
+      }
     val dataDir = new Path(root, "data")
     // minAgeMs is the in-flight-commit guard the protocol note calls for
     // on a LIVE table: a writer's data dir is unreferenced until its
@@ -3075,7 +3209,7 @@ object SnapshotTable {
           .map { rel =>
             f.delete(new Path(root, rel), true); rel
           }
-    deletedManifests ++ deletedCkpt ++ deletedCdc ++ deletedData
+    deletedManifests ++ deletedCkpt ++ deletedCdc ++ deletedOrphans ++ deletedData
   }
 
   /** METADATA-ONLY column rename — no data rewrite, at any file count:

@@ -599,6 +599,74 @@ class SnapshotTableSpec extends SparkSuite {
     }
   }
 
+  test("derived-dir publish is object-store-safe: readers consume exactly the _SUCCESS-named set") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, wide(1000))
+    SnapshotTable.compact(spark, root, "k", nFiles = 8)
+    val v = SnapshotTable.checkpoint(spark, root)
+    val ckptDir = Paths.get(root, "_manifests", f"ckpt_v$v%08d")
+    val success = ckptDir.resolve("_SUCCESS")
+    def parts(): Seq[String] =
+      Files.list(ckptDir).toArray.map(_.toString.split('/').last).toSeq
+        .filter(n => !n.startsWith("_") && !n.startsWith(".")).sorted
+    // the marker is written LAST and is SELF-VALIDATING: it names exactly
+    // the data files of this publish (never positional like an empty flag)
+    val manifestTxt = new String(Files.readAllBytes(success), "UTF-8")
+    parts().foreach(p => assert(manifestTxt.contains(p), s"_SUCCESS must name $p"))
+    val bounds = Seq(SnapshotTable.Bound("k", Some(100L), Some(220L)))
+    val jsonPlan = SnapshotTable.prunePlan(spark, root, v, bounds)
+    def ckptPlan() = SnapshotTable.prunePlanCheckpointed(spark, root, v, bounds)
+    assert(ckptPlan().keep.sorted == jsonPlan.keep.sorted)
+    // a lost-race / crashed publisher's ORPHAN part is invisible: readers
+    // scan the named set, never the dir listing (a listing-based read
+    // would double every verdict row here)
+    val namedPart = ckptDir.resolve(parts().head)
+    val orphan = ckptDir.resolve("part-orphan-from-lost-race.parquet")
+    Files.copy(namedPart, orphan, StandardCopyOption.REPLACE_EXISTING)
+    val planned = ckptPlan()
+    assert(planned.keep.sorted == jsonPlan.keep.sorted, "orphan part must not change the plan")
+    assert(
+      (planned.keep ++ planned.skipped).size == (jsonPlan.keep ++ jsonPlan.skipped).size,
+      "orphan part must not duplicate verdicts")
+    // _SUCCESS naming a MISSING file fails LOUDLY at scan — never a silent
+    // drop of live files from the plan (the torn-listing failure mode)
+    val moved = ckptDir.resolve(".hidden-" + namedPart.getFileName)
+    Files.move(namedPart, moved)
+    intercept[Exception](ckptPlan())
+    Files.move(moved, namedPart)
+    // a dir WITHOUT _SUCCESS is an in-flight/torn publish: invisible to
+    // checkpoint selection, refused by the planner, and a re-publish
+    // completes it WITHOUT deleting the dir (a live writer may be mid-move)
+    Files.delete(success)
+    assert(SnapshotTable.latestCheckpoint(spark, root).isEmpty)
+    intercept[IllegalArgumentException](
+      SnapshotTable.readWhereCheckpointed(spark, root, bounds).count())
+    SnapshotTable.checkpoint(spark, root)
+    assert(SnapshotTable.latestCheckpoint(spark, root).contains(v))
+    assert(ckptPlan().keep.sorted == jsonPlan.keep.sorted)
+    assert(Files.exists(orphan), "re-publish must not delete a possibly-live racer's files")
+    // the age-gated vacuum sweep reclaims orphans the manifest doesn't name
+    Thread.sleep(30)
+    val swept = SnapshotTable.vacuum(spark, root, keepLast = 100, minAgeMs = 10L)
+    assert(!Files.exists(orphan), s"vacuum should sweep the orphan: $swept")
+    assert(swept.exists(_.endsWith("part-orphan-from-lost-race.parquet")), swept.toString)
+    assert(ckptPlan().keep.sorted == jsonPlan.keep.sorted, "named set untouched by the sweep")
+    // the CDC range cache publishes through the same protocol
+    SnapshotTable.deleteWhere(spark, root, Seq(SnapshotTable.Bound("k", Some(0L), Some(49L))))
+    val v2 = SnapshotTable.latestVersion(spark, root).get
+    val expect = SnapshotTable.changesBetween(spark, root, v, v2)
+      .orderBy("k").collect().toSeq
+    val rel = SnapshotTable.materializeChanges(spark, root, v, v2)
+    val cdcDir = Paths.get(root, rel)
+    // crashed publish: parts landed, marker missing → the next call
+    // completes the publish alongside and the feed reads exactly its set
+    Files.delete(cdcDir.resolve("_SUCCESS"))
+    val cached = SnapshotTable.changesBetweenCached(spark, root, v, v2)
+    assert(cached.orderBy("k").collect().toSeq == expect)
+    assert(Files.exists(cdcDir.resolve("_SUCCESS")), "re-publish restored the marker")
+  }
+
   test("commit store seam: an external put-if-absent store preserves exactly-once on overwriting PUTs") {
     val root = freshRoot()
     try {
