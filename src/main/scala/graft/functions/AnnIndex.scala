@@ -55,15 +55,42 @@ object AnnIndex {
       vecCol: String,
       k: Int,
       iters: Int,
+      nFiles: Int = 8): Unit =
+    fitInternal(spark, root, corpus, idCol, vecCol, k, iters, nFiles, sourceV = -1)
+
+  /** [[fit]] over a SNAPSHOT-TABLE corpus, recording which SOURCE version
+    * the index has ingested — the handle [[refresh]] needs to maintain
+    * the index incrementally off the source's change feed. */
+  def fitFromTable(
+      spark: SparkSession,
+      root: String,
+      sourceRoot: String,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
       nFiles: Int = 8): Unit = {
-    import spark.implicits._
+    val srcV = SnapshotTable
+      .latestVersion(spark, sourceRoot)
+      .getOrElse(sys.error(s"no snapshot table at $sourceRoot"))
+    // pin the exact version: a commit racing the fit lands AFTER srcV and
+    // is picked up by the next refresh instead of being half-ingested
+    val corpus = SnapshotTable.relationVersion(spark, sourceRoot, srcV)
+    fitInternal(spark, root, corpus, idCol, vecCol, k, iters, nFiles, sourceV = srcV)
+  }
+
+  private def fitInternal(
+      spark: SparkSession,
+      root: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      nFiles: Int,
+      sourceV: Int): Unit = {
     val cents = KMeansIvf.fit(corpus, idCol, vecCol, k, iters)
-    val coded = corpus
-      .select(col(idCol).as("id"), col(vecCol).as("emb"))
-      .withColumn("bkt", KMeansIvf.assign(cents, col("emb")))
-      .select("id", "bkt", "emb")
-      .repartitionByRange(nFiles, col("bkt"))
-      .sortWithinPartitions("bkt")
+    val coded = code(cents, corpus, idCol, vecCol, nFiles)
     def put(r: String, df: DataFrame): Int =
       if (SnapshotTable.latestVersion(spark, r).isEmpty) SnapshotTable.create(spark, r, df)
       else SnapshotTable.overwrite(spark, r, df)
@@ -74,12 +101,96 @@ object AnnIndex {
     // Old corpus versions stay readable until vacuum — time travel is the
     // consistency mechanism.
     val corpusV = put(corpusRoot(root), coded)
-    val model = cents.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq, corpusV) }
-      .toSeq
-      .toDF("cid", "centroid", "corpus_version")
-    put(modelRoot(root), model) // model last: a reader seeing it sees its coded corpus too
+    put(modelRoot(root), modelFrame(spark, cents, corpusV, sourceV)) // model last
     ()
+  }
+
+  /** Bucket-code `corpus` with the given centroids, clustered for the
+    * plan-time bucket pruning [[search]] relies on. */
+  private def code(
+      cents: Array[Array[Double]],
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nFiles: Int): DataFrame =
+    corpus
+      .select(col(idCol).as("id"), col(vecCol).as("emb"))
+      .withColumn("bkt", KMeansIvf.assign(cents, col("emb")))
+      .select("id", "bkt", "emb")
+      .repartitionByRange(nFiles, col("bkt"))
+      .sortWithinPartitions("bkt")
+
+  private def modelFrame(
+      spark: SparkSession,
+      cents: Array[Array[Double]],
+      corpusV: Int,
+      sourceV: Int): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq, corpusV, sourceV) }
+      .toSeq
+      .toDF("cid", "centroid", "corpus_version", "source_version")
+  }
+
+  /** INCREMENTAL index maintenance — the auto-refresh path a live corpus
+    * needs (a one-shot index over a table that keeps committing silently
+    * serves ever-staler results; a full [[fitFromTable]] per batch pays a
+    * k-means fit plus a WHOLE-corpus recode for a delta-sized change).
+    * Consumes the source's change feed for `(ingested, latest]` via the
+    * cached CDC range ([[SnapshotTable.changesBetweenCached]] — cost ∝
+    * data the commits touched, never a source scan), resolves each
+    * changed id's FINAL state (an update's delete+insert pair at one
+    * version nets to the insert; a trailing delete nets to gone), then:
+    * affected ids leave the coded corpus by an O(change) merge-on-read
+    * keyed delete ([[SnapshotTable.deleteMatchedMor]] — metadata-sized
+    * commit, zero rewrites), surviving rows re-code against the EXISTING
+    * centroids (one broadcast-model map pass over the delta) and append
+    * bucket-clustered. The model row advances last, so a racing searcher
+    * sees either the old (model, corpus-version) pair or the new one,
+    * never a torn mix. Centroids deliberately do NOT move — IVF
+    * maintenance standard: assignment stays consistent for every
+    * already-coded row; periodic [[fitFromTable]] re-fits absorb drift
+    * (and the corpus table's OPTIMIZE reclusters the accumulated delta
+    * files). Returns the source version the index is now current to. */
+  def refresh(
+      spark: SparkSession,
+      root: String,
+      sourceRoot: String,
+      idCol: String,
+      vecCol: String,
+      nFiles: Int = 2): Int = {
+    val rows = SnapshotTable.read(spark, modelRoot(root)).orderBy("cid").collect()
+    val cents = rows.map(_.getSeq[Double](1).toArray)
+    val corpusV0 = rows.head.getAs[Int]("corpus_version")
+    val srcV = rows.head.getAs[Int]("source_version")
+    require(srcV >= 0, "index was not fit from a snapshot table — use fitFromTable, then refresh")
+    val latest = SnapshotTable
+      .latestVersion(spark, sourceRoot)
+      .getOrElse(sys.error(s"no snapshot table at $sourceRoot"))
+    if (latest == srcV) return srcV // current: nothing to ingest
+    val changes = SnapshotTable
+      .changesBetweenCached(spark, sourceRoot, srcV, latest)
+      .select(col(idCol).as("id"), col(vecCol).as("emb"), col("_change_type"), col("_commit_version"))
+    // final state per id: last version wins; within an update's version
+    // the insert is the new state ("insert" > "delete" lexicographically,
+    // so desc puts it first); ids are unique in an ANN corpus (contract)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id")
+      .orderBy(col("_commit_version").desc, col("_change_type").desc)
+    val finalState = changes
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .cache()
+    try {
+      val affected = finalState.select("id")
+      SnapshotTable.deleteMatchedMor(spark, corpusRoot(root), affected, Seq("id"))
+      val toInsert = finalState.filter(col("_change_type") === "insert")
+      val corpusV =
+        if (toInsert.isEmpty) SnapshotTable.latestVersion(spark, corpusRoot(root)).getOrElse(corpusV0)
+        else SnapshotTable.append(spark, corpusRoot(root), code(cents, toInsert, "id", "emb", nFiles))
+      SnapshotTable.overwrite(spark, modelRoot(root), modelFrame(spark, cents, corpusV, latest))
+      latest
+    } finally finalState.unpersist()
   }
 
   /** The fitted centroid matrix + the corpus snapshot version it coded,

@@ -42,6 +42,52 @@ class AnnIndexSpec extends SparkSuite {
     assert(corpusV == SnapshotTable.latestVersion(spark, root + "/corpus").get)
   }
 
+  test("incremental refresh follows the source change feed with delta-sized work") {
+    val root = freshRoot()
+    val srcRoot = freshRoot()
+    val all = embs.select("vec_id", "embedding")
+    SnapshotTable.create(spark, srcRoot, all.filter(col("vec_id") < 400))
+    AnnIndex.fitFromTable(spark, root, srcRoot, "vec_id", "embedding", k = 8, iters = 3, nFiles = 8)
+    val (cents, _) = AnnIndex.loadModel(spark, root)
+    // the source evolves past the fit: new vectors land, a range is deleted
+    SnapshotTable.append(spark, srcRoot, all.filter(col("vec_id") >= 400))
+    SnapshotTable.deleteWhere(spark, srcRoot, Seq(SnapshotTable.Bound("vec_id", Some(0L), Some(49L))))
+    val corpusBefore =
+      SnapshotTable.history(spark, root + "/corpus").last.files.map(_.path).toSet
+    val v = AnnIndex.refresh(spark, root, srcRoot, "vec_id", "embedding")
+    assert(v == SnapshotTable.latestVersion(spark, srcRoot).get, "index current to the source")
+    // delta economics: the refresh must never rewrite already-coded files —
+    // affected ids leave via a merge-on-read keyed mask (metadata commit)
+    // and the delta appends beside them
+    val hist = SnapshotTable.history(spark, root + "/corpus")
+    val corpusAfter = hist.last.files.map(_.path).toSet
+    assert(corpusBefore.subsetOf(corpusAfter), "refresh rewrote pre-existing corpus files")
+    assert(hist.map(_.action).contains("mor-delete"), s"expected a MOR keyed delete: ${hist.map(_.action)}")
+    // correctness: the refreshed index answers EXACTLY like the same
+    // (unmoved) centroids over the source's CURRENT rows — inserts
+    // searchable, deleted ids gone
+    val cur = SnapshotTable.read(spark, srcRoot)
+    val queries = all.filter(col("vec_id") < 20) // their corpus twins are deleted
+    val got = AnnIndex
+      .search(spark, root, queries, "vec_id", "embedding", topK = 3, nprobe = 2)
+      .orderBy("q_id", "rn").collect().toSeq
+    val want = KMeansIvf
+      .annTopK(queries, cur, cents, "vec_id", "embedding", topK = 3, nprobe = 2)
+      .orderBy("q_id", "rn").collect().toSeq
+    assert(got == want, s"refreshed search (${got.size}) diverged from expected (${want.size})")
+    assert(got.nonEmpty)
+    assert(!got.exists(_.getAs[Long]("c_id") < 50), "deleted ids must not be served")
+    // already-current refresh is a no-op: no new corpus commits
+    val commits = SnapshotTable.history(spark, root + "/corpus").size
+    assert(AnnIndex.refresh(spark, root, srcRoot, "vec_id", "embedding") == v)
+    assert(SnapshotTable.history(spark, root + "/corpus").size == commits)
+    // an index fit from a plain DataFrame has no source to follow: loud
+    val plain = freshRoot()
+    AnnIndex.fit(spark, plain, embs, "vec_id", "embedding", k = 4, iters = 2)
+    intercept[IllegalArgumentException](
+      AnnIndex.refresh(spark, plain, srcRoot, "vec_id", "embedding"))
+  }
+
   test("search scans only probed buckets' files; refit overwrites atomically") {
     val root = freshRoot()
     AnnIndex.fit(spark, root, embs, "vec_id", "embedding", k = 8, iters = 3, nFiles = 8)
