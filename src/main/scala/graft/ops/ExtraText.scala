@@ -422,6 +422,77 @@ object ExtraText {
     // token, how many docs contain it and whether it crosses the "common"
     // threshold (60% of the corpus). The corpus size joins in as a
     // broadcast 1-row aggregate — never a driver-side collect.
+    // Gopher-style repetition quality filters (Rae et al. 2021 §A1.1):
+    // a doc whose text is dominated by one repeated 2-gram, or whose
+    // words are mostly repeats, is machine/boilerplate junk a pretraining
+    // pass drops. Per doc: dup_word_frac = 1 - distinct/total words, and
+    // the CHARACTER fraction covered by occurrences of the single most
+    // frequent bigram (count × bigram length / doc chars — Gopher's
+    // "fraction of characters in most common n-gram"; ties break to the
+    // lexicographically smallest bigram for determinism). Shape at
+    // 100 TB: explode → (doc, bigram) count → per-doc top-1 window — two
+    // doc_id-keyed shuffles, linear in corpus size, no cross-doc state.
+    // keep = both signals under the published thresholds (0.2 / 0.3).
+    "q_quality_gopher" -> { (s, dir) =>
+      val docs = Fixtures.table(s, dir, "documents")
+      val toks = docs.select(
+        col("doc_id"),
+        col("n_chars"),
+        split(lower(col("text")), " ").as("toks"))
+      val words = toks.select(
+        col("doc_id"),
+        col("n_chars"),
+        size(col("toks")).as("n_words"),
+        size(array_distinct(col("toks"))).as("n_distinct"))
+      val top = toks
+        .select(col("doc_id"), explode(shingleUdf(col("toks"))).as("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn(
+          "rk",
+          row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("bg"))))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("bg").as("top_bg"), col("cnt").as("top_bg_n"))
+      words
+        .join(top, Seq("doc_id"))
+        .withColumn("dup_word_frac", (col("n_words") - col("n_distinct")).cast("double") / col("n_words"))
+        .withColumn("top_bg_char_frac", col("top_bg_n") * length(col("top_bg")).cast("double") / col("n_chars"))
+        .select(
+          col("doc_id"),
+          col("n_words"),
+          col("top_bg"),
+          col("top_bg_n"),
+          e6(col("dup_word_frac")).as("dup_word_frac_e6"),
+          e6(col("top_bg_char_frac")).as("top_bg_char_frac_e6"),
+          (col("top_bg_char_frac") < 0.2 && col("dup_word_frac") < 0.3).cast("int").as("keep"))
+        .orderBy("doc_id")
+    },
+    // Corpus Zipf diagnostic: rank the vocabulary by collection frequency
+    // and emit the head with each term's rank, frequency, corpus share,
+    // and rank×freq product (≈ constant under Zipf's law — a corpus whose
+    // head deviates hard is template/spam-skewed). One explode + one
+    // token-keyed count + a top-k over a vocabulary-sized frame (the
+    // vocabulary, not the corpus, bounds the window input — fine at any
+    // corpus scale).
+    "q_text_zipf" -> { (s, dir) =>
+      val docs = Fixtures.table(s, dir, "documents")
+      val tf = docs
+        .select(explode(split(lower(col("text")), " ")).as("tok"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("freq"))
+      val total = tf.agg(sum("freq").as("n_toks"))
+      tf.crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(Window.orderBy(col("freq").desc, col("tok"))))
+        .filter(col("rank") <= 20)
+        .select(
+          col("rank"),
+          col("tok"),
+          col("freq"),
+          e6(col("freq").cast("double") / col("n_toks")).as("share_e6"),
+          (col("rank") * col("freq")).as("zipf_c"))
+        .orderBy("rank")
+    },
     "q_term_docfreq" -> { (s, dir) =>
       val docs = Fixtures.table(s, dir, "documents")
       val total = docs.agg(count(lit(1)).as("n_docs"))
@@ -912,6 +983,27 @@ object ExtraText {
       "SELECT doc_id, CAST(len(string_split(text,' ')) AS INT) AS ws_n, CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS re_n, len(regexp_extract_all(text, '[a-z]+|[0-9]+'))*1.0/len(string_split(text,' ')) AS ratio FROM documents ORDER BY doc_id",
     "q_doc_fingerprint" ->
       "SELECT doc_id, CAST(list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(string_split(lower(text),' '), t -> CAST(ascii(t) AS BIGINT)*256 + length(t))), (h,v) -> (h*31 + v) % 1000000007) AS BIGINT) AS fp FROM documents ORDER BY doc_id",
+    "q_quality_gopher" ->
+      ("WITH t AS (SELECT doc_id, n_chars, string_split(lower(text),' ') AS toks FROM documents), " +
+        "w AS (SELECT doc_id, n_chars, len(toks) AS n_words, len(list_distinct(toks)) AS n_distinct FROM t), " +
+        "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg FROM t), " +
+        "c AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2), " +
+        "top AS (SELECT doc_id, bg AS top_bg, cnt AS top_bg_n, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bg) AS rk FROM c), " +
+        "j AS (SELECT w.doc_id, n_words, top_bg, top_bg_n, " +
+        "CAST(n_words - n_distinct AS DOUBLE) / n_words AS dwf, " +
+        "top_bg_n * CAST(len(top_bg) AS DOUBLE) / n_chars AS tbf " +
+        "FROM w JOIN top ON w.doc_id = top.doc_id AND rk = 1) " +
+        "SELECT doc_id, n_words, top_bg, top_bg_n, " +
+        "CAST(floor(dwf*1000000 + 0.5) AS BIGINT) AS dup_word_frac_e6, " +
+        "CAST(floor(tbf*1000000 + 0.5) AS BIGINT) AS top_bg_char_frac_e6, " +
+        "CAST(tbf < 0.2 AND dwf < 0.3 AS INT) AS keep " +
+        "FROM j ORDER BY doc_id"),
+    "q_text_zipf" ->
+      ("WITH tf AS (SELECT tok, count(*) AS freq FROM (SELECT unnest(string_split(lower(text),' ')) AS tok FROM documents) GROUP BY tok), " +
+        "n AS (SELECT sum(freq) AS n_toks FROM tf), " +
+        "r AS (SELECT tok, freq, row_number() OVER (ORDER BY freq DESC, tok) AS rank FROM tf) " +
+        "SELECT rank, tok, freq, CAST(floor(CAST(freq AS DOUBLE)/n_toks*1000000 + 0.5) AS BIGINT) AS share_e6, " +
+        "rank * freq AS zipf_c FROM r, n WHERE rank <= 20 ORDER BY rank"),
     "q_term_docfreq" ->
       ("WITH s AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, unnest(string_split(lower(text),' ')) AS tok FROM documents)), " +
         "f AS (SELECT tok, count(*) AS df FROM s GROUP BY tok), n AS (SELECT count(*) AS n_docs FROM documents) " +

@@ -117,6 +117,35 @@ object PipelineOps {
         .select("source", "doc_id", "n_src", "target_n")
         .orderBy("source", "doc_id")
     },
+    // Temperature-scaled source mixing — the multilingual/multi-source
+    // rebalancing step of the published pretraining recipes (sample
+    // sources ∝ p^α, α<1, so low-resource sources are UP-weighted
+    // relative to their raw share without ever dominating): per source,
+    // raw share p = n_src/N, temperature weight w ∝ p^0.7 normalized over
+    // sources, and the expected document budget each source gets out of a
+    // 10k-doc epoch. The whole spec is ONE count aggregate to a
+    // sources-sized frame (model-sized at any corpus scale — the 100-TB
+    // cost is the count, which manifest stats can even answer for free on
+    // a snapshot table); the per-row sampling gate that would consume
+    // these rates is q_sample_mixture's deterministic hash, unchanged.
+    "q_sample_temperature" -> { (s, dir) =>
+      val counts = Fixtures
+        .table(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_src"))
+      val w = Window.partitionBy()
+      counts
+        .withColumn("p", col("n_src").cast("double") / sum("n_src").over(w))
+        .withColumn("pw", pow(col("p"), lit(0.7)))
+        .withColumn("wgt", col("pw") / sum("pw").over(w))
+        .select(
+          col("source"),
+          col("n_src"),
+          e6(col("p")).as("share_e6"),
+          e6(col("wgt")).as("weight_e6"),
+          floor(col("wgt") * 10000 + lit(0.5)).cast("long").as("epoch_docs"))
+        .orderBy("source")
+    },
     // Eval-set decontamination: a training doc (doc_id >= 20) is contaminated
     // if it shares any 4-gram with the eval slice (doc_id < 20); output is
     // the contaminated ids with their distinct-shared-4-gram count. Shape at
@@ -316,6 +345,14 @@ object PipelineOps {
         "SELECT d.source, d.doc_id, r.n_src, r.target_n FROM documents d JOIN r USING (source) " +
         "WHERE ((d.doc_id * 2654435761) % 4294967296 + 4294967296) % 4294967296 % 1000 < r.rate " +
         "ORDER BY source, doc_id"),
+    "q_sample_temperature" ->
+      ("WITH c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source), " +
+        "p AS (SELECT source, n_src, CAST(n_src AS DOUBLE) / sum(n_src) OVER () AS p FROM c), " +
+        "w AS (SELECT source, n_src, p, pow(p, 0.7) / sum(pow(p, 0.7)) OVER () AS wgt FROM p) " +
+        "SELECT source, n_src, CAST(floor(p*1000000 + 0.5) AS BIGINT) AS share_e6, " +
+        "CAST(floor(wgt*1000000 + 0.5) AS BIGINT) AS weight_e6, " +
+        "CAST(floor(wgt*10000 + 0.5) AS BIGINT) AS epoch_docs " +
+        "FROM w ORDER BY source"),
     "q_dedup_incremental" ->
       ("WITH loaded AS (SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id < 250) " +
         "SELECT doc_id, lang, md5(text) AS digest FROM documents " +
