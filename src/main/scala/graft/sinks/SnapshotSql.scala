@@ -434,11 +434,129 @@ object SnapshotSql {
           case None => sys.error(s"no constraint '${d.name}' on this table")
         }
 
+      // ───────── table lifecycle (CREATE / CTAS / INSERT / DROP) ─────────
+      // Registered snapshot tables are EXTERNAL-LOCATION tables (the
+      // registry binds a session name to a table root): CREATE requires an
+      // explicit LOCATION, and DROP unregisters the name — data and
+      // history stay on disk (Delta's external-table semantics; vacuum is
+      // the reclamation path). TBLPROPERTIES('morWrites'='true') selects
+      // the merge-on-read DML route, same as register()'s flag.
+
+      case c: CreateTable =>
+        val (name, root, mor) = createTarget(c.name, c.tableSpec)
+        require(c.partitioning.isEmpty, "PARTITIONED BY is not supported; cluster with OPTIMIZE ... ZORDER BY")
+        c.columns.foreach { cd =>
+          require(cd.defaultValue.isEmpty, s"column DEFAULT is not supported (${cd.name})")
+          require(cd.generationExpression.isEmpty && cd.identityColumnSpec.isEmpty,
+            s"generated/identity columns are not supported (${cd.name})")
+        }
+        val exists = SnapshotTable.latestVersion(spark, root).isDefined
+        if (exists && c.ignoreIfExists) { register(spark, name, root, mor); 0 }
+        else {
+          require(!exists, s"snapshot table already exists at $root (use IF NOT EXISTS)")
+          val schema = org.apache.spark.sql.types.StructType(
+            c.columns.map(cd => org.apache.spark.sql.types.StructField(cd.name, cd.dataType, cd.nullable)))
+          val v = SnapshotTable.create(
+            spark,
+            root,
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+          register(spark, name, root, mor)
+          v
+        }
+
+      case c: CreateTableAsSelect =>
+        val (name, root, mor) = createTarget(c.name, c.tableSpec)
+        require(c.partitioning.isEmpty, "PARTITIONED BY is not supported; cluster with OPTIMIZE ... ZORDER BY")
+        // the AS SELECT resolves registered snapshot tables too (CTAS from
+        // a snapshot, incl. time travel) — same core as MERGE's USING side
+        val data: DataFrame = org.apache.spark.sql.GraftSqlBridge.ofRows(
+          spark,
+          substituteRegistered(spark, c.query))
+        val exists = SnapshotTable.latestVersion(spark, root).isDefined
+        if (exists && c.ignoreIfExists) { register(spark, name, root, mor); 0 }
+        else {
+          require(!exists, s"snapshot table already exists at $root (use IF NOT EXISTS)")
+          val v = SnapshotTable.create(spark, root, data)
+          register(spark, name, root, mor)
+          v
+        }
+
+      case i: InsertIntoStatement =>
+        val reg = registrationOf(spark, tableParts(i.table))
+        require(i.partitionSpec.isEmpty && !i.ifPartitionNotExists,
+          "partition clauses are not supported (snapshot tables are unpartitioned; cluster with OPTIMIZE)")
+        require(i.userSpecifiedCols.isEmpty,
+          "INSERT column lists are not supported; project the query to the table schema")
+        val data: DataFrame = org.apache.spark.sql.GraftSqlBridge.ofRows(
+          spark,
+          substituteRegistered(spark, i.query))
+        // spark.sql positional-insert semantics: the query's columns map to
+        // the table schema BY POSITION unless BY NAME was written —
+        // append() matches by name, so rename positionally first (arity
+        // must match; types are append's own loud check)
+        val aligned =
+          if (i.byName) data
+          else {
+            val target = SnapshotTable.read(spark, reg.root).schema
+            require(data.schema.length == target.length,
+              s"INSERT query has ${data.schema.length} columns, table has ${target.length}")
+            data.toDF(target.fieldNames.toSeq: _*)
+          }
+        if (i.overwrite) SnapshotTable.overwrite(spark, reg.root, aligned)
+        else SnapshotTable.append(spark, reg.root, aligned)
+
+      case d: DropTable =>
+        val parts = d.child match {
+          case id: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier => id.nameParts
+          case other => tableParts(other)
+        }
+        require(!d.purge, "DROP TABLE ... PURGE is refused: vacuum() is the explicit reclamation path")
+        val name = parts.last.toLowerCase(java.util.Locale.ROOT)
+        val known = sessionMap(spark).contains(name)
+        if (!known && !d.ifExists)
+          sys.error(s"'${parts.mkString(".")}' is not a registered snapshot table")
+        // external-table semantics: the NAME goes away, the table root
+        // (data + full history) stays readable by path
+        unregister(spark, name)
+        0
+
       case other =>
         sys.error(
           s"not a DML/DDL statement (${other.getClass.getSimpleName}); " +
             "reads go through SnapshotSql.query or spark.sql over SnapshotTable.relation views")
     }
+
+  /** The (name, root, morWrites) of a CREATE target: name from the
+    * unresolved identifier, root from the REQUIRED LOCATION clause,
+    * morWrites from TBLPROPERTIES — with every clause this router would
+    * otherwise silently drop refused loudly. */
+  private def createTarget(
+      nameplan: LogicalPlan,
+      spec: TableSpecBase): (String, String, Boolean) = {
+    val parts = nameplan match {
+      case id: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier => id.nameParts
+      case other => tableParts(other)
+    }
+    require(parts.length == 1, s"CREATE TABLE names a bare single-part identifier, got ${parts.mkString(".")}")
+    spec match {
+      case u: UnresolvedTableSpec =>
+        u.provider.foreach(p =>
+          require(p.equalsIgnoreCase("snapshot-table"), s"unsupported provider '$p' (USING `snapshot-table`)"))
+        val root = u.location.getOrElse(
+          sys.error("CREATE TABLE needs LOCATION '<table root>' — registrations are external-location tables"))
+        val unknown = u.properties.keys.filterNot(_.equalsIgnoreCase("morWrites"))
+        require(unknown.isEmpty, s"unsupported TBLPROPERTIES: ${unknown.mkString(", ")}")
+        require(u.optionExpression.options.isEmpty, "OPTIONS are not supported on CREATE TABLE")
+        require(u.constraints.isEmpty, "declare CHECK constraints via ALTER TABLE ... ADD CONSTRAINT")
+        require(u.comment.isEmpty && u.collation.isEmpty && u.serde.isEmpty,
+          "COMMENT/COLLATION/SERDE clauses are not supported")
+        val mor = u.properties.collectFirst {
+          case (k, v) if k.equalsIgnoreCase("morWrites") => v.equalsIgnoreCase("true")
+        }.getOrElse(false)
+        (parts.head, root, mor)
+      case other => sys.error(s"unsupported CREATE TABLE spec shape: ${other.getClass.getSimpleName}")
+    }
+  }
 
   private def singleField(parts: Seq[String], what: String): String = {
     require(parts.length == 1, s"$what supports top-level columns only, got ${parts.mkString(".")}")

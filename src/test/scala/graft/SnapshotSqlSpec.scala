@@ -325,6 +325,64 @@ class SnapshotSqlSpec extends SparkSuite {
     assert(got.filter("k >= 90 AND price_c % 10 != 0").count() == 0, "matched rows replaced from the snapshot source")
   }
 
+  test("table lifecycle SQL: CREATE / CTAS / INSERT / DROP route onto the transactional operators") {
+    val root = freshRoot() + "/t"
+    val ctasRoot = freshRoot() + "/c"
+    // CREATE TABLE with a schema: an empty v1 whose schema is recorded
+    SnapshotSql.execute(
+      spark,
+      s"CREATE TABLE lifec (k BIGINT, v STRING) USING `snapshot-table` LOCATION '$root'")
+    assert(SnapshotTable.latestVersion(spark, root).contains(1))
+    assert(SnapshotSql.query(spark, "SELECT * FROM lifec").count() == 0)
+    assert(SnapshotSql.query(spark, "SELECT * FROM lifec").columns.toSeq == Seq("k", "v"))
+    // IF NOT EXISTS over an existing table: no new commit, name (re-)bound
+    SnapshotSql.execute(
+      spark,
+      s"CREATE TABLE IF NOT EXISTS lifec (k BIGINT, v STRING) USING `snapshot-table` LOCATION '$root'")
+    assert(SnapshotTable.latestVersion(spark, root).contains(1))
+    intercept[IllegalArgumentException](SnapshotSql.execute(
+      spark,
+      s"CREATE TABLE lifec (k BIGINT, v STRING) USING `snapshot-table` LOCATION '$root'"))
+    // INSERT INTO is a real append commit; positional column mapping
+    SnapshotSql.execute(spark, "INSERT INTO lifec SELECT id, concat('r', id) FROM range(10)")
+    assert(SnapshotTable.latestVersion(spark, root).contains(2))
+    assert(SnapshotSql.query(spark, "SELECT * FROM lifec WHERE k < 3").count() == 3)
+    // INSERT OVERWRITE replaces; history keeps the appended version
+    SnapshotSql.execute(spark, "INSERT OVERWRITE lifec SELECT id, concat('w', id) FROM range(4)")
+    assert(SnapshotSql.query(spark, "SELECT * FROM lifec").count() == 4)
+    assert(SnapshotSql.query(spark, "SELECT * FROM lifec VERSION AS OF 2").count() == 10)
+    // CTAS reads the registered snapshot table (incl. time travel source)
+    SnapshotSql.execute(
+      spark,
+      "CREATE TABLE lifec2 USING `snapshot-table` LOCATION " +
+        s"'$ctasRoot' AS SELECT k, v FROM lifec VERSION AS OF 2 WHERE k >= 5")
+    assert(SnapshotSql.query(spark, "SELECT * FROM lifec2").count() == 5)
+    // TBLPROPERTIES morWrites routes later DML merge-on-read
+    val morRoot = freshRoot() + "/m"
+    SnapshotSql.execute(
+      spark,
+      "CREATE TABLE lifem USING `snapshot-table` LOCATION " +
+        s"'$morRoot' TBLPROPERTIES ('morWrites'='true') AS SELECT id AS k FROM range(100)")
+    SnapshotSql.execute(spark, "DELETE FROM lifem WHERE k BETWEEN 10 AND 19")
+    val hist = SnapshotTable.history(spark, morRoot)
+    assert(hist.last.action == "mor-delete", s"TBLPROPERTIES must route MOR: ${hist.map(_.action)}")
+    assert(SnapshotSql.query(spark, "SELECT * FROM lifem").count() == 90)
+    // DROP TABLE unregisters the NAME; the table root stays readable
+    SnapshotSql.execute(spark, "DROP TABLE lifec2")
+    intercept[RuntimeException](SnapshotSql.execute(spark, "DELETE FROM lifec2 WHERE k = 5"))
+    assert(SnapshotTable.read(spark, ctasRoot).count() == 5, "data survives DROP (external semantics)")
+    intercept[RuntimeException](SnapshotSql.execute(spark, "DROP TABLE lifec2"))
+    SnapshotSql.execute(spark, "DROP TABLE IF EXISTS lifec2") // no-op, no error
+    // refusals: missing LOCATION, wrong provider, PURGE
+    intercept[RuntimeException](
+      SnapshotSql.execute(spark, "CREATE TABLE nowhere (k INT) USING `snapshot-table`"))
+    intercept[IllegalArgumentException](
+      SnapshotSql.execute(spark, s"CREATE TABLE wrongp (k INT) USING parquet LOCATION '${freshRoot()}/p'"))
+    intercept[IllegalArgumentException](SnapshotSql.execute(spark, "DROP TABLE lifec PURGE"))
+    SnapshotSql.execute(spark, "DROP TABLE lifec")
+    SnapshotSql.execute(spark, "DROP TABLE lifem")
+  }
+
   test("WHEN NOT MATCHED BY SOURCE: conditional clauses prune via skeletons, unconditional pays the table") {
     val root = freshRoot()
     SnapshotTable.create(spark, root,
