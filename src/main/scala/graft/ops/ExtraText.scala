@@ -172,15 +172,13 @@ object ExtraText {
     orig.unionByName(variant).repartition(s.sparkContext.defaultParallelism, col("doc_id"))
   }
 
-  /** Exact bigram-Jaccard near-dup pairs on the 30-doc slice (the exact
-    * baseline the LSH families approximate). shingleUdf, not the
-    * transform(sequence(...)) chain: higher-order functions are
-    * CodegenFallback AND explode over a computed array re-evaluates it per
-    * element — measured 2.2 s vs ~0.4 s here. */
   /** Shared pair-overlap kernel of the exact similarity rows: distinct
     * bigram shingles per doc (bounded `doc_id < limit` verification
     * slice), inverted-index self-join on the shingle — never all-pairs —
-    * to (a_id, b_id, shared count, set sizes). */
+    * to (a_id, b_id, shared count, set sizes). shingleUdf, not the
+    * transform(sequence(...)) chain: higher-order functions are
+    * CodegenFallback AND explode over a computed array re-evaluates it
+    * per element — measured 2.2 s vs ~0.4 s here. */
   private def pairOverlap(s: SparkSession, dir: String, limit: Int): DataFrame = {
     val sh = Fixtures
       .table(s, dir, "documents")
@@ -198,6 +196,8 @@ object ExtraText {
       .join(sz.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
   }
 
+  /** Exact bigram-Jaccard near-dup pairs on the bounded slice (the exact
+    * baseline the LSH families approximate). */
   private def jaccardPairs(s: SparkSession, dir: String, limit: Int = 30): DataFrame =
     pairOverlap(s, dir, limit)
       .withColumn("jacc", col("i") / (col("na") + col("nb") - col("i")))
@@ -454,8 +454,13 @@ object ExtraText {
             Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("bg"))))
         .filter(col("rk") === 1)
         .select(col("doc_id"), col("bg").as("top_bg"), col("cnt").as("top_bg_n"))
+      // LEFT join: a sub-2-token doc yields no bigrams, but a junk filter
+      // must still hand EVERY doc a verdict (degenerate docs are exactly
+      // what it gates) — absent top-bigram defaults to ('', 0, frac 0)
       words
-        .join(top, Seq("doc_id"))
+        .join(top, Seq("doc_id"), "left")
+        .withColumn("top_bg", coalesce(col("top_bg"), lit("")))
+        .withColumn("top_bg_n", coalesce(col("top_bg_n"), lit(0L)))
         .withColumn("dup_word_frac", (col("n_words") - col("n_distinct")).cast("double") / col("n_words"))
         .withColumn("top_bg_char_frac", col("top_bg_n") * length(col("top_bg")).cast("double") / col("n_chars"))
         .select(
@@ -989,10 +994,10 @@ object ExtraText {
         "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg FROM t), " +
         "c AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2), " +
         "top AS (SELECT doc_id, bg AS top_bg, cnt AS top_bg_n, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bg) AS rk FROM c), " +
-        "j AS (SELECT w.doc_id, n_words, top_bg, top_bg_n, " +
+        "j AS (SELECT w.doc_id, n_words, coalesce(top_bg, '') AS top_bg, coalesce(top_bg_n, 0) AS top_bg_n, " +
         "CAST(n_words - n_distinct AS DOUBLE) / n_words AS dwf, " +
-        "top_bg_n * CAST(len(top_bg) AS DOUBLE) / n_chars AS tbf " +
-        "FROM w JOIN top ON w.doc_id = top.doc_id AND rk = 1) " +
+        "coalesce(top_bg_n, 0) * CAST(len(coalesce(top_bg, '')) AS DOUBLE) / n_chars AS tbf " +
+        "FROM w LEFT JOIN top ON w.doc_id = top.doc_id AND rk = 1) " +
         "SELECT doc_id, n_words, top_bg, top_bg_n, " +
         "CAST(floor(dwf*1000000 + 0.5) AS BIGINT) AS dup_word_frac_e6, " +
         "CAST(floor(tbf*1000000 + 0.5) AS BIGINT) AS top_bg_char_frac_e6, " +

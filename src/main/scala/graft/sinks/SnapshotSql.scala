@@ -497,7 +497,18 @@ object SnapshotSql {
         val aligned =
           if (i.byName) data
           else {
-            val target = SnapshotTable.read(spark, reg.root).schema
+            // field names come off the manifest's recorded schema — one
+            // metadata read, never the full relation construction (which
+            // for a MOR-masked table would build the whole mask-group
+            // union plan just to be discarded)
+            val v = SnapshotTable
+              .latestVersion(spark, reg.root)
+              .getOrElse(sys.error(s"no snapshot table at ${reg.root}"))
+            val target = SnapshotTable
+              .readManifest(spark, reg.root, v)
+              .schemaJson
+              .map(SnapshotTable.schemaFromJson)
+              .getOrElse(SnapshotTable.readVersion(spark, reg.root, v).schema)
             require(data.schema.length == target.length,
               s"INSERT query has ${data.schema.length} columns, table has ${target.length}")
             data.toDF(target.fieldNames.toSeq: _*)
@@ -511,6 +522,12 @@ object SnapshotSql {
           case other => tableParts(other)
         }
         require(!d.purge, "DROP TABLE ... PURGE is refused: vacuum() is the explicit reclamation path")
+        // only bare single-part names address registrations (the query()
+        // precedence contract): `DROP TABLE db.t` must never unbind a
+        // same-named registration 't'
+        require(
+          parts.length == 1,
+          s"DROP TABLE addresses registered snapshot tables by bare name, got ${parts.mkString(".")}")
         val name = parts.last.toLowerCase(java.util.Locale.ROOT)
         val known = sessionMap(spark).contains(name)
         if (!known && !d.ifExists)

@@ -1343,49 +1343,65 @@ object SnapshotTable {
     }
     val manifest = JsonMethods.compact(
       JsonMethods.render(JObject(List("files" -> JArray(parts.map(p => JString(p.getName)).toList)))))
-    // single-object PUT, written after every data file is in place: its
-    // visibility implies the listed set is complete (overwrite=true — a
-    // racing publisher's last marker wins with ITS complete set)
-    val out = f.create(new Path(target, "_SUCCESS"), true)
+    // The marker lands after every data file is in place, and lands
+    // ATOMICALLY: written to a dot-prefixed temp (invisible to part
+    // filters and the named set), then single-FILE renamed into place —
+    // never an in-place truncate-then-write, which would expose a
+    // zero-length/partial marker to a racing reader (misread as the
+    // legacy format → listing fallback → duplicated rows). A single-file
+    // rename is atomic on HDFS/POSIX; on object stores the temp-to-marker
+    // copy makes the new marker appear all-or-nothing. Racing publishers:
+    // whoever renames last wins with ITS complete set; the brief
+    // marker-absent window between delete and rename reads as "no
+    // complete publish yet" — a safe refusal/re-publish, never wrong data.
+    val success = new Path(target, "_SUCCESS")
+    val mtmp = new Path(target, "._success-" + java.util.UUID.randomUUID())
+    val out = f.create(mtmp, false)
     try out.write(manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (f.exists(success)) f.delete(success, false)
+    // a failed rename means another racer's COMPLETE marker got there
+    // between our delete and rename — accept theirs, drop ours
+    if (!f.rename(mtmp, success)) f.delete(mtmp, false)
     f.delete(tmp, true)
   }
 
   /** The file set a published derived dir consists of: None = no complete
     * publish (`_SUCCESS` absent — a torn/in-flight dir, ignore it);
-    * Some(paths) = the exact files the last publish named. An EMPTY
-    * `_SUCCESS` is the legacy marker (Spark's own, from the
-    * dir-rename-era protocol, whose publish WAS all-or-nothing) — fall
-    * back to the dir listing, which is complete for those dirs. */
+    * Some(paths) = the exact files the last publish named — possibly
+    * EMPTY (a new-protocol publish of a zero-row frame names zero files;
+    * empty-list means "named set = {}", never a listing fallback). Only a
+    * ZERO-LENGTH `_SUCCESS` is the legacy marker (Spark's own, from the
+    * dir-rename-era protocol, whose publish WAS all-or-nothing) — that
+    * one falls back to the dir listing, which is complete for those dirs.
+    * A non-empty marker that is not this protocol's JSON is a corrupt
+    * publish and fails LOUDLY — a listing fallback there would serve
+    * exactly the unnamed junk the protocol exists to hide. */
   private def publishedFiles(f: FileSystem, dir: Path): Option[Seq[Path]] = {
     val success = new Path(dir, "_SUCCESS")
     if (!f.exists(success)) None
     else {
       val st = f.getFileStatus(success)
-      val listed =
-        if (st.getLen == 0) Nil
-        else {
-          val in = f.open(success)
-          val txt =
-            try {
-              val buf = new Array[Byte](st.getLen.toInt)
-              in.readFully(buf)
-              new String(buf, java.nio.charset.StandardCharsets.UTF_8)
-            } finally in.close()
-          JsonMethods.parse(txt) \ "files" match {
-            case JArray(vs) => vs.collect { case JString(n) => n }
-            case _ => Nil
-          }
-        }
-      if (listed.nonEmpty) Some(listed.map(new Path(dir, _)))
-      else
+      if (st.getLen == 0)
         Some(
           f.listStatus(dir)
             .map(_.getPath)
             .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
             .sortBy(_.getName)
             .toSeq)
+      else {
+        val in = f.open(success)
+        val txt =
+          try {
+            val buf = new Array[Byte](st.getLen.toInt)
+            in.readFully(buf)
+            new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+          } finally in.close()
+        JsonMethods.parse(txt) \ "files" match {
+          case JArray(vs) => Some(vs.collect { case JString(n) => new Path(dir, n) })
+          case _ => sys.error(s"corrupt publish manifest at $success; re-publish the dir")
+        }
+      }
     }
   }
 
@@ -1516,10 +1532,13 @@ object SnapshotTable {
       val blooms = m(bloomJ).collect { case (k, JString(b)) => k -> b }
       deadFile(typed, m(minJ), m(maxJ), blooms)
     }
-    val verdicts = spark.read
-      .parquet(ckptFiles.map(_.toString): _*)
-      .select(col("path"), deadFn(col("min"), col("max"), col("bloom")).as("dead"))
-      .collect()
+    val verdicts =
+      if (ckptFiles.isEmpty) Array.empty[org.apache.spark.sql.Row] // checkpoint of a 0-file manifest
+      else
+        spark.read
+          .parquet(ckptFiles.map(_.toString): _*)
+          .select(col("path"), deadFn(col("min"), col("max"), col("bloom")).as("dead"))
+          .collect()
     val keep = verdicts.filter(!_.getBoolean(1)).map(_.getString(0)).toSeq
     val skipped = verdicts.filter(_.getBoolean(1)).map(_.getString(0)).toSeq
     val coveredFiles = (keep ++ skipped).toSet
@@ -3182,11 +3201,20 @@ object SnapshotTable {
             f.listStatus(d)
               .toSeq
               .filter(s =>
-                !s.getPath.getName.startsWith("_") && !named.contains(s.getPath.getName) &&
+                // the exclusion set must match publishDerivedDir's part
+                // filter: '.'-prefixed entries are NEVER publishable parts
+                // but ARE live metadata (ChecksumFileSystem .crc sidecars
+                // of the named files, in-flight marker temps) — sweeping
+                // them would strip checksums off live data
+                !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith(".") &&
+                  !named.contains(s.getPath.getName) &&
                   s.getModificationTime <= System.currentTimeMillis() - minAgeMs)
-              .map { s =>
-                f.delete(s.getPath, false)
-                s"${d.getParent.getName}/${d.getName}/${s.getPath.getName}"
+              .flatMap { s =>
+                // recursive (a crashed pre-protocol writer's orphan can be
+                // a DIR), and only REPORT what the delete confirmed
+                if (f.delete(s.getPath, true))
+                  Some(s"${d.getParent.getName}/${d.getName}/${s.getPath.getName}")
+                else None
               }
           }
         }

@@ -665,6 +665,35 @@ class SnapshotTableSpec extends SparkSuite {
     val cached = SnapshotTable.changesBetweenCached(spark, root, v, v2)
     assert(cached.orderBy("k").collect().toSeq == expect)
     assert(Files.exists(cdcDir.resolve("_SUCCESS")), "re-publish restored the marker")
+    // an EXPLICIT empty named set means "this publish has zero files" —
+    // never a listing fallback (junk in the dir stays invisible)...
+    // (NIO writes below bypass Hadoop's ChecksumFileSystem — drop the
+    // stale .crc sidecar so reads exercise the protocol, not checksums)
+    def rawWrite(bytes: Array[Byte]): Unit = {
+      Files.deleteIfExists(cdcDir.resolve("._SUCCESS.crc"))
+      Files.write(cdcDir.resolve("_SUCCESS"), bytes)
+    }
+    val orphan2 = cdcDir.resolve("part-junk.parquet")
+    Files.copy(ckptDir.resolve("_SUCCESS"), orphan2) // any bytes; must never be read
+    rawWrite("""{"files":[]}""".getBytes("UTF-8"))
+    assert(SnapshotTable.changesBetweenCached(spark, root, v, v2).count() == 0)
+    // ...while a ZERO-LENGTH marker is the legacy (dir-rename-era) format
+    // whose publish was all-or-nothing: the listing is the set — proven
+    // on a FRESH single-publish range dir (the crash-replayed dir above
+    // holds two publishes' parts, exactly why the named set is the only
+    // thing a NEW-protocol reader may trust)
+    val expect01 = SnapshotTable.changesBetween(spark, root, 0, 1).orderBy("k").collect().toSeq
+    val legacyRel = SnapshotTable.materializeChanges(spark, root, 0, 1)
+    val legacyDir = Paths.get(root, legacyRel)
+    Files.deleteIfExists(legacyDir.resolve("._SUCCESS.crc"))
+    Files.write(legacyDir.resolve("_SUCCESS"), Array.empty[Byte])
+    assert(
+      SnapshotTable.changesBetweenCached(spark, root, 0, 1).orderBy("k").collect().toSeq == expect01,
+      "legacy empty marker reads via the dir listing")
+    // a corrupt (non-protocol, non-empty) marker fails LOUDLY — a listing
+    // fallback would serve exactly the unnamed junk the protocol hides
+    rawWrite("not json".getBytes("UTF-8"))
+    intercept[Exception](SnapshotTable.changesBetweenCached(spark, root, v, v2).count())
   }
 
   test("commit store seam: an external put-if-absent store preserves exactly-once on overwriting PUTs") {
