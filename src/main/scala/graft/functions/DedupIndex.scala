@@ -183,6 +183,23 @@ object DedupIndex {
       .unionByName(rejected.select(col("id"), col("status"), col("dup_of")))
   }
 
+  /** REMOVE documents from the index — the maintenance path when docs
+    * leave the corpus after admission (takedowns, retention expiry, a
+    * curation pass rejecting them late): without it a departed document
+    * keeps blocking every future near-duplicate forever. Both tables
+    * shed the ids by an O(change) merge-on-read keyed delete (metadata
+    * commits, zero rewrites); postings drop FIRST so no window generates
+    * candidates for a doc whose tokens are already gone — though either
+    * transient state is sound here (a dangling posting's candidate just
+    * finds no token row to verify against, and fewer candidates for a
+    * departing doc is the goal). Returns how many ids were requested. */
+  def remove(spark: SparkSession, root: String, ids: DataFrame, idCol: String): Long = {
+    val keys = ids.select(col(idCol).cast("long").as("id")).distinct().localCheckpoint()
+    SnapshotTable.deleteMatchedMor(spark, bandsRoot(root), keys, Seq("id"))
+    SnapshotTable.deleteMatchedMor(spark, tokensRoot(root), keys, Seq("id"))
+    keys.count()
+  }
+
   /** Maintenance: re-derive the postings table from the token table with
     * the hot-bucket cap re-applied — the analogue of compaction for
     * buckets that ingests crowded past the cap. One atomic overwrite. */

@@ -100,6 +100,35 @@ class DedupIndexSpec extends SparkSuite {
     assert(after == Set(400L), s"post-rebuild check must still match the ingested doc: $after")
   }
 
+  test("remove: a departed doc stops blocking near-duplicates, via metadata-only deletes") {
+    val root = freshRoot()
+    val corpus = frame((0L until 20L).map(i => doc(i, i * 1000)))
+    DedupIndex.build(spark, root, corpus, "doc_id", "tokens", bands = 6, rows = 3)
+    // a near-dup of indexed doc 3 is blocked...
+    val nd = frame(Seq(doc(300L, 3000L, perturb = 2)))
+    assert(DedupIndex.checkBatch(spark, root, nd, "doc_id", "tokens", 0.8).count() == 1)
+    // ...doc 3 leaves the corpus (takedown) → the block lifts and ingest admits
+    val filesBefore = (SnapshotTable.history(spark, root + "/tokens").last.files.map(_.path) ++
+      SnapshotTable.history(spark, root + "/bands").last.files.map(_.path)).toSet
+    assert(DedupIndex.remove(spark, root, Seq(3L).toDF("doc_id"), "doc_id") == 1)
+    assert(DedupIndex.checkBatch(spark, root, nd, "doc_id", "tokens", 0.8).count() == 0)
+    val report = DedupIndex.ingest(spark, root, nd, "doc_id", "tokens", 0.8).collect()
+    assert(report.length == 1 && report.head.getString(1) == "new", report.toSeq.toString)
+    // the removal was metadata-only: no pre-existing index file rewritten
+    val filesAfter = (SnapshotTable.history(spark, root + "/tokens").last.files.map(_.path) ++
+      SnapshotTable.history(spark, root + "/bands").last.files.map(_.path)).toSet
+    assert(filesBefore.subsetOf(filesAfter), "remove must not rewrite index files")
+    // other docs still block their near-dups (mask surgical, not a wipe)
+    val nd4 = frame(Seq(doc(400L, 4000L, perturb = 2)))
+    assert(DedupIndex.checkBatch(spark, root, nd4, "doc_id", "tokens", 0.8).count() == 1)
+    // rebuildBands reconciles the masks into a clean postings table
+    DedupIndex.rebuildBands(spark, root)
+    assert(SnapshotTable.readManifest(
+      spark, root + "/bands",
+      SnapshotTable.latestVersion(spark, root + "/bands").get).masks.isEmpty)
+    assert(DedupIndex.checkBatch(spark, root, nd4, "doc_id", "tokens", 0.8).count() == 1)
+  }
+
   test("streamIngest: a micro-batched stream gates through the index exactly like batch ingest") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
