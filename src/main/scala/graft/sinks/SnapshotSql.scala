@@ -183,6 +183,8 @@ object SnapshotSql {
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+`?([\w.]+)`?\s+ZORDER\s+BY\s*\(([^)]+)\)(?:\s+INTO\s+(\d+)\s+FILES)?\s*""".r
   private val OptimizeBadRe = """(?is)\s*OPTIMIZE\s+.*""".r
+  private val DescribeHistoryRe =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+`?([\w.]+)`?\s*;?\s*""".r
 
   /** A maintenance statement's table name: registered SINGLE-PART names
     * only — resolving a qualified db.t by its last segment could point a
@@ -606,10 +608,34 @@ object SnapshotSql {
     * ([[SnapshotTable.versionAsOf]]). Unregistered names pass through to
     * the ordinary analyzer (temp views, catalog tables) — this is a
     * NAME-RESOLUTION layer, not a dialect. */
-  def query(spark: SparkSession, sql: String): DataFrame =
-    org.apache.spark.sql.GraftSqlBridge.ofRows(
-      spark,
-      substituteRegistered(spark, spark.sessionState.sqlParser.parsePlan(sql)))
+  def query(spark: SparkSession, sql: String): DataFrame = sql match {
+    // DESCRIBE HISTORY (Delta parity; not Spark grammar → regex-routed
+    // like the maintenance statements): the commit log as a frame —
+    // newest first, one metadata read per version, no data I/O
+    case DescribeHistoryRe(name) =>
+      import spark.implicits._
+      val reg = maintenanceReg(spark, name)
+      SnapshotTable
+        .history(spark, reg.root)
+        .reverse
+        .map(c =>
+          (
+            c.version,
+            c.action,
+            if (c.ts > 0) Some(new java.sql.Timestamp(c.ts)) else None,
+            c.addedRows,
+            c.batchId,
+            c.files.size,
+            c.masks.size,
+            c.constraints.size))
+        .toDF(
+          "version", "action", "timestamp", "added_rows", "batch_id",
+          "n_files", "n_masks", "n_constraints")
+    case _ =>
+      org.apache.spark.sql.GraftSqlBridge.ofRows(
+        spark,
+        substituteRegistered(spark, spark.sessionState.sqlParser.parsePlan(sql)))
+  }
 
   /** Registered-name substitution over an UNANALYZED plan — the shared
     * resolution core of [[query]] and MERGE's USING side. */

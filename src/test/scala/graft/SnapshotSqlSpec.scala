@@ -351,6 +351,12 @@ class SnapshotSqlSpec extends SparkSuite {
     SnapshotSql.execute(spark, "INSERT OVERWRITE lifec SELECT id, concat('w', id) FROM range(4)")
     assert(SnapshotSql.query(spark, "SELECT * FROM lifec").count() == 4)
     assert(SnapshotSql.query(spark, "SELECT * FROM lifec VERSION AS OF 2").count() == 10)
+    // DESCRIBE HISTORY surfaces the commit log newest-first, metadata-only
+    val h = SnapshotSql.query(spark, "DESCRIBE HISTORY lifec")
+      .select("version", "action").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(h.head._1 == 3 && h.last._1 == 1, h.toSeq.toString)
+    assert(h.map(_._2).toSeq.sorted.distinct.nonEmpty && h.exists(_._2 == "overwrite"), h.toSeq.toString)
+    intercept[IllegalArgumentException](SnapshotSql.query(spark, "DESCRIBE HISTORY db.lifec"))
     // CTAS reads the registered snapshot table (incl. time travel source)
     SnapshotSql.execute(
       spark,
