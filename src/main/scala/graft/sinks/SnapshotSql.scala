@@ -185,6 +185,11 @@ object SnapshotSql {
   private val OptimizeBadRe = """(?is)\s*OPTIMIZE\s+.*""".r
   private val DescribeHistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+`?([\w.]+)`?\s*;?\s*""".r
+  private val RestoreRe =
+    """(?is)\s*RESTORE\s+TABLE\s+`?([\w.]+)`?\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
+  private val RestoreTsRe =
+    """(?is)\s*RESTORE\s+TABLE\s+`?([\w.]+)`?\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*""".r
+  private val RestoreBadRe = """(?is)\s*RESTORE\s+.*""".r
 
   /** A maintenance statement's table name: registered SINGLE-PART names
     * only — resolving a qualified db.t by its last segment could point a
@@ -213,6 +218,18 @@ object SnapshotSql {
           keepLast = n.toInt,
           minAgeMs = Option(hours).map(_.toLong * 3600000L).getOrElse(0L))
         SnapshotTable.latestVersion(spark, reg.root).get
+      case RestoreRe(name, v) =>
+        SnapshotTable.restore(spark, maintenanceReg(spark, name).root, v.toInt)
+      case RestoreTsRe(name, ts) =>
+        val reg = maintenanceReg(spark, name)
+        val millis =
+          if (ts.forall(_.isDigit)) ts.toLong
+          else java.sql.Timestamp.valueOf(ts).getTime
+        SnapshotTable.restore(spark, reg.root, SnapshotTable.versionAsOf(spark, reg.root, millis))
+      case RestoreBadRe() =>
+        sys.error(
+          "RESTORE supports 'RESTORE TABLE <t> TO VERSION AS OF <n>' and " +
+            "'RESTORE TABLE <t> TO TIMESTAMP AS OF '<ts>'' only")
       case VacuumBadRe() =>
         sys.error(
           "VACUUM supports 'VACUUM <table> RETAIN <n> VERSIONS [OLDER THAN <h> HOURS]' only — " +

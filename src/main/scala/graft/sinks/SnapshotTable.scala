@@ -981,6 +981,36 @@ object SnapshotTable {
       readEntriesMasked(spark, root, m, m.schemaJson.map(schemaFromJson), fileEntries(m))
   }
 
+  /** ROLL BACK the table to the content of committed version `toVersion`
+    * — as a NEW commit (Delta's RESTORE): the restore manifest re-lists
+    * that version's dirs/files/schema/constraints/masks verbatim, so the
+    * operation is METADATA-ONLY (zero data I/O at any table size — the
+    * old files are immutable and still on disk until vacuum), history
+    * stays intact (every version including the undone ones still
+    * time-travels), and a restore is itself undoable by another restore.
+    * Requires `toVersion`'s manifest to still exist (not vacuumed) —
+    * refused loudly otherwise, and the restored version's data dirs
+    * become live again for vacuum's retention accounting the moment the
+    * restore commit is retained. `addedRows` records the net PHYSICAL
+    * recorded-row delta (same whole-file accounting caveat as MOR
+    * deletes; `countWhere` stays exact regardless). */
+  def restore(spark: SparkSession, root: String, toVersion: Int): Int = {
+    val base = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
+    if (toVersion == base) return base // already there: no commit
+    val target = readManifest(spark, root, toVersion) // loud if vacuumed
+    val cur = readManifest(spark, root, base)
+    def physRows(m: Commit) = m.files.map(_.rows).sum
+    publish(
+      spark,
+      root,
+      target.copy(
+        version = base + 1,
+        action = "restore",
+        addedRows = physRows(target) - physRows(cur),
+        batchId = None,
+        ts = 0L))
+  }
+
   /** The version visible at wall-clock `tsMillis` — the latest commit
     * published at or before it (Delta's `timestampAsOf`). Resolution uses
     * the publish timestamps the manifests record; a timestamp before the

@@ -373,6 +373,12 @@ class SnapshotSqlSpec extends SparkSuite {
     val hist = SnapshotTable.history(spark, morRoot)
     assert(hist.last.action == "mor-delete", s"TBLPROPERTIES must route MOR: ${hist.map(_.action)}")
     assert(SnapshotSql.query(spark, "SELECT * FROM lifem").count() == 90)
+    // RESTORE TABLE rolls back as a metadata-only commit; bad shapes loud
+    SnapshotSql.execute(spark, "RESTORE TABLE lifec TO VERSION AS OF 2")
+    assert(SnapshotSql.query(spark, "SELECT * FROM lifec").count() == 10)
+    assert(SnapshotTable.history(spark, root).last.action == "restore")
+    intercept[RuntimeException](
+      SnapshotSql.execute(spark, "RESTORE TABLE lifec VERSION AS OF 2")) // missing TO
     // DROP TABLE unregisters the NAME; the table root stays readable
     SnapshotSql.execute(spark, "DROP TABLE lifec2")
     intercept[RuntimeException](SnapshotSql.execute(spark, "DELETE FROM lifec2 WHERE k = 5"))

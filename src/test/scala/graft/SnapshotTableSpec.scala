@@ -696,6 +696,52 @@ class SnapshotTableSpec extends SparkSuite {
     intercept[Exception](SnapshotTable.changesBetweenCached(spark, root, v, v2).count())
   }
 
+  test("restore rolls back to a prior version as a metadata-only commit; history stays intact") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, wide(1000))
+    SnapshotTable.compact(spark, root, "k", nFiles = 4) // v2
+    val want = SnapshotTable.readVersion(spark, root, 2).orderBy("k").collect().toSeq
+    SnapshotTable.deleteWhere(spark, root, Seq(SnapshotTable.Bound("k", Some(0L), Some(99L)))) // v3
+    SnapshotTable.append(spark, root, wide(50)) // v4
+    val dirsBefore = fs_ls(root)
+    val v5 = SnapshotTable.restore(spark, root, 2)
+    assert(v5 == 5)
+    // content is exactly v2's, schema included
+    assert(SnapshotTable.read(spark, root).orderBy("k").collect().toSeq == want)
+    // metadata-only: the restore wrote no data files at all
+    assert(fs_ls(root) == dirsBefore, "restore must not write data")
+    assert(SnapshotTable.history(spark, root).last.action == "restore")
+    // the undone versions still time-travel (history is append-only)
+    assert(SnapshotTable.readVersion(spark, root, 4).count() ==
+      SnapshotTable.readVersion(spark, root, 3).count() + 50)
+    // a restore is itself undoable by another restore
+    SnapshotTable.restore(spark, root, 4)
+    assert(SnapshotTable.read(spark, root).count() ==
+      SnapshotTable.readVersion(spark, root, 4).count())
+    // restore-to-current is a no-op (no empty commit)
+    assert(SnapshotTable.restore(spark, root, 6) == 6)
+    assert(SnapshotTable.latestVersion(spark, root).contains(6))
+    // a restored version's dirs are LIVE again for vacuum retention: a
+    // vacuum keeping only recent history must not delete v2's data out
+    // from under the restore commit that re-references it
+    SnapshotTable.restore(spark, root, 2) // v7 references v2's dirs
+    SnapshotTable.vacuum(spark, root, keepLast = 1)
+    assert(SnapshotTable.read(spark, root).orderBy("k").collect().toSeq == want)
+    // restore over pending MOR masks carries them (read applies masks)
+    val mroot = freshRoot()
+    SnapshotTable.create(spark, mroot, wide(500))
+    SnapshotTable.deleteWhereMor(spark, mroot, Seq(SnapshotTable.Bound("k", Some(0L), Some(49L)))) // v2: 450 live
+    SnapshotTable.append(spark, mroot, wide(10)) // v3
+    SnapshotTable.restore(spark, mroot, 2)
+    assert(SnapshotTable.read(spark, mroot).count() == 450)
+  }
+
+  private def fs_ls(root: String): Set[String] = {
+    val d = new java.io.File(root, "data")
+    if (!d.exists) Set.empty
+    else d.listFiles.flatMap(x => Option(x.listFiles).getOrElse(Array.empty).map(_.getName).map(n => x.getName + "/" + n)).toSet
+  }
+
   test("commit store seam: an external put-if-absent store preserves exactly-once on overwriting PUTs") {
     val root = freshRoot()
     try {
