@@ -62,7 +62,8 @@ final class SnapshotSource(
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
     cdc: Boolean = false)
-    extends Source {
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val rateLimited = maxFilesPerTrigger.isDefined || maxBytesPerTrigger.isDefined
   require(
@@ -226,15 +227,90 @@ final class SnapshotSource(
     val latest = latestOpt.get
     if (!rateLimited) latestOpt.map(v => LongOffset(v.toLong))
     else {
-      val from = pos.getOrElse {
-        startVersion match {
-          case Some(sv) => Position(sv - 1, Int.MaxValue, snap = false)
-          case None => Position(latest, 0, snap = true) // begin the full snapshot
-        }
-      }
+      val from = pos.getOrElse(scratchPosition(latest))
       val (end, entries) = walk(from, latest)
       if (entries.isEmpty) pos.map(p => PositionOffset(p)) // no new data
       else Some(PositionOffset(end))
+    }
+  }
+
+  private def scratchPosition(latest: Int): Position =
+    startVersion match {
+      case Some(sv) => Position(sv - 1, Int.MaxValue, snap = false)
+      case None => Position(latest, 0, snap = true) // begin the full snapshot
+    }
+
+  // ─────────── admission control / Trigger.AvailableNow ───────────
+  // The engine prefers this surface over getOffset when a source
+  // implements SupportsAdmissionControl (FileStreamSource's pattern).
+  // It is REQUIRED for Trigger.AvailableNow correctness under rate
+  // limits: the generic V1 wrapper captures ONE getOffset result as the
+  // drain target, and a rate-limited getOffset returns only the next
+  // CAPPED offset — the wrapped query would stop after a single batch
+  // and report a truncated backlog as fully drained. Implementing the
+  // trait pins the true end at query start (prepareForTriggerAvailableNow)
+  // and lets every latestOffset step walk toward it under the limit.
+  // Bonus over the getOffset path: the engine hands the prior end offset
+  // back as `start`, so a RESTARTED rate-limited query sizes its first
+  // batch correctly instead of falling back to whole-version semantics.
+
+  // drain target pinned at AvailableNow query start: commits landing
+  // after the pin are the NEXT run's work (Spark's AvailableNow contract)
+  @volatile private var availableNowCap: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = SnapshotTable.latestVersion(spark, root)
+
+  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit = {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val limits =
+      maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n)).toSeq ++
+        maxBytesPerTrigger.map(b => ReadLimit.maxBytes(b)).toSeq
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  /** Sentinel meaning "nothing consumed yet" — only ever a START for
+    * [[latestOffset]] (never logged as an end), so it cannot collide
+    * with legacy checkpoint offsets. */
+  override def initialOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
+    PositionOffset(Position(-1, -1, snap = false))
+
+  override def deserializeOffset(
+      json: String): org.apache.spark.sql.connector.read.streaming.Offset =
+    PositionOffset(parsePosition(SerializedOffset(json)))
+
+  override def commit(end: org.apache.spark.sql.connector.read.streaming.Offset): Unit =
+    end match {
+      case v1: V1Offset => commit(v1)
+      case other => commit(SerializedOffset(other.json()): V1Offset)
+    }
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val latestOpt = SnapshotTable.latestVersion(spark, root)
+    if (latestOpt.isEmpty) return start
+    // AvailableNow: never walk past the pinned target (even as commits land)
+    val latest = availableNowCap.fold(latestOpt.get)(math.min(_, latestOpt.get))
+    val startPos = Option(start)
+      .map {
+        case v1: V1Offset => parsePosition(v1)
+        case other => parsePosition(SerializedOffset(other.json()))
+      }
+      .filter(_.v >= 0) // the initial sentinel means "from scratch"
+    if (!rateLimited) {
+      val consumed = startPos.map(_.v).getOrElse(-1)
+      if (latest <= consumed && startPos.isDefined) start
+      else LongOffset(latest.toLong)
+    } else {
+      val from = startPos.orElse(pos).getOrElse(scratchPosition(latest))
+      val (end, entries) = walk(from, latest)
+      if (entries.isEmpty) start else PositionOffset(end)
     }
   }
 

@@ -83,6 +83,52 @@ class SnapshotSourceSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("Trigger.AvailableNow drains the rate-limited backlog, terminates, and restarts exactly-once") {
+    val root = freshRoot()
+    val ckpt = Files.createTempDirectory("graft-ssrc-anckpt").toString
+    val out = Files.createTempDirectory("graft-ssrc-anout").toString
+    // 3 commits × multiple files: a real backlog for the rate limit to split
+    SnapshotTable.create(spark, root,
+      spark.range(100).selectExpr("id AS k", "concat('v', id) AS s").repartition(3))
+    SnapshotTable.append(spark, root,
+      spark.range(100, 200).selectExpr("id AS k", "concat('v', id) AS s").repartition(3))
+    SnapshotTable.append(spark, root,
+      spark.range(200, 300).selectExpr("id AS k", "concat('v', id) AS s").repartition(3))
+    def drain(): Int = {
+      val q = spark.readStream
+        .format("snapshot-table")
+        .option("path", root)
+        .option("maxFilesPerTrigger", "2")
+        .load()
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      // the defining property: the query STOPS ON ITS OWN once the
+      // backlog captured at start is drained (a ProcessingTime query
+      // would run forever; Once would take one capped batch and quit
+      // with backlog remaining)
+      assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+      q.recentProgress.count(_.numInputRows > 0)
+    }
+    val batches1 = drain()
+    assert(spark.read.parquet(out).count() == 300, "the whole backlog drained")
+    assert(batches1 >= 2, s"maxFilesPerTrigger must split the drain into capped batches, got $batches1")
+    // no backlog: a fresh AvailableNow run terminates having emitted nothing
+    drain()
+    assert(spark.read.parquet(out).count() == 300, "an already-drained source re-emits nothing")
+    // commits land while no query runs; the next run picks up exactly those
+    SnapshotTable.append(spark, root,
+      spark.range(300, 350).selectExpr("id AS k", "concat('v', id) AS s"))
+    drain()
+    assert(
+      spark.read.parquet(out).select("k").as[Long].collect().sorted.toSeq == (0L until 350L),
+      "restarted drain emits exactly the missed commits, each row once")
+  }
+
   test("batch frames plan through the manifest FileIndex: filters prune files inside a micro-batch") {
     import org.apache.spark.sql.catalyst.expressions.{GreaterThan, Literal}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
