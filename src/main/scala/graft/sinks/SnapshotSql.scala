@@ -182,6 +182,9 @@ object SnapshotSql {
   private val VacuumBadRe = """(?is)\s*VACUUM\s+.*""".r
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+`?([\w.]+)`?\s+ZORDER\s+BY\s*\(([^)]+)\)(?:\s+INTO\s+(\d+)\s+FILES)?\s*""".r
+  private val OptimizeWhereRe =
+    ("""(?is)\s*OPTIMIZE\s+`?([\w.]+)`?\s+WHERE\s+`?(\w+)`?\s+BETWEEN\s+('[^']*'|[\w.\-]+)\s+AND\s+""" +
+      """('[^']*'|[\w.\-]+)\s+CLUSTER\s+BY\s*\(\s*`?(\w+)`?\s*\)(?:\s+INTO\s+(\d+)\s+FILES)?\s*""").r
   private val OptimizeBadRe = """(?is)\s*OPTIMIZE\s+.*""".r
   private val DescribeHistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+`?([\w.]+)`?\s*;?\s*""".r
@@ -254,10 +257,30 @@ object SnapshotSql {
           math.max(1, math.ceil(bytes / (128.0 * 1024 * 1024)).toInt)
         }
         SnapshotTable.compactZOrder(spark, reg.root, zcols, n)
+      // PARTIAL compaction: re-cluster only the key range (the runnable
+      // maintenance unit at 100 TB — one range per commit, resumable)
+      case OptimizeWhereRe(name, boundCol, lo, hi, clusterCol, nFiles) =>
+        val reg = maintenanceReg(spark, name)
+        def lit(s: String): Any =
+          if (s.startsWith("'")) s.stripPrefix("'").stripSuffix("'")
+          else if (s.matches("""-?\d+""")) s.toLong
+          else if (s.matches("""-?\d*\.\d+""")) s.toDouble
+          else sys.error(s"OPTIMIZE WHERE bound '$s' must be a number or a quoted literal")
+        val bc = resolveColumn(spark, reg.root, boundCol)
+          .getOrElse(sys.error(s"OPTIMIZE WHERE: no column '$boundCol' in table schema"))
+        val cc = resolveColumn(spark, reg.root, clusterCol)
+          .getOrElse(sys.error(s"OPTIMIZE CLUSTER BY: no column '$clusterCol' in table schema"))
+        SnapshotTable.compactWhere(
+          spark,
+          reg.root,
+          Seq(SnapshotTable.Bound(bc, Some(lit(lo)), Some(lit(hi)))),
+          cc,
+          Option(nFiles).map(_.toInt).getOrElse(1))
       case OptimizeBadRe() =>
         sys.error(
-          "OPTIMIZE supports 'OPTIMIZE <table> ZORDER BY (cols...) [INTO <n> FILES]' only; " +
-            "single-column clustering is the one-column ZORDER form")
+          "OPTIMIZE supports 'OPTIMIZE <table> ZORDER BY (cols...) [INTO <n> FILES]' and " +
+            "'OPTIMIZE <table> WHERE <col> BETWEEN <lo> AND <hi> CLUSTER BY (<col>) [INTO <n> FILES]' only; " +
+            "single-column whole-table clustering is the one-column ZORDER form")
       case _ => executeParsed(spark, sql)
     }
   }

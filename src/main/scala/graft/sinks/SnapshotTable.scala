@@ -1890,6 +1890,35 @@ object SnapshotTable {
       constraints = baseManifest.constraints))
   }
 
+  /** PARTIAL compaction — `OPTIMIZE ... WHERE`: re-cluster ONLY the files
+    * whose stats intersect `bounds` (plus stat-less dirs, conservatively),
+    * carrying every other file forward untouched. At 100 TB a whole-table
+    * [[compact]] is not a runnable unit of work — real maintenance walks
+    * the table one key range at a time (yesterday's ingest partition, one
+    * tenant, one cluster edge), each range an independent atomic commit,
+    * resumable and schedulable. Data-identical on live rows (commits as
+    * action "compact": invisible to the stream and the CDC feed, like
+    * full compaction), reads THROUGH pending masks and clears them on the
+    * rewritten entries (partial mask reconciliation — untouched files
+    * keep theirs). Built on the same stats-pruned rewrite core as
+    * copy-on-write DML ([[dmlRewrite]]), so the I/O is ∝ the selected
+    * range, never the table. */
+  def compactWhere(
+      spark: SparkSession,
+      root: String,
+      bounds: Seq[Bound],
+      keyCol: String,
+      nFiles: Int): Int = {
+    import org.apache.spark.sql.functions.col
+    require(bounds.nonEmpty, "compactWhere needs bounds; use compact for the whole table")
+    val base = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
+    val plan = prunePlan(spark, root, base, bounds)
+    if (plan.keep.isEmpty && plan.uncoveredDirs.isEmpty) return base // nothing intersects: no commit
+    val k = col("`" + keyCol + "`")
+    dmlRewrite(spark, root, bounds, "compact", dropWholly = false)(
+      _.repartitionByRange(math.max(1, nFiles), k).sortWithinPartitions(k))
+  }
+
   /** Multi-column clustering compaction — the OPTIMIZE ZORDER core. A
     * single-key [[compact]] makes per-file ranges tight on ONE column;
     * predicates on any other column touch every file. Z-ordering interleaves

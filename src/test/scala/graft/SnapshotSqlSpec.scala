@@ -290,10 +290,19 @@ class SnapshotSqlSpec extends SparkSuite {
     assert(SnapshotTable.history(spark, root).last.action == "compact")
     assert(SnapshotTable.read(spark, root).inputFiles.length == 4)
     assert(SnapshotTable.read(spark, root).count() == 1000, "OPTIMIZE is data-identical")
+    // partial compaction: OPTIMIZE ... WHERE re-clusters only the range
+    val filesBeforePart = SnapshotTable.history(spark, root).last.files.map(_.path).toSet
+    SnapshotSql.execute(spark,
+      "OPTIMIZE snap_mx WHERE k BETWEEN 0 AND 249 CLUSTER BY (k) INTO 1 FILES")
+    val partial = SnapshotTable.history(spark, root).last
+    assert(partial.action == "compact")
+    assert(partial.files.map(_.path).toSet.intersect(filesBeforePart).nonEmpty,
+      "non-intersecting files carry through OPTIMIZE WHERE")
+    assert(SnapshotTable.read(spark, root).count() == 1000)
     // VACUUM with version-based retention; hour-based refused loudly
-    SnapshotTable.append(spark, root, fixture(10)) // v3
+    SnapshotTable.append(spark, root, fixture(10)) // v4
     SnapshotSql.execute(spark, "VACUUM snap_mx RETAIN 1 VERSIONS")
-    assert(SnapshotTable.versions(spark, root) == Seq(3))
+    assert(SnapshotTable.versions(spark, root) == Seq(4))
     val eH = intercept[RuntimeException] {
       SnapshotSql.execute(spark, "VACUUM snap_mx RETAIN 7 HOURS")
     }

@@ -696,6 +696,40 @@ class SnapshotTableSpec extends SparkSuite {
     intercept[Exception](SnapshotTable.changesBetweenCached(spark, root, v, v2).count())
   }
 
+  test("compactWhere re-clusters only the selected key range; masks reconcile partially") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, wide(1000))
+    SnapshotTable.compact(spark, root, "k", nFiles = 8) // ~125 keys per file
+    val before = SnapshotTable.history(spark, root).last.files.map(_.path)
+    val want = SnapshotTable.read(spark, root).orderBy("k").collect().toSeq
+    // re-cluster only the low quarter: intersecting files rewrite, the rest carry
+    SnapshotTable.compactWhere(
+      spark, root, Seq(SnapshotTable.Bound("k", Some(0L), Some(249L))), "k", nFiles = 1)
+    val after = SnapshotTable.history(spark, root).last
+    assert(after.action == "compact", "partial compaction must be stream/CDC-invisible")
+    val carried = after.files.map(_.path).toSet.intersect(before.toSet)
+    assert(carried.size >= 5, s"non-intersecting files must carry: ${carried.size} of 8")
+    assert(carried.size < 8, "intersecting files must rewrite")
+    assert(SnapshotTable.read(spark, root).orderBy("k").collect().toSeq == want, "data-identical")
+    // CDC skips it (same as whole-table compaction)
+    val v = after.version
+    assert(SnapshotTable.changesBetween(spark, root, v - 1, v).count() == 0)
+    // a non-intersecting range is a no-op: no empty commit
+    assert(SnapshotTable.compactWhere(
+      spark, root, Seq(SnapshotTable.Bound("k", Some(5000L), Some(6000L))), "k", 1) == v)
+    // merge-on-read interplay: masks on rewritten entries reconcile, the
+    // untouched files' masks survive and keep applying
+    SnapshotTable.deleteWhereMor(spark, root, Seq(SnapshotTable.Bound("k", Some(100L), Some(149L))))
+    SnapshotTable.deleteWhereMor(spark, root, Seq(SnapshotTable.Bound("k", Some(800L), Some(849L))))
+    SnapshotTable.compactWhere(
+      spark, root, Seq(SnapshotTable.Bound("k", Some(0L), Some(299L))), "k", nFiles = 1)
+    val m = SnapshotTable.readManifest(spark, root, SnapshotTable.latestVersion(spark, root).get)
+    assert(m.masks.nonEmpty, "the untouched range's mask must survive")
+    assert(SnapshotTable.read(spark, root).count() == 900)
+    assert(SnapshotTable.read(spark, root).filter("k BETWEEN 100 AND 149").count() == 0)
+    assert(SnapshotTable.read(spark, root).filter("k BETWEEN 800 AND 849").count() == 0)
+  }
+
   test("restore rolls back to a prior version as a metadata-only commit; history stays intact") {
     val root = freshRoot()
     SnapshotTable.create(spark, root, wide(1000))
