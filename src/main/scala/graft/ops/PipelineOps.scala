@@ -146,6 +146,41 @@ object PipelineOps {
           floor(col("wgt") * 10000 + lit(0.5)).cast("long").as("epoch_docs"))
         .orderBy("source")
     },
+    // Token-budget allocation — the planning step before a training run:
+    // a 40%-of-corpus token budget fills greedily down a deterministic
+    // source priority order (priority = source-id mod 5, standing in for
+    // the curation-quality tier a real recipe declares); whole sources
+    // fit until the boundary source, which gets a fractional sampling
+    // rate, and everything past the cut gets rate 0. Per-source token
+    // counts are ONE scan + one agg; the allocation itself is a window
+    // running-sum over the sources-sized frame — model-sized at any
+    // corpus scale (the 100-TB cost is the token count, not the plan).
+    "q_sample_budget" -> { (s, dir) =>
+      val bySource = Fixtures
+        .table(s, dir, "documents")
+        .select(col("source"), size(split(col("text"), " ")).as("toks"))
+        .groupBy("source")
+        .agg(sum("toks").as("tokens"))
+        .withColumn("priority", expr("substring(source, 4)").cast("long") % 5)
+      val w = Window.partitionBy()
+      val order = Window
+        .partitionBy()
+        .orderBy(col("priority").desc, col("tokens").desc, col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+      bySource
+        .withColumn("budget", floor(sum("tokens").over(w) * 0.4).cast("long"))
+        .withColumn("cum_before", coalesce(sum("tokens").over(order), lit(0L)))
+        .withColumn(
+          "alloc",
+          greatest(lit(0L), least(col("tokens"), col("budget") - col("cum_before"))))
+        .select(
+          col("source"),
+          col("priority"),
+          col("tokens"),
+          col("alloc"),
+          e6(col("alloc").cast("double") / col("tokens")).as("rate_e6"))
+        .orderBy("source")
+    },
     // Eval-set decontamination: a training doc (doc_id >= 20) is contaminated
     // if it shares any 4-gram with the eval slice (doc_id < 20); output is
     // the contaminated ids with their distinct-shared-4-gram count. Shape at
@@ -345,6 +380,13 @@ object PipelineOps {
         "SELECT d.source, d.doc_id, r.n_src, r.target_n FROM documents d JOIN r USING (source) " +
         "WHERE ((d.doc_id * 2654435761) % 4294967296 + 4294967296) % 4294967296 % 1000 < r.rate " +
         "ORDER BY source, doc_id"),
+    "q_sample_budget" ->
+      ("WITH c AS (SELECT source, sum(len(string_split(text, ' '))) AS tokens, CAST(substr(source, 4) AS BIGINT) % 5 AS priority FROM documents GROUP BY source), " +
+        "b AS (SELECT *, CAST(floor(sum(tokens) OVER () * 0.4) AS BIGINT) AS budget, " +
+        "coalesce(sum(tokens) OVER (ORDER BY priority DESC, tokens DESC, source ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM c), " +
+        "a AS (SELECT source, priority, tokens, greatest(0, least(tokens, budget - cum_before)) AS alloc FROM b) " +
+        "SELECT source, priority, tokens, alloc, CAST(floor(CAST(alloc AS DOUBLE)/tokens*1000000 + 0.5) AS BIGINT) AS rate_e6 " +
+        "FROM a ORDER BY source"),
     "q_sample_temperature" ->
       ("WITH c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source), " +
         "p AS (SELECT source, n_src, CAST(n_src AS DOUBLE) / sum(n_src) OVER () AS p FROM c), " +

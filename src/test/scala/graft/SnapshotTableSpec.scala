@@ -696,6 +696,38 @@ class SnapshotTableSpec extends SparkSuite {
     intercept[Exception](SnapshotTable.changesBetweenCached(spark, root, v, v2).count())
   }
 
+  test("stress: concurrent racers publishing the same derived dir all land a complete readable set") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, wide(2000))
+    SnapshotTable.compact(spark, root, "k", nFiles = 8)
+    SnapshotTable.deleteWhere(spark, root, Seq(SnapshotTable.Bound("k", Some(0L), Some(199L))))
+    val v = SnapshotTable.latestVersion(spark, root).get
+    val expect = SnapshotTable.changesBetween(spark, root, v - 1, v).orderBy("k").collect().toSeq
+    // 4 threads race the SAME range's first materialization (no marker
+    // yet, every racer publishes) — whichever _SUCCESS lands last must
+    // name a complete, self-consistent set; losers' parts are invisible
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futs = (1 to 4).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[String] {
+          def call(): String = SnapshotTable.materializeChanges(spark, root, v - 1, v)
+        })
+      }
+      futs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    assert(
+      SnapshotTable.changesBetweenCached(spark, root, v - 1, v).orderBy("k").collect().toSeq == expect,
+      "racing publishes must never mix or tear the readable set")
+    // repeated reads are stable (the cache hit path, no recompute)
+    assert(SnapshotTable.changesBetweenCached(spark, root, v - 1, v).count() == expect.size)
+    // any lost-race orphans are unnamed and the age-gated vacuum sweeps them
+    Thread.sleep(30)
+    SnapshotTable.vacuum(spark, root, keepLast = 100, minAgeMs = 10L)
+    assert(
+      SnapshotTable.changesBetweenCached(spark, root, v - 1, v).orderBy("k").collect().toSeq == expect,
+      "the named set survives the orphan sweep")
+  }
+
   test("compactWhere re-clusters only the selected key range; masks reconcile partially") {
     val root = freshRoot()
     SnapshotTable.create(spark, root, wide(1000))
