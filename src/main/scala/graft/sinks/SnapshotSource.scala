@@ -173,13 +173,17 @@ final class SnapshotSource(
     * Never leaves a snapshot list mid-batch AND crosses into deltas (so a
     * start=None batch is always reconstructible from its end position);
     * always ships ≥ 1 entry when any is available. */
-  private def walk(from: Position, latest: Int): (Position, Seq[String]) = {
-    val budgetF = maxFilesPerTrigger.getOrElse(Int.MaxValue)
-    val budgetB = maxBytesPerTrigger.getOrElse(Long.MaxValue)
+  private def walk(
+      from: Position,
+      latest: Int,
+      files: Option[Int] = maxFilesPerTrigger,
+      bytes0: Option[Long] = maxBytesPerTrigger): (Position, Seq[String]) = {
+    val budgetF = files.getOrElse(Int.MaxValue)
+    val budgetB = bytes0.getOrElse(Long.MaxValue)
     // bytes only gate batches when a byte budget is CONFIGURED — with
     // maxFilesPerTrigger alone, an unsized entry must not collapse the
     // batch to one file
-    val trackBytes = maxBytesPerTrigger.isDefined
+    val trackBytes = bytes0.isDefined
     var p = normalize(from, latest)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var bytes = 0L
@@ -303,14 +307,36 @@ final class SnapshotSource(
         case other => parsePosition(SerializedOffset(other.json()))
       }
       .filter(_.v >= 0) // the initial sentinel means "from scratch"
-    if (!rateLimited) {
+    // honor the limit the ENGINE passed, not the constructor options
+    // verbatim: normally it hands getDefaultReadLimit back, but e.g.
+    // Trigger.Once passes ReadLimit.allAvailable() and expects the whole
+    // backlog in one batch — applying the configured cap there would
+    // truncate the drain and terminate early
+    val (limitF, limitB) = readLimitBudgets(limit)
+    if (limitF.isEmpty && limitB.isEmpty) {
       val consumed = startPos.map(_.v).getOrElse(-1)
       if (latest <= consumed && startPos.isDefined) start
       else LongOffset(latest.toLong)
     } else {
       val from = startPos.orElse(pos).getOrElse(scratchPosition(latest))
-      val (end, entries) = walk(from, latest)
+      val (end, entries) = walk(from, latest, limitF, limitB)
       if (entries.isEmpty) start else PositionOffset(end)
+    }
+  }
+
+  /** (maxFiles, maxBytes) of an engine-passed ReadLimit; (None, None) =
+    * unbounded (ReadAllAvailable). */
+  private def readLimitBudgets(
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : (Option[Int], Option[Long]) = {
+    import org.apache.spark.sql.connector.read.streaming._
+    limit match {
+      case f: ReadMaxFiles => (Some(f.maxFiles()), None)
+      case b: ReadMaxBytes => (None, Some(b.maxBytes()))
+      case c: CompositeReadLimit =>
+        c.getReadLimits.map(readLimitBudgets).reduce((a, b) =>
+          (a._1.orElse(b._1), a._2.orElse(b._2)))
+      case _ => (None, None) // ReadAllAvailable (or an unknown limit: no cap)
     }
   }
 

@@ -275,7 +275,7 @@ object SnapshotSql {
           reg.root,
           Seq(SnapshotTable.Bound(bc, Some(lit(lo)), Some(lit(hi)))),
           cc,
-          Option(nFiles).map(_.toInt).getOrElse(1))
+          Option(nFiles).map(_.toInt).getOrElse(0)) // 0 = auto-size at ~128MB from the selected bytes
       case OptimizeBadRe() =>
         sys.error(
           "OPTIMIZE supports 'OPTIMIZE <table> ZORDER BY (cols...) [INTO <n> FILES]' and " +
@@ -650,27 +650,14 @@ object SnapshotSql {
     * NAME-RESOLUTION layer, not a dialect. */
   def query(spark: SparkSession, sql: String): DataFrame = sql match {
     // DESCRIBE HISTORY (Delta parity; not Spark grammar → regex-routed
-    // like the maintenance statements): the commit log as a frame —
-    // newest first, one metadata read per version, no data I/O
+    // like the maintenance statements): the ONE commit-log surface
+    // ([[SnapshotTable.historyDf]]), newest first — one metadata read per
+    // version, no data I/O
     case DescribeHistoryRe(name) =>
-      import spark.implicits._
       val reg = maintenanceReg(spark, name)
       SnapshotTable
-        .history(spark, reg.root)
-        .reverse
-        .map(c =>
-          (
-            c.version,
-            c.action,
-            if (c.ts > 0) Some(new java.sql.Timestamp(c.ts)) else None,
-            c.addedRows,
-            c.batchId,
-            c.files.size,
-            c.masks.size,
-            c.constraints.size))
-        .toDF(
-          "version", "action", "timestamp", "added_rows", "batch_id",
-          "n_files", "n_masks", "n_constraints")
+        .historyDf(spark, reg.root)
+        .orderBy(org.apache.spark.sql.functions.col("version").desc)
     case _ =>
       org.apache.spark.sql.GraftSqlBridge.ofRows(
         spark,

@@ -1908,15 +1908,24 @@ object SnapshotTable {
       root: String,
       bounds: Seq[Bound],
       keyCol: String,
-      nFiles: Int): Int = {
+      nFiles: Int = 0): Int = {
     import org.apache.spark.sql.functions.col
     require(bounds.nonEmpty, "compactWhere needs bounds; use compact for the whole table")
-    val base = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
-    val plan = prunePlan(spark, root, base, bounds)
-    if (plan.keep.isEmpty && plan.uncoveredDirs.isEmpty) return base // nothing intersects: no commit
     val k = col("`" + keyCol + "`")
-    dmlRewrite(spark, root, bounds, "compact", dropWholly = false)(
-      _.repartitionByRange(math.max(1, nFiles), k).sortWithinPartitions(k))
+    dmlRewrite(spark, root, bounds, "compact", dropWholly = false, skipIfNoWork = true) {
+      (src, selected) =>
+        // nFiles <= 0 → size the output from the SELECTED bytes at a
+        // ~128MB target (a range covering hundreds of GB must not
+        // collapse into one unsplittable file; a small range must not
+        // fragment into core-count shards)
+        val n =
+          if (nFiles > 0) nFiles
+          else {
+            val bytes = selected.map(f => math.max(f.bytes, 0L)).sum
+            math.max(1, math.ceil(bytes / (128.0 * 1024 * 1024)).toInt)
+          }
+        src.repartitionByRange(n, k).sortWithinPartitions(k)
+    }
   }
 
   /** Multi-column clustering compaction — the OPTIMIZE ZORDER core. A
@@ -2034,7 +2043,9 @@ object SnapshotTable {
       root: String,
       bounds: Seq[Bound],
       action: String,
-      dropWholly: Boolean)(transform: DataFrame => DataFrame): Int = {
+      dropWholly: Boolean,
+      skipIfNoWork: Boolean = false)(
+      transform: (DataFrame, Seq[FileStat]) => DataFrame): Int = {
     val base = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
     val m = readManifest(spark, root, base)
     val schema = m.schemaJson.map(schemaFromJson)
@@ -2049,6 +2060,11 @@ object SnapshotTable {
     val (dropped, rewrite) =
       if (dropWholly) candidates.partition(whollyMatches(schema, bounds))
       else (Seq.empty[FileStat], candidates)
+    // maintenance callers (compactWhere): a selection touching nothing is
+    // a no-op, not an empty version bump — decided HERE, on the same plan
+    // the rewrite uses (no separate pre-check, no TOCTOU window)
+    if (skipIfNoWork && rewrite.isEmpty && dropped.isEmpty && plan.uncoveredDirs.isEmpty)
+      return base
     val masked = maskedEntrySet(m)
     val scanPaths = rewrite.map(_.path) ++ plan.uncoveredDirs
     val (newDirs, newStats, delta) =
@@ -2066,7 +2082,7 @@ object SnapshotTable {
             rewrite.map(_.rows).sum
           else src.count()
         val (rel, n, stats) = writeData(
-          spark, root, transform(src), m.constraints, schema.map(mappingOf).getOrElse(Map.empty))
+          spark, root, transform(src, rewrite), m.constraints, schema.map(mappingOf).getOrElse(Map.empty))
         // an all-rows-deleted rewrite leaves no dir (the empty orphan vacuums away)
         if (n == 0) (Seq.empty[String], Seq.empty[FileStat], -before)
         else (Seq(rel), stats, n - before)
@@ -2123,7 +2139,7 @@ object SnapshotTable {
     * files until [[vacuum]]. Returns the new version. */
   def deleteWhere(spark: SparkSession, root: String, bounds: Seq[Bound]): Int = {
     require(bounds.nonEmpty, "deleteWhere with no bounds would drop the whole table; use overwrite")
-    dmlRewrite(spark, root, bounds, "delete", dropWholly = true)(df => df.filter(!matchCol(bounds)))
+    dmlRewrite(spark, root, bounds, "delete", dropWholly = true)((df, _) => df.filter(!matchCol(bounds)))
   }
 
   /** Update rows matching `bounds`: each column in `set` becomes its new
@@ -2139,7 +2155,7 @@ object SnapshotTable {
     import org.apache.spark.sql.functions.{col, when}
     require(bounds.nonEmpty, "updateWhere needs a predicate; for all rows use overwrite")
     require(set.nonEmpty, "updateWhere needs at least one SET column")
-    dmlRewrite(spark, root, bounds, "update", dropWholly = false) { df =>
+    dmlRewrite(spark, root, bounds, "update", dropWholly = false) { (df, _) =>
       set.foreach { case (name, _) =>
         require(df.columns.contains(name), s"updateWhere SET column '$name' is not in the table schema")
       }
@@ -2170,7 +2186,7 @@ object SnapshotTable {
       cond: org.apache.spark.sql.Column,
       pruneBounds: Seq[Bound]): Int = {
     import org.apache.spark.sql.functions.{coalesce, lit}
-    dmlRewrite(spark, root, pruneBounds, "delete", dropWholly = false)(df =>
+    dmlRewrite(spark, root, pruneBounds, "delete", dropWholly = false)((df, _) =>
       df.filter(!coalesce(cond, lit(false))))
   }
 
@@ -2185,7 +2201,7 @@ object SnapshotTable {
       set: Map[String, org.apache.spark.sql.Column]): Int = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     require(set.nonEmpty, "UPDATE needs at least one SET column")
-    dmlRewrite(spark, root, pruneBounds, "update", dropWholly = false) { df =>
+    dmlRewrite(spark, root, pruneBounds, "update", dropWholly = false) { (df, _) =>
       set.foreach { case (name, _) =>
         require(df.columns.contains(name), s"UPDATE SET column '$name' is not in the table schema")
       }
@@ -3019,7 +3035,24 @@ object SnapshotTable {
     val steps = ((fromV + 1) to toV).flatMap { v =>
       val cur = readManifest(spark, root, v)
       if (cur.action == "compact") Seq.empty[DataFrame]
-      else {
+      else if (cur.action == "restore") {
+        // a rollback's delta is the FULL snapshot diff. The per-file +
+        // per-mask algebra below assumes masks only ever shrink within a
+        // file lineage; a restore re-introduces dropped masks and drops
+        // later ones arbitrarily, so the incremental form would both miss
+        // revived rows (a dropped mask emits nothing) and re-emit
+        // already-dead ones (a carried mask whose file was since
+        // rewritten looks "new"). Cost ∝ the two snapshots — honest for a
+        // table-wide rollback event.
+        val prevM = readManifest(spark, root, v - 1)
+        (readPaths(cur, fileEntries(cur)), readPaths(prevM, fileEntries(prevM))) match {
+          case (Some(a), Some(r)) =>
+            Seq(tag(a.exceptAll(r), "insert", v), tag(r.exceptAll(a), "delete", v))
+          case (Some(a), None) => Seq(tag(a, "insert", v))
+          case (None, Some(r)) => Seq(tag(r, "delete", v))
+          case (None, None) => Seq.empty[DataFrame]
+        }
+      } else {
         // fromV = 0: version 1 diffs against the empty table — the
         // creation surfaces as inserts (Delta CDF's startingVersion=0)
         val prevM =

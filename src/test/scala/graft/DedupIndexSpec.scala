@@ -121,6 +121,17 @@ class DedupIndexSpec extends SparkSuite {
     // other docs still block their near-dups (mask surgical, not a wipe)
     val nd4 = frame(Seq(doc(400L, 4000L, perturb = 2)))
     assert(DedupIndex.checkBatch(spark, root, nd4, "doc_id", "tokens", 0.8).count() == 1)
+    // plan shape AFTER a removal: the takedown sidecar's anti-join
+    // broadcasts (mask keys are takedown-sized) and the candidate probe
+    // still broadcasts the batch — the postings table never shuffles on
+    // the masked read path either
+    val masked = DedupIndex.checkBatch(spark, root, nd4, "doc_id", "tokens", 0.8)
+    masked.collect()
+    val mplan = masked.queryExecution.executedPlan.toString
+    assert(mplan.contains("BroadcastHashJoin"), s"no broadcast in post-remove probe:\n$mplan")
+    assert(
+      !mplan.contains("SortMergeJoin"),
+      s"post-remove masked read must not shuffle the postings:\n$mplan")
     // rebuildBands reconciles the masks into a clean postings table
     DedupIndex.rebuildBands(spark, root)
     assert(SnapshotTable.readManifest(

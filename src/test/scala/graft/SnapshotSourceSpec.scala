@@ -129,6 +129,27 @@ class SnapshotSourceSpec extends SparkSuite {
       "restarted drain emits exactly the missed commits, each row once")
   }
 
+  test("latestOffset honors the ENGINE's ReadLimit over the constructor options") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val root = freshRoot()
+    SnapshotTable.create(spark, root,
+      spark.range(100).selectExpr("id AS k", "concat('v', id) AS s").repartition(4))
+    SnapshotTable.append(spark, root,
+      spark.range(100, 200).selectExpr("id AS k", "concat('v', id) AS s").repartition(4))
+    val src = new graft.sinks.SnapshotSource(spark, root, None, maxFilesPerTrigger = Some(2))
+    // Trigger.Once passes allAvailable and expects the WHOLE backlog in
+    // one batch — the configured cap must not truncate the drain: the
+    // returned offset is the uncapped whole-version form
+    val all = src.latestOffset(src.initialOffset(), ReadLimit.allAvailable())
+    assert(all.json().trim == "2", s"allAvailable must cover the full backlog, got ${all.json()}")
+    // the default limit echoes the configured cap and walks incrementally:
+    // a positional offset two files into the initial snapshot
+    val step = src.latestOffset(src.initialOffset(), src.getDefaultReadLimit)
+    assert(
+      step.json().contains("\"i\":2") && step.json().contains("\"snap\":true"),
+      s"the default limit must cap the first batch at 2 files, got ${step.json()}")
+  }
+
   test("batch frames plan through the manifest FileIndex: filters prune files inside a micro-batch") {
     import org.apache.spark.sql.catalyst.expressions.{GreaterThan, Literal}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}

@@ -798,8 +798,23 @@ class SnapshotTableSpec extends SparkSuite {
     SnapshotTable.create(spark, mroot, wide(500))
     SnapshotTable.deleteWhereMor(spark, mroot, Seq(SnapshotTable.Bound("k", Some(0L), Some(49L)))) // v2: 450 live
     SnapshotTable.append(spark, mroot, wide(10)) // v3
-    SnapshotTable.restore(spark, mroot, 2)
+    SnapshotTable.restore(spark, mroot, 2) // v4
     assert(SnapshotTable.read(spark, mroot).count() == 450)
+    // the CDC feed is exact ACROSS restore commits — the incremental
+    // file/mask diff algebra assumes masks only shrink, so a restore's
+    // delta must come from the full snapshot diff: undoing the append
+    // emits exactly those 10 rows as deletes...
+    val undo = SnapshotTable.changesBetween(spark, mroot, 3, 4)
+    assert(undo.count() == 10, s"restore delta must be the snapshot diff: ${undo.count()}")
+    assert(undo.select("_change_type").distinct().collect().map(_.getString(0)).toSeq == Seq("delete"))
+    // ...and restoring PAST the mask revives the 50 masked rows as inserts
+    // (a dropped mask emits nothing under the incremental algebra)
+    SnapshotTable.restore(spark, mroot, 1) // v5
+    val revive = SnapshotTable.changesBetween(spark, mroot, 4, 5)
+    assert(
+      revive.filter("_change_type = 'insert'").count() == 50,
+      "rows a restore revives must surface as CDC inserts")
+    assert(revive.filter("_change_type = 'delete'").count() == 0)
   }
 
   private def fs_ls(root: String): Set[String] = {
