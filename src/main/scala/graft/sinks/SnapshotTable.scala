@@ -993,7 +993,15 @@ object SnapshotTable {
     * become live again for vacuum's retention accounting the moment the
     * restore commit is retained. `addedRows` records the net PHYSICAL
     * recorded-row delta (same whole-file accounting caveat as MOR
-    * deletes; `countWhere` stays exact regardless). */
+    * deletes; `countWhere` stays exact regardless).
+    *
+    * Feed semantics: the CDC feed ([[changesBetween]]) is EXACT across a
+    * restore — its delta is the full snapshot diff. The APPEND stream
+    * ([[SnapshotSource]]) re-emits the files a restore re-lists (the same
+    * at-least-once semantics as any rewrite): an append stream cannot
+    * express deletion, and skipping the re-list would LOSE rows for a
+    * stream whose initial snapshot post-dates the restore target — for
+    * exact deltas, consume `readChangeFeed`. */
   def restore(spark: SparkSession, root: String, toVersion: Int): Int = {
     val base = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
     if (toVersion == base) return base // already there: no commit
