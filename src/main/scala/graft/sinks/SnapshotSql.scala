@@ -188,6 +188,10 @@ object SnapshotSql {
   private val OptimizeBadRe = """(?is)\s*OPTIMIZE\s+.*""".r
   private val DescribeHistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+`?([\w.]+)`?\s*;?\s*""".r
+  private val DescribeDetailRe =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+`?([\w.]+)`?\s*;?\s*""".r
+  private val ShowTablesRe =
+    """(?is)\s*SHOW\s+SNAPSHOT\s+TABLES\s*;?\s*""".r
   private val RestoreRe =
     """(?is)\s*RESTORE\s+TABLE\s+`?([\w.]+)`?\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
   private val RestoreTsRe =
@@ -658,6 +662,39 @@ object SnapshotSql {
       SnapshotTable
         .historyDf(spark, reg.root)
         .orderBy(org.apache.spark.sql.functions.col("version").desc)
+    // DESCRIBE DETAIL (Delta parity): the table's current shape in one
+    // row — a LITE manifest read (no per-file stats parse) + the
+    // checkpoint listing, zero data I/O
+    case DescribeDetailRe(name) =>
+      import spark.implicits._
+      val reg = maintenanceReg(spark, name)
+      val v = SnapshotTable
+        .latestVersion(spark, reg.root)
+        .getOrElse(sys.error(s"no snapshot table at ${reg.root}"))
+      val m = SnapshotTable.readManifest(spark, reg.root, v)
+      Seq(
+        (
+          name.toLowerCase(java.util.Locale.ROOT),
+          reg.root,
+          v,
+          m.files.size,
+          m.files.map(_.rows).sum,
+          m.files.map(f => math.max(f.bytes, 0L)).sum,
+          m.masks.size,
+          m.constraints.size,
+          m.dropped.size,
+          SnapshotTable.latestCheckpoint(spark, reg.root),
+          reg.morWrites))
+        .toDF(
+          "name", "location", "version", "num_files", "total_rows", "total_bytes",
+          "n_masks", "n_constraints", "n_dropped_columns", "checkpoint_version", "mor_writes")
+    // the session's registrations (SHOW TABLES' snapshot analogue)
+    case ShowTablesRe() =>
+      import spark.implicits._
+      sessionMap(spark).toSeq
+        .sortBy(_._1)
+        .map { case (n, r) => (n, r.root, r.morWrites) }
+        .toDF("name", "location", "mor_writes")
     case _ =>
       org.apache.spark.sql.GraftSqlBridge.ofRows(
         spark,

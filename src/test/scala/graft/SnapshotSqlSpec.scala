@@ -382,6 +382,15 @@ class SnapshotSqlSpec extends SparkSuite {
     val hist = SnapshotTable.history(spark, morRoot)
     assert(hist.last.action == "mor-delete", s"TBLPROPERTIES must route MOR: ${hist.map(_.action)}")
     assert(SnapshotSql.query(spark, "SELECT * FROM lifem").count() == 90)
+    // DESCRIBE DETAIL: current shape in one metadata-read row
+    val det = SnapshotSql.query(spark, "DESCRIBE DETAIL lifec").collect().head
+    assert(det.getAs[String]("name") == "lifec" && det.getAs[String]("location") == root)
+    assert(det.getAs[Int]("version") == 3 && det.getAs[Long]("total_rows") == 4L)
+    assert(!det.getAs[Boolean]("mor_writes"))
+    // SHOW SNAPSHOT TABLES lists the session's registrations
+    val shown = SnapshotSql.query(spark, "SHOW SNAPSHOT TABLES")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(shown.get("lifec").contains(root), shown.toString)
     // RESTORE TABLE rolls back as a metadata-only commit; bad shapes loud
     SnapshotSql.execute(spark, "RESTORE TABLE lifec TO VERSION AS OF 2")
     assert(SnapshotSql.query(spark, "SELECT * FROM lifec").count() == 10)
