@@ -415,7 +415,7 @@ final class SnapshotSource(
     // SnapshotTable's column mapping) — the stream's output schema stays
     // the logical one the source declared
     val phys = SnapshotTable.physicalSchemaOf(schema)
-    val idx = new SnapshotFileIndex(spark, root, synthetic, phys)
+    val idx = new SnapshotFileIndex(spark, SnapshotTable.dataRoot(root), synthetic, phys)
     val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       idx,
       new StructType(),
@@ -563,18 +563,19 @@ final class SnapshotSourceProvider
     val latest = SnapshotTable
       .latestVersion(spark, r)
       .getOrElse(sys.error(s"no snapshot table at $r"))
-    (parameters.get("versionAsOf"), parameters.get("timestampAsOf")) match {
-      case (Some(_), Some(_)) =>
-        sys.error("specify at most one of versionAsOf / timestampAsOf")
-      case (Some(n), _) =>
+    (parameters.get("versionAsOf"), parameters.get("timestampAsOf"), parameters.get("tag")) match {
+      case (v, ts, t) if Seq(v, ts, t).flatten.size > 1 =>
+        sys.error("specify at most one of versionAsOf / timestampAsOf / tag")
+      case (Some(n), _, _) =>
         val v = n.toInt
         require(v >= 0 && v <= latest, s"versionAsOf $v out of range [0, $latest]")
         v
-      case (_, Some(ts)) =>
+      case (_, Some(ts), _) =>
         val millis =
           if (ts.nonEmpty && ts.forall(_.isDigit)) ts.toLong
           else java.sql.Timestamp.valueOf(ts).getTime
         SnapshotTable.versionAsOf(spark, r, millis)
+      case (_, _, Some(t)) => SnapshotTable.tagVersion(spark, r, t)
       case _ => latest
     }
   }
@@ -593,7 +594,8 @@ final class SnapshotSourceProvider
     val spark = ctx.sparkSession
     val r = root(parameters)
     require(
-      !parameters.contains("versionAsOf") && !parameters.contains("timestampAsOf"),
+      !parameters.contains("versionAsOf") && !parameters.contains("timestampAsOf") &&
+        !parameters.contains("tag"),
       "time travel options apply to reads only")
     val exists = SnapshotTable.latestVersion(spark, r).isDefined
     mode match {
@@ -612,10 +614,15 @@ final class SnapshotSourceProvider
     createRelation(ctx, parameters)
   }
 
-  private def root(parameters: Map[String, String]): String =
-    parameters.getOrElse(
+  private def root(parameters: Map[String, String]): String = {
+    val base = parameters.getOrElse(
       "path",
       parameters.getOrElse("root", sys.error("snapshot-table source needs .option(\"path\", <table root>)")))
+    // `.option("branch", b)` qualifies the handle — reads, writes, and
+    // streams then run against the branch's private log ([[SnapshotTable
+    // .branchRef]]). `tag` is read-only time travel (timeTravelVersion).
+    parameters.get("branch").map(b => SnapshotTable.branchRef(base, b)).getOrElse(base)
+  }
 
   private def isCdc(parameters: Map[String, String]): Boolean =
     parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))

@@ -179,7 +179,239 @@ object SnapshotTable {
   }
 
   private def fs(spark: SparkSession, root: String): FileSystem =
-    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    new Path(dataRoot(root)).getFileSystem(spark.sessionState.newHadoopConf())
+
+  // ─────────────────────── refs: branches and tags ───────────────────────
+  // A root string may carry a BRANCH qualifier — `<path>#branch=<name>` —
+  // and the qualified string is a first-class table handle: every operator
+  // (append, DML, merge-on-read, CDC, checkpoints, streaming source/sink,
+  // SQL routes) resolves its MANIFEST lineage under the branch's private
+  // log dir (`_manifests/ref-<name>/`) while sharing the physical root's
+  // immutable data files — Iceberg's branch model re-expressed over this
+  // table's linear manifest log. A branch forks at a recorded main version
+  // (`_branch.json`); versions ≤ fork resolve to MAIN manifests (full
+  // pre-fork history: time travel, CDC across the fork), versions > fork
+  // to branch-local ones. Data dirs are uuid-named, so branch and main
+  // writers never collide; sharing is safe because files are immutable
+  // and [[vacuum]] counts every ref's manifests as live.
+  private val RefSep = "#branch="
+
+  /** `(physical root, branch name?)` of a possibly ref-qualified root. */
+  private[graft] def splitRef(root: String): (String, Option[String]) = {
+    val i = root.indexOf(RefSep)
+    if (i < 0) (root, None)
+    else (root.substring(0, i), Some(root.substring(i + RefSep.length)))
+  }
+
+  /** The PHYSICAL table root (data dirs, sidecars, `_cdc`) of a handle. */
+  private[graft] def dataRoot(root: String): String = splitRef(root)._1
+
+  /** The ref-qualified handle for branch `name` of the table at `root` —
+    * pass it anywhere a root is accepted to operate on the branch. */
+  def branchRef(root: String, name: String): String = {
+    require(splitRef(root)._2.isEmpty, s"'$root' is already a branch handle; nested refs are not supported")
+    requireRefName(name)
+    root + RefSep + name
+  }
+
+  private def requireRefName(name: String): Unit =
+    require(
+      name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
+      s"ref name must be [A-Za-z0-9_-]+, got '$name'")
+
+  private def refDir(physRoot: String, name: String): Path =
+    new Path(new Path(physRoot, "_manifests"), "ref-" + name)
+
+  private def branchMetaPath(physRoot: String, name: String): Path =
+    new Path(refDir(physRoot, name), "_branch.json")
+
+  /** The fork version a branch split from main at (from `_branch.json`). */
+  private[graft] def forkOf(f: FileSystem, physRoot: String, name: String): Int = {
+    val p = branchMetaPath(physRoot, name)
+    require(f.exists(p), s"no branch '$name' at $physRoot")
+    val in = f.open(p)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    (JsonMethods.parse(txt) \ "fork") match {
+      case JInt(v) => v.toInt
+      case other => sys.error(s"malformed _branch.json for '$name': $other")
+    }
+  }
+
+  private def readSmall(f: FileSystem, p: Path): Array[Byte] = {
+    val in = f.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  /** Create branch `name` forking from main version `asOf` (default: the
+    * current latest) — ZERO-COPY: the branch is one tiny `_branch.json`
+    * recording the fork; pre-fork reads resolve main's manifests in place.
+    * Creation is a [[CommitStore]] put-if-absent, so two racing creators
+    * of the same name fail loudly rather than fork at different versions.
+    * Returns the ref-qualified handle ([[branchRef]]) — pass it anywhere a
+    * root is accepted (append, DML, merge, CDC, streams, SQL registry) to
+    * operate on the branch in isolation; [[fastForward]] publishes it back. */
+  def createBranch(spark: SparkSession, root: String, name: String, asOf: Option[Int] = None): String = {
+    require(splitRef(root)._2.isEmpty, "create branches from the main table handle")
+    requireRefName(name)
+    val f = fs(spark, root)
+    val latest = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
+    val fork = asOf.getOrElse(latest)
+    require(
+      versions(spark, root).contains(fork),
+      s"version $fork is not a committed main version (vacuumed or never existed)")
+    f.mkdirs(refDir(root, name))
+    val json = JsonMethods.compact(
+      JsonMethods.render(
+        JObject("fork" -> JInt(fork), "ts" -> JLong(System.currentTimeMillis()))))
+    try commitStoreRef.get().putIfAbsent(f, branchMetaPath(root, name), json.getBytes("UTF-8"))
+    catch {
+      case e: ConcurrentCommitException =>
+        throw new ConcurrentCommitException(s"branch '$name' already exists at $root (${e.getMessage})")
+    }
+    branchRef(root, name)
+  }
+
+  /** Delete branch `name`: its private manifest log and derived CDC cache
+    * go immediately; data dirs only IT referenced become unreferenced and
+    * are reclaimed by the next [[vacuum]] (shared pre-fork files stay —
+    * they are referenced by main's manifests). */
+  def dropBranch(spark: SparkSession, root: String, name: String): Unit = {
+    require(splitRef(root)._2.isEmpty, "drop branches from the main table handle")
+    val f = fs(spark, root)
+    require(f.exists(branchMetaPath(root, name)), s"no branch '$name' at $root")
+    f.delete(refDir(root, name), true)
+    f.delete(new Path(root, s"_cdc/ref-$name"), true)
+  }
+
+  /** All branches of the table: `(name, fork version)`, name-sorted. Torn
+    * creates (dir without `_branch.json`) are invisible. */
+  def branches(spark: SparkSession, root: String): Seq[(String, Int)] = {
+    val r = dataRoot(root)
+    val f = fs(spark, root)
+    val dir = new Path(r, "_manifests")
+    if (!f.exists(dir)) Seq.empty
+    else
+      f.listStatus(dir)
+        .toSeq
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("ref-") => n.drop(4) }
+        .filter(b => f.exists(branchMetaPath(r, b)))
+        .sorted
+        .map(b => b -> forkOf(f, r, b))
+  }
+
+  private def tagPath(physRoot: String, name: String): Path =
+    new Path(new Path(physRoot, "_manifests"), s"tag-$name.json")
+
+  private val TagRe = """tag-(.+)\.json""".r
+
+  /** Name main version `asOf` (default: latest) as immutable tag `name` —
+    * a human handle for time travel ([[tagVersion]] + [[readVersion]]) that
+    * also PINS the version against [[vacuum]] (tagged versions and their
+    * files are retained regardless of `keepLast`). Put-if-absent: retagging
+    * an existing name is refused ([[dropTag]] first — tags never move). */
+  def createTag(spark: SparkSession, root: String, name: String, asOf: Option[Int] = None): Int = {
+    require(splitRef(root)._2.isEmpty, "tags name MAIN versions; create them from the main handle")
+    requireRefName(name)
+    val f = fs(spark, root)
+    val latest = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
+    val v = asOf.getOrElse(latest)
+    require(
+      versions(spark, root).contains(v),
+      s"version $v is not a committed main version (vacuumed or never existed)")
+    val json = JsonMethods.compact(
+      JsonMethods.render(
+        JObject("version" -> JInt(v), "ts" -> JLong(System.currentTimeMillis()))))
+    try commitStoreRef.get().putIfAbsent(f, tagPath(root, name), json.getBytes("UTF-8"))
+    catch {
+      case e: ConcurrentCommitException =>
+        throw new ConcurrentCommitException(s"tag '$name' already exists at $root (${e.getMessage})")
+    }
+    v
+  }
+
+  /** The main version tag `name` pins. */
+  def tagVersion(spark: SparkSession, root: String, name: String): Int = {
+    val f = fs(spark, root)
+    val p = tagPath(dataRoot(root), name)
+    require(f.exists(p), s"no tag '$name' at $root")
+    (JsonMethods.parse(new String(readSmall(f, p), "UTF-8")) \ "version") match {
+      case JInt(v) => v.toInt
+      case other => sys.error(s"malformed tag '$name': $other")
+    }
+  }
+
+  /** Remove tag `name` (its pinned version becomes ordinary history). */
+  def dropTag(spark: SparkSession, root: String, name: String): Unit = {
+    val f = fs(spark, root)
+    val p = tagPath(dataRoot(root), name)
+    require(f.exists(p), s"no tag '$name' at $root")
+    f.delete(p, false)
+  }
+
+  /** All tags: `(name, version)`, name-sorted. */
+  def tags(spark: SparkSession, root: String): Seq[(String, Int)] = {
+    val f = fs(spark, root)
+    val dir = new Path(dataRoot(root), "_manifests")
+    if (!f.exists(dir)) Seq.empty
+    else
+      f.listStatus(dir)
+        .toSeq
+        .flatMap(s => TagRe.findFirstMatchIn(s.getPath.getName).map(_.group(1)))
+        .sorted
+        .map(t => t -> tagVersion(spark, root, t))
+  }
+
+  /** Publish branch `name`'s commits onto main — the PUBLISH step of
+    * write-audit-publish (stage writes on a branch, audit the branch's
+    * snapshot, fast-forward). Sound only while main still sits at the
+    * branch's fork: each branch manifest is self-contained (full live-file
+    * list), so copying the log forward reproduces the branch's exact state
+    * commit by commit, and every copy is a [[CommitStore]] put-if-absent —
+    * a concurrent main writer makes the copy LOSE loudly
+    * ([[ConcurrentCommitException]]) instead of silently dropping its
+    * commit. A partially-failed fast-forward RESUMES: already-published
+    * prefix manifests are verified byte-identical to the branch's, then
+    * the remainder publishes. Main advanced past the fork with different
+    * content ⇒ refused (divergence needs a rebase, not a publish). Returns
+    * the new main latest version. The branch survives (drop it when done). */
+  def fastForward(spark: SparkSession, root: String, name: String): Int = {
+    require(splitRef(root)._2.isEmpty, "fast-forward from the main table handle")
+    val f = fs(spark, root)
+    val fork = forkOf(f, root, name)
+    val bRoot = branchRef(root, name)
+    val bLatest = latestVersion(spark, bRoot).getOrElse(fork)
+    val mLatest = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
+    require(
+      mLatest <= bLatest,
+      s"main (v$mLatest) advanced past branch '$name' (v$bLatest); fast-forward impossible")
+    (fork + 1 to mLatest).foreach { v =>
+      val mine = readSmall(f, new Path(new Path(root, "_manifests"), f"v$v%08d.json"))
+      val theirs = readSmall(f, new Path(refDir(root, name), f"v$v%08d.json"))
+      require(
+        java.util.Arrays.equals(mine, theirs),
+        s"main v$v diverges from branch '$name'; fast-forward impossible (rebase the branch)")
+    }
+    (mLatest + 1 to bLatest).foreach { v =>
+      val bytes = readSmall(f, new Path(refDir(root, name), f"v$v%08d.json"))
+      try commitStoreRef.get().putIfAbsent(f, new Path(new Path(root, "_manifests"), f"v$v%08d.json"), bytes)
+      catch {
+        case e: ConcurrentCommitException =>
+          throw new ConcurrentCommitException(
+            s"a concurrent main commit beat fast-forward of branch '$name' at v$v (${e.getMessage}); " +
+              "the already-published prefix is live and the operation is resumable once main matches the branch again")
+      }
+    }
+    bLatest
+  }
 
   // ───────── logical→physical column mapping (metadata-only renames) ─────────
   // A renamed column keeps its PHYSICAL parquet name forever (recorded in
@@ -235,22 +467,43 @@ object SnapshotTable {
     if (parts.length <= 2) rel else parts.take(2).mkString("/")
   }
 
-  private def manifestDir(root: String) = new Path(root, "_manifests")
-  private def manifestPath(root: String, v: Int) =
-    new Path(manifestDir(root), f"v$v%08d.json")
+  /** The dir this handle's manifests PUBLISH to (branch: its private log). */
+  private def manifestDir(root: String): Path = splitRef(root) match {
+    case (r, None) => new Path(r, "_manifests")
+    case (r, Some(b)) => refDir(r, b)
+  }
+
+  /** Where version `v` of this handle lives: on a branch, versions ≤ the
+    * fork resolve to MAIN manifests (shared pre-fork history), versions
+    * above it to the branch's own log — no copying at branch creation. */
+  private def manifestPath(f: FileSystem, root: String, v: Int): Path = splitRef(root) match {
+    case (r, None) => new Path(new Path(r, "_manifests"), f"v$v%08d.json")
+    case (r, Some(b)) =>
+      if (v > forkOf(f, r, b)) new Path(refDir(r, b), f"v$v%08d.json")
+      else new Path(new Path(r, "_manifests"), f"v$v%08d.json")
+  }
 
   private val ManifestRe = """v(\d{8})\.json""".r
 
-  /** All committed versions, ascending (one listing). */
-  def versions(spark: SparkSession, root: String): Seq[Int] = {
-    val f = fs(spark, root)
-    val dir = manifestDir(root)
+  private def listedVersions(f: FileSystem, dir: Path): Seq[Int] =
     if (!f.exists(dir)) Seq.empty
     else
       f.listStatus(dir)
         .toSeq
         .flatMap(s => ManifestRe.findFirstMatchIn(s.getPath.getName).map(_.group(1).toInt))
         .sorted
+
+  /** All committed versions, ascending (one listing; a branch sees the
+    * shared main history up to its fork plus its own commits). */
+  def versions(spark: SparkSession, root: String): Seq[Int] = {
+    val f = fs(spark, root)
+    splitRef(root) match {
+      case (r, None) => listedVersions(f, new Path(r, "_manifests"))
+      case (r, Some(b)) =>
+        val fork = forkOf(f, r, b)
+        listedVersions(f, new Path(r, "_manifests")).filter(_ <= fork) ++
+          listedVersions(f, refDir(r, b)).filter(_ > fork)
+    }
   }
 
   def latestVersion(spark: SparkSession, root: String): Option[Int] =
@@ -279,7 +532,7 @@ object SnapshotTable {
 
   private def readManifestOnce(spark: SparkSession, root: String, v: Int): Commit = {
     val f = fs(spark, root)
-    val in = f.open(manifestPath(root, v))
+    val in = f.open(manifestPath(f, root, v))
     val txt =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
@@ -521,7 +774,7 @@ object SnapshotTable {
       physicalOf: Map[String, String] = Map.empty): (String, Long, Seq[FileStat]) = {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     val rel = "data/" + java.util.UUID.randomUUID().toString
-    val abs = new Path(root, rel).toString
+    val abs = new Path(dataRoot(root), rel).toString
     // constraints are authored in LOGICAL names: enforce before the
     // physical rename; renamed columns then write under their immutable
     // physical parquet names so every file of the table stays uniform
@@ -606,7 +859,7 @@ object SnapshotTable {
   private[graft] def publish(spark: SparkSession, root: String, c: Commit): Int = {
     val f = fs(spark, root)
     f.mkdirs(manifestDir(root))
-    val p = manifestPath(root, c.version)
+    val p = manifestPath(f, root, c.version)
     val fileArr = JArray(c.files.map { fst =>
       JObject(
         "path" -> JString(fst.path),
@@ -840,7 +1093,7 @@ object SnapshotTable {
         // a racing commit changed the constraint set: re-validate the dir
         // against every check not already enforced AS THE SAME (name, sql)
         // PAIR — a same-named constraint with new text must re-prove too
-        val dir = spark.read.parquet(new Path(root, written.get._1).toString)
+        val dir = spark.read.parquet(new Path(dataRoot(root), written.get._1).toString)
         val logicalDir = mappingOf(schemaFromJson(schemaEarly)).foldLeft(dir) {
           case (d, (logical, physical)) =>
             if (d.columns.contains(physical)) d.withColumn(logical, d("`" + physical + "`")) else d
@@ -917,7 +1170,7 @@ object SnapshotTable {
           // a constraint raced in since the dir was validated: re-prove the
           // already-written data before claiming the new constraint set
           import org.apache.spark.sql.functions.{coalesce, expr, lit}
-          val dir = spark.read.parquet(new Path(root, rel).toString)
+          val dir = spark.read.parquet(new Path(dataRoot(root), rel).toString)
           val logicalDir = mappingOf(schemaFromJson(schema)).foldLeft(dir) {
             case (d, (logical, physical)) =>
               if (d.columns.contains(physical)) d.withColumn(logical, d("`" + physical + "`")) else d
@@ -974,7 +1227,7 @@ object SnapshotTable {
   def readVersion(spark: SparkSession, root: String, v: Int): DataFrame = {
     val m = readManifest(spark, root, v)
     if (m.masks.isEmpty) {
-      val paths = m.dirs.map(d => new Path(root, d).toString)
+      val paths = m.dirs.map(d => new Path(dataRoot(root), d).toString)
       readTablePaths(spark, m.schemaJson.map(schemaFromJson), paths)
     } else
       // merge-on-read: apply the pending deletion masks at scan time
@@ -1185,7 +1438,7 @@ object SnapshotTable {
         case "pred" => d.filter(!matchCol(decodeMaskBounds(schema, mk.predBounds)))
         case "keys" =>
           val keys = spark.read
-            .parquet(new Path(root, mk.keyDir.getOrElse(sys.error("keys mask without keyDir"))).toString)
+            .parquet(new Path(dataRoot(root), mk.keyDir.getOrElse(sys.error("keys mask without keyDir"))).toString)
             .select(mk.keyCols.map(k => col("`" + k + "`")): _*)
           d.join(keys, mk.keyCols, "left_anti")
         case other => sys.error(s"unknown mask kind '$other'")
@@ -1222,7 +1475,7 @@ object SnapshotTable {
       .toSeq
       .sortBy(_._1.mkString(",")) // deterministic union order
     val parts = groups.map { case (idxs, es) =>
-      val base = readTablePaths(spark, Some(s), es.map(p => new Path(root, p).toString))
+      val base = readTablePaths(spark, Some(s), es.map(p => new Path(dataRoot(root), p).toString))
       val withF = if (withFileName) base.withColumn("__file", input_file_name()) else base
       applyMasks(spark, root, s, idxs.map(m.masks), withF)
     }
@@ -1340,7 +1593,13 @@ object SnapshotTable {
   // with a streaming parser that SKIPS the files array, so the
   // checkpointed planner never materializes per-file stats driver-side.
 
-  private def ckptRel(v: Int) = f"_manifests/ckpt_v$v%08d"
+  /** Root-relative checkpoint dir for version `v` of this HANDLE — a
+    * branch's checkpoints live under its own ref dir (branch and main can
+    * both hold a version `v` with different content). */
+  private def ckptRel(root: String, v: Int): String = splitRef(root) match {
+    case (_, None) => f"_manifests/ckpt_v$v%08d"
+    case (_, Some(b)) => f"_manifests/ref-$b/ckpt_v$v%08d"
+  }
 
   // ─── object-store-safe derived-dir publish (checkpoints, _cdc ranges) ───
   // Derived parquet dirs (a checkpoint frame, a materialized CDC range) are
@@ -1465,7 +1724,7 @@ object SnapshotTable {
         mapJson(f.max),
         mapJson(f.nonNull.map { case (k, v) => k -> (JLong(v): JValue) }),
         mapJson(f.bloom.map { case (k, v) => k -> (JString(v): JValue) })))
-    val rel = ckptRel(m.version)
+    val rel = ckptRel(root, m.version)
     // Publish protocol (same as the _cdc feed — see [[publishDerivedDir]]):
     // write a PRIVATE temp dir, move the data files into the shared target
     // individually, then write the self-validating `_SUCCESS` manifest
@@ -1476,7 +1735,7 @@ object SnapshotTable {
     // function of the immutable manifest, so whichever racer's marker
     // lands last names an identical frame.
     val f = fs(spark, root)
-    val target = new Path(root, rel)
+    val target = new Path(dataRoot(root), rel)
     val tmp = new Path(manifestDir(root), ".tmp-ckpt-" + java.util.UUID.randomUUID())
     rows
       .toDF("path", "rows", "bytes", "min", "max", "nn", "bloom")
@@ -1510,7 +1769,7 @@ object SnapshotTable {
     * parses exactly as [[readManifest]] does. */
   private[graft] def readManifestLite(spark: SparkSession, root: String, v: Int): Commit = {
     val f = fs(spark, root)
-    val in = f.open(manifestPath(root, v))
+    val in = f.open(manifestPath(f, root, v))
     val slim =
       try {
         val factory = new com.fasterxml.jackson.core.JsonFactory()
@@ -1555,7 +1814,7 @@ object SnapshotTable {
     // from the result; reading the named set (never a dir listing) also
     // makes a racing re-publish's orphan parts invisible, and a
     // named-but-missing file fails loudly at scan
-    val ckptFiles = publishedFiles(fs(spark, root), new Path(root, ckptRel(v)))
+    val ckptFiles = publishedFiles(fs(spark, root), new Path(dataRoot(root), ckptRel(root, v)))
       .getOrElse(
         sys.error(s"checkpoint at version $v is incomplete (no _SUCCESS); re-run checkpoint()"))
     val lite = readManifestLite(spark, root, v)
@@ -1650,7 +1909,7 @@ object SnapshotTable {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           schema.getOrElse(sys.error("empty prune result on a pre-schema manifest")))
       else if (m.masks.isEmpty)
-        readTablePaths(spark, schema, keepEntries.map(p => new Path(root, p).toString))
+        readTablePaths(spark, schema, keepEntries.map(p => new Path(dataRoot(root), p).toString))
       else readEntriesMasked(spark, root, m, schema, keepEntries)
     applyBounds(base, bounds)
   }
@@ -1726,7 +1985,7 @@ object SnapshotTable {
       m: Commit,
       phys: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
-    val idx = new SnapshotFileIndex(spark, root, m, phys)
+    val idx = new SnapshotFileIndex(spark, dataRoot(root), m, phys)
     org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       idx,
       new org.apache.spark.sql.types.StructType(),
@@ -1862,7 +2121,7 @@ object SnapshotTable {
         val schema = m.schemaJson.map(schemaFromJson)
         val df =
           if (m.masks.isEmpty)
-            readTablePaths(spark, schema, plan.scanPaths.map(p => new Path(root, p).toString))
+            readTablePaths(spark, schema, plan.scanPaths.map(p => new Path(dataRoot(root), p).toString))
           else readEntriesMasked(spark, root, m, schema, plan.scanPaths)
         applyBounds(df, bounds).count()
       }
@@ -2083,7 +2342,7 @@ object SnapshotTable {
         // rewritten files' masks are thereby satisfied and cleared below)
         val src =
           if (m.masks.isEmpty)
-            readTablePaths(spark, schema, scanPaths.map(p => new Path(root, p).toString))
+            readTablePaths(spark, schema, scanPaths.map(p => new Path(dataRoot(root), p).toString))
           else readEntriesMasked(spark, root, m, schema, scanPaths)
         val before =
           if (plan.uncoveredDirs.isEmpty && !rewrite.exists(f => masked(f.path)))
@@ -2263,10 +2522,10 @@ object SnapshotTable {
     // the source's own columns; restrict the projection to those)
     val srcSchema = org.apache.spark.sql.types.StructType(
       schemaFromJson(evolved).fields.filter(f => source.columns.contains(f.name)))
-    val srcDf = readTablePaths(spark, Some(srcSchema), Seq(new Path(root, srcRel).toString))
+    val srcDf = readTablePaths(spark, Some(srcSchema), Seq(new Path(dataRoot(root), srcRel).toString))
     val srcKeys = srcDf.select(keyCols.map(k => col("`" + k + "`")): _*)
     def readAs(paths: Seq[String]): DataFrame =
-      readTablePaths(spark, priorSchema, paths.map(p => new Path(root, p).toString))
+      readTablePaths(spark, priorSchema, paths.map(p => new Path(dataRoot(root), p).toString))
     // stage 1: envelope prune (zero I/O; min/max ignore null keys)
     val aggs = keyCols.flatMap(k =>
       Seq(min(col("`" + k + "`")).as("__lo_" + k), max(col("`" + k + "`")).as("__hi_" + k)))
@@ -2529,7 +2788,7 @@ object SnapshotTable {
       spark,
       Some(org.apache.spark.sql.types.StructType(
         evolvedStruct.fields.filter(f => srcColumns(f.name)))),
-      Seq(new Path(root, srcRel).toString))
+      Seq(new Path(dataRoot(root), srcRel).toString))
     // source aligned to the evolved width (missing columns null) — the
     // single source frame every stage (probe, join, insert) reuses
     val srcNorm = srcStored.select(evolvedStruct.fields.map { f =>
@@ -2547,7 +2806,7 @@ object SnapshotTable {
     val candidates = plan.keep ++ plan.uncoveredDirs
     def readAs(paths: Seq[String]): DataFrame =
       if (m.masks.isEmpty)
-        readTablePaths(spark, priorSchema, paths.map(p => new Path(root, p).toString))
+        readTablePaths(spark, priorSchema, paths.map(p => new Path(dataRoot(root), p).toString))
       else readEntriesMasked(spark, root, m, priorSchema, paths)
     // stage 2: exact touched-file discovery (matched clauses only) — the
     // key-only columnar probe of the candidates, mask-aware
@@ -2556,7 +2815,7 @@ object SnapshotTable {
       else {
         val probe =
           (if (m.masks.isEmpty)
-             readTablePaths(spark, priorSchema, plan.keep.map(p => new Path(root, p).toString))
+             readTablePaths(spark, priorSchema, plan.keep.map(p => new Path(dataRoot(root), p).toString))
                .withColumn("__file", input_file_name())
            else readEntriesMasked(spark, root, m, priorSchema, plan.keep, withFileName = true))
             .select(keyCols.map(q) :+ col("__file"): _*)
@@ -2650,7 +2909,7 @@ object SnapshotTable {
             srcKeys.limit(0)
           else
             (if (m.masks.isEmpty)
-               readTablePaths(spark, priorSchema, candidates.map(p => new Path(root, p).toString))
+               readTablePaths(spark, priorSchema, candidates.map(p => new Path(dataRoot(root), p).toString))
              else readEntriesMasked(spark, root, m, priorSchema, candidates))
               .select(keyCols.map(q): _*)
         val unmatched = srcNorm.alias(sourceAlias).join(tgtKeys, keyCols, "left_anti")
@@ -2742,7 +3001,7 @@ object SnapshotTable {
     val maskEntries = plan.keep ++ plan.uncoveredDirs
     if (maskEntries.isEmpty) return base // stats prove no file can hold a matched key
     val keyRel = "data/" + java.util.UUID.randomUUID().toString
-    srcKeys.write.parquet(new Path(root, keyRel).toString)
+    srcKeys.write.parquet(new Path(dataRoot(root), keyRel).toString)
     publish(
       spark,
       root,
@@ -2921,7 +3180,7 @@ object SnapshotTable {
     if (nSrc == 0) return base // empty upsert: no-op; the orphan dir vacuums away
     val srcSchema = org.apache.spark.sql.types.StructType(
       schemaFromJson(evolved).fields.filter(f => source.columns.contains(f.name)))
-    val srcDf = readTablePaths(spark, Some(srcSchema), Seq(new Path(root, srcRel).toString))
+    val srcDf = readTablePaths(spark, Some(srcSchema), Seq(new Path(dataRoot(root), srcRel).toString))
     // envelope prune: the only target-side work, and it is zero-I/O
     val aggs = keyCols.flatMap(k =>
       Seq(min(col("`" + k + "`")).as("__lo_" + k), max(col("`" + k + "`")).as("__hi_" + k)))
@@ -2940,7 +3199,7 @@ object SnapshotTable {
           .na.drop("any")
           .distinct()
           .write
-          .parquet(new Path(root, keyRel).toString)
+          .parquet(new Path(dataRoot(root), keyRel).toString)
         val plan = prunePlan(spark, root, base, bounds)
         val maskEntries = plan.keep ++ plan.uncoveredDirs
         if (maskEntries.isEmpty) Seq.empty
@@ -3036,7 +3295,7 @@ object SnapshotTable {
     def readPaths(mf: Commit, paths: Seq[String]): Option[DataFrame] =
       if (paths.isEmpty) None
       else if (mf.masks.isEmpty)
-        Some(readTablePaths(spark, schema, paths.map(p => new Path(root, p).toString)))
+        Some(readTablePaths(spark, schema, paths.map(p => new Path(dataRoot(root), p).toString)))
       else Some(readEntriesMasked(spark, root, mf, schema, paths))
     def tag(df: DataFrame, tpe: String, v: Int): DataFrame =
       df.withColumn("_change_type", lit(tpe)).withColumn("_commit_version", lit(v))
@@ -3092,7 +3351,7 @@ object SnapshotTable {
             case "pred" => base.filter(matchCol(decodeMaskBounds(s, mk.predBounds)))
             case "keys" =>
               val keys = spark.read
-                .parquet(new Path(root, mk.keyDir.getOrElse(sys.error("keys mask without keyDir"))).toString)
+                .parquet(new Path(dataRoot(root), mk.keyDir.getOrElse(sys.error("keys mask without keyDir"))).toString)
                 .select(mk.keyCols.map(k => col("`" + k + "`")): _*)
               base.join(keys, mk.keyCols, "left_semi")
             case other => sys.error(s"unknown mask kind '$other'")
@@ -3127,14 +3386,19 @@ object SnapshotTable {
     * orphans), and [[vacuum]] reclaims ranges whose end version leaves
     * retained history plus any orphans. Returns the root-relative dir. */
   def materializeChanges(spark: SparkSession, root: String, fromV: Int, toV: Int): String = {
-    val rel = f"_cdc/r$fromV%08d_$toV%08d"
-    val dir = new Path(root, rel)
+    // branch feeds are namespaced: branch and main can both hold a range
+    // (fromV, toV] whose change rows DIFFER (post-fork commits diverge)
+    val rel = splitRef(root) match {
+      case (_, None) => f"_cdc/r$fromV%08d_$toV%08d"
+      case (_, Some(b)) => f"_cdc/ref-$b/r$fromV%08d_$toV%08d"
+    }
+    val dir = new Path(dataRoot(root), rel)
     val f = fs(spark, root)
     // a dir without _SUCCESS is a crashed/in-flight publish: DON'T delete
     // it (a live writer may be mid-move) — publish alongside; its orphan
     // parts stay invisible to the named-set readers
     if (!f.exists(new Path(dir, "_SUCCESS"))) {
-      val tmp = new Path(root, s"_cdc/.tmp-${java.util.UUID.randomUUID()}")
+      val tmp = new Path(dataRoot(root), s"_cdc/.tmp-${java.util.UUID.randomUUID()}")
       changesBetween(spark, root, fromV, toV).write.parquet(tmp.toString)
       publishDerivedDir(f, tmp, dir)
     }
@@ -3150,7 +3414,7 @@ object SnapshotTable {
       fromV: Int,
       toV: Int): Seq[Path] = {
     val rel = materializeChanges(spark, root, fromV, toV)
-    publishedFiles(fs(spark, root), new Path(root, rel))
+    publishedFiles(fs(spark, root), new Path(dataRoot(root), rel))
       .getOrElse(sys.error(s"$rel published without _SUCCESS")) // unreachable post-publish
   }
 
@@ -3200,22 +3464,40 @@ object SnapshotTable {
     * a live table. Returns the deleted root-relative paths. */
   def vacuum(spark: SparkSession, root: String, keepLast: Int, minAgeMs: Long = 0L): Seq[String] = {
     require(keepLast >= 1, "must retain at least the latest version")
+    require(
+      splitRef(root)._2.isEmpty,
+      "vacuum operates on the table root (it must account for every ref's liveness); " +
+        "branch-only reclamation is dropBranch + vacuum")
     val f = fs(spark, root)
     val vs = versions(spark, root)
-    val (drop, keep) = vs.splitAt(math.max(vs.size - keepLast, 0))
+    // refs PIN history: a tagged version stays readable forever, and a
+    // branch needs its fork manifest (a branch with no local commits IS
+    // its fork). Protected versions never age out of `keepLast`.
+    val allBranches = branches(spark, root)
+    val protectedV = (tags(spark, root).map(_._2) ++ allBranches.map(_._2)).toSet
+    val recent = vs.takeRight(keepLast).toSet
+    val keep = vs.filter(v => recent(v) || protectedV(v))
+    val keptSet = keep.toSet
+    val drop = vs.filterNot(keptSet)
     // DML commits reference individual FILES of a partially-rewritten dir;
     // liveness is tracked at dir granularity, so one referenced file keeps
     // its whole dir (conservative — superseded siblings go when a later
     // compact/overwrite drops the dir entirely)
     // key-tombstone sidecars of retained manifests' masks are live too —
     // a mask without its sidecar would resurrect deleted rows
-    val live = keep
-      .map(readManifest(spark, root, _))
+    // EVERY branch's local manifests are live too (branches share the
+    // physical data root; their entire local history is retained until
+    // dropBranch — vacuum never truncates a branch's log)
+    val branchCommits = allBranches.flatMap { case (b, fork) =>
+      val bRoot = branchRef(root, b)
+      listedVersions(f, refDir(root, b)).filter(_ > fork).map(readManifest(spark, bRoot, _))
+    }
+    val live = (keep.map(readManifest(spark, root, _)) ++ branchCommits)
       .flatMap(c => c.dirs ++ c.masks.flatMap(_.keyDir))
       .map(dataDirOf)
       .toSet
     val deletedManifests = drop.map { v =>
-      f.delete(manifestPath(root, v), false); f"_manifests/v$v%08d.json"
+      f.delete(manifestPath(f, root, v), false); f"_manifests/v$v%08d.json"
     }
     // stray publish temps (crash between temp write and link/rename) —
     // swept ONLY under an age-gated run (the same live-writer guard the
@@ -3251,7 +3533,7 @@ object SnapshotTable {
     // are derived data: reclaim any whose END version fell out of retained
     // history (no checkpointed stream can still replay that batch — its
     // offsets reference dropped manifests), age-gated like data dirs
-    val cdcDir = new Path(root, "_cdc")
+    val cdcDir = new Path(dataRoot(root), "_cdc")
     val cdcRe = """r(\d{8})_(\d{8})""".r
     val minKept = minKeptV // the single oldest-retained-version cutoff
     val deletedCdc =
@@ -3266,7 +3548,13 @@ object SnapshotTable {
               // age-gated run: a live CDC reader may be minutes into
               // materializing its range, and an un-gated vacuum
               // (minAgeMs=0) would delete the write out from under it
-              (s.getPath.getName.startsWith(".tmp-") && minAgeMs > 0L))
+              (s.getPath.getName.startsWith(".tmp-") && minAgeMs > 0L) ||
+              // a DROPPED branch's namespaced feed cache (`_cdc/ref-<b>/`):
+              // derived data nothing can read once the branch is gone.
+              // Live branches' caches are left alone — their retention is
+              // the branch's lifetime, ended by dropBranch.
+              (s.getPath.getName.startsWith("ref-") &&
+                !allBranches.exists { case (b, _) => s.getPath.getName == "ref-" + b }))
           .map { s =>
             f.delete(s.getPath, true); "_cdc/" + s.getPath.getName
           }
@@ -3319,7 +3607,7 @@ object SnapshotTable {
           }
         }
       }
-    val dataDir = new Path(root, "data")
+    val dataDir = new Path(dataRoot(root), "data")
     // minAgeMs is the in-flight-commit guard the protocol note calls for
     // on a LIVE table: a writer's data dir is unreferenced until its
     // publish, so an age threshold longer than any commit's write phase
@@ -3335,7 +3623,7 @@ object SnapshotTable {
           .map(s => "data/" + s.getPath.getName)
           .filterNot(live)
           .map { rel =>
-            f.delete(new Path(root, rel), true); rel
+            f.delete(new Path(dataRoot(root), rel), true); rel
           }
     deletedManifests ++ deletedCkpt ++ deletedCdc ++ deletedOrphans ++ deletedData
   }

@@ -1,0 +1,198 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sinks.SnapshotTable
+import graft.sinks.SnapshotTable.Bound
+import org.apache.spark.sql.DataFrame
+
+/** Branches, tags, and write-audit-publish (SURVEY §2.J `cap_table_branch`
+  * / `cap_table_tag`): a branch is a zero-copy private manifest log forked
+  * from a main version — every operator accepts the ref-qualified handle
+  * ([[SnapshotTable.branchRef]]) and runs in isolation over the SHARED
+  * immutable data files; [[SnapshotTable.fastForward]] publishes the
+  * branch back through the CommitStore's put-if-absent, so concurrent
+  * main writers lose loudly, never silently. Tags pin main versions by
+  * name against vacuum — the audit/rollback anchor. */
+class SnapshotBranchSpec extends SparkSuite {
+
+  private def freshRoot(): String = Files.createTempDirectory("graft-branch").toString
+
+  private def fixture(from: Int, n: Int): DataFrame =
+    spark.range(from.toLong, (from + n).toLong).selectExpr(
+      "id AS k",
+      "add_months(DATE'1995-01-15', CAST(id % 10 AS INT)) AS d",
+      "(id * 13) % 997 AS price_c")
+
+  private def rows(df: DataFrame) = df.orderBy("k").collect().toSeq
+
+  test("branch writes are isolated; pre-fork history resolves main manifests in place") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, fixture(0, 100)) // v1
+    SnapshotTable.append(spark, root, fixture(100, 50)) // v2
+    val dev = SnapshotTable.createBranch(spark, root, "dev")
+    assert(dev == root + "#branch=dev")
+    assert(SnapshotTable.branches(spark, root) == Seq("dev" -> 2))
+
+    val mainBefore = rows(SnapshotTable.read(spark, root))
+    SnapshotTable.append(spark, dev, fixture(150, 25)) // branch v3
+    SnapshotTable.deleteWhere(spark, dev, Seq(Bound("k", Some(0L), Some(9L)))) // branch v4
+
+    // main is untouched by branch commits
+    assert(SnapshotTable.latestVersion(spark, root).contains(2))
+    assert(rows(SnapshotTable.read(spark, root)) == mainBefore)
+    // the branch sees fork state + its own commits
+    assert(SnapshotTable.latestVersion(spark, dev).contains(4))
+    assert(SnapshotTable.read(spark, dev).count() == 100 + 50 + 25 - 10)
+    // pre-fork time travel on the BRANCH handle reads main's manifests
+    assert(rows(SnapshotTable.readVersion(spark, dev, 1)) == rows(SnapshotTable.readVersion(spark, root, 1)))
+    // branch history = shared prefix + local commits, one lineage
+    assert(SnapshotTable.versions(spark, dev) == Seq(1, 2, 3, 4))
+  }
+
+  test("fast-forward publishes the branch verbatim; a diverged main refuses") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, fixture(0, 100))
+    val dev = SnapshotTable.createBranch(spark, root, "dev")
+    SnapshotTable.append(spark, dev, fixture(100, 30))
+    SnapshotTable.deleteWhere(spark, dev, Seq(Bound("k", Some(0L), Some(4L))))
+
+    val published = SnapshotTable.fastForward(spark, root, "dev")
+    assert(published == 3 && SnapshotTable.latestVersion(spark, root).contains(3))
+    assert(rows(SnapshotTable.read(spark, root)) == rows(SnapshotTable.read(spark, dev)))
+    // manifests are byte-identical: a re-run fast-forward is a no-op resume
+    assert(SnapshotTable.fastForward(spark, root, "dev") == 3)
+    SnapshotTable.dropBranch(spark, root, "dev")
+
+    // divergence: branch forks, then MAIN advances independently
+    val hot = SnapshotTable.createBranch(spark, root, "hotfix")
+    SnapshotTable.append(spark, hot, fixture(200, 10))
+    SnapshotTable.append(spark, root, fixture(300, 10))
+    val e = intercept[Exception](SnapshotTable.fastForward(spark, root, "hotfix"))
+    assert(e.getMessage.contains("diverges") || e.getMessage.contains("advanced past"))
+  }
+
+  test("write-audit-publish: bad batch stays quarantined on the branch, good batch lands atomically") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, fixture(0, 100))
+    val audit = SnapshotTable.createBranch(spark, root, "audit")
+    // stage: a batch with rows a quality gate must reject (price_c on the
+    // staged slice is deterministic; audit = any predicate over the branch)
+    SnapshotTable.append(spark, audit, fixture(100, 20))
+    val bad = SnapshotTable.read(spark, audit).filter("k >= 100 AND price_c < 0").count()
+    assert(bad == 0L) // gate passes -> publish
+    SnapshotTable.fastForward(spark, root, "audit")
+    assert(SnapshotTable.read(spark, root).count() == 120)
+    // main readers never saw an intermediate state: version count tells
+    assert(SnapshotTable.versions(spark, root) == Seq(1, 2))
+  }
+
+  test("merge-on-read masks ride the branch and survive fast-forward") {
+    val root = freshRoot()
+    SnapshotTable.create(
+      spark, root,
+      fixture(0, 1000).repartitionByRange(8, org.apache.spark.sql.functions.col("d"))
+        .sortWithinPartitions("d"))
+    val dev = SnapshotTable.createBranch(spark, root, "dev")
+    SnapshotTable.deleteWhereMor(spark, dev, Seq(Bound("d", Some("1995-03-01"), Some("1995-06-30"))))
+    val expect = rows(SnapshotTable.read(spark, dev))
+    // the mask is branch-private
+    assert(SnapshotTable.history(spark, root).last.masks.isEmpty)
+    SnapshotTable.fastForward(spark, root, "dev")
+    assert(SnapshotTable.history(spark, root).last.masks.nonEmpty)
+    assert(rows(SnapshotTable.read(spark, root)) == expect)
+  }
+
+  test("branch CDC crosses the fork and its feed cache never collides with main's") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, fixture(0, 50)) // v1
+    val dev = SnapshotTable.createBranch(spark, root, "dev")
+    SnapshotTable.append(spark, dev, fixture(50, 20)) // branch v2
+    SnapshotTable.append(spark, root, fixture(900, 5)) // main v2, diverged
+    val devChanges = SnapshotTable.changesBetweenCached(spark, dev, 0, 2)
+    val mainChanges = SnapshotTable.changesBetweenCached(spark, root, 0, 2)
+    assert(devChanges.count() == 70 && mainChanges.count() == 55)
+    // cached re-read returns the same (ref-namespaced dirs, no cross-talk)
+    assert(SnapshotTable.changesBetweenCached(spark, dev, 0, 2).count() == 70)
+    assert(SnapshotTable.changesBetweenCached(spark, root, 0, 2).count() == 55)
+  }
+
+  test("tags pin versions against vacuum; branches pin their fork") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, fixture(0, 50)) // v1
+    SnapshotTable.append(spark, root, fixture(50, 50)) // v2
+    SnapshotTable.createTag(spark, root, "golden", Some(1))
+    assert(SnapshotTable.tags(spark, root) == Seq("golden" -> 1))
+    assert(intercept[Exception](SnapshotTable.createTag(spark, root, "golden"))
+      .getMessage.contains("already exists"))
+    val keep2 = SnapshotTable.createBranch(spark, root, "pin2", Some(2))
+    SnapshotTable.overwrite(spark, root, fixture(0, 10)) // v3 replaces everything
+    SnapshotTable.vacuum(spark, root, keepLast = 1)
+    // v1 (tagged) and v2 (branch fork) survive a keepLast=1 vacuum
+    assert(SnapshotTable.readVersion(spark, root, SnapshotTable.tagVersion(spark, root, "golden")).count() == 50)
+    assert(SnapshotTable.read(spark, keep2).count() == 100)
+    // untag + drop, then vacuum reclaims both pinned versions
+    SnapshotTable.dropTag(spark, root, "golden")
+    SnapshotTable.dropBranch(spark, root, "pin2")
+    SnapshotTable.vacuum(spark, root, keepLast = 1)
+    assert(SnapshotTable.versions(spark, root) == Seq(3))
+    assert(intercept[Exception](SnapshotTable.readVersion(spark, root, 1)).getMessage.nonEmpty)
+    // a branch handle refuses vacuum outright
+    val b = SnapshotTable.createBranch(spark, root, "x")
+    assert(intercept[Exception](SnapshotTable.vacuum(spark, b, 1)).getMessage.contains("table root"))
+  }
+
+  test("vacuum reclaims a dropped branch's private data dirs but never shared ones") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, fixture(0, 50))
+    val dev = SnapshotTable.createBranch(spark, root, "dev")
+    SnapshotTable.append(spark, dev, fixture(50, 20)) // branch-private dir
+    val devDirs = SnapshotTable.history(spark, dev).last.dirs.toSet
+    val mainDirs = SnapshotTable.history(spark, root).last.dirs.toSet
+    val privateDirs = devDirs -- mainDirs
+    assert(privateDirs.nonEmpty)
+    // while the branch lives, vacuum keeps its private dirs
+    val kept = SnapshotTable.vacuum(spark, root, keepLast = 10)
+    assert(!kept.exists(d => privateDirs.exists(d.startsWith)))
+    assert(SnapshotTable.read(spark, dev).count() == 70)
+    SnapshotTable.dropBranch(spark, root, "dev")
+    val deleted = SnapshotTable.vacuum(spark, root, keepLast = 10)
+    assert(privateDirs.forall(p => deleted.exists(_.startsWith(p))), s"expected $privateDirs in $deleted")
+    assert(SnapshotTable.read(spark, root).count() == 50) // main intact
+  }
+
+  test("DataSource options: branch read/write and tag time travel") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, fixture(0, 40))
+    SnapshotTable.createBranch(spark, root, "dev")
+    SnapshotTable.createTag(spark, root, "t1")
+
+    // write via format onto the branch
+    fixture(40, 10).write.format("snapshot-table")
+      .mode("append").option("branch", "dev").save(root)
+    assert(SnapshotTable.read(spark, root).count() == 40)
+    val viaFormat = spark.read.format("snapshot-table").option("branch", "dev").load(root)
+    assert(viaFormat.count() == 50)
+    // tag resolves as time travel (main stays at 40 rows under the tag)
+    SnapshotTable.append(spark, root, fixture(900, 3))
+    val tagged = spark.read.format("snapshot-table").option("tag", "t1").load(root)
+    assert(tagged.count() == 40)
+    assert(intercept[Exception](
+      spark.read.format("snapshot-table").option("tag", "t1").option("versionAsOf", "1").load(root))
+      .getMessage.contains("at most one"))
+  }
+
+  test("branch creation races resolve to exactly one winner; duplicates refuse") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, fixture(0, 10))
+    SnapshotTable.createBranch(spark, root, "only")
+    val e = intercept[Exception](SnapshotTable.createBranch(spark, root, "only"))
+    assert(e.getMessage.contains("already exists"))
+    assert(intercept[Exception](SnapshotTable.createBranch(spark, root, "bad name"))
+      .getMessage.contains("ref name"))
+    // nested refs refuse
+    val dev = SnapshotTable.branchRef(root, "only")
+    assert(intercept[Exception](SnapshotTable.createBranch(spark, dev, "sub"))
+      .getMessage.contains("main table handle"))
+  }
+}
