@@ -28,10 +28,14 @@ import scala.collection.concurrent.TrieMap
   *    extra file, never drop a live one) prune the file set, the TRUE
   *    predicate filters rows, and the whole-file fast-drop is disabled
   *    (only the exact translation may prove "every row matches");
-  *  - `MERGE` supports the upsert canonical form (`WHEN MATCHED THEN
-  *    UPDATE SET *` + `WHEN NOT MATCHED THEN INSERT *`, ON a conjunction
-  *    of same-named key equalities); other merge shapes are refused
-  *    loudly rather than approximated.
+  *  - `MERGE` routes the canonical upsert (`WHEN MATCHED THEN UPDATE
+  *    SET *` + `WHEN NOT MATCHED THEN INSERT *`, ON a conjunction of
+  *    same-named key equalities) onto the dedicated fast paths (incl.
+  *    the MOR O(change) write); every other shape — conditional
+  *    clauses, matched DELETE, explicit SET/INSERT lists, multiple
+  *    first-match-wins clauses, WHEN NOT MATCHED BY SOURCE — lowers
+  *    onto the general [[SnapshotTable.mergeInto]] executor; only
+  *    genuinely untranslatable actions are refused loudly.
   *
   * Targets must be [[register]]ed (name → table root): DML against
   * anything else is refused — this router must never silently "delete"
@@ -197,6 +201,29 @@ object SnapshotSql {
   private val RestoreTsRe =
     """(?is)\s*RESTORE\s+TABLE\s+`?([\w.]+)`?\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*""".r
   private val RestoreBadRe = """(?is)\s*RESTORE\s+.*""".r
+  // refs (branches and tags) — Spark's grammar has no ref DDL, so these
+  // are regex-routed like the other maintenance statements, kept to
+  // rigid shapes; the ...BadRe catchers fire ONLY on statements that
+  // name a ref keyword, so ordinary ALTER TABLE DDL still reaches the
+  // real parser below
+  private val CreateBranchRe =
+    """(?is)\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+CREATE\s+BRANCH\s+`?([\w-]+)`?(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*""".r
+  private val DropBranchRe =
+    """(?is)\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+DROP\s+BRANCH\s+`?([\w-]+)`?\s*""".r
+  private val CreateTagRe =
+    """(?is)\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+CREATE\s+TAG\s+`?([\w-]+)`?(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*""".r
+  private val DropTagRe =
+    """(?is)\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+DROP\s+TAG\s+`?([\w-]+)`?\s*""".r
+  private val FastForwardRe =
+    """(?is)\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+FAST\s+FORWARD\s+BRANCH\s+`?([\w-]+)`?\s*""".r
+  // fires only on ref VERBS (CREATE/DROP BRANCH|TAG, FAST FORWARD) so a
+  // column legitimately NAMED `tag`/`branch` still reaches the parser
+  private val RefBadRe =
+    """(?is)\s*ALTER\s+TABLE\s+.*(?:(?:CREATE|DROP)\s+(?:BRANCH|TAG)\b|FAST\s+FORWARD).*""".r
+  private val ShowBranchesRe =
+    """(?is)\s*SHOW\s+BRANCHES\s+(?:IN\s+)?`?([\w.]+)`?\s*;?\s*""".r
+  private val ShowTagsRe =
+    """(?is)\s*SHOW\s+TAGS\s+(?:IN\s+)?`?([\w.]+)`?\s*;?\s*""".r
 
   /** A maintenance statement's table name: registered SINGLE-PART names
     * only — resolving a qualified db.t by its last segment could point a
@@ -280,6 +307,32 @@ object SnapshotSql {
           Seq(SnapshotTable.Bound(bc, Some(lit(lo)), Some(lit(hi)))),
           cc,
           Option(nFiles).map(_.toInt).getOrElse(0)) // 0 = auto-size at ~128MB from the selected bytes
+      // ───────── refs: branch / tag DDL (metadata-only, zero-copy) ─────────
+      // returns follow each operation's natural version: CREATE BRANCH →
+      // the fork version, CREATE TAG → the pinned version, FAST FORWARD →
+      // the new main latest, drops → the unchanged latest
+      case CreateBranchRe(name, branch, asOf) =>
+        val reg = maintenanceReg(spark, name)
+        SnapshotTable.createBranch(spark, reg.root, branch, Option(asOf).map(_.toInt))
+        SnapshotTable.branches(spark, reg.root).collectFirst { case (b, f) if b == branch => f }.get
+      case DropBranchRe(name, branch) =>
+        val reg = maintenanceReg(spark, name)
+        SnapshotTable.dropBranch(spark, reg.root, branch)
+        SnapshotTable.latestVersion(spark, reg.root).get
+      case CreateTagRe(name, tag, asOf) =>
+        SnapshotTable.createTag(spark, maintenanceReg(spark, name).root, tag, Option(asOf).map(_.toInt))
+      case DropTagRe(name, tag) =>
+        val reg = maintenanceReg(spark, name)
+        SnapshotTable.dropTag(spark, reg.root, tag)
+        SnapshotTable.latestVersion(spark, reg.root).get
+      case FastForwardRe(name, branch) =>
+        SnapshotTable.fastForward(spark, maintenanceReg(spark, name).root, branch)
+      case RefBadRe() =>
+        sys.error(
+          "ref DDL supports 'ALTER TABLE <t> CREATE BRANCH <b> [AS OF VERSION <n>]', " +
+            "'ALTER TABLE <t> CREATE TAG <g> [AS OF VERSION <n>]', 'ALTER TABLE <t> DROP " +
+            "BRANCH <b>', 'ALTER TABLE <t> DROP TAG <g>' and 'ALTER TABLE <t> FAST FORWARD " +
+            "BRANCH <b>' only — other ref shapes are refused, not approximated")
       case OptimizeBadRe() =>
         sys.error(
           "OPTIMIZE supports 'OPTIMIZE <table> ZORDER BY (cols...) [INTO <n> FILES]' and " +
@@ -688,6 +741,22 @@ object SnapshotSql {
         .toDF(
           "name", "location", "version", "num_files", "total_rows", "total_bytes",
           "n_masks", "n_constraints", "n_dropped_columns", "checkpoint_version", "mor_writes")
+    // refs introspection: every branch with its fork and current tip,
+    // every tag with its pinned version — metadata listings, no data I/O
+    case ShowBranchesRe(name) =>
+      import spark.implicits._
+      val reg = maintenanceReg(spark, name)
+      SnapshotTable
+        .branches(spark, reg.root)
+        .map { case (b, fork) =>
+          (b, fork, SnapshotTable.latestVersion(spark, SnapshotTable.branchRef(reg.root, b)).getOrElse(fork))
+        }
+        .toDF("branch", "fork_version", "latest_version")
+    case ShowTagsRe(name) =>
+      import spark.implicits._
+      SnapshotTable
+        .tags(spark, maintenanceReg(spark, name).root)
+        .toDF("tag", "version")
     // the session's registrations (SHOW TABLES' snapshot analogue)
     case ShowTablesRe() =>
       import spark.implicits._
@@ -736,6 +805,24 @@ object SnapshotSql {
         tt.relation match {
           case r: UnresolvedRelation if regOf(r).isDefined =>
             val reg = regOf(r).get
+            // a non-numeric VERSION AS OF is a REF name (Iceberg's
+            // contract): a tag resolves to its pinned version, a branch
+            // to the branch's current tip relation — checked in that
+            // order
+            val refRelation = tt.version.filter(!_.forall(_.isDigit)).map { refName =>
+              SnapshotTable.tags(spark, reg.root).collectFirst {
+                case (t, tv) if t == refName => tv
+              } match {
+                case Some(tv) => SnapshotTable.relationVersion(spark, reg.root, tv)
+                case None =>
+                  require(
+                    SnapshotTable.branches(spark, reg.root).exists(_._1 == refName),
+                    s"VERSION AS OF '$refName': no tag or branch of that name")
+                  SnapshotTable.relation(spark, SnapshotTable.branchRef(reg.root, refName))
+              }
+            }
+            if (refRelation.isDefined) aliased(r.multipartIdentifier.last, refRelation.get)
+            else {
             val v = tt.version
               .map(_.toInt)
               .getOrElse {
@@ -757,6 +844,7 @@ object SnapshotSql {
             aliased(
               r.multipartIdentifier.last,
               SnapshotTable.relationVersion(spark, reg.root, v))
+            }
           case _ => tt
         }
       case r: UnresolvedRelation if regOf(r).isDefined =>

@@ -182,6 +182,52 @@ class SnapshotBranchSpec extends SparkSuite {
       .getMessage.contains("at most one"))
   }
 
+  test("SQL ref surface: branch/tag DDL, SHOW, VERSION AS OF refs, registered branch DML") {
+    import graft.sinks.SnapshotSql
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, fixture(0, 40)) // v1
+    SnapshotTable.append(spark, root, fixture(40, 10)) // v2
+    SnapshotSql.register(spark, "reft", root)
+
+    assert(SnapshotSql.execute(spark, "ALTER TABLE reft CREATE TAG golden AS OF VERSION 1") == 1)
+    assert(SnapshotSql.execute(spark, "ALTER TABLE reft CREATE BRANCH dev") == 2) // fork version
+    // a registered BRANCH HANDLE takes SQL DML in isolation
+    SnapshotSql.register(spark, "reft_dev", SnapshotTable.branchRef(root, "dev"))
+    SnapshotSql.execute(spark, "DELETE FROM reft_dev WHERE k BETWEEN 0 AND 9")
+    assert(SnapshotSql.query(spark, "SELECT count(*) AS n FROM reft_dev").head.getLong(0) == 40)
+    assert(SnapshotSql.query(spark, "SELECT count(*) AS n FROM reft").head.getLong(0) == 50)
+
+    // SHOW BRANCHES carries fork + tip; SHOW TAGS the pinned version
+    val br = SnapshotSql.query(spark, "SHOW BRANCHES reft").collect()
+    assert(br.length == 1 && br.head.getString(0) == "dev"
+      && br.head.getInt(1) == 2 && br.head.getInt(2) == 3)
+    val tg = SnapshotSql.query(spark, "SHOW TAGS IN reft").collect()
+    assert(tg.length == 1 && tg.head.getString(0) == "golden" && tg.head.getInt(1) == 1)
+
+    // VERSION AS OF resolves ref NAMES: tag → pinned version, branch → tip
+    assert(SnapshotSql.query(spark,
+      "SELECT count(*) AS n FROM reft VERSION AS OF 'golden'").head.getLong(0) == 40)
+    assert(SnapshotSql.query(spark,
+      "SELECT count(*) AS n FROM reft VERSION AS OF 'dev'").head.getLong(0) == 40)
+    assert(intercept[Exception](SnapshotSql.query(spark,
+      "SELECT * FROM reft VERSION AS OF 'nope'").collect()).getMessage.contains("no tag or branch"))
+
+    // FAST FORWARD publishes; drops unpin
+    assert(SnapshotSql.execute(spark, "ALTER TABLE reft FAST FORWARD BRANCH dev") == 3)
+    assert(SnapshotSql.query(spark, "SELECT count(*) AS n FROM reft").head.getLong(0) == 40)
+    SnapshotSql.execute(spark, "ALTER TABLE reft DROP BRANCH dev")
+    SnapshotSql.execute(spark, "ALTER TABLE reft DROP TAG golden")
+    assert(SnapshotSql.query(spark, "SHOW BRANCHES reft").isEmpty)
+    assert(SnapshotSql.query(spark, "SHOW TAGS reft").isEmpty)
+
+    // malformed ref shapes refuse loudly; a column NAMED tag/branch is
+    // ordinary DDL and must still reach the real parser
+    assert(intercept[Exception](SnapshotSql.execute(spark,
+      "ALTER TABLE reft CREATE BRANCH b AT 3")).getMessage.contains("ref DDL supports"))
+    SnapshotSql.execute(spark, "ALTER TABLE reft ADD COLUMN tag STRING")
+    assert(SnapshotSql.query(spark, "SELECT * FROM reft").columns.contains("tag"))
+  }
+
   test("branch creation races resolve to exactly one winner; duplicates refuse") {
     val root = freshRoot()
     SnapshotTable.create(spark, root, fixture(0, 10))
