@@ -328,6 +328,48 @@ object Sources {
         .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_price_c"))
         .orderBy("y")
     },
+    // BRANCHES + TAGS in the ORACLE GATE — the zero-copy ref model
+    // end-to-end: tag the created table (pinned, vacuum-proof read
+    // handle), fork a branch, run the ETL (append + range delete) in
+    // BRANCH ISOLATION over the shared data files, then fast-forward the
+    // branch log onto main through the put-if-absent commit store — the
+    // write-audit-publish workflow a production pipeline stages batches
+    // through. The result unions main's post-publish state with the
+    // tagged pre-fork snapshot; the oracle replays both directly on the
+    // fixture, so the hash-match proves fork isolation, pre-fork manifest
+    // sharing, publish fidelity, and tag time travel in one row.
+    // SnapshotBranchSpec pins the mechanics (divergence refusal, resume,
+    // vacuum liveness, CDC namespacing).
+    "q_snapshot_branch" -> { (s, dir) =>
+      import graft.sinks.SnapshotTable
+      import graft.sinks.SnapshotTable.Bound
+      val root = "/tmp/graft-snapbr/" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val o = Fixtures
+        .table(s, dir, "orders")
+        .select(
+          col("o_orderkey").as("k"),
+          to_date(col("o_orderdate")).as("d"),
+          cents(col("o_totalprice")).as("price_c"))
+      SnapshotTable.create(s, root, o.filter(col("k") % 2 === 0)) // v1: even keys
+      SnapshotTable.createTag(s, root, "pre") // pins v1
+      val etl = SnapshotTable.createBranch(s, root, "etl") // forks at v1
+      SnapshotTable.append(s, etl, o.filter(col("k") % 2 === 1)) // branch v2
+      SnapshotTable.deleteWhere(
+        s, etl, Seq(Bound("d", Some("1995-01-01"), Some("1995-12-31")))) // branch v3
+      SnapshotTable.fastForward(s, root, "etl") // publish: main → v3
+      def agg(df: org.apache.spark.sql.DataFrame, src: String) =
+        df.groupBy(year(col("d")).cast("int").as("y"))
+          .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_price_c"))
+          .withColumn("src", lit(src))
+      agg(SnapshotTable.read(s, root), "main")
+        .unionByName(
+          agg(
+            SnapshotTable.readVersion(s, root, SnapshotTable.tagVersion(s, root, "pre")),
+            "tag_pre"))
+        .orderBy("src", "y")
+    },
     // The snapshot table as a CATALYST-INTEGRATED relation: plain SQL over
     // a registered view of SnapshotTable.relation — the pushed-down date
     // predicate reaches SnapshotFileIndex.listFiles during physical
@@ -490,6 +532,18 @@ object Sources {
         "UNION ALL SELECT -k - 1000, d, CAST(42 AS BIGINT) FROM o WHERE k % 30 = 0) " +
         "SELECT CAST(year(d) AS INT) AS y, CAST(count(*) AS BIGINT) AS n_rows, " +
         "CAST(sum(price_c) AS BIGINT) AS sum_price_c FROM fin GROUP BY 1 ORDER BY y"),
+    "q_snapshot_branch" ->
+      ("WITH o AS (SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d, " +
+        "CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_c FROM orders), " +
+        // main after the branch publish: all orders minus 1995 (the branch
+        // appended the odd keys, then range-deleted 1995, then fast-
+        // forwarded); tag_pre: the pinned pre-fork snapshot (even keys)
+        "fin AS (SELECT 'main' AS src, CAST(year(d) AS INT) AS y, " +
+        "CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(price_c) AS BIGINT) AS sum_price_c " +
+        "FROM o WHERE year(d) <> 1995 GROUP BY 2 " +
+        "UNION ALL SELECT 'tag_pre', CAST(year(d) AS INT), CAST(count(*) AS BIGINT), " +
+        "CAST(sum(price_c) AS BIGINT) FROM o WHERE k % 2 = 0 GROUP BY 2) " +
+        "SELECT src, y, n_rows, sum_price_c FROM fin ORDER BY src, y"),
     "q_snapshot_cdc" ->
       ("WITH o AS (SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d, " +
         "CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_c FROM orders), " +
