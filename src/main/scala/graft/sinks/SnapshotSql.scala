@@ -216,10 +216,13 @@ object SnapshotSql {
     """(?is)\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+DROP\s+TAG\s+`?([\w-]+)`?\s*""".r
   private val FastForwardRe =
     """(?is)\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+FAST\s+FORWARD\s+BRANCH\s+`?([\w-]+)`?\s*""".r
-  // fires only on ref VERBS (CREATE/DROP BRANCH|TAG, FAST FORWARD) so a
-  // column legitimately NAMED `tag`/`branch` still reaches the parser
+  private val CherryPickRe =
+    """(?is)\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+CHERRY[\s-]?PICK\s+BRANCH\s+`?([\w-]+)`?\s*""".r
+  // fires only on ref VERBS (CREATE/DROP BRANCH|TAG, FAST FORWARD,
+  // CHERRY PICK) so a column legitimately NAMED `tag`/`branch` still
+  // reaches the parser
   private val RefBadRe =
-    """(?is)\s*ALTER\s+TABLE\s+.*(?:(?:CREATE|DROP)\s+(?:BRANCH|TAG)\b|FAST\s+FORWARD).*""".r
+    """(?is)\s*ALTER\s+TABLE\s+.*(?:(?:CREATE|DROP)\s+(?:BRANCH|TAG)\b|FAST\s+FORWARD|CHERRY[\s-]?PICK).*""".r
   private val ShowBranchesRe =
     """(?is)\s*SHOW\s+BRANCHES\s+(?:IN\s+)?`?([\w.]+)`?\s*;?\s*""".r
   private val ShowTagsRe =
@@ -327,12 +330,15 @@ object SnapshotSql {
         SnapshotTable.latestVersion(spark, reg.root).get
       case FastForwardRe(name, branch) =>
         SnapshotTable.fastForward(spark, maintenanceReg(spark, name).root, branch)
+      case CherryPickRe(name, branch) =>
+        SnapshotTable.cherryPick(spark, maintenanceReg(spark, name).root, branch)
       case RefBadRe() =>
         sys.error(
           "ref DDL supports 'ALTER TABLE <t> CREATE BRANCH <b> [AS OF VERSION <n>]', " +
             "'ALTER TABLE <t> CREATE TAG <g> [AS OF VERSION <n>]', 'ALTER TABLE <t> DROP " +
-            "BRANCH <b>', 'ALTER TABLE <t> DROP TAG <g>' and 'ALTER TABLE <t> FAST FORWARD " +
-            "BRANCH <b>' only — other ref shapes are refused, not approximated")
+            "BRANCH <b>', 'ALTER TABLE <t> DROP TAG <g>', 'ALTER TABLE <t> FAST FORWARD " +
+            "BRANCH <b>' and 'ALTER TABLE <t> CHERRY PICK BRANCH <b>' only — other ref " +
+            "shapes are refused, not approximated")
       case OptimizeBadRe() =>
         sys.error(
           "OPTIMIZE supports 'OPTIMIZE <table> ZORDER BY (cols...) [INTO <n> FILES]' and " +

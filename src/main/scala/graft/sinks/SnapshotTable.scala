@@ -413,6 +413,103 @@ object SnapshotTable {
     bLatest
   }
 
+  /** Publish branch `name`'s APPEND-ONLY delta onto main as ONE new
+    * commit, even when main has ADVANCED past the fork — the answer to
+    * [[fastForward]]'s divergence refusal for the staged-append workflow
+    * (Iceberg's cherry-pick): appends COMMUTE with any later main
+    * history, because the branch's new dirs are immutable, uuid-named
+    * branch-private, and carry no dependence on the fork's file set.
+    * Strictly checked, loudly refused otherwise:
+    *   - every branch-local commit must be an `append` (branch DML /
+    *     overwrite / compact makes the delta depend on fork state —
+    *     that genuinely needs main-at-fork [[fastForward]]);
+    *   - the delta's schema must merge into MAIN's current schema under
+    *     the same evolution rules appends use (type conflicts refuse;
+    *     columns main dropped since the fork re-enter under the
+    *     dropped-column revival contract);
+    *   - CHECK constraints main gained since the branch enforced its
+    *     appends re-prove over the delta rows before the commit claims
+    *     them.
+    * IDEMPOTENT: if any main commit already references the delta dirs,
+    * the call is a no-op returning the current latest (so a crashed
+    * cherry-pick simply re-runs) — re-introducing rows that a LATER main
+    * commit deleted requires an explicit re-append, never a re-pick.
+    * The branch survives (drop it when done). */
+  def cherryPick(spark: SparkSession, root: String, name: String): Int = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    require(splitRef(root)._2.isEmpty, "cherry-pick from the main table handle")
+    val f = fs(spark, root)
+    val fork = forkOf(f, root, name)
+    val bRoot = branchRef(root, name)
+    val bLatest = latestVersion(spark, bRoot).getOrElse(fork)
+    val mLatest = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
+    if (bLatest == fork) return mLatest // nothing staged
+    val bCommits = (fork + 1 to bLatest).map(readManifest(spark, bRoot, _))
+    val nonAppend = bCommits.filterNot(_.action == "append").map(c => s"v${c.version}=${c.action}")
+    require(
+      nonAppend.isEmpty,
+      s"cherry-pick requires an append-only branch delta (appends commute with main history); " +
+        s"branch '$name' holds ${nonAppend.mkString(", ")} — fast-forward with main at the fork instead")
+    val forkDirs = readManifest(spark, root, fork).dirs.toSet
+    val tip = bCommits.last
+    val deltaDirs = tip.dirs.filterNot(forkDirs)
+    val deltaStats = tip.files.filterNot(fst => forkDirs(dataDirOf(fst.path)))
+    val deltaRows = bCommits.map(_.addedRows).sum
+    val deltaSchema = tip.schemaJson.map(schemaFromJson)
+    // idempotence: a main commit already referencing the delta is a
+    // completed pick (crashed caller re-running) — never publish twice
+    history(spark, root).find(c => deltaDirs.exists(c.dirs.contains)).foreach { prior =>
+      require(
+        deltaDirs.forall(prior.dirs.contains),
+        s"main v${prior.version} references PART of branch '$name''s delta — " +
+          "refusing a partial re-pick; inspect the history")
+      return mLatest
+    }
+    var enforced: Map[String, String] = tip.constraints // the appends proved these
+    var attempts = 0
+    while (true) {
+      val base = latestVersion(spark, root).get
+      val m = readManifest(spark, root, base)
+      val merged = (m.schemaJson.map(schemaFromJson), deltaSchema) match {
+        case (Some(a), Some(b)) => mergeSchemas(a, b)
+        case (a, b) => a.orElse(b).getOrElse(sys.error("cherry-pick needs a schema-recording manifest"))
+      }
+      if ((m.constraints.toSet -- enforced.toSet).nonEmpty) {
+        val dir = spark.read.parquet(deltaDirs.map(d => new Path(dataRoot(root), d).toString): _*)
+        val logicalDir = mappingOf(merged).foldLeft(dir) {
+          case (d, (logical, physical)) =>
+            if (d.columns.contains(physical)) d.withColumn(logical, d("`" + physical + "`")) else d
+        }
+        (m.constraints.toSet -- enforced.toSet).foreach { case (cname, check) =>
+          val bad = logicalDir.filter(!coalesce(expr(check), lit(false))).count()
+          if (bad > 0) throw new ConstraintViolationException(cname, bad)
+        }
+        enforced = m.constraints
+      }
+      try
+        return publish(
+          spark,
+          root,
+          Commit(
+            base + 1,
+            "cherrypick", // CDC computes the file-set diff → exactly the delta's rows as inserts
+            m.dirs ++ deltaDirs,
+            deltaRows,
+            None,
+            Some(merged.json),
+            m.files ++ deltaStats,
+            constraints = m.constraints,
+            dropped = reviveDropped(m.dropped, merged),
+            masks = m.masks))
+      catch {
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts >= 50) throw e
+      }
+    }
+    -1 // unreachable
+  }
+
   // ───────── logical→physical column mapping (metadata-only renames) ─────────
   // A renamed column keeps its PHYSICAL parquet name forever (recorded in
   // the field's metadata); only the manifest schema's logical name changes.

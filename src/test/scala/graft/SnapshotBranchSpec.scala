@@ -182,6 +182,57 @@ class SnapshotBranchSpec extends SparkSuite {
       .getMessage.contains("at most one"))
   }
 
+  test("cherry-pick lands an append-only branch delta on an ADVANCED main; non-appends refuse") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, fixture(0, 100)) // v1
+    val stage = SnapshotTable.createBranch(spark, root, "stage")
+    SnapshotTable.append(spark, stage, fixture(100, 30)) // branch v2
+    SnapshotTable.append(spark, stage, fixture(130, 10)) // branch v3
+    // main advances past the fork — fastForward would refuse; cherry-pick works
+    SnapshotTable.append(spark, root, fixture(500, 5)) // main v2
+    SnapshotTable.deleteWhere(spark, root, Seq(Bound("k", Some(0L), Some(4L)))) // main v3
+    assert(intercept[Exception](SnapshotTable.fastForward(spark, root, "stage"))
+      .getMessage.contains("diverges"))
+    val v = SnapshotTable.cherryPick(spark, root, "stage")
+    assert(v == 4 && SnapshotTable.latestVersion(spark, root).contains(4))
+    // final state = main's own history + exactly the staged rows
+    assert(rows(SnapshotTable.read(spark, root)) ==
+      rows(fixture(5, 95).unionByName(fixture(500, 5)).unionByName(fixture(100, 40))))
+    // CDC sees the pick as plain inserts of the delta
+    val ch = SnapshotTable.changesBetween(spark, root, 3, 4)
+    assert(ch.count() == 40 && ch.select("_change_type").distinct().collect().map(_.getString(0)).toSeq == Seq("insert"))
+    // idempotent: a re-pick (crashed caller re-running) is a no-op
+    assert(SnapshotTable.cherryPick(spark, root, "stage") == 4)
+    assert(SnapshotTable.read(spark, root).count() == 140)
+    SnapshotTable.dropBranch(spark, root, "stage")
+
+    // a branch holding DML refuses (its delta depends on fork state)
+    val fix = SnapshotTable.createBranch(spark, root, "fix")
+    SnapshotTable.append(spark, fix, fixture(900, 5))
+    SnapshotTable.deleteWhere(spark, fix, Seq(Bound("k", Some(900L), Some(901L))))
+    SnapshotTable.append(spark, root, fixture(950, 1)) // diverge main
+    val e = intercept[Exception](SnapshotTable.cherryPick(spark, root, "fix"))
+    assert(e.getMessage.contains("append-only"))
+  }
+
+  test("cherry-pick re-proves constraints main gained since the fork") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, fixture(0, 50)) // v1
+    val stage = SnapshotTable.createBranch(spark, root, "stage")
+    SnapshotTable.append(spark, stage, fixture(50, 10)) // k in [50,60): price_c = 13k%997
+    // main gains a check the staged rows VIOLATE after the fork
+    SnapshotTable.addCheck(spark, root, "small_k", "k < 55") // existing rows pass? no — k up to 49 pass
+    val e = intercept[Exception](SnapshotTable.cherryPick(spark, root, "stage"))
+    assert(e.getMessage.toLowerCase.contains("small_k"))
+    // a satisfiable check lets the pick through
+    SnapshotTable.dropCheck(spark, root, "small_k")
+    SnapshotTable.addCheck(spark, root, "k_range", "k < 1000")
+    val v = SnapshotTable.cherryPick(spark, root, "stage")
+    assert(SnapshotTable.read(spark, root).count() == 60)
+    assert(SnapshotTable.history(spark, root).last.action == "cherrypick" &&
+      SnapshotTable.history(spark, root).last.version == v)
+  }
+
   test("SQL ref surface: branch/tag DDL, SHOW, VERSION AS OF refs, registered branch DML") {
     import graft.sinks.SnapshotSql
     val root = freshRoot()
