@@ -239,7 +239,7 @@ object SnapshotTable {
     }
   }
 
-  private def readSmall(f: FileSystem, p: Path): Array[Byte] = {
+  private[graft] def readSmall(f: FileSystem, p: Path): Array[Byte] = {
     val in = f.open(p)
     try {
       val out = new java.io.ByteArrayOutputStream()
@@ -1034,6 +1034,10 @@ object SnapshotTable {
   // the pluggable publish primitive — see [[CommitStore]]
   private val commitStoreRef =
     new java.util.concurrent.atomic.AtomicReference[CommitStore](HadoopCommitStore)
+
+  // the installed store, for sibling operators' own put-if-absent needs
+  // (e.g. [[SnapshotMv]]'s immutable spec sidecar)
+  private[graft] def commitStore: CommitStore = commitStoreRef.get()
 
   /** Install a [[CommitStore]] (e.g. an external-coordination store for
     * object storage). Affects every table this JVM publishes to. */
@@ -2807,10 +2811,17 @@ object SnapshotTable {
       targetAlias: String = "t",
       sourceAlias: String = "s",
       notMatchedBySource: Seq[MergeClause] = Seq.empty,
-      nmbsPruneBounds: Seq[Seq[Bound]] = Seq.empty): Int = {
+      nmbsPruneBounds: Seq[Seq[Bound]] = Seq.empty,
+      batchId: Option[Long] = None): Int = {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions.{coalesce, col, expr, input_file_name, lit, max, min, when}
     require(keyCols.nonEmpty, "mergeInto needs at least one key column")
+    // exactly-once epochs (the appendBatchExactlyOnce contract): a replayed
+    // batch finds its id already committed and no-ops — the incremental
+    // MV refresh ([[SnapshotMv]]) rides this to make crash-replays safe
+    batchId.foreach { b =>
+      history(spark, root).find(_.batchId.contains(b)).foreach(c => return c.version)
+    }
     require(
       matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
       "mergeInto needs at least one WHEN clause")
@@ -3060,7 +3071,7 @@ object SnapshotTable {
         "merge",
         (untouched.map(_.path) ++ carriedUncovered) ++ (if (n > 0) Seq(rel) else Nil),
         n - before,
-        None,
+        batchId,
         Some(evolved),
         untouched ++ stats,
         constraints = m.constraints,

@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sinks.{SnapshotMv, SnapshotTable}
+import graft.sinks.SnapshotTable.Bound
+import org.apache.spark.sql.DataFrame
+
+/** Incremental materialized views (SURVEY §2.J `cap_table_mv`): the view
+  * is hash-identical to a full recompute after ARBITRARY base DML —
+  * appends, COW delete/update, MOR merge/delete, even RESTORE — while
+  * each refresh reads only the commits since its sync point and merges
+  * per-group deltas (cost ∝ changes, never ∝ base). */
+class SnapshotMvSpec extends SparkSuite {
+
+  private def freshRoot(): String = Files.createTempDirectory("graft-mv").toString
+
+  /** price_c is null every 7th row — exercises the null-exact sum algebra. */
+  private def fixture(from: Int, n: Int): DataFrame =
+    spark.range(from.toLong, (from + n).toLong).selectExpr(
+      "id AS k",
+      "CAST(id % 10 AS INT) AS grp",
+      "CASE WHEN id % 7 = 0 THEN CAST(NULL AS BIGINT) ELSE (id * 13) % 997 END AS price_c")
+
+  private def recompute(base: DataFrame): Seq[org.apache.spark.sql.Row] =
+    base
+      .filter("grp IS NOT NULL")
+      .groupBy("grp")
+      .agg(
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_rows"),
+        org.apache.spark.sql.functions.sum("price_c").as("price_c"))
+      .orderBy("grp")
+      .collect()
+      .toSeq
+
+  private def mvRows(mvRoot: String): Seq[org.apache.spark.sql.Row] =
+    SnapshotMv.read(spark, mvRoot).orderBy("grp").collect().toSeq
+
+  test("create materializes the aggregate; refresh tracks appends, COW and MOR DML exactly") {
+    val base = freshRoot(); val mv = freshRoot() + "/mv"
+    SnapshotTable.create(spark, base, fixture(0, 500))
+    SnapshotMv.create(spark, base, mv, keys = Seq("grp"), sums = Seq("price_c"))
+    assert(mvRows(mv) == recompute(SnapshotTable.read(spark, base)))
+    val v0 = SnapshotMv.syncedVersion(spark, mv)
+    assert(v0 == SnapshotTable.latestVersion(spark, base).get)
+
+    SnapshotTable.append(spark, base, fixture(500, 200))
+    SnapshotTable.deleteWhere(spark, base, Seq(Bound("k", Some(100L), Some(299L))))
+    SnapshotTable.updateWhere(
+      spark, base, Seq(Bound("k", Some(0L), Some(49L))),
+      Map("price_c" -> (org.apache.spark.sql.functions.col("price_c") + 1000)))
+    SnapshotTable.mergeUpsertMor(
+      spark, base,
+      fixture(0, 700).filter("k % 11 = 0").withColumn(
+        "price_c", org.apache.spark.sql.functions.expr("coalesce(price_c, 0) * 3")),
+      Seq("k"))
+    SnapshotTable.deleteWhereMor(spark, base, Seq(Bound("k", Some(600L), Some(650L))))
+
+    SnapshotMv.refresh(spark, mv)
+    assert(mvRows(mv) == recompute(SnapshotTable.read(spark, base)))
+    assert(SnapshotMv.syncedVersion(spark, mv) == SnapshotTable.latestVersion(spark, base).get)
+    // refresh is exactly-once: an immediate replay no-ops at the same version
+    val v = SnapshotTable.latestVersion(spark, mv).get
+    assert(SnapshotMv.refresh(spark, mv) == v)
+  }
+
+  test("groups vanish and appear; all-null sums stay NULL-exact under deletes") {
+    val base = freshRoot(); val mv = freshRoot() + "/mv"
+    // grp 0 holds k ∈ {0, 10, 20}: k=0 and k=14? no — nulls at k%7=0
+    SnapshotTable.create(spark, base, fixture(0, 30)) // grps 0..9, 3 rows each
+    SnapshotMv.create(spark, base, mv, Seq("grp"), Seq("price_c"))
+
+    // vanish: delete ALL of grp 3 (k = 3, 13, 23)
+    SnapshotTable.deleteWhere(spark, base, Seq(Bound("k", Some(3L), Some(3L))))
+    SnapshotTable.deleteWhere(spark, base, Seq(Bound("k", Some(13L), Some(13L))))
+    SnapshotTable.deleteWhere(spark, base, Seq(Bound("k", Some(23L), Some(23L))))
+    // null-out grp 0's only non-null contributions: k=10, 20 (k=0 is null);
+    // deleting them leaves grp 0 with ONE row whose price_c is NULL
+    SnapshotTable.deleteWhere(spark, base, Seq(Bound("k", Some(10L), Some(10L))))
+    SnapshotTable.deleteWhere(spark, base, Seq(Bound("k", Some(20L), Some(20L))))
+    // appear: a brand-new group value
+    SnapshotTable.append(
+      spark, base,
+      spark.sql("SELECT CAST(1000 AS BIGINT) AS k, CAST(42 AS INT) AS grp, CAST(7 AS BIGINT) AS price_c"))
+
+    SnapshotMv.refresh(spark, mv)
+    val got = mvRows(mv)
+    assert(got == recompute(SnapshotTable.read(spark, base)))
+    assert(!got.exists(_.getInt(0) == 3), "vanished group must leave the view")
+    val g0 = got.find(_.getInt(0) == 0).get
+    assert(g0.getLong(1) == 1L && g0.isNullAt(2), s"grp 0 must sum to NULL, got $g0")
+    assert(got.exists(r => r.getInt(0) == 42 && r.getLong(1) == 1L && r.getLong(2) == 7L))
+  }
+
+  test("null grouping keys are excluded; refresh survives base vacuum past old history and a RESTORE") {
+    val base = freshRoot(); val mv = freshRoot() + "/mv"
+    SnapshotTable.create(
+      spark, base,
+      fixture(0, 100).withColumn(
+        "grp", org.apache.spark.sql.functions.expr("CASE WHEN k % 13 = 0 THEN NULL ELSE grp END")))
+    SnapshotMv.create(spark, base, mv, Seq("grp"), Seq("price_c"))
+    assert(mvRows(mv) == recompute(SnapshotTable.read(spark, base)))
+
+    SnapshotTable.append(spark, base, fixture(100, 50)) // v2
+    SnapshotTable.deleteWhere(spark, base, Seq(Bound("k", Some(0L), Some(19L)))) // v3
+    // drop pre-sync history: refresh only needs (synced .. latest]
+    SnapshotTable.vacuum(spark, base, keepLast = 3)
+    SnapshotMv.refresh(spark, mv)
+    assert(mvRows(mv) == recompute(SnapshotTable.read(spark, base)))
+
+    // RESTORE rewinds base state as a NEW commit; the CDC feed computes
+    // the full snapshot diff, so the view maintains exactly through it
+    SnapshotTable.restore(spark, base, SnapshotMv.syncedVersion(spark, mv) - 1)
+    SnapshotMv.refresh(spark, mv)
+    assert(mvRows(mv) == recompute(SnapshotTable.read(spark, base)))
+  }
+
+  test("definition hygiene: bad columns refuse; duplicate create refuses; read projects declared columns") {
+    val base = freshRoot(); val mv = freshRoot() + "/mv"
+    SnapshotTable.create(spark, base, fixture(0, 20))
+    assert(intercept[Exception](
+      SnapshotMv.create(spark, base, mv, Seq("nope"), Seq("price_c"))).getMessage.contains("nope"))
+    assert(intercept[Exception](
+      SnapshotMv.create(spark, base, mv, Seq("grp"), Seq("__nn_x"))).getMessage.contains("internal namespace"))
+    SnapshotMv.create(spark, base, mv, Seq("grp"), Seq("price_c"))
+    assert(intercept[Exception](
+      SnapshotMv.create(spark, base, mv, Seq("grp"), Seq("price_c"))).getMessage.nonEmpty)
+    assert(SnapshotMv.read(spark, mv).columns.toSeq == Seq("grp", "n_rows", "price_c"))
+    val sp = SnapshotMv.spec(spark, mv)
+    assert(sp.keys == Seq("grp") && sp.sums == Seq("price_c") && sp.baseRoot == base)
+    // the backing table carries the hidden non-null counter
+    assert(SnapshotTable.read(spark, mv).columns.contains("__nn_price_c"))
+  }
+}
