@@ -189,6 +189,8 @@ object SnapshotSql {
   private val OptimizeWhereRe =
     ("""(?is)\s*OPTIMIZE\s+`?([\w.]+)`?\s+WHERE\s+`?(\w+)`?\s+BETWEEN\s+('[^']*'|[\w.\-]+)\s+AND\s+""" +
       """('[^']*'|[\w.\-]+)\s+CLUSTER\s+BY\s*\(\s*`?(\w+)`?\s*\)(?:\s+INTO\s+(\d+)\s+FILES)?\s*""").r
+  // bare OPTIMIZE = Delta's default small-file bin-packing
+  private val OptimizeCompactRe = """(?is)\s*OPTIMIZE\s+`?([\w.]+)`?\s*""".r
   private val OptimizeBadRe = """(?is)\s*OPTIMIZE\s+.*""".r
   private val DescribeHistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+`?([\w.]+)`?\s*;?\s*""".r
@@ -223,6 +225,8 @@ object SnapshotSql {
   // reaches the parser
   private val RefBadRe =
     """(?is)\s*ALTER\s+TABLE\s+.*(?:(?:CREATE|DROP)\s+(?:BRANCH|TAG)\b|FAST\s+FORWARD|CHERRY[\s-]?PICK).*""".r
+  private val RefreshMvRe =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+`?([\w.]+)`?\s*;?\s*""".r
   private val ShowBranchesRe =
     """(?is)\s*SHOW\s+BRANCHES\s+(?:IN\s+)?`?([\w.]+)`?\s*;?\s*""".r
   private val ShowTagsRe =
@@ -332,6 +336,11 @@ object SnapshotSql {
         SnapshotTable.fastForward(spark, maintenanceReg(spark, name).root, branch)
       case CherryPickRe(name, branch) =>
         SnapshotTable.cherryPick(spark, maintenanceReg(spark, name).root, branch)
+      // the registered name points at the MV's own table root; the
+      // statement catches it up to its base (SnapshotMv.refresh — cost ∝
+      // base changes since the sync point, exactly-once on replay)
+      case RefreshMvRe(name) =>
+        SnapshotMv.refresh(spark, maintenanceReg(spark, name).root)
       case RefBadRe() =>
         sys.error(
           "ref DDL supports 'ALTER TABLE <t> CREATE BRANCH <b> [AS OF VERSION <n>]', " +
@@ -339,9 +348,12 @@ object SnapshotSql {
             "BRANCH <b>', 'ALTER TABLE <t> DROP TAG <g>', 'ALTER TABLE <t> FAST FORWARD " +
             "BRANCH <b>' and 'ALTER TABLE <t> CHERRY PICK BRANCH <b>' only — other ref " +
             "shapes are refused, not approximated")
+      case OptimizeCompactRe(name) =>
+        SnapshotTable.compactSmall(spark, maintenanceReg(spark, name).root)
       case OptimizeBadRe() =>
         sys.error(
-          "OPTIMIZE supports 'OPTIMIZE <table> ZORDER BY (cols...) [INTO <n> FILES]' and " +
+          "OPTIMIZE supports 'OPTIMIZE <table>' (small-file bin-packing), " +
+            "'OPTIMIZE <table> ZORDER BY (cols...) [INTO <n> FILES]' and " +
             "'OPTIMIZE <table> WHERE <col> BETWEEN <lo> AND <hi> CLUSTER BY (<col>) [INTO <n> FILES]' only; " +
             "single-column whole-table clustering is the one-column ZORDER form")
       case _ => executeParsed(spark, sql)

@@ -2296,6 +2296,76 @@ object SnapshotTable {
     }
   }
 
+  /** AUTO-COMPACTION of SMALL files — bin-packing, the maintenance half
+    * of the small-files problem a streaming sink creates (an epoch every
+    * 30 s is ~3k files/day of kilobyte parquet; at 1000 executors the
+    * scan's task-launch overhead swamps the I/O). Selects the stat-ed
+    * live files under `smallBytes` straight off the manifest (zero I/O
+    * to decide), reads ONLY them, and rewrites them into
+    * ~`targetBytes`-sized files via `coalesce` — NO SHUFFLE: narrowing
+    * partitions is the whole job, so the pass costs one read+write of
+    * the small files themselves, never the table. Files at or above the
+    * threshold, and stat-less legacy dirs (size unknown), carry forward
+    * untouched with their masks; rewritten entries reconcile theirs
+    * (reads are mask-aware). Data-identical on live rows — commits as
+    * action "compact", invisible to the append stream and the CDC feed.
+    * No-ops without a version bump when fewer than `minFiles` small
+    * files exist. SQL: bare `OPTIMIZE <t>` (Delta's default bin-packing;
+    * clustering shapes are the ZORDER / WHERE...CLUSTER BY forms). */
+  def compactSmall(
+      spark: SparkSession,
+      root: String,
+      smallBytes: Long = 32L * 1024 * 1024,
+      targetBytes: Long = 128L * 1024 * 1024,
+      minFiles: Int = 2): Int = {
+    require(smallBytes > 0 && targetBytes >= smallBytes,
+      "need 0 < smallBytes <= targetBytes (a 'small' file must fit its target)")
+    require(minFiles >= 2, "compacting fewer than 2 files cannot shrink the file count")
+    val base = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
+    val m = readManifest(spark, root, base)
+    val schema = m.schemaJson.map(schemaFromJson)
+    val uncovered = prunePlanOf(m, Seq.empty).uncoveredDirs
+    // unsized entries (bytes < 0, pre-size manifests) are NOT small —
+    // size unknown means carry, the same conservatism the planner applies
+    val (small, big) = m.files.partition(f => f.bytes >= 0 && f.bytes < smallBytes)
+    if (small.size < minFiles) return base
+    val masked = maskedEntrySet(m)
+    val src =
+      if (m.masks.isEmpty)
+        readTablePaths(spark, schema, small.map(f => new Path(dataRoot(root), f.path).toString))
+      else readEntriesMasked(spark, root, m, schema, small.map(_.path))
+    val before =
+      if (small.exists(f => masked(f.path))) src.count() else small.map(_.rows).sum
+    val nOut = math.max(1, math.ceil(small.map(_.bytes).sum / targetBytes.toDouble).toInt)
+    val (rel, n, stats) = writeData(
+      spark, root, src.coalesce(nOut), m.constraints, schema.map(mappingOf).getOrElse(Map.empty))
+    // masks survive on untouched files AND on stat-less dirs (neither was
+    // rewritten — dropping a dir entry's mask would resurrect its rows);
+    // the rewritten small files' masks are satisfied and cleared
+    val untouchedSet = big.map(_.path).toSet ++ uncovered.toSet
+    val keptMasks = m.masks
+      .map(mk => mk.copy(entries = mk.entries.filter(untouchedSet)))
+      .filter(_.entries.nonEmpty)
+    val schemaJson = m.schemaJson.getOrElse(
+      org.apache.spark.sql.types
+        .StructType(readVersion(spark, root, base).schema.map(_.copy(nullable = true)))
+        .json)
+    publish(
+      spark,
+      root,
+      Commit(
+        base + 1,
+        "compact",
+        (big.map(_.path) ++ uncovered) ++ (if (n > 0) Seq(rel) else Nil),
+        n - before, // 0 for clean files; mask-aware on reconciled ones
+        None,
+        Some(schemaJson),
+        big ++ stats,
+        constraints = m.constraints,
+        dropped = m.dropped,
+        masks = keptMasks))
+  }
+
   /** Multi-column clustering compaction — the OPTIMIZE ZORDER core. A
     * single-key [[compact]] makes per-file ranges tight on ONE column;
     * predicates on any other column touch every file. Z-ordering interleaves

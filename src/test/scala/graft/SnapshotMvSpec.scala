@@ -115,6 +115,18 @@ class SnapshotMvSpec extends SparkSuite {
     assert(mvRows(mv) == recompute(SnapshotTable.read(spark, base)))
   }
 
+  test("REFRESH MATERIALIZED VIEW statement routes to refresh") {
+    import graft.sinks.SnapshotSql
+    val base = freshRoot(); val mv = freshRoot() + "/mv"
+    SnapshotTable.create(spark, base, fixture(0, 100))
+    SnapshotMv.create(spark, base, mv, Seq("grp"), Seq("price_c"))
+    SnapshotSql.register(spark, "sales_by_grp", mv)
+    SnapshotTable.append(spark, base, fixture(100, 60))
+    SnapshotTable.deleteWhere(spark, base, Seq(Bound("k", Some(0L), Some(29L))))
+    SnapshotSql.execute(spark, "REFRESH MATERIALIZED VIEW sales_by_grp")
+    assert(mvRows(mv) == recompute(SnapshotTable.read(spark, base)))
+  }
+
   test("definition hygiene: bad columns refuse; duplicate create refuses; read projects declared columns") {
     val base = freshRoot(); val mv = freshRoot() + "/mv"
     SnapshotTable.create(spark, base, fixture(0, 20))

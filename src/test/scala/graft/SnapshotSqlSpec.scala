@@ -307,7 +307,11 @@ class SnapshotSqlSpec extends SparkSuite {
       SnapshotSql.execute(spark, "VACUUM snap_mx RETAIN 7 HOURS")
     }
     assert(eH.getMessage.contains("version-based"), eH.getMessage)
-    val eO = intercept[RuntimeException] { SnapshotSql.execute(spark, "OPTIMIZE snap_mx") }
+    // bare OPTIMIZE is the small-file bin-packer (round 15) — on this
+    // tiny table it packs everything; malformed shapes still refuse
+    val afterOpt = SnapshotSql.execute(spark, "OPTIMIZE snap_mx")
+    assert(SnapshotTable.readManifest(spark, root, afterOpt).files.size == 1)
+    val eO = intercept[RuntimeException] { SnapshotSql.execute(spark, "OPTIMIZE snap_mx BIN PACK") }
     assert(eO.getMessage.contains("ZORDER"), eO.getMessage)
     // table_changes TVF over a registered table
     val tcRoot = freshRoot()

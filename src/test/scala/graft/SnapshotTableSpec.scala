@@ -762,6 +762,61 @@ class SnapshotTableSpec extends SparkSuite {
     assert(SnapshotTable.read(spark, root).filter("k BETWEEN 800 AND 849").count() == 0)
   }
 
+  test("compactSmall bin-packs only sub-threshold files, shuffle-free, mask-aware, CDC-invisible") {
+    import graft.sinks.SnapshotTable.Bound
+    val root = freshRoot()
+    // one clustered dir of FAT rows (so its files clear the threshold),
+    // then a trickle of tiny appends — the streaming-sink shape
+    // compactSmall exists for
+    val wide = spark.range(0L, 20000L).selectExpr(
+      "id AS k", "repeat(uuid(), 4) AS v") // ~150B/row → ~1.5MB/file
+    SnapshotTable.create(spark, root, wide.repartitionByRange(2, col("k")).sortWithinPartitions("k"))
+    (0 until 6).foreach(i =>
+      SnapshotTable.append(
+        spark, root,
+        spark.range(100000L + i * 10, 100000L + i * 10 + 10).selectExpr("id AS k", "'s' AS v")))
+    val beforeM = SnapshotTable.readManifest(
+      spark, root, SnapshotTable.latestVersion(spark, root).get)
+    val small = 256L * 1024
+    val carried = beforeM.files.filter(_.bytes >= small).map(_.path)
+    assert(carried.size == 2, s"fixture: expected 2 big clustered files, got $carried")
+    val expectN = SnapshotTable.read(spark, root).count()
+    val v = SnapshotTable.compactSmall(spark, root, smallBytes = small, targetBytes = 8L * 1024 * 1024)
+    val afterM = SnapshotTable.readManifest(spark, root, v)
+    assert(afterM.action == "compact")
+    val afterPaths = afterM.files.map(_.path).toSet
+    assert(carried.forall(afterPaths), "big files must carry forward untouched")
+    assert(afterM.files.size == carried.size + 1, s"expected one packed file, got ${afterM.files.map(_.path)}")
+    assert(SnapshotTable.read(spark, root).count() == expectN)
+    assert(SnapshotTable.read(spark, root).filter("k >= 100000").count() == 60)
+    // CDC-invisible and a second run no-ops without a version bump
+    assert(SnapshotTable.changesBetween(spark, root, v - 1, v).count() == 0)
+    assert(SnapshotTable.compactSmall(spark, root, smallBytes = small) == v)
+
+    // masks: a MOR delete over a small file reconciles on packing; an
+    // untouched big file keeps its mask
+    SnapshotTable.deleteWhereMor(spark, root, Seq(Bound("k", Some(100000L), Some(100004L)))) // masks the packed file (itself still small)
+    SnapshotTable.append(spark, root, spark.range(200000L, 200010L).selectExpr("id AS k", "'y' AS v"))
+    SnapshotTable.deleteWhereMor(spark, root, Seq(Bound("k", Some(0L), Some(4L)))) // masks a big file
+    val want = SnapshotTable.read(spark, root).orderBy("k").collect().toSeq
+    val v2 = SnapshotTable.compactSmall(spark, root, smallBytes = small)
+    val m2 = SnapshotTable.readManifest(spark, root, v2)
+    assert(m2.masks.nonEmpty, "the untouched big file's mask must survive")
+    assert(m2.masks.forall(_.entries.forall(e => carried.contains(e))),
+      "surviving mask entries must reference only carried big files")
+    assert(SnapshotTable.read(spark, root).orderBy("k").collect().toSeq == want)
+    assert(SnapshotTable.read(spark, root).filter("k BETWEEN 100000 AND 100004").count() == 0)
+    // bare OPTIMIZE routes here with the 32MB default — every file in
+    // this fixture is small under it, so the whole table packs to one
+    // file and the surviving big-file mask reconciles on the way
+    graft.sinks.SnapshotSql.register(spark, "small_t", root)
+    val v3 = graft.sinks.SnapshotSql.execute(spark, "OPTIMIZE small_t")
+    assert(v3 == v2 + 1)
+    val m3 = SnapshotTable.readManifest(spark, root, v3)
+    assert(m3.files.size == 1 && m3.masks.isEmpty)
+    assert(SnapshotTable.read(spark, root).orderBy("k").collect().toSeq == want)
+  }
+
   test("restore rolls back to a prior version as a metadata-only commit; history stays intact") {
     val root = freshRoot()
     SnapshotTable.create(spark, root, wide(1000))
