@@ -66,8 +66,8 @@ object SnapshotMv {
     require(keys.nonEmpty, "a materialized view needs at least one grouping key")
     val dup = (keys ++ sums :+ countCol).diff((keys ++ sums :+ countCol).distinct)
     require(dup.isEmpty, s"duplicate column roles in the view definition: ${dup.mkString(", ")}")
-    sums.foreach(c =>
-      require(!c.startsWith("__"), s"sum column '$c' collides with the view's internal namespace"))
+    (keys ++ sums :+ countCol).foreach(c =>
+      require(!c.startsWith("__"), s"column '$c' collides with the view's internal (`__`) namespace"))
     val baseV = SnapshotTable
       .latestVersion(spark, baseRoot)
       .getOrElse(sys.error(s"no snapshot table at $baseRoot"))
@@ -115,12 +115,27 @@ object SnapshotMv {
       (j \ "countCol").extract[String])
   }
 
-  /** The base version the view currently reflects. */
+  /** The base version the view currently reflects. Walks the view's own
+    * history NEWEST-first and refuses loudly on any unmanaged mutation
+    * above the last sync commit: a RESTORE of the view rewinds its state
+    * to some older aggregate while the newest recorded batchId still
+    * claims the newer base version — refreshing from that point would
+    * silently drop every base change in between, forever. Data-identical
+    * maintenance ("compact") is transparent and skips. */
   def syncedVersion(spark: SparkSession, mvRoot: String): Int =
     SnapshotTable
       .history(spark, mvRoot)
       .reverse
-      .collectFirst { case c if c.batchId.isDefined => c.batchId.get.toInt }
+      .iterator
+      .filterNot(_.action == "compact") // data-identical: sync-transparent
+      .map { c =>
+        c.batchId.map(_.toInt).getOrElse(
+          sys.error(
+            s"the view at $mvRoot was mutated outside refresh (newest unmanaged commit: " +
+              s"v${c.version} '${c.action}') — its state no longer matches any recorded " +
+              "sync point; rebuild the view (SnapshotMv.create at a fresh root)"))
+      }
+      .nextOption()
       .getOrElse(sys.error(s"no sync point in the view's history at $mvRoot — not a managed view?"))
 
   /** The view as declared — keys, count, sums (internal non-null

@@ -563,6 +563,14 @@ final class SnapshotSourceProvider
     val latest = SnapshotTable
       .latestVersion(spark, r)
       .getOrElse(sys.error(s"no snapshot table at $r"))
+    // tags pin MAIN versions: resolving one against a branch handle's
+    // private log would silently read branch content at the tagged
+    // NUMBER (the branch's v3 is not main's v3) — refused. versionAsOf/
+    // timestampAsOf on a branch are fine: they travel the branch's own
+    // lineage (pre-fork versions resolve main's manifests in place).
+    require(
+      !(parameters.contains("branch") && parameters.contains("tag")),
+      "tags name MAIN versions; read a tag from the main handle (no branch option)")
     (parameters.get("versionAsOf"), parameters.get("timestampAsOf"), parameters.get("tag")) match {
       case (v, ts, t) if Seq(v, ts, t).flatten.size > 1 =>
         sys.error("specify at most one of versionAsOf / timestampAsOf / tag")

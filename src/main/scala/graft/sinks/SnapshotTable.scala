@@ -214,10 +214,17 @@ object SnapshotTable {
     root + RefSep + name
   }
 
-  private def requireRefName(name: String): Unit =
+  private def requireRefName(name: String): Unit = {
     require(
       name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
       s"ref name must be [A-Za-z0-9_-]+, got '$name'")
+    // an all-digit ref would be unaddressable: every name-resolution
+    // surface (VERSION AS OF, the DataSource options) reads digits as a
+    // VERSION NUMBER first — refuse at creation, not at lookup
+    require(
+      !name.forall(_.isDigit),
+      s"ref name '$name' is all digits — it would parse as a version number everywhere a ref name is accepted")
+  }
 
   private def refDir(physRoot: String, name: String): Path =
     new Path(new Path(physRoot, "_manifests"), "ref-" + name)
@@ -225,19 +232,27 @@ object SnapshotTable {
   private def branchMetaPath(physRoot: String, name: String): Path =
     new Path(refDir(physRoot, name), "_branch.json")
 
+  // A branch's fork is IMMUTABLE for its lifetime (_branch.json is
+  // written once via put-if-absent; dropBranch deletes the whole ref
+  // dir), so it memoizes per (root, name) — without this every manifest
+  // access on a branch handle would re-open and re-parse the meta file
+  // (history/CDC over n versions = n redundant reads; on object storage,
+  // n extra GETs). [[dropBranch]] invalidates; a drop-and-recreate of
+  // the SAME name from ANOTHER process while this one holds live branch
+  // handles needs fresh handles — the same single-coordinator assumption
+  // the CommitStore seam documents for external stores.
+  private val forkCache = scala.collection.concurrent.TrieMap.empty[(String, String), Int]
+
   /** The fork version a branch split from main at (from `_branch.json`). */
-  private[graft] def forkOf(f: FileSystem, physRoot: String, name: String): Int = {
-    val p = branchMetaPath(physRoot, name)
-    require(f.exists(p), s"no branch '$name' at $physRoot")
-    val in = f.open(p)
-    val txt =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    (JsonMethods.parse(txt) \ "fork") match {
-      case JInt(v) => v.toInt
-      case other => sys.error(s"malformed _branch.json for '$name': $other")
-    }
-  }
+  private[graft] def forkOf(f: FileSystem, physRoot: String, name: String): Int =
+    forkCache.getOrElseUpdate((physRoot, name), {
+      val p = branchMetaPath(physRoot, name)
+      require(f.exists(p), s"no branch '$name' at $physRoot")
+      (JsonMethods.parse(new String(readSmall(f, p), "UTF-8")) \ "fork") match {
+        case JInt(v) => v.toInt
+        case other => sys.error(s"malformed _branch.json for '$name': $other")
+      }
+    })
 
   private[graft] def readSmall(f: FileSystem, p: Path): Array[Byte] = {
     val in = f.open(p)
@@ -289,6 +304,7 @@ object SnapshotTable {
     require(f.exists(branchMetaPath(root, name)), s"no branch '$name' at $root")
     f.delete(refDir(root, name), true)
     f.delete(new Path(root, s"_cdc/ref-$name"), true)
+    forkCache.remove((root, name)) // a later same-named branch may fork elsewhere
   }
 
   /** All branches of the table: `(name, fork version)`, name-sorted. Torn
@@ -394,7 +410,16 @@ object SnapshotTable {
       mLatest <= bLatest,
       s"main (v$mLatest) advanced past branch '$name' (v$bLatest); fast-forward impossible")
     (fork + 1 to mLatest).foreach { v =>
-      val mine = readSmall(f, new Path(new Path(root, "_manifests"), f"v$v%08d.json"))
+      // a vacuumed prefix manifest means byte-identity is UNVERIFIABLE —
+      // refuse with the real reason instead of leaking FileNotFound
+      // (resume-after-crash composes with vacuum only while the copied
+      // prefix is still retained)
+      val mainP = new Path(new Path(root, "_manifests"), f"v$v%08d.json")
+      require(
+        f.exists(mainP),
+        s"main v$v was vacuumed; cannot verify the already-published prefix of branch " +
+          s"'$name' — drop the branch and re-stage (or fast-forward before vacuuming)")
+      val mine = readSmall(f, mainP)
       val theirs = readSmall(f, new Path(refDir(root, name), f"v$v%08d.json"))
       require(
         java.util.Arrays.equals(mine, theirs),
@@ -470,6 +495,14 @@ object SnapshotTable {
     while (true) {
       val base = latestVersion(spark, root).get
       val m = readManifest(spark, root, base)
+      // re-checked EVERY attempt (not just before the loop): a racing
+      // cherry-pick of the same branch may have published between our
+      // read and our publish — retrying without this would append the
+      // delta dirs a second time and double-count the staged rows
+      if (deltaDirs.forall(m.dirs.contains)) return base
+      require(
+        !deltaDirs.exists(m.dirs.contains),
+        s"main v$base references PART of branch '$name''s delta — refusing a partial re-pick")
       val merged = (m.schemaJson.map(schemaFromJson), deltaSchema) match {
         case (Some(a), Some(b)) => mergeSchemas(a, b)
         case (a, b) => a.orElse(b).getOrElse(sys.error("cherry-pick needs a schema-recording manifest"))
@@ -2333,13 +2366,10 @@ object SnapshotTable {
     // size unknown means carry, the same conservatism the planner applies
     val (small, big) = m.files.partition(f => f.bytes >= 0 && f.bytes < smallBytes)
     if (small.size < minFiles) return base
-    val masked = maskedEntrySet(m)
     val src =
       if (m.masks.isEmpty)
         readTablePaths(spark, schema, small.map(f => new Path(dataRoot(root), f.path).toString))
       else readEntriesMasked(spark, root, m, schema, small.map(_.path))
-    val before =
-      if (small.exists(f => masked(f.path))) src.count() else small.map(_.rows).sum
     val nOut = math.max(1, math.ceil(small.map(_.bytes).sum / targetBytes.toDouble).toInt)
     val (rel, n, stats) = writeData(
       spark, root, src.repartition(nOut), m.constraints, schema.map(mappingOf).getOrElse(Map.empty))
@@ -2361,7 +2391,10 @@ object SnapshotTable {
         base + 1,
         "compact",
         (big.map(_.path) ++ uncovered) ++ (if (n > 0) Seq(rel) else Nil),
-        n - before, // 0 for clean files; mask-aware on reconciled ones
+        // data-identical on live rows BY CONSTRUCTION (the write is the
+        // mask-aware read of the packed files) — the net delta is zero;
+        // computing it would cost a full second scan of the small files
+        0L,
         None,
         Some(schemaJson),
         big ++ stats,
@@ -3698,16 +3731,19 @@ object SnapshotTable {
     // of retained history — no reader can plan through them (readWhere
     // auto-select and readWhereCheckpointed pin the LATEST version) —
     // age-gated like data dirs. Without this every checkpoint() run
-    // would leak a full per-file-stats copy forever.
+    // would leak a full per-file-stats copy forever. Membership in the
+    // KEPT SET decides, not a min-version cutoff: a pinned old tag would
+    // otherwise hold the cutoff at its version and disable reclamation
+    // for every later dropped version forever (and a pinned version's
+    // own checkpoint rightly survives with it).
     val ckptRe = """ckpt_v(\d{8})$""".r
-    val minKeptV = keep.headOption.getOrElse(Int.MaxValue)
     val deletedCkpt =
       if (!f.exists(manifestDir(root))) Seq.empty[String]
       else
         f.listStatus(manifestDir(root))
           .toSeq
           .filter(s => minAgeMs <= 0L || s.getModificationTime <= System.currentTimeMillis() - minAgeMs)
-          .filter(s => ckptRe.findFirstMatchIn(s.getPath.getName).exists(_.group(1).toInt < minKeptV))
+          .filter(s => ckptRe.findFirstMatchIn(s.getPath.getName).exists(m => !keptSet(m.group(1).toInt)))
           .map { s =>
             f.delete(s.getPath, true); "_manifests/" + s.getPath.getName
           }
@@ -3717,7 +3753,6 @@ object SnapshotTable {
     // offsets reference dropped manifests), age-gated like data dirs
     val cdcDir = new Path(dataRoot(root), "_cdc")
     val cdcRe = """r(\d{8})_(\d{8})""".r
-    val minKept = minKeptV // the single oldest-retained-version cutoff
     val deletedCdc =
       if (!f.exists(cdcDir)) Seq.empty[String]
       else
@@ -3725,7 +3760,9 @@ object SnapshotTable {
           .toSeq
           .filter(s => minAgeMs <= 0L || s.getModificationTime <= System.currentTimeMillis() - minAgeMs)
           .filter(s =>
-            cdcRe.findFirstMatchIn(s.getPath.getName).exists(m => m.group(2).toInt < minKept) ||
+            // kept-set membership of the END version, not a cutoff (see
+            // the checkpoint sweep above for the pinned-tag rationale)
+            cdcRe.findFirstMatchIn(s.getPath.getName).exists(m => !keptSet(m.group(2).toInt)) ||
               // a crashed writer's unpublished temp — but ONLY under an
               // age-gated run: a live CDC reader may be minutes into
               // materializing its range, and an un-gated vacuum

@@ -180,6 +180,30 @@ class SnapshotBranchSpec extends SparkSuite {
     assert(intercept[Exception](
       spark.read.format("snapshot-table").option("tag", "t1").option("versionAsOf", "1").load(root))
       .getMessage.contains("at most one"))
+    // a tag pins a MAIN version; resolving it against a branch's private
+    // log would silently read the branch's same-numbered snapshot
+    assert(intercept[Exception](
+      spark.read.format("snapshot-table").option("branch", "dev").option("tag", "t1").load(root))
+      .getMessage.contains("MAIN"))
+  }
+
+  test("vacuum reclaims checkpoints and CDC caches of dropped versions even under an old pinned tag") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, fixture(0, 50)) // v1
+    SnapshotTable.createTag(spark, root, "golden") // pins v1
+    SnapshotTable.append(spark, root, fixture(50, 20)) // v2
+    SnapshotTable.checkpoint(spark, root) // ckpt_v2
+    SnapshotTable.changesBetweenCached(spark, root, 1, 2) // _cdc/r...2
+    SnapshotTable.append(spark, root, fixture(70, 20)) // v3
+    SnapshotTable.checkpoint(spark, root) // ckpt_v3
+    val deleted = SnapshotTable.vacuum(spark, root, keepLast = 1)
+    // v1 survives (tagged); v2 drops — and with it its checkpoint and
+    // CDC range, which a min-version cutoff at the pin would leak forever
+    assert(SnapshotTable.versions(spark, root) == Seq(1, 3))
+    assert(deleted.exists(_.contains("ckpt_v00000002")), s"ckpt_v2 must reclaim, got $deleted")
+    assert(deleted.exists(_.startsWith("_cdc/r")), s"the v2-ending CDC range must reclaim, got $deleted")
+    assert(!deleted.exists(_.contains("ckpt_v00000003")), "the live checkpoint must survive")
+    assert(SnapshotTable.readVersion(spark, root, 1).count() == 50) // pin intact
   }
 
   test("cherry-pick lands an append-only branch delta on an ADVANCED main; non-appends refuse") {
@@ -287,6 +311,9 @@ class SnapshotBranchSpec extends SparkSuite {
     assert(e.getMessage.contains("already exists"))
     assert(intercept[Exception](SnapshotTable.createBranch(spark, root, "bad name"))
       .getMessage.contains("ref name"))
+    // all-digit names would parse as version numbers at every lookup
+    assert(intercept[Exception](SnapshotTable.createTag(spark, root, "2024"))
+      .getMessage.contains("all digits"))
     // nested refs refuse
     val dev = SnapshotTable.branchRef(root, "only")
     assert(intercept[Exception](SnapshotTable.createBranch(spark, dev, "sub"))
