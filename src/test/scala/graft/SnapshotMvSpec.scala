@@ -147,6 +147,54 @@ class SnapshotMvSpec extends SparkSuite {
     assert(mvRows(mv) == recompute(SnapshotTable.read(spark, base)))
   }
 
+  test("a view maintains over a BRANCH base; main's own aggregate is untouched") {
+    val root = freshRoot(); val mv = freshRoot() + "/mv"
+    SnapshotTable.create(spark, root, fixture(0, 100))
+    val dev = SnapshotTable.createBranch(spark, root, "dev")
+    // the view's base is the ref-qualified HANDLE — every MV operation
+    // (create, CDC-driven refresh, sync tracking) runs in branch isolation
+    SnapshotMv.create(spark, dev, mv, Seq("grp"), Seq("price_c"))
+    SnapshotTable.append(spark, dev, fixture(100, 40))
+    SnapshotTable.deleteWhere(spark, dev, Seq(Bound("k", Some(0L), Some(19L))))
+    SnapshotTable.append(spark, root, fixture(500, 7)) // main diverges
+    SnapshotMv.refresh(spark, mv)
+    assert(mvRows(mv) == recompute(SnapshotTable.read(spark, dev)))
+    assert(mvRows(mv) != recompute(SnapshotTable.read(spark, root)))
+    assert(SnapshotMv.spec(spark, mv).baseRoot == dev)
+  }
+
+  test("streaming ingest composes: sink epochs land, refresh after each epoch tracks exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = freshRoot() + "/base"; val mv = freshRoot() + "/mv"
+    val ckpt = Files.createTempDirectory("graft-mv-ckpt").toString
+    val ms = MemoryStream[(Long, Int, Long)]
+    val q = ms.toDF().toDF("k", "grp", "price_c")
+      .writeStream
+      .format("snapshot-table")
+      .option("path", base)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      ms.addData((1L, 1, 10L), (2L, 2, 20L))
+      q.processAllAvailable() // epoch 0 creates the table
+      SnapshotMv.create(spark, base, mv, Seq("grp"), Seq("price_c"))
+      ms.addData((3L, 1, 30L), (4L, 3, 40L))
+      q.processAllAvailable()
+      SnapshotMv.refresh(spark, mv)
+      assert(mvRows(mv) == recompute(SnapshotTable.read(spark, base)))
+      ms.addData((5L, 3, 50L))
+      q.processAllAvailable()
+      SnapshotMv.refresh(spark, mv)
+      assert(mvRows(mv) == recompute(SnapshotTable.read(spark, base)))
+      assert(SnapshotMv.read(spark, mv).count() == 3) // grps 1, 2, 3
+    } finally q.stop()
+  }
+
   test("definition hygiene: bad columns refuse; duplicate create refuses; read projects declared columns") {
     val base = freshRoot(); val mv = freshRoot() + "/mv"
     SnapshotTable.create(spark, base, fixture(0, 20))
