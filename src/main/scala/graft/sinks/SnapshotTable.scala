@@ -207,13 +207,20 @@ object SnapshotTable {
   private[graft] def dataRoot(root: String): String = splitRef(root)._1
 
   /** The ref-qualified handle for branch `name` of the table at `root` —
-    * pass it anywhere a root is accepted to operate on the branch. */
+    * pass it anywhere a root is accepted to operate on the branch. Only
+    * the CHARSET is validated here (this is a resolution path — it must
+    * keep addressing whatever exists on disk); creation-time rules live
+    * in [[requireRefName]]. */
   def branchRef(root: String, name: String): String = {
     require(splitRef(root)._2.isEmpty, s"'$root' is already a branch handle; nested refs are not supported")
-    requireRefName(name)
+    require(
+      name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
+      s"ref name must be [A-Za-z0-9_-]+, got '$name'")
     root + RefSep + name
   }
 
+  /** CREATION-time ref-name rules (strictly stronger than [[branchRef]]'s
+    * resolution charset, so every created ref stays addressable). */
   private def requireRefName(name: String): Unit = {
     require(
       name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
@@ -241,18 +248,24 @@ object SnapshotTable {
   // the SAME name from ANOTHER process while this one holds live branch
   // handles needs fresh handles — the same single-coordinator assumption
   // the CommitStore seam documents for external stores.
-  private val forkCache = scala.collection.concurrent.TrieMap.empty[(String, String), Int]
+  // miss-loads and invalidations serialize on the map itself: an unlocked
+  // getOrElseUpdate whose thunk straddles a dropBranch+createBranch pair
+  // would re-insert the OLD fork after the invalidation (file reads are
+  // microseconds-local, so the lock is uncontended in practice)
+  private val forkCache = scala.collection.mutable.HashMap.empty[(String, String), Int]
 
   /** The fork version a branch split from main at (from `_branch.json`). */
   private[graft] def forkOf(f: FileSystem, physRoot: String, name: String): Int =
-    forkCache.getOrElseUpdate((physRoot, name), {
-      val p = branchMetaPath(physRoot, name)
-      require(f.exists(p), s"no branch '$name' at $physRoot")
-      (JsonMethods.parse(new String(readSmall(f, p), "UTF-8")) \ "fork") match {
-        case JInt(v) => v.toInt
-        case other => sys.error(s"malformed _branch.json for '$name': $other")
-      }
-    })
+    forkCache.synchronized {
+      forkCache.getOrElseUpdate((physRoot, name), {
+        val p = branchMetaPath(physRoot, name)
+        require(f.exists(p), s"no branch '$name' at $physRoot")
+        (JsonMethods.parse(new String(readSmall(f, p), "UTF-8")) \ "fork") match {
+          case JInt(v) => v.toInt
+          case other => sys.error(s"malformed _branch.json for '$name': $other")
+        }
+      })
+    }
 
   private[graft] def readSmall(f: FileSystem, p: Path): Array[Byte] = {
     val in = f.open(p)
@@ -291,6 +304,9 @@ object SnapshotTable {
       case e: ConcurrentCommitException =>
         throw new ConcurrentCommitException(s"branch '$name' already exists at $root (${e.getMessage})")
     }
+    // install the authoritative fork under the lock — overwrites any
+    // stale entry a concurrent pre-drop reader might have raced in
+    forkCache.synchronized { forkCache.put((root, name), fork) }
     branchRef(root, name)
   }
 
@@ -304,7 +320,7 @@ object SnapshotTable {
     require(f.exists(branchMetaPath(root, name)), s"no branch '$name' at $root")
     f.delete(refDir(root, name), true)
     f.delete(new Path(root, s"_cdc/ref-$name"), true)
-    forkCache.remove((root, name)) // a later same-named branch may fork elsewhere
+    forkCache.synchronized { forkCache.remove((root, name)) } // a later same-named branch may fork elsewhere
   }
 
   /** All branches of the table: `(name, fork version)`, name-sorted. Torn
@@ -354,8 +370,14 @@ object SnapshotTable {
     v
   }
 
-  /** The main version tag `name` pins. */
+  /** The main version tag `name` pins. Refuses a branch handle: the
+    * pinned number indexes MAIN's lineage, and resolving it against a
+    * branch's private log would silently read the branch's same-numbered
+    * snapshot (wrong data, no error). */
   def tagVersion(spark: SparkSession, root: String, name: String): Int = {
+    require(
+      splitRef(root)._2.isEmpty,
+      s"tags name MAIN versions; resolve tag '$name' from the main handle, not a branch")
     val f = fs(spark, root)
     val p = tagPath(dataRoot(root), name)
     require(f.exists(p), s"no tag '$name' at $root")
@@ -492,17 +514,25 @@ object SnapshotTable {
     }
     var enforced: Map[String, String] = tip.constraints // the appends proved these
     var attempts = 0
+    // every retry re-scans the commits published SINCE the last scan
+    // (not just the tip): a racing identical pick may have landed AND a
+    // later delete/compact may have already dropped the delta dirs from
+    // the tip manifest — a tip-only check would re-publish the delta and
+    // resurrect the deleted rows
+    var scannedTo = mLatest
     while (true) {
       val base = latestVersion(spark, root).get
+      ((scannedTo + 1) to base).foreach { v =>
+        val c = readManifest(spark, root, v)
+        if (deltaDirs.exists(c.dirs.contains)) {
+          require(
+            deltaDirs.forall(c.dirs.contains),
+            s"main v$v references PART of branch '$name''s delta — refusing a partial re-pick")
+          return base // a racer completed the pick; ours is a no-op
+        }
+      }
+      scannedTo = base
       val m = readManifest(spark, root, base)
-      // re-checked EVERY attempt (not just before the loop): a racing
-      // cherry-pick of the same branch may have published between our
-      // read and our publish — retrying without this would append the
-      // delta dirs a second time and double-count the staged rows
-      if (deltaDirs.forall(m.dirs.contains)) return base
-      require(
-        !deltaDirs.exists(m.dirs.contains),
-        s"main v$base references PART of branch '$name''s delta — refusing a partial re-pick")
       val merged = (m.schemaJson.map(schemaFromJson), deltaSchema) match {
         case (Some(a), Some(b)) => mergeSchemas(a, b)
         case (a, b) => a.orElse(b).getOrElse(sys.error("cherry-pick needs a schema-recording manifest"))
@@ -3737,13 +3767,20 @@ object SnapshotTable {
     // for every later dropped version forever (and a pinned version's
     // own checkpoint rightly survives with it).
     val ckptRe = """ckpt_v(\d{8})$""".r
+    // never touch versions ABOVE this run's snapshot of the log: a
+    // concurrent writer may have committed (and checkpointed / cached
+    // CDC for) a version this vacuum never listed — kept-set membership
+    // alone would read "not kept" and delete live derived data
+    val maxListedV = vs.lastOption.getOrElse(Int.MinValue)
     val deletedCkpt =
       if (!f.exists(manifestDir(root))) Seq.empty[String]
       else
         f.listStatus(manifestDir(root))
           .toSeq
           .filter(s => minAgeMs <= 0L || s.getModificationTime <= System.currentTimeMillis() - minAgeMs)
-          .filter(s => ckptRe.findFirstMatchIn(s.getPath.getName).exists(m => !keptSet(m.group(1).toInt)))
+          .filter(s =>
+            ckptRe.findFirstMatchIn(s.getPath.getName)
+              .exists(m => { val v = m.group(1).toInt; !keptSet(v) && v <= maxListedV }))
           .map { s =>
             f.delete(s.getPath, true); "_manifests/" + s.getPath.getName
           }
@@ -3761,8 +3798,10 @@ object SnapshotTable {
           .filter(s => minAgeMs <= 0L || s.getModificationTime <= System.currentTimeMillis() - minAgeMs)
           .filter(s =>
             // kept-set membership of the END version, not a cutoff (see
-            // the checkpoint sweep above for the pinned-tag rationale)
-            cdcRe.findFirstMatchIn(s.getPath.getName).exists(m => !keptSet(m.group(2).toInt)) ||
+            // the checkpoint sweep above for the pinned-tag rationale and
+            // the maxListedV concurrent-writer guard)
+            cdcRe.findFirstMatchIn(s.getPath.getName)
+              .exists(m => { val v = m.group(2).toInt; !keptSet(v) && v <= maxListedV }) ||
               // a crashed writer's unpublished temp — but ONLY under an
               // age-gated run: a live CDC reader may be minutes into
               // materializing its range, and an un-gated vacuum

@@ -126,10 +126,14 @@ class SnapshotMvSpec extends SparkSuite {
     SnapshotTable.restore(spark, mv, 2)
     val e = intercept[Exception] { SnapshotMv.refresh(spark, mv) }
     assert(e.getMessage.contains("mutated outside refresh"), e.getMessage)
-    // compaction of the view is data-identical and stays transparent
+    // compaction of the view is data-identical and stays transparent —
+    // and must actually HAPPEN for this leg to test anything (the
+    // one-file aggregate makes compactSmall a commitless no-op, so use
+    // the unconditional full compact: same "compact" action)
     val mv2 = freshRoot() + "/mv2"
     SnapshotMv.create(spark, base, mv2, Seq("grp"), Seq("price_c"))
-    SnapshotTable.compactSmall(spark, mv2)
+    SnapshotTable.compact(spark, mv2, "grp", 2)
+    assert(SnapshotTable.history(spark, mv2).last.action == "compact")
     SnapshotTable.append(spark, base, fixture(70, 10))
     SnapshotMv.refresh(spark, mv2)
     assert(mvRows(mv2) == recompute(SnapshotTable.read(spark, base)))
