@@ -225,6 +225,8 @@ object SnapshotSql {
   // reaches the parser
   private val RefBadRe =
     """(?is)\s*ALTER\s+TABLE\s+.*(?:(?:CREATE|DROP)\s+(?:BRANCH|TAG)\b|FAST\s+FORWARD|CHERRY[\s-]?PICK).*""".r
+  private val VacuumDryRe =
+    """(?is)\s*VACUUM\s+`?([\w.]+)`?\s+RETAIN\s+(\d+)\s+VERSIONS?(?:\s+OLDER\s+THAN\s+(\d+)\s+HOURS?)?\s+DRY\s+RUN\s*;?\s*""".r
   private val RefreshMvRe =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+`?([\w.]+)`?\s*;?\s*""".r
   private val ShowBranchesRe =
@@ -275,8 +277,9 @@ object SnapshotSql {
         sys.error(
           "VACUUM supports 'VACUUM <table> RETAIN <n> VERSIONS [OLDER THAN <h> HOURS]' only — " +
             "RETENTION is version-based (see SnapshotTable.vacuum's reader contract; the OLDER " +
-            "THAN clause is the live-writer age guard, not a retention policy); other shapes " +
-            "are refused, not approximated")
+            "THAN clause is the live-writer age guard, not a retention policy); the DRY RUN " +
+            "form is a READ — issue it through SnapshotSql.query; other shapes are refused, " +
+            "not approximated")
       case OptimizeRe(name, cols, nFiles) =>
         val reg = maintenanceReg(spark, name)
         // resolver-aware column names (OPTIMIZE snap ZORDER BY (K) under
@@ -724,6 +727,19 @@ object SnapshotSql {
     * the ordinary analyzer (temp views, catalog tables) — this is a
     * NAME-RESOLUTION layer, not a dialect. */
   def query(spark: SparkSession, sql: String): DataFrame = sql match {
+    // the destructive sweep's PREVIEW (a read, hence here): the exact
+    // would-delete report with zero filesystem writes
+    case VacuumDryRe(name, n, hours) =>
+      import spark.implicits._
+      val reg = maintenanceReg(spark, name)
+      SnapshotTable
+        .vacuum(
+          spark,
+          reg.root,
+          keepLast = n.toInt,
+          minAgeMs = Option(hours).map(_.toLong * 3600000L).getOrElse(0L),
+          dryRun = true)
+        .toDF("would_delete")
     // DESCRIBE HISTORY (Delta parity; not Spark grammar → regex-routed
     // like the maintenance statements): the ONE commit-log surface
     // ([[SnapshotTable.historyDf]]), newest first — one metadata read per

@@ -3707,7 +3707,12 @@ object SnapshotTable {
     * Production note: an in-flight commit's data dir is unreferenced until
     * its publish; run vacuum with an age threshold (or quiesced writers) on
     * a live table. Returns the deleted root-relative paths. */
-  def vacuum(spark: SparkSession, root: String, keepLast: Int, minAgeMs: Long = 0L): Seq[String] = {
+  def vacuum(
+      spark: SparkSession,
+      root: String,
+      keepLast: Int,
+      minAgeMs: Long = 0L,
+      dryRun: Boolean = false): Seq[String] = {
     require(keepLast >= 1, "must retain at least the latest version")
     require(
       splitRef(root)._2.isEmpty,
@@ -3741,8 +3746,12 @@ object SnapshotTable {
       .flatMap(c => c.dirs ++ c.masks.flatMap(_.keyDir))
       .map(dataDirOf)
       .toSet
+    // dryRun = the full would-delete report with ZERO filesystem writes —
+    // the operator's preview before pointing a destructive sweep at a
+    // production table (every sweep below honors it)
     val deletedManifests = drop.map { v =>
-      f.delete(manifestPath(f, root, v), false); f"_manifests/v$v%08d.json"
+      if (!dryRun) f.delete(manifestPath(f, root, v), false)
+      f"_manifests/v$v%08d.json"
     }
     // stray publish temps (crash between temp write and link/rename) —
     // swept ONLY under an age-gated run (the same live-writer guard the
@@ -3750,7 +3759,7 @@ object SnapshotTable {
     // .tmp-ckpt-* parquet write runs INSIDE every Nth commit, and an
     // un-gated vacuum racing that committer would delete the temp
     // mid-write; recursive, because checkpoint temps are dirs
-    if (f.exists(manifestDir(root)) && minAgeMs > 0L)
+    if (!dryRun && f.exists(manifestDir(root)) && minAgeMs > 0L)
       f.listStatus(manifestDir(root))
         .filter(s =>
           s.getPath.getName.startsWith(".tmp-") &&
@@ -3782,7 +3791,8 @@ object SnapshotTable {
             ckptRe.findFirstMatchIn(s.getPath.getName)
               .exists(m => { val v = m.group(1).toInt; !keptSet(v) && v <= maxListedV }))
           .map { s =>
-            f.delete(s.getPath, true); "_manifests/" + s.getPath.getName
+            if (!dryRun) f.delete(s.getPath, true)
+            "_manifests/" + s.getPath.getName
           }
     // materialized change-feed ranges ([[SnapshotSource]] readChangeFeed)
     // are derived data: reclaim any whose END version fell out of retained
@@ -3814,7 +3824,8 @@ object SnapshotTable {
               (s.getPath.getName.startsWith("ref-") &&
                 !allBranches.exists { case (b, _) => s.getPath.getName == "ref-" + b }))
           .map { s =>
-            f.delete(s.getPath, true); "_cdc/" + s.getPath.getName
+            if (!dryRun) f.delete(s.getPath, true)
+            "_cdc/" + s.getPath.getName
           }
     // orphan parts inside RETAINED published dirs — a crashed or
     // lost-race publisher's files the `_SUCCESS` manifest doesn't name
@@ -3857,8 +3868,9 @@ object SnapshotTable {
                   s.getModificationTime <= System.currentTimeMillis() - minAgeMs)
               .flatMap { s =>
                 // recursive (a crashed pre-protocol writer's orphan can be
-                // a DIR), and only REPORT what the delete confirmed
-                if (f.delete(s.getPath, true))
+                // a DIR), and only REPORT what the delete confirmed (a dry
+                // run reports the candidate set)
+                if (dryRun || f.delete(s.getPath, true))
                   Some(s"${d.getParent.getName}/${d.getName}/${s.getPath.getName}")
                 else None
               }
@@ -3881,7 +3893,8 @@ object SnapshotTable {
           .map(s => "data/" + s.getPath.getName)
           .filterNot(live)
           .map { rel =>
-            f.delete(new Path(dataRoot(root), rel), true); rel
+            if (!dryRun) f.delete(new Path(dataRoot(root), rel), true)
+            rel
           }
     deletedManifests ++ deletedCkpt ++ deletedCdc ++ deletedOrphans ++ deletedData
   }

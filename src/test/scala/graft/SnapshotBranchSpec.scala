@@ -187,6 +187,29 @@ class SnapshotBranchSpec extends SparkSuite {
       .getMessage.contains("MAIN"))
   }
 
+  test("VACUUM DRY RUN reports exactly the real sweep's list and deletes nothing") {
+    import graft.sinks.SnapshotSql
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, fixture(0, 50)) // v1
+    SnapshotTable.overwrite(spark, root, fixture(50, 30)) // v2: v1's dir unreferenced
+    SnapshotTable.checkpoint(spark, root) // ckpt_v2
+    SnapshotTable.append(spark, root, fixture(80, 10)) // v3
+    SnapshotSql.register(spark, "dryt", root)
+    val preview = SnapshotSql
+      .query(spark, "VACUUM dryt RETAIN 1 VERSIONS DRY RUN")
+      .collect().map(_.getString(0)).toSeq
+    // nothing was deleted: every version still reads
+    assert(SnapshotTable.versions(spark, root) == Seq(1, 2, 3))
+    assert(SnapshotTable.readVersion(spark, root, 1).count() == 50)
+    // the real sweep deletes exactly the previewed set
+    val real = SnapshotTable.vacuum(spark, root, keepLast = 1)
+    assert(real.sorted == preview.sorted, s"preview $preview vs real $real")
+    assert(SnapshotTable.versions(spark, root) == Seq(3))
+    // the write-route refuses the read shape, pointing at query()
+    assert(intercept[Exception](SnapshotSql.execute(spark, "VACUUM dryt RETAIN 1 VERSIONS DRY RUN"))
+      .getMessage.contains("DRY RUN"))
+  }
+
   test("vacuum reclaims checkpoints and CDC caches of dropped versions even under an old pinned tag") {
     val root = freshRoot()
     SnapshotTable.create(spark, root, fixture(0, 50)) // v1
