@@ -381,9 +381,9 @@ object PipelineOps {
         "WHERE ((d.doc_id * 2654435761) % 4294967296 + 4294967296) % 4294967296 % 1000 < r.rate " +
         "ORDER BY source, doc_id"),
     "q_sample_budget" ->
-      ("WITH c AS (SELECT source, sum(len(string_split(text, ' '))) AS tokens, CAST(substr(source, 4) AS BIGINT) % 5 AS priority FROM documents GROUP BY source), " +
+      ("WITH c AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens, CAST(substr(source, 4) AS BIGINT) % 5 AS priority FROM documents GROUP BY source), " +
         "b AS (SELECT *, CAST(floor(sum(tokens) OVER () * 0.4) AS BIGINT) AS budget, " +
-        "coalesce(sum(tokens) OVER (ORDER BY priority DESC, tokens DESC, source ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM c), " +
+        "CAST(coalesce(sum(tokens) OVER (ORDER BY priority DESC, tokens DESC, source ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM c), " +
         "a AS (SELECT source, priority, tokens, greatest(0, least(tokens, budget - cum_before)) AS alloc FROM b) " +
         "SELECT source, priority, tokens, alloc, CAST(floor(CAST(alloc AS DOUBLE)/tokens*1000000 + 0.5) AS BIGINT) AS rate_e6 " +
         "FROM a ORDER BY source"),

@@ -211,6 +211,14 @@ final class SnapshotSource(
     (p, out.toSeq)
   }
 
+  /** True when `p` sits INSIDE a version's entry list (unconsumed tail) —
+    * the one start shape a legacy whole-version end offset cannot encode.
+    * A fully-consumed list (i ≥ size, incl. the Int.MaxValue scratch
+    * sentinel) is NOT mid-list: `(p.v+1)..latest` delta semantics are
+    * exact from there. */
+  private def midList(p: Position, latest: Int): Boolean =
+    p.v <= latest && p.i < listAt(p).size
+
   /** Snap a position onto the next non-empty list start. */
   private def normalize(p: Position, latest: Int): Position = {
     var cur = p
@@ -229,8 +237,17 @@ final class SnapshotSource(
     val latestOpt = SnapshotTable.latestVersion(spark, root)
     if (latestOpt.isEmpty) return None
     val latest = latestOpt.get
-    if (!rateLimited) latestOpt.map(v => LongOffset(v.toLong))
-    else {
+    if (!rateLimited) {
+      pos.filter(midList(_, latest)) match {
+        // same mid-list guard as [[latestOffset]]'s unbounded branch: after a
+        // replayed batch left `pos` inside a version's list, a legacy
+        // LongOffset end would drop that list's unconsumed tail
+        case Some(p) =>
+          val (end, entries) = walk(p, latest, None, None)
+          if (entries.isEmpty) pos.map(PositionOffset(_)) else Some(PositionOffset(end))
+        case None => latestOpt.map(v => LongOffset(v.toLong))
+      }
+    } else {
       val from = pos.getOrElse(scratchPosition(latest))
       val (end, entries) = walk(from, latest)
       if (entries.isEmpty) pos.map(p => PositionOffset(p)) // no new data
@@ -314,9 +331,20 @@ final class SnapshotSource(
     // truncate the drain and terminate early
     val (limitF, limitB) = readLimitBudgets(limit)
     if (limitF.isEmpty && limitB.isEmpty) {
-      val consumed = startPos.map(_.v).getOrElse(-1)
-      if (latest <= consumed && startPos.isDefined) start
-      else LongOffset(latest.toLong)
+      // a checkpointed MID-LIST positional start (killed rate-limited run,
+      // then Trigger.Once / restart without the rate-limit options) must
+      // keep a positional END: a legacy LongOffset end would route
+      // getBatch to legacyEntries((v+1)..latest), silently dropping the
+      // unconsumed entries i..size of version v — permanent row loss
+      startPos.filter(midList(_, latest)) match {
+        case Some(p) =>
+          val (end, entries) = walk(p, latest, None, None)
+          if (entries.isEmpty) start else PositionOffset(end)
+        case None =>
+          val consumed = startPos.map(_.v).getOrElse(-1)
+          if (latest <= consumed && startPos.isDefined) start
+          else LongOffset(latest.toLong)
+      }
     } else {
       val from = startPos.orElse(pos).getOrElse(scratchPosition(latest))
       val (end, entries) = walk(from, latest, limitF, limitB)

@@ -500,7 +500,12 @@ object SnapshotTable {
     val forkDirs = readManifest(spark, root, fork).dirs.toSet
     val tip = bCommits.last
     val deltaDirs = tip.dirs.filterNot(forkDirs)
-    val deltaStats = tip.files.filterNot(fst => forkDirs(dataDirOf(fst.path)))
+    // filter by BOTH dir and file identity: a fork manifest produced by
+    // pre-fork row-level DML lists untouched files as individual FILE
+    // entries, so matching only the containing dir would re-publish their
+    // stats in the pick commit (double-counted countWhere / double scans,
+    // and resurrection if main dropped the file after the fork)
+    val deltaStats = tip.files.filterNot(fst => forkDirs(dataDirOf(fst.path)) || forkDirs(fst.path))
     val deltaRows = bCommits.map(_.addedRows).sum
     val deltaSchema = tip.schemaJson.map(schemaFromJson)
     // idempotence: a main commit already referencing the delta is a

@@ -262,6 +262,36 @@ class SnapshotBranchSpec extends SparkSuite {
     assert(e.getMessage.contains("append-only"))
   }
 
+  test("cherry-pick on a fork whose manifest holds pre-fork DML FILE entries neither double-counts nor resurrects") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    // 4 range-clustered files so DML touches some files and carries the
+    // rest forward as individual FILE entries in the manifest's dirs
+    SnapshotTable.create(
+      spark, root,
+      fixture(0, 100).repartitionByRange(4, col("k")).sortWithinPartitions("k")) // v1
+    // pre-fork row-level DML: the v2 manifest lists the untouched files
+    // as FILE entries — exactly the shape the deltaStats filter must
+    // exclude by FILE identity, not just containing dir
+    SnapshotTable.deleteWhere(spark, root, Seq(Bound("k", Some(0L), Some(9L)))) // v2
+    val stage = SnapshotTable.createBranch(spark, root, "stage") // fork = v2
+    SnapshotTable.append(spark, stage, fixture(200, 20)) // branch v3, append-only
+    // main drops one of those pre-fork untouched files AFTER the fork: a
+    // buggy pick that re-published the fork's file stats would resurrect it
+    SnapshotTable.deleteWhere(spark, root, Seq(Bound("k", Some(50L), Some(74L)))) // main v3
+    val v = SnapshotTable.cherryPick(spark, root, "stage")
+    assert(v == 4)
+    // exactly main's own state + the 20 staged rows; nothing resurrected
+    assert(SnapshotTable.read(spark, root).count() == 100 - 10 - 25 + 20)
+    assert(SnapshotTable.read(spark, root).filter("k BETWEEN 50 AND 74").count() == 0)
+    assert(rows(SnapshotTable.read(spark, root)) ==
+      rows(fixture(10, 40).unionByName(fixture(75, 25)).unionByName(fixture(200, 20))))
+    // the pick commit's stat list is duplicate-free (countWhere exactness)
+    val tipFiles = SnapshotTable.history(spark, root).last.files.map(_.path)
+    assert(tipFiles.distinct.size == tipFiles.size, s"duplicate FileStats in pick commit: $tipFiles")
+    assert(SnapshotTable.countWhere(spark, root, Seq(Bound("k", Some(10L), Some(49L)))) == 40)
+  }
+
   test("cherry-pick re-proves constraints main gained since the fork") {
     val root = freshRoot()
     SnapshotTable.create(spark, root, fixture(0, 50)) // v1

@@ -150,6 +150,54 @@ class SnapshotSourceSpec extends SparkSuite {
       s"the default limit must cap the first batch at 2 files, got ${step.json()}")
   }
 
+  test("a MID-LIST positional start under ReadLimit.allAvailable stays positional: no snapshot-tail loss") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.streaming.runtime.SerializedOffset
+    val root = freshRoot()
+    SnapshotTable.create(
+      spark, root, spark.range(100).selectExpr("id AS k", "concat('v', id) AS s").repartition(4)) // v1: 4 files
+    SnapshotTable.append(
+      spark, root, spark.range(100, 150).selectExpr("id AS k", "concat('v', id) AS s").repartition(2)) // v2: 2 files
+    def nFiles(df: org.apache.spark.sql.DataFrame): Int = df.queryExecution.logical
+      .collectFirst { case l: LogicalRelation => l.relation.asInstanceOf[HadoopFsRelation] }
+      .get.location.listFiles(Nil, Nil).map(_.files.size).sum
+    // a killed rate-limited run checkpointed this MID-SNAPSHOT position
+    // (the initial snapshot is at latest=v2: 6 files, 2 consumed)...
+    val src = new graft.sinks.SnapshotSource(spark, root, None, maxFilesPerTrigger = Some(2))
+    val mid = src.latestOffset(src.initialOffset(), src.getDefaultReadLimit)
+    assert(mid.json().contains("\"v\":2") && mid.json().contains("\"i\":2") && mid.json().contains("\"snap\":true"))
+    // ...then the query restarts with the rate-limit options REMOVED, so
+    // the engine passes allAvailable. A legacy LongOffset end here would
+    // route getBatch to (v+1)..latest deltas — i.e. NOTHING — silently
+    // dropping snapshot files 2..6: the end must stay POSITIONAL
+    val end1 = src.latestOffset(mid, ReadLimit.allAvailable())
+    assert(end1.json().trim.startsWith("{"), s"mid-list start must keep a positional end, got ${end1.json()}")
+    val batch1 = src.getBatch(Some(SerializedOffset(mid.json())), SerializedOffset(end1.json()))
+    assert(nFiles(batch1) == 4, "exactly the unconsumed snapshot tail")
+    // drained: latestOffset is a fixpoint, never a spurious legacy downgrade
+    assert(src.latestOffset(end1, ReadLimit.allAvailable()).json() == end1.json())
+
+    // same guard mid-DELTA-list: consume v3's 4-file delta partially under
+    // the cap, then go unbounded
+    SnapshotTable.append(
+      spark, root, spark.range(150, 200).selectExpr("id AS k", "concat('v', id) AS s").repartition(4)) // v3: 4 files
+    val mid3 = src.latestOffset(end1, src.getDefaultReadLimit)
+    assert(mid3.json().contains("\"v\":3") && mid3.json().contains("\"i\":2") && mid3.json().contains("\"snap\":false"))
+    val end3 = src.latestOffset(mid3, ReadLimit.allAvailable())
+    assert(end3.json().trim.startsWith("{"), s"mid-delta start must keep a positional end, got ${end3.json()}")
+    val batch3 = src.getBatch(Some(SerializedOffset(mid3.json())), SerializedOffset(end3.json()))
+    assert(nFiles(batch3) == 2, "exactly the unconsumed delta tail of v3")
+    // once the list IS fully consumed, legacy whole-version semantics are
+    // exact again (keeps old checkpoints upgradeable)
+    SnapshotTable.append(
+      spark, root, spark.range(200, 220).selectExpr("id AS k", "concat('v', id) AS s").repartition(2)) // v4: 2 files
+    val end4 = src.latestOffset(end3, ReadLimit.allAvailable())
+    assert(end4.json().trim == "4", s"fully-consumed list may go legacy, got ${end4.json()}")
+    val batch4 = src.getBatch(Some(SerializedOffset(end3.json())), SerializedOffset(end4.json()))
+    assert(nFiles(batch4) == 2, "the v4 delta exactly")
+  }
+
   test("batch frames plan through the manifest FileIndex: filters prune files inside a micro-batch") {
     import org.apache.spark.sql.catalyst.expressions.{GreaterThan, Literal}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}

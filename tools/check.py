@@ -83,9 +83,18 @@ def main():
             fails.append(name)
             print(f"FAIL {name}: rows spark={len(sdf)} duck={len(ddf)}")
             continue
-        for c in sdf.columns:
-            if str(sdf[c].dtype) != str(ddf[c].dtype):
-                print(f"  note {name}.{c}: dtype spark={sdf[c].dtype} duck={ddf[c].dtype}")
+        # The driver's hash is dtype-KIND-sensitive (r15 verdict:
+        # q_sample_budget value-passed here but hash-failed there when
+        # DuckDB's HUGEINT sum widened to float64 in pandas), while same-kind
+        # width differences (int32 vs int64) hash equal. FAIL on a kind
+        # mismatch so the dev loop can never value-pass what the driver's
+        # hash will fail.
+        dbad = [c for c in sdf.columns if sdf[c].dtype.kind != ddf[c].dtype.kind]
+        if dbad:
+            fails.append(name)
+            for c in dbad:
+                print(f"FAIL {name}.{c}: dtype kind spark={sdf[c].dtype} duck={ddf[c].dtype}")
+            continue
         bad = 0
         srows = list(sdf.itertuples(index=False, name=None))
         drows = list(ddf.itertuples(index=False, name=None))
