@@ -111,7 +111,8 @@ object Bench {
         "q_bpe_vocab" -> bpeWarm,
         "q_snapshot_dml" -> cycleWarm,
         "q_snapshot_cdc" -> cycleWarm,
-        "q_snapshot_sql" -> cycleWarm)
+        "q_snapshot_sql" -> cycleWarm,
+        "q_mv_refresh" -> cycleWarm)
     }
     val results: Seq[(String, Double)] = selected.map { case (name, fn) =>
       if (memoUsers.get(name).exists(_())) memoHits += name

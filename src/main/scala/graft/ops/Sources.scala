@@ -370,46 +370,34 @@ object Sources {
             "tag_pre"))
         .orderBy("src", "y")
     },
-    // INCREMENTAL MATERIALIZED VIEW in the ORACLE GATE — the aggregate
-    // (count + null-exact sums, grouped by year) materialized as its own
-    // snapshot table, then maintained from the base's CDC feed through a
-    // DML cycle that exercises every delta shape: a whole GROUP vanishing
-    // (the 1995 range delete empties its year), sums shifting without
-    // count changes (the COW update), and MOR-masked merge rows (which
-    // surface as delete+insert pairs in the feed). refresh() reads ONLY
-    // the commits since its sync point and merges per-group deltas —
-    // cost ∝ changes, never ∝ base, the economics that make a view over
-    // a 100-TB fact table refreshable per commit. The oracle recomputes
-    // the aggregate from the replayed base algebra — the hash-match
-    // proves refresh ≡ full recompute. SnapshotMvSpec pins the delta
-    // algebra (null-exact sums, group birth/death, exactly-once replay,
-    // restore passthrough, vacuumed pre-sync history).
+    // INCREMENTAL MATERIALIZED VIEW in the ORACLE GATE — the per-date
+    // aggregate (count + null-exact sum) materialized as its own snapshot
+    // table SYNCED AT v1 of the shared [[SnapshotCycle]] fixture
+    // (asOfVersion: the backfill-then-follow shape), then caught up
+    // through the base's CDC feed across the cycle's three DML commits —
+    // whole GROUPS vanishing (the 1995 range delete empties ~365 dates),
+    // sums shifting without count changes (the COW update), and the
+    // merge's delete+insert pairs (1995 dates re-enter: group rebirth).
+    // refresh() reads ONLY the commits since its sync point and merges
+    // per-group deltas — cost ∝ changes, never ∝ base, the economics that
+    // make a view over a 100-TB fact table refreshable per commit. The
+    // oracle recomputes the aggregate from the replayed base algebra —
+    // the hash-match proves refresh ≡ full recompute. Sharing the cycle
+    // memo (like q_snapshot_dml/cdc/sql) means the bench row measures the
+    // REFRESH KERNEL (v1 aggregate + 3-commit CDC delta + merge), not a
+    // private fixture build; the MOR-masked delta shape stays spec-proven
+    // in SnapshotMvSpec (group rebirth through masks, null-exact sums,
+    // exactly-once replay, restore passthrough, vacuumed pre-sync
+    // history).
     "q_mv_refresh" -> { (s, dir) =>
-      import graft.sinks.{SnapshotMv, SnapshotTable}
-      import graft.sinks.SnapshotTable.Bound
-      val parent = "/tmp/graft-snapmv/" + dir.replaceAll("[^a-zA-Z0-9]", "_")
-      val p = new org.apache.hadoop.fs.Path(parent)
+      import graft.sinks.SnapshotMv
+      val base = SnapshotCycle.root(s, dir) // memo-shared 4-commit cycle
+      val mv = "/tmp/graft-snapmv/" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(mv)
       p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
-      val base = parent + "/base"
-      val mv = parent + "/mv"
-      val o = Fixtures
-        .table(s, dir, "orders")
-        .select(
-          col("o_orderkey").as("k"),
-          year(to_date(col("o_orderdate"))).cast("int").as("y"),
-          cents(col("o_totalprice")).as("price_c"))
-      SnapshotTable.create(s, base, o) // v1
-      SnapshotMv.create(s, base, mv, keys = Seq("y"), sums = Seq("price_c"))
-      SnapshotTable.deleteWhere(s, base, Seq(Bound("y", Some(1995), Some(1995)))) // group death
-      SnapshotTable.updateWhere(
-        s, base, Seq(Bound("y", Some(1997), Some(1997))),
-        Map("price_c" -> (col("price_c") + 500))) // sums shift, counts hold
-      SnapshotTable.mergeUpsertMor(
-        s, base,
-        o.filter(col("k") % 7 === 0).withColumn("price_c", col("price_c") * 2),
-        Seq("k")) // masked delete+insert pairs (1995 keys re-enter: group rebirth)
-      SnapshotMv.refresh(s, mv)
-      SnapshotMv.read(s, mv).orderBy("y")
+      SnapshotMv.create(s, base, mv, keys = Seq("d"), sums = Seq("price_c"), asOfVersion = Some(1))
+      SnapshotMv.refresh(s, mv) // applies the v2..v4 CDC delta
+      SnapshotMv.read(s, mv).orderBy("d")
     },
     // The snapshot table as a CATALYST-INTEGRATED relation: plain SQL over
     // a registered view of SnapshotTable.relation — the pushed-down date
@@ -573,16 +561,17 @@ object Sources {
         "UNION ALL SELECT -k - 1000, d, CAST(42 AS BIGINT) FROM o WHERE k % 30 = 0) " +
         "SELECT CAST(year(d) AS INT) AS y, CAST(count(*) AS BIGINT) AS n_rows, " +
         "CAST(sum(price_c) AS BIGINT) AS sum_price_c FROM fin GROUP BY 1 ORDER BY y"),
+    // the MV synced at cycle v1 then refreshed to v4 must equal the full
+    // recompute over the cycle's FINAL state (same replay CTE as
+    // q_snapshot_dml, grouped by the view's date key)
     "q_mv_refresh" ->
-      ("WITH o AS (SELECT o_orderkey AS k, CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS y, " +
+      ("WITH o AS (SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d, " +
         "CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_c FROM orders), " +
-        // delete 1995 (merge later reinserts its k%7=0 keys), update 1997
-        // +500c, merge replaces every k%7=0 row at doubled ORIGINAL price
-        "fin AS (SELECT k, y, CASE WHEN k % 7 = 0 THEN price_c * 2 " +
-        "WHEN y = 1997 THEN price_c + 500 ELSE price_c END AS price_c " +
-        "FROM o WHERE k % 7 = 0 OR y <> 1995) " +
-        "SELECT y, CAST(count(*) AS BIGINT) AS n_rows, " +
-        "CAST(sum(price_c) AS BIGINT) AS price_c FROM fin GROUP BY 1 ORDER BY y"),
+        "fin AS (SELECT k, d, CASE WHEN k % 7 = 0 THEN price_c * 2 " +
+        "WHEN year(d) = 1997 THEN price_c + 500 ELSE price_c END AS price_c " +
+        "FROM o WHERE k % 7 = 0 OR year(d) <> 1995) " +
+        "SELECT d, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(price_c) AS BIGINT) AS price_c FROM fin GROUP BY 1 ORDER BY d"),
     "q_snapshot_branch" ->
       ("WITH o AS (SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d, " +
         "CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_c FROM orders), " +

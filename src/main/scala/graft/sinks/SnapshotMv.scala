@@ -52,25 +52,36 @@ object SnapshotMv {
 
   /** Materialize `SELECT keys, count(*) AS countCol, sum(c) AS c...
     * FROM base GROUP BY keys` (null-keyed groups excluded) as a snapshot
-    * table at `mvRoot`, synced to the base's current version. The spec
-    * persists at `mvRoot/_mv.json` (put-if-absent: racing creators lose
-    * loudly). Returns the view's committed version. */
+    * table at `mvRoot`, synced to the base's current version — or, with
+    * `asOfVersion`, to that RETAINED older version: the view materializes
+    * the historical aggregate and the next [[refresh]] catches it up
+    * through the CDC feed, the backfill-then-follow shape (needs the base
+    * history from `asOfVersion` forward, same retention contract as
+    * refresh itself). The spec persists at `mvRoot/_mv.json`
+    * (put-if-absent: racing creators lose loudly). Returns the view's
+    * committed version. */
   def create(
       spark: SparkSession,
       baseRoot: String,
       mvRoot: String,
       keys: Seq[String],
       sums: Seq[String],
-      countCol: String = "n_rows"): Int = {
+      countCol: String = "n_rows",
+      asOfVersion: Option[Int] = None): Int = {
     import org.apache.spark.sql.functions.{col, count, lit, sum, when}
     require(keys.nonEmpty, "a materialized view needs at least one grouping key")
     val dup = (keys ++ sums :+ countCol).diff((keys ++ sums :+ countCol).distinct)
     require(dup.isEmpty, s"duplicate column roles in the view definition: ${dup.mkString(", ")}")
     (keys ++ sums :+ countCol).foreach(c =>
       require(!c.startsWith("__"), s"column '$c' collides with the view's internal (`__`) namespace"))
-    val baseV = SnapshotTable
+    val latest = SnapshotTable
       .latestVersion(spark, baseRoot)
       .getOrElse(sys.error(s"no snapshot table at $baseRoot"))
+    asOfVersion.foreach(v =>
+      require(
+        v >= 1 && v <= latest,
+        s"asOfVersion $v is outside the base's committed history (1..$latest)"))
+    val baseV = asOfVersion.getOrElse(latest)
     val base = SnapshotTable.readVersion(spark, baseRoot, baseV)
     (keys ++ sums).foreach(c =>
       require(base.columns.contains(c), s"no column '$c' in the base table"))

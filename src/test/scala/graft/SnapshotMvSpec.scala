@@ -64,6 +64,25 @@ class SnapshotMvSpec extends SparkSuite {
     assert(SnapshotMv.refresh(spark, mv) == v)
   }
 
+  test("asOfVersion creates the view synced at an OLD version; refresh catches it up (backfill-then-follow)") {
+    val base = freshRoot(); val mv = freshRoot() + "/mv"
+    SnapshotTable.create(spark, base, fixture(0, 500)) // v1
+    SnapshotTable.deleteWhere(spark, base, Seq(Bound("k", Some(0L), Some(99L)))) // v2
+    SnapshotTable.append(spark, base, fixture(500, 100)) // v3
+    // the view materializes v1's aggregate, not the current state
+    SnapshotMv.create(spark, base, mv, keys = Seq("grp"), sums = Seq("price_c"), asOfVersion = Some(1))
+    assert(SnapshotMv.syncedVersion(spark, mv) == 1)
+    assert(mvRows(mv) == recompute(SnapshotTable.readVersion(spark, base, 1)))
+    // catch-up applies exactly the v2..v3 deltas
+    SnapshotMv.refresh(spark, mv)
+    assert(SnapshotMv.syncedVersion(spark, mv) == 3)
+    assert(mvRows(mv) == recompute(SnapshotTable.read(spark, base)))
+    // out-of-history versions refuse
+    assert(intercept[Exception](
+      SnapshotMv.create(spark, base, freshRoot() + "/mv2", Seq("grp"), Seq("price_c"), asOfVersion = Some(9)))
+      .getMessage.contains("outside"))
+  }
+
   test("groups vanish and appear; all-null sums stay NULL-exact under deletes") {
     val base = freshRoot(); val mv = freshRoot() + "/mv"
     // grp 0 holds k ∈ {0, 10, 20}: k=0 and k=14? no — nulls at k%7=0
