@@ -1,0 +1,329 @@
+package graft.sinks
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+import org.apache.spark.sql.{sources, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  AttributeReference,
+  EqualNullSafe,
+  EqualTo,
+  Expression,
+  GreaterThan,
+  GreaterThanOrEqual,
+  In,
+  IsNotNull,
+  IsNull,
+  LessThan,
+  LessThanOrEqual,
+  Literal,
+  StartsWith,
+  And => CAnd,
+  Or => COr
+}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{
+  Batch,
+  InputPartition,
+  PartitionReader,
+  PartitionReaderFactory,
+  Scan,
+  ScanBuilder,
+  SupportsPushDownFilters,
+  SupportsPushDownRequiredColumns,
+  V1Scan
+}
+import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+/** The snapshot table as a DataSourceV2 `TableProvider` —
+  * `spark.read.format("graft").load(root)` (SURVEY §2.J `cap_dsv2_read`),
+  * the connector-API integration surface external tools expect: the same
+  * read options as the V1 `snapshot-table` format (`branch`,
+  * `versionAsOf` / `timestampAsOf` / `tag` — [[SnapshotReadOptions]]),
+  * resolved through the SAME manifest machinery.
+  *
+  * Scale shape: the common table (no pending merge-on-read masks, no
+  * renamed columns) plans a NATIVE DSv2 batch — `planInputPartitions`
+  * enumerates exactly the manifest's live files AFTER min/max/bloom
+  * pruning against the pushed filters ([[SnapshotFileIndex]] — a
+  * predicate that annihilates a file by stats drops it from the
+  * partition list, zero I/O), and each partition reads its parquet file
+  * through the standard codegen'd reader with the filters pushed to
+  * row-group granularity too. Every pushed filter is ALSO returned to
+  * Spark for row-level re-evaluation (`pushFilters` returns its input),
+  * so pruning is a pure optimization — correctness never depends on a
+  * stats proof. A masked or column-mapped snapshot falls back to a
+  * [[V1Scan]] over [[SnapshotTable.relationVersion]] (the mask
+  * anti-joins and logical projections replay exactly, with per-group
+  * FileIndex pruning underneath) — same hybrid the V1 batch surface uses
+  * ([[SnapshotTable.batchRelation]]). Writes stay on the transactional
+  * V1 route (`format("snapshot-table").save`) — every write is a real
+  * commit, never a bare directory. */
+final class GraftTableProvider extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def params(options: CaseInsensitiveStringMap): Map[String, String] =
+    Seq("path", "root", "branch", "tag", "versionAsOf", "timestampAsOf")
+      .flatMap(k => Option(options.get(k)).map(k -> _))
+      .toMap
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val p = params(options)
+    val root = SnapshotReadOptions.root(p)
+    val v = SnapshotReadOptions.timeTravelVersion(spark, root, p)
+    GraftTableProvider.schemaAt(spark, root, v)
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val spark = SparkSession.active
+    val p = params(new CaseInsensitiveStringMap(properties))
+    val root = SnapshotReadOptions.root(p)
+    val v = SnapshotReadOptions.timeTravelVersion(spark, root, p)
+    new GraftTable(spark, root, v, schema)
+  }
+}
+
+private[sinks] object GraftTableProvider {
+  def schemaAt(spark: SparkSession, root: String, v: Int): StructType =
+    SnapshotTable
+      .readManifest(spark, root, v)
+      .schemaJson
+      .map(SnapshotTable.schemaFromJson)
+      .getOrElse(SnapshotTable.readVersion(spark, root, v).schema)
+}
+
+private[sinks] final class GraftTable(
+    spark: SparkSession,
+    root: String,
+    v: Int,
+    override val schema: StructType)
+    extends Table
+    with SupportsRead {
+
+  override def name(): String = s"graft.`$root`@v$v"
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(spark, root, v, schema)
+}
+
+/** Pushdown state machine for one scan: Spark hands filters and the
+  * required column set; `build()` picks native-batch vs V1 fallback off
+  * the manifest shape. ALL filters are returned from [[pushFilters]]
+  * (Spark re-evaluates them row-level above the scan), while the
+  * stat-translatable subset is reported via [[pushedFilters]] and drives
+  * file + row-group pruning underneath. */
+private[sinks] final class GraftScanBuilder(
+    spark: SparkSession,
+    root: String,
+    v: Int,
+    tableSchema: StructType)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var allFilters: Array[sources.Filter] = Array.empty
+  private var required: StructType = tableSchema
+
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    allFilters = filters
+    filters // every filter re-evaluates above: pruning is never load-bearing
+  }
+
+  override def pushedFilters(): Array[sources.Filter] =
+    allFilters.filter(f => GraftScanBuilder.toCatalyst(f, tableSchema).isDefined)
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve the TABLE's field order and metadata; Spark's required set
+    // is a subset by name
+    required = StructType(tableSchema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+
+  override def build(): Scan = {
+    val m = SnapshotTable.readManifest(spark, root, v)
+    val mapped = !SnapshotTable.physicalSchemaOf(tableSchema).fieldNames.sameElements(tableSchema.fieldNames)
+    if (m.masks.isEmpty && !mapped)
+      new GraftBatchScan(spark, root, m, tableSchema, required, allFilters.toSeq)
+    else
+      new GraftV1FallbackScan(spark, root, v, required, allFilters.toSeq)
+  }
+}
+
+private[sinks] object GraftScanBuilder {
+
+  /** A pushed V1 filter as the catalyst shape [[SnapshotFileIndex]]'s
+    * stat prover understands — `None` = untranslatable (the file is kept;
+    * Spark re-applies the filter row-level regardless). `And` translates
+    * per-branch (partial pruning is sound); `Or` needs both. */
+  def toCatalyst(f: sources.Filter, schema: StructType): Option[Expression] = {
+    def field(n: String) = schema.fields.find(_.name == n)
+    def attr(n: String) =
+      field(n).map(sf => AttributeReference(sf.name, sf.dataType, sf.nullable)())
+    def lit(n: String, v: Any) =
+      field(n).flatMap(sf => Try(Literal.create(v, sf.dataType)).toOption)
+    f match {
+      case sources.EqualTo(a, value) =>
+        for { x <- attr(a); l <- lit(a, value) } yield EqualTo(x, l)
+      case sources.EqualNullSafe(a, value) =>
+        for { x <- attr(a); l <- lit(a, value) } yield EqualNullSafe(x, l)
+      case sources.GreaterThan(a, value) =>
+        for { x <- attr(a); l <- lit(a, value) } yield GreaterThan(x, l)
+      case sources.GreaterThanOrEqual(a, value) =>
+        for { x <- attr(a); l <- lit(a, value) } yield GreaterThanOrEqual(x, l)
+      case sources.LessThan(a, value) =>
+        for { x <- attr(a); l <- lit(a, value) } yield LessThan(x, l)
+      case sources.LessThanOrEqual(a, value) =>
+        for { x <- attr(a); l <- lit(a, value) } yield LessThanOrEqual(x, l)
+      case sources.In(a, values) =>
+        val lits = values.toSeq.map(v => lit(a, v))
+        if (lits.exists(_.isEmpty)) None
+        else attr(a).map(x => In(x, lits.flatten))
+      case sources.IsNull(a) => attr(a).map(IsNull)
+      case sources.IsNotNull(a) => attr(a).map(IsNotNull)
+      case sources.StringStartsWith(a, p) =>
+        for { x <- attr(a); l <- lit(a, p) } yield StartsWith(x, l)
+      case sources.And(l, r) =>
+        (toCatalyst(l, schema), toCatalyst(r, schema)) match {
+          case (Some(a), Some(b)) => Some(CAnd(a, b))
+          case (one, other) => one.orElse(other) // partial conjunction prunes soundly
+        }
+      case sources.Or(l, r) =>
+        for { a <- toCatalyst(l, schema); b <- toCatalyst(r, schema) } yield COr(a, b)
+      case _ => None
+    }
+  }
+}
+
+/** Native DSv2 batch over the manifest: partitions ARE the pruned live
+  * file list (one per file — at 100 TB the planner already receives
+  * size-bounded files from the write path's compaction targets), read by
+  * the standard parquet reader (row-group filter pushdown included). */
+private[sinks] final class GraftBatchScan(
+    spark: SparkSession,
+    root: String,
+    m: SnapshotTable.Commit,
+    tableSchema: StructType,
+    required: StructType,
+    filters: Seq[sources.Filter])
+    extends Scan
+    with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"GraftBatchScan root=$root v=${m.version} pushed=${filters.mkString(", ")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val idx = new SnapshotFileIndex(spark, SnapshotTable.dataRoot(root), m, tableSchema)
+    val dataFilters = filters.flatMap(GraftScanBuilder.toCatalyst(_, tableSchema))
+    idx
+      .listFiles(Nil, dataFilters)
+      .flatMap(_.files)
+      .map(fs => GraftInputPartition(fs.getPath.toString, fs.getLen))
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
+      sparkSession = spark,
+      dataSchema = tableSchema,
+      partitionSchema = new StructType(),
+      requiredSchema = required,
+      filters = filters, // row-group pushdown; Spark still re-applies row-level
+      options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+      hadoopConf = spark.sessionState.newHadoopConf())
+    GraftReaderFactory(readFunc)
+  }
+}
+
+private[sinks] final case class GraftInputPartition(path: String, length: Long)
+    extends InputPartition
+
+/** Executor-side reader: wraps the serialized parquet read function.
+  * `OPTION_RETURNING_BATCH=false` pins the row-based reader; the
+  * ColumnarBatch flattening below is belt-and-braces. */
+private[sinks] final case class GraftReaderFactory(
+    readFunc: PartitionedFile => Iterator[InternalRow])
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    val file = PartitionedFile(
+      InternalRow.empty,
+      org.apache.spark.paths.SparkPath.fromPathString(p.path),
+      0L,
+      p.length,
+      Array.empty,
+      0L,
+      p.length,
+      Map.empty)
+    new PartitionReader[InternalRow] {
+      private val rows: Iterator[InternalRow] = readFunc(file).flatMap { r =>
+        (r: Any) match { // the vectorized reader smuggles batches as rows
+          case b: ColumnarBatch => b.rowIterator().asScala
+          case row: InternalRow => Iterator.single(row)
+        }
+      }
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        val has = rows.hasNext
+        if (has) current = rows.next()
+        has
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = () // RecordReaderIterator closes on task end
+    }
+  }
+}
+
+/** Masked / column-mapped snapshots through the DSv2 API: a [[V1Scan]]
+  * whose relation replays [[SnapshotTable.relationVersion]] (mask
+  * anti-joins, logical projections) with the translatable conjuncts baked
+  * in — per-mask-group FileIndex pruning engages underneath, and Spark
+  * re-applies every filter row-level above (the V1Scan contract). */
+private[sinks] final class GraftV1FallbackScan(
+    spark: SparkSession,
+    root: String,
+    v: Int,
+    required: StructType,
+    filters: Seq[sources.Filter])
+    extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = required
+      override def needConversion: Boolean = false
+      override def buildScan(): org.apache.spark.rdd.RDD[Row] = {
+        import org.apache.spark.sql.functions.col
+        val base = SnapshotTable.relationVersion(spark, root, v)
+        val filtered = filters
+          .flatMap(SnapshotBatchRelation.conjuncts)
+          .foldLeft(base)(_ filter _)
+        filtered
+          .select(required.fieldNames.map(c => col("`" + c + "`")).toSeq: _*)
+          .queryExecution
+          .toRdd
+          .asInstanceOf[org.apache.spark.rdd.RDD[Row]]
+      }
+    }.asInstanceOf[T]
+}

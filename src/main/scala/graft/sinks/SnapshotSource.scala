@@ -575,16 +575,23 @@ private final class SnapshotSink(
   * operators — ErrorIfExists→create (refused if the table exists),
   * Append→append, Overwrite→overwrite, Ignore→create-if-absent — so a
   * format write is a real atomic commit, never a bare directory. */
-final class SnapshotSourceProvider
-    extends StreamSourceProvider
-    with StreamSinkProvider
-    with RelationProvider
-    with CreatableRelationProvider
-    with DataSourceRegister {
+/** Read-option resolution shared by the V1 (`snapshot-table`) and DSv2
+  * (`graft`) providers: `path` (+ optional `branch` ref qualification)
+  * and the mutually-exclusive time-travel trio `versionAsOf` /
+  * `timestampAsOf` / `tag`. */
+private[sinks] object SnapshotReadOptions {
 
-  override def shortName(): String = "snapshot-table"
+  def root(parameters: Map[String, String]): String = {
+    val base = parameters.getOrElse(
+      "path",
+      parameters.getOrElse("root", sys.error("snapshot-table source needs .option(\"path\", <table root>)")))
+    // `.option("branch", b)` qualifies the handle — reads, writes, and
+    // streams then run against the branch's private log ([[SnapshotTable
+    // .branchRef]]). `tag` is read-only time travel (timeTravelVersion).
+    parameters.get("branch").map(b => SnapshotTable.branchRef(base, b)).getOrElse(base)
+  }
 
-  private def timeTravelVersion(
+  def timeTravelVersion(
       spark: SparkSession,
       r: String,
       parameters: Map[String, String]): Int = {
@@ -615,6 +622,22 @@ final class SnapshotSourceProvider
       case _ => latest
     }
   }
+}
+
+final class SnapshotSourceProvider
+    extends StreamSourceProvider
+    with StreamSinkProvider
+    with RelationProvider
+    with CreatableRelationProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "snapshot-table"
+
+  private def timeTravelVersion(
+      spark: SparkSession,
+      r: String,
+      parameters: Map[String, String]): Int =
+    SnapshotReadOptions.timeTravelVersion(spark, r, parameters)
 
   override def createRelation(ctx: SQLContext, parameters: Map[String, String]): BaseRelation = {
     val spark = ctx.sparkSession
@@ -650,15 +673,8 @@ final class SnapshotSourceProvider
     createRelation(ctx, parameters)
   }
 
-  private def root(parameters: Map[String, String]): String = {
-    val base = parameters.getOrElse(
-      "path",
-      parameters.getOrElse("root", sys.error("snapshot-table source needs .option(\"path\", <table root>)")))
-    // `.option("branch", b)` qualifies the handle — reads, writes, and
-    // streams then run against the branch's private log ([[SnapshotTable
-    // .branchRef]]). `tag` is read-only time travel (timeTravelVersion).
-    parameters.get("branch").map(b => SnapshotTable.branchRef(base, b)).getOrElse(base)
-  }
+  private def root(parameters: Map[String, String]): String =
+    SnapshotReadOptions.root(parameters)
 
   private def isCdc(parameters: Map[String, String]): Boolean =
     parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))
