@@ -220,11 +220,13 @@ object SnapshotSql {
     """(?is)\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+FAST\s+FORWARD\s+BRANCH\s+`?([\w-]+)`?\s*""".r
   private val CherryPickRe =
     """(?is)\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+CHERRY[\s-]?PICK\s+BRANCH\s+`?([\w-]+)`?\s*""".r
+  private val RebaseRe =
+    """(?is)\s*ALTER\s+TABLE\s+`?([\w.]+)`?\s+REBASE\s+BRANCH\s+`?([\w-]+)`?\s*""".r
   // fires only on ref VERBS (CREATE/DROP BRANCH|TAG, FAST FORWARD,
   // CHERRY PICK) so a column legitimately NAMED `tag`/`branch` still
   // reaches the parser
   private val RefBadRe =
-    """(?is)\s*ALTER\s+TABLE\s+.*(?:(?:CREATE|DROP)\s+(?:BRANCH|TAG)\b|FAST\s+FORWARD|CHERRY[\s-]?PICK).*""".r
+    """(?is)\s*ALTER\s+TABLE\s+.*(?:(?:CREATE|DROP)\s+(?:BRANCH|TAG)\b|FAST\s+FORWARD|CHERRY[\s-]?PICK|REBASE\s+BRANCH).*""".r
   private val VacuumDryRe =
     """(?is)\s*VACUUM\s+`?([\w.]+)`?\s+RETAIN\s+(\d+)\s+VERSIONS?(?:\s+OLDER\s+THAN\s+(\d+)\s+HOURS?)?\s+DRY\s+RUN\s*;?\s*""".r
   private val RefreshMvRe =
@@ -339,6 +341,11 @@ object SnapshotSql {
         SnapshotTable.fastForward(spark, maintenanceReg(spark, name).root, branch)
       case CherryPickRe(name, branch) =>
         SnapshotTable.cherryPick(spark, maintenanceReg(spark, name).root, branch)
+      // replay the branch's local commits onto CURRENT main (returns the
+      // rebased branch's latest) — see SnapshotTable.rebase's commutation
+      // rules; non-replayable commits refuse with the version named
+      case RebaseRe(name, branch) =>
+        SnapshotTable.rebase(spark, maintenanceReg(spark, name).root, branch)
       // the registered name points at the MV's own table root; the
       // statement catches it up to its base (SnapshotMv.refresh — cost ∝
       // base changes since the sync point, exactly-once on replay)
@@ -349,8 +356,8 @@ object SnapshotSql {
           "ref DDL supports 'ALTER TABLE <t> CREATE BRANCH <b> [AS OF VERSION <n>]', " +
             "'ALTER TABLE <t> CREATE TAG <g> [AS OF VERSION <n>]', 'ALTER TABLE <t> DROP " +
             "BRANCH <b>', 'ALTER TABLE <t> DROP TAG <g>', 'ALTER TABLE <t> FAST FORWARD " +
-            "BRANCH <b>' and 'ALTER TABLE <t> CHERRY PICK BRANCH <b>' only — other ref " +
-            "shapes are refused, not approximated")
+            "BRANCH <b>', 'ALTER TABLE <t> CHERRY PICK BRANCH <b>' and 'ALTER TABLE <t> " +
+            "REBASE BRANCH <b>' only — other ref shapes are refused, not approximated")
       case OptimizeCompactRe(name) =>
         SnapshotTable.compactSmall(spark, maintenanceReg(spark, name).root)
       case OptimizeBadRe() =>

@@ -231,6 +231,12 @@ object SnapshotTable {
     require(
       !name.forall(_.isDigit),
       s"ref name '$name' is all digits — it would parse as a version number everywhere a ref name is accepted")
+    // [[rebase]] stages its replayed chain under this internal prefix and
+    // drops it on completion or retry — a user branch there could be
+    // swept as a stale staging artifact
+    require(
+      !name.startsWith("__rebase-"),
+      s"ref name '$name' uses the reserved '__rebase-' staging prefix")
   }
 
   private def refDir(physRoot: String, name: String): Path =
@@ -576,6 +582,186 @@ object SnapshotTable {
       }
     }
     -1 // unreachable
+  }
+
+  /** REBASE branch `name` onto CURRENT main — the third ref verb, closing
+    * the one stuck state in the workflow ([[fastForward]] refuses
+    * divergence; [[cherryPick]] covers only append-only deltas): the
+    * branch's local commits REPLAY in order onto a fork at main's tip,
+    * each by its own commutation rule —
+    *   - `append`: the delta dirs are immutable, uuid-named and carry no
+    *     dependence on the fork state — they re-attach zero-copy (schema
+    *     re-merged against the new base; CHECK constraints main gained
+    *     since the branch enforced its appends re-prove over the delta);
+    *   - `mor-delete`: the mask RECORDS its bounds — the delete
+    *     re-executes against the new base ([[deleteWhereMor]] with the
+    *     decoded bounds: whole-drop / mask decisions re-derive from the
+    *     new base's stats, so rows main added since the fork that match
+    *     the predicate are deleted too, exactly re-run semantics);
+    *   - `mor-merge`: the key tombstones are RECORDED (sidecar parquet)
+    *     and the inserted rows are an immutable dir — the upsert
+    *     re-executes (candidate files re-pruned against the new base, the
+    *     same sidecar masks them, the dir re-attaches);
+    *   - anything else (copy-on-write delete/update/merge, compact,
+    *     overwrite) REFUSES with the version named: its rewritten files
+    *     bake in fork-time content that a replay would resurrect over
+    *     main's changes. Stage with merge-on-read DML on branches you
+    *     intend to rebase.
+    * The branch ends forked at main's tip with its replayed history and
+    * is then [[fastForward]]-able (if main advances meanwhile, that
+    * refuses again — rebase again, the git contract). Returns the
+    * rebased branch's latest version.
+    *
+    * SINGLE-WRITER, like git rebase: the branch is rewritten in place
+    * (staged under the reserved `__rebase-<name>` ref, then swapped); do
+    * not rebase a branch another process is writing. A crash before the
+    * swap leaves only the staging ref (dropped on the next rebase); the
+    * swap itself is a drop + dir rename. */
+  def rebase(spark: SparkSession, root: String, name: String): Int = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    require(splitRef(root)._2.isEmpty, "rebase from the main table handle")
+    val f = fs(spark, root)
+    val fork = forkOf(f, root, name)
+    val bRoot = branchRef(root, name)
+    val bLatest = latestVersion(spark, bRoot).getOrElse(fork)
+    val mLatest = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
+    if (mLatest == fork) return bLatest // already based on main's tip
+    val locals = ((fork + 1) to bLatest).map(readManifest(spark, bRoot, _))
+    val preds = readManifest(spark, bRoot, fork) +: locals.dropRight(1)
+    // classify EVERY local commit before touching any state — a refusal
+    // mid-replay would leave work half-staged for nothing
+    def newMasks(c: Commit, p: Commit): Seq[Mask] = {
+      val old = p.masks.map(_.id).toSet
+      c.masks.filterNot(mk => old(mk.id))
+    }
+    locals.zip(preds).foreach { case (c, p) =>
+      val replayable = c.action match {
+        case "append" => true
+        case "mor-delete" => newMasks(c, p).exists(_.kind == "pred")
+        case "mor-merge" => newMasks(c, p).exists(mk => mk.kind == "keys" && mk.keyDir.isDefined)
+        case _ => false
+      }
+      require(
+        replayable,
+        s"branch '$name' v${c.version} ('${c.action}') depends on the fork-time base and " +
+          s"cannot replay onto main v$mLatest — conflicting version v${c.version}. " +
+          "Copy-on-write DML bakes fork-time content into its rewritten files " +
+          "(and a maskless merge-on-read commit recorded no bounds); stage branches " +
+          "you intend to rebase with merge-on-read DML, or drop and re-stage")
+    }
+    // stage: a private fork at main's tip, replayed commit by commit
+    val staging = "__rebase-" + name
+    if (f.exists(branchMetaPath(root, staging))) dropBranch(spark, root, staging)
+    f.mkdirs(refDir(root, staging))
+    val metaJson = JsonMethods.compact(
+      JsonMethods.render(JObject("fork" -> JInt(mLatest), "ts" -> JLong(System.currentTimeMillis()))))
+    commitStoreRef.get().putIfAbsent(f, branchMetaPath(root, staging), metaJson.getBytes("UTF-8"))
+    forkCache.synchronized { forkCache.put((root, staging), mLatest) }
+    val sRoot = root + RefSep + staging // branchRef charset would refuse the reserved prefix
+    try {
+      locals.zip(preds).foreach { case (c, p) =>
+        val tipV = latestVersion(spark, sRoot).getOrElse(mLatest)
+        val tip = readManifest(spark, sRoot, tipV)
+        val tipSchema = tip.schemaJson.map(schemaFromJson)
+        val merged = (tipSchema, c.schemaJson.map(schemaFromJson)) match {
+          case (Some(a), Some(b)) => mergeSchemas(a, b)
+          case (a, b) => a.orElse(b).getOrElse(sys.error("rebase needs schema-recording manifests"))
+        }
+        val pDirs = p.dirs.toSet
+        val pStatPaths = p.files.map(_.path).toSet
+        val deltaDirs = c.dirs.filterNot(pDirs)
+        val deltaStats = c.files.filterNot(fst =>
+          pStatPaths(fst.path) || pDirs(dataDirOf(fst.path)) || pDirs(fst.path))
+        // constraints the new base carries beyond what the branch proved
+        // at commit time re-prove over exactly the commit's own new rows
+        val gained = tip.constraints.toSet -- c.constraints.toSet
+        if (gained.nonEmpty && deltaDirs.nonEmpty) {
+          val rows = spark.read.parquet(deltaDirs.map(d => new Path(dataRoot(root), d).toString): _*)
+          val logical = mappingOf(merged).foldLeft(rows) {
+            case (d, (log, phys)) =>
+              if (d.columns.contains(phys)) d.withColumn(log, d("`" + phys + "`")) else d
+          }
+          gained.foreach { case (cname, check) =>
+            val bad = logical.filter(!coalesce(expr(check), lit(false))).count()
+            if (bad > 0) throw new ConstraintViolationException(cname, bad)
+          }
+        }
+        c.action match {
+          case "append" =>
+            publish(
+              spark,
+              sRoot,
+              Commit(
+                tipV + 1,
+                "append",
+                tip.dirs ++ deltaDirs,
+                c.addedRows,
+                None,
+                Some(merged.json),
+                tip.files ++ deltaStats,
+                constraints = tip.constraints,
+                dropped = reviveDropped(tip.dropped, merged),
+                masks = tip.masks))
+          case "mor-delete" =>
+            val mk = newMasks(c, p).find(_.kind == "pred").get
+            deleteWhereMor(spark, sRoot, decodeMaskBounds(merged, mk.predBounds))
+          case "mor-merge" =>
+            val mk = newMasks(c, p).find(_.kind == "keys").get
+            val srcRel = deltaDirs match {
+              case Seq(one) => one
+              case other => sys.error(s"rebase: mor-merge v${c.version} added ${other.size} dirs, expected 1")
+            }
+            // candidates re-prune against the NEW base: the same envelope
+            // logic the original merge ran, driven by the recorded sidecar
+            import org.apache.spark.sql.functions.{col, max, min}
+            val keyDf = spark.read.parquet(new Path(dataRoot(root), mk.keyDir.get).toString)
+            val aggs = mk.keyCols.flatMap(k =>
+              Seq(min(col("`" + k + "`")).as("__lo_" + k), max(col("`" + k + "`")).as("__hi_" + k)))
+            val kb = keyDf.agg(aggs.head, aggs.tail: _*).collect()(0)
+            val bounds = mk.keyCols.map(k =>
+              Bound(k, Option(kb.getAs[Any]("__lo_" + k)), Option(kb.getAs[Any]("__hi_" + k))))
+            val plan = prunePlan(spark, sRoot, tipV, bounds)
+            val maskEntries = plan.keep ++ plan.uncoveredDirs
+            val replayMask =
+              if (maskEntries.isEmpty) Seq.empty
+              else Seq(Mask("keys", maskEntries, keyCols = mk.keyCols, keyDir = mk.keyDir))
+            publish(
+              spark,
+              sRoot,
+              Commit(
+                tipV + 1,
+                "mor-merge",
+                tip.dirs :+ srcRel,
+                c.addedRows,
+                None,
+                Some(merged.json),
+                tip.files ++ deltaStats,
+                constraints = tip.constraints,
+                dropped = reviveDropped(tip.dropped, merged),
+                masks = tip.masks ++ replayMask))
+          case other => sys.error(s"unreachable: $other passed the replayability gate")
+        }
+      }
+      // swap: the rebased chain becomes THE branch (single-writer contract)
+      val newLatest = latestVersion(spark, sRoot).getOrElse(mLatest)
+      dropBranch(spark, root, name)
+      require(
+        f.rename(refDir(root, staging), refDir(root, name)),
+        s"rebase swap failed: staging log could not move to ref-$name " +
+          s"(the rebased chain is intact at ref-$staging; retry the rename)")
+      forkCache.synchronized {
+        forkCache.remove((root, staging))
+        forkCache.put((root, name), mLatest)
+      }
+      f.delete(new Path(root, s"_cdc/ref-$staging"), true)
+      newLatest
+    } catch {
+      case e: Throwable =>
+        // a failed replay leaves the ORIGINAL branch untouched; sweep the stage
+        try dropBranch(spark, root, staging)
+        catch { case _: Throwable => () }
+        throw e
+    }
   }
 
   // ───────── logical→physical column mapping (metadata-only renames) ─────────

@@ -310,6 +310,66 @@ class SnapshotBranchSpec extends SparkSuite {
       SnapshotTable.history(spark, root).last.version == v)
   }
 
+  test("rebase replays a diverged branch onto current main; fastForward then lands") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, fixture(0, 100)) // v1
+    val dev = SnapshotTable.createBranch(spark, root, "dev")
+    // branch history: append + recorded-bounds MOR delete + MOR merge
+    SnapshotTable.append(spark, dev, fixture(100, 30)) // branch v2
+    SnapshotTable.deleteWhereMor(spark, dev, Seq(Bound("k", Some(10L), Some(19L)))) // branch v3
+    SnapshotTable.mergeUpsertMor(
+      spark, dev, fixture(0, 5).withColumn("price_c", org.apache.spark.sql.functions.lit(999L)), Seq("k")) // branch v4
+    // main diverges: new rows INSIDE the branch's deleted range, and a key
+    // the branch's merge upserts
+    SnapshotTable.append(spark, root, fixture(200, 10)) // main v2
+    SnapshotTable.updateWhere(
+      spark, root, Seq(Bound("k", Some(3L), Some(3L))),
+      Map("price_c" -> org.apache.spark.sql.functions.lit(777L))) // main v3
+    assert(intercept[Exception](SnapshotTable.fastForward(spark, root, "dev"))
+      .getMessage.contains("diverges"))
+
+    val rebased = SnapshotTable.rebase(spark, root, "dev")
+    assert(rebased == 3 + 3, "replayed chain = main tip v3 + 3 local commits")
+    assert(SnapshotTable.branches(spark, root) == Seq("dev" -> 3), "fork moved to main's tip")
+    // re-run semantics on the NEW base: main's post-fork rows survive, the
+    // branch's delete re-executes (10..19 gone), the merge overrides k<5
+    // INCLUDING main's v3 update of k=3
+    val got = rows(SnapshotTable.read(spark, dev))
+    val expect = rows(
+      fixture(0, 100).filter("k < 10 OR k >= 20").filter("k >= 5")
+        .unionByName(fixture(0, 5).withColumn("price_c", org.apache.spark.sql.functions.lit(999L)))
+        .unionByName(fixture(100, 30))
+        .unionByName(fixture(200, 10)))
+    assert(got == expect)
+    // the rebased branch fast-forwards (main still at v3)
+    SnapshotTable.fastForward(spark, root, "dev")
+    assert(rows(SnapshotTable.read(spark, root)) == expect)
+    SnapshotTable.dropBranch(spark, root, "dev")
+
+    // a genuinely conflicting COPY-ON-WRITE rewrite refuses, naming the version
+    val fix = SnapshotTable.createBranch(spark, root, "fix")
+    SnapshotTable.append(spark, fix, fixture(300, 5)) // branch-local v7
+    SnapshotTable.deleteWhere(spark, fix, Seq(Bound("k", Some(300L), Some(301L)))) // branch-local v8 (COW)
+    SnapshotTable.append(spark, root, fixture(400, 5)) // main advances
+    val e = intercept[Exception](SnapshotTable.rebase(spark, root, "fix"))
+    assert(e.getMessage.contains("v8") && e.getMessage.contains("delete"), e.getMessage)
+    // the refusal left the original branch fully intact
+    assert(SnapshotTable.read(spark, fix).count() ==
+      SnapshotTable.read(spark, root).count() - 5 + 5 - 2)
+    SnapshotTable.dropBranch(spark, root, "fix")
+
+    // a no-commit branch rebases to a plain re-fork; SQL surface routes
+    import graft.sinks.SnapshotSql
+    SnapshotTable.createBranch(spark, root, "idle")
+    SnapshotTable.append(spark, root, fixture(500, 5))
+    SnapshotSql.register(spark, "rbt", root)
+    val v = SnapshotSql.execute(spark, "ALTER TABLE rbt REBASE BRANCH idle")
+    assert(v == SnapshotTable.latestVersion(spark, root).get)
+    assert(SnapshotTable.branches(spark, root).exists { case (b, f) => b == "idle" && f == v })
+    assert(intercept[Exception](SnapshotTable.createBranch(spark, root, "__rebase-x"))
+      .getMessage.contains("reserved"))
+  }
+
   test("SQL ref surface: branch/tag DDL, SHOW, VERSION AS OF refs, registered branch DML") {
     import graft.sinks.SnapshotSql
     val root = freshRoot()
