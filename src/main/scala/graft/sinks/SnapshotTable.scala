@@ -3280,9 +3280,54 @@ object SnapshotTable {
       if (matched.isEmpty && notMatchedBySource.isEmpty) Seq.empty[String]
       else rewriteSet.toSeq.sorted ++ plan.uncoveredDirs
     // clause machinery: SQL-text conditions resolve against the aliased
-    // pair; a null condition never applies (three-valued logic)
-    def condOf(c: Option[String]): Column = coalesce(c.map(expr).getOrElse(lit(true)), lit(false))
-    def firstApplicable(conds: Seq[Option[String]], gate: Column): Seq[Column] = {
+    // pair; a null condition never applies (three-valued logic).
+    // BARE column references AUTO-QUALIFY by clause context before
+    // analysis (users write `price = price + 1` on day one): a name
+    // carried by exactly one visible side takes that side's alias —
+    // matched clauses see both sides (the source side = the USER's
+    // source columns, not the null-padded join width), NOT MATCHED
+    // inserts see the source only, BY SOURCE clauses the target only.
+    // A name both sides carry is GENUINELY ambiguous and refuses loudly
+    // (never guessed); unknown names pass through to the analyzer's own
+    // error.
+    val qResolver = spark.sessionState.conf.resolver
+    // the target side for qualification is the PRIOR schema (what target
+    // rows actually carry): a brand-new source column also appears in the
+    // EVOLVED schema, but the padded t.<new> is always null — users can
+    // only mean the source
+    val qTargetNames = priorSchema.map(_.fieldNames.toSeq).getOrElse(evolvedStruct.fieldNames.toSeq)
+    def qexpr(txt: String, tVis: Boolean, sVis: Boolean): Column = {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      val out = spark.sessionState.sqlParser.parseExpression(txt).transformUp {
+        case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+          val n = a.nameParts.head
+          val inT = tVis && qTargetNames.exists(qResolver(_, n))
+          val inS = sVis && srcColumns.exists(qResolver(_, n))
+          (inT, inS) match {
+            case (true, true) =>
+              sys.error(
+                s"merge clause reference '$n' is ambiguous — both the target and the source " +
+                  s"carry it; qualify as $targetAlias.`$n` or $sourceAlias.`$n` (in: $txt)")
+            case (true, false) => UnresolvedAttribute(Seq(targetAlias, n))
+            case (false, true) => UnresolvedAttribute(Seq(sourceAlias, n))
+            // the name exists — on the side this clause can't see: refuse
+            // loudly instead of letting it resolve against a null-padded
+            // or absent row (a silently-null condition/value)
+            case _ if tVis && !sVis && srcColumns.exists(qResolver(_, n)) =>
+              sys.error(
+                s"NOT MATCHED BY SOURCE clause references source column '$n' — " +
+                  "there is no source row on these rows; reference target columns only")
+            case _ if sVis && !tVis && qTargetNames.exists(qResolver(_, n)) =>
+              sys.error(
+                s"NOT MATCHED INSERT references '$n', which the source does not carry — " +
+                  "there is no target row to read on an insert")
+            case _ => a
+          }
+      }
+      org.apache.spark.sql.GraftSqlBridge.column(out)
+    }
+    def condOf(c: Option[Column]): Column = coalesce(c.getOrElse(lit(true)), lit(false))
+    def firstApplicable(conds: Seq[Option[Column]], gate: Column): Seq[Column] = {
       var earlier: Column = lit(false)
       conds.map { c =>
         val here = condOf(c)
@@ -3306,22 +3351,30 @@ object SnapshotTable {
           .reduce(_ && _)
         val joined = tAl.join(sAl, joinCond, "left_outer")
         val isM = col(s"$sourceAlias.`$matchedTag`").isNotNull
-        val applied = firstApplicable(matched.map(_.condition), isM)
+        val applied =
+          firstApplicable(matched.map(_.condition.map(qexpr(_, tVis = true, sVis = true))), isM)
         // BY SOURCE clauses walk on the complementary gate — a row is in
         // exactly one of the two clause groups, so the when-chains of
-        // both can share one projection
-        val appliedN = firstApplicable(notMatchedBySource.map(_.condition), !isM)
-        val deleted = (matched.zip(applied) ++ notMatchedBySource.zip(appliedN))
-          .collect { case (_: MatchedDelete, ap) => ap }
+        // both can share one projection; their bare refs see the TARGET
+        // only (no source row exists on those rows)
+        val appliedN = firstApplicable(
+          notMatchedBySource.map(_.condition.map(qexpr(_, tVis = true, sVis = false))),
+          !isM)
+        // clause, its applies-gate, and whether its texts see the source
+        val clauseRows: Seq[(MergeClause, Column, Boolean)] =
+          matched.zip(applied).map { case (c, ap) => (c, ap, true) } ++
+            notMatchedBySource.zip(appliedN).map { case (c, ap) => (c, ap, false) }
+        val deleted = clauseRows
+          .collect { case (_: MatchedDelete, ap, _) => ap }
           .reduceOption(_ || _)
           .getOrElse(lit(false))
         val outCols = evolvedStruct.fields.map { f =>
           val tCol = col(s"$targetAlias.`${f.name}`")
-          val updates = (matched.zip(applied) ++ notMatchedBySource.zip(appliedN))
-            .collect { case (u: MatchedUpdate, ap) =>
+          val updates = clauseRows
+            .collect { case (u: MatchedUpdate, ap, sVis) =>
               val v = u.set match {
                 case Some(setMap) =>
-                  setMap.get(f.name).map(s => expr(s).cast(f.dataType)).getOrElse(tCol)
+                  setMap.get(f.name).map(s => qexpr(s, tVis = true, sVis = sVis).cast(f.dataType)).getOrElse(tCol)
                 case None => // SET *: source columns assign, others keep
                   if (srcColumns(f.name)) col(s"$sourceAlias.`${f.name}`") else tCol
               }
@@ -3349,13 +3402,17 @@ object SnapshotTable {
              else readEntriesMasked(spark, root, m, priorSchema, candidates))
               .select(keyCols.map(q): _*)
         val unmatched = srcNorm.alias(sourceAlias).join(tgtKeys, keyCols, "left_anti")
-        val applied = firstApplicable(notMatched.map(_.condition), lit(true))
+        // INSERT clauses see the SOURCE only — bare refs qualify there
+        val applied = firstApplicable(
+          notMatched.map(_.condition.map(qexpr(_, tVis = false, sVis = true))),
+          lit(true))
         val anyApplies = applied.reduce(_ || _)
         val outCols = evolvedStruct.fields.map { f =>
           val nullV = lit(null).cast(f.dataType)
           val values = notMatched.zip(applied).map { case (ins, ap) =>
             val v = ins.values match {
-              case Some(vm) => vm.get(f.name).map(s => expr(s).cast(f.dataType)).getOrElse(nullV)
+              case Some(vm) =>
+                vm.get(f.name).map(s => qexpr(s, tVis = false, sVis = true).cast(f.dataType)).getOrElse(nullV)
               case None => col(s"$sourceAlias.`${f.name}`") // INSERT *: srcNorm already padded
             }
             (ap, v)

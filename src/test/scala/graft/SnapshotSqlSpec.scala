@@ -190,6 +190,57 @@ class SnapshotSqlSpec extends SparkSuite {
     assert(got.filter("price_c = -1").count() == 150, "inserted 1100..1249")
   }
 
+  test("bare MERGE clause refs auto-qualify by context; genuine ambiguity refuses loudly") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, fixture(100)) // price_c = 7k for k < 100
+    SnapshotSql.register(spark, "mbare", root)
+    // source carries k + a NEW column only, so every bare name resolves to
+    // exactly one side: price_c/d → target, bump → source
+    spark.range(60).selectExpr("id * 2 AS k", "CAST(100 AS BIGINT) AS bump")
+      .createOrReplaceTempView("mbare_src")
+    SnapshotSql.execute(spark,
+      "MERGE INTO mbare AS t USING mbare_src AS s ON t.k = s.k " +
+        "WHEN MATCHED AND price_c < 350 THEN UPDATE SET price_c = price_c + bump " +
+        "WHEN NOT MATCHED AND bump > 0 THEN INSERT (k, d, price_c) VALUES (k, DATE'2001-01-01', bump)")
+    val got = SnapshotTable.read(spark, root)
+    // matched even keys under 50 bump by 100; new even keys 100..118 insert;
+    // the source-only column evolves in as all-null
+    val expect = fixture(100)
+      .selectExpr(
+        "k", "d",
+        "CASE WHEN k % 2 = 0 AND price_c < 350 THEN price_c + 100 ELSE price_c END AS price_c",
+        "CAST(NULL AS BIGINT) AS bump")
+      .unionByName(spark.range(10).selectExpr(
+        "100 + id * 2 AS k", "DATE'2001-01-01' AS d",
+        "CAST(100 AS BIGINT) AS price_c", "CAST(NULL AS BIGINT) AS bump"))
+    assert(sorted(got) == sorted(expect))
+
+    // a source that ALSO carries price_c makes the bare ref genuinely
+    // ambiguous — refused loudly, never guessed
+    spark.range(5).selectExpr("id AS k", "id AS price_c").createOrReplaceTempView("mbare_amb")
+    val e = intercept[Exception](SnapshotSql.execute(spark,
+      "MERGE INTO mbare AS t USING mbare_amb AS s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET price_c = price_c + 1"))
+    assert(e.getMessage.contains("ambiguous"), e.getMessage)
+    // ...while the qualified form still works
+    SnapshotSql.execute(spark,
+      "MERGE INTO mbare AS t USING mbare_amb AS s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET price_c = t.price_c + 1")
+    assert(SnapshotTable.read(spark, root).filter("k < 5").selectExpr("sum(price_c)").head.getLong(0) ==
+      (0 until 5).map(k => if (k % 2 == 0) 7 * k + 100 + 1 else 7 * k + 1).sum)
+
+    // a BY SOURCE clause referencing a source-only column refuses (there
+    // is no source row on those rows — a silent null otherwise); `bump`
+    // no longer qualifies as source-only here because merge 1 evolved it
+    // INTO the target, so use a genuinely source-only name
+    spark.range(5).selectExpr("id AS k", "CAST(1 AS BIGINT) AS fresh")
+      .createOrReplaceTempView("mbare_fresh")
+    val e2 = intercept[Exception](SnapshotSql.execute(spark,
+      "MERGE INTO mbare AS t USING mbare_fresh AS s ON t.k = s.k " +
+        "WHEN NOT MATCHED BY SOURCE AND fresh > 0 THEN DELETE"))
+    assert(e2.getMessage.contains("source column 'fresh'"), e2.getMessage)
+  }
+
   test("ALTER TABLE DDL routes onto the metadata-only operators; SELECT time-travels via query()") {
     val root = freshRoot()
     SnapshotTable.create(spark, root, fixture(100)) // v1
