@@ -135,7 +135,31 @@ object SnapshotTable {
       predBounds: Seq[MaskBound] = Seq.empty,
       keyCols: Seq[String] = Seq.empty,
       keyDir: Option[String] = None,
-      id: String = java.util.UUID.randomUUID().toString)
+      id: String = java.util.UUID.randomUUID().toString,
+      // exact count of LIVE rows this mask hides, recorded at write time
+      // (read through any EARLIER masks, so overlapping masks never
+      // double-count). None = unknown: exact accounting disabled
+      // (spark.graft.mor.exactRowAccounting=false), a pre-field manifest,
+      // or the entry set shrank since (a rewrite satisfied part of the
+      // mask — the remainder's count would be stale).
+      maskedRows: Option[Long] = None)
+
+  /** Carry a mask forward with only the `keep` entries; a SHRUNK set
+    * invalidates the recorded row count (the dropped entries' hidden rows
+    * left with their rewrite). */
+  private def shrinkMask(mk: Mask, keep: String => Boolean): Mask = {
+    val kept = mk.entries.filter(keep)
+    if (kept.size == mk.entries.size) mk
+    else mk.copy(entries = kept, maskedRows = None)
+  }
+
+  /** Exact merge-on-read row accounting (default ON): each new mask
+    * records the live rows it hides and `addedRows` becomes the exact
+    * net delta, at the cost of one bounded counting read of only the
+    * masked candidate files at write time. Disable for pure-metadata
+    * commits on very wide candidate sets. */
+  private def exactMorAccounting(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.mor.exactRowAccounting").forall(_.toBoolean)
 
   /** Table schema of `next` committed over `prior`: same-named columns
     * must keep their type (loud failure beats silent corruption — parquet
@@ -968,7 +992,8 @@ object SnapshotTable {
               pbs,
               (mj \ "keyCols").extractOpt[Seq[String]].getOrElse(Seq.empty),
               (mj \ "keyDir").extractOpt[String],
-              (mj \ "id").extractOpt[String].getOrElse("")) // pre-id manifests: structural fallback
+              (mj \ "id").extractOpt[String].getOrElse(""), // pre-id manifests: structural fallback
+              (mj \ "rows").extractOpt[Long])
           }
         case _ => Seq.empty
       })
@@ -1259,7 +1284,8 @@ object SnapshotTable {
                   List("keyCols" -> (JArray(mk.keyCols.map(JString(_)).toList): JValue))
                 else Nil) ++
                mk.keyDir.map(d => "keyDir" -> (JString(d): JValue)).toList ++
-               (if (mk.id.nonEmpty) List("id" -> (JString(mk.id): JValue)) else Nil): _*)
+               (if (mk.id.nonEmpty) List("id" -> (JString(mk.id): JValue)) else Nil) ++
+               mk.maskedRows.map(r => "rows" -> (JLong(r): JValue)).toList: _*)
          }.toList): JValue))
        else Nil) ++
       c.batchId.map(b => "batchId" -> (JLong(b): JValue)).toList ++
@@ -2599,7 +2625,7 @@ object SnapshotTable {
     // the rewritten small files' masks are satisfied and cleared
     val untouchedSet = big.map(_.path).toSet ++ uncovered.toSet
     val keptMasks = m.masks
-      .map(mk => mk.copy(entries = mk.entries.filter(untouchedSet)))
+      .map(mk => shrinkMask(mk, untouchedSet))
       .filter(_.entries.nonEmpty)
     val schemaJson = m.schemaJson.getOrElse(
       org.apache.spark.sql.types
@@ -2792,7 +2818,7 @@ object SnapshotTable {
     // their sidecars become vacuumable
     val untouchedSet = untouched.map(_.path).toSet
     val keptMasks = m.masks
-      .map(mk => mk.copy(entries = mk.entries.filter(untouchedSet)))
+      .map(mk => shrinkMask(mk, untouchedSet))
       .filter(_.entries.nonEmpty)
     // net-delta accounting for wholly-dropped files: a CLEAN file's
     // recorded rows are its live rows; a MASKED file's physical rows
@@ -3010,7 +3036,7 @@ object SnapshotTable {
     // masks carry on untouched files only; rewritten entries leave theirs
     val untouchedSet = untouched.map(_.path).toSet
     val keptMasks = m.masks
-      .map(mk => mk.copy(entries = mk.entries.filter(untouchedSet)))
+      .map(mk => shrinkMask(mk, untouchedSet))
       .filter(_.entries.nonEmpty)
     publish(
       spark,
@@ -3445,7 +3471,7 @@ object SnapshotTable {
       if (rewritePaths.isEmpty) m.masks
       else
         m.masks
-          .map(mk => mk.copy(entries = mk.entries.filter(untouchedSet)))
+          .map(mk => shrinkMask(mk, untouchedSet))
           .filter(_.entries.nonEmpty)
     val carriedUncovered = if (rewritePaths.isEmpty) plan.uncoveredDirs else Seq.empty
     publish(
@@ -3495,6 +3521,18 @@ object SnapshotTable {
     if (maskEntries.isEmpty) return base // stats prove no file can hold a matched key
     val keyRel = "data/" + java.util.UUID.randomUUID().toString
     srcKeys.write.parquet(new Path(dataRoot(root), keyRel).toString)
+    // exact accounting (default): one key-only semi-join over the masked
+    // candidates records the hidden-row count; addedRows = its negation
+    val (deleted, maskRows) =
+      if (!exactMorAccounting(spark)) (0L, None)
+      else {
+        val sidecar = spark.read.parquet(new Path(dataRoot(root), keyRel).toString)
+        val cnt = readEntriesMasked(spark, root, m, Some(schema), maskEntries)
+          .select(keyCols.map(k => col("`" + k + "`")): _*)
+          .join(sidecar, keyCols, "left_semi")
+          .count()
+        (cnt, Some(cnt))
+      }
     publish(
       spark,
       root,
@@ -3502,13 +3540,18 @@ object SnapshotTable {
         base + 1,
         "mor-delete",
         m.dirs,
-        0L,
+        -deleted,
         None,
         m.schemaJson,
         m.files,
         constraints = m.constraints,
         dropped = m.dropped,
-        masks = m.masks :+ Mask("keys", maskEntries, keyCols = keyCols, keyDir = Some(keyRel))))
+        masks = m.masks :+ Mask(
+          "keys",
+          maskEntries,
+          keyCols = keyCols,
+          keyDir = Some(keyRel),
+          maskedRows = maskRows)))
   }
 
   // ──────────────── merge-on-read DML (deletion masks) ────────────────
@@ -3539,7 +3582,7 @@ object SnapshotTable {
     val survivors = m.files.filterNot(f => droppedSet(f.path))
     val maskEntries = toMask.map(_.path) ++ plan.uncoveredDirs
     val keptMasks = m.masks
-      .map(mk => mk.copy(entries = mk.entries.filterNot(droppedSet)))
+      .map(mk => shrinkMask(mk, e => !droppedSet(e)))
       .filter(_.entries.nonEmpty)
     val newMasks =
       if (maskEntries.nonEmpty) keptMasks :+ Mask("pred", maskEntries, predBounds = encoded)
@@ -3557,10 +3600,13 @@ object SnapshotTable {
     * rewrites, relation, CDC) until [[compact]] reconciles. Result
     * algebra is IDENTICAL to [[deleteWhere]] (same [[matchCol]] null
     * semantics); the trade is read amplification on the masked files
-    * instead of write amplification now. `addedRows` records only the
-    * whole-dropped files' physical rows (masked removals are unknown
-    * without a read — the point of the mode); countWhere stays exact
-    * because masked files never metadata-count. */
+    * instead of write amplification now. EXACT ROW ACCOUNTING (default):
+    * the new mask records the live rows it hides and `addedRows` is the
+    * exact delta, at the cost of one counting read of only the boundary
+    * candidates — set `spark.graft.mor.exactRowAccounting=false` for the
+    * pure-metadata commit (addedRows then records only whole-dropped
+    * physical rows); countWhere stays exact either way because masked
+    * files never metadata-count. */
   def deleteWhereMor(spark: SparkSession, root: String, bounds: Seq[Bound]): Int = {
     require(bounds.nonEmpty, "deleteWhereMor with no bounds would drop the whole table; use overwrite")
     val base = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
@@ -3570,6 +3616,31 @@ object SnapshotTable {
       .getOrElse(sys.error("merge-on-read DML needs a schema-recording manifest"))
     val encoded = encodeMaskBounds(schema, bounds) // loud BEFORE any state change
     val mp = morMaskPlan(m, schema, bounds, encoded, prunePlanOf(m, bounds))
+    // exact accounting (default): the new mask records the live rows it
+    // hides and addedRows becomes the exact delta — one bounded counting
+    // read of only the BOUNDARY candidates (whole-drops stay stat-only,
+    // and a masked whole-drop counts its live rows like dmlRewrite does)
+    val oldIds = m.masks.map(_.id).toSet
+    val (addedRows, masksFinal) =
+      if (!exactMorAccounting(spark)) (-mp.droppedWhole.map(_.rows).sum, mp.masks)
+      else {
+        val newEntries = mp.masks.filterNot(mk => oldIds(mk.id)).flatMap(_.entries)
+        val maskedCount =
+          if (newEntries.isEmpty) 0L
+          else
+            readEntriesMasked(spark, root, m, Some(schema), newEntries)
+              .filter(matchCol(bounds))
+              .count()
+        val maskedSet = maskedEntrySet(m)
+        val (maskedDropped, cleanDropped) = mp.droppedWhole.partition(f => maskedSet(f.path))
+        val droppedLive =
+          cleanDropped.map(_.rows).sum +
+            (if (maskedDropped.isEmpty) 0L
+             else readEntriesMasked(spark, root, m, Some(schema), maskedDropped.map(_.path)).count())
+        (
+          -(droppedLive + maskedCount),
+          mp.masks.map(mk => if (oldIds(mk.id)) mk else mk.copy(maskedRows = Some(maskedCount))))
+      }
     publish(
       spark,
       root,
@@ -3577,13 +3648,13 @@ object SnapshotTable {
         base + 1,
         "mor-delete",
         mp.survivors.map(_.path) ++ mp.uncovered,
-        -mp.droppedWhole.map(_.rows).sum,
+        addedRows,
         None,
         m.schemaJson,
         mp.survivors,
         constraints = m.constraints,
         dropped = m.dropped,
-        masks = mp.masks))
+        masks = masksFinal))
   }
 
   /** Merge-on-read UPDATE — write cost ∝ MATCHED rows, zero file
@@ -3627,6 +3698,21 @@ object SnapshotTable {
     val (rel, n, stats) = writeData(spark, root, updated, m.constraints, mappingOf(schema))
     if (n == 0) return base // nothing matched: no-op (the empty orphan dir vacuums away)
     val mp = morMaskPlan(m, schema, bounds, encoded, plan)
+    // the writer already counted the matched rows (it wrote them): the new
+    // mask hides exactly those minus the whole-dropped files' live rows —
+    // free exactness (only a masked whole-drop needs a counting read)
+    val oldIds = m.masks.map(_.id).toSet
+    val masksFinal =
+      if (!exactMorAccounting(spark)) mp.masks
+      else {
+        val maskedSet = maskedEntrySet(m)
+        val (maskedDropped, cleanDropped) = mp.droppedWhole.partition(f => maskedSet(f.path))
+        val droppedLive =
+          cleanDropped.map(_.rows).sum +
+            (if (maskedDropped.isEmpty) 0L
+             else readEntriesMasked(spark, root, m, Some(schema), maskedDropped.map(_.path)).count())
+        mp.masks.map(mk => if (oldIds(mk.id)) mk else mk.copy(maskedRows = Some(n - droppedLive)))
+      }
     publish(
       spark,
       root,
@@ -3640,7 +3726,7 @@ object SnapshotTable {
         mp.survivors ++ stats,
         constraints = m.constraints,
         dropped = m.dropped,
-        masks = mp.masks))
+        masks = masksFinal))
   }
 
   /** Merge-on-read MERGE — the SCATTERED-KEY upsert whose copy-on-write
@@ -3698,6 +3784,20 @@ object SnapshotTable {
         if (maskEntries.isEmpty) Seq.empty
         else Seq(Mask("keys", maskEntries, keyCols = keyCols, keyDir = Some(keyRel)))
       }
+    // exact accounting (default): the matched-row count is one key-only
+    // semi-join over the masked candidates (columnar key read, no
+    // rewrite) — the mask records it and addedRows = inserts − replaced
+    val priorSchema = m.schemaJson.map(schemaFromJson)
+    val (addedRows, newMaskFinal) =
+      if (newMask.isEmpty || !exactMorAccounting(spark)) (nSrc, newMask)
+      else {
+        val sidecar = spark.read.parquet(new Path(dataRoot(root), newMask.head.keyDir.get).toString)
+        val matchedCnt = readEntriesMasked(spark, root, m, priorSchema, newMask.head.entries)
+          .select(keyCols.map(k => col("`" + k + "`")): _*)
+          .join(sidecar, keyCols, "left_semi")
+          .count()
+        (nSrc - matchedCnt, newMask.map(_.copy(maskedRows = Some(matchedCnt))))
+      }
     publish(
       spark,
       root,
@@ -3705,13 +3805,13 @@ object SnapshotTable {
         base + 1,
         "mor-merge",
         m.dirs :+ srcRel,
-        nSrc,
+        addedRows,
         batchId,
         Some(evolved),
         m.files ++ srcStats,
         constraints = m.constraints,
         dropped = reviveDropped(m.dropped, schemaFromJson(evolved)),
-        masks = m.masks ++ newMask))
+        masks = m.masks ++ newMaskFinal))
   }
 
   /** EXACTLY-ONCE streaming MERGE-ON-READ upsert — [[upsertBatchExactlyOnce]]'s
@@ -4340,16 +4440,28 @@ object SnapshotTable {
   def historyDf(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     history(spark, root)
-      .map(c =>
+      .map { c =>
+        val physical = c.files.map(_.rows).sum
+        // exact LIVE rows whenever every pending mask carries its
+        // recorded hidden-row count (each counted through the earlier
+        // masks, so overlaps never double-subtract); null = some mask's
+        // count is unknown (accounting off, pre-field, or shrunk)
+        val live =
+          if (c.masks.isEmpty) Some(physical)
+          else if (c.masks.forall(_.maskedRows.isDefined))
+            Some(physical - c.masks.flatMap(_.maskedRows).sum)
+          else None
         (
           c.version,
           c.action,
           if (c.ts > 0) Some(new java.sql.Timestamp(c.ts)) else None,
           c.addedRows,
           c.files.size,
-          c.files.map(_.rows).sum,
+          physical,
+          live,
           c.files.map(f => math.max(f.bytes, 0L)).sum,
-          c.batchId))
+          c.batchId)
+      }
       .toDF(
         "version",
         "action",
@@ -4357,6 +4469,7 @@ object SnapshotTable {
         "row_delta",
         "num_files",
         "total_rows",
+        "live_rows",
         "total_bytes",
         "batch_id")
   }

@@ -418,7 +418,8 @@ class SnapshotDmlSpec extends SparkSuite {
     SnapshotTable.deleteWhere(spark, root, Seq(Bound("k", Some(0L), Some(124L))))
     val h = SnapshotTable.historyDf(spark, root)
     assert(h.columns.toSeq == Seq(
-      "version", "action", "committed_at", "row_delta", "num_files", "total_rows", "total_bytes", "batch_id"))
+      "version", "action", "committed_at", "row_delta", "num_files", "total_rows", "live_rows",
+      "total_bytes", "batch_id"))
     val rows = h.orderBy("version").collect()
     assert(rows.map(_.getString(1)).toSeq == Seq("create", "compact", "delete"))
     assert(rows.forall(r => !r.isNullAt(2)), "publish timestamps recorded")

@@ -27,6 +27,68 @@ class SnapshotMorSpec extends SparkSuite {
 
   private def sortedRows(df: DataFrame) = df.orderBy("k").collect().toSeq
 
+  test("exact MOR row accounting: every mask records its hidden rows; row_delta and live_rows are exact") {
+    val root = freshRoot()
+    SnapshotTable.create(
+      spark, root, fixture().repartitionByRange(8, col("d")).sortWithinPartitions("d")) // v1
+    def liveCount() = SnapshotTable.read(spark, root).count()
+    def lastCommit() = SnapshotTable.history(spark, root).last
+    def liveRowsCol() = SnapshotTable.historyDf(spark, root)
+      .orderBy(col("version").desc).select("live_rows").head
+    var before = liveCount()
+
+    // pred mask (boundary files masked, interior whole-dropped)
+    SnapshotTable.deleteWhereMor(spark, root, Seq(Bound("d", Some("1995-03-01"), Some("1995-06-30")))) // v2
+    var after = liveCount()
+    assert(lastCommit().addedRows == after - before, s"v2 delta ${lastCommit().addedRows} vs ${after - before}")
+    assert(lastCommit().masks.forall(_.maskedRows.isDefined))
+    assert(!liveRowsCol().isNullAt(0) && liveRowsCol().getLong(0) == after)
+    before = after
+
+    // mor-update: row-neutral, mask counts the updated originals exactly
+    SnapshotTable.updateWhereMor(
+      spark, root, Seq(Bound("k", Some(100L), Some(199L))),
+      Map("price_c" -> (col("price_c") + 5))) // v3
+    assert(liveCount() == before && lastCommit().addedRows == 0)
+    assert(liveRowsCol().getLong(0) == before)
+
+    // scattered-key mor-merge: inserts minus replaced, exactly
+    SnapshotTable.mergeUpsertMor(
+      spark, root,
+      fixture(1200).filter("k % 11 = 0").withColumn("price_c", col("price_c") * 2),
+      Seq("k")) // v4
+    after = liveCount()
+    assert(lastCommit().addedRows == after - before, s"v4 delta ${lastCommit().addedRows} vs ${after - before}")
+    assert(liveRowsCol().getLong(0) == after)
+    before = after
+
+    // key-tombstone matched delete
+    SnapshotTable.deleteMatchedMor(spark, root, fixture(400).filter("k % 7 = 0"), Seq("k")) // v5
+    after = liveCount()
+    assert(lastCommit().addedRows == after - before, s"v5 delta ${lastCommit().addedRows} vs ${after - before}")
+    assert(liveRowsCol().getLong(0) == after)
+
+    // countWhere stays exact through the stacked masks
+    assert(SnapshotTable.countWhere(spark, root, Seq(Bound("k", Some(0L), Some(499L)))) ==
+      SnapshotTable.read(spark, root).filter("k BETWEEN 0 AND 499").count())
+
+    // a COW rewrite that satisfies part of a mask invalidates its stale
+    // count instead of reporting a wrong live_rows
+    SnapshotTable.deleteWhere(spark, root, Seq(Bound("k", Some(200L), Some(249L)))) // v6
+    val masksNow = lastCommit().masks
+    if (masksNow.exists(_.maskedRows.isEmpty)) assert(liveRowsCol().isNullAt(0))
+    else assert(liveRowsCol().getLong(0) == liveCount())
+
+    // the opt-out restores the pure-metadata commit (no counting read)
+    spark.conf.set("spark.graft.mor.exactRowAccounting", "false")
+    try {
+      SnapshotTable.deleteWhereMor(spark, root, Seq(Bound("k", Some(300L), Some(309L)))) // v7
+      val mk = lastCommit().masks.filterNot(m => masksNow.map(_.id).contains(m.id))
+      assert(mk.nonEmpty && mk.forall(_.maskedRows.isEmpty))
+      assert(liveRowsCol().isNullAt(0))
+    } finally spark.conf.unset("spark.graft.mor.exactRowAccounting")
+  }
+
   test("mor-delete: zero data I/O, result identical to copy-on-write delete") {
     val mor = freshRoot()
     val cow = freshRoot()
