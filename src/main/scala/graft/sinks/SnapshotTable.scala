@@ -2124,7 +2124,42 @@ object SnapshotTable {
       .write
       .parquet(tmp.toString)
     publishDerivedDir(f, tmp, target)
+    // tiny sidecar recording the file COUNT — read-side auto-select's
+    // crossover input (one small read beats launching a Spark job to
+    // discover the checkpoint wasn't worth a Spark job). Deterministic
+    // content; written after _SUCCESS, so a torn write degrades to the
+    // legacy prefer-checkpoint behavior, never to wrong data.
+    val meta = new Path(target, "_meta.json")
+    val mout = f.create(meta, true)
+    try mout.write(s"""{"files":${rows.size}}""".getBytes("UTF-8"))
+    finally mout.close()
     rel
+  }
+
+  /** File count a checkpoint recorded at write time (None: legacy/torn
+    * meta — treated as "prefer the checkpoint", the pre-crossover
+    * behavior). */
+  private def checkpointFileCount(f: FileSystem, root: String, v: Int): Option[Long] = {
+    val p = new Path(new Path(dataRoot(root), ckptRel(root, v)), "_meta.json")
+    if (!f.exists(p)) None
+    else
+      scala.util
+        .Try(JsonMethods.parse(new String(readSmall(f, p), "UTF-8")) \ "files")
+        .toOption
+        .collect { case JInt(n) => n.toLong; case JLong(n) => n }
+  }
+
+  /** The measured ~10⁵-file crossover (SCALING.md round-14 table): below
+    * it the checkpoint's fixed Spark-job overhead loses to the driver
+    * JSON parse, so auto-select stays on the JSON path even when a
+    * current checkpoint exists. Tunable via
+    * `spark.graft.checkpoint.autoReadMinFiles`. */
+  private[graft] def checkpointPreferred(spark: SparkSession, root: String, v: Int): Boolean = {
+    val minFiles = spark.conf
+      .getOption("spark.graft.checkpoint.autoReadMinFiles")
+      .map(_.toLong)
+      .getOrElse(100000L)
+    checkpointFileCount(fs(spark, root), root, v).forall(_ >= minFiles)
   }
 
   /** Latest version with a COMPLETE materialized checkpoint (its parquet
@@ -2424,14 +2459,18 @@ object SnapshotTable {
     * (auto-written every [[AutoCheckpointInterval]] commits past
     * [[AutoCheckpointMinFiles]], or explicit [[checkpoint]]), planning
     * auto-selects the DISTRIBUTED checkpointed path — a long-lived table
-    * never silently stays on the O(files) driver-side JSON parse. Result
-    * is identical by construction (same deadness kernel, same serde);
-    * disable with `spark.graft.checkpoint.autoRead=false`. */
+    * never silently stays on the O(files) driver-side JSON parse —
+    * but only ABOVE the measured ~10⁵-file crossover
+    * ([[checkpointPreferred]]): below it the checkpoint's fixed job
+    * overhead loses to the JSON parse, so a small explicitly-checkpointed
+    * table keeps the fast path. Result is identical by construction
+    * (same deadness kernel, same serde); disable with
+    * `spark.graft.checkpoint.autoRead=false`. */
   def readWhere(spark: SparkSession, root: String, bounds: Seq[Bound]): DataFrame = {
     val v = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
     val autoRead =
       spark.conf.getOption("spark.graft.checkpoint.autoRead").forall(_.toBoolean)
-    if (autoRead && latestCheckpoint(spark, root).contains(v))
+    if (autoRead && latestCheckpoint(spark, root).contains(v) && checkpointPreferred(spark, root, v))
       readWhereCheckpointedAt(spark, root, v, bounds)
     else readVersionWhere(spark, root, v, bounds)
   }

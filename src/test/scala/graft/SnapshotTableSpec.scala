@@ -553,8 +553,9 @@ class SnapshotTableSpec extends SparkSuite {
       spark, root, SnapshotTable.latestVersion(spark, root).get, bounds)
     assert(viaCkpt.orderBy("k").collect().toSeq == viaJson.orderBy("k").collect().toSeq)
     assert(viaCkpt.count() == 121)
-    // ...and readWhere AUTO-SELECTS the checkpointed plan when one is
-    // current (identical result, no explicit call)
+    // ...and readWhere gives the identical result whichever plan its
+    // auto-select lands on (at 8 files the crossover keeps the JSON path;
+    // the crossover spec below pins the selection itself)
     assert(SnapshotTable.readWhere(spark, root, bounds).count() == 121)
     // pending merge-on-read masks COMPOSE with checkpointed planning:
     // the lite manifest carries the mask records, pruning runs before
@@ -566,6 +567,31 @@ class SnapshotTableSpec extends SparkSuite {
       spark, root, SnapshotTable.latestVersion(spark, root).get, bounds)
     assert(maskedCkpt.orderBy("k").collect().toSeq == maskedJson.orderBy("k").collect().toSeq)
     assert(maskedCkpt.count() == 70, "rows 151..220 survive the masked delete")
+  }
+
+  test("checkpoint auto-select applies the file-count crossover: small tables keep the JSON path") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, wide(1000))
+    SnapshotTable.compact(spark, root, "k", nFiles = 8)
+    val v = SnapshotTable.checkpoint(spark, root)
+    val bounds = Seq(SnapshotTable.Bound("k", Some(100L), Some(220L)))
+    // 8 files is far below the measured ~1e5 crossover: a CURRENT
+    // checkpoint exists but auto-select stays on the JSON path (the
+    // checkpoint's fixed Spark-job overhead loses below the crossover)
+    assert(!SnapshotTable.checkpointPreferred(spark, root, v))
+    assert(SnapshotTable.readWhere(spark, root, bounds).count() == 121)
+    // lowering the threshold flips the SAME table onto the checkpointed
+    // plan, result-identical
+    spark.conf.set("spark.graft.checkpoint.autoReadMinFiles", "1")
+    try {
+      assert(SnapshotTable.checkpointPreferred(spark, root, v))
+      assert(SnapshotTable.readWhere(spark, root, bounds).count() == 121)
+    } finally spark.conf.unset("spark.graft.checkpoint.autoReadMinFiles")
+    // a LEGACY checkpoint (no _meta sidecar) keeps the pre-crossover
+    // prefer-checkpoint behavior — never a silent downgrade of old tables
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(root, "_manifests", f"ckpt_v$v%08d", "_meta.json"))
+    assert(SnapshotTable.checkpointPreferred(spark, root, v))
   }
 
   test("auto-checkpoint: every Nth commit past minFiles, plans select it with no explicit call") {
