@@ -31,9 +31,14 @@ import org.json4s.jackson.JsonMethods
   *    null" (no non-null values) from "sums to 0" under deletes —
   *    [[read]] projects the declared columns only;
   *  - the aggregate vocabulary is count + sum (avg derives as
-  *    sum/count): `min`/`max` are deliberately NOT offered — they are
-  *    not incrementally maintainable under deletes without per-group
-  *    recomputation, and this engine refuses-not-approximates;
+  *    sum/count) + OPT-IN `min`/`max` (surfaced as `<c>_min`/`<c>_max`):
+  *    extremes are not incrementally maintainable under deletes (an
+  *    evicted max needs the runner-up), so they maintain by HYBRID
+  *    refresh — the touched groups, and only those, recompute from the
+  *    base at the target version (cost ∝ base rows in changed groups,
+  *    never the base; a min/max view also skips the zero-cancel group
+  *    filter, since an update can move an extremum while every count
+  *    and sum delta cancels);
   *  - the SYNCED BASE VERSION rides IN the view's own manifest (the
   *    refresh merge's `batchId`), so view state and sync point commit
   *    atomically: a crashed refresh replays as a no-op
@@ -43,8 +48,19 @@ import org.json4s.jackson.JsonMethods
   */
 object SnapshotMv {
 
-  /** The view's definition, persisted immutably at create time. */
-  final case class MvSpec(baseRoot: String, keys: Seq[String], sums: Seq[String], countCol: String)
+  /** The view's definition, persisted immutably at create time. `mins`/
+    * `maxs` columns surface as `<c>_min`/`<c>_max` and are maintained by
+    * HYBRID refresh (recompute over touched groups only — see
+    * [[refresh]]). */
+  final case class MvSpec(
+      baseRoot: String,
+      keys: Seq[String],
+      sums: Seq[String],
+      countCol: String,
+      mins: Seq[String] = Seq.empty,
+      maxs: Seq[String] = Seq.empty) {
+    def minMaxCols: Seq[String] = mins.map(_ + "_min") ++ maxs.map(_ + "_max")
+  }
 
   private def specPath(mvRoot: String) = new Path(mvRoot, "_mv.json")
   private def nn(c: String) = "__nn_" + c
@@ -67,12 +83,16 @@ object SnapshotMv {
       keys: Seq[String],
       sums: Seq[String],
       countCol: String = "n_rows",
-      asOfVersion: Option[Int] = None): Int = {
-    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+      asOfVersion: Option[Int] = None,
+      mins: Seq[String] = Seq.empty,
+      maxs: Seq[String] = Seq.empty): Int = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, sum, when}
     require(keys.nonEmpty, "a materialized view needs at least one grouping key")
-    val dup = (keys ++ sums :+ countCol).diff((keys ++ sums :+ countCol).distinct)
+    val spec = MvSpec(baseRoot, keys, sums, countCol, mins, maxs)
+    val outNames = keys ++ sums ++ spec.minMaxCols :+ countCol
+    val dup = outNames.diff(outNames.distinct)
     require(dup.isEmpty, s"duplicate column roles in the view definition: ${dup.mkString(", ")}")
-    (keys ++ sums :+ countCol).foreach(c =>
+    (outNames ++ mins ++ maxs).foreach(c =>
       require(!c.startsWith("__"), s"column '$c' collides with the view's internal (`__`) namespace"))
     val latest = SnapshotTable
       .latestVersion(spark, baseRoot)
@@ -83,27 +103,30 @@ object SnapshotMv {
         s"asOfVersion $v is outside the base's committed history (1..$latest)"))
     val baseV = asOfVersion.getOrElse(latest)
     val base = SnapshotTable.readVersion(spark, baseRoot, baseV)
-    (keys ++ sums).foreach(c =>
+    (keys ++ sums ++ mins ++ maxs).foreach(c =>
       require(base.columns.contains(c), s"no column '$c' in the base table"))
     val nonNullKeys = keys.map(k => col(bq(k)).isNotNull).reduce(_ && _)
     val aggs =
-      count(lit(1)).as(countCol) +:
+      (count(lit(1)).as(countCol) +:
         sums.flatMap(c =>
           Seq(
             sum(col(bq(c))).as(c),
-            sum(when(col(bq(c)).isNotNull, 1L).otherwise(0L)).as(nn(c))))
+            sum(when(col(bq(c)).isNotNull, 1L).otherwise(0L)).as(nn(c))))) ++
+        mins.map(c => min(col(bq(c))).as(c + "_min")) ++
+        maxs.map(c => max(col(bq(c))).as(c + "_max"))
     val frame = base
       .filter(nonNullKeys)
       .groupBy(keys.map(k => col(bq(k))): _*)
       .agg(aggs.head, aggs.tail: _*)
-    val spec = MvSpec(baseRoot, keys, sums, countCol)
     val json = JsonMethods.compact(
       JsonMethods.render(
         JObject(
           "baseRoot" -> JString(spec.baseRoot),
           "keys" -> JArray(spec.keys.toList.map(JString)),
           "sums" -> JArray(spec.sums.toList.map(JString)),
-          "countCol" -> JString(spec.countCol))))
+          "countCol" -> JString(spec.countCol),
+          "mins" -> JArray(spec.mins.toList.map(JString)),
+          "maxs" -> JArray(spec.maxs.toList.map(JString)))))
     SnapshotTable.create(spark, mvRoot, frame)
     val f = specPath(mvRoot).getFileSystem(spark.sessionState.newHadoopConf())
     SnapshotTable.commitStore.putIfAbsent(f, specPath(mvRoot), json.getBytes("UTF-8"))
@@ -123,7 +146,9 @@ object SnapshotMv {
       (j \ "baseRoot").extract[String],
       (j \ "keys").extract[List[String]],
       (j \ "sums").extract[List[String]],
-      (j \ "countCol").extract[String])
+      (j \ "countCol").extract[String],
+      (j \ "mins").extractOpt[List[String]].getOrElse(Nil),
+      (j \ "maxs").extractOpt[List[String]].getOrElse(Nil))
   }
 
   /** The base version the view currently reflects. Walks the view's own
@@ -156,7 +181,7 @@ object SnapshotMv {
     val sp = spec(spark, mvRoot)
     SnapshotTable
       .read(spark, mvRoot)
-      .select((sp.keys ++ Seq(sp.countCol) ++ sp.sums).map(c => col(bq(c))): _*)
+      .select((sp.keys ++ Seq(sp.countCol) ++ sp.sums ++ sp.minMaxCols).map(c => col(bq(c))): _*)
   }
 
   /** Catch the view up to the base's current version by applying ONLY
@@ -168,7 +193,7 @@ object SnapshotMv {
     * version as its `batchId`, so a crashed refresh replays as a no-op;
     * an up-to-date view returns immediately. Returns the view's version. */
   def refresh(spark: SparkSession, mvRoot: String): Int = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, sum, when}
+    import org.apache.spark.sql.functions.{coalesce, col, lit, max, min, sum, when}
     val sp = spec(spark, mvRoot)
     val synced = syncedVersion(spark, mvRoot)
     val baseV = SnapshotTable
@@ -180,6 +205,7 @@ object SnapshotMv {
       s"base at v$baseV is BEHIND the view's sync point v$synced — was the base restored? " +
         "rebuild the view (a restore rewinds history non-monotonically)")
     if (baseV == synced) return mvLatest
+    val hasMinMax = sp.minMaxCols.nonEmpty
     val ch = SnapshotTable.changesBetween(spark, sp.baseRoot, synced, baseV)
     val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
     val nonNullKeys = sp.keys.map(k => col(bq(k)).isNotNull).reduce(_ && _)
@@ -189,19 +215,49 @@ object SnapshotMv {
           Seq(
             sum(sign * col(bq(c))).as(c),
             sum(when(col(bq(c)).isNotNull, sign).otherwise(0L)).as(nn(c))))
-    val delta = ch
+    val rawDelta = ch
       .filter(nonNullKeys)
       .groupBy(sp.keys.map(k => col(bq(k))): _*)
       .agg(aggs.head, aggs.tail: _*)
-      // groups whose inserts and deletes fully cancel need no merge work
-      .filter(
-        (col(bq(sp.countCol)) =!= 0) ||
-          sp.sums
-            .map(c => (coalesce(col(bq(c)), lit(0)) =!= 0) || (col(bq(nn(c))) =!= 0))
-            .foldLeft(lit(false))(_ || _))
+    // groups whose inserts and deletes fully cancel need no merge work —
+    // UNLESS the view maintains min/max: an update can move an extremum
+    // while every count and sum delta cancels, so min/max views touch
+    // every delta group (cost ∝ touched groups either way)
+    val delta =
+      if (hasMinMax) rawDelta
+      else
+        rawDelta.filter(
+          (col(bq(sp.countCol)) =!= 0) ||
+            sp.sums
+              .map(c => (coalesce(col(bq(c)), lit(0)) =!= 0) || (col(bq(nn(c))) =!= 0))
+              .foldLeft(lit(false))(_ || _))
     if (delta.isEmpty) return carrySync(spark, mvRoot, baseV)
+    // HYBRID min/max maintenance: extremes are not incrementally
+    // maintainable under deletes (an evicted max needs the runner-up),
+    // so the TOUCHED groups — and only those — recompute from the base
+    // at the target version (a semi-join against the delta's key set:
+    // cost ∝ base rows in changed groups, never the base). The CURRENT
+    // version is always readable — no extra vacuum exposure beyond the
+    // CDC read refresh already requires.
+    val srcDelta =
+      if (!hasMinMax) delta
+      else {
+        val mmAggs =
+          sp.mins.map(c => min(col(bq(c))).as(c + "_min")) ++
+            sp.maxs.map(c => max(col(bq(c))).as(c + "_max"))
+        val mm = SnapshotTable
+          .readVersion(spark, sp.baseRoot, baseV)
+          .filter(nonNullKeys)
+          .join(delta.select(sp.keys.map(k => col(bq(k))): _*), sp.keys, "left_semi")
+          .groupBy(sp.keys.map(k => col(bq(k))): _*)
+          .agg(mmAggs.head, mmAggs.tail: _*)
+        // a fully-died group has no mm row: null extremes ride along and
+        // the count-0 DELETE clause removes the group before they matter
+        delta.join(mm, sp.keys, "left_outer")
+      }
     // the merge algebra: count adds; each sum adds null-exactly (the
-    // non-null counter decides whether the result is NULL or a number)
+    // non-null counter decides whether the result is NULL or a number);
+    // min/max SET wholesale to the recomputed value
     val setMap =
       Map(sp.countCol -> s"t.${bq(sp.countCol)} + s.${bq(sp.countCol)}") ++
         sp.sums.flatMap { c =>
@@ -209,14 +265,16 @@ object SnapshotMv {
             c -> (s"CASE WHEN t.${bq(nn(c))} + s.${bq(nn(c))} = 0 THEN NULL " +
               s"ELSE coalesce(t.${bq(c)}, 0) + coalesce(s.${bq(c)}, 0) END"),
             nn(c) -> s"t.${bq(nn(c))} + s.${bq(nn(c))}")
-        }
+        } ++
+        sp.minMaxCols.map(c => c -> s"s.${bq(c)}")
     val insertMap =
       (sp.keys.map(k => k -> s"s.${bq(k)}") :+ (sp.countCol -> s"s.${bq(sp.countCol)}")).toMap ++
-        sp.sums.flatMap(c => Seq(c -> s"s.${bq(c)}", nn(c) -> s"s.${bq(nn(c))}"))
+        sp.sums.flatMap(c => Seq(c -> s"s.${bq(c)}", nn(c) -> s"s.${bq(nn(c))}")) ++
+        sp.minMaxCols.map(c => c -> s"s.${bq(c)}")
     SnapshotTable.mergeInto(
       spark,
       mvRoot,
-      delta,
+      srcDelta,
       sp.keys,
       matched = Seq(
         SnapshotTable.MatchedDelete(Some(s"t.${bq(sp.countCol)} + s.${bq(sp.countCol)} = 0")),

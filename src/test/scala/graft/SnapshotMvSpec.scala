@@ -111,6 +111,54 @@ class SnapshotMvSpec extends SparkSuite {
     assert(got.exists(r => r.getInt(0) == 42 && r.getLong(1) == 1L && r.getLong(2) == 7L))
   }
 
+  test("min/max columns maintain by hybrid refresh: evicted extremes recompute from touched groups only") {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val base = freshRoot(); val mv = freshRoot() + "/mv"
+    SnapshotTable.create(spark, base, fixture(0, 500))
+    SnapshotMv.create(
+      spark, base, mv, keys = Seq("grp"), sums = Seq("price_c"),
+      mins = Seq("k"), maxs = Seq("k", "price_c"))
+    def recomputeMm() = SnapshotTable.read(spark, base)
+      .filter("grp IS NOT NULL")
+      .groupBy("grp")
+      .agg(
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_rows"),
+        org.apache.spark.sql.functions.sum("price_c").as("price_c"),
+        min("k").as("k_min"), max("k").as("k_max"), max("price_c").as("price_c_max"))
+      .orderBy("grp").collect().toSeq
+    def mvMm() = SnapshotMv.read(spark, mv)
+      .select("grp", "n_rows", "price_c", "k_min", "k_max", "price_c_max")
+      .orderBy("grp").collect().toSeq
+    assert(mvMm() == recomputeMm(), "create materializes the extremes")
+
+    // a delete that EVICTS group maxima (the top k rows of every group):
+    // incremental algebra cannot answer this — the hybrid recompute must
+    SnapshotTable.deleteWhere(spark, base, Seq(Bound("k", Some(450L), Some(499L))))
+    SnapshotMv.refresh(spark, mv)
+    assert(mvMm() == recomputeMm(), "evicted maxima recomputed")
+
+    // an update that moves ONLY an extremum: counts and sums over the
+    // tracked sum column are unchanged... (price_c changes, so use k's
+    // max instead: rewrite rows so count/sum cancel but k_max moves) —
+    // a merge replacing each top row with a LOWER k at identical price
+    val top = SnapshotTable.read(spark, base)
+      .groupBy("grp").agg(max("k").as("k")).join(SnapshotTable.read(spark, base), Seq("grp", "k"))
+    SnapshotTable.mergeUpsert(
+      spark, base,
+      top.select(col("k"), col("grp"), col("price_c")), // replace with itself: cancels fully
+      Seq("k"))
+    SnapshotMv.refresh(spark, mv)
+    assert(mvMm() == recomputeMm(), "a fully-cancelling delta still refreshes min/max groups")
+
+    // group death and rebirth with extremes
+    SnapshotTable.deleteWhere(spark, base, Seq(Bound("grp", Some(3), Some(3))))
+    SnapshotMv.refresh(spark, mv)
+    assert(mvMm() == recomputeMm() && !mvMm().exists(_.getInt(0) == 3), "group died with its extremes")
+    SnapshotTable.append(spark, base, fixture(1000, 20).filter("grp = 3"))
+    SnapshotMv.refresh(spark, mv)
+    assert(mvMm() == recomputeMm(), "group reborn with fresh extremes")
+  }
+
   test("null grouping keys are excluded; refresh survives base vacuum past old history and a RESTORE") {
     val base = freshRoot(); val mv = freshRoot() + "/mv"
     SnapshotTable.create(
