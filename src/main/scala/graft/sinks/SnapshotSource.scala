@@ -533,12 +533,23 @@ object SnapshotSource {
   * ([[SnapshotTable.upsertBatchExactlyOnce]], the CDC-apply shape;
   * `.option("morWrites","true")` takes the O(change) merge-on-read
   * route). Complete mode is refused — a snapshot table's full-rewrite
-  * analogue is `overwrite`, not a streaming sink. */
+  * analogue is `overwrite`, not a streaming sink.
+  *
+  * MAINTENANCE LOOP: a per-epoch trickle is exactly the small-file shape
+  * [[SnapshotTable.compactSmall]] exists for — `.option("compactEvery",
+  * N)` runs it after every Nth epoch (bin-packing only the sub-threshold
+  * files toward `compactTargetBytes`, default 128 MB), so a long-running
+  * stream's file count stays bounded by the data volume instead of the
+  * epoch count. The compaction commit is data-identical (readers and the
+  * append STREAM over the table skip it by construction), and a replayed
+  * epoch re-running the compaction is a no-op when nothing is small. */
 private final class SnapshotSink(
     spark: SparkSession,
     root: String,
     upsertKeys: Option[Seq[String]],
-    mor: Boolean)
+    mor: Boolean,
+    compactEvery: Option[Int] = None,
+    compactTargetBytes: Long = 128L * 1024 * 1024)
     extends Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // V1 sink contract: the incoming frame is a streaming plan — lift its
@@ -549,6 +560,13 @@ private final class SnapshotSink(
       case None => SnapshotTable.appendBatchExactlyOnce(spark, root, df, batchId)
       case Some(ks) if mor => SnapshotTable.upsertBatchExactlyOnceMor(spark, root, df, ks, batchId)
       case Some(ks) => SnapshotTable.upsertBatchExactlyOnce(spark, root, df, ks, batchId)
+    }
+    compactEvery.foreach { n =>
+      if (batchId > 0 && batchId % n == 0)
+        SnapshotTable.compactSmall(
+          spark, root,
+          smallBytes = math.min(32L * 1024 * 1024, compactTargetBytes),
+          targetBytes = compactTargetBytes)
     }
     ()
   }
@@ -725,11 +743,15 @@ final class SnapshotSourceProvider
       .get("upsertKeys")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .filter(_.nonEmpty)
+    val compactEvery = parameters.get("compactEvery").map(_.toInt)
+    compactEvery.foreach(n => require(n >= 1, s"compactEvery must be >= 1, got $n"))
     new SnapshotSink(
       ctx.sparkSession,
       root(parameters),
       keys,
-      parameters.get("morWrites").exists(_.equalsIgnoreCase("true")))
+      parameters.get("morWrites").exists(_.equalsIgnoreCase("true")),
+      compactEvery,
+      parameters.get("compactTargetBytes").map(_.toLong).getOrElse(128L * 1024 * 1024))
   }
 }
 

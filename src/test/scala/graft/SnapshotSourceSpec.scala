@@ -477,6 +477,49 @@ class SnapshotSourceSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("SINK maintenance loop: compactEvery bounds a 50-epoch stream's file count with result identity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = freshRoot() + "/t"
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("k", "s")
+      .writeStream
+      .format("snapshot-table")
+      .option("path", root)
+      .option("compactEvery", "10")
+      .option("checkpointLocation", Files.createTempDirectory("graft-sink-cmp").toString)
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // epoch ids 0..50: the final id lands on the compaction boundary,
+      // so the stream ENDS bin-packed (mid-stream the trailing <N epochs
+      // ride uncompacted — bounded by compactEvery, never the epoch count)
+      (0 to 50).foreach { i =>
+        ms.addData((i.toLong, s"v$i")); q.processAllAvailable()
+      }
+      // every row exactly once through the epochs AND the compactions
+      assert(
+        SnapshotTable.read(spark, root).orderBy("k").as[(Long, String)].collect().toSeq ==
+          (0 to 50).map(i => i.toLong -> s"v$i"))
+      val h = SnapshotTable.history(spark, root)
+      assert(h.count(_.action == "compact") >= 5, s"periodic compactions ran: ${h.map(_.action)}")
+      // the trickle's total bytes fit ONE 128 MB target file: the final
+      // live file count is ceil(bytes/target) = 1, not the epoch count
+      val live = h.last.files
+      assert(live.size == 1, s"51 one-row epochs must end bin-packed, got ${live.size} files")
+      // and a STREAM over the sink's table never re-emits the compaction
+      // churn (compaction commits are data-identical by construction)
+      val out = spark.readStream.format("snapshot-table").option("path", root).load()
+        .writeStream.format("memory").queryName("cmp_loop_readback")
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        out.processAllAvailable()
+        assert(spark.table("cmp_loop_readback").count() == 51)
+      } finally out.stop()
+    } finally q.stop()
+  }
+
   test("SINK: writeStream.format(snapshot-table) appends exactly-once; upsertKeys merges per epoch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
