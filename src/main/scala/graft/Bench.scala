@@ -98,6 +98,11 @@ object Bench {
     // regressions). A query is recorded as a memo hit when the relevant
     // memo is non-empty just before it runs.
     val memoHits = scala.collection.mutable.ArrayBuffer.empty[String]
+    // ...and the complement: a memo USER that runs while its memo is COLD
+    // is the query PAYING the shared fixture build this sweep (first of
+    // its family alphabetically) — label it so its entry reads as
+    // "family fixture + own work", not as a slow query
+    val memoPaid = scala.collection.mutable.ArrayBuffer.empty[String]
     val memoUsers: Map[String, () => Boolean] = {
       val graphWarm = () => graft.ops.Graph.memoNonEmpty
       val bpeWarm = () => graft.ops.BpeTokenizer.memoNonEmpty
@@ -115,7 +120,7 @@ object Bench {
         "q_mv_refresh" -> cycleWarm)
     }
     val results: Seq[(String, Double)] = selected.map { case (name, fn) =>
-      if (memoUsers.get(name).exists(_())) memoHits += name
+      memoUsers.get(name).foreach(warm => if (warm()) memoHits += name else memoPaid += name)
       name -> time(name, fn)
     }
     val loadEnd = osBean.getSystemLoadAverage
@@ -195,7 +200,8 @@ object Bench {
     val rerunJson = rerun.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val outliersJson = rerunOutliers.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val memoHitJson = memoHits.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val loadJson = s""""load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"common67_sec":${fmt(common67)},"memo_honest_reruns":true,"memo_hit":$memoHitJson,"rerun_slowest":$rerunJson,"rerun_outliers":$outliersJson"""
+    val memoPaidJson = memoPaid.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val loadJson = s""""load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"common67_sec":${fmt(common67)},"memo_honest_reruns":true,"memo_hit":$memoHitJson,"memo_paid":$memoPaidJson,"rerun_slowest":$rerunJson,"rerun_outliers":$outliersJson"""
     val fullLine =
       s"""{"metric":"bench_total_sec","value":${fmt(total)},"unit":"sec",$loadJson,"queries":$allQueries,"sf":"$sfDir"}"""
     println(fullLine)
