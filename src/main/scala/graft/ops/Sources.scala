@@ -370,6 +370,56 @@ object Sources {
             "tag_pre"))
         .orderBy("src", "y")
     },
+    // BRANCH REBASE in the ORACLE GATE — the full diverged-workflow
+    // cycle: a branch stages an append + a recorded-bounds MOR delete +
+    // a keys-MOR merge while MAIN independently appends and COW-updates;
+    // rebase REPLAYS the branch's commits onto main's tip by their
+    // commutation rules (the append's immutable dirs re-attach verbatim,
+    // so the branch's odd-key rows keep PRE-update prices; the delete
+    // re-executes its recorded bounds against the new base, so rows main
+    // added post-fork that match are deleted too; the merge re-executes
+    // from its recorded key sidecar, masking main's updated rows and
+    // re-inserting at fork-time source prices), and fastForward publishes
+    // the rebased chain. The oracle replays the exact re-run algebra —
+    // the hash-match proves rebase ≡ re-running the branch's work on the
+    // new base, the git-rebase contract.
+    "q_snapshot_rebase" -> { (s, dir) =>
+      import graft.sinks.SnapshotTable
+      import graft.sinks.SnapshotTable.Bound
+      val root = "/tmp/graft-snaprb/" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val o = Fixtures
+        .table(s, dir, "orders")
+        .select(
+          col("o_orderkey").as("k"),
+          to_date(col("o_orderdate")).as("d"),
+          cents(col("o_totalprice")).as("price_c"))
+      SnapshotTable.create(s, root, o.filter(col("k") % 2 === 0)) // main v1: even keys
+      val stage = SnapshotTable.createBranch(s, root, "stage") // forks at v1
+      SnapshotTable.append(s, stage, o.filter(col("k") % 2 === 1)) // branch v2
+      SnapshotTable.deleteWhereMor(
+        s, stage, Seq(Bound("d", Some("1995-01-01"), Some("1995-12-31")))) // branch v3 (recorded bounds)
+      SnapshotTable.mergeUpsertMor(
+        s, stage,
+        o.filter(col("k") % 10 === 0).withColumn("price_c", col("price_c") * 2),
+        Seq("k")) // branch v4 (recorded key sidecar + immutable insert dir)
+      // main diverges past the fork
+      SnapshotTable.append(
+        s, root,
+        o.filter(col("k") % 1000 === 1)
+          .select(col("k") + 20000000L as "k", col("d"), col("price_c"))) // main v2
+      SnapshotTable.updateWhere(
+        s, root, Seq(Bound("d", Some("1996-01-01"), Some("1996-12-31"))),
+        Map("price_c" -> (col("price_c") + 100))) // main v3 (COW)
+      SnapshotTable.rebase(s, root, "stage") // replay v2..v4 onto main v3
+      SnapshotTable.fastForward(s, root, "stage") // publish: main → v6
+      SnapshotTable
+        .read(s, root)
+        .groupBy(year(col("d")).cast("int").as("y"))
+        .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_price_c"))
+        .orderBy("y")
+    },
     // INCREMENTAL MATERIALIZED VIEW in the ORACLE GATE — the per-date
     // aggregate (count + null-exact sum) materialized as its own snapshot
     // table SYNCED AT v1 of the shared [[SnapshotCycle]] fixture
@@ -559,6 +609,24 @@ object Sources {
         "fin AS (SELECT k, d, price_c FROM o WHERE k % 5 <> 0 " +
         "UNION ALL SELECT k, d, price_c * 2 FROM o WHERE k % 5 = 0 AND price_c > 100000 " +
         "UNION ALL SELECT -k - 1000, d, CAST(42 AS BIGINT) FROM o WHERE k % 30 = 0) " +
+        "SELECT CAST(year(d) AS INT) AS y, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(price_c) AS BIGINT) AS sum_price_c FROM fin GROUP BY 1 ORDER BY y"),
+    // the re-run algebra of the rebased branch on the diverged main:
+    // evens keep main's 1996 bump except the masked k%10 keys, the
+    // branch's appended odds re-attach at PRE-update prices, main's
+    // post-fork 20M keys obey the replayed 1995 delete, and the merge
+    // re-inserts every k%10 source row at doubled fork-time price
+    "q_snapshot_rebase" ->
+      ("WITH o AS (SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d, " +
+        "CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_c FROM orders), " +
+        "evens AS (SELECT k, d, CASE WHEN year(d) = 1996 THEN price_c + 100 ELSE price_c END AS price_c " +
+        "FROM o WHERE k % 2 = 0 AND year(d) <> 1995 AND k % 10 <> 0), " +
+        "odds AS (SELECT k, d, price_c FROM o WHERE k % 2 = 1 AND year(d) <> 1995), " +
+        "exts AS (SELECT k + 20000000 AS k, d, CASE WHEN year(d) = 1996 THEN price_c + 100 ELSE price_c END " +
+        "FROM o WHERE k % 1000 = 1 AND year(d) <> 1995), " +
+        "ups AS (SELECT k, d, price_c * 2 FROM o WHERE k % 10 = 0), " +
+        "fin AS (SELECT * FROM evens UNION ALL SELECT * FROM odds " +
+        "UNION ALL SELECT * FROM exts UNION ALL SELECT * FROM ups) " +
         "SELECT CAST(year(d) AS INT) AS y, CAST(count(*) AS BIGINT) AS n_rows, " +
         "CAST(sum(price_c) AS BIGINT) AS sum_price_c FROM fin GROUP BY 1 ORDER BY y"),
     // the MV synced at cycle v1 then refreshed to v4 must equal the full
