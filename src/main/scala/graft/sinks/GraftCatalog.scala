@@ -1,0 +1,184 @@
+package graft.sinks
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{
+  NoSuchNamespaceException,
+  NoSuchTableException,
+  TableAlreadyExistsException
+}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Snapshot tables as a SQL CATALOG (SURVEY §2.J `cap_catalog`) — the
+  * integration surface that makes the engine reachable from PLAIN SQL in
+  * any Spark session, no registration calls:
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.graft", "graft.sinks.GraftCatalog")
+  * spark.conf.set("spark.sql.catalog.graft.warehouse", "/data/tables")
+  * spark.sql("SELECT * FROM graft.sales.orders")             // read
+  * spark.sql("SELECT * FROM graft.sales.orders VERSION AS OF 3")
+  * spark.sql("INSERT INTO graft.sales.orders SELECT ...")    // txn append
+  * spark.sql("CREATE TABLE graft.sales.t2 AS SELECT ...")    // CTAS
+  * }}}
+  *
+  * Identifiers map to WAREHOUSE PATHS (`graft.ns1.ns2.t` →
+  * `<warehouse>/ns1/ns2/t` — the Hadoop-catalog convention): the
+  * manifest log IS the metadata, so the catalog is stateless and two
+  * sessions pointing at the same warehouse see the same tables with no
+  * metastore. Reads resolve through [[GraftTable]] (native pruned DSv2
+  * batches; V1Scan fallback for masked/renamed snapshots); `VERSION AS
+  * OF` takes a version number OR a tag/branch name, `TIMESTAMP AS OF`
+  * resolves through manifest publish times. Writes route onto the
+  * TRANSACTIONAL operators via the V1Write bridge — `INSERT INTO` is an
+  * [[SnapshotTable.append]] commit, `INSERT OVERWRITE` an
+  * [[SnapshotTable.overwrite]] — so a SQL write is a real atomic commit
+  * with schema-evolution and CHECK enforcement, never a bare directory.
+  * `ALTER TABLE` maps column changes onto the METADATA-ONLY DDL
+  * operators (add/rename/drop — zero data rewrite at any size);
+  * unsupported change shapes refuse loudly. `DROP TABLE` removes the
+  * table tree (point other maintenance — vacuum, optimize, refs — at
+  * the programmatic/SnapshotSql surfaces). */
+final class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def spark = SparkSession.active
+  private def fsOf(p: Path) = p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      sys.error(s"graft catalog '$name' needs spark.sql.catalog.$name.warehouse=<dir>"))
+  }
+
+  override def name(): String = catalogName
+
+  private def rootOf(ident: Identifier): String =
+    (warehouse +: ident.namespace.toSeq :+ ident.name).mkString("/")
+
+  private def isTable(root: String): Boolean =
+    SnapshotTable.latestVersion(spark, root).isDefined
+
+  override def tableExists(ident: Identifier): Boolean = isTable(rootOf(ident))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    val f = fsOf(dir)
+    if (!f.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    f.listStatus(dir)
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => isTable((warehouse +: namespace.toSeq :+ n).mkString("/")))
+      .sorted
+      .map(n => Identifier.of(namespace, n))
+  }
+
+  private def tableAt(ident: Identifier, v: Int, writable: Boolean): Table = {
+    val root = rootOf(ident)
+    new GraftTable(spark, root, v, GraftTableProvider.schemaAt(spark, root, v), writable)
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val root = rootOf(ident)
+    val v = SnapshotTable
+      .latestVersion(spark, root)
+      .getOrElse(throw new NoSuchTableException(ident))
+    tableAt(ident, v, writable = true)
+  }
+
+  /** `VERSION AS OF <v | 'tag' | 'branch'>` — same resolution as the SQL
+    * registry: digits = a version number, otherwise a tag's pinned
+    * version or a branch's tip. Time travel is read-only. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val root = rootOf(ident)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    if (version.nonEmpty && version.forall(_.isDigit)) tableAt(ident, version.toInt, writable = false)
+    else
+      SnapshotTable.tags(spark, root).toMap.get(version) match {
+        case Some(v) => tableAt(ident, v, writable = false)
+        case None =>
+          val branch = SnapshotTable.branches(spark, root).collectFirst {
+            case (b, fork) if b == version => (SnapshotTable.branchRef(root, b), fork)
+          }
+          val (bRoot, fork) = branch.getOrElse(sys.error(s"no tag or branch '$version' at $root"))
+          // a branch resolves to its TIP through its own manifest log
+          val bv = SnapshotTable.latestVersion(spark, bRoot).getOrElse(fork)
+          new GraftTable(spark, bRoot, bv, GraftTableProvider.schemaAt(spark, bRoot, bv), writable = false)
+      }
+  }
+
+  /** `TIMESTAMP AS OF` — Spark hands epoch MICROSECONDS. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = rootOf(ident)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    tableAt(ident, SnapshotTable.versionAsOf(spark, root, timestamp / 1000L), writable = false)
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    require(
+      partitions.isEmpty,
+      "graft tables take no PARTITIONED BY — cluster with OPTIMIZE ... ZORDER BY / CLUSTER BY")
+    val root = rootOf(ident)
+    if (isTable(root)) throw new TableAlreadyExistsException(ident)
+    // an empty v1 carrying the declared schema; CTAS then appends as v2
+    // (the standard non-atomic DSv2 CTAS: a failed write drops the table)
+    SnapshotTable.create(
+      spark, root,
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    tableAt(ident, 1, writable = true)
+  }
+
+  /** Column changes map onto the METADATA-ONLY DDL operators (zero data
+    * rewrite at any table size); anything else refuses loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1, "nested ADD COLUMN is not supported")
+        SnapshotTable.addColumn(spark, root, add.fieldNames.head, add.dataType)
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames.length == 1, "nested RENAME COLUMN is not supported")
+        SnapshotTable.renameColumn(spark, root, ren.fieldNames.head, ren.newName)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1, "nested DROP COLUMN is not supported")
+        SnapshotTable.dropColumn(spark, root, del.fieldNames.head)
+      case other =>
+        sys.error(
+          s"unsupported ALTER TABLE change $other — the graft catalog maps add/rename/drop " +
+            "column onto the metadata-only operators; constraints and maintenance go through " +
+            "SnapshotTable/SnapshotSql")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = rootOf(ident)
+    if (!isTable(root)) false
+    else {
+      val p = new Path(root)
+      fsOf(p).delete(p, true)
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = new Path(rootOf(oldIdent))
+    val to = new Path(rootOf(newIdent))
+    val f = fsOf(from)
+    if (!isTable(rootOf(oldIdent))) throw new NoSuchTableException(oldIdent)
+    if (isTable(rootOf(newIdent))) throw new TableAlreadyExistsException(newIdent)
+    f.mkdirs(to.getParent)
+    require(f.rename(from, to), s"rename $from -> $to failed")
+  }
+}

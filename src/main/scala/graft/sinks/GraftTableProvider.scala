@@ -93,7 +93,9 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister {
     val p = params(new CaseInsensitiveStringMap(properties))
     val root = SnapshotReadOptions.root(p)
     val v = SnapshotReadOptions.timeTravelVersion(spark, root, p)
-    new GraftTable(spark, root, v, schema)
+    // only a current (non-time-travel) handle takes writes
+    val pinned = Seq("versionAsOf", "timestampAsOf", "tag").exists(p.contains)
+    new GraftTable(spark, root, v, schema, writable = !pinned)
   }
 }
 
@@ -110,17 +112,52 @@ private[sinks] final class GraftTable(
     spark: SparkSession,
     root: String,
     v: Int,
-    override val schema: StructType)
+    override val schema: StructType,
+    writable: Boolean = false)
     extends Table
-    with SupportsRead {
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = s"graft.`$root`@v$v"
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    if (writable)
+      util.EnumSet.of(
+        TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE,
+        TableCapability.TRUNCATE)
+    else util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spark, root, v, schema)
+
+  /** Writes bridge to the TRANSACTIONAL operators (V1Write): INSERT INTO
+    * = one [[SnapshotTable.append]] commit, INSERT OVERWRITE (truncate)
+    * = one [[SnapshotTable.overwrite]] — atomic, schema-evolving,
+    * CHECK-enforced. Time-travel handles are read-only. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(writable, s"${name()} is a time-travel/pinned handle — writes go to the current table")
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwrite = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame, ov: Boolean): Unit = {
+                if (overwrite || ov) SnapshotTable.overwrite(spark, root, data)
+                else SnapshotTable.append(spark, root, data)
+                ()
+              }
+            }
+        }
+    }
+  }
 }
 
 /** Pushdown state machine for one scan: Spark hands filters and the
