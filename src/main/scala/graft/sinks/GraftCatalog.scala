@@ -44,7 +44,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * unsupported change shapes refuse loudly. `DROP TABLE` removes the
   * table tree (point other maintenance — vacuum, optimize, refs — at
   * the programmatic/SnapshotSql surfaces). */
-final class GraftCatalog extends TableCatalog {
+final class GraftCatalog
+    extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -170,6 +172,67 @@ final class GraftCatalog extends TableCatalog {
       val p = new Path(root)
       fsOf(p).delete(p, true)
     }
+  }
+
+  // ───────── namespaces: directories under the warehouse, nothing more ─────────
+  // A namespace EXISTS iff its directory does; metadata is empty (the
+  // catalog is stateless by design). Listing skips table roots (a dir
+  // with a manifest log is a TABLE, not a namespace).
+
+  private def nsPath(ns: Array[String]): Path =
+    new Path((warehouse +: ns.toSeq).mkString("/"))
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val p = nsPath(namespace)
+    val f = fsOf(p)
+    f.exists(p) && f.getFileStatus(p).isDirectory && !isTable(p.toString)
+  }
+
+  override def listNamespaces(): Array[Array[String]] = listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val p = nsPath(namespace)
+    val f = fsOf(p)
+    if (!f.exists(p)) throw new NoSuchNamespaceException(namespace)
+    f.listStatus(p)
+      .filter(s => s.isDirectory && !isTable(s.getPath.toString))
+      .map(s => namespace :+ s.getPath.getName)
+      .sortBy(_.mkString("."))
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(
+      namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    // Spark injects reserved props (owner) on every CREATE NAMESPACE;
+    // user-supplied properties have nowhere to live in a stateless catalog
+    val userProps = metadata.keySet().toArray(Array.empty[String]).filterNot(_ == "owner")
+    require(
+      userProps.isEmpty,
+      s"graft namespaces carry no metadata (the catalog is stateless); got ${userProps.mkString(", ")}")
+    val p = nsPath(namespace)
+    if (namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NamespaceAlreadyExistsException(namespace)
+    fsOf(p).mkdirs(p)
+    ()
+  }
+
+  override def alterNamespace(
+      namespace: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit =
+    sys.error("graft namespaces carry no metadata to alter (the catalog is stateless)")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    val p = nsPath(namespace)
+    val f = fsOf(p)
+    if (!cascade && f.listStatus(p).nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(namespace)
+    f.delete(p, true)
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {

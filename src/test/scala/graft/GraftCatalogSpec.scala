@@ -50,6 +50,20 @@ class GraftCatalogSpec extends SparkSuite {
     assert(listed == Set("orders"), listed.toString)
   }
 
+  test("namespaces are warehouse directories: SHOW/CREATE/DROP NAMESPACE, stateless metadata") {
+    spark.sql("CREATE NAMESPACE gtest.staging")
+    val nss = spark.sql("SHOW NAMESPACES IN gtest").select("namespace").collect().map(_.getString(0)).toSet
+    assert(nss.contains("staging"), nss.toString)
+    // a table root is a TABLE, never listed as a namespace
+    SnapshotTable.create(spark, wh + "/staging/t", clustered(5, 1))
+    assert(!spark.sql("SHOW NAMESPACES IN gtest.staging").collect().map(_.getString(0)).contains("t"))
+    assert(spark.sql("SHOW TABLES IN gtest.staging").select("tableName").as[String].collect().toSeq == Seq("t"))
+    // a non-empty namespace refuses a plain drop; CASCADE takes the tree
+    assert(intercept[Exception](spark.sql("DROP NAMESPACE gtest.staging")).getMessage.nonEmpty)
+    spark.sql("DROP NAMESPACE gtest.staging CASCADE")
+    assert(!new java.io.File(wh + "/staging").exists())
+  }
+
   test("INSERT INTO / OVERWRITE are transactional commits; CTAS, ALTER and DROP route onto the operators") {
     val root = wh + "/etl/t1"
     SnapshotTable.create(spark, root, clustered(10, 1))
