@@ -370,6 +370,28 @@ class SnapshotBranchSpec extends SparkSuite {
       .getMessage.contains("reserved"))
   }
 
+  test("rebase re-proves constraints main gained since the fork over the replayed appends") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, fixture(0, 50)) // v1
+    val stage = SnapshotTable.createBranch(spark, root, "stage")
+    SnapshotTable.append(spark, stage, fixture(100, 10)) // branch v2: k in [100,110)
+    // main gains a CHECK the staged rows violate AFTER the fork
+    SnapshotTable.addCheck(spark, root, "small_k", "k < 105") // main v2
+    val e = intercept[Exception](SnapshotTable.rebase(spark, root, "stage"))
+    assert(e.getMessage.toLowerCase.contains("small_k"), e.getMessage)
+    // the refusal left the ORIGINAL branch intact and the stage swept
+    assert(SnapshotTable.read(spark, stage).count() == 60)
+    assert(SnapshotTable.branches(spark, root).map(_._1) == Seq("stage"))
+    // a satisfiable check lets the replay through and carries onto the branch
+    SnapshotTable.dropCheck(spark, root, "small_k")
+    SnapshotTable.addCheck(spark, root, "k_range", "k < 1000")
+    val v = SnapshotTable.rebase(spark, root, "stage")
+    assert(SnapshotTable.read(spark, stage).count() == 60)
+    assert(SnapshotTable.history(spark, stage).last.constraints.contains("k_range"))
+    SnapshotTable.fastForward(spark, root, "stage")
+    assert(SnapshotTable.read(spark, root).count() == 60 && v == SnapshotTable.latestVersion(spark, root).get)
+  }
+
   test("SQL ref surface: branch/tag DDL, SHOW, VERSION AS OF refs, registered branch DML") {
     import graft.sinks.SnapshotSql
     val root = freshRoot()
