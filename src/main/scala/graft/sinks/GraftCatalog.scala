@@ -149,6 +149,18 @@ final class GraftCatalog
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1, "nested ADD COLUMN is not supported")
+        // refuse what the metadata-only operator cannot honor — silently
+        // dropping a NOT NULL / position / default would approximate
+        require(
+          add.isNullable,
+          s"ADD COLUMN ${add.fieldNames.head} NOT NULL is not honorable: existing rows read " +
+            "the new column as NULL (add nullable, backfill, then add a CHECK)")
+        require(
+          add.position == null,
+          "ADD COLUMN ... FIRST/AFTER is not supported; new columns append")
+        require(
+          add.defaultValue == null,
+          "ADD COLUMN ... DEFAULT is not supported; backfill with UPDATE")
         SnapshotTable.addColumn(spark, root, add.fieldNames.head, add.dataType)
       case ren: TableChange.RenameColumn =>
         require(ren.fieldNames.length == 1, "nested RENAME COLUMN is not supported")
@@ -217,6 +229,11 @@ final class GraftCatalog
     val p = nsPath(namespace)
     if (namespaceExists(namespace))
       throw new org.apache.spark.sql.catalyst.analysis.NamespaceAlreadyExistsException(namespace)
+    // a TABLE root is not a namespace: "creating" it would report success
+    // while SHOW NAMESPACES never lists it and children nest inside a table
+    require(
+      !isTable(p.toString),
+      s"${namespace.mkString(".")} is a snapshot TABLE, not a namespace")
     fsOf(p).mkdirs(p)
     ()
   }

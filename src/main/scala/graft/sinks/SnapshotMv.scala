@@ -279,7 +279,15 @@ object SnapshotMv {
       matched = Seq(
         SnapshotTable.MatchedDelete(Some(s"t.${bq(sp.countCol)} + s.${bq(sp.countCol)} = 0")),
         SnapshotTable.MatchedUpdate(None, Some(setMap))),
-      notMatched = Seq(SnapshotTable.NotMatchedInsert(None, Some(insertMap))),
+      // a group BORN AND DIED within one refresh window reaches the
+      // unmatched side with a fully-cancelled delta (count 0 — and
+      // therefore zero sums/nn too, since its deletes carry exactly its
+      // inserts' values); inserting it would create a phantom zero-count
+      // group the recompute doesn't have. Possible only on min/max views
+      // (others filter cancelled groups pre-merge), but the gate is
+      // correct for every view.
+      notMatched = Seq(
+        SnapshotTable.NotMatchedInsert(Some(s"s.${bq(sp.countCol)} <> 0"), Some(insertMap))),
       batchId = Some(baseV.toLong))
   }
 

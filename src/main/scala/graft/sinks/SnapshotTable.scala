@@ -161,6 +161,20 @@ object SnapshotTable {
   private def exactMorAccounting(spark: SparkSession): Boolean =
     spark.conf.getOption("spark.graft.mor.exactRowAccounting").forall(_.toBoolean)
 
+  /** The key ENVELOPE of `df` — per-key min/max collapsed to prune
+    * [[Bound]]s (one tiny agg job; all-None bounds mean every value of
+    * that key was null, which matches nothing). Shared by every
+    * key-driven candidate prune: merge, merge-on-read, matched-delete,
+    * and rebase's merge replay. */
+  private def keyEnvelope(df: DataFrame, keyCols: Seq[String]): Seq[Bound] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val aggs = keyCols.flatMap(k =>
+      Seq(min(col("`" + k + "`")).as("__lo_" + k), max(col("`" + k + "`")).as("__hi_" + k)))
+    val kb = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    keyCols.map(k =>
+      Bound(k, Option(kb.getAs[Any]("__lo_" + k)), Option(kb.getAs[Any]("__hi_" + k))))
+  }
+
   /** Table schema of `next` committed over `prior`: same-named columns
     * must keep their type (loud failure beats silent corruption — parquet
     * would happily coexist an int and a string column of the same name
@@ -682,6 +696,7 @@ object SnapshotTable {
     commitStoreRef.get().putIfAbsent(f, branchMetaPath(root, staging), metaJson.getBytes("UTF-8"))
     forkCache.synchronized { forkCache.put((root, staging), mLatest) }
     val sRoot = root + RefSep + staging // branchRef charset would refuse the reserved prefix
+    var swapStarted = false
     try {
       locals.zip(preds).foreach { case (c, p) =>
         val tipV = latestVersion(spark, sRoot).getOrElse(mLatest)
@@ -730,6 +745,7 @@ object SnapshotTable {
             val mk = newMasks(c, p).find(_.kind == "pred").get
             deleteWhereMor(spark, sRoot, decodeMaskBounds(merged, mk.predBounds))
           case "mor-merge" =>
+            import org.apache.spark.sql.functions.col
             val mk = newMasks(c, p).find(_.kind == "keys").get
             val srcRel = deltaDirs match {
               case Seq(one) => one
@@ -737,18 +753,31 @@ object SnapshotTable {
             }
             // candidates re-prune against the NEW base: the same envelope
             // logic the original merge ran, driven by the recorded sidecar
-            import org.apache.spark.sql.functions.{col, max, min}
             val keyDf = spark.read.parquet(new Path(dataRoot(root), mk.keyDir.get).toString)
-            val aggs = mk.keyCols.flatMap(k =>
-              Seq(min(col("`" + k + "`")).as("__lo_" + k), max(col("`" + k + "`")).as("__hi_" + k)))
-            val kb = keyDf.agg(aggs.head, aggs.tail: _*).collect()(0)
-            val bounds = mk.keyCols.map(k =>
-              Bound(k, Option(kb.getAs[Any]("__lo_" + k)), Option(kb.getAs[Any]("__hi_" + k))))
-            val plan = prunePlan(spark, sRoot, tipV, bounds)
+            val plan = prunePlan(spark, sRoot, tipV, keyEnvelope(keyDf, mk.keyCols))
             val maskEntries = plan.keep ++ plan.uncoveredDirs
+            // the re-executed merge can replace a DIFFERENT number of rows
+            // than it did at fork time (main's post-fork keys match too) —
+            // account against the new base, not the fork (same economics
+            // as mergeUpsertMor's exact path: one key-only semi-join)
+            val srcRows = deltaStats.map(_.rows).sum
+            val exact = exactMorAccounting(spark)
+            val matchedCnt =
+              if (maskEntries.isEmpty || !exact) 0L
+              else
+                readEntriesMasked(spark, sRoot, tip, Some(merged), maskEntries)
+                  .select(mk.keyCols.map(k => col("`" + k + "`")): _*)
+                  .join(keyDf, mk.keyCols, "left_semi")
+                  .count()
             val replayMask =
               if (maskEntries.isEmpty) Seq.empty
-              else Seq(Mask("keys", maskEntries, keyCols = mk.keyCols, keyDir = mk.keyDir))
+              else
+                Seq(Mask(
+                  "keys",
+                  maskEntries,
+                  keyCols = mk.keyCols,
+                  keyDir = mk.keyDir,
+                  maskedRows = if (exact) Some(matchedCnt) else None))
             publish(
               spark,
               sRoot,
@@ -756,7 +785,7 @@ object SnapshotTable {
                 tipV + 1,
                 "mor-merge",
                 tip.dirs :+ srcRel,
-                c.addedRows,
+                if (exact) srcRows - matchedCnt else srcRows,
                 None,
                 Some(merged.json),
                 tip.files ++ deltaStats,
@@ -766,8 +795,13 @@ object SnapshotTable {
           case other => sys.error(s"unreachable: $other passed the replayability gate")
         }
       }
-      // swap: the rebased chain becomes THE branch (single-writer contract)
+      // swap: the rebased chain becomes THE branch (single-writer contract).
+      // dropBranch(name) is the POINT OF NO RETURN — past it the catch
+      // below must NOT sweep the staging chain (it is the only surviving
+      // copy of the branch's history; a failed rename keeps it addressable
+      // at the staging ref, exactly as the error message promises)
       val newLatest = latestVersion(spark, sRoot).getOrElse(mLatest)
+      swapStarted = true
       dropBranch(spark, root, name)
       require(
         f.rename(refDir(root, staging), refDir(root, name)),
@@ -781,9 +815,11 @@ object SnapshotTable {
       newLatest
     } catch {
       case e: Throwable =>
-        // a failed replay leaves the ORIGINAL branch untouched; sweep the stage
-        try dropBranch(spark, root, staging)
-        catch { case _: Throwable => () }
+        // a failed REPLAY leaves the ORIGINAL branch untouched: sweep the
+        // stage. A failed SWAP must keep it (see above).
+        if (!swapStarted)
+          try dropBranch(spark, root, staging)
+          catch { case _: Throwable => () }
         throw e
     }
   }
@@ -3021,11 +3057,7 @@ object SnapshotTable {
     def readAs(paths: Seq[String]): DataFrame =
       readTablePaths(spark, priorSchema, paths.map(p => new Path(dataRoot(root), p).toString))
     // stage 1: envelope prune (zero I/O; min/max ignore null keys)
-    val aggs = keyCols.flatMap(k =>
-      Seq(min(col("`" + k + "`")).as("__lo_" + k), max(col("`" + k + "`")).as("__hi_" + k)))
-    val kb = srcDf.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val bounds = keyCols.map(k =>
-      Bound(k, Option(kb.getAs[Any]("__lo_" + k)), Option(kb.getAs[Any]("__hi_" + k))))
+    val bounds = keyEnvelope(srcDf, keyCols)
     val allKeysNull = bounds.forall(b => b.lower.isEmpty && b.upper.isEmpty)
     // all-null source keys match nothing, but pre-stats dirs must still be
     // CARRIED (an invented empty uncovered set would silently drop them
@@ -3298,10 +3330,7 @@ object SnapshotTable {
     }.toSeq: _*)
     val srcKeys = srcNorm.select(keyCols.map(q): _*)
     // stage 1: zero-I/O envelope prune on the source's key ranges
-    val aggs = keyCols.flatMap(k => Seq(min(q(k)).as("__lo_" + k), max(q(k)).as("__hi_" + k)))
-    val kb = srcNorm.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val bounds = keyCols.map(k =>
-      Bound(k, Option(kb.getAs[Any]("__lo_" + k)), Option(kb.getAs[Any]("__hi_" + k))))
+    val bounds = keyEnvelope(srcNorm, keyCols)
     val allKeysNull = bounds.forall(b => b.lower.isEmpty && b.upper.isEmpty)
     val plan = prunePlan(spark, root, base, if (allKeysNull) Seq.empty else bounds)
     val candidates = plan.keep ++ plan.uncoveredDirs
@@ -3549,11 +3578,7 @@ object SnapshotTable {
     keyCols.foreach(k =>
       require(schema.fieldNames.contains(k), s"no key column '$k' in table schema"))
     val srcKeys = source.select(keyCols.map(k => col("`" + k + "`")): _*).na.drop("any").distinct()
-    val aggs = keyCols.flatMap(k =>
-      Seq(min(col("`" + k + "`")).as("__lo_" + k), max(col("`" + k + "`")).as("__hi_" + k)))
-    val kb = srcKeys.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val bounds = keyCols.map(k =>
-      Bound(k, Option(kb.getAs[Any]("__lo_" + k)), Option(kb.getAs[Any]("__hi_" + k))))
+    val bounds = keyEnvelope(srcKeys, keyCols)
     if (bounds.forall(b => b.lower.isEmpty && b.upper.isEmpty)) return base // no usable keys
     val plan = prunePlan(spark, root, base, bounds)
     val maskEntries = plan.keep ++ plan.uncoveredDirs
@@ -3800,11 +3825,7 @@ object SnapshotTable {
       schemaFromJson(evolved).fields.filter(f => source.columns.contains(f.name)))
     val srcDf = readTablePaths(spark, Some(srcSchema), Seq(new Path(dataRoot(root), srcRel).toString))
     // envelope prune: the only target-side work, and it is zero-I/O
-    val aggs = keyCols.flatMap(k =>
-      Seq(min(col("`" + k + "`")).as("__lo_" + k), max(col("`" + k + "`")).as("__hi_" + k)))
-    val kb = srcDf.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val bounds = keyCols.map(k =>
-      Bound(k, Option(kb.getAs[Any]("__lo_" + k)), Option(kb.getAs[Any]("__hi_" + k))))
+    val bounds = keyEnvelope(srcDf, keyCols)
     val allKeysNull = bounds.forall(b => b.lower.isEmpty && b.upper.isEmpty)
     val newMask: Seq[Mask] =
       if (allKeysNull) Seq.empty // all-null keys match nothing: a pure insert
@@ -3829,6 +3850,10 @@ object SnapshotTable {
     val priorSchema = m.schemaJson.map(schemaFromJson)
     val (addedRows, newMaskFinal) =
       if (newMask.isEmpty || !exactMorAccounting(spark)) (nSrc, newMask)
+      else if (!priorSchema.exists(s => keyCols.forall(s.fieldNames.contains)))
+        // a BRAND-NEW key column: no target row carries it, so the mask
+        // provably hides nothing — exact without any read
+        (nSrc, newMask.map(_.copy(maskedRows = Some(0L))))
       else {
         val sidecar = spark.read.parquet(new Path(dataRoot(root), newMask.head.keyDir.get).toString)
         val matchedCnt = readEntriesMasked(spark, root, m, priorSchema, newMask.head.entries)

@@ -150,6 +150,15 @@ class SnapshotMvSpec extends SparkSuite {
     SnapshotMv.refresh(spark, mv)
     assert(mvMm() == recomputeMm(), "a fully-cancelling delta still refreshes min/max groups")
 
+    // a group BORN AND FULLY DELETED within one refresh window must not
+    // insert a phantom zero-count row (min/max views skip the zero-cancel
+    // filter, so the cancelled delta reaches the merge's unmatched side)
+    SnapshotTable.append(spark, base, fixture(5000, 10).selectExpr("k", "CAST(77 AS INT) AS grp", "price_c"))
+    SnapshotTable.deleteWhere(spark, base, Seq(Bound("k", Some(5000L), Some(5009L))))
+    SnapshotMv.refresh(spark, mv)
+    assert(mvMm() == recomputeMm(), "born-and-died group inserted nothing")
+    assert(!SnapshotMv.read(spark, mv).filter("grp = 77").collect().nonEmpty)
+
     // group death and rebirth with extremes
     SnapshotTable.deleteWhere(spark, base, Seq(Bound("grp", Some(3), Some(3))))
     SnapshotMv.refresh(spark, mv)
