@@ -73,7 +73,7 @@ final class GraftCatalog
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
     val f = fsOf(dir)
-    if (!f.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    if (!f.exists(dir) || insideTable(namespace)) throw new NoSuchNamespaceException(namespace)
     f.listStatus(dir)
       .filter(_.isDirectory)
       .map(_.getPath.getName)
@@ -101,7 +101,13 @@ final class GraftCatalog
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = rootOf(ident)
     if (!isTable(root)) throw new NoSuchTableException(ident)
-    if (version.nonEmpty && version.forall(_.isDigit)) tableAt(ident, version.toInt, writable = false)
+    if (version.nonEmpty && version.forall(_.isDigit)) {
+      val latest = SnapshotTable.latestVersion(spark, root).get
+      val v = scala.util.Try(version.toInt).getOrElse(
+        sys.error(s"version '$version' is not a representable version number"))
+      require(v >= 1 && v <= latest, s"version $v is outside the committed history (1..$latest)")
+      tableAt(ident, v, writable = false)
+    }
     else
       SnapshotTable.tags(spark, root).toMap.get(version) match {
         case Some(v) => tableAt(ident, v, writable = false)
@@ -146,11 +152,12 @@ final class GraftCatalog
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = rootOf(ident)
     if (!isTable(root)) throw new NoSuchTableException(ident)
+    // validate EVERY change before applying ANY — each change lands as
+    // its own metadata commit, so a refusable shape later in the list
+    // must not leave the statement half-applied
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1, "nested ADD COLUMN is not supported")
-        // refuse what the metadata-only operator cannot honor — silently
-        // dropping a NOT NULL / position / default would approximate
         require(
           add.isNullable,
           s"ADD COLUMN ${add.fieldNames.head} NOT NULL is not honorable: existing rows read " +
@@ -161,18 +168,24 @@ final class GraftCatalog
         require(
           add.defaultValue == null,
           "ADD COLUMN ... DEFAULT is not supported; backfill with UPDATE")
-        SnapshotTable.addColumn(spark, root, add.fieldNames.head, add.dataType)
       case ren: TableChange.RenameColumn =>
         require(ren.fieldNames.length == 1, "nested RENAME COLUMN is not supported")
-        SnapshotTable.renameColumn(spark, root, ren.fieldNames.head, ren.newName)
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames.length == 1, "nested DROP COLUMN is not supported")
-        SnapshotTable.dropColumn(spark, root, del.fieldNames.head)
       case other =>
         sys.error(
           s"unsupported ALTER TABLE change $other — the graft catalog maps add/rename/drop " +
             "column onto the metadata-only operators; constraints and maintenance go through " +
             "SnapshotTable/SnapshotSql")
+    }
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        SnapshotTable.addColumn(spark, root, add.fieldNames.head, add.dataType)
+      case ren: TableChange.RenameColumn =>
+        SnapshotTable.renameColumn(spark, root, ren.fieldNames.head, ren.newName)
+      case del: TableChange.DeleteColumn =>
+        SnapshotTable.dropColumn(spark, root, del.fieldNames.head)
+      case other => sys.error(s"unreachable: $other passed validation")
     }
     loadTable(ident)
   }
@@ -194,10 +207,15 @@ final class GraftCatalog
   private def nsPath(ns: Array[String]): Path =
     new Path((warehouse +: ns.toSeq).mkString("/"))
 
+  /** True when the namespace path OR any ancestor component is a TABLE
+    * root — namespaces never live inside a table tree. */
+  private def insideTable(ns: Array[String]): Boolean =
+    (1 to ns.length).exists(i => isTable((warehouse +: ns.take(i).toSeq).mkString("/")))
+
   override def namespaceExists(namespace: Array[String]): Boolean = {
     val p = nsPath(namespace)
     val f = fsOf(p)
-    f.exists(p) && f.getFileStatus(p).isDirectory && !isTable(p.toString)
+    f.exists(p) && f.getFileStatus(p).isDirectory && !insideTable(namespace)
   }
 
   override def listNamespaces(): Array[Array[String]] = listNamespaces(Array.empty)
@@ -205,9 +223,13 @@ final class GraftCatalog
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
     val p = nsPath(namespace)
     val f = fsOf(p)
-    if (!f.exists(p)) throw new NoSuchNamespaceException(namespace)
+    // a TABLE root is not a namespace: listing "inside" one would leak
+    // its internal dirs (data/, _manifests) as phantom namespaces
+    if (!f.exists(p) || insideTable(namespace)) throw new NoSuchNamespaceException(namespace)
     f.listStatus(p)
-      .filter(s => s.isDirectory && !isTable(s.getPath.toString))
+      .filter(s =>
+        s.isDirectory && !s.getPath.getName.startsWith("_") &&
+          !isTable(s.getPath.toString))
       .map(s => namespace :+ s.getPath.getName)
       .sortBy(_.mkString("."))
   }
@@ -229,11 +251,12 @@ final class GraftCatalog
     val p = nsPath(namespace)
     if (namespaceExists(namespace))
       throw new org.apache.spark.sql.catalyst.analysis.NamespaceAlreadyExistsException(namespace)
-    // a TABLE root is not a namespace: "creating" it would report success
-    // while SHOW NAMESPACES never lists it and children nest inside a table
+    // a TABLE root (or anything under one) is not a namespace: "creating"
+    // it would report success while SHOW NAMESPACES never lists it, and
+    // its children would nest inside a live table tree
     require(
-      !isTable(p.toString),
-      s"${namespace.mkString(".")} is a snapshot TABLE, not a namespace")
+      !insideTable(namespace),
+      s"${namespace.mkString(".")} is (or sits inside) a snapshot TABLE, not a namespace")
     fsOf(p).mkdirs(p)
     ()
   }

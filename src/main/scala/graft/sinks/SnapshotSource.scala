@@ -563,10 +563,21 @@ private final class SnapshotSink(
     }
     compactEvery.foreach { n =>
       if (batchId > 0 && batchId % n == 0)
-        SnapshotTable.compactSmall(
-          spark, root,
-          smallBytes = math.min(32L * 1024 * 1024, compactTargetBytes),
-          targetBytes = compactTargetBytes)
+        // BEST-EFFORT: the epoch's DATA commit already succeeded — a
+        // maintenance hiccup (a racing writer's ConcurrentCommit, a
+        // transient FS error) must not escalate into a stream
+        // crash/replay cycle; the next boundary simply retries with a
+        // bigger small-file set
+        try
+          SnapshotTable.compactSmall(
+            spark, root,
+            smallBytes = math.min(32L * 1024 * 1024, compactTargetBytes),
+            targetBytes = compactTargetBytes)
+        catch {
+          case e: Exception =>
+            Console.err.println(
+              s"[snapshot-table sink] compactEvery maintenance skipped at epoch $batchId: ${e.getMessage}")
+        }
     }
     ()
   }

@@ -379,6 +379,11 @@ object SnapshotTable {
         .toSeq
         .map(_.getPath.getName)
         .collect { case n if n.startsWith("ref-") => n.drop(4) }
+        // [[rebase]]'s staging refs are internal: hidden from the user
+        // surface (still vacuum-LIVE, so an in-flight rebase's files are
+        // never swept; the next rebase of the branch drops a stale one,
+        // and dropBranch(root, "__rebase-<b>") clears an abandoned one)
+        .filterNot(_.startsWith("__rebase-"))
         .filter(b => f.exists(branchMetaPath(r, b)))
         .sorted
         .map(b => b -> forkOf(f, r, b))
@@ -653,8 +658,13 @@ object SnapshotTable {
     * SINGLE-WRITER, like git rebase: the branch is rewritten in place
     * (staged under the reserved `__rebase-<name>` ref, then swapped); do
     * not rebase a branch another process is writing. A crash before the
-    * swap leaves only the staging ref (dropped on the next rebase); the
-    * swap itself is a drop + dir rename. */
+    * swap leaves only the staging ref — HIDDEN from [[branches]]/SHOW
+    * BRANCHES but vacuum-live (an in-flight rebase's files are never
+    * swept); the next rebase of the branch drops it, and
+    * `dropBranch(root, "__rebase-<name>")` clears an abandoned one. The
+    * swap itself is a drop + dir rename. Exactly-once epoch markers
+    * (`batchId`) ride the replayed commits, so a stream whose epoch
+    * landed pre-rebase still no-ops its replay afterwards. */
   def rebase(spark: SparkSession, root: String, name: String): Int = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit}
     require(splitRef(root)._2.isEmpty, "rebase from the main table handle")
@@ -735,7 +745,7 @@ object SnapshotTable {
                 "append",
                 tip.dirs ++ deltaDirs,
                 c.addedRows,
-                None,
+                c.batchId, // exactly-once epoch markers SURVIVE the replay
                 Some(merged.json),
                 tip.files ++ deltaStats,
                 constraints = tip.constraints,
@@ -786,7 +796,7 @@ object SnapshotTable {
                 "mor-merge",
                 tip.dirs :+ srcRel,
                 if (exact) srcRows - matchedCnt else srcRows,
-                None,
+                c.batchId, // exactly-once epoch markers SURVIVE the replay
                 Some(merged.json),
                 tip.files ++ deltaStats,
                 constraints = tip.constraints,
@@ -3392,8 +3402,58 @@ object SnapshotTable {
     val qTargetNames = priorSchema.map(_.fieldNames.toSeq).getOrElse(evolvedStruct.fieldNames.toSeq)
     def qexpr(txt: String, tVis: Boolean, sVis: Boolean): Column = {
       import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-      val out = spark.sessionState.sqlParser.parseExpression(txt).transformUp {
-        case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+      import org.apache.spark.sql.catalyst.expressions.{LambdaFunction, UnresolvedNamedLambdaVariable}
+      // LAMBDA-AWARE rewrite: inside `exists(tags, x -> x > 0)` the body's
+      // `x` parses as a bare UnresolvedAttribute too (binding happens later
+      // in analysis) — qualifying it would capture an outer COLUMN named x
+      // and silently change the result. Track each lambda's parameter
+      // names and leave shadowed references for ResolveLambdaVariables.
+      def rewrite(e: org.apache.spark.sql.catalyst.expressions.Expression, bound: Set[String])
+          : org.apache.spark.sql.catalyst.expressions.Expression = e match {
+        case lf: LambdaFunction =>
+          val params = lf.arguments.flatMap {
+            case v: UnresolvedNamedLambdaVariable => v.nameParts.lastOption
+            case other => Some(other.name)
+          }.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+          lf.withNewChildren(
+            rewrite(lf.function, bound ++ params) +: lf.arguments)
+        // a lambda that went through an Expression.sql ROUND-TRIP (the SQL
+        // router renders clause conditions back to text) arrives as a
+        // plain function call `lambdafunction(body, p1, p2...)` with BARE
+        // attribute params — analysis has no routine of that name, and the
+        // body's param refs parse as plain attributes (the direct parser
+        // wraps them as lambda variables itself). Rebuild the REAL
+        // LambdaFunction: wrap param-named body refs as lambda variables
+        // (what ResolveLambdaVariables expects to find), qualify the rest.
+        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+            if f.nameParts.map(_.toLowerCase(java.util.Locale.ROOT)) == Seq("lambdafunction") &&
+              f.arguments.size >= 2 &&
+              f.arguments.tail.forall {
+                case a: UnresolvedAttribute => a.nameParts.length == 1
+                case _ => false
+              } =>
+          val params = f.arguments.tail.collect {
+            case a: UnresolvedAttribute => a.nameParts.head.toLowerCase(java.util.Locale.ROOT)
+          }.toSet
+          val body = f.arguments.head.transformUp {
+            case a: UnresolvedAttribute
+                if a.nameParts.length == 1 &&
+                  params(a.nameParts.head.toLowerCase(java.util.Locale.ROOT)) =>
+              UnresolvedNamedLambdaVariable(a.nameParts)
+          }
+          LambdaFunction(
+            rewrite(body, bound ++ params),
+            f.arguments.tail.map {
+              case a: UnresolvedAttribute => UnresolvedNamedLambdaVariable(a.nameParts)
+              case other => sys.error(s"unreachable lambda param: $other")
+            })
+        case a: UnresolvedAttribute
+            if a.nameParts.length == 1 &&
+              !bound(a.nameParts.head.toLowerCase(java.util.Locale.ROOT)) =>
+          qualifyBare(a)
+        case other => other.mapChildren(rewrite(_, bound))
+      }
+      def qualifyBare(a: UnresolvedAttribute): org.apache.spark.sql.catalyst.expressions.Expression = {
           val n = a.nameParts.head
           val inT = tVis && qTargetNames.exists(qResolver(_, n))
           val inS = sVis && srcColumns.exists(qResolver(_, n))
@@ -3418,7 +3478,8 @@ object SnapshotTable {
             case _ => a
           }
       }
-      org.apache.spark.sql.GraftSqlBridge.column(out)
+      org.apache.spark.sql.GraftSqlBridge.column(
+        rewrite(spark.sessionState.sqlParser.parseExpression(txt), Set.empty))
     }
     def condOf(c: Option[Column]): Column = coalesce(c.getOrElse(lit(true)), lit(false))
     def firstApplicable(conds: Seq[Option[Column]], gate: Column): Seq[Column] = {

@@ -58,6 +58,13 @@ class GraftCatalogSpec extends SparkSuite {
     SnapshotTable.create(spark, wh + "/staging/t", clustered(5, 1))
     assert(!spark.sql("SHOW NAMESPACES IN gtest.staging").collect().map(_.getString(0)).contains("t"))
     assert(spark.sql("SHOW TABLES IN gtest.staging").select("tableName").as[String].collect().toSeq == Seq("t"))
+    // a table root is never a namespace CONTEXT either: listing inside it
+    // refuses (no phantom data/_manifests "namespaces"), and creating a
+    // namespace under it refuses
+    assert(intercept[Exception](spark.sql("SHOW NAMESPACES IN gtest.staging.t").collect())
+      .getMessage.nonEmpty)
+    assert(intercept[Exception](spark.sql("CREATE NAMESPACE gtest.staging.t.x"))
+      .getMessage.contains("TABLE"))
     // a non-empty namespace refuses a plain drop; CASCADE takes the tree
     assert(intercept[Exception](spark.sql("DROP NAMESPACE gtest.staging")).getMessage.nonEmpty)
     spark.sql("DROP NAMESPACE gtest.staging CASCADE")

@@ -358,6 +358,19 @@ class SnapshotBranchSpec extends SparkSuite {
       SnapshotTable.read(spark, root).count() - 5 + 5 - 2)
     SnapshotTable.dropBranch(spark, root, "fix")
 
+    // exactly-once epoch markers SURVIVE the replay: a stream whose epoch
+    // landed on the branch pre-rebase must no-op its replay afterwards
+    val ep = SnapshotTable.createBranch(spark, root, "epochs")
+    SnapshotTable.appendBatchExactlyOnce(spark, ep, fixture(700, 5), batchId = 7L)
+    SnapshotTable.append(spark, root, fixture(800, 1)) // diverge main
+    SnapshotTable.rebase(spark, root, "epochs")
+    assert(SnapshotTable.history(spark, ep).last.batchId.contains(7L),
+      "the replayed append must carry its epoch id")
+    assert(SnapshotTable.appendBatchExactlyOnce(spark, ep, fixture(700, 5), batchId = 7L) ==
+      SnapshotTable.latestVersion(spark, ep).get, "the replayed epoch no-ops")
+    assert(SnapshotTable.read(spark, ep).filter("k >= 700 AND k < 705").count() == 5)
+    SnapshotTable.dropBranch(spark, root, "epochs")
+
     // a no-commit branch rebases to a plain re-fork; SQL surface routes
     import graft.sinks.SnapshotSql
     SnapshotTable.createBranch(spark, root, "idle")

@@ -229,6 +229,16 @@ class SnapshotSqlSpec extends SparkSuite {
     assert(SnapshotTable.read(spark, root).filter("k < 5").selectExpr("sum(price_c)").head.getLong(0) ==
       (0 until 5).map(k => if (k % 2 == 0) 7 * k + 100 + 1 else 7 * k + 1).sum)
 
+    // LAMBDA variables shadow columns: the auto-qualifier must leave the
+    // lambda body's `k` for ResolveLambdaVariables — qualifying it to t.k
+    // would make this always-false condition true for k > 2 and delete rows
+    val before = SnapshotTable.read(spark, root).count()
+    SnapshotSql.execute(spark,
+      "MERGE INTO mbare AS t USING mbare_amb AS s ON t.k = s.k " +
+        "WHEN MATCHED AND exists(array(CAST(0 AS BIGINT)), k -> k > 2) THEN DELETE")
+    assert(SnapshotTable.read(spark, root).count() == before,
+      "the lambda's k is the array element (0), never the column — nothing matches")
+
     // a BY SOURCE clause referencing a source-only column refuses (there
     // is no source row on those rows — a silent null otherwise); `bump`
     // no longer qualifies as source-only here because merge 1 evolved it
