@@ -100,6 +100,13 @@ class GraftCatalogSpec extends SparkSuite {
     assert(spark.sql("SELECT * FROM gtest.etl.t2").columns.toSeq == Seq("k", "label"))
     assert(spark.sql("SELECT label FROM gtest.etl.t2 WHERE k = 1").head.getString(0) == "o1")
 
+    // the DataFrame API reaches the same tables: read.table + writeTo
+    assert(spark.read.table("gtest.etl.t1").count() == 3)
+    spark.range(3).selectExpr("id + 500 AS k", "concat('a', id) AS label")
+      .writeTo("gtest.etl.t2").append()
+    assert(SnapshotTable.history(spark, wh + "/etl/t2").last.action == "append")
+    assert(spark.table("gtest.etl.t2").count() == 5)
+
     // DROP TABLE removes the tree; reads then refuse
     spark.sql("DROP TABLE gtest.etl.t2")
     assert(intercept[Exception](spark.sql("SELECT * FROM gtest.etl.t2").collect()).getMessage.nonEmpty)
