@@ -100,9 +100,10 @@ final class GraftCatalog
     * version or a branch's tip. Time travel is read-only. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = rootOf(ident)
-    if (!isTable(root)) throw new NoSuchTableException(ident)
+    val latest = SnapshotTable
+      .latestVersion(spark, root)
+      .getOrElse(throw new NoSuchTableException(ident))
     if (version.nonEmpty && version.forall(_.isDigit)) {
-      val latest = SnapshotTable.latestVersion(spark, root).get
       val v = scala.util.Try(version.toInt).getOrElse(
         sys.error(s"version '$version' is not a representable version number"))
       require(v >= 1 && v <= latest, s"version $v is outside the committed history (1..$latest)")
@@ -152,9 +153,17 @@ final class GraftCatalog
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = rootOf(ident)
     if (!isTable(root)) throw new NoSuchTableException(ident)
-    // validate EVERY change before applying ANY — each change lands as
-    // its own metadata commit, so a refusable shape later in the list
-    // must not leave the statement half-applied
+    // validate EVERY change — shape AND schema semantics, simulated
+    // sequentially against the current columns — before applying ANY:
+    // each change lands as its own metadata commit, so a refusal later
+    // in the list must not leave the statement half-applied. (A mid-
+    // statement crash can still leave a committed prefix — each applied
+    // change is durable by design.)
+    val resolver = spark.sessionState.conf.resolver
+    var cols = GraftTableProvider
+      .schemaAt(spark, root, SnapshotTable.latestVersion(spark, root).get)
+      .fieldNames
+      .toSeq
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1, "nested ADD COLUMN is not supported")
@@ -168,10 +177,25 @@ final class GraftCatalog
         require(
           add.defaultValue == null,
           "ADD COLUMN ... DEFAULT is not supported; backfill with UPDATE")
+        require(
+          !cols.exists(resolver(_, add.fieldNames.head)),
+          s"column '${add.fieldNames.head}' already exists")
+        cols = cols :+ add.fieldNames.head
       case ren: TableChange.RenameColumn =>
         require(ren.fieldNames.length == 1, "nested RENAME COLUMN is not supported")
+        require(
+          cols.exists(resolver(_, ren.fieldNames.head)),
+          s"no column '${ren.fieldNames.head}' to rename")
+        require(
+          !cols.exists(resolver(_, ren.newName)),
+          s"rename target '${ren.newName}' already exists")
+        cols = cols.filterNot(resolver(_, ren.fieldNames.head)) :+ ren.newName
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames.length == 1, "nested DROP COLUMN is not supported")
+        require(
+          cols.exists(resolver(_, del.fieldNames.head)),
+          s"no column '${del.fieldNames.head}' to drop")
+        cols = cols.filterNot(resolver(_, del.fieldNames.head))
       case other =>
         sys.error(
           s"unsupported ALTER TABLE change $other — the graft catalog maps add/rename/drop " +
@@ -257,6 +281,11 @@ final class GraftCatalog
     require(
       !insideTable(namespace),
       s"${namespace.mkString(".")} is (or sits inside) a snapshot TABLE, not a namespace")
+    // '_'-prefixed dirs are reserved for table internals and filtered
+    // from discovery — a namespace there would exist but never list
+    require(
+      namespace.forall(!_.startsWith("_")),
+      s"namespace segments must not start with '_' (reserved for table internals): ${namespace.mkString(".")}")
     fsOf(p).mkdirs(p)
     ()
   }

@@ -574,9 +574,11 @@ private final class SnapshotSink(
             smallBytes = math.min(32L * 1024 * 1024, compactTargetBytes),
             targetBytes = compactTargetBytes)
         catch {
-          case e: Exception =>
+          // NonFatal: an interrupt (StreamingQuery.stop mid-compaction)
+          // must propagate, not be swallowed as a skipped maintenance tick
+          case scala.util.control.NonFatal(e) =>
             Console.err.println(
-              s"[snapshot-table sink] compactEvery maintenance skipped at epoch $batchId: ${e.getMessage}")
+              s"[snapshot-table sink] compactEvery maintenance skipped at epoch $batchId: $e")
         }
     }
     ()

@@ -369,7 +369,20 @@ object SnapshotTable {
 
   /** All branches of the table: `(name, fork version)`, name-sorted. Torn
     * creates (dir without `_branch.json`) are invisible. */
-  def branches(spark: SparkSession, root: String): Seq[(String, Int)] = {
+  def branches(spark: SparkSession, root: String): Seq[(String, Int)] =
+    // [[rebase]]'s staging refs are internal: hidden from the user
+    // surface. They stay vacuum-LIVE through [[allRefs]] (vacuum's
+    // liveness walk), so an in-flight or crashed-pre-swap rebase's
+    // files are never swept; the next rebase of the branch drops a
+    // stale one, and dropBranch(root, "__rebase-<b>") clears an
+    // abandoned one.
+    allRefs(spark, root).filterNot(_._1.startsWith("__rebase-"))
+
+  /** EVERY branch ref incl. [[rebase]]'s internal `__rebase-*` staging —
+    * the liveness surface [[vacuum]] must walk (sweeping a staging chain
+    * would destroy the only copy of a mid-rebase branch's history);
+    * [[branches]] is the user-facing filtered view. */
+  private[graft] def allRefs(spark: SparkSession, root: String): Seq[(String, Int)] = {
     val r = dataRoot(root)
     val f = fs(spark, root)
     val dir = new Path(r, "_manifests")
@@ -379,11 +392,6 @@ object SnapshotTable {
         .toSeq
         .map(_.getPath.getName)
         .collect { case n if n.startsWith("ref-") => n.drop(4) }
-        // [[rebase]]'s staging refs are internal: hidden from the user
-        // surface (still vacuum-LIVE, so an in-flight rebase's files are
-        // never swept; the next rebase of the branch drops a stale one,
-        // and dropBranch(root, "__rebase-<b>") clears an abandoned one)
-        .filterNot(_.startsWith("__rebase-"))
         .filter(b => f.exists(branchMetaPath(r, b)))
         .sorted
         .map(b => b -> forkOf(f, r, b))
@@ -3435,22 +3443,21 @@ object SnapshotTable {
           val params = f.arguments.tail.collect {
             case a: UnresolvedAttribute => a.nameParts.head.toLowerCase(java.util.Locale.ROOT)
           }.toSet
-          val body = f.arguments.head.transformUp {
-            case a: UnresolvedAttribute
-                if a.nameParts.length == 1 &&
-                  params(a.nameParts.head.toLowerCase(java.util.Locale.ROOT)) =>
-              UnresolvedNamedLambdaVariable(a.nameParts)
-          }
           LambdaFunction(
-            rewrite(body, bound ++ params),
+            rewrite(f.arguments.head, bound ++ params),
             f.arguments.tail.map {
               case a: UnresolvedAttribute => UnresolvedNamedLambdaVariable(a.nameParts)
               case other => sys.error(s"unreachable lambda param: $other")
             })
-        case a: UnresolvedAttribute
-            if a.nameParts.length == 1 &&
-              !bound(a.nameParts.head.toLowerCase(java.util.Locale.ROOT)) =>
-          qualifyBare(a)
+        case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+          // a name bound by an ENCLOSING lambda becomes a lambda variable
+          // (the direct parser does the same wrapping itself; for the
+          // round-trip rebuild above, this recursion performs it — and a
+          // NESTED lambdafunction call's params are handled by its own
+          // rebuild case, never wrapped prematurely here)
+          if (bound(a.nameParts.head.toLowerCase(java.util.Locale.ROOT)))
+            UnresolvedNamedLambdaVariable(a.nameParts)
+          else qualifyBare(a)
         case other => other.mapChildren(rewrite(_, bound))
       }
       def qualifyBare(a: UnresolvedAttribute): org.apache.spark.sql.catalyst.expressions.Expression = {
@@ -4196,7 +4203,9 @@ object SnapshotTable {
     // refs PIN history: a tagged version stays readable forever, and a
     // branch needs its fork manifest (a branch with no local commits IS
     // its fork). Protected versions never age out of `keepLast`.
-    val allBranches = branches(spark, root)
+    // liveness walks EVERY ref — including rebase's internal staging
+    // chains, which may be the only surviving copy of a branch's history
+    val allBranches = allRefs(spark, root)
     val protectedV = (tags(spark, root).map(_._2) ++ allBranches.map(_._2)).toSet
     val recent = vs.takeRight(keepLast).toSet
     val keep = vs.filter(v => recent(v) || protectedV(v))

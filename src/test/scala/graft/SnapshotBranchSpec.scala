@@ -451,6 +451,33 @@ class SnapshotBranchSpec extends SparkSuite {
     assert(SnapshotSql.query(spark, "SELECT * FROM reft").columns.contains("tag"))
   }
 
+  test("a crashed rebase's staging ref is hidden from branches() but vacuum-LIVE") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, fixture(0, 50)) // v1
+    val dev = SnapshotTable.createBranch(spark, root, "dev")
+    SnapshotTable.append(spark, dev, fixture(100, 20)) // branch-private dir
+    val privateDirs =
+      SnapshotTable.history(spark, dev).last.dirs.toSet -- SnapshotTable.history(spark, root).last.dirs.toSet
+    assert(privateDirs.nonEmpty)
+    // simulate the crashed-pre-swap state: the chain survives only under
+    // the internal staging ref name
+    val f = new org.apache.hadoop.fs.Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(f.rename(
+      new org.apache.hadoop.fs.Path(root, "_manifests/ref-dev"),
+      new org.apache.hadoop.fs.Path(root, "_manifests/ref-__rebase-dev")))
+    // hidden from the user surface...
+    assert(SnapshotTable.branches(spark, root).isEmpty)
+    // ...but vacuum still counts its manifests and data dirs as LIVE
+    SnapshotTable.overwrite(spark, root, fixture(0, 10)) // make v1 reclaim-eligible
+    val deleted = SnapshotTable.vacuum(spark, root, keepLast = 1)
+    assert(!deleted.exists(d => privateDirs.exists(d.startsWith)),
+      s"staging-referenced dirs must survive vacuum, deleted: $deleted")
+    // recovery: drop the abandoned stage, then vacuum reclaims
+    SnapshotTable.dropBranch(spark, root, "__rebase-dev")
+    val deleted2 = SnapshotTable.vacuum(spark, root, keepLast = 1)
+    assert(privateDirs.forall(p => deleted2.exists(_.startsWith(p))), s"expected $privateDirs in $deleted2")
+  }
+
   test("branch creation races resolve to exactly one winner; duplicates refuse") {
     val root = freshRoot()
     SnapshotTable.create(spark, root, fixture(0, 10))
