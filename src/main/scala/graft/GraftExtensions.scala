@@ -30,6 +30,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           SimHashExpr(children.head)))
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // row-level SQL DML (DELETE/UPDATE/MERGE) on graft catalog identifiers
+    ext.injectPlannerStrategy(_ => graft.sinks.GraftDmlStrategy)
     ext.injectOptimizerRule(_ => LevenshteinPruneRule)
   }
 }

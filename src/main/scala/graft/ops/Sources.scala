@@ -222,6 +222,24 @@ object Sources {
         .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_price_c"))
         .orderBy("y")
     },
+    // The SAME DML algebra a THIRD way — through CATALOG identifiers:
+    // `spark.sql("DELETE FROM <cat>.c.orders …")` resolved by Spark's own
+    // analyzer via [[GraftCatalog]] and lowered by [[GraftDmlStrategy]]
+    // (planner interception — built-in strategies would refuse a table
+    // without SupportsRowLevelOperations) onto the same transactional
+    // executors. The oracle row is IDENTICAL to q_snapshot_dml's, so the
+    // hash-match proves zero-registration catalog DML ≡ the programmatic
+    // API ≡ the SQL-text router (GraftCatalogSpec pins the routing and
+    // refusal shapes).
+    "q_catalog_dml" -> { (s, dir) =>
+      import graft.sinks.SnapshotTable
+      val root = SnapshotCycle.catalogRoot(s, dir)
+      SnapshotTable
+        .read(s, root)
+        .groupBy(year(col("d")).cast("int").as("y"))
+        .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_price_c"))
+        .orderBy("y")
+    },
     // Row-level CHANGE-DATA-CAPTURE over the same DML cycle:
     // changesBetween diffs each commit's touched files via EXCEPT ALL
     // (carried files never read, unchanged rows in rewritten files cancel),
@@ -587,6 +605,16 @@ object Sources {
         "FROM o WHERE k % 7 = 0 OR year(d) <> 1995) " +
         "SELECT CAST(year(d) AS INT) AS y, CAST(count(*) AS BIGINT) AS n_rows, " +
         "CAST(sum(price_c) AS BIGINT) AS sum_price_c FROM fin GROUP BY 1 ORDER BY y"),
+    // deliberately the SAME oracle again: the catalog-identifier route
+    // must land on an unchanged hash too
+    "q_catalog_dml" ->
+      ("WITH o AS (SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d, " +
+        "CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_c FROM orders), " +
+        "fin AS (SELECT k, d, CASE WHEN k % 7 = 0 THEN price_c * 2 " +
+        "WHEN year(d) = 1997 THEN price_c + 500 ELSE price_c END AS price_c " +
+        "FROM o WHERE k % 7 = 0 OR year(d) <> 1995) " +
+        "SELECT CAST(year(d) AS INT) AS y, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(price_c) AS BIGINT) AS sum_price_c FROM fin GROUP BY 1 ORDER BY y"),
     "q_snapshot_merge_nbs" ->
       ("WITH o AS (SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d, " +
         "CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_c FROM orders), " +
@@ -785,6 +813,40 @@ object SnapshotCycle {
         SnapshotSql.execute(
           s,
           s"MERGE INTO $table AS t USING $srcView AS s ON t.k = s.k " +
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *") // v4
+        root
+      })
+
+  /** The SAME 4-commit algebra a third way: through CATALOG identifiers
+    * (`<catalog>.c.orders`) — Spark's own analyzer resolves the target via
+    * [[graft.sinks.GraftCatalog]] and [[graft.sinks.GraftDmlStrategy]]
+    * lowers the planned DELETE/UPDATE/MERGE commands onto the same
+    * transactional executors. Proves a user needs NO registration calls:
+    * plain `spark.sql` DML against `graft.ns.t` is hash-identical to the
+    * programmatic API. Separate root + memo key — pays its own cycle. */
+  def catalogRoot(s: SparkSession, dir: String): String =
+    memo.getOrElseUpdate(
+      (s, dir + "#cat"), {
+        val wh = "/tmp/graft-snapcyclecat/" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = wh + "/c/orders"
+        val o = ordersOf(s, dir)
+        createClustered(s, root, o)
+        val cat = "gdmlcat_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sinks.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        org.apache.spark.sql.GraftSqlBridge.addStrategy(s, graft.sinks.GraftDmlStrategy)
+        s.sql(
+          s"DELETE FROM $cat.c.orders " +
+            "WHERE d BETWEEN DATE'1995-01-01' AND DATE'1995-12-31'") // v2
+        s.sql(
+          s"UPDATE $cat.c.orders SET price_c = price_c + 500 " +
+            "WHERE d BETWEEN DATE'1997-01-01' AND DATE'1997-12-31'") // v3
+        val srcView = cat + "_src"
+        o.filter(col("k") % 7 === 0)
+          .withColumn("price_c", col("price_c") * 2)
+          .createOrReplaceTempView(srcView)
+        s.sql(
+          s"MERGE INTO $cat.c.orders AS t USING $srcView AS s ON t.k = s.k " +
             "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *") // v4
         root
       })

@@ -62,8 +62,28 @@ final class GraftCatalog
 
   override def name(): String = catalogName
 
+  /** Every identifier / namespace segment becomes a PATH component, and
+    * dropTable/dropNamespace recursively delete what the path points at —
+    * so a backtick-quoted segment containing '..', a path separator, or
+    * the internal branch-ref separator must refuse BEFORE any filesystem
+    * touch (it would escape the warehouse or misroute through splitRef).
+    * The Hadoop-catalog convention: unsafe identifiers are rejected, never
+    * normalized. */
+  private def safe(segments: Seq[String]): Seq[String] = {
+    segments.foreach { s =>
+      require(
+        s.nonEmpty && s != "." && s != ".." &&
+          !s.contains("/") && !s.contains("\\") &&
+          !s.contains("#") && // RefSep's prefix AND Hadoop Path's URI-fragment separator
+          s.forall(c => c > ' '), // control bytes and spaces break Path's URI parse
+        s"unsafe identifier segment '$s' — segments must be non-empty and contain no " +
+          "path separators, '.'/'..', '#', spaces, or control bytes")
+    }
+    segments
+  }
+
   private def rootOf(ident: Identifier): String =
-    (warehouse +: ident.namespace.toSeq :+ ident.name).mkString("/")
+    (warehouse +: safe(ident.namespace.toSeq :+ ident.name)).mkString("/")
 
   private def isTable(root: String): Boolean =
     SnapshotTable.latestVersion(spark, root).isDefined
@@ -71,7 +91,7 @@ final class GraftCatalog
   override def tableExists(ident: Identifier): Boolean = isTable(rootOf(ident))
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    val dir = new Path((warehouse +: safe(namespace.toSeq)).mkString("/"))
     val f = fsOf(dir)
     if (!f.exists(dir) || insideTable(namespace)) throw new NoSuchNamespaceException(namespace)
     f.listStatus(dir)
@@ -138,6 +158,17 @@ final class GraftCatalog
     require(
       partitions.isEmpty,
       "graft tables take no PARTITIONED BY — cluster with OPTIMIZE ... ZORDER BY / CLUSTER BY")
+    // refuse-not-approximate: TBLPROPERTIES/COMMENT/LOCATION have nowhere
+    // to live in a stateless catalog — silently dropping them would lie.
+    // Spark itself injects bookkeeping keys on every CREATE; those pass.
+    val userProps = properties
+      .keySet()
+      .toArray(Array.empty[String])
+      .filterNot(Set("provider", "owner", "location", "external"))
+    require(
+      userProps.isEmpty,
+      s"graft tables carry no table properties (the manifest log is the metadata); " +
+        s"got ${userProps.mkString(", ")}")
     val root = rootOf(ident)
     if (isTable(root)) throw new TableAlreadyExistsException(ident)
     // an empty v1 carrying the declared schema; CTAS then appends as v2
@@ -219,7 +250,11 @@ final class GraftCatalog
     if (!isTable(root)) false
     else {
       val p = new Path(root)
-      fsOf(p).delete(p, true)
+      val ok = fsOf(p).delete(p, true)
+      // manifest resolution consults the fork cache before disk — a stale
+      // entry would serve a recreated table's data for a dropped branch
+      SnapshotTable.invalidateForks(root)
+      ok
     }
   }
 
@@ -229,7 +264,7 @@ final class GraftCatalog
   // with a manifest log is a TABLE, not a namespace).
 
   private def nsPath(ns: Array[String]): Path =
-    new Path((warehouse +: ns.toSeq).mkString("/"))
+    new Path((warehouse +: safe(ns.toSeq)).mkString("/"))
 
   /** True when the namespace path OR any ancestor component is a TABLE
     * root — namespaces never live inside a table tree. */
@@ -312,5 +347,9 @@ final class GraftCatalog
     if (isTable(rootOf(newIdent))) throw new TableAlreadyExistsException(newIdent)
     f.mkdirs(to.getParent)
     require(f.rename(from, to), s"rename $from -> $to failed")
+    // both roots: the old one's forks are gone, and anything cached at
+    // the new root (a prior table dropped there) is equally stale
+    SnapshotTable.invalidateForks(rootOf(oldIdent))
+    SnapshotTable.invalidateForks(rootOf(newIdent))
   }
 }

@@ -1,0 +1,283 @@
+package graft.sinks
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{
+  And,
+  Attribute,
+  AttributeReference,
+  AttributeSet,
+  EqualTo,
+  Expression,
+  Literal,
+  SubqueryExpression
+}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Assignment,
+  DeleteAction,
+  DeleteFromTable,
+  InsertAction,
+  LogicalPlan,
+  MergeIntoTable,
+  SubqueryAlias,
+  UpdateAction,
+  UpdateTable
+}
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, V2CommandExec}
+
+/** Row-level SQL DML for CATALOG identifiers (SURVEY §2.J
+  * `cap_catalog_dml`) — makes `DELETE FROM graft.ns.t WHERE …`,
+  * `UPDATE graft.ns.t SET …`, and `MERGE INTO graft.ns.t USING …` work
+  * from plain SQL, completing the catalog's write surface (INSERT/CTAS
+  * landed with [[GraftCatalog]]).
+  *
+  * Integration shape: Spark ANALYZES all three commands over any DSv2
+  * relation without needing extra table capabilities (verified: the
+  * resolved `DeleteFromTable` / `UpdateTable` / `MergeIntoTable` nodes
+  * reach the PLANNER, where the built-in strategies reject tables that
+  * lack `SupportsRowLevelOperations`). Injected planner strategies are
+  * consulted BEFORE the built-ins, so this strategy claims exactly those
+  * commands whose target is a [[GraftTable]] and lowers them onto the
+  * engine's own transactional executors — [[SnapshotTable.deleteWhere]] /
+  * [[SnapshotTable.deleteExpr]] / [[SnapshotTable.updateWhere]] /
+  * [[SnapshotTable.updateExpr]] / [[SnapshotTable.mergeInto]] — the same
+  * oracle-gated code path `q_snapshot_dml_sql` proves. Every statement is
+  * ONE atomic manifest commit with the copy-on-write economics those
+  * executors document (exact-bound fast paths engage when the WHERE is a
+  * pure range/equality conjunction; anything else rewrites only the files
+  * its widened bounds cannot prune).
+  *
+  * Install via `spark.sql.extensions=graft.GraftExtensions` or at runtime
+  * with `GraftSqlBridge.addStrategy(spark, GraftDmlStrategy)`.
+  *
+  * Expression handling: the planner hands RESOLVED catalyst expressions
+  * whose `AttributeReference`s carry foreign exprIds — the executors
+  * build their own scans, so every attribute is rewritten back to an
+  * [[UnresolvedAttribute]] (bare for single-table DELETE/UPDATE; for
+  * MERGE, qualified by the side its exprId belongs to, under synthetic
+  * `__t`/`__s` aliases so user aliases can never collide) and foldable
+  * subtrees collapse to literals (analysis wraps literals in casts —
+  * folding restores the shapes the range-skeleton fast paths recognize).
+  * Conditions containing subqueries are refused loudly (rewrite as a
+  * MERGE); a `MERGE` without `WITH SCHEMA EVOLUTION` projects the source
+  * down to the referenced columns so unreferenced source columns can
+  * never silently evolve the target schema. */
+object GraftDmlStrategy extends SparkStrategy {
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case DeleteFromTable(GraftTarget(g), cond) =>
+      val spark = SparkSession.active
+      writable(g, "DELETE")
+      noSubquery(cond, "DELETE")
+      val c = unresolve(cond)
+      val sk = SnapshotSql.skeleton(c)
+      GraftDmlExec(
+        s"DELETE FROM ${g.name()}",
+        () =>
+          if (sk.exact && sk.bounds.nonEmpty) SnapshotTable.deleteWhere(spark, g.root, sk.bounds)
+          else SnapshotTable.deleteExpr(spark, g.root, asColumn(c), sk.bounds)) :: Nil
+
+    case u: UpdateTable =>
+      u.table match {
+        case GraftTarget(g) =>
+          val spark = SparkSession.active
+          writable(g, "UPDATE")
+          val cond = u.condition.getOrElse(
+            sys.error("UPDATE without WHERE would rewrite the whole table; use INSERT OVERWRITE"))
+          noSubquery(cond, "UPDATE")
+          u.assignments.foreach(a => noSubquery(a.value, "UPDATE SET"))
+          val set = u.assignments.map { a =>
+            targetColumn(a.key) -> asColumn(unresolve(a.value))
+          }.toMap
+          val c = unresolve(cond)
+          val sk = SnapshotSql.skeleton(c)
+          GraftDmlExec(
+            s"UPDATE ${g.name()}",
+            () =>
+              if (sk.exact && sk.bounds.nonEmpty) SnapshotTable.updateWhere(spark, g.root, sk.bounds, set)
+              else SnapshotTable.updateExpr(spark, g.root, asColumn(c), sk.bounds, set)) :: Nil
+        case _ => Nil
+      }
+
+    case m: MergeIntoTable =>
+      m.targetTable match {
+        case GraftTarget(g) => planMerge(m, g) :: Nil
+        case _ => Nil
+      }
+
+    case _ => Nil
+  }
+
+  // the executors alias their own frames by these; synthetic names keep
+  // user aliases (and unaliased multi-part table names) out of the picture
+  private val TAlias = "__t"
+  private val SAlias = "__s"
+
+  private def planMerge(m: MergeIntoTable, g: GraftTable): SparkPlan = {
+    val spark = SparkSession.active
+    writable(g, "MERGE INTO")
+    val targetSet = AttributeSet(m.targetTable.output)
+    val sourceSet = AttributeSet(m.sourceTable.output)
+    val resolver = spark.sessionState.conf.resolver
+
+    // ON must be a conjunction of same-named target/source key equalities
+    // (the executor's key model — [[SnapshotTable.mergeInto]])
+    def keysOf(e: Expression): Seq[String] = e match {
+      case And(l, r) => keysOf(l) ++ keysOf(r)
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if resolver(a.name, b.name) &&
+            ((targetSet.contains(a) && sourceSet.contains(b)) ||
+              (targetSet.contains(b) && sourceSet.contains(a))) =>
+        Seq(if (targetSet.contains(a)) a.name else b.name)
+      case other =>
+        sys.error(
+          s"MERGE INTO a graft table needs ON as a conjunction of same-named " +
+            s"target/source key equalities (t.k = s.k); got ${other.sql}")
+    }
+    val keyCols = keysOf(m.mergeCondition)
+
+    // re-qualify every resolved attribute by the SIDE its exprId belongs
+    // to — deterministic, never relies on name-based disambiguation
+    def qual(e: Expression): Expression = {
+      noSubquery(e, "MERGE clause")
+      e.transformUp {
+        case f if f.resolved && f.foldable && !f.isInstanceOf[Literal] =>
+          Literal.create(f.eval(InternalRow.empty), f.dataType)
+        case a: AttributeReference if targetSet.contains(a) =>
+          UnresolvedAttribute(Seq(TAlias, a.name))
+        case a: AttributeReference if sourceSet.contains(a) =>
+          UnresolvedAttribute(Seq(SAlias, a.name))
+        case a: AttributeReference =>
+          sys.error(s"MERGE clause references ${a.sql}, which is neither a target nor a source column")
+      }
+    }
+    def setMap(assigns: Seq[Assignment]): Map[String, String] =
+      assigns.map(a => targetColumn(a.key) -> qual(a.value).sql).toMap
+
+    val matchedClauses: Seq[SnapshotTable.MergeClause] = m.matchedActions.map {
+      case UpdateAction(c, assigns, _) =>
+        require(assigns.nonEmpty, "MERGE UPDATE with no assignments")
+        SnapshotTable.MatchedUpdate(c.map(qual(_).sql), Some(setMap(assigns)))
+      case DeleteAction(c) => SnapshotTable.MatchedDelete(c.map(qual(_).sql))
+      case other => sys.error(s"unsupported MERGE matched action: ${other.getClass.getSimpleName}")
+    }
+    val notMatchedClauses: Seq[SnapshotTable.NotMatchedInsert] = m.notMatchedActions.map {
+      case InsertAction(c, assigns) =>
+        require(assigns.nonEmpty, "MERGE INSERT with no assignments")
+        SnapshotTable.NotMatchedInsert(c.map(qual(_).sql), Some(setMap(assigns)))
+      case other => sys.error(s"unsupported MERGE not-matched action: ${other.getClass.getSimpleName}")
+    }
+    val nbsActions = m.notMatchedBySourceActions
+    val nbsClauses: Seq[SnapshotTable.MergeClause] = nbsActions.map {
+      case UpdateAction(c, assigns, _) =>
+        require(assigns.nonEmpty, "MERGE BY SOURCE UPDATE with no assignments")
+        SnapshotTable.MatchedUpdate(c.map(qual(_).sql), Some(setMap(assigns)))
+      case DeleteAction(c) => SnapshotTable.MatchedDelete(c.map(qual(_).sql))
+      case other =>
+        sys.error(s"unsupported MERGE not-matched-by-source action: ${other.getClass.getSimpleName}")
+    }
+    // each BY SOURCE clause's widened range skeleton (rewrite pruning only
+    // — widening keeps a superset; empty = the executor's honest full
+    // rewrite). Qualified names are fine: the skeleton reads the last part.
+    val nbsBounds = nbsActions.map {
+      case UpdateAction(Some(c), _, _) => SnapshotSql.skeleton(qual(c)).bounds
+      case DeleteAction(Some(c)) => SnapshotSql.skeleton(qual(c)).bounds
+      case _ => Seq.empty[SnapshotTable.Bound]
+    }
+
+    // without WITH SCHEMA EVOLUTION, unreferenced source columns must not
+    // evolve the target schema (the executor evolves like append by
+    // contract) — project the source down to what the statement references
+    val sourceDf = {
+      val full = org.apache.spark.sql.GraftSqlBridge.ofRows(SparkSession.active, m.sourceTable)
+      if (m.withSchemaEvolution) full
+      else {
+        val referenced: Set[String] =
+          (Seq(m.mergeCondition) ++
+            (m.matchedActions ++ m.notMatchedActions ++ nbsActions).flatMap(actionExprs))
+            .flatMap(_.collect { case a: AttributeReference if sourceSet.contains(a) => a.name })
+            .toSet
+        val keep = full.columns.filter(referenced.contains)
+        full.select(keep.map(c => org.apache.spark.sql.functions.col("`" + c + "`")).toSeq: _*)
+      }
+    }
+
+    GraftDmlExec(
+      s"MERGE INTO ${g.name()}",
+      () =>
+        SnapshotTable.mergeInto(
+          spark,
+          g.root,
+          sourceDf,
+          keyCols,
+          matchedClauses,
+          notMatchedClauses,
+          targetAlias = TAlias,
+          sourceAlias = SAlias,
+          notMatchedBySource = nbsClauses,
+          nmbsPruneBounds = nbsBounds))
+  }
+
+  private def actionExprs(a: Any): Seq[Expression] = a match {
+    case UpdateAction(c, assigns, _) => c.toSeq ++ assigns.flatMap(x => Seq(x.key, x.value))
+    case InsertAction(c, assigns) => c.toSeq ++ assigns.flatMap(x => Seq(x.key, x.value))
+    case DeleteAction(c) => c.toSeq
+    case _ => Seq.empty
+  }
+
+  private def writable(g: GraftTable, what: String): Unit =
+    require(
+      g.writable,
+      s"$what ${g.name()}: a time-travel/pinned handle is read-only — DML goes to the current table")
+
+  private def noSubquery(e: Expression, what: String): Unit =
+    require(
+      !e.exists(_.isInstanceOf[SubqueryExpression]),
+      s"$what with a subquery in a condition/value is not supported — rewrite as MERGE INTO")
+
+  /** Single-table form: resolved attrs → bare unresolved names; foldable
+    * subtrees (analysis cast-wraps literals) → literals, restoring the
+    * shapes the exact-bound fast paths recognize. */
+  private def unresolve(e: Expression): Expression = e.transformUp {
+    case f if f.resolved && f.foldable && !f.isInstanceOf[Literal] =>
+      Literal.create(f.eval(InternalRow.empty), f.dataType)
+    case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+  }
+
+  private def targetColumn(key: Expression): String = key match {
+    case a: AttributeReference => a.name
+    case other => sys.error(s"unsupported assignment target ${other.sql} (top-level columns only)")
+  }
+
+  private def asColumn(e: Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlBridge.column(e)
+}
+
+/** Strips alias wrappers and matches a DSv2 relation over a [[GraftTable]]. */
+private[sinks] object GraftTarget {
+  @scala.annotation.tailrec
+  def unapply(plan: LogicalPlan): Option[GraftTable] = plan match {
+    case SubqueryAlias(_, child) => unapply(child)
+    // the optimizer converts the relation to its scan form before planning
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+      unapply(r.relation)
+    case r: DataSourceV2Relation =>
+      r.table match {
+        case g: GraftTable => Some(g)
+        case _ => None
+      }
+    case _ => None
+  }
+}
+
+/** Driver-side eager command node (the V2CommandExec contract: `run()`
+  * executes exactly once, results cached). DML returns no rows. */
+private[sinks] case class GraftDmlExec(label: String, work: () => Unit)
+    extends V2CommandExec
+    with LeafExecNode {
+  override def run(): Seq[InternalRow] = { work(); Nil }
+  override def output: Seq[Attribute] = Nil
+  override def simpleString(maxFields: Int): String = s"GraftDmlExec $label"
+}

@@ -110,10 +110,10 @@ private[sinks] object GraftTableProvider {
 
 private[sinks] final class GraftTable(
     spark: SparkSession,
-    root: String,
-    v: Int,
+    val root: String,
+    val v: Int,
     override val schema: StructType,
-    writable: Boolean = false)
+    val writable: Boolean = false)
     extends Table
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {

@@ -104,7 +104,7 @@ object SnapshotSql {
     * manifest pruning, plus whether they ARE the condition (no widening,
     * no unreachable residue) — only then may the fast whole-file paths
     * engage. */
-  private final case class Skeleton(bounds: Seq[SnapshotTable.Bound], exact: Boolean)
+  private[sinks] final case class Skeleton(bounds: Seq[SnapshotTable.Bound], exact: Boolean)
 
   /** Internal literal → the external value [[SnapshotTable.Bound]] carries
     * (what `normBound`/`lit` understand). None = untranslatable type. */
@@ -131,7 +131,7 @@ object SnapshotSql {
     case _ => None
   }
 
-  private def skeleton(e: Expression): Skeleton = {
+  private[sinks] def skeleton(e: Expression): Skeleton = {
     import SnapshotTable.Bound
     def one(col: Option[String], l: Literal, mk: Any => Bound, exact: Boolean): Skeleton =
       (col, externalValue(l)) match {

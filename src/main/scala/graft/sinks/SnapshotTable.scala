@@ -232,7 +232,7 @@ object SnapshotTable {
   // to branch-local ones. Data dirs are uuid-named, so branch and main
   // writers never collide; sharing is safe because files are immutable
   // and [[vacuum]] counts every ref's manifests as live.
-  private val RefSep = "#branch="
+  private[sinks] val RefSep = "#branch="
 
   /** `(physical root, branch name?)` of a possibly ref-qualified root. */
   private[graft] def splitRef(root: String): (String, Option[String]) = {
@@ -366,6 +366,15 @@ object SnapshotTable {
     f.delete(new Path(root, s"_cdc/ref-$name"), true)
     forkCache.synchronized { forkCache.remove((root, name)) } // a later same-named branch may fork elsewhere
   }
+
+  /** Drop EVERY cached fork version for the table at `root` — the catalog
+    * calls this when it deletes or renames a whole table tree: manifest
+    * resolution consults the cache before disk, so a same-JVM
+    * drop-then-recreate at the same root would otherwise resolve a stale
+    * fork and serve the NEW table's data for a branch that no longer
+    * exists. */
+  private[sinks] def invalidateForks(root: String): Unit =
+    forkCache.synchronized { forkCache.filterInPlace((k, _) => k._1 != root) }
 
   /** All branches of the table: `(name, fork version)`, name-sorted. Torn
     * creates (dir without `_branch.json`) are invisible. */
@@ -3633,8 +3642,13 @@ object SnapshotTable {
     * rows are added and no target file is read or rewritten. Same key
     * semantics as [[mergeUpsertMor]] (null keys match nothing); reads
     * pay the anti-join on masked files until [[compact]] reconciles.
-    * addedRows records 0 — masked removals are unknown without a read,
-    * the mode's documented accounting caveat. */
+    * With exact accounting (the default), `addedRows` records the
+    * NEGATED count of live rows the new mask hides — one bounded
+    * counting read of only the masked candidates at write time
+    * ([[exactMorAccounting]]); under
+    * `spark.graft.mor.exactRowAccounting=false` it records 0 and the
+    * mask carries no row count (the pure-metadata fallback, same as
+    * [[deleteWhereMor]]'s). */
   def deleteMatchedMor(spark: SparkSession, root: String, source: DataFrame, keyCols: Seq[String]): Int = {
     import org.apache.spark.sql.functions.{col, max, min}
     require(keyCols.nonEmpty, "deleteMatchedMor needs at least one key column")
@@ -4578,11 +4592,15 @@ object SnapshotTable {
         val physical = c.files.map(_.rows).sum
         // exact LIVE rows whenever every pending mask carries its
         // recorded hidden-row count (each counted through the earlier
-        // masks, so overlaps never double-subtract); null = some mask's
-        // count is unknown (accounting off, pre-field, or shrunk)
+        // masks, so overlaps never double-subtract) AND every masked
+        // entry is a stat-covered file — `physical` sums only the
+        // stat-covered entries, so a mask over an uncovered (pre-stats)
+        // dir hides rows that were never counted and the subtraction
+        // would under-report (even go negative). null = unknown.
+        val covered = c.files.map(_.path).toSet
         val live =
           if (c.masks.isEmpty) Some(physical)
-          else if (c.masks.forall(_.maskedRows.isDefined))
+          else if (c.masks.forall(mk => mk.maskedRows.isDefined && mk.entries.forall(covered)))
             Some(physical - c.masks.flatMap(_.maskedRows).sum)
           else None
         (

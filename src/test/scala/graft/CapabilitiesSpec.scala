@@ -301,6 +301,13 @@ class CapabilitiesSpec extends SparkSuite {
         v.queryExecution.analyzed.output(0)))
     val row = joined.select("p_id", "v_id").head()
     assert(row.getLong(0) == 1L && row.getLong(1) == 21L)
+    // planner: catalog row-level DML routes with NO runtime injection
+    val wh = Files.createTempDirectory("graft-ext-wh").toString
+    s2.conf.set("spark.sql.catalog.gext", classOf[graft.sinks.GraftCatalog].getName)
+    s2.conf.set("spark.sql.catalog.gext.warehouse", wh)
+    graft.sinks.SnapshotTable.create(s2, wh + "/ns/t", s2.range(10).selectExpr("id AS k"))
+    s2.sql("DELETE FROM gext.ns.t WHERE k >= 5")
+    assert(s2.sql("SELECT count(*) AS n FROM gext.ns.t").head.getLong(0) == 5L)
   }
 
   test("builtin statistical aggregates agree with the closed-form oracle query") {

@@ -112,4 +112,93 @@ class GraftCatalogSpec extends SparkSuite {
     assert(intercept[Exception](spark.sql("SELECT * FROM gtest.etl.t2").collect()).getMessage.nonEmpty)
     assert(!new java.io.File(wh + "/etl/t2").exists())
   }
+
+  test("cap_catalog_dml: DELETE / UPDATE / MERGE on catalog identifiers route to the transactional executors") {
+    org.apache.spark.sql.GraftSqlBridge.addStrategy(spark, graft.sinks.GraftDmlStrategy)
+    val root = wh + "/dml/t"
+    SnapshotTable.create(
+      spark,
+      root,
+      spark.range(10).selectExpr("id AS k", "concat('v', id) AS s", "CAST(id * 10 AS DOUBLE) AS amt"))
+
+    // DELETE with an exact range condition = the whole-file fast path
+    spark.sql("DELETE FROM gtest.dml.t WHERE k >= 8")
+    assert(SnapshotTable.history(spark, root).last.action == "delete")
+    assert(spark.sql("SELECT count(*) AS n FROM gtest.dml.t").head.getLong(0) == 8)
+
+    // UPDATE: multi-column SET, BETWEEN condition, ONE commit
+    spark.sql("UPDATE gtest.dml.t SET s = concat(s, '!'), amt = amt + 1 WHERE k BETWEEN 2 AND 3")
+    assert(SnapshotTable.history(spark, root).last.action == "update")
+    val upd = spark.sql("SELECT s, amt FROM gtest.dml.t WHERE k = 2").head
+    assert(upd.getString(0) == "v2!" && upd.getDouble(1) == 21.0)
+
+    // MERGE: conditional matched update, matched delete, INSERT *, and a
+    // NOT MATCHED BY SOURCE clause — the full Delta-shaped statement.
+    // The source is ANOTHER catalog table (no temp views needed).
+    Seq((6L, "m6", 1.0), (7L, "m7", 2.0), (20L, "m20", 3.0))
+      .toDF("k", "s", "amt")
+      .write.mode("overwrite").parquet(wh + "/dmlsrc_data")
+    spark.sql(s"CREATE TABLE gtest.dml.src AS SELECT * FROM parquet.`$wh/dmlsrc_data`")
+    spark.sql("""MERGE INTO gtest.dml.t t USING gtest.dml.src s ON t.k = s.k
+      |WHEN MATCHED AND s.amt > 1.5 THEN UPDATE SET t.s = s.s, t.amt = t.amt + s.amt
+      |WHEN MATCHED THEN DELETE
+      |WHEN NOT MATCHED THEN INSERT *
+      |WHEN NOT MATCHED BY SOURCE AND t.k = 0 THEN UPDATE SET t.s = 'zero'
+      |""".stripMargin)
+    val rows = spark.sql("SELECT k, s, amt FROM gtest.dml.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toList
+    assert(!rows.exists(_._1 == 6), "unconditional matched DELETE must remove k=6")
+    assert(rows.find(_._1 == 7).get == ((7L, "m7", 72.0)), "conditional matched UPDATE")
+    assert(rows.find(_._1 == 20).get == ((20L, "m20", 3.0)), "NOT MATCHED INSERT *")
+    assert(rows.find(_._1 == 0).get._2 == "zero", "NOT MATCHED BY SOURCE conditional UPDATE")
+    // one commit per statement, all through the transactional executors
+    assert(SnapshotTable.history(spark, root).map(_.action) ==
+      Seq("create", "delete", "update", "merge"))
+
+    // a MERGE without WITH SCHEMA EVOLUTION must NOT evolve the target
+    // schema off unreferenced source columns
+    assert(spark.table("gtest.dml.t").columns.toSeq == Seq("k", "s", "amt"))
+
+    // refusal shapes: subquery conditions refuse loudly (rewrite as MERGE);
+    // UPDATE without WHERE refuses (the engine's whole-table-rewrite guard)
+    val e1 = intercept[Exception](
+      spark.sql("DELETE FROM gtest.dml.t WHERE k IN (SELECT k FROM gtest.dml.src)"))
+    assert(e1.getMessage.contains("subquery"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql("UPDATE gtest.dml.t SET amt = 0"))
+    assert(e2.getMessage.contains("without WHERE"), e2.getMessage)
+  }
+
+  test("unsafe identifier segments refuse before any filesystem touch; drops invalidate the fork cache") {
+    // a quoted '..' segment would resolve OUTSIDE the warehouse — and
+    // dropTable deletes recursively, so this must refuse up-front
+    val marker = new java.io.File(wh).getParent + "/graft-escape-marker"
+    new java.io.File(marker).mkdirs()
+    for (sql <- Seq(
+        "SELECT * FROM gtest.`..`.`graft-escape-marker`",
+        "DROP TABLE gtest.`..`.`graft-escape-marker`",
+        "CREATE NAMESPACE gtest.`..`",
+        "DROP NAMESPACE gtest.`a/b`")) {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      assert(
+        e.getMessage.contains("unsafe identifier segment") ||
+          Option(e.getCause).exists(_.getMessage.contains("unsafe identifier segment")),
+        s"$sql -> ${e.getMessage}")
+    }
+    assert(new java.io.File(marker).exists(), "the out-of-warehouse dir must be untouched")
+    // '#' segments would misroute through the branch-ref separator
+    intercept[Exception](spark.sql("SELECT * FROM gtest.ns.`t#branch=dev`").collect())
+
+    // fork-cache invalidation: warm a branch handle, DROP the table via
+    // the catalog, recreate at the same root — the branch must be GONE,
+    // not served from a stale cached fork against the new table's data
+    val root = wh + "/fc/t"
+    SnapshotTable.create(spark, root, clustered(10, 1))
+    val dev = SnapshotTable.createBranch(spark, root, "dev")
+    SnapshotTable.append(spark, dev, clustered(5, 1))
+    assert(SnapshotTable.read(spark, dev).count() == 15) // cache is warm
+    spark.sql("DROP TABLE gtest.fc.t")
+    SnapshotTable.create(spark, root, clustered(3, 1))
+    val e = intercept[Exception](SnapshotTable.read(spark, dev).count())
+    assert(e.getMessage.contains("no branch"), e.getMessage)
+  }
 }
