@@ -180,22 +180,18 @@ final class GraftCatalog
   }
 
   /** Column changes map onto the METADATA-ONLY DDL operators (zero data
-    * rewrite at any table size); anything else refuses loudly. */
+    * rewrite at any table size) and land as ONE atomic manifest commit
+    * ([[SnapshotTable.alterSchema]]) — a multi-change statement is
+    * all-or-nothing: a refusal anywhere (shape here, schema semantics
+    * inside alterSchema, validated sequentially against the schema as
+    * the previous changes left it) throws before the single publish, and
+    * a mid-statement crash leaves either the old schema or the complete
+    * new one, never a committed prefix. Anything beyond column
+    * add/rename/drop refuses loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = rootOf(ident)
     if (!isTable(root)) throw new NoSuchTableException(ident)
-    // validate EVERY change — shape AND schema semantics, simulated
-    // sequentially against the current columns — before applying ANY:
-    // each change lands as its own metadata commit, so a refusal later
-    // in the list must not leave the statement half-applied. (A mid-
-    // statement crash can still leave a committed prefix — each applied
-    // change is durable by design.)
-    val resolver = spark.sessionState.conf.resolver
-    var cols = GraftTableProvider
-      .schemaAt(spark, root, SnapshotTable.latestVersion(spark, root).get)
-      .fieldNames
-      .toSeq
-    changes.foreach {
+    val translated: Seq[SnapshotTable.SchemaChange] = changes.toSeq.map {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1, "nested ADD COLUMN is not supported")
         require(
@@ -208,40 +204,20 @@ final class GraftCatalog
         require(
           add.defaultValue == null,
           "ADD COLUMN ... DEFAULT is not supported; backfill with UPDATE")
-        require(
-          !cols.exists(resolver(_, add.fieldNames.head)),
-          s"column '${add.fieldNames.head}' already exists")
-        cols = cols :+ add.fieldNames.head
+        SnapshotTable.AddCol(add.fieldNames.head, add.dataType)
       case ren: TableChange.RenameColumn =>
         require(ren.fieldNames.length == 1, "nested RENAME COLUMN is not supported")
-        require(
-          cols.exists(resolver(_, ren.fieldNames.head)),
-          s"no column '${ren.fieldNames.head}' to rename")
-        require(
-          !cols.exists(resolver(_, ren.newName)),
-          s"rename target '${ren.newName}' already exists")
-        cols = cols.filterNot(resolver(_, ren.fieldNames.head)) :+ ren.newName
+        SnapshotTable.RenameCol(ren.fieldNames.head, ren.newName)
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames.length == 1, "nested DROP COLUMN is not supported")
-        require(
-          cols.exists(resolver(_, del.fieldNames.head)),
-          s"no column '${del.fieldNames.head}' to drop")
-        cols = cols.filterNot(resolver(_, del.fieldNames.head))
+        SnapshotTable.DropCol(del.fieldNames.head)
       case other =>
         sys.error(
           s"unsupported ALTER TABLE change $other — the graft catalog maps add/rename/drop " +
             "column onto the metadata-only operators; constraints and maintenance go through " +
             "SnapshotTable/SnapshotSql")
     }
-    changes.foreach {
-      case add: TableChange.AddColumn =>
-        SnapshotTable.addColumn(spark, root, add.fieldNames.head, add.dataType)
-      case ren: TableChange.RenameColumn =>
-        SnapshotTable.renameColumn(spark, root, ren.fieldNames.head, ren.newName)
-      case del: TableChange.DeleteColumn =>
-        SnapshotTable.dropColumn(spark, root, del.fieldNames.head)
-      case other => sys.error(s"unreachable: $other passed validation")
-    }
+    SnapshotTable.alterSchema(spark, root, translated)
     loadTable(ident)
   }
 

@@ -249,7 +249,17 @@ private[sinks] object GraftScanBuilder {
 /** Native DSv2 batch over the manifest: partitions ARE the pruned live
   * file list (one per file — at 100 TB the planner already receives
   * size-bounded files from the write path's compaction targets), read by
-  * the standard parquet reader (row-group filter pushdown included). */
+  * the standard parquet reader (row-group filter pushdown included).
+  *
+  * RUNTIME filtering ([[SupportsRuntimeFiltering]]): every column is
+  * offered as a filter attribute, so a broadcast join's dim-side keys
+  * (dynamic partition pruning — `IN (<dim keys>)` filters Spark derives
+  * at EXECUTION time, invisible to static pushdown) re-prune the file
+  * list through the same manifest min/max/bloom prover before any fact
+  * bytes are read. A star join against a key-clustered 100-TB fact scans
+  * only the files whose stats can hold the dim's keys; pruning stays a
+  * pure optimization (the join re-evaluates row-level — a filter the
+  * stats can't translate just keeps the file). */
 private[sinks] final class GraftBatchScan(
     spark: SparkSession,
     root: String,
@@ -258,7 +268,18 @@ private[sinks] final class GraftBatchScan(
     required: StructType,
     filters: Seq[sources.Filter])
     extends Scan
-    with Batch {
+    with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  @volatile private var runtimeFilters: Seq[sources.Filter] = Seq.empty
+
+  // only columns the scan actually OUTPUTS: Spark resolves these against
+  // the pruned read schema, and a DPP join key is necessarily in it
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fields.map(f =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+
+  override def filter(rf: Array[sources.Filter]): Unit = { runtimeFilters = rf.toSeq }
 
   override def readSchema(): StructType = required
 
@@ -269,7 +290,8 @@ private[sinks] final class GraftBatchScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val idx = new SnapshotFileIndex(spark, SnapshotTable.dataRoot(root), m, tableSchema)
-    val dataFilters = filters.flatMap(GraftScanBuilder.toCatalyst(_, tableSchema))
+    val dataFilters =
+      (filters ++ runtimeFilters).flatMap(GraftScanBuilder.toCatalyst(_, tableSchema))
     idx
       .listFiles(Nil, dataFilters)
       .flatMap(_.files)

@@ -138,18 +138,44 @@ final class SnapshotSource(
   /** Version v's ADDED entries in deterministic (manifest) order;
     * compaction is data-identical and adds nothing; version 0 is the
     * empty pre-create table (positions may legitimately sit there —
-    * `startVersion=1`, legacy-offset upgrades). */
+    * `startVersion=1`, legacy-offset upgrades).
+    *
+    * RESTORE commits re-LIST files that were live before — the append
+    * stream has already emitted every one of them, so a v-1 diff would
+    * re-emit their rows (duplicates downstream of an exactly-once sink).
+    * The contract here: a physical file is APPENDED exactly once in the
+    * table's whole history — the first version that lists it — so a
+    * restore emits only entries never live in ANY earlier version
+    * (normal commits add fresh uuid-named entries, for which the cheap
+    * v-1 diff IS that rule). Rows a restore logically revives are not
+    * appends; the exact mutation stream is `readChangeFeed`. */
   private def addedEntries(v: Int): Seq[String] =
     if (v <= 0) Seq.empty
     else {
       val cur = manifest(v)
       if (cur.action == "compact") Seq.empty
       else if (v == 1) SnapshotTable.fileEntries(cur)
-      else {
+      else if (cur.action == "restore") {
+        val everBefore = everLiveBefore(v)
+        SnapshotTable.fileEntries(cur).filterNot(everBefore)
+      } else {
         val prev = SnapshotTable.fileEntries(manifest(v - 1)).toSet
         SnapshotTable.fileEntries(cur).filterNot(prev)
       }
     }
+
+  /** Every entry live in ANY version before `v` — computed only when a
+    * RESTORE commit is walked (rare events; one manifest sweep, cached,
+    * driver-side metadata only — never a data read). Bypasses the
+    * sliding [[manifestCache]]: a full-history sweep must not evict the
+    * stream's working window. */
+  private val everLiveCache = scala.collection.concurrent.TrieMap.empty[Int, Set[String]]
+  private def everLiveBefore(v: Int): Set[String] =
+    everLiveCache.getOrElseUpdate(
+      v,
+      (1 until v).foldLeft(Set.empty[String]) { (acc, w) =>
+        acc ++ SnapshotTable.fileEntries(SnapshotTable.readManifest(spark, root, w))
+      })
 
   private def listAt(p: Position): Seq[String] =
     if (p.snap) SnapshotTable.fileEntries(manifest(p.v)) else addedEntries(p.v)

@@ -497,9 +497,9 @@ object SnapshotSql {
 
       case a: AddColumns =>
         val reg = registrationOf(spark, tableParts(a.table))
-        // validate EVERY column before the first commit — a failure on a
-        // later column must not leave earlier ones already applied
-        // (DropColumns resolves all names up-front for the same reason)
+        // shape-validate every column, then land the WHOLE statement as
+        // ONE atomic schema commit (alterSchema) — all-or-nothing even
+        // against a mid-statement crash
         a.columnsToAdd.foreach { qc =>
           require(qc.path.isEmpty, s"ADD COLUMN supports top-level columns only, got ${qc.name.mkString(".")}")
           require(qc.default.isEmpty, "ADD COLUMN ... DEFAULT is not supported (existing rows read the new column as null)")
@@ -511,16 +511,17 @@ object SnapshotSql {
           require(qc.nullable, s"ADD COLUMN ${qc.colName} NOT NULL is refused: existing rows read the new column as null")
           require(qc.comment.isEmpty, "ADD COLUMN ... COMMENT is not supported (the manifest schema carries no comments)")
         }
-        a.columnsToAdd.foldLeft(-1) { (_, qc) =>
-          SnapshotTable.addColumn(spark, reg.root, qc.colName, qc.dataType)
-        }
+        SnapshotTable.alterSchema(
+          spark,
+          reg.root,
+          a.columnsToAdd.map(qc => SnapshotTable.AddCol(qc.colName, qc.dataType)))
 
       case d: DropColumns =>
         val reg = registrationOf(spark, tableParts(d.table))
         val names = d.columnsToDrop.map(f => singleField(f.name, "DROP COLUMN"))
         // resolve through the session's resolver (case-insensitive by
         // default, matching spark.sql semantics) against the manifest's
-        // recorded schema — the same names dropColumn will validate
+        // recorded schema — the same names alterSchema will validate
         val resolved = names.map(n => n -> resolveColumn(spark, reg.root, n))
         val toDrop =
           if (d.ifExists) resolved.flatMap(_._2)
@@ -529,9 +530,9 @@ object SnapshotSql {
               r.getOrElse(sys.error(s"DROP COLUMN: no column '$n' in table schema"))
             }
         if (toDrop.isEmpty) SnapshotTable.latestVersion(spark, reg.root).get // IF EXISTS no-op
-        // each drop is its own metadata-only commit (multi-column drops are
-        // a version per column — same as issuing the statements separately)
-        else toDrop.foldLeft(-1)((_, n) => SnapshotTable.dropColumn(spark, reg.root, n))
+        // the whole statement is ONE metadata-only commit — atomic even
+        // for multi-column drops (previously a version per column)
+        else SnapshotTable.alterSchema(spark, reg.root, toDrop.map(SnapshotTable.DropCol(_)))
 
       case a: AddCheckConstraint =>
         // the parsed shape nests the target under Filter(NOT cond, relation);

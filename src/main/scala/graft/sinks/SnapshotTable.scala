@@ -104,7 +104,44 @@ object SnapshotTable {
       // each hides SOME rows of the listed live entries at read time.
       // Masks only ever shrink — a rewrite of a masked file satisfies and
       // removes its entry; compaction/overwrite clear them all.
-      masks: Seq[Mask] = Seq.empty)
+      masks: Seq[Mask] = Seq.empty,
+      // write-time CHANGE capture ([[Cdc]]) — recorded by COW DML commits
+      // so [[changesBetween]] reads O(changed rows) instead of diffing
+      // rewritten files; absent on pre-capture manifests and non-DML
+      // commits (the reader falls back to the EXCEPT ALL file diff)
+      cdc: Option[Cdc] = None)
+
+  /** Write-time change capture of one COW DML commit — the Delta
+    * Change-Data-Feed economics: a rewrite that carries most rows
+    * unchanged would otherwise force every CDC consumer to EXCEPT-ALL
+    * diff added vs removed files (~2× the rewritten bytes PER RANGE
+    * READ); instead the writer, which is already scanning exactly those
+    * files, captures the true delta once.
+    *
+    *  - `covered`: the removed entries whose row-level delta the capture
+    *    fully accounts for (the rewrite's scan set). Removed entries NOT
+    *    listed here are WHOLE-FILE drops — every live row is a delete, so
+    *    the reader reads them directly (already O(changed rows)); the
+    *    zero-I/O whole-file delete fast path is thereby preserved at
+    *    write time.
+    *  - `delDir` / `insDir`: `_cdc/w-<uuid>` sidecars holding the
+    *    captured delete pre-images / insert post-images (PHYSICAL column
+    *    names — immutable across renames — published object-store-safe
+    *    via the `_SUCCESS` named-set protocol).
+    *  - `insEntries`: added DATA entries that are wholly inserts (e.g. a
+    *    merge's source dir) — read directly, no sidecar copy.
+    *
+    * Capture cost: one extra predicate-pushed scan of only the rewritten
+    * files at COMMIT time plus an O(changed rows) sidecar write — paid
+    * once, where the old diff cost ~2× the rewritten bytes on EVERY
+    * uncached CDC range read. Disable per-session with
+    * `spark.graft.cdc.onWrite=false` (readers honor whatever each
+    * manifest recorded). */
+  final case class Cdc(
+      covered: Seq[String],
+      delDir: Option[String],
+      insDir: Option[String],
+      insEntries: Seq[String])
 
   /** One merge-on-read deletion mask. `kind`:
     *  - `"pred"` — rows of `entries` matching the recorded range predicate
@@ -160,6 +197,11 @@ object SnapshotTable {
     * commits on very wide candidate sets. */
   private def exactMorAccounting(spark: SparkSession): Boolean =
     spark.conf.getOption("spark.graft.mor.exactRowAccounting").forall(_.toBoolean)
+
+  /** Write-time CDC capture (default ON) — see [[Cdc]]. Readers honor
+    * whatever each manifest recorded, so mixed histories are fine. */
+  private def cdcOnWrite(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.cdc.onWrite").forall(_.toBoolean)
 
   /** The key ENVELOPE of `df` — per-key min/max collapsed to prune
     * [[Bound]]s (one tiny agg job; all-None bounds mean every value of
@@ -1059,6 +1101,15 @@ object SnapshotTable {
               (mj \ "rows").extractOpt[Long])
           }
         case _ => Seq.empty
+      },
+      (j \ "cdc") match {
+        case cj: JObject =>
+          Some(Cdc(
+            (cj \ "covered").extractOpt[Seq[String]].getOrElse(Seq.empty),
+            (cj \ "del").extractOpt[String],
+            (cj \ "ins").extractOpt[String],
+            (cj \ "insEntries").extractOpt[Seq[String]].getOrElse(Seq.empty)))
+        case _ => None
       })
   }
 
@@ -1293,6 +1344,27 @@ object SnapshotTable {
     (rel, sized.map(_.rows).sum, sized)
   }
 
+  /** Write a change-capture sidecar ([[Cdc]]): `df` (LOGICAL names) lands
+    * under `_cdc/w-<uuid>` in PHYSICAL column names — immutable across
+    * renames, so the standard [[readTablePaths]] mapping reads it back
+    * under any later schema — published object-store-safe
+    * ([[publishDerivedDir]]). Returns the root-relative dir. */
+  private def writeCdcSidecar(
+      spark: SparkSession,
+      root: String,
+      df: DataFrame,
+      physicalOf: Map[String, String]): String = {
+    val f = fs(spark, root)
+    val rel = s"_cdc/w-${java.util.UUID.randomUUID().toString}"
+    val tmp = new Path(dataRoot(root), s"_cdc/.tmp-${java.util.UUID.randomUUID()}")
+    val physDf = physicalOf.foldLeft(df) { case (d, (logical, physical)) =>
+      if (d.columns.contains(logical)) d.withColumnRenamed(logical, physical) else d
+    }
+    physDf.write.parquet(tmp.toString)
+    publishDerivedDir(f, tmp, new Path(dataRoot(root), rel))
+    rel
+  }
+
   /** Atomic publish: create-if-absent the next manifest. Package-private so
     * the spec can drive the commit race directly. */
   private[graft] def publish(spark: SparkSession, root: String, c: Commit): Int = {
@@ -1353,6 +1425,15 @@ object SnapshotTable {
        else Nil) ++
       c.batchId.map(b => "batchId" -> (JLong(b): JValue)).toList ++
       c.schemaJson.map(s => "schema" -> (JString(s): JValue)).toList ++
+      c.cdc.map { cc =>
+        "cdc" -> (JObject(
+          List("covered" -> (JArray(cc.covered.map(JString(_)).toList): JValue)) ++
+            cc.delDir.map(d => "del" -> (JString(d): JValue)).toList ++
+            cc.insDir.map(d => "ins" -> (JString(d): JValue)).toList ++
+            (if (cc.insEntries.nonEmpty)
+               List("insEntries" -> (JArray(cc.insEntries.map(JString(_)).toList): JValue))
+             else Nil): _*): JValue)
+      }.toList ++
       (if (c.files.nonEmpty) List("files" -> (fileArr: JValue)) else Nil)
     val json = JsonMethods.compact(JsonMethods.render(JObject(fields: _*)))
     val bytes = json.getBytes("UTF-8")
@@ -2868,7 +2949,11 @@ object SnapshotTable {
       bounds: Seq[Bound],
       action: String,
       dropWholly: Boolean,
-      skipIfNoWork: Boolean = false)(
+      skipIfNoWork: Boolean = false,
+      // write-time CDC capture ([[Cdc]]): given the rewrite's (masked)
+      // source frame, the commit's (delete pre-images, insert post-images)
+      // — None for maintenance callers whose commits are data-identical
+      capture: Option[DataFrame => (DataFrame, Option[DataFrame])] = None)(
       transform: (DataFrame, Seq[FileStat]) => DataFrame): Int = {
     val base = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
     val m = readManifest(spark, root, base)
@@ -2891,6 +2976,13 @@ object SnapshotTable {
       return base
     val masked = maskedEntrySet(m)
     val scanPaths = rewrite.map(_.path) ++ plan.uncoveredDirs
+    // write-time CDC ([[Cdc]]): with capture on, the commit records the
+    // delta of exactly the files it scans; wholly-dropped files stay
+    // UNCAPTURED by design (zero-I/O drop preserved — every live row is
+    // a delete, the reader reads them directly)
+    var cdcRec: Option[Cdc] =
+      if (capture.isDefined && cdcOnWrite(spark)) Some(Cdc(scanPaths, None, None, Seq.empty))
+      else None
     val (newDirs, newStats, delta) =
       if (scanPaths.isEmpty) (Seq.empty[String], Seq.empty[FileStat], 0L)
       else {
@@ -2905,6 +2997,13 @@ object SnapshotTable {
           if (plan.uncoveredDirs.isEmpty && !rewrite.exists(f => masked(f.path)))
             rewrite.map(_.rows).sum
           else src.count()
+        cdcRec = cdcRec.map { rec =>
+          val (dels, inss) = capture.get(src)
+          val physicalOf = schema.map(mappingOf).getOrElse(Map.empty)
+          rec.copy(
+            delDir = Some(writeCdcSidecar(spark, root, dels, physicalOf)),
+            insDir = inss.map(writeCdcSidecar(spark, root, _, physicalOf)))
+        }
         val (rel, n, stats) = writeData(
           spark, root, transform(src, rewrite), m.constraints, schema.map(mappingOf).getOrElse(Map.empty))
         // an all-rows-deleted rewrite leaves no dir (the empty orphan vacuums away)
@@ -2945,7 +3044,8 @@ object SnapshotTable {
         untouched ++ newStats,
         constraints = m.constraints,
         dropped = m.dropped, // untouched files still carry dropped-column bytes
-        masks = keptMasks))
+        masks = keptMasks,
+        cdc = cdcRec))
   }
 
   /** Delete the rows matching `bounds` — Delta-style copy-on-write DML with
@@ -2963,7 +3063,10 @@ object SnapshotTable {
     * files until [[vacuum]]. Returns the new version. */
   def deleteWhere(spark: SparkSession, root: String, bounds: Seq[Bound]): Int = {
     require(bounds.nonEmpty, "deleteWhere with no bounds would drop the whole table; use overwrite")
-    dmlRewrite(spark, root, bounds, "delete", dropWholly = true)((df, _) => df.filter(!matchCol(bounds)))
+    dmlRewrite(
+      spark, root, bounds, "delete", dropWholly = true,
+      capture = Some(src => (src.filter(matchCol(bounds)), None)))(
+      (df, _) => df.filter(!matchCol(bounds)))
   }
 
   /** Update rows matching `bounds`: each column in `set` becomes its new
@@ -2979,7 +3082,22 @@ object SnapshotTable {
     import org.apache.spark.sql.functions.{col, when}
     require(bounds.nonEmpty, "updateWhere needs a predicate; for all rows use overwrite")
     require(set.nonEmpty, "updateWhere needs at least one SET column")
-    dmlRewrite(spark, root, bounds, "update", dropWholly = false) { (df, _) =>
+    // CDC: pre-images = matching rows as they stand; post-images = the
+    // same rows with every SET applied against the OLD values (single
+    // projection, same semantics as the rewrite's when()-form below)
+    def applySet(pre: DataFrame): DataFrame =
+      pre.select(pre.schema.fields.map { f =>
+        set.get(f.name) match {
+          case Some(expr) => expr.cast(f.dataType).as(f.name)
+          case None => col("`" + f.name + "`")
+        }
+      }.toSeq: _*)
+    dmlRewrite(
+      spark, root, bounds, "update", dropWholly = false,
+      capture = Some { src =>
+        val pre = src.filter(matchCol(bounds))
+        (pre, Some(applySet(pre)))
+      }) { (df, _) =>
       set.foreach { case (name, _) =>
         require(df.columns.contains(name), s"updateWhere SET column '$name' is not in the table schema")
       }
@@ -3010,8 +3128,10 @@ object SnapshotTable {
       cond: org.apache.spark.sql.Column,
       pruneBounds: Seq[Bound]): Int = {
     import org.apache.spark.sql.functions.{coalesce, lit}
-    dmlRewrite(spark, root, pruneBounds, "delete", dropWholly = false)((df, _) =>
-      df.filter(!coalesce(cond, lit(false))))
+    dmlRewrite(
+      spark, root, pruneBounds, "delete", dropWholly = false,
+      capture = Some(src => (src.filter(coalesce(cond, lit(false))), None)))(
+      (df, _) => df.filter(!coalesce(cond, lit(false))))
   }
 
   /** Generalized UPDATE twin of [[deleteExpr]] — arbitrary condition,
@@ -3025,7 +3145,19 @@ object SnapshotTable {
       set: Map[String, org.apache.spark.sql.Column]): Int = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     require(set.nonEmpty, "UPDATE needs at least one SET column")
-    dmlRewrite(spark, root, pruneBounds, "update", dropWholly = false) { (df, _) =>
+    def applySet(pre: DataFrame): DataFrame =
+      pre.select(pre.schema.fields.map { f =>
+        set.get(f.name) match {
+          case Some(e) => e.cast(f.dataType).as(f.name)
+          case None => col("`" + f.name + "`")
+        }
+      }.toSeq: _*)
+    dmlRewrite(
+      spark, root, pruneBounds, "update", dropWholly = false,
+      capture = Some { src =>
+        val pre = src.filter(coalesce(cond, lit(false)))
+        (pre, Some(applySet(pre)))
+      }) { (df, _) =>
       set.foreach { case (name, _) =>
         require(df.columns.contains(name), s"UPDATE SET column '$name' is not in the table schema")
       }
@@ -3116,6 +3248,14 @@ object SnapshotTable {
     val masked = maskedEntrySet(m)
     val untouched = m.files.filterNot(f => touched.contains(f.path))
     val rewritePaths = touched.toSeq.sorted ++ plan.uncoveredDirs
+    // write-time CDC ([[Cdc]]): the source dir IS the commit's insert set
+    // (wholesale-replace — every source row lands), so inserts cost
+    // nothing to capture; delete pre-images (replaced target rows) are
+    // the semi-join complement of the survivors the rewrite computes
+    // anyway — one extra key-pruned scan of only the touched files.
+    var cdcRec: Option[Cdc] =
+      if (cdcOnWrite(spark)) Some(Cdc(rewritePaths, None, None, Seq(srcRel)))
+      else None
     val (survDirs, survStats, replaced) =
       if (rewritePaths.isEmpty) (Seq.empty[String], Seq.empty[FileStat], 0L)
       else {
@@ -3126,6 +3266,10 @@ object SnapshotTable {
           if (plan.uncoveredDirs.isEmpty && !touched.exists(masked))
             m.files.filter(f => touched.contains(f.path)).map(_.rows).sum
           else tgt.count()
+        cdcRec = cdcRec.map(_.copy(delDir = Some(writeCdcSidecar(
+          spark, root,
+          tgt.join(srcKeys, keyCols, "left_semi"),
+          priorSchema.map(mappingOf).getOrElse(Map.empty)))))
         val survivors = tgt.join(srcKeys, keyCols, "left_anti")
         val (rel, n, stats) = writeData(spark, root, survivors, m.constraints, evolvedMapping)
         if (n == 0) (Seq.empty[String], Seq.empty[FileStat], before)
@@ -3149,7 +3293,8 @@ object SnapshotTable {
         untouched ++ survStats ++ srcStats,
         constraints = m.constraints,
         dropped = reviveDropped(m.dropped, schemaFromJson(evolved)),
-        masks = keptMasks))
+        masks = keptMasks,
+        cdc = cdcRec))
   }
 
   /** EXACTLY-ONCE streaming UPSERT — the `foreachBatch` CDC-apply
@@ -4066,14 +4211,39 @@ object SnapshotTable {
           else readManifest(spark, root, v - 1)
         val prevEntries = fileEntries(prevM)
         val curEntries = fileEntries(cur)
-        val added = readPaths(cur, curEntries.filterNot(prevEntries.toSet))
-        val removed = readPaths(prevM, prevEntries.filterNot(curEntries.toSet))
-        val fileSteps = (added, removed) match {
-          case (Some(a), None) => Seq(tag(a, "insert", v))
-          case (None, Some(r)) => Seq(tag(r, "delete", v))
-          case (Some(a), Some(r)) =>
-            Seq(tag(a.exceptAll(r), "insert", v), tag(r.exceptAll(a), "delete", v))
-          case (None, None) => Seq.empty[DataFrame]
+        val fileSteps = cur.cdc match {
+          // write-time capture ([[Cdc]]): the commit recorded its own
+          // delta — sidecar reads are O(changed rows), whole-file drops
+          // (every live row a delete) read directly, and NO except-all
+          // diff runs: a rewrite-heavy commit no longer costs ~2× its
+          // rewritten bytes per uncached CDC range read
+          case Some(cc) =>
+            def sidecar(rel: String): Option[DataFrame] = {
+              val files = publishedFiles(fs(spark, root), new Path(dataRoot(root), rel))
+                .getOrElse(sys.error(
+                  s"CDC sidecar $rel has no complete publish — torn commit or over-eager vacuum"))
+              if (files.isEmpty) None
+              else Some(readTablePaths(spark, schema, files.map(_.toString)))
+            }
+            val covered = cc.covered.toSet
+            val wholeDrops = prevEntries.filterNot(curEntries.toSet).filterNot(covered)
+            Seq(
+              cc.delDir.flatMap(sidecar).map(tag(_, "delete", v)),
+              readPaths(prevM, wholeDrops).map(tag(_, "delete", v)),
+              cc.insDir.flatMap(sidecar).map(tag(_, "insert", v)),
+              readPaths(cur, cc.insEntries).map(tag(_, "insert", v))).flatten
+          // pre-capture manifests (or capture disabled at write time):
+          // the original file-set diff
+          case None =>
+            val added = readPaths(cur, curEntries.filterNot(prevEntries.toSet))
+            val removed = readPaths(prevM, prevEntries.filterNot(curEntries.toSet))
+            (added, removed) match {
+              case (Some(a), None) => Seq(tag(a, "insert", v))
+              case (None, Some(r)) => Seq(tag(r, "delete", v))
+              case (Some(a), Some(r)) =>
+                Seq(tag(a.exceptAll(r), "insert", v), tag(r.exceptAll(a), "delete", v))
+              case (None, None) => Seq.empty[DataFrame]
+            }
         }
         // a NEW mask this commit introduced (identity = the creation UUID,
         // which entry-list shrinking preserves — structural identity would
@@ -4238,9 +4408,16 @@ object SnapshotTable {
       val bRoot = branchRef(root, b)
       listedVersions(f, refDir(root, b)).filter(_ > fork).map(readManifest(spark, bRoot, _))
     }
-    val live = (keep.map(readManifest(spark, root, _)) ++ branchCommits)
+    val keptCommits = keep.map(readManifest(spark, root, _)) ++ branchCommits
+    val live = keptCommits
       .flatMap(c => c.dirs ++ c.masks.flatMap(_.keyDir))
       .map(dataDirOf)
+      .toSet
+    // write-time CDC sidecars ([[Cdc]]) of retained manifests are live:
+    // changesBetween over a retained range reads them INSTEAD of diffing
+    val liveCdcSidecars: Set[String] = keptCommits
+      .flatMap(c => c.cdc.toSeq.flatMap(cc => cc.delDir.toSeq ++ cc.insDir.toSeq))
+      .map(_.stripPrefix("_cdc/"))
       .toSet
     // dryRun = the full would-delete report with ZERO filesystem writes —
     // the operator's preview before pointing a destructive sweep at a
@@ -4313,6 +4490,14 @@ object SnapshotTable {
               // materializing its range, and an un-gated vacuum
               // (minAgeMs=0) would delete the write out from under it
               (s.getPath.getName.startsWith(".tmp-") && minAgeMs > 0L) ||
+              // a write-time capture sidecar no retained manifest
+              // references (its commit aged out, or it lost the publish
+              // race and the manifest never landed) — age-gated: a live
+              // committer publishes the sidecar moments BEFORE its
+              // manifest, and an un-gated sweep in that window would
+              // orphan the about-to-land commit's capture
+              (s.getPath.getName.startsWith("w-") &&
+                !liveCdcSidecars(s.getPath.getName) && minAgeMs > 0L) ||
               // a DROPPED branch's namespaced feed cache (`_cdc/ref-<b>/`):
               // derived data nothing can read once the branch is gone.
               // Live branches' caches are left alone — their retention is
@@ -4405,35 +4590,85 @@ object SnapshotTable {
     * working under the new name. Time travel shows each version under the
     * name IT recorded. Constraints referencing the old name are refused
     * (re-add them under the new name). */
-  def renameColumn(spark: SparkSession, root: String, oldName: String, newName: String): Int = {
+  def renameColumn(spark: SparkSession, root: String, oldName: String, newName: String): Int =
+    alterSchema(spark, root, Seq(RenameCol(oldName, newName)))
+
+  /** One column change of [[alterSchema]]. */
+  sealed trait SchemaChange
+  final case class AddCol(name: String, dataType: org.apache.spark.sql.types.DataType)
+      extends SchemaChange
+  final case class RenameCol(oldName: String, newName: String) extends SchemaChange
+  final case class DropCol(name: String) extends SchemaChange
+
+  /** Apply a SEQUENCE of column changes as ONE metadata-only commit —
+    * the all-or-nothing DDL contract a multi-change `ALTER TABLE`
+    * statement implies: each change validates and applies against the
+    * schema as the PREVIOUS changes left it (so `ADD COLUMN x, RENAME y
+    * TO z` behaves exactly like the two statements in order), any
+    * refusal throws BEFORE the single publish, and a crash at any point
+    * leaves either the old schema or the complete new one — never a
+    * committed prefix. The single-change operators ([[addColumn]],
+    * [[renameColumn]], [[dropColumn]]) delegate here. */
+  def alterSchema(spark: SparkSession, root: String, changes: Seq[SchemaChange]): Int = {
+    require(changes.nonEmpty, "alterSchema needs at least one change")
     val base = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
     val m = readManifest(spark, root, base)
-    val schema = m.schemaJson
+    val resolver = spark.sessionState.conf.resolver
+    var schema = m.schemaJson
       .map(schemaFromJson)
-      .getOrElse(sys.error("renameColumn needs a schema-recording manifest"))
-    require(schema.fieldNames.contains(oldName), s"no column '$oldName' in table schema")
-    require(!schema.fieldNames.contains(newName), s"column '$newName' already exists")
-    require(
-      m.masks.isEmpty,
-      "pending merge-on-read masks reference logical column names; compact to reconcile them first")
-    require(
-      !schema.fields.exists(f => f.name != oldName && physName(f) == newName),
-      s"'$newName' is another column's frozen physical name; swap-chains are not supported")
-    m.constraints.foreach { case (cname, sql) =>
-      require(
-        !sql.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(oldName)}\\b.*"),
-        s"constraint '$cname' references column '$oldName'; drop it first and re-add under the new name")
+      .getOrElse(sys.error("column DDL needs a schema-recording manifest"))
+    var dropped = m.dropped
+    def constraintFree(col: String, what: String): Unit =
+      m.constraints.foreach { case (cname, sql) =>
+        require(
+          !sql.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(col)}\\b.*"),
+          s"constraint '$cname' references column '$col'; drop the constraint first$what")
+      }
+    changes.foreach {
+      case AddCol(name, dataType) =>
+        // resolver-aware duplicate check (case-insensitive under the
+        // default spark.sql.caseSensitive=false): a case-variant
+        // duplicate would make every later reference to either name
+        // AMBIGUOUS_REFERENCE — a permanently broken table
+        require(
+          !schema.fields.exists(f => resolver(f.name, name)),
+          s"column '$name' already exists")
+        schema = mergeSchemas(
+          schema,
+          org.apache.spark.sql.types.StructType(
+            Seq(org.apache.spark.sql.types.StructField(name, dataType))))
+        dropped = reviveDropped(dropped, schema)
+      case RenameCol(oldName, newName) =>
+        require(schema.fieldNames.contains(oldName), s"no column '$oldName' in table schema")
+        require(!schema.fieldNames.contains(newName), s"column '$newName' already exists")
+        require(
+          m.masks.isEmpty,
+          "pending merge-on-read masks reference logical column names; compact to reconcile them first")
+        require(
+          !schema.fields.exists(f => f.name != oldName && physName(f) == newName),
+          s"'$newName' is another column's frozen physical name; swap-chains are not supported")
+        constraintFree(oldName, " and re-add under the new name")
+        schema = org.apache.spark.sql.types.StructType(schema.fields.map { f =>
+          if (f.name != oldName) f
+          else
+            f.copy(
+              name = newName,
+              metadata = new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putString(PhysKey, physName(f)) // freeze the physical name
+                .build())
+        })
+      case DropCol(name) =>
+        require(schema.fieldNames.contains(name), s"no column '$name' in table schema")
+        require(schema.fields.length > 1, "cannot drop the last column")
+        require(
+          m.masks.isEmpty,
+          "pending merge-on-read masks reference logical column names; compact to reconcile them first")
+        constraintFree(name, "")
+        val field = schema.fields.find(_.name == name).get
+        schema = org.apache.spark.sql.types.StructType(schema.fields.filterNot(_.name == name))
+        dropped = dropped + (physName(field) -> field.dataType.json)
     }
-    val renamed = org.apache.spark.sql.types.StructType(schema.fields.map { f =>
-      if (f.name != oldName) f
-      else
-        f.copy(
-          name = newName,
-          metadata = new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f.metadata)
-            .putString(PhysKey, physName(f)) // freeze the physical name
-            .build())
-    })
     publish(
       spark,
       root,
@@ -4443,7 +4678,8 @@ object SnapshotTable {
         addedRows = 0L,
         batchId = None,
         ts = 0L,
-        schemaJson = Some(renamed.json)))
+        schemaJson = Some(schema.json),
+        dropped = dropped))
   }
 
   /** METADATA-ONLY column add — no data rewrite, at any file count: the
@@ -4458,37 +4694,8 @@ object SnapshotTable {
       spark: SparkSession,
       root: String,
       name: String,
-      dataType: org.apache.spark.sql.types.DataType): Int = {
-    val base = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
-    val m = readManifest(spark, root, base)
-    val schema = m.schemaJson
-      .map(schemaFromJson)
-      .getOrElse(sys.error("addColumn needs a schema-recording manifest"))
-    // resolver-aware duplicate check (case-insensitive under the default
-    // spark.sql.caseSensitive=false): a case-variant duplicate would make
-    // every later reference to either name AMBIGUOUS_REFERENCE — a
-    // permanently broken table
-    val resolver = spark.sessionState.conf.resolver
-    require(
-      !schema.fields.exists(f => resolver(f.name, name)),
-      s"column '$name' already exists")
-    val merged = mergeSchemas(
-      schema,
-      org.apache.spark.sql.types.StructType(
-        Seq(org.apache.spark.sql.types.StructField(name, dataType))))
-    val dropped = reviveDropped(m.dropped, merged)
-    publish(
-      spark,
-      root,
-      m.copy(
-        version = base + 1,
-        action = "schema",
-        addedRows = 0L,
-        batchId = None,
-        ts = 0L,
-        schemaJson = Some(merged.json),
-        dropped = dropped))
-  }
+      dataType: org.apache.spark.sql.types.DataType): Int =
+    alterSchema(spark, root, Seq(AddCol(name, dataType)))
 
   /** METADATA-ONLY column drop — no data rewrite: the new manifest's
     * recorded schema simply omits the column, and since reads project
@@ -4505,37 +4712,8 @@ object SnapshotTable {
     * rewrites (overwrite/compact), when no live file carries the bytes
     * anymore. Constraints referencing the column must be dropped first
     * (loud check). */
-  def dropColumn(spark: SparkSession, root: String, name: String): Int = {
-    val base = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
-    val m = readManifest(spark, root, base)
-    val schema = m.schemaJson
-      .map(schemaFromJson)
-      .getOrElse(sys.error("dropColumn needs a schema-recording manifest"))
-    require(schema.fieldNames.contains(name), s"no column '$name' in table schema")
-    require(schema.fields.length > 1, "cannot drop the last column")
-    require(
-      m.masks.isEmpty,
-      "pending merge-on-read masks reference logical column names; compact to reconcile them first")
-    m.constraints.foreach { case (cname, sql) =>
-      require(
-        !sql.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(name)}\\b.*"),
-        s"constraint '$cname' references column '$name'; drop the constraint first")
-    }
-    val field = schema.fields.find(_.name == name).get
-    val narrowed =
-      org.apache.spark.sql.types.StructType(schema.fields.filterNot(_.name == name))
-    publish(
-      spark,
-      root,
-      m.copy(
-        version = base + 1,
-        action = "schema",
-        addedRows = 0L,
-        batchId = None,
-        ts = 0L,
-        schemaJson = Some(narrowed.json),
-        dropped = m.dropped + (physName(field) -> field.dataType.json)))
-  }
+  def dropColumn(spark: SparkSession, root: String, name: String): Int =
+    alterSchema(spark, root, Seq(DropCol(name)))
 
   /** Add a CHECK constraint (SQL boolean expression over the table's
     * columns, e.g. `"price_c >= 0"`, `"k IS NOT NULL"`). EXISTING rows are

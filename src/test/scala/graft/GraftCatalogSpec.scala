@@ -201,4 +201,47 @@ class GraftCatalogSpec extends SparkSuite {
     val e = intercept[Exception](SnapshotTable.read(spark, dev).count())
     assert(e.getMessage.contains("no branch"), e.getMessage)
   }
+
+  test("multi-change ALTER TABLE is ONE atomic commit: all changes or none, never a committed prefix") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog, TableChange}
+    val root = wh + "/ddl/t"
+    SnapshotTable.create(spark, root, clustered(5, 1))
+    val v1 = SnapshotTable.latestVersion(spark, root).get
+    // one statement, two columns → ONE version, both visible
+    spark.sql("ALTER TABLE gtest.ddl.t ADD COLUMNS (a STRING, b INT)")
+    assert(SnapshotTable.latestVersion(spark, root).get == v1 + 1, "multi-add is one commit")
+    assert(spark.table("gtest.ddl.t").columns.toSeq == Seq("k", "s", "a", "b"))
+    // a LATER invalid change must leave the EARLIER valid one unapplied —
+    // driven through the catalog API directly (Spark's own analysis would
+    // otherwise pre-reject, bypassing the catalog's atomicity)
+    val cat = spark.sessionState.catalogManager
+      .catalog("gtest").asInstanceOf[TableCatalog]
+    val ident = Identifier.of(Array("ddl"), "t")
+    intercept[Exception](cat.alterTable(
+      ident,
+      TableChange.addColumn(Array("c2"), org.apache.spark.sql.types.StringType),
+      TableChange.deleteColumn(Array("no_such_col"), false)))
+    assert(SnapshotTable.latestVersion(spark, root).get == v1 + 1, "failed statement commits nothing")
+    assert(!spark.table("gtest.ddl.t").columns.contains("c2"), "no committed prefix")
+    // changes validate against the schema AS PREVIOUS CHANGES LEFT IT:
+    // a column ADDED and then RENAMED in the SAME statement only works
+    // when the second change sees the first one's result
+    cat.alterTable(
+      ident,
+      TableChange.addColumn(Array("tmp"), org.apache.spark.sql.types.IntegerType),
+      TableChange.renameColumn(Array("tmp"), "c3"),
+      TableChange.renameColumn(Array("s"), "s_old"))
+    assert(SnapshotTable.latestVersion(spark, root).get == v1 + 2, "three changes, ONE commit")
+    assert(spark.table("gtest.ddl.t").columns.toSeq == Seq("k", "s_old", "a", "b", "c3"))
+    // the renamed column still reads its original bytes
+    assert(spark.sql("SELECT s_old FROM gtest.ddl.t WHERE k = 1").head.getString(0) == "v1")
+    // re-adding a RENAMED column's frozen physical name refuses (the
+    // engine's physical-collision contract) and, being one statement,
+    // leaves the valid earlier change unapplied too
+    intercept[Exception](cat.alterTable(
+      ident,
+      TableChange.addColumn(Array("c4"), org.apache.spark.sql.types.IntegerType),
+      TableChange.addColumn(Array("s"), org.apache.spark.sql.types.IntegerType)))
+    assert(!spark.table("gtest.ddl.t").columns.contains("c4"), "no committed prefix")
+  }
 }

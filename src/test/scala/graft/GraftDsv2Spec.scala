@@ -146,4 +146,38 @@ class GraftDsv2Spec extends SparkSuite {
     assert(f.filter("s LIKE 'v42%'").count() ==
       SnapshotTable.read(spark, root).filter("s LIKE 'v42%'").count())
   }
+
+  test("cap_dsv2_runtime_filter: dim-side join keys prune fact files at EXECUTION time (static pushdown sees nothing)") {
+    import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, clustered(1000, 8)) // 8 range-clustered files
+    // unit contract: a runtime IN filter re-prunes planInputPartitions
+    // through the same manifest stats the static path uses
+    val provider = new GraftTableProvider
+    val o = opts("path" -> root)
+    val table = provider.getTable(provider.inferSchema(o), Array.empty, o.asCaseSensitiveMap())
+    val scan = table.asInstanceOf[SupportsRead].newScanBuilder(o).build()
+    val rt = scan.asInstanceOf[SupportsRuntimeFiltering]
+    assert(rt.filterAttributes().map(_.fieldNames.mkString(".")).toSet == Set("k", "s"))
+    assert(scan.toBatch.planInputPartitions().length == 8)
+    rt.filter(Array[sources.Filter](sources.In("k", Array(5L, 7L, 9L))))
+    assert(scan.toBatch.planInputPartitions().length == 1,
+      "runtime keys from one clustered range must prune to one file")
+
+    // e2e: a broadcast star join injects a dynamic-pruning subquery on
+    // the fact scan — keys Spark only knows at execution time
+    val dim = spark.range(3).selectExpr("id + 5 AS k", "concat('d', id) AS d")
+    dim.createOrReplaceTempView("rt_dim")
+    val fact = spark.read.format("graft").load(root)
+    fact.createOrReplaceTempView("rt_fact")
+    // DPP injects only when the dim side carries a SELECTIVE predicate
+    // (Spark's isLikelySelective gate) — the star-join shape
+    val joined = spark.sql(
+      "SELECT /*+ BROADCAST(d) */ f.k, d.d FROM rt_fact f JOIN rt_dim d ON f.k = d.k WHERE d.d = 'd0'")
+    assert(joined.count() == 1)
+    val planStr = joined.queryExecution.executedPlan.toString
+    assert(
+      planStr.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic-pruning subquery on the fact scan in:\n$planStr")
+  }
 }

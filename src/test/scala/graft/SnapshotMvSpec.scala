@@ -291,4 +291,28 @@ class SnapshotMvSpec extends SparkSuite {
     // the backing table carries the hidden non-null counter
     assert(SnapshotTable.read(spark, mv).columns.contains("__nn_price_c"))
   }
+
+  test("refresh after a full-table COW rewrite reads O(changed rows): write-time capture, no except-all diff") {
+    val base = freshRoot(); val mv = freshRoot() + "/mv"
+    SnapshotTable.create(spark, base, fixture(0, 2000))
+    SnapshotMv.create(spark, base, mv, keys = Seq("grp"), sums = Seq("price_c"))
+    // a merge whose source hits EVERY file — the rewrite-heavy COW shape
+    // that made the old diff read ~2× the table per refresh
+    SnapshotTable.mergeUpsert(
+      spark, base,
+      fixture(0, 2000).filter("k % 2 = 0")
+        .withColumn("price_c", org.apache.spark.sql.functions.expr("coalesce(price_c, 0) + 5")),
+      Seq("k"))
+    // the commit captured its own delta...
+    val m = SnapshotTable.readManifest(spark, base, SnapshotTable.latestVersion(spark, base).get)
+    assert(m.cdc.isDefined && m.cdc.get.delDir.isDefined && m.cdc.get.insEntries.nonEmpty)
+    // ...so the refresh's change feed plans NO except-all over the table
+    val ch = SnapshotTable.changesBetween(spark, base, SnapshotMv.syncedVersion(spark, mv),
+      SnapshotTable.latestVersion(spark, base).get)
+    assert(ch.queryExecution.analyzed.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Except => e
+    }.isEmpty, "rewrite-heavy refresh must read the capture, not diff the table")
+    SnapshotMv.refresh(spark, mv)
+    assert(mvRows(mv) == recompute(SnapshotTable.read(spark, base)))
+  }
 }

@@ -45,6 +45,40 @@ class SnapshotSourceSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("RESTORE mid-stream: re-listed files never re-emit (a file appends once in table history); later appends still flow") {
+    val root = freshRoot()
+    // two range-clustered files: the delete below drops one WHOLLY
+    SnapshotTable.create(
+      spark, root,
+      spark.range(20).selectExpr("id AS k", "concat('v', id) AS s")
+        .repartitionByRange(2, org.apache.spark.sql.functions.col("k"))
+        .sortWithinPartitions("k")) // v1
+    val q = spark.readStream.format("snapshot-table").option("path", root).load()
+      .writeStream.format("memory").queryName("snap_restore")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("snap_restore").count() == 20)
+      // v2: whole-file drop — adds nothing, stream emits nothing
+      SnapshotTable.deleteWhere(spark, root, Seq(SnapshotTable.Bound("k", Some(10L), Some(19L))))
+      q.processAllAvailable()
+      assert(spark.table("snap_restore").count() == 20)
+      // v3: RESTORE re-lists the dropped file — its rows were already
+      // emitted at v1; re-emitting them would duplicate an exactly-once
+      // consumer's stream
+      SnapshotTable.restore(spark, root, 1)
+      q.processAllAvailable()
+      val ks = spark.table("snap_restore").select("k").as[Long].collect().toSeq
+      assert(ks.size == 20 && ks.distinct.size == 20,
+        s"restore-re-listed files must not re-emit: got ${ks.size} rows, ${ks.distinct.size} distinct")
+      // fresh appends after the restore still flow
+      SnapshotTable.append(spark, root, batch(100L -> "x"))
+      q.processAllAvailable()
+      assert(spark.table("snap_restore").count() == 21)
+      assert(spark.table("snap_restore").select("k").as[Long].collect().count(_ == 100L) == 1)
+    } finally q.stop()
+  }
+
   test("checkpoint recovery: a restarted query resumes at its version offset") {
     val root = freshRoot()
     val ckpt = Files.createTempDirectory("graft-ssrc-ckpt").toString

@@ -964,4 +964,75 @@ class SnapshotTableSpec extends SparkSuite {
     val idx = new graft.sinks.SnapshotFileIndex(spark, root, mixed, schema)
     assert(idx.sizeInBytes == Long.MaxValue)
   }
+
+  test("cap_cdc_onwrite: COW DML captures its delta — CDC reads run NO except-all diff, streams match the diff path exactly") {
+    import org.apache.spark.sql.functions.{concat, lit}
+    import SnapshotTable.Bound
+    val dir = freshRoot()
+    val o = spark
+      .range(1000)
+      .selectExpr("id AS k", "concat('v', id) AS s")
+      .repartitionByRange(8, col("k"))
+      .sortWithinPartitions("k")
+    def dml(tr: String): Unit = {
+      // v2 delete: interior files drop wholly (zero I/O), boundary rewrites
+      SnapshotTable.deleteWhere(spark, tr, Seq(Bound("k", Some(0L), Some(200L))))
+      // v3 update: delete(old) + insert(new) pairs
+      SnapshotTable.updateWhere(
+        spark, tr, Seq(Bound("k", Some(500L), Some(600L))),
+        Map("s" -> concat(col("s"), lit("!"))))
+      // v4 merge: replaced rows + fresh inserts
+      SnapshotTable.mergeUpsert(
+        spark, tr,
+        spark.range(550, 1100, 50).selectExpr("id AS k", "concat('m', id) AS s"),
+        Seq("k"))
+    }
+    val r = dir + "/t"
+    SnapshotTable.create(spark, r, o)
+    dml(r)
+    // capture-OFF twin: the except-all diff path is the semantics oracle
+    val twin = dir + "/twin"
+    spark.conf.set("spark.graft.cdc.onWrite", "false")
+    try { SnapshotTable.create(spark, twin, o); dml(twin) }
+    finally spark.conf.unset("spark.graft.cdc.onWrite")
+
+    // every DML commit recorded capture; create did not; the v2 delete's
+    // wholly-dropped files stay OUTSIDE covered (zero-I/O drop preserved)
+    val (m1, m2, m4) = (
+      SnapshotTable.readManifest(spark, r, 1),
+      SnapshotTable.readManifest(spark, r, 2),
+      SnapshotTable.readManifest(spark, r, 4))
+    assert(m1.cdc.isEmpty)
+    assert(m2.cdc.isDefined && m2.cdc.get.delDir.isDefined && m2.cdc.get.insDir.isEmpty)
+    val removedV2 = m1.files.map(_.path).toSet -- m2.files.map(_.path).toSet
+    assert((removedV2 -- m2.cdc.get.covered.toSet).nonEmpty,
+      "interior files of the range delete must be UNCAPTURED whole-file drops")
+    assert(m4.cdc.isDefined && m4.cdc.get.insEntries.nonEmpty, "merge source dir is the insert set")
+
+    // the captured read plans NO except-all; the twin's diff path does
+    def exceptsIn(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect {
+        case e: org.apache.spark.sql.catalyst.plans.logical.Except => e
+      }.size
+    val ch = SnapshotTable.changesBetween(spark, r, 1, 4)
+    val chTwin = SnapshotTable.changesBetween(spark, twin, 1, 4)
+    assert(exceptsIn(ch) == 0, "capture path must not diff rewritten files")
+    assert(exceptsIn(chTwin) > 0, "twin must exercise the diff path for this comparison to mean anything")
+    def stream(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(stream(ch) == stream(chTwin), "capture path must reproduce the diff path's exact multiset")
+
+    // vacuum: sidecars of retained manifests survive; aged-out ones sweep
+    val f = new java.io.File(r + "/_cdc")
+    def sidecars() = Option(f.list()).map(_.count(_.startsWith("w-"))).getOrElse(0)
+    val before = sidecars()
+    assert(before >= 3, s"three DML commits capture at least 3 sidecars, got $before")
+    Thread.sleep(20)
+    SnapshotTable.vacuum(spark, r, keepLast = 4, minAgeMs = 5) // all retained
+    assert(sidecars() == before, "retained manifests' sidecars are live")
+    SnapshotTable.vacuum(spark, r, keepLast = 2, minAgeMs = 5) // v2 ages out
+    assert(sidecars() < before, "unreferenced sidecars reclaim with their versions")
+    // the retained commits' CDC still reads
+    assert(SnapshotTable.changesBetween(spark, r, 3, 4).count() > 0)
+  }
 }
