@@ -651,7 +651,13 @@ object Reports {
         .distinct()
       val n = li.select(countDistinct("ok").as("n_orders"))
       val it = li.groupBy("pk").agg(count(lit(1)).as("n_i"))
-      li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+      // apriori min-support prefilter: n_ab >= 3 ⇒ n_a >= 3 ∧ n_b >= 3, so
+      // items below support 3 can never reach a qualifying pair — pruning
+      // them BEFORE the per-order self-join bounds the O(k²) pair
+      // explosion against skewed baskets with zero result change
+      // (monotonicity); the lift denominators keep the TRUE item counts
+      val liF = li.join(it.filter(col("n_i") >= 3).select("pk"), Seq("pk"), "left_semi")
+      liF.join(liF.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
         .filter(col("pk") < col("pk2"))
         .groupBy(col("pk").as("pa"), col("pk2").as("pb"))
         .agg(count(lit(1)).as("n_ab"))

@@ -46,7 +46,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the programmatic/SnapshotSql surfaces). */
 final class GraftCatalog
     extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -84,6 +85,24 @@ final class GraftCatalog
 
   private def rootOf(ident: Identifier): String =
     (warehouse +: safe(ident.namespace.toSeq :+ ident.name)).mkString("/")
+
+  /** A procedure's dotted `'ns.t'` argument → the validated table root
+    * (the same safe() gate as identifiers — a procedure arg must not
+    * escape the warehouse either). */
+  private[sinks] def tableRootOf(dotted: String): String = {
+    val parts = dotted.split('.').toSeq
+    val root = (warehouse +: safe(parts)).mkString("/")
+    require(isTable(root), s"no snapshot table at ${name()}.${parts.mkString(".")}")
+    root
+  }
+
+  // ───────── maintenance procedures: CALL <catalog>.system.<proc>(...) ─────────
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(this, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list(this, namespace)
 
   private def isTable(root: String): Boolean =
     SnapshotTable.latestVersion(spark, root).isDefined

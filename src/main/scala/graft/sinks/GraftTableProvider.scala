@@ -193,8 +193,10 @@ private[sinks] final class GraftScanBuilder(
 
   override def build(): Scan = {
     val m = SnapshotTable.readManifest(spark, root, v)
-    val mapped = !SnapshotTable.physicalSchemaOf(tableSchema).fieldNames.sameElements(tableSchema.fieldNames)
-    if (m.masks.isEmpty && !mapped)
+    // renamed columns stay NATIVE (the scan maps logical→physical names
+    // itself); only pending merge-on-read masks — whose anti-join/filter
+    // semantics need the relation replay — take the V1 fallback
+    if (m.masks.isEmpty)
       new GraftBatchScan(spark, root, m, tableSchema, required, allFilters.toSeq)
     else
       new GraftV1FallbackScan(spark, root, v, required, allFilters.toSeq)
@@ -202,6 +204,41 @@ private[sinks] final class GraftScanBuilder(
 }
 
 private[sinks] object GraftScanBuilder {
+
+  /** Rewrite a filter's attribute names through `nameMap` (logical →
+    * physical). `None` = a shape or name this translation doesn't carry —
+    * the filter is simply not pushed (Spark re-applies it row-level, so
+    * dropping is always safe). `Not` is dropped rather than partially
+    * translated: a half-renamed negation would be wrong, not just
+    * unpushed. */
+  def renameFilter(f: sources.Filter, nameMap: Map[String, String]): Option[sources.Filter] = {
+    def n(a: String): Option[String] = nameMap.get(a)
+    f match {
+      case sources.EqualTo(a, v) => n(a).map(sources.EqualTo(_, v))
+      case sources.EqualNullSafe(a, v) => n(a).map(sources.EqualNullSafe(_, v))
+      case sources.GreaterThan(a, v) => n(a).map(sources.GreaterThan(_, v))
+      case sources.GreaterThanOrEqual(a, v) => n(a).map(sources.GreaterThanOrEqual(_, v))
+      case sources.LessThan(a, v) => n(a).map(sources.LessThan(_, v))
+      case sources.LessThanOrEqual(a, v) => n(a).map(sources.LessThanOrEqual(_, v))
+      case sources.In(a, vs) => n(a).map(sources.In(_, vs))
+      case sources.IsNull(a) => n(a).map(sources.IsNull(_))
+      case sources.IsNotNull(a) => n(a).map(sources.IsNotNull(_))
+      case sources.StringStartsWith(a, p) => n(a).map(sources.StringStartsWith(_, p))
+      case sources.StringEndsWith(a, p) => n(a).map(sources.StringEndsWith(_, p))
+      case sources.StringContains(a, p) => n(a).map(sources.StringContains(_, p))
+      case sources.And(l, r) =>
+        (renameFilter(l, nameMap), renameFilter(r, nameMap)) match {
+          case (Some(a), Some(b)) => Some(sources.And(a, b))
+          case (one, other) => one.orElse(other) // partial conjunction still prunes soundly
+        }
+      case sources.Or(l, r) =>
+        for { a <- renameFilter(l, nameMap); b <- renameFilter(r, nameMap) } yield sources.Or(a, b)
+      // Not is NOT pushed: the And branch's partial translation keeps a
+      // SUPERSET (safe for pruning) — inverted under Not it would keep a
+      // subset, i.e. wrongly prune
+      case _ => None
+    }
+  }
 
   /** A pushed V1 filter as the catalyst shape [[SnapshotFileIndex]]'s
     * stat prover understands — `None` = untranslatable (the file is kept;
@@ -273,6 +310,16 @@ private[sinks] final class GraftBatchScan(
 
   @volatile private var runtimeFilters: Seq[sources.Filter] = Seq.empty
 
+  // the manifest's stats AND the parquet files key by PHYSICAL names
+  // (immutable across renames) — the scan translates at its edges and
+  // stays NATIVE for renamed tables: rows are positional, so a physical
+  // required schema reads back exactly as the logical one Spark binds to
+  private val physSchema = SnapshotTable.physicalSchemaOf(tableSchema)
+  private val nameMap: Map[String, String] =
+    tableSchema.fields.zip(physSchema.fields).map { case (l, p) => l.name -> p.name }.toMap
+  private def physFilters(fs: Seq[sources.Filter]): Seq[sources.Filter] =
+    fs.flatMap(GraftScanBuilder.renameFilter(_, nameMap))
+
   // only columns the scan actually OUTPUTS: Spark resolves these against
   // the pruned read schema, and a DPP join key is necessarily in it
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
@@ -289,9 +336,9 @@ private[sinks] final class GraftBatchScan(
     s"GraftBatchScan root=$root v=${m.version} pushed=${filters.mkString(", ")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val idx = new SnapshotFileIndex(spark, SnapshotTable.dataRoot(root), m, tableSchema)
+    val idx = new SnapshotFileIndex(spark, SnapshotTable.dataRoot(root), m, physSchema)
     val dataFilters =
-      (filters ++ runtimeFilters).flatMap(GraftScanBuilder.toCatalyst(_, tableSchema))
+      physFilters(filters ++ runtimeFilters).flatMap(GraftScanBuilder.toCatalyst(_, physSchema))
     idx
       .listFiles(Nil, dataFilters)
       .flatMap(_.files)
@@ -302,10 +349,10 @@ private[sinks] final class GraftBatchScan(
   override def createReaderFactory(): PartitionReaderFactory = {
     val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
       sparkSession = spark,
-      dataSchema = tableSchema,
+      dataSchema = physSchema,
       partitionSchema = new StructType(),
-      requiredSchema = required,
-      filters = filters, // row-group pushdown; Spark still re-applies row-level
+      requiredSchema = SnapshotTable.physicalSchemaOf(required),
+      filters = physFilters(filters), // row-group pushdown; Spark still re-applies row-level
       options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
       hadoopConf = spark.sessionState.newHadoopConf())
     GraftReaderFactory(readFunc)

@@ -244,4 +244,49 @@ class GraftCatalogSpec extends SparkSuite {
       TableChange.addColumn(Array("s"), org.apache.spark.sql.types.IntegerType)))
     assert(!spark.table("gtest.ddl.t").columns.contains("c4"), "no committed prefix")
   }
+
+  test("cap_catalog_procedures: CALL gtest.system.{history,optimize,create_tag,create_branch,vacuum} via plain SQL") {
+    val root = wh + "/proc/t"
+    SnapshotTable.create(spark, root, clustered(100, 4)) // v1
+    spark.sql("INSERT INTO gtest.proc.t SELECT id + 1000 AS k, concat('x', id) AS s FROM range(10)") // v2
+
+    // history: the commit log as rows
+    val h = spark.sql("CALL gtest.system.history('proc.t')")
+    assert(h.columns.take(2).toSeq == Seq("version", "action"))
+    assert(h.count() == 2)
+
+    // optimize single-column = compact; returns the new version
+    assert(spark.sql("CALL gtest.system.optimize('proc.t', 'k', 2)").head.getInt(0) == 3)
+    assert(SnapshotTable.history(spark, root).last.action == "compact")
+    assert(spark.sql("SELECT count(*) AS n FROM gtest.proc.t").head.getLong(0) == 110)
+    // multi-column = Z-ORDER
+    assert(spark.sql("CALL gtest.system.optimize('proc.t', 'k, s', 2)").head.getInt(0) == 4)
+
+    // tag a version, fork a branch — readable through VERSION AS OF
+    assert(spark.sql("CALL gtest.system.create_tag('proc.t', 'gold', 1)").head.getInt(0) == 1)
+    spark.sql("CALL gtest.system.create_branch('proc.t', 'dev')")
+    assert(spark.sql("SELECT count(*) AS n FROM gtest.proc.t VERSION AS OF 'gold'").head.getLong(0) == 100)
+    assert(spark.sql("SELECT count(*) AS n FROM gtest.proc.t VERSION AS OF 'dev'").head.getLong(0) == 110)
+
+    // vacuum: NAMED arguments + defaulted min_age_ms; dry run reports
+    // without deleting (v1 is tag-pinned and survives either way)
+    val dry = spark.sql(
+      "CALL gtest.system.vacuum(`table` => 'proc.t', keep_last => 1, dry_run => true)")
+    assert(dry.columns.toSeq == Seq("deleted_path") && dry.count() > 0)
+    assert(spark.sql("SELECT count(*) AS n FROM gtest.proc.t VERSION AS OF 2").head.getLong(0) == 110,
+      "dry run must delete nothing")
+    spark.sql("CALL gtest.system.vacuum(`table` => 'proc.t', keep_last => 1)")
+    // v2's manifest is reclaimed; the tagged v1 survives
+    intercept[Exception](
+      spark.sql("SELECT count(*) FROM gtest.proc.t VERSION AS OF 2").collect())
+    assert(spark.sql("SELECT count(*) AS n FROM gtest.proc.t VERSION AS OF 'gold'").head.getLong(0) == 100)
+
+    // discovery + refusals
+    assert(spark.sql("SHOW PROCEDURES IN gtest.system").count() == 5)
+    // Spark wraps the loud unknown-procedure refusal in FAILED_TO_LOAD_ROUTINE
+    val e = intercept[Exception](spark.sql("CALL gtest.system.nope('x')"))
+    assert(e.getMessage.contains("nope"), e.getMessage)
+    // a procedure's table argument rides the same unsafe-segment gate
+    intercept[Exception](spark.sql("CALL gtest.system.history('../escape')"))
+  }
 }

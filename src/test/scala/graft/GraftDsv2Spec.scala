@@ -123,13 +123,26 @@ class GraftDsv2Spec extends SparkSuite {
     val scan = table.asInstanceOf[SupportsRead].newScanBuilder(o).build()
     assert(scan.isInstanceOf[V1Scan], s"masked table must take the V1Scan fallback, got $scan")
 
-    // renamed column: logical name serves, physical stays frozen
+    // renamed column: logical name serves, physical stays frozen — and
+    // the table KEEPS the native batch (the scan maps names itself)
     val root2 = freshRoot()
-    SnapshotTable.create(spark, root2, clustered(100, 2))
-    SnapshotTable.renameColumn(spark, root2, "s", "label")
+    SnapshotTable.create(spark, root2, clustered(1000, 8))
+    SnapshotTable.renameColumn(spark, root2, "k", "id")
     val renamed = spark.read.format("graft").load(root2)
-    assert(renamed.schema.fieldNames.toSeq == Seq("k", "label"))
-    assert(renamed.filter("label = 'v7'").select("k").as[Long].head() == 7L)
+    assert(renamed.schema.fieldNames.toSeq == Seq("id", "s"))
+    assert(renamed.filter("s = 'v7'").select("id").as[Long].head() == 7L)
+    val t2 = provider.getTable(
+      provider.inferSchema(opts("path" -> root2)), Array.empty,
+      opts("path" -> root2).asCaseSensitiveMap())
+    val s2 = t2.asInstanceOf[SupportsRead].newScanBuilder(opts("path" -> root2)).build()
+    assert(!s2.isInstanceOf[V1Scan], "a renamed table stays on the native batch")
+    // pushed filters on the RENAMED column still prune through the
+    // physical-name stats, and the e2e plan is a pruned BatchScanExec
+    val prunedDf = renamed.filter("id > 874")
+    assert(prunedDf.count() == 125)
+    val scan2 = prunedDf.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }.get
+    assert(scan2.inputPartitions.size == 1,
+      s"renamed-column pushdown must prune to 1 file, got ${scan2.inputPartitions.size}")
   }
 
   test("a clean table's filtered DSv2 read equals the engine read (pushdown is only an optimization)") {
