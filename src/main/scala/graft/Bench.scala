@@ -106,7 +106,9 @@ object Bench {
     val memoUsers: Map[String, () => Boolean] = {
       val graphWarm = () => graft.ops.Graph.memoNonEmpty
       val bpeWarm = () => graft.ops.BpeTokenizer.memoNonEmpty
-      val cycleWarm = () => graft.ops.SnapshotCycle.memoNonEmpty
+      // per-KEY warmth: the SQL/catalog cycle variants pay their own
+      // builds under other memo keys and must not label this family
+      val cycleWarm = () => graft.ops.SnapshotCycle.rootWarm(spark, sfDir)
       Map(
         "q_graph_triangles" -> graphWarm,
         "q_graph_pagerank" -> graphWarm,

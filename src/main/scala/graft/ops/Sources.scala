@@ -738,6 +738,13 @@ object SnapshotCycle {
 
   def memoNonEmpty: Boolean = memo.nonEmpty
 
+  /** Whether THE PROGRAMMATIC cycle (the one `root()` builds — the memo
+    * key q_snapshot_{dml,cdc,sql}/q_mv_refresh share) is warm. The
+    * map-level [[memoNonEmpty]] went stale as a label signal once the
+    * SQL/catalog variants added their own keys: q_catalog_dml building
+    * ITS cycle must not mark the root family as memo hits. */
+  def rootWarm(s: SparkSession, dir: String): Boolean = memo.contains((s, dir))
+
   /** Forget built cycles: the next query rebuilds from the fixture (the
     * on-disk root is deleted and recreated by the build). */
   def clearMemo(): Unit = memo.clear()

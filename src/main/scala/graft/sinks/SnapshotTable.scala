@@ -136,7 +136,13 @@ object SnapshotTable {
     * once, where the old diff cost ~2× the rewritten bytes on EVERY
     * uncached CDC range read. Disable per-session with
     * `spark.graft.cdc.onWrite=false` (readers honor whatever each
-    * manifest recorded). */
+    * manifest recorded).
+    *
+    * One deliberate semantic refinement vs the diff path: an UPDATE that
+    * rewrites a row to IDENTICAL values emits its delete+insert pair
+    * (the write-side truth — Delta CDF's convention), where the
+    * except-all diff cancels such pairs. Downstream algebra (MV deltas,
+    * upsert-apply) is invariant either way. */
   final case class Cdc(
       covered: Seq[String],
       delDir: Option[String],
@@ -3657,6 +3663,15 @@ object SnapshotTable {
       if (df.columns.contains(f.name)) q(f.name) else lit(null).cast(f.dataType).as(f.name)
     }.toSeq: _*)
     val matchedTag = "__graft_matched"
+    // write-time CDC capture ([[Cdc]]): the clause gates are mutually
+    // exclusive (first-match-wins), so the joined frame yields the exact
+    // per-row outcome — delete/update pre-images are the target side of
+    // rows where a delete/update gate fires, update post-images their
+    // outCols projection. Re-evaluating the join for the capture costs
+    // one extra scan of only the rewritten files + source, paid once at
+    // commit where the except-all diff cost ~2× per uncached range read.
+    var captureDel: Option[DataFrame] = None
+    var captureUpd: Option[DataFrame] = None
     val survivorsOpt: Option[DataFrame] =
       if (rewritePaths.isEmpty) None
       else {
@@ -3697,6 +3712,15 @@ object SnapshotTable {
               (ap, v)
             }
           updates.foldRight(tCol) { case ((ap, v), rest) => when(ap, v).otherwise(rest) }.as(f.name)
+        }
+        if (cdcOnWrite(spark)) {
+          val tOut = evolvedStruct.fields.map(f => col(s"$targetAlias.`${f.name}`").as(f.name))
+          val anyUpdate = clauseRows
+            .collect { case (_: MatchedUpdate, ap, _) => ap }
+            .reduceOption(_ || _)
+            .getOrElse(lit(false))
+          captureDel = Some(joined.filter(deleted || anyUpdate).select(tOut.toSeq: _*))
+          captureUpd = Some(joined.filter(anyUpdate).select(outCols.toSeq: _*))
         }
         Some(joined.filter(!deleted).select(outCols.toSeq: _*))
       }
@@ -3748,6 +3772,23 @@ object SnapshotTable {
       else readAs(rewritePaths).count()
     val (rel, n, stats) = writeData(spark, root, outDf, m.constraints, evolvedMapping)
     if (rewritePaths.isEmpty && n == 0) return base // nothing matched a clause: no-op
+    // write-time CDC ([[Cdc]]): an insert-only merge's new dir is PURE
+    // inserts (referenced, not copied); a rewriting merge captures its
+    // per-clause delta — delete+update pre-images in one sidecar, update
+    // post-images plus the insert rows in the other (the new dir mixes
+    // carried survivors in, so it can never be referenced directly)
+    val cdcRec: Option[Cdc] =
+      if (!cdcOnWrite(spark)) None
+      else if (rewritePaths.isEmpty)
+        Some(Cdc(Seq.empty, None, None, if (n > 0) Seq(rel) else Seq.empty))
+      else {
+        val insAll = (captureUpd.toSeq ++ insertsOpt.toSeq).reduceOption(_ unionByName _)
+        Some(Cdc(
+          rewritePaths,
+          captureDel.map(d => writeCdcSidecar(spark, root, d, evolvedMapping)),
+          insAll.map(i => writeCdcSidecar(spark, root, i, evolvedMapping)),
+          Seq.empty))
+      }
     val untouched =
       if (rewritePaths.isEmpty) m.files else m.files.filterNot(f => rewriteSet.contains(f.path))
     val untouchedSet = untouched.map(_.path).toSet
@@ -3777,7 +3818,8 @@ object SnapshotTable {
         untouched ++ stats,
         constraints = m.constraints,
         dropped = reviveDropped(m.dropped, evolvedStruct),
-        masks = keptMasks))
+        masks = keptMasks,
+        cdc = cdcRec))
   }
 
   /** Merge-on-read MATCHED-DELETE — `WHEN MATCHED THEN DELETE` with zero

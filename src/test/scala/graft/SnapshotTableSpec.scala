@@ -986,6 +986,20 @@ class SnapshotTableSpec extends SparkSuite {
         spark, tr,
         spark.range(550, 1100, 50).selectExpr("id AS k", "concat('m', id) AS s"),
         Seq("k"))
+      // v5 GENERAL merge: conditional update, matched delete, INSERT *,
+      // and a conditional BY SOURCE delete — the per-clause capture path
+      SnapshotTable.mergeInto(
+        spark, tr,
+        spark.range(700, 1200, 100).selectExpr("id AS k", "concat('g', id) AS s"),
+        Seq("k"),
+        matched = Seq(
+          SnapshotTable.MatchedUpdate(Some("__s.k < 900"), Some(Map("s" -> "__s.s"))),
+          SnapshotTable.MatchedDelete(None)),
+        notMatched = Seq(SnapshotTable.NotMatchedInsert(None, None)),
+        targetAlias = "__t",
+        sourceAlias = "__s",
+        notMatchedBySource = Seq(SnapshotTable.MatchedDelete(Some("__t.k = 300"))),
+        nmbsPruneBounds = Seq(Seq(Bound("k", Some(300L), Some(300L)))))
     }
     val r = dir + "/t"
     SnapshotTable.create(spark, r, o)
@@ -1014,8 +1028,8 @@ class SnapshotTableSpec extends SparkSuite {
       df.queryExecution.analyzed.collect {
         case e: org.apache.spark.sql.catalyst.plans.logical.Except => e
       }.size
-    val ch = SnapshotTable.changesBetween(spark, r, 1, 4)
-    val chTwin = SnapshotTable.changesBetween(spark, twin, 1, 4)
+    val ch = SnapshotTable.changesBetween(spark, r, 1, 5)
+    val chTwin = SnapshotTable.changesBetween(spark, twin, 1, 5)
     assert(exceptsIn(ch) == 0, "capture path must not diff rewritten files")
     assert(exceptsIn(chTwin) > 0, "twin must exercise the diff path for this comparison to mean anything")
     def stream(df: org.apache.spark.sql.DataFrame): Seq[String] =
@@ -1026,11 +1040,11 @@ class SnapshotTableSpec extends SparkSuite {
     val f = new java.io.File(r + "/_cdc")
     def sidecars() = Option(f.list()).map(_.count(_.startsWith("w-"))).getOrElse(0)
     val before = sidecars()
-    assert(before >= 3, s"three DML commits capture at least 3 sidecars, got $before")
+    assert(before >= 5, s"four DML commits capture at least 5 sidecars, got $before")
     Thread.sleep(20)
-    SnapshotTable.vacuum(spark, r, keepLast = 4, minAgeMs = 5) // all retained
+    SnapshotTable.vacuum(spark, r, keepLast = 5, minAgeMs = 5) // all retained
     assert(sidecars() == before, "retained manifests' sidecars are live")
-    SnapshotTable.vacuum(spark, r, keepLast = 2, minAgeMs = 5) // v2 ages out
+    SnapshotTable.vacuum(spark, r, keepLast = 3, minAgeMs = 5) // v2 ages out
     assert(sidecars() < before, "unreferenced sidecars reclaim with their versions")
     // the retained commits' CDC still reads
     assert(SnapshotTable.changesBetween(spark, r, 3, 4).count() > 0)
