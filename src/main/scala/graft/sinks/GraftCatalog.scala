@@ -177,16 +177,20 @@ final class GraftCatalog
     require(
       partitions.isEmpty,
       "graft tables take no PARTITIONED BY — cluster with OPTIMIZE ... ZORDER BY / CLUSTER BY")
-    // refuse-not-approximate: TBLPROPERTIES/COMMENT/LOCATION have nowhere
-    // to live in a stateless catalog — silently dropping them would lie.
-    // Spark itself injects bookkeeping keys on every CREATE; those pass.
+    // refuse-not-approximate: TBLPROPERTIES/COMMENT have nowhere to live
+    // in a stateless catalog, and LOCATION/EXTERNAL would be silently
+    // IGNORED (identifiers map to warehouse paths by contract) — a table
+    // "created at /x" that actually lives under the warehouse is a lie.
+    // Spark injects only bookkeeping keys (provider, owner) on every
+    // CREATE; those pass, everything else refuses loudly.
     val userProps = properties
       .keySet()
       .toArray(Array.empty[String])
-      .filterNot(Set("provider", "owner", "location", "external"))
+      .filterNot(Set("provider", "owner"))
     require(
       userProps.isEmpty,
-      s"graft tables carry no table properties (the manifest log is the metadata); " +
+      s"graft tables carry no table properties, comments, or explicit locations " +
+        s"(identifiers map to warehouse paths; the manifest log is the metadata); " +
         s"got ${userProps.mkString(", ")}")
     val root = rootOf(ident)
     if (isTable(root)) throw new TableAlreadyExistsException(ident)
@@ -331,7 +335,11 @@ final class GraftCatalog
     val f = fsOf(p)
     if (!cascade && f.listStatus(p).nonEmpty)
       throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(namespace)
-    f.delete(p, true)
+    val ok = f.delete(p, true)
+    // a CASCADE drop deletes every table tree underneath — their cached
+    // branch forks are as stale as dropTable's (same wrong-data hazard)
+    SnapshotTable.invalidateForksUnder(p.toString)
+    ok
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {

@@ -303,7 +303,12 @@ object SnapshotMv {
         return SnapshotTable.publish(
           spark,
           mvRoot,
-          m.copy(version = v + 1, action = "mv-sync", addedRows = 0L, batchId = Some(syncedV.toLong)))
+          m.copy(
+            version = v + 1,
+            action = "mv-sync",
+            addedRows = 0L,
+            batchId = Some(syncedV.toLong),
+            cdc = None)) // capture describes ONE commit's delta — never inherited
       catch {
         case e: SnapshotTable.ConcurrentCommitException =>
           attempts += 1

@@ -164,18 +164,25 @@ final class SnapshotSource(
       }
     }
 
-  /** Every entry live in ANY version before `v` — computed only when a
-    * RESTORE commit is walked (rare events; one manifest sweep, cached,
-    * driver-side metadata only — never a data read). Bypasses the
+  /** Every entry live in ANY RETAINED version before `v` — computed only
+    * when a RESTORE commit is walked (rare events; one manifest sweep,
+    * cached, driver-side metadata only — never a data read). Bypasses the
     * sliding [[manifestCache]]: a full-history sweep must not evict the
-    * stream's working window. */
+    * stream's working window. Sweeping the LISTED versions (not 1..v-1)
+    * keeps this total under vacuumed history — sound for the
+    * appends-once contract, because a restore's target manifest must
+    * itself be retained (restore refuses otherwise), and every entry the
+    * restore re-lists IS in that retained earlier manifest. */
   private val everLiveCache = scala.collection.concurrent.TrieMap.empty[Int, Set[String]]
   private def everLiveBefore(v: Int): Set[String] =
     everLiveCache.getOrElseUpdate(
       v,
-      (1 until v).foldLeft(Set.empty[String]) { (acc, w) =>
-        acc ++ SnapshotTable.fileEntries(SnapshotTable.readManifest(spark, root, w))
-      })
+      SnapshotTable
+        .versions(spark, root)
+        .filter(_ < v)
+        .foldLeft(Set.empty[String]) { (acc, w) =>
+          acc ++ SnapshotTable.fileEntries(SnapshotTable.readManifest(spark, root, w))
+        })
 
   private def listAt(p: Position): Seq[String] =
     if (p.snap) SnapshotTable.fileEntries(manifest(p.v)) else addedEntries(p.v)

@@ -124,10 +124,13 @@ object SnapshotTable {
     *    the reader reads them directly (already O(changed rows)); the
     *    zero-I/O whole-file delete fast path is thereby preserved at
     *    write time.
-    *  - `delDir` / `insDir`: `_cdc/w-<uuid>` sidecars holding the
-    *    captured delete pre-images / insert post-images (PHYSICAL column
-    *    names — immutable across renames — published object-store-safe
-    *    via the `_SUCCESS` named-set protocol).
+    *  - `chDir`: ONE `_cdc/w-<uuid>` sidecar holding the captured change
+    *    rows — table columns (PHYSICAL names, immutable across renames)
+    *    plus a `_change_type` column ('delete' pre-images / 'insert'
+    *    post-images), published object-store-safe via the `_SUCCESS`
+    *    named-set protocol. One dir = ONE capture job: an update emits
+    *    its pre/post pair from a single scan of the matched rows
+    *    (struct-pair explode), never two passes.
     *  - `insEntries`: added DATA entries that are wholly inserts (e.g. a
     *    merge's source dir) — read directly, no sidecar copy.
     *
@@ -145,9 +148,11 @@ object SnapshotTable {
     * upsert-apply) is invariant either way. */
   final case class Cdc(
       covered: Seq[String],
-      delDir: Option[String],
-      insDir: Option[String],
+      chDir: Option[String],
       insEntries: Seq[String])
+
+  /** The sidecar's change-type column (reader emits it verbatim). */
+  private[sinks] val CdcTypeCol = "_change_type"
 
   /** One merge-on-read deletion mask. `kind`:
     *  - `"pred"` — rows of `entries` matching the recorded range predicate
@@ -423,6 +428,13 @@ object SnapshotTable {
     * exists. */
   private[sinks] def invalidateForks(root: String): Unit =
     forkCache.synchronized { forkCache.filterInPlace((k, _) => k._1 != root) }
+
+  /** [[invalidateForks]] for every table root AT or UNDER `prefix` — the
+    * namespace-cascade twin (a recursive delete kills many table trees). */
+  private[sinks] def invalidateForksUnder(prefix: String): Unit =
+    forkCache.synchronized {
+      forkCache.filterInPlace((k, _) => k._1 != prefix && !k._1.startsWith(prefix + "/"))
+    }
 
   /** All branches of the table: `(name, fork version)`, name-sorted. Torn
     * creates (dir without `_branch.json`) are invisible. */
@@ -1112,8 +1124,7 @@ object SnapshotTable {
         case cj: JObject =>
           Some(Cdc(
             (cj \ "covered").extractOpt[Seq[String]].getOrElse(Seq.empty),
-            (cj \ "del").extractOpt[String],
-            (cj \ "ins").extractOpt[String],
+            (cj \ "ch").extractOpt[String],
             (cj \ "insEntries").extractOpt[Seq[String]].getOrElse(Seq.empty)))
         case _ => None
       })
@@ -1371,6 +1382,26 @@ object SnapshotTable {
     rel
   }
 
+  /** One-scan pre/post CDC pair of UPDATE-matched rows: each row explodes
+    * into its delete pre-image and insert post-image (every SET applied
+    * against the OLD values — the rewrite's own single-projection
+    * semantics), so the capture never scans the matched rows twice. */
+  private def updatePairCapture(
+      matched: DataFrame,
+      set: Map[String, org.apache.spark.sql.Column]): DataFrame = {
+    import org.apache.spark.sql.functions.{array, col, explode, lit, struct}
+    val fields = matched.schema.fields
+    val delS = struct(
+      fields.map(f => col("`" + f.name + "`").as(f.name)) :+ lit("delete").as(CdcTypeCol): _*)
+    val insS = struct(
+      fields.map(f =>
+        set.get(f.name)
+          .map(_.cast(f.dataType).as(f.name))
+          .getOrElse(col("`" + f.name + "`").as(f.name)))
+        :+ lit("insert").as(CdcTypeCol): _*)
+    matched.select(explode(array(delS, insS)).as("__ch")).select(col("__ch.*"))
+  }
+
   /** Atomic publish: create-if-absent the next manifest. Package-private so
     * the spec can drive the commit race directly. */
   private[graft] def publish(spark: SparkSession, root: String, c: Commit): Int = {
@@ -1434,8 +1465,7 @@ object SnapshotTable {
       c.cdc.map { cc =>
         "cdc" -> (JObject(
           List("covered" -> (JArray(cc.covered.map(JString(_)).toList): JValue)) ++
-            cc.delDir.map(d => "del" -> (JString(d): JValue)).toList ++
-            cc.insDir.map(d => "ins" -> (JString(d): JValue)).toList ++
+            cc.chDir.map(d => "ch" -> (JString(d): JValue)).toList ++
             (if (cc.insEntries.nonEmpty)
                List("insEntries" -> (JArray(cc.insEntries.map(JString(_)).toList): JValue))
              else Nil): _*): JValue)
@@ -1800,7 +1830,8 @@ object SnapshotTable {
         action = "restore",
         addedRows = physRows(target) - physRows(cur),
         batchId = None,
-        ts = 0L))
+        ts = 0L,
+        cdc = None)) // capture describes ONE commit's delta — never inherited
   }
 
   /** The version visible at wall-clock `tsMillis` — the latest commit
@@ -2957,9 +2988,10 @@ object SnapshotTable {
       dropWholly: Boolean,
       skipIfNoWork: Boolean = false,
       // write-time CDC capture ([[Cdc]]): given the rewrite's (masked)
-      // source frame, the commit's (delete pre-images, insert post-images)
-      // — None for maintenance callers whose commits are data-identical
-      capture: Option[DataFrame => (DataFrame, Option[DataFrame])] = None)(
+      // source frame, the commit's change rows WITH the `_change_type`
+      // column — None for maintenance callers whose commits are
+      // data-identical
+      capture: Option[DataFrame => DataFrame] = None)(
       transform: (DataFrame, Seq[FileStat]) => DataFrame): Int = {
     val base = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
     val m = readManifest(spark, root, base)
@@ -2987,7 +3019,7 @@ object SnapshotTable {
     // UNCAPTURED by design (zero-I/O drop preserved — every live row is
     // a delete, the reader reads them directly)
     var cdcRec: Option[Cdc] =
-      if (capture.isDefined && cdcOnWrite(spark)) Some(Cdc(scanPaths, None, None, Seq.empty))
+      if (capture.isDefined && cdcOnWrite(spark)) Some(Cdc(scanPaths, None, Seq.empty))
       else None
     val (newDirs, newStats, delta) =
       if (scanPaths.isEmpty) (Seq.empty[String], Seq.empty[FileStat], 0L)
@@ -3003,13 +3035,8 @@ object SnapshotTable {
           if (plan.uncoveredDirs.isEmpty && !rewrite.exists(f => masked(f.path)))
             rewrite.map(_.rows).sum
           else src.count()
-        cdcRec = cdcRec.map { rec =>
-          val (dels, inss) = capture.get(src)
-          val physicalOf = schema.map(mappingOf).getOrElse(Map.empty)
-          rec.copy(
-            delDir = Some(writeCdcSidecar(spark, root, dels, physicalOf)),
-            insDir = inss.map(writeCdcSidecar(spark, root, _, physicalOf)))
-        }
+        cdcRec = cdcRec.map(_.copy(chDir = Some(writeCdcSidecar(
+          spark, root, capture.get(src), schema.map(mappingOf).getOrElse(Map.empty)))))
         val (rel, n, stats) = writeData(
           spark, root, transform(src, rewrite), m.constraints, schema.map(mappingOf).getOrElse(Map.empty))
         // an all-rows-deleted rewrite leaves no dir (the empty orphan vacuums away)
@@ -3068,10 +3095,11 @@ object SnapshotTable {
     * manifest protocol; readers pinned at older versions keep the old
     * files until [[vacuum]]. Returns the new version. */
   def deleteWhere(spark: SparkSession, root: String, bounds: Seq[Bound]): Int = {
+    import org.apache.spark.sql.functions.lit
     require(bounds.nonEmpty, "deleteWhere with no bounds would drop the whole table; use overwrite")
     dmlRewrite(
       spark, root, bounds, "delete", dropWholly = true,
-      capture = Some(src => (src.filter(matchCol(bounds)), None)))(
+      capture = Some(src => src.filter(matchCol(bounds)).withColumn(CdcTypeCol, lit("delete"))))(
       (df, _) => df.filter(!matchCol(bounds)))
   }
 
@@ -3088,22 +3116,9 @@ object SnapshotTable {
     import org.apache.spark.sql.functions.{col, when}
     require(bounds.nonEmpty, "updateWhere needs a predicate; for all rows use overwrite")
     require(set.nonEmpty, "updateWhere needs at least one SET column")
-    // CDC: pre-images = matching rows as they stand; post-images = the
-    // same rows with every SET applied against the OLD values (single
-    // projection, same semantics as the rewrite's when()-form below)
-    def applySet(pre: DataFrame): DataFrame =
-      pre.select(pre.schema.fields.map { f =>
-        set.get(f.name) match {
-          case Some(expr) => expr.cast(f.dataType).as(f.name)
-          case None => col("`" + f.name + "`")
-        }
-      }.toSeq: _*)
     dmlRewrite(
       spark, root, bounds, "update", dropWholly = false,
-      capture = Some { src =>
-        val pre = src.filter(matchCol(bounds))
-        (pre, Some(applySet(pre)))
-      }) { (df, _) =>
+      capture = Some(src => updatePairCapture(src.filter(matchCol(bounds)), set))) { (df, _) =>
       set.foreach { case (name, _) =>
         require(df.columns.contains(name), s"updateWhere SET column '$name' is not in the table schema")
       }
@@ -3136,7 +3151,8 @@ object SnapshotTable {
     import org.apache.spark.sql.functions.{coalesce, lit}
     dmlRewrite(
       spark, root, pruneBounds, "delete", dropWholly = false,
-      capture = Some(src => (src.filter(coalesce(cond, lit(false))), None)))(
+      capture = Some(src =>
+        src.filter(coalesce(cond, lit(false))).withColumn(CdcTypeCol, lit("delete"))))(
       (df, _) => df.filter(!coalesce(cond, lit(false))))
   }
 
@@ -3151,19 +3167,10 @@ object SnapshotTable {
       set: Map[String, org.apache.spark.sql.Column]): Int = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     require(set.nonEmpty, "UPDATE needs at least one SET column")
-    def applySet(pre: DataFrame): DataFrame =
-      pre.select(pre.schema.fields.map { f =>
-        set.get(f.name) match {
-          case Some(e) => e.cast(f.dataType).as(f.name)
-          case None => col("`" + f.name + "`")
-        }
-      }.toSeq: _*)
     dmlRewrite(
       spark, root, pruneBounds, "update", dropWholly = false,
-      capture = Some { src =>
-        val pre = src.filter(coalesce(cond, lit(false)))
-        (pre, Some(applySet(pre)))
-      }) { (df, _) =>
+      capture = Some(src =>
+        updatePairCapture(src.filter(coalesce(cond, lit(false))), set))) { (df, _) =>
       set.foreach { case (name, _) =>
         require(df.columns.contains(name), s"UPDATE SET column '$name' is not in the table schema")
       }
@@ -3260,7 +3267,7 @@ object SnapshotTable {
     // the semi-join complement of the survivors the rewrite computes
     // anyway — one extra key-pruned scan of only the touched files.
     var cdcRec: Option[Cdc] =
-      if (cdcOnWrite(spark)) Some(Cdc(rewritePaths, None, None, Seq(srcRel)))
+      if (cdcOnWrite(spark)) Some(Cdc(rewritePaths, None, Seq(srcRel)))
       else None
     val (survDirs, survStats, replaced) =
       if (rewritePaths.isEmpty) (Seq.empty[String], Seq.empty[FileStat], 0L)
@@ -3272,9 +3279,10 @@ object SnapshotTable {
           if (plan.uncoveredDirs.isEmpty && !touched.exists(masked))
             m.files.filter(f => touched.contains(f.path)).map(_.rows).sum
           else tgt.count()
-        cdcRec = cdcRec.map(_.copy(delDir = Some(writeCdcSidecar(
+        cdcRec = cdcRec.map(_.copy(chDir = Some(writeCdcSidecar(
           spark, root,
-          tgt.join(srcKeys, keyCols, "left_semi"),
+          tgt.join(srcKeys, keyCols, "left_semi")
+            .withColumn(CdcTypeCol, org.apache.spark.sql.functions.lit("delete")),
           priorSchema.map(mappingOf).getOrElse(Map.empty)))))
         val survivors = tgt.join(srcKeys, keyCols, "left_anti")
         val (rel, n, stats) = writeData(spark, root, survivors, m.constraints, evolvedMapping)
@@ -3665,13 +3673,12 @@ object SnapshotTable {
     val matchedTag = "__graft_matched"
     // write-time CDC capture ([[Cdc]]): the clause gates are mutually
     // exclusive (first-match-wins), so the joined frame yields the exact
-    // per-row outcome — delete/update pre-images are the target side of
-    // rows where a delete/update gate fires, update post-images their
-    // outCols projection. Re-evaluating the join for the capture costs
-    // one extra scan of only the rewritten files + source, paid once at
-    // commit where the except-all diff cost ~2× per uncached range read.
-    var captureDel: Option[DataFrame] = None
-    var captureUpd: Option[DataFrame] = None
+    // per-row outcome — a fired delete emits its pre-image, a fired
+    // update explodes into its pre/post pair (conditional struct-array,
+    // ONE scan). Re-evaluating the join for the capture costs one extra
+    // scan of only the rewritten files + source, paid once at commit
+    // where the except-all diff cost ~2× per uncached range read.
+    var captureChanged: Option[DataFrame] = None
     val survivorsOpt: Option[DataFrame] =
       if (rewritePaths.isEmpty) None
       else {
@@ -3714,13 +3721,20 @@ object SnapshotTable {
           updates.foldRight(tCol) { case ((ap, v), rest) => when(ap, v).otherwise(rest) }.as(f.name)
         }
         if (cdcOnWrite(spark)) {
-          val tOut = evolvedStruct.fields.map(f => col(s"$targetAlias.`${f.name}`").as(f.name))
+          import org.apache.spark.sql.functions.{array, explode, struct}
           val anyUpdate = clauseRows
             .collect { case (_: MatchedUpdate, ap, _) => ap }
             .reduceOption(_ || _)
             .getOrElse(lit(false))
-          captureDel = Some(joined.filter(deleted || anyUpdate).select(tOut.toSeq: _*))
-          captureUpd = Some(joined.filter(anyUpdate).select(outCols.toSeq: _*))
+          val delS = struct(
+            evolvedStruct.fields.map(f => col(s"$targetAlias.`${f.name}`").as(f.name)).toSeq
+              :+ lit("delete").as(CdcTypeCol): _*)
+          val insS = struct(outCols.toSeq :+ lit("insert").as(CdcTypeCol): _*)
+          captureChanged = Some(
+            joined
+              .filter(deleted || anyUpdate)
+              .select(explode(when(deleted, array(delS)).otherwise(array(delS, insS))).as("__ch"))
+              .select(col("__ch.*")))
         }
         Some(joined.filter(!deleted).select(outCols.toSeq: _*))
       }
@@ -3774,19 +3788,20 @@ object SnapshotTable {
     if (rewritePaths.isEmpty && n == 0) return base // nothing matched a clause: no-op
     // write-time CDC ([[Cdc]]): an insert-only merge's new dir is PURE
     // inserts (referenced, not copied); a rewriting merge captures its
-    // per-clause delta — delete+update pre-images in one sidecar, update
-    // post-images plus the insert rows in the other (the new dir mixes
-    // carried survivors in, so it can never be referenced directly)
+    // per-clause delta in ONE sidecar — fired deletes as pre-images,
+    // fired updates as pre/post pairs, plus the insert rows (the new dir
+    // mixes carried survivors in, so it can never be referenced directly)
     val cdcRec: Option[Cdc] =
       if (!cdcOnWrite(spark)) None
       else if (rewritePaths.isEmpty)
-        Some(Cdc(Seq.empty, None, None, if (n > 0) Seq(rel) else Seq.empty))
+        Some(Cdc(Seq.empty, None, if (n > 0) Seq(rel) else Seq.empty))
       else {
-        val insAll = (captureUpd.toSeq ++ insertsOpt.toSeq).reduceOption(_ unionByName _)
+        import org.apache.spark.sql.functions.lit
+        val tagged = captureChanged.toSeq ++
+          insertsOpt.map(_.withColumn(CdcTypeCol, lit("insert"))).toSeq
         Some(Cdc(
           rewritePaths,
-          captureDel.map(d => writeCdcSidecar(spark, root, d, evolvedMapping)),
-          insAll.map(i => writeCdcSidecar(spark, root, i, evolvedMapping)),
+          tagged.reduceOption(_ unionByName _).map(writeCdcSidecar(spark, root, _, evolvedMapping)),
           Seq.empty))
       }
     val untouched =
@@ -4255,28 +4270,35 @@ object SnapshotTable {
         val curEntries = fileEntries(cur)
         val fileSteps = cur.cdc match {
           // write-time capture ([[Cdc]]): the commit recorded its own
-          // delta — sidecar reads are O(changed rows), whole-file drops
+          // delta — the sidecar read is O(changed rows), whole-file drops
           // (every live row a delete) read directly, and NO except-all
           // diff runs: a rewrite-heavy commit no longer costs ~2× its
-          // rewritten bytes per uncached CDC range read
-          case Some(cc) =>
+          // rewritten bytes per uncached CDC range read. Guarded by the
+          // DML action whitelist: a metadata-only commit can never carry
+          // capture of its own, so an inherited record (a defect, not a
+          // state) must fall through to the file diff, never re-emit.
+          case Some(cc) if Set("delete", "update", "merge")(cur.action) =>
             def sidecar(rel: String): Option[DataFrame] = {
               val files = publishedFiles(fs(spark, root), new Path(dataRoot(root), rel))
                 .getOrElse(sys.error(
                   s"CDC sidecar $rel has no complete publish — torn commit or over-eager vacuum"))
+              val withType = schema.map(s =>
+                org.apache.spark.sql.types.StructType(
+                  s.fields :+ org.apache.spark.sql.types.StructField(
+                    CdcTypeCol, org.apache.spark.sql.types.StringType)))
               if (files.isEmpty) None
-              else Some(readTablePaths(spark, schema, files.map(_.toString)))
+              else Some(readTablePaths(spark, withType, files.map(_.toString))
+                .withColumn("_commit_version", lit(v)))
             }
             val covered = cc.covered.toSet
             val wholeDrops = prevEntries.filterNot(curEntries.toSet).filterNot(covered)
             Seq(
-              cc.delDir.flatMap(sidecar).map(tag(_, "delete", v)),
+              cc.chDir.flatMap(sidecar),
               readPaths(prevM, wholeDrops).map(tag(_, "delete", v)),
-              cc.insDir.flatMap(sidecar).map(tag(_, "insert", v)),
               readPaths(cur, cc.insEntries).map(tag(_, "insert", v))).flatten
           // pre-capture manifests (or capture disabled at write time):
           // the original file-set diff
-          case None =>
+          case _ =>
             val added = readPaths(cur, curEntries.filterNot(prevEntries.toSet))
             val removed = readPaths(prevM, prevEntries.filterNot(curEntries.toSet))
             (added, removed) match {
@@ -4458,7 +4480,7 @@ object SnapshotTable {
     // write-time CDC sidecars ([[Cdc]]) of retained manifests are live:
     // changesBetween over a retained range reads them INSTEAD of diffing
     val liveCdcSidecars: Set[String] = keptCommits
-      .flatMap(c => c.cdc.toSeq.flatMap(cc => cc.delDir.toSeq ++ cc.insDir.toSeq))
+      .flatMap(c => c.cdc.toSeq.flatMap(_.chDir))
       .map(_.stripPrefix("_cdc/"))
       .toSet
     // dryRun = the full would-delete report with ZERO filesystem writes —
@@ -4682,7 +4704,11 @@ object SnapshotTable {
         dropped = reviveDropped(dropped, schema)
       case RenameCol(oldName, newName) =>
         require(schema.fieldNames.contains(oldName), s"no column '$oldName' in table schema")
-        require(!schema.fieldNames.contains(newName), s"column '$newName' already exists")
+        // resolver-aware (case-insensitive by default): a case-variant
+        // duplicate breaks every later reference with AMBIGUOUS_REFERENCE
+        require(
+          !schema.fields.exists(f => f.name != oldName && resolver(f.name, newName)),
+          s"column '$newName' already exists")
         require(
           m.masks.isEmpty,
           "pending merge-on-read masks reference logical column names; compact to reconcile them first")
@@ -4721,7 +4747,8 @@ object SnapshotTable {
         batchId = None,
         ts = 0L,
         schemaJson = Some(schema.json),
-        dropped = dropped))
+        dropped = dropped,
+        cdc = None)) // capture describes ONE commit's delta — never inherited
   }
 
   /** METADATA-ONLY column add — no data rewrite, at any file count: the
@@ -4782,7 +4809,8 @@ object SnapshotTable {
         addedRows = 0L,
         batchId = None,
         ts = 0L,
-        constraints = m.constraints + (name -> checkSql)))
+        constraints = m.constraints + (name -> checkSql),
+        cdc = None))
   }
 
   /** Drop a CHECK constraint by name. */
@@ -4799,7 +4827,8 @@ object SnapshotTable {
         addedRows = 0L,
         batchId = None,
         ts = 0L,
-        constraints = m.constraints - name))
+        constraints = m.constraints - name,
+        cdc = None))
   }
 
   /** The commit log as a model-sized DataFrame — the DESCRIBE HISTORY

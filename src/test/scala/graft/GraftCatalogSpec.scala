@@ -187,6 +187,13 @@ class GraftCatalogSpec extends SparkSuite {
     assert(new java.io.File(marker).exists(), "the out-of-warehouse dir must be untouched")
     // '#' segments would misroute through the branch-ref separator
     intercept[Exception](spark.sql("SELECT * FROM gtest.ns.`t#branch=dev`").collect())
+    // LOCATION/EXTERNAL would be silently ignored (identifiers ARE
+    // warehouse paths) — refuse, never approximate
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.locns")
+    val eLoc = intercept[Exception](
+      spark.sql(s"CREATE TABLE gtest.locns.tloc (k BIGINT) USING graft LOCATION '/tmp/elsewhere'"))
+    assert(eLoc.getMessage.contains("location") || eLoc.getMessage.toLowerCase.contains("external"),
+      eLoc.getMessage)
 
     // fork-cache invalidation: warm a branch handle, DROP the table via
     // the catalog, recreate at the same root — the branch must be GONE,
@@ -200,6 +207,17 @@ class GraftCatalogSpec extends SparkSuite {
     SnapshotTable.create(spark, root, clustered(3, 1))
     val e = intercept[Exception](SnapshotTable.read(spark, dev).count())
     assert(e.getMessage.contains("no branch"), e.getMessage)
+
+    // DROP NAMESPACE CASCADE kills whole table trees — same staleness
+    val root2 = wh + "/fc2/t"
+    SnapshotTable.create(spark, root2, clustered(10, 1))
+    val dev2 = SnapshotTable.createBranch(spark, root2, "dev")
+    SnapshotTable.append(spark, dev2, clustered(5, 1))
+    assert(SnapshotTable.read(spark, dev2).count() == 15) // cache warm
+    spark.sql("DROP NAMESPACE gtest.fc2 CASCADE")
+    SnapshotTable.create(spark, root2, clustered(3, 1))
+    val e2 = intercept[Exception](SnapshotTable.read(spark, dev2).count())
+    assert(e2.getMessage.contains("no branch"), e2.getMessage)
   }
 
   test("multi-change ALTER TABLE is ONE atomic commit: all changes or none, never a committed prefix") {

@@ -305,7 +305,7 @@ class SnapshotMvSpec extends SparkSuite {
       Seq("k"))
     // the commit captured its own delta...
     val m = SnapshotTable.readManifest(spark, base, SnapshotTable.latestVersion(spark, base).get)
-    assert(m.cdc.isDefined && m.cdc.get.delDir.isDefined && m.cdc.get.insEntries.nonEmpty)
+    assert(m.cdc.isDefined && m.cdc.get.chDir.isDefined && m.cdc.get.insEntries.nonEmpty)
     // ...so the refresh's change feed plans NO except-all over the table
     val ch = SnapshotTable.changesBetween(spark, base, SnapshotMv.syncedVersion(spark, mv),
       SnapshotTable.latestVersion(spark, base).get)

@@ -76,6 +76,19 @@ class SnapshotSourceSpec extends SparkSuite {
       q.processAllAvailable()
       assert(spark.table("snap_restore").count() == 21)
       assert(spark.table("snap_restore").select("k").as[Long].collect().count(_ == 100L) == 1)
+
+      // a restore AFTER VACUUM reclaimed early manifests must not crash
+      // the stream (the ever-live sweep walks only RETAINED versions —
+      // sound: the restore target itself must be retained)
+      SnapshotTable.append(spark, root, batch(101L -> "y")) // v5
+      SnapshotTable.createTag(spark, root, "pin4", Some(4))
+      Thread.sleep(15)
+      SnapshotTable.vacuum(spark, root, keepLast = 2, minAgeMs = 5) // v1..v3 manifests go
+      SnapshotTable.restore(spark, root, 4) // v6: re-lists v4's files
+      q.processAllAvailable()
+      val ks2 = spark.table("snap_restore").select("k").as[Long].collect().toSeq
+      assert(ks2.count(_ == 101L) == 1 && ks2.size == ks2.distinct.size,
+        s"restore over vacuumed history must neither crash nor duplicate: $ks2")
     } finally q.stop()
   }
 

@@ -1017,7 +1017,7 @@ class SnapshotTableSpec extends SparkSuite {
       SnapshotTable.readManifest(spark, r, 2),
       SnapshotTable.readManifest(spark, r, 4))
     assert(m1.cdc.isEmpty)
-    assert(m2.cdc.isDefined && m2.cdc.get.delDir.isDefined && m2.cdc.get.insDir.isEmpty)
+    assert(m2.cdc.isDefined && m2.cdc.get.chDir.isDefined)
     val removedV2 = m1.files.map(_.path).toSet -- m2.files.map(_.path).toSet
     assert((removedV2 -- m2.cdc.get.covered.toSet).nonEmpty,
       "interior files of the range delete must be UNCAPTURED whole-file drops")
@@ -1040,7 +1040,7 @@ class SnapshotTableSpec extends SparkSuite {
     val f = new java.io.File(r + "/_cdc")
     def sidecars() = Option(f.list()).map(_.count(_.startsWith("w-"))).getOrElse(0)
     val before = sidecars()
-    assert(before >= 5, s"four DML commits capture at least 5 sidecars, got $before")
+    assert(before == 4, s"four DML commits capture ONE sidecar each, got $before")
     Thread.sleep(20)
     SnapshotTable.vacuum(spark, r, keepLast = 5, minAgeMs = 5) // all retained
     assert(sidecars() == before, "retained manifests' sidecars are live")
@@ -1048,5 +1048,44 @@ class SnapshotTableSpec extends SparkSuite {
     assert(sidecars() < before, "unreferenced sidecars reclaim with their versions")
     // the retained commits' CDC still reads
     assert(SnapshotTable.changesBetween(spark, r, 3, 4).count() > 0)
+  }
+
+  test("cap_cdc_onwrite: metadata commits never inherit capture; reader honors only DML actions") {
+    import org.apache.spark.sql.functions.{concat, lit}
+    import SnapshotTable.Bound
+    val r = freshRoot() + "/t"
+    SnapshotTable.create(
+      spark, r,
+      spark.range(100).selectExpr("id AS k", "concat('v', id) AS s")
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k")) // v1
+    SnapshotTable.updateWhere(
+      spark, r, Seq(Bound("k", Some(10L), Some(19L))),
+      Map("s" -> concat(col("s"), lit("!")))) // v2: capture recorded
+    val v2Rows = SnapshotTable.changesBetween(spark, r, 1, 2).count()
+    assert(v2Rows == 20, s"update emits 10 delete+insert pairs, got $v2Rows")
+    // metadata-only commits built from the prior manifest must NOT carry
+    // its capture forward — an inherited record would re-emit v2's delta
+    SnapshotTable.addColumn(spark, r, "note", org.apache.spark.sql.types.StringType) // v3
+    SnapshotTable.addCheck(spark, r, "k_nonneg", "k >= 0") // v4
+    SnapshotTable.restore(spark, r, 2) // v5
+    assert(SnapshotTable.readManifest(spark, r, 3).cdc.isEmpty, "schema commit inherits no capture")
+    assert(SnapshotTable.readManifest(spark, r, 4).cdc.isEmpty, "constraint commit inherits no capture")
+    assert(SnapshotTable.readManifest(spark, r, 5).cdc.isEmpty, "restore inherits no capture")
+    assert(SnapshotTable.changesBetween(spark, r, 2, 4).count() == 0,
+      "pure-metadata range emits NO change rows")
+    // belt-and-braces: even a SYNTHETICALLY inherited record on a
+    // non-DML action is ignored by the reader's whitelist — publish a
+    // schema-action manifest carrying v2's capture verbatim
+    val bad = SnapshotTable.readManifest(spark, r, 5)
+      .copy(version = 6, action = "schema", addedRows = 0L, batchId = None,
+        cdc = SnapshotTable.readManifest(spark, r, 2).cdc)
+    assert(bad.cdc.isDefined)
+    SnapshotTable.publish(spark, r, bad)
+    assert(SnapshotTable.changesBetween(spark, r, 5, 6).count() == 0,
+      "an inherited capture on a metadata action must never re-emit")
+    // the rename guard: case-variant duplicates refuse (resolver-aware —
+    // the restore rolled 'note' back, so rename 's' onto k's case variant)
+    val e = intercept[Exception](SnapshotTable.renameColumn(spark, r, "s", "K"))
+    assert(e.getMessage.contains("already exists"), e.getMessage)
   }
 }
