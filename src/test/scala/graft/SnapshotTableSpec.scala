@@ -1088,4 +1088,58 @@ class SnapshotTableSpec extends SparkSuite {
     val e = intercept[Exception](SnapshotTable.renameColumn(spark, r, "s", "K"))
     assert(e.getMessage.contains("already exists"), e.getMessage)
   }
+
+  test("cap_cdc_onwrite: the CDC stream FOLDS back to the exact table over a randomized DML history, capture and diff paths alike") {
+    import org.apache.spark.sql.functions.{concat, lit}
+    import SnapshotTable.Bound
+    def frame(from: Long, n: Long) =
+      spark.range(from, from + n).selectExpr("id AS k", "concat('v', id) AS s")
+    for (captureOn <- Seq(true, false)) {
+      spark.conf.set("spark.graft.cdc.onWrite", captureOn.toString)
+      try {
+        val rnd = new scala.util.Random(1717) // same seed → same history
+        val root = freshRoot() + "/t"
+        SnapshotTable.create(
+          spark, root,
+          frame(0, 400).repartitionByRange(4, col("k")).sortWithinPartitions("k"))
+        var nextK = 1000L
+        (1 to 8).foreach { i =>
+          rnd.nextInt(6) match {
+            case 0 =>
+              SnapshotTable.append(spark, root, frame(nextK, 40)); nextK += 40
+            case 1 =>
+              val lo = rnd.nextInt(300).toLong
+              SnapshotTable.deleteWhere(spark, root, Seq(Bound("k", Some(lo), Some(lo + 60))))
+            case 2 =>
+              val lo = rnd.nextInt(300).toLong
+              SnapshotTable.updateWhere(
+                spark, root, Seq(Bound("k", Some(lo), Some(lo + 50))),
+                Map("s" -> concat(col("s"), lit("u" + i))))
+            case 3 =>
+              SnapshotTable.mergeUpsert(
+                spark, root,
+                frame(rnd.nextInt(300).toLong, 30).withColumn("s", concat(col("s"), lit("m" + i))),
+                Seq("k"))
+            case 4 =>
+              SnapshotTable.deleteExpr(
+                spark, root, col("k") % 13 === i.toLong, Seq.empty)
+            case 5 => // merge-on-read: masks exercise the NEW-mask CDC steps
+              SnapshotTable.mergeUpsertMor(
+                spark, root,
+                frame(rnd.nextInt(200).toLong, 20).withColumn("s", lit("mor" + i)),
+                Seq("k"))
+          }
+        }
+        val latest = SnapshotTable.latestVersion(spark, root).get
+        val ch = SnapshotTable.changesBetween(spark, root, 0, latest)
+        val ins = ch.filter(col("_change_type") === "insert").select("k", "s")
+        val del = ch.filter(col("_change_type") === "delete").select("k", "s")
+        val folded = ins.exceptAll(del).orderBy("k", "s").collect().toSeq
+        val table = SnapshotTable.read(spark, root).orderBy("k", "s").collect().toSeq
+        assert(
+          folded == table,
+          s"captureOn=$captureOn: CDC fold (${folded.size} rows) != table (${table.size} rows) after $latest versions")
+      } finally spark.conf.unset("spark.graft.cdc.onWrite")
+    }
+  }
 }
