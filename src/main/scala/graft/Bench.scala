@@ -119,7 +119,12 @@ object Bench {
         "q_snapshot_dml" -> cycleWarm,
         "q_snapshot_cdc" -> cycleWarm,
         "q_snapshot_sql" -> cycleWarm,
-        "q_mv_refresh" -> cycleWarm)
+        "q_mv_refresh" -> cycleWarm,
+        // the SQL-text / catalog cycle variants pay their OWN fixture
+        // builds (separate memo keys) — label them as payers too, so
+        // their sweep entries read as "fixture + work", never slow queries
+        "q_snapshot_dml_sql" -> (() => graft.ops.SnapshotCycle.sqlWarm(spark, sfDir)),
+        "q_catalog_dml" -> (() => graft.ops.SnapshotCycle.catalogWarm(spark, sfDir)))
     }
     val results: Seq[(String, Double)] = selected.map { case (name, fn) =>
       memoUsers.get(name).foreach(warm => if (warm()) memoHits += name else memoPaid += name)

@@ -745,6 +745,11 @@ object SnapshotCycle {
     * ITS cycle must not mark the root family as memo hits. */
   def rootWarm(s: SparkSession, dir: String): Boolean = memo.contains((s, dir))
 
+  /** Per-variant warmth for the SQL-text / catalog cycles (their own
+    * memo keys — each pays its own fixture build). */
+  def sqlWarm(s: SparkSession, dir: String): Boolean = memo.contains((s, dir + "#sql"))
+  def catalogWarm(s: SparkSession, dir: String): Boolean = memo.contains((s, dir + "#cat"))
+
   /** Forget built cycles: the next query rebuilds from the fixture (the
     * on-disk root is deleted and recreated by the build). */
   def clearMemo(): Unit = memo.clear()

@@ -337,8 +337,12 @@ final class GraftCatalog
       throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(namespace)
     val ok = f.delete(p, true)
     // a CASCADE drop deletes every table tree underneath — their cached
-    // branch forks are as stale as dropTable's (same wrong-data hazard)
-    SnapshotTable.invalidateForksUnder(p.toString)
+    // branch forks are as stale as dropTable's (same wrong-data hazard).
+    // The prefix must be the RAW string join rootOf builds cache keys
+    // from, not Path.toString (which normalizes schemes/slashes and
+    // would miss every key under a 'file:///…' or trailing-slash
+    // warehouse setting)
+    SnapshotTable.invalidateForksUnder((warehouse +: safe(namespace.toSeq)).mkString("/"))
     ok
   }
 

@@ -1121,7 +1121,11 @@ object SnapshotTable {
         case _ => Seq.empty
       },
       (j \ "cdc") match {
-        case cj: JObject =>
+        // a record in the short-lived two-sidecar format (keys del/ins,
+        // never in any released manifest) reads as ABSENT — the file-set
+        // diff is always a correct fallback; honoring `covered` without
+        // its sidecar would silently emit an incomplete stream
+        case cj: JObject if (cj \ "del") == JNothing && (cj \ "ins") == JNothing =>
           Some(Cdc(
             (cj \ "covered").extractOpt[Seq[String]].getOrElse(Seq.empty),
             (cj \ "ch").extractOpt[String],
@@ -4704,8 +4708,10 @@ object SnapshotTable {
         dropped = reviveDropped(dropped, schema)
       case RenameCol(oldName, newName) =>
         require(schema.fieldNames.contains(oldName), s"no column '$oldName' in table schema")
+        require(oldName != newName, s"column '$newName' already exists") // identity rename: no-op commit refused
         // resolver-aware (case-insensitive by default): a case-variant
         // duplicate breaks every later reference with AMBIGUOUS_REFERENCE
+        // (renaming a column to ITS OWN case variant stays legal)
         require(
           !schema.fields.exists(f => f.name != oldName && resolver(f.name, newName)),
           s"column '$newName' already exists")
