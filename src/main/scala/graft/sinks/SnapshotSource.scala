@@ -140,49 +140,29 @@ final class SnapshotSource(
     * empty pre-create table (positions may legitimately sit there —
     * `startVersion=1`, legacy-offset upgrades).
     *
-    * RESTORE commits re-LIST files that were live before — the append
-    * stream has already emitted every one of them, so a v-1 diff would
-    * re-emit their rows (duplicates downstream of an exactly-once sink).
-    * The contract here: a physical file is APPENDED exactly once in the
-    * table's whole history — the first version that lists it — so a
-    * restore emits only entries never live in ANY earlier version
-    * (normal commits add fresh uuid-named entries, for which the cheap
-    * v-1 diff IS that rule). Rows a restore logically revives are not
-    * appends; the exact mutation stream is `readChangeFeed`. */
+    * RESTORE commits add NOTHING: a restore copies an EARLIER version's
+    * manifest verbatim, so every entry it lists was live at that earlier
+    * version — under the appends-once contract (a physical file is
+    * appended exactly the first time any version lists it; normal
+    * commits add fresh uuid-named entries, for which the cheap v-1 diff
+    * IS that rule) the stream has emitted all of them already, and a
+    * v-1 diff would re-emit their rows (duplicates downstream of an
+    * exactly-once sink). Derived from the manifest SHAPE alone — no
+    * history sweep, so vacuumed pre-restore manifests can neither crash
+    * the walk nor (worse) silently widen the diff. Rows a restore
+    * logically revives are not appends; the exact mutation stream is
+    * `readChangeFeed`. */
   private def addedEntries(v: Int): Seq[String] =
     if (v <= 0) Seq.empty
     else {
       val cur = manifest(v)
-      if (cur.action == "compact") Seq.empty
+      if (cur.action == "compact" || cur.action == "restore") Seq.empty
       else if (v == 1) SnapshotTable.fileEntries(cur)
-      else if (cur.action == "restore") {
-        val everBefore = everLiveBefore(v)
-        SnapshotTable.fileEntries(cur).filterNot(everBefore)
-      } else {
+      else {
         val prev = SnapshotTable.fileEntries(manifest(v - 1)).toSet
         SnapshotTable.fileEntries(cur).filterNot(prev)
       }
     }
-
-  /** Every entry live in ANY RETAINED version before `v` — computed only
-    * when a RESTORE commit is walked (rare events; one manifest sweep,
-    * cached, driver-side metadata only — never a data read). Bypasses the
-    * sliding [[manifestCache]]: a full-history sweep must not evict the
-    * stream's working window. Sweeping the LISTED versions (not 1..v-1)
-    * keeps this total under vacuumed history — sound for the
-    * appends-once contract, because a restore's target manifest must
-    * itself be retained (restore refuses otherwise), and every entry the
-    * restore re-lists IS in that retained earlier manifest. */
-  private val everLiveCache = scala.collection.concurrent.TrieMap.empty[Int, Set[String]]
-  private def everLiveBefore(v: Int): Set[String] =
-    everLiveCache.getOrElseUpdate(
-      v,
-      SnapshotTable
-        .versions(spark, root)
-        .filter(_ < v)
-        .foldLeft(Set.empty[String]) { (acc, w) =>
-          acc ++ SnapshotTable.fileEntries(SnapshotTable.readManifest(spark, root, w))
-        })
 
   private def listAt(p: Position): Seq[String] =
     if (p.snap) SnapshotTable.fileEntries(manifest(p.v)) else addedEntries(p.v)

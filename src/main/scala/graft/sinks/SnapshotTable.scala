@@ -4286,10 +4286,7 @@ object SnapshotTable {
               val files = publishedFiles(fs(spark, root), new Path(dataRoot(root), rel))
                 .getOrElse(sys.error(
                   s"CDC sidecar $rel has no complete publish — torn commit or over-eager vacuum"))
-              val withType = schema.map(s =>
-                org.apache.spark.sql.types.StructType(
-                  s.fields :+ org.apache.spark.sql.types.StructField(
-                    CdcTypeCol, org.apache.spark.sql.types.StringType)))
+              val withType = schema.map(cdcTagged(_, withVersion = false))
               if (files.isEmpty) None
               else Some(readTablePaths(spark, withType, files.map(_.toString))
                 .withColumn("_commit_version", lit(v)))
@@ -4340,11 +4337,8 @@ object SnapshotTable {
     }
     steps.reduceOption(_ unionByName _).getOrElse {
       val s = schema.getOrElse(sys.error("changesBetween over pre-schema manifests needs at least one changed file"))
-      val tagged = org.apache.spark.sql.types.StructType(
-        s.fields :+
-          org.apache.spark.sql.types.StructField("_change_type", org.apache.spark.sql.types.StringType) :+
-          org.apache.spark.sql.types.StructField("_commit_version", org.apache.spark.sql.types.IntegerType))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tagged)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cdcTagged(s, withVersion = true))
     }
   }
 
@@ -4395,16 +4389,28 @@ object SnapshotTable {
       .getOrElse(sys.error(s"$rel published without _SUCCESS")) // unreachable post-publish
   }
 
+  /** `s` plus the CDC tag columns — the ONE construction of "table schema
+    * + `_change_type` [+ `_commit_version`]" every feed surface shares
+    * (sidecar reads append only the type column the files carry; declared
+    * feed schemas carry both). */
+  private def cdcTagged(
+      s: org.apache.spark.sql.types.StructType,
+      withVersion: Boolean): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      s.fields :+
+        org.apache.spark.sql.types.StructField(CdcTypeCol, org.apache.spark.sql.types.StringType) :++
+        (if (withVersion)
+           Seq(org.apache.spark.sql.types.StructField(
+             "_commit_version", org.apache.spark.sql.types.IntegerType))
+         else Nil))
+
   /** The change-feed schema of this table as of version `v`: its recorded
     * columns plus `_change_type` / `_commit_version`. */
   private def cdcSchemaAt(spark: SparkSession, root: String, v: Int): org.apache.spark.sql.types.StructType = {
     val table = readManifestLite(spark, root, v).schemaJson
       .map(schemaFromJson)
       .getOrElse(sys.error("CDC over pre-schema manifests needs a recorded schema"))
-    org.apache.spark.sql.types.StructType(
-      table.fields :+
-        org.apache.spark.sql.types.StructField("_change_type", org.apache.spark.sql.types.StringType) :+
-        org.apache.spark.sql.types.StructField("_commit_version", org.apache.spark.sql.types.IntegerType))
+    cdcTagged(table, withVersion = true)
   }
 
   /** [[changesBetween]] through the materialized per-range cache: first

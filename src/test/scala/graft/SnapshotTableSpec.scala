@@ -1103,8 +1103,8 @@ class SnapshotTableSpec extends SparkSuite {
           spark, root,
           frame(0, 400).repartitionByRange(4, col("k")).sortWithinPartitions("k"))
         var nextK = 1000L
-        (1 to 8).foreach { i =>
-          rnd.nextInt(6) match {
+        (1 to 10).foreach { i =>
+          rnd.nextInt(8) match {
             case 0 =>
               SnapshotTable.append(spark, root, frame(nextK, 40)); nextK += 40
             case 1 =>
@@ -1128,6 +1128,11 @@ class SnapshotTableSpec extends SparkSuite {
                 spark, root,
                 frame(rnd.nextInt(200).toLong, 20).withColumn("s", lit("mor" + i)),
                 Seq("k"))
+            case 6 => // restore: the reader's full-snapshot-diff branch
+              val cur = SnapshotTable.latestVersion(spark, root).get
+              SnapshotTable.restore(spark, root, math.max(1, cur - 2))
+            case 7 => // compact: data-identical, must contribute NOTHING
+              SnapshotTable.compact(spark, root, "k", nFiles = 3)
           }
         }
         val latest = SnapshotTable.latestVersion(spark, root).get
