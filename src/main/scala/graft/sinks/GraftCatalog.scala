@@ -32,7 +32,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * manifest log IS the metadata, so the catalog is stateless and two
   * sessions pointing at the same warehouse see the same tables with no
   * metastore. Reads resolve through [[GraftTable]] (native pruned DSv2
-  * batches; V1Scan fallback for masked/renamed snapshots); `VERSION AS
+  * batches, renamed columns included; V1Scan fallback only under
+  * pending merge-on-read masks); `VERSION AS
   * OF` takes a version number OR a tag/branch name, `TIMESTAMP AS OF`
   * resolves through manifest publish times. Writes route onto the
   * TRANSACTIONAL operators via the V1Write bridge — `INSERT INTO` is an

@@ -41,9 +41,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * unknown procedure names refuse loudly with the known list. */
 private[sinks] object GraftProcedures {
 
+  // SQL identifiers resolve case-insensitively — namespace AND name alike
+  private def isSystem(namespace: Array[String]): Boolean =
+    namespace.length == 1 && namespace.head.equalsIgnoreCase("system")
+
   def load(catalog: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(
-      ident.namespace.toSeq == Seq("system"),
+      isSystem(ident.namespace),
       s"procedures live in the 'system' namespace: CALL ${catalog.name()}.system.<proc>(...), " +
         s"got ${(ident.namespace :+ ident.name).mkString(".")}")
     all(catalog).getOrElse(
@@ -53,7 +57,7 @@ private[sinks] object GraftProcedures {
   }
 
   def list(catalog: GraftCatalog, namespace: Array[String]): Array[Identifier] =
-    if (namespace.toSeq != Seq("system")) Array.empty
+    if (!isSystem(namespace)) Array.empty
     else all(catalog).keys.toSeq.sorted.map(n => Identifier.of(Array("system"), n)).toArray
 
   private def all(catalog: GraftCatalog): Map[String, UnboundProcedure] = Map(

@@ -51,8 +51,9 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   * `versionAsOf` / `timestampAsOf` / `tag` — [[SnapshotReadOptions]]),
   * resolved through the SAME manifest machinery.
   *
-  * Scale shape: the common table (no pending merge-on-read masks, no
-  * renamed columns) plans a NATIVE DSv2 batch — `planInputPartitions`
+  * Scale shape: any UNMASKED table — renamed columns included (the scan
+  * translates logical↔physical names at its edges; rows are positional)
+  * — plans a NATIVE DSv2 batch — `planInputPartitions`
   * enumerates exactly the manifest's live files AFTER min/max/bloom
   * pruning against the pushed filters ([[SnapshotFileIndex]] — a
   * predicate that annihilates a file by stats drops it from the
@@ -61,11 +62,12 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   * row-group granularity too. Every pushed filter is ALSO returned to
   * Spark for row-level re-evaluation (`pushFilters` returns its input),
   * so pruning is a pure optimization — correctness never depends on a
-  * stats proof. A masked or column-mapped snapshot falls back to a
-  * [[V1Scan]] over [[SnapshotTable.relationVersion]] (the mask
-  * anti-joins and logical projections replay exactly, with per-group
-  * FileIndex pruning underneath) — same hybrid the V1 batch surface uses
-  * ([[SnapshotTable.batchRelation]]). Writes stay on the transactional
+  * stats proof. Only a snapshot with PENDING merge-on-read masks falls
+  * back to a [[V1Scan]] over [[SnapshotTable.relationVersion]] (the mask
+  * anti-joins need the relation replay, with per-group FileIndex pruning
+  * underneath — the distributed-anti-join shape that scales with the
+  * tombstone sidecar; compaction reconciles masks and restores the
+  * native path). Writes stay on the transactional
   * V1 route (`format("snapshot-table").save`) — every write is a real
   * commit, never a bare directory. */
 final class GraftTableProvider extends TableProvider with DataSourceRegister {
