@@ -175,19 +175,46 @@ final class GraftCatalog
       schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(
-      partitions.isEmpty,
-      "graft tables take no PARTITIONED BY — cluster with OPTIMIZE ... ZORDER BY / CLUSTER BY")
+    // PARTITIONED BY (identity columns) maps onto the engine's clustering
+    // stance: the declared columns become the table's standing
+    // range-clustering key (persisted in the schema's field metadata, see
+    // [[SnapshotTable.withClusterSpec]]) — every write range-clusters on
+    // them, so manifest min/max stats give the file-level pruning
+    // hive-style partitioning would, without directory explosions on
+    // high-cardinality keys. Non-identity transforms (bucket/days/...)
+    // refuse loudly: approximating them as identity clustering would
+    // silently change their pruning semantics.
+    val clusterCols: Seq[String] = partitions.toSeq.map { t =>
+      require(
+        t.name == "identity" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1,
+        s"unsupported partition transform '$t' — graft tables map identity PARTITIONED BY " +
+          "columns to range clustering; bucket/temporal transforms are not supported " +
+          "(cluster with OPTIMIZE ... ZORDER BY instead)")
+      t.references.head.fieldNames.head
+    }
+    clusterCols.foreach(c =>
+      require(
+        schema.fieldNames.contains(c),
+        s"PARTITIONED BY column '$c' is not a column of the table schema"))
     // refuse-not-approximate: TBLPROPERTIES/COMMENT have nowhere to live
     // in a stateless catalog, and LOCATION/EXTERNAL would be silently
     // IGNORED (identifiers map to warehouse paths by contract) — a table
     // "created at /x" that actually lives under the warehouse is a lie.
-    // Spark injects only bookkeeping keys (provider, owner) on every
-    // CREATE; those pass, everything else refuses loudly.
+    // Bookkeeping keys Spark injects on every CREATE pass through — keyed
+    // to TableCatalog's reserved-property CONSTANTS (not a literal set) so
+    // a future Spark adding a new internal key doesn't break every CREATE;
+    // keys a user can actually WRITE (comment/location/external/collation/
+    // OPTIONS and arbitrary TBLPROPERTIES) refuse loudly.
+    val bookkeeping = Set(
+      TableCatalog.PROP_PROVIDER,
+      TableCatalog.PROP_OWNER,
+      TableCatalog.PROP_TABLE_TYPE,
+      TableCatalog.PROP_IS_MANAGED_LOCATION)
     val userProps = properties
       .keySet()
       .toArray(Array.empty[String])
-      .filterNot(Set("provider", "owner"))
+      .filterNot(bookkeeping)
     require(
       userProps.isEmpty,
       s"graft tables carry no table properties, comments, or explicit locations " +
@@ -195,11 +222,15 @@ final class GraftCatalog
         s"got ${userProps.mkString(", ")}")
     val root = rootOf(ident)
     if (isTable(root)) throw new TableAlreadyExistsException(ident)
-    // an empty v1 carrying the declared schema; CTAS then appends as v2
-    // (the standard non-atomic DSv2 CTAS: a failed write drops the table)
+    // an empty v1 carrying the declared schema (cluster spec included);
+    // CTAS then appends as v2 — the append range-clusters its rows on the
+    // declared key (the standard non-atomic DSv2 CTAS: a failed write
+    // drops the table)
     SnapshotTable.create(
       spark, root,
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        SnapshotTable.withClusterSpec(schema, clusterCols)))
     tableAt(ident, 1, writable = true)
   }
 

@@ -84,8 +84,10 @@ object GraftDmlStrategy extends SparkStrategy {
         case GraftTarget(g) =>
           val spark = SparkSession.active
           writable(g, "UPDATE")
-          val cond = u.condition.getOrElse(
-            sys.error("UPDATE without WHERE would rewrite the whole table; use INSERT OVERWRITE"))
+          // condition-less UPDATE rewrites every row — same semantics the
+          // parser gives condition-less DELETE (a true literal), and the
+          // behavior upstream table formats (Delta/Iceberg) allow
+          val cond = u.condition.getOrElse(Literal.TrueLiteral)
           noSubquery(cond, "UPDATE")
           u.assignments.foreach(a => noSubquery(a.value, "UPDATE SET"))
           val set = u.assignments.map { a =>
@@ -136,7 +138,9 @@ object GraftDmlStrategy extends SparkStrategy {
           s"MERGE INTO a graft table needs ON as a conjunction of same-named " +
             s"target/source key equalities (t.k = s.k); got ${other.sql}")
     }
-    val keyCols = keysOf(m.mergeCondition)
+    // .distinct: a repeated key equality in ON (t.k = s.k AND t.k = s.k)
+    // must not produce duplicate join columns downstream
+    val keyCols = keysOf(m.mergeCondition).distinct
 
     // re-qualify every resolved attribute by the SIDE its exprId belongs
     // to — deterministic, never relies on name-based disambiguation
@@ -230,7 +234,8 @@ object GraftDmlStrategy extends SparkStrategy {
   private def writable(g: GraftTable, what: String): Unit =
     require(
       g.writable,
-      s"$what ${g.name()}: a time-travel/pinned handle is read-only — DML goes to the current table")
+      s"$what ${g.name()}: this handle is read-only (time-travel/pinned, or loaded by path) — " +
+        "run DML against the current table through a catalog identifier")
 
   private def noSubquery(e: Expression, what: String): Unit =
     require(

@@ -130,6 +130,15 @@ private[sinks] final class GraftTable(
         TableCapability.TRUNCATE)
     else util.EnumSet.of(TableCapability.BATCH_READ)
 
+  /** The persisted cluster spec (CREATE ... PARTITIONED BY mapping)
+    * surfaces as identity transforms — DESCRIBE and catalog tooling show
+    * the declared clustering key. */
+  override def partitioning(): Array[Transform] =
+    SnapshotTable
+      .clusterColsOf(schema)
+      .map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .toArray
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spark, root, v, schema)
 

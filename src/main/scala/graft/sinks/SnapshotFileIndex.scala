@@ -65,7 +65,12 @@ private[graft] final class SnapshotFileIndex(
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val keep = m.files.filterNot(fst => dataFilters.exists(provablyEmpty(fst, _)))
+    // rows=0 entries (empty schema-seed / empty-shuffle-partition files,
+    // recorded by writeData so their dirs stay covered) match nothing —
+    // drop them under ANY filter set, including none
+    val keep = m.files
+      .filter(_.rows > 0)
+      .filterNot(fst => dataFilters.exists(provablyEmpty(fst, _)))
     val kept = keep.map { fst =>
       if (fst.bytes >= 0)
         new FileStatus(fst.bytes, false, 1, 134217728L, 0L, new Path(root, fst.path))

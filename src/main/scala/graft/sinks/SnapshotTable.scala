@@ -1362,7 +1362,21 @@ object SnapshotTable {
       .map(s => rel + "/" + s.getPath.getName -> s.getLen)
       .toMap
     val sized = stats.map(st => st.copy(bytes = sizes.getOrElse(st.path, -1L)))
-    (rel, sized.map(_.rows).sum, sized)
+    // ZERO-ROW part files (an empty CREATE's schema seed, an empty shuffle
+    // partition) produce no input_file_name group, so without an entry
+    // here their dir would read as uncovered — unprunable forever. Record
+    // them as rows=0 FileStats: the scan paths drop rows=0 files
+    // unconditionally, so an empty file costs zero I/O at any later read.
+    val statted = sized.map(_.path).toSet
+    val empties = sizes.keysIterator
+      .filterNot(statted)
+      .filter { p =>
+        val n = p.substring(p.lastIndexOf('/') + 1)
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(p => FileStat(p, 0L, Map.empty, Map.empty, bytes = sizes(p)))
+      .toSeq
+    (rel, sized.map(_.rows).sum, sized ++ empties)
   }
 
   /** Write a change-capture sidecar ([[Cdc]]): `df` (LOGICAL names) lands
@@ -1582,6 +1596,59 @@ object SnapshotTable {
     dropped -- merged.fields.map(physName)
   }
 
+  /** Cluster-by spec, persisted as StructField METADATA on the table
+    * schema (key = the column's 0-based position in the clustering key).
+    * Riding the schema means ZERO manifest-format change and free
+    * carry-forward: every commit already carries the merged schema, and
+    * [[mergeSchemas]] keeps prior fields (metadata included) verbatim.
+    * This is how `CREATE TABLE ... PARTITIONED BY (identity cols)` maps
+    * onto the engine's clustering stance: instead of hive-style
+    * directories (which at 100 TB mean small-file explosions on
+    * high-cardinality keys and directory-listing planning), the declared
+    * columns become the table's STANDING range-clustering key — every
+    * append/overwrite range-partitions + locally sorts on them, so the
+    * manifest min/max stats prune partition-key predicates file-level
+    * exactly like partition pruning would, without freezing a layout. */
+  private[sinks] val ClusterPosKey = "graft.clusterPos"
+
+  private[sinks] def clusterColsOf(schema: org.apache.spark.sql.types.StructType): Seq[String] =
+    schema.fields
+      .filter(f => f.metadata.contains(ClusterPosKey))
+      .sortBy(_.metadata.getLong(ClusterPosKey))
+      .map(_.name)
+      .toSeq
+
+  private[sinks] def withClusterSpec(
+      schema: org.apache.spark.sql.types.StructType,
+      cols: Seq[String]): org.apache.spark.sql.types.StructType = {
+    val pos = cols.zipWithIndex.toMap
+    org.apache.spark.sql.types.StructType(schema.fields.map { f =>
+      pos.get(f.name) match {
+        case Some(i) =>
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putLong(ClusterPosKey, i.toLong).build())
+        case None => f
+      }
+    })
+  }
+
+  /** Range-cluster a batch on the table's persisted cluster columns (the
+    * declared-at-CREATE `PARTITIONED BY` mapping). One extra shuffle per
+    * write — exactly the cost hive-style partitioning pays — in exchange
+    * for file-level manifest pruning on the clustering key. Columns the
+    * batch doesn't carry are skipped (an append needn't carry every
+    * column); no explicit partition count, so AQE right-sizes the output
+    * files at any batch size. */
+  private def clusterFor(df: DataFrame, schemaJson: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val cols = clusterColsOf(schemaFromJson(schemaJson)).filter(df.columns.contains)
+    if (cols.isEmpty) df
+    else {
+      val cs = cols.map(c => col("`" + c + "`"))
+      df.repartitionByRange(cs: _*).sortWithinPartitions(cs: _*)
+    }
+  }
+
   private def commit(
       spark: SparkSession,
       root: String,
@@ -1595,7 +1662,14 @@ object SnapshotTable {
     // constraints are TABLE properties: they survive even replacing
     // commits (overwrite/compact), unlike the carried dirs/files
     val checks = base.map(readManifest(spark, root, _).constraints).getOrElse(Map.empty)
-    val schema = evolvedSchema(spark, root, base, df, carryForward)
+    val schema0 = evolvedSchema(spark, root, base, df, carryForward)
+    // the cluster spec is a TABLE property like constraints: replacing
+    // commits (overwrite) re-apply the prior spec by name onto the new
+    // schema — INSERT OVERWRITE must not silently un-cluster a table
+    val schema = base.flatMap(readManifest(spark, root, _).schemaJson).fold(schema0) { pj =>
+      val pcols = clusterColsOf(schemaFromJson(pj))
+      if (pcols.isEmpty) schema0 else withClusterSpec(schemaFromJson(schema0), pcols).json
+    }
     // replacing commits rewrite every live file: dropped-column bytes are
     // gone, the revival ledger resets; carried commits check + carry it
     val dropped =
@@ -1603,7 +1677,7 @@ object SnapshotTable {
         reviveDropped(priorManifest.map(_.dropped).getOrElse(Map.empty), schemaFromJson(schema))
       else Map.empty[String, String]
     val (rel, n, stats) =
-      writeData(spark, root, df, checks, mappingOf(schemaFromJson(schema)))
+      writeData(spark, root, clusterFor(df, schema), checks, mappingOf(schemaFromJson(schema)))
     publish(
       spark,
       root,
@@ -1652,7 +1726,8 @@ object SnapshotTable {
       val schemaEarly = evolvedSchema(spark, root, base, df, carryForward = true)
       if (written.isEmpty) {
         written = Some(
-          writeData(spark, root, df, checks, mappingOf(schemaFromJson(schemaEarly))))
+          writeData(
+            spark, root, clusterFor(df, schemaEarly), checks, mappingOf(schemaFromJson(schemaEarly))))
         enforced = checks
       } else if (checks != enforced) {
         // a racing commit changed the constraint set: re-validate the dir

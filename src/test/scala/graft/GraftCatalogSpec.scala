@@ -159,13 +159,88 @@ class GraftCatalogSpec extends SparkSuite {
     // schema off unreferenced source columns
     assert(spark.table("gtest.dml.t").columns.toSeq == Seq("k", "s", "amt"))
 
-    // refusal shapes: subquery conditions refuse loudly (rewrite as MERGE);
-    // UPDATE without WHERE refuses (the engine's whole-table-rewrite guard)
+    // refusal shapes: subquery conditions refuse loudly (rewrite as MERGE)
     val e1 = intercept[Exception](
       spark.sql("DELETE FROM gtest.dml.t WHERE k IN (SELECT k FROM gtest.dml.src)"))
     assert(e1.getMessage.contains("subquery"), e1.getMessage)
-    val e2 = intercept[Exception](spark.sql("UPDATE gtest.dml.t SET amt = 0"))
-    assert(e2.getMessage.contains("without WHERE"), e2.getMessage)
+
+    // condition-less UPDATE rewrites every row — the same semantics the
+    // parser gives condition-less DELETE (a true literal), matching the
+    // upstream table formats (Delta/Iceberg allow full-table UPDATE)
+    spark.sql("UPDATE gtest.dml.t SET amt = 0")
+    assert(SnapshotTable.history(spark, root).last.action == "update")
+    assert(spark.sql("SELECT count(*) AS n FROM gtest.dml.t WHERE amt <> 0").head.getLong(0) == 0)
+
+    // a repeated ON key equality (t.k = s.k AND s.k = t.k) dedups to ONE
+    // key column — no duplicate-column analysis failure downstream
+    spark.sql("""MERGE INTO gtest.dml.t t USING gtest.dml.src s ON t.k = s.k AND s.k = t.k
+      |WHEN MATCHED THEN UPDATE SET t.amt = s.amt
+      |""".stripMargin)
+    assert(spark.sql("SELECT amt FROM gtest.dml.t WHERE k = 20").head.getDouble(0) == 3.0)
+  }
+
+  test("PARTITIONED BY (identity) maps to range clustering: DESCRIBE shows it, scans prune on the key") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.pb")
+    spark.sql("CREATE TABLE gtest.pb.t (k BIGINT, s STRING) USING graft PARTITIONED BY (k)")
+    // DESCRIBE surfaces the mapping as an identity transform partition
+    val desc = spark.sql("DESCRIBE TABLE gtest.pb.t").collect().map(_.mkString("|")).mkString("\n")
+    assert(desc.contains("# Partition Information") && desc.contains("k"), desc)
+
+    // write enough range-clustered files that the prune is observable:
+    // shrink AQE's advisory size so the clustering shuffle keeps several
+    // output partitions at this tiny scale
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8k")
+    // default minPartitionSize (1m) would re-coalesce this tiny insert to 1
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1k")
+    try {
+      spark.sql("INSERT INTO gtest.pb.t SELECT id AS k, concat('v', id) AS s FROM range(10000)")
+      val all = spark.sql("SELECT * FROM gtest.pb.t")
+      all.collect()
+      val allScan = all.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }.get
+      assert(allScan.inputPartitions.size > 1,
+        s"need multiple clustered files for a meaningful prune, got ${allScan.inputPartitions.size}")
+      // a point predicate on the clustering key prunes to ONE file via
+      // manifest min/max stats — the pruning PARTITIONED BY promises
+      val one = spark.sql("SELECT * FROM gtest.pb.t WHERE k = 5")
+      one.collect()
+      val scan = one.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }.get
+      assert(scan.inputPartitions.size == 1,
+        s"k=5 must prune to 1 file, got ${scan.inputPartitions.size} of ${allScan.inputPartitions.size}")
+
+      // CTAS PARTITIONED BY round-trips the same way
+      spark.sql("CREATE TABLE gtest.pb.t2 USING graft PARTITIONED BY (k) AS SELECT * FROM gtest.pb.t")
+      import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+      val cat = spark.sessionState.catalogManager.catalog("gtest").asInstanceOf[TableCatalog]
+      val t2 = cat.loadTable(Identifier.of(Array("pb"), "t2"))
+      assert(t2.partitioning().map(_.toString).toSeq == Seq("identity(k)"), t2.partitioning().mkString(","))
+      val two = spark.sql("SELECT * FROM gtest.pb.t2 WHERE k = 9999")
+      two.collect()
+      val scan2 = two.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }.get
+      assert(scan2.inputPartitions.size == 1, s"CTAS output must cluster too: ${scan2.inputPartitions.size}")
+
+      // INSERT OVERWRITE keeps the spec (a replacing commit must not
+      // silently un-cluster the table)
+      spark.sql("INSERT OVERWRITE gtest.pb.t2 SELECT id * 2 AS k, concat('o', id) AS s FROM range(10000)")
+      val t2b = cat.loadTable(Identifier.of(Array("pb"), "t2"))
+      assert(t2b.partitioning().map(_.toString).toSeq == Seq("identity(k)"), "overwrite dropped the cluster spec")
+      val three = spark.sql("SELECT * FROM gtest.pb.t2 WHERE k = 40")
+      three.collect()
+      val scan3 = three.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }.get
+      assert(scan3.inputPartitions.size == 1, s"post-overwrite prune: ${scan3.inputPartitions.size}")
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    }
+
+    // non-identity transforms refuse loudly — approximating bucket/days as
+    // identity clustering would silently change their semantics
+    val e = intercept[Exception](
+      spark.sql("CREATE TABLE gtest.pb.tb (k BIGINT) USING graft PARTITIONED BY (bucket(4, k))"))
+    assert(e.getMessage.contains("transform"), e.getMessage)
+    // and an unknown partition column refuses at CREATE, not first write
+    val e2 = intercept[Exception](
+      spark.sql("CREATE TABLE gtest.pb.tc (k BIGINT) USING graft PARTITIONED BY (zz)"))
+    assert(e2.getMessage.toLowerCase.contains("not a column") || e2.getMessage.contains("zz"), e2.getMessage)
   }
 
   test("unsafe identifier segments refuse before any filesystem touch; drops invalidate the fork cache") {

@@ -246,6 +246,28 @@ class PlanShapeSpec extends SparkSuite {
       s"q17 plans a cartesian/nested-loop:\n$q17")
   }
 
+  test("rank-filter top-k rewrites: group-limit sits BELOW the window (no vocab-sized single-task sort)") {
+    // q_text_zipf ranks the whole VOCABULARY with an unpartitioned
+    // row_number and keeps 20 rows; q_agg_mode keeps rn=1 per nation.
+    // Catalyst's InferWindowGroupLimit / LimitPushDown must keep the
+    // single-task stage k-sized — verified manually in round 17, pinned
+    // here because one conf/version change away from silently feeding the
+    // full vocabulary into one task.
+    for (q <- Seq("q_text_zipf", "q_agg_mode")) {
+      val p = planOf(q)
+      assert(
+        p.contains("WindowGroupLimit") || p.contains("TakeOrderedAndProject"),
+        s"$q lost its group-limit-below-window rewrite (full frame into one window task):\n$p")
+    }
+    // q_top_movers is orderBy+limit — must plan as TakeOrderedAndProject
+    // (per-partition top-k, driver k-merge), never a global range sort.
+    val movers = planOf("q_top_movers")
+    assert(movers.contains("TakeOrderedAndProject"),
+      s"q_top_movers lost its TakeOrderedAndProject top-k:\n$movers")
+    assert(!movers.contains("rangepartitioning"),
+      s"q_top_movers plans a global sort where a top-k suffices:\n$movers")
+  }
+
   test("round-9b shapes: entity resolution is blocked, weighted median shares one shuffle") {
     // entity resolution: candidates come from the BLOCK-key equi-join —
     // a cartesian over the record corpus would be the all-pairs failure
