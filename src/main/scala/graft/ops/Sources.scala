@@ -438,6 +438,49 @@ object Sources {
         .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_price_c"))
         .orderBy("y")
     },
+    // COW REBASE in the ORACLE GATE — the round-18 replay rule: a branch
+    // stages COPY-ON-WRITE update + delete + merge (all with write-time
+    // CDC capture) while main independently appends; rebase replays each
+    // COW commit by APPLYING ITS CAPTURED ROW DELTA onto the new base
+    // (pre-images subtract by full-row exceptAll, post-images re-land,
+    // the merge's source dir re-attaches zero-copy), and fastForward
+    // publishes. The oracle replays the same algebra over the raw orders
+    // frame — the hash-match proves replay-by-delta ≡ re-running the
+    // branch's DML on the diverged base when pre-images are untouched
+    // (interference refuses loudly instead; SnapshotBranchSpec pins it).
+    "q_snapshot_rebase_cow" -> { (s, dir) =>
+      import graft.sinks.SnapshotTable
+      import graft.sinks.SnapshotTable.Bound
+      val root = "/tmp/graft-snaprbc/" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val o = Fixtures
+        .table(s, dir, "orders")
+        .select(
+          col("o_orderkey").as("k"),
+          to_date(col("o_orderdate")).as("d"),
+          cents(col("o_totalprice")).as("price_c"))
+      SnapshotTable.create(s, root, o.filter(col("k") % 2 === 0)) // main v1: even keys
+      val cow = SnapshotTable.createBranch(s, root, "cow") // forks at v1
+      SnapshotTable.updateWhere(
+        s, cow, Seq(Bound("d", Some("1996-01-01"), Some("1996-12-31"))),
+        Map("price_c" -> (col("price_c") + 77))) // branch v2 (COW update, captured)
+      SnapshotTable.deleteWhere(
+        s, cow, Seq(Bound("d", Some("1995-01-01"), Some("1995-12-31")))) // branch v3 (COW delete)
+      SnapshotTable.mergeUpsert(
+        s, cow,
+        o.filter(col("k") % 20 === 0).withColumn("price_c", col("price_c") * 3),
+        Seq("k")) // branch v4 (COW merge: k%20 replaced at 3×, deleted 1995 k%20 re-insert)
+      // main diverges with an append that touches NO replayed pre-image
+      SnapshotTable.append(s, root, o.filter(col("k") % 2 === 1)) // main v2
+      SnapshotTable.rebase(s, root, "cow") // replay v2..v4 via captured deltas
+      SnapshotTable.fastForward(s, root, "cow") // publish: main → v5
+      SnapshotTable
+        .read(s, root)
+        .groupBy(year(col("d")).cast("int").as("y"))
+        .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_price_c"))
+        .orderBy("y")
+    },
     // INCREMENTAL MATERIALIZED VIEW in the ORACLE GATE — the per-date
     // aggregate (count + null-exact sum) materialized as its own snapshot
     // table SYNCED AT v1 of the shared [[SnapshotCycle]] fixture
@@ -655,6 +698,21 @@ object Sources {
         "ups AS (SELECT k, d, price_c * 2 FROM o WHERE k % 10 = 0), " +
         "fin AS (SELECT * FROM evens UNION ALL SELECT * FROM odds " +
         "UNION ALL SELECT * FROM exts UNION ALL SELECT * FROM ups) " +
+        "SELECT CAST(year(d) AS INT) AS y, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(price_c) AS BIGINT) AS sum_price_c FROM fin GROUP BY 1 ORDER BY y"),
+    // the apply-the-captured-delta algebra of the COW rebase: evens keep
+    // the branch's 1996 bump and 1995 delete except the k%20 keys the
+    // merge replaced at 3× fork-time price (deleted 1995 k%20 rows
+    // re-enter through the merge's insert leg), and main's post-fork odd
+    // appends ride through untouched
+    "q_snapshot_rebase_cow" ->
+      ("WITH o AS (SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d, " +
+        "CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_c FROM orders), " +
+        "evens AS (SELECT k, d, CASE WHEN year(d) = 1996 THEN price_c + 77 ELSE price_c END AS price_c " +
+        "FROM o WHERE k % 2 = 0 AND k % 20 <> 0 AND year(d) <> 1995), " +
+        "ups AS (SELECT k, d, price_c * 3 FROM o WHERE k % 20 = 0), " +
+        "odds AS (SELECT k, d, price_c FROM o WHERE k % 2 = 1), " +
+        "fin AS (SELECT * FROM evens UNION ALL SELECT * FROM ups UNION ALL SELECT * FROM odds) " +
         "SELECT CAST(year(d) AS INT) AS y, CAST(count(*) AS BIGINT) AS n_rows, " +
         "CAST(sum(price_c) AS BIGINT) AS sum_price_c FROM fin GROUP BY 1 ORDER BY y"),
     // the MV synced at cycle v1 then refreshed to v4 must equal the full

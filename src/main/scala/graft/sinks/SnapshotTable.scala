@@ -722,11 +722,19 @@ object SnapshotTable {
     *     and the inserted rows are an immutable dir — the upsert
     *     re-executes (candidate files re-pruned against the new base, the
     *     same sidecar masks them, the dir re-attaches);
-    *   - anything else (copy-on-write delete/update/merge, compact,
+    *   - copy-on-write `delete`/`update`/`merge` with a write-time CDC
+    *     record REPLAYS BY APPLYING ITS CAPTURED ROW DELTA
+    *     ([[replayCowDelta]]): pre-images subtract by full-row multiset
+    *     `exceptAll`, post-images re-land, whole-file drops stay zero-I/O
+    *     when the file is still live — and a pre-image that no longer
+    *     exists identically at the new base REFUSES as a named conflict
+    *     (the git contract; a silently-partial replay would be a wrong
+    *     table);
+    *   - anything else (a COW commit with no capture — pre-capture
+    *     manifest or `spark.graft.cdc.onWrite=false` — plus compact and
     *     overwrite) REFUSES with the version named: its rewritten files
     *     bake in fork-time content that a replay would resurrect over
-    *     main's changes. Stage with merge-on-read DML on branches you
-    *     intend to rebase.
+    *     main's changes.
     * The branch ends forked at main's tip with its replayed history and
     * is then [[fastForward]]-able (if main advances meanwhile, that
     * refuses again — rebase again, the git contract). Returns the
@@ -764,15 +772,21 @@ object SnapshotTable {
         case "append" => true
         case "mor-delete" => newMasks(c, p).exists(_.kind == "pred")
         case "mor-merge" => newMasks(c, p).exists(mk => mk.kind == "keys" && mk.keyDir.isDefined)
+        // COW DML replays from its write-time CDC capture ([[Cdc]]) — the
+        // sidecar records the exact row delta, so the rewrite's fork-time
+        // files never re-attach (see [[replayCowDelta]])
+        case "delete" | "update" | "merge" => c.cdc.isDefined
         case _ => false
       }
       require(
         replayable,
         s"branch '$name' v${c.version} ('${c.action}') depends on the fork-time base and " +
           s"cannot replay onto main v$mLatest — conflicting version v${c.version}. " +
-          "Copy-on-write DML bakes fork-time content into its rewritten files " +
-          "(and a maskless merge-on-read commit recorded no bounds); stage branches " +
-          "you intend to rebase with merge-on-read DML, or drop and re-stage")
+          "Copy-on-write DML replays only from its write-time CDC capture (this commit " +
+          "recorded none: a pre-capture manifest, or spark.graft.cdc.onWrite=false at " +
+          "write time) and a maskless merge-on-read commit recorded no bounds; stage " +
+          "branches you intend to rebase with capture on or merge-on-read DML, or drop " +
+          "and re-stage")
     }
     // stage: a private fork at main's tip, replayed commit by commit
     val staging = "__rebase-" + name
@@ -799,10 +813,18 @@ object SnapshotTable {
         val deltaStats = c.files.filterNot(fst =>
           pStatPaths(fst.path) || pDirs(dataDirOf(fst.path)) || pDirs(fst.path))
         // constraints the new base carries beyond what the branch proved
-        // at commit time re-prove over exactly the commit's own new rows
+        // at commit time re-prove over exactly the commit's own new rows.
+        // For a COW replay the commit's re-attached rows are only its
+        // insEntries (the rewrite output never re-attaches; rewritten
+        // content re-proves inside writeData) — checking the fork-time
+        // rewrite dir would re-prove rows the replay doesn't publish.
+        val gainDirs = c.cdc match {
+          case Some(cc) if Set("delete", "update", "merge")(c.action) => cc.insEntries
+          case _ => deltaDirs
+        }
         val gained = tip.constraints.toSet -- c.constraints.toSet
-        if (gained.nonEmpty && deltaDirs.nonEmpty) {
-          val rows = spark.read.parquet(deltaDirs.map(d => new Path(dataRoot(root), d).toString): _*)
+        if (gained.nonEmpty && gainDirs.nonEmpty) {
+          val rows = spark.read.parquet(gainDirs.map(d => new Path(dataRoot(root), d).toString): _*)
           val logical = mappingOf(merged).foldLeft(rows) {
             case (d, (log, phys)) =>
               if (d.columns.contains(phys)) d.withColumn(log, d("`" + phys + "`")) else d
@@ -879,6 +901,8 @@ object SnapshotTable {
                 constraints = tip.constraints,
                 dropped = reviveDropped(tip.dropped, merged),
                 masks = tip.masks ++ replayMask))
+          case "delete" | "update" | "merge" =>
+            replayCowDelta(spark, root, sRoot, tipV, tip, merged, c, p, c.cdc.get)
           case other => sys.error(s"unreachable: $other passed the replayability gate")
         }
       }
@@ -909,6 +933,186 @@ object SnapshotTable {
           catch { case _: Throwable => () }
         throw e
     }
+  }
+
+  /** Replay ONE copy-on-write DML commit onto the staged rebase tip by
+    * APPLYING ITS CAPTURED ROW DELTA ([[Cdc]]) — the piece that makes COW
+    * branches rebaseable at all: the commit's rewritten files bake in
+    * fork-time content and can never re-attach, but the write-time
+    * sidecar records exactly the rows the commit deleted (pre-images) and
+    * inserted (post-images), and that delta is base-independent data.
+    *
+    * Semantics — apply-the-delta with a LOUD conflict rule (the git
+    * contract, row-level):
+    *   - captured delete pre-images remove their rows from the new base
+    *     by FULL-ROW multiset subtraction (`exceptAll` — null-safe, exact
+    *     multiplicity, the same algebra the CDC feed itself folds with);
+    *   - if any pre-image finds no identical row (main rewrote or removed
+    *     it since the fork), the replay REFUSES naming the version — a
+    *     silently-partial replay would be a wrong table, and convergent
+    *     edits are conflicts here exactly as in git;
+    *   - captured insert post-images append (sidecar rows re-land through
+    *     one rewrite write; whole-dir inserts — a merge's source dir —
+    *     re-attach zero-copy like an append replay);
+    *   - fork-time WHOLE-FILE drops (uncaptured by design) drop wholesale
+    *     again when the entry is still live, unmasked, and stat-covered
+    *     at the tip (zero I/O preserved); otherwise their rows are read
+    *     from the fork-time files (main's retained history still
+    *     references them) and join the content-applied pre-images.
+    *
+    * Scale shape: candidate files come from the manifest-stats prune on
+    * the delta's per-column envelope (columns with any null pre-image
+    * are excluded — null-safe equality matches rows stats never see), so
+    * the rewrite touches O(files overlapping the delta), never the
+    * table. The replayed commit carries its own exact CDC record: the
+    * original sidecar re-references when it IS the replay's delta, a new
+    * one is written when fork-time whole-drops had to content-apply. */
+  private def replayCowDelta(
+      spark: SparkSession,
+      root: String,
+      sRoot: String,
+      tipV: Int,
+      tip: Commit,
+      merged: org.apache.spark.sql.types.StructType,
+      c: Commit,
+      p: Commit,
+      cc: Cdc): Int = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    val f = fs(spark, root)
+    val mapping = mappingOf(merged)
+    val withType = cdcTagged(merged, withVersion = false)
+    val side: Option[DataFrame] = cc.chDir.flatMap { rel =>
+      val files = publishedFiles(f, new Path(dataRoot(root), rel)).getOrElse(
+        sys.error(s"CDC sidecar $rel has no complete publish — torn commit or over-eager vacuum"))
+      if (files.isEmpty) None
+      else Some(readTablePaths(spark, Some(withType), files.map(_.toString)))
+    }
+    val colsOnly = merged.fields.map(fd => col("`" + fd.name + "`")).toSeq
+    def typed(df: DataFrame, t: String) = df.filter(col(CdcTypeCol) === t).select(colsOnly: _*)
+
+    // fork-time whole-file drops: still-live + unmasked (both eras) +
+    // stat-covered entries drop wholesale again; the rest content-apply
+    val covered = cc.covered.toSet
+    val cEntriesSet = fileEntries(c).toSet
+    val wholeDrops = fileEntries(p).filterNot(cEntriesSet).filterNot(covered)
+    val tipEntrySet = tip.dirs.toSet
+    val tipStatsByEntry: Map[String, Seq[FileStat]] =
+      tip.files.groupBy(fst => if (tipEntrySet(fst.path)) fst.path else dataDirOf(fst.path))
+    val (dropNow, contentDrops) = wholeDrops.partition(e =>
+      tipEntrySet(e) && tip.masks.isEmpty && p.masks.isEmpty && tipStatsByEntry.contains(e))
+    val dropSet = dropNow.toSet
+
+    val dropRows: Option[DataFrame] =
+      if (contentDrops.isEmpty) None
+      else if (p.masks.isEmpty)
+        Some(readTablePaths(spark, Some(merged), contentDrops.map(e => new Path(dataRoot(root), e).toString)))
+      else Some(readEntriesMasked(spark, root, p, Some(merged), contentDrops))
+    val d: Option[DataFrame] =
+      (side.map(typed(_, "delete")).toSeq ++ dropRows.toSeq).reduceOption(_ unionByName _).map(_.persist())
+    val iSide: Option[DataFrame] = side.map(typed(_, "insert"))
+
+    try {
+      // candidate prune: the delta's per-column envelope over columns with
+      // zero null pre-images (stats never see nulls — a nullable-envelope
+      // prune could drop a file holding a null-keyed match)
+      val bounds: Seq[Bound] = d.fold(Seq.empty[Bound]) { dd =>
+        val statCols = merged.fields.filter(fd => statable(fd.dataType)).map(_.name).toSeq
+        if (statCols.isEmpty) Seq.empty
+        else {
+          val aggs = statCols.flatMap(k =>
+            Seq(
+              min(col("`" + k + "`")).as("__lo_" + k),
+              max(col("`" + k + "`")).as("__hi_" + k),
+              count(col("`" + k + "`")).as("__nn_" + k))) :+ count(lit(1)).as("__n")
+          val r = dd.agg(aggs.head, aggs.tail: _*).collect()(0)
+          val n = r.getAs[Long]("__n")
+          statCols.flatMap { k =>
+            if (n == 0 || r.getAs[Long]("__nn_" + k) != n) None
+            else Some(Bound(k, Option(r.getAs[Any]("__lo_" + k)), Option(r.getAs[Any]("__hi_" + k))))
+          }
+        }
+      }
+      val tipUncovered = {
+        val coveredFiles = tip.files.map(_.path).toSet
+        val coveredDirs = tip.files.map(fst => fst.path.take(fst.path.lastIndexOf('/'))).toSet
+        tip.dirs.filterNot(e => coveredDirs(e) || coveredFiles(e))
+      }
+      // no delete delta → nothing scans; uncovered dirs carry VERBATIM
+      val plan = d match {
+        case Some(_) => prunePlan(spark, sRoot, tipV, bounds)
+        case None => PrunePlan(Seq.empty, tip.files.map(_.path), Seq.empty)
+      }
+      val carryUncovered = if (d.isEmpty) tipUncovered else Seq.empty[String]
+      val skippedSet = plan.skipped.toSet
+      val untouched = tip.files.filter(fst =>
+        skippedSet(fst.path) && !dropSet(fst.path) && !dropSet(dataDirOf(fst.path)))
+      val candPaths =
+        plan.keep.filterNot(e => dropSet(e) || dropSet(dataDirOf(e))) ++
+          plan.uncoveredDirs.filterNot(dropSet)
+      val src: Option[DataFrame] =
+        if (candPaths.isEmpty) None
+        else if (tip.masks.isEmpty)
+          Some(readTablePaths(spark, Some(merged), candPaths.map(pp => new Path(dataRoot(root), pp).toString)))
+        else Some(readEntriesMasked(spark, sRoot, tip, Some(merged), candPaths))
+      val srcCached = src.map(_.persist())
+      try {
+        val candRows = srcCached.map(_.count()).getOrElse(0L)
+        val dCount = d.map(_.count()).getOrElse(0L)
+        val kept = (srcCached, d) match {
+          case (Some(s), Some(dd)) => Some(s.exceptAll(dd))
+          case (s, None) => s
+          case (None, Some(_)) => None
+        }
+        val keptCount = kept.map(_.count()).getOrElse(0L)
+        val matched = candRows - keptCount
+        require(
+          matched == dCount,
+          s"rebase conflict replaying v${c.version} ('${c.action}'): ${dCount - matched} of " +
+            s"$dCount captured pre-image rows no longer exist identically at the new base " +
+            "(main rewrote or removed them since the fork) — resolve by dropping and " +
+            "re-staging the branch against current main")
+        val out = (kept.toSeq ++ iSide.toSeq).reduceOption(_ unionByName _)
+        val (newDirs, newStats, written) = out match {
+          case None => (Seq.empty[String], Seq.empty[FileStat], 0L)
+          case Some(o) =>
+            val (rel, n, stats) = writeData(spark, sRoot, o, tip.constraints, mapping)
+            if (n == 0) (Seq.empty[String], Seq.empty[FileStat], 0L)
+            else (Seq(rel), stats, n)
+        }
+        val insStats = c.files.filter(fst =>
+          cc.insEntries.contains(dataDirOf(fst.path)) || cc.insEntries.contains(fst.path))
+        val dropRowsCnt = dropNow.map(e => tipStatsByEntry(e).map(_.rows).sum).sum
+        val untouchedSet = untouched.map(_.path).toSet
+        val keptMasks = tip.masks
+          .map(mk => shrinkMask(mk, untouchedSet))
+          .filter(_.entries.nonEmpty)
+        // the replayed commit's own exact CDC record (see Scaladoc)
+        val cdcRec =
+          if (!cdcOnWrite(spark)) None
+          else if (contentDrops.isEmpty) Some(Cdc(candPaths, cc.chDir, cc.insEntries))
+          else {
+            val delTag = d.map(_.withColumn(CdcTypeCol, lit("delete")))
+            val insTag = iSide.map(_.withColumn(CdcTypeCol, lit("insert")))
+            val all = (delTag.toSeq ++ insTag.toSeq).reduce(_ unionByName _)
+            Some(Cdc(candPaths, Some(writeCdcSidecar(spark, sRoot, all, mapping)), cc.insEntries))
+          }
+        publish(
+          spark,
+          sRoot,
+          Commit(
+            tipV + 1,
+            c.action,
+            untouched.map(_.path) ++ carryUncovered ++ newDirs ++ cc.insEntries,
+            written - candRows - dropRowsCnt + insStats.map(_.rows).sum,
+            c.batchId, // exactly-once epoch markers SURVIVE the replay
+            Some(merged.json),
+            untouched ++ newStats ++ insStats,
+            constraints = tip.constraints,
+            dropped = reviveDropped(tip.dropped, merged),
+            masks = keptMasks,
+            cdc = cdcRec))
+      } finally srcCached.foreach(_.unpersist())
+    } finally d.foreach(_.unpersist())
   }
 
   // ───────── logical→physical column mapping (metadata-only renames) ─────────

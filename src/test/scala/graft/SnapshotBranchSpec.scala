@@ -346,10 +346,13 @@ class SnapshotBranchSpec extends SparkSuite {
     assert(rows(SnapshotTable.read(spark, root)) == expect)
     SnapshotTable.dropBranch(spark, root, "dev")
 
-    // a genuinely conflicting COPY-ON-WRITE rewrite refuses, naming the version
+    // a COPY-ON-WRITE rewrite with NO write-time capture (the pre-capture /
+    // capture-off shape) still refuses, naming the version
     val fix = SnapshotTable.createBranch(spark, root, "fix")
     SnapshotTable.append(spark, fix, fixture(300, 5)) // branch-local v7
-    SnapshotTable.deleteWhere(spark, fix, Seq(Bound("k", Some(300L), Some(301L)))) // branch-local v8 (COW)
+    spark.conf.set("spark.graft.cdc.onWrite", "false")
+    try SnapshotTable.deleteWhere(spark, fix, Seq(Bound("k", Some(300L), Some(301L)))) // branch-local v8 (COW, uncaptured)
+    finally spark.conf.unset("spark.graft.cdc.onWrite")
     SnapshotTable.append(spark, root, fixture(400, 5)) // main advances
     val e = intercept[Exception](SnapshotTable.rebase(spark, root, "fix"))
     assert(e.getMessage.contains("v8") && e.getMessage.contains("delete"), e.getMessage)
@@ -381,6 +384,65 @@ class SnapshotBranchSpec extends SparkSuite {
     assert(SnapshotTable.branches(spark, root).exists { case (b, f) => b == "idle" && f == v })
     assert(intercept[Exception](SnapshotTable.createBranch(spark, root, "__rebase-x"))
       .getMessage.contains("reserved"))
+  }
+
+  test("rebase replays COW DML from its write-time CDC capture; interference refuses as a conflict") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, fixture(0, 100)) // v1
+    val dev = SnapshotTable.createBranch(spark, root, "dev")
+    // branch history: ALL THREE captured COW shapes
+    SnapshotTable.updateWhere(
+      spark, dev, Seq(Bound("k", Some(5L), Some(9L))), Map("price_c" -> lit(555L))) // branch v2
+    SnapshotTable.deleteWhere(spark, dev, Seq(Bound("k", Some(20L), Some(29L)))) // branch v3
+    SnapshotTable.mergeUpsert(
+      spark, dev, fixture(95, 10).withColumn("price_c", lit(888L)), Seq("k")) // branch v4
+    // plus a branch-local append wholly deleted again — the zero-I/O
+    // whole-file drop must survive the replay uncaptured
+    SnapshotTable.append(spark, dev, fixture(300, 10)) // branch v5
+    SnapshotTable.deleteWhere(spark, dev, Seq(Bound("k", Some(300L), Some(309L)))) // branch v6 (whole drop)
+    // main diverges without touching any replayed pre-image
+    SnapshotTable.append(spark, root, fixture(200, 10)) // main v2
+    assert(intercept[Exception](SnapshotTable.fastForward(spark, root, "dev"))
+      .getMessage.contains("diverges"))
+
+    val rebased = SnapshotTable.rebase(spark, root, "dev")
+    assert(rebased == 2 + 5, "replayed chain = main tip v2 + 5 local commits")
+    assert(SnapshotTable.branches(spark, root) == Seq("dev" -> 2), "fork moved to main's tip")
+    val got = rows(SnapshotTable.read(spark, dev))
+    val expect = rows(
+      fixture(0, 100)
+        .filter("k < 20 OR k >= 30")
+        .filter("k < 95")
+        .withColumn("price_c", when(col("k").between(5, 9), lit(555L)).otherwise(col("price_c")))
+        .unionByName(fixture(95, 10).withColumn("price_c", lit(888L)))
+        .unionByName(fixture(200, 10)))
+    assert(got == expect)
+    // replayed actions keep their identities, and the whole-drop left no dir
+    val replayedActions = SnapshotTable.history(spark, dev).drop(2).map(_.action)
+    assert(replayedActions == Seq("update", "delete", "merge", "append", "delete"), replayedActions.toString)
+
+    // the CDC FOLD INVARIANT holds across the rebased history: inserts
+    // minus deletes over the whole feed reproduce the table exactly
+    val ch = SnapshotTable.changesBetween(spark, dev, 0, SnapshotTable.latestVersion(spark, dev).get)
+    val ins = ch.filter("_change_type = 'insert'").drop("_change_type", "_commit_version")
+    val del = ch.filter("_change_type = 'delete'").drop("_change_type", "_commit_version")
+    assert(rows(ins.exceptAll(del)) == expect, "CDC fold after COW replay")
+    SnapshotTable.fastForward(spark, root, "dev")
+    assert(rows(SnapshotTable.read(spark, root)) == expect)
+    SnapshotTable.dropBranch(spark, root, "dev")
+
+    // INTERFERENCE refuses loudly: main rewrote a captured pre-image row
+    val cfl = SnapshotTable.createBranch(spark, root, "cfl")
+    SnapshotTable.updateWhere(
+      spark, cfl, Seq(Bound("k", Some(50L), Some(50L))), Map("price_c" -> lit(111L))) // branch COW
+    SnapshotTable.updateWhere(
+      spark, root, Seq(Bound("k", Some(50L), Some(50L))), Map("price_c" -> lit(222L))) // main rewrites the same row
+    val e = intercept[Exception](SnapshotTable.rebase(spark, root, "cfl"))
+    assert(e.getMessage.contains("conflict") && e.getMessage.contains("pre-image"), e.getMessage)
+    // the refusal left the original branch intact (its own update visible)
+    assert(SnapshotTable.read(spark, cfl).filter("k = 50").head.getLong(2) == 111L)
+    SnapshotTable.dropBranch(spark, root, "cfl")
   }
 
   test("rebase re-proves constraints main gained since the fork over the replayed appends") {
