@@ -438,6 +438,47 @@ object Sources {
         .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_price_c"))
         .orderBy("y")
     },
+    // LOSSLESS TYPE WIDENING in the ORACLE GATE — the schema-drift edge
+    // every long-lived table hits: the narrow era commits INT keys and
+    // FLOAT prices, ONE metadata-only ALTER widens them (int→long,
+    // float→double — zero data rewrite at any size; Spark 4's parquet
+    // readers upcast the old files at scan time), and the wide era
+    // appends keys BEYOND the int range — the very thing the widening
+    // exists for. The oracle replays both eras' arithmetic (REAL-cast
+    // then DOUBLE for the narrow prices — the same IEEE truncation) —
+    // the hash-match proves old bytes read back value-exact at the new
+    // type across a mixed-era scan.
+    "q_snapshot_widen" -> { (s, dir) =>
+      import graft.sinks.SnapshotTable
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      val root = "/tmp/graft-snapwd/" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val o = Fixtures.table(s, dir, "orders")
+      SnapshotTable.create(
+        s, root,
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(
+            col("o_orderkey").cast("int").as("k"),
+            col("o_totalprice").cast("float").as("p"))) // v1: narrow era
+      SnapshotTable.alterSchema(
+        s, root,
+        Seq(SnapshotTable.WidenCol("k", LongType), SnapshotTable.WidenCol("p", DoubleType))) // v2: metadata-only
+      SnapshotTable.append(
+        s, root,
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(
+            (col("o_orderkey") + 3000000000L).as("k"), // beyond INT range
+            (col("o_totalprice") * 2).cast("double").as("p"))) // v3: wide era
+      SnapshotTable
+        .read(s, root)
+        .groupBy((col("k") % 7).as("g"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(floor(col("p") * 100 + lit(0.5)).cast("long")).as("sum_p_c"),
+          max(col("k")).as("max_k"))
+        .orderBy("g")
+    },
     // COW REBASE in the ORACLE GATE — the round-18 replay rule: a branch
     // stages COPY-ON-WRITE update + delete + merge (all with write-time
     // CDC capture) while main independently appends; rebase replays each
@@ -700,6 +741,19 @@ object Sources {
         "UNION ALL SELECT * FROM exts UNION ALL SELECT * FROM ups) " +
         "SELECT CAST(year(d) AS INT) AS y, CAST(count(*) AS BIGINT) AS n_rows, " +
         "CAST(sum(price_c) AS BIGINT) AS sum_price_c FROM fin GROUP BY 1 ORDER BY y"),
+    // both eras replayed with the SAME float truncation Spark applied:
+    // narrow-era prices round through REAL before the DOUBLE read
+    "q_snapshot_widen" ->
+      ("WITH ev AS (SELECT o_orderkey % 7 AS g, " +
+        "CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS p, o_orderkey AS k " +
+        "FROM orders WHERE o_orderkey % 2 = 0), " +
+        "od AS (SELECT (o_orderkey + 3000000000) % 7 AS g, " +
+        "CAST(o_totalprice * 2 AS DOUBLE) AS p, o_orderkey + 3000000000 AS k " +
+        "FROM orders WHERE o_orderkey % 2 = 1), " +
+        "fin AS (SELECT * FROM ev UNION ALL SELECT * FROM od) " +
+        "SELECT CAST(g AS BIGINT) AS g, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(CAST(floor(p*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_p_c, " +
+        "CAST(max(k) AS BIGINT) AS max_k FROM fin GROUP BY 1 ORDER BY g"),
     // the apply-the-captured-delta algebra of the COW rebase: evens keep
     // the branch's 1996 bump and 1995 delete except the k%20 keys the
     // merge replaced at 3× fork-time price (deleted 1995 k%20 rows

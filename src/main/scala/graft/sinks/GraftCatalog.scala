@@ -266,6 +266,11 @@ final class GraftCatalog
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames.length == 1, "nested DROP COLUMN is not supported")
         SnapshotTable.DropCol(del.fieldNames.head)
+      case upd: TableChange.UpdateColumnType =>
+        require(upd.fieldNames.length == 1, "nested ALTER COLUMN is not supported")
+        // lossless widenings only — validated (and refused loudly
+        // otherwise) inside alterSchema; old files upcast at scan time
+        SnapshotTable.WidenCol(upd.fieldNames.head, upd.newDataType)
       case other =>
         sys.error(
           s"unsupported ALTER TABLE change $other — the graft catalog maps add/rename/drop " +

@@ -516,6 +516,23 @@ object SnapshotSql {
           reg.root,
           a.columnsToAdd.map(qc => SnapshotTable.AddCol(qc.colName, qc.dataType)))
 
+      // ALTER COLUMN ... TYPE <t>: lossless type WIDENING as a
+      // metadata-only commit (old files upcast at scan time —
+      // [[SnapshotTable.WidenCol]] validates the whitelist and refuses
+      // everything else loudly). Nullability/comment/position/default
+      // sub-clauses have no metadata home here — refuse, never drop.
+      case a: AlterColumns =>
+        val reg = registrationOf(spark, tableParts(a.table))
+        val widens = a.specs.map { sp =>
+          require(
+            sp.newDataType.isDefined && sp.newNullability.isEmpty && sp.newComment.isEmpty &&
+              sp.newPosition.isEmpty && sp.newDefaultExpression.isEmpty,
+            "ALTER COLUMN supports TYPE widening only (no nullability/comment/position/default)")
+          val n = singleField(sp.column.name, "ALTER COLUMN")
+          SnapshotTable.WidenCol(resolveColumn(spark, reg.root, n).getOrElse(n), sp.newDataType.get)
+        }
+        SnapshotTable.alterSchema(spark, reg.root, widens)
+
       case d: DropColumns =>
         val reg = registrationOf(spark, tableParts(d.table))
         val names = d.columnsToDrop.map(f => singleField(f.name, "DROP COLUMN"))

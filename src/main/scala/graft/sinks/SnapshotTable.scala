@@ -4952,6 +4952,34 @@ object SnapshotTable {
       extends SchemaChange
   final case class RenameCol(oldName: String, newName: String) extends SchemaChange
   final case class DropCol(name: String) extends SchemaChange
+  final case class WidenCol(name: String, newType: org.apache.spark.sql.types.DataType)
+      extends SchemaChange
+
+  /** The LOSSLESS type widenings [[WidenCol]] accepts — every value of
+    * `from` is exactly representable in `to`, and Spark 4's parquet
+    * readers (vectorized and row-based, verified on this runtime) upcast
+    * old files' narrow bytes at scan time, so the change is METADATA-ONLY
+    * at any table size: int↑long etc. within the integral family,
+    * float↑double, the sub-double integrals↑double (≤32-bit integers fit
+    * a double's 53-bit mantissa exactly; long→double would round),
+    * and decimal PRECISION growth at the same scale. Anything else
+    * (narrowing, long→double, scale changes, string↔numeric) refuses —
+    * loud failure beats a table whose old files read back different
+    * values. */
+  private def losslessWiden(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) => b.scale == a.scale && b.precision > a.precision
+      case _ => false
+    }
+  }
 
   /** Apply a SEQUENCE of column changes as ONE metadata-only commit —
     * the all-or-nothing DDL contract a multi-change `ALTER TABLE`
@@ -4971,6 +4999,7 @@ object SnapshotTable {
       .map(schemaFromJson)
       .getOrElse(sys.error("column DDL needs a schema-recording manifest"))
     var dropped = m.dropped
+    var files = m.files
     def constraintFree(col: String, what: String): Unit =
       m.constraints.foreach { case (cname, sql) =>
         require(
@@ -5017,6 +5046,29 @@ object SnapshotTable {
                 .putString(PhysKey, physName(f)) // freeze the physical name
                 .build())
         })
+      case WidenCol(name, newType) =>
+        require(schema.fieldNames.contains(name), s"no column '$name' in table schema")
+        val field = schema.fields.find(_.name == name).get
+        require(
+          losslessWiden(field.dataType, newType),
+          s"ALTER COLUMN '$name' TYPE ${newType.sql}: only lossless widenings are metadata-safe " +
+            s"(integral up-casts, float→double, ≤32-bit integral→double, decimal precision-up " +
+            s"at the same scale); ${field.dataType.sql} → ${newType.sql} is not one — " +
+            "rewrite through INSERT OVERWRITE instead")
+        require(
+          m.masks.isEmpty,
+          "pending merge-on-read masks carry typed bounds/key sidecars; compact to reconcile them first")
+        // recorded BLOOM filters hash by value TYPE (functions.hash(5:int)
+        // ≠ hash(5L)): a probe at the widened type against an old file's
+        // narrow-typed bloom could FALSELY prove absence and prune a live
+        // match — strip the column's blooms from every carried file
+        // (absent bloom = unprunable = always safe; min/max stats compare
+        // on a type-agnostic numeric axis and stay valid)
+        val phys = physName(field)
+        files = files.map(fst =>
+          if (fst.bloom.contains(phys)) fst.copy(bloom = fst.bloom - phys) else fst)
+        schema = org.apache.spark.sql.types.StructType(
+          schema.fields.map(f => if (f.name != name) f else f.copy(dataType = newType)))
       case DropCol(name) =>
         require(schema.fieldNames.contains(name), s"no column '$name' in table schema")
         require(schema.fields.length > 1, "cannot drop the last column")
@@ -5039,6 +5091,7 @@ object SnapshotTable {
         ts = 0L,
         schemaJson = Some(schema.json),
         dropped = dropped,
+        files = files,
         cdc = None)) // capture describes ONE commit's delta — never inherited
   }
 

@@ -155,6 +155,64 @@ class SnapshotTableSpec extends SparkSuite {
     assert(ex.getMessage.contains("cannot change column 'id'"), ex.getMessage)
   }
 
+  test("ALTER COLUMN lossless widening is metadata-only: both eras read at the wide type") {
+    import org.apache.spark.sql.types._
+    import graft.sinks.SnapshotTable.{Bound, WidenCol}
+    val root = freshRoot()
+    SnapshotTable.create(
+      spark, root,
+      spark.range(0, 10).selectExpr(
+        "CAST(id AS INT) AS i",
+        "CAST(id AS FLOAT) AS f",
+        "CAST(id AS DECIMAL(5,2)) AS dc",
+        "concat('v', id) AS s")) // v1: narrow era
+    // ONE metadata-only commit widens all three (no data rewrite)
+    val v2 = SnapshotTable.alterSchema(
+      spark, root,
+      Seq(WidenCol("i", LongType), WidenCol("f", DoubleType), WidenCol("dc", DecimalType(12, 2))))
+    assert(SnapshotTable.history(spark, root).last.action == "schema")
+    val widened = SnapshotTable.read(spark, root)
+    assert(widened.schema("i").dataType == LongType)
+    assert(widened.schema("f").dataType == DoubleType)
+    assert(widened.schema("dc").dataType == DecimalType(12, 2))
+    // the wide era appends at the new types; both eras read correctly
+    SnapshotTable.append(
+      spark, root,
+      spark.range(10, 15).selectExpr(
+        "id AS i", "CAST(id AS DOUBLE) AS f", "CAST(id AS DECIMAL(12,2)) AS dc", "concat('w', id) AS s")) // v3
+    val all = SnapshotTable.read(spark, root).orderBy("i").collect()
+    assert(all.length == 15)
+    assert(all.map(_.getLong(0)).toSeq == (0L until 15L))
+    assert(all.map(_.getDouble(1)).toSeq == (0 until 15).map(_.toDouble))
+    assert(all.map(_.getDecimal(2).longValueExact()).toSeq == (0L until 15L))
+    // stats pruning still engages across eras on the widened column
+    // (min/max compare on a type-agnostic numeric axis)…
+    assert(SnapshotTable.countWhere(spark, root, Seq(Bound("i", Some(12L), Some(14L)))) == 3)
+    // …and equality reads stay CORRECT: the narrow era's blooms were
+    // hashed at the narrow type, so the widen commit strips them — a
+    // stale probe could falsely prove absence
+    assert(SnapshotTable.read(spark, root).filter("i = 3").count() == 1)
+    assert(SnapshotTable.history(spark, root)
+      .find(_.version == v2).get.files.forall(!_.bloom.contains("i")),
+      "narrow-era blooms of the widened column must be stripped")
+    // time travel: v1 still reads its exact narrow schema
+    val old = SnapshotTable.readVersion(spark, root, 1)
+    assert(old.schema("i").dataType == IntegerType && old.schema("f").dataType == FloatType)
+    // a COW rewrite mixes eras in one commit and stays exact
+    SnapshotTable.deleteWhere(spark, root, Seq(Bound("i", Some(4L), Some(11L))))
+    assert(SnapshotTable.read(spark, root).count() == 7)
+    // refusals: narrowing, lossy long→double, non-numeric, unknown column
+    for ((c, t) <- Seq(("i", IntegerType), ("i", DoubleType), ("s", LongType), ("zz", LongType)))
+      assert(intercept[Exception](
+        SnapshotTable.alterSchema(spark, root, Seq(WidenCol(c, t)))).getMessage.nonEmpty)
+    // SQL + catalog routes: ALTER TABLE ... ALTER COLUMN ... TYPE
+    graft.sinks.SnapshotSql.register(spark, "widet", root)
+    graft.sinks.SnapshotSql.execute(spark, "ALTER TABLE widet ALTER COLUMN dc TYPE DECIMAL(18,2)")
+    assert(SnapshotTable.read(spark, root).schema("dc").dataType == DecimalType(18, 2))
+    assert(intercept[Exception](graft.sinks.SnapshotSql.execute(
+      spark, "ALTER TABLE widet ALTER COLUMN i TYPE INT")).getMessage.contains("lossless"))
+  }
+
   test("vacuum retains every dir a kept version references") {
     val root = freshRoot()
     SnapshotTable.create(spark, root, batch(1L -> "a"))
