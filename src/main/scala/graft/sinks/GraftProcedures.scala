@@ -26,6 +26,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * CALL graft.system.optimize('ns.t', 'k,s', 8)            -- multi-column = Z-ORDER
   * CALL graft.system.create_tag('ns.t', 'golden', 3)       -- pin a version
   * CALL graft.system.create_branch('ns.t', 'dev')
+  * CALL graft.system.fast_forward('ns.t', 'dev')           -- publish the branch
+  * CALL graft.system.cherry_pick('ns.t', 'dev')            -- append-only delta onto advanced main
+  * CALL graft.system.rebase('ns.t', 'dev')                 -- replay onto current main
+  * CALL graft.system.drop_branch('ns.t', 'dev')
+  * CALL graft.system.drop_tag('ns.t', 'golden')
+  * CALL graft.system.restore('ns.t', 3)                    -- roll back as a NEW commit
   * }}}
   *
   * Implemented on Spark's stored-procedure connector API
@@ -65,7 +71,13 @@ private[sinks] object GraftProcedures {
     "history" -> HistoryProc(catalog),
     "optimize" -> OptimizeProc(catalog),
     "create_tag" -> CreateTagProc(catalog),
-    "create_branch" -> CreateBranchProc(catalog))
+    "create_branch" -> CreateBranchProc(catalog),
+    "drop_tag" -> DropRefProc(catalog, "drop_tag"),
+    "drop_branch" -> DropRefProc(catalog, "drop_branch"),
+    "fast_forward" -> FastForwardProc(catalog),
+    "cherry_pick" -> CherryPickProc(catalog),
+    "rebase" -> RebaseProc(catalog),
+    "restore" -> RestoreProc(catalog))
 
   private def spark = SparkSession.active
 
@@ -150,6 +162,83 @@ private[sinks] object GraftProcedures {
       val v = SnapshotTable.createTag(spark, root, input.getUTF8String(1).toString, asOf)
       result(
         StructType(Seq(org.apache.spark.sql.types.StructField("pinned_version", IntegerType))),
+        Seq(InternalRow(v)))
+    }
+  }
+
+  /** The whole ref workflow from pure SQL — [[SnapshotTable.fastForward]]
+    * / [[SnapshotTable.cherryPick]] / [[SnapshotTable.rebase]] behind one
+    * `new_version` result shape, so fork → stage → rebase → publish needs
+    * no programmatic calls. */
+  private abstract class BranchVerbProc(catalog: GraftCatalog, name: String)
+      extends Proc(name) {
+    protected def run(root: String, branch: String): Int
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("branch", StringType))
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val root = catalog.tableRootOf(input.getUTF8String(0).toString)
+      val v = run(root, input.getUTF8String(1).toString)
+      result(
+        StructType(Seq(org.apache.spark.sql.types.StructField("new_version", IntegerType))),
+        Seq(InternalRow(v)))
+    }
+  }
+
+  private final case class FastForwardProc(catalog: GraftCatalog)
+      extends BranchVerbProc(catalog, "fast_forward") {
+    override def description: String =
+      "publish a branch's commits onto main verbatim (refuses a diverged main — rebase first)"
+    override protected def run(root: String, branch: String): Int =
+      SnapshotTable.fastForward(spark, root, branch)
+  }
+
+  private final case class CherryPickProc(catalog: GraftCatalog)
+      extends BranchVerbProc(catalog, "cherry_pick") {
+    override def description: String =
+      "publish an append-only branch delta onto an advanced main as one commit"
+    override protected def run(root: String, branch: String): Int =
+      SnapshotTable.cherryPick(spark, root, branch)
+  }
+
+  private final case class RebaseProc(catalog: GraftCatalog)
+      extends BranchVerbProc(catalog, "rebase") {
+    override def description: String =
+      "replay a diverged branch's commits onto current main (appends re-attach, MOR and captured COW DML replay)"
+    override protected def run(root: String, branch: String): Int =
+      SnapshotTable.rebase(spark, root, branch)
+  }
+
+  private final case class DropRefProc(catalog: GraftCatalog, verb: String)
+      extends Proc(verb) {
+    override def description: String =
+      if (verb == "drop_tag") "remove a tag (its pinned version becomes vacuumable)"
+      else "remove a branch and its private manifest log"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("name", StringType))
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val root = catalog.tableRootOf(input.getUTF8String(0).toString)
+      val ref = input.getUTF8String(1).toString
+      if (verb == "drop_tag") SnapshotTable.dropTag(spark, root, ref)
+      else SnapshotTable.dropBranch(spark, root, ref)
+      result(
+        StructType(Seq(org.apache.spark.sql.types.StructField("dropped", StringType))),
+        Seq(InternalRow(UTF8String.fromString(ref))))
+    }
+  }
+
+  private final case class RestoreProc(catalog: GraftCatalog) extends Proc("restore") {
+    override def description: String =
+      "roll the table back to an earlier version as a NEW commit (history is never rewritten)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("version", IntegerType))
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val root = catalog.tableRootOf(input.getUTF8String(0).toString)
+      val v = SnapshotTable.restore(spark, root, input.getInt(1))
+      result(
+        StructType(Seq(org.apache.spark.sql.types.StructField("new_version", IntegerType))),
         Seq(InternalRow(v)))
     }
   }

@@ -126,6 +126,7 @@ private[sinks] final class GraftTable(
     if (writable)
       util.EnumSet.of(
         TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ,
         TableCapability.V1_BATCH_WRITE,
         TableCapability.TRUNCATE)
     else util.EnumSet.of(TableCapability.BATCH_READ)
@@ -140,7 +141,7 @@ private[sinks] final class GraftTable(
       .toArray
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(spark, root, v, schema)
+    new GraftScanBuilder(spark, root, v, schema, options, streamable = writable)
 
   /** Writes bridge to the TRANSACTIONAL operators (V1Write): INSERT INTO
     * = one [[SnapshotTable.append]] commit, INSERT OVERWRITE (truncate)
@@ -181,7 +182,9 @@ private[sinks] final class GraftScanBuilder(
     spark: SparkSession,
     root: String,
     v: Int,
-    tableSchema: StructType)
+    tableSchema: StructType,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
+    streamable: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
@@ -208,13 +211,42 @@ private[sinks] final class GraftScanBuilder(
     // itself); only pending merge-on-read masks — whose anti-join/filter
     // semantics need the relation replay — take the V1 fallback
     if (m.masks.isEmpty)
-      new GraftBatchScan(spark, root, m, tableSchema, required, allFilters.toSeq)
+      new GraftBatchScan(spark, root, m, tableSchema, required, allFilters.toSeq, options, streamable)
     else
-      new GraftV1FallbackScan(spark, root, v, required, allFilters.toSeq)
+      new GraftV1FallbackScan(spark, root, v, required, allFilters.toSeq, options, streamable)
   }
 }
 
 private[sinks] object GraftScanBuilder {
+
+  /** The catalog-identifier streaming leg (`spark.readStream.table(
+    * "graft.ns.t")`): delegate offsets and batch algebra to the proven
+    * [[SnapshotSource]], read partitions natively
+    * ([[GraftMicroBatchStream]]). Read options ride through: startVersion
+    * and the maxFilesPerTrigger / maxBytesPerTrigger admission controls. */
+  def microBatchStream(
+      spark: SparkSession,
+      root: String,
+      options: CaseInsensitiveStringMap,
+      required: StructType,
+      streamable: Boolean)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(
+      streamable,
+      "streaming reads follow the CURRENT table — a time-travel/pinned handle cannot stream")
+    require(
+      !Option(options.get("readChangeFeed")).exists(_.equalsIgnoreCase("true")),
+      "readChangeFeed streams through the path-based source (its schema adds the CDC tag " +
+        "columns, which a catalog table identifier cannot declare): " +
+        "spark.readStream.format(\"snapshot-table\").option(\"readChangeFeed\",\"true\").load(root)")
+    val src = new SnapshotSource(
+      spark,
+      root,
+      Option(options.get("startVersion")).map(_.toInt),
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      Option(options.get("maxBytesPerTrigger")).map(_.toLong))
+    new GraftMicroBatchStream(spark, root, src, required)
+  }
 
   /** Rewrite a filter's attribute names through `nameMap` (logical →
     * physical). `None` = a shape or name this translation doesn't carry —
@@ -314,10 +346,16 @@ private[sinks] final class GraftBatchScan(
     m: SnapshotTable.Commit,
     tableSchema: StructType,
     required: StructType,
-    filters: Seq[sources.Filter])
+    filters: Seq[sources.Filter],
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
+    streamable: Boolean = false)
     extends Scan
     with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    GraftScanBuilder.microBatchStream(spark, root, options, required, streamable)
 
   @volatile private var runtimeFilters: Seq[sources.Filter] = Seq.empty
 
@@ -420,10 +458,19 @@ private[sinks] final class GraftV1FallbackScan(
     root: String,
     v: Int,
     required: StructType,
-    filters: Seq[sources.Filter])
+    filters: Seq[sources.Filter],
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
+    streamable: Boolean = false)
     extends V1Scan {
 
   override def readSchema(): StructType = required
+
+  // the append stream never applies masks (documented ignoreChanges
+  // contract), so a mask-pending table streams through the SAME native
+  // micro-batch leg the unmasked scan uses
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    GraftScanBuilder.microBatchStream(spark, root, options, required, streamable)
 
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
     new BaseRelation with TableScan {

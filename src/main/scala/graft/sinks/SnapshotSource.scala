@@ -384,6 +384,17 @@ final class SnapshotSource(
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     if (cdc) return cdcBatch(start, end)
     val endPos = parsePosition(end)
+    val entries = appendEntries(start, end, endPos)
+    pos = Some(endPos)
+    frameFor(entries, endPos.v)
+  }
+
+  /** The append-stream entry set of batch `(start, end]` — shared by the
+    * V1 [[getBatch]] and the DSv2 [[offsetFiles]] leg. */
+  private def appendEntries(
+      start: Option[V1Offset],
+      end: V1Offset,
+      endPos: Position): Seq[String] =
     // a LEGACY (pre-rate-limit) end offset — a plain version number from a
     // checkpoint written before maxFilesPerTrigger was enabled — always
     // replays with legacy semantics, EVEN under rate limiting: its batch 0
@@ -391,27 +402,55 @@ final class SnapshotSource(
     // Reconstructing it as deltas would re-emit rows of since-removed
     // files (duplicates) or fail on vacuumed files on tables with
     // pre-stream overwrite/DML churn.
-    val entries: Seq[String] =
-      if (!end.json().trim.startsWith("{")) legacyEntries(start, endPos.v)
-      else {
-        val from = start.map(parsePosition).getOrElse {
-          startVersion match {
-            case Some(sv) => Position(sv - 1, Int.MaxValue, snap = false)
-            case None if endPos.snap =>
-              // initial batch: its end is inside the snapshot list of the
-              // base version (walk never crosses out of a non-empty
-              // snapshot in one batch)
-              Position(endPos.v, 0, snap = true)
-            case None =>
-              // empty-initial-snapshot corner: the walk started on an
-              // empty snapshot list and crossed into deltas
-              Position(0, Int.MaxValue, snap = false)
-          }
+    if (!end.json().trim.startsWith("{")) legacyEntries(start, endPos.v)
+    else {
+      val from = start.map(parsePosition).getOrElse {
+        startVersion match {
+          case Some(sv) => Position(sv - 1, Int.MaxValue, snap = false)
+          case None if endPos.snap =>
+            // initial batch: its end is inside the snapshot list of the
+            // base version (walk never crosses out of a non-empty
+            // snapshot in one batch)
+            Position(endPos.v, 0, snap = true)
+          case None =>
+            // empty-initial-snapshot corner: the walk started on an
+            // empty snapshot list and crossed into deltas
+            Position(0, Int.MaxValue, snap = false)
         }
-        collectBetween(from, endPos)
       }
+      collectBetween(from, endPos)
+    }
+
+  /** DSv2 micro-batch leg ([[GraftMicroBatchStream]]): the batch
+    * `(start, end]` as a `(absolute path, bytes)` FILE list — identical
+    * entry algebra to [[getBatch]] (same positions, same restore/compact
+    * skip rules, same mask non-application), resolved to concrete files
+    * through the same synthetic-manifest index [[frameFor]] scans. */
+  private[sinks] def offsetFiles(
+      start: Option[org.apache.spark.sql.connector.read.streaming.Offset],
+      end: org.apache.spark.sql.connector.read.streaming.Offset): Seq[(String, Long)] = {
+    def v1(o: org.apache.spark.sql.connector.read.streaming.Offset): V1Offset = o match {
+      case v: V1Offset => v
+      case other => SerializedOffset(other.json())
+    }
+    require(!cdc, "the DSv2 micro-batch leg serves the append stream only")
+    val endV1 = v1(end)
+    val endPos = parsePosition(endV1)
+    // the initial sentinel (v = -1) means "from scratch", like a V1 None
+    val startV1 = start.map(v1).filter(o => parsePosition(o).v >= 0)
+    val entries = appendEntries(startV1, endV1, endPos)
     pos = Some(endPos)
-    frameFor(entries, endPos.v)
+    val endManifest = manifest(endPos.v)
+    val entrySet = entries.toSet
+    val synthetic = endManifest.copy(
+      dirs = entries,
+      files = endManifest.files.filter(f => entrySet.contains(f.path)),
+      masks = Seq.empty)
+    val phys = SnapshotTable.physicalSchemaOf(schema)
+    new SnapshotFileIndex(spark, SnapshotTable.dataRoot(root), synthetic, phys)
+      .listFiles(Nil, Nil)
+      .flatMap(_.files)
+      .map(st => (st.getPath.toString, st.getLen))
   }
 
   /** Entries strictly after `from`, through `to` — the deterministic
@@ -854,4 +893,72 @@ object SnapshotBatchRelation {
     case s.Not(inner) => exact(inner).map(!_)
     case _ => None
   }
+}
+
+/** The snapshot APPEND STREAM behind `spark.readStream.table("graft.ns.t")`
+  * (SURVEY §2.J `cap_stream_source`, catalog leg) — the DSv2
+  * `MicroBatchStream` face of [[SnapshotSource]]: offset algebra, rate
+  * limiting (`maxFilesPerTrigger` / `maxBytesPerTrigger` read options),
+  * `Trigger.AvailableNow` pinning, and the restore/compact skip rules all
+  * DELEGATE to the proven V1 source — this class only turns a committed
+  * offset range into its concrete parquet file partitions
+  * ([[SnapshotSource.offsetFiles]]) and reads them through the standard
+  * codegen'd parquet reader in the scan's pruned (physical) schema.
+  * Checkpoint offsets are the same JSON positions the path-based stream
+  * logs, so semantics (exactly-once, restore adds nothing) are shared by
+  * construction, not by parallel implementation. The change feed stays on
+  * the path-based source (`readChangeFeed` needs the widened CDC schema,
+  * which a catalog table identifier cannot declare). */
+private[sinks] final class GraftMicroBatchStream(
+    spark: SparkSession,
+    root: String,
+    source: SnapshotSource,
+    required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset, ReadLimit}
+
+  override def initialOffset(): SOffset = source.initialOffset()
+  override def deserializeOffset(json: String): SOffset = source.deserializeOffset(json)
+  override def commit(end: SOffset): Unit = source.commit(end)
+  override def stop(): Unit = source.stop()
+  override def prepareForTriggerAvailableNow(): Unit = source.prepareForTriggerAvailableNow()
+  override def getDefaultReadLimit: ReadLimit = source.getDefaultReadLimit
+  override def latestOffset(start: SOffset, limit: ReadLimit): SOffset =
+    source.latestOffset(start, limit)
+
+  override def latestOffset(): SOffset =
+    // the engine routes through the admission-control overload for
+    // sources that implement it (FileStreamSource's contract)
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) drives this source")
+
+  override def planInputPartitions(
+      start: SOffset,
+      end: SOffset): Array[org.apache.spark.sql.connector.read.InputPartition] =
+    source
+      .offsetFiles(Option(start), end)
+      .map { case (p, len) => GraftInputPartition(p, len) }
+      .toArray
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+    // files carry PHYSICAL column names; rows are positional, so reading
+    // the physical twin of the pruned schema IS the logical read
+    val readFunc = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+      .buildReaderWithPartitionValues(
+        sparkSession = spark,
+        dataSchema = SnapshotTable.physicalSchemaOf(source.schema),
+        partitionSchema = new StructType(),
+        requiredSchema = SnapshotTable.physicalSchemaOf(required),
+        filters = Seq.empty, // streams emit full rows; filters re-apply above
+        options = Map(
+          org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "false"),
+        hadoopConf = spark.sessionState.newHadoopConf())
+    GraftReaderFactory(readFunc)
+  }
+
+  override def toString: String = s"GraftMicroBatchStream[$root]"
 }

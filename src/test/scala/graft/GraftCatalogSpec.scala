@@ -375,11 +375,45 @@ class GraftCatalogSpec extends SparkSuite {
     assert(spark.sql("SELECT count(*) AS n FROM gtest.proc.t VERSION AS OF 'gold'").head.getLong(0) == 100)
 
     // discovery + refusals
-    assert(spark.sql("SHOW PROCEDURES IN gtest.system").count() == 5)
+    assert(spark.sql("SHOW PROCEDURES IN gtest.system").count() == 11)
     // Spark wraps the loud unknown-procedure refusal in FAILED_TO_LOAD_ROUTINE
     val e = intercept[Exception](spark.sql("CALL gtest.system.nope('x')"))
     assert(e.getMessage.contains("nope"), e.getMessage)
     // a procedure's table argument rides the same unsafe-segment gate
     intercept[Exception](spark.sql("CALL gtest.system.history('../escape')"))
+  }
+
+  test("catalog procedures: the full ref workflow (fork, stage, rebase, publish, restore) from SQL") {
+    val root = wh + "/proc2/t"
+    SnapshotTable.create(spark, root, clustered(50, 2)) // v1: k 0..49
+    // fork + stage (branch writes go through the programmatic handle; the
+    // workflow VERBS are what the procedures add)
+    val dev = SnapshotTable.createBranch(spark, root, "dev")
+    SnapshotTable.append(spark, dev, clustered(30, 1).selectExpr("k + 1000 AS k", "s")) // branch v2
+    spark.sql("INSERT INTO gtest.proc2.t SELECT id + 5000 AS k, concat('m', id) AS s FROM range(10)") // main v2: diverged
+    // diverged main: fast_forward refuses, rebase replays, fast_forward lands
+    assert(intercept[Exception](spark.sql("CALL gtest.system.fast_forward('proc2.t', 'dev')"))
+      .getMessage.contains("diverges"))
+    assert(spark.sql("CALL gtest.system.rebase('proc2.t', 'dev')").head.getInt(0) == 3)
+    assert(spark.sql("CALL gtest.system.fast_forward('proc2.t', 'dev')").head.getInt(0) == 3)
+    assert(spark.sql("SELECT count(*) AS n FROM gtest.proc2.t").head.getLong(0) == 90)
+    spark.sql("CALL gtest.system.drop_branch('proc2.t', 'dev')")
+    assert(SnapshotTable.branches(spark, root).isEmpty)
+
+    // cherry_pick: an append-only delta lands on an ADVANCED main as one commit
+    val cp = SnapshotTable.createBranch(spark, root, "cp")
+    SnapshotTable.append(spark, cp, clustered(5, 1).selectExpr("k + 9000 AS k", "s"))
+    spark.sql("INSERT INTO gtest.proc2.t SELECT id + 7000 AS k, concat('z', id) AS s FROM range(5)") // main advances
+    spark.sql("CALL gtest.system.cherry_pick('proc2.t', 'cp')")
+    assert(spark.sql("SELECT count(*) AS n FROM gtest.proc2.t WHERE k >= 9000").head.getLong(0) == 5)
+    spark.sql("CALL gtest.system.drop_branch('proc2.t', 'cp')")
+
+    // restore rolls back as a NEW commit (history preserved), tags drop
+    spark.sql("CALL gtest.system.create_tag('proc2.t', 'keep', 1)")
+    val before = SnapshotTable.latestVersion(spark, root).get
+    assert(spark.sql("CALL gtest.system.restore('proc2.t', 1)").head.getInt(0) == before + 1)
+    assert(spark.sql("SELECT count(*) AS n FROM gtest.proc2.t").head.getLong(0) == 50)
+    spark.sql("CALL gtest.system.drop_tag('proc2.t', 'keep')")
+    assert(SnapshotTable.tags(spark, root).isEmpty)
   }
 }
