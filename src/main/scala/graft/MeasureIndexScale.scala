@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{AnnIndex, DedupIndex}
+import graft.sinks.SnapshotTable
+
+/** Decade-up scale study for the PERSISTED INDEX tier (SCALING.md): the
+  * round-17 verdict asked for proof that DedupIndex batch-dedup and
+  * AnnIndex search/refresh stay O(batch) — not O(corpus) — one decade
+  * beyond the round-15 points (500k docs / 2M vectors). This main
+  * measures matched PAIRS of corpus sizes under an identical generator
+  * (so the comparison is distribution-clean, unlike reusing the round-15
+  * numbers, which rode GenData's 31-word-vocab documents — too small a
+  * shingle space to be honest at 5M docs):
+  *
+  *   runMain graft.MeasureIndexScale dedup <nDocs>   (e.g. 500000, 5000000)
+  *   runMain graft.MeasureIndexScale ann <nVecs>     (e.g. 2000000, 10000000)
+  *
+  * Protocols mirror the round-15 studies exactly:
+  *  - dedup: corpus = docs minus the last 25k; batch = those 25k (2% are
+  *    planted near-dups of corpus docs). Timed: build(corpus) once, then
+  *    checkBatch twice (warm pair). The batch is FIXED at 25k across
+  *    corpus sizes — O(batch) predicts a flat warm checkBatch, with only
+  *    the shuffle-free map-side postings scan growing in bytes.
+  *  - ann: snapshot-table source corpus of 16-dim unit vectors,
+  *    fitFromTable k=64/iters=3, then the round-15 arrival (+1% inserts,
+  *    0.25% keyed delete) and a timed refresh, plus a timed full-refit
+  *    warm pair for contrast and a 100-query/topK=10/nprobe=8 search
+  *    warm pair. Refresh cost is CDC-delta-sized; refit is O(corpus).
+  *
+  * Generator determinism matches GenData: every draw is xxhash64-keyed,
+  * bit-identical across partitionings and re-runs. Documents draw 20..80
+  * tokens from a 10k-word vocabulary; every 50th doc is a near-copy of
+  * its predecessor with ~10% of tokens dropped (Jaccard ≈ 0.8, above the
+  * 0.7 check threshold). All tables land under target/scale (scratch).
+  */
+object MeasureIndexScale {
+  private val Mod = 1000000000L
+
+  private def u(salt: Int, cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
+    pmod(xxhash64((cols :+ lit(salt)): _*), lit(Mod)).cast("double") / lit(Mod.toDouble)
+
+  /** (doc_id, toks): 20..80 tokens from a 10k vocab; id % 50 == 0 docs
+    * regenerate their PREDECESSOR's token stream (seed = id - 1) minus a
+    * random ~10% — a planted near-dup pair at Jaccard ≈ 0.8. */
+  private def docs(spark: SparkSession, n: Long): DataFrame =
+    spark
+      .range(n)
+      .select(col("id").as("doc_id"))
+      .withColumn(
+        "seed",
+        when(col("doc_id") % 50 === 0 && col("doc_id") > 0, col("doc_id") - 1)
+          .otherwise(col("doc_id")))
+      .withColumn("len", (lit(20) + u(11, col("seed")) * 60).cast("int"))
+      .withColumn(
+        "toks",
+        filter(
+          transform(
+            sequence(lit(0), col("len") - 1),
+            i =>
+              when(
+                col("seed") =!= col("doc_id") && u(13, col("seed"), i) < 0.1,
+                lit(null).cast("string"))
+                .otherwise(
+                  concat(lit("w"), pmod(xxhash64(col("seed"), i, lit(17)), lit(10000))))),
+          t => t.isNotNull))
+      .select("doc_id", "toks")
+
+  /** (id, emb): deterministic 16-dim unit-norm float vectors. */
+  private def vecs(spark: SparkSession, n: Long, saltBase: Int): DataFrame = {
+    val raw = transform(sequence(lit(0), lit(15)), i => u(saltBase, col("id"), i) - lit(0.5))
+    spark
+      .range(n)
+      .withColumn("raw", raw)
+      .withColumn("nrm", sqrt(aggregate(col("raw"), lit(0.0), (a, x) => a + x * x)))
+      .select(
+        col("id"),
+        transform(col("raw"), x => (x / col("nrm")).cast("float")).as("emb"))
+  }
+
+  private def timed[T](label: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    println(f"MEASURE $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("dedup")
+    val n = if (args.length > 1) args(1).toLong else 500000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val root = s"target/scale/$mode-$n"
+    val fs = new java.io.File(root)
+    if (fs.exists()) { // fresh study per run: scratch tier, no carry-over
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(fs)
+    }
+    mode match {
+      case "dedup" => dedupStudy(spark, root, n)
+      case "ann" => annStudy(spark, root, n)
+      case other => sys.error(s"unknown mode '$other' (dedup | ann)")
+    }
+    spark.stop()
+  }
+
+  private def dedupStudy(spark: SparkSession, root: String, n: Long): Unit = {
+    val batchN = 25000L
+    val all = docs(spark, n)
+    val corpus = all.filter(col("doc_id") < n - batchN)
+    val batch = all.filter(col("doc_id") >= n - batchN)
+    println(s"dedup study: corpus ${n - batchN}, batch $batchN")
+    timed(s"DedupIndex.build corpus=${n - batchN}") {
+      DedupIndex.build(spark, root, corpus, "doc_id", "toks")
+    }
+    (1 to 2).foreach { i =>
+      val m = timed(s"DedupIndex.checkBatch#$i batch=$batchN") {
+        DedupIndex.checkBatch(spark, root, batch, "doc_id", "toks", 0.7).count()
+      }
+      println(s"  matches: $m")
+    }
+  }
+
+  private def annStudy(spark: SparkSession, root: String, n: Long): Unit = {
+    val srcRoot = s"$root/source"
+    val idxRoot = s"$root/index"
+    println(s"ann study: corpus $n vectors, 16-dim, k=64, iters=3")
+    timed(s"source create n=$n") {
+      SnapshotTable.create(spark, srcRoot, vecs(spark, n, 29))
+    }
+    timed(s"AnnIndex.fitFromTable#1 n=$n") {
+      AnnIndex.fitFromTable(spark, idxRoot, srcRoot, "id", "emb", k = 64, iters = 3)
+    }
+    // search warm pair BEFORE the arrival (clean corpus version)
+    val queries = vecs(spark, 100, 31)
+    (1 to 2).foreach { i =>
+      val c = timed(s"AnnIndex.search#$i q=100 topK=10 nprobe=8") {
+        AnnIndex.search(spark, idxRoot, queries, "id", "emb", topK = 10, nprobe = 8).count()
+      }
+      println(s"  result rows: $c")
+    }
+    // the round-15 arrival: +1% inserts (fresh ids past n), 0.25% keyed delete
+    val ins = vecs(spark, n / 100, 37).select((col("id") + n).as("id"), col("emb"))
+    SnapshotTable.append(spark, srcRoot, ins)
+    val delIds = spark.range(n / 400).select((col("id") * 400 + 7).as("id"))
+    SnapshotTable.deleteMatchedMor(spark, srcRoot, delIds, Seq("id"))
+    timed(s"AnnIndex.refresh delta=+${n / 100}/-${n / 400}") {
+      AnnIndex.refresh(spark, idxRoot, srcRoot, "id", "emb")
+    }
+    // full-refit contrast, warm pair (the refresh alternative at O(corpus))
+    (1 to 2).foreach { i =>
+      timed(s"AnnIndex.fitFromTable#${i + 1} (refit contrast)") {
+        AnnIndex.fitFromTable(spark, idxRoot, srcRoot, "id", "emb", k = 64, iters = 3)
+      }
+    }
+  }
+}

@@ -175,28 +175,79 @@ final class GraftCatalog
       schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    // PARTITIONED BY (identity columns) maps onto the engine's clustering
-    // stance: the declared columns become the table's standing
+    // PARTITIONED BY maps onto the engine's clustering stance: each
+    // transform's SOURCE column joins the table's standing
     // range-clustering key (persisted in the schema's field metadata, see
     // [[SnapshotTable.withClusterSpec]]) — every write range-clusters on
-    // them, so manifest min/max stats give the file-level pruning
-    // hive-style partitioning would, without directory explosions on
-    // high-cardinality keys. Non-identity transforms (bucket/days/...)
-    // refuse loudly: approximating them as identity clustering would
-    // silently change their pruning semantics.
-    val clusterCols: Seq[String] = partitions.toSeq.map { t =>
-      require(
-        t.name == "identity" && t.references.length == 1 &&
-          t.references.head.fieldNames.length == 1,
-        s"unsupported partition transform '$t' — graft tables map identity PARTITIONED BY " +
-          "columns to range clustering; bucket/temporal transforms are not supported " +
-          "(cluster with OPTIMIZE ... ZORDER BY instead)")
-      t.references.head.fieldNames.head
+    // those columns, so manifest min/max stats give file-level pruning
+    // that DOMINATES what the declared transform's hive/iceberg layout
+    // would prune: temporal transforms and truncate are order-preserving
+    // (a day/month/prefix range is a source-column range at coarser
+    // granularity), and bucket's one prunable predicate — key equality —
+    // resolves to ~1 file on a range-clustered key instead of a whole
+    // bucket. The DECLARED transform is recorded verbatim so DESCRIBE /
+    // partitioning() round-trip the user's DDL. Transforms outside this
+    // family (unknown names, multi-column references) still refuse
+    // loudly rather than approximate.
+    val clusterSpec: Seq[(String, String)] = partitions.toSeq.map { t =>
+      def col: String = {
+        require(
+          t.references.length == 1 && t.references.head.fieldNames.length == 1,
+          s"unsupported partition transform '$t' — one top-level source column per transform")
+        t.references.head.fieldNames.head
+      }
+      def width: Int = t
+        .arguments()
+        .collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value() match {
+              case i: java.lang.Integer => i.intValue()
+              case i: java.lang.Long => i.longValue().toInt
+              case other => sys.error(s"partition transform '$t': non-integer width '$other'")
+            }
+        }
+        .getOrElse(sys.error(s"partition transform '$t' needs a literal width"))
+      def temporal(name: String): (String, String) = {
+        val c = col
+        val dt = schema.fields
+          .find(_.name == c)
+          .map(_.dataType)
+          .getOrElse(sys.error(s"PARTITIONED BY column '$c' is not a column of the table schema"))
+        require(
+          dt.isInstanceOf[org.apache.spark.sql.types.DateType] ||
+            dt.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
+            dt.isInstanceOf[org.apache.spark.sql.types.TimestampNTZType],
+          s"PARTITIONED BY $name($c) needs a date/timestamp column; '$c' is ${dt.sql}")
+        c -> name
+      }
+      t.name match {
+        case "identity" => col -> "identity"
+        case "bucket" =>
+          val n = width
+          require(n > 0, s"bucket($n): bucket count must be positive")
+          col -> s"bucket($n)"
+        case "truncate" =>
+          val n = width
+          require(n > 0, s"truncate($n): width must be positive")
+          col -> s"truncate($n)"
+        case n @ ("years" | "months" | "days" | "hours") => temporal(n)
+        case other =>
+          sys.error(
+            s"unsupported partition transform '$other' in '$t' — graft tables map " +
+              "identity/bucket/truncate/years/months/days/hours PARTITIONED BY transforms " +
+              "to range clustering on the source column (cluster further with " +
+              "OPTIMIZE ... ZORDER BY)")
+      }
     }
-    clusterCols.foreach(c =>
+    clusterSpec.foreach { case (c, _) =>
       require(
         schema.fieldNames.contains(c),
-        s"PARTITIONED BY column '$c' is not a column of the table schema"))
+        s"PARTITIONED BY column '$c' is not a column of the table schema")
+    }
+    require(
+      clusterSpec.map(_._1).distinct.size == clusterSpec.size,
+      s"PARTITIONED BY references a source column twice: " +
+        clusterSpec.map { case (c, xf) => s"$xf on $c" }.mkString(", "))
     // refuse-not-approximate: TBLPROPERTIES/COMMENT have nowhere to live
     // in a stateless catalog, and LOCATION/EXTERNAL would be silently
     // IGNORED (identifiers map to warehouse paths by contract) — a table
@@ -230,7 +281,7 @@ final class GraftCatalog
       spark, root,
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        SnapshotTable.withClusterSpec(schema, clusterCols)))
+        SnapshotTable.withClusterSpec(schema, clusterSpec)))
     tableAt(ident, 1, writable = true)
   }
 

@@ -132,13 +132,30 @@ private[sinks] final class GraftTable(
     else util.EnumSet.of(TableCapability.BATCH_READ)
 
   /** The persisted cluster spec (CREATE ... PARTITIONED BY mapping)
-    * surfaces as identity transforms — DESCRIBE and catalog tooling show
-    * the declared clustering key. */
-  override def partitioning(): Array[Transform] =
+    * surfaces as the DECLARED transforms — DESCRIBE and catalog tooling
+    * round-trip the user's DDL (identity, bucket(N), truncate(N),
+    * years/months/days/hours), even though writes range-cluster on the
+    * source columns (the dominance argument at
+    * [[SnapshotTable.ClusterXformKey]]). */
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val BucketN = """bucket\((\d+)\)""".r
+    val TruncN = """truncate\((\d+)\)""".r
     SnapshotTable
-      .clusterColsOf(schema)
-      .map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .clusterSpecOf(schema)
+      .map {
+        case (c, "identity") => Expressions.identity(c)
+        case (c, BucketN(n)) => Expressions.bucket(n.toInt, c)
+        case (c, TruncN(n)) =>
+          Expressions.apply("truncate", Expressions.literal(n.toInt), Expressions.column(c))
+        case (c, "years") => Expressions.years(c)
+        case (c, "months") => Expressions.months(c)
+        case (c, "days") => Expressions.days(c)
+        case (c, "hours") => Expressions.hours(c)
+        case (c, other) => sys.error(s"unreadable cluster transform '$other' on '$c'")
+      }
       .toArray
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spark, root, v, schema, options, streamable = writable)

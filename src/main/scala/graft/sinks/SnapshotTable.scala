@@ -1812,25 +1812,52 @@ object SnapshotTable {
     * columns become the table's STANDING range-clustering key — every
     * append/overwrite range-partitions + locally sorts on them, so the
     * manifest min/max stats prune partition-key predicates file-level
-    * exactly like partition pruning would, without freezing a layout. */
+    * exactly like partition pruning would, without freezing a layout.
+    *
+    * NON-IDENTITY transforms (`days(ts)`, `bucket(16, k)`, ...) ride the
+    * same spec: the DECLARED transform is recorded verbatim (second
+    * metadata key) so the catalog's `partitioning()` round-trips the
+    * user's DDL, while writes still range-cluster on the SOURCE column —
+    * sound because every predicate those transforms can prune, source-
+    * column range clustering prunes at least as well: the temporal
+    * transforms and truncate are order-preserving (a day/month/prefix
+    * range IS a source-column range, at finer granularity here), and
+    * bucket's only prunable predicate is key equality, which min/max
+    * stats on a range-clustered key answer with ~1 file instead of
+    * 1/N-th of the corpus. What is deliberately NOT reproduced is
+    * bucket's fixed write fan-out (AQE sizes output files instead) and
+    * hive-style directory layout (stats prune replaces it). */
   private[sinks] val ClusterPosKey = "graft.clusterPos"
+  private[sinks] val ClusterXformKey = "graft.clusterXform"
 
-  private[sinks] def clusterColsOf(schema: org.apache.spark.sql.types.StructType): Seq[String] =
+  /** (source column, declared transform label) in key order; labels are
+    * `identity` (absent key = legacy identity spec), `bucket(N)`,
+    * `truncate(N)`, `years`, `months`, `days`, `hours`. */
+  private[sinks] def clusterSpecOf(
+      schema: org.apache.spark.sql.types.StructType): Seq[(String, String)] =
     schema.fields
       .filter(f => f.metadata.contains(ClusterPosKey))
       .sortBy(_.metadata.getLong(ClusterPosKey))
-      .map(_.name)
+      .map(f =>
+        f.name -> (if (f.metadata.contains(ClusterXformKey)) f.metadata.getString(ClusterXformKey)
+                   else "identity"))
       .toSeq
+
+  private[sinks] def clusterColsOf(schema: org.apache.spark.sql.types.StructType): Seq[String] =
+    clusterSpecOf(schema).map(_._1)
 
   private[sinks] def withClusterSpec(
       schema: org.apache.spark.sql.types.StructType,
-      cols: Seq[String]): org.apache.spark.sql.types.StructType = {
-    val pos = cols.zipWithIndex.toMap
+      spec: Seq[(String, String)]): org.apache.spark.sql.types.StructType = {
+    val byCol = spec.zipWithIndex.map { case ((c, xf), i) => c -> (i, xf) }.toMap
     org.apache.spark.sql.types.StructType(schema.fields.map { f =>
-      pos.get(f.name) match {
-        case Some(i) =>
-          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f.metadata).putLong(ClusterPosKey, i.toLong).build())
+      byCol.get(f.name) match {
+        case Some((i, xf)) =>
+          val b = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong(ClusterPosKey, i.toLong)
+          if (xf != "identity") b.putString(ClusterXformKey, xf)
+          f.copy(metadata = b.build())
         case None => f
       }
     })
@@ -1871,8 +1898,8 @@ object SnapshotTable {
     // commits (overwrite) re-apply the prior spec by name onto the new
     // schema — INSERT OVERWRITE must not silently un-cluster a table
     val schema = base.flatMap(readManifest(spark, root, _).schemaJson).fold(schema0) { pj =>
-      val pcols = clusterColsOf(schemaFromJson(pj))
-      if (pcols.isEmpty) schema0 else withClusterSpec(schemaFromJson(schema0), pcols).json
+      val pspec = clusterSpecOf(schemaFromJson(pj))
+      if (pspec.isEmpty) schema0 else withClusterSpec(schemaFromJson(schema0), pspec).json
     }
     // replacing commits rewrite every live file: dropped-column bytes are
     // gone, the revival ledger resets; carried commits check + carry it

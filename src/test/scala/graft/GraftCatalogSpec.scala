@@ -232,15 +232,83 @@ class GraftCatalogSpec extends SparkSuite {
       spark.conf.unset("spark.sql.adaptive.coalescePartitions.minPartitionSize")
     }
 
-    // non-identity transforms refuse loudly — approximating bucket/days as
-    // identity clustering would silently change their semantics
-    val e = intercept[Exception](
-      spark.sql("CREATE TABLE gtest.pb.tb (k BIGINT) USING graft PARTITIONED BY (bucket(4, k))"))
-    assert(e.getMessage.contains("transform"), e.getMessage)
-    // and an unknown partition column refuses at CREATE, not first write
+    // an unknown partition column refuses at CREATE, not first write
     val e2 = intercept[Exception](
       spark.sql("CREATE TABLE gtest.pb.tc (k BIGINT) USING graft PARTITIONED BY (zz)"))
     assert(e2.getMessage.toLowerCase.contains("not a column") || e2.getMessage.contains("zz"), e2.getMessage)
+  }
+
+  test("non-identity PARTITIONED BY transforms map to source-column clustering and round-trip") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.pbx")
+    val cat = spark.sessionState.catalogManager.catalog("gtest").asInstanceOf[TableCatalog]
+
+    // days(ts) + bucket(8, k): DESCRIBE / partitioning() round-trip the
+    // DECLARED transforms; writes range-cluster on the source columns
+    spark.sql(
+      "CREATE TABLE gtest.pbx.t (ts TIMESTAMP, k BIGINT, s STRING) USING graft " +
+        "PARTITIONED BY (days(ts), bucket(8, k))")
+    val t = cat.loadTable(Identifier.of(Array("pbx"), "t"))
+    assert(
+      t.partitioning().map(_.toString).toSeq == Seq("days(ts)", "bucket(8, k)"),
+      t.partitioning().mkString(","))
+
+    // several clustered files at tiny scale (same AQE shrink as the
+    // identity case), then prune on the leading source column: a one-day
+    // ts range must not scan the whole table — the pruning days(ts)
+    // partitioning promises, delivered by ts min/max file stats
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8k")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1k")
+    try {
+      spark.sql(
+        "INSERT INTO gtest.pbx.t SELECT timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,id*17) " +
+          "AS ts, id AS k, concat('v', id) AS s FROM range(20000)")
+      val all = spark.sql("SELECT * FROM gtest.pbx.t")
+      all.collect()
+      val allScan = all.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }.get
+      assert(allScan.inputPartitions.size > 2, s"need several files, got ${allScan.inputPartitions.size}")
+      val day = spark.sql(
+        "SELECT * FROM gtest.pbx.t WHERE ts >= timestamp'2024-01-01' AND ts < timestamp'2024-01-02'")
+      day.collect()
+      val dayScan = day.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }.get
+      assert(
+        dayScan.inputPartitions.size < allScan.inputPartitions.size,
+        s"one-day range must prune: ${dayScan.inputPartitions.size} of ${allScan.inputPartitions.size}")
+
+      // truncate(4, s) on a string column round-trips; equality on the
+      // source column prunes (range clustering dominates prefix buckets)
+      spark.sql(
+        "CREATE TABLE gtest.pbx.tt USING graft PARTITIONED BY (truncate(4, s)) " +
+          "AS SELECT concat('pfx', cast(id % 97 AS STRING), '-', id) AS s, id AS k FROM range(20000)")
+      val tt = cat.loadTable(Identifier.of(Array("pbx"), "tt"))
+      assert(tt.partitioning().map(_.toString).toSeq == Seq("truncate(4, s)"), tt.partitioning().mkString(","))
+      val ttAll = spark.sql("SELECT * FROM gtest.pbx.tt")
+      ttAll.collect()
+      val ttAllScan = ttAll.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }.get
+      assert(ttAllScan.inputPartitions.size > 1, s"need several files, got ${ttAllScan.inputPartitions.size}")
+      val one = spark.sql("SELECT * FROM gtest.pbx.tt WHERE s = 'pfx42-10719'")
+      one.collect()
+      val oneScan = one.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }.get
+      assert(oneScan.inputPartitions.size == 1, s"key equality must prune to 1 file: ${oneScan.inputPartitions.size}")
+
+      // the spec survives INSERT OVERWRITE (replacing commits re-apply it,
+      // transform label included)
+      spark.sql("INSERT OVERWRITE gtest.pbx.tt SELECT concat('q', id) AS s, id AS k FROM range(100)")
+      val ttb = cat.loadTable(Identifier.of(Array("pbx"), "tt"))
+      assert(ttb.partitioning().map(_.toString).toSeq == Seq("truncate(4, s)"), "overwrite dropped the transform")
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    }
+
+    // temporal transforms type-check at CREATE: days over a BIGINT refuses
+    val e = intercept[Exception](
+      spark.sql("CREATE TABLE gtest.pbx.bad (k BIGINT) USING graft PARTITIONED BY (days(k))"))
+    assert(e.getMessage.contains("date/timestamp"), e.getMessage)
+    // unknown transform names still refuse loudly rather than approximate
+    val e2 = intercept[Exception](
+      spark.sql("CREATE TABLE gtest.pbx.bad2 (k BIGINT) USING graft PARTITIONED BY (shard(4, k))"))
+    assert(e2.getMessage.contains("unsupported partition transform"), e2.getMessage)
   }
 
   test("unsafe identifier segments refuse before any filesystem touch; drops invalidate the fork cache") {
