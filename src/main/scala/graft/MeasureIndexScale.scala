@@ -43,15 +43,17 @@ object MeasureIndexScale {
     pmod(xxhash64((cols :+ lit(salt)): _*), lit(Mod)).cast("double") / lit(Mod.toDouble)
 
   /** (doc_id, toks): 20..80 tokens from a 10k vocab; id % 50 == 0 docs
-    * regenerate their PREDECESSOR's token stream (seed = id - 1) minus a
-    * random ~10% — a planted near-dup pair at Jaccard ≈ 0.8. */
+    * regenerate the token stream of the doc 25001 ids EARLIER minus a
+    * random ~10% — a planted near-dup pair at Jaccard ≈ 0.8 whose seed
+    * always falls in the CORPUS partition (ids below n − 25k), so the
+    * batch's planted dups are genuine cross-index matches. */
   private def docs(spark: SparkSession, n: Long): DataFrame =
     spark
       .range(n)
       .select(col("id").as("doc_id"))
       .withColumn(
         "seed",
-        when(col("doc_id") % 50 === 0 && col("doc_id") > 0, col("doc_id") - 1)
+        when(col("doc_id") % 50 === 0 && col("doc_id") > 25000, col("doc_id") - 25001)
           .otherwise(col("doc_id")))
       .withColumn("len", (lit(20) + u(11, col("seed")) * 60).cast("int"))
       .withColumn(

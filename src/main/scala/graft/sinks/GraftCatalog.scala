@@ -48,7 +48,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 final class GraftCatalog
     extends TableCatalog
     with org.apache.spark.sql.connector.catalog.SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -170,12 +171,7 @@ final class GraftCatalog
     tableAt(ident, SnapshotTable.versionAsOf(spark, root, timestamp / 1000L), writable = false)
   }
 
-  override def createTable(
-      ident: Identifier,
-      schema: StructType,
-      partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = {
-    // PARTITIONED BY maps onto the engine's clustering stance: each
+  // PARTITIONED BY maps onto the engine's clustering stance: each
     // transform's SOURCE column joins the table's standing
     // range-clustering key (persisted in the schema's field metadata, see
     // [[SnapshotTable.withClusterSpec]]) — every write range-clusters on
@@ -189,6 +185,9 @@ final class GraftCatalog
     // partitioning() round-trip the user's DDL. Transforms outside this
     // family (unknown names, multi-column references) still refuse
     // loudly rather than approximate.
+  private def parseClusterSpec(
+      schema: StructType,
+      partitions: Array[Transform]): Seq[(String, String)] = {
     val clusterSpec: Seq[(String, String)] = partitions.toSeq.map { t =>
       def col: String = {
         require(
@@ -248,15 +247,19 @@ final class GraftCatalog
       clusterSpec.map(_._1).distinct.size == clusterSpec.size,
       s"PARTITIONED BY references a source column twice: " +
         clusterSpec.map { case (c, xf) => s"$xf on $c" }.mkString(", "))
-    // refuse-not-approximate: TBLPROPERTIES/COMMENT have nowhere to live
-    // in a stateless catalog, and LOCATION/EXTERNAL would be silently
-    // IGNORED (identifiers map to warehouse paths by contract) — a table
-    // "created at /x" that actually lives under the warehouse is a lie.
-    // Bookkeeping keys Spark injects on every CREATE pass through — keyed
-    // to TableCatalog's reserved-property CONSTANTS (not a literal set) so
-    // a future Spark adding a new internal key doesn't break every CREATE;
-    // keys a user can actually WRITE (comment/location/external/collation/
-    // OPTIONS and arbitrary TBLPROPERTIES) refuse loudly.
+    clusterSpec
+  }
+
+  /** refuse-not-approximate: TBLPROPERTIES/COMMENT have nowhere to live
+    * in a stateless catalog, and LOCATION/EXTERNAL would be silently
+    * IGNORED (identifiers map to warehouse paths by contract) — a table
+    * "created at /x" that actually lives under the warehouse is a lie.
+    * Bookkeeping keys Spark injects on every CREATE pass through — keyed
+    * to TableCatalog's reserved-property CONSTANTS (not a literal set) so
+    * a future Spark adding a new internal key doesn't break every CREATE;
+    * keys a user can actually WRITE (comment/location/external/collation/
+    * OPTIONS and arbitrary TBLPROPERTIES) refuse loudly. */
+  private def validateProps(properties: util.Map[String, String]): Unit = {
     val bookkeeping = Set(
       TableCatalog.PROP_PROVIDER,
       TableCatalog.PROP_OWNER,
@@ -271,18 +274,137 @@ final class GraftCatalog
       s"graft tables carry no table properties, comments, or explicit locations " +
         s"(identifiers map to warehouse paths; the manifest log is the metadata); " +
         s"got ${userProps.mkString(", ")}")
+  }
+
+  private def emptyOf(schema: StructType): org.apache.spark.sql.DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val clusterSpec = parseClusterSpec(schema, partitions)
+    validateProps(properties)
     val root = rootOf(ident)
     if (isTable(root)) throw new TableAlreadyExistsException(ident)
-    // an empty v1 carrying the declared schema (cluster spec included);
-    // CTAS then appends as v2 — the append range-clusters its rows on the
-    // declared key (the standard non-atomic DSv2 CTAS: a failed write
-    // drops the table)
-    SnapshotTable.create(
-      spark, root,
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        SnapshotTable.withClusterSpec(schema, clusterSpec)))
+    // an empty v1 carrying the declared schema + cluster spec
+    SnapshotTable.create(spark, root, emptyOf(schema), clusterSpec)
     tableAt(ident, 1, writable = true)
+  }
+
+  // ---- ATOMIC CTAS / RTAS (StagingTableCatalog) ----------------------
+  // Because the catalog stages, Spark plans Atomic{Create,Replace}TableAsSelectExec
+  // and AtomicReplaceTableExec instead of the drop-then-create fallback:
+  //  - CTAS lands the query data as ONE atomic v1 commit (no empty-v1 +
+  //    append window where a crash leaves an empty table);
+  //  - REPLACE TABLE [AS SELECT] becomes ONE `replace` commit that adopts
+  //    the staged schema/cluster spec, clears CHECK constraints (a fresh
+  //    declaration), and — unlike the non-staged drop-and-recreate —
+  //    PRESERVES HISTORY: prior versions stay time-travel-readable at
+  //    their recorded schemas.
+  // The staged write IS the atomic commit (manifest put-if-absent), so
+  // commitStagedChanges only has work for the data-less REPLACE TABLE
+  // form, and abort never has a half-published state to clean — at most
+  // a create-mode debris tree that no manifest ever referenced.
+
+  override def stageCreate(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (isTable(rootOf(ident))) throw new TableAlreadyExistsException(ident)
+    staged(ident, schema, partitions, properties, replace = false)
+  }
+
+  override def stageReplace(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (!isTable(rootOf(ident))) throw new NoSuchTableException(ident)
+    staged(ident, schema, partitions, properties, replace = true)
+  }
+
+  override def stageCreateOrReplace(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    staged(ident, schema, partitions, properties, replace = isTable(rootOf(ident)))
+
+  private def staged(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String],
+      replace: Boolean): org.apache.spark.sql.connector.catalog.StagedTable = {
+    val spec = parseClusterSpec(schema, partitions)
+    validateProps(properties)
+    new StagedGraftTable(rootOf(ident), schema, spec, replace)
+  }
+
+  private final class StagedGraftTable(
+      root: String,
+      declaredSchema: StructType,
+      spec: Seq[(String, String)],
+      replace: Boolean)
+      extends org.apache.spark.sql.connector.catalog.StagedTable
+      with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    import org.apache.spark.sql.connector.catalog.TableCapability
+
+    @volatile private var written = false
+
+    override def name(): String = s"graft.`$root`@staged"
+    override def schema(): StructType = declaredSchema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+    override def newWriteBuilder(
+        info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+        : org.apache.spark.sql.connector.write.WriteBuilder =
+      new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+        // replace-vs-create is the STAGE's mode; a truncate request from
+        // the RTAS write path adds nothing the mode doesn't already say
+        override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = this
+        override def build(): org.apache.spark.sql.connector.write.Write =
+          new org.apache.spark.sql.connector.write.V1Write {
+            override def toInsertableRelation
+                : org.apache.spark.sql.sources.InsertableRelation =
+              new org.apache.spark.sql.sources.InsertableRelation {
+                override def insert(data: org.apache.spark.sql.DataFrame, ov: Boolean): Unit = {
+                  if (replace) SnapshotTable.replaceContents(spark, root, data, spec)
+                  else SnapshotTable.create(spark, root, data, spec)
+                  written = true
+                }
+              }
+          }
+      }
+
+    override def commitStagedChanges(): Unit =
+      if (!written) {
+        // the data-less forms: REPLACE TABLE re-declares as one empty
+        // `replace` commit; a staged CREATE without a write lands the
+        // same empty v1 plain createTable would
+        if (replace) SnapshotTable.replaceContents(spark, root, emptyOf(declaredSchema), spec)
+        else SnapshotTable.create(spark, root, emptyOf(declaredSchema), spec)
+        written = true
+      }
+
+    override def abortStagedChanges(): Unit =
+      // nothing half-published can exist: the write is one manifest
+      // put-if-absent. Clean the create-mode debris tree only while no
+      // manifest was ever published (a replace-mode failed write leaves
+      // an orphan data dir for vacuum, same as any failed writer)
+      if (!written && !replace && SnapshotTable.latestVersion(spark, root).isEmpty) {
+        val p = new Path(root)
+        val f = fsOf(p)
+        if (f.exists(p)) { f.delete(p, true); () }
+      }
   }
 
   /** Column changes map onto the METADATA-ONLY DDL operators (zero data

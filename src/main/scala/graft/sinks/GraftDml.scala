@@ -76,8 +76,10 @@ object GraftDmlStrategy extends SparkStrategy {
       GraftDmlExec(
         s"DELETE FROM ${g.name()}",
         () =>
-          if (sk.exact && sk.bounds.nonEmpty) SnapshotTable.deleteWhere(spark, g.root, sk.bounds)
-          else SnapshotTable.deleteExpr(spark, g.root, asColumn(c), sk.bounds)) :: Nil
+          if (sk.exact && sk.bounds.nonEmpty) {
+            if (morDml(spark)) SnapshotTable.deleteWhereMor(spark, g.root, sk.bounds)
+            else SnapshotTable.deleteWhere(spark, g.root, sk.bounds)
+          } else SnapshotTable.deleteExpr(spark, g.root, asColumn(c), sk.bounds)) :: Nil
 
     case u: UpdateTable =>
       u.table match {
@@ -98,8 +100,10 @@ object GraftDmlStrategy extends SparkStrategy {
           GraftDmlExec(
             s"UPDATE ${g.name()}",
             () =>
-              if (sk.exact && sk.bounds.nonEmpty) SnapshotTable.updateWhere(spark, g.root, sk.bounds, set)
-              else SnapshotTable.updateExpr(spark, g.root, asColumn(c), sk.bounds, set)) :: Nil
+              if (sk.exact && sk.bounds.nonEmpty) {
+                if (morDml(spark)) SnapshotTable.updateWhereMor(spark, g.root, sk.bounds, set)
+                else SnapshotTable.updateWhere(spark, g.root, sk.bounds, set)
+              } else SnapshotTable.updateExpr(spark, g.root, asColumn(c), sk.bounds, set)) :: Nil
         case _ => Nil
       }
 
@@ -208,9 +212,37 @@ object GraftDmlStrategy extends SparkStrategy {
       }
     }
 
+    // merge-on-read routes (session conf, mirroring the SQL-text router's
+    // registration flag): the canonical upsert and the unconditional
+    // matched-delete have O(change) MOR executors; every other shape
+    // lowers onto the general COW executor — correct in both modes
+    def allStar(assigns: Seq[Assignment]): Boolean = {
+      val covered = assigns.flatMap { a =>
+        (a.key, a.value) match {
+          case (k: AttributeReference, v: AttributeReference)
+              if targetSet.contains(k) && sourceSet.contains(v) && resolver(k.name, v.name) =>
+            Some(k.name)
+          case _ => None
+        }
+      }
+      covered.length == assigns.length &&
+      m.targetTable.output.map(_.name).toSet == covered.toSet
+    }
+    val morRoute: Option[() => Unit] =
+      if (!morDml(spark) || nbsActions.nonEmpty) None
+      else
+        (m.matchedActions, m.notMatchedActions) match {
+          case (Seq(UpdateAction(None, u, _)), Seq(InsertAction(None, i)))
+              if allStar(u) && allStar(i) =>
+            Some(() => { SnapshotTable.mergeUpsertMor(spark, g.root, sourceDf, keyCols); () })
+          case (Seq(DeleteAction(None)), Seq()) =>
+            Some(() => { SnapshotTable.deleteMatchedMor(spark, g.root, sourceDf, keyCols); () })
+          case _ => None
+        }
+
     GraftDmlExec(
       s"MERGE INTO ${g.name()}",
-      () =>
+      morRoute.getOrElse(() =>
         SnapshotTable.mergeInto(
           spark,
           g.root,
@@ -221,8 +253,19 @@ object GraftDmlStrategy extends SparkStrategy {
           targetAlias = TAlias,
           sourceAlias = SAlias,
           notMatchedBySource = nbsClauses,
-          nmbsPruneBounds = nbsBounds))
+          nmbsPruneBounds = nbsBounds)))
   }
+
+  /** Session-level write-mode switch for catalog DML —
+    * `spark.graft.dml.mor=true` routes the shapes with merge-on-read
+    * executors (exact-bound DELETE/UPDATE, canonical MERGE upsert,
+    * unconditional matched-delete) onto the O(change) MOR commits; the
+    * rest stay copy-on-write. The SAME caller-chooses-write-mode stance
+    * as the SQL-text router's `morWrites` registration flag and the
+    * programmatic `*Mor` operators — write mode is statement economics,
+    * not table state, in a stateless catalog. */
+  private def morDml(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.dml.mor").exists(_.equalsIgnoreCase("true"))
 
   private def actionExprs(a: Any): Seq[Expression] = a match {
     case UpdateAction(c, assigns, _) => c.toSeq ++ assigns.flatMap(x => Seq(x.key, x.value))

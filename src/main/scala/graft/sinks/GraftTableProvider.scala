@@ -118,9 +118,26 @@ private[sinks] final class GraftTable(
     val writable: Boolean = false)
     extends Table
     with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
 
   override def name(): String = s"graft.`$root`@v$v"
+
+  /** `TRUNCATE TABLE` — one atomic `overwrite` commit with an empty
+    * batch: the schema, cluster spec, and CHECK constraints survive
+    * (carry rules of any overwrite), and the truncated-away versions
+    * stay time-travel-readable until vacuum. */
+  override def truncateTable(): Boolean = {
+    require(writable, s"${name()} is a time-travel/pinned handle — TRUNCATE targets the current table")
+    SnapshotTable.overwrite(
+      spark, root,
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        SnapshotTable.schemaFromJson(
+          SnapshotTable.readManifest(spark, root, v).schemaJson
+            .getOrElse(schema.json))))
+    true
+  }
 
   override def capabilities(): util.Set[TableCapability] =
     if (writable)

@@ -1764,7 +1764,20 @@ object SnapshotTable {
       base: Option[Int],
       df: DataFrame,
       carryForward: Boolean): String = {
-    val next = df.schema
+    // a write's DATA never implicitly declares a cluster spec: field
+    // metadata riding in from the query (e.g. SELECT * over a clustered
+    // source into an overwrite/create of another table) is stripped here
+    // — the spec comes only from the prior manifest (carry-forward) or an
+    // explicit declaration (CREATE/REPLACE ... PARTITIONED BY)
+    val next = org.apache.spark.sql.types.StructType(df.schema.fields.map { f =>
+      if (!f.metadata.contains(ClusterPosKey)) f
+      else {
+        val b = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+        b.remove(ClusterPosKey)
+        b.remove(ClusterXformKey)
+        f.copy(metadata = b.build())
+      }
+    })
     val prior =
       if (carryForward)
         base.flatMap(readManifest(spark, root, _).schemaJson).map(schemaFromJson)
@@ -1885,21 +1898,32 @@ object SnapshotTable {
       root: String,
       df: DataFrame,
       action: String,
-      carryForward: Boolean): Int = {
+      carryForward: Boolean,
+      declaredSpec: Option[Seq[(String, String)]] = None,
+      dropConstraints: Boolean = false): Int = {
     val base = latestVersion(spark, root)
     val priorManifest = if (carryForward) base.map(readManifest(spark, root, _)) else None
     val prior = priorManifest.map(_.dirs).getOrElse(Nil)
     val priorFiles = priorManifest.map(_.files).getOrElse(Nil)
     // constraints are TABLE properties: they survive even replacing
-    // commits (overwrite/compact), unlike the carried dirs/files
-    val checks = base.map(readManifest(spark, root, _).constraints).getOrElse(Map.empty)
+    // commits (overwrite/compact), unlike the carried dirs/files — except
+    // REPLACE TABLE, which re-declares the table from scratch
+    val checks =
+      if (dropConstraints) Map.empty[String, String]
+      else base.map(readManifest(spark, root, _).constraints).getOrElse(Map.empty)
     val schema0 = evolvedSchema(spark, root, base, df, carryForward)
     // the cluster spec is a TABLE property like constraints: replacing
     // commits (overwrite) re-apply the prior spec by name onto the new
-    // schema — INSERT OVERWRITE must not silently un-cluster a table
-    val schema = base.flatMap(readManifest(spark, root, _).schemaJson).fold(schema0) { pj =>
-      val pspec = clusterSpecOf(schemaFromJson(pj))
-      if (pspec.isEmpty) schema0 else withClusterSpec(schemaFromJson(schema0), pspec).json
+    // schema — INSERT OVERWRITE must not silently un-cluster a table —
+    // unless the commit DECLARES one (CREATE/REPLACE ... PARTITIONED BY)
+    val schema = declaredSpec match {
+      case Some(spec) =>
+        if (spec.isEmpty) schema0 else withClusterSpec(schemaFromJson(schema0), spec).json
+      case None =>
+        base.flatMap(readManifest(spark, root, _).schemaJson).fold(schema0) { pj =>
+          val pspec = clusterSpecOf(schemaFromJson(pj))
+          if (pspec.isEmpty) schema0 else withClusterSpec(schemaFromJson(schema0), pspec).json
+        }
     }
     // replacing commits rewrite every live file: dropped-column bytes are
     // gone, the revival ledger resets; carried commits check + carry it
@@ -1930,6 +1954,36 @@ object SnapshotTable {
     require(latestVersion(spark, root).isEmpty, s"table at $root already exists")
     commit(spark, root, df, "create", carryForward = false)
   }
+
+  /** [[create]] with a DECLARED cluster spec (CREATE ... PARTITIONED BY):
+    * the spec is threaded explicitly — data-borne field metadata never
+    * declares one (see [[evolvedSchema]]) — and lands with the data in
+    * ONE atomic commit (the staged-CTAS path). */
+  private[sinks] def create(
+      spark: SparkSession,
+      root: String,
+      df: DataFrame,
+      spec: Seq[(String, String)]): Int = {
+    require(latestVersion(spark, root).isEmpty, s"table at $root already exists")
+    commit(spark, root, df, "create", carryForward = false, declaredSpec = Some(spec))
+  }
+
+  /** `REPLACE TABLE [AS SELECT]` — re-declare the table in ONE atomic
+    * commit: the new schema and cluster spec are the STAGED declaration
+    * (the prior spec does NOT carry forward, unlike overwrite), CHECK
+    * constraints clear (a replace is a fresh declaration, Delta
+    * semantics), the dropped-column revival ledger resets with the full
+    * rewrite, and HISTORY survives — prior versions stay readable via
+    * time travel at their recorded schemas, where a drop-and-recreate
+    * would have destroyed them. */
+  private[sinks] def replaceContents(
+      spark: SparkSession,
+      root: String,
+      df: DataFrame,
+      spec: Seq[(String, String)]): Int =
+    commit(
+      spark, root, df, "replace",
+      carryForward = false, declaredSpec = Some(spec), dropConstraints = true)
 
   /** Append a batch: new version = previous live dirs + the new one. */
   /** Append a batch. Appends COMMUTE, so a lost publish race retries

@@ -484,4 +484,125 @@ class GraftCatalogSpec extends SparkSuite {
     spark.sql("CALL gtest.system.drop_tag('proc2.t', 'keep')")
     assert(SnapshotTable.tags(spark, root).isEmpty)
   }
+
+  test("atomic CTAS lands as one commit; REPLACE TABLE preserves history; TRUNCATE is one commit") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.rp")
+    val root = wh + "/rp/t"
+
+    // CTAS through the staging catalog: the data IS v1 — no empty-v1 +
+    // append window where a crash strands an empty table
+    spark.sql(
+      "CREATE TABLE gtest.rp.t USING graft AS " +
+        "SELECT id AS k, concat('v', id) AS s FROM range(100)")
+    assert(SnapshotTable.latestVersion(spark, root).contains(1), "CTAS must be ONE atomic commit")
+    assert(spark.sql("SELECT count(*) AS n FROM gtest.rp.t").head.getLong(0) == 100)
+
+    // a CHECK added pre-replace must NOT survive the re-declaration
+    SnapshotTable.addCheck(spark, root, "k_small", "k < 1000")
+
+    // REPLACE TABLE AS SELECT: new schema, ONE `replace` commit, history intact
+    spark.sql(
+      "REPLACE TABLE gtest.rp.t USING graft AS SELECT id + 2000 AS k2 FROM range(5)")
+    assert(spark.sql("SELECT count(*) AS n FROM gtest.rp.t").head.getLong(0) == 5)
+    assert(spark.sql("SELECT * FROM gtest.rp.t").columns.toSeq == Seq("k2"))
+    // prior version stays time-travel-readable at ITS schema — the
+    // non-staged drop-and-recreate would have destroyed it
+    val v1 = spark.sql("SELECT * FROM gtest.rp.t VERSION AS OF 1")
+    assert(v1.columns.toSeq == Seq("k", "s") && v1.count() == 100)
+    // constraints cleared: a row violating the OLD check lands fine
+    spark.sql("INSERT INTO gtest.rp.t SELECT 5000 AS k2")
+    assert(spark.sql("SELECT count(*) AS n FROM gtest.rp.t WHERE k2 = 5000").head.getLong(0) == 1)
+
+    // REPLACE with PARTITIONED BY re-declares the cluster spec (the old
+    // spec must not carry like a plain overwrite would)
+    spark.sql(
+      "CREATE OR REPLACE TABLE gtest.rp.t USING graft PARTITIONED BY (k3) AS " +
+        "SELECT id AS k3 FROM range(10)")
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    val cat = spark.sessionState.catalogManager.catalog("gtest").asInstanceOf[TableCatalog]
+    assert(
+      cat.loadTable(Identifier.of(Array("rp"), "t")).partitioning().map(_.toString).toSeq ==
+        Seq("identity(k3)"))
+
+    // plain REPLACE TABLE (no AS SELECT): empty table of the new schema,
+    // still one commit on the same history chain
+    val beforePlain = SnapshotTable.latestVersion(spark, root).get
+    spark.sql("REPLACE TABLE gtest.rp.t (a INT, b STRING) USING graft")
+    assert(SnapshotTable.latestVersion(spark, root).contains(beforePlain + 1))
+    assert(spark.sql("SELECT * FROM gtest.rp.t").columns.toSeq == Seq("a", "b"))
+    assert(spark.sql("SELECT count(*) AS n FROM gtest.rp.t").head.getLong(0) == 0)
+
+    // REPLACE of a nonexistent table refuses; CREATE OR REPLACE creates
+    val e = intercept[Exception](spark.sql("REPLACE TABLE gtest.rp.nope USING graft AS SELECT 1 AS x"))
+    assert(e.getMessage.toUpperCase.contains("TABLE") , e.getMessage)
+    spark.sql("CREATE OR REPLACE TABLE gtest.rp.fresh USING graft AS SELECT 1 AS x")
+    assert(spark.sql("SELECT count(*) AS n FROM gtest.rp.fresh").head.getLong(0) == 1)
+
+    // TRUNCATE TABLE: one atomic overwrite-empty commit, schema and
+    // history retained
+    spark.sql("INSERT INTO gtest.rp.t SELECT 7 AS a, 'x' AS b")
+    val beforeTrunc = SnapshotTable.latestVersion(spark, root).get
+    spark.sql("TRUNCATE TABLE gtest.rp.t")
+    assert(SnapshotTable.latestVersion(spark, root).contains(beforeTrunc + 1))
+    assert(spark.sql("SELECT count(*) AS n FROM gtest.rp.t").head.getLong(0) == 0)
+    assert(
+      spark.sql(s"SELECT count(*) AS n FROM gtest.rp.t VERSION AS OF $beforeTrunc").head.getLong(0) == 1)
+    spark.sql("INSERT INTO gtest.rp.t SELECT 8 AS a, 'y' AS b") // schema survived
+    assert(spark.sql("SELECT count(*) AS n FROM gtest.rp.t").head.getLong(0) == 1)
+  }
+
+  test("spark.graft.dml.mor routes catalog DML onto merge-on-read O(change) commits") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.mor")
+    val root = wh + "/mor/t"
+    SnapshotTable.create(spark, root, clustered(1000, 8)) // v1
+    def action(v: Int): String = SnapshotTable.readManifest(spark, root, v).action
+    spark.conf.set("spark.graft.dml.mor", "true")
+    try {
+      // exact-bound DELETE → a metadata-only mor-delete commit
+      spark.sql("DELETE FROM gtest.mor.t WHERE k BETWEEN 100 AND 199")
+      assert(action(2) == "mor-delete", action(2))
+      assert(spark.sql("SELECT count(*) AS n FROM gtest.mor.t").head.getLong(0) == 900)
+      // exact-bound UPDATE → mor-update (updated rows re-land, originals masked)
+      spark.sql("UPDATE gtest.mor.t SET s = 'u' WHERE k BETWEEN 200 AND 209")
+      assert(action(3) == "mor-update", action(3))
+      assert(spark.sql("SELECT count(*) AS n FROM gtest.mor.t WHERE s = 'u'").head.getLong(0) == 10)
+      // canonical upsert (SET * / INSERT *) → mor-merge, O(change) write
+      spark.sql(
+        "MERGE INTO gtest.mor.t AS t USING " +
+          "(SELECT id + 950 AS k, concat('m', id) AS s FROM range(100)) AS s ON t.k = s.k " +
+          "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      assert(action(4) == "mor-merge", action(4))
+      assert(spark.sql("SELECT count(*) AS n FROM gtest.mor.t").head.getLong(0) == 950)
+      assert(spark.sql("SELECT count(*) AS n FROM gtest.mor.t WHERE s LIKE 'm%'").head.getLong(0) == 100)
+      // unconditional matched DELETE → deleteMatchedMor (a keys mask)
+      spark.sql(
+        "MERGE INTO gtest.mor.t AS t USING " +
+          "(SELECT id AS k FROM range(50)) AS s ON t.k = s.k WHEN MATCHED THEN DELETE")
+      assert(action(5) == "mor-delete", action(5))
+      assert(spark.sql("SELECT count(*) AS n FROM gtest.mor.t WHERE k < 50").head.getLong(0) == 0)
+      // a general conditional shape still lowers onto the COW executor
+      spark.sql("MERGE INTO gtest.mor.t AS t USING (SELECT id + 300 AS k FROM range(5)) AS s " +
+        "ON t.k = s.k WHEN MATCHED AND t.k = 302 THEN DELETE")
+      assert(action(6) == "merge", action(6))
+    } finally spark.conf.unset("spark.graft.dml.mor")
+    // with the conf off the same statement shapes stay copy-on-write
+    spark.sql("DELETE FROM gtest.mor.t WHERE k BETWEEN 400 AND 409")
+    assert(action(7) == "delete", action(7))
+  }
+
+  test("a write's data never implicitly declares a cluster spec (no metadata riding)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.mr")
+    // clustered source, unclustered target
+    spark.sql("CREATE TABLE gtest.mr.src (k BIGINT, s STRING) USING graft PARTITIONED BY (k)")
+    spark.sql("INSERT INTO gtest.mr.src SELECT id AS k, concat('v', id) AS s FROM range(100)")
+    spark.sql("CREATE TABLE gtest.mr.dst USING graft AS SELECT * FROM gtest.mr.src")
+    spark.sql("INSERT OVERWRITE gtest.mr.dst SELECT * FROM gtest.mr.src")
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    val cat = spark.sessionState.catalogManager.catalog("gtest").asInstanceOf[TableCatalog]
+    // the source's ClusterPos metadata rides the SELECT * projection; the
+    // target's declaration (none) must win on create AND overwrite
+    assert(cat.loadTable(Identifier.of(Array("mr"), "dst")).partitioning().isEmpty,
+      "SELECT * over a clustered source must not hijack the target's cluster spec")
+    assert(spark.sql("SELECT count(*) AS n FROM gtest.mr.dst").head.getLong(0) == 100)
+  }
 }
