@@ -112,7 +112,13 @@ object MeasureIndexScale {
     mode match {
       case "dedup" => dedupStudy(spark, root, n)
       case "ann" => annStudy(spark, root, n)
-      case other => sys.error(s"unknown mode '$other' (dedup | ann)")
+      case "dedup-pair" =>
+        // both corpus points in ONE JVM/session back-to-back: cross-JVM
+        // runs of the same point showed >3x wall-clock variance on this
+        // shared host, so the decade comparison is only honest when the
+        // pair shares every warmup/cache state
+        Seq(500000L, 5000000L).foreach(m => dedupStudy(spark, s"target/scale/pair-$m", m))
+      case other => sys.error(s"unknown mode '$other' (dedup | ann | dedup-pair)")
     }
     spark.stop()
   }
@@ -126,8 +132,8 @@ object MeasureIndexScale {
     timed(s"DedupIndex.build corpus=${n - batchN}") {
       DedupIndex.build(spark, root, corpus, "doc_id", "toks")
     }
-    (1 to 2).foreach { i =>
-      val m = timed(s"DedupIndex.checkBatch#$i batch=$batchN") {
+    (1 to 3).foreach { i =>
+      val m = timed(s"DedupIndex.checkBatch#$i corpus=${n - batchN} batch=$batchN") {
         DedupIndex.checkBatch(spark, root, batch, "doc_id", "toks", 0.7).count()
       }
       println(s"  matches: $m")

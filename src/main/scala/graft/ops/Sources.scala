@@ -231,6 +231,39 @@ object Sources {
     // hash-match proves zero-registration catalog DML ≡ the programmatic
     // API ≡ the SQL-text router (GraftCatalogSpec pins the routing and
     // refusal shapes).
+    // Staged-catalog lifecycle in the ORACLE GATE: atomic CTAS with a
+    // temporal PARTITIONED BY transform (days(d) → d range clustering),
+    // then REPLACE TABLE AS SELECT re-declaring a narrower schema as ONE
+    // `replace` commit. The final read unions the CURRENT (post-replace)
+    // aggregate with VERSION AS OF 1 — the hash-match proves the staged
+    // CTAS landed the full fixture data-identically AND that REPLACE
+    // preserved the prior version byte-exactly where a drop-and-recreate
+    // would have destroyed it (GraftCatalogSpec pins the commit shapes).
+    "q_catalog_replace" -> { (s, dir) =>
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val wh = "/tmp/graft-snapreplace/" + safe
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true) // idempotent rebuild
+      val cat = "grepl_" + safe
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sinks.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val view = cat + "_src"
+      SnapshotCycle.ordersOf(s, dir).createOrReplaceTempView(view)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.r")
+      s.sql(
+        s"CREATE TABLE $cat.r.orders USING graft PARTITIONED BY (days(d)) AS " +
+          s"SELECT * FROM $view") // v1: one atomic staged-CTAS commit
+      s.sql(
+        s"REPLACE TABLE $cat.r.orders USING graft AS " +
+          s"SELECT k, price_c FROM $view WHERE year(d) = 1996") // v2: one replace commit
+      s.sql(
+        s"SELECT 'cur' AS era, count(*) AS n_rows, sum(price_c) AS sum_price_c " +
+          s"FROM $cat.r.orders " +
+          s"UNION ALL " +
+          s"SELECT 'v1' AS era, count(*) AS n_rows, sum(price_c) AS sum_price_c " +
+          s"FROM $cat.r.orders VERSION AS OF 1 " +
+          s"ORDER BY era")
+    },
     "q_catalog_dml" -> { (s, dir) =>
       import graft.sinks.SnapshotTable
       val root = SnapshotCycle.catalogRoot(s, dir)
@@ -691,6 +724,13 @@ object Sources {
         "CAST(sum(price_c) AS BIGINT) AS sum_price_c FROM fin GROUP BY 1 ORDER BY y"),
     // deliberately the SAME oracle again: the catalog-identifier route
     // must land on an unchanged hash too
+    "q_catalog_replace" ->
+      ("WITH o AS (SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d, " +
+        "CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_c FROM orders) " +
+        "SELECT 'cur' AS era, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(price_c) AS BIGINT) AS sum_price_c FROM o WHERE year(d) = 1996 " +
+        "UNION ALL SELECT 'v1' AS era, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(price_c) AS BIGINT) AS sum_price_c FROM o ORDER BY era"),
     "q_catalog_dml" ->
       ("WITH o AS (SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d, " +
         "CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_c FROM orders), " +
@@ -866,7 +906,7 @@ object SnapshotCycle {
     * on-disk root is deleted and recreated by the build). */
   def clearMemo(): Unit = memo.clear()
 
-  private def ordersOf(s: SparkSession, dir: String): DataFrame =
+  private[ops] def ordersOf(s: SparkSession, dir: String): DataFrame =
     Fixtures
       .table(s, dir, "orders")
       .select(
