@@ -171,84 +171,10 @@ final class GraftCatalog
     tableAt(ident, SnapshotTable.versionAsOf(spark, root, timestamp / 1000L), writable = false)
   }
 
-  // PARTITIONED BY maps onto the engine's clustering stance: each
-    // transform's SOURCE column joins the table's standing
-    // range-clustering key (persisted in the schema's field metadata, see
-    // [[SnapshotTable.withClusterSpec]]) — every write range-clusters on
-    // those columns, so manifest min/max stats give file-level pruning
-    // that DOMINATES what the declared transform's hive/iceberg layout
-    // would prune: temporal transforms and truncate are order-preserving
-    // (a day/month/prefix range is a source-column range at coarser
-    // granularity), and bucket's one prunable predicate — key equality —
-    // resolves to ~1 file on a range-clustered key instead of a whole
-    // bucket. The DECLARED transform is recorded verbatim so DESCRIBE /
-    // partitioning() round-trip the user's DDL. Transforms outside this
-    // family (unknown names, multi-column references) still refuse
-    // loudly rather than approximate.
   private def parseClusterSpec(
       schema: StructType,
-      partitions: Array[Transform]): Seq[(String, String)] = {
-    val clusterSpec: Seq[(String, String)] = partitions.toSeq.map { t =>
-      def col: String = {
-        require(
-          t.references.length == 1 && t.references.head.fieldNames.length == 1,
-          s"unsupported partition transform '$t' — one top-level source column per transform")
-        t.references.head.fieldNames.head
-      }
-      def width: Int = t
-        .arguments()
-        .collectFirst {
-          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
-            l.value() match {
-              case i: java.lang.Integer => i.intValue()
-              case i: java.lang.Long => i.longValue().toInt
-              case other => sys.error(s"partition transform '$t': non-integer width '$other'")
-            }
-        }
-        .getOrElse(sys.error(s"partition transform '$t' needs a literal width"))
-      def temporal(name: String): (String, String) = {
-        val c = col
-        val dt = schema.fields
-          .find(_.name == c)
-          .map(_.dataType)
-          .getOrElse(sys.error(s"PARTITIONED BY column '$c' is not a column of the table schema"))
-        require(
-          dt.isInstanceOf[org.apache.spark.sql.types.DateType] ||
-            dt.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
-            dt.isInstanceOf[org.apache.spark.sql.types.TimestampNTZType],
-          s"PARTITIONED BY $name($c) needs a date/timestamp column; '$c' is ${dt.sql}")
-        c -> name
-      }
-      t.name match {
-        case "identity" => col -> "identity"
-        case "bucket" =>
-          val n = width
-          require(n > 0, s"bucket($n): bucket count must be positive")
-          col -> s"bucket($n)"
-        case "truncate" =>
-          val n = width
-          require(n > 0, s"truncate($n): width must be positive")
-          col -> s"truncate($n)"
-        case n @ ("years" | "months" | "days" | "hours") => temporal(n)
-        case other =>
-          sys.error(
-            s"unsupported partition transform '$other' in '$t' — graft tables map " +
-              "identity/bucket/truncate/years/months/days/hours PARTITIONED BY transforms " +
-              "to range clustering on the source column (cluster further with " +
-              "OPTIMIZE ... ZORDER BY)")
-      }
-    }
-    clusterSpec.foreach { case (c, _) =>
-      require(
-        schema.fieldNames.contains(c),
-        s"PARTITIONED BY column '$c' is not a column of the table schema")
-    }
-    require(
-      clusterSpec.map(_._1).distinct.size == clusterSpec.size,
-      s"PARTITIONED BY references a source column twice: " +
-        clusterSpec.map { case (c, xf) => s"$xf on $c" }.mkString(", "))
-    clusterSpec
-  }
+      partitions: Array[Transform]): Seq[(String, String)] =
+    ClusterTransforms.parse(schema, partitions)
 
   /** refuse-not-approximate: TBLPROPERTIES/COMMENT have nowhere to live
     * in a stateless catalog, and LOCATION/EXTERNAL would be silently
@@ -568,5 +494,90 @@ final class GraftCatalog
     // the new root (a prior table dropped there) is equally stale
     SnapshotTable.invalidateForks(rootOf(oldIdent))
     SnapshotTable.invalidateForks(rootOf(newIdent))
+  }
+}
+
+/** Shared `PARTITIONED BY` transform → cluster-spec translation for the
+  * catalog ([[GraftCatalog.createTable]]/staging) and the path-based SQL
+  * router ([[SnapshotSql]] CREATE/REPLACE). See the dominance argument at
+  * [[SnapshotTable.ClusterXformKey]]. */
+private[sinks] object ClusterTransforms {
+  // PARTITIONED BY maps onto the engine's clustering stance: each
+    // transform's SOURCE column joins the table's standing
+    // range-clustering key (persisted in the schema's field metadata, see
+    // [[SnapshotTable.withClusterSpec]]) — every write range-clusters on
+    // those columns, so manifest min/max stats give file-level pruning
+    // that DOMINATES what the declared transform's hive/iceberg layout
+    // would prune: temporal transforms and truncate are order-preserving
+    // (a day/month/prefix range is a source-column range at coarser
+    // granularity), and bucket's one prunable predicate — key equality —
+    // resolves to ~1 file on a range-clustered key instead of a whole
+    // bucket. The DECLARED transform is recorded verbatim so DESCRIBE /
+    // partitioning() round-trip the user's DDL. Transforms outside this
+    // family (unknown names, multi-column references) still refuse
+    // loudly rather than approximate.
+  def parse(
+      schema: StructType,
+      partitions: Seq[Transform]): Seq[(String, String)] = {
+    val clusterSpec: Seq[(String, String)] = partitions.toSeq.map { t =>
+      def col: String = {
+        require(
+          t.references.length == 1 && t.references.head.fieldNames.length == 1,
+          s"unsupported partition transform '$t' — one top-level source column per transform")
+        t.references.head.fieldNames.head
+      }
+      def width: Int = t
+        .arguments()
+        .collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value() match {
+              case i: java.lang.Integer => i.intValue()
+              case i: java.lang.Long => i.longValue().toInt
+              case other => sys.error(s"partition transform '$t': non-integer width '$other'")
+            }
+        }
+        .getOrElse(sys.error(s"partition transform '$t' needs a literal width"))
+      def temporal(name: String): (String, String) = {
+        val c = col
+        val dt = schema.fields
+          .find(_.name == c)
+          .map(_.dataType)
+          .getOrElse(sys.error(s"PARTITIONED BY column '$c' is not a column of the table schema"))
+        require(
+          dt.isInstanceOf[org.apache.spark.sql.types.DateType] ||
+            dt.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
+            dt.isInstanceOf[org.apache.spark.sql.types.TimestampNTZType],
+          s"PARTITIONED BY $name($c) needs a date/timestamp column; '$c' is ${dt.sql}")
+        c -> name
+      }
+      t.name match {
+        case "identity" => col -> "identity"
+        case "bucket" =>
+          val n = width
+          require(n > 0, s"bucket($n): bucket count must be positive")
+          col -> s"bucket($n)"
+        case "truncate" =>
+          val n = width
+          require(n > 0, s"truncate($n): width must be positive")
+          col -> s"truncate($n)"
+        case n @ ("years" | "months" | "days" | "hours") => temporal(n)
+        case other =>
+          sys.error(
+            s"unsupported partition transform '$other' in '$t' — graft tables map " +
+              "identity/bucket/truncate/years/months/days/hours PARTITIONED BY transforms " +
+              "to range clustering on the source column (cluster further with " +
+              "OPTIMIZE ... ZORDER BY)")
+      }
+    }
+    clusterSpec.foreach { case (c, _) =>
+      require(
+        schema.fieldNames.contains(c),
+        s"PARTITIONED BY column '$c' is not a column of the table schema")
+    }
+    require(
+      clusterSpec.map(_._1).distinct.size == clusterSpec.size,
+      s"PARTITIONED BY references a source column twice: " +
+        clusterSpec.map { case (c, xf) => s"$xf on $c" }.mkString(", "))
+    clusterSpec
   }
 }

@@ -589,42 +589,85 @@ object SnapshotSql {
 
       case c: CreateTable =>
         val (name, root, mor) = createTarget(c.name, c.tableSpec)
-        require(c.partitioning.isEmpty, "PARTITIONED BY is not supported; cluster with OPTIMIZE ... ZORDER BY")
         c.columns.foreach { cd =>
           require(cd.defaultValue.isEmpty, s"column DEFAULT is not supported (${cd.name})")
           require(cd.generationExpression.isEmpty && cd.identityColumnSpec.isEmpty,
             s"generated/identity columns are not supported (${cd.name})")
         }
+        val schema = org.apache.spark.sql.types.StructType(
+          c.columns.map(cd => org.apache.spark.sql.types.StructField(cd.name, cd.dataType, cd.nullable)))
+        // PARTITIONED BY maps to standing range clustering — the same
+        // transform family and dominance argument as the catalog route
+        // ([[ClusterTransforms]])
+        val spec = ClusterTransforms.parse(schema, c.partitioning)
         val exists = SnapshotTable.latestVersion(spark, root).isDefined
         if (exists && c.ignoreIfExists) { register(spark, name, root, mor); 0 }
         else {
           require(!exists, s"snapshot table already exists at $root (use IF NOT EXISTS)")
-          val schema = org.apache.spark.sql.types.StructType(
-            c.columns.map(cd => org.apache.spark.sql.types.StructField(cd.name, cd.dataType, cd.nullable)))
           val v = SnapshotTable.create(
             spark,
             root,
-            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+            spec)
           register(spark, name, root, mor)
           v
         }
 
       case c: CreateTableAsSelect =>
         val (name, root, mor) = createTarget(c.name, c.tableSpec)
-        require(c.partitioning.isEmpty, "PARTITIONED BY is not supported; cluster with OPTIMIZE ... ZORDER BY")
         // the AS SELECT resolves registered snapshot tables too (CTAS from
         // a snapshot, incl. time travel) — same core as MERGE's USING side
         val data: DataFrame = org.apache.spark.sql.GraftSqlBridge.ofRows(
           spark,
           substituteRegistered(spark, c.query))
+        val spec = ClusterTransforms.parse(data.schema, c.partitioning)
         val exists = SnapshotTable.latestVersion(spark, root).isDefined
         if (exists && c.ignoreIfExists) { register(spark, name, root, mor); 0 }
         else {
           require(!exists, s"snapshot table already exists at $root (use IF NOT EXISTS)")
-          val v = SnapshotTable.create(spark, root, data)
+          val v = SnapshotTable.create(spark, root, data, spec)
           register(spark, name, root, mor)
           v
         }
+
+      // REPLACE TABLE [AS SELECT] — one atomic `replace` commit adopting
+      // the declared schema + cluster spec, clearing CHECK constraints,
+      // history preserved (time travel reads prior versions at their
+      // recorded schemas). Same semantics as the catalog's staged route
+      // ([[GraftCatalog]] StagedGraftTable / [[SnapshotTable.replaceContents]]).
+      case r: ReplaceTable =>
+        val (name, root, mor) = createTarget(r.name, r.tableSpec)
+        r.columns.foreach { cd =>
+          require(cd.defaultValue.isEmpty, s"column DEFAULT is not supported (${cd.name})")
+          require(cd.generationExpression.isEmpty && cd.identityColumnSpec.isEmpty,
+            s"generated/identity columns are not supported (${cd.name})")
+        }
+        val schema = org.apache.spark.sql.types.StructType(
+          r.columns.map(cd => org.apache.spark.sql.types.StructField(cd.name, cd.dataType, cd.nullable)))
+        val spec = ClusterTransforms.parse(schema, r.partitioning)
+        val exists = SnapshotTable.latestVersion(spark, root).isDefined
+        require(exists || r.orCreate, s"no snapshot table at $root (use CREATE OR REPLACE)")
+        val empty =
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        val v =
+          if (exists) SnapshotTable.replaceContents(spark, root, empty, spec)
+          else SnapshotTable.create(spark, root, empty, spec)
+        register(spark, name, root, mor)
+        v
+
+      case r: ReplaceTableAsSelect =>
+        val (name, root, mor) = createTarget(r.name, r.tableSpec)
+        val data: DataFrame = org.apache.spark.sql.GraftSqlBridge.ofRows(
+          spark,
+          substituteRegistered(spark, r.query))
+        val spec = ClusterTransforms.parse(data.schema, r.partitioning)
+        val exists = SnapshotTable.latestVersion(spark, root).isDefined
+        require(exists || r.orCreate, s"no snapshot table at $root (use CREATE OR REPLACE)")
+        val v =
+          if (exists) SnapshotTable.replaceContents(spark, root, data, spec)
+          else SnapshotTable.create(spark, root, data, spec)
+        register(spark, name, root, mor)
+        v
 
       case i: InsertIntoStatement =>
         val reg = registrationOf(spark, tableParts(i.table))

@@ -1846,7 +1846,7 @@ object SnapshotTable {
   /** (source column, declared transform label) in key order; labels are
     * `identity` (absent key = legacy identity spec), `bucket(N)`,
     * `truncate(N)`, `years`, `months`, `days`, `hours`. */
-  private[sinks] def clusterSpecOf(
+  private[graft] def clusterSpecOf(
       schema: org.apache.spark.sql.types.StructType): Seq[(String, String)] =
     schema.fields
       .filter(f => f.metadata.contains(ClusterPosKey))

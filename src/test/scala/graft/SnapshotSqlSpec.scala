@@ -478,6 +478,70 @@ class SnapshotSqlSpec extends SparkSuite {
     SnapshotSql.execute(spark, "DROP TABLE lifem")
   }
 
+  test("router PARTITIONED BY maps to clustering; REPLACE TABLE re-declares with history intact") {
+    val root = freshRoot() + "/pbr"
+    // CREATE with a days() transform: the spec persists in the recorded
+    // schema and writes range-cluster on the source column
+    SnapshotSql.execute(
+      spark,
+      s"CREATE TABLE pbr (ts TIMESTAMP, k BIGINT) USING `snapshot-table` " +
+        s"PARTITIONED BY (days(ts)) LOCATION '$root'")
+    SnapshotSql.execute(
+      spark,
+      "INSERT INTO pbr SELECT timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,id*17), id FROM range(5000)")
+    def specOf(): Seq[(String, String)] = {
+      val m = SnapshotTable.readManifest(spark, root, SnapshotTable.latestVersion(spark, root).get)
+      graft.sinks.SnapshotTable.clusterSpecOf(
+        SnapshotTable.schemaFromJson(m.schemaJson.get))
+    }
+    assert(specOf() == Seq("ts" -> "days"), specOf())
+
+    // CTAS with an identity transform through the router
+    val ctasRoot = freshRoot() + "/pbc"
+    SnapshotSql.execute(
+      spark,
+      s"CREATE TABLE pbc USING `snapshot-table` PARTITIONED BY (k) LOCATION '$ctasRoot' " +
+        "AS SELECT k, ts FROM pbr")
+    val mc = SnapshotTable.readManifest(spark, ctasRoot, 1)
+    assert(
+      graft.sinks.SnapshotTable
+        .clusterSpecOf(SnapshotTable.schemaFromJson(mc.schemaJson.get)) == Seq("k" -> "identity"))
+    assert(SnapshotSql.query(spark, "SELECT * FROM pbc").count() == 5000)
+
+    // REPLACE TABLE AS SELECT: one `replace` commit, new schema + spec,
+    // prior version time-travel-readable, constraints cleared
+    SnapshotTable.addCheck(spark, ctasRoot, "k_pos", "k >= 0") // v2 (a constraint commit)
+    SnapshotSql.execute(
+      spark,
+      s"REPLACE TABLE pbc USING `snapshot-table` LOCATION '$ctasRoot' " +
+        "AS SELECT k AS k2 FROM pbr WHERE k < 100")
+    assert(SnapshotTable.latestVersion(spark, ctasRoot).contains(3))
+    assert(SnapshotTable.readManifest(spark, ctasRoot, 3).action == "replace")
+    assert(SnapshotSql.query(spark, "SELECT * FROM pbc").columns.toSeq == Seq("k2"))
+    assert(SnapshotSql.query(spark, "SELECT * FROM pbc").count() == 100)
+    assert(SnapshotSql.query(spark, "SELECT * FROM pbc VERSION AS OF 1").count() == 5000)
+    assert(SnapshotTable.readManifest(spark, ctasRoot, 3).constraints.isEmpty)
+    // a row violating the old CHECK lands fine post-replace
+    SnapshotSql.execute(spark, "INSERT INTO pbc SELECT CAST(-5 AS BIGINT)")
+    assert(SnapshotSql.query(spark, "SELECT * FROM pbc WHERE k2 = -5").count() == 1)
+
+    // plain REPLACE TABLE (no AS SELECT) — empty re-declaration;
+    // REPLACE of a nonexistent root refuses without OR CREATE
+    SnapshotSql.execute(
+      spark,
+      s"REPLACE TABLE pbc (a INT) USING `snapshot-table` LOCATION '$ctasRoot'")
+    assert(SnapshotSql.query(spark, "SELECT * FROM pbc").columns.toSeq == Seq("a"))
+    val missing = freshRoot() + "/nope"
+    val e = intercept[Exception](SnapshotSql.execute(
+      spark,
+      s"REPLACE TABLE gone (a INT) USING `snapshot-table` LOCATION '$missing'"))
+    assert(e.getMessage.contains("CREATE OR REPLACE"), e.getMessage)
+    SnapshotSql.execute(
+      spark,
+      s"CREATE OR REPLACE TABLE fresh2 (a INT) USING `snapshot-table` LOCATION '$missing'")
+    assert(SnapshotTable.latestVersion(spark, missing).contains(1))
+  }
+
   test("WHEN NOT MATCHED BY SOURCE: conditional clauses prune via skeletons, unconditional pays the table") {
     val root = freshRoot()
     SnapshotTable.create(spark, root,
