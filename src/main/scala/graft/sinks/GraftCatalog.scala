@@ -519,12 +519,18 @@ private[sinks] object ClusterTransforms {
   def parse(
       schema: StructType,
       partitions: Seq[Transform]): Seq[(String, String)] = {
+    // the session's resolver (case-insensitive unless spark.sql.caseSensitive,
+    // the same stance as SnapshotSql.resolveColumn): the returned spec
+    // carries the table's ACTUAL column casing, not the DDL's
+    val resolver = SparkSession.active.sessionState.conf.resolver
     val clusterSpec: Seq[(String, String)] = partitions.toSeq.map { t =>
       def col: String = {
         require(
           t.references.length == 1 && t.references.head.fieldNames.length == 1,
           s"unsupported partition transform '$t' — one top-level source column per transform")
-        t.references.head.fieldNames.head
+        val written = t.references.head.fieldNames.head
+        schema.fieldNames.find(resolver(_, written)).getOrElse(
+          sys.error(s"PARTITIONED BY column '$written' is not a column of the table schema"))
       }
       def width: Int = t
         .arguments()
@@ -538,11 +544,8 @@ private[sinks] object ClusterTransforms {
         }
         .getOrElse(sys.error(s"partition transform '$t' needs a literal width"))
       def temporal(name: String): (String, String) = {
-        val c = col
-        val dt = schema.fields
-          .find(_.name == c)
-          .map(_.dataType)
-          .getOrElse(sys.error(s"PARTITIONED BY column '$c' is not a column of the table schema"))
+        val c = col // already resolved to the table's casing
+        val dt = schema.fields.find(_.name == c).map(_.dataType).get
         require(
           dt.isInstanceOf[org.apache.spark.sql.types.DateType] ||
             dt.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
@@ -569,11 +572,9 @@ private[sinks] object ClusterTransforms {
               "OPTIMIZE ... ZORDER BY)")
       }
     }
-    clusterSpec.foreach { case (c, _) =>
-      require(
-        schema.fieldNames.contains(c),
-        s"PARTITIONED BY column '$c' is not a column of the table schema")
-    }
+    // col() already resolved every source column against the schema;
+    // duplicates are checked on the RESOLVED names (dAYS(ts) + bucket(4, TS)
+    // is the same source column twice under the default resolver)
     require(
       clusterSpec.map(_._1).distinct.size == clusterSpec.size,
       s"PARTITIONED BY references a source column twice: " +

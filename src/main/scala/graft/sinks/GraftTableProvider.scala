@@ -429,21 +429,41 @@ private[sinks] final class GraftBatchScan(
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftParquetReader.factory(
+      spark,
+      physSchema,
+      SnapshotTable.physicalSchemaOf(required),
+      physFilters(filters))
+}
+
+private[sinks] final case class GraftInputPartition(path: String, length: Long)
+    extends InputPartition
+
+private[sinks] object GraftParquetReader {
+
+  /** The ONE parquet read-function construction both native legs share
+    * (batch scan and the catalog micro-batch stream): files carry
+    * PHYSICAL column names and rows are positional, so reading the
+    * physical twin of the pruned schema IS the logical read;
+    * `OPTION_RETURNING_BATCH=false` pins the row-based reader. A fix to
+    * reader construction lands here once, never per-leg. */
+  def factory(
+      spark: org.apache.spark.sql.SparkSession,
+      physDataSchema: StructType,
+      physRequiredSchema: StructType,
+      pushedFilters: Seq[org.apache.spark.sql.sources.Filter]): GraftReaderFactory = {
     val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
       sparkSession = spark,
-      dataSchema = physSchema,
+      dataSchema = physDataSchema,
       partitionSchema = new StructType(),
-      requiredSchema = SnapshotTable.physicalSchemaOf(required),
-      filters = physFilters(filters), // row-group pushdown; Spark still re-applies row-level
+      requiredSchema = physRequiredSchema,
+      filters = pushedFilters, // row-group pushdown; Spark still re-applies row-level
       options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
       hadoopConf = spark.sessionState.newHadoopConf())
     GraftReaderFactory(readFunc)
   }
 }
-
-private[sinks] final case class GraftInputPartition(path: String, length: Long)
-    extends InputPartition
 
 /** Executor-side reader: wraps the serialized parquet read function.
   * `OPTION_RETURNING_BATCH=false` pins the row-based reader; the

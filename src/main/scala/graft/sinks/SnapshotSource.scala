@@ -944,21 +944,14 @@ private[sinks] final class GraftMicroBatchStream(
       .toArray
 
   override def createReaderFactory()
-      : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
-    // files carry PHYSICAL column names; rows are positional, so reading
-    // the physical twin of the pruned schema IS the logical read
-    val readFunc = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
-      .buildReaderWithPartitionValues(
-        sparkSession = spark,
-        dataSchema = SnapshotTable.physicalSchemaOf(source.schema),
-        partitionSchema = new StructType(),
-        requiredSchema = SnapshotTable.physicalSchemaOf(required),
-        filters = Seq.empty, // streams emit full rows; filters re-apply above
-        options = Map(
-          org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "false"),
-        hadoopConf = spark.sessionState.newHadoopConf())
-    GraftReaderFactory(readFunc)
-  }
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    // the shared native parquet construction ([[GraftParquetReader]]);
+    // streams emit full rows, so no pushed filters — they re-apply above
+    GraftParquetReader.factory(
+      spark,
+      SnapshotTable.physicalSchemaOf(source.schema),
+      SnapshotTable.physicalSchemaOf(required),
+      Seq.empty)
 
   override def toString: String = s"GraftMicroBatchStream[$root]"
 }

@@ -998,8 +998,28 @@ object SnapshotTable {
     val tipEntrySet = tip.dirs.toSet
     val tipStatsByEntry: Map[String, Seq[FileStat]] =
       tip.files.groupBy(fst => if (tipEntrySet(fst.path)) fst.path else dataDirOf(fst.path))
-    val (dropNow, contentDrops) = wholeDrops.partition(e =>
-      tipEntrySet(e) && tip.masks.isEmpty && p.masks.isEmpty && tipStatsByEntry.contains(e))
+    val noMasks = tip.masks.isEmpty && p.masks.isEmpty
+    // zero-I/O drops come in two granularities: a FILE-granular tip entry
+    // (post-DML manifests list carried files as entries) drops itself; a
+    // DIR-granular entry (the append shape — tip.dirs holds the dir, per-
+    // file stats ride tip.files) drops when EVERY stat-covered file of
+    // the dir is in the fork-time drop set, since the whole immutable dir
+    // is then dead. Without the dir case the common append-then-delete
+    // branch shape would content-apply (read the dropped bytes) despite
+    // the zero-I/O contract.
+    val (fileDrops, rest) = wholeDrops.partition(e =>
+      tipEntrySet(e) && noMasks && tipStatsByEntry.contains(e))
+    val wholeSet = wholeDrops.toSet
+    val dirDrops = tipEntrySet.toSeq.filter(dirEntry =>
+      noMasks && !wholeSet(dirEntry) &&
+        tipStatsByEntry
+          .get(dirEntry)
+          .exists(sts => sts.nonEmpty && sts.forall(fst => wholeSet(fst.path))))
+    val dropNow = fileDrops ++ dirDrops
+    val contentDrops = {
+      val dirDropSet = dirDrops.toSet
+      rest.filterNot(e => dirDropSet(dataDirOf(e)))
+    }
     val dropSet = dropNow.toSet
 
     val dropRows: Option[DataFrame] =
@@ -1007,8 +1027,15 @@ object SnapshotTable {
       else if (p.masks.isEmpty)
         Some(readTablePaths(spark, Some(merged), contentDrops.map(e => new Path(dataRoot(root), e).toString)))
       else Some(readEntriesMasked(spark, root, p, Some(merged), contentDrops))
-    val d: Option[DataFrame] =
+    val d0: Option[DataFrame] =
       (side.map(typed(_, "delete")).toSeq ++ dropRows.toSeq).reduceOption(_ unionByName _).map(_.persist())
+    // an all-insert capture (a merge that fired no matched action) has NO
+    // delete leg — but its sidecar still exists, so the naive Some(empty)
+    // would take the scan path with an UNPRUNABLE empty envelope and
+    // rewrite the whole table; an empty delete delta must take the
+    // verbatim-carry path instead (one cheap probe of the tiny persisted
+    // sidecar frame decides)
+    val d: Option[DataFrame] = d0.filter(!_.isEmpty)
     val iSide: Option[DataFrame] = side.map(typed(_, "insert"))
 
     try {
@@ -1082,7 +1109,12 @@ object SnapshotTable {
         val insStats = c.files.filter(fst =>
           cc.insEntries.contains(dataDirOf(fst.path)) || cc.insEntries.contains(fst.path))
         val dropRowsCnt = dropNow.map(e => tipStatsByEntry(e).map(_.rows).sum).sum
-        val untouchedSet = untouched.map(_.path).toSet
+        // masks keep their entries for everything this commit carries
+        // VERBATIM: untouched covered files AND carried uncovered DIRS —
+        // a mask entry naming a carried dir must survive (dropping it
+        // would resurrect the dir's masked rows; same rule as
+        // [[compactSmall]]'s untouched set)
+        val untouchedSet = untouched.map(_.path).toSet ++ carryUncovered
         val keptMasks = tip.masks
           .map(mk => shrinkMask(mk, untouchedSet))
           .filter(_.entries.nonEmpty)
@@ -1112,7 +1144,7 @@ object SnapshotTable {
             masks = keptMasks,
             cdc = cdcRec))
       } finally srcCached.foreach(_.unpersist())
-    } finally d.foreach(_.unpersist())
+    } finally d0.foreach(_.unpersist())
   }
 
   // ───────── logical→physical column mapping (metadata-only renames) ─────────
@@ -1902,7 +1934,12 @@ object SnapshotTable {
       declaredSpec: Option[Seq[(String, String)]] = None,
       dropConstraints: Boolean = false): Int = {
     val base = latestVersion(spark, root)
-    val priorManifest = if (carryForward) base.map(readManifest(spark, root, _)) else None
+    // ONE base-manifest read serves constraints, the spec carry, and the
+    // carry-forward lists — a full parse is O(files) on big tables, so
+    // re-reading per consumer would double the driver-side planning cost
+    // of every replacing commit
+    val baseManifest = base.map(readManifest(spark, root, _))
+    val priorManifest = if (carryForward) baseManifest else None
     val prior = priorManifest.map(_.dirs).getOrElse(Nil)
     val priorFiles = priorManifest.map(_.files).getOrElse(Nil)
     // constraints are TABLE properties: they survive even replacing
@@ -1910,7 +1947,7 @@ object SnapshotTable {
     // REPLACE TABLE, which re-declares the table from scratch
     val checks =
       if (dropConstraints) Map.empty[String, String]
-      else base.map(readManifest(spark, root, _).constraints).getOrElse(Map.empty)
+      else baseManifest.map(_.constraints).getOrElse(Map.empty)
     val schema0 = evolvedSchema(spark, root, base, df, carryForward)
     // the cluster spec is a TABLE property like constraints: replacing
     // commits (overwrite) re-apply the prior spec by name onto the new
@@ -1920,7 +1957,7 @@ object SnapshotTable {
       case Some(spec) =>
         if (spec.isEmpty) schema0 else withClusterSpec(schemaFromJson(schema0), spec).json
       case None =>
-        base.flatMap(readManifest(spark, root, _).schemaJson).fold(schema0) { pj =>
+        baseManifest.flatMap(_.schemaJson).fold(schema0) { pj =>
           val pspec = clusterSpecOf(schemaFromJson(pj))
           if (pspec.isEmpty) schema0 else withClusterSpec(schemaFromJson(schema0), pspec).json
         }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.{col, lit}
 
 /** The ISOLATION CONTRACT as a full conflict matrix (SURVEY §2.J
-  * `cap_concurrency_matrix`) — which of two interleaved writers commits,
+  * `cap_conflict_matrix`) — which of two interleaved writers commits,
   * which retries, and which surfaces [[SnapshotTable.ConcurrentCommitException]]
   * for the caller to re-derive:
   *

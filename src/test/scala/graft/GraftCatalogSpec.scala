@@ -301,6 +301,15 @@ class GraftCatalogSpec extends SparkSuite {
       spark.conf.unset("spark.sql.adaptive.coalescePartitions.minPartitionSize")
     }
 
+    // PARTITIONED BY columns resolve case-insensitively (the session
+    // default) and the spec records the table's ACTUAL casing
+    spark.sql(
+      "CREATE TABLE gtest.pbx.ci (ts TIMESTAMP, k BIGINT) USING graft PARTITIONED BY (days(TS), K)")
+    val ci = cat.loadTable(Identifier.of(Array("pbx"), "ci"))
+    assert(
+      ci.partitioning().map(_.toString).toSeq == Seq("days(ts)", "identity(k)"),
+      ci.partitioning().mkString(","))
+
     // temporal transforms type-check at CREATE: days over a BIGINT refuses
     val e = intercept[Exception](
       spark.sql("CREATE TABLE gtest.pbx.bad (k BIGINT) USING graft PARTITIONED BY (days(k))"))

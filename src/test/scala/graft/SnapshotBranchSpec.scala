@@ -445,6 +445,65 @@ class SnapshotBranchSpec extends SparkSuite {
     SnapshotTable.dropBranch(spark, root, "cfl")
   }
 
+  test("whole-drop replay is zero-I/O: the dropped dir's bytes are never read") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, fixture(0, 100)) // v1
+    val dev = SnapshotTable.createBranch(spark, root, "z")
+    SnapshotTable.append(spark, dev, fixture(300, 10)) // branch v2: dir D
+    val dDir = SnapshotTable.history(spark, dev).last.dirs.last
+    SnapshotTable.deleteWhere(spark, dev, Seq(Bound("k", Some(300L), Some(309L)))) // branch v3: whole drop
+    SnapshotTable.append(spark, root, fixture(200, 10)) // main diverges
+    // DESTROY the dropped dir's parquet bytes: a zero-I/O replay never
+    // opens them; the content-apply path would crash reading pre-images.
+    // (The dir is branch-local and already dropped — nothing live
+    // references its bytes.)
+    val dPath = new java.io.File(root + "/data/" + dDir.stripPrefix("data/"))
+    dPath.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      val w = new java.io.FileOutputStream(f); w.write(Array[Byte](0, 1, 2)); w.close()
+    }
+    SnapshotTable.rebase(spark, root, "z")
+    val got = rows(SnapshotTable.read(spark, dev))
+    assert(got == rows(fixture(0, 100).unionByName(fixture(200, 10))),
+      "whole-drop replay must drop the dir by manifest shape alone")
+    SnapshotTable.dropBranch(spark, root, "z")
+  }
+
+  test("replaying a pure-insert COW merge carries dir-entry masks verbatim (no resurrection)") {
+    import org.apache.spark.sql.functions.lit
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, fixture(0, 100)) // v1
+    // graft a stat-less LEGACY dir (uncovered by file stats) holding
+    // rows 5000..5049 — the shape whose mask entry is the DIR name
+    spark.range(5000, 5050).selectExpr(
+      "id AS k", "DATE'1995-01-15' AS d", "id AS price_c")
+      .write.parquet(root + "/data/legacy")
+    val m1 = SnapshotTable.history(spark, root).last
+    SnapshotTable.publish(spark, root, m1.copy(
+      version = m1.version + 1, action = "append", dirs = m1.dirs :+ "data/legacy",
+      addedRows = 50L, ts = 0L)) // v2
+    SnapshotTable.deleteWhereMor(spark, root, Seq(Bound("k", Some(5000L), Some(5019L)))) // v3: masks the dir
+    assert(SnapshotTable.read(spark, root).count() == 130)
+
+    val ins = SnapshotTable.createBranch(spark, root, "ins")
+    // branch: a captured COW merge with NO matched rows (pure insert —
+    // the replay's no-delete-delta path, which carries uncovered dirs
+    // verbatim and must carry their mask entries too)
+    SnapshotTable.mergeInto(
+      spark, ins, fixture(9000, 10).withColumn("price_c", lit(1L)), Seq("k"),
+      matched = Seq(SnapshotTable.MatchedUpdate(None, None)),
+      notMatched = Seq(SnapshotTable.NotMatchedInsert(None, None)))
+    SnapshotTable.append(spark, root, fixture(200, 10)) // main diverges
+
+    SnapshotTable.rebase(spark, root, "ins")
+    val tip = SnapshotTable.history(spark, ins).last
+    assert(tip.masks.exists(_.entries.contains("data/legacy")),
+      s"rebase dropped the carried dir's mask entry: ${tip.masks}")
+    assert(SnapshotTable.read(spark, ins).filter("k BETWEEN 5000 AND 5019").count() == 0,
+      "masked legacy rows resurrected through the rebase replay")
+    assert(SnapshotTable.read(spark, ins).count() == 130 + 10 + 10,
+      "130 visible + 10 branch inserts + 10 main appends")
+  }
+
   test("rebase re-proves constraints main gained since the fork over the replayed appends") {
     val root = freshRoot()
     SnapshotTable.create(spark, root, fixture(0, 50)) // v1

@@ -211,6 +211,23 @@ class SnapshotTableSpec extends SparkSuite {
     assert(SnapshotTable.read(spark, root).schema("dc").dataType == DecimalType(18, 2))
     assert(intercept[Exception](graft.sinks.SnapshotSql.execute(
       spark, "ALTER TABLE widet ALTER COLUMN i TYPE INT")).getMessage.contains("lossless"))
+
+    // the remaining whitelisted widening — ≤32-bit integral → DOUBLE —
+    // exercised end-to-end: narrow INT32 parquet bytes must read at the
+    // wide type through whichever reader variant the runtime picks
+    val root2 = freshRoot()
+    SnapshotTable.create(
+      spark, root2,
+      spark.range(0, 8).selectExpr("CAST(id AS INT) AS i2", "CAST(id AS SMALLINT) AS s2"))
+    SnapshotTable.alterSchema(
+      spark, root2, Seq(WidenCol("i2", DoubleType), WidenCol("s2", IntegerType)))
+    SnapshotTable.append(
+      spark, root2,
+      spark.range(8, 12).selectExpr("CAST(id AS DOUBLE) AS i2", "CAST(id AS INT) AS s2"))
+    val both = SnapshotTable.read(spark, root2).orderBy("i2").collect()
+    assert(both.map(_.getDouble(0)).toSeq == (0 until 12).map(_.toDouble),
+      "narrow-era INT32 bytes must upcast to DOUBLE at scan time")
+    assert(both.map(_.getInt(1)).toSeq == (0 until 12), "SMALLINT era must upcast to INT")
   }
 
   test("vacuum retains every dir a kept version references") {
