@@ -207,7 +207,13 @@ object GraftDmlStrategy extends SparkStrategy {
             (m.matchedActions ++ m.notMatchedActions ++ nbsActions).flatMap(actionExprs))
             .flatMap(_.collect { case a: AttributeReference if sourceSet.contains(a) => a.name })
             .toSet
-        val keep = full.columns.filter(referenced.contains)
+        // resolver-matched, not Set.contains: assignment resolution renames
+        // source-side attributes to the TARGET's casing (same exprId, new
+        // name), so `ON t.K = s.k … SET *` references source column `val`
+        // under the name `Val` — an exact-case filter would silently drop
+        // the column from the projected source and the merge would land
+        // NULLs for it
+        val keep = full.columns.filter(c => referenced.exists(resolver(c, _)))
         full.select(keep.map(c => org.apache.spark.sql.functions.col("`" + c + "`")).toSeq: _*)
       }
     }
@@ -228,15 +234,32 @@ object GraftDmlStrategy extends SparkStrategy {
       covered.length == assigns.length &&
       m.targetTable.output.map(_.name).toSet == covered.toSet
     }
+    // BOTH executors key the source by the TARGET's exact column casing
+    // (the MOR route through physical-mapping lookups; the COW route
+    // through its keyed join, where a target `K` joined to a source `k`
+    // leaves two case-folding-equal output columns and every later `K`
+    // reference ambiguous) while keysOf/allStar resolve with the session
+    // resolver — so align the source frame to the target's EXACT casing
+    // before either route, making `ON t.K = s.k … UPDATE SET *` land
+    // identically in both write modes. A source whose columns collide
+    // under the fold (both `k` and `K`) cannot be aligned and keeps its
+    // own names — such a source is only valid case-sensitively anyway.
+    val alignedSourceDf: org.apache.spark.sql.DataFrame = {
+      val targetNames = m.targetTable.output.map(_.name)
+      val aligned = sourceDf.columns.map(c => targetNames.find(resolver(_, c)).getOrElse(c))
+      if (aligned.distinct.length != aligned.length || aligned.sameElements(sourceDf.columns))
+        sourceDf
+      else sourceDf.toDF(scala.collection.immutable.ArraySeq.unsafeWrapArray(aligned): _*)
+    }
     val morRoute: Option[() => Unit] =
       if (!morDml(spark) || nbsActions.nonEmpty) None
       else
         (m.matchedActions, m.notMatchedActions) match {
           case (Seq(UpdateAction(None, u, _)), Seq(InsertAction(None, i)))
               if allStar(u) && allStar(i) =>
-            Some(() => { SnapshotTable.mergeUpsertMor(spark, g.root, sourceDf, keyCols); () })
+            Some(() => { SnapshotTable.mergeUpsertMor(spark, g.root, alignedSourceDf, keyCols); () })
           case (Seq(DeleteAction(None)), Seq()) =>
-            Some(() => { SnapshotTable.deleteMatchedMor(spark, g.root, sourceDf, keyCols); () })
+            Some(() => { SnapshotTable.deleteMatchedMor(spark, g.root, alignedSourceDf, keyCols); () })
           case _ => None
         }
 
@@ -246,7 +269,7 @@ object GraftDmlStrategy extends SparkStrategy {
         SnapshotTable.mergeInto(
           spark,
           g.root,
-          sourceDf,
+          alignedSourceDf,
           keyCols,
           matchedClauses,
           notMatchedClauses,

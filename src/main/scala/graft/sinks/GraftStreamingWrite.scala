@@ -1,0 +1,176 @@
+package graft.sinks
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapreduce.{Job, JobID, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.execution.datasources.{OutputWriter, OutputWriterFactory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+
+/** The snapshot table as a DSv2 STREAMING SINK behind a CATALOG
+  * identifier — `df.writeStream.toTable("graft.ns.t")` (SURVEY §2.J
+  * `cap_stream_sink_catalog`), the write half of the catalog streaming
+  * surface (`spark.readStream.table` landed as `cap_stream_catalog`).
+  *
+  * Execution shape — the standard two-phase lakehouse-sink design
+  * (stage files on executors, publish one metadata transaction on the
+  * driver), so NO row ever moves through the driver:
+  *
+  *   1. Each task writes its partition of the epoch to a private staged
+  *      parquet file under `<root>/_streamStaging/epoch=<id>/` via the
+  *      codegen'd parquet [[OutputWriter]] (the same writer batch plans
+  *      use) and reports the file path + row count in its commit message.
+  *      Speculative/failed attempts abort their own file; a file only
+  *      exists for the commit once its task's message arrives.
+  *   2. `commit(epochId, messages)` re-frames exactly the reported files
+  *      as a DataFrame and lands it through the SAME exactly-once epoch
+  *      operators the path-based V1 sink uses
+  *      ([[SnapshotSinkOps.landBatch]] —
+  *      [[SnapshotTable.appendBatchExactlyOnce]], or the keyed
+  *      COW/MOR upsert with `.option("upsertKeys", …)` /
+  *      `.option("morWrites", "true")`): the batch id rides the manifest,
+  *      so a REPLAYED epoch (restart, retry, speculative driver) is a
+  *      no-op however often it reruns. The staged dir is deleted after
+  *      the publish (and on `abort`); a crash between stage and publish
+  *      leaves only unreferenced staging debris that the next commit or
+  *      abort of the same epoch clears — readers never see a staged byte
+  *      because only the manifest defines the table.
+  *
+  * The stage hop costs one extra write of the micro-batch (bounded by
+  * admission control, not table size) and buys the transactional path
+  * everything it already proves: stats + blooms, range clustering,
+  * CHECK constraints, schema evolution, and exactly-once replay. Complete
+  * mode is refused, as on the path sink — a snapshot table's full-rewrite
+  * analogue is `overwrite`, not a streaming epoch; update mode rides the
+  * [[org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend]]
+  * contract (append semantics; pair with `upsertKeys` for true upserts,
+  * exactly like the V1 sink's documented behavior). */
+private[sinks] final class GraftStreamingWrite(
+    spark: SparkSession,
+    root: String,
+    schema: StructType,
+    upsertKeys: Option[Seq[String]],
+    mor: Boolean,
+    compactEvery: Option[Int],
+    compactTargetBytes: Long)
+    extends StreamingWrite {
+
+  private def stagingRoot = new Path(root, "_streamStaging")
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    // prepareWrite installs the parquet write support + schema/compression
+    // into the job conf; that conf (serialized once) is everything the
+    // executor-side writers need
+    val job = Job.getInstance(spark.sessionState.newHadoopConf())
+    val format = new ParquetFileFormat()
+    val owf = format.prepareWrite(spark, job, Map.empty, schema)
+    new GraftStreamingWriterFactory(
+      owf,
+      new SerializableHadoopConf(job.getConfiguration),
+      schema,
+      stagingRoot.toString)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.collect { case m: GraftStagedFile if m.rows > 0 => m.path }
+    val df =
+      if (staged.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(staged.toIndexedSeq: _*)
+    // the exactly-once contract does the rest: a replayed epoch finds its
+    // batchId in the manifest and lands nothing
+    SnapshotSinkOps.landBatch(spark, root, df, epochId, upsertKeys, mor, compactEvery, compactTargetBytes)
+    dropEpochDir(epochId)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    dropEpochDir(epochId)
+
+  /** Staging cleanup is BEST-EFFORT by design: the epoch's outcome is
+    * already decided by the manifest, and staged files are invisible to
+    * readers — debris costs bytes, never correctness. */
+  private def dropEpochDir(epochId: Long): Unit =
+    try {
+      val dir = new Path(stagingRoot, s"epoch=$epochId")
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(dir)) { fs.delete(dir, true); () }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  override def toString: String = s"GraftStreamingWrite[$root]"
+}
+
+/** Executor side: one staged parquet file per (partition, attempt), named
+  * by task identity so speculative attempts never collide; the commit
+  * message reports the finished file. Zero-row writers stage nothing. */
+private[sinks] final class GraftStreamingWriterFactory(
+    owf: OutputWriterFactory,
+    conf: SerializableHadoopConf,
+    schema: StructType,
+    stagingRoot: String)
+    extends StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private var writer: OutputWriter = _
+      private var path: String = _
+      private var rows = 0L
+
+      private def open(): Unit = {
+        val ctx = new TaskAttemptContextImpl(
+          conf.value,
+          new TaskAttemptID(new TaskID(new JobID(s"graft-epoch-$epochId", 0), TaskType.MAP, partitionId), 0))
+        path = new Path(
+          new Path(stagingRoot, s"epoch=$epochId"),
+          s"part-$partitionId-$taskId${owf.getFileExtension(ctx)}").toString
+        writer = owf.newInstance(path, schema, ctx)
+      }
+
+      override def write(row: InternalRow): Unit = {
+        if (writer == null) open()
+        writer.write(row)
+        rows += 1
+      }
+
+      override def commit(): WriterCommitMessage = {
+        if (writer != null) writer.close()
+        GraftStagedFile(if (path == null) "" else path, rows)
+      }
+
+      override def abort(): Unit =
+        if (writer != null) {
+          writer.close()
+          try {
+            val p = new Path(path)
+            p.getFileSystem(conf.value).delete(p, false)
+            ()
+          } catch { case scala.util.control.NonFatal(_) => () }
+        }
+
+      override def close(): Unit = ()
+    }
+}
+
+private[sinks] final case class GraftStagedFile(path: String, rows: Long)
+    extends WriterCommitMessage
+
+/** Hadoop `Configuration` is not `java.io.Serializable`; this is the
+  * standard Writable-backed wrapper every Spark connector carries to ship
+  * a conf to executors. */
+private[sinks] final class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}

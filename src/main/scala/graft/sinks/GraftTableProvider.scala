@@ -145,6 +145,7 @@ private[sinks] final class GraftTable(
         TableCapability.BATCH_READ,
         TableCapability.MICRO_BATCH_READ,
         TableCapability.V1_BATCH_WRITE,
+        TableCapability.STREAMING_WRITE,
         TableCapability.TRUNCATE)
     else util.EnumSet.of(TableCapability.BATCH_READ)
 
@@ -180,13 +181,21 @@ private[sinks] final class GraftTable(
   /** Writes bridge to the TRANSACTIONAL operators (V1Write): INSERT INTO
     * = one [[SnapshotTable.append]] commit, INSERT OVERWRITE (truncate)
     * = one [[SnapshotTable.overwrite]] — atomic, schema-evolving,
-    * CHECK-enforced. Time-travel handles are read-only. */
+    * CHECK-enforced. Time-travel handles are read-only.
+    *
+    * STREAMING writes (`writeStream.toTable`) take the same builder's
+    * `toStreaming` leg onto [[GraftStreamingWrite]] — executor-staged
+    * files, one exactly-once epoch commit per micro-batch. Complete mode
+    * is refused (its truncate request reaches `toStreaming` as the
+    * overwrite flag); update mode is append-as-update (the
+    * SupportsStreamingUpdateAsAppend contract — pair with `upsertKeys`). */
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     require(writable, s"${name()} is a time-travel/pinned handle — writes go to the current table")
     new org.apache.spark.sql.connector.write.WriteBuilder
-      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      with org.apache.spark.sql.connector.write.SupportsTruncate
+      with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
       private var overwrite = false
       override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
         overwrite = true; this
@@ -201,6 +210,27 @@ private[sinks] final class GraftTable(
                 ()
               }
             }
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+            require(
+              !overwrite,
+              s"${name()}: Complete-mode streaming rewrites go through overwrite(); " +
+                "the catalog streaming sink supports Append/Update")
+            val opts = info.options
+            val keys = Option(opts.get("upsertKeys"))
+              .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+              .filter(_.nonEmpty)
+            val compactEvery = Option(opts.get("compactEvery")).map(_.toInt)
+            compactEvery.foreach(n => require(n >= 1, s"compactEvery must be >= 1, got $n"))
+            new GraftStreamingWrite(
+              spark,
+              root,
+              info.schema,
+              keys,
+              Option(opts.get("morWrites")).exists(_.equalsIgnoreCase("true")),
+              compactEvery,
+              Option(opts.get("compactTargetBytes")).map(_.toLong).getOrElse(128L * 1024 * 1024))
+          }
         }
     }
   }

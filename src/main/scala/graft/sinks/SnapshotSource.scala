@@ -608,6 +608,27 @@ private final class SnapshotSink(
     // computed rows into a batch frame before handing it to batch writers
     val df = org.apache.spark.sql.GraftSqlBridge
       .internalDataFrame(spark, data.queryExecution.toRdd, data.schema)
+    SnapshotSinkOps.landBatch(spark, root, df, batchId, upsertKeys, mor, compactEvery, compactTargetBytes)
+  }
+  override def toString: String = s"SnapshotSink[$root]"
+}
+
+/** The ONE per-epoch landing routine both streaming write surfaces share
+  * — the V1 path sink ([[SnapshotSink]]) and the DSv2 catalog-identifier
+  * sink ([[GraftStreamingWrite]]): exactly-once epoch commit (append, or
+  * keyed upsert in COW/MOR mode) followed by the optional best-effort
+  * small-file compaction boundary. A fix to the epoch contract lands here
+  * once, never per-surface. */
+private[sinks] object SnapshotSinkOps {
+  def landBatch(
+      spark: SparkSession,
+      root: String,
+      df: DataFrame,
+      batchId: Long,
+      upsertKeys: Option[Seq[String]],
+      mor: Boolean,
+      compactEvery: Option[Int],
+      compactTargetBytes: Long): Unit = {
     upsertKeys match {
       case None => SnapshotTable.appendBatchExactlyOnce(spark, root, df, batchId)
       case Some(ks) if mor => SnapshotTable.upsertBatchExactlyOnceMor(spark, root, df, ks, batchId)
@@ -635,7 +656,6 @@ private final class SnapshotSink(
     }
     ()
   }
-  override def toString: String = s"SnapshotSink[$root]"
 }
 
 /** `format("snapshot-table")` registration (META-INF service) — options:

@@ -599,6 +599,51 @@ class GraftCatalogSpec extends SparkSuite {
     assert(action(7) == "delete", action(7))
   }
 
+  test("MOR merge aligns source casing to the target schema: ON t.K = s.k UPDATE SET * lands identically in both modes") {
+    org.apache.spark.sql.GraftSqlBridge.addStrategy(spark, graft.sinks.GraftDmlStrategy)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.morcase")
+    spark.sql("CREATE TABLE gtest.morcase.t (K BIGINT, Val STRING)") // v1
+    spark.sql("INSERT INTO gtest.morcase.t SELECT id AS K, concat('o', id) AS Val FROM range(5)") // v2
+    val root = wh + "/morcase/t"
+    def action(v: Int): String = SnapshotTable.readManifest(spark, root, v).action
+    spark.conf.set("spark.graft.dml.mor", "true")
+    try {
+      // lower-case source columns against the upper-cased target: must
+      // still take the MOR route AND the inserted rows must read back
+      // with their values (the r18 advisory failure: a case-mismatched
+      // non-key column appended under an unmapped physical name → NULLs)
+      spark.sql(
+        "MERGE INTO gtest.morcase.t AS t USING " +
+          "(SELECT id + 3 AS k, concat('n', id + 3) AS val FROM range(4)) AS s ON t.K = s.k " +
+          "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      assert(action(3) == "mor-merge", action(3))
+      val rows = spark.sql("SELECT K, Val FROM gtest.morcase.t ORDER BY K").collect()
+      assert(rows.length == 7 && !rows.exists(_.isNullAt(1)),
+        s"case-aligned MOR merge must never land NULL values: ${rows.mkString(",")}")
+      assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq(0L -> "o0", 1L -> "o1", 2L -> "o2", 3L -> "n3", 4L -> "n4", 5L -> "n5", 6L -> "n6"))
+      // keyed MOR delete with the same case-differing source key
+      spark.sql(
+        "MERGE INTO gtest.morcase.t AS t USING (SELECT id AS k FROM range(2)) AS s " +
+          "ON t.K = s.k WHEN MATCHED THEN DELETE")
+      assert(action(4) == "mor-delete", action(4))
+      assert(spark.sql("SELECT count(*) AS n FROM gtest.morcase.t").head.getLong(0) == 5)
+    } finally spark.conf.unset("spark.graft.dml.mor")
+    // the COW twin of the same statement shape (mor off) — the projection
+    // of the source to referenced columns must be resolver-matched there
+    // too, or `s.val` vanishes from the projected source
+    spark.sql("CREATE TABLE gtest.morcase.c (K BIGINT, Val STRING)")
+    spark.sql("INSERT INTO gtest.morcase.c SELECT id AS K, concat('o', id) AS Val FROM range(3)")
+    spark.sql(
+      "MERGE INTO gtest.morcase.c AS t USING " +
+        "(SELECT id + 2 AS k, concat('n', id + 2) AS val FROM range(3)) AS s ON t.K = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val cowRows = spark.sql("SELECT K, Val FROM gtest.morcase.c ORDER BY K").collect()
+    assert(cowRows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq(0L -> "o0", 1L -> "o1", 2L -> "n2", 3L -> "n3", 4L -> "n4"),
+      s"COW case-crossed SET * must land values: ${cowRows.mkString(",")}")
+  }
+
   test("a write's data never implicitly declares a cluster spec (no metadata riding)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.mr")
     // clustered source, unclustered target

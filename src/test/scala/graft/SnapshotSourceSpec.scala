@@ -673,4 +673,84 @@ class SnapshotSourceSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("Complete"), e.getMessage)
   }
+
+  test("CATALOG SINK: writeStream.toTable stages on executors and lands exactly-once epochs; replay no-ops; ≡ path sink") {
+    val wh = Files.createTempDirectory("graft-ssink-cat").toString
+    spark.conf.set("spark.sql.catalog.gsink", classOf[graft.sinks.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsink.warehouse", wh)
+    val srcRoot = wh + "/ns/src"
+    val dstRoot = wh + "/ns/dst"
+    SnapshotTable.create(spark, srcRoot, batch(1L -> "a", 2L -> "b", 3L -> "c"))
+    val ckpt = Files.createTempDirectory("graft-ssink-cat-ck").toString
+
+    // read a catalog table as a stream, transform, write a catalog table
+    // as a stream — the full round trip through identifiers
+    def drain(): Unit = {
+      val q = spark.readStream
+        .table("gsink.ns.src")
+        .selectExpr("k", "upper(s) AS s")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .toTable("gsink.ns.dst")
+      q.awaitTermination()
+    }
+    def dst(): Seq[(Long, String)] =
+      spark.table("gsink.ns.dst").orderBy("k").as[(Long, String)].collect().toSeq
+
+    drain()
+    assert(dst() == Seq(1L -> "A", 2L -> "B", 3L -> "C"), "first drain = transformed snapshot")
+    // a RESTARTED query on the same checkpoint has nothing new: zero new rows
+    drain()
+    assert(dst() == Seq(1L -> "A", 2L -> "B", 3L -> "C"), "replayed/empty epochs must land nothing")
+    // incremental source commits flow through as new exactly-once epochs
+    SnapshotTable.append(spark, srcRoot, batch(4L -> "d"))
+    drain()
+    assert(dst() == Seq(1L -> "A", 2L -> "B", 3L -> "C", 4L -> "D"))
+    // the manifests record the epoch ids (the exactly-once evidence), and
+    // the staged scratch dir is gone after each publish
+    val h = SnapshotTable.history(spark, dstRoot).filter(_.action == "append")
+    assert(h.forall(_.batchId.isDefined), s"epoch ids must ride the manifests: ${h.map(_.batchId)}")
+    val staging = new org.apache.hadoop.fs.Path(dstRoot, "_streamStaging")
+    val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(staging) || fs.listStatus(staging).isEmpty, "staging debris must not outlive the epoch")
+
+    // result identity with the path-based V1 sink on the same input
+    val pathRoot = Files.createTempDirectory("graft-ssink-path").toString + "/t"
+    val q2 = spark.readStream.table("gsink.ns.src").selectExpr("k", "upper(s) AS s")
+      .writeStream.format("snapshot-table").option("path", pathRoot)
+      .option("checkpointLocation", Files.createTempDirectory("graft-ssink-path-ck").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(
+      SnapshotTable.read(spark, pathRoot).orderBy("k").as[(Long, String)].collect().toSeq == dst(),
+      "catalog sink ≡ path sink on the same stream")
+
+    // upsertKeys option rides the writer: per-epoch MERGE by key
+    val upCkpt = Files.createTempDirectory("graft-ssink-up-ck").toString
+    spark.sql("CREATE TABLE gsink.ns.up (k BIGINT, s STRING)")
+    SnapshotTable.append(spark, wh + "/ns/up", batch(1L -> "old", 9L -> "keep"))
+    val q3 = spark.readStream.table("gsink.ns.src").selectExpr("k", "upper(s) AS s")
+      .writeStream.option("checkpointLocation", upCkpt)
+      .option("upsertKeys", "k")
+      .trigger(Trigger.AvailableNow()).toTable("gsink.ns.up")
+    q3.awaitTermination()
+    assert(
+      spark.table("gsink.ns.up").orderBy("k").as[(Long, String)].collect().toSeq ==
+        Seq(1L -> "A", 2L -> "B", 3L -> "C", 4L -> "D", 9L -> "keep"),
+      "upsertKeys must MERGE per epoch through the catalog sink")
+    assert(SnapshotTable.history(spark, wh + "/ns/up").exists(_.action == "merge"))
+
+    // Complete mode refuses loudly (the overwrite flag reaches toStreaming)
+    val err = intercept[Exception] {
+      val qc = spark.readStream.table("gsink.ns.src").groupBy("k").count()
+        .writeStream.option("checkpointLocation", Files.createTempDirectory("graft-ssink-c-ck").toString)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow()).toTable("gsink.ns.comp")
+      qc.awaitTermination()
+    }
+    def all(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ all(x.getCause))
+    assert(all(err).exists(_.contains("Complete")), err.toString)
+  }
 }
