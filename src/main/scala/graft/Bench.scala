@@ -124,7 +124,10 @@ object Bench {
         // builds (separate memo keys) — label them as payers too, so
         // their sweep entries read as "fixture + work", never slow queries
         "q_snapshot_dml_sql" -> (() => graft.ops.SnapshotCycle.sqlWarm(spark, sfDir)),
-        "q_catalog_dml" -> (() => graft.ops.SnapshotCycle.catalogWarm(spark, sfDir)))
+        "q_catalog_dml" -> (() => graft.ops.SnapshotCycle.catalogWarm(spark, sfDir)),
+        // the 7-commit COW-rebase workflow pays its own memo key; warm
+        // reruns then measure the aggregate-read kernel, not the fixture
+        "q_snapshot_rebase_cow" -> (() => graft.ops.SnapshotCycle.rebaseCowWarm(spark, sfDir)))
     }
     val results: Seq[(String, Double)] = selected.map { case (name, fn) =>
       memoUsers.get(name).foreach(warm => if (warm()) memoHits += name else memoPaid += name)

@@ -483,7 +483,7 @@ object Sources {
     // type across a mixed-era scan.
     "q_snapshot_widen" -> { (s, dir) =>
       import graft.sinks.SnapshotTable
-      import org.apache.spark.sql.types.{DoubleType, LongType}
+      import org.apache.spark.sql.types.{DoubleType, LongType, TimestampNTZType}
       val root = "/tmp/graft-snapwd/" + dir.replaceAll("[^a-zA-Z0-9]", "_")
       val p = new org.apache.hadoop.fs.Path(root)
       p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
@@ -493,23 +493,30 @@ object Sources {
         o.filter(col("o_orderkey") % 2 === 0)
           .select(
             col("o_orderkey").cast("int").as("k"),
-            col("o_totalprice").cast("float").as("p"))) // v1: narrow era
+            col("o_totalprice").cast("float").as("p"),
+            to_date(col("o_orderdate")).as("d"))) // v1: narrow era (INT32 date bytes)
       SnapshotTable.alterSchema(
         s, root,
-        Seq(SnapshotTable.WidenCol("k", LongType), SnapshotTable.WidenCol("p", DoubleType))) // v2: metadata-only
+        Seq(
+          SnapshotTable.WidenCol("k", LongType),
+          SnapshotTable.WidenCol("p", DoubleType),
+          SnapshotTable.WidenCol("d", TimestampNTZType))) // v2: metadata-only
       SnapshotTable.append(
         s, root,
         o.filter(col("o_orderkey") % 2 === 1)
           .select(
             (col("o_orderkey") + 3000000000L).as("k"), // beyond INT range
-            (col("o_totalprice") * 2).cast("double").as("p"))) // v3: wide era
+            (col("o_totalprice") * 2).cast("double").as("p"),
+            // intraday precision — what the date era could not hold
+            expr("CAST(o_orderdate AS TIMESTAMP_NTZ) + INTERVAL 6 HOURS").as("d"))) // v3: wide era
       SnapshotTable
         .read(s, root)
         .groupBy((col("k") % 7).as("g"))
         .agg(
           count(lit(1)).as("n_rows"),
           sum(floor(col("p") * 100 + lit(0.5)).cast("long")).as("sum_p_c"),
-          max(col("k")).as("max_k"))
+          max(col("k")).as("max_k"),
+          date_format(max(col("d")), "yyyy-MM-dd HH:mm:ss").as("max_d"))
         .orderBy("g")
     },
     // COW REBASE in the ORACLE GATE — the round-18 replay rule: a branch
@@ -522,33 +529,15 @@ object Sources {
     // frame — the hash-match proves replay-by-delta ≡ re-running the
     // branch's DML on the diverged base when pre-images are untouched
     // (interference refuses loudly instead; SnapshotBranchSpec pins it).
+    // The 7-commit workflow (create + branch + 3 captured COW DML + append
+    // + rebase/fast-forward) is memo-shared like the [[SnapshotCycle]] DML
+    // family: the bench sweep's first run PAYS the fixture (labeled
+    // memo_paid), warm reruns measure the read kernel — per-commit
+    // protocol latency is fixture cost, not query cost (r18 bench-hygiene
+    // ask #2).
     "q_snapshot_rebase_cow" -> { (s, dir) =>
       import graft.sinks.SnapshotTable
-      import graft.sinks.SnapshotTable.Bound
-      val root = "/tmp/graft-snaprbc/" + dir.replaceAll("[^a-zA-Z0-9]", "_")
-      val p = new org.apache.hadoop.fs.Path(root)
-      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
-      val o = Fixtures
-        .table(s, dir, "orders")
-        .select(
-          col("o_orderkey").as("k"),
-          to_date(col("o_orderdate")).as("d"),
-          cents(col("o_totalprice")).as("price_c"))
-      SnapshotTable.create(s, root, o.filter(col("k") % 2 === 0)) // main v1: even keys
-      val cow = SnapshotTable.createBranch(s, root, "cow") // forks at v1
-      SnapshotTable.updateWhere(
-        s, cow, Seq(Bound("d", Some("1996-01-01"), Some("1996-12-31"))),
-        Map("price_c" -> (col("price_c") + 77))) // branch v2 (COW update, captured)
-      SnapshotTable.deleteWhere(
-        s, cow, Seq(Bound("d", Some("1995-01-01"), Some("1995-12-31")))) // branch v3 (COW delete)
-      SnapshotTable.mergeUpsert(
-        s, cow,
-        o.filter(col("k") % 20 === 0).withColumn("price_c", col("price_c") * 3),
-        Seq("k")) // branch v4 (COW merge: k%20 replaced at 3×, deleted 1995 k%20 re-insert)
-      // main diverges with an append that touches NO replayed pre-image
-      SnapshotTable.append(s, root, o.filter(col("k") % 2 === 1)) // main v2
-      SnapshotTable.rebase(s, root, "cow") // replay v2..v4 via captured deltas
-      SnapshotTable.fastForward(s, root, "cow") // publish: main → v5
+      val root = SnapshotCycle.rebaseCowRoot(s, dir)
       SnapshotTable
         .read(s, root)
         .groupBy(year(col("d")).cast("int").as("y"))
@@ -785,15 +774,18 @@ object Sources {
     // narrow-era prices round through REAL before the DOUBLE read
     "q_snapshot_widen" ->
       ("WITH ev AS (SELECT o_orderkey % 7 AS g, " +
-        "CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS p, o_orderkey AS k " +
+        "CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS p, o_orderkey AS k, " +
+        "CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS d " + // date era reads at midnight
         "FROM orders WHERE o_orderkey % 2 = 0), " +
         "od AS (SELECT (o_orderkey + 3000000000) % 7 AS g, " +
-        "CAST(o_totalprice * 2 AS DOUBLE) AS p, o_orderkey + 3000000000 AS k " +
+        "CAST(o_totalprice * 2 AS DOUBLE) AS p, o_orderkey + 3000000000 AS k, " +
+        "CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) + INTERVAL 6 HOUR AS d " +
         "FROM orders WHERE o_orderkey % 2 = 1), " +
         "fin AS (SELECT * FROM ev UNION ALL SELECT * FROM od) " +
         "SELECT CAST(g AS BIGINT) AS g, CAST(count(*) AS BIGINT) AS n_rows, " +
         "CAST(sum(CAST(floor(p*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_p_c, " +
-        "CAST(max(k) AS BIGINT) AS max_k FROM fin GROUP BY 1 ORDER BY g"),
+        "CAST(max(k) AS BIGINT) AS max_k, " +
+        "strftime(max(d), '%Y-%m-%d %H:%M:%S') AS max_d FROM fin GROUP BY 1 ORDER BY g"),
     // the apply-the-captured-delta algebra of the COW rebase: evens keep
     // the branch's 1996 bump and 1995 delete except the k%20 keys the
     // merge replaced at 3× fork-time price (deleted 1995 k%20 rows
@@ -897,10 +889,11 @@ object SnapshotCycle {
     * ITS cycle must not mark the root family as memo hits. */
   def rootWarm(s: SparkSession, dir: String): Boolean = memo.contains((s, dir))
 
-  /** Per-variant warmth for the SQL-text / catalog cycles (their own
-    * memo keys — each pays its own fixture build). */
+  /** Per-variant warmth for the SQL-text / catalog / rebase-cow cycles
+    * (their own memo keys — each pays its own fixture build). */
   def sqlWarm(s: SparkSession, dir: String): Boolean = memo.contains((s, dir + "#sql"))
   def catalogWarm(s: SparkSession, dir: String): Boolean = memo.contains((s, dir + "#cat"))
+  def rebaseCowWarm(s: SparkSession, dir: String): Boolean = memo.contains((s, dir + "#rbc"))
 
   /** Forget built cycles: the next query rebuilds from the fixture (the
     * on-disk root is deleted and recreated by the build). */
@@ -947,6 +940,37 @@ object SnapshotCycle {
           root,
           o.filter(col("k") % 7 === 0).withColumn("price_c", col("price_c") * 2),
           Seq("k")) // v4
+        root
+      })
+
+  /** The 7-commit COW-rebase workflow behind `q_snapshot_rebase_cow`,
+    * memoized under its own key: create main (even keys) → fork `cow` →
+    * captured COW update/delete/merge on the branch → divergent append on
+    * main → rebase (replay-by-captured-delta) → fast-forward. The memo
+    * makes the bench row's warm reruns measure the final aggregate read,
+    * with the one-time fixture labeled `memo_paid` in the sweep. */
+  def rebaseCowRoot(s: SparkSession, dir: String): String =
+    memo.getOrElseUpdate(
+      (s, dir + "#rbc"), {
+        val root = "/tmp/graft-snaprbc/" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        val o = ordersOf(s, dir)
+        SnapshotTable.create(s, root, o.filter(col("k") % 2 === 0)) // main v1: even keys
+        val cow = SnapshotTable.createBranch(s, root, "cow") // forks at v1
+        SnapshotTable.updateWhere(
+          s, cow, Seq(Bound("d", Some("1996-01-01"), Some("1996-12-31"))),
+          Map("price_c" -> (col("price_c") + 77))) // branch v2 (COW update, captured)
+        SnapshotTable.deleteWhere(
+          s, cow, Seq(Bound("d", Some("1995-01-01"), Some("1995-12-31")))) // branch v3 (COW delete)
+        SnapshotTable.mergeUpsert(
+          s, cow,
+          o.filter(col("k") % 20 === 0).withColumn("price_c", col("price_c") * 3),
+          Seq("k")) // branch v4 (COW merge: k%20 replaced at 3×, deleted 1995 k%20 re-insert)
+        // main diverges with an append that touches NO replayed pre-image
+        SnapshotTable.append(s, root, o.filter(col("k") % 2 === 1)) // main v2
+        SnapshotTable.rebase(s, root, "cow") // replay v2..v4 via captured deltas
+        SnapshotTable.fastForward(s, root, "cow") // publish: main → v5
         root
       })
 

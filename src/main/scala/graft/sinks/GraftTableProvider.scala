@@ -126,15 +126,20 @@ private[sinks] final class GraftTable(
   /** `TRUNCATE TABLE` — one atomic `overwrite` commit with an empty
     * batch: the schema, cluster spec, and CHECK constraints survive
     * (carry rules of any overwrite), and the truncated-away versions
-    * stay time-travel-readable until vacuum. */
+    * stay time-travel-readable until vacuum. The schema is read from the
+    * LATEST manifest at truncate time, not the handle's load-time version
+    * — a schema change committed by a concurrent writer between loadTable
+    * and TRUNCATE must survive (TRUNCATE only empties the table, it never
+    * reverts DDL). */
   override def truncateTable(): Boolean = {
     require(writable, s"${name()} is a time-travel/pinned handle — TRUNCATE targets the current table")
+    val latest = SnapshotTable.latestVersion(spark, root).getOrElse(v)
     SnapshotTable.overwrite(
       spark, root,
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         SnapshotTable.schemaFromJson(
-          SnapshotTable.readManifest(spark, root, v).schemaJson
+          SnapshotTable.readManifest(spark, root, latest).schemaJson
             .getOrElse(schema.json))))
     true
   }

@@ -770,7 +770,12 @@ object SnapshotTable {
     locals.zip(preds).foreach { case (c, p) =>
       val replayable = c.action match {
         case "append" => true
-        case "mor-delete" => newMasks(c, p).exists(_.kind == "pred")
+        // both MOR-delete shapes replay: the pred mask records its bounds,
+        // the keys mask (deleteByKeys / MERGE matched-DELETE) records its
+        // key-tombstone sidecar — either re-executes against the new base
+        case "mor-delete" =>
+          newMasks(c, p).exists(mk =>
+            mk.kind == "pred" || (mk.kind == "keys" && mk.keyDir.isDefined))
         case "mor-merge" => newMasks(c, p).exists(mk => mk.kind == "keys" && mk.keyDir.isDefined)
         // COW DML replays from its write-time CDC capture ([[Cdc]]) — the
         // sidecar records the exact row delta, so the rewrite's fork-time
@@ -851,8 +856,55 @@ object SnapshotTable {
                 dropped = reviveDropped(tip.dropped, merged),
                 masks = tip.masks))
           case "mor-delete" =>
-            val mk = newMasks(c, p).find(_.kind == "pred").get
-            deleteWhereMor(spark, sRoot, decodeMaskBounds(merged, mk.predBounds))
+            newMasks(c, p).find(_.kind == "pred") match {
+              case Some(mk) =>
+                deleteWhereMor(spark, sRoot, decodeMaskBounds(merged, mk.predBounds))
+              case None =>
+                import org.apache.spark.sql.functions.col
+                // keys-kind (deleteByKeys / MERGE matched-DELETE): the
+                // recorded key-tombstone sidecar IS the delete — re-prune
+                // candidates against the NEW base and re-mask; the sidecar
+                // dir re-references zero-copy (all refs share the data
+                // root), and exact accounting re-counts against the new
+                // base exactly like the mor-merge replay arm
+                val mk = newMasks(c, p)
+                  .find(mk0 => mk0.kind == "keys" && mk0.keyDir.isDefined)
+                  .get
+                val keyDf = spark.read.parquet(new Path(dataRoot(root), mk.keyDir.get).toString)
+                val plan = prunePlan(spark, sRoot, tipV, keyEnvelope(keyDf, mk.keyCols))
+                val maskEntries = plan.keep ++ plan.uncoveredDirs
+                val exact = exactMorAccounting(spark)
+                val deleted =
+                  if (maskEntries.isEmpty || !exact) 0L
+                  else
+                    readEntriesMasked(spark, sRoot, tip, Some(merged), maskEntries)
+                      .select(mk.keyCols.map(k => col("`" + k + "`")): _*)
+                      .join(keyDf, mk.keyCols, "left_semi")
+                      .count()
+                val replayMask =
+                  if (maskEntries.isEmpty) Seq.empty
+                  else
+                    Seq(Mask(
+                      "keys",
+                      maskEntries,
+                      keyCols = mk.keyCols,
+                      keyDir = mk.keyDir,
+                      maskedRows = if (exact) Some(deleted) else None))
+                publish(
+                  spark,
+                  sRoot,
+                  Commit(
+                    tipV + 1,
+                    "mor-delete",
+                    tip.dirs,
+                    -deleted,
+                    c.batchId, // exactly-once epoch markers SURVIVE the replay
+                    Some(merged.json),
+                    tip.files,
+                    constraints = tip.constraints,
+                    dropped = reviveDropped(tip.dropped, merged),
+                    masks = tip.masks ++ replayMask))
+            }
           case "mor-merge" =>
             import org.apache.spark.sql.functions.col
             val mk = newMasks(c, p).find(_.kind == "keys").get
@@ -1014,7 +1066,19 @@ object SnapshotTable {
       noMasks && !wholeSet(dirEntry) &&
         tipStatsByEntry
           .get(dirEntry)
-          .exists(sts => sts.nonEmpty && sts.forall(fst => wholeSet(fst.path))))
+          .exists(sts =>
+            sts.nonEmpty && sts.forall(fst => wholeSet(fst.path)) && {
+              // completeness guard: "every stat-covered file is dropped"
+              // only proves the DIR dead if the stats cover the dir
+              // FILE-COMPLETE — verify against the published listing (one
+              // namenode call, zero data I/O); a partially stat-covered
+              // dir falls through to content-apply instead of silently
+              // dropping its uncovered live files
+              val statNames =
+                sts.map(s => s.path.substring(s.path.lastIndexOf('/') + 1)).toSet
+              publishedFiles(f, new Path(dataRoot(root), dirEntry))
+                .exists(ps => ps.nonEmpty && ps.forall(pp => statNames(pp.getName)))
+            }))
     val dropNow = fileDrops ++ dirDrops
     val contentDrops = {
       val dirDropSet = dirDrops.toSet
@@ -5080,7 +5144,9 @@ object SnapshotTable {
     * at any table size: int↑long etc. within the integral family,
     * float↑double, the sub-double integrals↑double (≤32-bit integers fit
     * a double's 53-bit mantissa exactly; long→double would round),
-    * and decimal PRECISION growth at the same scale. Anything else
+    * decimal PRECISION growth at the same scale, and date↑timestamp_ntz
+    * (midnight, the SQL-standard cast — both readers upcast the INT32
+    * date bytes, verified on this runtime). Anything else
     * (narrowing, long→double, scale changes, string↔numeric) refuses —
     * loud failure beats a table whose old files read back different
     * values. */
@@ -5095,6 +5161,7 @@ object SnapshotTable {
       case (FloatType, DoubleType) => true
       case (ByteType | ShortType | IntegerType, DoubleType) => true
       case (a: DecimalType, b: DecimalType) => b.scale == a.scale && b.precision > a.precision
+      case (DateType, TimestampNTZType) => true
       case _ => false
     }
   }
@@ -5181,10 +5248,19 @@ object SnapshotTable {
         // narrow-typed bloom could FALSELY prove absence and prune a live
         // match — strip the column's blooms from every carried file
         // (absent bloom = unprunable = always safe; min/max stats compare
-        // on a type-agnostic numeric axis and stay valid)
+        // on a type-agnostic numeric axis and stay valid). The ONE
+        // cross-axis widening is date→timestamp_ntz: date stats encode as
+        // ISO strings, timestamp_ntz probes as epoch micros — its min/max
+        // strip too (an OPTIMIZE/compact pass re-materializes all stats at
+        // the new type). Non-null counts are type-free and stay.
         val phys = physName(field)
-        files = files.map(fst =>
-          if (fst.bloom.contains(phys)) fst.copy(bloom = fst.bloom - phys) else fst)
+        val crossAxis = field.dataType == org.apache.spark.sql.types.DateType &&
+          newType == org.apache.spark.sql.types.TimestampNTZType
+        files = files.map { fst =>
+          val noBloom = if (fst.bloom.contains(phys)) fst.copy(bloom = fst.bloom - phys) else fst
+          if (!crossAxis) noBloom
+          else noBloom.copy(min = noBloom.min - phys, max = noBloom.max - phys)
+        }
         schema = org.apache.spark.sql.types.StructType(
           schema.fields.map(f => if (f.name != name) f else f.copy(dataType = newType)))
       case DropCol(name) =>

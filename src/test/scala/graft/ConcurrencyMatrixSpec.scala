@@ -140,4 +140,65 @@ class ConcurrencyMatrixSpec extends SparkSuite {
     SnapshotTable.overwrite(spark, root, fixture(500, 2))
     assert(SnapshotTable.read(spark, root).count() == 2)
   }
+
+  // ── the same matrix through the SQL entry points: the staging catalog
+  // and the procedures inherit the isolation contract BY construction
+  // (they publish through the same CommitStore), proven here end-to-end ──
+
+  private def firstConcurrent(t: Throwable): Boolean =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+      .exists(_.isInstanceOf[SnapshotTable.ConcurrentCommitException])
+
+  test("SQL surface: catalog UPDATE, REPLACE TABLE, and CALL rebase each lose loudly to an interleaved writer") {
+    val wh = freshRoot()
+    spark.conf.set("spark.sql.catalog.gccm", classOf[graft.sinks.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gccm.warehouse", wh)
+    org.apache.spark.sql.GraftSqlBridge.addStrategy(spark, graft.sinks.GraftDmlStrategy)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gccm.ns")
+    val root = wh + "/ns/t"
+    SnapshotTable.create(spark, root, fixture(0, 20)) // v1
+
+    // 1. catalog-identifier DML loses to an interleaved append: the
+    // ConcurrentCommitException surfaces THROUGH spark.sql, nothing
+    // half-commits, and the re-run applies over the racer's rows
+    val e1 = intercept[Throwable] {
+      withRace(() => SnapshotTable.append(spark, root, fixture(100, 3))) {
+        spark.sql("UPDATE gccm.ns.t SET s = 'victim' WHERE k BETWEEN 0 AND 104")
+      }
+    }
+    assert(firstConcurrent(e1), s"expected ConcurrentCommitException through spark.sql: $e1")
+    assert(SnapshotTable.history(spark, root).map(_.action) == Seq("create", "append"))
+    spark.sql("UPDATE gccm.ns.t SET s = 'victim' WHERE k BETWEEN 0 AND 104")
+    assert(spark.sql("SELECT count(*) AS n FROM gccm.ns.t WHERE s = 'victim'").head.getLong(0) == 23,
+      "the re-run must see the racer's rows too")
+
+    // 2. REPLACE TABLE AS SELECT (the atomic staging-catalog path) loses
+    // to an interleaved append: loud, nothing half-committed, re-run lands
+    val e2 = intercept[Throwable] {
+      withRace(() => SnapshotTable.append(spark, root, fixture(200, 2))) {
+        spark.sql("REPLACE TABLE gccm.ns.t AS SELECT id AS k, concat('r', id) AS s FROM range(7)")
+      }
+    }
+    assert(firstConcurrent(e2), s"expected ConcurrentCommitException through REPLACE TABLE: $e2")
+    assert(SnapshotTable.read(spark, root).count() == 25, "the lost REPLACE left nothing")
+    spark.sql("REPLACE TABLE gccm.ns.t AS SELECT id AS k, concat('r', id) AS s FROM range(7)")
+    assert(spark.sql("SELECT count(*) AS n FROM gccm.ns.t").head.getLong(0) == 7)
+
+    // 3. CALL rebase vs a mid-rebase main append: the staged replay is
+    // private (no conflict), but the later fast_forward REFUSES the
+    // divergence loudly — never a silent publish over the racer
+    val dev = SnapshotTable.createBranch(spark, root, "dev")
+    SnapshotTable.append(spark, dev, fixture(300, 2))
+    SnapshotTable.append(spark, root, fixture(400, 1)) // diverge pre-rebase
+    withRace(() => SnapshotTable.append(spark, root, fixture(500, 1))) {
+      spark.sql("CALL gccm.system.rebase('ns.t', 'dev')") // races mid-replay
+    }
+    val e3 = intercept[Throwable](spark.sql("CALL gccm.system.fast_forward('ns.t', 'dev')"))
+    assert(e3.getMessage != null && e3.getMessage.contains("diverges"), e3.toString)
+    // the contract's resolution: rebase again onto the advanced tip, land
+    spark.sql("CALL gccm.system.rebase('ns.t', 'dev')")
+    spark.sql("CALL gccm.system.fast_forward('ns.t', 'dev')")
+    assert(spark.sql("SELECT count(*) AS n FROM gccm.ns.t").head.getLong(0) == 11,
+      "7 replaced + 1 pre-rebase + 1 racer + 2 branch rows")
+  }
 }

@@ -386,6 +386,36 @@ class SnapshotBranchSpec extends SparkSuite {
       .getMessage.contains("reserved"))
   }
 
+  test("rebase replays a keys-kind MOR delete from its recorded key-tombstone sidecar") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, fixture(0, 100)) // v1
+    val dev = SnapshotTable.createBranch(spark, root, "kdel")
+    // branch: KEYED MOR delete (keys mask + sidecar, NO pred bounds) —
+    // the deleteByKeys / MERGE matched-DELETE shape that used to refuse
+    SnapshotTable.deleteMatchedMor(spark, dev, fixture(0, 10), Seq("k")) // branch v2
+    // main diverges with rows that REUSE deleted keys (5..9) and live ones
+    SnapshotTable.append(spark, root, fixture(5, 10)) // main v2: k 5..14
+    assert(intercept[Exception](SnapshotTable.fastForward(spark, root, "kdel"))
+      .getMessage.contains("diverges"))
+    SnapshotTable.rebase(spark, root, "kdel")
+    // re-run semantics on the NEW base: every row with a tombstoned key is
+    // hidden — v1's k 0..9 AND main's post-fork k 5..9 — while main's
+    // k 10..14 duplicates survive
+    val got = rows(SnapshotTable.read(spark, dev))
+    val expect = rows(fixture(10, 90).unionByName(fixture(10, 5)))
+    assert(got == expect)
+    // exact accounting re-counted against the NEW base: 10 fork-time rows
+    // + 5 post-fork key reuses = 15 hidden rows
+    val replayed = SnapshotTable.history(spark, dev).last
+    assert(replayed.action == "mor-delete" && replayed.addedRows == -15L,
+      s"${replayed.action} addedRows=${replayed.addedRows}")
+    // fast-forward publishes; the CDC fold over the published history
+    // still reconciles (the feed is mask-aware)
+    SnapshotTable.fastForward(spark, root, "kdel")
+    assert(rows(SnapshotTable.read(spark, root)) == expect)
+    SnapshotTable.dropBranch(spark, root, "kdel")
+  }
+
   test("rebase replays COW DML from its write-time CDC capture; interference refuses as a conflict") {
     import org.apache.spark.sql.functions.{col, lit, when}
     val root = freshRoot()

@@ -228,6 +228,41 @@ class SnapshotTableSpec extends SparkSuite {
     assert(both.map(_.getDouble(0)).toSeq == (0 until 12).map(_.toDouble),
       "narrow-era INT32 bytes must upcast to DOUBLE at scan time")
     assert(both.map(_.getInt(1)).toSeq == (0 until 12), "SMALLINT era must upcast to INT")
+
+    // date → timestamp_ntz: the one CROSS-AXIS widening — old bytes read
+    // at midnight (the SQL-standard cast), and the column's min/max strip
+    // with its blooms (date stats encode as ISO strings, timestamp probes
+    // as epoch micros — a cross-axis compare could false-prune); TINYINT
+    // rides along (byte→int within the integral family)
+    val root3 = freshRoot()
+    SnapshotTable.create(
+      spark, root3,
+      spark.range(0, 6).selectExpr(
+        "DATE_ADD(DATE'2020-01-01', CAST(id AS INT)) AS d",
+        "CAST(id AS TINYINT) AS b"))
+    val vW = SnapshotTable.alterSchema(
+      spark, root3, Seq(WidenCol("d", TimestampNTZType), WidenCol("b", IntegerType)))
+    assert(SnapshotTable.history(spark, root3).find(_.version == vW).get.files.forall(fst =>
+      !fst.min.contains("d") && !fst.max.contains("d") && !fst.bloom.contains("d")),
+      "date-era min/max AND blooms of a cross-axis widened column must strip")
+    SnapshotTable.append(
+      spark, root3,
+      spark.range(6, 9).selectExpr(
+        "CAST(DATE_ADD(DATE'2020-01-01', CAST(id AS INT)) AS TIMESTAMP_NTZ) + INTERVAL 6 HOURS AS d",
+        "CAST(id AS INT) AS b"))
+    val mixed = SnapshotTable.read(spark, root3).orderBy("d").collect()
+    assert(mixed.length == 9 && mixed.map(_.getInt(1)).toSeq == (0 until 9),
+      "TINYINT era must upcast to INT")
+    assert(
+      mixed.take(6).map(_.getAs[java.time.LocalDateTime](0).toLocalTime.toString).forall(_ == "00:00"),
+      "date-era bytes must read at midnight")
+    assert(
+      mixed.drop(6).map(_.getAs[java.time.LocalDateTime](0).getHour).forall(_ == 6),
+      "wide-era intraday precision must survive")
+    // equality/range probes on the widened column stay CORRECT with the
+    // stats gone (unprunable = full scan = exact)
+    assert(SnapshotTable.read(spark, root3)
+      .filter("d = TIMESTAMP_NTZ'2020-01-03 00:00:00'").count() == 1)
   }
 
   test("vacuum retains every dir a kept version references") {
@@ -419,6 +454,43 @@ class SnapshotTableSpec extends SparkSuite {
     val planK = SnapshotTable.prunePlan(spark, root2, v2, eqK)
     assert(planK.keep.size <= 2, s"point lookup should reach ~1 file via bloom: $planK")
     assert(SnapshotTable.readWhere(spark, root2, eqK).count() == 1)
+  }
+
+  test("OPTIMIZE after widening re-materializes blooms at the new type: point lookups prune again") {
+    import org.apache.spark.sql.types.LongType
+    import graft.sinks.SnapshotTable.WidenCol
+    val root = freshRoot()
+    // hash-scattered INT keys: every file's [min,max] spans the domain, so
+    // file skipping on a point lookup rests ENTIRELY on the blooms
+    SnapshotTable.create(
+      spark, root,
+      spark.range(4000).selectExpr("CAST(id AS INT) AS k", "concat('v', id) AS s")
+        .repartition(16, col("k") * 2654435761L))
+    val v1 = SnapshotTable.latestVersion(spark, root).get
+    val eq = Seq(SnapshotTable.Bound("k", Some(42L), Some(42L)))
+    assert(SnapshotTable.prunePlan(spark, root, v1, eq).keep.size <= 2,
+      "narrow-era blooms prune the point lookup")
+    // widening strips the blooms (type-hashed) — the lookup degrades to a
+    // full candidate set, correct but unpruned
+    SnapshotTable.alterSchema(spark, root, Seq(WidenCol("k", LongType)))
+    val v2 = SnapshotTable.latestVersion(spark, root).get
+    assert(SnapshotTable.prunePlan(spark, root, v2, eq).keep.size >= 12,
+      "widening must leave the lookup essentially unpruned (stripped blooms; min/max on a scattered key is unselective), not wrong")
+    assert(SnapshotTable.readWhere(spark, root, eq).count() == 1)
+    // OPTIMIZE (bin-packing compact; round-robin output keeps min/max
+    // unselective, so the rebuilt pruning is bloom evidence) restores
+    // file skipping AT THE WIDENED TYPE
+    SnapshotTable.compactSmall(spark, root, smallBytes = 8192, targetBytes = 8192)
+    val v3 = SnapshotTable.latestVersion(spark, root).get
+    val m3 = SnapshotTable.readManifest(spark, root, v3)
+    assert(m3.action == "compact" && m3.files.size >= 4, s"${m3.action} ${m3.files.size}")
+    assert(m3.files.forall(_.bloom.contains("k")), "compact must rebuild blooms at the widened type")
+    val plan3 = SnapshotTable.prunePlan(spark, root, v3, eq)
+    assert(plan3.keep.size <= 2, s"rebuilt blooms must prune the LONG-typed probe: $plan3")
+    assert(SnapshotTable.readWhere(spark, root, eq).count() == 1)
+    // absent key: everything pruned — the rebuilt blooms are exact
+    val none = Seq(SnapshotTable.Bound("k", Some(424242L), Some(424242L)))
+    assert(SnapshotTable.prunePlan(spark, root, v3, none).keep.isEmpty)
   }
 
   test("bloom skipping stays exact with nulls and across DML-carried stats") {
