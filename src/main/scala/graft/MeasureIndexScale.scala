@@ -118,7 +118,8 @@ object MeasureIndexScale {
         // shared host, so the decade comparison is only honest when the
         // pair shares every warmup/cache state
         Seq(500000L, 5000000L).foreach(m => dedupStudy(spark, s"target/scale/pair-$m", m))
-      case other => sys.error(s"unknown mode '$other' (dedup | ann | dedup-pair)")
+      case "ann-k" => annKStudy(spark, root, n)
+      case other => sys.error(s"unknown mode '$other' (dedup | ann | dedup-pair | ann-k)")
     }
     spark.stop()
   }
@@ -137,6 +138,106 @@ object MeasureIndexScale {
         DedupIndex.checkBatch(spark, root, batch, "doc_id", "toks", 0.7).count()
       }
       println(s"  matches: $m")
+    }
+  }
+
+  /** The k≈√n point the round-18 verdict asked for: the recorded 10M
+    * search number is corpus-linear BY PROTOCOL (k held at 64 to keep the
+    * 2M/10M pair comparable — 100 queries × nprobe 8 saturate all 64
+    * buckets, so the candidate join covers the corpus). This study holds
+    * the corpus FIXED and varies the quantizer instead: k=64/nprobe=8 vs
+    * k≈√n (3162 for 10M) with nprobe swept to match recall — if per-query
+    * cost is really bounded by the probed candidate fraction, the search
+    * curve must BEND DOWN at the production k while recall holds ≥ the
+    * spec bound (KMeansIvfSpec's 0.6; the k=64 baseline recall is also
+    * recorded so the match is like-for-like). Ground truth is ONE exact
+    * brute-force top-10 pass (map-side per-partition heaps, no shuffle
+    * sort — the harness's cost, not the index's). Same-JVM protocol: both
+    * k points run back-to-back in one session (host shows >3x cross-JVM
+    * variance). */
+  private def annKStudy(spark: SparkSession, root: String, n: Long): Unit = {
+    val srcRoot = s"$root/source"
+    println(s"ann-k study: corpus $n vectors, 16-dim, search-vs-k at fixed corpus")
+    timed(s"source create n=$n") {
+      SnapshotTable.create(spark, srcRoot, vecs(spark, n, 29))
+    }
+    val queries = vecs(spark, 100, 31)
+    val qArr = queries
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val bq = spark.sparkContext.broadcast(qArr)
+    val topK = 10
+    // exact ground truth, once: per-partition top-10 heaps, merged on the
+    // driver (100 queries × 10 rows per partition — bounded), no 1e9-row
+    // shuffle sort
+    val exact: Map[Long, Set[Long]] = timed(s"brute-force exact top-$topK (ground truth)") {
+      val partTops: Array[Array[(Long, Array[(Double, Long)])]] = SnapshotTable
+        .read(spark, srcRoot)
+        .select("id", "emb")
+        .rdd
+        .mapPartitions { it =>
+          val qs = bq.value
+          // min-heap by score: head = weakest of the current top-k
+          val heaps = Array.fill(qs.length)(
+            scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+              Ordering.by[(Double, Long), Double](_._1).reverse))
+          it.foreach { r =>
+            val id = r.getLong(0)
+            val v = r.getSeq[Float](1).toArray
+            var qi = 0
+            while (qi < qs.length) {
+              if (qs(qi)._1 != id) {
+                val qv = qs(qi)._2
+                var s = 0.0
+                var i = 0
+                while (i < qv.length) { s += qv(i) * v(i); i += 1 }
+                val h = heaps(qi)
+                if (h.size < topK) h.enqueue((s, id))
+                else if (s > h.head._1) { h.dequeue(); h.enqueue((s, id)); () }
+              }
+              qi += 1
+            }
+          }
+          Iterator.single(heaps.zipWithIndex.map { case (h, qi) => (qs(qi)._1, h.toArray) })
+        }
+        .collect()
+      partTops
+        .flatten
+        .groupBy(_._1)
+        .map { case (qid, parts) =>
+          qid -> parts.flatMap(_._2).sortBy(-_._1).take(topK).map(_._2).toSet
+        }
+    }
+    def recallOf(res: org.apache.spark.sql.DataFrame): Double = {
+      val got = res
+        .select("q_id", "c_id")
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val per = exact.toSeq.map { case (q, ex) =>
+        (got.getOrElse(q, Set.empty[Long]) & ex).size.toDouble / ex.size
+      }
+      per.sum / per.size
+    }
+    val sqrtK = math.round(math.sqrt(n.toDouble)).toInt
+    for ((k, nprobes) <- Seq(64 -> Seq(8), sqrtK -> Seq(32, 64, 128))) {
+      val idxRoot = s"$root/index-k$k"
+      timed(s"AnnIndex.fitFromTable k=$k iters=3") {
+        AnnIndex.fitFromTable(
+          spark, idxRoot, srcRoot, "id", "emb", k = k, iters = 3,
+          nFiles = math.max(8, k / 50))
+      }
+      nprobes.foreach { np =>
+        (1 to 2).foreach { i =>
+          val c = timed(s"AnnIndex.search k=$k nprobe=$np #$i q=100 topK=$topK") {
+            AnnIndex.search(spark, idxRoot, queries, "id", "emb", topK = topK, nprobe = np).count()
+          }
+          println(s"  result rows: $c")
+        }
+        val rec = recallOf(
+          AnnIndex.search(spark, idxRoot, queries, "id", "emb", topK = topK, nprobe = np))
+        println(f"MEASURE recall@$topK k=$k nprobe=$np: $rec%.3f")
+      }
     }
   }
 
