@@ -544,6 +544,51 @@ object Sources {
         .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_price_c"))
         .orderBy("y")
     },
+    // CATALOG STREAMING ROUND TRIP in the ORACLE GATE — the round-19
+    // write half end-to-end: `readStream.table` over a catalog source,
+    // a transform, and `writeStream.toTable` through the two-phase DSv2
+    // sink (executor-staged parquet → one exactly-once epoch commit).
+    // Two AvailableNow drains on ONE checkpoint: the first ships the
+    // snapshot, the second ships EXACTLY the post-drain append — the
+    // oracle hash over the destination proves snapshot + incremental
+    // epochs landed each row exactly once through the catalog sink.
+    "q_stream_catalog_sink" -> { (s, dir) =>
+      import graft.sinks.SnapshotTable
+      import org.apache.spark.sql.streaming.Trigger
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val wh = "/tmp/graft-streamsink/" + safe
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val cat = "gssink_" + safe // per-dir name: catalog instances cache their warehouse
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sinks.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val o = Fixtures
+        .table(s, dir, "orders")
+        .select(
+          col("o_orderkey").as("k"),
+          to_date(col("o_orderdate")).as("d"),
+          cents(col("o_totalprice")).as("price_c"))
+      SnapshotTable.create(s, wh + "/ns/src", o.filter(col("k") % 2 === 0)) // v1: evens
+      val ckpt = wh + "/ckpt"
+      def drain(): Unit = {
+        val q = s.readStream
+          .table(s"$cat.ns.src")
+          .filter(year(col("d")) === 1996)
+          .withColumn("price_c", col("price_c") + 5)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .toTable(s"$cat.ns.dst")
+        q.awaitTermination()
+      }
+      drain() // snapshot epoch(s)
+      SnapshotTable.append(s, wh + "/ns/src", o.filter(col("k") % 2 === 1)) // v2: odds
+      drain() // incremental epoch: exactly the appended commit
+      s.table(s"$cat.ns.dst")
+        .groupBy(month(col("d")).cast("int").as("m"))
+        .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_price_c"))
+        .orderBy("m")
+    },
     // INCREMENTAL MATERIALIZED VIEW in the ORACLE GATE — the per-date
     // aggregate (count + null-exact sum) materialized as its own snapshot
     // table SYNCED AT v1 of the shared [[SnapshotCycle]] fixture
@@ -801,6 +846,15 @@ object Sources {
         "fin AS (SELECT * FROM evens UNION ALL SELECT * FROM ups UNION ALL SELECT * FROM odds) " +
         "SELECT CAST(year(d) AS INT) AS y, CAST(count(*) AS BIGINT) AS n_rows, " +
         "CAST(sum(price_c) AS BIGINT) AS sum_price_c FROM fin GROUP BY 1 ORDER BY y"),
+    // the destination of the catalog streaming round trip must equal the
+    // transform over BOTH source eras — each row exactly once across the
+    // snapshot and incremental drains
+    "q_stream_catalog_sink" ->
+      ("WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d, " +
+        "CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) + 5 AS price_c FROM orders " +
+        "WHERE year(CAST(o_orderdate AS DATE)) = 1996) " +
+        "SELECT CAST(month(d) AS INT) AS m, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(price_c) AS BIGINT) AS sum_price_c FROM o GROUP BY 1 ORDER BY m"),
     // the MV synced at cycle v1 then refreshed to v4 must equal the full
     // recompute over the cycle's FINAL state (same replay CTE as
     // q_snapshot_dml, grouped by the view's date key)
