@@ -2176,12 +2176,15 @@ object SnapshotTable {
       history(spark, root).find(_.batchId.contains(batchId)).map(_.version)
     committed().getOrElse {
       val latest0 = latestVersion(spark, root)
-      val checks0 = latest0.map(readManifest(spark, root, _).constraints).getOrElse(Map.empty)
-      val mapping0 = latest0
-        .flatMap(readManifest(spark, root, _).schemaJson)
-        .map(j => mappingOf(schemaFromJson(j)))
-        .getOrElse(Map.empty)
-      val (rel, n, stats) = writeData(spark, root, df, checks0, mapping0)
+      val manifest0 = latest0.map(readManifest(spark, root, _))
+      val checks0 = manifest0.map(_.constraints).getOrElse(Map.empty)
+      val schemaJson0 = manifest0.flatMap(_.schemaJson)
+      val mapping0 = schemaJson0.map(j => mappingOf(schemaFromJson(j))).getOrElse(Map.empty)
+      // epoch appends honor the table's declared clustering exactly like
+      // batch append (clusterFor) — without this, a long-running stream
+      // into a PARTITIONED BY table silently degrades its file pruning
+      val clustered = schemaJson0.map(clusterFor(df, _)).getOrElse(df)
+      val (rel, n, stats) = writeData(spark, root, clustered, checks0, mapping0)
       var result = -1
       var enforced = checks0
       var attempts = 0

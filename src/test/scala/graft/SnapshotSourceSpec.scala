@@ -674,6 +674,47 @@ class SnapshotSourceSpec extends SparkSuite {
     assert(e.getMessage.contains("Complete"), e.getMessage)
   }
 
+  test("streaming epochs honor the declared PARTITIONED BY clustering: file pruning holds on a streamed table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wh = Files.createTempDirectory("graft-ssink-clu").toString
+    spark.conf.set("spark.sql.catalog.gclu", classOf[graft.sinks.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gclu.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gclu.ns")
+    spark.sql("CREATE TABLE gclu.ns.t (k BIGINT, s STRING) PARTITIONED BY (k)")
+    val ms = MemoryStream[(Long, String)]
+    // AQE would rightly coalesce a 1000-row epoch into ONE file (the
+    // production right-sizing); pin the partition count so the multi-file
+    // clustering is observable at test scale
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val q = ms.toDF().toDF("k", "s")
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft-ssink-clu-ck").toString)
+      .trigger(Trigger.ProcessingTime(0))
+      .toTable("gclu.ns.t")
+    try {
+      ms.addData((0L until 1000L).map(i => (i, s"v$i")): _*)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    }
+    val root = wh + "/ns/t"
+    val v = SnapshotTable.latestVersion(spark, root).get
+    val m = SnapshotTable.readManifest(spark, root, v)
+    val dataFiles = m.files.filter(_.rows > 0)
+    assert(dataFiles.size >= 3, s"epoch should land range-clustered multi-file output: ${dataFiles.size}")
+    // a narrow range prunes to a strict subset of the DATA files — the
+    // epoch was range-clustered on k, not written in arrival order
+    val plan = SnapshotTable.prunePlan(
+      spark, root, v, Seq(SnapshotTable.Bound("k", Some(10L), Some(19L))))
+    val keptData = plan.keep.toSet.intersect(dataFiles.map(_.path).toSet)
+    assert(keptData.size == 1,
+      s"declared clustering must prune a streamed epoch: kept ${keptData.size} of ${dataFiles.size}")
+    assert(SnapshotTable.readWhere(
+      spark, root, Seq(SnapshotTable.Bound("k", Some(10L), Some(19L)))).count() == 10)
+  }
+
   test("CATALOG SINK: writeStream.toTable stages on executors and lands exactly-once epochs; replay no-ops; ≡ path sink") {
     val wh = Files.createTempDirectory("graft-ssink-cat").toString
     spark.conf.set("spark.sql.catalog.gsink", classOf[graft.sinks.GraftCatalog].getName)
