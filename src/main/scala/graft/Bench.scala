@@ -127,7 +127,9 @@ object Bench {
         "q_catalog_dml" -> (() => graft.ops.SnapshotCycle.catalogWarm(spark, sfDir)),
         // the 7-commit COW-rebase workflow pays its own memo key; warm
         // reruns then measure the aggregate-read kernel, not the fixture
-        "q_snapshot_rebase_cow" -> (() => graft.ops.SnapshotCycle.rebaseCowWarm(spark, sfDir)))
+        "q_snapshot_rebase_cow" -> (() => graft.ops.SnapshotCycle.rebaseCowWarm(spark, sfDir)),
+        // the two-drain catalog streaming round trip likewise
+        "q_stream_catalog_sink" -> (() => graft.ops.SnapshotCycle.streamSinkWarm(spark, sfDir)))
     }
     val results: Seq[(String, Double)] = selected.map { case (name, fn) =>
       memoUsers.get(name).foreach(warm => if (warm()) memoHits += name else memoPaid += name)

@@ -551,40 +551,14 @@ object Sources {
     // Two AvailableNow drains on ONE checkpoint: the first ships the
     // snapshot, the second ships EXACTLY the post-drain append — the
     // oracle hash over the destination proves snapshot + incremental
-    // epochs landed each row exactly once through the catalog sink.
+    // epochs landed each row exactly once through the catalog sink. The
+    // two-drain fixture is memo-shared like the DML cycles (payer labeled
+    // memo_paid in the bench sweep; warm reruns measure the read kernel).
     "q_stream_catalog_sink" -> { (s, dir) =>
       import graft.sinks.SnapshotTable
-      import org.apache.spark.sql.streaming.Trigger
-      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
-      val wh = "/tmp/graft-streamsink/" + safe
-      val p = new org.apache.hadoop.fs.Path(wh)
-      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
-      val cat = "gssink_" + safe // per-dir name: catalog instances cache their warehouse
-      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sinks.GraftCatalog].getName)
-      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
-      val o = Fixtures
-        .table(s, dir, "orders")
-        .select(
-          col("o_orderkey").as("k"),
-          to_date(col("o_orderdate")).as("d"),
-          cents(col("o_totalprice")).as("price_c"))
-      SnapshotTable.create(s, wh + "/ns/src", o.filter(col("k") % 2 === 0)) // v1: evens
-      val ckpt = wh + "/ckpt"
-      def drain(): Unit = {
-        val q = s.readStream
-          .table(s"$cat.ns.src")
-          .filter(year(col("d")) === 1996)
-          .withColumn("price_c", col("price_c") + 5)
-          .writeStream
-          .option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow())
-          .toTable(s"$cat.ns.dst")
-        q.awaitTermination()
-      }
-      drain() // snapshot epoch(s)
-      SnapshotTable.append(s, wh + "/ns/src", o.filter(col("k") % 2 === 1)) // v2: odds
-      drain() // incremental epoch: exactly the appended commit
-      s.table(s"$cat.ns.dst")
+      val dst = SnapshotCycle.streamSinkRoot(s, dir)
+      SnapshotTable
+        .read(s, dst)
         .groupBy(month(col("d")).cast("int").as("m"))
         .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_price_c"))
         .orderBy("m")
@@ -948,6 +922,7 @@ object SnapshotCycle {
   def sqlWarm(s: SparkSession, dir: String): Boolean = memo.contains((s, dir + "#sql"))
   def catalogWarm(s: SparkSession, dir: String): Boolean = memo.contains((s, dir + "#cat"))
   def rebaseCowWarm(s: SparkSession, dir: String): Boolean = memo.contains((s, dir + "#rbc"))
+  def streamSinkWarm(s: SparkSession, dir: String): Boolean = memo.contains((s, dir + "#ssink"))
 
   /** Forget built cycles: the next query rebuilds from the fixture (the
     * on-disk root is deleted and recreated by the build). */
@@ -1026,6 +1001,43 @@ object SnapshotCycle {
         SnapshotTable.rebase(s, root, "cow") // replay v2..v4 via captured deltas
         SnapshotTable.fastForward(s, root, "cow") // publish: main → v5
         root
+      })
+
+  /** The catalog streaming round trip behind `q_stream_catalog_sink`,
+    * memoized under its own key: a catalog source table (even orders
+    * keys) is drained through `readStream.table` → transform →
+    * `writeStream.toTable` (AvailableNow), the odd keys append, and a
+    * second drain on the SAME checkpoint ships exactly that increment.
+    * Returns the DESTINATION table root. */
+  def streamSinkRoot(s: SparkSession, dir: String): String =
+    memo.getOrElseUpdate(
+      (s, dir + "#ssink"), {
+        import org.apache.spark.sql.streaming.Trigger
+        val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val wh = "/tmp/graft-streamsink/" + safe
+        val p = new org.apache.hadoop.fs.Path(wh)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        val cat = "gssink_" + safe // per-dir name: catalog instances cache their warehouse
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sinks.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        val o = ordersOf(s, dir)
+        SnapshotTable.create(s, wh + "/ns/src", o.filter(col("k") % 2 === 0)) // v1: evens
+        val ckpt = wh + "/ckpt"
+        def drain(): Unit = {
+          val q = s.readStream
+            .table(s"$cat.ns.src")
+            .filter(year(col("d")) === 1996)
+            .withColumn("price_c", col("price_c") + 5)
+            .writeStream
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .toTable(s"$cat.ns.dst")
+          q.awaitTermination()
+        }
+        drain() // snapshot epoch(s)
+        SnapshotTable.append(s, wh + "/ns/src", o.filter(col("k") % 2 === 1)) // v2: odds
+        drain() // incremental epoch: exactly the appended commit
+        wh + "/ns/dst"
       })
 
   /** The SAME 4-commit algebra driven entirely through SQL TEXT (the

@@ -23,11 +23,16 @@ import org.apache.spark.sql.types.StructType
   * driver), so NO row ever moves through the driver:
   *
   *   1. Each task writes its partition of the epoch to a private staged
-  *      parquet file under `<root>/_streamStaging/epoch=<id>/` via the
-  *      codegen'd parquet [[OutputWriter]] (the same writer batch plans
-  *      use) and reports the file path + row count in its commit message.
-  *      Speculative/failed attempts abort their own file; a file only
-  *      exists for the commit once its task's message arrives.
+  *      parquet file under `<root>/_streamStaging/<queryId>/epoch=<id>/`
+  *      via the codegen'd parquet [[OutputWriter]] (the same writer batch
+  *      plans use) and reports the file path + row count in its commit
+  *      message. The queryId namespace keeps CONCURRENT streaming queries
+  *      into the same table from touching each other's staged epochs
+  *      (their epoch counters both start at 0); the batchId-keyed
+  *      exactly-once dedup across queries is then the same documented
+  *      contract the path sink has. Speculative/failed attempts abort
+  *      their own file; a file only exists for the commit once its task's
+  *      message arrives.
   *   2. `commit(epochId, messages)` re-frames exactly the reported files
   *      as a DataFrame and lands it through the SAME exactly-once epoch
   *      operators the path-based V1 sink uses
@@ -38,9 +43,10 @@ import org.apache.spark.sql.types.StructType
   *      so a REPLAYED epoch (restart, retry, speculative driver) is a
   *      no-op however often it reruns. The staged dir is deleted after
   *      the publish (and on `abort`); a crash between stage and publish
-  *      leaves only unreferenced staging debris that the next commit or
-  *      abort of the same epoch clears — readers never see a staged byte
-  *      because only the manifest defines the table.
+  *      leaves only unreferenced staging debris — readers never see a
+  *      staged byte because only the manifest defines the table, and an
+  *      age-gated [[SnapshotTable.vacuum]] reclaims abandoned epochs
+  *      (a restarted query re-stages its replayed epoch from scratch).
   *
   * The stage hop costs one extra write of the micro-batch (bounded by
   * admission control, not table size) and buys the transactional path
@@ -54,14 +60,12 @@ import org.apache.spark.sql.types.StructType
 private[sinks] final class GraftStreamingWrite(
     spark: SparkSession,
     root: String,
+    queryId: String,
     schema: StructType,
-    upsertKeys: Option[Seq[String]],
-    mor: Boolean,
-    compactEvery: Option[Int],
-    compactTargetBytes: Long)
+    opts: SnapshotSinkOptions)
     extends StreamingWrite {
 
-  private def stagingRoot = new Path(root, "_streamStaging")
+  private def stagingRoot = new Path(new Path(root, "_streamStaging"), queryId)
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     // prepareWrite installs the parquet write support + schema/compression
@@ -84,8 +88,13 @@ private[sinks] final class GraftStreamingWrite(
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema).parquet(staged.toIndexedSeq: _*)
     // the exactly-once contract does the rest: a replayed epoch finds its
-    // batchId in the manifest and lands nothing
-    SnapshotSinkOps.landBatch(spark, root, df, epochId, upsertKeys, mor, compactEvery, compactTargetBytes)
+    // (queryId, batchId) pair in the manifest and lands nothing — the
+    // recorded appId keeps a SECOND query's identical epoch number from
+    // deduping against ours (Delta's txn appId semantics)
+    SnapshotSinkOps.landBatch(
+      spark, root, df, epochId,
+      opts.upsertKeys, opts.mor, opts.compactEvery, opts.compactTargetBytes,
+      appId = Some(queryId))
     dropEpochDir(epochId)
   }
 
@@ -100,6 +109,12 @@ private[sinks] final class GraftStreamingWrite(
       val dir = new Path(stagingRoot, s"epoch=$epochId")
       val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
       if (fs.exists(dir)) { fs.delete(dir, true); () }
+      // drop the per-query namespace dir too once drained (non-recursive:
+      // a concurrently staging epoch of THIS query keeps it alive)
+      if (fs.exists(stagingRoot) && fs.listStatus(stagingRoot).isEmpty) {
+        fs.delete(stagingRoot, false)
+        ()
+      }
     } catch { case scala.util.control.NonFatal(_) => () }
 
   override def toString: String = s"GraftStreamingWrite[$root]"
@@ -144,7 +159,11 @@ private[sinks] final class GraftStreamingWriterFactory(
 
       override def abort(): Unit =
         if (writer != null) {
-          writer.close()
+          // close() on a writer broken by the original failure (disk
+          // full, torn stream) may itself throw — it must not mask the
+          // task's real failure or skip the staged-file delete below
+          try writer.close()
+          catch { case scala.util.control.NonFatal(_) => () }
           try {
             val p = new Path(path)
             p.getFileSystem(conf.value).delete(p, false)

@@ -221,20 +221,12 @@ private[sinks] final class GraftTable(
               !overwrite,
               s"${name()}: Complete-mode streaming rewrites go through overwrite(); " +
                 "the catalog streaming sink supports Append/Update")
-            val opts = info.options
-            val keys = Option(opts.get("upsertKeys"))
-              .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-              .filter(_.nonEmpty)
-            val compactEvery = Option(opts.get("compactEvery")).map(_.toInt)
-            compactEvery.foreach(n => require(n >= 1, s"compactEvery must be >= 1, got $n"))
             new GraftStreamingWrite(
               spark,
               root,
+              info.queryId, // namespaces the staging dir: concurrent queries never collide
               info.schema,
-              keys,
-              Option(opts.get("morWrites")).exists(_.equalsIgnoreCase("true")),
-              compactEvery,
-              Option(opts.get("compactTargetBytes")).map(_.toLong).getOrElse(128L * 1024 * 1024))
+              SnapshotSinkOps.parseOptions(k => Option(info.options.get(k))))
           }
         }
     }

@@ -620,6 +620,24 @@ private final class SnapshotSink(
   * small-file compaction boundary. A fix to the epoch contract lands here
   * once, never per-surface. */
 private[sinks] object SnapshotSinkOps {
+
+  /** The sink's writer options, parsed and validated ONCE for both
+    * surfaces — `upsertKeys` (comma-separated key columns → per-epoch
+    * MERGE), `morWrites` (O(change) merge-on-read route), `compactEvery`
+    * (small-file maintenance boundary) and `compactTargetBytes`. */
+  def parseOptions(get: String => Option[String]): SnapshotSinkOptions = {
+    val keys = get("upsertKeys")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+    val compactEvery = get("compactEvery").map(_.toInt)
+    compactEvery.foreach(n => require(n >= 1, s"compactEvery must be >= 1, got $n"))
+    SnapshotSinkOptions(
+      keys,
+      get("morWrites").exists(_.equalsIgnoreCase("true")),
+      compactEvery,
+      get("compactTargetBytes").map(_.toLong).getOrElse(128L * 1024 * 1024))
+  }
+
   def landBatch(
       spark: SparkSession,
       root: String,
@@ -628,11 +646,13 @@ private[sinks] object SnapshotSinkOps {
       upsertKeys: Option[Seq[String]],
       mor: Boolean,
       compactEvery: Option[Int],
-      compactTargetBytes: Long): Unit = {
+      compactTargetBytes: Long,
+      appId: Option[String] = None): Unit = {
     upsertKeys match {
-      case None => SnapshotTable.appendBatchExactlyOnce(spark, root, df, batchId)
-      case Some(ks) if mor => SnapshotTable.upsertBatchExactlyOnceMor(spark, root, df, ks, batchId)
-      case Some(ks) => SnapshotTable.upsertBatchExactlyOnce(spark, root, df, ks, batchId)
+      case None => SnapshotTable.appendBatchExactlyOnce(spark, root, df, batchId, appId)
+      case Some(ks) if mor =>
+        SnapshotTable.upsertBatchExactlyOnceMor(spark, root, df, ks, batchId, appId)
+      case Some(ks) => SnapshotTable.upsertBatchExactlyOnce(spark, root, df, ks, batchId, appId)
     }
     compactEvery.foreach { n =>
       if (batchId > 0 && batchId % n == 0)
@@ -657,6 +677,14 @@ private[sinks] object SnapshotSinkOps {
     ()
   }
 }
+
+/** Parsed writer options shared by the V1 path sink and the DSv2 catalog
+  * sink — see [[SnapshotSinkOps.parseOptions]]. */
+private[sinks] final case class SnapshotSinkOptions(
+    upsertKeys: Option[Seq[String]],
+    mor: Boolean,
+    compactEvery: Option[Int],
+    compactTargetBytes: Long)
 
 /** `format("snapshot-table")` registration (META-INF service) — options:
   * `path` (table root, required), `startVersion` (first version whose
@@ -824,19 +852,14 @@ final class SnapshotSourceProvider
     require(
       outputMode != OutputMode.Complete(),
       "snapshot-table sink supports Append/Update modes; Complete-mode rewrites go through overwrite()")
-    val keys = parameters
-      .get("upsertKeys")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .filter(_.nonEmpty)
-    val compactEvery = parameters.get("compactEvery").map(_.toInt)
-    compactEvery.foreach(n => require(n >= 1, s"compactEvery must be >= 1, got $n"))
+    val o = SnapshotSinkOps.parseOptions(parameters.get)
     new SnapshotSink(
       ctx.sparkSession,
       root(parameters),
-      keys,
-      parameters.get("morWrites").exists(_.equalsIgnoreCase("true")),
-      compactEvery,
-      parameters.get("compactTargetBytes").map(_.toLong).getOrElse(128L * 1024 * 1024))
+      o.upsertKeys,
+      o.mor,
+      o.compactEvery,
+      o.compactTargetBytes)
   }
 }
 

@@ -109,7 +109,13 @@ object SnapshotTable {
       // so [[changesBetween]] reads O(changed rows) instead of diffing
       // rewritten files; absent on pre-capture manifests and non-DML
       // commits (the reader falls back to the EXCEPT ALL file diff)
-      cdc: Option[Cdc] = None)
+      cdc: Option[Cdc] = None,
+      // the exactly-once epoch's WRITER identity (Delta's txn appId): the
+      // DSv2 catalog sink records its stable streaming query id alongside
+      // batchId, so TWO independent queries writing one table can never
+      // silently dedupe each other's epoch 0. Absent on path-sink and
+      // pre-appId commits (single-logical-stream contract unchanged).
+      appId: Option[String] = None)
 
   /** Write-time change capture of one COW DML commit — the Delta
     * Change-Data-Feed economics: a rewrite that carries most rows
@@ -772,10 +778,15 @@ object SnapshotTable {
         case "append" => true
         // both MOR-delete shapes replay: the pred mask records its bounds,
         // the keys mask (deleteByKeys / MERGE matched-DELETE) records its
-        // key-tombstone sidecar — either re-executes against the new base
+        // key-tombstone sidecar — either re-executes against the new base.
+        // A NO-OP mor-delete (no new mask, no dir change — the shape a
+        // PRIOR rebase leaves when the delete matched nothing on its new
+        // base) replays as a skip: without this arm a branch that rebased
+        // cleanly once could never rebase again.
         case "mor-delete" =>
           newMasks(c, p).exists(mk =>
-            mk.kind == "pred" || (mk.kind == "keys" && mk.keyDir.isDefined))
+            mk.kind == "pred" || (mk.kind == "keys" && mk.keyDir.isDefined)) ||
+            (newMasks(c, p).isEmpty && c.dirs == p.dirs && c.batchId.isEmpty)
         case "mor-merge" => newMasks(c, p).exists(mk => mk.kind == "keys" && mk.keyDir.isDefined)
         // COW DML replays from its write-time CDC capture ([[Cdc]]) — the
         // sidecar records the exact row delta, so the rewrite's fork-time
@@ -854,12 +865,15 @@ object SnapshotTable {
                 tip.files ++ deltaStats,
                 constraints = tip.constraints,
                 dropped = reviveDropped(tip.dropped, merged),
-                masks = tip.masks))
+                masks = tip.masks,
+                appId = c.appId))
           case "mor-delete" =>
-            newMasks(c, p).find(_.kind == "pred") match {
-              case Some(mk) =>
+            (newMasks(c, p).find(_.kind == "pred"),
+              newMasks(c, p).find(mk0 => mk0.kind == "keys" && mk0.keyDir.isDefined)) match {
+              case (Some(mk), _) =>
                 deleteWhereMor(spark, sRoot, decodeMaskBounds(merged, mk.predBounds))
-              case None =>
+                ()
+              case (None, Some(mk)) =>
                 import org.apache.spark.sql.functions.col
                 // keys-kind (deleteByKeys / MERGE matched-DELETE): the
                 // recorded key-tombstone sidecar IS the delete — re-prune
@@ -867,43 +881,52 @@ object SnapshotTable {
                 // dir re-references zero-copy (all refs share the data
                 // root), and exact accounting re-counts against the new
                 // base exactly like the mor-merge replay arm
-                val mk = newMasks(c, p)
-                  .find(mk0 => mk0.kind == "keys" && mk0.keyDir.isDefined)
-                  .get
                 val keyDf = spark.read.parquet(new Path(dataRoot(root), mk.keyDir.get).toString)
                 val plan = prunePlan(spark, sRoot, tipV, keyEnvelope(keyDf, mk.keyCols))
                 val maskEntries = plan.keep ++ plan.uncoveredDirs
-                val exact = exactMorAccounting(spark)
-                val deleted =
-                  if (maskEntries.isEmpty || !exact) 0L
-                  else
-                    readEntriesMasked(spark, sRoot, tip, Some(merged), maskEntries)
-                      .select(mk.keyCols.map(k => col("`" + k + "`")): _*)
-                      .join(keyDf, mk.keyCols, "left_semi")
-                      .count()
-                val replayMask =
-                  if (maskEntries.isEmpty) Seq.empty
-                  else
-                    Seq(Mask(
-                      "keys",
-                      maskEntries,
-                      keyCols = mk.keyCols,
-                      keyDir = mk.keyDir,
-                      maskedRows = if (exact) Some(deleted) else None))
-                publish(
-                  spark,
-                  sRoot,
-                  Commit(
-                    tipV + 1,
-                    "mor-delete",
-                    tip.dirs,
-                    -deleted,
-                    c.batchId, // exactly-once epoch markers SURVIVE the replay
-                    Some(merged.json),
-                    tip.files,
-                    constraints = tip.constraints,
-                    dropped = reviveDropped(tip.dropped, merged),
-                    masks = tip.masks ++ replayMask))
+                // zero candidates on the new base AND no epoch marker to
+                // carry → the replay is a pure no-op; publishing a
+                // maskless mor-delete here would make the NEXT rebase of
+                // this branch refuse (the classifier's no-op arm guards
+                // pre-existing such commits, this keeps new chains clean)
+                if (maskEntries.isEmpty && c.batchId.isEmpty) ()
+                else {
+                  val exact = exactMorAccounting(spark)
+                  val deleted =
+                    if (maskEntries.isEmpty || !exact) 0L
+                    else
+                      readEntriesMasked(spark, sRoot, tip, Some(merged), maskEntries)
+                        .select(mk.keyCols.map(k => col("`" + k + "`")): _*)
+                        .join(keyDf, mk.keyCols, "left_semi")
+                        .count()
+                  val replayMask =
+                    if (maskEntries.isEmpty) Seq.empty
+                    else
+                      Seq(Mask(
+                        "keys",
+                        maskEntries,
+                        keyCols = mk.keyCols,
+                        keyDir = mk.keyDir,
+                        maskedRows = if (exact) Some(deleted) else None))
+                  publish(
+                    spark,
+                    sRoot,
+                    Commit(
+                      tipV + 1,
+                      "mor-delete",
+                      tip.dirs,
+                      -deleted,
+                      c.batchId, // exactly-once epoch markers SURVIVE the replay
+                      Some(merged.json),
+                      tip.files,
+                      constraints = tip.constraints,
+                      dropped = reviveDropped(tip.dropped, merged),
+                      masks = tip.masks ++ replayMask,
+                      appId = c.appId))
+                  ()
+                }
+              case (None, None) =>
+                () // the classifier's no-op arm: nothing to re-execute
             }
           case "mor-merge" =>
             import org.apache.spark.sql.functions.col
@@ -952,7 +975,8 @@ object SnapshotTable {
                 tip.files ++ deltaStats,
                 constraints = tip.constraints,
                 dropped = reviveDropped(tip.dropped, merged),
-                masks = tip.masks ++ replayMask))
+                masks = tip.masks ++ replayMask,
+                appId = c.appId))
           case "delete" | "update" | "merge" =>
             replayCowDelta(spark, root, sRoot, tipV, tip, merged, c, p, c.cdc.get)
           case other => sys.error(s"unreachable: $other passed the replayability gate")
@@ -1206,7 +1230,8 @@ object SnapshotTable {
             constraints = tip.constraints,
             dropped = reviveDropped(tip.dropped, merged),
             masks = keptMasks,
-            cdc = cdcRec))
+            cdc = cdcRec,
+            appId = c.appId))
       } finally srcCached.foreach(_.unpersist())
     } finally d0.foreach(_.unpersist())
   }
@@ -1431,7 +1456,8 @@ object SnapshotTable {
             (cj \ "ch").extractOpt[String],
             (cj \ "insEntries").extractOpt[Seq[String]].getOrElse(Seq.empty)))
         case _ => None
-      })
+      },
+      (j \ "appId").extractOpt[String])
   }
 
   /** The commit log, ascending by version. */
@@ -1779,6 +1805,7 @@ object SnapshotTable {
          }.toList): JValue))
        else Nil) ++
       c.batchId.map(b => "batchId" -> (JLong(b): JValue)).toList ++
+      c.appId.map(a => "appId" -> (JString(a): JValue)).toList ++
       c.schemaJson.map(s => "schema" -> (JString(s): JValue)).toList ++
       c.cdc.map { cc =>
         "cdc" -> (JObject(
@@ -2171,9 +2198,16 @@ object SnapshotTable {
     * next version. The orphaned data dir of a lost race is reclaimed by
     * [[vacuum]] — rows only exist for readers once a manifest references
     * them, so duplicates are impossible by construction, not by cleanup. */
-  def appendBatchExactlyOnce(spark: SparkSession, root: String, df: DataFrame, batchId: Long): Int = {
+  def appendBatchExactlyOnce(
+      spark: SparkSession,
+      root: String,
+      df: DataFrame,
+      batchId: Long,
+      appId: Option[String] = None): Int = {
     def committed(): Option[Int] =
-      history(spark, root).find(_.batchId.contains(batchId)).map(_.version)
+      history(spark, root)
+        .find(c => c.batchId.contains(batchId) && c.appId == appId)
+        .map(_.version)
     committed().getOrElse {
       val latest0 = latestVersion(spark, root)
       val manifest0 = latest0.map(readManifest(spark, root, _))
@@ -2225,7 +2259,8 @@ object SnapshotTable {
             dropped = reviveDropped(
               priorManifest.map(_.dropped).getOrElse(Map.empty),
               schemaFromJson(schema)),
-            masks = priorManifest.map(_.masks).getOrElse(Seq.empty)))
+            masks = priorManifest.map(_.masks).getOrElse(Seq.empty),
+            appId = appId))
         catch {
           case e: ConcurrentCommitException =>
             committed().foreach(v => return v) // replayed epoch lost the race: done
@@ -3678,7 +3713,8 @@ object SnapshotTable {
       root: String,
       source: DataFrame,
       keyCols: Seq[String],
-      batchId: Option[Long] = None): Int = {
+      batchId: Option[Long] = None,
+      appId: Option[String] = None): Int = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     require(keyCols.nonEmpty, "mergeUpsert needs at least one key column")
     val base = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
@@ -3776,7 +3812,8 @@ object SnapshotTable {
         constraints = m.constraints,
         dropped = reviveDropped(m.dropped, schemaFromJson(evolved)),
         masks = keptMasks,
-        cdc = cdcRec))
+        cdc = cdcRec,
+        appId = appId))
   }
 
   /** EXACTLY-ONCE streaming UPSERT — the `foreachBatch` CDC-apply
@@ -3794,14 +3831,17 @@ object SnapshotTable {
       root: String,
       source: DataFrame,
       keyCols: Seq[String],
-      batchId: Long): Int = {
+      batchId: Long,
+      appId: Option[String] = None): Int = {
     def committed(): Option[Int] =
-      history(spark, root).find(_.batchId.contains(batchId)).map(_.version)
+      history(spark, root)
+        .find(c => c.batchId.contains(batchId) && c.appId == appId)
+        .map(_.version)
     committed().getOrElse {
       var result = -1
       var attempts = 0
       while (result < 0) {
-        try result = mergeUpsert(spark, root, source, keyCols, Some(batchId))
+        try result = mergeUpsert(spark, root, source, keyCols, Some(batchId), appId)
         catch {
           case e: ConcurrentCommitException =>
             committed().foreach(v => return v) // replayed epoch lost to itself: done
@@ -4563,7 +4603,8 @@ object SnapshotTable {
       root: String,
       source: DataFrame,
       keyCols: Seq[String],
-      batchId: Option[Long] = None): Int = {
+      batchId: Option[Long] = None,
+      appId: Option[String] = None): Int = {
     import org.apache.spark.sql.functions.{col, max, min}
     require(keyCols.nonEmpty, "mergeUpsertMor needs at least one key column")
     val base = latestVersion(spark, root).getOrElse(sys.error(s"no snapshot table at $root"))
@@ -4627,7 +4668,8 @@ object SnapshotTable {
         m.files ++ srcStats,
         constraints = m.constraints,
         dropped = reviveDropped(m.dropped, schemaFromJson(evolved)),
-        masks = m.masks ++ newMaskFinal))
+        masks = m.masks ++ newMaskFinal,
+        appId = appId))
   }
 
   /** EXACTLY-ONCE streaming MERGE-ON-READ upsert — [[upsertBatchExactlyOnce]]'s
@@ -4642,14 +4684,17 @@ object SnapshotTable {
       root: String,
       source: DataFrame,
       keyCols: Seq[String],
-      batchId: Long): Int = {
+      batchId: Long,
+      appId: Option[String] = None): Int = {
     def committed(): Option[Int] =
-      history(spark, root).find(_.batchId.contains(batchId)).map(_.version)
+      history(spark, root)
+        .find(c => c.batchId.contains(batchId) && c.appId == appId)
+        .map(_.version)
     committed().getOrElse {
       var result = -1
       var attempts = 0
       while (result < 0) {
-        try result = mergeUpsertMor(spark, root, source, keyCols, Some(batchId))
+        try result = mergeUpsertMor(spark, root, source, keyCols, Some(batchId), appId)
         catch {
           case e: ConcurrentCommitException =>
             committed().foreach(v => return v) // replayed epoch lost to itself: done
@@ -5115,7 +5160,29 @@ object SnapshotTable {
             if (!dryRun) f.delete(new Path(dataRoot(root), rel), true)
             rel
           }
-    deletedManifests ++ deletedCkpt ++ deletedCdc ++ deletedOrphans ++ deletedData
+    // abandoned streaming-sink staging ([[GraftStreamingWrite]] stages
+    // each epoch under `_streamStaging/<queryId>/epoch=<id>` and clears
+    // it on commit/abort; a crash in between leaves debris no manifest
+    // ever references). Age-gated only — a live query sits between stage
+    // and publish for exactly one micro-batch; emptied query dirs go too.
+    val stagingDir = new Path(splitRef(root)._1, "_streamStaging")
+    val deletedStaging =
+      if (minAgeMs <= 0L || !f.exists(stagingDir)) Seq.empty[String]
+      else {
+        val cut = System.currentTimeMillis() - minAgeMs
+        f.listStatus(stagingDir).toSeq.filter(_.isDirectory).flatMap { q =>
+          val epochs = f.listStatus(q.getPath).toSeq
+            .filter(_.getModificationTime <= cut)
+            .map { e =>
+              if (!dryRun) f.delete(e.getPath, true)
+              s"_streamStaging/${q.getPath.getName}/${e.getPath.getName}"
+            }
+          if (!dryRun && f.listStatus(q.getPath).isEmpty &&
+            f.getFileStatus(q.getPath).getModificationTime <= cut) { f.delete(q.getPath, false); () }
+          epochs
+        }
+      }
+    deletedManifests ++ deletedCkpt ++ deletedCdc ++ deletedOrphans ++ deletedData ++ deletedStaging
   }
 
   /** METADATA-ONLY column rename — no data rewrite, at any file count:

@@ -416,6 +416,26 @@ class SnapshotBranchSpec extends SparkSuite {
     SnapshotTable.dropBranch(spark, root, "kdel")
   }
 
+  test("a branch whose MOR delete replayed into a no-op stays REBASEABLE (the git 'rebase again' contract)") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, fixture(0, 50)) // v1
+    val dev = SnapshotTable.createBranch(spark, root, "noop")
+    // branch: pred-kind MOR delete of k 40..49
+    SnapshotTable.deleteWhereMor(spark, dev, Seq(Bound("k", Some(40L), Some(49L)))) // branch v2
+    // main itself COW-deletes a superset BEFORE the rebase, then diverges
+    SnapshotTable.deleteWhere(spark, root, Seq(Bound("k", Some(30L), Some(49L)))) // main v2
+    SnapshotTable.append(spark, root, fixture(100, 3)) // main v3
+    SnapshotTable.rebase(spark, root, "noop") // replay: the delete matches NOTHING on the new base
+    // main diverges AGAIN — the second rebase must accept the chain even
+    // though the first replay left a maskless/no-op mor-delete commit
+    SnapshotTable.append(spark, root, fixture(200, 2)) // main v4
+    SnapshotTable.rebase(spark, root, "noop")
+    SnapshotTable.fastForward(spark, root, "noop")
+    assert(rows(SnapshotTable.read(spark, root)) ==
+      rows(fixture(0, 30).unionByName(fixture(100, 3)).unionByName(fixture(200, 2))))
+    SnapshotTable.dropBranch(spark, root, "noop")
+  }
+
   test("rebase replays COW DML from its write-time CDC capture; interference refuses as a conflict") {
     import org.apache.spark.sql.functions.{col, lit, when}
     val root = freshRoot()

@@ -674,6 +674,37 @@ class SnapshotSourceSpec extends SparkSuite {
     assert(e.getMessage.contains("Complete"), e.getMessage)
   }
 
+  test("TWO independent queries into one catalog table: colliding epoch numbers never dedupe across queries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wh = Files.createTempDirectory("graft-ssink-two").toString
+    spark.conf.set("spark.sql.catalog.gtwo", classOf[graft.sinks.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtwo.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtwo.ns")
+    spark.sql("CREATE TABLE gtwo.ns.t (k BIGINT, s STRING)")
+    def runOnce(from: Long): Unit = {
+      val ms = MemoryStream[(Long, String)]
+      val q = ms.toDF().toDF("k", "s")
+        .writeStream
+        .option("checkpointLocation", Files.createTempDirectory("graft-ssink-two-ck").toString)
+        .trigger(Trigger.ProcessingTime(0))
+        .toTable("gtwo.ns.t")
+      try { ms.addData((from, s"v$from"), (from + 1, s"v${from + 1}")); q.processAllAvailable() }
+      finally q.stop()
+    }
+    runOnce(0L) // query A, epoch 0
+    runOnce(100L) // query B — ITS OWN epoch 0 must still land
+    assert(
+      spark.table("gtwo.ns.t").orderBy("k").as[(Long, String)].collect().toSeq ==
+        Seq(0L -> "v0", 1L -> "v1", 100L -> "v100", 101L -> "v101"),
+      "a second query's epoch 0 must never silently dedupe against the first's")
+    // the manifests record DISTINCT writer identities with the same epoch
+    val appends = SnapshotTable.history(spark, wh + "/ns/t").filter(_.action == "append")
+    assert(appends.map(_.batchId) == Seq(Some(0L), Some(0L)), appends.map(_.batchId).toString)
+    assert(appends.flatMap(_.appId).distinct.size == 2,
+      s"each query's stable id must ride its commits: ${appends.map(_.appId)}")
+  }
+
   test("streaming epochs honor the declared PARTITIONED BY clustering: file pruning holds on a streamed table") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
