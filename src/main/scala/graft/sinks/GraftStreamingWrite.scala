@@ -91,10 +91,7 @@ private[sinks] final class GraftStreamingWrite(
     // (queryId, batchId) pair in the manifest and lands nothing — the
     // recorded appId keeps a SECOND query's identical epoch number from
     // deduping against ours (Delta's txn appId semantics)
-    SnapshotSinkOps.landBatch(
-      spark, root, df, epochId,
-      opts.upsertKeys, opts.mor, opts.compactEvery, opts.compactTargetBytes,
-      appId = Some(queryId))
+    SnapshotSinkOps.landBatch(spark, root, df, epochId, opts, appId = Some(queryId))
     dropEpochDir(epochId)
   }
 

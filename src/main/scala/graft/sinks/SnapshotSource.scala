@@ -598,17 +598,14 @@ object SnapshotSource {
 private final class SnapshotSink(
     spark: SparkSession,
     root: String,
-    upsertKeys: Option[Seq[String]],
-    mor: Boolean,
-    compactEvery: Option[Int] = None,
-    compactTargetBytes: Long = 128L * 1024 * 1024)
+    opts: SnapshotSinkOptions)
     extends Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // V1 sink contract: the incoming frame is a streaming plan — lift its
     // computed rows into a batch frame before handing it to batch writers
     val df = org.apache.spark.sql.GraftSqlBridge
       .internalDataFrame(spark, data.queryExecution.toRdd, data.schema)
-    SnapshotSinkOps.landBatch(spark, root, df, batchId, upsertKeys, mor, compactEvery, compactTargetBytes)
+    SnapshotSinkOps.landBatch(spark, root, df, batchId, opts)
   }
   override def toString: String = s"SnapshotSink[$root]"
 }
@@ -643,14 +640,12 @@ private[sinks] object SnapshotSinkOps {
       root: String,
       df: DataFrame,
       batchId: Long,
-      upsertKeys: Option[Seq[String]],
-      mor: Boolean,
-      compactEvery: Option[Int],
-      compactTargetBytes: Long,
+      opts: SnapshotSinkOptions,
       appId: Option[String] = None): Unit = {
-    upsertKeys match {
+    import opts.{compactEvery, compactTargetBytes}
+    opts.upsertKeys match {
       case None => SnapshotTable.appendBatchExactlyOnce(spark, root, df, batchId, appId)
-      case Some(ks) if mor =>
+      case Some(ks) if opts.mor =>
         SnapshotTable.upsertBatchExactlyOnceMor(spark, root, df, ks, batchId, appId)
       case Some(ks) => SnapshotTable.upsertBatchExactlyOnce(spark, root, df, ks, batchId, appId)
     }
@@ -852,14 +847,10 @@ final class SnapshotSourceProvider
     require(
       outputMode != OutputMode.Complete(),
       "snapshot-table sink supports Append/Update modes; Complete-mode rewrites go through overwrite()")
-    val o = SnapshotSinkOps.parseOptions(parameters.get)
     new SnapshotSink(
       ctx.sparkSession,
       root(parameters),
-      o.upsertKeys,
-      o.mor,
-      o.compactEvery,
-      o.compactTargetBytes)
+      SnapshotSinkOps.parseOptions(parameters.get))
   }
 }
 

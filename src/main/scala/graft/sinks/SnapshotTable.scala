@@ -786,7 +786,9 @@ object SnapshotTable {
         case "mor-delete" =>
           newMasks(c, p).exists(mk =>
             mk.kind == "pred" || (mk.kind == "keys" && mk.keyDir.isDefined)) ||
-            (newMasks(c, p).isEmpty && c.dirs == p.dirs && c.batchId.isEmpty)
+            // SET equality: a no-op deleteWhereMor re-publishes the same
+            // entries reordered (survivors ++ uncovered)
+            (newMasks(c, p).isEmpty && c.dirs.toSet == p.dirs.toSet && c.batchId.isEmpty)
         case "mor-merge" => newMasks(c, p).exists(mk => mk.kind == "keys" && mk.keyDir.isDefined)
         // COW DML replays from its write-time CDC capture ([[Cdc]]) — the
         // sidecar records the exact row delta, so the rewrite's fork-time
@@ -2204,6 +2206,11 @@ object SnapshotTable {
       df: DataFrame,
       batchId: Long,
       appId: Option[String] = None): Int = {
+    // STRICT (appId, batchId) identity — a None-appId commit (path sink /
+    // foreachBatch adapters, the single-logical-stream contract) never
+    // matches an appId-carrying caller and vice versa: relaxing either
+    // direction would re-open cross-writer dedup (a catalog query
+    // silently no-oping against a path-sink epoch, or the reverse).
     def committed(): Option[Int] =
       history(spark, root)
         .find(c => c.batchId.contains(batchId) && c.appId == appId)
@@ -5163,23 +5170,31 @@ object SnapshotTable {
     // abandoned streaming-sink staging ([[GraftStreamingWrite]] stages
     // each epoch under `_streamStaging/<queryId>/epoch=<id>` and clears
     // it on commit/abort; a crash in between leaves debris no manifest
-    // ever references). Age-gated only — a live query sits between stage
-    // and publish for exactly one micro-batch; emptied query dirs go too.
+    // ever references). Age-gated only, under the SAME operator contract
+    // as in-flight data dirs (see the dataDir sweep): minAgeMs must
+    // exceed the longest write phase — here, the longest micro-batch
+    // (an AvailableNow backfill's first epoch can run minutes). Emptied
+    // query dirs go too.
     val stagingDir = new Path(splitRef(root)._1, "_streamStaging")
     val deletedStaging =
       if (minAgeMs <= 0L || !f.exists(stagingDir)) Seq.empty[String]
       else {
         val cut = System.currentTimeMillis() - minAgeMs
         f.listStatus(stagingDir).toSeq.filter(_.isDirectory).flatMap { q =>
-          val epochs = f.listStatus(q.getPath).toSeq
-            .filter(_.getModificationTime <= cut)
-            .map { e =>
-              if (!dryRun) f.delete(e.getPath, true)
-              s"_streamStaging/${q.getPath.getName}/${e.getPath.getName}"
-            }
-          if (!dryRun && f.listStatus(q.getPath).isEmpty &&
-            f.getFileStatus(q.getPath).getModificationTime <= cut) { f.delete(q.getPath, false); () }
-          epochs
+          // guarded per query dir: the LIVE query's own dropEpochDir
+          // deletes these concurrently — a vanished dir is simply done,
+          // never a reason to abort the whole vacuum mid-sweep
+          try {
+            val epochs = f.listStatus(q.getPath).toSeq
+              .filter(_.getModificationTime <= cut)
+              .map { e =>
+                if (!dryRun) f.delete(e.getPath, true)
+                s"_streamStaging/${q.getPath.getName}/${e.getPath.getName}"
+              }
+            if (!dryRun && f.listStatus(q.getPath).isEmpty &&
+              f.getFileStatus(q.getPath).getModificationTime <= cut) { f.delete(q.getPath, false); () }
+            epochs
+          } catch { case scala.util.control.NonFatal(_) => Seq.empty[String] }
         }
       }
     deletedManifests ++ deletedCkpt ++ deletedCdc ++ deletedOrphans ++ deletedData ++ deletedStaging
