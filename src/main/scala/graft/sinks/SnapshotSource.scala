@@ -605,7 +605,14 @@ private final class SnapshotSink(
     // computed rows into a batch frame before handing it to batch writers
     val df = org.apache.spark.sql.GraftSqlBridge
       .internalDataFrame(spark, data.queryExecution.toRdd, data.schema)
-    SnapshotSinkOps.landBatch(spark, root, df, batchId, opts)
+    // the stream execution thread carries the STABLE query id as a local
+    // property — recorded as the commit's txn appId so two path-sink
+    // queries into one table never dedupe each other's epoch numbers
+    // (same identity the DSv2 catalog sink records; legacy None-appId
+    // commits still adopt, see appendBatchExactlyOnce)
+    val appId = Option(spark.sparkContext.getLocalProperty(
+      org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY))
+    SnapshotSinkOps.landBatch(spark, root, df, batchId, opts, appId)
   }
   override def toString: String = s"SnapshotSink[$root]"
 }

@@ -2206,14 +2206,17 @@ object SnapshotTable {
       df: DataFrame,
       batchId: Long,
       appId: Option[String] = None): Int = {
-    // STRICT (appId, batchId) identity — a None-appId commit (path sink /
-    // foreachBatch adapters, the single-logical-stream contract) never
-    // matches an appId-carrying caller and vice versa: relaxing either
-    // direction would re-open cross-writer dedup (a catalog query
-    // silently no-oping against a path-sink epoch, or the reverse).
+    // (appId, batchId) identity with LEGACY ADOPTION: a commit recorded
+    // WITH an appId matches only the same appId (two queries' identical
+    // epoch numbers never dedupe each other), while a None-appId commit
+    // (foreachBatch adapters, pre-appId manifests) matches ANY caller —
+    // the old single-logical-stream contract, and the upgrade rule that
+    // keeps a pre-appId checkpointed stream's replayed epochs no-oping
+    // instead of re-landing. A None-appId CALLER never adopts an
+    // appId-carrying commit (that writer is provably someone else).
     def committed(): Option[Int] =
       history(spark, root)
-        .find(c => c.batchId.contains(batchId) && c.appId == appId)
+        .find(c => c.batchId.contains(batchId) && (c.appId == appId || c.appId.isEmpty))
         .map(_.version)
     committed().getOrElse {
       val latest0 = latestVersion(spark, root)
@@ -3840,9 +3843,9 @@ object SnapshotTable {
       keyCols: Seq[String],
       batchId: Long,
       appId: Option[String] = None): Int = {
-    def committed(): Option[Int] =
+    def committed(): Option[Int] = // legacy-adopting identity, see appendBatchExactlyOnce
       history(spark, root)
-        .find(c => c.batchId.contains(batchId) && c.appId == appId)
+        .find(c => c.batchId.contains(batchId) && (c.appId == appId || c.appId.isEmpty))
         .map(_.version)
     committed().getOrElse {
       var result = -1
@@ -4693,9 +4696,9 @@ object SnapshotTable {
       keyCols: Seq[String],
       batchId: Long,
       appId: Option[String] = None): Int = {
-    def committed(): Option[Int] =
+    def committed(): Option[Int] = // legacy-adopting identity, see appendBatchExactlyOnce
       history(spark, root)
-        .find(c => c.batchId.contains(batchId) && c.appId == appId)
+        .find(c => c.batchId.contains(batchId) && (c.appId == appId || c.appId.isEmpty))
         .map(_.version)
     committed().getOrElse {
       var result = -1

@@ -638,6 +638,10 @@ class SnapshotSourceSpec extends SparkSuite {
       val h = SnapshotTable.history(spark, appendRoot)
       assert(h.map(_.action).forall(_ == "append") && h.flatMap(_.batchId) == Seq(0L, 1L),
         s"epoch ids must ride the manifests: ${h.map(c => (c.action, c.batchId))}")
+      // the stable query id rides as the txn appId (one id across epochs):
+      // two path-sink queries into one table can never dedupe each other
+      assert(h.flatMap(_.appId).distinct.size == 1 && h.forall(_.appId.isDefined),
+        s"the query id must ride the path sink's commits: ${h.map(_.appId)}")
     } finally q.stop()
     // upsert sink: each micro-batch MERGEs by key — last write per key wins
     val upsertRoot = freshRoot() + "/u"
