@@ -28,9 +28,11 @@ import org.apache.spark.sql.types.StructType
   *      plans use) and reports the file path + row count in its commit
   *      message. The queryId namespace keeps CONCURRENT streaming queries
   *      into the same table from touching each other's staged epochs
-  *      (their epoch counters both start at 0); the batchId-keyed
-  *      exactly-once dedup across queries is then the same documented
-  *      contract the path sink has. Speculative/failed attempts abort
+  *      (their epoch counters both start at 0), and the same id rides the
+  *      commit as the txn appId — the STRICT (appId, batchId) exactly-once
+  *      identity every write surface shares
+  *      ([[SnapshotTable.appendBatchExactlyOnce]]). Speculative/failed
+  *      attempts abort
   *      their own file; a file only exists for the commit once its task's
   *      message arrives.
   *   2. `commit(epochId, messages)` re-frames exactly the reported files

@@ -610,9 +610,8 @@ private final class SnapshotSink(
     // queries into one table never dedupe each other's epoch numbers
     // (same identity the DSv2 catalog sink records; legacy None-appId
     // commits still adopt, see appendBatchExactlyOnce)
-    val appId = Option(spark.sparkContext.getLocalProperty(
-      org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY))
-    SnapshotSinkOps.landBatch(spark, root, df, batchId, opts, appId)
+    SnapshotSinkOps.landBatch(
+      spark, root, df, batchId, opts, SnapshotTable.streamingQueryId(spark))
   }
   override def toString: String = s"SnapshotSink[$root]"
 }

@@ -2200,24 +2200,33 @@ object SnapshotTable {
     * next version. The orphaned data dir of a lost race is reclaimed by
     * [[vacuum]] — rows only exist for readers once a manifest references
     * them, so duplicates are impossible by construction, not by cleanup. */
+  /** THE exactly-once epoch identity, shared by every dedup site: a
+    * commit matches when the batch number AND the writer identity match —
+    * STRICT equality on `appId` (Delta's txn-appId semantics), so two
+    * queries' identical epoch numbers never dedupe each other, an
+    * appId-carrying stream never adopts a foreachBatch/batch writer's
+    * None-appId commit, and vice versa. The one trade-off: a checkpointed
+    * stream upgraded from a pre-appId build re-lands AT MOST its single
+    * boundary epoch once (at-least-once on that epoch — the same behavior
+    * Delta gives a writer whose txn metadata is absent); silent adoption
+    * was rejected because it converts ANY colliding None-appId commit
+    * into permanent data loss for the adopting stream. */
+  private def epochCommitted(
+      spark: SparkSession,
+      root: String,
+      batchId: Long,
+      appId: Option[String]): Option[Int] =
+    history(spark, root)
+      .find(c => c.batchId.contains(batchId) && c.appId == appId)
+      .map(_.version)
+
   def appendBatchExactlyOnce(
       spark: SparkSession,
       root: String,
       df: DataFrame,
       batchId: Long,
       appId: Option[String] = None): Int = {
-    // (appId, batchId) identity with LEGACY ADOPTION: a commit recorded
-    // WITH an appId matches only the same appId (two queries' identical
-    // epoch numbers never dedupe each other), while a None-appId commit
-    // (foreachBatch adapters, pre-appId manifests) matches ANY caller —
-    // the old single-logical-stream contract, and the upgrade rule that
-    // keeps a pre-appId checkpointed stream's replayed epochs no-oping
-    // instead of re-landing. A None-appId CALLER never adopts an
-    // appId-carrying commit (that writer is provably someone else).
-    def committed(): Option[Int] =
-      history(spark, root)
-        .find(c => c.batchId.contains(batchId) && (c.appId == appId || c.appId.isEmpty))
-        .map(_.version)
+    def committed(): Option[Int] = epochCommitted(spark, root, batchId, appId)
     committed().getOrElse {
       val latest0 = latestVersion(spark, root)
       val manifest0 = latest0.map(readManifest(spark, root, _))
@@ -2285,10 +2294,21 @@ object SnapshotTable {
     }
   }
 
+  /** The stable streaming query id, when running on a stream-execution
+    * thread (foreachBatch and V1 sinks run there) — recorded as the
+    * commit's txn appId so concurrent queries never dedupe each other. */
+  private[sinks] def streamingQueryId(spark: SparkSession): Option[String] =
+    Option(spark.sparkContext.getLocalProperty(
+      org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY))
+
   /** `foreachBatch` adapter: `stream.writeStream.foreachBatch(SnapshotTable
     * .streamAppend(root)).start()`. */
   def streamAppend(root: String): (DataFrame, Long) => Unit =
-    (batch, id) => { appendBatchExactlyOnce(batch.sparkSession, root, batch, id); () }
+    (batch, id) => {
+      appendBatchExactlyOnce(
+        batch.sparkSession, root, batch, id, streamingQueryId(batch.sparkSession))
+      ()
+    }
 
   /** Replace the table contents atomically. */
   def overwrite(spark: SparkSession, root: String, df: DataFrame): Int =
@@ -3843,10 +3863,7 @@ object SnapshotTable {
       keyCols: Seq[String],
       batchId: Long,
       appId: Option[String] = None): Int = {
-    def committed(): Option[Int] = // legacy-adopting identity, see appendBatchExactlyOnce
-      history(spark, root)
-        .find(c => c.batchId.contains(batchId) && (c.appId == appId || c.appId.isEmpty))
-        .map(_.version)
+    def committed(): Option[Int] = epochCommitted(spark, root, batchId, appId)
     committed().getOrElse {
       var result = -1
       var attempts = 0
@@ -3869,7 +3886,11 @@ object SnapshotTable {
   /** `foreachBatch` adapter for streaming upsert: `stream.writeStream
     * .foreachBatch(SnapshotTable.streamUpsert(root, keys)).start()`. */
   def streamUpsert(root: String, keyCols: Seq[String]): (DataFrame, Long) => Unit =
-    (batch, id) => { upsertBatchExactlyOnce(batch.sparkSession, root, batch, keyCols, id); () }
+    (batch, id) => {
+      upsertBatchExactlyOnce(
+        batch.sparkSession, root, batch, keyCols, id, streamingQueryId(batch.sparkSession))
+      ()
+    }
 
   // ───────────── general MERGE (conditional / multi-action) ─────────────
 
@@ -3947,9 +3968,13 @@ object SnapshotTable {
     require(keyCols.nonEmpty, "mergeInto needs at least one key column")
     // exactly-once epochs (the appendBatchExactlyOnce contract): a replayed
     // batch finds its id already committed and no-ops — the incremental
-    // MV refresh ([[SnapshotMv]]) rides this to make crash-replays safe
+    // MV refresh ([[SnapshotMv]]) rides this to make crash-replays safe.
+    // STRICT identity like every dedup site ([[epochCommitted]]): an
+    // appId-carrying STREAM epoch that happens to share this number must
+    // not swallow the merge (an adopted skip here would silently lose the
+    // MV refresh while carrySync advances).
     batchId.foreach { b =>
-      history(spark, root).find(_.batchId.contains(b)).foreach(c => return c.version)
+      epochCommitted(spark, root, b, None).foreach(v => return v)
     }
     require(
       matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
@@ -4696,10 +4721,7 @@ object SnapshotTable {
       keyCols: Seq[String],
       batchId: Long,
       appId: Option[String] = None): Int = {
-    def committed(): Option[Int] = // legacy-adopting identity, see appendBatchExactlyOnce
-      history(spark, root)
-        .find(c => c.batchId.contains(batchId) && (c.appId == appId || c.appId.isEmpty))
-        .map(_.version)
+    def committed(): Option[Int] = epochCommitted(spark, root, batchId, appId)
     committed().getOrElse {
       var result = -1
       var attempts = 0
@@ -4719,7 +4741,11 @@ object SnapshotTable {
   /** `foreachBatch` adapter for streaming merge-on-read upsert:
     * `stream.writeStream.foreachBatch(SnapshotTable.streamUpsertMor(root, keys)).start()`. */
   def streamUpsertMor(root: String, keyCols: Seq[String]): (DataFrame, Long) => Unit =
-    (batch, id) => { upsertBatchExactlyOnceMor(batch.sparkSession, root, batch, keyCols, id); () }
+    (batch, id) => {
+      upsertBatchExactlyOnceMor(
+        batch.sparkSession, root, batch, keyCols, id, streamingQueryId(batch.sparkSession))
+      ()
+    }
 
   // ─────────────────── change-data-capture between versions ───────────────────
 

@@ -678,6 +678,24 @@ class SnapshotSourceSpec extends SparkSuite {
     assert(e.getMessage.contains("Complete"), e.getMessage)
   }
 
+  test("exactly-once identity is STRICT (appId, batchId): no writer ever adopts another's epoch") {
+    val root = freshRoot() + "/t"
+    // writer A (appId-less: foreachBatch/batch shape) lands epoch 0
+    SnapshotTable.appendBatchExactlyOnce(spark, root, batch(1L -> "a"), batchId = 0L)
+    // an appId-carrying stream's epoch 0 must LAND, not adopt A's commit
+    SnapshotTable.appendBatchExactlyOnce(spark, root, batch(2L -> "b"), 0L, Some("qX"))
+    // ...and replay exactly-once against ITS OWN commit
+    val vX = SnapshotTable.latestVersion(spark, root).get
+    assert(SnapshotTable.appendBatchExactlyOnce(spark, root, batch(2L -> "b"), 0L, Some("qX")) == vX)
+    // a DIFFERENT stream's epoch 0 lands too; the appId-less writer's
+    // replay still no-ops against its own None commit
+    SnapshotTable.appendBatchExactlyOnce(spark, root, batch(3L -> "c"), 0L, Some("qY"))
+    assert(SnapshotTable.appendBatchExactlyOnce(spark, root, batch(1L -> "a"), batchId = 0L) == 1)
+    assert(SnapshotTable.read(spark, root).count() == 3,
+      "three distinct writers' epoch 0, each exactly once")
+    assert(SnapshotTable.history(spark, root).flatMap(_.appId).sorted == Seq("qX", "qY"))
+  }
+
   test("TWO independent queries into one catalog table: colliding epoch numbers never dedupe across queries") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
