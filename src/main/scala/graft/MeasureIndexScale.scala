@@ -118,8 +118,14 @@ object MeasureIndexScale {
         // shared host, so the decade comparison is only honest when the
         // pair shares every warmup/cache state
         Seq(500000L, 5000000L).foreach(m => dedupStudy(spark, s"target/scale/pair-$m", m))
-      case "ann-k" => annKStudy(spark, root, n)
-      case other => sys.error(s"unknown mode '$other' (dedup | ann | dedup-pair | ann-k)")
+      case "ann-k" => annKStudy(spark, root, n, sampleFrac = None)
+      case "ann-sample" =>
+        // the sample-fit arm of the ann-k study: same corpus, same ground
+        // truth, production k≈√n quantizer — but Lloyd's runs on a
+        // deterministic 2% sample (KMeansIvf.fitSample). Measures the fit
+        // cost the full-fit row paid 1026 s for, plus recall parity.
+        annKStudy(spark, root, n, sampleFrac = Some(if (args.length > 2) args(2).toDouble else 0.02))
+      case other => sys.error(s"unknown mode '$other' (dedup | ann | dedup-pair | ann-k | ann-sample)")
     }
     spark.stop()
   }
@@ -155,9 +161,14 @@ object MeasureIndexScale {
     * sort — the harness's cost, not the index's). Same-JVM protocol: both
     * k points run back-to-back in one session (host shows >3x cross-JVM
     * variance). */
-  private def annKStudy(spark: SparkSession, root: String, n: Long): Unit = {
+  private def annKStudy(
+      spark: SparkSession,
+      root: String,
+      n: Long,
+      sampleFrac: Option[Double]): Unit = {
     val srcRoot = s"$root/source"
-    println(s"ann-k study: corpus $n vectors, 16-dim, search-vs-k at fixed corpus")
+    println(s"ann-k study: corpus $n vectors, 16-dim, search-vs-k at fixed corpus" +
+      sampleFrac.map(f => s", SAMPLE-FIT fraction $f").getOrElse(""))
     timed(s"source create n=$n") {
       SnapshotTable.create(spark, srcRoot, vecs(spark, n, 29))
     }
@@ -220,12 +231,17 @@ object MeasureIndexScale {
       per.sum / per.size
     }
     val sqrtK = math.round(math.sqrt(n.toDouble)).toInt
-    for ((k, nprobes) <- Seq(64 -> Seq(8), sqrtK -> Seq(32, 64, 128))) {
+    val arms = sampleFrac match {
+      case None => Seq(64 -> Seq(8), sqrtK -> Seq(32, 64, 128))
+      case Some(_) => Seq(sqrtK -> Seq(32, 64, 128)) // production quantizer only
+    }
+    val frac = sampleFrac.getOrElse(1.0)
+    for ((k, nprobes) <- arms) {
       val idxRoot = s"$root/index-k$k"
-      timed(s"AnnIndex.fitFromTable k=$k iters=3") {
+      timed(s"AnnIndex.fitFromTable k=$k iters=3 frac=$frac") {
         AnnIndex.fitFromTable(
           spark, idxRoot, srcRoot, "id", "emb", k = k, iters = 3,
-          nFiles = math.max(8, k / 50))
+          nFiles = math.max(8, k / 50), sampleFraction = frac)
       }
       nprobes.foreach { np =>
         (1 to 2).foreach { i =>

@@ -46,7 +46,10 @@ object AnnIndex {
   /** Fit the IVF model on `corpus` and persist model + coded corpus.
     * `nFiles` controls the bucket clustering granularity (≥ a few files
     * per probe-able bucket group at scale). Idempotent: re-fitting an
-    * existing index overwrites it. */
+    * existing index overwrites it. `sampleFraction < 1` runs Lloyd's on a
+    * deterministic content-addressed sample ([[KMeansIvf.fitSample]]) and
+    * still codes the FULL corpus in one scan — the production shape for
+    * corpus-scale refits (fit cost ∝ fraction, recall within noise). */
   def fit(
       spark: SparkSession,
       root: String,
@@ -55,8 +58,9 @@ object AnnIndex {
       vecCol: String,
       k: Int,
       iters: Int,
-      nFiles: Int = 8): Unit =
-    fitInternal(spark, root, corpus, idCol, vecCol, k, iters, nFiles, sourceV = -1)
+      nFiles: Int = 8,
+      sampleFraction: Double = 1.0): Unit =
+    fitInternal(spark, root, corpus, idCol, vecCol, k, iters, nFiles, sourceV = -1, sampleFraction)
 
   /** [[fit]] over a SNAPSHOT-TABLE corpus, recording which SOURCE version
     * the index has ingested — the handle [[refresh]] needs to maintain
@@ -69,14 +73,15 @@ object AnnIndex {
       vecCol: String,
       k: Int,
       iters: Int,
-      nFiles: Int = 8): Unit = {
+      nFiles: Int = 8,
+      sampleFraction: Double = 1.0): Unit = {
     val srcV = SnapshotTable
       .latestVersion(spark, sourceRoot)
       .getOrElse(sys.error(s"no snapshot table at $sourceRoot"))
     // pin the exact version: a commit racing the fit lands AFTER srcV and
     // is picked up by the next refresh instead of being half-ingested
     val corpus = SnapshotTable.relationVersion(spark, sourceRoot, srcV)
-    fitInternal(spark, root, corpus, idCol, vecCol, k, iters, nFiles, sourceV = srcV)
+    fitInternal(spark, root, corpus, idCol, vecCol, k, iters, nFiles, sourceV = srcV, sampleFraction)
   }
 
   private def fitInternal(
@@ -88,8 +93,9 @@ object AnnIndex {
       k: Int,
       iters: Int,
       nFiles: Int,
-      sourceV: Int): Unit = {
-    val cents = KMeansIvf.fit(corpus, idCol, vecCol, k, iters)
+      sourceV: Int,
+      sampleFraction: Double = 1.0): Unit = {
+    val cents = KMeansIvf.fitSample(corpus, idCol, vecCol, k, iters, sampleFraction)
     val coded = code(cents, corpus, idCol, vecCol, nFiles)
     def put(r: String, df: DataFrame): Int =
       if (SnapshotTable.latestVersion(spark, r).isEmpty) SnapshotTable.create(spark, r, df)

@@ -55,7 +55,12 @@ import org.apache.spark.sql.types.StructType
   * everything it already proves: stats + blooms, range clustering,
   * CHECK constraints, schema evolution, and exactly-once replay. Complete
   * mode is refused, as on the path sink — a snapshot table's full-rewrite
-  * analogue is `overwrite`, not a streaming epoch; update mode rides the
+  * analogue is `overwrite`, not a streaming epoch. Schema evolution: an
+  * epoch that adds columns EVOLVES the table exactly like batch append
+  * (appendBatchExactlyOnce's mergeSchemas; pre-evolution rows read the
+  * new column as null) — the same contract on this catalog sink and the
+  * V1 path sink, pinned by SnapshotSourceSpec's schema-evolution case.
+  * Update mode rides the
   * [[org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend]]
   * contract (append semantics; pair with `upsertKeys` for true upserts,
   * exactly like the V1 sink's documented behavior). */
@@ -67,7 +72,18 @@ private[sinks] final class GraftStreamingWrite(
     opts: SnapshotSinkOptions)
     extends StreamingWrite {
 
-  private def stagingRoot = new Path(new Path(root, "_streamStaging"), queryId)
+  // staging lives under the PHYSICAL table root (dataRoot strips a
+  // `#branch` ref) — a branch-handle stream must stage where vacuum's
+  // `_streamStaging` sweep looks, or its crash debris is never reclaimed
+  private def stagingRoot =
+    new Path(new Path(SnapshotTable.dataRoot(root), "_streamStaging"), queryId)
+
+  // one token per query RUN: a query restarted after a crash between
+  // stage and publish re-stages epoch=N into the surviving dir, and a
+  // fresh SparkContext restarts task ids from 0 — without the token the
+  // replay's `part-<pid>-<tid>` collides with the crashed run's file and
+  // the CREATE-mode parquet open fails the epoch until vacuum clears it
+  private val runToken = java.util.UUID.randomUUID().toString.take(8)
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     // prepareWrite installs the parquet write support + schema/compression
@@ -80,7 +96,8 @@ private[sinks] final class GraftStreamingWrite(
       owf,
       new SerializableHadoopConf(job.getConfiguration),
       schema,
-      stagingRoot.toString)
+      stagingRoot.toString,
+      runToken)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -120,13 +137,17 @@ private[sinks] final class GraftStreamingWrite(
 }
 
 /** Executor side: one staged parquet file per (partition, attempt), named
-  * by task identity so speculative attempts never collide; the commit
-  * message reports the finished file. Zero-row writers stage nothing. */
+  * by task identity PLUS the per-run token so neither speculative attempts
+  * nor a post-crash replay run collide; the commit message reports the
+  * finished file (commit() re-frames only reported files, so crashed-run
+  * debris in the same epoch dir is never read, and the post-publish
+  * dropEpochDir removes it with the dir). Zero-row writers stage nothing. */
 private[sinks] final class GraftStreamingWriterFactory(
     owf: OutputWriterFactory,
     conf: SerializableHadoopConf,
     schema: StructType,
-    stagingRoot: String)
+    stagingRoot: String,
+    runToken: String)
     extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
@@ -141,7 +162,7 @@ private[sinks] final class GraftStreamingWriterFactory(
           new TaskAttemptID(new TaskID(new JobID(s"graft-epoch-$epochId", 0), TaskType.MAP, partitionId), 0))
         path = new Path(
           new Path(stagingRoot, s"epoch=$epochId"),
-          s"part-$partitionId-$taskId${owf.getFileExtension(ctx)}").toString
+          s"part-$partitionId-$taskId-$runToken${owf.getFileExtension(ctx)}").toString
         writer = owf.newInstance(path, schema, ctx)
       }
 

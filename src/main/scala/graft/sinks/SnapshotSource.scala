@@ -607,9 +607,12 @@ private final class SnapshotSink(
       .internalDataFrame(spark, data.queryExecution.toRdd, data.schema)
     // the stream execution thread carries the STABLE query id as a local
     // property — recorded as the commit's txn appId so two path-sink
-    // queries into one table never dedupe each other's epoch numbers
-    // (same identity the DSv2 catalog sink records; legacy None-appId
-    // commits still adopt, see appendBatchExactlyOnce)
+    // queries into one table never dedupe each other's epoch numbers.
+    // Identity is STRICT (appId, batchId) — same as the DSv2 catalog
+    // sink; there is NO adoption of legacy None-appId commits, so a
+    // checkpointed stream upgraded from a pre-appId build re-lands at
+    // most its single boundary epoch once (see [[SnapshotTable
+    // .epochCommitted]] for why adoption was rejected)
     SnapshotSinkOps.landBatch(
       spark, root, df, batchId, opts, SnapshotTable.streamingQueryId(spark))
   }

@@ -787,8 +787,12 @@ object SnapshotTable {
           newMasks(c, p).exists(mk =>
             mk.kind == "pred" || (mk.kind == "keys" && mk.keyDir.isDefined)) ||
             // SET equality: a no-op deleteWhereMor re-publishes the same
-            // entries reordered (survivors ++ uncovered)
-            (newMasks(c, p).isEmpty && c.dirs.toSet == p.dirs.toSet && c.batchId.isEmpty)
+            // entries reordered (survivors ++ uncovered). batchId-carrying
+            // maskless commits qualify too — a PRIOR rebase's replay of a
+            // streaming-delete epoch that matched nothing publishes exactly
+            // this shape as its exactly-once marker; dirs set-equality
+            // already proves it has no data effect
+            (newMasks(c, p).isEmpty && c.dirs.toSet == p.dirs.toSet)
         case "mor-merge" => newMasks(c, p).exists(mk => mk.kind == "keys" && mk.keyDir.isDefined)
         // COW DML replays from its write-time CDC capture ([[Cdc]]) — the
         // sidecar records the exact row delta, so the rewrite's fork-time
@@ -887,10 +891,11 @@ object SnapshotTable {
                 val plan = prunePlan(spark, sRoot, tipV, keyEnvelope(keyDf, mk.keyCols))
                 val maskEntries = plan.keep ++ plan.uncoveredDirs
                 // zero candidates on the new base AND no epoch marker to
-                // carry → the replay is a pure no-op; publishing a
-                // maskless mor-delete here would make the NEXT rebase of
-                // this branch refuse (the classifier's no-op arm guards
-                // pre-existing such commits, this keeps new chains clean)
+                // carry → the replay is a pure no-op and publishes nothing.
+                // With a marker to carry the maskless publish below keeps
+                // the exactly-once identity alive; the classifier's no-op
+                // arm (dirs set-equality) accepts that shape on the NEXT
+                // rebase and the (None, None) replay arm re-carries it
                 if (maskEntries.isEmpty && c.batchId.isEmpty) ()
                 else {
                   val exact = exactMorAccounting(spark)
@@ -928,7 +933,28 @@ object SnapshotTable {
                   ()
                 }
               case (None, None) =>
-                () // the classifier's no-op arm: nothing to re-execute
+                // the classifier's no-op arm: nothing to re-execute — but
+                // an exactly-once epoch marker must SURVIVE onto the
+                // rebased chain (dropping it would let the epoch re-land),
+                // so a batchId-carrying no-op re-publishes as a marker
+                if (c.batchId.isDefined) {
+                  publish(
+                    spark,
+                    sRoot,
+                    Commit(
+                      tipV + 1,
+                      "mor-delete",
+                      tip.dirs,
+                      0L,
+                      c.batchId,
+                      Some(merged.json),
+                      tip.files,
+                      constraints = tip.constraints,
+                      dropped = reviveDropped(tip.dropped, merged),
+                      masks = tip.masks,
+                      appId = c.appId))
+                  ()
+                }
             }
           case "mor-merge" =>
             import org.apache.spark.sql.functions.col
@@ -5220,8 +5246,13 @@ object SnapshotTable {
                 if (!dryRun) f.delete(e.getPath, true)
                 s"_streamStaging/${q.getPath.getName}/${e.getPath.getName}"
               }
-            if (!dryRun && f.listStatus(q.getPath).isEmpty &&
-              f.getFileStatus(q.getPath).getModificationTime <= cut) { f.delete(q.getPath, false); () }
+            // age the namespace by its PRE-SWEEP mtime (the listing's):
+            // deleting child epochs just bumped it, and re-statting would
+            // keep an emptied namespace alive one extra vacuum forever
+            if (!dryRun && q.getModificationTime <= cut && f.listStatus(q.getPath).isEmpty) {
+              f.delete(q.getPath, false)
+              ()
+            }
             epochs
           } catch { case scala.util.control.NonFatal(_) => Seq.empty[String] }
         }

@@ -42,6 +42,36 @@ class AnnIndexSpec extends SparkSuite {
     assert(corpusV == SnapshotTable.latestVersion(spark, root + "/corpus").get)
   }
 
+  test("sample-fit index (cap_ann_refresh companion): ≡ in-memory fitSample search, refresh still works off it") {
+    val root = freshRoot()
+    val srcRoot = freshRoot() + "/src"
+    SnapshotTable.create(spark, srcRoot, embs.select("vec_id", "embedding"))
+    AnnIndex.fitFromTable(
+      spark, root, srcRoot, "vec_id", "embedding", k = 8, iters = 3, nFiles = 8,
+      sampleFraction = 0.5)
+    val queries = embs.filter(col("vec_id") < 20)
+    val persisted = AnnIndex
+      .search(spark, root, queries, "vec_id", "embedding", topK = 3, nprobe = 2)
+      .orderBy("q_id", "rn").collect().toSeq
+    // the persisted model is exactly the deterministic sample fit; the
+    // coding pass still covered the FULL corpus (sampling is fit-only)
+    val cents = KMeansIvf.fitSample(embs, "vec_id", "embedding", k = 8, iters = 3, fraction = 0.5)
+    val inMemory = KMeansIvf
+      .annTopK(queries, embs, cents, "vec_id", "embedding", topK = 3, nprobe = 2)
+      .orderBy("q_id", "rn").collect().toSeq
+    assert(persisted == inMemory, s"sample-fit persisted (${persisted.size}) diverged (${inMemory.size})")
+    assert(
+      SnapshotTable.read(spark, root + "/corpus").count() == embs.count(),
+      "sampleFraction must only thin the FIT, never the coded corpus")
+    // incremental refresh keeps working against the sample-fit centroids
+    SnapshotTable.append(
+      spark, srcRoot,
+      embs.select("vec_id", "embedding")
+        .limit(5).select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    AnnIndex.refresh(spark, root, srcRoot, "vec_id", "embedding")
+    assert(SnapshotTable.read(spark, root + "/corpus").count() == embs.count() + 5)
+  }
+
   test("incremental refresh follows the source change feed with delta-sized work") {
     val root = freshRoot()
     val srcRoot = freshRoot()

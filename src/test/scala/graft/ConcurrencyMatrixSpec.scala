@@ -201,4 +201,101 @@ class ConcurrencyMatrixSpec extends SparkSuite {
     assert(spark.sql("SELECT count(*) AS n FROM gccm.ns.t").head.getLong(0) == 11,
       "7 replaced + 1 pre-rebase + 1 racer + 2 branch rows")
   }
+
+  // ── streaming epochs join the matrix: an epoch commit racing batch
+  // DML must land exactly once OVER the racer (append rule) or lose
+  // loudly — never adopt the racer's commit, never double-land ──
+
+  /** Drains `rows` through a real catalog-sink streaming query into
+    * `table` (epoch 0 on a fresh checkpoint) and returns its epoch
+    * commit count on `root` afterwards. */
+  private def drainEpoch(table: String, root: String, rows: Seq[(Long, String)]): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("k", "s")
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft-ccm-ck").toString)
+      .trigger(Trigger.ProcessingTime(0))
+      .toTable(table)
+    try { ms.addData(rows: _*); q.processAllAvailable() } finally q.stop()
+  }
+
+  private def epochCommits(root: String): Seq[SnapshotTable.Commit] =
+    SnapshotTable.history(spark, root).filter(c => c.action == "append" && c.batchId.contains(0L))
+
+  test("streaming epoch losing its slot to batch UPDATE / REPLACE TABLE / fast-forward: retries and lands exactly once OVER each racer") {
+    val wh = freshRoot()
+    spark.conf.set("spark.sql.catalog.gsem", classOf[graft.sinks.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsem.warehouse", wh)
+    org.apache.spark.sql.GraftSqlBridge.addStrategy(spark, graft.sinks.GraftDmlStrategy)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gsem.ns")
+
+    // 1. epoch vs batch UPDATE: the update takes the slot mid-publish;
+    // the epoch's retry loop lands on the REWRITTEN base, exactly once
+    val r1 = wh + "/ns/t1"
+    spark.sql("CREATE TABLE gsem.ns.t1 (k BIGINT, s STRING)")
+    SnapshotTable.append(spark, r1, fixture(0, 10))
+    withRace(() => { spark.sql("UPDATE gsem.ns.t1 SET s = 'racer' WHERE k < 5"); () }) {
+      drainEpoch("gsem.ns.t1", r1, Seq(100L -> "e0", 101L -> "e1"))
+    }
+    assert(epochCommits(r1).size == 1, SnapshotTable.history(spark, r1).map(_.action).toString)
+    assert(spark.sql("SELECT count(*) AS n FROM gsem.ns.t1 WHERE s = 'racer'").head.getLong(0) == 5,
+      "the racing UPDATE's rewrite survives under the epoch")
+    assert(spark.sql("SELECT count(*) AS n FROM gsem.ns.t1 WHERE k >= 100").head.getLong(0) == 2,
+      "the epoch's rows land exactly once over the racer")
+    val acts1 = SnapshotTable.history(spark, r1).map(_.action)
+    assert(acts1.indexOf("update") < acts1.lastIndexOf("append"),
+      s"the epoch must have REPLAYED after the racer's slot: $acts1")
+
+    // 2. epoch vs REPLACE TABLE: the full-rewrite racer wins the slot;
+    // the epoch retries onto the replaced base — never adopts, never drops
+    val r2 = wh + "/ns/t2"
+    spark.sql("CREATE TABLE gsem.ns.t2 (k BIGINT, s STRING)")
+    SnapshotTable.append(spark, r2, fixture(0, 10))
+    withRace(() => {
+      spark.sql("REPLACE TABLE gsem.ns.t2 AS SELECT id AS k, concat('r', id) AS s FROM range(3)")
+      ()
+    }) {
+      drainEpoch("gsem.ns.t2", r2, Seq(200L -> "e0"))
+    }
+    assert(epochCommits(r2).size == 1)
+    assert(spark.sql("SELECT count(*) AS n FROM gsem.ns.t2").head.getLong(0) == 4,
+      "3 replaced rows + the epoch's row, exactly once")
+    assert(spark.sql("SELECT count(*) AS n FROM gsem.ns.t2 WHERE k = 200").head.getLong(0) == 1)
+
+    // 3. epoch vs fast-forward (the rebase publish): branch commits land
+    // mid-epoch; the epoch retries on top of the fast-forwarded tip
+    val r3 = wh + "/ns/t3"
+    spark.sql("CREATE TABLE gsem.ns.t3 (k BIGINT, s STRING)")
+    SnapshotTable.append(spark, r3, fixture(0, 5))
+    val dev = SnapshotTable.createBranch(spark, r3, "dev")
+    SnapshotTable.append(spark, dev, fixture(50, 2))
+    withRace(() => { SnapshotTable.fastForward(spark, r3, "dev"); () }) {
+      drainEpoch("gsem.ns.t3", r3, Seq(300L -> "e0"))
+    }
+    assert(epochCommits(r3).size == 1)
+    assert(spark.sql("SELECT count(*) AS n FROM gsem.ns.t3").head.getLong(0) == 8,
+      "5 seed + 2 fast-forwarded branch rows + 1 epoch row")
+
+    // 4. the mirror: batch DML losing its slot to an interleaved EPOCH
+    // surfaces loudly (DML rule) — and the re-run sees the epoch's rows
+    val r4 = wh + "/ns/t4"
+    spark.sql("CREATE TABLE gsem.ns.t4 (k BIGINT, s STRING)")
+    SnapshotTable.append(spark, r4, fixture(0, 10))
+    val e4 = intercept[Throwable] {
+      withRace(() => drainEpoch("gsem.ns.t4", r4, Seq(400L -> "e0"))) {
+        spark.sql("UPDATE gsem.ns.t4 SET s = 'victim' WHERE k >= 0")
+      }
+    }
+    assert(firstConcurrent(e4), s"expected ConcurrentCommitException through spark.sql: $e4")
+    assert(epochCommits(r4).size == 1, "the epoch (racer) landed exactly once")
+    assert(spark.sql("SELECT count(*) AS n FROM gsem.ns.t4 WHERE s = 'victim'").head.getLong(0) == 0,
+      "the lost UPDATE left nothing")
+    spark.sql("UPDATE gsem.ns.t4 SET s = 'victim' WHERE k >= 0")
+    assert(spark.sql("SELECT count(*) AS n FROM gsem.ns.t4 WHERE s = 'victim'").head.getLong(0) == 11,
+      "the re-run applies over the epoch's rows too")
+  }
 }

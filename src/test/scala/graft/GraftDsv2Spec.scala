@@ -193,4 +193,46 @@ class GraftDsv2Spec extends SparkSuite {
       planStr.toLowerCase.contains("dynamicpruning"),
       s"expected a dynamic-pruning subquery on the fact scan in:\n$planStr")
   }
+
+  test("runtime filtering re-prunes a WIDENED-then-OPTIMIZEd key: the widen → compact → dynamic-pruning loop closes") {
+    import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    import org.apache.spark.sql.types.LongType
+    import graft.sinks.SnapshotTable.WidenCol
+    val root = freshRoot()
+    // hash-scattered INT keys: every file's [min,max] spans the domain, so
+    // any file skipping — static OR runtime — rests entirely on the blooms
+    SnapshotTable.create(
+      spark, root,
+      spark.range(4000).selectExpr("CAST(id AS INT) AS k", "concat('v', id) AS s")
+        .repartition(16, org.apache.spark.sql.functions.col("k") * 2654435761L))
+    def runtimePlanCount(): Int = {
+      val provider = new GraftTableProvider
+      val o = opts("path" -> root)
+      val table = provider.getTable(provider.inferSchema(o), Array.empty, o.asCaseSensitiveMap())
+      val scan = table.asInstanceOf[SupportsRead].newScanBuilder(o).build()
+      scan.asInstanceOf[SupportsRuntimeFiltering]
+        .filter(Array[sources.Filter](sources.In("k", Array(42L))))
+      scan.toBatch.planInputPartitions().length
+    }
+    // widening strips the type-hashed blooms: the runtime IN degrades to
+    // the near-full candidate set — correct, just unpruned
+    SnapshotTable.alterSchema(spark, root, Seq(WidenCol("k", LongType)))
+    assert(runtimePlanCount() >= 12,
+      "a widened key must leave the runtime filter unpruned (stripped blooms), never wrong")
+    assert(spark.read.format("graft").load(root).filter("k = 42").count() == 1)
+    // OPTIMIZE rebuilds blooms AT THE WIDENED TYPE; the DSv2 runtime-filter
+    // path must prune through them exactly like the static path
+    SnapshotTable.compactSmall(spark, root, smallBytes = 8192, targetBytes = 8192)
+    assert(runtimePlanCount() <= 2,
+      "post-OPTIMIZE runtime keys must re-prune through the LONG-typed blooms")
+    // e2e: the broadcast star join's dynamic-pruning subquery still
+    // injects on the widened key and returns exactly the joined row
+    val dim = spark.range(1).selectExpr("id + 42 AS k", "concat('d', id) AS d")
+    dim.createOrReplaceTempView("rtw_dim")
+    spark.read.format("graft").load(root).createOrReplaceTempView("rtw_fact")
+    val joined = spark.sql(
+      "SELECT /*+ BROADCAST(d) */ f.k, d.d FROM rtw_fact f JOIN rtw_dim d ON f.k = d.k WHERE d.d = 'd0'")
+    assert(joined.collect().map(_.getLong(0)).toSeq == Seq(42L))
+    assert(joined.queryExecution.executedPlan.toString.toLowerCase.contains("dynamicpruning"))
+  }
 }

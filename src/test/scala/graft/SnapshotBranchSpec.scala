@@ -416,6 +416,37 @@ class SnapshotBranchSpec extends SparkSuite {
     SnapshotTable.dropBranch(spark, root, "kdel")
   }
 
+  test("a streaming-delete epoch MARKER (maskless batchId mor-delete) stays rebaseable and the identity survives every rebase") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, fixture(0, 20)) // v1
+    val dev = SnapshotTable.createBranch(spark, root, "mk")
+    // the shape a PRIOR rebase leaves when a keys-kind streaming-delete
+    // epoch matched zero candidates on its new base: a maskless mor-delete
+    // carrying the (appId, batchId) exactly-once identity. Constructed
+    // directly because it only arises via replay — this IS the replayed
+    // commit, verbatim.
+    val tipV = SnapshotTable.latestVersion(spark, dev).get
+    val tip = SnapshotTable.readManifest(spark, dev, tipV)
+    SnapshotTable.publish(spark, dev, tip.copy(
+      version = tipV + 1, action = "mor-delete", addedRows = 0L,
+      batchId = Some(7L), appId = Some("qZ"), cdc = None))
+    SnapshotTable.append(spark, dev, fixture(300, 5)) // branch work past the marker
+    SnapshotTable.append(spark, root, fixture(100, 5)) // main diverges
+    SnapshotTable.rebase(spark, root, "mk") // used to refuse: no-op arm demanded batchId.isEmpty
+    assert(rows(SnapshotTable.read(spark, dev)) ==
+      rows(fixture(0, 20).unionByName(fixture(100, 5)).unionByName(fixture(300, 5))))
+    def marker() = SnapshotTable.history(spark, dev)
+      .find(c => c.action == "mor-delete" && c.batchId.contains(7L))
+    assert(marker().exists(_.appId.contains("qZ")),
+      "the exactly-once epoch identity must SURVIVE the rebase, or the epoch could re-land")
+    // rebase AGAIN over fresh divergence: the re-published marker must
+    // itself classify replayable and re-carry the identity
+    SnapshotTable.append(spark, root, fixture(200, 3))
+    SnapshotTable.rebase(spark, root, "mk")
+    assert(marker().exists(_.appId.contains("qZ")), "marker must survive repeated rebases")
+    assert(rows(SnapshotTable.read(spark, dev)).size == 33)
+  }
+
   test("a branch whose MOR delete replayed into a no-op stays REBASEABLE (the git 'rebase again' contract)") {
     val root = freshRoot()
     SnapshotTable.create(spark, root, fixture(0, 50)) // v1

@@ -847,4 +847,234 @@ class SnapshotSourceSpec extends SparkSuite {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ all(x.getCause))
     assert(all(err).exists(_.contains("Complete")), err.toString)
   }
+
+  // ── crash-window coverage for the catalog streaming sink: the strict
+  // exactly-once claim proven ACROSS a crash, not just a clean replay ──
+
+  /** Injects a crash at one of the two windows the two-phase sink has:
+    * `after = false` dies between executor staging and the manifest
+    * publish (the epoch never lands); `after = true` dies between the
+    * publish and the staging cleanup (the epoch IS committed). Scoped to
+    * manifest files whose path contains `substr`, armed once. */
+  private final class CrashOnce(substr: String, after: Boolean) extends graft.sinks.CommitStore {
+    private val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+    override def putIfAbsent(
+        fs: org.apache.hadoop.fs.FileSystem,
+        path: org.apache.hadoop.fs.Path,
+        bytes: Array[Byte]): Unit = {
+      val hit = path.toString.contains(substr) && path.getName.matches("v\\d{8}\\.json")
+      if (hit && !after && armed.getAndSet(false))
+        throw new java.io.IOException("injected crash: died before manifest publish")
+      graft.sinks.HadoopCommitStore.putIfAbsent(fs, path, bytes)
+      if (hit && after && armed.getAndSet(false))
+        throw new java.io.IOException("injected crash: died after publish, before staging cleanup")
+    }
+  }
+
+  private def allMsgs(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ allMsgs(x.getCause))
+
+  /** The stable query id Spark records in the checkpoint — the staging
+    * namespace and txn appId the sink uses. */
+  private def checkpointQueryId(ckpt: String): String = {
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(ckpt, "metadata")), "UTF-8")
+    """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(meta).get.group(1)
+  }
+
+  test("CRASH between staging and publish: restart from the checkpoint lands the epoch exactly once, over killed-run debris") {
+    val wh = Files.createTempDirectory("graft-crashA").toString
+    spark.conf.set("spark.sql.catalog.gcra", classOf[graft.sinks.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcra.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcra.ns")
+    val srcRoot = wh + "/ns/src"
+    val dstRoot = wh + "/ns/dst"
+    SnapshotTable.create(spark, srcRoot, batch(1L -> "a", 2L -> "b"))
+    spark.sql("CREATE TABLE gcra.ns.dst (k BIGINT, s STRING)")
+    val ckpt = Files.createTempDirectory("graft-crashA-ck").toString
+    def drain(): Unit = {
+      val q = spark.readStream.table("gcra.ns.src")
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).toTable("gcra.ns.dst")
+      q.awaitTermination()
+    }
+    SnapshotTable.setCommitStore(new CrashOnce("/ns/dst/_manifests", after = false))
+    try {
+      val e = intercept[Throwable](drain())
+      assert(allMsgs(e).exists(_.contains("injected crash")), e.toString)
+    } finally SnapshotTable.resetCommitStore()
+    // the epoch never landed: readers see nothing, the log holds no append
+    assert(spark.table("gcra.ns.dst").count() == 0, "a crashed epoch must be invisible")
+    assert(SnapshotTable.history(spark, dstRoot).map(_.action) == Seq("create"))
+    // a SIGKILL'd driver leaves its staged epoch behind (the in-process
+    // failure above runs abort's best-effort cleanup; a real kill does
+    // not) — plant its exact leavings, OLD tokenless file naming included,
+    // in the dir the restarted query will re-stage into
+    val qid = checkpointQueryId(ckpt)
+    val debris = new org.apache.hadoop.fs.Path(
+      s"$dstRoot/_streamStaging/$qid/epoch=0/part-0-0.snappy.parquet")
+    val fs = debris.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(debris, true)
+    out.write("killed-run debris, never a committed row".getBytes("UTF-8")); out.close()
+    // restart from the SAME checkpoint: the replayed epoch re-stages
+    // beside the debris (per-run token: no name collision), publishes
+    // exactly once, and never reads the unreported debris file
+    drain()
+    assert(
+      spark.table("gcra.ns.dst").orderBy("k").as[(Long, String)].collect().toSeq ==
+        Seq(1L -> "a", 2L -> "b"),
+      "the replayed epoch lands its rows exactly once; debris rows never land")
+    // exactly ONE epoch-0 commit (AvailableNow may land a trailing
+    // no-data epoch too — empty by construction, checked via row count)
+    val appends = SnapshotTable.history(spark, dstRoot).filter(_.action == "append")
+    assert(appends.count(_.batchId.contains(0L)) == 1, s"one epoch-0 commit: ${appends.map(_.batchId)}")
+    assert(appends.map(_.addedRows).sum == 2L, s"epoch rows land once: ${appends.map(_.addedRows)}")
+    // the replay's own post-publish cleanup swept the epoch dir, debris included
+    val staging = new org.apache.hadoop.fs.Path(dstRoot, "_streamStaging")
+    assert(!fs.exists(staging) || fs.listStatus(staging).isEmpty,
+      "staging (incl. killed-run debris) must not outlive the replayed epoch")
+  }
+
+  test("CRASH between publish and staging cleanup: the restarted epoch is a no-op — never lands twice") {
+    val wh = Files.createTempDirectory("graft-crashB").toString
+    spark.conf.set("spark.sql.catalog.gcrb", classOf[graft.sinks.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcrb.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcrb.ns")
+    val srcRoot = wh + "/ns/src"
+    val dstRoot = wh + "/ns/dst"
+    SnapshotTable.create(spark, srcRoot, batch(1L -> "a", 2L -> "b", 3L -> "c"))
+    spark.sql("CREATE TABLE gcrb.ns.dst (k BIGINT, s STRING)")
+    val ckpt = Files.createTempDirectory("graft-crashB-ck").toString
+    def drain(): Unit = {
+      val q = spark.readStream.table("gcrb.ns.src")
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).toTable("gcrb.ns.dst")
+      q.awaitTermination()
+    }
+    SnapshotTable.setCommitStore(new CrashOnce("/ns/dst/_manifests", after = true))
+    try {
+      val e = intercept[Throwable](drain())
+      assert(allMsgs(e).exists(_.contains("injected crash")), e.toString)
+    } finally SnapshotTable.resetCommitStore()
+    // the manifest IS the transaction: the epoch landed before the crash
+    assert(spark.table("gcrb.ns.dst").count() == 3, "publish preceded the crash — the epoch is committed")
+    // restart from the same checkpoint: the replayed epoch finds its
+    // (appId, batchId) in the log and must land NOTHING
+    drain()
+    assert(spark.table("gcrb.ns.dst").count() == 3, "a committed epoch must never land twice")
+    val appends = SnapshotTable.history(spark, dstRoot).filter(_.action == "append")
+    assert(appends.count(_.batchId.contains(0L)) == 1,
+      s"exactly one epoch-0 commit across the crash: ${appends.map(_.batchId)}")
+    assert(appends.map(_.addedRows).sum == 3L,
+      s"the committed epoch's rows exist once: ${appends.map(_.addedRows)}")
+    assert(appends.flatMap(_.appId).distinct == Seq(checkpointQueryId(ckpt)),
+      "the replay deduped against ITS OWN identity, not a lucky collision")
+    val staging = new org.apache.hadoop.fs.Path(dstRoot, "_streamStaging")
+    val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(staging) || fs.listStatus(staging).isEmpty,
+      "the replayed no-op epoch still sweeps its staging")
+  }
+
+  test("ABANDONED query staging is reclaimed by the age-gated vacuum: dry-run lists it by name, young debris survives") {
+    val root = freshRoot() + "/t"
+    SnapshotTable.create(spark, root, batch(1L -> "a"))
+    SnapshotTable.append(spark, root, batch(2L -> "b"))
+    // a query that crashed and was never restarted: its staged epoch is
+    // debris no manifest references and no replay will ever sweep
+    val dead = new org.apache.hadoop.fs.Path(
+      s"$root/_streamStaging/dead-query/epoch=3/part-0-7.snappy.parquet")
+    val fs = dead.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(dead, true); out.write("orphan".getBytes("UTF-8")); out.close()
+    // age gate: debris younger than minAgeMs is presumed in-flight — kept
+    assert(!SnapshotTable.vacuum(spark, root, keepLast = 10, minAgeMs = 3600000L, dryRun = true)
+      .exists(_.contains("_streamStaging")), "young staging must be presumed in-flight")
+    Thread.sleep(30)
+    // dry-run NAMES the reclaimable epoch dir without touching it
+    val listed = SnapshotTable.vacuum(spark, root, keepLast = 10, minAgeMs = 10L, dryRun = true)
+    assert(listed.contains("_streamStaging/dead-query/epoch=3"), listed.mkString(", "))
+    assert(fs.exists(dead), "dry run must not delete")
+    // the armed sweep reclaims the epoch AND the emptied query namespace
+    val swept = SnapshotTable.vacuum(spark, root, keepLast = 10, minAgeMs = 10L)
+    assert(swept.contains("_streamStaging/dead-query/epoch=3"), swept.mkString(", "))
+    val stagingRoot = new org.apache.hadoop.fs.Path(root, "_streamStaging")
+    assert(!fs.exists(stagingRoot) || fs.listStatus(stagingRoot).isEmpty,
+      "emptied staging namespaces go with the sweep")
+  }
+
+  test("SCHEMA EVOLUTION across the streaming sinks: an epoch adding a column EVOLVES the table like batch append, on BOTH sinks") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // path sink: a restarted query whose epochs carry an extra column
+    // takes appendBatchExactlyOnce's mergeSchemas route — the table
+    // widens, pre-evolution rows read the new column as null
+    val root = freshRoot() + "/t"
+    SnapshotTable.create(spark, root, batch(1L -> "a"))
+    val ms = MemoryStream[(Long, String, Long)]
+    val q = ms.toDF().toDF("k", "s", "extra")
+      .writeStream
+      .format("snapshot-table")
+      .option("path", root)
+      .option("checkpointLocation", Files.createTempDirectory("graft-sevo-ck").toString)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try { ms.addData((2L, "b", 7L)); q.processAllAvailable() } finally q.stop()
+    assert(
+      SnapshotTable.read(spark, root).orderBy("k")
+        .selectExpr("k", "s", "extra").as[(Long, String, Option[Long])].collect().toSeq ==
+        Seq((1L, "a", None), (2L, "b", Some(7L))),
+      "the widened epoch must evolve the schema exactly like batch append")
+
+    // catalog sink: an epoch with an extra column takes the SAME
+    // appendBatchExactlyOnce → mergeSchemas route — the table evolves
+    // (one write contract across surfaces), pre-evolution rows read null
+    val wh = Files.createTempDirectory("graft-sevo-cat").toString
+    spark.conf.set("spark.sql.catalog.gsev", classOf[graft.sinks.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsev.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gsev.ns")
+    spark.sql("CREATE TABLE gsev.ns.t (k BIGINT, s STRING)")
+    SnapshotTable.append(spark, wh + "/ns/t", batch(0L -> "seed"))
+    val ckpt = Files.createTempDirectory("graft-sevo-cat-ck").toString
+    val m2 = MemoryStream[(Long, String, Long)]
+    val q2 = m2.toDF().toDF("k", "s", "extra")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .toTable("gsev.ns.t")
+    try { m2.addData((1L, "a", 9L)); q2.awaitTermination() } finally q2.stop()
+    assert(
+      spark.table("gsev.ns.t").orderBy("k")
+        .selectExpr("k", "s", "extra").as[(Long, String, Option[Long])].collect().toSeq ==
+        Seq((0L, "seed", None), (1L, "a", Some(9L))),
+      "a catalog-sink epoch evolves the table exactly like the path sink and batch append")
+  }
+
+  test("BRANCH-handle streaming write stages under the PHYSICAL table root — where the vacuum sweep looks") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = freshRoot() + "/t"
+    SnapshotTable.create(spark, root, batch(1L -> "a"))
+    SnapshotTable.createBranch(spark, root, "dev")
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("k", "s")
+      .writeStream
+      .format("graft")
+      .option("path", root)
+      .option("branch", "dev")
+      .option("checkpointLocation", Files.createTempDirectory("graft-brsink-ck").toString)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try { ms.addData((2L, "b")); q.processAllAvailable() } finally q.stop()
+    // the epoch landed on the branch, main is untouched
+    assert(SnapshotTable.read(spark, SnapshotTable.branchRef(root, "dev"))
+      .orderBy("k").as[(Long, String)].collect().toSeq == Seq(1L -> "a", 2L -> "b"))
+    assert(SnapshotTable.read(spark, root).count() == 1)
+    // staging was namespaced under the PHYSICAL root (swept clean here),
+    // never under a literal '<root>#branch=dev' path vacuum cannot see
+    assert(!new java.io.File(SnapshotTable.branchRef(root, "dev")).exists(),
+      "no literal branch-handle directory may exist on disk")
+    val staging = new org.apache.hadoop.fs.Path(root, "_streamStaging")
+    val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(staging) || fs.listStatus(staging).isEmpty)
+  }
 }
