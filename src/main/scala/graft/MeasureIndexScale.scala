@@ -236,6 +236,18 @@ object MeasureIndexScale {
       case Some(_) => Seq(sqrtK -> Seq(32, 64, 128)) // production quantizer only
     }
     val frac = sampleFrac.getOrElse(1.0)
+    // decomposition: the QUANTIZER FIT is what sampling accelerates; the
+    // index build also pays a one-scan O(corpus·k) bucket-coding pass that
+    // no fit strategy removes — time the fit alone so the SCALING row can
+    // report both components honestly (the fit below re-runs inside
+    // fitFromTable; its cost is the small number this line measures)
+    sampleFrac.foreach { f =>
+      val sqK = math.round(math.sqrt(n.toDouble)).toInt
+      timed(s"KMeansIvf.fitSample ONLY k=$sqK iters=3 frac=$f") {
+        graft.functions.KMeansIvf
+          .fitSample(SnapshotTable.read(spark, srcRoot), "id", "emb", sqK, 3, f)
+      }
+    }
     for ((k, nprobes) <- arms) {
       val idxRoot = s"$root/index-k$k"
       timed(s"AnnIndex.fitFromTable k=$k iters=3 frac=$frac") {

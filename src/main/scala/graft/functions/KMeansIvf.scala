@@ -122,8 +122,10 @@ object KMeansIvf {
     * O(corpus·k·iters) to O(corpus·fraction·k·iters) + one hash scan;
     * recall holds because Lloyd's estimates cluster MEANS, statistics a
     * uniform sample preserves (measured in SCALING.md's ann-sample study:
-    * 10M corpus, k=3162, fraction 0.02 — recall@10 within noise of the
-    * full fit at ~2% of its cost). */
+    * 10M corpus, k=3162, fraction 0.02 — fit 18 s vs ~586 s full Lloyd's,
+    * recall@10 0.984/0.998/1.000 at nprobe 32/64/128, within noise of the
+    * full fit's 0.982/0.998/1.000; the residual index-build cost is the
+    * one-scan bucket-coding pass every IVF build pays). */
   def fitSample(
       vecs: DataFrame,
       idCol: String,
