@@ -756,6 +756,57 @@ object SnapshotTable {
     * swap itself is a drop + dir rename. Exactly-once epoch markers
     * (`batchId`) ride the replayed commits, so a stream whose epoch
     * landed pre-rebase still no-ops its replay afterwards. */
+  /** True iff a `schema` commit's p→c delta is MONOTONE — every fork-time
+    * field survives under the same logical name at the same or a
+    * losslessly-wider type, and only metadata moved (dirs/masks
+    * unchanged, `dropped` can only shrink — an ADD reviving a dropped
+    * column). Exactly these commits can re-apply as DDL on a new base:
+    * a DROP or RENAME re-merged from the tip would silently undo itself. */
+  private def monotoneSchemaDelta(p: Commit, c: Commit): Boolean =
+    (p.schemaJson, c.schemaJson) match {
+      case (Some(pj), Some(cj)) =>
+        val ps = schemaFromJson(pj)
+        val cs = schemaFromJson(cj)
+        val cByPhys = cs.fields.map(f => physName(f) -> f).toMap
+        ps.fields.forall { pf =>
+          cByPhys.get(physName(pf)).exists { cf =>
+            cf.name == pf.name &&
+            (cf.dataType == pf.dataType || losslessWiden(pf.dataType, cf.dataType))
+          }
+        } &&
+        c.dirs == p.dirs && c.masks == p.masks &&
+        c.dropped.keySet.subsetOf(p.dropped.keySet)
+      case _ => false
+    }
+
+  /** The DDL change list that re-applies a monotone `schema` commit onto
+    * a rebase's staged tip — adds and widens the TIP does not already
+    * have (main may have landed the same migration post-fork). */
+  private def schemaDeltaChanges(
+      p: Commit,
+      c: Commit,
+      tipSchema: Option[org.apache.spark.sql.types.StructType]): Seq[SchemaChange] = {
+    val ps = schemaFromJson(p.schemaJson.get)
+    val cs = schemaFromJson(c.schemaJson.get)
+    val pByPhys = ps.fields.map(f => physName(f) -> f).toMap
+    val tipFields = tipSchema.map(_.fields.toSeq).getOrElse(Seq.empty)
+    cs.fields.toSeq.flatMap { cf =>
+      val tipF = tipFields.find(tf => physName(tf) == physName(cf) || tf.name == cf.name)
+      pByPhys.get(physName(cf)) match {
+        case None if tipF.isEmpty => Some(AddCol(cf.name, cf.dataType))
+        case None => None // the new tip already has the column
+        case Some(pf) if pf.dataType != cf.dataType =>
+          // widen unless the tip is already at (or beyond) the target
+          tipF match {
+            case Some(tf) if tf.dataType == cf.dataType => None
+            case Some(tf) if losslessWiden(cf.dataType, tf.dataType) => None
+            case _ => Some(WidenCol(cf.name, cf.dataType))
+          }
+        case _ => None
+      }
+    }
+  }
+
   def rebase(spark: SparkSession, root: String, name: String): Int = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit}
     require(splitRef(root)._2.isEmpty, "rebase from the main table handle")
@@ -793,12 +844,38 @@ object SnapshotTable {
             // this shape as its exactly-once marker; dirs set-equality
             // already proves it has no data effect
             (newMasks(c, p).isEmpty && c.dirs.toSet == p.dirs.toSet)
-        case "mor-merge" => newMasks(c, p).exists(mk => mk.kind == "keys" && mk.keyDir.isDefined)
+        case "mor-merge" =>
+          newMasks(c, p).exists(mk => mk.kind == "keys" && mk.keyDir.isDefined) ||
+            // MASKLESS mor-merge: the commit PROVABLY replaced nothing —
+            // all-null keys match nothing on any base, and a zero-candidate
+            // envelope prune records no mask — so its outcome is exactly an
+            // append of its source dir, and it replays under the append
+            // rule (post-rebase duplicate-key exposure is identical to any
+            // replayed append's). Without this arm a branch upsert whose
+            // keys missed every fork-time file could never rebase.
+            (newMasks(c, p).isEmpty && (c.dirs.toSet -- p.dirs.toSet).nonEmpty)
         // COW DML replays from its write-time CDC capture ([[Cdc]]) — the
         // sidecar records the exact row delta, so the rewrite's fork-time
         // files never re-attach (see [[replayCowDelta]])
         case "delete" | "update" | "merge" => c.cdc.isDefined
-        case _ => false
+        // compaction is data-identical BY CONSTRUCTION (readers, streams
+        // and CDC all skip it) — replay is a no-op skip: the rebased chain
+        // is simply uncompacted until the next OPTIMIZE. Without this arm
+        // a branch stream running `compactEvery` (or a user OPTIMIZE on a
+        // branch) could never rebase.
+        case "compact" => true
+        // overwrite's output is BY DEFINITION independent of the base it
+        // replaced — replaying it over the new tip is exactly its
+        // semantics (last write wins; main's post-fork rows are replaced,
+        // the same outcome publishing the branch would have had)
+        case "overwrite" => true
+        // schema commits replay iff the delta is MONOTONE — only column
+        // ADDs and lossless WIDENs (re-applied as DDL onto the new tip,
+        // which also re-strips the tip's narrow-typed blooms). A DROP or
+        // RENAME re-merged from the tip would silently undo itself, so
+        // those refuse; so does a non-metadata-only shape.
+        case "schema" => monotoneSchemaDelta(p, c)
+        case _ => false // "restore": merge semantics ambiguous — refuse loudly
       }
       require(
         replayable,
@@ -826,6 +903,10 @@ object SnapshotTable {
         val tip = readManifest(spark, sRoot, tipV)
         val tipSchema = tip.schemaJson.map(schemaFromJson)
         val merged = (tipSchema, c.schemaJson.map(schemaFromJson)) match {
+          // a monotone widen IS a type conflict to mergeSchemas by design;
+          // the schema arm re-applies the delta as DDL instead of merging
+          // (merged is unused there — gainDirs is empty for metadata-only)
+          case (Some(_), Some(b)) if c.action == "schema" => b
           case (Some(a), Some(b)) => mergeSchemas(a, b)
           case (a, b) => a.orElse(b).getOrElse(sys.error("rebase needs schema-recording manifests"))
         }
@@ -842,6 +923,10 @@ object SnapshotTable {
         // rewrite dir would re-prove rows the replay doesn't publish.
         val gainDirs = c.cdc match {
           case Some(cc) if Set("delete", "update", "merge")(c.action) => cc.insEntries
+          // a compact replays as a SKIP (its dir never attaches) and is
+          // data-identical to rows other commits already prove — scanning
+          // it would be wasted I/O at best
+          case _ if c.action == "compact" => Seq.empty
           case _ => deltaDirs
         }
         val gained = tip.constraints.toSet -- c.constraints.toSet
@@ -958,11 +1043,33 @@ object SnapshotTable {
             }
           case "mor-merge" =>
             import org.apache.spark.sql.functions.col
-            val mk = newMasks(c, p).find(_.kind == "keys").get
             val srcRel = deltaDirs match {
               case Seq(one) => one
               case other => sys.error(s"rebase: mor-merge v${c.version} added ${other.size} dirs, expected 1")
             }
+            newMasks(c, p).find(mk0 => mk0.kind == "keys" && mk0.keyDir.isDefined) match {
+              case None =>
+                // the classifier's pure-insert arm: no sidecar to re-execute
+                // against, and none needed — the commit replaced nothing at
+                // its base, so the replay IS the append of its source dir
+                // (epoch markers survive exactly like the append arm)
+                publish(
+                  spark,
+                  sRoot,
+                  Commit(
+                    tipV + 1,
+                    "mor-merge",
+                    tip.dirs :+ srcRel,
+                    deltaStats.map(_.rows).sum,
+                    c.batchId,
+                    Some(merged.json),
+                    tip.files ++ deltaStats,
+                    constraints = tip.constraints,
+                    dropped = reviveDropped(tip.dropped, merged),
+                    masks = tip.masks,
+                    appId = c.appId))
+                ()
+              case Some(mk) =>
             // candidates re-prune against the NEW base: the same envelope
             // logic the original merge ran, driven by the recorded sidecar
             val keyDf = spark.read.parquet(new Path(dataRoot(root), mk.keyDir.get).toString)
@@ -1005,8 +1112,43 @@ object SnapshotTable {
                 dropped = reviveDropped(tip.dropped, merged),
                 masks = tip.masks ++ replayMask,
                 appId = c.appId))
+            ()
+            }
           case "delete" | "update" | "merge" =>
             replayCowDelta(spark, root, sRoot, tipV, tip, merged, c, p, c.cdc.get)
+          case "compact" =>
+            () // data-identical: the replay skips it (see the classifier)
+          case "schema" =>
+            // re-APPLY the monotone delta (adds + lossless widens, per
+            // the classifier) as ordinary DDL against the staged tip —
+            // alterSchema re-validates and, crucially, strips the TIP's
+            // narrow-typed blooms for widened columns (main's carried
+            // file stats would otherwise false-prune wide-typed probes).
+            // Changes the new tip already has (main added the same
+            // column / already as wide) skip.
+            val changes = schemaDeltaChanges(p, c, tipSchema)
+            if (changes.nonEmpty) { alterSchema(spark, sRoot, changes); () }
+          case "overwrite" =>
+            // replace the staged tip with the commit's own content — its
+            // recorded dirs/files/schema ARE the table after this commit
+            // (overwrite clears masks and dropped; constraints main gained
+            // since the fork were already re-proven over deltaDirs above)
+            publish(
+              spark,
+              sRoot,
+              Commit(
+                tipV + 1,
+                "overwrite",
+                c.dirs,
+                c.addedRows,
+                c.batchId,
+                c.schemaJson.orElse(Some(merged.json)),
+                c.files,
+                constraints = tip.constraints,
+                dropped = c.dropped,
+                masks = c.masks,
+                appId = c.appId))
+            ()
           case other => sys.error(s"unreachable: $other passed the replayability gate")
         }
       }

@@ -447,6 +447,115 @@ class SnapshotBranchSpec extends SparkSuite {
     assert(rows(SnapshotTable.read(spark, dev)).size == 33)
   }
 
+  test("a MASKLESS MOR-merge (zero-candidate or all-null keys) replays under the append rule — the branch stays rebaseable") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = freshRoot()
+    // one tight-stats file with k 0..9: an upsert keyed far outside
+    // PROVABLY matches nothing, so the commit records no mask at all
+    SnapshotTable.create(spark, root, fixture(0, 10).coalesce(1))
+    val dev = SnapshotTable.createBranch(spark, root, "mm")
+    SnapshotTable.mergeUpsertMor(spark, dev, fixture(100, 3), Seq("k")) // branch v2
+    val v2 = SnapshotTable.history(spark, dev).last
+    assert(v2.action == "mor-merge" && v2.masks.isEmpty,
+      s"zero-candidate upsert must be maskless: ${v2.action} ${v2.masks}")
+    // the OTHER maskless shape: all-null keys (pure insert by contract)
+    SnapshotTable.mergeUpsertMor(
+      spark, dev,
+      fixture(500, 2).select(lit(null).cast("bigint").as("k"), col("d"), col("price_c")),
+      Seq("k")) // branch v3
+    SnapshotTable.append(spark, root, fixture(200, 4)) // main diverges
+    SnapshotTable.rebase(spark, root, "mm") // used to refuse: maskless mor-merge
+    val got = SnapshotTable.read(spark, dev)
+    assert(got.count() == 10 + 3 + 2 + 4, s"count ${got.count()}")
+    assert(got.filter("k >= 100 AND k <= 102").count() == 3,
+      "the zero-candidate upsert replays as the append it provably was")
+    assert(got.filter("k IS NULL").count() == 2)
+    // rebase AGAIN over fresh divergence: the replayed maskless commits
+    // must themselves re-classify replayable
+    SnapshotTable.append(spark, root, fixture(300, 1))
+    SnapshotTable.rebase(spark, root, "mm")
+    assert(SnapshotTable.read(spark, dev).count() == 20)
+  }
+
+  test("a branch that ran OPTIMIZE rebases: the compact replays as a data-identical SKIP") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, fixture(0, 10))
+    val dev = SnapshotTable.createBranch(spark, root, "opt")
+    SnapshotTable.append(spark, dev, fixture(50, 5)) // branch v2
+    // OPTIMIZE on the branch (the shape a branch stream's compactEvery
+    // maintenance loop leaves) — data-identical by construction
+    SnapshotTable.compactSmall(spark, dev, smallBytes = Long.MaxValue, targetBytes = Long.MaxValue)
+    SnapshotTable.append(spark, dev, fixture(60, 2)) // post-compact branch work
+    SnapshotTable.append(spark, root, fixture(100, 3)) // main diverges
+    SnapshotTable.rebase(spark, root, "opt") // used to refuse on the compact commit
+    assert(rows(SnapshotTable.read(spark, dev)) ==
+      rows(fixture(0, 10).unionByName(fixture(50, 5))
+        .unionByName(fixture(60, 2)).unionByName(fixture(100, 3))))
+    // the compact replayed as a SKIP: the rebased chain is uncompacted
+    // (content-identical; the next OPTIMIZE re-compacts)
+    assert(SnapshotTable.history(spark, dev).count(_.action == "compact") == 0)
+  }
+
+  test("a branch OVERWRITE rebases: replay replaces the new tip — last write wins, which is what overwrite means") {
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, fixture(0, 10))
+    val dev = SnapshotTable.createBranch(spark, root, "ow")
+    SnapshotTable.overwrite(spark, dev, fixture(500, 4)) // branch v2
+    SnapshotTable.append(spark, dev, fixture(600, 1)) // branch v3
+    SnapshotTable.append(spark, root, fixture(100, 3)) // main diverges
+    SnapshotTable.rebase(spark, root, "ow") // used to refuse on the overwrite commit
+    assert(rows(SnapshotTable.read(spark, dev)) ==
+      rows(fixture(500, 4).unionByName(fixture(600, 1))),
+      "the replayed overwrite replaces main's post-fork rows too — its defining semantics")
+    SnapshotTable.fastForward(spark, root, "ow")
+    assert(SnapshotTable.read(spark, root).count() == 5)
+  }
+
+  test("a SCHEMA-MIGRATION branch rebases: ADD + lossless WIDEN re-apply as DDL on the new tip; DROP still refuses") {
+    import graft.sinks.SnapshotTable.{AddCol, DropCol, WidenCol}
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val root = freshRoot()
+    SnapshotTable.create(
+      spark, root,
+      spark.range(10).selectExpr("CAST(id AS INT) AS k", "concat('v', id) AS s"))
+    val dev = SnapshotTable.createBranch(spark, root, "mig")
+    // the migration: widen the key, add a column — then branch data at
+    // the NEW schema
+    SnapshotTable.alterSchema(spark, dev, Seq(WidenCol("k", LongType), AddCol("note", StringType)))
+    SnapshotTable.append(
+      spark, dev,
+      spark.range(100, 103).selectExpr("id AS k", "concat('v', id) AS s", "'migrated' AS note"))
+    // main diverges at the OLD schema (int key, no note)
+    SnapshotTable.append(
+      spark, root,
+      spark.range(50, 52).selectExpr("CAST(id AS INT) AS k", "concat('v', id) AS s"))
+    SnapshotTable.rebase(spark, root, "mig") // used to refuse on the schema commit
+    val got = SnapshotTable.read(spark, dev)
+    assert(got.schema("k").dataType == LongType, got.schema.treeString)
+    assert(got.schema.fieldNames.contains("note"))
+    assert(got.count() == 15)
+    assert(got.filter("note = 'migrated'").count() == 3,
+      "pre-migration rows read note as null; the branch's rows carry it")
+    // the replayed DDL stripped the tip's narrow-typed blooms: a
+    // wide-typed point probe stays CORRECT (a stale int bloom could
+    // false-prune this row)
+    assert(SnapshotTable.readWhere(
+      spark, dev, Seq(SnapshotTable.Bound("k", Some(50L), Some(50L)))).count() == 1)
+    assert(SnapshotTable.history(spark, dev).count(_.action == "schema") == 1)
+    // rebase AGAIN (the replayed schema commit must re-classify)
+    SnapshotTable.append(
+      spark, root,
+      spark.range(60, 61).selectExpr("CAST(id AS INT) AS k", "concat('v', id) AS s"))
+    SnapshotTable.rebase(spark, root, "mig")
+    assert(SnapshotTable.read(spark, dev).count() == 16)
+    // a DROP migration is NOT monotone — refuse loudly, branch intact
+    val dev2 = SnapshotTable.createBranch(spark, root, "mig2")
+    SnapshotTable.alterSchema(spark, dev2, Seq(DropCol("s")))
+    SnapshotTable.append(spark, root, spark.range(70, 71).selectExpr("CAST(id AS INT) AS k", "concat('v', id) AS s"))
+    val e = intercept[Exception](SnapshotTable.rebase(spark, root, "mig2"))
+    assert(e.getMessage.contains("conflicting version"), e.getMessage)
+  }
+
   test("a branch whose MOR delete replayed into a no-op stays REBASEABLE (the git 'rebase again' contract)") {
     val root = freshRoot()
     SnapshotTable.create(spark, root, fixture(0, 50)) // v1
