@@ -242,10 +242,9 @@ object MeasureIndexScale {
     // report both components honestly (the fit below re-runs inside
     // fitFromTable; its cost is the small number this line measures)
     sampleFrac.foreach { f =>
-      val sqK = math.round(math.sqrt(n.toDouble)).toInt
-      timed(s"KMeansIvf.fitSample ONLY k=$sqK iters=3 frac=$f") {
+      timed(s"KMeansIvf.fitSample ONLY k=$sqrtK iters=3 frac=$f") {
         graft.functions.KMeansIvf
-          .fitSample(SnapshotTable.read(spark, srcRoot), "id", "emb", sqK, 3, f)
+          .fitSample(SnapshotTable.read(spark, srcRoot), "id", "emb", sqrtK, 3, f)
       }
     }
     for ((k, nprobes) <- arms) {

@@ -781,7 +781,12 @@ object SnapshotTable {
 
   /** The DDL change list that re-applies a monotone `schema` commit onto
     * a rebase's staged tip — adds and widens the TIP does not already
-    * have (main may have landed the same migration post-fork). */
+    * have (main may have landed the same migration post-fork). When the
+    * tip holds a SAME-NAMED column, it must be genuinely the same column
+    * (same frozen physical name) at the same or a losslessly-convergeable
+    * type — anything else REFUSES loudly rather than silently narrowing
+    * the branch's migration or pairing its data files with a column whose
+    * physical name they never wrote (which would read back as NULLs). */
   private def schemaDeltaChanges(
       p: Commit,
       c: Commit,
@@ -790,19 +795,30 @@ object SnapshotTable {
     val cs = schemaFromJson(c.schemaJson.get)
     val pByPhys = ps.fields.map(f => physName(f) -> f).toMap
     val tipFields = tipSchema.map(_.fields.toSeq).getOrElse(Seq.empty)
+    def converge(cf: org.apache.spark.sql.types.StructField): Option[SchemaChange] = {
+      val tf = tipFields
+        .find(tf0 => physName(tf0) == physName(cf) || tf0.name == cf.name)
+        .getOrElse(return Some(AddCol(cf.name, cf.dataType)))
+      require(
+        physName(tf) == physName(cf) && tf.name == cf.name,
+        s"rebase: the new base's column '${tf.name}' and the branch migration's " +
+          s"'${cf.name}' collide by name but are DIFFERENT columns (physical " +
+          s"'${physName(tf)}' vs '${physName(cf)}') — the branch's data files would " +
+          "read back null under the base's column; drop and re-stage the branch")
+      if (tf.dataType == cf.dataType) None // the tip already has it
+      else if (losslessWiden(cf.dataType, tf.dataType)) None // tip already wider
+      else if (losslessWiden(tf.dataType, cf.dataType)) Some(WidenCol(cf.name, cf.dataType))
+      else
+        sys.error(
+          s"rebase: column '${cf.name}' is ${tf.dataType.sql} on the new base but the " +
+            s"branch migration needs ${cf.dataType.sql}, and neither losslessly widens " +
+            "to the other — un-mergeable; drop and re-stage the branch")
+    }
     cs.fields.toSeq.flatMap { cf =>
-      val tipF = tipFields.find(tf => physName(tf) == physName(cf) || tf.name == cf.name)
       pByPhys.get(physName(cf)) match {
-        case None if tipF.isEmpty => Some(AddCol(cf.name, cf.dataType))
-        case None => None // the new tip already has the column
-        case Some(pf) if pf.dataType != cf.dataType =>
-          // widen unless the tip is already at (or beyond) the target
-          tipF match {
-            case Some(tf) if tf.dataType == cf.dataType => None
-            case Some(tf) if losslessWiden(cf.dataType, tf.dataType) => None
-            case _ => Some(WidenCol(cf.name, cf.dataType))
-          }
-        case _ => None
+        case None => converge(cf) // the branch's ADD
+        case Some(pf) if pf.dataType != cf.dataType => converge(cf) // the branch's WIDEN
+        case _ => None // untouched by the migration
       }
     }
   }
@@ -873,8 +889,22 @@ object SnapshotTable {
         // ADDs and lossless WIDENs (re-applied as DDL onto the new tip,
         // which also re-strips the tip's narrow-typed blooms). A DROP or
         // RENAME re-merged from the tip would silently undo itself, so
-        // those refuse; so does a non-metadata-only shape.
-        case "schema" => monotoneSchemaDelta(p, c)
+        // those refuse; so does a non-metadata-only shape. A WIDEN also
+        // needs the NEW BASE mask-free (alterSchema refuses over pending
+        // merge-on-read masks — typed bounds/sidecars): check main's tip
+        // up-front so the common blocker surfaces BEFORE staging; compact
+        // the base first, then rebase.
+        case "schema" =>
+          monotoneSchemaDelta(p, c) && {
+            val widens = (p.schemaJson.map(schemaFromJson), c.schemaJson.map(schemaFromJson)) match {
+              case (Some(ps), Some(cs)) =>
+                val cByPhys = cs.fields.map(f0 => physName(f0) -> f0).toMap
+                ps.fields.exists(pf =>
+                  cByPhys.get(physName(pf)).exists(_.dataType != pf.dataType))
+              case _ => false
+            }
+            !widens || readManifest(spark, root, mLatest).masks.isEmpty
+          }
         case _ => false // "restore": merge semantics ambiguous — refuse loudly
       }
       require(
@@ -905,8 +935,12 @@ object SnapshotTable {
         val merged = (tipSchema, c.schemaJson.map(schemaFromJson)) match {
           // a monotone widen IS a type conflict to mergeSchemas by design;
           // the schema arm re-applies the delta as DDL instead of merging
-          // (merged is unused there — gainDirs is empty for metadata-only)
-          case (Some(_), Some(b)) if c.action == "schema" => b
+          // (merged is unused there — gainDirs is empty for metadata-only).
+          // An OVERWRITE may change types arbitrarily — legal, it replaced
+          // the table — and its arm publishes ITS schema wholesale, so the
+          // merge must not run there either (its delta dirs also read
+          // correctly only under its own mapping in the constraint check)
+          case (Some(_), Some(b)) if c.action == "schema" || c.action == "overwrite" => b
           case (Some(a), Some(b)) => mergeSchemas(a, b)
           case (a, b) => a.orElse(b).getOrElse(sys.error("rebase needs schema-recording manifests"))
         }

@@ -207,9 +207,9 @@ class ConcurrencyMatrixSpec extends SparkSuite {
   // loudly — never adopt the racer's commit, never double-land ──
 
   /** Drains `rows` through a real catalog-sink streaming query into
-    * `table` (epoch 0 on a fresh checkpoint) and returns its epoch
-    * commit count on `root` afterwards. */
-  private def drainEpoch(table: String, root: String, rows: Seq[(Long, String)]): Unit = {
+    * `table` — epoch 0 on a fresh checkpoint (assert on the landed
+    * epochs via [[epochCommits]]). */
+  private def drainEpoch(table: String, rows: Seq[(Long, String)]): Unit = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
     import spark.implicits._
@@ -239,7 +239,7 @@ class ConcurrencyMatrixSpec extends SparkSuite {
     spark.sql("CREATE TABLE gsem.ns.t1 (k BIGINT, s STRING)")
     SnapshotTable.append(spark, r1, fixture(0, 10))
     withRace(() => { spark.sql("UPDATE gsem.ns.t1 SET s = 'racer' WHERE k < 5"); () }) {
-      drainEpoch("gsem.ns.t1", r1, Seq(100L -> "e0", 101L -> "e1"))
+      drainEpoch("gsem.ns.t1", Seq(100L -> "e0", 101L -> "e1"))
     }
     assert(epochCommits(r1).size == 1, SnapshotTable.history(spark, r1).map(_.action).toString)
     assert(spark.sql("SELECT count(*) AS n FROM gsem.ns.t1 WHERE s = 'racer'").head.getLong(0) == 5,
@@ -259,7 +259,7 @@ class ConcurrencyMatrixSpec extends SparkSuite {
       spark.sql("REPLACE TABLE gsem.ns.t2 AS SELECT id AS k, concat('r', id) AS s FROM range(3)")
       ()
     }) {
-      drainEpoch("gsem.ns.t2", r2, Seq(200L -> "e0"))
+      drainEpoch("gsem.ns.t2", Seq(200L -> "e0"))
     }
     assert(epochCommits(r2).size == 1)
     assert(spark.sql("SELECT count(*) AS n FROM gsem.ns.t2").head.getLong(0) == 4,
@@ -274,7 +274,7 @@ class ConcurrencyMatrixSpec extends SparkSuite {
     val dev = SnapshotTable.createBranch(spark, r3, "dev")
     SnapshotTable.append(spark, dev, fixture(50, 2))
     withRace(() => { SnapshotTable.fastForward(spark, r3, "dev"); () }) {
-      drainEpoch("gsem.ns.t3", r3, Seq(300L -> "e0"))
+      drainEpoch("gsem.ns.t3", Seq(300L -> "e0"))
     }
     assert(epochCommits(r3).size == 1)
     assert(spark.sql("SELECT count(*) AS n FROM gsem.ns.t3").head.getLong(0) == 8,
@@ -286,7 +286,7 @@ class ConcurrencyMatrixSpec extends SparkSuite {
     spark.sql("CREATE TABLE gsem.ns.t4 (k BIGINT, s STRING)")
     SnapshotTable.append(spark, r4, fixture(0, 10))
     val e4 = intercept[Throwable] {
-      withRace(() => drainEpoch("gsem.ns.t4", r4, Seq(400L -> "e0"))) {
+      withRace(() => drainEpoch("gsem.ns.t4", Seq(400L -> "e0"))) {
         spark.sql("UPDATE gsem.ns.t4 SET s = 'victim' WHERE k >= 0")
       }
     }

@@ -556,6 +556,85 @@ class SnapshotBranchSpec extends SparkSuite {
     assert(e.getMessage.contains("conflicting version"), e.getMessage)
   }
 
+  test("CONVERGENT migrations rebase by widening; colliding same-name-different-column migrations refuse loudly") {
+    import graft.sinks.SnapshotTable.{AddCol, WidenCol}
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    // convergence: branch adds note BIGINT, main independently adds note
+    // INT — same logical AND physical column, so the replay must WIDEN
+    // main's to the branch's declared type, never silently narrow
+    val root = freshRoot()
+    SnapshotTable.create(
+      spark, root,
+      spark.range(5).selectExpr("CAST(id AS INT) AS k", "concat('v', id) AS s"))
+    val dev = SnapshotTable.createBranch(spark, root, "cvg")
+    SnapshotTable.alterSchema(spark, dev, Seq(AddCol("note", LongType)))
+    SnapshotTable.append(
+      spark, dev, spark.range(100, 102).selectExpr("CAST(id AS INT) AS k", "'b' AS s", "id AS note"))
+    SnapshotTable.alterSchema(spark, root, Seq(AddCol("note", IntegerType)))
+    SnapshotTable.append(
+      spark, root,
+      spark.range(50, 52).selectExpr("CAST(id AS INT) AS k", "'m' AS s", "CAST(id AS INT) AS note"))
+    SnapshotTable.rebase(spark, root, "cvg")
+    val got = SnapshotTable.read(spark, dev)
+    assert(got.schema("note").dataType == LongType,
+      s"the branch's BIGINT migration must not silently narrow: ${got.schema.treeString}")
+    assert(got.filter("note IS NOT NULL").count() == 4, "main's INT values upcast, branch's land")
+    // collision: main RENAMEs s -> note2 (frozen physical 's'); the branch
+    // ADDs a brand-new note2 (physical 'note2') — same name, DIFFERENT
+    // columns; a silent skip would null the branch's data — refuse
+    val root2 = freshRoot()
+    SnapshotTable.create(
+      spark, root2,
+      spark.range(5).selectExpr("CAST(id AS INT) AS k", "concat('v', id) AS s"))
+    val dev2 = SnapshotTable.createBranch(spark, root2, "col")
+    SnapshotTable.alterSchema(spark, dev2, Seq(AddCol("note2", LongType)))
+    SnapshotTable.renameColumn(spark, root2, "s", "note2")
+    SnapshotTable.append(spark, root2, spark.range(60, 61).selectExpr("CAST(id AS INT) AS k", "'x' AS note2"))
+    val e = intercept[Exception](SnapshotTable.rebase(spark, root2, "col"))
+    assert(e.getMessage != null && e.getMessage.contains("DIFFERENT columns"), e.toString)
+    assert(SnapshotTable.read(spark, SnapshotTable.branchRef(root2, "col")).count() == 5,
+      "a refused replay leaves the branch untouched")
+  }
+
+  test("a branch OVERWRITE that CHANGED a column's type still rebases (overwrite owns its schema)") {
+    import org.apache.spark.sql.types.StringType
+    val root = freshRoot()
+    SnapshotTable.create(
+      spark, root,
+      spark.range(5).selectExpr("CAST(id AS INT) AS k", "concat('v', id) AS s"))
+    val dev = SnapshotTable.createBranch(spark, root, "owt")
+    // overwrite may change types arbitrarily — it replaced the table
+    SnapshotTable.overwrite(
+      spark, dev, spark.range(3).selectExpr("concat('key-', id) AS k", "concat('w', id) AS s"))
+    SnapshotTable.append(spark, root, spark.range(50, 52).selectExpr("CAST(id AS INT) AS k", "'m' AS s"))
+    SnapshotTable.rebase(spark, root, "owt") // used to throw mergeSchemas 'cannot change column' mid-replay
+    val got = SnapshotTable.read(spark, dev)
+    assert(got.schema("k").dataType == StringType, got.schema.treeString)
+    assert(got.count() == 3, "the replayed overwrite replaced everything, schema included")
+  }
+
+  test("a WIDEN migration rebasing onto a mask-carrying base refuses UP-FRONT; compacting the base unblocks it") {
+    import graft.sinks.SnapshotTable.WidenCol
+    import org.apache.spark.sql.types.LongType
+    val root = freshRoot()
+    SnapshotTable.create(
+      spark, root,
+      spark.range(10).selectExpr("CAST(id AS INT) AS k", "concat('v', id) AS s"))
+    val dev = SnapshotTable.createBranch(spark, root, "wmk")
+    SnapshotTable.alterSchema(spark, dev, Seq(WidenCol("k", LongType)))
+    // main's MOR delete leaves a pending mask at its tip — alterSchema
+    // cannot widen over typed mask bounds, so the rebase must refuse
+    // BEFORE staging, not abort mid-replay
+    SnapshotTable.deleteWhereMor(spark, root, Seq(SnapshotTable.Bound("k", Some(0L), Some(2L))))
+    val e = intercept[Exception](SnapshotTable.rebase(spark, root, "wmk"))
+    assert(e.getMessage != null && e.getMessage.contains("cannot replay"), e.toString)
+    // compaction reconciles the base's masks; the same rebase then lands
+    SnapshotTable.compact(spark, root, "k", nFiles = 1)
+    SnapshotTable.rebase(spark, root, "wmk")
+    assert(SnapshotTable.read(spark, dev).schema("k").dataType == LongType)
+    assert(SnapshotTable.read(spark, dev).count() == 7)
+  }
+
   test("a branch whose MOR delete replayed into a no-op stays REBASEABLE (the git 'rebase again' contract)") {
     val root = freshRoot()
     SnapshotTable.create(spark, root, fixture(0, 50)) // v1
