@@ -635,6 +635,54 @@ class SnapshotBranchSpec extends SparkSuite {
     assert(SnapshotTable.read(spark, dev).count() == 7)
   }
 
+  test("COMPOSED commutation: one branch chains widen DDL + MOR upsert + OPTIMIZE + epoch marker + append, and rebases TWICE") {
+    import graft.sinks.SnapshotTable.WidenCol
+    import org.apache.spark.sql.types.LongType
+    val root = freshRoot()
+    SnapshotTable.create(
+      spark, root,
+      spark.range(10).selectExpr("CAST(id AS INT) AS k", "concat('v', id) AS s"))
+    val dev = SnapshotTable.createBranch(spark, root, "mix")
+    // 1. schema migration (widen k) — replays as DDL on the staged tip
+    SnapshotTable.alterSchema(spark, dev, Seq(WidenCol("k", LongType)))
+    // 2. keyed MOR upsert AT THE WIDE TYPE — its sidecar re-prunes against
+    // the (just-widened) staged tip on replay
+    SnapshotTable.mergeUpsertMor(
+      spark, dev, spark.range(5, 7).selectExpr("id AS k", "'upserted' AS s"), Seq("k"))
+    // 3. OPTIMIZE — replays as a skip
+    SnapshotTable.compactSmall(spark, dev, smallBytes = Long.MaxValue, targetBytes = Long.MaxValue)
+    // 4. a streaming epoch lands exactly-once (marker must survive)
+    SnapshotTable.appendBatchExactlyOnce(
+      spark, dev, spark.range(100, 102).selectExpr("id AS k", "'epoch' AS s"), 0L, Some("qMix"))
+    // main diverges, REUSING an upserted key — the replayed MOR mask must
+    // hide main's post-fork k=5 row too (re-run semantics)
+    SnapshotTable.append(
+      spark, root, spark.range(5, 6).selectExpr("CAST(id AS INT) AS k", "'main-reuse' AS s"))
+    SnapshotTable.rebase(spark, root, "mix")
+    def check(expectMainRows: Long): Unit = {
+      val got = SnapshotTable.read(spark, dev)
+      assert(got.schema("k").dataType == LongType, got.schema.treeString)
+      assert(got.filter("k = 5").count() == 1, "one k=5 survivor")
+      assert(got.filter("k = 5").select("s").head.getString(0) == "upserted",
+        "the replayed MOR upsert must hide BOTH the fork-time k=5 and main's post-fork reuse")
+      assert(got.filter("s = 'epoch'").count() == 2)
+      assert(got.count() == 10 + 2 + expectMainRows - 1, s"count ${got.count()}")
+      // the epoch's exactly-once identity survived: a replayed epoch 0
+      // of the same query still no-ops on the rebased chain
+      val before = SnapshotTable.latestVersion(spark, dev).get
+      SnapshotTable.appendBatchExactlyOnce(
+        spark, dev, spark.range(100, 102).selectExpr("id AS k", "'epoch' AS s"), 0L, Some("qMix"))
+      assert(SnapshotTable.latestVersion(spark, dev).get == before,
+        "the epoch marker must keep deduping after the rebase")
+    }
+    check(expectMainRows = 1)
+    // rebase AGAIN: every replayed shape must re-classify
+    SnapshotTable.append(
+      spark, root, spark.range(200, 201).selectExpr("CAST(id AS INT) AS k", "'m2' AS s"))
+    SnapshotTable.rebase(spark, root, "mix")
+    check(expectMainRows = 2)
+  }
+
   test("a branch whose MOR delete replayed into a no-op stays REBASEABLE (the git 'rebase again' contract)") {
     val root = freshRoot()
     SnapshotTable.create(spark, root, fixture(0, 50)) // v1
