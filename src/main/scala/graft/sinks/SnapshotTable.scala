@@ -779,6 +779,22 @@ object SnapshotTable {
       case _ => false
     }
 
+  /** A rebase-local schema pre-alignment: fields the TIP already holds at
+    * a losslessly WIDER type take the tip's type before [[mergeSchemas]]'
+    * strict-equality merge — the branch's narrow-written files read
+    * correctly at the wide type (the [[losslessWiden]] contract), so the
+    * replay is commutable and must not abort on the type diff. */
+  private def upcastToTip(
+      tip: org.apache.spark.sql.types.StructType,
+      cs: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(cs.fields.map { cf =>
+      tip.fields.find(tf => physName(tf) == physName(cf)) match {
+        case Some(tf) if tf.dataType != cf.dataType && losslessWiden(cf.dataType, tf.dataType) =>
+          cf.copy(dataType = tf.dataType)
+        case _ => cf
+      }
+    })
+
   /** The DDL change list that re-applies a monotone `schema` commit onto
     * a rebase's staged tip — adds and widens the TIP does not already
     * have (main may have landed the same migration post-fork). When the
@@ -801,10 +817,16 @@ object SnapshotTable {
         .getOrElse(return Some(AddCol(cf.name, cf.dataType)))
       require(
         physName(tf) == physName(cf) && tf.name == cf.name,
-        s"rebase: the new base's column '${tf.name}' and the branch migration's " +
-          s"'${cf.name}' collide by name but are DIFFERENT columns (physical " +
-          s"'${physName(tf)}' vs '${physName(cf)}') — the branch's data files would " +
-          "read back null under the base's column; drop and re-stage the branch")
+        if (physName(tf) == physName(cf))
+          s"rebase: the new base holds the branch migration's column (physical " +
+            s"'${physName(cf)}') under a DIFFERENT logical name ('${tf.name}' vs the " +
+            s"branch's '${cf.name}') — a rename conflict the replay cannot arbitrate; " +
+            "drop and re-stage the branch"
+        else
+          s"rebase: the new base's column '${tf.name}' and the branch migration's " +
+            s"'${cf.name}' collide by name but are DIFFERENT columns (physical " +
+            s"'${physName(tf)}' vs '${physName(cf)}') — the branch's data files would " +
+            "read back null under the base's column; drop and re-stage the branch")
       if (tf.dataType == cf.dataType) None // the tip already has it
       else if (losslessWiden(cf.dataType, tf.dataType)) None // tip already wider
       else if (losslessWiden(tf.dataType, cf.dataType)) Some(WidenCol(cf.name, cf.dataType))
@@ -889,22 +911,13 @@ object SnapshotTable {
         // ADDs and lossless WIDENs (re-applied as DDL onto the new tip,
         // which also re-strips the tip's narrow-typed blooms). A DROP or
         // RENAME re-merged from the tip would silently undo itself, so
-        // those refuse; so does a non-metadata-only shape. A WIDEN also
-        // needs the NEW BASE mask-free (alterSchema refuses over pending
-        // merge-on-read masks — typed bounds/sidecars): check main's tip
-        // up-front so the common blocker surfaces BEFORE staging; compact
-        // the base first, then rebase.
-        case "schema" =>
-          monotoneSchemaDelta(p, c) && {
-            val widens = (p.schemaJson.map(schemaFromJson), c.schemaJson.map(schemaFromJson)) match {
-              case (Some(ps), Some(cs)) =>
-                val cByPhys = cs.fields.map(f0 => physName(f0) -> f0).toMap
-                ps.fields.exists(pf =>
-                  cByPhys.get(physName(pf)).exists(_.dataType != pf.dataType))
-              case _ => false
-            }
-            !widens || readManifest(spark, root, mLatest).masks.isEmpty
-          }
+        // those refuse; so does a non-metadata-only shape. Pending
+        // merge-on-read masks under a widen are NOT a refusal: the replay
+        // arm self-heals by compacting the staged chain first (masks can
+        // come from the new base OR from the branch's own replayed MOR
+        // commits, whose reconciling compact replays as a skip — no
+        // up-front check could see the latter).
+        case "schema" => monotoneSchemaDelta(p, c)
         case _ => false // "restore": merge semantics ambiguous — refuse loudly
       }
       require(
@@ -941,7 +954,13 @@ object SnapshotTable {
           // merge must not run there either (its delta dirs also read
           // correctly only under its own mapping in the constraint check)
           case (Some(_), Some(b)) if c.action == "schema" || c.action == "overwrite" => b
-          case (Some(a), Some(b)) => mergeSchemas(a, b)
+          // data commits upcast to the TIP's wider types before merging:
+          // main (or an earlier replayed migration) may hold a column
+          // LOSSLESSLY wider than the branch wrote it — the branch's
+          // narrow-written files read correctly at the wide type (the
+          // widen contract), and without the upcast mergeSchemas' strict
+          // equality would abort a perfectly commutable replay
+          case (Some(a), Some(b)) => mergeSchemas(a, upcastToTip(a, b))
           case (a, b) => a.orElse(b).getOrElse(sys.error("rebase needs schema-recording manifests"))
         }
         val pDirs = p.dirs.toSet
@@ -1161,7 +1180,22 @@ object SnapshotTable {
             // Changes the new tip already has (main added the same
             // column / already as wide) skip.
             val changes = schemaDeltaChanges(p, c, tipSchema)
-            if (changes.nonEmpty) { alterSchema(spark, sRoot, changes); () }
+            if (changes.nonEmpty) {
+              // a WIDEN cannot apply over pending merge-on-read masks
+              // (typed bounds / key sidecars) — and masks can sit on the
+              // staged chain from the new base itself OR from the
+              // branch's own replayed MOR commits (whose reconciling
+              // compact replays as a SKIP). Self-heal: one compact of the
+              // staged chain reconciles every mask, then the DDL applies
+              // — the same maintenance step the user's own chain ran.
+              val widenCols = changes.collect { case WidenCol(n0, _) => n0 }
+              if (widenCols.nonEmpty && tip.masks.nonEmpty) {
+                compact(spark, sRoot, widenCols.head, math.max(1, tip.files.size))
+                ()
+              }
+              alterSchema(spark, sRoot, changes)
+              ()
+            }
           case "overwrite" =>
             // replace the staged tip with the commit's own content — its
             // recorded dirs/files/schema ARE the table after this commit

@@ -594,6 +594,19 @@ class SnapshotBranchSpec extends SparkSuite {
     assert(e.getMessage != null && e.getMessage.contains("DIFFERENT columns"), e.toString)
     assert(SnapshotTable.read(spark, SnapshotTable.branchRef(root2, "col")).count() == 5,
       "a refused replay leaves the branch untouched")
+    // the SAME-physical variant: main added the convergent column then
+    // RENAMED it — identical physical name, diverged logical names; the
+    // refusal must diagnose a RENAME conflict, not claim different columns
+    val root3 = freshRoot()
+    SnapshotTable.create(
+      spark, root3,
+      spark.range(5).selectExpr("CAST(id AS INT) AS k", "concat('v', id) AS s"))
+    val dev3 = SnapshotTable.createBranch(spark, root3, "ren")
+    SnapshotTable.alterSchema(spark, dev3, Seq(AddCol("note3", LongType)))
+    SnapshotTable.alterSchema(spark, root3, Seq(AddCol("note3", LongType)))
+    SnapshotTable.renameColumn(spark, root3, "note3", "memo")
+    val e3 = intercept[Exception](SnapshotTable.rebase(spark, root3, "ren"))
+    assert(e3.getMessage != null && e3.getMessage.contains("rename conflict"), e3.toString)
   }
 
   test("a branch OVERWRITE that CHANGED a column's type still rebases (overwrite owns its schema)") {
@@ -613,7 +626,7 @@ class SnapshotBranchSpec extends SparkSuite {
     assert(got.count() == 3, "the replayed overwrite replaced everything, schema included")
   }
 
-  test("a WIDEN migration rebasing onto a mask-carrying base refuses UP-FRONT; compacting the base unblocks it") {
+  test("a WIDEN migration rebasing onto a mask-carrying base SELF-HEALS: the replay compacts the staged chain, then applies the DDL") {
     import graft.sinks.SnapshotTable.WidenCol
     import org.apache.spark.sql.types.LongType
     val root = freshRoot()
@@ -622,17 +635,63 @@ class SnapshotBranchSpec extends SparkSuite {
       spark.range(10).selectExpr("CAST(id AS INT) AS k", "concat('v', id) AS s"))
     val dev = SnapshotTable.createBranch(spark, root, "wmk")
     SnapshotTable.alterSchema(spark, dev, Seq(WidenCol("k", LongType)))
-    // main's MOR delete leaves a pending mask at its tip — alterSchema
-    // cannot widen over typed mask bounds, so the rebase must refuse
-    // BEFORE staging, not abort mid-replay
+    // main's MOR delete leaves a pending mask at its tip — a widen cannot
+    // apply over typed mask bounds, so the replay reconciles the staged
+    // chain with ONE compact first (no user action needed)
     SnapshotTable.deleteWhereMor(spark, root, Seq(SnapshotTable.Bound("k", Some(0L), Some(2L))))
-    val e = intercept[Exception](SnapshotTable.rebase(spark, root, "wmk"))
-    assert(e.getMessage != null && e.getMessage.contains("cannot replay"), e.toString)
-    // compaction reconciles the base's masks; the same rebase then lands
-    SnapshotTable.compact(spark, root, "k", nFiles = 1)
     SnapshotTable.rebase(spark, root, "wmk")
-    assert(SnapshotTable.read(spark, dev).schema("k").dataType == LongType)
-    assert(SnapshotTable.read(spark, dev).count() == 7)
+    val got = SnapshotTable.read(spark, dev)
+    assert(got.schema("k").dataType == LongType, got.schema.treeString)
+    assert(got.count() == 7, "the base's MOR delete holds through the reconciling compact")
+    val acts = SnapshotTable.history(spark, dev).map(_.action)
+    assert(acts.contains("compact") && acts.contains("schema"), acts.toString)
+  }
+
+  test("a branch chaining MOR upsert -> OPTIMIZE -> WIDEN rebases: the skip-replayed compact's mask is self-healed before the DDL") {
+    import graft.sinks.SnapshotTable.WidenCol
+    import org.apache.spark.sql.types.LongType
+    val root = freshRoot()
+    SnapshotTable.create(
+      spark, root,
+      spark.range(10).selectExpr("CAST(id AS INT) AS k", "concat('v', id) AS s"))
+    val dev = SnapshotTable.createBranch(spark, root, "mcw")
+    // the branch's OWN mask: upsert (keys mask), then its reconciling
+    // compact — legal at write time; on replay the compact SKIPS, so the
+    // re-added mask would block the widen without the self-heal
+    SnapshotTable.mergeUpsertMor(
+      spark, dev, spark.range(3, 5).selectExpr("CAST(id AS INT) AS k", "'up' AS s"), Seq("k"))
+    SnapshotTable.compactSmall(spark, dev, smallBytes = Long.MaxValue, targetBytes = Long.MaxValue)
+    SnapshotTable.alterSchema(spark, dev, Seq(WidenCol("k", LongType)))
+    SnapshotTable.append(spark, root, spark.range(50, 52).selectExpr("CAST(id AS INT) AS k", "'m' AS s"))
+    SnapshotTable.rebase(spark, root, "mcw") // used to wedge permanently mid-replay
+    val got = SnapshotTable.read(spark, dev)
+    assert(got.schema("k").dataType == LongType, got.schema.treeString)
+    assert(got.count() == 12 && got.filter("s = 'up'").count() == 2, s"count ${got.count()}")
+  }
+
+  test("a CONVERGENT add where MAIN went wider rebases: the branch's narrow-written rows upcast under the tip's type") {
+    import graft.sinks.SnapshotTable.AddCol
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val root = freshRoot()
+    SnapshotTable.create(
+      spark, root,
+      spark.range(5).selectExpr("CAST(id AS INT) AS k", "concat('v', id) AS s"))
+    val dev = SnapshotTable.createBranch(spark, root, "cvw")
+    SnapshotTable.alterSchema(spark, dev, Seq(AddCol("note", IntegerType)))
+    SnapshotTable.append(
+      spark, dev,
+      spark.range(100, 102).selectExpr("CAST(id AS INT) AS k", "'b' AS s", "CAST(id AS INT) AS note"))
+    // main declared the SAME column wider — the branch's INT-written
+    // files read correctly at BIGINT (the widen contract), so the replay
+    // must upcast and land, not abort in mergeSchemas' strict equality
+    SnapshotTable.alterSchema(spark, root, Seq(AddCol("note", LongType)))
+    SnapshotTable.append(
+      spark, root, spark.range(50, 51).selectExpr("CAST(id AS INT) AS k", "'m' AS s", "id AS note"))
+    SnapshotTable.rebase(spark, root, "cvw")
+    val got = SnapshotTable.read(spark, dev)
+    assert(got.schema("note").dataType == LongType, got.schema.treeString)
+    assert(got.filter("note IS NOT NULL").count() == 3)
+    assert(got.filter("note = 100").count() == 1, "the branch's INT-written value reads at BIGINT")
   }
 
   test("COMPOSED commutation: one branch chains widen DDL + MOR upsert + OPTIMIZE + epoch marker + append, and rebases TWICE") {
