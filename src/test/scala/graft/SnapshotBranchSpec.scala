@@ -742,6 +742,26 @@ class SnapshotBranchSpec extends SparkSuite {
     check(expectMainRows = 2)
   }
 
+  test("a WIDEN of a column MAIN later DROPPED refuses loudly via the revival-type contract — branch intact") {
+    import graft.sinks.SnapshotTable.{DropCol, WidenCol}
+    import org.apache.spark.sql.types.LongType
+    val root = freshRoot()
+    SnapshotTable.create(
+      spark, root,
+      spark.range(5).selectExpr("CAST(id AS INT) AS k", "concat('v', id) AS s"))
+    val dev = SnapshotTable.createBranch(spark, root, "wdrop")
+    SnapshotTable.alterSchema(spark, dev, Seq(WidenCol("k", LongType)))
+    // main DROPS the column the branch widened: the replay's revival
+    // would re-add it at BIGINT over live INT bytes — the revival-type
+    // contract must refuse, never silently resurrect at the wrong type
+    SnapshotTable.alterSchema(spark, root, Seq(DropCol("k")))
+    val e = intercept[Exception](SnapshotTable.rebase(spark, root, "wdrop"))
+    assert(e.getMessage != null && e.getMessage.contains("revive"), e.toString)
+    assert(
+      SnapshotTable.read(spark, dev).columns.toSeq == Seq("k", "s"),
+      "a refused replay leaves the branch untouched")
+  }
+
   test("a branch whose MOR delete replayed into a no-op stays REBASEABLE (the git 'rebase again' contract)") {
     val root = freshRoot()
     SnapshotTable.create(spark, root, fixture(0, 50)) // v1
