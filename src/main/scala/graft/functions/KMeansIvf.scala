@@ -73,7 +73,10 @@ object KMeansIvf {
     // is the narrowest projection the loop needs (just the vectors), lives in
     // executor memory (spilling to disk if it must), and is released before
     // returning; each iteration then scans cache, not parquet.
-    val base = vecs.select(col(vecCol).as("v")).persist()
+    // ...and fanned out to the cores first: an unsplittable one-file corpus
+    // would otherwise pin every iteration's argmin scan to a single task
+    // (guide §2.5); no-op on a multi-split corpus.
+    val base = graft.ops.Checkpoints.fanOut(vecs.select(col(vecCol).as("v"))).persist()
     try {
       var it = 0
       while (it < iters) {

@@ -107,7 +107,13 @@ object ProductQuantizer {
     // result). Iterations scan this cached frame; only the encode UDF —
     // whose closure captures the evolving codebooks — changes per round.
     val nrm = udf((v: Seq[Float]) => normalize(v))
-    val base = vecs.select(nrm(col(vecCol)).as("v")).persist()
+    // fan-out before materializing: every Lloyd iteration's encode (m
+    // argmins per vector) scans this frame, and an unsplittable one-file
+    // corpus would pin all of it to a single task (guide §2.5); no-op on a
+    // multi-split corpus
+    val base = graft.ops.Checkpoints
+      .fanOut(vecs.select(nrm(col(vecCol)).as("v")))
+      .persist()
     try {
       var it = 0
       while (it < iters) {

@@ -71,8 +71,12 @@ object BpeTokenizer {
   /** Word-type frequency table: ONE corpus pass — the only corpus-sized
     * job in the whole trainer. */
   private def wordFreqs(s: SparkSession, dir: String): DataFrame =
-    Fixtures
-      .table(s, dir, "documents")
+    Checkpoints
+      // text-only projection fanned to the cores: the split+explode+partial
+      // count is the trainer's only corpus-sized work, and an unsplittable
+      // single-file fixture would otherwise run it in ONE task (measured
+      // 1.3 s of the 1.9 s warm query); no-op on a multi-split corpus
+      .fanOut(Fixtures.table(s, dir, "documents").select("text"))
       .select(explode(split(lower(col("text")), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word")

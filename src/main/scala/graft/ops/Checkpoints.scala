@@ -32,6 +32,19 @@ import org.apache.spark.sql.DataFrame
 object Checkpoints {
   val ReliableKey = "spark.graft.checkpoint.reliable"
 
+  /** Fan a narrow scan out to the session's cores before a CPU-DENSE map
+    * stage (render/decode, per-row hashing, tokenization): one unsplittable
+    * input file — a single-row-group parquet fixture, a gzip — serializes
+    * everything until the first exchange (optimization guide §2.5, input
+    * skew). Scale-adaptive no-op: a frame that already has at least
+    * core-count partitions (any real multi-file table) passes through
+    * untouched, so this NEVER adds a shuffle at scale; callers project to
+    * the needed columns first so the one-time shuffle moves narrow rows. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** Truncate `df`'s lineage eagerly, honoring [[ReliableKey]].
     * IDEMPOTENT: a frame that is already a bare truncation product — its
     * analyzed plan is the LogicalRDD a checkpoint leaves behind, or a

@@ -118,8 +118,12 @@ object Curation {
     // distinct and the whole shingle-explode-distinct pipeline runs twice
     // (once per branch) — measured ~2× the cost at sf0.1, and at scale the
     // explode+distinct dominates the recomputation either way.
-    val sh = docs
-      .select(col(idCol), isEval.as("is_eval"), explode(ngrams(split(lower(col(textCol)), " "))).as("g"))
+    val sh = Checkpoints
+      // narrow fan-out before the n-gram explode: an unsplittable one-file
+      // corpus otherwise serializes the whole shingle build in a single
+      // scan task (guide §2.5); no-op on a multi-split corpus
+      .fanOut(docs.select(col(idCol), isEval.as("is_eval"), col(textCol)))
+      .select(col(idCol), col("is_eval"), explode(ngrams(split(lower(col(textCol)), " "))).as("g"))
       .distinct()
       .transform(Checkpoints.truncate)
     val evalSet = sh.filter(col("is_eval")).select("g").distinct()

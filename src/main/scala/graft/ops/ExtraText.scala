@@ -157,7 +157,11 @@ object ExtraText {
 
   private def plantedShingledCorpus(s: SparkSession, dir: String): DataFrame = {
     val toks = split(lower(col("text")), " ")
-    val docs = Fixtures.table(s, dir, "documents")
+    // fan the narrow (id, text) rows out BEFORE shingling: the trailing
+    // doc_id exchange parallelized every pass AFTER it, but the shingle
+    // UDF itself still ran inside the one-task scan of the single-file
+    // fixture (guide §2.5); no-op on a multi-split corpus
+    val docs = Checkpoints.fanOut(Fixtures.table(s, dir, "documents").select("doc_id", "text"))
     val orig = docs.select(col("doc_id"), shingleUdf(toks).as("toks"))
     val variant = docs
       .select((col("doc_id") + Fixtures.PlantShift).as("doc_id"), shingleUdf(slice(toks, lit(1), greatest(size(toks) - 2, lit(1)))).as("toks"))
@@ -593,8 +597,11 @@ object ExtraText {
     // The id assignment rides the df join the plan already required.
     "q_simjoin_prefix" -> { (s, dir) =>
       val t = 0.6
-      val feats = Fixtures
-        .table(s, dir, "documents")
+      val feats = Checkpoints
+        // narrow fan-out before the 4-shingle explode: the corpus-sized
+        // feature build otherwise runs in the single-file scan's one task
+        // (guide §2.5); no-op on a multi-split corpus
+        .fanOut(Fixtures.table(s, dir, "documents").select("doc_id", "text"))
         .select(col("doc_id"), explode(shingle4Udf(split(lower(col("text")), " "))).as("bg"))
         .distinct()
       // dfreq is truncated BEFORE the range partitioning: repartitionByRange
@@ -938,7 +945,14 @@ object ExtraText {
       // don't grow duplicate cliques linearly with corpus size. ≤ 5000
       // docs (every driver SF) keeps the historical 40 motifs unchanged.
       val nMotifs = math.max(40L, docs.count() / 125L)
-      val recs = docs
+      // The id frame inherits the scan's partitioning — a single-row-group
+      // parquet fixture yields ONE partition, serializing the render → PNG
+      // encode → decode → DCT chain (measured 2.9 s of a 3.4 s warm run in
+      // one task at sf0.1). Fanning the 8-byte ids out (NOT payloads — they
+      // don't exist yet) parallelizes the decode; no-op on an
+      // already-parallel scan (guide §2.5, unsplittable-input skew).
+      val recs = Checkpoints
+        .fanOut(docs)
         .as[Long]
         .map { id =>
           graft.multimodal.MediaRecord(id, "image", ExtraText.motifPng(id % nMotifs, (id % 11).toInt))

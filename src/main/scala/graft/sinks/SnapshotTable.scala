@@ -811,12 +811,19 @@ object SnapshotTable {
     val cs = schemaFromJson(c.schemaJson.get)
     val pByPhys = ps.fields.map(f => physName(f) -> f).toMap
     val tipFields = tipSchema.map(_.fields.toSeq).getOrElse(Seq.empty)
+    // logical names compare through the SESSION RESOLVER (case-insensitive
+    // by default) exactly as alterSchema's analyzer-facing checks do: a
+    // convergent add differing only in case ('Note' vs 'note') must either
+    // converge here or refuse with the dedicated rename/different-column
+    // diagnostics below — not fall through to AddCol and die mid-replay
+    // inside alterSchema with a generic 'column already exists'
+    val resolver = org.apache.spark.sql.internal.SQLConf.get.resolver
     def converge(cf: org.apache.spark.sql.types.StructField): Option[SchemaChange] = {
       val tf = tipFields
-        .find(tf0 => physName(tf0) == physName(cf) || tf0.name == cf.name)
+        .find(tf0 => physName(tf0) == physName(cf) || resolver(tf0.name, cf.name))
         .getOrElse(return Some(AddCol(cf.name, cf.dataType)))
       require(
-        physName(tf) == physName(cf) && tf.name == cf.name,
+        physName(tf) == physName(cf) && resolver(tf.name, cf.name),
         if (physName(tf) == physName(cf))
           s"rebase: the new base holds the branch migration's column (physical " +
             s"'${physName(cf)}') under a DIFFERENT logical name ('${tf.name}' vs the " +
@@ -856,8 +863,12 @@ object SnapshotTable {
     if (mLatest == fork) return bLatest // already based on main's tip
     val locals = ((fork + 1) to bLatest).map(readManifest(spark, bRoot, _))
     val preds = readManifest(spark, bRoot, fork) +: locals.dropRight(1)
-    // classify EVERY local commit before touching any state — a refusal
-    // mid-replay would leave work half-staged for nothing
+    // classify EVERY local commit's REPLAYABILITY before touching any
+    // state. Schema-CONVERGENCE conflicts (rename/different-physical/
+    // un-mergeable types, the revival-type contract) are the exception:
+    // they can only be judged against the staged tip mid-replay, so they
+    // refuse there — the catch below sweeps the stage and the branch
+    // stays intact
     def newMasks(c: Commit, p: Commit): Seq[Mask] = {
       val old = p.masks.map(_.id).toSet
       c.masks.filterNot(mk => old(mk.id))
@@ -966,8 +977,40 @@ object SnapshotTable {
         val pDirs = p.dirs.toSet
         val pStatPaths = p.files.map(_.path).toSet
         val deltaDirs = c.dirs.filterNot(pDirs)
-        val deltaStats = c.files.filterNot(fst =>
-          pStatPaths(fst.path) || pDirs(dataDirOf(fst.path)) || pDirs(fst.path))
+        // When upcastToTip widened a replayed data commit's column to the
+        // tip's type, the commit's recorded per-file BLOOMS for that column
+        // hash the NARROW type (functions.hash(5:int) ≠ hash(5L)): carried
+        // into the rebased manifest unstripped, a wide-typed equality probe
+        // (readWhere, a later replay's prunePlan) could falsely prove
+        // absence and prune a live file. Strip them — mirroring
+        // alterSchema's WidenCol handling exactly, including the one
+        // cross-axis widening (date→timestamp_ntz), whose min/max strip
+        // too (date stats encode as ISO strings, timestamp probes as epoch
+        // micros). Absent stats are always safe: unprunable ≠ wrong.
+        val upcastStrips: Map[String, Boolean] =
+          (tipSchema, c.schemaJson.map(schemaFromJson)) match {
+            case (Some(a), Some(b)) if c.action != "schema" && c.action != "overwrite" =>
+              b.fields.flatMap { cf =>
+                a.fields.find(tf => physName(tf) == physName(cf)) match {
+                  case Some(tf)
+                      if tf.dataType != cf.dataType && losslessWiden(cf.dataType, tf.dataType) =>
+                    Some(physName(cf) -> (
+                      cf.dataType == org.apache.spark.sql.types.DateType &&
+                        tf.dataType == org.apache.spark.sql.types.TimestampNTZType))
+                  case _ => None
+                }
+              }.toMap
+            case _ => Map.empty
+          }
+        val deltaStats = c.files
+          .filterNot(fst => pStatPaths(fst.path) || pDirs(dataDirOf(fst.path)) || pDirs(fst.path))
+          .map { fst =>
+            upcastStrips.foldLeft(fst) { case (f0, (phys, crossAxis)) =>
+              val noBloom = if (f0.bloom.contains(phys)) f0.copy(bloom = f0.bloom - phys) else f0
+              if (!crossAxis) noBloom
+              else noBloom.copy(min = noBloom.min - phys, max = noBloom.max - phys)
+            }
+          }
         // constraints the new base carries beyond what the branch proved
         // at commit time re-prove over exactly the commit's own new rows.
         // For a COW replay the commit's re-attached rows are only its
@@ -1857,8 +1900,14 @@ object SnapshotTable {
       if (d.columns.contains(logical)) d.withColumnRenamed(logical, physical) else d
     }
     physDf.write.parquet(abs)
-    val written = spark.read.parquet(abs)
-    import org.apache.spark.sql.functions.collect_set
+    // explicit schema (the frame we just wrote): skips the footer-inference
+    // job spark.read.parquet would otherwise run before the stats scan —
+    // one fewer Spark job on EVERY commit of the protocol
+    val written = spark.read
+      .schema(org.apache.spark.sql.types.StructType(
+        physDf.schema.fields.map(_.copy(nullable = true))))
+      .parquet(abs)
+    import org.apache.spark.sql.functions.bitmap_construct_agg
     val statFields = written.schema.fields.filter(f => statable(f.dataType)).toSeq
     val bloomFields = written.schema.fields.filter(f => bloomable(f.dataType)).toSeq
     def q(n: String) = col("`" + n + "`")
@@ -1875,9 +1924,13 @@ object SnapshotTable {
           min(q(f.name)).as("__min_" + f.name),
           max(q(f.name)).as("__max_" + f.name),
           count(q(f.name)).as("__nn_" + f.name))) ++ // non-null count: min/max ignore nulls, so containment proofs need it
+        // fixed-size bitmap aggregation (one 32 KiB buffer per probe, bit
+        // layout bytes[pos/8] |= 1 << (pos%8) — verified identical to
+        // [[bloomEncode]]): replaces collect_set's per-row hash-set insert
+        // with a single bit set, the dominant per-row cost of this scan
         bloomFields.flatMap(f =>
           bloomPosCols(q(f.name)).zipWithIndex.map { case (pc, i) =>
-            collect_set(pc).as(s"__bl${i}_" + f.name)
+            bitmap_construct_agg(pc.cast("long")).as(s"__bl${i}_" + f.name)
           }) ++
         constraints.toSeq.sortBy(_._1).zipWithIndex.map { case ((_, check), i) =>
           import org.apache.spark.sql.functions.{coalesce, expr, sum, when}
@@ -1912,9 +1965,19 @@ object SnapshotTable {
       }.toMap
       val nns = statFields.map(f => f.name -> r.getAs[Long]("__nn_" + f.name)).toMap
       val blooms = bloomFields.map { f =>
-        val positions = (0 until BloomK).flatMap(i =>
-          r.getAs[scala.collection.Seq[Int]](s"__bl${i}_" + f.name))
-        f.name -> bloomEncode(scala.collection.immutable.BitSet(positions: _*))
+        // OR the k probe bitmaps' first m/8 bytes (positions < m, so the
+        // 32 KiB agg buffers are zero past byte 511) — byte-identical to
+        // the former bloomEncode(BitSet(positions)) string
+        val bytes = new Array[Byte](BloomBits / 8)
+        (0 until BloomK).foreach { i =>
+          val b = r.getAs[Array[Byte]](s"__bl${i}_" + f.name)
+          if (b != null) {
+            var j = 0
+            val n = math.min(bytes.length, b.length)
+            while (j < n) { bytes(j) = (bytes(j) | b(j)).toByte; j += 1 }
+          }
+        }
+        f.name -> java.util.Base64.getEncoder.encodeToString(bytes)
       }.toMap
       FileStat(path, r.getAs[Long]("__rows"), mins, maxs, nns, blooms)
     }

@@ -694,6 +694,34 @@ class SnapshotBranchSpec extends SparkSuite {
     assert(got.filter("note = 100").count() == 1, "the branch's INT-written value reads at BIGINT")
   }
 
+  test("replayed-upcast data commits strip their narrow-typed blooms: a wide-typed point probe never falsely prunes") {
+    import graft.sinks.SnapshotTable.WidenCol
+    import org.apache.spark.sql.types.LongType
+    val root = freshRoot()
+    SnapshotTable.create(
+      spark, root,
+      spark.range(10).selectExpr("CAST(id AS INT) AS k", "concat('v', id) AS s"))
+    val dev = SnapshotTable.createBranch(spark, root, "ubl")
+    // the branch writes INT data (its files carry INT-hashed blooms) ...
+    SnapshotTable.append(
+      spark, dev, spark.range(100, 110).selectExpr("CAST(id AS INT) AS k", "'b' AS s"))
+    // ... main widens k, so the replay upcasts the branch's append to LONG
+    SnapshotTable.alterSchema(spark, root, Seq(WidenCol("k", LongType)))
+    SnapshotTable.rebase(spark, root, "ubl")
+    // the replayed append's carried stats must NOT keep the INT-hashed
+    // bloom: hash(105:int) != hash(105L), so an unstripped bloom would
+    // falsely prove absence and prune the live file on this LONG probe
+    val probe = Seq(Bound("k", Some(105L), Some(105L)))
+    assert(
+      SnapshotTable.readWhere(spark, dev, probe).count() == 1,
+      "the branch's narrow-written row must survive a widened-type equality probe")
+    // and the carried file really did lose its k bloom (absent = unprunable = safe)
+    val replayedAppend = SnapshotTable.history(spark, dev).find(_.action == "append").get
+    assert(
+      replayedAppend.files.filter(_.rows > 0).forall(f => !f.bloom.contains("k")),
+      "replayed upcast commit must strip the widened column's blooms")
+  }
+
   test("COMPOSED commutation: one branch chains widen DDL + MOR upsert + OPTIMIZE + epoch marker + append, and rebases TWICE") {
     import graft.sinks.SnapshotTable.WidenCol
     import org.apache.spark.sql.types.LongType

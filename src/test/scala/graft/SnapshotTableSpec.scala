@@ -493,6 +493,39 @@ class SnapshotTableSpec extends SparkSuite {
     assert(SnapshotTable.prunePlan(spark, root, v3, none).keep.isEmpty)
   }
 
+  test("bitmap-aggregated blooms are byte-identical to the position-set encoding") {
+    // r21 optimization: the post-write stats scan builds blooms with
+    // bitmap_construct_agg instead of collect_set. This pins the published
+    // string: for every file, the manifest bloom must equal encodeBloom of
+    // the probe positions of exactly the file's non-null values — the same
+    // bytes the collect_set path produced.
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val root = freshRoot()
+    SnapshotTable.create(
+      spark,
+      root,
+      spark
+        .range(500)
+        .selectExpr(
+          "id AS k",
+          "CAST(id % 7 AS STRING) AS s",
+          "IF(id % 5 = 0, CAST(NULL AS LONG), id * 3) AS n")
+        .repartition(4, col("k")))
+    val m = SnapshotTable.history(spark, root).last
+    assert(m.files.count(_.rows > 0) >= 2, "want multiple statted files")
+    m.files.filter(_.rows > 0).foreach { fst =>
+      val df = spark.read.parquet(SnapshotTable.dataRoot(root) + "/" + fst.path)
+      def expected(colName: String, dt: org.apache.spark.sql.types.DataType): String = {
+        val vals = df.select(colName).collect().map(_.get(0)).filter(_ != null).toSeq
+        val pos = vals.flatMap(v => SnapshotTable.probeBloom(dt, v).get).distinct
+        SnapshotTable.encodeBloom(pos)
+      }
+      assert(fst.bloom("k") == expected("k", LongType), s"k bloom of ${fst.path}")
+      assert(fst.bloom("s") == expected("s", StringType), s"s bloom of ${fst.path}")
+      assert(fst.bloom("n") == expected("n", LongType), s"n bloom of ${fst.path}")
+    }
+  }
+
   test("bloom skipping stays exact with nulls and across DML-carried stats") {
     val root = freshRoot()
     SnapshotTable.create(
