@@ -63,9 +63,26 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq else defaultAudit
+    // SPARK_GRAFT_PLANS_DIR=<dir>[:<suffix>] additionally writes each plan
+    // to <dir>/<query><suffix>.txt — the optimization rounds' before/after
+    // plan-evidence files (plans/r21/...), captured without scraping stdout.
+    val out = sys.env.get("SPARK_GRAFT_PLANS_DIR").map { v =>
+      val (d, sfx) = v.split(":", 2) match {
+        case Array(d0, s0) => (d0, s0)
+        case Array(d0) => (d0, "")
+      }
+      new java.io.File(d).mkdirs()
+      (d, sfx)
+    }
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      df.explain("formatted")
+      out.foreach { case (d, sfx) =>
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$d/$n$sfx.txt"), txt)
+      }
     }
     spark.stop()
   }

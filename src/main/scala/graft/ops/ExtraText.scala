@@ -87,8 +87,11 @@ object ExtraText {
   /** The (doc_id, fp) winnow-fingerprint frame both winnow queries share —
     * min doc length w+k-1 tokens (below that no window exists). */
   private def winnowFps(s: SparkSession, dir: String): DataFrame =
-    Fixtures
-      .table(s, dir, "documents")
+    Checkpoints
+      // narrow fan-out before the winnowing UDF (guide §2.5): the rolling
+      // min-hash window otherwise runs in the one-task single-file scan;
+      // no-op on a multi-split corpus
+      .fanOut(Fixtures.table(s, dir, "documents").select("doc_id", "text"))
       .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
       .filter(size(col("t")) >= lit(WinnowW + WinnowK - 1))
       .select(col("doc_id"), explode(winnowUdf(col("t"))).as("fp"))
@@ -97,8 +100,8 @@ object ExtraText {
     * query — [[winnowFps]] plus the shingle position of each selected
     * fingerprint. */
   private def winnowFpsPos(s: SparkSession, dir: String): DataFrame =
-    Fixtures
-      .table(s, dir, "documents")
+    Checkpoints
+      .fanOut(Fixtures.table(s, dir, "documents").select("doc_id", "text")) // see winnowFps
       .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
       .filter(size(col("t")) >= lit(WinnowW + WinnowK - 1))
       .select(col("doc_id"), explode(winnowPosUdf(col("t"))).as("s"))
@@ -438,7 +441,11 @@ object ExtraText {
     // doc_id-keyed shuffles, linear in corpus size, no cross-doc state.
     // keep = both signals under the published thresholds (0.2 / 0.3).
     "q_quality_gopher" -> { (s, dir) =>
-      val docs = Fixtures.table(s, dir, "documents")
+      // narrow fan-out before the tokenize/shingle stage (guide §2.5): the
+      // gates' regex/array work otherwise runs in the one-task scan of the
+      // single-file fixture; no-op on a multi-split corpus
+      val docs = Checkpoints.fanOut(
+        Fixtures.table(s, dir, "documents").select("doc_id", "n_chars", "text"))
       val toks = docs.select(
         col("doc_id"),
         col("n_chars"),
