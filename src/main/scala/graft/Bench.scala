@@ -71,24 +71,39 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadStart = osBean.getSystemLoadAverage
     // Prior per-query records, read BEFORE this run overwrites the file —
-    // the reference points for the outlier adjudication below.
-    val prior: Map[String, Double] =
+    // the reference points for the outlier adjudication below. Records are
+    // keyed by CPU COUNT (round-21 verdict item 2): the driver's low-core
+    // scaling run used to overwrite the 32-core record, losing it AND
+    // mis-arming the next 32-core sweep's outlier reruns against 8-core
+    // priors (cross-core priors misfire the 1.4x threshold). Each core count
+    // now has its own record file; the legacy un-keyed file is still written
+    // (with a "cpus" field) for any reader that expects it, but is only
+    // trusted as a prior when its "cpus" matches this run's.
+    val recordFile = s"BENCH_LAST_RUN_c$cpus.json"
+    def parsePriors(path: String, requireCpus: Boolean): Option[Map[String, Double]] =
       try {
         val txt = new String(
-          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("BENCH_LAST_RUN.json")),
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
           java.nio.charset.StandardCharsets.UTF_8)
         val qIdx = txt.indexOf("\"queries\":{")
         val sameSf = // records from another SF are not comparable
           "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt).exists(_.group(1) == sfDir)
-        if (qIdx < 0 || !sameSf) Map.empty
+        val sameCpus = !requireCpus ||
+          "\"cpus\":\"?([0-9]+)\"?".r.findFirstMatchIn(txt).exists(_.group(1) == cpus)
+        if (qIdx < 0 || !sameSf || !sameCpus) None
         else {
           val body = txt.substring(qIdx + 11, txt.indexOf('}', qIdx))
-          "\"([^\"]+)\":([0-9.]+)".r
-            .findAllMatchIn(body)
-            .map(m => m.group(1) -> m.group(2).toDouble)
-            .toMap
+          Some(
+            "\"([^\"]+)\":([0-9.]+)".r
+              .findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2).toDouble)
+              .toMap)
         }
-      } catch { case _: Throwable => Map.empty }
+      } catch { case _: Throwable => None }
+    val prior: Map[String, Double] =
+      parsePriors(recordFile, requireCpus = false)
+        .orElse(parsePriors("BENCH_LAST_RUN.json", requireCpus = true))
+        .getOrElse(Map.empty)
     // MEMO-HIT labeling (round-12 verdict finding #2 / advice #3): in the
     // alphabetical first-run sweep, queries that READ a memo an earlier
     // query filled (BPE merges, the co-purchase edge frame) report only
@@ -214,7 +229,7 @@ object Bench {
     val outliersJson = rerunOutliers.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val memoHitJson = memoHits.map("\"" + _ + "\"").mkString("[", ",", "]")
     val memoPaidJson = memoPaid.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val loadJson = s""""load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"common67_sec":${fmt(common67)},"memo_honest_reruns":true,"memo_hit":$memoHitJson,"memo_paid":$memoPaidJson,"rerun_slowest":$rerunJson,"rerun_outliers":$outliersJson"""
+    val loadJson = s""""cpus":$cpus,"load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"common67_sec":${fmt(common67)},"memo_honest_reruns":true,"memo_hit":$memoHitJson,"memo_paid":$memoPaidJson,"rerun_slowest":$rerunJson,"rerun_outliers":$outliersJson"""
     val fullLine =
       s"""{"metric":"bench_total_sec","value":${fmt(total)},"unit":"sec",$loadJson,"queries":$allQueries,"sf":"$sfDir"}"""
     println(fullLine)
@@ -224,8 +239,10 @@ object Bench {
     // record with a handful of queries and silently disarm the outlier
     // adjudication of the next full run (no priors -> no reruns).
     if (args.isEmpty)
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST_RUN.json"), fullLine + "\n")
-      catch { case _: Throwable => () }
+      try {
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(recordFile), fullLine + "\n")
+        java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST_RUN.json"), fullLine + "\n")
+      } catch { case _: Throwable => () }
     // Greedy packing of per-query entries into ≤ ~900-byte chunk lines
     // (budget counts the joining comma too), sized so the final chunk plus
     // the total line plus sbt's epilogue always fit inside the 2000-byte

@@ -36,13 +36,55 @@ object Checkpoints {
     * stage (render/decode, per-row hashing, tokenization): one unsplittable
     * input file — a single-row-group parquet fixture, a gzip — serializes
     * everything until the first exchange (optimization guide §2.5, input
-    * skew). Scale-adaptive no-op: a frame that already has at least
-    * core-count partitions (any real multi-file table) passes through
-    * untouched, so this NEVER adds a shuffle at scale; callers project to
-    * the needed columns first so the one-time shuffle moves narrow rows. */
+    * skew). Scale-adaptive: a frame that already has at least core-count
+    * partitions passes through untouched — so the repartition no-ops once
+    * the scan splits to >= core-count tasks (a table with FEWER splits
+    * than cores, e.g. 8 files on 32 cores, still gets the one widening
+    * shuffle — that is the point, not a leak); callers project to the
+    * needed columns first so the one-time shuffle moves narrow rows.
+    *
+    * Apply ONLY to exchange-free scan/projection frames: the partition
+    * probe goes through `df.rdd`, which forces physical planning and,
+    * under AQE, eagerly executes any shuffle stages already in the plan.
+    * For a frame whose widening must survive a DOWNSTREAM exchange, use
+    * [[fanOutBy]] instead. */
   def fanOut(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
+  /** Pin the partitioning a CPU-DENSE post-shuffle stage will run at:
+    * hash-repartition on `cols` — the join/groupBy key of the stage —
+    * to `max(defaultParallelism, spark.sql.shuffle.partitions)`.
+    *
+    * Why not [[fanOut]]: a round-robin widening is destroyed by the very
+    * next exchange, and AQE's BYTE-based coalescing then shrinks the
+    * CPU-dense stage to a handful of tasks (a few MB of shuffle input
+    * hiding minutes of per-row work — the co-purchase pair explosion ran
+    * in 3 tasks on 32 cores). Repartitioning BY THE STAGE'S OWN KEY with
+    * an explicit partition count REPLACES the exchange the downstream
+    * join/groupBy would have inserted (same HashPartitioning — EnsureRequirements
+    * adds nothing), and the explicit count (REPARTITION_BY_NUM) is exempt
+    * from AQE coalescing, so the stage keeps at least core-count tasks.
+    *
+    * Scale shape: no ADDED shuffle at any scale (the downstream operator
+    * was about to shuffle on this key anyway); at cluster scale
+    * `spark.sql.shuffle.partitions` governs the width exactly as it would
+    * have without the pin — the only behavioral change is that AQE cannot
+    * byte-coalesce this one CPU-dense exchange. Trade-off: AQE skew-split
+    * is also off for it, so apply only where per-key row counts are
+    * bounded (per-order line counts, not per-tenant blobs). */
+  def fanOutBy(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame = {
+    val s = df.sparkSession
+    // the RAW spark.sql.shuffle.partitions — NOT conf.numShufflePartitions,
+    // which reports AQE's coalescePartitions.initialPartitionNum (256 here)
+    // when coalescing is on: pinning THAT many partitions un-coalescably
+    // produced 265-task stages of tiny tasks (measured 3-10x slower and
+    // wildly variant on this suite — scheduling + per-task codegen swamp
+    // the work, the exact failure r21 measured for minPartitionSize)
+    val configured = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val n = math.max(s.sparkContext.defaultParallelism, configured)
+    df.repartition(n, cols: _*)
   }
 
   /** Truncate `df`'s lineage eagerly, honoring [[ReliableKey]].

@@ -245,6 +245,15 @@ object Graph {
     * semantics are unchanged (the frame is deterministic). */
   def coPurchaseEdgesWeighted(s: SparkSession, dir: String): DataFrame = {
     purgeStopped()
+    // r22 measured leave-alone: pinning the self-join's exchange wide
+    // (Checkpoints.fanOutBy on ok) cut the explosion job 3.2 s/3 tasks →
+    // 0.55 s/35 tasks and q_graph_degree_dist 3.9 → 1.9 s warm, but the
+    // CHECKPOINTED frame then carries ~5x the partitions and every
+    // downstream iterative kernel inflates with it (pagerank supersteps
+    // 3 → 28 tasks, localCheckpoints 49-82 tasks, q_graph_pagerank 4.0 →
+    // 7.8-12.8 s, q_graph_triangles rerun 4.6 → 11.7 s) — a net family
+    // loss, consistent with r21's AQE-minPartitionSize experiment. The
+    // build stays narrow so the four consumers stay compact.
     def build(): DataFrame = {
       val li = Fixtures
         .table(s, dir, "lineitem")

@@ -656,7 +656,13 @@ object Reports {
       // them BEFORE the per-order self-join bounds the O(k²) pair
       // explosion against skewed baskets with zero result change
       // (monotonicity); the lift denominators keep the TRUE item counts
-      val liF = li.join(it.filter(col("n_i") >= 3).select("pk"), Seq("pk"), "left_semi")
+      // fanOutBy on the order key (guide §2.5): the pair self-join is the
+      // same CPU-dense-explosion shape as the co-purchase graph build and
+      // was likewise AQE byte-coalesced to ~3 tasks; the explicit hash(ok)
+      // repartition IS the join's exchange, pinned to core width.
+      val liF = Checkpoints.fanOutBy(
+        li.join(it.filter(col("n_i") >= 3).select("pk"), Seq("pk"), "left_semi"),
+        col("ok"))
       liF.join(liF.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
         .filter(col("pk") < col("pk2"))
         .groupBy(col("pk").as("pa"), col("pk2").as("pb"))

@@ -109,8 +109,11 @@ private[sinks] final class GraftStreamingWrite(
     // the exactly-once contract does the rest: a replayed epoch finds its
     // (queryId, batchId) pair in the manifest and lands nothing — the
     // recorded appId keeps a SECOND query's identical epoch number from
-    // deduping against ours (Delta's txn appId semantics)
-    SnapshotSinkOps.landBatch(spark, root, df, epochId, opts, appId = Some(queryId))
+    // deduping against ours (Delta's txn appId semantics). The staged
+    // paths ride along so the plain-append route can ADOPT the epoch's
+    // files by rename instead of writing every byte a second time.
+    SnapshotSinkOps.landBatch(
+      spark, root, df, epochId, opts, appId = Some(queryId), staged = Some(staged.toIndexedSeq))
     dropEpochDir(epochId)
   }
 

@@ -650,10 +650,19 @@ private[sinks] object SnapshotSinkOps {
       df: DataFrame,
       batchId: Long,
       opts: SnapshotSinkOptions,
-      appId: Option[String] = None): Unit = {
+      appId: Option[String] = None,
+      // executor-staged parquet files of this epoch (DSv2 catalog sink):
+      // the plain-append route then ADOPTS them by rename instead of
+      // re-writing every byte — see appendStagedBatchExactlyOnce
+      staged: Option[Seq[String]] = None): Unit = {
     import opts.{compactEvery, compactTargetBytes}
     opts.upsertKeys match {
-      case None => SnapshotTable.appendBatchExactlyOnce(spark, root, df, batchId, appId)
+      case None =>
+        staged match {
+          case Some(paths) =>
+            SnapshotTable.appendStagedBatchExactlyOnce(spark, root, paths, df.schema, batchId, appId)
+          case None => SnapshotTable.appendBatchExactlyOnce(spark, root, df, batchId, appId)
+        }
       case Some(ks) if opts.mor =>
         SnapshotTable.upsertBatchExactlyOnceMor(spark, root, df, ks, batchId, appId)
       case Some(ks) => SnapshotTable.upsertBatchExactlyOnce(spark, root, df, ks, batchId, appId)

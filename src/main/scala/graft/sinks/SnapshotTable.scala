@@ -1398,36 +1398,38 @@ object SnapshotTable {
       else Some(readEntriesMasked(spark, root, p, Some(merged), contentDrops))
     val d0: Option[DataFrame] =
       (side.map(typed(_, "delete")).toSeq ++ dropRows.toSeq).reduceOption(_ unionByName _).map(_.persist())
-    // an all-insert capture (a merge that fired no matched action) has NO
-    // delete leg — but its sidecar still exists, so the naive Some(empty)
-    // would take the scan path with an UNPRUNABLE empty envelope and
-    // rewrite the whole table; an empty delete delta must take the
-    // verbatim-carry path instead (one cheap probe of the tiny persisted
-    // sidecar frame decides)
-    val d: Option[DataFrame] = d0.filter(!_.isEmpty)
     val iSide: Option[DataFrame] = side.map(typed(_, "insert"))
 
     try {
-      // candidate prune: the delta's per-column envelope over columns with
-      // zero null pre-images (stats never see nulls — a nullable-envelope
-      // prune could drop a file holding a null-keyed match)
-      val bounds: Seq[Bound] = d.fold(Seq.empty[Bound]) { dd =>
-        val statCols = merged.fields.filter(fd => statable(fd.dataType)).map(_.name).toSeq
-        if (statCols.isEmpty) Seq.empty
-        else {
-          val aggs = statCols.flatMap(k =>
+      // ONE aggregation job over the persisted delete delta yields
+      // everything the replay's accounting used to pay four separate
+      // actions for (r22, guide §1.2 — fewer passes): the row count
+      // (formerly d.isEmpty + d.count()) and the per-column envelope for
+      // the candidate prune (columns with any null pre-image are excluded —
+      // null-safe equality matches rows stats never see).
+      val statCols = merged.fields.filter(fd => statable(fd.dataType)).map(_.name).toSeq
+      val (dCount: Long, bounds: Seq[Bound]) = d0 match {
+        case None => (0L, Seq.empty[Bound])
+        case Some(dd) =>
+          val aggs = count(lit(1)).as("__n") +: statCols.flatMap(k =>
             Seq(
               min(col("`" + k + "`")).as("__lo_" + k),
               max(col("`" + k + "`")).as("__hi_" + k),
-              count(col("`" + k + "`")).as("__nn_" + k))) :+ count(lit(1)).as("__n")
+              count(col("`" + k + "`")).as("__nn_" + k)))
           val r = dd.agg(aggs.head, aggs.tail: _*).collect()(0)
           val n = r.getAs[Long]("__n")
-          statCols.flatMap { k =>
+          val bs = statCols.flatMap { k =>
             if (n == 0 || r.getAs[Long]("__nn_" + k) != n) None
             else Some(Bound(k, Option(r.getAs[Any]("__lo_" + k)), Option(r.getAs[Any]("__hi_" + k))))
           }
-        }
+          (n, bs)
       }
+      // an all-insert capture (a merge that fired no matched action) has NO
+      // delete leg — but its sidecar still exists, so the naive Some(empty)
+      // would take the scan path with an UNPRUNABLE empty envelope and
+      // rewrite the whole table; an empty delete delta must take the
+      // verbatim-carry path instead (decided by the same aggregation)
+      val d: Option[DataFrame] = d0.filter(_ => dCount > 0)
       val tipUncovered = {
         val coveredFiles = tip.files.map(_.path).toSet
         val coveredDirs = tip.files.map(fst => fst.path.take(fst.path.lastIndexOf('/'))).toSet
@@ -1450,30 +1452,48 @@ object SnapshotTable {
         else if (tip.masks.isEmpty)
           Some(readTablePaths(spark, Some(merged), candPaths.map(pp => new Path(dataRoot(root), pp).toString)))
         else Some(readEntriesMasked(spark, sRoot, tip, Some(merged), candPaths))
-      val srcCached = src.map(_.persist())
+      // candidate row count: when every candidate is a clean stat-covered
+      // file, the manifest already knows it — zero I/O (r22; the count()
+      // job re-read every candidate file the rewrite was about to read
+      // again). Masked or uncovered candidates still count by scanning.
+      val tipRowsByPath = tip.files.map(fst => fst.path -> fst.rows).toMap
+      val statCounted = tip.masks.isEmpty && plan.uncoveredDirs.isEmpty &&
+        candPaths.forall(tipRowsByPath.contains)
+      val srcCached = if (statCounted) src else src.map(_.persist())
       try {
-        val candRows = srcCached.map(_.count()).getOrElse(0L)
-        val dCount = d.map(_.count()).getOrElse(0L)
+        val candRows =
+          if (statCounted) candPaths.map(tipRowsByPath).sum
+          else srcCached.map(_.count()).getOrElse(0L)
         val kept = (srcCached, d) match {
           case (Some(s), Some(dd)) => Some(s.exceptAll(dd))
           case (s, None) => s
           case (None, Some(_)) => None
         }
-        val keptCount = kept.map(_.count()).getOrElse(0L)
-        val matched = candRows - keptCount
-        require(
-          matched == dCount,
-          s"rebase conflict replaying v${c.version} ('${c.action}'): ${dCount - matched} of " +
-            s"$dCount captured pre-image rows no longer exist identically at the new base " +
-            "(main rewrote or removed them since the fork) — resolve by dropping and " +
-            "re-staging the branch against current main")
+        // the insert leg's row count rides the written total (below):
+        // written = kept + iSide rows, so the conflict check needs no
+        // kept.count() job of its own — the rewrite's own writeData pass
+        // (whose stats scan counts rows anyway) supplies it.
+        val iCount = iSide.map(_.count()).getOrElse(0L)
         val out = (kept.toSeq ++ iSide.toSeq).reduceOption(_ unionByName _)
-        val (newDirs, newStats, written) = out match {
-          case None => (Seq.empty[String], Seq.empty[FileStat], 0L)
+        val (newDirs, newStats, written, writtenRel) = out match {
+          case None => (Seq.empty[String], Seq.empty[FileStat], 0L, None)
           case Some(o) =>
             val (rel, n, stats) = writeData(spark, sRoot, o, tip.constraints, mapping)
-            if (n == 0) (Seq.empty[String], Seq.empty[FileStat], 0L)
-            else (Seq(rel), stats, n)
+            if (n == 0) (Seq.empty[String], Seq.empty[FileStat], 0L, Some(rel))
+            else (Seq(rel), stats, n, Some(rel))
+        }
+        val keptCount = written - iCount
+        val matched = candRows - keptCount
+        if (matched != dCount) {
+          // abort PRE-PUBLISH: the doomed rewrite dir is deleted here (the
+          // same orphan-sweep contract as writeData's constraint abort)
+          writtenRel.foreach(rel => f.delete(new Path(dataRoot(root), rel), true))
+          require(
+            false,
+            s"rebase conflict replaying v${c.version} ('${c.action}'): ${dCount - matched} of " +
+              s"$dCount captured pre-image rows no longer exist identically at the new base " +
+              "(main rewrote or removed them since the fork) — resolve by dropping and " +
+              "re-staging the branch against current main")
         }
         val insStats = c.files.filter(fst =>
           cc.insEntries.contains(dataDirOf(fst.path)) || cc.insEntries.contains(fst.path))
@@ -1890,7 +1910,6 @@ object SnapshotTable {
       df: DataFrame,
       constraints: Map[String, String] = Map.empty,
       physicalOf: Map[String, String] = Map.empty): (String, Long, Seq[FileStat]) = {
-    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     val rel = "data/" + java.util.UUID.randomUUID().toString
     val abs = new Path(dataRoot(root), rel).toString
     // constraints are authored in LOGICAL names: enforce before the
@@ -1900,12 +1919,39 @@ object SnapshotTable {
       if (d.columns.contains(logical)) d.withColumnRenamed(logical, physical) else d
     }
     physDf.write.parquet(abs)
-    // explicit schema (the frame we just wrote): skips the footer-inference
+    val (n, stats) = scanStats(
+      spark,
+      root,
+      rel,
+      org.apache.spark.sql.types.StructType(physDf.schema.fields.map(_.copy(nullable = true))),
+      constraints,
+      physicalOf)
+    (rel, n, stats)
+  }
+
+  /** The post-write validation/stats scan over an ALREADY-WRITTEN data dir
+    * (`rel`, physical column names, `physSchema`): one
+    * `groupBy(input_file_name())` aggregation yields row counts, min/max,
+    * non-null counts, per-file blooms, and every CHECK constraint's
+    * violation count — zero extra passes. Shared by [[writeData]] (which
+    * wrote the dir a moment ago) and the streaming sink's staged-rename
+    * fast path (whose files the EXECUTORS wrote — renaming them here saves
+    * the second full write of every micro-batch). A constraint violation
+    * deletes the dir and aborts pre-publish, exactly as before. */
+  private def scanStats(
+      spark: SparkSession,
+      root: String,
+      rel: String,
+      physSchema: org.apache.spark.sql.types.StructType,
+      constraints: Map[String, String],
+      physicalOf: Map[String, String]): (Long, Seq[FileStat]) = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+    val abs = new Path(dataRoot(root), rel).toString
+    // explicit schema (the frame just written): skips the footer-inference
     // job spark.read.parquet would otherwise run before the stats scan —
     // one fewer Spark job on EVERY commit of the protocol
     val written = spark.read
-      .schema(org.apache.spark.sql.types.StructType(
-        physDf.schema.fields.map(_.copy(nullable = true))))
+      .schema(physSchema)
       .parquet(abs)
     import org.apache.spark.sql.functions.bitmap_construct_agg
     val statFields = written.schema.fields.filter(f => statable(f.dataType)).toSeq
@@ -2003,7 +2049,7 @@ object SnapshotTable {
       }
       .map(p => FileStat(p, 0L, Map.empty, Map.empty, bytes = sizes(p)))
       .toSeq
-    (rel, sized.map(_.rows).sum, sized ++ empties)
+    (sized.map(_.rows).sum, sized ++ empties)
   }
 
   /** Write a change-capture sidecar ([[Cdc]]): `df` (LOGICAL names) lands
@@ -2187,13 +2233,21 @@ object SnapshotTable {
       root: String,
       base: Option[Int],
       df: DataFrame,
+      carryForward: Boolean): String =
+    evolvedSchemaOf(spark, root, base, df.schema, carryForward)
+
+  private def evolvedSchemaOf(
+      spark: SparkSession,
+      root: String,
+      base: Option[Int],
+      dfSchema: org.apache.spark.sql.types.StructType,
       carryForward: Boolean): String = {
     // a write's DATA never implicitly declares a cluster spec: field
     // metadata riding in from the query (e.g. SELECT * over a clustered
     // source into an overwrite/create of another table) is stripped here
     // — the spec comes only from the prior manifest (carry-forward) or an
     // explicit declaration (CREATE/REPLACE ... PARTITIONED BY)
-    val next = org.apache.spark.sql.types.StructType(df.schema.fields.map { f =>
+    val next = org.apache.spark.sql.types.StructType(dfSchema.fields.map { f =>
       if (!f.metadata.contains(ClusterPosKey)) f
       else {
         val b = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
@@ -2537,6 +2591,83 @@ object SnapshotTable {
       // into a PARTITIONED BY table silently degrades its file pruning
       val clustered = schemaJson0.map(clusterFor(df, _)).getOrElse(df)
       val (rel, n, stats) = writeData(spark, root, clustered, checks0, mapping0)
+      publishEpochAppend(spark, root, rel, n, stats, df.schema, checks0, batchId, appId, committed)
+    }
+  }
+
+  /** EXACTLY-ONCE streaming append of EXECUTOR-STAGED parquet files — the
+    * DSv2 catalog sink's fast path: the micro-batch's bytes were already
+    * written once by the epoch's tasks ([[GraftStreamingWrite]]), so the
+    * files RENAME into a fresh table data dir (one metadata op per file on
+    * any rename-capable filesystem) and only the commit protocol's
+    * validation/stats scan reads them — saving the second full write of
+    * every micro-batch the land-as-DataFrame path paid. Falls back to
+    * [[appendBatchExactlyOnce]] whenever landing must transform rows:
+    * a declared cluster spec (epoch data must sort into it), a
+    * logical→physical column mapping (files must carry physical names),
+    * or an empty epoch (the schema-seed write). Crash safety is unchanged:
+    * a crash after the rename orphans one unreferenced data dir (vacuum
+    * reclaims it) and the restarted query re-stages its epoch from
+    * scratch; a replayed epoch short-circuits on its (appId, batchId)
+    * before any rename. */
+  def appendStagedBatchExactlyOnce(
+      spark: SparkSession,
+      root: String,
+      staged: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      batchId: Long,
+      appId: Option[String] = None): Int = {
+    def committed(): Option[Int] = epochCommitted(spark, root, batchId, appId)
+    committed().getOrElse {
+      val latest0 = latestVersion(spark, root)
+      val manifest0 = latest0.map(readManifest(spark, root, _))
+      val checks0 = manifest0.map(_.constraints).getOrElse(Map.empty)
+      val schemaJson0 = manifest0.flatMap(_.schemaJson)
+      val mapping0 = schemaJson0.map(j => mappingOf(schemaFromJson(j))).getOrElse(Map.empty)
+      val clusterCols0 = schemaJson0.map(j => clusterColsOf(schemaFromJson(j))).getOrElse(Seq.empty)
+      if (staged.isEmpty || mapping0.nonEmpty || clusterCols0.nonEmpty) {
+        val df =
+          if (staged.isEmpty)
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          else spark.read.schema(schema).parquet(staged: _*)
+        appendBatchExactlyOnce(spark, root, df, batchId, appId)
+      } else {
+        val f = fs(spark, root)
+        val rel = "data/" + java.util.UUID.randomUUID().toString
+        val dir = new Path(dataRoot(root), rel)
+        f.mkdirs(dir)
+        staged.foreach { s =>
+          val sp = new Path(s)
+          require(f.rename(sp, new Path(dir, sp.getName)), s"failed to adopt staged file $s into $rel")
+        }
+        val (n, stats) = scanStats(
+          spark,
+          root,
+          rel,
+          org.apache.spark.sql.types.StructType(schema.fields.map(_.copy(nullable = true))),
+          checks0,
+          Map.empty)
+        publishEpochAppend(spark, root, rel, n, stats, schema, checks0, batchId, appId, committed)
+      }
+    }
+  }
+
+  /** The epoch-append publish loop both exactly-once append surfaces
+    * share: retry on publish races, re-proving any constraint that raced
+    * in against the already-written dir; a replayed epoch that lost to
+    * itself returns the winner's version. */
+  private def publishEpochAppend(
+      spark: SparkSession,
+      root: String,
+      rel: String,
+      n: Long,
+      stats: Seq[FileStat],
+      dfSchema: org.apache.spark.sql.types.StructType,
+      checks0: Map[String, String],
+      batchId: Long,
+      appId: Option[String],
+      committed: () => Option[Int]): Int = {
+    {
       var result = -1
       var enforced = checks0
       var attempts = 0
@@ -2545,7 +2676,7 @@ object SnapshotTable {
         val priorManifest = base.map(readManifest(spark, root, _))
         val prior = priorManifest.map(_.dirs).getOrElse(Nil)
         val priorFiles = priorManifest.map(_.files).getOrElse(Nil)
-        val schema = evolvedSchema(spark, root, base, df, carryForward = true)
+        val schema = evolvedSchemaOf(spark, root, base, dfSchema, carryForward = true)
         val checksNow = priorManifest.map(_.constraints).getOrElse(checks0)
         if (checksNow != enforced) {
           // a constraint raced in since the dir was validated: re-prove the
