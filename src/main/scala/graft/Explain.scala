@@ -66,11 +66,14 @@ object Explain {
     // SPARK_GRAFT_PLANS_DIR=<dir>[:<suffix>] additionally writes each plan
     // to <dir>/<query><suffix>.txt — the optimization rounds' before/after
     // plan-evidence files (plans/r21/...), captured without scraping stdout.
+    // The suffix separator is the LAST ':' and only when the part after it
+    // contains no '/' — a directory path that itself contains a colon is
+    // then never misparsed into a wrong dir plus bogus suffix.
     val out = sys.env.get("SPARK_GRAFT_PLANS_DIR").map { v =>
-      val (d, sfx) = v.split(":", 2) match {
-        case Array(d0, s0) => (d0, s0)
-        case Array(d0) => (d0, "")
-      }
+      val i = v.lastIndexOf(':')
+      val (d, sfx) =
+        if (i >= 0 && !v.substring(i + 1).contains('/')) (v.substring(0, i), v.substring(i + 1))
+        else (v, "")
       new java.io.File(d).mkdirs()
       (d, sfx)
     }

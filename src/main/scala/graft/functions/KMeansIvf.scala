@@ -60,23 +60,29 @@ object KMeansIvf {
 
   /** Deterministic Lloyd's fit; returns the k × dim centroid matrix. */
   def fit(vecs: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): Array[Array[Double]] = {
-    var cents: Array[Array[Double]] = vecs
-      .orderBy(col(idCol))
+    // Materialize (id, vector) ONCE before the loop. Without this every
+    // Lloyd iteration re-plans from the source relation — at 100 TB that is
+    // `iters` full corpus scans for a model-sized result. The persisted frame
+    // is the narrowest projection the loop needs, lives in executor memory
+    // (spilling to disk if it must), and is released before returning; each
+    // iteration then scans cache, not parquet.
+    // ...and fanned out to the cores first: an unsplittable one-file corpus
+    // would otherwise pin every iteration's argmin scan to a single task
+    // (guide §2.5); no-op on a multi-split corpus. The SEED collects from
+    // this same fanned frame (r22): the old pre-fanOut orderBy(id).limit(k)
+    // paid a 1-task full scan of the vector column — identical seed rows,
+    // now a parallel per-partition top-k over the frame the loop caches
+    // anyway.
+    val base = graft.ops.Checkpoints
+      .fanOut(vecs.select(col(idCol).as("__id"), col(vecCol).as("v")))
+      .persist()
+    var cents: Array[Array[Double]] = base
+      .orderBy(col("__id"))
       .limit(k)
-      .select(col(vecCol))
+      .select(col("v"))
       .collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(cents.length == k, s"need at least $k vectors to seed $k centroids")
-    // Materialize the vector column ONCE before the loop. Without this every
-    // Lloyd iteration re-plans from the source relation — at 100 TB that is
-    // `iters` full corpus scans for a model-sized result. The persisted frame
-    // is the narrowest projection the loop needs (just the vectors), lives in
-    // executor memory (spilling to disk if it must), and is released before
-    // returning; each iteration then scans cache, not parquet.
-    // ...and fanned out to the cores first: an unsplittable one-file corpus
-    // would otherwise pin every iteration's argmin scan to a single task
-    // (guide §2.5); no-op on a multi-split corpus.
-    val base = graft.ops.Checkpoints.fanOut(vecs.select(col(vecCol).as("v"))).persist()
     try {
       var it = 0
       while (it < iters) {

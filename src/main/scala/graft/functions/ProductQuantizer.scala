@@ -88,19 +88,6 @@ object ProductQuantizer {
     * e6 longs; dim position p belongs to subspace p/dsub, so the group key
     * (p, code of p/dsub) already identifies (subspace, sub-centroid, dim). */
   def fit(vecs: DataFrame, idCol: String, vecCol: String, m: Int, ksub: Int, iters: Int): Model = {
-    val first = vecs.select(col(vecCol)).head().getSeq[Float](0)
-    val dim = first.length
-    require(dim % m == 0, s"dim $dim not divisible by m=$m")
-    val dsub = dim / m
-    val seed = vecs
-      .orderBy(col(idCol))
-      .limit(ksub)
-      .select(col(vecCol))
-      .collect()
-      .map(r => normalize(r.getSeq[Float](0)))
-    require(seed.length == ksub, s"need at least $ksub vectors to seed $ksub sub-centroids")
-    var cbs: Array[Array[Array[Double]]] =
-      Array.tabulate(m, ksub)((mi, j) => seed(j).slice(mi * dsub, (mi + 1) * dsub))
     // Normalize and materialize ONCE before the loop: re-planning from the
     // source would re-scan the corpus AND re-run the normalize UDF every
     // Lloyd iteration (at 100 TB: `iters` full reads for a model-sized
@@ -110,10 +97,27 @@ object ProductQuantizer {
     // fan-out before materializing: every Lloyd iteration's encode (m
     // argmins per vector) scans this frame, and an unsplittable one-file
     // corpus would pin all of it to a single task (guide §2.5); no-op on a
-    // multi-split corpus
+    // multi-split corpus. The SEED (and the dim probe it implies) collects
+    // from this same fanned frame (r22): the old pre-fanOut
+    // head() + orderBy(id).limit(ksub) paid two 1-task scans of the raw
+    // vector column — identical seed values (normalize is applied either
+    // way), now one parallel per-partition top-k over the frame the loop
+    // caches anyway.
     val base = graft.ops.Checkpoints
-      .fanOut(vecs.select(nrm(col(vecCol)).as("v")))
+      .fanOut(vecs.select(col(idCol).as("__id"), nrm(col(vecCol)).as("v")))
       .persist()
+    val seed = base
+      .orderBy(col("__id"))
+      .limit(ksub)
+      .select(col("v"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(seed.length == ksub, s"need at least $ksub vectors to seed $ksub sub-centroids")
+    val dim = seed(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    var cbs: Array[Array[Array[Double]]] =
+      Array.tabulate(m, ksub)((mi, j) => seed(j).slice(mi * dsub, (mi + 1) * dsub))
     try {
       var it = 0
       while (it < iters) {

@@ -50,7 +50,19 @@ object Checkpoints {
     * [[fanOutBy]] instead. */
   def fanOut(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    if (df.rdd.getNumPartitions >= par) return df
+    // HASH on the full row, not round-robin repartition(n): a keyless
+    // round-robin exchange LOCAL-SORTS its input by every column for
+    // retry determinism (SPARK-23207), and fanOut's callers carry long
+    // text/payload columns — measured as hidden 1-task multi-second sort
+    // jobs, re-paid per plan branch whenever exchange reuse fails to fire
+    // (q_minhash_pairs: 6+ concurrent 2.4 s sorts of the shingle corpus).
+    // xxhash64 over all columns is deterministic (retry/speculation-safe,
+    // guide §2.5 — no rand-derived keys) and spreads distinct rows as
+    // uniformly as round-robin; callers pass id/text rows, not hot
+    // duplicate keys.
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    df.repartition(par, xxhash64(df.columns.map(c => col("`" + c + "`")): _*))
   }
 
   /** Pin the partitioning a CPU-DENSE post-shuffle stage will run at:

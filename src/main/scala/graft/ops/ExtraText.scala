@@ -170,13 +170,16 @@ object ExtraText {
       .select((col("doc_id") + Fixtures.PlantShift).as("doc_id"), shingleUdf(slice(toks, lit(1), greatest(size(toks) - 2, lit(1)))).as("toks"))
     // Hash-repartition AFTER shingling: (1) the one small parquet file gives
     // a single input partition, so without an exchange every downstream pass
-    // runs on one core; (2) within one action, ReuseExchange shares this
-    // shuffle across the near-dup queries' multiple self-join branches, so
-    // the shingling runs once. Hash (not round-robin) partitioning on
+    // runs on one core; (2) hash (not round-robin) partitioning on
     // purpose: round-robin repartition local-sorts rows by ALL columns for
     // retry determinism, and sorting by a 200-element string-array column
-    // is a hidden multi-second cost.
-    orig.unionByName(variant).repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    // is a hidden multi-second cost. TRUNCATED because exchange reuse does
+    // NOT reliably share this shuffle across the near-dup kernels' many
+    // self-join/verify branches under AQE (r22 ProfileJobs: the corpus
+    // scan+shingle re-ran once per branch, 6+ concurrent copies) — one
+    // materialization serves every branch of whichever query consumes it.
+    Checkpoints.truncate(
+      orig.unionByName(variant).repartition(s.sparkContext.defaultParallelism, col("doc_id")))
   }
 
   /** Shared pair-overlap kernel of the exact similarity rows: distinct

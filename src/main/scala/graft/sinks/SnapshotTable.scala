@@ -1970,7 +1970,7 @@ object SnapshotTable {
           min(q(f.name)).as("__min_" + f.name),
           max(q(f.name)).as("__max_" + f.name),
           count(q(f.name)).as("__nn_" + f.name))) ++ // non-null count: min/max ignore nulls, so containment proofs need it
-        // fixed-size bitmap aggregation (one 32 KiB buffer per probe, bit
+        // fixed-size bitmap aggregation (one 4 KiB (32768-bit) buffer per probe, bit
         // layout bytes[pos/8] |= 1 << (pos%8) — verified identical to
         // [[bloomEncode]]): replaces collect_set's per-row hash-set insert
         // with a single bit set, the dominant per-row cost of this scan
@@ -2012,7 +2012,7 @@ object SnapshotTable {
       val nns = statFields.map(f => f.name -> r.getAs[Long]("__nn_" + f.name)).toMap
       val blooms = bloomFields.map { f =>
         // OR the k probe bitmaps' first m/8 bytes (positions < m, so the
-        // 32 KiB agg buffers are zero past byte 511) — byte-identical to
+        // 4 KiB (32768-bit) agg buffers are zero past byte 511) — byte-identical to
         // the former bloomEncode(BitSet(positions)) string
         val bytes = new Array[Byte](BloomBits / 8)
         (0 until BloomK).foreach { i =>
@@ -2591,7 +2591,7 @@ object SnapshotTable {
       // into a PARTITIONED BY table silently degrades its file pruning
       val clustered = schemaJson0.map(clusterFor(df, _)).getOrElse(df)
       val (rel, n, stats) = writeData(spark, root, clustered, checks0, mapping0)
-      publishEpochAppend(spark, root, rel, n, stats, df.schema, checks0, batchId, appId, committed)
+      publishEpochAppend(spark, root, Some(rel), n, stats, df.schema, checks0, batchId, appId, committed)
     }
   }
 
@@ -2625,6 +2625,20 @@ object SnapshotTable {
       val schemaJson0 = manifest0.flatMap(_.schemaJson)
       val mapping0 = schemaJson0.map(j => mappingOf(schemaFromJson(j))).getOrElse(Map.empty)
       val clusterCols0 = schemaJson0.map(j => clusterColsOf(schemaFromJson(j))).getOrElse(Seq.empty)
+      // EMPTY epoch on an existing table with no schema delta (the trailing
+      // batch every AvailableNow drain ships): the epoch needs only its
+      // exactly-once (appId, batchId) marker — publishing it with the prior
+      // dirs verbatim skips the rows=0 seed-dir write + stats scan the
+      // DataFrame path pays. Schema-evolving or table-creating empty epochs
+      // still fall through (the seed write is what establishes them).
+      if (staged.isEmpty && manifest0.isDefined &&
+        schemaJson0.exists(j =>
+          schemaFromJson(j) == schemaFromJson(
+            evolvedSchemaOf(spark, root, latest0, schema, carryForward = true)))) {
+        return publishEpochAppend(
+          spark, root, rel = None, n = 0L, stats = Seq.empty, dfSchema = schema,
+          checks0 = checks0, batchId = batchId, appId = appId, committed = committed)
+      }
       if (staged.isEmpty || mapping0.nonEmpty || clusterCols0.nonEmpty) {
         val df =
           if (staged.isEmpty)
@@ -2647,7 +2661,7 @@ object SnapshotTable {
           org.apache.spark.sql.types.StructType(schema.fields.map(_.copy(nullable = true))),
           checks0,
           Map.empty)
-        publishEpochAppend(spark, root, rel, n, stats, schema, checks0, batchId, appId, committed)
+        publishEpochAppend(spark, root, Some(rel), n, stats, schema, checks0, batchId, appId, committed)
       }
     }
   }
@@ -2659,7 +2673,7 @@ object SnapshotTable {
   private def publishEpochAppend(
       spark: SparkSession,
       root: String,
-      rel: String,
+      rel: Option[String], // None = a marker-only empty epoch (no new dir)
       n: Long,
       stats: Seq[FileStat],
       dfSchema: org.apache.spark.sql.types.StructType,
@@ -2681,15 +2695,18 @@ object SnapshotTable {
         if (checksNow != enforced) {
           // a constraint raced in since the dir was validated: re-prove the
           // already-written data before claiming the new constraint set
+          // (marker-only epochs carry no new data — nothing to re-prove)
           import org.apache.spark.sql.functions.{coalesce, expr, lit}
-          val dir = spark.read.parquet(new Path(dataRoot(root), rel).toString)
-          val logicalDir = mappingOf(schemaFromJson(schema)).foldLeft(dir) {
-            case (d, (logical, physical)) =>
-              if (d.columns.contains(physical)) d.withColumn(logical, d("`" + physical + "`")) else d
-          }
-          (checksNow.toSet -- enforced.toSet).foreach { case (name, check) =>
-            val bad = logicalDir.filter(!coalesce(expr(check), lit(false))).count()
-            if (bad > 0) throw new ConstraintViolationException(name, bad)
+          rel.foreach { r =>
+            val dir = spark.read.parquet(new Path(dataRoot(root), r).toString)
+            val logicalDir = mappingOf(schemaFromJson(schema)).foldLeft(dir) {
+              case (d, (logical, physical)) =>
+                if (d.columns.contains(physical)) d.withColumn(logical, d("`" + physical + "`")) else d
+            }
+            (checksNow.toSet -- enforced.toSet).foreach { case (name, check) =>
+              val bad = logicalDir.filter(!coalesce(expr(check), lit(false))).count()
+              if (bad > 0) throw new ConstraintViolationException(name, bad)
+            }
           }
           enforced = checksNow
         }
@@ -2699,7 +2716,7 @@ object SnapshotTable {
           Commit(
             base.getOrElse(0) + 1,
             "append",
-            prior :+ rel,
+            prior ++ rel.toSeq,
             n,
             Some(batchId),
             Some(schema),

@@ -1077,4 +1077,59 @@ class SnapshotSourceSpec extends SparkSuite {
     val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
     assert(!fs.exists(staging) || fs.listStatus(staging).isEmpty)
   }
+
+  test("CATALOG SINK fast path: plain-append epochs ADOPT staged files by rename; a renamed-column table falls back to the rewrite") {
+    val wh = Files.createTempDirectory("graft-ssink-adopt").toString
+    spark.conf.set("spark.sql.catalog.gadopt", classOf[graft.sinks.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gadopt.warehouse", wh)
+    val srcRoot = wh + "/ns/src"
+    val dstRoot = wh + "/ns/dst"
+    SnapshotTable.create(spark, srcRoot, batch(1L -> "a", 2L -> "b"))
+    val q1 = spark.readStream.table("gadopt.ns.src").selectExpr("k", "upper(s) AS s")
+      .writeStream.option("checkpointLocation", Files.createTempDirectory("gadopt-ck1").toString)
+      .trigger(Trigger.AvailableNow()).toTable("gadopt.ns.dst")
+    q1.awaitTermination()
+    assert(spark.table("gadopt.ns.dst").orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq(1L -> "A", 2L -> "B"))
+    // the executor-staged file names (part-<pid>-<tid>-<runToken>) survive
+    // in the committed data dir — proof the epoch's bytes were ADOPTED by
+    // rename rather than written a second time through writeData (whose
+    // files carry Spark's part-00000-<uuid>-c000 names)
+    val stagedName = """part-\d+-\d+-[0-9a-f]{8}\.snappy\.parquet""".r
+    val v1Files = SnapshotTable.history(spark, dstRoot).filter(_.action == "append").last
+      .files.filter(_.rows > 0).map(f => f.path.substring(f.path.lastIndexOf('/') + 1))
+    assert(v1Files.nonEmpty && v1Files.forall(n => stagedName.pattern.matcher(n).matches()),
+      s"append epoch must adopt staged files by rename, got: $v1Files")
+    // rows=0 epochs and staging debris invariants still hold
+    val staging2 = new org.apache.hadoop.fs.Path(dstRoot, "_streamStaging")
+    val fs2 = staging2.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs2.exists(staging2) || fs2.listStatus(staging2).isEmpty)
+
+    // rename a column on the destination: the next epoch must land under
+    // the FROZEN physical parquet name, so the fast path must stand down
+    // and the rewrite path (writeData's logical->physical rename) run
+    SnapshotTable.renameColumn(spark, dstRoot, "s", "s2")
+    SnapshotTable.append(spark, srcRoot, batch(3L -> "c"))
+    val q2 = spark.readStream.table("gadopt.ns.src").selectExpr("k", "upper(s) AS s2")
+      .writeStream.option("checkpointLocation", Files.createTempDirectory("gadopt-ck2").toString)
+      .trigger(Trigger.AvailableNow()).toTable("gadopt.ns.dst")
+    q2.awaitTermination()
+    assert(spark.table("gadopt.ns.dst").orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq(1L -> "A", 2L -> "B", 1L -> "A", 2L -> "B", 3L -> "C").sortBy(_._1),
+      "the post-rename epoch must read back under the logical name")
+    // files landed AFTER the rename = the tip's live files minus everything
+    // that existed before the schema commit (the drain also ships a
+    // trailing empty epoch, so "the last append" is not the data commit)
+    val all = SnapshotTable.history(spark, dstRoot)
+    val schemaV = all.find(_.action == "schema").get.version
+    val preSet = all.filter(_.version < schemaV).flatMap(_.files.map(_.path)).toSet
+    val newFiles = all.last.files.filter(_.rows > 0).map(_.path).filterNot(preSet)
+    assert(newFiles.nonEmpty, "the post-rename epoch landed no files?")
+    assert(
+      newFiles.forall(p => !stagedName.pattern.matcher(p.substring(p.lastIndexOf('/') + 1)).matches()),
+      s"a renamed-column table must NOT adopt staged files verbatim: $newFiles")
+    // and the new file's PHYSICAL parquet column is the frozen original name
+    val raw = spark.read.parquet(new org.apache.hadoop.fs.Path(dstRoot, newFiles.head).toString)
+    assert(raw.columns.toSet == Set("k", "s"), s"physical columns must stay frozen: ${raw.columns.toSeq}")
+  }
 }
